@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Relational core: scans, projections, filters, equi/semi/anti joins,
+  * exact-decimal aggregations (SURVEY.md §2.1-2.4 analogs on the driver
+  * testdata; cf. ssm_loop.py:73,77 projections, fmriprep_motion_hist.R:33-38
+  * aggregation shapes).
+  */
+object Relational extends QueryModule {
+
+  private val dec = "decimal(18,2)"
+
+  /** TPC-H Q1-shaped pricing summary: groupBy + exact decimal sums.
+    * Reference analog: per-group aggregation (SURVEY A1-A3). */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + predicate: pushed to the parquet scan (P1/P5 analogs). */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  private val filterProjectSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 100000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Multi-way equi join + agg: revenue per nation (J5 generalization).
+    * nation/customer are the small sides — broadcast them explicitly. */
+  def joinRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"),
+      )
+      .orderBy("n_name")
+
+  private val joinRevenueSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Left-semi join (the reference's mask semi-join shape, SURVEY P9). */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 200000.0),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi",
+      )
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (SURVEY §2.3 "missing from the reference" surface). */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 300000.0),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti",
+      )
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    Q("q02_filter_project", filterProject, Some(filterProjectSql)),
+    Q("q03_join_revenue", joinRevenue, Some(joinRevenueSql)),
+    Q("q04_semi_join", semiJoin, Some(semiJoinSql)),
+    Q("q05_anti_join", antiJoin, Some(antiJoinSql)),
+  )
+}

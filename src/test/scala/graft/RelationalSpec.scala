@@ -1,0 +1,30 @@
+package graft
+
+import graft.queries.Relational
+import graft.util.Tables
+
+class RelationalSpec extends SparkSpec {
+
+  test("pricing summary groups and sums positively") {
+    val df = Relational.pricingSummary(spark, sf0001).collect()
+    assert(df.nonEmpty)
+    assert(df.forall(r => r.getDouble(r.fieldIndex("sum_qty")) > 0))
+    assert(df.forall(r => r.getLong(r.fieldIndex("count_order")) > 0))
+  }
+
+  test("semi + anti join partition the customer table") {
+    val cust = Tables.customer(spark, sf0001)
+    val ords = Tables.orders(spark, sf0001)
+    val total = cust.count()
+    val semiAll = cust
+      .join(ords, cust("c_custkey") === ords("o_custkey"), "left_semi")
+      .count()
+    val anti = Relational.antiJoin(spark, sf0001).count()
+    assert(semiAll + anti == total)
+  }
+
+  test("filter project only keeps matching rows") {
+    val rows = Relational.filterProject(spark, sf0001).collect()
+    assert(rows.forall(_.getDouble(2) > 100000.0))
+  }
+}
