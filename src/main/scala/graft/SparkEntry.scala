@@ -13,6 +13,9 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
+    TimeSeries,
+    Aggregates,
+    Scalars,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

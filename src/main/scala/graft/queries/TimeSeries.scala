@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.stats.StatsOps
+import graft.timeseries.TimeOps
+import graft.design.DesignOps
+
+/** Time-series / window queries on the `events` table (SURVEY.md §2.5).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as epoch-nanos
+  * LongType under spark.sql.legacy.parquet.nanosAsLong=true (set in every
+  * session builder). DuckDB reads it as TIMESTAMP_NS, so oracle SQL converts
+  * with epoch_us(ts); timestamps in outputs are always epoch microseconds
+  * cast to BIGINT/DOUBLE so schemas agree across engines.
+  */
+object TimeSeries extends QueryModule {
+
+  /** W1+W3: lagged difference of value per user, ordered by (ts, event_id),
+    * leading null → 0 (ssm_loop.py:48-49 motion-derivative analog). */
+  def windowLagDiff(s: SparkSession, d: String): DataFrame =
+    TimeOps
+      .lagDiff(events(s, d), "value", Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("event_id"), col("user_id"), col("value"), col("diff"))
+      .orderBy("event_id")
+
+  private val windowLagDiffSql =
+    """SELECT event_id, user_id, value,
+      |  COALESCE(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS diff
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** A6: per-user z-score of value, population ddof (scipy zscore semantics,
+    * ssm_loop.py:81-82). Exact-decimal moments; see StatsOps.zscore. */
+  def zscoreByUser(s: SparkSession, d: String): DataFrame =
+    StatsOps
+      .zscore(events(s, d), "value", Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("z"))
+      .orderBy("event_id")
+
+  private val zscoreByUserSql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY user_id
+      |), mm AS (
+      |  SELECT user_id, s/n AS mean, sq/n - (s/n)*(s/n) AS var FROM m
+      |)
+      |SELECT e.event_id, e.user_id, (e.value - mm.mean) / sqrt(mm.var) AS z
+      |FROM events e JOIN mm ON e.user_id = mm.user_id
+      |ORDER BY e.event_id""".stripMargin
+
+  /** J2: boxcar design expansion — hourly timeline vs event intervals
+    * [onset, onset+value sec), one indicator column per event_type
+    * (onsets_to_dm, ssm_loop.py:43). */
+  def boxcarDesign(s: SparkSession, d: String): DataFrame = {
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val trials = events(s, d).select(
+      ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
+      col("value").as("duration"),
+      col("event_type").as("trial_type"),
+    )
+    val tl = DesignOps.timeline(s, 168, 3600.0)
+    DesignOps
+      .boxcar(tl, trials, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("t")
+  }
+
+  private val boxcarDesignSql =
+    """WITH tl AS (
+      |  SELECT CAST(g AS BIGINT) AS t, CAST(g AS BIGINT) * 3600.0 AS sec
+      |  FROM generate_series(0, 167) AS gs(g)
+      |), tr AS (
+      |  SELECT (epoch_us(ts) - 1704067200000000) / 1000000.0 AS onset,
+      |         value AS duration, event_type AS trial_type
+      |  FROM events
+      |)
+      |SELECT t,
+      |  MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'click'    THEN 1 ELSE 0 END) AS click,
+      |  MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'error'    THEN 1 ELSE 0 END) AS error,
+      |  MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+      |  MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'view'     THEN 1 ELSE 0 END) AS view
+      |FROM tl CROSS JOIN tr
+      |GROUP BY t
+      |ORDER BY t""".stripMargin
+
+  /** As-of join: for each purchase, the most recent prior (or simultaneous)
+    * click of the same user. Distributed union+window form — see
+    * TimeOps.asofJoin. */
+  def asofPurchaseClick(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("ts").as("click_ts"))
+    TimeOps
+      .asofJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_ts"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts div 1000").cast("double").as("ts_us"),
+        expr("asof_click_ts div 1000").cast("double").as("last_click_us"),
+      )
+      .orderBy("event_id")
+  }
+
+  private val asofPurchaseClickSql =
+    """SELECT p.event_id, p.user_id,
+      |  CAST(epoch_us(p.ts) AS DOUBLE) AS ts_us,
+      |  CAST((SELECT max(epoch_us(c.ts)) FROM events c
+      |        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |          AND c.ts <= p.ts) AS DOUBLE) AS last_click_us
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Tumbling hourly window aggregate (SURVEY.md §2.10 extension): per
+    * (hour, event_type) counts and exact value sums. */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame =
+    TimeOps
+      .tumbling(events(s, d), "ts", 3600L * 1000000000L)
+      .groupBy(col("bucket").cast("long").as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+      )
+      .orderBy("hour", "event_type")
+
+  private val tumblingHourlySql =
+    """SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
+    Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
+    Q("q16_boxcar_design", boxcarDesign, Some(boxcarDesignSql)),
+    Q("q17_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
+    Q("q19_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
+  )
+}

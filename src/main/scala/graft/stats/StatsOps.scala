@@ -1,0 +1,89 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical operators (SURVEY.md §2.4: A1-A3 outlier histogram, A6 zscore,
+  * A7 correlation, A8 deterministic mode).
+  *
+  * Numerical-determinism design: multi-row reductions run as exact DECIMAL
+  * sums (associative in exact arithmetic, so Spark's partial/final aggregation
+  * order cannot change the result), and the closing float math happens on the
+  * already-exact scalars. This makes results bit-identical to any engine that
+  * follows the same formula — the property the DuckDB oracle check relies on.
+  */
+object StatsOps {
+
+  private val dec = "decimal(18,2)"
+
+  /** Column-standardize `valueCol` within each partition-key group
+    * (reference: nltools zscore over design-matrix columns, ssm_loop.py:47,
+    * 81-82; population ddof=0 like scipy.stats.zscore).
+    *
+    * Two-pass: exact per-group moments, then a broadcast join back. At scale
+    * the moments table is |groups| rows — tiny next to the fact table — so
+    * the join is a broadcast, not a shuffle of the facts.
+    */
+  def zscore(df: DataFrame, valueCol: String, partCols: Seq[String]): DataFrame = {
+    val v = col(valueCol)
+    val moments = df
+      .groupBy(partCols.map(col): _*)
+      .agg(
+        sum(v.cast(dec)).cast("double").as("__sum"),
+        sum(v.cast(dec) * v.cast(dec)).cast("double").as("__sumsq"),
+        count(lit(1)).cast("double").as("__n"),
+      )
+    // identical op order to the oracle SQL: mean = sum/n; var = sumsq/n - mean*mean
+    df.join(broadcast(moments), partCols)
+      .withColumn("__mean", col("__sum") / col("__n"))
+      .withColumn("__var", col("__sumsq") / col("__n") - col("__mean") * col("__mean"))
+      .withColumn("z", (v - col("__mean")) / sqrt(col("__var")))
+      .drop("__sum", "__sumsq", "__n", "__mean", "__var")
+  }
+
+  /** Binned count histogram (fmriprep_motion_hist.R:42-44, binwidth=5 there).
+    * Input: one row per entity with a numeric `countCol`. */
+  def histogram(df: DataFrame, countCol: String, binWidth: Long): DataFrame =
+    df.groupBy((floor(col(countCol) / binWidth) * binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Deterministic mode: most frequent `valueCol` per group, smallest value
+    * on ties — AFNI 3dcalc `hmode` tie-breaking (preprocess_parallel.sh:82;
+    * SURVEY.md §7.5.6). Spark's built-in `mode()` is nondeterministic on
+    * ties, so this is the count + row_number formulation.
+    */
+  def modeDeterministic(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val counted = df.groupBy((groupCols :+ valueCol).map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    counted
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((groupCols.map(col) :+ col(valueCol).as("mode_value")): _*)
+  }
+
+  /** Pearson correlation of two 2-decimal columns per group, via exact
+    * decimal cross-moments (nb cell 19 `dm_conv.corr()` analog). */
+  def corrExact(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast(dec)
+    val y = col(yCol).cast(dec)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(x).cast("double").as("__sx"),
+        sum(y).cast("double").as("__sy"),
+        sum(x * x).cast("double").as("__sxx"),
+        sum(y * y).cast("double").as("__syy"),
+        sum(x * y).cast("double").as("__sxy"),
+        count(lit(1)).cast("double").as("__n"),
+      )
+      .withColumn(
+        "corr",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))),
+      )
+      .select((groupCols.map(col) :+ col("corr")): _*)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.StatsOps
+import graft.timeseries.TimeOps
+import graft.design.DesignOps
+import graft.catalog.RulesOps
+
+/** Edge-case unit tests on tiny literal DataFrames (SURVEY.md §5.2). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore: mean 0, population sd 1") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0)).toDF("g", "v")
+    val z = StatsOps.zscore(df, "v", Seq("g")).select("z").as[Double].collect().sorted
+    // population sd of {1,2,3,4} = sqrt(1.25); z = (v-2.5)/sd
+    val sd = math.sqrt(1.25)
+    val expected = Seq(-1.5 / sd, -0.5 / sd, 0.5 / sd, 1.5 / sd)
+    z.zip(expected).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("mode: smallest value wins ties (hmode semantics)") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 3.0), ("g", 3.0), ("g", 9.0)).toDF("grp", "v")
+    val m = StatsOps.modeDeterministic(df, Seq("grp"), "v").select("mode_value").as[Double].head()
+    assert(m == 3.0)
+  }
+
+  test("lagDiff: leading null filled with 0, diffs ordered") {
+    val df = Seq(("u", 0L, 10.0), ("u", 1L, 13.0), ("u", 2L, 11.5)).toDF("g", "t", "v")
+    val out = TimeOps.lagDiff(df, "v", Seq("g"), Seq("t")).orderBy("t").select("diff").as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 3.0, -1.5))
+  }
+
+  test("asofJoin: picks latest right row at or before left ts; null when none") {
+    val left = Seq(("u", 10L, "p1"), ("u", 5L, "p2"), ("v", 1L, "p3")).toDF("k", "ts", "id")
+    val right = Seq(("u", 4L, 40.0), ("u", 10L, 100.0), ("u", 11L, 110.0)).toDF("k", "ts", "payload")
+    val out = TimeOps
+      .asofJoin(left, right, Seq("k"), "ts", Seq("payload"))
+      .orderBy("id")
+      .select("id", "asof_payload")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    // p1 at ts=10 sees the ts=10 right row (ties inclusive); p2 sees ts=4; p3 none
+    assert(out.toSeq == Seq(("p1", Some(100.0)), ("p2", Some(40.0)), ("p3", None)))
+  }
+
+  test("boxcar: trial straddling a sample edge covers only samples in [onset, onset+dur)") {
+    val tl = DesignOps.timeline(spark, 5, 1.0) // samples at t=0..4 sec
+    // trial covers [1.0, 3.0): samples 1, 2 — not 3 (right-open), not 0
+    val trials = Seq((1.0, 2.0, "A")).toDF("onset", "duration", "trial_type")
+    val out = DesignOps
+      .boxcar(tl, trials, Seq("A"))
+      .orderBy("t")
+      .select("A")
+      .as[Long]
+      .collect()
+    assert(out.toSeq == Seq(0L, 1L, 1L, 0L, 0L))
+  }
+
+  test("boxcar: abutting trials of different types don't bleed") {
+    val tl = DesignOps.timeline(spark, 4, 1.0)
+    val trials = Seq((0.0, 2.0, "A"), (2.0, 2.0, "B")).toDF("onset", "duration", "trial_type")
+    val rows = DesignOps.boxcar(tl, trials, Seq("A", "B")).orderBy("t")
+      .select("A", "B").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 0L), (1L, 0L), (0L, 1L), (0L, 1L)))
+  }
+
+  test("globToLike translates config.json's four pattern shapes") {
+    assert(RulesOps.globToLike("*task*") == "%task%")
+    assert(RulesOps.globToLike("*64dir") == "%64dir")
+    assert(RulesOps.globToLike("STAND*") == "STAND%")
+    assert(RulesOps.globToLike("PROMO") == "PROMO")
+    assert(RulesOps.globToLike("a_b%c") == "a\\_b\\%c")
+    assert(RulesOps.globToLike("x?y") == "x_y")
+  }
+
+  test("histogram bins sum to entity count") {
+    val df = Seq(1L, 3L, 7L, 12L, 13L).toDF("c")
+    val h = StatsOps.histogram(df, "c", 5L).collect()
+    assert(h.map(_.getLong(1)).sum == 5)
+    val bins = h.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins == Map(0L -> 2L, 5L -> 1L, 10L -> 2L))
+  }
+}

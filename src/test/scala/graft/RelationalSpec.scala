@@ -16,11 +16,13 @@ class RelationalSpec extends SparkSpec {
     val cust = Tables.customer(spark, sf0001)
     val ords = Tables.orders(spark, sf0001)
     val total = cust.count()
-    val semiAll = cust
-      .join(ords, cust("c_custkey") === ords("o_custkey"), "left_semi")
+    // same predicate as Relational.antiJoin, so semi + anti partition customer
+    val bigOrders = ords.filter(ords("o_totalprice") > 300000.0)
+    val semi = cust
+      .join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_semi")
       .count()
     val anti = Relational.antiJoin(spark, sf0001).count()
-    assert(semiAll + anti == total)
+    assert(semi + anti == total)
   }
 
   test("filter project only keeps matching rows") {
