@@ -16,6 +16,7 @@ object SparkEntry {
     TimeSeries,
     Aggregates,
     Scalars,
+    TextDedup,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

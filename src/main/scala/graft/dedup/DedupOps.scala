@@ -1,0 +1,130 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard.
+  *
+  * Determinism: MinHash uses the affine family h_j(x) = ((2j+3)·x + (5j+7))
+  * mod P over TextOps.polyHash shingle hashes — fixed constants, pure int64
+  * arithmetic, reproducible in any engine. SimHash is a 32-bit sign
+  * aggregate of token hashes. No RNG anywhere.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one hash-shuffle on the text hash (group keys are 8-byte
+  *    ints, not full texts);
+  *  - MinHash: signatures are a per-doc aggregation (shuffle by doc_id —
+  *    or none if docs are already hash-partitioned); the LSH band self-join
+  *    shuffles only (band, bandkey) buckets, whose sizes are the candidate
+  *    sets — the whole point of LSH is that this join is near-linear.
+  *    Jaccard verification touches candidate pairs only.
+  *  - exact all-pairs Jaccard keeps the inverted-index join: cost is
+  *    Σ_shingle df² — at web scale you cap df (drop boilerplate shingles
+  *    whose df exceeds a threshold) before the self-join; the cap is an
+  *    explicit argument so the trade-off is visible, not silent.
+  */
+object DedupOps {
+
+  val P = TextOps.P
+
+  /** Exact dedup: one row per distinct text with the kept (minimum) doc_id
+    * and the duplicate-group size. Grouping key is the text itself here for
+    * oracle exactness; at scale group by the 64-bit text hash first and
+    * re-verify texts only inside colliding groups. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** MinHash signatures: doc_id × j(0..k-1) → min over the doc's shingle
+    * hashes of ((2j+3)·h + (5j+7)) mod P. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    shingles
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(min(expr(s"((2*j + 3) * h + (5*j + 7)) % ${P}L")).as("mh"))
+
+  /** LSH bands: group the k-length signature into bands of `rowsPerBand`,
+    * combining each band's minhashes into one int64 key via fixed radix-31
+    * weights (order-independent sum — safe under any aggregation order). */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand <= 4, "radix-31 band key supports <= 4 rows/band in int64")
+    sig
+      .groupBy(col("doc_id"), expr(s"j div $rowsPerBand").as("band"))
+      .agg(sum(expr(s"mh * element_at(array(1L, 31L, 961L, 29791L), (j % $rowsPerBand) + 1)"))
+        .as("bkey"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) sharing at least one LSH band bucket. */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard over the shingle-hash sets for given candidate pairs. */
+  def jaccardOf(cands: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val s1 = shingles.select(col("doc_id").as("doc_a"), col("h"))
+    val s2 = shingles.select(col("doc_id").as("doc_b"), col("h"))
+    cands
+      .join(s1, "doc_a").join(s2, Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+  }
+
+  /** MinHash-LSH near-dup pairs: LSH candidates, then exact-Jaccard verify
+    * at `threshold`. k-shingle words, `numHashes` hash functions, bands of
+    * `rowsPerBand`. */
+  def minhashDupPairs(
+      docs: DataFrame, shingleK: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sh = TextOps.shingleHashes(docs, shingleK)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    jaccardOf(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted-index
+    * self-join. `maxDf`: drop shingles appearing in more than maxDf docs
+    * before pairing (0 = no cap). The cap bounds the self-join at scale; with
+    * a cap the reported Jaccard is still computed over the FULL shingle sets,
+    * only candidate generation is pruned.
+    */
+  def jaccardDupPairs(docs: DataFrame, shingleK: Int, threshold: Double,
+      maxDf: Long = 0L): DataFrame = {
+    val sh = TextOps.shingleHashes(docs, shingleK)
+    val candSrc =
+      if (maxDf <= 0) sh
+      else {
+        val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+        sh.join(hot, Seq("h"), "left_anti")
+      }
+    val cands = candSrc.select(col("doc_id").as("doc_a"), col("h"))
+      .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardOf(cands, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash per document over token-occurrence hashes: bit i of the
+    * fingerprint is set iff Σ_tokens (2·bit_i(h) − 1) > 0 (ties → 0). */
+  def simhash(docs: DataFrame): DataFrame =
+    TextOps.tokenHashes(docs)
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(sum(expr("2 * ((h >> i) & 1) - 1")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.text.TextOps
+import graft.dedup.DedupOps
+
+/** Training-data text pipeline queries over the `documents` table: dedup
+  * (exact / MinHash-LSH / SimHash / exact Jaccard), quality stats, lang-ID,
+  * fingerprinting. Every hash in checked output is the radix-31 polynomial
+  * mod 1e9+7 (TextOps.polyHash) so the DuckDB oracle reproduces it exactly
+  * via list_reduce — see the shared SQL fragments below.
+  */
+object TextDedup extends QueryModule {
+
+  private val P = TextOps.P
+
+  /** DuckDB: polynomial char-fold hash of expression `e`. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** DuckDB CTEs: documents → distinct 3-word-shingle hashes per doc. */
+  private val duckShingles =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ${duckHash("u.s")} AS h
+       |  FROM toks, unnest(CASE WHEN len(w) >= 3
+       |    THEN list_transform(range(len(w) - 2), i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
+       |    ELSE [] END) AS u(s)
+       |)""".stripMargin
+
+  // ---- q20: exact dedup --------------------------------------------------
+
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactDedup(documents(s, d)).orderBy("keep_id")
+
+  private val exactDedupSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  // ---- q21: MinHash + LSH near-dup pairs ---------------------------------
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps
+      .minhashDupPairs(documents(s, d), shingleK = 3, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  private val minhashPairsSql =
+    s"""WITH $duckShingles,
+       |mh AS (
+       |  SELECT doc_id, r.j AS j, min(((2*r.j + 3) * h + (5*r.j + 7)) % $P) AS mh
+       |  FROM sh, unnest(range(16)) AS r(j)
+       |  GROUP BY doc_id, r.j
+       |),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |         sum(mh * ([1,31,961,29791])[(j % 4) + 1]) AS bkey
+       |  FROM mh GROUP BY doc_id, j // 4
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |   AND a.doc_id < b.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT m.doc_a, m.doc_b,
+       |  round(CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common), 6) AS jaccard
+       |FROM com m
+       |JOIN sz za ON za.doc_id = m.doc_a
+       |JOIN sz zb ON zb.doc_id = m.doc_b
+       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
+
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps
+      .jaccardDupPairs(documents(s, d), shingleK = 3, threshold = 0.7)
+      .orderBy("doc_a", "doc_b")
+
+  private val jaccardPairsSql =
+    s"""WITH $duckShingles,
+       |cand AS (
+       |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT m.doc_a, m.doc_b,
+       |  round(CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common), 6) AS jaccard
+       |FROM com m
+       |JOIN sz za ON za.doc_id = m.doc_a
+       |JOIN sz zb ON zb.doc_id = m.doc_b
+       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.7
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q23: SimHash fingerprints -----------------------------------------
+
+  def simhashQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhash(documents(s, d)).orderBy("doc_id")
+
+  private val simhashSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${duckHash("u.t")} AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+       |),
+       |bits AS (
+       |  SELECT doc_id, r.i AS i, sum(2 * ((h >> r.i) & 1) - 1) AS s
+       |  FROM tok, unnest(range(32)) AS r(i)
+       |  GROUP BY doc_id, r.i
+       |)
+       |SELECT doc_id,
+       |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+       |FROM bits GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q24: quality stats ------------------------------------------------
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    TextOps.qualityStats(documents(s, d), Seq("the", "a")).orderBy("doc_id")
+
+  private val textStatsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t AS tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+      |),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    count(DISTINCT tok) AS n_distinct,
+      |    sum(CAST(length(tok) AS BIGINT)) AS sumlen,
+      |    sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
+      |  FROM tok GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(length(d.text) AS BIGINT) AS n_chars,
+      |  a.n_tokens, a.n_distinct,
+      |  round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) AS type_token_ratio,
+      |  round(CAST(a.sumlen AS DOUBLE) / a.n_tokens, 6) AS mean_token_len,
+      |  round(CAST(a.nstop AS DOUBLE) / a.n_tokens, 6) AS stopword_ratio,
+      |  round(CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text), 6) AS punct_ratio
+      |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q25: language-ID confusion ----------------------------------------
+
+  private val langMarkers = Map(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "una"),
+  )
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextOps.langIdConfusion(documents(s, d), langMarkers).orderBy("lang", "predicted")
+
+  private val langIdSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, u.t AS tok
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+      |),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    sum(CASE WHEN tok IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS s_en,
+      |    sum(CASE WHEN tok IN ('der', 'die', 'das') THEN 1 ELSE 0 END) AS s_de,
+      |    sum(CASE WHEN tok IN ('le', 'la', 'les') THEN 1 ELSE 0 END) AS s_fr,
+      |    sum(CASE WHEN tok IN ('el', 'los', 'una') THEN 1 ELSE 0 END) AS s_es
+      |  FROM tok GROUP BY doc_id, lang
+      |),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+      |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |      WHEN s_fr >= s_es THEN 'fr'
+      |      ELSE 'es' END AS predicted
+      |  FROM sc
+      |)
+      |SELECT lang, predicted, count(*) AS n
+      |FROM pred GROUP BY lang, predicted
+      |ORDER BY lang, predicted""".stripMargin
+
+  // ---- q26: document fingerprints ----------------------------------------
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    TextOps.fingerprints(documents(s, d)).orderBy("doc_id")
+
+  private val fingerprintSql =
+    s"""SELECT doc_id,
+       |  ${duckHash("text")} AS full_fp,
+       |  CASE WHEN length(text) >= 8 THEN
+       |    list_min(list_transform(range(1, length(text) - 6),
+       |      i -> ${duckHash("substring(text, i, 8)")}))
+       |  ELSE ${duckHash("text")} END AS min8_fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
+    Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("q23_simhash", simhashQ, Some(simhashSql)),
+    Q("q24_text_stats", textStats, Some(textStatsSql)),
+    Q("q25_lang_id", langId, Some(langIdSql)),
+    Q("q26_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}

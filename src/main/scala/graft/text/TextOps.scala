@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, deterministic hashing, shingling, quality stats,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Cross-engine determinism: every hash is a 31-radix polynomial char fold
+  * mod 1e9+7 — pure integer arithmetic, bit-identical in any engine (the
+  * DuckDB oracle recomputes it with list_reduce). No engine-native hash
+  * (xxhash64, murmur) appears in any checked output.
+  *
+  * Scale notes (100 TB): all ops are per-row projections or explode +
+  * groupBy(doc_id) — no cross-doc shuffle; the explode fan-out (~tokens/doc)
+  * stays inside the stage and aggregates map-side before any exchange.
+  */
+object TextOps {
+
+  /** Modulus for all polynomial hashes (fits products in int64: acc < 1e9+7,
+    * acc*31 + 127 < 2^35). */
+  val P = 1000000007L
+
+  /** Polynomial rolling hash of a string expression, radix 31 mod P —
+    * `h = fold(chars, 0, (acc,c) => (acc*31 + ord(c)) % P)`. */
+  def polyHash(e: String): String =
+    s"aggregate(split($e, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)"
+
+  /** Whitespace tokens of `text`. Source texts are single-space separated. */
+  def tokensExpr: String = "split(text, ' ')"
+
+  /** Word k-shingles joined by single spaces; empty array when the doc has
+    * fewer than k tokens (guards Spark's descending `sequence`). */
+  def shingleExpr(k: Int): String =
+    s"""CASE WHEN size(__toks) >= $k
+       | THEN transform(sequence(0, size(__toks) - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))
+       | ELSE array() END""".stripMargin.replace("\n", "")
+
+  /** doc_id → one row per *distinct* shingle hash (the shingle-set relation
+    * used by Jaccard / MinHash). k-word shingles, polynomial-hashed. */
+  def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("__toks", expr(tokensExpr))
+      .select(col("doc_id"), explode(expr(shingleExpr(k))).as("__sh"))
+      .select(col("doc_id"), expr(polyHash("__sh")).as("h"))
+      .distinct()
+
+  /** doc_id → one row per token occurrence with its hash. */
+  def tokenHashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+      .withColumn("h", expr(polyHash("tok")))
+
+  /** Per-document quality stats (training-data filtering features): token
+    * count, distinct-token count, type/token ratio, mean token length,
+    * stopword ratio, non-alnum character ratio. All ratios are exact-integer
+    * divisions rounded to 6 decimals — deterministic across engines.
+    */
+  def qualityStats(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+    val agg = tok
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok")).cast("long")).as("__sumlen"),
+        sum(expr(s"CASE WHEN tok IN ($stopList) THEN 1L ELSE 0L END")).as("__nstop"),
+      )
+    docs
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("long").as("__alnum"),
+      )
+      .join(agg, "doc_id")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("__sumlen").cast("double") / col("n_tokens"), 6).as("mean_token_len"),
+        round(col("__nstop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"),
+        round((col("n_chars") - col("__alnum")).cast("double") / col("n_chars"), 6)
+          .as("punct_ratio"),
+      )
+  }
+
+  /** Marker-word language-ID heuristic: count hits from per-language marker
+    * sets, argmax with fixed priority order (en > de > fr > es), 'und' when
+    * no marker hits. Returns the (labeled lang × predicted) confusion counts.
+    */
+  def langIdConfusion(docs: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
+    def score(lang: String): Column = {
+      val lst = markers(lang).map(s => s"'$s'").mkString(", ")
+      sum(expr(s"CASE WHEN tok IN ($lst) THEN 1L ELSE 0L END")).as(s"s_$lang")
+    }
+    val tok = docs.select(col("doc_id"), col("lang"), explode(expr(tokensExpr)).as("tok"))
+    tok
+      .groupBy("doc_id", "lang")
+      .agg(score("en"), score("de"), score("fr"), score("es"))
+      .withColumn(
+        "predicted",
+        expr(
+          """CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            | WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            | WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            | WHEN s_fr >= s_es THEN 'fr'
+            | ELSE 'es' END""".stripMargin,
+        ),
+      )
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Document fingerprints: the full-text polynomial hash plus the minimum
+    * 8-char-gram hash (the winnowing-style content fingerprint — stable under
+    * suffix edits, cheap to compare at scale).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(polyHash("text")).as("full_fp"),
+      expr(
+        s"""CASE WHEN length(text) >= 8 THEN
+           | array_min(transform(sequence(1, length(text) - 7),
+           |   i -> aggregate(split(substring(text, i, 8), ''), 0L,
+           |        (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)))
+           | ELSE ${polyHash("text")} END""".stripMargin.replace("\n", ""),
+      ).as("min8_fp"),
+    )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.dedup.DedupOps
+import graft.text.TextOps
+
+/** Unit tests for the text / dedup operators on tiny literal tables
+  * (SURVEY.md §5.2 style — edges, ties, exactness).
+  */
+class TextDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps the minimum doc_id per distinct text") {
+    val d = docs(1L -> "x y z", 5L -> "x y z", 3L -> "a b c")
+    val got = DedupOps.exactDedup(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("polyHash matches the radix-31 char fold") {
+    val d = docs(1L -> "abc")
+    val h = d.selectExpr(TextOps.polyHash("text")).head().getLong(0)
+    // ((0*31+97)*31+98)*31+99 = 96354 — same fold the DuckDB oracle runs
+    assert(h === 96354L)
+  }
+
+  test("minhash LSH finds a near-dup pair and skips disjoint docs") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = DedupOps
+      .minhashDupPairs(d, shingleK = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("jaccardDupPairs: identical docs have jaccard 1.0") {
+    val t = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t, 2L -> t, 3L -> "p q r s t u")
+    val rows = DedupOps.jaccardDupPairs(d, shingleK = 3, threshold = 0.7).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+    assert(rows.head.getDouble(2) === 1.0)
+  }
+
+  test("jaccardDupPairs maxDf cap prunes candidates but not scores") {
+    // "c c c" shingle appears in all three docs; with maxDf=2 it can't
+    // generate candidates, but 1-2 still pair via their unique overlap.
+    val d = docs(
+      1L -> "a b c c c c c b a",
+      2L -> "a b c c c c c b x",
+      3L -> "z z c c c z z",
+    )
+    val uncapped = DedupOps.jaccardDupPairs(d, 3, 0.3).collect()
+    val capped = DedupOps.jaccardDupPairs(d, 3, 0.3, maxDf = 2).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val u = key(uncapped); val c = key(capped)
+    assert(u.contains((1L, 2L)) && c.contains((1L, 2L)))
+    // scores agree on surviving pairs (cap affects candidate gen only)
+    c.foreach { case (k, v) => assert(u(k) === v) }
+  }
+
+  test("simhash: identical docs get identical fingerprints; disjoint differ") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "x1 y2 z3 q4")
+    val m = DedupOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+    assert(m.values.forall(v => v >= 0L && v < (1L << 32)))
+  }
+
+  test("qualityStats computes exact ratios") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "the cat sat", "en")).toDF("doc_id", "text", "lang")
+    val r = TextOps.qualityStats(d, Seq("the", "a")).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Double]("stopword_ratio") === math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("punct_ratio") === 0.0)
+    assert(r.getAs[Double]("mean_token_len") === 3.0)
+  }
+
+  test("fingerprints match a reference Scala fold") {
+    def fold(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % TextOps.P)
+    def min8(t: String): Long =
+      (0 to t.length - 8).map(i => fold(t.substring(i, i + 8))).min
+    val s = spark
+    import s.implicits._
+    val texts = Seq((1L, "the quick brown fox jumps"), (2L, "pack my box with jugs"))
+    val d = texts.toDF("doc_id", "text")
+    val got = TextOps.fingerprints(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === ((fold(t), min8(t))))
+    }
+  }
+}
