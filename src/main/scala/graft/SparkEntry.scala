@@ -17,6 +17,7 @@ object SparkEntry {
     Aggregates,
     Scalars,
     TextDedup,
+    Similarity,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
