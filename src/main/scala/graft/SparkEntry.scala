@@ -18,6 +18,7 @@ object SparkEntry {
     Scalars,
     TextDedup,
     Similarity,
+    Glm,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.glm.{GlmOps, LinAlg}
+
+/** GLM queries (SURVEY.md §2.6 M1-M5): per-group OLS from exact moments,
+  * residuals, p-values, and the mass-univariate shared-design GLM with a
+  * driver-computed fixed-point pinv broadcast to the oracle as literal
+  * constants — both engines consume the SAME integers, so betas are exact.
+  */
+object Glm extends QueryModule {
+
+  // ---- q30: per-group simple OLS (beta0, beta1, t1) ----------------------
+
+  def olsGroup(s: SparkSession, d: String): DataFrame =
+    GlmOps
+      .simpleOLS(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+      .orderBy("l_returnflag")
+
+  private val olsGroupSql =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |), c AS (
+      |  SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta1
+      |  FROM m
+      |), c2 AS (
+      |  SELECT *, (sy - beta1 * sx) / n AS beta0 FROM c
+      |), c3 AS (
+      |  SELECT *, syy - beta0 * sy - beta1 * sxy AS sse FROM c2
+      |), c4 AS (
+      |  SELECT *, sqrt((sse / (n - 2)) * n / (n * sxx - sx * sx)) AS se1 FROM c3
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n, beta0, beta1,
+      |  CASE WHEN se1 > 0 THEN beta1 / se1 END AS t1
+      |FROM c4
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q31: per-row residuals of the group fit ---------------------------
+
+  def olsResiduals(s: SparkSession, d: String): DataFrame =
+    GlmOps
+      .residuals(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("resid"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val olsResidualsSql =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag
+      |), c AS (
+      |  SELECT l_returnflag, sx, sy, n,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta1
+      |  FROM m
+      |), coef AS (
+      |  SELECT l_returnflag, beta1, (sy - beta1 * sx) / n AS beta0 FROM c
+      |)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+      |  l.l_extendedprice - (coef.beta0 + coef.beta1 * l.l_quantity) AS resid
+      |FROM lineitem l JOIN coef ON l.l_returnflag = coef.l_returnflag
+      |WHERE l.l_orderkey <= 500
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+
+  // ---- q32: slope p-values (t CDF — no SQL oracle, rows-only check) ------
+
+  def olsPValues(s: SparkSession, d: String): DataFrame =
+    GlmOps
+      .simpleOLSWithP(lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", "l_quantity")
+      .orderBy("l_returnflag")
+
+  // ---- q33: mass-univariate GLM betas (shared design, fixed-point pinv) --
+
+  /** 6-hour-bucket design over the events month: n=120 timepoints,
+    * k=3 regressors (intercept, centered linear trend, first DCT cosine —
+    * the ssm_loop poly/DCT shape, ssm_loop.py:55-56). */
+  private[queries] val N = 120
+  private[queries] val design: LinAlg.Mat =
+    Array.tabulate(N, 3) { (t, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => (t - (N - 1) / 2.0) / 100.0
+        case 2 => math.cos(math.Pi * (2 * t + 1) / (2.0 * N))
+      }
+    }
+
+  private val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+  private val bucketUs = 21600000000L // 6 hours
+
+  def massGlmBetas(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d).select(
+      (col("user_id") % 20).as("g"),
+      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+      col("value").cast("decimal(18,2)").as("y_dec"),
+    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    GlmOps.massBetas(s, series, design, "g").orderBy("g", "j")
+  }
+
+  private def massGlmSql: String = {
+    val p = LinAlg.pinv(design)
+    val triples = for {
+      j <- p.indices
+      t <- p(j).indices
+    } yield s"($t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong})"
+    s"""WITH w(t, j, w) AS (VALUES ${triples.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % 20 AS g,
+       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT ser.g, w.j, CAST(SUM(w.w * ser.y) AS DOUBLE) / 1000000000.0 AS beta
+       |FROM ser JOIN w ON w.t = ser.t
+       |GROUP BY ser.g, w.j
+       |ORDER BY g, j""".stripMargin
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
+    Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
+    Q("q32_ols_pvalues", olsPValues, None),
+    Q("q33_mass_glm_betas", massGlmBetas, Some(massGlmSql)),
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.glm.{GlmOps, LinAlg, TDist}
+
+/** GLM numerics: t-distribution goldens against published t-table values,
+  * LinAlg sanity, and the mass-GLM recovering known coefficients
+  * (SURVEY.md §5.3 golden strategy).
+  */
+class GlmSpec extends SparkSpec {
+
+  test("TDist matches published two-sided critical values (p = 0.05)") {
+    // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
+    assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
+    assert(math.abs(TDist.pTwoSided(2.228, 10) - 0.05) < 5e-4)
+    assert(math.abs(TDist.pTwoSided(2.042, 30) - 0.05) < 5e-4)
+    // symmetry and limits
+    assert(TDist.pTwoSided(0.0, 7) === 1.0)
+    assert(TDist.pTwoSided(-2.228, 10) === TDist.pTwoSided(2.228, 10))
+    assert(math.abs(TDist.cdf(0.0, 5) - 0.5) < 1e-12)
+  }
+
+  test("TDist approaches the normal for large df") {
+    // z = 1.96 two-sided p → 0.05 as df → ∞
+    assert(math.abs(TDist.pTwoSided(1.96, 100000) - 0.05) < 1e-3)
+  }
+
+  test("LinAlg inverse and pinv recover identity") {
+    val a = Array(Array(4.0, 7.0), Array(2.0, 6.0))
+    val inv = LinAlg.inverse(a)
+    val id = LinAlg.matmul(a, inv)
+    assert(math.abs(id(0)(0) - 1) < 1e-12 && math.abs(id(0)(1)) < 1e-12)
+    assert(math.abs(id(1)(0)) < 1e-12 && math.abs(id(1)(1) - 1) < 1e-12)
+
+    val x = Array.tabulate(10, 2)((t, j) => if (j == 0) 1.0 else t.toDouble)
+    val p = LinAlg.pinv(x) // 2×10
+    val pid = LinAlg.matmul(p, x) // → 2×2 identity
+    assert(math.abs(pid(0)(0) - 1) < 1e-10 && math.abs(pid(1)(1) - 1) < 1e-10)
+  }
+
+  test("simpleOLS recovers exact line and t1 is infinite-free on noise") {
+    val s = spark
+    import s.implicits._
+    // y = 3 + 2x exactly, plus a noisy group
+    val exact = (1 to 20).map(i => ("g1", i.toDouble, 3.0 + 2.0 * i))
+    val noisy = (1 to 20).map(i => ("g2", i.toDouble, 1.0 + 0.5 * i + (if (i % 2 == 0) 0.25 else -0.25)))
+    val df = (exact ++ noisy).toDF("g", "x", "y")
+    val r = GlmOps.simpleOLS(df, Seq("g"), "y", "x").collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(math.abs(r("g1").getAs[Double]("beta0") - 3.0) < 1e-9)
+    assert(math.abs(r("g1").getAs[Double]("beta1") - 2.0) < 1e-9)
+    assert(math.abs(r("g2").getAs[Double]("beta1") - 0.5) < 1e-2)
+    assert(!r("g2").getAs[Double]("t1").isNaN)
+  }
+
+  test("massGLM recovers known betas from y = Xβ (closed form, 1e-6)") {
+    val s = spark
+    import s.implicits._
+    val n = 24
+    val x: LinAlg.Mat = Array.tabulate(n, 3) { (t, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => (t - (n - 1) / 2.0) / 10.0
+        case 2 => math.cos(math.Pi * (2 * t + 1) / (2.0 * n))
+      }
+    }
+    val trueBeta = Map("a" -> Array(5.0, 2.0, -1.0), "b" -> Array(-3.0, 0.5, 4.0))
+    // y rounded to 2 decimals (the DECIMAL(18,2) contract of massBetas)
+    val rows = for {
+      (g, b) <- trueBeta.toSeq
+      t <- 0 until n
+    } yield (g, t.toLong,
+      BigDecimal(b.indices.map(j => x(t)(j) * b(j)).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val series = rows.toDF("g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+
+    val out = GlmOps.massGLM(spark, series, x, "g").collect()
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    for ((g, b) <- trueBeta; j <- b.indices) {
+      val row = byKey((g, j.toLong))
+      // y was perturbed ≤ 0.005 by the decimal rounding → betas within ~1e-2
+      assert(math.abs(row.getAs[Double]("beta") - b(j)) < 2e-2,
+        s"beta($g, $j) = ${row.getAs[Double]("beta")} != ${b(j)}")
+      assert(row.getAs[Double]("df") === (n - 3).toDouble)
+      // tiny residuals → huge t, p near 0 for nonzero betas
+      assert(row.getAs[Double]("p") <= 1.0 && row.getAs[Double]("p") >= 0.0)
+    }
+    // cross-check one group against the LinAlg closed form on the SAME y
+    val yA = (0 until n).map { t =>
+      rows.collectFirst { case ("a", tt, y) if tt == t => y.toDouble }.get
+    }.toArray
+    val pinvA = LinAlg.pinv(x)
+    val closed = pinvA.map(row => row.zip(yA).map { case (w, y) => w * y }.sum)
+    for (j <- 0 until 3) {
+      val got = byKey(("a", j.toLong)).getAs[Double]("beta")
+      // fixed-point pinv (×1e9 rounding) vs exact closed form
+      assert(math.abs(got - closed(j)) < 1e-6, s"j=$j got=$got closed=${closed(j)}")
+    }
+  }
+}
