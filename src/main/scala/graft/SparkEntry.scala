@@ -19,6 +19,7 @@ object SparkEntry {
     TextDedup,
     Similarity,
     Glm,
+    DesignImage,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

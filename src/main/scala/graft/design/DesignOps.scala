@@ -43,4 +43,68 @@ object DesignOps {
       .groupBy("t")
       .agg(indicators.head, indicators.tail: _*)
   }
+
+  /** DCT high-pass basis (nltools add_dct_basis, ssm_loop.py:55): appends
+    * cosine regressors dct_k(t) = cos(π·k·(2t+1)/(2N)) for k = 1..K.
+    * Pure projection — no shuffle (SURVEY.md W5). Values rounded to 6
+    * decimals in query outputs only; the op itself keeps full precision.
+    */
+  def dctBasis(dm: DataFrame, n: Int, k: Int): DataFrame =
+    (1 to k).foldLeft(dm) { (acc, kk) =>
+      acc.withColumn(s"dct$kk",
+        cos(lit(math.Pi * kk) * (col("t") * 2 + 1) / lit(2.0 * n)))
+    }
+
+  /** Polynomial trend columns (nltools add_poly, ssm_loop.py:56): poly_0
+    * intercept plus centered powers up to `order`. */
+  def polyTrend(dm: DataFrame, n: Int, order: Int): DataFrame =
+    (0 to order).foldLeft(dm) { (acc, p) =>
+      if (p == 0) acc.withColumn("poly0", lit(1.0))
+      else acc.withColumn(s"poly$p",
+        pow((col("t") - lit((n - 1) / 2.0)) / lit(n.toDouble), p))
+    }
+
+  /** SPM-canonical double-gamma HRF sampled at `tr`-second intervals,
+    * `len` taps, scaled to integers (×1e6, rounded) so convolution sums
+    * are exact int64 arithmetic (cross-engine determinism; ssm_loop.py:54
+    * `dm.convolve()` semantics — peak Γ(6), undershoot Γ(16), ratio 1/6).
+    * Gamma pdf computed via graft.glm.TDist.logGamma — no external dep.
+    */
+  def hrfKernelInts(tr: Double, len: Int): Array[Long] = {
+    import graft.glm.TDist.logGamma
+    def gammaPdf(x: Double, shape: Double): Double =
+      if (x <= 0) 0.0
+      else math.exp((shape - 1) * math.log(x) - x - logGamma(shape))
+    val raw = Array.tabulate(len) { i =>
+      val x = i * tr
+      gammaPdf(x, 6.0) - gammaPdf(x, 16.0) / 6.0
+    }
+    val s = raw.sum
+    raw.map(v => math.rint(v / s * 1e6).toLong) // normalized, fixed-point
+  }
+
+  /** Causal finite-kernel convolution of integer-valued indicator columns
+    * with a fixed-point kernel: out(t) = (Σ_τ h_int(τ)·x(t−τ)) / 1e6.
+    * Implemented as a broadcast kernel-table join + exact integer sum —
+    * the SQL-expressible form of W4 (SURVEY.md §2.5), oracle-checkable.
+    * At scale this shuffles |t|·len rows grouped back to |t| — with a
+    * per-run partition key the groupBy stays partition-local.
+    */
+  def convolve(dm: DataFrame, spark: org.apache.spark.sql.SparkSession,
+      kernel: Array[Long], cols: Seq[String], n: Int): DataFrame = {
+    import spark.implicits._
+    val kdf = kernel.zipWithIndex.map { case (h, tau) => (tau.toLong, h) }
+      .toSeq.toDF("tau", "h")
+    // scatter form: x(t) contributes h(τ) at out(t+τ); clip to [0, n)
+    val taps = dm
+      .join(broadcast(kdf), expr("true"))
+      .withColumn("__tt", col("t") + col("tau"))
+      .filter(col("__tt") < n)
+    val sums = cols.map(c => sum(col("h") * col(c)).as(s"__conv_$c"))
+    val out = taps.groupBy(col("__tt").as("t")).agg(sums.head, sums.tail: _*)
+    cols.foldLeft(out) { (acc, c) =>
+      acc.withColumn(s"conv_$c", col(s"__conv_$c").cast("double") / 1e6)
+        .drop(s"__conv_$c")
+    }
+  }
 }

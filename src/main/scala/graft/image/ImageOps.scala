@@ -1,0 +1,149 @@
+package graft.image
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Voxel-grid image algebra (SURVEY.md §2.7, §2.2 P8/P9, §2.4 A4/A5/A8/A9):
+  * the long voxel model `(x, y, z, label, value)` plus binarize, value-set
+  * masking, 19-tap stencil mode (AFNI 3dcalc hmode, preprocess_parallel.sh:
+  * 63-82), separable binomial smoothing (the discretized Gaussian of
+  * ssm_loop.py:88), per-slice reductions, and nearest-neighbor resampling.
+  *
+  * Scale notes (100 TB): stencil ops are self-joins on shifted coordinates.
+  * The plan below shuffles by cell key; at cluster scale the voxel table is
+  * ingested partitioned by spatial block (blockId = (x/B, y/B, z/B)) with
+  * halo rows duplicated into neighboring blocks (SURVEY.md §4, §7.5.4 —
+  * halo factor ≈1.95× at 8³ blocks), which turns every stencil groupBy into
+  * a partition-local aggregation with NO exchange. The declarative form
+  * here is identical either way — only the ingest layout changes.
+  */
+object ImageOps {
+
+  /** FreeSurfer subcortical aseg codes kept by the reference's mask
+    * (preprocess_parallel.sh:59). */
+  val AsegCodes: Seq[Int] = Seq(11, 12, 13, 17, 18, 26, 50, 51, 52, 53, 54, 58)
+
+  /** Deterministic L³ voxel grid ingested from `lineitem`: cell coords are
+    * key residues, per-cell `value` is the exact-DECIMAL sum of quantities
+    * and `label` the minimum derived code — pure aggregations, no window,
+    * no driver round-trip; the DuckDB oracle rebuilds it identically.
+    */
+  def voxelGrid(lineitem: DataFrame, l: Int): DataFrame =
+    lineitem
+      .groupBy(
+        (col("l_orderkey") % l).cast("int").as("x"),
+        (col("l_partkey") % l).cast("int").as("y"),
+        (col("l_suppkey") % l).cast("int").as("z"),
+      )
+      .agg(
+        min(((col("l_partkey") * 7 + col("l_suppkey")) % 60).cast("int")).as("label"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("value_dec"),
+      )
+
+  /** I1 binarize + I2 label-preserving mask: nonzero→1 mask bit and
+    * `label·1[label ∈ keep]` (3dcalc `amongst` semantics). */
+  def labelMask(grid: DataFrame, keep: Seq[Int]): DataFrame =
+    grid
+      .withColumn("masked_label",
+        when(col("label").isin(keep: _*), col("label")).otherwise(lit(0)))
+      .withColumn("mask", when(col("masked_label") =!= 0, 1).otherwise(0))
+
+  /** The 19-tap neighborhood of preprocess_parallel.sh:63-82: center + 18
+    * face/edge neighbors (all |dx|,|dy|,|dz| ≤ 1 offsets except the 8
+    * corners). */
+  val Offsets19: Seq[(Int, Int, Int)] = for {
+    dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+    if math.abs(dx) + math.abs(dy) + math.abs(dz) <= 2
+  } yield (dx, dy, dz)
+
+  private def offsetsDf(spark: SparkSession, offs: Seq[(Int, Int, Int, Long)]) = {
+    import spark.implicits._
+    offs.toDF("dx", "dy", "dz", "w")
+  }
+
+  /** I3 stencil mode filter: each cell's label replaced by the most frequent
+    * label among its existing 19-tap neighbors, smallest label on ties
+    * (AFNI hmode tie-break, SURVEY.md §7.5.6). Neighbors outside the grid
+    * simply don't vote (inner join).
+    */
+  def stencilMode(spark: SparkSession, grid: DataFrame): DataFrame = {
+    val offs = offsetsDf(spark, Offsets19.map { case (a, b, c) => (a, b, c, 1L) })
+    val votes = grid
+      .join(broadcast(offs), expr("true"))
+      .select(
+        (col("x") + col("dx")).as("cx"),
+        (col("y") + col("dy")).as("cy"),
+        (col("z") + col("dz")).as("cz"),
+        col("label"),
+      )
+      // votes target a cell; only cells that exist in the grid are output
+      .join(grid.select(col("x").as("cx"), col("y").as("cy"), col("z").as("cz")),
+        Seq("cx", "cy", "cz"), "left_semi")
+    val counted = votes.groupBy("cx", "cy", "cz", "label").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cx", "cy", "cz")
+      .orderBy(col("cnt").desc, col("label").asc)
+    counted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cx").as("x"), col("cy").as("y"), col("cz").as("z"),
+        col("label").as("clean_label"))
+  }
+
+  /** A9/I4 smoothing: separable binomial kernel (1,2,1)³ — the discretized
+    * small-FWHM Gaussian (ssm_loop.py:88 smooth(fwhm=4); σ ≈ 0.7 voxel).
+    * Integer weights × DECIMAL values keep the weighted mean exact until
+    * the final double division. Missing neighbors renormalize (sum of
+    * present weights), matching masked-smoothing semantics.
+    */
+  def binomialSmooth(spark: SparkSession, grid: DataFrame): DataFrame = {
+    def b(d: Int): Long = if (d == 0) 2L else 1L
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield (dx, dy, dz, b(dx) * b(dy) * b(dz))
+    val taps = grid
+      .join(broadcast(offsetsDf(spark, offs)), expr("true"))
+      .select(
+        (col("x") + col("dx")).as("cx"),
+        (col("y") + col("dy")).as("cy"),
+        (col("z") + col("dz")).as("cz"),
+        col("w"), col("value_dec"),
+      )
+      .join(grid.select(col("x").as("cx"), col("y").as("cy"), col("z").as("cz")),
+        Seq("cx", "cy", "cz"), "left_semi")
+    taps
+      .groupBy("cx", "cy", "cz")
+      .agg(
+        sum(col("w") * col("value_dec")).as("num"),
+        sum(col("w")).as("den"),
+      )
+      .select(col("cx").as("x"), col("cy").as("y"), col("cz").as("z"),
+        (col("num").cast("double") / col("den").cast("double")).as("smoothed"))
+  }
+
+  /** A4/A5 global reductions: per-z-slice count and exact mean of masked
+    * cells (the global-signal / mean-image shape over the semi-joined
+    * mask, P9). */
+  def sliceMeans(grid: DataFrame, keep: Seq[Int]): DataFrame =
+    grid
+      .filter(col("label").isin(keep: _*))
+      .groupBy("z")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("value_dec")).cast("double") / count(lit(1))).as("mean_value"),
+      )
+
+  /** I5 nearest-neighbor resample to half resolution: out(x,y,z) =
+    * in(2x, 2y, 2z) — coordinate transform + filter, no interpolation
+    * (antsApplyTransforms -n nearestNeighbor analog for a pure scaling
+    * transform). */
+  def resampleHalf(grid: DataFrame): DataFrame =
+    grid
+      .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
+      .select(
+        (col("x") / 2).cast("int").as("x"),
+        (col("y") / 2).cast("int").as("y"),
+        (col("z") / 2).cast("int").as("z"),
+        col("label"),
+        col("value_dec"),
+      )
+}

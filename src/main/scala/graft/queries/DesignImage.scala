@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.design.DesignOps
+import graft.image.ImageOps
+
+/** Design-matrix completion (W4 HRF convolution, W5 DCT, W6 poly) and the
+  * voxel-grid image algebra (I1-I5, J3+A8 stencil mode, A9 smoothing,
+  * A4/A5 reductions, S3/S4 catalog entity extraction).
+  */
+object DesignImage extends QueryModule {
+
+  private val L = 16 // voxel grid side
+
+  private val duckGrid =
+    s"""grid AS (
+       |  SELECT CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         CAST(MIN((l_partkey * 7 + l_suppkey) % 60) AS INTEGER) AS label,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+       |  FROM lineitem GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  private val asegList = ImageOps.AsegCodes.mkString(", ")
+
+  // ---- q34: DCT basis + polynomial trend ---------------------------------
+
+  def dctPoly(s: SparkSession, d: String): DataFrame = {
+    val n = 120
+    val tl = DesignOps.timeline(s, n, 1.0)
+    val dm = DesignOps.dctBasis(DesignOps.polyTrend(tl, n, 1), n, 4)
+    dm.select(
+      col("t"),
+      col("poly0"),
+      round(col("poly1"), 6).as("poly1"),
+      round(col("dct1"), 6).as("dct1"),
+      round(col("dct2"), 6).as("dct2"),
+      round(col("dct3"), 6).as("dct3"),
+      round(col("dct4"), 6).as("dct4"),
+    ).orderBy("t")
+  }
+
+  private val dctPolySql =
+    """SELECT CAST(g AS BIGINT) AS t,
+      |  1.0 AS poly0,
+      |  round((g - 59.5) / 120.0, 6) AS poly1,
+      |  round(cos(3.141592653589793 * 1 * (2*g + 1) / 240.0), 6) AS dct1,
+      |  round(cos(3.141592653589793 * 2 * (2*g + 1) / 240.0), 6) AS dct2,
+      |  round(cos(3.141592653589793 * 3 * (2*g + 1) / 240.0), 6) AS dct3,
+      |  round(cos(3.141592653589793 * 4 * (2*g + 1) / 240.0), 6) AS dct4
+      |FROM generate_series(0, 119) AS gs(g)
+      |ORDER BY t""".stripMargin
+
+  // ---- q35: HRF convolution of the boxcar design -------------------------
+
+  private val kernelLen = 24
+
+  def hrfConvolve(s: SparkSession, d: String): DataFrame = {
+    val baseUs = 1704067200000000L
+    val trials = events(s, d).select(
+      ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
+      col("value").as("duration"),
+      col("event_type").as("trial_type"),
+    )
+    val tl = DesignOps.timeline(s, 168, 3600.0)
+    val box = DesignOps.boxcar(tl, trials, Seq("click", "purchase"))
+    DesignOps
+      .convolve(box, s, DesignOps.hrfKernelInts(1.0, kernelLen),
+        Seq("click", "purchase"), 168)
+      .orderBy("t")
+  }
+
+  private def hrfConvolveSql: String = {
+    val kern = DesignOps.hrfKernelInts(1.0, kernelLen).zipWithIndex
+      .map { case (h, tau) => s"($tau, $h)" }.mkString(", ")
+    s"""WITH tl AS (
+       |  SELECT CAST(g AS BIGINT) AS t, CAST(g AS BIGINT) * 3600.0 AS sec
+       |  FROM generate_series(0, 167) AS gs(g)
+       |), tr AS (
+       |  SELECT (epoch_us(ts) - 1704067200000000) / 1000000.0 AS onset,
+       |         value AS duration, event_type AS trial_type
+       |  FROM events
+       |), box AS (
+       |  SELECT t,
+       |    MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       |    MAX(CASE WHEN onset <= sec AND sec < onset + duration AND trial_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+       |  FROM tl CROSS JOIN tr GROUP BY t
+       |), kern(tau, h) AS (VALUES $kern)
+       |SELECT b.t + k.tau AS t,
+       |  CAST(SUM(k.h * b.click) AS DOUBLE) / 1000000.0 AS conv_click,
+       |  CAST(SUM(k.h * b.purchase) AS DOUBLE) / 1000000.0 AS conv_purchase
+       |FROM box b JOIN kern k ON b.t + k.tau < 168
+       |GROUP BY b.t + k.tau
+       |ORDER BY t""".stripMargin
+  }
+
+  // ---- q36: binarize + label-preserving mask -----------------------------
+
+  def voxelMask(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .labelMask(ImageOps.voxelGrid(lineitem(s, d), L), ImageOps.AsegCodes)
+      .select(col("x"), col("y"), col("z"), col("label"),
+        col("masked_label").cast("int").as("masked_label"),
+        col("mask").cast("int").as("mask"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy("x", "y", "z")
+
+  private val voxelMaskSql =
+    s"""WITH $duckGrid
+       |SELECT x, y, z, label,
+       |  CAST(CASE WHEN label IN ($asegList) THEN label ELSE 0 END AS INTEGER) AS masked_label,
+       |  CAST(CASE WHEN label IN ($asegList) THEN 1 ELSE 0 END AS INTEGER) AS mask,
+       |  CAST(value_dec AS DOUBLE) AS value
+       |FROM grid
+       |ORDER BY x, y, z""".stripMargin
+
+  // ---- q37: 19-tap stencil mode (hmode) ----------------------------------
+
+  def stencilMode(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .stencilMode(s, ImageOps.voxelGrid(lineitem(s, d), L))
+      .orderBy("x", "y", "z")
+
+  private val stencilModeSql = {
+    val offs = ImageOps.Offsets19
+      .map { case (dx, dy, dz) => s"($dx, $dy, $dz)" }.mkString(", ")
+    s"""WITH $duckGrid,
+       |offs(dx, dy, dz) AS (VALUES $offs),
+       |votes AS (
+       |  SELECT g.x + o.dx AS cx, g.y + o.dy AS cy, g.z + o.dz AS cz, g.label
+       |  FROM grid g CROSS JOIN offs o
+       |  WHERE EXISTS (SELECT 1 FROM grid t
+       |                WHERE t.x = g.x + o.dx AND t.y = g.y + o.dy AND t.z = g.z + o.dz)
+       |),
+       |counted AS (
+       |  SELECT cx, cy, cz, label, COUNT(*) AS cnt
+       |  FROM votes GROUP BY cx, cy, cz, label
+       |),
+       |ranked AS (
+       |  SELECT cx, cy, cz, label,
+       |    ROW_NUMBER() OVER (PARTITION BY cx, cy, cz ORDER BY cnt DESC, label ASC) AS rn
+       |  FROM counted
+       |)
+       |SELECT CAST(cx AS INTEGER) AS x, CAST(cy AS INTEGER) AS y, CAST(cz AS INTEGER) AS z,
+       |       label AS clean_label
+       |FROM ranked WHERE rn = 1
+       |ORDER BY x, y, z""".stripMargin
+  }
+
+  // ---- q38: binomial (discretized Gaussian) smoothing --------------------
+
+  def smooth(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .binomialSmooth(s, ImageOps.voxelGrid(lineitem(s, d), L))
+      .orderBy("x", "y", "z")
+
+  private val smoothSql = {
+    val offs = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 } yield {
+      def b(v: Int) = if (v == 0) 2 else 1
+      s"($dx, $dy, $dz, ${b(dx) * b(dy) * b(dz)})"
+    }).mkString(", ")
+    s"""WITH $duckGrid,
+       |offs(dx, dy, dz, w) AS (VALUES $offs),
+       |taps AS (
+       |  SELECT g.x + o.dx AS cx, g.y + o.dy AS cy, g.z + o.dz AS cz,
+       |         o.w AS w, g.value_dec
+       |  FROM grid g CROSS JOIN offs o
+       |  WHERE EXISTS (SELECT 1 FROM grid t
+       |                WHERE t.x = g.x + o.dx AND t.y = g.y + o.dy AND t.z = g.z + o.dz)
+       |)
+       |SELECT CAST(cx AS INTEGER) AS x, CAST(cy AS INTEGER) AS y, CAST(cz AS INTEGER) AS z,
+       |  CAST(SUM(w * value_dec) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS smoothed
+       |FROM taps GROUP BY cx, cy, cz
+       |ORDER BY x, y, z""".stripMargin
+  }
+
+  // ---- q39: per-slice reductions over the mask semi-join -----------------
+
+  def sliceMeans(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .sliceMeans(ImageOps.voxelGrid(lineitem(s, d), L), ImageOps.AsegCodes)
+      .orderBy("z")
+
+  private val sliceMeansSql =
+    s"""WITH $duckGrid
+       |SELECT z, COUNT(*) AS n,
+       |  CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) AS mean_value
+       |FROM grid WHERE label IN ($asegList)
+       |GROUP BY z
+       |ORDER BY z""".stripMargin
+
+  // ---- q40: nearest-neighbor half-resolution resample --------------------
+
+  def resample(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .resampleHalf(ImageOps.voxelGrid(lineitem(s, d), L))
+      .select(col("x"), col("y"), col("z"), col("label"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy("x", "y", "z")
+
+  private val resampleSql =
+    s"""WITH $duckGrid
+       |SELECT CAST(x / 2 AS INTEGER) AS x, CAST(y / 2 AS INTEGER) AS y,
+       |       CAST(z / 2 AS INTEGER) AS z, label,
+       |       CAST(value_dec AS DOUBLE) AS value
+       |FROM grid
+       |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
+       |ORDER BY x, y, z""".stripMargin
+
+  // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
+
+  def entityCatalog(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(concat(
+        lit("sub-"), lpad((col("user_id") % 50).cast("string"), 3, "0"),
+        lit("/func/task-"), col("event_type"),
+        lit("_run-"), (col("event_id") % 4).cast("string"),
+        lit("_bold.nii.gz")).as("path"))
+      .select(
+        regexp_extract(col("path"), "sub-([0-9]+)", 1).as("subject"),
+        regexp_extract(col("path"), "task-([a-z]+)_", 1).as("task"),
+        regexp_extract(col("path"), "run-([0-9]+)", 1).cast("int").as("run"),
+      )
+      .filter(col("task").isin("click", "view") && col("run") === 2)
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n_files"))
+      .orderBy("subject")
+
+  private val entityCatalogSql =
+    """WITH cat AS (
+      |  SELECT 'sub-' || lpad(CAST(user_id % 50 AS VARCHAR), 3, '0') ||
+      |         '/func/task-' || event_type ||
+      |         '_run-' || CAST(event_id % 4 AS VARCHAR) || '_bold.nii.gz' AS path
+      |  FROM events
+      |), ent AS (
+      |  SELECT regexp_extract(path, 'sub-([0-9]+)', 1) AS subject,
+      |         regexp_extract(path, 'task-([a-z]+)_', 1) AS task,
+      |         CAST(regexp_extract(path, 'run-([0-9]+)', 1) AS INTEGER) AS run
+      |  FROM cat
+      |)
+      |SELECT subject, COUNT(*) AS n_files
+      |FROM ent
+      |WHERE task IN ('click', 'view') AND run = 2
+      |GROUP BY subject
+      |ORDER BY subject""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q34_dct_poly", dctPoly, Some(dctPolySql)),
+    Q("q35_hrf_convolve", hrfConvolve, Some(hrfConvolveSql)),
+    Q("q36_voxel_mask", voxelMask, Some(voxelMaskSql)),
+    Q("q37_stencil_mode", stencilMode, Some(stencilModeSql)),
+    Q("q38_smooth", smooth, Some(smoothSql)),
+    Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
+    Q("q40_resample", resample, Some(resampleSql)),
+    Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.design.DesignOps
+import graft.image.ImageOps
+
+class ImageDesignSpec extends SparkSpec {
+
+  private def grid(rows: (Int, Int, Int, Int, BigDecimal)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("x", "y", "z", "label", "value_dec")
+      .withColumn("value_dec", col("value_dec").cast("decimal(18,2)"))
+  }
+
+  /** Dense 3×3×3 grid, all label `bg`, except a rogue center voxel. */
+  private def rogueGrid(bg: Int, rogue: Int) = grid(
+    (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }
+      yield (x, y, z, if (x == 1 && y == 1 && z == 1) rogue else bg, BigDecimal(1))): _*
+  )
+
+  test("stencilMode removes a rogue voxel (hmode clean)") {
+    val cleaned = ImageOps.stencilMode(spark, rogueGrid(bg = 11, rogue = 50))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(cleaned((1, 1, 1)) === 11) // neighbors outvote the rogue label
+    assert(cleaned((0, 0, 0)) === 11)
+    assert(cleaned.size === 27)
+  }
+
+  test("stencilMode breaks ties by smallest label (AFNI hmode)") {
+    // isolated voxel: only its own 1 tap votes... craft a 2-cell tie instead:
+    // two cells (0,0,0) lbl 7 and (1,0,0) lbl 3; each sees both labels once
+    val g = grid((0, 0, 0, 7, BigDecimal(1)), (1, 0, 0, 3, BigDecimal(1)))
+    val out = ImageOps.stencilMode(spark, g)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(out((0, 0, 0)) === 3) // tie 1:1 → smallest label wins
+    assert(out((1, 0, 0)) === 3)
+  }
+
+  test("binomialSmooth preserves a constant field") {
+    val g = grid(
+      (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }
+        yield (x, y, z, 1, BigDecimal(5))): _*
+    )
+    val sm = ImageOps.binomialSmooth(spark, g).collect()
+    assert(sm.length === 27)
+    sm.foreach(r => assert(math.abs(r.getDouble(3) - 5.0) < 1e-12))
+  }
+
+  test("labelMask keeps aseg labels, zeroes others, binarizes") {
+    val g = grid((0, 0, 0, 11, BigDecimal(1)), (1, 0, 0, 20, BigDecimal(2)))
+    val m = ImageOps.labelMask(g, ImageOps.AsegCodes).collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Int]("masked_label"), r.getAs[Int]("mask")))).toMap
+    assert(m(0) === ((11, 1)))
+    assert(m(1) === ((0, 0)))
+  }
+
+  test("hrf kernel is normalized fixed-point and starts at zero") {
+    val k = DesignOps.hrfKernelInts(1.0, 24)
+    assert(k(0) === 0L) // gamma pdf at 0
+    assert(math.abs(k.sum - 1000000L) <= 24) // per-tap rounding error only
+    assert(k.max > 0 && k.indexOf(k.max) > 2 && k.indexOf(k.max) < 9) // peak ~5s
+  }
+
+  test("convolution of a unit impulse reproduces the kernel") {
+    val s = spark
+    import s.implicits._
+    val n = 30
+    val dm = (0 until n).map(t => (t.toLong, if (t == 3) 1L else 0L)).toDF("t", "x")
+    val k = DesignOps.hrfKernelInts(1.0, 10)
+    val out = DesignOps.convolve(dm, spark, k, Seq("x"), n)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("conv_x")).toMap
+    for (tau <- 0 until 10)
+      assert(math.abs(out(3L + tau) - k(tau) / 1e6) < 1e-12)
+    assert(out.getOrElse(2L, 0.0) === 0.0) // causal
+  }
+
+  test("dct basis: dct1 spans a half cosine cycle") {
+    val n = 16
+    val dm = DesignOps.dctBasis(DesignOps.timeline(spark, n, 1.0), n, 1)
+      .orderBy("t").collect().map(_.getAs[Double]("dct1"))
+    assert(dm.head > 0.99) // cos(π/(2n)) ≈ 1
+    assert(dm.last < -0.99) // cos(π(2n-1)/(2n)) ≈ −1
+    assert(math.abs(dm.sum) < 1e-9) // DCT-II basis column sums to 0
+  }
+}
