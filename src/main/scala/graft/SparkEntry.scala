@@ -20,6 +20,7 @@ object SparkEntry {
     Similarity,
     Glm,
     DesignImage,
+    Multimodal,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
