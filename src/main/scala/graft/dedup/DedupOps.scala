@@ -40,12 +40,20 @@ object DedupOps {
       .select("keep_id", "n_copies")
 
   /** MinHash signatures: doc_id × j(0..k-1) → min over the doc's shingle
-    * hashes of ((2j+3)·h + (5j+7)) mod P. */
-  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    * hashes of ((2j+3)·h + (5j+7)) mod P. All k mins are computed in ONE
+    * aggregation pass (k agg columns, no k× row explosion — map-side
+    * partial aggregation sees each shingle once), then stacked to long
+    * form for banding. */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map { j =>
+      min(expr(s"((2*$j + 3) * h + (5*$j + 7)) % ${P}L")).as(s"__mh$j")
+    }
+    val stackArgs = (0 until k).map(j => s"${j}L, __mh$j").mkString(", ")
     shingles
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(k - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(expr(s"((2*j + 3) * h + (5*j + 7)) % ${P}L")).as("mh"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id", s"stack($k, $stackArgs) AS (j, mh)")
+  }
 
   /** LSH bands: group the k-length signature into bands of `rowsPerBand`,
     * combining each band's minhashes into one int64 key via fixed radix-31
@@ -54,7 +62,7 @@ object DedupOps {
     require(rowsPerBand <= 4, "radix-31 band key supports <= 4 rows/band in int64")
     sig
       .groupBy(col("doc_id"), expr(s"j div $rowsPerBand").as("band"))
-      .agg(sum(expr(s"mh * element_at(array(1L, 31L, 961L, 29791L), (j % $rowsPerBand) + 1)"))
+      .agg(sum(expr(s"mh * element_at(array(1L, 31L, 961L, 29791L), CAST((j % $rowsPerBand) + 1 AS INT))"))
         .as("bkey"))
   }
 
@@ -103,19 +111,33 @@ object DedupOps {
   def jaccardDupPairs(docs: DataFrame, shingleK: Int, threshold: Double,
       maxDf: Long = 0L): DataFrame = {
     val sh = TextOps.shingleHashes(docs, shingleK)
-    val candSrc =
-      if (maxDf <= 0) sh
-      else {
-        val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-        sh.join(hot, Seq("h"), "left_anti")
-      }
-    val cands = candSrc.select(col("doc_id").as("doc_a"), col("h"))
-      .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    jaccardOf(cands, sh)
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    if (maxDf <= 0) {
+      // no cap: the inverted-index self-join yields common counts directly —
+      // one groupBy instead of distinct-pairs + two re-joins
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.select(col("doc_id").as("doc_a"), col("h"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // cap prunes candidate generation only; scores use FULL shingle sets
+      val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      val candSrc = sh.join(hot, Seq("h"), "left_anti")
+      val cands = candSrc.select(col("doc_id").as("doc_a"), col("h"))
+        .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      jaccardOf(cands, sh)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** 32-bit SimHash per document over token-occurrence hashes: bit i of the

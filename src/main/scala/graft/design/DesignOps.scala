@@ -33,15 +33,30 @@ object DesignOps {
     * `conditions` is passed explicitly so the output schema is static
     * (Spark `.pivot` without values would scan the data twice to infer it).
     */
-  def boxcar(tl: DataFrame, trials: DataFrame, conditions: Seq[String]): DataFrame = {
-    val covered = col("onset") <= col("sec") && col("sec") < col("onset") + col("duration")
+  def boxcar(tl: DataFrame, trials: DataFrame, conditions: Seq[String],
+      trSeconds: Double, n: Long): DataFrame = {
     val indicators = conditions.map { c =>
-      max(when(covered && col("trial_type") === c, 1L).otherwise(0L)).as(c)
+      max(when(col("trial_type") === c, 1L).otherwise(0L)).as(c)
     }
-    broadcast(tl)
-      .crossJoin(trials)
-      .groupBy("t")
-      .agg(indicators.head, indicators.tail: _*)
+    // Bucket expansion instead of a |t|×|trials| nested-loop: each trial
+    // explodes only its candidate TR range (±1 bucket of slack so double
+    // rounding can never DROP a predicate-true pair), then the exact
+    // [onset, onset+duration) predicate filters the boundary. Cost is
+    // O(|trials|·dur/TR) rows into a plain hash aggregate — the shape that
+    // survives 100 TB of trials, unlike a nested-loop interval join.
+    val cand = trials
+      .withColumn("__t0", greatest(floor(col("onset") / trSeconds).cast("long"), lit(0L)))
+      .withColumn("__t1",
+        least(floor((col("onset") + col("duration")) / trSeconds).cast("long") + 1, lit(n - 1)))
+      .filter(col("__t0") <= col("__t1"))
+      .select(explode(sequence(col("__t0"), col("__t1"))).as("t"),
+        col("onset"), col("duration"), col("trial_type"))
+      .filter(col("onset") <= col("t") * trSeconds &&
+        col("t") * trSeconds < col("onset") + col("duration"))
+    val hits = cand.groupBy("t").agg(indicators.head, indicators.tail: _*)
+    tl.select("t")
+      .join(hits, Seq("t"), "left")
+      .na.fill(0L, conditions)
   }
 
   /** DCT high-pass basis (nltools add_dct_basis, ssm_loop.py:55): appends

@@ -66,7 +66,7 @@ object DesignImage extends QueryModule {
       col("event_type").as("trial_type"),
     )
     val tl = DesignOps.timeline(s, 168, 3600.0)
-    val box = DesignOps.boxcar(tl, trials, Seq("click", "purchase"))
+    val box = DesignOps.boxcar(tl, trials, Seq("click", "purchase"), 3600.0, 168L)
     DesignOps
       .convolve(box, s, DesignOps.hrfKernelInts(1.0, kernelLen),
         Seq("click", "purchase"), 168)

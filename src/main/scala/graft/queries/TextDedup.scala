@@ -20,14 +20,18 @@ object TextDedup extends QueryModule {
   private def duckHash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
-  /** DuckDB CTEs: documents → distinct 3-word-shingle hashes per doc. */
+  /** DuckDB CTEs: documents → distinct 3-shingle hashes per doc, mirroring
+    * TextOps' two-level hash (token char-folds, then a fold over each
+    * 3-slice of token hashes). */
   private val duckShingles =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
        |sh AS (
-       |  SELECT DISTINCT doc_id, ${duckHash("u.s")} AS h
-       |  FROM toks, unnest(CASE WHEN len(w) >= 3
-       |    THEN list_transform(range(len(w) - 2), i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))
-       |    ELSE [] END) AS u(s)
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 3)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS r(i)
        |)""".stripMargin
 
   // ---- q20: exact dedup --------------------------------------------------

@@ -65,7 +65,7 @@ object TimeSeries extends QueryModule {
     )
     val tl = DesignOps.timeline(s, 168, 3600.0)
     DesignOps
-      .boxcar(tl, trials, Seq("click", "error", "purchase", "signup", "view"))
+      .boxcar(tl, trials, Seq("click", "error", "purchase", "signup", "view"), 3600.0, 168L)
       .orderBy("t")
   }
 

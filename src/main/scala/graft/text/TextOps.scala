@@ -30,20 +30,27 @@ object TextOps {
   /** Whitespace tokens of `text`. Source texts are single-space separated. */
   def tokensExpr: String = "split(text, ' ')"
 
-  /** Word k-shingles joined by single spaces; empty array when the doc has
-    * fewer than k tokens (guards Spark's descending `sequence`). */
-  def shingleExpr(k: Int): String =
-    s"""CASE WHEN size(__toks) >= $k
-       | THEN transform(sequence(0, size(__toks) - $k), i -> concat_ws(' ', slice(__toks, i + 1, $k)))
+  /** Token-hash array of `text`: each token char-folded once. */
+  def tokenHashArrayExpr: String =
+    s"transform($tokensExpr, tok -> aggregate(split(tok, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % ${P}L))"
+
+  /** k-shingle hashes from the token-hash array `__th`: a second radix-31
+    * fold over each k-slice of token hashes. Two-level hashing touches each
+    * character exactly once (vs k× for hashing shingle strings) — ~3×
+    * cheaper at shingleK=3 on the corpus scan. Empty when < k tokens
+    * (guards Spark's descending `sequence`). */
+  def shingleHashExpr(k: Int): String =
+    s"""CASE WHEN size(__th) >= $k
+       | THEN transform(sequence(0, size(__th) - $k), i -> aggregate(slice(__th, i + 1, $k), 0L, (acc, h) -> (acc * 31 + h) % ${P}L))
        | ELSE array() END""".stripMargin.replace("\n", "")
 
   /** doc_id → one row per *distinct* shingle hash (the shingle-set relation
-    * used by Jaccard / MinHash). k-word shingles, polynomial-hashed. */
+    * used by Jaccard / MinHash). k-word shingles, two-level polynomial
+    * hashed. */
   def shingleHashes(docs: DataFrame, k: Int): DataFrame =
     docs
-      .withColumn("__toks", expr(tokensExpr))
-      .select(col("doc_id"), explode(expr(shingleExpr(k))).as("__sh"))
-      .select(col("doc_id"), expr(polyHash("__sh")).as("h"))
+      .withColumn("__th", expr(tokenHashArrayExpr))
+      .select(col("doc_id"), explode(expr(shingleHashExpr(k))).as("h"))
       .distinct()
 
   /** doc_id → one row per token occurrence with its hash. */

@@ -49,7 +49,7 @@ class OperatorSpec extends SparkSpec {
     // trial covers [1.0, 3.0): samples 1, 2 — not 3 (right-open), not 0
     val trials = Seq((1.0, 2.0, "A")).toDF("onset", "duration", "trial_type")
     val out = DesignOps
-      .boxcar(tl, trials, Seq("A"))
+      .boxcar(tl, trials, Seq("A"), 1.0, 5L)
       .orderBy("t")
       .select("A")
       .as[Long]
@@ -60,7 +60,7 @@ class OperatorSpec extends SparkSpec {
   test("boxcar: abutting trials of different types don't bleed") {
     val tl = DesignOps.timeline(spark, 4, 1.0)
     val trials = Seq((0.0, 2.0, "A"), (2.0, 2.0, "B")).toDF("onset", "duration", "trial_type")
-    val rows = DesignOps.boxcar(tl, trials, Seq("A", "B")).orderBy("t")
+    val rows = DesignOps.boxcar(tl, trials, Seq("A", "B"), 1.0, 4L).orderBy("t")
       .select("A", "B").as[(Long, Long)].collect()
     assert(rows.toSeq == Seq((1L, 0L), (1L, 0L), (0L, 1L), (0L, 1L)))
   }
