@@ -21,6 +21,7 @@ object SparkEntry {
     Glm,
     DesignImage,
     Multimodal,
+    WindowAgg,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -64,6 +64,37 @@ object StatsOps {
       .select((groupCols.map(col) :+ col(valueCol).as("mode_value")): _*)
   }
 
+  /** Variance inflation factors (nb cell 21 `dm.vif()`, SURVEY.md A10):
+    * VIF_j = diag((R⁻¹))_j of the k×k correlation matrix R over `cols`.
+    * The correlation matrix is one distributed aggregation (all pairwise
+    * exact-decimal cross-moments in a single pass); the k×k collect+invert
+    * is driver-side by design — k ≈ regressor count, never data-sized.
+    */
+  def vif(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = cols.length
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.zipWithIndex.map { case (c, i) => sum(col(c).cast(dec)).cast("double").as(s"__s$i") } ++
+      pairs.map { case (i, j) =>
+        sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec)).cast("double").as(s"__p${i}_$j")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Double]("__n")
+    val s = Array.tabulate(k)(i => row.getAs[Double](s"__s$i"))
+    val p = Array.ofDim[Double](k, k)
+    pairs.foreach { case (i, j) =>
+      val v = row.getAs[Double](s"__p${i}_$j"); p(i)(j) = v; p(j)(i) = v
+    }
+    val r = Array.tabulate(k, k) { (i, j) =>
+      (n * p(i)(j) - s(i) * s(j)) /
+        (math.sqrt(n * p(i)(i) - s(i) * s(i)) * math.sqrt(n * p(j)(j) - s(j) * s(j)))
+    }
+    val inv = graft.glm.LinAlg.inverse(r)
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) => (c, inv(i)(i)) }.toDF("regressor", "vif")
+  }
+
   /** Pearson correlation of two 2-decimal columns per group, via exact
     * decimal cross-moments (nb cell 19 `dm_conv.corr()` analog). */
   def corrExact(df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String): DataFrame = {

@@ -53,6 +53,26 @@ class GlmSpec extends SparkSpec {
     assert(!r("g2").getAs[Double]("t1").isNaN)
   }
 
+  test("vif: independent regressors have VIF ≈ 1; a collinear one explodes") {
+    val s = spark
+    import s.implicits._
+    // x1, x2 independent-ish; x3 = x1 + x2 (perfectly collinear would be
+    // singular, so add a distinct wiggle)
+    val rows = (1 to 200).map { i =>
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 11).toDouble
+      val x3 = x1 + x2 + (if (i % 2 == 0) 0.3 else -0.3)
+      (x1, x2, x3)
+    }
+    val df = rows.toDF("x1", "x2", "x3")
+    val v = graft.stats.StatsOps.vif(s, df, Seq("x1", "x2", "x3"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(v("x3") > 10.0) // near-collinear
+    val two = graft.stats.StatsOps.vif(s, df, Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(two("x1") < 1.2 && two("x2") < 1.2) // ~independent
+  }
+
   test("massGLM recovers known betas from y = Xβ (closed form, 1e-6)") {
     val s = spark
     import s.implicits._
