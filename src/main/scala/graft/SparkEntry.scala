@@ -22,13 +22,15 @@ object SparkEntry {
     DesignImage,
     Multimodal,
     WindowAgg,
+    Flagship,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The E1 pipeline (SURVEY.md §3): boxcar → HRF → DCT/poly → mass GLM. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+    Flagship.singleSubjectModel(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
