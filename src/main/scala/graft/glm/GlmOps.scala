@@ -62,11 +62,10 @@ object GlmOps {
 
   /** simpleOLS plus two-sided p-value for the slope (Student-t, df = n-2) —
     * the M3 operator; p computed by the TDist UDF (no SQL-oracle form). */
-  def simpleOLSWithP(df: DataFrame, groupCols: Seq[String], yCol: String, xCol: String): DataFrame = {
-    val pUdf = udf((t: Double, df: Double) => TDist.pTwoSided(t, df))
+  def simpleOLSWithP(df: DataFrame, groupCols: Seq[String], yCol: String, xCol: String): DataFrame =
     simpleOLS(df, groupCols, yCol, xCol)
-      .withColumn("p1", pUdf(col("t1"), col("n").cast("double") - 2))
-  }
+      .withColumn("p1",
+        graft.functions.TCdf.t_pvalue(col("t1"), col("n").cast("double") - 2))
 
   /** Per-row residuals of the per-group fit: y − (β0 + β1·x). Coefficients
     * join back via broadcast (|groups| rows). */
@@ -147,12 +146,11 @@ object GlmOps {
       import spark.implicits._
       diag.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq.toDF("j", "cjj")
     }
-    val pUdf = udf((t: Double, dfree: Double) => TDist.pTwoSided(t, dfree))
     betas
       .join(broadcast(sse.select(col(groupCol), col("sigma"))), groupCol)
       .join(broadcast(diagDf), "j")
       .withColumn("t_stat", col("beta") / (col("sigma") * sqrt(col("cjj"))))
-      .withColumn("p", pUdf(col("t_stat"), lit(df)))
+      .withColumn("p", graft.functions.TCdf.t_pvalue(col("t_stat"), lit(df)))
       .withColumn("df", lit(df))
       .select(col(groupCol), col("j"), col("beta"), col("sigma"), col("t_stat"), col("p"), col("df"))
   }
