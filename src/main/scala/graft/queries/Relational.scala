@@ -112,11 +112,39 @@ object Relational extends QueryModule {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Full outer join (SURVEY §2.3 "missing from the reference" surface):
+    * per-nation supplier vs customer presence, nulls where one side is
+    * absent. */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_suppliers"))
+    val cust = customer(s, d).filter(col("c_acctbal") > 9900.0)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_rich_customers"))
+    sup.join(cust, Seq("nationkey"), "full_outer")
+      .orderBy("nationkey")
+  }
+
+  private val fullOuterSql =
+    """WITH sup AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+      |  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1
+      |), cust AS (
+      |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_rich_customers
+      |  FROM customer WHERE c_acctbal > 9900.0 GROUP BY 1
+      |)
+      |SELECT COALESCE(sup.nationkey, cust.nationkey) AS nationkey,
+      |       sup.n_rich_suppliers, cust.n_rich_customers
+      |FROM sup FULL OUTER JOIN cust ON sup.nationkey = cust.nationkey
+      |ORDER BY nationkey""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     Q("q02_filter_project", filterProject, Some(filterProjectSql)),
     Q("q03_join_revenue", joinRevenue, Some(joinRevenueSql)),
     Q("q04_semi_join", semiJoin, Some(semiJoinSql)),
     Q("q05_anti_join", antiJoin, Some(antiJoinSql)),
+    Q("q50_full_outer", fullOuter, Some(fullOuterSql)),
   )
 }

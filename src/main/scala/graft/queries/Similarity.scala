@@ -96,9 +96,48 @@ object Similarity extends QueryModule {
        |WHERE ${duckDot("a.v", "b.v")} / (a.norm * b.norm) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q49: IVF-cell ANN -------------------------------------------------
+
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .ivfTopK(embeddings(s, d), col("vec_id") < 10, k = 3, nCentroids = 16)
+      .orderBy("query_id", "rank")
+
+  private val ivfTopKSql =
+    s"""WITH $duckCorpus,
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM assigned q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
+    Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
   )
 }

@@ -80,6 +80,44 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: assign every vector to its nearest of
+    * `nCentroids` coarse centroids (deterministic pick: the lowest-id
+    * vectors act as centroids — a production build runs k-means once and
+    * broadcasts the trained centroids; the plan is identical), then probe
+    * only the query's cell. One broadcast join for assignment, one
+    * cell-equi-join for probing — the corpus is scanned once and, when the
+    * assignment is persisted partitioned by cell, a probe touches one
+    * partition.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCentroids: Int): DataFrame = {
+    val corpus = prepared(emb)
+    val centroids = corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    // assignment: argmax cosine to a centroid, ties → lowest centroid id
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("__cs").desc, col("cent_id").asc)
+    val assigned = corpus
+      .join(broadcast(centroids), expr("true"))
+      .withColumn("__cs", expr(dotExpr("v", "cv")) / (col("norm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+    val queries = assigned
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", expr(dotExpr("qv", "v")) / (col("qnorm") * col("norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Exact cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
     * threshold, candidates pruned to shared sign buckets ∪ brute force when
     * `bucketed` is false. Embedding-space analog of DedupOps near-dup. */

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.design.DesignOps
+import graft.dedup.DedupOps
+import graft.stats.StatsOps
+import graft.glm.TDist
+
+/** ScalaCheck-generated property tests (SURVEY.md §5.4): linearity of
+  * convolution, z-score moments, histogram mass conservation, mode
+  * membership, MinHash union-min, t-CDF shape. Deterministic seeds so the
+  * suite is reproducible.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.from(0)
+      .map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .collect { case Some(v) => v }
+      .take(n).toSeq
+
+  test("property: convolution is linear — conv(a+b) = conv(a)+conv(b)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(12, Gen.choose(0L, 3L))
+    val kernel = DesignOps.hrfKernelInts(1.0, 6)
+    for (Seq(a, b) <- samples(Gen.zip(gen, gen).map(t => Seq(t._1, t._2)), 8)) {
+      val df = a.zip(b).zipWithIndex
+        .map { case ((av, bv), t) => (t.toLong, av, bv, av + bv) }
+        .toDF("t", "a", "b", "ab")
+      val out = DesignOps.convolve(df, s, kernel, Seq("a", "b", "ab"), 12)
+        .collect()
+      out.foreach { r =>
+        val lhs = r.getAs[Double]("conv_ab")
+        val rhs = r.getAs[Double]("conv_a") + r.getAs[Double]("conv_b")
+        assert(math.abs(lhs - rhs) < 1e-9, s"linearity broken at $r")
+      }
+    }
+  }
+
+  test("property: zscore has mean ~0 and population sd ~1 per group") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(30, Gen.choose(-100.0, 100.0))
+    for ((vs, i) <- samples(gen, 6).zipWithIndex if vs.distinct.size > 1) {
+      val df = vs.map(v => (s"g$i", math.rint(v * 100) / 100)).toDF("g", "v")
+      val z = StatsOps.zscore(df, "v", Seq("g")).select("z").as[Double].collect()
+      val mean = z.sum / z.length
+      val sd = math.sqrt(z.map(x => x * x).sum / z.length - mean * mean)
+      assert(math.abs(mean) < 1e-8)
+      assert(math.abs(sd - 1.0) < 1e-8)
+    }
+  }
+
+  test("property: histogram bin counts sum to the row count") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(40, Gen.choose(0L, 57L))
+    for (vs <- samples(gen, 6)) {
+      val df = vs.toDF("c")
+      val total = StatsOps.histogram(df, "c", 5L)
+        .agg(sum("n")).head().getLong(0)
+      assert(total === vs.length.toLong)
+    }
+  }
+
+  test("property: deterministic mode is a member and a maximizer") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(25, Gen.choose(1, 6))
+    for (vs <- samples(gen, 8)) {
+      val df = vs.map(v => ("g", v)).toDF("g", "v")
+      val m = StatsOps.modeDeterministic(df, Seq("g"), "v").head().getInt(1)
+      val counts = vs.groupBy(identity).view.mapValues(_.size).toMap
+      assert(counts.contains(m))
+      assert(counts(m) === counts.values.max)
+      // smallest among maximizers (hmode tie rule)
+      assert(m === counts.filter(_._2 == counts.values.max).keys.min)
+    }
+  }
+
+  test("property: minhash signature of a doc union is the elementwise min") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.choose(1, 40).map(i => s"w$i")
+    val gen = Gen.listOfN(12, word)
+    for (Seq(a, b) <- samples(Gen.zip(gen, gen).map(t => Seq(t._1, t._2)), 5)) {
+      val docs = Seq(
+        (1L, a.mkString(" ")), (2L, b.mkString(" ")),
+        (3L, (a ++ b).mkString(" ")), // shingle set ⊇ A-shingles ∪ B-shingles
+      ).toDF("doc_id", "text")
+      val sig = DedupOps
+        .minhashSignatures(graft.text.TextOps.shingleHashes(docs, 3), 8)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => r.getAs[Long]("j") -> r.getAs[Long]("mh")).toMap)
+        .toMap
+      // union contains all of A's and B's shingles plus boundary shingles →
+      // its min can only be ≤ both
+      for (j <- 0L until 8L) {
+        assert(sig(3L)(j) <= math.min(sig(1L)(j), sig(2L)(j)))
+      }
+    }
+  }
+
+  test("property: two-sided p decreases as |t| grows; p(0) = 1") {
+    for (df <- Seq(1.0, 5.0, 30.0, 200.0)) {
+      assert(TDist.pTwoSided(0.0, df) === 1.0)
+      val ts = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
+      val ps = ts.map(t => TDist.pTwoSided(t, df))
+      ps.zip(ps.tail).foreach { case (hi, lo) => assert(lo < hi) }
+      // df=1 is Cauchy: p(|t|=8) ≈ 0.079 — heavy tails are correct
+      assert(ps.last > 0.0 && ps.last < 0.1)
+    }
+  }
+}
