@@ -90,6 +90,51 @@ object ImageOps {
         col("label").as("clean_label"))
   }
 
+  /** Block+halo stencil execution — the 100 TB physical design the
+    * declarative stencilMode documents (SURVEY.md §4 "stencil locality",
+    * §7.5.4): cells are duplicated into every block whose interior stencil
+    * reads them (halo), data is exchanged ONCE by blockId, and the mode
+    * itself runs partition-local with zero further shuffle. Output is
+    * bit-identical to stencilMode (ImageDesignSpec proves it); the win at
+    * scale is one bounded exchange (≤ halo factor ≈ 2-3× rows at 8³..4³
+    * blocks) instead of a 19× vote shuffle keyed by cell.
+    */
+  def blockLocalStencilMode(spark: SparkSession, grid: DataFrame,
+      blockSize: Int): DataFrame = {
+    import spark.implicits._
+    val b = blockSize
+    val offs = Offsets19
+    val cells = grid.select(col("x"), col("y"), col("z"), col("label"))
+      .as[(Int, Int, Int, Int)]
+    val copies = cells.flatMap { case (x, y, z, l) =>
+      def fd(v: Int) = Math.floorDiv(v, b)
+      val home = (fd(x), fd(y), fd(z))
+      // Offsets19 is symmetric, so "blocks whose stencil reads me" =
+      // blocks of (me + offset)
+      offs.map { case (dx, dy, dz) => (fd(x + dx), fd(y + dy), fd(z + dz)) }
+        .distinct
+        .map { bk => (bk._1, bk._2, bk._3, x, y, z, l, bk == home) }
+    }.toDF("bx", "by", "bz", "x", "y", "z", "label", "owner")
+    copies
+      .repartition(col("bx"), col("by"), col("bz")) // the ONE exchange
+      .as[(Int, Int, Int, Int, Int, Int, Int, Boolean)]
+      .mapPartitions { it =>
+        val rows = it.toVector
+        rows.groupBy(r => (r._1, r._2, r._3)).iterator.flatMap { case (_, cs) =>
+          val lookup = cs.map(c => (c._4, c._5, c._6) -> c._7).toMap
+          cs.filter(_._8).map { c =>
+            val votes = offs.flatMap { case (dx, dy, dz) =>
+              lookup.get((c._4 + dx, c._5 + dy, c._6 + dz))
+            }
+            val counts = votes.groupBy(identity).view.mapValues(_.size).toMap
+            val best = counts.toSeq.minBy { case (lbl, n) => (-n, lbl) }._1
+            (c._4, c._5, c._6, best)
+          }
+        }
+      }
+      .toDF("x", "y", "z", "clean_label")
+  }
+
   /** A9/I4 smoothing: separable binomial kernel (1,2,1)³ — the discretized
     * small-FWHM Gaussian (ssm_loop.py:88 smooth(fwhm=4); σ ≈ 0.7 voxel).
     * Integer weights × DECIMAL values keep the weighted mean exact until

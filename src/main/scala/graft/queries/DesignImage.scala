@@ -150,6 +150,13 @@ object DesignImage extends QueryModule {
        |ORDER BY x, y, z""".stripMargin
   }
 
+  // ---- q51: block+halo partition-local stencil (same oracle as q37) -----
+
+  def stencilBlock(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .blockLocalStencilMode(s, ImageOps.voxelGrid(lineitem(s, d), L), blockSize = 4)
+      .orderBy("x", "y", "z")
+
   // ---- q38: binomial (discretized Gaussian) smoothing --------------------
 
   def smooth(s: SparkSession, d: String): DataFrame =
@@ -252,6 +259,7 @@ object DesignImage extends QueryModule {
     Q("q35_hrf_convolve", hrfConvolve, Some(hrfConvolveSql)),
     Q("q36_voxel_mask", voxelMask, Some(voxelMaskSql)),
     Q("q37_stencil_mode", stencilMode, Some(stencilModeSql)),
+    Q("q51_stencil_block", stencilBlock, Some(stencilModeSql)),
     Q("q38_smooth", smooth, Some(smoothSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -37,6 +37,21 @@ class ImageDesignSpec extends SparkSpec {
     assert(out((1, 0, 0)) === 3)
   }
 
+  test("blockLocalStencilMode is bit-identical to the declarative stencil") {
+    // gappy 7×7×7 grid with varied labels, multiple 4³ blocks + boundaries
+    val cells = for {
+      x <- 0 to 6; y <- 0 to 6; z <- 0 to 6
+      if (x + 2 * y + 3 * z) % 5 != 0 // holes
+    } yield (x, y, z, (x * 7 + y * 3 + z) % 6 + 10, BigDecimal(1))
+    val g = grid(cells: _*)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    val declarative = toMap(ImageOps.stencilMode(spark, g))
+    val blockLocal = toMap(ImageOps.blockLocalStencilMode(spark, g, blockSize = 4))
+    assert(blockLocal === declarative)
+    assert(declarative.nonEmpty)
+  }
+
   test("binomialSmooth preserves a constant field") {
     val g = grid(
       (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }
