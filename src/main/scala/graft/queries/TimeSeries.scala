@@ -138,11 +138,51 @@ object TimeSeries extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  /** q52: per-user session windows, 30-minute inactivity gap — Spark's
+    * session_window vs DuckDB gaps-and-islands (lag + running break sum).
+    * Session end = last event + gap in both formulations. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("user_id") < 30)
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("value"))
+    graft.streaming.StreamOps.sessionize(ev, "ts", "user_id", "30 minutes")
+      .select(
+        expr("unix_micros(session_start)").as("start_us"),
+        expr("unix_micros(session_end)").as("end_us"),
+        col("user_id"), col("n_events"), col("sum_value"),
+      )
+      .orderBy("user_id", "start_us")
+  }
+
+  private val sessionizeSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE user_id < 30
+      |), brks AS (
+      |  SELECT user_id, us, value,
+      |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+      |         OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, us, value,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM brks
+      |)
+      |SELECT MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
     Q("q16_boxcar_design", boxcarDesign, Some(boxcarDesignSql)),
     Q("q17_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q19_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
+    Q("q52_sessionize", sessionize, Some(sessionizeSql)),
   )
 }

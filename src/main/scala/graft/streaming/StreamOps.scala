@@ -46,6 +46,31 @@ object StreamOps {
       )
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop duplicate keys with bounded state — rows
+    * whose key was seen within the watermark horizon are suppressed
+    * (training-data dedup for arriving shards; state size is bounded by
+    * keys-per-lateness-window, the 100 TB-safe form of dropDuplicates). */
+  def streamingDedup(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Session windows per key with an inactivity gap (SURVEY.md §2.10
+    * "per-subject completeness = session-window-like grouping"): sessions
+    * close `gap` after their last event; works identically in batch and
+    * streaming (watermark bounds state in the latter). */
+  def sessionize(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap).as("s"), col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+      )
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],
@@ -54,6 +79,19 @@ object StreamOps {
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Append-mode variant (dedup and other non-aggregating sinks). */
+  def runToMemoryAppend(spark: SparkSession, writer: DataStreamWriter[Row],
+      name: String): DataFrame = {
+    val q = writer
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.BidsCatalog
+
+/** The remaining SURVEY.md §2 corners: A2 accumulate-union, S5/F9 JSON
+  * sidecar read-update-write, O4 data-availability branch routing.
+  */
+class OrchestrationSpec extends SparkSpec {
+
+  test("A2: rbind-accumulate collapses to reduce(unionByName), order-free") {
+    val s = spark
+    import s.implicits._
+    // per-subject frames with differing column order (unionByName semantics)
+    val a = Seq(("s1", 3L)).toDF("subject", "outliers")
+    val b = Seq((5L, "s2")).toDF("outliers", "subject")
+    val c = Seq(("s3", 0L)).toDF("subject", "outliers")
+    val all = Seq(a, b, c).reduce(_ unionByName _)
+    assert(all.count() === 3)
+    assert(all.columns.toSeq === Seq("subject", "outliers"))
+    assert(all.filter(col("subject") === "s2").head().getLong(1) === 5L)
+  }
+
+  test("S5/F9: JSON sidecar read → field set → write round-trip (jq analog)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-json")
+    val in = dir.resolve("sidecars"); val out = dir.resolve("updated")
+    Seq("""{"TaskName":"rest","RepetitionTime":2.0}""",
+      """{"TaskName":"old","RepetitionTime":1.5}""")
+      .toDF("value").coalesce(1).write.text(in.toString)
+    // jq '.TaskName="MID"' (preprocess_parallel.sh:109-115)
+    val updated = s.read.json(in.toString)
+      .withColumn("TaskName", lit("MID"))
+    updated.write.mode("overwrite").json(out.toString)
+    val back = s.read.json(out.toString)
+    assert(back.count() === 2)
+    assert(back.select("TaskName").distinct().head().getString(0) === "MID")
+    assert(back.select("RepetitionTime").as[Double].collect().sorted === Array(1.5, 2.0))
+  }
+
+  test("O4: recon-all branch routing on T1w/T2w availability") {
+    val s = spark
+    import s.implicits._
+    val paths = Seq(
+      "bids/sub-001/anat/sub-001_T1w.nii.gz",
+      "bids/sub-001/anat/sub-001_T2w.nii.gz",
+      "bids/sub-002/anat/sub-002_T1w.nii.gz",
+      "bids/sub-003/func/sub-003_task-MID_bold.nii.gz",
+    ).toDF("path")
+    val cat = BidsCatalog.fromPaths(paths)
+    // preprocess_parallel.sh:41-46: T1+T2 → -T2pial flags, T1-only → plain
+    val routed = cat
+      .groupBy("subject")
+      .agg(
+        max(when(col("suffix") === "T1w", 1).otherwise(0)).as("hasT1"),
+        max(when(col("suffix") === "T2w", 1).otherwise(0)).as("hasT2"),
+      )
+      .withColumn("recon_mode",
+        when(col("hasT1") === 1 && col("hasT2") === 1, "t1_t2pial")
+          .when(col("hasT1") === 1, "t1_only")
+          .otherwise("skip"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(routed("001") === "t1_t2pial")
+    assert(routed("002") === "t1_only")
+    assert(routed("003") === "skip")
+  }
+}

@@ -34,6 +34,48 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingDedup suppresses duplicate keys within the watermark") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val batch = Seq(
+      ("2024-01-01 00:00:01", "k1", 1.0),
+      ("2024-01-01 00:00:02", "k1", 2.0), // dup key
+      ("2024-01-01 00:00:03", "k2", 3.0),
+      ("2024-01-01 00:00:04", "k2", 4.0), // dup key
+      ("2024-01-01 00:00:05", "k3", 5.0),
+    ).toDF("tss", "k", "value")
+      .select(to_timestamp(col("tss")).as("ts"), col("k"), col("value"))
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val streamed = StreamOps.runToMemoryAppend(
+      s,
+      StreamOps.streamingDedup(
+        StreamOps.eventStream(s, dir, batch.schema), "ts", Seq("k"), "10 seconds")
+        .writeStream,
+      "dedup_test",
+    )
+    // one row per distinct key survives
+    assert(streamed.select("k").as[String].collect().sorted === Array("k1", "k2", "k3"))
+  }
+
+  test("sessionize groups by inactivity gap identically in batch") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-01-01 00:00:00", "u1", 1.0),
+      ("2024-01-01 00:10:00", "u1", 2.0), // same session (gap < 30 min)
+      ("2024-01-01 01:30:00", "u1", 3.0), // new session
+      ("2024-01-01 00:05:00", "u2", 4.0),
+    ).toDF("tss", "user_id", "value")
+      .select(to_timestamp(col("tss")).as("ts"), col("user_id"), col("value"))
+    val sess = StreamOps.sessionize(df, "ts", "user_id", "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(sess.length === 3)
+    val u1 = sess.filter(_.getAs[String]("user_id") == "u1")
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+    assert(u1.head.getAs[Double]("sum_value") === 3.0)
+  }
+
   test("extractFeatures is deterministic and fixed-width") {
     val s = spark
     import s.implicits._
