@@ -103,11 +103,36 @@ object Aggregates extends QueryModule {
       |FROM m
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q53: exact interpolated percentiles per group — Spark `percentile`
+    * and DuckDB `quantile_cont` share the type-7 linear-interpolation
+    * definition, so values match on identical sorted inputs (rounded 6
+    * defensively). Exact percentiles sort per group; at scale swap in
+    * `approx_percentile` (t-digest) when ±ε is acceptable. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+      )
+      .orderBy("l_returnflag")
+
+  private val percentilesSql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90,
+      |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q08_outlier_histogram", outlierHistogram, Some(outlierHistogramSql)),
     Q("q09_mode_quantity", modeQuantity, Some(modeQuantitySql)),
     Q("q10_rollup_pricing", rollupPricing, Some(rollupPricingSql)),
     Q("q11_top_orders", topOrders, Some(topOrdersSql)),
     Q("q18_corr_qty_price", corrQtyPrice, Some(corrQtyPriceSql)),
+    Q("q53_percentiles", percentiles, Some(percentilesSql)),
   )
 }
