@@ -214,7 +214,35 @@ object TextDedup extends QueryModule {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q54: token counting — whitespace + BPE-ish regex ------------------
+
+  /** Sub-word-ish token counts: whitespace tokens plus a BPE-style regex
+    * segmentation (letter runs | digit runs | punct runs — lookaround-free
+    * so Java regex and DuckDB's RE2 agree), and the chars-per-token ratio
+    * used for training-data length budgeting. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+          .cast("long").as("bpeish_tokens"),
+        round(length(col("text")).cast("double") /
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)")), 6)
+          .as("chars_per_token"),
+      )
+      .orderBy("doc_id")
+
+  private val tokenCountsSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS bpeish_tokens,
+      |  round(CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')), 6) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
