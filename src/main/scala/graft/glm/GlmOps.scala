@@ -132,11 +132,11 @@ object GlmOps {
     val dense = timeline
       .crossJoin(series.select(col(groupCol)).distinct())
       .join(series.select(col(groupCol), col("t"), col("y_dec")), Seq(groupCol.toString, "t"), "left")
-      .na.fill(0.0, Seq("y_dec"))
     val sse = dense
       .join(fitted, Seq(groupCol.toString, "t"), "left")
-      .na.fill(0.0, Seq("fit"))
-      .withColumn("r", col("y_dec").cast("double") - col("fit"))
+      // explicit zero-fill (na.fill semantics vary across column types)
+      .withColumn("r", coalesce(col("y_dec").cast("double"), lit(0.0)) -
+        coalesce(col("fit"), lit(0.0)))
       .groupBy(col(groupCol))
       .agg(sum(col("r") * col("r")).as("sse"))
       .withColumn("sigma", sqrt(col("sse") / df))

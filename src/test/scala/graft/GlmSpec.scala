@@ -53,6 +53,31 @@ class GlmSpec extends SparkSpec {
     assert(!r("g2").getAs[Double]("t1").isNaN)
   }
 
+  test("massGLM treats missing timepoints as y = 0 (sparse series)") {
+    val s = spark
+    import s.implicits._
+    val n = 16
+    val x: LinAlg.Mat = Array.tabulate(n, 2)((t, j) => if (j == 0) 1.0 else t.toDouble / 10.0)
+    // y = 3 + 2t/10 but timepoints 5 and 11 are ABSENT (→ implicit 0)
+    val present = (0 until n).filterNot(t => t == 5 || t == 11)
+    val series = present
+      .map(t => ("a", t.toLong, BigDecimal(3.0 + 2.0 * t / 10.0).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toDF("g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    val out = GlmOps.massGLM(spark, series, x, "g").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    // closed form on the zero-filled dense vector
+    val y = (0 until n).map(t => if (t == 5 || t == 11) 0.0 else 3.0 + 2.0 * t / 10.0).toArray
+    val pinv = LinAlg.pinv(x)
+    val beta = pinv.map(row => row.zip(y).map { case (w, v) => w * v }.sum)
+    val fit = (0 until n).map(t => x(t)(0) * beta(0) + x(t)(1) * beta(1))
+    val sse = y.zip(fit).map { case (a, b) => (a - b) * (a - b) }.sum
+    val sigma = math.sqrt(sse / (n - 2))
+    for (j <- 0 until 2)
+      assert(math.abs(out(j.toLong).getAs[Double]("beta") - beta(j)) < 1e-6)
+    assert(math.abs(out(0L).getAs[Double]("sigma") - sigma) < 1e-6)
+  }
+
   test("vif: independent regressors have VIF ≈ 1; a collinear one explodes") {
     val s = spark
     import s.implicits._
