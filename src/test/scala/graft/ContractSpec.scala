@@ -1,0 +1,37 @@
+package graft
+
+/** Driver-contract invariants: the things Verify/Bench and the DuckDB
+  * compare rely on structurally. */
+class ContractSpec extends SparkSpec {
+
+  test("query names are unique and q-numbered") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.size === names.distinct.size)
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.size >= 54)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rows-only queries are the documented four") {
+    val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly === Set(
+      "q32_ols_pvalues", // Student-t CDF has no DuckDB form
+      "q42_media_features", // mapPartitions stub decode
+      "q47_vif", // k×k matrix inverse
+      "q48_flagship_glm", // data-dependent design matrix + t CDF
+    ))
+  }
+
+  test("oracle SQL contains no tabs (driver JSON-escape hazard)") {
+    // Verify.q escapes control chars, but keeping SQL tab-free avoids any
+    // downstream parser disagreement in the first place
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("\t"), s"$name oracle contains a tab")
+    }
+  }
+}
