@@ -79,6 +79,16 @@ object DesignOps {
         pow((col("t") - lit((n - 1) / 2.0)) / lit(n.toDouble), p))
     }
 
+  /** Spike (one-hot) regressors from a flagged-TR list (SURVEY.md W7,
+    * ssm_loop.py:77-84): one column per flagged TR, 1 at that sample and 0
+    * elsewhere. The flag list is per-run metadata (≤ hundreds of entries),
+    * so columns are generated driver-side — pure projections, no shuffle. */
+  def spikeRegressors(dm: DataFrame, flaggedTrs: Seq[Long]): DataFrame =
+    flaggedTrs.foldLeft(dm) { (acc, tr) =>
+      acc.withColumn(s"spike_$tr",
+        when(col("t") === tr, 1.0).otherwise(0.0))
+    }
+
   /** SPM-canonical double-gamma HRF sampled at `tr`-second intervals,
     * `len` taps, scaled to integers (×1e6, rounded) so convolution sums
     * are exact int64 arithmetic (cross-engine determinism; ssm_loop.py:54

@@ -45,9 +45,10 @@ object GlmOps {
         sum(y * y).cast("double").as("__syy"),
         sum(x * y).cast("double").as("__sxy"),
       )
+      // nullif: constant-x groups yield NULL coefficients, not ANSI errors
       .withColumn("beta1",
         (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+          expr("nullif(__n * __sxx - __sx * __sx, 0.0D)"))
       .withColumn("beta0", (col("__sy") - col("beta1") * col("__sx")) / col("__n"))
       .withColumn("__sse",
         col("__syy") - col("beta0") * col("__sy") - col("beta1") * col("__sxy"))

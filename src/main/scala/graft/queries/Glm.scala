@@ -31,7 +31,7 @@ object Glm extends QueryModule {
       |  FROM lineitem GROUP BY l_returnflag
       |), c AS (
       |  SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
-      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta1
+      |    (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS beta1
       |  FROM m
       |), c2 AS (
       |  SELECT *, (sy - beta1 * sx) / n AS beta0 FROM c
@@ -65,7 +65,7 @@ object Glm extends QueryModule {
       |  FROM lineitem GROUP BY l_returnflag
       |), c AS (
       |  SELECT l_returnflag, sx, sy, n,
-      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta1
+      |    (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS beta1
       |  FROM m
       |), coef AS (
       |  SELECT l_returnflag, beta1, (sy - beta1 * sx) / n AS beta0 FROM c

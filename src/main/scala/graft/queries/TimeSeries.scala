@@ -49,7 +49,7 @@ object TimeSeries extends QueryModule {
       |), mm AS (
       |  SELECT user_id, s/n AS mean, sq/n - (s/n)*(s/n) AS var FROM m
       |)
-      |SELECT e.event_id, e.user_id, (e.value - mm.mean) / sqrt(mm.var) AS z
+      |SELECT e.event_id, e.user_id, (e.value - mm.mean) / sqrt(nullif(mm.var, 0.0)) AS z
       |FROM events e JOIN mm ON e.user_id = mm.user_id
       |ORDER BY e.event_id""".stripMargin
 

@@ -74,7 +74,7 @@ object WindowAgg extends QueryModule {
       .withColumn("__mean", col("__s") / col("__n"))
       .withColumn("__var", col("__sq") / col("__n") - col("__mean") * col("__mean"))
       .select(col("o_orderkey"),
-        ((col("o_totalprice") - col("__mean")) / sqrt(col("__var"))).as("z"))
+        ((col("o_totalprice") - col("__mean")) / sqrt(expr("nullif(__var, 0.0D)"))).as("z"))
       .orderBy("o_orderkey")
   }
 
@@ -86,7 +86,7 @@ object WindowAgg extends QueryModule {
       |    CAST(COUNT(*) AS DOUBLE) AS n
       |  FROM o
       |), mm AS (SELECT s/n AS mean, sq/n - (s/n)*(s/n) AS var FROM m)
-      |SELECT o.o_orderkey, (o.o_totalprice - mm.mean) / sqrt(mm.var) AS z
+      |SELECT o.o_orderkey, (o.o_totalprice - mm.mean) / sqrt(nullif(mm.var, 0.0)) AS z
       |FROM o CROSS JOIN mm
       |ORDER BY o.o_orderkey""".stripMargin
 

@@ -34,11 +34,13 @@ object StatsOps {
         sum(v.cast(dec) * v.cast(dec)).cast("double").as("__sumsq"),
         count(lit(1)).cast("double").as("__n"),
       )
-    // identical op order to the oracle SQL: mean = sum/n; var = sumsq/n - mean*mean
+    // identical op order to the oracle SQL: mean = sum/n; var = sumsq/n - mean*mean.
+    // nullif guards constant groups (var = 0): z is NULL there instead of an
+    // ANSI divide-by-zero error — mirrored in every oracle SQL.
     df.join(broadcast(moments), partCols)
       .withColumn("__mean", col("__sum") / col("__n"))
       .withColumn("__var", col("__sumsq") / col("__n") - col("__mean") * col("__mean"))
-      .withColumn("z", (v - col("__mean")) / sqrt(col("__var")))
+      .withColumn("z", (v - col("__mean")) / sqrt(expr("nullif(__var, 0.0D)")))
       .drop("__sum", "__sumsq", "__n", "__mean", "__var")
   }
 

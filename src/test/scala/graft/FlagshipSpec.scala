@@ -23,4 +23,26 @@ class FlagshipSpec extends SparkSpec {
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("M5: per-regressor partitioned export (write.partitionBy)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-m5").toString
+    graft.queries.Flagship.singleSubjectModel(spark, sf0001)
+      .write.mode("overwrite").partitionBy("regressor").parquet(out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // ssm_loop.py:99-102 writes one map per regressor; partitionBy is the
+    // engine's single-write form of that loop
+    assert(graft.queries.Flagship.regressors
+      .forall(r => dirs.contains(s"regressor=$r")), s"missing partitions in $dirs")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 10L * graft.queries.Flagship.regressors.length)
+  }
+
+  test("W7: spike regressors are one-hot at flagged TRs") {
+    val tl = graft.design.DesignOps.timeline(spark, 6, 1.0)
+    val out = graft.design.DesignOps.spikeRegressors(tl, Seq(1L, 4L))
+      .orderBy("t").collect()
+    assert(out.map(_.getAs[Double]("spike_1")).toSeq === Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    assert(out.map(_.getAs[Double]("spike_4")).toSeq === Seq(0.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+  }
 }
