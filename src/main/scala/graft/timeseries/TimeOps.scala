@@ -58,7 +58,8 @@ object TimeOps {
     val carried = payloadCols.foldLeft(tagged) { (d, c) =>
       d.withColumn(s"asof_$c", last(s"asof_$c", ignoreNulls = true).over(w))
     }
-    carried.filter(col("__tag") === 1).select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
+    carried.filter(col("__tag") === 1)
+      .select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))).toSeq: _*)
   }
 
   /** Tumbling-window bucketing of an epoch-nanos long column: adds `bucket`
