@@ -46,18 +46,27 @@ object TextOps {
 
   /** doc_id → one row per *distinct* shingle hash (the shingle-set relation
     * used by Jaccard / MinHash). k-word shingles, two-level polynomial
-    * hashed. */
-  def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    * hashed — native Catalyst expressions (graft.functions.Hashing) on the
+    * hot path; the HOF forms above remain the executable spec (HashingSpec
+    * pins bit-equality, the DuckDB oracle re-checks end-to-end). */
+  def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Hashing
+    val th = transform(split(col("text"), " "), t => Hashing.poly_hash(t))
+    val shingles = when(size(col("__th")) >= k,
+      transform(sequence(lit(0), size(col("__th")) - k),
+        i => Hashing.poly_hash_longs(slice(col("__th"), i + lit(1), lit(k)))))
+      .otherwise(expr("CAST(array() AS array<bigint>)"))
     docs
-      .withColumn("__th", expr(tokenHashArrayExpr))
-      .select(col("doc_id"), explode(expr(shingleHashExpr(k))).as("h"))
+      .withColumn("__th", th)
+      .select(col("doc_id"), explode(shingles).as("h"))
       .distinct()
+  }
 
   /** doc_id → one row per token occurrence with its hash. */
   def tokenHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
-      .withColumn("h", expr(polyHash("tok")))
+      .withColumn("h", graft.functions.Hashing.poly_hash(col("tok")))
 
   /** Per-document quality stats (training-data filtering features): token
     * count, distinct-token count, type/token ratio, mean token length,
@@ -129,16 +138,12 @@ object TextOps {
     * 8-char-gram hash (the winnowing-style content fingerprint — stable under
     * suffix edits, cheap to compare at scale).
     */
-  def fingerprints(docs: DataFrame): DataFrame =
+  def fingerprints(docs: DataFrame): DataFrame = {
+    import graft.functions.Hashing
     docs.select(
       col("doc_id"),
-      expr(polyHash("text")).as("full_fp"),
-      expr(
-        s"""CASE WHEN length(text) >= 8 THEN
-           | array_min(transform(sequence(1, length(text) - 7),
-           |   i -> aggregate(split(substring(text, i, 8), ''), 0L,
-           |        (acc, c) -> (acc * 31 + ascii(c)) % ${P}L)))
-           | ELSE ${polyHash("text")} END""".stripMargin.replace("\n", ""),
-      ).as("min8_fp"),
+      Hashing.poly_hash(col("text")).as("full_fp"),
+      Hashing.min_gram_hash(col("text"), lit(8)).as("min8_fp"),
     )
+  }
 }
