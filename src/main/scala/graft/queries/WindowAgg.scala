@@ -99,10 +99,26 @@ object WindowAgg extends QueryModule {
       .withColumn("vif", round(col("vif"), 6))
       .orderBy("regressor")
 
+  /** q55: sketch-based approximate aggregates — the 100 TB substitutes for
+    * exact distinct/percentile (HyperLogLog++ and t-digest merge
+    * commutatively, so results are partition-order independent). No DuckDB
+    * oracle: sketch implementations differ across engines by design —
+    * rows-only check plus exact-counterpart sanity bounds in the spec. */
+  def approxStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 6).as("approx_p50"),
+      )
+      .orderBy("l_returnflag")
+
   override def queries: Seq[Q] = Seq(
     Q("q44_window_frames", windowFrames, Some(windowFramesSql)),
     Q("q45_cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("q46_zscore_global", zscoreGlobal, Some(zscoreGlobalSql)),
     Q("q47_vif", vifRegressors, None),
+    Q("q55_approx_stats", approxStats, None),
   )
 }

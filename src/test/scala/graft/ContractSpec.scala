@@ -17,14 +17,26 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented four") {
+  test("rows-only queries are the documented five") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly === Set(
       "q32_ols_pvalues", // Student-t CDF has no DuckDB form
       "q42_media_features", // mapPartitions stub decode
       "q47_vif", // k×k matrix inverse
       "q48_flagship_glm", // data-dependent design matrix + t CDF
+      "q55_approx_stats", // sketches differ across engines by design
     ))
+  }
+
+  test("q55 sketches bound their exact counterparts") {
+    val rows = SparkEntry.queries("q55_approx_stats")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"HLL off >10%: $r")
+      assert(r.getAs[Double]("approx_p50") > 0.0)
+    }
   }
 
   test("oracle SQL contains no tabs (driver JSON-escape hazard)") {
