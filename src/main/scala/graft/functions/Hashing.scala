@@ -50,10 +50,13 @@ object Hashing {
     acc
   }
 
-  /** min over i of fold(substring(s, i, k)); fold(s) when len < k. */
+  /** min over i of fold(substring(s, i, k)); fold(s) when len < k.
+    * Windows and folds are over CODE POINTS (like foldString, Spark
+    * `substring`/`length`, and DuckDB `substring`/`ord`) so the value is
+    * well-defined beyond the BMP, not just on the ASCII corpus contract. */
   def minGram(s: UTF8String, k: Int): Long = {
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < k) foldString(s)
     else {
       var best = Long.MaxValue
@@ -61,7 +64,7 @@ object Hashing {
       while (i + k <= n) {
         var acc = 0L
         var j = i
-        while (j < i + k) { acc = (acc * 31 + str.charAt(j)) % P; j += 1 }
+        while (j < i + k) { acc = (acc * 31 + cps(j)) % P; j += 1 }
         if (acc < best) best = acc
         i += 1
       }

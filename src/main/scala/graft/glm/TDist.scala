@@ -79,15 +79,21 @@ object TDist {
     }
   }
 
-  /** Two-sided p-value of a t statistic with `df` degrees of freedom. */
+  /** Two-sided p-value of a t statistic with `df` degrees of freedom.
+    * Total over its input domain: NaN t, NaN df, and df ≤ 0 all yield NaN
+    * (a NaN df must not reach regIncBeta's range check — `!(df > 0)` is
+    * true for NaN where `df <= 0` is not). */
   def pTwoSided(t: Double, df: Double): Double = {
-    if (t.isNaN || df <= 0) Double.NaN
+    if (t.isNaN || !(df > 0)) Double.NaN
     else regIncBeta(df / 2.0, 0.5, df / (df + t * t))
   }
 
-  /** CDF of the t distribution. */
+  /** CDF of the t distribution (NaN-total like pTwoSided). */
   def cdf(t: Double, df: Double): Double = {
-    val p = 0.5 * regIncBeta(df / 2.0, 0.5, df / (df + t * t))
-    if (t >= 0) 1.0 - p else p
+    if (t.isNaN || !(df > 0)) Double.NaN
+    else {
+      val p = 0.5 * regIncBeta(df / 2.0, 0.5, df / (df + t * t))
+      if (t >= 0) 1.0 - p else p
+    }
   }
 }

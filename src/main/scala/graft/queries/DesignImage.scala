@@ -45,7 +45,7 @@ object DesignImage extends QueryModule {
 
   private val dctPolySql =
     """SELECT CAST(g AS BIGINT) AS t,
-      |  1.0 AS poly0,
+      |  CAST(1.0 AS DOUBLE) AS poly0,
       |  round((g - 59.5) / 120.0, 6) AS poly1,
       |  round(cos(3.141592653589793 * 1 * (2*g + 1) / 240.0), 6) AS dct1,
       |  round(cos(3.141592653589793 * 2 * (2*g + 1) / 240.0), 6) AS dct2,

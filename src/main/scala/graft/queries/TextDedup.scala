@@ -130,7 +130,7 @@ object TextDedup extends QueryModule {
        |  GROUP BY doc_id, r.i
        |)
        |SELECT doc_id,
-       |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 

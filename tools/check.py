@@ -43,11 +43,33 @@ def main():
             continue
         try:
             duck_df = con.execute(sql).df()
+            duck_types = dict(
+                (r[0], r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()
+            )
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         s, o = canon(spark_df), canon(duck_df)
+        # Oracle output convention: numeric columns must stay inside the
+        # pandas int/float families the driver compare hashes. Standard
+        # int widths (TINYINT..BIGINT) and FLOAT/DOUBLE are fine; HUGEINT /
+        # unsigned types leave the family (q23's uncast SUM came back as
+        # HUGEINT and hash-mismatched despite equal values) and must FAIL.
+        # DECIMAL coerces to float64 — allowed but warned, since it can
+        # silently round differently from the Spark double.
+        bad_types = {
+            c: t for c, t in duck_types.items()
+            if t in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+                     "USMALLINT", "UTINYINT")
+        }
+        if bad_types:
+            print(f"FAIL {name}: oracle column types outside int64/float64 families: {bad_types}")
+            n_fail += 1
+            continue
+        for c, t in duck_types.items():
+            if t.startswith("DECIMAL"):
+                print(f"WARN {name}: col {c} is {t} in the oracle (coerces to float64); prefer an explicit CAST AS DOUBLE")
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(o.columns)}")
             n_fail += 1
@@ -59,6 +81,11 @@ def main():
         ok = True
         for c in s.columns:
             sv, ov = s[c], o[c]
+            if (sv.dtype.kind in "if" or ov.dtype.kind in "if") \
+                    and sv.dtype.kind != ov.dtype.kind:
+                print(f"FAIL {name}: col {c} dtype family spark={sv.dtype} duck={ov.dtype}")
+                ok = False
+                continue
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
                 a = sv.to_numpy(dtype=float)
                 b = ov.to_numpy(dtype=float)
