@@ -91,13 +91,40 @@ object DedupOps {
 
   /** MinHash-LSH near-dup pairs: LSH candidates, then exact-Jaccard verify
     * at `threshold`. k-shingle words, `numHashes` hash functions, bands of
-    * `rowsPerBand`. */
+    * `rowsPerBand`.
+    *
+    * Physical plan: ONE pass over each document builds its distinct
+    * shingle-hash array; signature and band keys are further per-row native
+    * expressions (min over a multiset = min over its set, so no dedup is
+    * even needed there). The only shuffles left are the (band, bkey)
+    * self-join — the LSH point: bucket sizes ARE the candidate sets — and
+    * the two doc_id-keyed verify joins, whose probe side is candidate
+    * pairs only. Jaccard verification intersects the two shingle ARRAYS
+    * directly (hash-set probe of the smaller side) instead of re-exploding
+    * an inverted index. The groupBy-based spec forms (minhashSignatures /
+    * lshBands / jaccardOf) stay as the oracle-mirrored formulation, pinned
+    * equal by NativeTextSpec. */
   def minhashDupPairs(
       docs: DataFrame, shingleK: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sh = TextOps.shingleHashes(docs, shingleK)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
-    jaccardOf(cands, sh)
+    import graft.functions.TextExprs
+    val withSh = docs
+      .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bands = withSh
+      .select(col("doc_id"),
+        posexplode(TextExprs.lsh_band_keys(
+          TextExprs.min_hash_sig(col("sh"), numHashes), rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
+      size(col("sh")).cast("long").as("__na"))
+    val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
+      size(col("sh")).cast("long").as("__nb"))
+    lshCandidates(bands)
+      .join(aSh, "doc_a").join(bSh, "doc_b")
+      .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -110,11 +137,18 @@ object DedupOps {
     */
   def jaccardDupPairs(docs: DataFrame, shingleK: Int, threshold: Double,
       maxDf: Long = 0L): DataFrame = {
-    val sh = TextOps.shingleHashes(docs, shingleK)
+    import graft.functions.TextExprs
+    val withSh = docs
+      .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // the shingle array is per-doc DISTINCT by construction, so exploding it
+    // yields the set relation directly — no post-explode distinct exchange,
+    // and per-doc sizes are a projection (size(sh)), not an aggregation
+    val sh = withSh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     if (maxDf <= 0) {
       // no cap: the inverted-index self-join yields common counts directly —
       // one groupBy instead of distinct-pairs + two re-joins
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.select(col("doc_id").as("doc_a"), col("h"))
         .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_a") < col("doc_b"))
@@ -134,15 +168,30 @@ object DedupOps {
         .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      jaccardOf(cands, sh)
+      val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
+        size(col("sh")).cast("long").as("__na"))
+      val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
+        size(col("sh")).cast("long").as("__nb"))
+      cands.join(aSh, "doc_a").join(bSh, "doc_b")
+        .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
+        .withColumn("jaccard", col("__common").cast("double") /
+          (col("__na") + col("__nb") - col("__common")))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }
   }
 
   /** 32-bit SimHash per document over token-occurrence hashes: bit i of the
-    * fingerprint is set iff Σ_tokens (2·bit_i(h) − 1) > 0 (ties → 0). */
+    * fingerprint is set iff Σ_tokens (2·bit_i(h) − 1) > 0 (ties → 0).
+    * One native-expression projection — no explode, no shuffle; the
+    * explode-based spec form below (×32 bit fan-out + two aggregations) is
+    * what the DuckDB oracle mirrors, pinned equal by NativeTextSpec. */
   def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhash32(col("text")).as("simhash"))
+
+  /** Executable spec for [[simhash]] (the oracle's formulation). */
+  def simhashViaExplode(docs: DataFrame): DataFrame =
     TextOps.tokenHashes(docs)
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("i"))
       .groupBy("doc_id", "i")

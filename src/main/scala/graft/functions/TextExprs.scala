@@ -1,0 +1,285 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-document text hot path: SimHash,
+  * token quality stats, language-marker counts, distinct shingle-hash sets,
+  * MinHash signatures, LSH band keys, and set-intersection size.
+  *
+  * Each computes in ONE pass over the document what the explode-based
+  * formulations in TextOps/DedupOps compute with a token/bit fan-out plus a
+  * groupBy(doc_id) exchange — e.g. SimHash32 replaces a 32× row explosion
+  * and two aggregations with a single projection. The explode forms remain
+  * the executable spec (mirrored by the DuckDB oracle; NativeTextSpec pins
+  * bit-equality), these are the plans you'd actually run on 100 TB: a pure
+  * map stage, no shuffle, inside whole-stage codegen via `doGenCode`.
+  *
+  * Tokenization parity: tokens are the `split(text, ' ')` segments with
+  * limit −1 semantics (empty tokens between consecutive separators and at
+  * the ends are KEPT); hashes are the radix-31 code-point fold mod 1e9+7 of
+  * Hashing.foldString; token lengths count code points like Spark's
+  * `length`.
+  */
+object TextExprs {
+
+  val P = Hashing.P
+  private val EmptyLongs = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Walk `split(s, ' ')` (limit −1), invoking `f(hash, start, end)` per
+    * token where [start, end) are char offsets in `str`. */
+  private def foreachToken(str: String, f: (Long, Int, Int) => Unit): Unit = {
+    val n = str.length
+    var start = 0
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') { f(acc, start, i); acc = 0L; start = i + 1 }
+      else acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    f(acc, start, n)
+  }
+
+  /** 32-bit SimHash: bit i of the result is set iff the (+1/−1) sum of bit i
+    * over all token-occurrence hashes is > 0 (ties → 0). */
+  def simHash(s: UTF8String): Long = {
+    val counts = new Array[Int](32)
+    foreachToken(s.toString, (h, _, _) => {
+      var i = 0
+      while (i < 32) { counts(i) += (((h >> i) & 1L).toInt << 1) - 1; i += 1 }
+    })
+    var fp = 0L
+    var i = 0
+    while (i < 32) { if (counts(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  /** One-pass token stats: (n_tokens, n_distinct, sum of code-point lengths,
+    * stopword hits). Distinct is over token STRINGS (hash-collision-proof,
+    * like countDistinct). */
+  def tokenStats(s: UTF8String, stop: java.util.HashSet[String]): InternalRow = {
+    val str = s.toString
+    val seen = new java.util.HashSet[String]()
+    var nTok = 0L; var sumLen = 0L; var nStop = 0L
+    foreachToken(str, (_, a, b) => {
+      val tok = str.substring(a, b)
+      nTok += 1
+      sumLen += tok.codePointCount(0, tok.length)
+      if (stop.contains(tok)) nStop += 1
+      seen.add(tok)
+    })
+    new GenericInternalRow(Array[Any](nTok, seen.size.toLong, sumLen, nStop))
+  }
+
+  /** Per-marker-set token hit counts, one pass. */
+  def markerCounts(s: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val str = s.toString
+    val counts = new Array[Long](sets.length)
+    foreachToken(str, (_, a, b) => {
+      val tok = str.substring(a, b)
+      var i = 0
+      while (i < sets.length) { if (sets(i).contains(tok)) counts(i) += 1; i += 1 }
+    })
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  /** Distinct k-token-shingle hashes (two-level radix-31 fold), in first-
+    * occurrence order; empty when the document has < k tokens. */
+  def shingleHashSet(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    var th = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, _, _) => {
+      if (n == th.length) th = java.util.Arrays.copyOf(th, n * 2)
+      th(n) = h; n += 1
+    })
+    if (n < k) EmptyLongs
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var out = new Array[Long](n - k + 1)
+      var m = 0
+      var i = 0
+      while (i + k <= n) {
+        var acc = 0L
+        var j = i
+        while (j < i + k) { acc = (acc * 31 + th(j)) % P; j += 1 }
+        if (seen.add(acc)) { out(m) = acc; m += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+    }
+  }
+
+  /** MinHash signature over a shingle-hash array: sig[j] = min over hashes of
+    * ((2j+3)·h + (5j+7)) mod P — the affine family of DedupOps. */
+  def minHashSig(sh: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 3L) * h + (5L * j + 7L)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  private val BandW = Array(1L, 31L, 961L, 29791L)
+
+  /** LSH band keys: key[b] = Σ_{r<rpb} sig[b·rpb + r] · 31^r (the radix-31
+    * combination of DedupOps.lshBands; rpb ≤ 4 keeps it in int64). */
+  def lshBandKeys(sig: ArrayData, rowsPerBand: Int): ArrayData = {
+    val nb = sig.numElements() / rowsPerBand
+    val keys = new Array[Long](nb)
+    var b = 0
+    while (b < nb) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) { acc += sig.getLong(b * rowsPerBand + r) * BandW(r); r += 1 }
+      keys(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  /** |A ∩ B| for two long-array SETS (each side has no internal dups). */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[java.lang.Long](small.numElements() * 2)
+    var i = 0
+    val ns = small.numElements()
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var common = 0L
+    val nl = large.numElements()
+    i = 0
+    while (i < nl) { if (set.contains(large.getLong(i))) common += 1; i += 1 }
+    common
+  }
+
+  private val T = "graft.functions.TextExprs"
+
+  // ------------------------------------------------------------ expressions
+
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+    override def nullSafeEval(v: Any): Any = simHash(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.simHash($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class TokenStats(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      stopwords.foreach(s.add)
+      s
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("sumlen", LongType, nullable = false),
+      StructField("nstop", LongType, nullable = false),
+    ))
+    override def prettyName: String = "token_stats"
+    override def nullSafeEval(v: Any): Any = tokenStats(v.asInstanceOf[UTF8String], stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"$T.tokenStats($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MarkerCounts(child: Expression, markerSets: Seq[Seq[String]])
+      extends UnaryExpression {
+    @transient private lazy val sets: Array[java.util.HashSet[String]] =
+      markerSets.map { ws =>
+        val s = new java.util.HashSet[String]()
+        ws.foreach(s.add)
+        s
+      }.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "marker_counts"
+    override def nullSafeEval(v: Any): Any = markerCounts(v.asInstanceOf[UTF8String], sets)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+      defineCodeGen(ctx, ev, c => s"$T.markerCounts($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash_set"
+    override def nullSafeEval(v: Any): Any = shingleHashSet(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.shingleHashSet($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "min_hash_sig"
+    override def nullSafeEval(v: Any): Any = minHashSig(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.minHashSig($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class LshBandKeys(child: Expression, rowsPerBand: Int) extends UnaryExpression {
+    require(rowsPerBand >= 1 && rowsPerBand <= 4,
+      "radix-31 band key supports <= 4 rows/band in int64")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_band_keys"
+    override def nullSafeEval(v: Any): Any = lshBandKeys(v.asInstanceOf[ArrayData], rowsPerBand)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.lshBandKeys($c, $rowsPerBand)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "intersect_size"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$T.intersectSize($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // --------------------------------------------------------- Column facades
+
+  def simhash32(c: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+  def token_stats(c: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(c), stopwords))
+  def marker_counts(c: Column, markerSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MarkerCounts(ColumnBridge.expression(c), markerSets))
+  def shingle_hash_set(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(c), k))
+  def min_hash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+  def lsh_band_keys(c: Column, rowsPerBand: Int): Column =
+    ColumnBridge.column(LshBandKeys(ColumnBridge.expression(c), rowsPerBand))
+  def intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(IntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

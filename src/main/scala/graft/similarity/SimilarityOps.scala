@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
 
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`Array[Float]`).
@@ -29,7 +30,7 @@ object SimilarityOps {
   def prepared(emb: DataFrame): DataFrame =
     emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(expr(dotExpr("v", "v"))))
+      .withColumn("norm", sqrt(VectorExprs.dot_fold(col("v"), col("v"))))
 
   /** Brute-force cosine top-k: for each query vector (a subset of the
     * corpus), the k nearest other vectors by cosine similarity,
@@ -42,7 +43,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", expr(dotExpr("qv", "v")) / (col("qnorm") * col("norm")))
+      .withColumn("cosine", VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -63,7 +64,7 @@ object SimilarityOps {
     * exact cosine top-k within the bucket. Recall < 1 by construction (the
     * scale path); fully deterministic. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int): DataFrame = {
-    val corpus = prepared(emb).withColumn("bucket", expr(signBucketExpr("v", nBits)))
+    val corpus = prepared(emb).withColumn("bucket", VectorExprs.sign_bucket(col("v"), nBits))
     val queries = corpus
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -71,7 +72,7 @@ object SimilarityOps {
     val scored = corpus
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", expr(dotExpr("qv", "v")) / (col("qnorm") * col("norm")))
+      .withColumn("cosine", VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -99,7 +100,7 @@ object SimilarityOps {
       .orderBy(col("__cs").desc, col("cent_id").asc)
     val assigned = corpus
       .join(broadcast(centroids), expr("true"))
-      .withColumn("__cs", expr(dotExpr("v", "cv")) / (col("norm") * col("cnorm")))
+      .withColumn("__cs", VectorExprs.dot_fold(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       .withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
@@ -111,7 +112,7 @@ object SimilarityOps {
     assigned
       .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", expr(dotExpr("qv", "v")) / (col("qnorm") * col("norm")))
+      .withColumn("cosine", VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -122,14 +123,14 @@ object SimilarityOps {
     * threshold, candidates pruned to shared sign buckets ∪ brute force when
     * `bucketed` is false. Embedding-space analog of DedupOps near-dup. */
   def cosineDupPairs(emb: DataFrame, threshold: Double, nBits: Int): DataFrame = {
-    val corpus = prepared(emb).withColumn("bucket", expr(signBucketExpr("v", nBits)))
+    val corpus = prepared(emb).withColumn("bucket", VectorExprs.sign_bucket(col("v"), nBits))
     val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
       col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", VectorExprs.dot_fold(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -46,21 +46,13 @@ object TextOps {
 
   /** doc_id → one row per *distinct* shingle hash (the shingle-set relation
     * used by Jaccard / MinHash). k-word shingles, two-level polynomial
-    * hashed — native Catalyst expressions (graft.functions.Hashing) on the
-    * hot path; the HOF forms above remain the executable spec (HashingSpec
+    * hashed — ONE native expression computes the whole distinct set per doc
+    * (no per-shingle slice allocation, no post-explode `.distinct()`
+    * exchange); the HOF forms above remain the executable spec (HashingSpec
     * pins bit-equality, the DuckDB oracle re-checks end-to-end). */
-  def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
-    import graft.functions.Hashing
-    val th = transform(split(col("text"), " "), t => Hashing.poly_hash(t))
-    val shingles = when(size(col("__th")) >= k,
-      transform(sequence(lit(0), size(col("__th")) - k),
-        i => Hashing.poly_hash_longs(slice(col("__th"), i + lit(1), lit(k)))))
-      .otherwise(expr("CAST(array() AS array<bigint>)"))
-    docs
-      .withColumn("__th", th)
-      .select(col("doc_id"), explode(shingles).as("h"))
-      .distinct()
-  }
+  def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.TextExprs.shingle_hash_set(col("text"), k)).as("h"))
 
   /** doc_id → one row per token occurrence with its hash. */
   def tokenHashes(docs: DataFrame): DataFrame =
@@ -73,17 +65,7 @@ object TextOps {
     * stopword ratio, non-alnum character ratio. All ratios are exact-integer
     * divisions rounded to 6 decimals — deterministic across engines.
     */
-  def qualityStats(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
-    val tok = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
-    val agg = tok
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"),
-        sum(length(col("tok")).cast("long")).as("__sumlen"),
-        sum(expr(s"CASE WHEN tok IN ($stopList) THEN 1L ELSE 0L END")).as("__nstop"),
-      )
+  def qualityStats(docs: DataFrame, stopwords: Seq[String]): DataFrame =
     docs
       .select(
         col("doc_id"),
@@ -91,8 +73,15 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars"),
         (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
           .cast("long").as("__alnum"),
+        graft.functions.TextExprs.token_stats(col("text"), stopwords).as("__ts"),
       )
-      .join(agg, "doc_id")
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("__alnum"),
+        col("__ts.n_tokens").as("n_tokens"),
+        col("__ts.n_distinct").as("n_distinct"),
+        col("__ts.sumlen").as("__sumlen"),
+        col("__ts.nstop").as("__nstop"),
+      )
       .select(
         col("doc_id"),
         col("lang"),
@@ -105,21 +94,19 @@ object TextOps {
         round((col("n_chars") - col("__alnum")).cast("double") / col("n_chars"), 6)
           .as("punct_ratio"),
       )
-  }
 
   /** Marker-word language-ID heuristic: count hits from per-language marker
     * sets, argmax with fixed priority order (en > de > fr > es), 'und' when
     * no marker hits. Returns the (labeled lang × predicted) confusion counts.
     */
   def langIdConfusion(docs: DataFrame, markers: Map[String, Seq[String]]): DataFrame = {
-    def score(lang: String): Column = {
-      val lst = markers(lang).map(s => s"'$s'").mkString(", ")
-      sum(expr(s"CASE WHEN tok IN ($lst) THEN 1L ELSE 0L END")).as(s"s_$lang")
-    }
-    val tok = docs.select(col("doc_id"), col("lang"), explode(expr(tokensExpr)).as("tok"))
-    tok
-      .groupBy("doc_id", "lang")
-      .agg(score("en"), score("de"), score("fr"), score("es"))
+    val langs = Seq("en", "de", "fr", "es")
+    docs
+      .select(col("lang"),
+        graft.functions.TextExprs.marker_counts(col("text"), langs.map(markers)).as("__mc"))
+      .select(col("lang") +: langs.zipWithIndex.map { case (l, i) =>
+        col("__mc").getItem(i).as(s"s_$l")
+      }: _*)
       .withColumn(
         "predicted",
         expr(
