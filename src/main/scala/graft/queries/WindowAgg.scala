@@ -91,13 +91,62 @@ object WindowAgg extends QueryModule {
       |ORDER BY o.o_orderkey""".stripMargin
 
   /** q47: variance inflation factors over three lineitem regressors —
-    * driver-side k×k inverse (A10); no SQL oracle (matrix inverse),
-    * rows-only check + spec golden. */
+    * driver-side k×k inverse (A10). The oracle transcribes the EXACT
+    * Gauss-Jordan operation sequence of LinAlg.inverse for k=3 into SQL
+    * (same IEEE-754 op order on the same exact-decimal moment sums, so the
+    * diagonal matches bit-for-bit before the defensive 6-decimal round).
+    * Valid because no pivot swap fires: the correlation matrix has unit
+    * diagonal and near-zero off-diagonals for these regressors, so partial
+    * pivoting keeps the natural row order. */
   def vifRegressors(s: SparkSession, d: String): DataFrame =
     StatsOps
       .vif(s, lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
       .withColumn("vif", round(col("vif"), 6))
       .orderBy("regressor")
+
+  /** Gauss-Jordan (no-pivot) 3×3 inverse diagonal, transcribed op-for-op:
+    * with correlations b=r01, c=r02, d=r12 —
+    * col 0 eliminates to e=1−b·b, g=(d−b·c)/e, u=(−b)/e, v=1/e;
+    * col 1 to h=c−b·g, q=(1−c·c)−(d−c·b)·g and row-2 inverse entries;
+    * col 2 divides and back-eliminates. vif0=(1−b·u)−h·w0, vif1=v−g·w1,
+    * vif2=1/q. */
+  private val vifSql =
+    """WITH m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s0,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p00,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p01,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p02,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p11,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p12,
+      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p22
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT
+      |    (n * p01 - s0 * s1) / (sqrt(n * p00 - s0 * s0) * sqrt(n * p11 - s1 * s1)) AS b,
+      |    (n * p02 - s0 * s2) / (sqrt(n * p00 - s0 * s0) * sqrt(n * p22 - s2 * s2)) AS c,
+      |    (n * p12 - s1 * s2) / (sqrt(n * p11 - s1 * s1) * sqrt(n * p22 - s2 * s2)) AS d
+      |  FROM m
+      |), g1 AS (
+      |  SELECT b, c, d, 1 - b * b AS e, d - b * c AS m1, d - c * b AS m2,
+      |    1 - c * c AS a22
+      |  FROM r
+      |), g2 AS (
+      |  SELECT *, m1 / e AS g, (0 - b) / e AS u, 1 / e AS v FROM g1
+      |), g3 AS (
+      |  SELECT *, c - b * g AS h, a22 - m2 * g AS q,
+      |    (0 - c) - m2 * u AS i20, 0 - m2 * v AS i21
+      |  FROM g2
+      |), g4 AS (
+      |  SELECT *, i20 / q AS w0, i21 / q AS w1, 1 / q AS w2 FROM g3
+      |)
+      |SELECT regressor, vif FROM (
+      |  SELECT 'l_quantity' AS regressor, round((1 - b * u) - h * w0, 6) AS vif FROM g4
+      |  UNION ALL SELECT 'l_discount', round(v - g * w1, 6) FROM g4
+      |  UNION ALL SELECT 'l_tax', round(w2, 6) FROM g4
+      |) ORDER BY regressor""".stripMargin
 
   /** q55: sketch-based approximate aggregates — the 100 TB substitutes for
     * exact distinct/percentile (HyperLogLog++ and t-digest merge
@@ -118,7 +167,7 @@ object WindowAgg extends QueryModule {
     Q("q44_window_frames", windowFrames, Some(windowFramesSql)),
     Q("q45_cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("q46_zscore_global", zscoreGlobal, Some(zscoreGlobalSql)),
-    Q("q47_vif", vifRegressors, None),
+    Q("q47_vif", vifRegressors, Some(vifSql)),
     Q("q55_approx_stats", approxStats, None),
   )
 }

@@ -88,8 +88,11 @@ object StatsOps {
     pairs.foreach { case (i, j) =>
       val v = row.getAs[Double](s"__p${i}_$j"); p(i)(j) = v; p(j)(i) = v
     }
+    // diagonal is EXACTLY 1.0 (y/(sqrt(y)·sqrt(y)) would be 1±ulp) — the
+    // q47 oracle transcribes the Gauss-Jordan sequence assuming unit diag
     val r = Array.tabulate(k, k) { (i, j) =>
-      (n * p(i)(j) - s(i) * s(j)) /
+      if (i == j) 1.0
+      else (n * p(i)(j) - s(i) * s(j)) /
         (math.sqrt(n * p(i)(i) - s(i) * s(i)) * math.sqrt(n * p(j)(j) - s(j) * s(j)))
     }
     val inv = graft.glm.LinAlg.inverse(r)
