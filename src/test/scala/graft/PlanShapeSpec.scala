@@ -39,6 +39,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q23: simhash is a pure map stage — no exchange, no generate") {
+    val p = plan("q23_simhash")
+    assert(!p.contains("Generate"), "simhash still explodes rows")
+    // the only allowed exchange is the final ORDER BY's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "simhash shuffles — the one-pass expression should make it map-only")
+  }
+
+  test("q24/q25: token stats and lang-ID have no per-token explode") {
+    assert(!plan("q24_text_stats").contains("Generate"))
+    assert(!plan("q25_lang_id").contains("Generate"))
+  }
+
+  test("q27: query side is broadcast; corpus is never hash-exchanged for the join") {
+    val p = plan("q27_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+  }
+
+  test("bucketed co-located join plans with zero shuffle exchanges") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      s.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .option("path", "/tmp/graft_bucketed/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      s.read.parquet(s"$sf0001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", "/tmp/graft_bucketed/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_ord_bucketed")
+      val joined = s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"), max(col("o_totalprice")).as("tp"))
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      // matching 8-bucket layouts on the join key: the join AND the
+      // downstream aggregation both reuse the bucketing — no exchange at all
+      assert(p.contains("SortMergeJoin"), p.take(500))
+      assert(!p.contains("Exchange"),
+        "bucketed join should be shuffle-free end to end")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asofJoin: simultaneous right row counts (ties at equal ts)") {
     val s = spark
     import s.implicits._
