@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPerKey.install(spark)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -29,8 +29,10 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline (SURVEY.md §3): boxcar → HRF → DCT/poly → mass GLM. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    graft.plans.TopKPerKey.install(spark)
     Flagship.singleSubjectModel(spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
