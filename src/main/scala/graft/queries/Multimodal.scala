@@ -48,8 +48,43 @@ object Multimodal extends QueryModule {
       |WHERE n_frames > 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q56: block-stride payload resize (the image/audio downsample slot of
+    * the decode → extract → resize → frame-sample chain): keep the first 4
+    * bytes of every 8-byte block, binary→binary in the scan stage. Output
+    * is summarized (byte counts + content hash) because DuckDB 1.0 cannot
+    * slice BLOBs — the oracle mirrors the op on the ASCII text stand-in
+    * where char ops == byte ops. */
+  def mediaResize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{BinaryExprs, Hashing}
+    MultimodalOps.mediaFromDocuments(documents(s, d))
+      .select(col("doc_id"), col("payload"),
+        BinaryExprs.block_resize(col("payload"), 8, 4).as("resized"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes_in"),
+        length(col("resized")).cast("long").as("n_bytes_out"),
+        Hashing.poly_hash(col("resized").cast("string")).as("content_hash"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val mediaResizeSql =
+    """WITH resized AS (
+      |  SELECT doc_id, length(text) AS n_in,
+      |    array_to_string(list_transform(range((length(text) + 7) // 8),
+      |      i -> substring(text, CAST(8 * i + 1 AS INT), 4)), '') AS r
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n_in AS BIGINT) AS n_bytes_in,
+      |  CAST(length(r) AS BIGINT) AS n_bytes_out,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(r, ''), c -> CAST(ord(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS content_hash
+      |FROM resized
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q42_media_features", mediaFeatures, None),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
+    Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),
   )
 }

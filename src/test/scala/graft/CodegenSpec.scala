@@ -79,6 +79,11 @@ class CodegenSpec extends SparkSpec {
     checkCodegen(v.select(VectorExprs.sign_bucket(col("v"), 8)), "signBucket")
   }
 
+  test("block_resize generates and compiles") {
+    checkCodegen(docs.select(graft.functions.BinaryExprs.block_resize(
+      encode(col("text"), "UTF-8"), 8, 4)), "blockResize")
+  }
+
   test("t_pvalue generates and compiles") {
     val df = docs.select(graft.functions.TCdf.t_pvalue(
       (col("doc_id") % 7).cast("double"), lit(10.0)))
