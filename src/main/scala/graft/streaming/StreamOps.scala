@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured-Streaming surface (SURVEY.md §2.10): the reference is batch
@@ -70,6 +70,74 @@ object StreamOps {
       )
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Per-key running moments carried across micro-batches by
+    * flatMapGroupsWithState. */
+  case class RunningMoments(n: Long, sum: Double, sumSq: Double)
+
+  /** One flagged outlier event. */
+  case class OutlierFlag(user_id: Long, event_id: Long, value: Double, zscore: Double)
+
+  /** Input row shape for [[runningOutliers]]. */
+  case class KeyedValue(user_id: Long, ts: Long, event_id: Long, value: Double)
+
+  /** The shared per-group fold: rows in (ts, event_id) order, flag a row
+    * whose value deviates more than `z` population-sd from the PRIOR
+    * history's mean (warm-up `minHistory` rows first), then absorb it. */
+  private[streaming] def foldGroup(
+      st: RunningMoments, rows: Seq[KeyedValue], z: Double, minHistory: Long,
+  ): (RunningMoments, Seq[OutlierFlag]) = {
+    var s = st
+    val out = Seq.newBuilder[OutlierFlag]
+    rows.sortBy(r => (r.ts, r.event_id)).foreach { r =>
+      if (s.n >= minHistory) {
+        val mean = s.sum / s.n
+        val variance = s.sumSq / s.n - mean * mean
+        val sd = math.sqrt(math.max(variance, 0.0))
+        if (sd > 0 && math.abs(r.value - mean) > z * sd)
+          out += OutlierFlag(r.user_id, r.event_id, r.value,
+            (r.value - mean) / sd)
+      }
+      s = RunningMoments(s.n + 1, s.sum + r.value, s.sumSq + r.value * r.value)
+    }
+    (s, out.result())
+  }
+
+  /** Custom-state streaming operator (SURVEY.md §2.10 / the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` surface): per-user
+    * RUNNING outlier flags. Unlike a windowed aggregate, the state (count /
+    * sum / sum-of-squares per user) spans the whole stream lifetime across
+    * micro-batches — not expressible with watermark-windowed built-ins.
+    * State is 3 numbers per key: bounded by |keys|, the 100 TB-safe shape.
+    * Determinism contract: rows are folded in (ts, event_id) order within
+    * each batch, so results are reproducible given a fixed batch sequence
+    * (the batch twin [[runningOutliersBatch]] is the one-batch case). */
+  def runningOutliers(events: Dataset[KeyedValue], z: Double,
+      minHistory: Long): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningMoments, OutlierFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[RunningMoments]) =>
+          val st = state.getOption.getOrElse(RunningMoments(0L, 0.0, 0.0))
+          val (next, flags) = foldGroup(st, rows.toSeq, z, minHistory)
+          state.update(next)
+          flags.iterator
+      }
+  }
+
+  /** Batch twin: identical fold over each whole group (single batch). */
+  def runningOutliersBatch(events: Dataset[KeyedValue], z: Double,
+      minHistory: Long): Dataset[OutlierFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (_, rows) =>
+        foldGroup(RunningMoments(0L, 0.0, 0.0), rows.toSeq, z, minHistory)
+          ._2.iterator
+      }
+  }
 
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */

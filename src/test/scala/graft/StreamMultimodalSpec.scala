@@ -34,6 +34,56 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState: running-outlier state spans micro-batches, equals batch twin") {
+    val s = spark
+    import s.implicits._
+    import StreamOps.{KeyedValue, OutlierFlag}
+    val dir = Files.createTempDirectory("graft-state").toString
+    // batch 1: 30 calm rows per user build the running moments; batch 2:
+    // a spike that is only flaggable USING STATE carried from batch 1
+    val calm = (0 until 30).flatMap(i => Seq(
+      KeyedValue(1L, i.toLong, i.toLong, 10.0 + (i % 3)),
+      KeyedValue(2L, i.toLong, 1000L + i, 20.0 + (i % 5)),
+    ))
+    val late = Seq(
+      KeyedValue(1L, 100L, 100L, 500.0), // spike → flagged
+      KeyedValue(1L, 101L, 101L, 10.0), // calm → not flagged
+      KeyedValue(2L, 100L, 1100L, 20.0),
+    )
+    calm.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val firstFiles = new java.io.File(dir).listFiles().map(_.toPath)
+    firstFiles.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+    late.toDS().coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().map(_.toPath)
+      .filterNot(firstFiles.contains).foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000100000L)))
+
+    val stream = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[KeyedValue]].schema)
+      .option("maxFilesPerTrigger", "1") // force one file per micro-batch
+      .parquet(dir)
+      .as[KeyedValue]
+    val streamed = StreamOps.runToMemoryAppend(
+      s,
+      StreamOps.runningOutliers(stream, z = 3.0, minHistory = 10).toDF().writeStream,
+      "state_test",
+    ).as[OutlierFlag].collect().sortBy(_.event_id)
+
+    val batchTwin = StreamOps
+      .runningOutliersBatch((calm ++ late).toDS(), z = 3.0, minHistory = 10)
+      .collect().sortBy(_.event_id)
+
+    assert(streamed.nonEmpty, "the cross-batch spike must be flagged")
+    assert(streamed.map(f => (f.user_id, f.event_id, f.value)).toSeq ===
+      batchTwin.map(f => (f.user_id, f.event_id, f.value)).toSeq)
+    assert(streamed.exists(f => f.event_id == 100L && f.user_id == 1L))
+    // zscores agree to double precision
+    streamed.zip(batchTwin).foreach { case (a, b) =>
+      assert(math.abs(a.zscore - b.zscore) < 1e-12)
+    }
+  }
+
   test("streamingDedup suppresses duplicate keys within the watermark") {
     val s = spark
     import s.implicits._
