@@ -14,7 +14,11 @@ import graft.multimodal.MultimodalOps
 object Multimodal extends QueryModule {
 
   /** q42: partition-batched stub decode → fixed-width features. The first
-    * two feature stripes are projected out so the output is flat doubles. */
+    * two feature stripes are projected out so the output is flat doubles.
+    * The mapPartitions plumbing is the point; the stub's arithmetic (radix-
+    * 31 fold over every 8th payload byte, scaled to [0,1)) is nevertheless
+    * oracle-checkable — the SQL mirrors it in the char domain (ASCII
+    * corpus: char ops == byte ops). */
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     MultimodalOps
       .extractFeatures(s, MultimodalOps.mediaFromDocuments(documents(s, d)))
@@ -24,6 +28,20 @@ object Multimodal extends QueryModule {
         round(element_at(col("features"), 2), 6).as("f1"),
       )
       .orderBy("doc_id")
+
+  private def stripeHash(j: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(range(length(text)), i -> i % ${MultimodalOps.FeatureDim} = $j),
+       |    i -> CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin.replace("\n", " ")
+
+  private val mediaFeaturesSql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  round(CAST(${stripeHash(0)} AS DOUBLE) / 1000000007.0, 6) AS f0,
+       |  round(CAST(${stripeHash(1)} AS DOUBLE) / 1000000007.0, 6) AS f1
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 
   /** q43: every 4th 64-byte frame of each payload, with the frame bytes. */
   def frameSample(s: SparkSession, d: String): DataFrame =
@@ -83,7 +101,7 @@ object Multimodal extends QueryModule {
       |ORDER BY doc_id""".stripMargin
 
   override def queries: Seq[Q] = Seq(
-    Q("q42_media_features", mediaFeatures, None),
+    Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),
   )

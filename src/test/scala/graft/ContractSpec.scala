@@ -17,11 +17,10 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented four") {
+  test("rows-only queries are the documented three") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly === Set(
       "q32_ols_pvalues", // Student-t CDF has no DuckDB form
-      "q42_media_features", // mapPartitions stub decode
       "q48_flagship_glm", // data-dependent design matrix + t CDF
       "q55_approx_stats", // sketches differ across engines by design
     ))
