@@ -23,6 +23,7 @@ object SparkEntry {
     Multimodal,
     WindowAgg,
     Flagship,
+    Training,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

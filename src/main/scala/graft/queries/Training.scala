@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.functions.Hashing
+
+/** Training-set assembly operators: deterministic hash splits and per-key
+  * quota selection — the last mile of a training-data pipeline.
+  *
+  * Why not `df.sample`/`TABLESAMPLE`: Spark's sampling draws per
+  * partition from a seeded RNG, so the selected SET changes with
+  * partitioning, AQE re-plans, and retries — unacceptable for
+  * reproducible train/val/test membership at 100 TB. A content-keyed hash
+  * split is a pure projection: stable under any physical execution, cheap
+  * to recompute, and auditable (membership is a function of the key
+  * alone).
+  */
+object Training extends QueryModule {
+
+  /** Deterministic split bucket: polyHash("<salt>:<key>") Knuth-mixed
+    * (×2654435761, fits int64 since h < 1e9+7) then mod 1000, ranged
+    * against cumulative per-mill thresholds. The multiplicative mix is
+    * essential: the radix-31 fold alone maps consecutive integer keys to
+    * consecutive slots (no avalanche), which would put a contiguous id
+    * range entirely in one split; the ×phi-reciprocal stride (761 mod
+    * 1000, coprime) equidistributes even adversarially-sequential keys. */
+  def hashSplit(docs: DataFrame, keyCol: String, salt: String,
+      perMill: Seq[(String, Int)]): DataFrame = {
+    require(perMill.map(_._2).sum == 1000, "per-mill weights must sum to 1000")
+    val slot = (Hashing.poly_hash(
+      concat_ws(":", lit(salt), col(keyCol).cast("string"))) * lit(2654435761L)) % 1000
+    val cum = perMill.scanLeft(0)(_ + _._2).tail
+    val expr0 = perMill.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), rest) => when(slot < hi, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("split", expr0)
+  }
+
+  /** q57: split the corpus 900/50/50 per-mill into train/val/test keyed on
+    * doc_id; output per-split×lang counts plus an exact membership
+    * fingerprint (sum of doc_ids) so the oracle checks the SET, not just
+    * its size. */
+  def hashSplitQuery(s: SparkSession, d: String): DataFrame =
+    hashSplit(documents(s, d), "doc_id", "graft-v1",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("split", "lang")
+
+  private val hashSplitSql =
+    """WITH slotted AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('graft-v1:' || CAST(doc_id AS VARCHAR), ''),
+      |        c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761 % 1000 AS slot
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN slot < 900 THEN 'train'
+      |            WHEN slot < 950 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM slotted
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
+  /** q58: per-language quota — the `quota` highest-quality docs per lang
+    * (quality = distinct-token ratio, deterministic tie-break on doc_id).
+    * Declarative row_number window; TopKPerKey plans it as bounded heaps
+    * when installed. */
+  def langQuota(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.text.TextOps
+      .qualityStats(documents(s, d), Seq("the", "a"))
+      .select(col("doc_id"), col("lang"), col("type_token_ratio"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("type_token_ratio").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 25)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("type_token_ratio"))
+      .orderBy("lang", "rank")
+  }
+
+  private val langQuotaSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, u.t AS tok
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+      |),
+      |agg AS (
+      |  SELECT doc_id, lang,
+      |    round(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+      |  FROM tok GROUP BY doc_id, lang
+      |),
+      |ranked AS (
+      |  SELECT lang, doc_id, ttr,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id ASC) AS rank
+      |  FROM agg
+      |)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, ttr AS type_token_ratio
+      |FROM ranked WHERE rank <= 25
+      |ORDER BY lang, rank""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
+    Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
+  )
+}

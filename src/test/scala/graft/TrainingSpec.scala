@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Training
+
+/** Training-set assembly: the hash split must be a pure function of the
+  * key — invariant under partitioning (the property `df.sample` lacks) —
+  * with per-mill fractions near their targets; the quota query must emit
+  * exactly `quota` deterministic rows per language. */
+class TrainingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("hash split membership is invariant under repartitioning") {
+    val weights = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+    def membership(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Training.hashSplit(df, "doc_id", "graft-v1", weights)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = membership(docs)
+    val shuffled = membership(docs.repartition(17, col("lang")))
+    val single = membership(docs.coalesce(1))
+    assert(base === shuffled)
+    assert(base === single)
+    // every doc assigned; fractions in a loose tolerance band
+    assert(base.size === docs.count())
+    val train = base.values.count(_ == "train").toDouble / base.size
+    assert(train > 0.85 && train < 0.95, s"train fraction $train")
+  }
+
+  test("different salts produce different (but individually stable) splits") {
+    val weights = Seq("a" -> 500, "b" -> 500)
+    val s1 = Training.hashSplit(docs, "doc_id", "salt-1", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Training.hashSplit(docs, "doc_id", "salt-2", weights)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 !== s2)
+  }
+
+  test("lang quota: exactly 25 rows per language, rank 1..25, ttr non-increasing") {
+    val rows = Training.langQuota(spark, sf001).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length === 25, s"$lang quota")
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 25L), s"$lang ranks")
+      val ttrs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ttrs.zip(ttrs.tail).forall { case (a, b) => a >= b }, s"$lang ordering")
+    }
+  }
+}
