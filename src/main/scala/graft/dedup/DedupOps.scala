@@ -181,6 +181,56 @@ object DedupOps {
     }
   }
 
+  /** Exact all-pairs Jaccard via AllPairs/PPJoin PREFIX FILTERING — same
+    * results as [[jaccardDupPairs]], asymptotically smaller candidate set.
+    *
+    * Each doc's shingles are canonically ordered by (global df asc, h asc);
+    * only the first |x| − ⌈t·|x|⌉ + 1 shingles (the "prefix") are indexed.
+    * Theorem (Bayardo et al., WWW'07): J(x,y) ≥ t implies the two prefixes
+    * under any shared total order intersect, so the prefix self-join loses
+    * no true pair; scores are then computed over the FULL shingle arrays.
+    * The rarest-first order makes prefix collisions scarce: candidates
+    * shrink by ~(1−t)² vs the full inverted index.
+    *
+    * `thresholdMill` is the Jaccard threshold in exact per-mill (700 =
+    * 0.7) so the prefix length ⌈t·n⌉ = (n·mill + 999) div 1000 is pure
+    * integer arithmetic — no float ceil() off-by-one (0.7·10 is
+    * 7.000000000000001 in IEEE; ceiling that would shorten the prefix and
+    * silently drop true pairs). */
+  def jaccardDupPairsPrefix(docs: DataFrame, shingleK: Int,
+      thresholdMill: Int): DataFrame = {
+    import graft.functions.TextExprs
+    import org.apache.spark.sql.expressions.Window
+    val threshold = thresholdMill / 1000.0
+    val withSh = docs
+      .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("h"))
+    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = ex
+      .join(dfTab, "h")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
+      // prefix length = n − ⌈t·n⌉ + 1, exact integer per-mill arithmetic
+      .filter(expr(s"__rn <= n - ((n * $thresholdMill + 999) div 1000) + 1"))
+      .select("doc_id", "h")
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
+      size(col("sh")).cast("long").as("__na"))
+    val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
+      size(col("sh")).cast("long").as("__nb"))
+    cands.join(aSh, "doc_a").join(bSh, "doc_b")
+      .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 32-bit SimHash per document over token-occurrence hashes: bit i of the
     * fingerprint is set iff Σ_tokens (2·bit_i(h) − 1) > 0 (ties → 0).
     * One native-expression projection — no explode, no shuffle; the

@@ -114,6 +114,39 @@ object TextDedup extends QueryModule {
        |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.7
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q59: prefix-filtered exact Jaccard (the q22 scale path) -----------
+
+  /** Same semantics as q22 at threshold 0.6, via AllPairs prefix filtering
+    * (only each doc's rarest |x|−⌈t·|x|⌉+1 shingles are indexed; scores
+    * still use full sets). The oracle is the plain inverted-index SQL —
+    * passing it proves the pruned plan loses no pair. */
+  def jaccardPrefix(s: SparkSession, d: String): DataFrame =
+    DedupOps
+      .jaccardDupPairsPrefix(documents(s, d), shingleK = 3, thresholdMill = 600)
+      .orderBy("doc_a", "doc_b")
+
+  private val jaccardPrefixSql =
+    s"""WITH $duckShingles,
+       |cand AS (
+       |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT m.doc_a, m.doc_b,
+       |  round(CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common), 6) AS jaccard
+       |FROM com m
+       |JOIN sz za ON za.doc_id = m.doc_a
+       |JOIN sz zb ON zb.doc_id = m.doc_b
+       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q23: SimHash fingerprints -----------------------------------------
 
   def simhashQ(s: SparkSession, d: String): DataFrame =
@@ -246,6 +279,7 @@ object TextDedup extends QueryModule {
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),
     Q("q25_lang_id", langId, Some(langIdSql)),

@@ -116,6 +116,17 @@ class NativeTextSpec extends SparkSpec {
     assert(specCommon.exceptAll(nativeCommon).count() === 0L)
   }
 
+  test("prefix-filtered Jaccard equals the full inverted-index join at several thresholds") {
+    for (mill <- Seq(300, 600, 800)) {
+      val pruned = DedupOps.jaccardDupPairsPrefix(docs, 3, mill)
+      val full = DedupOps.jaccardDupPairs(docs, 3, mill / 1000.0)
+      assert(pruned.exceptAll(full).count() === 0L, s"t=$mill extra pairs")
+      assert(full.exceptAll(pruned).count() === 0L, s"t=$mill MISSED pairs")
+    }
+    // sanity: the 0.3 run actually finds pairs (non-vacuous equality)
+    assert(DedupOps.jaccardDupPairsPrefix(docs, 3, 300).count() > 0L)
+  }
+
   test("dot_fold equals the aggregate(zip_with) HOF fold bit-for-bit") {
     val pairs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .limit(200)
