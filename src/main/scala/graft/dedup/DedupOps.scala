@@ -74,6 +74,25 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Exact-Jaccard verify for candidate pairs against a (doc_id, sh)
+    * shingle-ARRAY relation: intersect the two arrays per pair (hash-probe
+    * of the smaller side), score over the FULL sets, keep >= threshold.
+    * Shared by the LSH, capped, and prefix-filtered paths. */
+  private def scorePairs(cands: DataFrame, withSh: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.TextExprs
+    val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
+      size(col("sh")).cast("long").as("__na"))
+    val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
+      size(col("sh")).cast("long").as("__nb"))
+    cands.join(aSh, "doc_a").join(bSh, "doc_b")
+      .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__na") + col("__nb") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact Jaccard over the shingle-hash sets for given candidate pairs. */
   def jaccardOf(cands: DataFrame, shingles: DataFrame): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -116,17 +135,7 @@ object DedupOps {
         posexplode(TextExprs.lsh_band_keys(
           TextExprs.min_hash_sig(col("sh"), numHashes), rowsPerBand)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-    val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
-      size(col("sh")).cast("long").as("__na"))
-    val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
-      size(col("sh")).cast("long").as("__nb"))
-    lshCandidates(bands)
-      .join(aSh, "doc_a").join(bSh, "doc_b")
-      .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
-      .withColumn("jaccard", col("__common").cast("double") /
-        (col("__na") + col("__nb") - col("__common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    scorePairs(lshCandidates(bands), withSh, threshold)
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted-index
@@ -168,16 +177,7 @@ object DedupOps {
         .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
-        size(col("sh")).cast("long").as("__na"))
-      val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
-        size(col("sh")).cast("long").as("__nb"))
-      cands.join(aSh, "doc_a").join(bSh, "doc_b")
-        .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
-        .withColumn("jaccard", col("__common").cast("double") /
-          (col("__na") + col("__nb") - col("__common")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      scorePairs(cands, withSh, threshold)
     }
   }
 
@@ -219,16 +219,7 @@ object DedupOps {
       .join(prefix.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val aSh = withSh.select(col("doc_id").as("doc_a"), col("sh").as("__sha"),
-      size(col("sh")).cast("long").as("__na"))
-    val bSh = withSh.select(col("doc_id").as("doc_b"), col("sh").as("__shb"),
-      size(col("sh")).cast("long").as("__nb"))
-    cands.join(aSh, "doc_a").join(bSh, "doc_b")
-      .withColumn("__common", TextExprs.intersect_size(col("__sha"), col("__shb")))
-      .withColumn("jaccard", col("__common").cast("double") /
-        (col("__na") + col("__nb") - col("__common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    scorePairs(cands, withSh, threshold)
   }
 
   /** 32-bit SimHash per document over token-occurrence hashes: bit i of the

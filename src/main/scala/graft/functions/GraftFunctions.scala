@@ -24,10 +24,10 @@ object GraftFunctions {
   }
 
   private def strLits(e: Expression, fn: String): Seq[String] = e match {
-    case l @ Literal(_, _) if l.dataType.typeName == "string" =>
-      Seq(l.value.toString)
+    case l @ Literal(v, _) if v != null && l.dataType.typeName == "string" =>
+      Seq(v.toString)
     case other => throw new IllegalArgumentException(
-      s"$fn expects literal STRING arguments, got $other")
+      s"$fn expects non-null literal STRING arguments, got $other")
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -123,7 +123,10 @@ object TextExprs {
   }
 
   /** MinHash signature over a shingle-hash array: sig[j] = min over hashes of
-    * ((2j+3)·h + (5j+7)) mod P — the affine family of DedupOps. */
+    * ((2j+3)·h + (5j+7)) mod P — the affine family of DedupOps. Callers must
+    * guard empty inputs (the expression returns null there — a MaxValue
+    * sentinel signature would band-collide every empty doc with every
+    * other). */
   def minHashSig(sh: ArrayData, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -145,15 +148,19 @@ object TextExprs {
   private val BandW = Array(1L, 31L, 961L, 29791L)
 
   /** LSH band keys: key[b] = Σ_{r<rpb} sig[b·rpb + r] · 31^r (the radix-31
-    * combination of DedupOps.lshBands; rpb ≤ 4 keeps it in int64). */
+    * combination of DedupOps.lshBands; rpb ≤ 4 keeps it in int64). Like the
+    * groupBy spec (`j div rpb`), a trailing PARTIAL band is emitted when
+    * the signature length is not a multiple of rpb. */
   def lshBandKeys(sig: ArrayData, rowsPerBand: Int): ArrayData = {
-    val nb = sig.numElements() / rowsPerBand
+    val n = sig.numElements()
+    val nb = (n + rowsPerBand - 1) / rowsPerBand
     val keys = new Array[Long](nb)
     var b = 0
     while (b < nb) {
       var acc = 0L
       var r = 0
-      while (r < rowsPerBand) { acc += sig.getLong(b * rowsPerBand + r) * BandW(r); r += 1 }
+      val lim = math.min(rowsPerBand, n - b * rowsPerBand)
+      while (r < lim) { acc += sig.getLong(b * rowsPerBand + r) * BandW(r); r += 1 }
       keys(b) = acc
       b += 1
     }
@@ -237,10 +244,19 @@ object TextExprs {
 
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
     override def prettyName: String = "min_hash_sig"
-    override def nullSafeEval(v: Any): Any = minHashSig(v.asInstanceOf[ArrayData], k)
+    override def nullSafeEval(v: Any): Any = {
+      val sh = v.asInstanceOf[ArrayData]
+      if (sh.numElements() == 0) null else minHashSig(sh, k)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$T.minHashSig($c, $k)")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        if ($c.numElements() == 0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $T.minHashSig($c, $k);
+        }""")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

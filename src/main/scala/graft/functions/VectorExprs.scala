@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * The interpreted higher-order-function forms in SimilarityOps
   * (`aggregate(zip_with(...))`) remain the executable spec the DuckDB oracle
   * mirrors — these expressions produce the SAME IEEE-754 double sequence
-  * (acc = (acc + a_i·b_i) in array order), pinned by VectorExprSpec, while
+  * (acc = (acc + a_i·b_i) in array order), pinned by NativeTextSpec's
+  * dot_fold/sign_bucket tests, while
   * staying inside whole-stage codegen and allocating nothing per row (the
   * HOF form materializes a zipped array per evaluated pair — ruinous on a
   * |queries|×|corpus| broadcast join).

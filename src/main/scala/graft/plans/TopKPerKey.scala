@@ -94,7 +94,11 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, heapOrd)
+          // small initial capacity: many keys hold far fewer than k rows,
+          // and an eager k+1 backing array per key would be O(#keys · k)
+          // memory before any row arrives (and overflow for k near MaxValue)
+          heap = new java.util.PriorityQueue[UnsafeRow](
+            math.max(1, math.min(kLocal, 16)), heapOrd)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < kLocal) heap.add(row.copy())

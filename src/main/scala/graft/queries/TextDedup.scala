@@ -92,7 +92,11 @@ object TextDedup extends QueryModule {
       .jaccardDupPairs(documents(s, d), shingleK = 3, threshold = 0.7)
       .orderBy("doc_a", "doc_b")
 
-  private val jaccardPairsSql =
+  /** Shared inverted-index exact-Jaccard oracle (q22 and q59 — the q59
+    * plan prunes candidates with the AllPairs prefix filter, but its
+    * oracle is deliberately this UNPRUNED form: a hash-match proves the
+    * pruning lost no pair). */
+  private def invertedJaccardSql(threshold: String): String =
     s"""WITH $duckShingles,
        |cand AS (
        |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
@@ -111,8 +115,10 @@ object TextDedup extends QueryModule {
        |FROM com m
        |JOIN sz za ON za.doc_id = m.doc_a
        |JOIN sz zb ON zb.doc_id = m.doc_b
-       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.7
+       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val jaccardPairsSql = invertedJaccardSql("0.7")
 
   // ---- q59: prefix-filtered exact Jaccard (the q22 scale path) -----------
 
@@ -125,27 +131,7 @@ object TextDedup extends QueryModule {
       .jaccardDupPairsPrefix(documents(s, d), shingleK = 3, thresholdMill = 600)
       .orderBy("doc_a", "doc_b")
 
-  private val jaccardPrefixSql =
-    s"""WITH $duckShingles,
-       |cand AS (
-       |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
-       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
-       |),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-       |com AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS common
-       |  FROM cand c
-       |  JOIN sh s1 ON s1.doc_id = c.doc_a
-       |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
-       |  GROUP BY c.doc_a, c.doc_b
-       |)
-       |SELECT m.doc_a, m.doc_b,
-       |  round(CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common), 6) AS jaccard
-       |FROM com m
-       |JOIN sz za ON za.doc_id = m.doc_a
-       |JOIN sz zb ON zb.doc_id = m.doc_b
-       |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.6
-       |ORDER BY doc_a, doc_b""".stripMargin
+  private val jaccardPrefixSql = invertedJaccardSql("0.6")
 
   // ---- q23: SimHash fingerprints -----------------------------------------
 

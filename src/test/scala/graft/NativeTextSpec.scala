@@ -97,6 +97,35 @@ class NativeTextSpec extends SparkSpec {
     assert(specBands.exceptAll(nativeBands).count() === 0L)
   }
 
+  test("min_hash_sig + lsh_band_keys equal the spec at a PARTIAL-band width (14/4)") {
+    val sh = TextOps.shingleHashes(docs, 3)
+    val specBands = DedupOps.lshBands(DedupOps.minhashSignatures(sh, 14), 4)
+      .select(col("doc_id"), col("band"), col("bkey"))
+    val nativeBands = docs
+      .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(TextExprs.lsh_band_keys(TextExprs.min_hash_sig(col("sh"), 14), 4)))
+      .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("bkey"))
+    assert(nativeBands.exceptAll(specBands).count() === 0L)
+    assert(specBands.exceptAll(nativeBands).count() === 0L)
+  }
+
+  test("min_hash_sig of an empty shingle set is null (no MaxValue sentinel bands)") {
+    val edge = Seq((1L, "a b"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sigs = edge.select(col("doc_id"),
+      TextExprs.min_hash_sig(TextExprs.shingle_hash_set(col("text"), 3), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(sigs(1L) === true, "sub-k doc must yield null signature")
+    assert(sigs(2L) === false)
+    // and lsh_band_keys propagates the null instead of colliding empties
+    val bands = edge.select(
+      TextExprs.lsh_band_keys(
+        TextExprs.min_hash_sig(TextExprs.shingle_hash_set(col("text"), 3), 8), 4).as("b"))
+      .collect().map(_.isNullAt(0))
+    assert(bands.count(identity) === 1)
+  }
+
   test("intersect_size equals the inverted-index common count on real pairs") {
     val withSh = docs
       .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), 3).as("sh"))
