@@ -92,6 +92,40 @@ class PlanShapeSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition (the skew backstop SCALE.md names)") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      // shrink the skew thresholds so test-scale data triggers the planner
+      // behavior that 100 TB hot keys would trigger at the defaults
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 10% of the left side lands on key 7 → one hot shuffle partition
+      val left = s.range(0, 200000).select(
+        when(col("id") % 10 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() drives THIS Dataset's queryExecution so the adaptive
+      // plan finalizes (count() would plan a separate query)
+      assert(j.collect().nonEmpty)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE OptimizeSkewedJoin did not fire:\n" + p.take(900))
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("asofJoin: simultaneous right row counts (ties at equal ts)") {
     val s = spark
     import s.implicits._
