@@ -196,25 +196,39 @@ object DedupOps {
     * 0.7) so the prefix length ⌈t·n⌉ = (n·mill + 999) div 1000 is pure
     * integer arithmetic — no float ceil() off-by-one (0.7·10 is
     * 7.000000000000001 in IEEE; ceiling that would shorten the prefix and
-    * silently drop true pairs). */
+    * silently drop true pairs).
+    *
+    * `rareFirst` picks the canonical order: `true` = global df ascending
+    * (fewest candidates — the AllPairs choice; costs one df aggregation +
+    * join + per-doc rank), `false` = plain hash ascending (the prefix
+    * becomes a PURE PROJECTION — slice of the sorted shingle array, zero
+    * extra shuffles — at the price of more candidates when small hashes
+    * happen to be common shingles). Both are exact; the theorem only needs
+    * SOME shared total order. */
   def jaccardDupPairsPrefix(docs: DataFrame, shingleK: Int,
-      thresholdMill: Int): DataFrame = {
+      thresholdMill: Int, rareFirst: Boolean = true): DataFrame = {
     import graft.functions.TextExprs
     import org.apache.spark.sql.expressions.Window
     val threshold = thresholdMill / 1000.0
     val withSh = docs
       .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
-    val ex = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("h"))
-    val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = ex
-      .join(dfTab, "h")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
-      // prefix length = n − ⌈t·n⌉ + 1, exact integer per-mill arithmetic
-      .filter(expr(s"__rn <= n - ((n * $thresholdMill + 999) div 1000) + 1"))
-      .select("doc_id", "h")
+    // prefix length = n − ⌈t·n⌉ + 1, exact integer per-mill arithmetic
+    val prefix = if (rareFirst) {
+      val ex = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("h"))
+      val dfTab = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      ex.join(dfTab, "h")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
+        .filter(expr(s"__rn <= n - ((n * $thresholdMill + 999) div 1000) + 1"))
+        .select("doc_id", "h")
+    } else {
+      withSh.select(col("doc_id"), explode(expr(
+        s"""slice(array_sort(sh), 1,
+           |  CAST(size(sh) - ((size(sh) * $thresholdMill + 999) div 1000) + 1 AS INT))"""
+          .stripMargin.replace("\n", ""))).as("h"))
+    }
     val cands = prefix.select(col("doc_id").as("doc_a"), col("h"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))

@@ -123,12 +123,16 @@ object TextDedup extends QueryModule {
   // ---- q59: prefix-filtered exact Jaccard (the q22 scale path) -----------
 
   /** Same semantics as q22 at threshold 0.6, via AllPairs prefix filtering
-    * (only each doc's rarest |x|−⌈t·|x|⌉+1 shingles are indexed; scores
-    * still use full sets). The oracle is the plain inverted-index SQL —
-    * passing it proves the pruned plan loses no pair. */
+    * (only |x|−⌈t·|x|⌉+1 shingles per doc are indexed; scores still use
+    * full sets). Hash-order prefix (`rareFirst = false`): the prefix is a
+    * pure projection — no df pass — which wins at this corpus's flat df
+    * distribution (max df ≈ 25); rare-first is the web-scale choice. The
+    * oracle is the plain inverted-index SQL — passing it proves the
+    * pruned plan loses no pair. */
   def jaccardPrefix(s: SparkSession, d: String): DataFrame =
     DedupOps
-      .jaccardDupPairsPrefix(documents(s, d), shingleK = 3, thresholdMill = 600)
+      .jaccardDupPairsPrefix(documents(s, d), shingleK = 3, thresholdMill = 600,
+        rareFirst = false)
       .orderBy("doc_a", "doc_b")
 
   private val jaccardPrefixSql = invertedJaccardSql("0.6")

@@ -146,11 +146,11 @@ class NativeTextSpec extends SparkSpec {
   }
 
   test("prefix-filtered Jaccard equals the full inverted-index join at several thresholds") {
-    for (mill <- Seq(300, 600, 800)) {
-      val pruned = DedupOps.jaccardDupPairsPrefix(docs, 3, mill)
+    for (mill <- Seq(300, 600, 800); rare <- Seq(true, false)) {
+      val pruned = DedupOps.jaccardDupPairsPrefix(docs, 3, mill, rareFirst = rare)
       val full = DedupOps.jaccardDupPairs(docs, 3, mill / 1000.0)
-      assert(pruned.exceptAll(full).count() === 0L, s"t=$mill extra pairs")
-      assert(full.exceptAll(pruned).count() === 0L, s"t=$mill MISSED pairs")
+      assert(pruned.exceptAll(full).count() === 0L, s"t=$mill rare=$rare extra pairs")
+      assert(full.exceptAll(pruned).count() === 0L, s"t=$mill rare=$rare MISSED pairs")
     }
     // sanity: the 0.3 run actually finds pairs (non-vacuous equality)
     assert(DedupOps.jaccardDupPairsPrefix(docs, 3, 300).count() > 0L)
