@@ -224,10 +224,14 @@ object DedupOps {
         .filter(expr(s"__rn <= n - ((n * $thresholdMill + 999) div 1000) + 1"))
         .select("doc_id", "h")
     } else {
+      // BIGINT arithmetic like the rareFirst branch: an INT multiply would
+      // overflow past ~Int.MaxValue/mill distinct shingles (ANSI error, or
+      // wrapped-negative slice length silently dropping true pairs)
       withSh.select(col("doc_id"), explode(expr(
-        s"""slice(array_sort(sh), 1,
-           |  CAST(size(sh) - ((size(sh) * $thresholdMill + 999) div 1000) + 1 AS INT))"""
-          .stripMargin.replace("\n", ""))).as("h"))
+        s"""slice(array_sort(sh), 1, CAST(
+           |  CAST(size(sh) AS BIGINT)
+           |    - ((CAST(size(sh) AS BIGINT) * $thresholdMill + 999) div 1000)
+           |    + 1 AS INT))""".stripMargin)).as("h"))
     }
     val cands = prefix.select(col("doc_id").as("doc_a"), col("h"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("h")), "h")
