@@ -93,8 +93,10 @@ object WindowAgg extends QueryModule {
   /** q47: variance inflation factors over three lineitem regressors —
     * driver-side k×k inverse (A10). The oracle transcribes the EXACT
     * Gauss-Jordan operation sequence of LinAlg.inverse for k=3 into SQL
-    * (same IEEE-754 op order on the same exact-decimal moment sums, so the
-    * diagonal matches bit-for-bit before the defensive 6-decimal round).
+    * (same IEEE-754 op order on the same exact fixed-point ×100 moment
+    * sums — correlations are scale-invariant so the moments are used
+    * unscaled — so the diagonal matches bit-for-bit before the defensive
+    * 6-decimal round).
     * Valid because no pivot swap fires: the correlation matrix has unit
     * diagonal and near-zero off-diagonals for these regressors, so partial
     * pivoting keeps the natural row order. */
@@ -111,18 +113,23 @@ object WindowAgg extends QueryModule {
     * col 2 divides and back-eliminates. vif0=(1−b·u)−h·w0, vif1=v−g·w1,
     * vif2=1/q. */
   private val vifSql =
-    """WITH m AS (
-      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s0,
-      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS p00,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p01,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p02,
-      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS p11,
-      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p12,
-      |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS p22
+    """WITH fp AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS t
       |  FROM lineitem
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(q) AS DOUBLE) AS s0,
+      |    CAST(SUM(d) AS DOUBLE) AS s1,
+      |    CAST(SUM(t) AS DOUBLE) AS s2,
+      |    CAST(SUM(q * q) AS DOUBLE) AS p00,
+      |    CAST(SUM(q * d) AS DOUBLE) AS p01,
+      |    CAST(SUM(q * t) AS DOUBLE) AS p02,
+      |    CAST(SUM(d * d) AS DOUBLE) AS p11,
+      |    CAST(SUM(d * t) AS DOUBLE) AS p12,
+      |    CAST(SUM(t * t) AS DOUBLE) AS p22
+      |  FROM fp
       |), r AS (
       |  SELECT
       |    (n * p01 - s0 * s1) / (sqrt(n * p00 - s0 * s0) * sqrt(n * p11 - s1 * s1)) AS b,

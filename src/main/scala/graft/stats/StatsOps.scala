@@ -76,11 +76,21 @@ object StatsOps {
       cols: Seq[String]): DataFrame = {
     val k = cols.length
     val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    // moments in exact fixed-point int64 (columns are 2-decimal by
+    // construction: ×100 is integral; round() before the cast because
+    // 0.29·100 is 28.999… in IEEE and a plain truncating cast would be
+    // off by one) — ~10× cheaper per row than DECIMAL products, still
+    // exact: cross-products fit int64 up to ~3.7e14 rows at these ranges
+    def fp(c: String) = round(col(c) * 100).cast("long")
     val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
-      cols.zipWithIndex.map { case (c, i) => sum(col(c).cast(dec)).cast("double").as(s"__s$i") } ++
+      cols.zipWithIndex.map { case (c, i) =>
+        sum(fp(c)).cast("double").as(s"__s$i")
+      } ++
       pairs.map { case (i, j) =>
-        sum(col(cols(i)).cast(dec) * col(cols(j)).cast(dec)).cast("double").as(s"__p${i}_$j")
+        sum(fp(cols(i)) * fp(cols(j))).cast("double").as(s"__p${i}_$j")
       }
+    // correlations are scale-invariant, so the ×100 moments are used as-is
+    // (no unscaling divisions to mirror in the oracle)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Double]("__n")
     val s = Array.tabulate(k)(i => row.getAs[Double](s"__s$i"))
