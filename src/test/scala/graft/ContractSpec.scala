@@ -11,6 +11,10 @@ class ContractSpec extends SparkSpec {
     assert(names.size >= 54)
   }
 
+  test("entry() returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
   test("every oracle key has a matching query") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet.diff(qs)
