@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * A7 correlation, A8 deterministic mode).
   *
   * Numerical-determinism design: multi-row reductions run as exact DECIMAL
-  * sums (associative in exact arithmetic, so Spark's partial/final aggregation
+  * or fixed-point-integer sums (associative in exact arithmetic, so Spark's
+  * partial/final aggregation
   * order cannot change the result), and the closing float math happens on the
   * already-exact scalars. This makes results bit-identical to any engine that
   * follows the same formula — the property the DuckDB oracle check relies on.
@@ -69,25 +70,29 @@ object StatsOps {
   /** Variance inflation factors (nb cell 21 `dm.vif()`, SURVEY.md A10):
     * VIF_j = diag((R⁻¹))_j of the k×k correlation matrix R over `cols`.
     * The correlation matrix is one distributed aggregation (all pairwise
-    * exact-decimal cross-moments in a single pass); the k×k collect+invert
-    * is driver-side by design — k ≈ regressor count, never data-sized.
+    * cross-moments in a single pass, exact fixed-point ×100 int64 products
+    * accumulated in DECIMAL(38,0)); the k×k collect+invert is driver-side
+    * by design — k ≈ regressor count, never data-sized.
     */
   def vif(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
       cols: Seq[String]): DataFrame = {
     val k = cols.length
     val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
-    // moments in exact fixed-point int64 (columns are 2-decimal by
-    // construction: ×100 is integral; round() before the cast because
-    // 0.29·100 is 28.999… in IEEE and a plain truncating cast would be
-    // off by one) — ~10× cheaper per row than DECIMAL products, still
-    // exact: cross-products fit int64 up to ~3.7e14 rows at these ranges
+    // moments in exact fixed-point: values are 2-decimal by construction,
+    // so ×100 is integral (round() before the cast — 0.29·100 is 28.999…
+    // in IEEE and a truncating cast would be off by one). Per-row products
+    // stay cheap int64; the ACCUMULATION is DECIMAL(38,0) because the
+    // int64 bound is only ~3.7e11 rows for q·q ≤ 2.5e7 — inside the
+    // project's 100 TB target — and a non-ANSI long sum would wrap
+    // silently. (The DuckDB oracle's SUM over BIGINT is already HUGEINT.)
     def fp(c: String) = round(col(c) * 100).cast("long")
+    val dec38 = "decimal(38,0)"
     val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
       cols.zipWithIndex.map { case (c, i) =>
-        sum(fp(c)).cast("double").as(s"__s$i")
+        sum(fp(c).cast(dec38)).cast("double").as(s"__s$i")
       } ++
       pairs.map { case (i, j) =>
-        sum(fp(cols(i)) * fp(cols(j))).cast("double").as(s"__p${i}_$j")
+        sum((fp(cols(i)) * fp(cols(j))).cast(dec38)).cast("double").as(s"__p${i}_$j")
       }
     // correlations are scale-invariant, so the ×100 moments are used as-is
     // (no unscaling divisions to mirror in the oracle)

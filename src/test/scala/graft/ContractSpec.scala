@@ -12,7 +12,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("entry() returns rows (the driver's smoke check)") {
-    assert(SparkEntry.entry(spark).count() > 0L)
+    // entry() installs TopKPerKey on the shared session; undo it so other
+    // suites keep planning against stock Spark (SparkSpec's invariant)
+    try assert(SparkEntry.entry(spark).count() > 0L)
+    finally graft.plans.TopKPerKey.uninstall(spark)
   }
 
   test("every oracle key has a matching query") {
