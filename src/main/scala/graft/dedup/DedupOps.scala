@@ -170,13 +170,23 @@ object DedupOps {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     } else {
-      // cap prunes candidate generation only; scores use FULL shingle sets
-      val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      val candSrc = sh.join(hot, Seq("h"), "left_anti")
-      val cands = candSrc.select(col("doc_id").as("doc_a"), col("h"))
-        .join(candSrc.select(col("doc_id").as("doc_b"), col("h")), "h")
+      // cap prunes candidate generation only; scores use FULL shingle sets.
+      // ONE exchange builds the capped inverted index: collect_capped keeps
+      // at most maxDf+1 doc_ids per shingle — bounded aggregation state
+      // even for a boilerplate shingle in 100M docs, whose overflowed
+      // (size > maxDf) posting list is exactly what the cap drops. Pair
+      // generation is then map-side (≤ maxDf²/2 per shingle), far cheaper
+      // than the df-count + anti-join + index self-join formulation
+      // (4 exchanges of the full shingle relation → 1 + the pair distinct).
+      import graft.functions.CollectCapped.collect_capped
+      val idx = sh.groupBy("h")
+        .agg(collect_capped(col("doc_id"), maxDf.toInt).as("__ds"))
+        .filter(size(col("__ds")).between(2, maxDf.toInt))
+      val cands = idx
+        .select(explode(col("__ds")).as("doc_a"), col("__ds"))
+        .select(col("doc_a"), explode(col("__ds")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+        .distinct()
       scorePairs(cands, withSh, threshold)
     }
   }

@@ -68,12 +68,15 @@ object GlmOps {
       .withColumn("p1",
         graft.functions.TCdf.t_pvalue(col("t1"), col("n").cast("double") - 2))
 
-  /** Per-row residuals of the per-group fit: y − (β0 + β1·x). Coefficients
-    * join back via broadcast (|groups| rows). */
+  /** Per-row residuals of the per-group fit: y − (β0 + β1·x). The coefficient
+    * relation has one row PER GROUP — O(data), not a dimension — so no
+    * broadcast hint: AQE picks broadcast only when the group count is
+    * actually small, and falls back to a key-aligned shuffle join otherwise.
+    */
   def residuals(df: DataFrame, groupCols: Seq[String], yCol: String, xCol: String): DataFrame = {
     val coef = simpleOLS(df, groupCols, yCol, xCol)
       .select(groupCols.map(col) :+ col("beta0") :+ col("beta1"): _*)
-    df.join(broadcast(coef), groupCols)
+    df.join(coef, groupCols)
       .withColumn("resid", col(yCol) - (col("beta0") + col("beta1") * col(xCol)))
   }
 
@@ -104,51 +107,83 @@ object GlmOps {
       .withColumn("beta", col("__s").cast("double") / Scale.toDouble)
       .select(col(groupCol), col("j"), col("beta"))
 
+  /** The combined design-weight relation: rows (t, j, w, wx) with
+    * w = round(pinv(j)(t) · Scale) and wx = round(X(t)(j) · Scale). One
+    * broadcast table serves both the beta sum (w) and the Xᵀy sum (wx).
+    */
+  def designTable(spark: SparkSession, x: LinAlg.Mat): DataFrame = {
+    val p = LinAlg.pinv(x) // k × n
+    val rows = for {
+      t <- x.indices
+      j <- x(t).indices
+    } yield (t.toLong, j.toLong,
+      math.rint(p(j)(t) * Scale).toLong, math.rint(x(t)(j) * Scale).toLong)
+    import spark.implicits._
+    rows.toDF("t", "j", "w", "wx")
+  }
+
   /** Full mass-GLM bundle (M1/M2/M3 outputs, ssm_loop.py:91-97): betas,
-    * per-group sigma, and per-regressor t and two-sided p. The residual
-    * pass joins betas back through the broadcast design matrix.
-    * Not oracle-checked (p needs the t CDF); golden-tested vs closed form.
+    * per-group sigma, and per-regressor t and two-sided p.
+    * Not oracle-checked in the flagship form (p needs the t CDF);
+    * golden-tested vs closed form, hash-checked via the fixed-design q60.
+    *
+    * SSE is computed ALGEBRAICALLY: for the OLS fit of the zero-filled dense
+    * series, SSE = Σy² − βᵀ(Xᵀy). Missing timepoints contribute 0 to both
+    * Σy² and Xᵀy, and β = pinv·y already treats them as y = 0, so the
+    * identity holds over OBSERVED rows only — no dense timeline × groups
+    * crossJoin rebuild, no second pass over the data. One scan, one
+    * broadcast of the k×n design, one hash aggregate per (group, j), one
+    * per-group reduce, one key-aligned join back.
+    *
+    * Scale notes (100 TB): every per-group relation here (betas, sigma) is
+    * O(data) — one row per voxel — so NONE of them is broadcast; the final
+    * join is left to AQE (key-aligned shuffle at scale, broadcast only if
+    * the group count is genuinely small). Only the k×n design table and the
+    * k-row (XᵀX)⁻¹ diagonal — true constants — carry broadcast hints.
+    *
+    * Determinism: the per-(g,j) sums are exact DECIMAL over fixed-point
+    * integers; the per-group Σ_j β·u reduction rounds each term to integer
+    * micro-units first, so the sum is exact-integer and partition-order
+    * free — results are bit-identical across engines and runs.
     */
   def massGLM(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
       groupCol: String): DataFrame = {
     val n = x.length
     val k = x(0).length
     val df = (n - k).toDouble
-    val betas = massBetas(spark, series, x, groupCol)
 
-    // X in long form for the fitted-value join
-    val xLong = {
-      import spark.implicits._
-      (for { t <- 0 until n; j <- 0 until k } yield (t.toLong, j.toLong, x(t)(j)))
-        .toDF("t", "j", "xv")
-    }
-    // fitted(g, t) = Σ_j X(t,j)·β(g,j)
-    val fitted = betas
-      .join(broadcast(xLong), "j")
-      .groupBy(col(groupCol), col("t"))
-      .agg(sum(col("xv") * col("beta")).as("fit"))
-    // SSE over the dense series: zero-filled t's contribute fit² — join
-    // full timeline so missing observations count as y = 0.
-    val timeline = spark.range(n).select(col("id").as("t"))
-    val dense = timeline
-      .crossJoin(series.select(col(groupCol)).distinct())
-      .join(series.select(col(groupCol), col("t"), col("y_dec")), Seq(groupCol.toString, "t"), "left")
-    val sse = dense
-      .join(fitted, Seq(groupCol.toString, "t"), "left")
-      // explicit zero-fill (na.fill semantics vary across column types)
-      .withColumn("r", coalesce(col("y_dec").cast("double"), lit(0.0)) -
-        coalesce(col("fit"), lit(0.0)))
+    // one pass: per (g, j) — beta numerator, Xᵀy, and Σy² (same across j)
+    val perGJ = series
+      .join(broadcast(designTable(spark, x)), "t")
+      .groupBy(col(groupCol), col("j"))
+      .agg(
+        sum(col("w") * col("y_dec")).as("__s"),
+        sum(col("wx") * col("y_dec")).as("__us"),
+        sum(col("y_dec") * col("y_dec")).as("__syy"))
+      .withColumn("beta", col("__s").cast("double") / Scale.toDouble)
+      .withColumn("__u", col("__us").cast("double") / Scale.toDouble)
+
+    // per-group reduce: SSE = Σy² − Σ_j β_j·(Xᵀy)_j. Each β·u term is
+    // rounded to 6 decimals and summed as exact DECIMAL — partition-order
+    // free, and DECIMAL(38,6) headroom means no overflow at any realistic
+    // per-group magnitude (unlike int64 micro-units).
+    val sigma = perGJ
       .groupBy(col(groupCol))
-      .agg(sum(col("r") * col("r")).as("sse"))
+      .agg(
+        max(col("__syy")).cast("double").as("__syyd"),
+        sum(expr("cast(round(beta * __u, 6) as decimal(38,6))")).as("__bxty"))
+      .withColumn("sse",
+        greatest(col("__syyd") - col("__bxty").cast("double"), lit(0.0)))
       .withColumn("sigma", sqrt(col("sse") / df))
+      .select(col(groupCol), col("sigma"))
 
     val diag = LinAlg.xtxInvDiag(x)
     val diagDf = {
       import spark.implicits._
       diag.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq.toDF("j", "cjj")
     }
-    betas
-      .join(broadcast(sse.select(col(groupCol), col("sigma"))), groupCol)
+    perGJ
+      .join(sigma, groupCol) // per-group, O(data): no broadcast — AQE decides
       .join(broadcast(diagDf), "j")
       .withColumn("t_stat", col("beta") / (col("sigma") * sqrt(col("cjj"))))
       .withColumn("p", graft.functions.TCdf.t_pvalue(col("t_stat"), lit(df)))

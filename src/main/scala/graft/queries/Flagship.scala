@@ -1,31 +1,80 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 import graft.design.DesignOps
 import graft.glm.GlmOps
+import graft.tabular.TsvOps
 
 /** The flagship E1 pipeline (SURVEY.md §3, ssm_loop.py end-to-end): trial
   * events → boxcar design → HRF convolution → DCT/poly nuisance columns →
-  * mass-univariate GLM over every group's time series → per-regressor
-  * beta/sigma/t/p table.
+  * 24-parameter motion-covariate expansion → spike one-hots → z-scored
+  * tissue-signal regressors → mass-univariate GLM over every group's time
+  * series → per-regressor beta/sigma/t/p table.
+  *
+  * The design is FULL-WIDTH (k = 40), mirroring ssm_loop.py:72-85 / the
+  * notebook's ~40-column X: 2 convolved task regressors, 3 DCT + intercept,
+  * 24 motion covariates (6 z-scored bases × {c, c², Δc, Δc²},
+  * ssm_loop.py:46-50), 2 z-scored tissue analogs (csf/wm,
+  * ssm_loop.py:72-74), and 8 spike one-hots (motion_outlierNN,
+  * ssm_loop.py:77-84). The events table plays both roles the reference
+  * splits across files: trials (onset/duration/type) and the confounds TSV
+  * (per-TR continuous signals, here per-TR aggregates of event activity).
   *
   * The reference runs this once per subject-process over a 296×1.3M voxel
   * matrix; here "voxels" are event-user groups and the design covers the
   * first week of the events month at 300-second TR. The ONLY driver-side
-  * compute is collecting the 2016x6 design matrix to form its pinv — the
-  * same barrier ssm_loop has (`regress()` precomputes from X), and
-  * constant-sized regardless of data scale. Everything else is one lazy
-  * DataFrame DAG: the per-group betas are a broadcast join + exact
-  * fixed-point aggregation (see GlmOps.massBetas).
+  * compute is collecting the 2016×40 design matrix (plus the 8-row spike
+  * list) to form its pinv — the same barrier ssm_loop has (`regress()`
+  * precomputes from X), and constant-sized regardless of data scale.
+  * Everything else is one lazy DataFrame DAG: the per-group betas are a
+  * broadcast join + exact fixed-point aggregation (see GlmOps.massGLM).
   */
 object Flagship extends QueryModule {
 
   private val N = 2016 // one week, 300-second TR
   private val baseUs = 1704067200000000L
+  private val trUs = 300000000L
 
-  private def designFrame(s: SparkSession, d: String): DataFrame = {
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val motionBases: Seq[String] = eventTypes.map(t => s"mo_$t") :+ "mo_n"
+
+  /** Static regressor inventory (k = 40). Spike columns are named by rank
+    * (spike_1..spike_8), not by TR, so the schema is data-independent even
+    * though the flagged TRs are data-dependent (like the reference's
+    * variable motion_outlierNN set). */
+  val regressors: Seq[String] =
+    Seq("conv_click", "conv_purchase", "dct1", "dct2", "dct3", "poly0") ++
+      motionBases.flatMap(c => Seq(s"z_$c", s"z_${c}_sq", s"z_${c}_d", s"z_${c}_d_sq")) ++
+      Seq("z_tissue_avg", "z_tissue_max") ++
+      (1 to 8).map(i => s"spike_$i")
+
+  /** Per-TR confound aggregates — the engine's analog of the fMRIprep
+    * confounds TSV: per-type activity sums, event count, and two summary
+    * signals (mean / max value) that become the tissue regressors. */
+  private def confounds(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(
+        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
+        col("event_type"), col("value"))
+      .filter(col("t") >= 0 && col("t") < N)
+    val aggs =
+      eventTypes.map(tp =>
+        sum(when(col("event_type") === tp, col("value")).otherwise(0.0)).as(s"mo_$tp")) ++
+        Seq(
+          count(lit(1)).cast("double").as("mo_n"),
+          avg(col("value")).as("tissue_avg_raw"),
+          max(col("value")).as("tissue_max_raw"))
+    ev.groupBy("t").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The full 2016×40 design frame. Window functions here run over the
+    * DESIGN FRAME only (N rows, constant-sized) — the single-partition sort
+    * is the same driver-adjacent barrier as the pinv collect, never over
+    * data-scaled relations. */
+  private[graft] def designFrame(s: SparkSession, d: String): DataFrame = {
     val trials = events(s, d).select(
       ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
       col("value").as("duration"),
@@ -35,16 +84,50 @@ object Flagship extends QueryModule {
     val box = DesignOps.boxcar(tl, trials, Seq("click", "purchase"), 300.0, N.toLong)
     val conv = DesignOps.convolve(box, s, DesignOps.hrfKernelInts(1.0, 24),
       Seq("click", "purchase"), N)
-    DesignOps.dctBasis(DesignOps.polyTrend(tl.select("t"), N, 0), N, 3)
+    val taskCols = DesignOps.dctBasis(DesignOps.polyTrend(tl.select("t"), N, 0), N, 3)
       .join(conv, "t")
-  }
 
-  val regressors: Seq[String] =
-    Seq("conv_click", "conv_purchase", "dct1", "dct2", "dct3", "poly0")
+    // confounds joined to the dense timeline; empty TRs are quiet (0.0)
+    val conf0 = tl.select("t").join(confounds(s, d), Seq("t"), "left")
+      .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
+    // tissue signals: 12-TR trailing mean (a smooth slow signal, like the
+    // csf/wm averages), then z-scored like ssm_loop.py:72-74
+    val wRoll = Window.orderBy(col("t")).rowsBetween(-11, 0)
+    val conf = conf0
+      .withColumn("tissue_avg", avg(col("tissue_avg_raw")).over(wRoll))
+      .withColumn("tissue_max", avg(col("tissue_max_raw")).over(wRoll))
+
+    // z-score the 6 motion bases + 2 tissue signals over the timeline
+    // (population ddof, matching StatsOps.zscore): one agg row, broadcast
+    val zCols = motionBases ++ Seq("tissue_avg", "tissue_max")
+    val statAggs = zCols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__m_$c"), stddev_pop(col(c)).as(s"__s_$c")))
+    val stats = conf.agg(statAggs.head, statAggs.tail: _*)
+    val zed = zCols.foldLeft(conf.crossJoin(broadcast(stats))) { (acc, c) =>
+      acc.withColumn(s"z_$c",
+        when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
+          .otherwise(lit(0.0)))
+    }.select(col("t") +: zCols.map(c => col(s"z_$c")): _*)
+
+    // 6 → 24 motion covariates: c, c², Δc, (Δc)² per z-scored base
+    val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"), "t")
+
+    // spike one-hots: the 8 busiest TRs (count desc, t asc tie-break) —
+    // the engine's analog of FD-flagged motion_outlier columns; the list is
+    // 8 rows to the driver, constant-sized
+    val spikeTs = conf0.select(col("t"), col("mo_n"))
+      .orderBy(col("mo_n").desc, col("t").asc)
+      .limit(8).collect().map(_.getLong(0)).sorted.toSeq
+    val withSpikes = spikeTs.zipWithIndex.foldLeft(motion) { case (acc, (tr, i)) =>
+      acc.withColumn(s"spike_${i + 1}", when(col("t") === tr, 1.0).otherwise(0.0))
+    }
+
+    taskCols.join(withSpikes, "t")
+  }
 
   /** Full pipeline: returns (g, regressor, beta, sigma, t_stat, p, df). */
   def singleSubjectModel(s: SparkSession, d: String): DataFrame = {
-    // design-matrix barrier: 168×6 doubles to the driver, like ssm_loop's
+    // design-matrix barrier: 2016×40 doubles to the driver, like ssm_loop's
     // in-process X before regress() — scale-independent
     val xRows = designFrame(s, d)
       .select(col("t") +: regressors.map(col): _*)
@@ -57,7 +140,7 @@ object Flagship extends QueryModule {
     val series = events(s, d)
       .select(
         (col("user_id") % 10).as("g"),
-        expr(s"(ts div 1000 - $baseUs) div 300000000").as("t"),
+        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("value").cast("decimal(18,2)").as("y_dec"),
       )
       .filter(col("t") >= 0 && col("t") < N)

@@ -129,10 +129,84 @@ object Glm extends QueryModule {
        |ORDER BY g, j""".stripMargin
   }
 
+  // ---- q60: mass-GLM t/σ on a FIXED design — the hash-checked M2/M4 -----
+  // mass-path row (ssm_loop.py:91-97). X is the q33 literal design, so the
+  // pinv, X, and (XᵀX)⁻¹ diagonal are the SAME integers/doubles in both
+  // engines, and the algebraic-SSE formula (SSE = Σy² − βᵀXᵀy, see
+  // GlmOps.massGLM) is mirrored op-for-op in SQL.
+
+  def massGlmStats(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d).select(
+      (col("user_id") % 20).as("g"),
+      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+      col("value").cast("decimal(18,2)").as("y_dec"),
+    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    GlmOps.massGLM(s, series, design, "g")
+      .select(col("g"), col("j"),
+        round(col("beta"), 6).as("beta"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("t_stat"), 6).as("t_stat"))
+      .orderBy("g", "j")
+  }
+
+  private def massGlmStatsSql: String = {
+    val p = LinAlg.pinv(design)
+    val k = design(0).length
+    val dof = (N - k).toDouble
+    val quads = for {
+      t <- design.indices
+      j <- 0 until k
+    } yield s"($t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong}, " +
+      s"${math.rint(design(t)(j) * GlmOps.Scale).toLong})"
+    val diag = LinAlg.xtxInvDiag(design)
+    val cjj = diag.zipWithIndex.map { case (v, j) => s"($j, $v)" }
+    s"""WITH w(t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
+       |cj(j, cjj) AS (VALUES ${cjj.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % 20 AS g,
+       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+       |  FROM events GROUP BY 1, 2
+       |),
+       |gj AS (
+       |  SELECT ser.g, w.j,
+       |    SUM(w.w * ser.y) AS s,
+       |    SUM(w.wx * ser.y) AS us,
+       |    SUM(ser.y * ser.y) AS syy
+       |  FROM ser JOIN w ON w.t = ser.t
+       |  GROUP BY ser.g, w.j
+       |),
+       |gj2 AS (
+       |  SELECT g, j,
+       |    CAST(s AS DOUBLE) / ${GlmOps.Scale}.0 AS beta,
+       |    CAST(us AS DOUBLE) / ${GlmOps.Scale}.0 AS u,
+       |    syy
+       |  FROM gj
+       |),
+       |grp AS (
+       |  SELECT g,
+       |    CAST(MAX(syy) AS DOUBLE) AS syyd,
+       |    CAST(SUM(CAST(round(beta * u, 6) AS DECIMAL(38,6))) AS DOUBLE) AS bxty
+       |  FROM gj2 GROUP BY g
+       |),
+       |sig AS (
+       |  SELECT g, sqrt(greatest(syyd - bxty, 0.0) / $dof) AS sigma FROM grp
+       |)
+       |SELECT gj2.g AS g, CAST(gj2.j AS BIGINT) AS j,
+       |  round(beta, 6) AS beta,
+       |  round(sigma, 6) AS sigma,
+       |  round(beta / (sigma * sqrt(cj.cjj)), 6) AS t_stat
+       |FROM gj2
+       |JOIN sig ON sig.g = gj2.g
+       |JOIN cj ON cj.j = gj2.j
+       |ORDER BY gj2.g, gj2.j""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
     Q("q32_ols_pvalues", olsPValues, None),
     Q("q33_mass_glm_betas", massGlmBetas, Some(massGlmSql)),
+    Q("q60_mass_glm_stats", massGlmStats, Some(massGlmStatsSql)),
   )
 }

@@ -87,9 +87,13 @@ object TextDedup extends QueryModule {
 
   // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
 
+  /** maxDf = 64: the guarded inverted-index path is the DEFAULT — the
+    * uncapped self-join is Σ df² and dies on boilerplate shingles at scale.
+    * The oracle stays the UNPRUNED SQL, so the hash match proves the cap
+    * loses no pair at this corpus (same contract as q59's prefix filter). */
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     DedupOps
-      .jaccardDupPairs(documents(s, d), shingleK = 3, threshold = 0.7)
+      .jaccardDupPairs(documents(s, d), shingleK = 3, threshold = 0.7, maxDf = 64L)
       .orderBy("doc_a", "doc_b")
 
   /** Shared inverted-index exact-Jaccard oracle (q22 and q59 — the q59

@@ -7,7 +7,9 @@ class FlagshipSpec extends SparkSpec {
   test("flagship single-subject model produces a full beta/t/p table") {
     val out = graft.queries.Flagship.singleSubjectModel(spark, sf0001).collect()
     val k = graft.queries.Flagship.regressors.length
-    assert(out.length === 10 * k) // 10 groups × 6 regressors
+    assert(k === 40) // the full-width ssm_loop design: conv + dct/poly +
+    // 24 motion covariates + 2 tissue + 8 spikes
+    assert(out.length === 10 * k) // 10 groups × 40 regressors
     out.foreach { r =>
       val p = r.getAs[Double]("p")
       assert(p >= 0.0 && p <= 1.0, s"p out of range: $r")
@@ -18,6 +20,49 @@ class FlagshipSpec extends SparkSpec {
     // the intercept-ish column should pick up the mean activity: nonzero
     val poly0 = out.filter(_.getAs[String]("regressor") == "poly0")
     assert(poly0.exists(r => math.abs(r.getAs[Double]("beta")) > 0.0))
+  }
+
+  test("wide design is well-conditioned and betas match the closed form") {
+    import graft.glm.LinAlg
+    val regs = graft.queries.Flagship.regressors
+    val rows = graft.queries.Flagship.designFrame(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("t") +:
+        regs.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy("t").collect()
+    assert(rows.length === 2016)
+    val x: LinAlg.Mat = rows.map(r => regs.indices.map(i => r.getDouble(i + 1)).toArray)
+    // conditioning golden: pinv(X)·X must recover I to 1e-8 — catches a
+    // near-singular 40-column design before it poisons every beta
+    val pid = LinAlg.matmul(LinAlg.pinv(x), x)
+    for (i <- regs.indices; j <- regs.indices) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(pid(i)(j) - want) < 1e-8, s"pinv·X[$i][$j] = ${pid(i)(j)}")
+    }
+    // closed-form golden on real data: group g=0's betas and sigma from
+    // driver-side dense algebra must match the distributed fixed-point path
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ser = graft.util.Tables.events(s, sf0001)
+      .select((col("user_id") % 10).as("g"),
+        expr("(ts div 1000 - 1704067200000000) div 300000000").as("t"),
+        col("value").cast("decimal(18,2)").as("y"))
+      .filter(col("g") === 0 && col("t") >= 0 && col("t") < 2016)
+      .groupBy("t").agg(sum("y").as("y"))
+      .collect().map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue).toMap
+    val y = Array.tabulate(2016)(t => ser.getOrElse(t, 0.0))
+    val pinv = LinAlg.pinv(x)
+    val beta = pinv.map(row => row.zip(y).map { case (w, v) => w * v }.sum)
+    val fit = Array.tabulate(2016)(t => regs.indices.map(j => x(t)(j) * beta(j)).sum)
+    val sigma = math.sqrt(y.zip(fit).map { case (a, b) => (a - b) * (a - b) }.sum / (2016 - 40))
+    val got = graft.queries.Flagship.singleSubjectModel(spark, sf0001)
+      .filter(col("g") === 0).collect()
+      .map(r => r.getAs[String]("regressor") -> r).toMap
+    for ((nm, j) <- regs.zipWithIndex) {
+      val b = got(nm).getAs[Double]("beta")
+      assert(math.abs(b - beta(j)) < 1e-4, s"beta($nm): $b vs ${beta(j)}")
+    }
+    assert(math.abs(got("poly0").getAs[Double]("sigma") - sigma) < 1e-4,
+      s"sigma: ${got("poly0").getAs[Double]("sigma")} vs $sigma")
   }
 
   test("entry returns rows on sf0.001 (driver smoke contract)") {

@@ -31,6 +31,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("massGLM: broadcast hints only on constant design tables, never on per-group relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, ResolvedHint}
+    import graft.glm.{GlmOps, LinAlg}
+    val s = spark
+    import s.implicits._
+    val n = 8
+    val x: LinAlg.Mat = Array.tabulate(n, 2)((t, j) => if (j == 0) 1.0 else t.toDouble)
+    val series = (0 until n)
+      .map(t => ("a", t.toLong, BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toDF("g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    val analyzed = GlmOps.massGLM(s, series, x, "g").queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "expected broadcast hints on the k×n design tables")
+    // every hinted subtree must bottom out in driver-literal LocalRelations —
+    // a hint over a per-group (O(data)) relation is the 100 TB memory bomb
+    // the round-2 verdict flagged
+    hints.foreach { h =>
+      assert(h.child.collectLeaves().forall(_.isInstanceOf[LocalRelation]),
+        s"broadcast hint over a non-constant relation:\n${h.child.treeString}")
+    }
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free

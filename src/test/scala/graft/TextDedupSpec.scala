@@ -66,6 +66,25 @@ class TextDedupSpec extends SparkSpec {
     c.foreach { case (k, v) => assert(u(k) === v) }
   }
 
+  test("collect_capped bounds aggregation state and flags overflow by size") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.CollectCapped.collect_capped
+    import org.apache.spark.sql.functions.col
+    // key 1: 10 values (> cap 3 → truncated at cap+1 = overflow marker),
+    // key 2: exactly cap, key 3: one; repartition forces partial buffers
+    // through serialize/merge
+    val df = ((1 to 10).map(v => (1L, v.toLong)) ++
+      Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 9L)))
+      .toDF("k", "v").repartition(8)
+    val out = df.groupBy("k").agg(collect_capped(col("v"), 3).as("ds"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length === 4, "overflowed group must truncate at cap+1")
+    assert(out(1L).toSet.subsetOf((1 to 10).map(_.toLong).toSet))
+    assert(out(2L).sorted === Seq(1L, 2L, 3L))
+    assert(out(3L) === Seq(9L))
+  }
+
   test("simhash: identical docs get identical fingerprints; disjoint differ") {
     val d = docs(1L -> "alpha beta gamma", 2L -> "alpha beta gamma", 3L -> "x1 y2 z3 q4")
     val m = DedupOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
