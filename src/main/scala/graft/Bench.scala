@@ -8,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * parquet footers), then the timed pass in sorted query order — the
   * steady-state numbers a long-running cluster job would see; single-shot
   * cold numbers mostly measure JVM warmup, not the plans.
+  *
+  * Noise control: this box shows 2-3× ambient wall-clock variance on an
+  * IDENTICAL binary (host contention), which swamps sub-second per-query
+  * deltas. SPARK_GRAFT_BENCH_REPS=N repeats the timed pass N times and
+  * reports each query's MINIMUM — the statistic robust to external noise
+  * spikes — for regression attribution; the driver contract default stays
+  * 1. SPARK_GRAFT_NO_TOPK=1 skips the TopKPerKey installation so the
+  * rewrite's effect can be isolated the same way.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,16 +30,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.TopKPerKey.install(spark)
+    if (!sys.env.contains("SPARK_GRAFT_NO_TOPK")) graft.plans.TopKPerKey.install(spark)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = runs.forall(_._2)
+      val dt = runs.map(_._1).min
       // A throwing query must not read as a fast query: negate its duration
       // and list it under "failed" so the JSON carries an explicit marker.
       (name, if (ok) dt else -dt, ok)

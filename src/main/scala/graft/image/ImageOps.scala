@@ -117,12 +117,29 @@ object ImageOps {
     }.toDF("bx", "by", "bz", "x", "y", "z", "label", "owner")
     copies
       .repartition(col("bx"), col("by"), col("bz")) // the ONE exchange
+      // sort co-locates each block's rows so the mode pass can STREAM one
+      // block at a time off the iterator: peak memory is O(block + halo)
+      // (b³ · halo factor cells), not O(partition) — and SortExec spills to
+      // disk under pressure, which an it.toVector buffer never could
+      .sortWithinPartitions(col("bx"), col("by"), col("bz"))
       .as[(Int, Int, Int, Int, Int, Int, Int, Boolean)]
       .mapPartitions { it =>
-        val rows = it.toVector
-        rows.groupBy(r => (r._1, r._2, r._3)).iterator.flatMap { case (_, cs) =>
-          val lookup = cs.map(c => (c._4, c._5, c._6) -> c._7).toMap
-          cs.filter(_._8).map { c =>
+        val rows = it.buffered
+        // one block group per next(): consume rows while the block key holds
+        val blocks = new Iterator[Vector[(Int, Int, Int, Int, Int, Int, Int, Boolean)]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Vector[(Int, Int, Int, Int, Int, Int, Int, Boolean)] = {
+            val h = rows.head
+            val key = (h._1, h._2, h._3)
+            val buf = Vector.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Boolean)]
+            while (rows.hasNext &&
+              (rows.head._1, rows.head._2, rows.head._3) == key) buf += rows.next()
+            buf.result()
+          }
+        }
+        blocks.flatMap { cs =>
+          val lookup = cs.iterator.map(c => (c._4, c._5, c._6) -> c._7).toMap
+          cs.iterator.filter(_._8).map { c =>
             val votes = offs.flatMap { case (dx, dy, dz) =>
               lookup.get((c._4 + dx, c._5 + dy, c._6 + dz))
             }
@@ -135,16 +152,13 @@ object ImageOps {
       .toDF("x", "y", "z", "clean_label")
   }
 
-  /** A9/I4 smoothing: separable binomial kernel (1,2,1)³ — the discretized
-    * small-FWHM Gaussian (ssm_loop.py:88 smooth(fwhm=4); σ ≈ 0.7 voxel).
-    * Integer weights × DECIMAL values keep the weighted mean exact until
-    * the final double division. Missing neighbors renormalize (sum of
-    * present weights), matching masked-smoothing semantics.
-    */
-  def binomialSmooth(spark: SparkSession, grid: DataFrame): DataFrame = {
-    def b(d: Int): Long = if (d == 0) 2L else 1L
-    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
-      yield (dx, dy, dz, b(dx) * b(dy) * b(dz))
+  /** Shared weighted-neighborhood mean: scatter each cell's value through
+    * the integer kernel table, keep taps landing on existing cells, and
+    * renormalize by the sum of PRESENT weights (masked-smoothing
+    * semantics). Integer weights × DECIMAL values keep the weighted mean
+    * exact until the final double division. */
+  private def weightedNeighborMean(spark: SparkSession, grid: DataFrame,
+      offs: Seq[(Int, Int, Int, Long)]): DataFrame = {
     val taps = grid
       .join(broadcast(offsetsDf(spark, offs)), expr("true"))
       .select(
@@ -165,6 +179,49 @@ object ImageOps {
         (col("num").cast("double") / col("den").cast("double")).as("smoothed"))
   }
 
+  /** A9/I4 smoothing: separable binomial kernel (1,2,1)³ — the discretized
+    * small-FWHM Gaussian (σ ≈ 0.7 voxel) — kept as the cheap 27-tap
+    * special case; see [[gaussianSmooth]] for arbitrary FWHM.
+    */
+  def binomialSmooth(spark: SparkSession, grid: DataFrame): DataFrame = {
+    def b(d: Int): Long = if (d == 0) 2L else 1L
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+      yield (dx, dy, dz, b(dx) * b(dy) * b(dz))
+    weightedNeighborMean(spark, grid, offs)
+  }
+
+  /** Truncated Gaussian kernel at arbitrary FWHM as an integer weight
+    * table: σ = fwhm/2.3548 voxels (FWHM = 2·√(2·ln 2)·σ), 1-D weights
+    * w₁(d) = rint(1000·e^(−d²/2σ²)) for |d| ≤ r with r = ⌈2σ⌉, 3-D weight
+    * = w₁(dx)·w₁(dy)·w₁(dz) (separability of the Gaussian), zero-weight
+    * taps dropped. Integer weights make the smoothed means exactly
+    * reproducible in any engine — the kernel table IS the oracle literal.
+    */
+  def gaussianKernelInts(fwhmVox: Double): Seq[(Int, Int, Int, Long)] = {
+    require(fwhmVox > 0, s"fwhm must be positive, got $fwhmVox")
+    val sigma = fwhmVox / (2.0 * math.sqrt(2.0 * math.log(2.0)))
+    val r = math.max(1, math.ceil(2.0 * sigma).toInt)
+    def w1(d: Int): Long =
+      math.rint(1000.0 * math.exp(-(d * d) / (2.0 * sigma * sigma))).toLong
+    for {
+      dx <- -r to r; dy <- -r to r; dz <- -r to r
+      w = w1(dx) * w1(dy) * w1(dz) if w > 0
+    } yield (dx, dy, dz, w)
+  }
+
+  /** A9 at arbitrary FWHM (ssm_loop.py:88 `smooth(fwhm=4)`): one-pass
+    * joint kernel through the stencil join, renormalizing on present
+    * neighbors like [[binomialSmooth]].
+    *
+    * Scale note: the joint kernel is (2r+1)³ taps. On a DENSE 100 TB
+    * volume the separable decomposition (three (2r+1)-tap passes along x,
+    * y, z — same join/groupBy shape each) cuts tap volume ~r²×; it is not
+    * used here because per-pass renormalization on a gappy grid changes
+    * masked-boundary semantics, and the oracle checks the joint form.
+    */
+  def gaussianSmooth(spark: SparkSession, grid: DataFrame, fwhmVox: Double): DataFrame =
+    weightedNeighborMean(spark, grid, gaussianKernelInts(fwhmVox))
+
   /** A4/A5 global reductions: per-z-slice count and exact mean of masked
     * cells (the global-signal / mean-image shape over the semi-joined
     * mask, P9). */
@@ -180,7 +237,8 @@ object ImageOps {
   /** I5 nearest-neighbor resample to half resolution: out(x,y,z) =
     * in(2x, 2y, 2z) — coordinate transform + filter, no interpolation
     * (antsApplyTransforms -n nearestNeighbor analog for a pure scaling
-    * transform). */
+    * transform). The special case of [[resampleAffineNN]] where the
+    * source map is a pure filter+projection — no join at all. */
   def resampleHalf(grid: DataFrame): DataFrame =
     grid
       .filter(col("x") % 2 === 0 && col("y") % 2 === 0 && col("z") % 2 === 0)
@@ -191,4 +249,37 @@ object ImageOps {
         col("label"),
         col("value_dec"),
       )
+
+  /** I5 general form — NN resample under an ARBITRARY affine output→input
+    * map (antsApplyTransforms -n nearestNeighbor,
+    * preprocess_parallel.sh:151-159): for each output cell o in the
+    * `dims` box, source s = round(A·o + b); emit input(s) when that cell
+    * exists. Pure coordinate transform + round + equi-join — rotations,
+    * shears, and anisotropic scalings all reduce to the same plan.
+    *
+    * Scale notes: the output box is generated distributed (spark.range
+    * decomposed to 3-D), the join shuffles on source-coordinate keys; with
+    * block-partitioned ingest (SURVEY §4) both sides co-locate by spatial
+    * block. Callers should pick A/b whose images avoid exact .5 midpoints
+    * (NN at a tie is representation-dependent in ANY engine — the
+    * reference's ANTs call has the same property).
+    */
+  def resampleAffineNN(spark: SparkSession, grid: DataFrame,
+      a: Array[Array[Double]], b: Array[Double],
+      dims: (Int, Int, Int)): DataFrame = {
+    val (nx, ny, nz) = dims
+    val out = spark.range(nx.toLong * ny * nz).selectExpr(
+      s"CAST(id div ${ny.toLong * nz} AS INT) AS x",
+      s"CAST((id div $nz) % $ny AS INT) AS y",
+      s"CAST(id % $nz AS INT) AS z")
+    def src(i: Int) = round(
+      lit(a(i)(0)) * col("x") + lit(a(i)(1)) * col("y") + lit(a(i)(2)) * col("z") +
+        lit(b(i))).cast("int")
+    out
+      .select(col("x"), col("y"), col("z"),
+        src(0).as("sx"), src(1).as("sy"), src(2).as("sz"))
+      .join(grid.select(col("x").as("sx"), col("y").as("sy"), col("z").as("sz"),
+        col("label"), col("value_dec")), Seq("sx", "sy", "sz"))
+      .select(col("x"), col("y"), col("z"), col("label"), col("value_dec"))
+  }
 }

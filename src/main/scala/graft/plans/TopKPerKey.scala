@@ -49,7 +49,18 @@ case class TopKPerKeyNode(
   * re-heaps). `rankAttr = Some(_)` is the FINAL mode: demands clustering on
   * the keys and emits each key's rows with exact row_number ranks. Neither
   * mode sorts its input — Spark's own inferred WindowGroupLimit still pays
-  * a full map-side sort; this pair is heap-only on both sides. */
+  * a full map-side sort; this pair is heap-only on both sides.
+  *
+  * Partial-mode memory is BOUNDED: the per-key heap map is O(#distinct keys
+  * in the partition × k), which for a high-cardinality partition key would
+  * regress to OOM where WindowExec at least spills. Once retained rows
+  * exceed `spark.graft.topk.partialFlushRows` (default 2^20), the current
+  * heaps are emitted unranked and the map cleared. Correctness is
+  * unaffected: each key's true partition top-k rows are within their
+  * segment's top-k (a segment's rows are a subset of the partition's), so
+  * the union of flushed segments is a superset of the exact top-k and the
+  * final pass re-heaps it down. Flushing only ever happens in partial mode;
+  * the final ranking pass sees every surviving row for a key, clustered. */
 case class TopKPerKeyExec(
     partitionExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
@@ -75,6 +86,8 @@ case class TopKPerKeyExec(
     val childOutput = child.output
     val emitRank = rankAttr.isDefined
     val outAttrs = output
+    val flushRows = math.max(1,
+      conf.getConfString("spark.graft.topk.partialFlushRows", (1 << 20).toString).toInt)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       // exchanges and most parents expect UnsafeRow; normalize non-unsafe
@@ -85,8 +98,8 @@ case class TopKPerKeyExec(
       val heapOrd = ord.reversed()
       val heaps =
         new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (iter.hasNext) {
-        val raw = iter.next()
+      var retained = 0
+      def ingest(raw: InternalRow): Unit = {
         val row = raw match {
           case u: UnsafeRow => u
           case r => inProj(r)
@@ -101,7 +114,7 @@ case class TopKPerKeyExec(
             math.max(1, math.min(kLocal, 16)), heapOrd)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size() < kLocal) heap.add(row.copy())
+        if (heap.size() < kLocal) { heap.add(row.copy()); retained += 1 }
         else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
@@ -109,8 +122,33 @@ case class TopKPerKeyExec(
       }
       import scala.jdk.CollectionConverters._
       if (!emitRank) {
-        heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+        // size-triggered flush: drain the heap map whenever it holds
+        // `flushRows` rows, so high-cardinality partition keys stay O(flush)
+        new Iterator[InternalRow] {
+          private var cur: Iterator[UnsafeRow] = Iterator.empty
+          private def drain(): Iterator[UnsafeRow] = {
+            val vs = heaps.values().asScala.toVector
+            heaps.clear()
+            retained = 0
+            vs.iterator.flatMap(_.iterator().asScala)
+          }
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && iter.hasNext) {
+              while (iter.hasNext && retained < flushRows) ingest(iter.next())
+              cur = drain() // each segment ingests ≥ 1 row → non-empty
+            }
+            cur.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            cur.next()
+          }
+        }
       } else {
+        // final mode never flushes: its clustering guarantees every
+        // surviving row of a key is in this partition, and exact ranks
+        // need all of them
+        while (iter.hasNext) ingest(iter.next())
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)

@@ -184,6 +184,34 @@ object DesignImage extends QueryModule {
        |ORDER BY x, y, z""".stripMargin
   }
 
+  // ---- q61: Gaussian smoothing at the reference's fwhm=4 -----------------
+  // (ssm_loop.py:88): truncated integer kernel, σ = 4/2.3548 voxels,
+  // radius ⌈2σ⌉ = 4 → 9³ −zero-weight taps. The kernel integers are the
+  // SAME literals in both engines, so the renormalized means hash-match.
+
+  def smoothFwhm(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .gaussianSmooth(s, ImageOps.voxelGrid(lineitem(s, d), L), 4.0)
+      .orderBy("x", "y", "z")
+
+  private def smoothFwhmSql: String = {
+    val offs = ImageOps.gaussianKernelInts(4.0)
+      .map { case (dx, dy, dz, w) => s"($dx, $dy, $dz, $w)" }.mkString(", ")
+    s"""WITH $duckGrid,
+       |offs(dx, dy, dz, w) AS (VALUES $offs),
+       |taps AS (
+       |  SELECT g.x + o.dx AS cx, g.y + o.dy AS cy, g.z + o.dz AS cz,
+       |         o.w AS w, g.value_dec
+       |  FROM grid g CROSS JOIN offs o
+       |  WHERE EXISTS (SELECT 1 FROM grid t
+       |                WHERE t.x = g.x + o.dx AND t.y = g.y + o.dy AND t.z = g.z + o.dz)
+       |)
+       |SELECT CAST(cx AS INTEGER) AS x, CAST(cy AS INTEGER) AS y, CAST(cz AS INTEGER) AS z,
+       |  CAST(SUM(w * value_dec) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS smoothed
+       |FROM taps GROUP BY cx, cy, cz
+       |ORDER BY x, y, z""".stripMargin
+  }
+
   // ---- q39: per-slice reductions over the mask semi-join -----------------
 
   def sliceMeans(s: SparkSession, d: String): DataFrame =
@@ -216,6 +244,39 @@ object DesignImage extends QueryModule {
        |FROM grid
        |WHERE x % 2 = 0 AND y % 2 = 0 AND z % 2 = 0
        |ORDER BY x, y, z""".stripMargin
+
+  // ---- q63: general-affine NN resample (I5 complete) ---------------------
+  // Downscale by 4/3 with a 0.3-voxel shift: A = diag(0.75), b = 0.3.
+  // 0.75·k + 0.3 can never land on an exact .5 midpoint for integer k
+  // (3k ≡ 0.8 (mod 4) has no integer solution), so NN rounding is
+  // tie-free and the oracle matches exactly.
+
+  def resampleAffine(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .resampleAffineNN(s, ImageOps.voxelGrid(lineitem(s, d), L),
+        Array(Array(0.75, 0.0, 0.0), Array(0.0, 0.75, 0.0), Array(0.0, 0.0, 0.75)),
+        Array(0.3, 0.3, 0.3), (L, L, L))
+      .select(col("x"), col("y"), col("z"), col("label"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy("x", "y", "z")
+
+  private val resampleAffineSql =
+    s"""WITH $duckGrid,
+       |o AS (
+       |  SELECT CAST(g // ${L * L} AS INTEGER) AS x,
+       |         CAST((g // $L) % $L AS INTEGER) AS y,
+       |         CAST(g % $L AS INTEGER) AS z
+       |  FROM generate_series(0, ${L * L * L - 1}) AS gs(g)
+       |), m AS (
+       |  SELECT x, y, z,
+       |    CAST(round(0.75 * x + 0.3) AS INTEGER) AS sx,
+       |    CAST(round(0.75 * y + 0.3) AS INTEGER) AS sy,
+       |    CAST(round(0.75 * z + 0.3) AS INTEGER) AS sz
+       |  FROM o
+       |)
+       |SELECT m.x, m.y, m.z, g.label, CAST(g.value_dec AS DOUBLE) AS value
+       |FROM m JOIN grid g ON g.x = m.sx AND g.y = m.sy AND g.z = m.sz
+       |ORDER BY m.x, m.y, m.z""".stripMargin
 
   // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
 
@@ -261,6 +322,8 @@ object DesignImage extends QueryModule {
     Q("q37_stencil_mode", stencilMode, Some(stencilModeSql)),
     Q("q51_stencil_block", stencilBlock, Some(stencilModeSql)),
     Q("q38_smooth", smooth, Some(smoothSql)),
+    Q("q61_smooth_fwhm", smoothFwhm, Some(smoothFwhmSql)),
+    Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),

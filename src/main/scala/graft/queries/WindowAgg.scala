@@ -90,6 +90,48 @@ object WindowAgg extends QueryModule {
       |FROM o CROSS JOIN mm
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** q62: the k×k correlation matrix itself as a checked relation (nb cell
+    * 19 `dm_conv.corr()`) — the same single-pass cross-moment aggregation
+    * q47 inverts, but surfaced as (var_a, var_b, corr) rows with no driver
+    * collect. Oracle is generated from the same column list, so the pair
+    * formulas and orderings match by construction. */
+  private val corrCols = Seq("l_quantity", "l_discount", "l_tax")
+
+  def corrMatrixQuery(s: SparkSession, d: String): DataFrame =
+    StatsOps
+      .corrMatrix(lineitem(s, d), corrCols)
+      .withColumn("corr", round(col("corr"), 6))
+      .orderBy("var_a", "var_b")
+
+  private def corrMatrixSql: String = {
+    val names = Seq("q", "d", "t")
+    val k = corrCols.length
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val moments =
+      (0 until k).map(i => s"CAST(SUM(${names(i)}) AS DOUBLE) AS s$i") ++
+        pairs.map { case (i, j) => s"CAST(SUM(${names(i)} * ${names(j)}) AS DOUBLE) AS p${i}_$j" }
+    val rows = pairs.map { case (i, j) =>
+      val corr =
+        if (i == j) "CAST(1.0 AS DOUBLE)"
+        else s"round((n * p${i}_$j - s$i * s$j) / " +
+          s"(sqrt(n * p${i}_$i - s$i * s$i) * sqrt(n * p${j}_$j - s$j * s$j)), 6)"
+      s"SELECT '${corrCols(i)}' AS var_a, '${corrCols(j)}' AS var_b, $corr AS corr FROM m"
+    }
+    s"""WITH fp AS (
+       |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS t
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM fp
+       |)
+       |SELECT * FROM (
+       |  ${rows.mkString("\n  UNION ALL ")}
+       |) ORDER BY var_a, var_b""".stripMargin
+  }
+
   /** q47: variance inflation factors over three lineitem regressors —
     * driver-side k×k inverse (A10). The oracle transcribes the EXACT
     * Gauss-Jordan operation sequence of LinAlg.inverse for k=3 into SQL
@@ -175,6 +217,7 @@ object WindowAgg extends QueryModule {
     Q("q45_cube_pricing", cubePricing, Some(cubePricingSql)),
     Q("q46_zscore_global", zscoreGlobal, Some(zscoreGlobalSql)),
     Q("q47_vif", vifRegressors, Some(vifSql)),
+    Q("q62_corr_matrix", corrMatrixQuery, Some(corrMatrixSql)),
     Q("q55_approx_stats", approxStats, None),
   )
 }

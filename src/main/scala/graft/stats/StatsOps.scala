@@ -74,28 +74,37 @@ object StatsOps {
     * accumulated in DECIMAL(38,0)); the k×k collect+invert is driver-side
     * by design — k ≈ regressor count, never data-sized.
     */
-  def vif(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-      cols: Seq[String]): DataFrame = {
+  /** All k sums + k(k+1)/2 cross-product sums of `cols` in ONE aggregation
+    * pass, exact fixed-point (shared by [[vif]] and [[corrMatrix]]).
+    * Values are 2-decimal by construction, so ×100 is integral (round()
+    * before the cast — 0.29·100 is 28.999… in IEEE and a truncating cast
+    * would be off by one). Per-row products stay cheap int64; the
+    * ACCUMULATION is DECIMAL(38,0) because the int64 bound is only ~3.7e11
+    * rows for q·q ≤ 2.5e7 — inside the project's 100 TB target — and a
+    * non-ANSI long sum would wrap silently. (The DuckDB oracle's SUM over
+    * BIGINT is already HUGEINT.) */
+  private def crossMomentAggs(cols: Seq[String]): Seq[Column] = {
     val k = cols.length
     val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
-    // moments in exact fixed-point: values are 2-decimal by construction,
-    // so ×100 is integral (round() before the cast — 0.29·100 is 28.999…
-    // in IEEE and a truncating cast would be off by one). Per-row products
-    // stay cheap int64; the ACCUMULATION is DECIMAL(38,0) because the
-    // int64 bound is only ~3.7e11 rows for q·q ≤ 2.5e7 — inside the
-    // project's 100 TB target — and a non-ANSI long sum would wrap
-    // silently. (The DuckDB oracle's SUM over BIGINT is already HUGEINT.)
     def fp(c: String) = round(col(c) * 100).cast("long")
     val dec38 = "decimal(38,0)"
-    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+    Seq(count(lit(1)).cast("double").as("__n")) ++
       cols.zipWithIndex.map { case (c, i) =>
         sum(fp(c).cast(dec38)).cast("double").as(s"__s$i")
       } ++
       pairs.map { case (i, j) =>
         sum((fp(cols(i)) * fp(cols(j))).cast(dec38)).cast("double").as(s"__p${i}_$j")
       }
+  }
+
+  def vif(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = cols.length
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val aggs = crossMomentAggs(cols)
     // correlations are scale-invariant, so the ×100 moments are used as-is
-    // (no unscaling divisions to mirror in the oracle)
+    // (no unscaling divisions to mirror in the oracle). The k×k
+    // collect+invert is driver-side by design — k ≈ regressor count.
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Double]("__n")
     val s = Array.tabulate(k)(i => row.getAs[Double](s"__s$i"))
@@ -113,6 +122,32 @@ object StatsOps {
     val inv = graft.glm.LinAlg.inverse(r)
     import spark.implicits._
     cols.zipWithIndex.map { case (c, i) => (c, inv(i)(i)) }.toDF("regressor", "vif")
+  }
+
+  /** The full k×k Pearson correlation matrix of `cols` as a QUERYABLE
+    * relation (nb cell 19 `dm_conv.corr()`): one row per unordered pair
+    * (var_a, var_b, corr), i ≤ j, diagonal exactly 1.0. The same
+    * single-pass exact-fixed-point cross-moment aggregation as [[vif]],
+    * but the per-pair correlations are computed as a projection + explode
+    * ON the one-row aggregate — no driver collect anywhere, so the matrix
+    * composes into larger DataFrame pipelines. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = cols.length
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val aggs = crossMomentAggs(cols)
+    val mom = df.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (i, j) =>
+      // diagonal pinned to exactly 1.0 (y/(√y·√y) would be 1±ulp)
+      val r =
+        if (i == j) lit(1.0)
+        else (col("__n") * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")) /
+          (sqrt(col("__n") * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")) *
+            sqrt(col("__n") * col(s"__p${j}_$j") - col(s"__s$j") * col(s"__s$j")))
+      struct(lit(cols(i)).as("var_a"), lit(cols(j)).as("var_b"), r.as("corr"))
+    }
+    mom.select(explode(array(pairStructs: _*)).as("__pr"))
+      .select(col("__pr.var_a").as("var_a"), col("__pr.var_b").as("var_b"),
+        col("__pr.corr").as("corr"))
   }
 
   /** Pearson correlation of two 2-decimal columns per group, via exact

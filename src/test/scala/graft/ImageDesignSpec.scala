@@ -50,6 +50,30 @@ class ImageDesignSpec extends SparkSpec {
     val blockLocal = toMap(ImageOps.blockLocalStencilMode(spark, g, blockSize = 4))
     assert(blockLocal === declarative)
     assert(declarative.nonEmpty)
+    // blockSize=2 → 64 blocks over 32 shuffle partitions: several blocks
+    // per partition, exercising the streaming per-block group iterator's
+    // boundaries (the O(block), not O(partition), memory path)
+    val blockLocal2 = toMap(ImageOps.blockLocalStencilMode(spark, g, blockSize = 2))
+    assert(blockLocal2 === declarative)
+  }
+
+  test("resampleAffineNN: diag(2) affine ≡ resampleHalf; identity ≡ input") {
+    val cells = for {
+      x <- 0 to 5; y <- 0 to 5; z <- 0 to 5
+      if (x + y + z) % 3 != 0 // holes so the join actually filters
+    } yield (x, y, z, (x + 2 * y + z) % 4 + 1, BigDecimal(x * 10 + y))
+    val g = grid(cells: _*)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDecimal(4).doubleValue))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val id = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0))
+    assert(key(ImageOps.resampleAffineNN(spark, g, id, Array(0, 0, 0), (6, 6, 6)))
+      === key(g.select("x", "y", "z", "label", "value_dec")))
+    val twice = id.map(_.map(_ * 2.0))
+    assert(key(ImageOps.resampleAffineNN(spark, g, twice, Array(0, 0, 0), (3, 3, 3)))
+      === key(ImageOps.resampleHalf(g)))
   }
 
   test("binomialSmooth preserves a constant field") {

@@ -68,6 +68,31 @@ class TopKSpec extends SparkSpec {
     } finally TopKPerKey.uninstall(s)
   }
 
+  test("partial-mode flush: key cardinality ≫ flush threshold, results exact") {
+    val s = spark
+    import s.implicits._
+    TopKPerKey.install(s)
+    try {
+      // 2000 distinct keys × 5 rows through a 7-row flush threshold: every
+      // map-side heap map drains hundreds of times per partition, yet the
+      // final ranked output must equal the WindowExec form exactly
+      val df = s.range(0, 10000).select(
+        (col("id") % 2000).as("g"),
+        (col("id") * 37 % 101).as("v"),
+        col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val q = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+      s.conf.set("spark.graft.topk.partialFlushRows", "7")
+      val flushed = try q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      finally s.conf.unset("spark.graft.topk.partialFlushRows")
+      TopKPerKey.uninstall(s)
+      val exact = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(flushed.sortBy(t => (t._1, t._4)).toSeq === exact.sortBy(t => (t._1, t._4)).toSeq)
+      assert(exact.length === 2000 * 2)
+    } finally TopKPerKey.uninstall(s)
+  }
+
   test("non-rank window patterns are not rewritten") {
     val s = spark
     import s.implicits._
