@@ -234,6 +234,38 @@ object ImageOps {
         (sum(col("value_dec")).cast("double") / count(lit(1))).as("mean_value"),
       )
 
+  /** S7 with a time axis: the 4-D voxel series (t, x, y, z, value) — the
+    * long form of an fMRI run (one 3-D volume per TR). Ingested from
+    * `lineitem` like [[voxelGrid]], with `t` a key residue over `nT` TRs;
+    * the DuckDB oracle rebuilds it identically. */
+  def voxelSeries(lineitem: DataFrame, l: Int, nT: Int): DataFrame =
+    lineitem
+      .groupBy(
+        ((col("l_orderkey") + col("l_linenumber") * 11) % nT).cast("int").as("t"),
+        (col("l_orderkey") % l).cast("int").as("x"),
+        (col("l_partkey") % l).cast("int").as("y"),
+        (col("l_suppkey") % l).cast("int").as("z"),
+      )
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("value_dec"))
+
+  /** A4 proper — PER-TR global signal (nb cell 42 `np.mean(data, axis=1)`
+    * over the masked 4-D series): for each TR, the count and exact-decimal
+    * mean of the in-mask voxels at that t.
+    *
+    * Scale shape: the mask is an atlas — O(volume), not O(data) — so the
+    * semi-join broadcasts it and the series streams through map-side;
+    * the per-t aggregation partial-combines to |TRs| rows per partition
+    * before the one #TRs-sized exchange. No data-sized shuffle anywhere.
+    */
+  def globalSignal(series: DataFrame, mask: DataFrame): DataFrame =
+    series
+      .join(broadcast(mask.select("x", "y", "z")), Seq("x", "y", "z"), "left_semi")
+      .groupBy("t")
+      .agg(
+        count(lit(1)).as("n_vox"),
+        (sum(col("value_dec")).cast("double") / count(lit(1))).as("global_signal"),
+      )
+
   /** I5 nearest-neighbor resample to half resolution: out(x,y,z) =
     * in(2x, 2y, 2z) — coordinate transform + filter, no interpolation
     * (antsApplyTransforms -n nearestNeighbor analog for a pure scaling

@@ -278,6 +278,42 @@ object DesignImage extends QueryModule {
        |FROM m JOIN grid g ON g.x = m.sx AND g.y = m.sy AND g.z = m.sz
        |ORDER BY m.x, m.y, m.z""".stripMargin
 
+  // ---- q64: per-TR global signal over the masked 4-D series (A4) ---------
+  // nb cell 42: global signal = mean over in-mask voxels at each TR. The
+  // mask is the aseg-code mask of the 3-D grid (an atlas: O(volume),
+  // broadcast); the series is the O(data) side, streamed once.
+
+  private val NT = 30 // TRs in the synthetic series
+
+  def globalSignal(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val mask = ImageOps
+      .labelMask(ImageOps.voxelGrid(li, L), ImageOps.AsegCodes)
+      .filter(col("mask") === 1)
+    ImageOps
+      .globalSignal(ImageOps.voxelSeries(li, L, NT), mask)
+      .orderBy("t")
+  }
+
+  private val globalSignalSql =
+    s"""WITH $duckGrid,
+       |series AS (
+       |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+       |  FROM lineitem GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT t, CAST(COUNT(*) AS BIGINT) AS n_vox,
+       |  CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) AS global_signal
+       |FROM series s
+       |WHERE EXISTS (SELECT 1 FROM grid g
+       |              WHERE g.x = s.x AND g.y = s.y AND g.z = s.z
+       |                AND g.label IN ($asegList))
+       |GROUP BY t
+       |ORDER BY t""".stripMargin
+
   // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
 
   def entityCatalog(s: SparkSession, d: String): DataFrame =
@@ -325,6 +361,7 @@ object DesignImage extends QueryModule {
     Q("q61_smooth_fwhm", smoothFwhm, Some(smoothFwhmSql)),
     Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
+    Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),
   )

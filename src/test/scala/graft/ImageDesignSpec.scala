@@ -57,6 +57,23 @@ class ImageDesignSpec extends SparkSpec {
     assert(blockLocal2 === declarative)
   }
 
+  test("globalSignal: per-TR masked mean, exact; out-of-mask voxels don't vote") {
+    val s = spark
+    import s.implicits._
+    // 2 TRs × 3 voxels; mask covers (0,0,0) and (1,0,0) only
+    val series = Seq(
+      (0, 0, 0, 0, BigDecimal("1.00")), (0, 1, 0, 0, BigDecimal("3.00")),
+      (0, 2, 0, 0, BigDecimal("99.00")), // out of mask
+      (1, 0, 0, 0, BigDecimal("5.00")), // TR 1: only one in-mask voxel present
+      (1, 2, 0, 0, BigDecimal("99.00")),
+    ).toDF("t", "x", "y", "z", "value_dec")
+      .withColumn("value_dec", col("value_dec").cast("decimal(18,2)"))
+    val mask = Seq((0, 0, 0), (1, 0, 0)).toDF("x", "y", "z")
+    val out = ImageOps.globalSignal(series, mask)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(0 -> ((2L, 2.0)), 1 -> ((1L, 5.0))))
+  }
+
   test("resampleAffineNN: diag(2) affine ≡ resampleHalf; identity ≡ input") {
     val cells = for {
       x <- 0 to 5; y <- 0 to 5; z <- 0 to 5
