@@ -170,24 +170,61 @@ object DedupOps {
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     } else {
-      // cap prunes candidate generation only; scores use FULL shingle sets.
-      // ONE exchange builds the capped inverted index: collect_capped keeps
-      // at most maxDf+1 doc_ids per shingle — bounded aggregation state
-      // even for a boilerplate shingle in 100M docs, whose overflowed
-      // (size > maxDf) posting list is exactly what the cap drops. Pair
-      // generation is then map-side (≤ maxDf²/2 per shingle), far cheaper
-      // than the df-count + anti-join + index self-join formulation
-      // (4 exchanges of the full shingle relation → 1 + the pair distinct).
+      // cap prunes candidate generation only; scores stay exact over FULL
+      // shingle sets. ONE exchange builds the capped inverted index:
+      // collect_capped keeps at most maxDf+1 doc_ids per shingle — bounded
+      // aggregation state even for a boilerplate shingle in 100M docs,
+      // whose overflowed (size > maxDf) posting list is exactly what the
+      // cap drops from candidate generation.
+      //
+      // Scoring exploits that the generated pairs already CARRY the answer:
+      // groupBy(doc_a, doc_b).count() over them is the exact common-shingle
+      // count across every df ≤ cap shingle (each shingle contributes its
+      // pair once — per-doc shingle arrays are distinct by construction).
+      // The only common shingles that count misses are HOT ones (df > cap),
+      // and a doc with zero hot shingles can share zero of them — so for
+      // pairs where either side's hot-shingle count is 0 (ALL pairs, on a
+      // corpus where the cap never fires) the Jaccard is computed directly
+      // from (count, |a|, |b|): the array-verify joins — candidate-pair ×
+      // full shingle arrays, the dominant cost of this query — vanish.
+      // Only pairs where BOTH docs touch hot shingles, and whose
+      // upper-bound Jaccard (common + min(hot_a, hot_b), clamped to
+      // min(|a|,|b|)) clears the threshold, fall back to the array verify.
       import graft.functions.CollectCapped.collect_capped
       val idx = sh.groupBy("h")
         .agg(collect_capped(col("doc_id"), maxDf.toInt).as("__ds"))
-        .filter(size(col("__ds")).between(2, maxDf.toInt))
-      val cands = idx
+      val vis = idx.filter(size(col("__ds")).between(2, maxDf.toInt))
+      val cvis = vis
         .select(explode(col("__ds")).as("doc_a"), col("__ds"))
         .select(col("doc_a"), explode(col("__ds")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-      scorePairs(cands, withSh, threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("__c"))
+      // per-doc count of hot shingles — the hot set is tiny by definition
+      // (boilerplate), so this join is map-side after AQE broadcasts it
+      val hot = idx.filter(size(col("__ds")) > maxDf.toInt).select("h")
+      val dropped = sh.join(hot, "h").groupBy("doc_id").agg(count(lit(1)).as("__d"))
+      val scored = cvis
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("__na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("__nb")), "doc_b")
+        .join(dropped.select(col("doc_id").as("doc_a"), col("__d").as("__da")),
+          Seq("doc_a"), "left")
+        .join(dropped.select(col("doc_id").as("doc_b"), col("__d").as("__db")),
+          Seq("doc_b"), "left")
+        .withColumn("__slack",
+          least(coalesce(col("__da"), lit(0L)), coalesce(col("__db"), lit(0L))))
+      val exact = scored
+        .filter(col("__slack") === 0)
+        .withColumn("jaccard", col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      val ubC = least(col("__c") + col("__slack"), least(col("__na"), col("__nb")))
+      val maybe = scored
+        .filter(col("__slack") > 0)
+        .filter(ubC.cast("double") / (col("__na") + col("__nb") - ubC) >= threshold)
+        .select("doc_a", "doc_b")
+      exact.unionByName(scorePairs(maybe, withSh, threshold))
     }
   }
 

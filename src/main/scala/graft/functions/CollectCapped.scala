@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   *
   * Element ORDER is aggregation-order dependent (like collect_list);
   * callers must not depend on it — the dedup path explodes to pairs and
-  * distincts, which is order-free.
+  * aggregates per-pair counts, which is order-free.
   */
 case class CollectCapped(
     child: Expression,

@@ -55,6 +55,11 @@ class TextDedupSpec extends SparkSpec {
       1L -> "a b c c c c c b a",
       2L -> "a b c c c c c b x",
       3L -> "z z c c c z z",
+      // 4-5 share only sub-cap shingles: the no-hot-shingle direct-scoring
+      // path (slack = 0), while 1-2 — both touching the hot c-shingles —
+      // exercise the array-verify fallback (slack > 0), under the same cap
+      4L -> "m n o p q r s",
+      5L -> "m n o p q r t",
     )
     val uncapped = DedupOps.jaccardDupPairs(d, 3, 0.3).collect()
     val capped = DedupOps.jaccardDupPairs(d, 3, 0.3, maxDf = 2).collect()
@@ -62,6 +67,7 @@ class TextDedupSpec extends SparkSpec {
       rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val u = key(uncapped); val c = key(capped)
     assert(u.contains((1L, 2L)) && c.contains((1L, 2L)))
+    assert(u.contains((4L, 5L)) && c.contains((4L, 5L)))
     // scores agree on surviving pairs (cap affects candidate gen only)
     c.foreach { case (k, v) => assert(u(k) === v) }
   }
