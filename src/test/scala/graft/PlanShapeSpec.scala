@@ -54,6 +54,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q64: global signal semi-joins a broadcast mask; series is never sort-merge joined") {
+    val p = plan("q64_global_signal")
+    // the atlas mask is O(volume): it must broadcast so the O(data) series
+    // streams through the semi-join map-side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "mask semi-join degraded to SMJ")
+  }
+
+  test("q61: arbitrary-FWHM smooth broadcasts the kernel table, one agg exchange") {
+    val p = plan("q61_smooth_fwhm")
+    // the kernel-weights table is a driver literal — never shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free
