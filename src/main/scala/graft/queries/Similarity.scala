@@ -134,10 +134,68 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q65: distributed k-means IVF training -----------------------------
+  // The training step q49's centroid pick defers to: 2 Lloyd iterations,
+  // deterministic init (lowest vec_ids), exact int64 fixed-point coordinate
+  // sums (vec_sum_fixed) so the trained centroids hash-match the SQL replay
+  // of the same rounds and sums.
+
+  private val kmK = 8
+  private val kmIters = 2
+  private val kmScale = 1L << 20
+  private val kmDim = 64
+
+  def kmeansTrain(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .kmeansCentroids(embeddings(s, d), nCentroids = kmK, iters = kmIters)
+      .withColumn("coord", round(col("coord"), 6))
+      .orderBy("cell", "j")
+
+  private def kmeansTrainSql: String = {
+    // one assign+sum CTE pair per iteration, chained on the previous
+    // centroid list — the SQL is generated for kmIters so the two engines
+    // replay identical iterations by construction
+    def assign(prev: String, i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) DESC,
+         |        c.cell ASC) AS rn
+         |    FROM normed n CROSS JOIN $prev c) WHERE rn = 1
+         |)""".stripMargin
+    def sums(i: Int): String =
+      s"""s$i AS (
+         |  SELECT a.cell, r.j, CAST(count(*) AS BIGINT) AS n,
+         |    SUM(CAST(round(a.v[r.j + 1] * $kmScale.0) AS BIGINT)) AS s
+         |  FROM a$i a CROSS JOIN range($kmDim) r(j) GROUP BY a.cell, r.j
+         |)""".stripMargin
+    def cent(i: Int): String =
+      s"""c$i AS (
+         |  SELECT cell, list(CAST(s AS DOUBLE) / $kmScale.0 / n ORDER BY j) AS cv
+         |  FROM s$i GROUP BY cell
+         |)""".stripMargin
+    val iterCtes = (1 to kmIters).flatMap { i =>
+      Seq(assign(if (i == 1) "c0" else s"c${i - 1}", i), sums(i)) ++
+        (if (i < kmIters) Seq(cent(i)) else Nil)
+    }
+    s"""WITH $duckCorpus,
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT $kmK)
+       |),
+       |${iterCtes.mkString(",\n")}
+       |SELECT cell, n AS n_members, CAST(j AS INTEGER) AS j,
+       |  round(CAST(s AS DOUBLE) / $kmScale.0 / n, 6) AS coord
+       |FROM s$kmIters
+       |ORDER BY cell, j""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
   )
 }

@@ -81,29 +81,51 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** The left-fold dot the whole module standardizes on, replayed on the
+    * driver: same products, same left-to-right additions as `dot_fold` and
+    * the DuckDB `list_reduce` — so a driver-computed centroid norm is
+    * bit-identical to the in-plan / oracle one. */
+  private def foldDot(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** MAP-SIDE argmax-cosine assignment to driver-literal centroids
+    * (cell, coords): adds a `cell` column with ZERO exchange — `greatest`
+    * over per-centroid (cosine, -cell) structs picks max cosine with ties
+    * to the lowest cell, replacing the corpus×k `row_number` window,
+    * which would shuffle k× the data just to rank k values per row. */
+  private def argmaxCell(corpus: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (cell, cv) =>
+      val cnorm = math.sqrt(foldDot(cv, cv))
+      struct(
+        (VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))).as("cs"),
+        lit(-cell).as("negc"))
+    }
+    corpus.withColumn("cell", -greatest(scored: _*).getField("negc"))
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
     * `nCentroids` coarse centroids (deterministic pick: the lowest-id
-    * vectors act as centroids — a production build runs k-means once and
-    * broadcasts the trained centroids; the plan is identical), then probe
-    * only the query's cell. One broadcast join for assignment, one
-    * cell-equi-join for probing — the corpus is scanned once and, when the
-    * assignment is persisted partitioned by cell, a probe touches one
+    * vectors act as centroids; [[kmeansCentroids]] is the trained
+    * alternative — swap its (cell → coord list) output in as the
+    * centroid literals, the plan is identical), then probe only the
+    * query's cell. Assignment is a pure projection against the k×d
+    * centroid literals ([[argmaxCell]] — no shuffle, no window), one
+    * cell-equi-join for probing — the corpus is scanned once and, when
+    * the assignment is persisted partitioned by cell, a probe touches one
     * partition.
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCentroids: Int): DataFrame = {
     val corpus = prepared(emb)
-    val centroids = corpus
+    val cents = corpus
       .orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    // assignment: argmax cosine to a centroid, ties → lowest centroid id
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("__cs").desc, col("cent_id").asc)
-    val assigned = corpus
-      .join(broadcast(centroids), expr("true"))
-      .withColumn("__cs", VectorExprs.dot_fold(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cent_id").as("cell"))
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = argmaxCell(corpus, cents)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
     val queries = assigned
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -117,6 +139,59 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Distributed spherical k-means (Lloyd's) over the embedding corpus —
+    * the IVF training step [[ivfTopK]]'s scaladoc defers to. Fully
+    * deterministic and engine-reproducible:
+    *
+    *   - init: the `nCentroids` lowest-vec_id vectors (no RNG);
+    *   - assign: argmax cosine to the k×d centroid literals, ties to the
+    *     lowest cell id — a pure projection over the corpus
+    *     ([[argmaxCell]]), no shuffle of vectors, no window;
+    *   - update: per-cell coordinate sums via `vec_sum_fixed` (exact
+    *     int64 fixed-point, aggregation-order-free — a double sum would
+    *     make the trained centroids partitioning-dependent), one k-row
+    *     exchange; the k×d means collect to the driver and feed the next
+    *     iteration's broadcast (the same O(k·d) barrier every iterative
+    *     solver has — centroids are model state, never data-sized).
+    *
+    * Returns the long relation (cell, n_members, j, coord) of the
+    * centroids after `iters` updates; cells that lose all members are
+    * dropped (their rows simply don't appear). Cosine to an updated
+    * centroid divides by the centroid norm computed IN-PLAN from the same
+    * literals, so any engine replaying the identical IEEE ops gets
+    * bit-identical assignments — the oracle hash-matches.
+    */
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
+      scaleBits: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.VecSumFixed.vec_sum_fixed
+    require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
+    val scale = 1L << scaleBits
+    val corpus = prepared(emb)
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select("v").collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    // (cell, n, coordinate sums) of the LAST assignment round
+    var last: Array[(Long, Long, Seq[Long])] = null
+    for (_ <- 1 to iters) {
+      last = argmaxCell(corpus, cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), vec_sum_fixed(col("v"), scale).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      cents = last.toSeq.sortBy(_._1).map { case (cell, n, s) =>
+        (cell, s.map(_.toDouble / scale.toDouble / n.toDouble))
+      }
+    }
+    val rows = for {
+      (cell, n, s) <- last.toSeq.sortBy(_._1)
+      (sj, j) <- s.zipWithIndex
+    } yield (cell.toInt, n, j, sj.toDouble / scale.toDouble / n.toDouble)
+    rows.toDF("cell", "n_members", "j", "coord")
   }
 
   /** Exact cosine near-duplicate pairs: all (a < b) pairs with cosine ≥

@@ -70,6 +70,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q49: IVF cell assignment is map-side — no window, no k× corpus shuffle") {
+    val p = plan("q49_ivf_topk")
+    // only the FINAL per-query ranking may be a Window; the corpus×k
+    // assignment must be the greatest()-over-struct projection, not a
+    // row_number over a k-times-replicated corpus
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 1, s"expected at most the final ranking window, got $windows:\n${p.take(1200)}")
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free
