@@ -304,4 +304,56 @@ object DedupOps {
       .agg(sum(expr("2 * ((h >> i) & 1) - 1")).as("s"))
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
+
+  /** Near-duplicate RESOLUTION: connected components over a (doc_a, doc_b)
+    * pair graph, then a per-document keep/drop verdict — the step that
+    * turns any pair detector (MinHash, SimHash, exact/prefix Jaccard,
+    * embedding cosine) into an actual deduplicated corpus. A transitive
+    * near-dup chain a~b~c must collapse to ONE kept document even when
+    * (a,c) was never directly detected.
+    *
+    * Components by min-label propagation (the BSP CC algorithm): every
+    * vertex starts as its own label; each round every vertex takes the min
+    * of its own and its neighbors' labels; fixpoint = the component's
+    * minimum doc_id, which is also the canonical survivor (matching
+    * exactDedup's min-id convention). The fixpoint is unique, so the
+    * result is deterministic under any partitioning or join order.
+    *
+    * Scale shape: one round = an edges×labels equi-join + a min
+    * aggregation — both shuffle on vertex ids, no vertex ever carries its
+    * payload (labels are (id, id) pairs). Rounds ≤ graph diameter, and
+    * near-dup graphs are overwhelmingly tiny cliques/chains (diameter 2-4);
+    * `localCheckpoint` truncates the per-round lineage, the standard BSP
+    * barrier. (Production CC at web scale swaps in large-star/small-star
+    * to force O(log n) rounds — identical per-round plan shape.)
+    *
+    * Returns (doc_id, cluster, keep) for EVERY document: cluster = the
+    * component's min doc_id (a singleton's own id), keep = whether this
+    * document is its cluster's canonical survivor.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct().withColumn("l", col("v"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym
+        .join(labels.select(col("v").as("dst"), col("l").as("__ld")), "dst")
+        .groupBy("src").agg(min(col("__ld")).as("__ln"))
+        .withColumnRenamed("src", "v")
+      val next = labels
+        .join(prop, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("l", "__lo"), "v")
+        .filter(col("l") =!= col("__lo")).count()
+      labels = next
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("l"), col("doc_id")).as("cluster"),
+        (coalesce(col("l"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
 }

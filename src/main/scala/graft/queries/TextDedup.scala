@@ -52,8 +52,10 @@ object TextDedup extends QueryModule {
         rowsPerBand = 4, threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
-  private val minhashPairsSql =
-    s"""WITH $duckShingles,
+  /** Shared CTE chain ending in `com`/`sz` — the MinHash pair machinery,
+    * reused by q21 (pairs) and q66 (clusters over those pairs). */
+  private val minhashCtes =
+    s"""$duckShingles,
        |mh AS (
        |  SELECT doc_id, r.j AS j, min(((2*r.j + 3) * h + (5*r.j + 7)) % $P) AS mh
        |  FROM sh, unnest(range(16)) AS r(j)
@@ -76,7 +78,10 @@ object TextDedup extends QueryModule {
        |  JOIN sh s1 ON s1.doc_id = c.doc_a
        |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
        |  GROUP BY c.doc_a, c.doc_b
-       |)
+       |)""".stripMargin
+
+  private val minhashPairsSql =
+    s"""WITH $minhashCtes
        |SELECT m.doc_a, m.doc_b,
        |  round(CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common), 6) AS jaccard
        |FROM com m
@@ -268,10 +273,50 @@ object TextDedup extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
+  // Connected components by min-label propagation; every document gets its
+  // component's min doc_id as cluster and a keep verdict. The oracle
+  // computes the same components with a recursive reachability CTE — the
+  // min over everything reachable IS the converged propagation fixpoint.
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    DedupOps
+      .dedupClusters(
+        documents(s, d),
+        DedupOps.minhashDupPairs(documents(s, d), shingleK = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.5))
+      .orderBy("doc_id")
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT m.doc_a, m.doc_b
+       |  FROM com m
+       |  JOIN sz za ON za.doc_id = m.doc_a
+       |  JOIN sz zb ON zb.doc_id = m.doc_b
+       |  WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(v, m) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.v = s.dst
+       |),
+       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v)
+       |SELECT d.doc_id,
+       |  COALESCE(l.cluster, d.doc_id) AS cluster,
+       |  (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
+    Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),

@@ -72,6 +72,32 @@ class TextDedupSpec extends SparkSpec {
     c.foreach { case (k, v) => assert(u(k) === v) }
   }
 
+  test("dedupClusters: transitive chains collapse to one survivor; singletons keep") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2, 2-3 (no direct 1-3 edge) + island 7-9 + singleton 5
+    val docsDf = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(docsDf, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      5L -> ((5L, true)), 7L -> ((7L, true)), 9L -> ((7L, false))))
+  }
+
+  test("dedupClusters: long path needs several propagation rounds") {
+    val s = spark
+    import s.implicits._
+    // a 12-vertex path graph: min label must travel the whole diameter
+    val n = 12L
+    val docsDf = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = DedupOps.dedupClusters(docsDf, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall(_._2 == 1L))
+    assert(out.count(_._3) === 1)
+  }
+
   test("collect_capped bounds aggregation state and flags overflow by size") {
     val s = spark
     import s.implicits._
