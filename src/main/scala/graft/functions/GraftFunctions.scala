@@ -49,6 +49,8 @@ object GraftFunctions {
     add("lsh_band_keys")(e =>
       TextExprs.LshBandKeys(e.head, intLit(e(1), "lsh_band_keys")))
     add("intersect_size")(e => TextExprs.IntersectSize(e.head, e(1)))
+    add("gram_stats")(e =>
+      TextExprs.GramStats(e.head, intLit(e(1), "gram_stats")))
     add("dot_fold")(e => VectorExprs.DotFold(e.head, e(1)))
     add("sign_bucket")(e =>
       VectorExprs.SignBucket(e.head, intLit(e(1), "sign_bucket")))

@@ -167,6 +167,39 @@ object TextExprs {
     UnsafeArrayData.fromPrimitiveArray(keys)
   }
 
+  /** One-pass word k-gram repetition stats over the gram-hash MULTISET
+    * (two-level radix-31 fold like [[shingleHashSet]], but counting
+    * occurrences): (total, distinct, top_freq). total = n−k+1 grams — 0
+    * when the doc has < k tokens; top_freq = the most frequent gram's
+    * occurrence count. The Gopher/C4 repetition signals (duplicate-gram
+    * and top-gram fractions) are projections of these three numbers. */
+  def gramStats(s: UTF8String, k: Int): InternalRow = {
+    val str = s.toString
+    var th = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, _, _) => {
+      if (n == th.length) th = java.util.Arrays.copyOf(th, n * 2)
+      th(n) = h; n += 1
+    })
+    if (n < k) new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    else {
+      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i + k <= n) {
+        var acc = 0L
+        var j = i
+        while (j < i + k) { acc = (acc * 31 + th(j)) % P; j += 1 }
+        counts.merge(acc, 1L, (a, b) => a + b)
+        i += 1
+      }
+      var top = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+      new GenericInternalRow(
+        Array[Any]((n - k + 1).toLong, counts.size.toLong, top))
+    }
+  }
+
   /** |A ∩ B| for two long-array SETS (each side has no internal dups). */
   def intersectSize(a: ArrayData, b: ArrayData): Long = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
@@ -271,6 +304,20 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class GramStats(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"gram_stats k must be >= 1, got $k")
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("uniq", LongType, nullable = false),
+      StructField("top_freq", LongType, nullable = false),
+    ))
+    override def prettyName: String = "gram_stats"
+    override def nullSafeEval(v: Any): Any = gramStats(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.gramStats($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "intersect_size"
@@ -296,6 +343,8 @@ object TextExprs {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
   def lsh_band_keys(c: Column, rowsPerBand: Int): Column =
     ColumnBridge.column(LshBandKeys(ColumnBridge.expression(c), rowsPerBand))
+  def gram_stats(c: Column, k: Int): Column =
+    ColumnBridge.column(GramStats(ColumnBridge.expression(c), k))
   def intersect_size(a: Column, b: Column): Column =
     ColumnBridge.column(IntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

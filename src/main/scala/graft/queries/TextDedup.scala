@@ -273,6 +273,73 @@ object TextDedup extends QueryModule {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q67: Gopher/C4-style repetition quality signals -------------------
+  // Duplicate-gram and top-gram fractions from one-pass native gram_stats
+  // (word unigrams + bigrams over the shared radix-31 token hashes). Both
+  // engines count gram HASHES, so even a hash collision (merging two
+  // distinct grams) is mirrored exactly.
+
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextExprs
+    documents(s, d)
+      .select(col("doc_id"),
+        TextExprs.gram_stats(col("text"), 1).as("g1"),
+        TextExprs.gram_stats(col("text"), 2).as("g2"))
+      .select(
+        col("doc_id"),
+        col("g1.total").as("tokens"),
+        col("g2.total").as("bigrams"),
+        round(when(col("g1.total") > 0,
+          col("g1.top_freq").cast("double") / col("g1.total")).otherwise(0.0), 6)
+          .as("top_token_frac"),
+        round(when(col("g2.total") > 0,
+          lit(1.0) - col("g2.uniq").cast("double") / col("g2.total")).otherwise(0.0), 6)
+          .as("dup_2gram_frac"),
+        round(when(col("g2.total") > 0,
+          col("g2.top_freq").cast("double") / col("g2.total")).otherwise(0.0), 6)
+          .as("top_2gram_frac"),
+      )
+      .orderBy("doc_id")
+  }
+
+  private val repetitionStatsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |c1 AS (
+       |  SELECT doc_id, u.h AS g, count(*) AS c
+       |  FROM toks, unnest(th) AS u(h) GROUP BY doc_id, u.h
+       |),
+       |s1 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS top
+       |  FROM c1 GROUP BY doc_id
+       |),
+       |g2 AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 2)), (acc, x) -> (acc * 31 + x) % $P) AS g
+       |  FROM toks, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS r(i)
+       |),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       |s2 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS uniq, max(c) AS top
+       |  FROM c2 GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(s1.total, 0) AS tokens,
+       |  COALESCE(s2.total, 0) AS bigrams,
+       |  CASE WHEN COALESCE(s1.total, 0) > 0
+       |    THEN round(CAST(s1.top AS DOUBLE) / s1.total, 6) ELSE 0.0 END AS top_token_frac,
+       |  CASE WHEN COALESCE(s2.total, 0) > 0
+       |    THEN round(1.0 - CAST(s2.uniq AS DOUBLE) / s2.total, 6) ELSE 0.0 END AS dup_2gram_frac,
+       |  CASE WHEN COALESCE(s2.total, 0) > 0
+       |    THEN round(CAST(s2.top AS DOUBLE) / s2.total, 6) ELSE 0.0 END AS top_2gram_frac
+       |FROM documents d
+       |LEFT JOIN s1 ON s1.doc_id = d.doc_id
+       |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -321,6 +388,7 @@ object TextDedup extends QueryModule {
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),
+    Q("q67_repetition", repetitionStats, Some(repetitionStatsSql)),
     Q("q25_lang_id", langId, Some(langIdSql)),
     Q("q26_fingerprint", fingerprint, Some(fingerprintSql)),
   )

@@ -45,7 +45,8 @@ class BinarySqlSpec extends SparkSpec {
         |  size(lsh_band_keys(min_hash_sig(shingle_hash_set(text, 3), 16), 4)) AS nb,
         |  intersect_size(shingle_hash_set(text, 3), shingle_hash_set(text, 3)) AS self_common,
         |  length(block_resize(encode(text, 'UTF-8'), 8, 4)) AS nr,
-        |  t_pvalue(2.0D, 10.0D) AS p
+        |  t_pvalue(2.0D, 10.0D) AS p,
+        |  gram_stats(text, 2).total AS ng2
         |FROM __docs""".stripMargin)
     val rows = r.collect()
     assert(rows.length === 50)

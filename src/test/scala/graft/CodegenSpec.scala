@@ -84,6 +84,10 @@ class CodegenSpec extends SparkSpec {
       encode(col("text"), "UTF-8"), 8, 4)), "blockResize")
   }
 
+  test("gram_stats generates and compiles") {
+    checkCodegen(docs.select(TextExprs.gram_stats(col("text"), 2)), "gramStats")
+  }
+
   test("t_pvalue generates and compiles") {
     val df = docs.select(graft.functions.TCdf.t_pvalue(
       (col("doc_id") % 7).cast("double"), lit(10.0)))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.dedup.DedupOps
 import graft.text.TextOps
 
@@ -70,6 +71,24 @@ class TextDedupSpec extends SparkSpec {
     assert(u.contains((4L, 5L)) && c.contains((4L, 5L)))
     // scores agree on surviving pairs (cap affects candidate gen only)
     c.foreach { case (k, v) => assert(u(k) === v) }
+  }
+
+  test("gram_stats: hand-counted uni/bigram repetition") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextExprs
+    val d = Seq((1L, "a b a b a"), (2L, "x")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextExprs.gram_stats(col("text"), 1).as("g1"),
+      TextExprs.gram_stats(col("text"), 2).as("g2"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getLong(1), r.getStruct(1).getLong(2)),
+          (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1), r.getStruct(2).getLong(2))))
+      .toMap
+    // "a b a b a": 5 tokens, 2 distinct, 'a'×3; bigrams ab,ba,ab,ba → 4/2/2
+    assert(out(1L) === (((5L, 2L, 3L), (4L, 2L, 2L))))
+    // single token: no bigrams at all
+    assert(out(2L) === (((1L, 1L, 1L), (0L, 0L, 0L))))
   }
 
   test("dedupClusters: transitive chains collapse to one survivor; singletons keep") {
