@@ -305,6 +305,33 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
 
+  /** Benchmark DECONTAMINATION: training documents sharing at least one
+    * k-token-gram with the eval corpus, with the count of shared distinct
+    * grams — the standard pretraining hygiene step (eval n-gram overlap →
+    * drop or flag).
+    *
+    * Scale shape: the eval side is benchmark-sized — a genuine dimension,
+    * not data — so its distinct gram-hash set BROADCASTS and the training
+    * corpus streams once through a map-side hash join + per-doc count;
+    * nothing data-sized shuffles except the (doc_id, matched-gram) hits,
+    * which are contamination-sized. Gram hashes reuse the one-pass
+    * `shingle_hash_set` projection (per-doc distinct by construction, so
+    * the join counts each shared gram once).
+    */
+  def contaminationFlags(train: DataFrame, evalDocs: DataFrame,
+      shingleK: Int): DataFrame = {
+    import graft.functions.TextExprs
+    val evalGrams = evalDocs
+      .select(explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct()
+    train
+      .select(col("doc_id"),
+        explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Near-duplicate RESOLUTION: connected components over a (doc_a, doc_b)
     * pair graph, then a per-document keep/drop verdict — the step that
     * turns any pair detector (MinHash, SimHash, exact/prefix Jaccard,

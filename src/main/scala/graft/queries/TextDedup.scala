@@ -340,6 +340,39 @@ object TextDedup extends QueryModule {
        |LEFT JOIN s2 ON s2.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q68: benchmark decontamination ------------------------------------
+  // Training docs sharing a 5-token-gram with the eval slice
+  // (doc_id % 97 = 0). The eval gram set is benchmark-sized → broadcast.
+
+  private val decontK = 5
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    DedupOps
+      .contaminationFlags(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        shingleK = decontK)
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+       |FROM sh s JOIN ev USING (h)
+       |WHERE s.doc_id % 97 <> 0
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -384,6 +417,7 @@ object TextDedup extends QueryModule {
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),

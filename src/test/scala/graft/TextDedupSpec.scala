@@ -73,6 +73,19 @@ class TextDedupSpec extends SparkSpec {
     c.foreach { case (k, v) => assert(u(k) === v) }
   }
 
+  test("contaminationFlags: shared k-gram detected, clean doc absent") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "p q r s t u v"), // contains eval's "q r s t u"
+      (2L, "a b c d e f g"), // disjoint
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, "x y q r s t u z")).toDF("doc_id", "text")
+    val out = DedupOps.contaminationFlags(train, ev, shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L))
+  }
+
   test("gram_stats: hand-counted uni/bigram repetition") {
     val s = spark
     import s.implicits._
