@@ -26,11 +26,16 @@ object Training extends QueryModule {
     * consecutive slots (no avalanche), which would put a contiguous id
     * range entirely in one split; the ×phi-reciprocal stride (761 mod
     * 1000, coprime) equidistributes even adversarially-sequential keys. */
+  /** The shared per-mill slot: polyHash("<salt>:<key>") × Knuth mix mod
+    * 1000 — membership a pure function of (salt, key). */
+  private def splitSlot(keyCol: String, salt: String) =
+    (Hashing.poly_hash(
+      concat_ws(":", lit(salt), col(keyCol).cast("string"))) * lit(2654435761L)) % 1000
+
   def hashSplit(docs: DataFrame, keyCol: String, salt: String,
       perMill: Seq[(String, Int)]): DataFrame = {
     require(perMill.map(_._2).sum == 1000, "per-mill weights must sum to 1000")
-    val slot = (Hashing.poly_hash(
-      concat_ws(":", lit(salt), col(keyCol).cast("string"))) * lit(2654435761L)) % 1000
+    val slot = splitSlot(keyCol, salt)
     val cum = perMill.scanLeft(0)(_ + _._2).tail
     val expr0 = perMill.zip(cum).foldRight(lit(null).cast("string")) {
       case (((name, _), hi), rest) => when(slot < hi, lit(name)).otherwise(rest)
@@ -103,8 +108,53 @@ object Training extends QueryModule {
       |FROM ranked WHERE rank <= 25
       |ORDER BY lang, rank""".stripMargin
 
+  /** Deterministic STRATIFIED downsampling: keep a document iff its
+    * hash slot < its stratum's per-mill rate — the language-rebalancing
+    * step of corpus assembly (e.g. keep all low-resource languages, 25%
+    * of English). Same slot as [[hashSplit]], so membership is again a
+    * pure function of (salt, key): stable under partitioning, retries,
+    * and re-plans, and the SAME doc keeps its fate if rates change only
+    * for other strata (hash-rate sampling's coordinated-sampling
+    * property — a rate bump only ADDS documents to a stratum). */
+  def stratifiedSample(docs: DataFrame, keyCol: String, strataCol: String,
+      salt: String, ratesPerMill: Map[String, Int],
+      defaultPerMill: Int): DataFrame = {
+    ratesPerMill.values.foreach(r =>
+      require(r >= 0 && r <= 1000, s"per-mill rate out of range: $r"))
+    val rate = ratesPerMill.foldLeft(lit(defaultPerMill)) {
+      case (rest, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(rest)
+    }
+    docs.filter(splitSlot(keyCol, salt) < rate)
+  }
+
+  /** q69: language-rebalanced corpus — keep 250‰ of English, all of
+    * French, 500‰ elsewhere; per-lang counts + id_sum membership
+    * fingerprint (the oracle checks the selected SET, like q57). */
+  def stratifiedQuery(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(documents(s, d), "doc_id", "lang", "graft-v1",
+      Map("en" -> 250, "fr" -> 1000), defaultPerMill = 500)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+
+  private val stratifiedSql =
+    """WITH slotted AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('graft-v1:' || CAST(doc_id AS VARCHAR), ''),
+      |        c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761 % 1000 AS slot
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM slotted
+      |WHERE slot < (CASE lang WHEN 'en' THEN 250 WHEN 'fr' THEN 1000 ELSE 500 END)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
     Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
+    Q("q69_stratified_sample", stratifiedQuery, Some(stratifiedSql)),
   )
 }

@@ -37,6 +37,23 @@ class TrainingSpec extends SparkSpec {
     assert(s1 !== s2)
   }
 
+  test("stratified sample: coordinated (rate bump only adds docs), partition-invariant") {
+    def keep(df: org.apache.spark.sql.DataFrame, enRate: Int): Set[Long] =
+      Training.stratifiedSample(df, "doc_id", "lang", "graft-v1",
+        Map("en" -> enRate), defaultPerMill = 500)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at250 = keep(docs, 250)
+    val at500 = keep(docs, 500)
+    assert(at250.subsetOf(at500), "raising a rate must only ADD documents")
+    assert(at250 === keep(docs.repartition(13, col("lang")), 250))
+    // the en stratum is actually downsampled, the others untouched by rate
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enAll = langOf.collect { case (id, "en") => id }.toSet
+    assert((at250 & enAll).size < enAll.size / 2)
+    assert((at500 -- at250).forall(id => langOf(id) == "en"))
+  }
+
   test("lang quota: exactly 25 rows per language, rank 1..25, ttr non-increasing") {
     val rows = Training.langQuota(spark, sf001).collect()
     val byLang = rows.groupBy(_.getString(0))
