@@ -43,9 +43,13 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val ok = runs.forall(_._2)
-      val dt = runs.map(_._1).min
       // A throwing query must not read as a fast query: negate its duration
       // and list it under "failed" so the JSON carries an explicit marker.
+      // Under reps > 1 the min is over SUCCESSFUL runs (a fast crash must
+      // not shadow a real run's time); only an all-failed query reports the
+      // min crash latency.
+      val good = runs.collect { case (t, true) => t }
+      val dt = (if (good.nonEmpty) good else runs.map(_._1)).min
       (name, if (ok) dt else -dt, ok)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

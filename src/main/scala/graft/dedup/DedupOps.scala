@@ -147,6 +147,8 @@ object DedupOps {
   def jaccardDupPairs(docs: DataFrame, shingleK: Int, threshold: Double,
       maxDf: Long = 0L): DataFrame = {
     import graft.functions.TextExprs
+    require(maxDf < Int.MaxValue,
+      s"maxDf $maxDf does not fit the collect_capped cap (use 0 for uncapped)")
     val withSh = docs
       .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -359,8 +361,13 @@ object DedupOps {
     * document is its cluster's canonical survivor.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // materialize the edge relation ONCE: every propagation round joins
+    // against it, and without this barrier each round would re-execute the
+    // entire upstream pair-detection DAG (for q66, the full MinHash/LSH/
+    // verify pipeline — the dominant cost of the query)
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct().withColumn("l", col("v"))
     var changed = 1L
     while (changed > 0) {

@@ -38,7 +38,8 @@ case class CollectCapped(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[Long]] with UnaryLike[Expression] {
 
-  require(cap >= 1, s"collect_capped cap must be >= 1, got $cap")
+  require(cap >= 1 && cap < Int.MaxValue,
+    s"collect_capped cap must be in [1, Int.MaxValue), got $cap (cap + 1 must not overflow)")
 
   private val limit = cap + 1
 

@@ -50,6 +50,10 @@ case class VecSumFixed(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      // a zero-length vector would be indistinguishable from the empty
+      // buffer sentinel and silently vanish from the sum — reject it like
+      // any other ragged input
+      require(n > 0, "vec_sum_fixed: empty input array")
       val out = if (buf.isEmpty) new Array[Long](n) else buf
       require(out.length == n,
         s"vec_sum_fixed: ragged input (expected ${out.length} elements, got $n)")

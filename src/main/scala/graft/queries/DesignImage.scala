@@ -164,13 +164,13 @@ object DesignImage extends QueryModule {
       .binomialSmooth(s, ImageOps.voxelGrid(lineitem(s, d), L))
       .orderBy("x", "y", "z")
 
-  private val smoothSql = {
-    val offs = (for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 } yield {
-      def b(v: Int) = if (v == 0) 2 else 1
-      s"($dx, $dy, $dz, ${b(dx) * b(dy) * b(dz)})"
-    }).mkString(", ")
+  /** Shared weighted-neighborhood-mean oracle (the SQL twin of
+    * ImageOps.weightedNeighborMean): only the kernel VALUES literal
+    * varies between q38 and q61. */
+  private def weightedSmoothSql(offs: Seq[(Int, Int, Int, Long)]): String = {
+    val vals = offs.map { case (dx, dy, dz, w) => s"($dx, $dy, $dz, $w)" }.mkString(", ")
     s"""WITH $duckGrid,
-       |offs(dx, dy, dz, w) AS (VALUES $offs),
+       |offs(dx, dy, dz, w) AS (VALUES $vals),
        |taps AS (
        |  SELECT g.x + o.dx AS cx, g.y + o.dy AS cy, g.z + o.dz AS cz,
        |         o.w AS w, g.value_dec
@@ -183,6 +183,12 @@ object DesignImage extends QueryModule {
        |FROM taps GROUP BY cx, cy, cz
        |ORDER BY x, y, z""".stripMargin
   }
+
+  private val smoothSql = weightedSmoothSql(
+    for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 } yield {
+      def b(v: Int) = if (v == 0) 2L else 1L
+      (dx, dy, dz, b(dx) * b(dy) * b(dz))
+    })
 
   // ---- q61: Gaussian smoothing at the reference's fwhm=4 -----------------
   // (ssm_loop.py:88): truncated integer kernel, σ = 4/2.3548 voxels,
@@ -194,23 +200,8 @@ object DesignImage extends QueryModule {
       .gaussianSmooth(s, ImageOps.voxelGrid(lineitem(s, d), L), 4.0)
       .orderBy("x", "y", "z")
 
-  private def smoothFwhmSql: String = {
-    val offs = ImageOps.gaussianKernelInts(4.0)
-      .map { case (dx, dy, dz, w) => s"($dx, $dy, $dz, $w)" }.mkString(", ")
-    s"""WITH $duckGrid,
-       |offs(dx, dy, dz, w) AS (VALUES $offs),
-       |taps AS (
-       |  SELECT g.x + o.dx AS cx, g.y + o.dy AS cy, g.z + o.dz AS cz,
-       |         o.w AS w, g.value_dec
-       |  FROM grid g CROSS JOIN offs o
-       |  WHERE EXISTS (SELECT 1 FROM grid t
-       |                WHERE t.x = g.x + o.dx AND t.y = g.y + o.dy AND t.z = g.z + o.dz)
-       |)
-       |SELECT CAST(cx AS INTEGER) AS x, CAST(cy AS INTEGER) AS y, CAST(cz AS INTEGER) AS z,
-       |  CAST(SUM(w * value_dec) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS smoothed
-       |FROM taps GROUP BY cx, cy, cz
-       |ORDER BY x, y, z""".stripMargin
-  }
+  private def smoothFwhmSql: String =
+    weightedSmoothSql(ImageOps.gaussianKernelInts(4.0))
 
   // ---- q39: per-slice reductions over the mask semi-join -----------------
 

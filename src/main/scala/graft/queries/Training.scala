@@ -119,7 +119,7 @@ object Training extends QueryModule {
   def stratifiedSample(docs: DataFrame, keyCol: String, strataCol: String,
       salt: String, ratesPerMill: Map[String, Int],
       defaultPerMill: Int): DataFrame = {
-    ratesPerMill.values.foreach(r =>
+    (ratesPerMill.values.toSeq :+ defaultPerMill).foreach(r =>
       require(r >= 0 && r <= 1000, s"per-mill rate out of range: $r"))
     val rate = ratesPerMill.foldLeft(lit(defaultPerMill)) {
       case (rest, (k, r)) => when(col(strataCol) === k, lit(r)).otherwise(rest)

@@ -104,7 +104,9 @@ object SimilarityOps {
         (VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))).as("cs"),
         lit(-cell).as("negc"))
     }
-    corpus.withColumn("cell", -greatest(scored: _*).getField("negc"))
+    // greatest() demands >= 2 arguments; a single centroid's argmax is itself
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    corpus.withColumn("cell", -best.getField("negc"))
   }
 
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
