@@ -87,9 +87,13 @@ object Flagship extends QueryModule {
     val taskCols = DesignOps.dctBasis(DesignOps.polyTrend(tl.select("t"), N, 0), N, 3)
       .join(conv, "t")
 
-    // confounds joined to the dense timeline; empty TRs are quiet (0.0)
+    // confounds joined to the dense timeline; empty TRs are quiet (0.0).
+    // Materialized ONCE (N rows, constant-sized): both the spike-TR pick
+    // and the design collect consume it, and without the barrier each
+    // action would re-run the events scan + per-TR aggregation.
     val conf0 = tl.select("t").join(confounds(s, d), Seq("t"), "left")
       .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
+      .localCheckpoint()
     // tissue signals: 12-TR trailing mean (a smooth slow signal, like the
     // csf/wm averages), then z-scored like ssm_loop.py:72-74
     val wRoll = Window.orderBy(col("t")).rowsBetween(-11, 0)
