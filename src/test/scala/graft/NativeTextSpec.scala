@@ -182,4 +182,27 @@ class NativeTextSpec extends SparkSpec {
     val r = d.select(VectorExprs.dot_fold(col("a"), col("b"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("gram_stats equals the explode/groupBy gram-count spec on every document") {
+    // explode twin: token-hash bigrams via lead(), counted per (doc, gram)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(expr("split(text, ' ', -1)")))
+      .withColumnRenamed("pos", "pos")
+      .withColumn("h", graft.functions.Hashing.poly_hash(col("col")))
+      .withColumn("h2", lead(col("h"), 1).over(w))
+      .filter(col("h2").isNotNull)
+      .select(col("doc_id"), expr(s"(h * 31 + h2) % ${TextExprs.P}").as("g"))
+    val spec = grams.groupBy("doc_id", "g").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("total"), count(lit(1)).as("uniq"), max("count").as("top_freq"))
+    val native = docs.select(col("doc_id"),
+      TextExprs.gram_stats(col("text"), 2).as("gs"))
+      .select(col("doc_id"), col("gs.total"), col("gs.uniq"), col("gs.top_freq"))
+      .filter(col("total") > 0)
+    assert(native.exceptAll(spec).count() === 0L)
+    assert(spec.exceptAll(native).count() === 0L)
+    assert(native.count() > 0L)
+  }
 }
