@@ -56,6 +56,37 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** The static side of [[streamingContamination]]: the eval corpus's
+    * distinct k-gram hashes, collected to the driver — benchmark-sized by
+    * definition (an eval set, not data), like a trained model's
+    * parameters. */
+  def evalGramSet(evalDocs: DataFrame, shingleK: Int): Seq[Long] = {
+    import graft.functions.TextExprs
+    evalDocs
+      .select(explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  /** STREAMING decontamination: flag arriving documents sharing a
+    * k-token-gram with the (static, driver-literal) eval gram set — the
+    * streaming twin of DedupOps.contaminationFlags for ingest-time hygiene:
+    * quarantine a contaminated shard the moment it lands instead of
+    * re-sweeping the corpus. The whole operator is one STATELESS projection
+    * (`shingle_hash_set` + `intersect_size` against the literal set):
+    * append-mode, no watermark, no state store — each document's verdict
+    * depends on that document alone, so it works identically over a stream
+    * or a batch frame (spec-pinned equal to the batch operator). */
+  def streamingContamination(docs: DataFrame, evalGrams: Seq[Long],
+      shingleK: Int): DataFrame = {
+    import graft.functions.TextExprs
+    docs
+      .select(col("doc_id"),
+        TextExprs.intersect_size(
+          TextExprs.shingle_hash_set(col("text"), shingleK),
+          typedlit(evalGrams)).as("shared_grams"))
+      .filter(col("shared_grams") > 0)
+  }
+
   /** Session windows per key with an inactivity gap (SURVEY.md §2.10
     * "per-subject completeness = session-window-like grouping"): sessions
     * close `gap` after their last event; works identically in batch and

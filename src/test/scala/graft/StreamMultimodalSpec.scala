@@ -126,6 +126,32 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("streamingContamination: stateless ingest-time flags equal the batch operator") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-stream-decon").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    train.select("doc_id", "text").repartition(3).write.mode("overwrite").parquet(dir)
+
+    val grams = StreamOps.evalGramSet(evalDocs, shingleK = 5)
+    assert(grams.nonEmpty)
+    val stream = s.readStream
+      .schema(train.select("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val streamed = StreamOps.runToMemoryAppend(
+      s,
+      StreamOps.streamingContamination(stream, grams, shingleK = 5).writeStream,
+      "decon_test",
+    ).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val batch = graft.dedup.DedupOps.contaminationFlags(train, evalDocs, shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("extractFeatures is deterministic and fixed-width") {
     val s = spark
     import s.implicits._
