@@ -37,3 +37,50 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Scratch main: the mass-GLM scale shape at reference-like group counts —
+  * 500k series of 40 TRs (20M observation rows, k = 6 regressors), i.e.
+  * the voxel regime the r2 verdict said the per-group broadcasts would
+  * have OOMed in. Measures the shipped algebraic-SSE path end-to-end
+  * (betas + sigma + t + p). Not part of the driver contract. */
+object ProbeGlm {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val groups = 500000L
+    val n = 40
+    val k = 6
+    // well-conditioned deterministic design: intercept + staggered cosines
+    val x: Array[Array[Double]] = Array.tabulate(n, k)((t, j) =>
+      if (j == 0) 1.0 else math.cos(math.Pi * j * (2 * t + 1) / (2.0 * n)))
+    // two physical layouts of the same 20M rows:
+    //   t-major (g = id % groups): every input partition touches EVERY
+    //     group — worst case for map-side partial aggregation (3M-entry
+    //     hash state per partition);
+    //   g-major (g = id div n): each partition holds complete series —
+    //     the layout a voxel-major ingest produces, partials stay tiny.
+    def series(gMajor: Boolean) = spark.range(0, groups * n).select(
+      (if (gMajor) col("id") / n else col("id") % groups).cast("long").as("g"),
+      (if (gMajor) col("id") % n else col("id") / groups).cast("long").as("t"),
+      // 997 is coprime with groups·37, so y VARIES within every group
+      // (a constant series would mean sigma = 0 and a 0/0 t-stat)
+      ((col("id") * 37 % 997).cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("y_dec"))
+    def time(label: String, gMajor: Boolean): Unit = {
+      def q = graft.glm.GlmOps.massGLM(spark, series(gMajor), x, "g")
+        .agg(count(lit(1)), sum(col("t_stat")))
+      q.collect() // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 3) { q.collect(); i += 1 }
+      println(f"massGLM ${groups}g×${n}t k=$k $label: " +
+        f"${(System.nanoTime() - t0) / 3e9}%.2f s/run (${groups * k} stats rows)")
+    }
+    time("t-major", gMajor = false)
+    time("g-major", gMajor = true)
+    spark.stop()
+  }
+}
