@@ -146,6 +146,73 @@ object GlmOps {
     * micro-units first, so the sum is exact-integer and partition-order
     * free — results are bit-identical across engines and runs.
     */
+  /** [[massGLM]] with the PACKED shuffle shape: each group's series is
+    * folded into an n-slot long array by ONE aggregation
+    * (`series_slots`; y in exact cents, absent timepoints 0), and every
+    * per-regressor sum becomes an exact int64 dot product (`dot_slots`)
+    * against the driver-literal fixed-point weight rows — pure
+    * projections, NO design join, NO per-(group, j) aggregate, NO joins
+    * at all downstream (σ folds over the k-struct array in-row; the
+    * (XᵀX)⁻¹ diagonal is an element_at on a k-literal).
+    *
+    * Bit-identical to [[massGLM]] (spec-pinned): the long sums are
+    * 100× / 10000× the classic DECIMAL sums, rescaled through exact
+    * decimal division before the SAME double casts, so every emitted
+    * beta/sigma/t/p goes through identical IEEE operations.
+    *
+    * Scale rationale: the classic path materializes k rows per
+    * observation through its hash aggregate (k× the data through the
+    * shuffle — 16B (g, j) rows at the reference's 400M-observation,
+    * k = 40 regime); this path shuffles each observation once into a
+    * |groups| × (n·8 B) packed relation. Overflow of the int64 dot
+    * (possible in principle at |w·y·100·n| > 2⁶³) is a LOUD
+    * Math.*Exact error, never a silent wrap. */
+  def massGLMPacked(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
+      groupCol: String): DataFrame = {
+    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    val n = x.length
+    val k = x(0).length
+    val df = (n - k).toDouble
+    val p = LinAlg.pinv(x)
+    def wRow(j: Int): Seq[Long] =
+      (0 until n).map(t => math.rint(p(j)(t) * Scale).toLong)
+    def wxRow(j: Int): Seq[Long] =
+      (0 until n).map(t => math.rint(x(t)(j) * Scale).toLong)
+    val diag = LinAlg.xtxInvDiag(x).toSeq
+
+    val packed = series
+      .groupBy(col(groupCol))
+      .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
+    // k (j, beta, u) structs as projections on the packed series; the
+    // decimal(38,0)/100 rescale reproduces the classic DECIMAL value
+    // exactly before the identical double cast
+    val js = array((0 until k).map { j =>
+      struct(
+        lit(j.toLong).as("j"),
+        ((dot_slots(col("__ys"), typedlit(wRow(j))).cast("decimal(38,0)") / 100)
+          .cast("double") / Scale.toDouble).as("beta"),
+        ((dot_slots(col("__ys"), typedlit(wxRow(j))).cast("decimal(38,0)") / 100)
+          .cast("double") / Scale.toDouble).as("u"))
+    }: _*)
+    packed
+      .select(col(groupCol), js.as("__js"),
+        ((dot_slots(col("__ys"), col("__ys")).cast("decimal(38,0)") / 10000)
+          .cast("double")).as("__syyd"))
+      .withColumn("__bxty", expr(
+        "aggregate(__js, cast(0 as decimal(38,6)), " +
+          "(acc, s) -> acc + cast(round(s.beta * s.u, 6) as decimal(38,6)))"))
+      .withColumn("sse",
+        greatest(col("__syyd") - col("__bxty").cast("double"), lit(0.0)))
+      .withColumn("sigma", sqrt(col("sse") / df))
+      .select(col(groupCol), col("sigma"), posexplode(col("__js")))
+      .withColumn("t_stat", col("col.beta") / (col("sigma") *
+        sqrt(element_at(typedlit(diag), (col("col.j") + 1).cast("int")))))
+      .withColumn("p", graft.functions.TCdf.t_pvalue(col("t_stat"), lit(df)))
+      .withColumn("df", lit(df))
+      .select(col(groupCol), col("col.j").as("j"), col("col.beta").as("beta"),
+        col("sigma"), col("t_stat"), col("p"), col("df"))
+  }
+
   def massGLM(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
       groupCol: String): DataFrame = {
     val n = x.length

@@ -153,7 +153,7 @@ object Flagship extends QueryModule {
       import s.implicits._
       regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
     }
-    GlmOps.massGLM(s, series, x, "g")
+    GlmOps.massGLMPacked(s, series, x, "g")
       .join(broadcast(names), "j")
       .select(col("g"), col("regressor"),
         round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),

@@ -141,7 +141,10 @@ object Glm extends QueryModule {
       expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
       col("value").cast("decimal(18,2)").as("y_dec"),
     ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
-    GlmOps.massGLM(s, series, design, "g")
+    // the PACKED path (bit-identical to massGLM, spec-pinned) — this very
+    // query's hash match against the classic-arithmetic SQL oracle is the
+    // end-to-end proof of that equivalence
+    GlmOps.massGLMPacked(s, series, design, "g")
       .select(col("g"), col("j"),
         round(col("beta"), 6).as("beta"),
         round(col("sigma"), 6).as("sigma"),

@@ -69,9 +69,9 @@ object ProbeGlm {
       // 997 is coprime with groups·37, so y VARIES within every group
       // (a constant series would mean sigma = 0 and a 0/0 t-stat)
       ((col("id") * 37 % 997).cast("decimal(18,2)") / 100).cast("decimal(18,2)").as("y_dec"))
-    def time(label: String, gMajor: Boolean): Unit = {
-      def q = graft.glm.GlmOps.massGLM(spark, series(gMajor), x, "g")
-        .agg(count(lit(1)), sum(col("t_stat")))
+    def time(label: String, gMajor: Boolean,
+        glm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      def q = glm(series(gMajor)).agg(count(lit(1)), sum(col("t_stat")))
       q.collect() // warm
       val t0 = System.nanoTime()
       var i = 0
@@ -79,8 +79,10 @@ object ProbeGlm {
       println(f"massGLM ${groups}g×${n}t k=$k $label: " +
         f"${(System.nanoTime() - t0) / 3e9}%.2f s/run (${groups * k} stats rows)")
     }
-    time("t-major", gMajor = false)
-    time("g-major", gMajor = true)
+    time("classic t-major", gMajor = false, graft.glm.GlmOps.massGLM(spark, _, x, "g"))
+    time("classic g-major", gMajor = true, graft.glm.GlmOps.massGLM(spark, _, x, "g"))
+    time("packed  t-major", gMajor = false, graft.glm.GlmOps.massGLMPacked(spark, _, x, "g"))
+    time("packed  g-major", gMajor = true, graft.glm.GlmOps.massGLMPacked(spark, _, x, "g"))
     spark.stop()
   }
 }

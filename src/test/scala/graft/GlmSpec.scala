@@ -98,6 +98,38 @@ class GlmSpec extends SparkSpec {
     assert(two("x1") < 1.2 && two("x2") < 1.2) // ~independent
   }
 
+  test("massGLMPacked is bit-identical to massGLM (incl. missing timepoints)") {
+    val s = spark
+    import s.implicits._
+    val n = 20
+    val x: LinAlg.Mat = Array.tabulate(n, 3) { (t, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => (t - (n - 1) / 2.0) / 10.0
+        case 2 => math.cos(math.Pi * (2 * t + 1) / (2.0 * n))
+      }
+    }
+    // two groups, ragged presence, negative and positive y
+    val rows = for {
+      g <- Seq("a", "b")
+      t <- 0 until n
+      if !(g == "a" && t % 7 == 3)
+    } yield (g, t.toLong,
+      BigDecimal((if (g == "a") 1 else -1) * (3.7 * t % 11 - 5))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val series = rows.toDF("g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+      .repartition(7)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val classic = key(GlmOps.massGLM(spark, series, x, "g"))
+    val packed = key(GlmOps.massGLMPacked(spark, series, x, "g"))
+    assert(packed === classic) // EXACT double equality, not a tolerance
+    assert(classic.size === 6)
+  }
+
   test("massGLM recovers known betas from y = Xβ (closed form, 1e-6)") {
     val s = spark
     import s.implicits._
