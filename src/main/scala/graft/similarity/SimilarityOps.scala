@@ -177,6 +177,7 @@ object SimilarityOps {
       .orderBy("vec_id").limit(nCentroids)
       .select("v").collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
     // (cell, n, coordinate sums) of the LAST assignment round
     var last: Array[(Long, Long, Seq[Long])] = null
     for (_ <- 1 to iters) {
