@@ -115,4 +115,28 @@ class PropertySpec extends SparkSpec {
       assert(ps.last > 0.0 && ps.last < 0.1)
     }
   }
+
+  test("property: series_slots + dot_slots equal a BigInt reference, any partitioning") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    import org.apache.spark.sql.functions.typedlit
+    val n = 12
+    val rowsGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(-2L, n + 1L), Gen.choose(-99999L, 99999L))) // incl. out-of-range t
+    val wGen = Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    for ((rows, w) <- samples(Gen.zip(rowsGen, wGen), 6)) {
+      val ref = {
+        val acc = Array.fill(n)(BigInt(0))
+        rows.foreach { case (t, y) => if (t >= 0 && t < n) acc(t.toInt) += y }
+        acc.zip(w).map { case (a, b) => a * b }.sum
+      }
+      val df = rows.map { case (t, y) => ("g", t, y) }.toDF("g", "t", "y").repartition(5)
+      val out = df.groupBy("g")
+        .agg(series_slots(col("t"), col("y"), n).as("ys"))
+        .select(dot_slots(col("ys"), typedlit(w)).as("d"))
+        .head().getLong(0)
+      assert(BigInt(out) === ref)
+    }
+  }
 }
