@@ -6,22 +6,26 @@ import org.apache.spark.sql.functions._
 /** Linear-model operators — the reference's analytical core (SURVEY.md §2.6:
   * mass-univariate OLS `regress()`, ssm_loop.py:90-97).
   *
-  * Two formulations:
+  * Three formulations:
   *  - `simpleOLS`: per-group y ~ 1 + x from exact DECIMAL moments; fully
   *    SQL-expressible, oracle-checked.
-  *  - `massGLM`: per-group multi-regressor OLS against a SHARED design
-  *    matrix X — the ssm_loop shape (one X, millions of voxels). The k×n
-  *    pinv = (XᵀX)⁻¹Xᵀ is computed on the driver (LinAlg), scaled to
-  *    integers (×1e9, round) and broadcast as a long-form literal table;
-  *    betas are then one join + exact-DECIMAL groupBy sum — shuffle bounded
-  *    by |groups|·k output rows, never materializing per-group dense
-  *    vectors. The integer scaling makes the sum exact, so results are
-  *    bit-identical across engines AND across Spark partition orders.
+  *  - `massGLM`/`massBetas`: per-group multi-regressor OLS against a
+  *    SHARED design matrix X — the ssm_loop shape (one X, millions of
+  *    voxels). The k×n pinv = (XᵀX)⁻¹Xᵀ is computed on the driver
+  *    (LinAlg), scaled to integers (×1e9, round) and broadcast as a
+  *    long-form literal table; betas are then one join + exact-DECIMAL
+  *    groupBy sum. This is the SQL-MIRRORABLE spec form (q33's oracle
+  *    transcribes it); its hash aggregate carries k rows per observation.
+  *  - `massGLMPacked`: the PRODUCTION shuffle shape (q48/q60) — each
+  *    series packs into an n-slot exact-int64 array by one aggregation;
+  *    all per-regressor sums become exact dot-product projections.
+  *    Bit-identical to `massGLM` (spec-pinned), 25× at the 500k-group
+  *    probe regime. See its scaladoc.
   *
-  * Scale notes (100 TB): both forms are a single scan + one hash aggregate
-  * keyed by group; the broadcast side is k×n ≤ a few thousand rows. At
-  * 1.3M voxels × 296 TRs (the reference per-subject matrix) the beta
-  * shuffle is 1.3M×k rows of 16 bytes — trivially within executor memory.
+  * Scale notes (100 TB): every form is a single scan + one hash aggregate
+  * keyed by group; the broadcast/literal side is k×n ≤ a few thousand
+  * weights. The integer scaling makes all sums exact, so results are
+  * bit-identical across engines AND across Spark partition orders.
   */
 object GlmOps {
 

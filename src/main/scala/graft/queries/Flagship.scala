@@ -29,8 +29,9 @@ import graft.tabular.TsvOps
   * compute is collecting the 2016×40 design matrix (plus the 8-row spike
   * list) to form its pinv — the same barrier ssm_loop has (`regress()`
   * precomputes from X), and constant-sized regardless of data scale.
-  * Everything else is one lazy DataFrame DAG: the per-group betas are a
-  * broadcast join + exact fixed-point aggregation (see GlmOps.massGLM).
+  * Everything else is one lazy DataFrame DAG: the per-group stats run
+  * through the packed mass GLM — one series_slots aggregation per group,
+  * then exact dot-product projections (see GlmOps.massGLMPacked).
   */
 object Flagship extends QueryModule {
 
