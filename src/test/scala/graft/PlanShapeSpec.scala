@@ -79,6 +79,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows <= 1, s"expected at most the final ranking window, got $windows:\n${p.take(1200)}")
   }
 
+  test("q68: the eval gram set broadcasts; the training corpus is never sort-merge joined") {
+    val p = plan("q68_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "eval-gram join degraded to SMJ")
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free
