@@ -217,6 +217,40 @@ object GlmOps {
         col("sigma"), col("t_stat"), col("p"), col("df"))
   }
 
+  /** M4 at the MASS scale (ssm_loop.py:97 `residual`): per-(group, t)
+    * residual y − Σ_j X(t,j)·β_j, with the betas computed on the packed
+    * path (bit-identical to [[massBetas]]). One series_slots aggregation
+    * per group, a key-aligned join of the observation rows back to their
+    * group's k-double beta array (AQE decides the join physical — both
+    * sides are O(data)), and the fit is a dot_fold against the n×k design
+    * literal's t-th row — no per-(observation, j) fan-out anywhere.
+    * Rows with t outside [0, n) are dropped (no design row to fit).
+    */
+  def massResiduals(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
+      groupCol: String): DataFrame = {
+    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    val n = x.length
+    val k = x(0).length
+    val p = LinAlg.pinv(x)
+    def wRow(j: Int): Seq[Long] =
+      (0 until n).map(t => math.rint(p(j)(t) * Scale).toLong)
+    val betas = series
+      .groupBy(col(groupCol))
+      .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
+      .select(col(groupCol), array((0 until k).map { j =>
+        (dot_slots(col("__ys"), typedlit(wRow(j))).cast("decimal(38,0)") / 100)
+          .cast("double") / Scale.toDouble
+      }: _*).as("__betas"))
+    val xLit = typedlit(x.map(_.toSeq).toSeq)
+    series
+      .filter(col("t") >= 0 && col("t") < n)
+      .join(betas, groupCol)
+      .withColumn("__fit", graft.functions.VectorExprs.dot_fold(
+        element_at(xLit, (col("t") + 1).cast("int")), col("__betas")))
+      .select(col(groupCol), col("t"),
+        (col("y_dec").cast("double") - col("__fit")).as("resid"))
+  }
+
   def massGLM(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
       groupCol: String): DataFrame = {
     val n = x.length

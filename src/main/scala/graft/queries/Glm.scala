@@ -205,11 +205,62 @@ object Glm extends QueryModule {
        |ORDER BY gj2.g, gj2.j""".stripMargin
   }
 
+  // ---- q70: mass-GLM residuals on the fixed design (M4 at mass scale) ----
+  // ssm_loop.py:97 `residual`: per-(g, t) y − X(t)·β, betas on the packed
+  // path. The oracle recomputes the betas via the q33 formulation, packs
+  // them into a per-group list, and dots the SAME n×k design literal.
+
+  def massGlmResiduals(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d).select(
+      (col("user_id") % 20).as("g"),
+      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+      col("value").cast("decimal(18,2)").as("y_dec"),
+    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    GlmOps.massResiduals(s, series, design, "g")
+      .withColumn("resid", round(col("resid"), 6))
+      .orderBy("g", "t")
+  }
+
+  private def massGlmResidualsSql: String = {
+    val p = LinAlg.pinv(design)
+    val triples = for {
+      j <- p.indices
+      t <- p(j).indices
+    } yield s"($t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong})"
+    val xRows = design.zipWithIndex
+      .map { case (row, t) => s"($t, [${row.mkString(", ")}])" }
+    s"""WITH w(t, j, w) AS (VALUES ${triples.mkString(", ")}),
+       |x(t, xr) AS (VALUES ${xRows.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % 20 AS g,
+       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+       |  FROM events GROUP BY 1, 2
+       |),
+       |beta AS (
+       |  SELECT ser.g, w.j, CAST(SUM(w.w * ser.y) AS DOUBLE) / 1000000000.0 AS beta
+       |  FROM ser JOIN w ON w.t = ser.t
+       |  GROUP BY ser.g, w.j
+       |),
+       |bl AS (SELECT g, list(beta ORDER BY j) AS bs FROM beta GROUP BY g)
+       |SELECT ser.g, ser.t,
+       |  round(CAST(ser.y AS DOUBLE) -
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(len(x.xr)), i -> x.xr[i+1] * bl.bs[i+1])),
+       |      (acc, v) -> acc + v), 6) AS resid
+       |FROM ser
+       |JOIN x ON x.t = ser.t
+       |JOIN bl ON bl.g = ser.g
+       |WHERE ser.t >= 0 AND ser.t < $N
+       |ORDER BY ser.g, ser.t""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
     Q("q32_ols_pvalues", olsPValues, None),
     Q("q33_mass_glm_betas", massGlmBetas, Some(massGlmSql)),
     Q("q60_mass_glm_stats", massGlmStats, Some(massGlmStatsSql)),
+    Q("q70_mass_glm_residuals", massGlmResiduals, Some(massGlmResidualsSql)),
   )
 }

@@ -130,6 +130,30 @@ class GlmSpec extends SparkSpec {
     assert(classic.size === 6)
   }
 
+  test("massResiduals: near-zero residuals for y = Xβ; closed form on sparse series") {
+    val s = spark
+    import s.implicits._
+    val n = 16
+    val x: LinAlg.Mat = Array.tabulate(n, 2)((t, j) => if (j == 0) 1.0 else t.toDouble / 10.0)
+    val present = (0 until n).filterNot(_ == 5)
+    val series = present
+      .map(t => ("a", t.toLong, BigDecimal(3.0 + 2.0 * t / 10.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .toDF("g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    val out = GlmOps.massResiduals(spark, series, x, "g")
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // closed form: betas fit the ZERO-FILLED series; residuals at observed
+    // rows are y - X·β (t=5 is absent from the OUTPUT too — no y to subtract)
+    val y = (0 until n).map(t => if (t == 5) 0.0 else 3.0 + 2.0 * t / 10.0).toArray
+    val beta = LinAlg.pinv(x).map(row => row.zip(y).map { case (w, v) => w * v }.sum)
+    assert(out.size === present.size && !out.contains(5L))
+    present.foreach { t =>
+      val expected = y(t) - (x(t)(0) * beta(0) + x(t)(1) * beta(1))
+      assert(math.abs(out(t.toLong) - expected) < 1e-6, s"t=$t")
+    }
+  }
+
   test("massGLM recovers known betas from y = Xβ (closed form, 1e-6)") {
     val s = spark
     import s.implicits._
