@@ -203,6 +203,18 @@ object DesignImage extends QueryModule {
   private def smoothFwhmSql: String =
     weightedSmoothSql(ImageOps.gaussianKernelInts(4.0))
 
+  // ---- q71: block+halo Gaussian smoothing (same oracle as q61) -----------
+  // The q51-style scale twin for the smoothing family: the fwhm=4 kernel
+  // (radius 4) gathered partition-locally after ONE blockId exchange,
+  // bit-identical to the declarative tap-scatter form by construction
+  // (exact decimal gather, same final double division).
+
+  def smoothBlock(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .blockLocalWeightedMean(s, ImageOps.voxelGrid(lineitem(s, d), L),
+        ImageOps.gaussianKernelInts(4.0), blockSize = 8)
+      .orderBy("x", "y", "z")
+
   // ---- q39: per-slice reductions over the mask semi-join -----------------
 
   def sliceMeans(s: SparkSession, d: String): DataFrame =
@@ -305,6 +317,30 @@ object DesignImage extends QueryModule {
        |GROUP BY t
        |ORDER BY t""".stripMargin
 
+  // ---- q72: per-voxel mean image over the 4-D series (A5 proper) ---------
+  // nb cells 48-49: data.mean() — the time-mean volume. Dense-array
+  // semantics: absent (t,voxel) observations are zeros, divisor = NT.
+
+  def meanImage(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .meanImage(ImageOps.voxelSeries(lineitem(s, d), L, NT), NT)
+      .orderBy("x", "y", "z")
+
+  private val meanImageSql =
+    s"""WITH series AS (
+       |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS value_dec
+       |  FROM lineitem GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT x, y, z, COUNT(*) AS n_t,
+       |  CAST(SUM(value_dec) AS DOUBLE) / $NT AS mean_value
+       |FROM series
+       |GROUP BY x, y, z
+       |ORDER BY x, y, z""".stripMargin
+
   // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
 
   def entityCatalog(s: SparkSession, d: String): DataFrame =
@@ -350,6 +386,8 @@ object DesignImage extends QueryModule {
     Q("q51_stencil_block", stencilBlock, Some(stencilModeSql)),
     Q("q38_smooth", smooth, Some(smoothSql)),
     Q("q61_smooth_fwhm", smoothFwhm, Some(smoothFwhmSql)),
+    Q("q71_smooth_block", smoothBlock, Some(smoothFwhmSql)),
+    Q("q72_mean_image", meanImage, Some(meanImageSql)),
     Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
