@@ -161,11 +161,15 @@ object ImageOps {
     * mean runs partition-local, streaming one block at a time off the
     * sorted iterator exactly like [[blockLocalStencilMode]].
     *
-    * Bit-identical to the declarative form (ImageDesignSpec proves it):
-    * the per-cell gather multiplies the SAME decimal values by the SAME
-    * int64 weights and sums with java.math.BigDecimal — exact, order-free,
-    * like Spark's decimal sum — then performs the identical final
-    * double division num/den.
+    * Bit-identical to the declarative form — ImageDesignSpec
+    * ("blockLocalWeightedMean is bit-identical to the declarative
+    * smoothing") pins it on a gappy grid with holes at block boundaries,
+    * for both the fwhm=4 Gaussian and the binomial kernel, at two block
+    * sizes; the driver's oracle hash-match (q71 vs q61's SQL at both SFs)
+    * re-checks it end-to-end. Why it holds: the per-cell gather multiplies
+    * the SAME decimal values by the SAME int64 weights and sums with
+    * java.math.BigDecimal — exact, order-free, like Spark's decimal sum —
+    * then performs the identical final double division num/den.
     *
     * Halo factor is ((b+2r)/b)³ copies per cell: at b=32, r=4 that is
     * 1.95× — bounded data inflation through ONE exchange, vs the
@@ -268,11 +272,15 @@ object ImageOps {
     * small-FWHM Gaussian (σ ≈ 0.7 voxel) — kept as the cheap 27-tap
     * special case; see [[gaussianSmooth]] for arbitrary FWHM.
     */
-  def binomialSmooth(spark: SparkSession, grid: DataFrame): DataFrame = {
+  def binomialSmooth(spark: SparkSession, grid: DataFrame): DataFrame =
+    weightedNeighborMean(spark, grid, binomialKernelInts)
+
+  /** The (1,2,1)³ separable binomial weight table [[binomialSmooth]] uses —
+    * exposed so the block+halo path (q73) can route the SAME kernel. */
+  val binomialKernelInts: Seq[(Int, Int, Int, Long)] = {
     def b(d: Int): Long = if (d == 0) 2L else 1L
-    val offs = for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
+    for { dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1 }
       yield (dx, dy, dz, b(dx) * b(dy) * b(dz))
-    weightedNeighborMean(spark, grid, offs)
   }
 
   /** Truncated Gaussian kernel at arbitrary FWHM as an integer weight

@@ -215,6 +215,17 @@ object DesignImage extends QueryModule {
         ImageOps.gaussianKernelInts(4.0), blockSize = 8)
       .orderBy("x", "y", "z")
 
+  // ---- q73: block+halo binomial smoothing (same oracle as q38) -----------
+  // Completes the smoothing family's scale story: BOTH kernels now have a
+  // block+halo twin. Radius 1 at blockSize 8 → halo factor (10/8)³ ≈ 1.95×
+  // through the single blockId exchange, vs 27 scatter taps keyed by cell.
+
+  def smoothBinomBlock(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .blockLocalWeightedMean(s, ImageOps.voxelGrid(lineitem(s, d), L),
+        ImageOps.binomialKernelInts, blockSize = 8)
+      .orderBy("x", "y", "z")
+
   // ---- q39: per-slice reductions over the mask semi-join -----------------
 
   def sliceMeans(s: SparkSession, d: String): DataFrame =
@@ -387,6 +398,7 @@ object DesignImage extends QueryModule {
     Q("q38_smooth", smooth, Some(smoothSql)),
     Q("q61_smooth_fwhm", smoothFwhm, Some(smoothFwhmSql)),
     Q("q71_smooth_block", smoothBlock, Some(smoothFwhmSql)),
+    Q("q73_smooth_binom_block", smoothBinomBlock, Some(smoothSql)),
     Q("q72_mean_image", meanImage, Some(meanImageSql)),
     Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),

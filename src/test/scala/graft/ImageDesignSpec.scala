@@ -57,6 +57,34 @@ class ImageDesignSpec extends SparkSpec {
     assert(blockLocal2 === declarative)
   }
 
+  test("blockLocalWeightedMean is bit-identical to the declarative smoothing") {
+    // gappy 9×9×9 grid: holes land ON block boundaries for both b=4 and
+    // b=2 (x,y,z ∈ {3,4,7,8} rows are removed by the pattern below), so the
+    // renormalize-on-present path — the place gather and scatter could
+    // diverge — is exercised at the halo edges, not just the interior
+    val cells = for {
+      x <- 0 to 8; y <- 0 to 8; z <- 0 to 8
+      if (x * 5 + y * 3 + z * 2) % 7 != 0 // ~1/7 holes, all residues hit
+    } yield (x, y, z, 1, BigDecimal(x * 100 + y * 10 + z) / 4)
+    val g = grid(cells: _*)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    // fwhm=4 (radius 4, the q61/q71 kernel): exact-double equality
+    val declarative = toMap(ImageOps.gaussianSmooth(spark, g, 4.0))
+    assert(declarative.nonEmpty)
+    val fwhm4 = ImageOps.gaussianKernelInts(4.0)
+    for (b <- Seq(4, 2)) { // b=2 → 125 blocks over 32 partitions: many
+      // blocks per partition, streaming group-iterator boundaries hit
+      val block = toMap(ImageOps.blockLocalWeightedMean(spark, g, fwhm4, b))
+      assert(block === declarative, s"fwhm=4 blockSize=$b")
+    }
+    // binomial (1,2,1)³ kernel — the q38/q73 pair
+    val declBinom = toMap(ImageOps.binomialSmooth(spark, g))
+    val blockBinom = toMap(
+      ImageOps.blockLocalWeightedMean(spark, g, ImageOps.binomialKernelInts, 4))
+    assert(blockBinom === declBinom)
+  }
+
   test("globalSignal: per-TR masked mean, exact; out-of-mask voxels don't vote") {
     val s = spark
     import s.implicits._
