@@ -341,26 +341,47 @@ object DedupOps {
     * near-dup chain a~b~c must collapse to ONE kept document even when
     * (a,c) was never directly detected.
     *
-    * Components by min-label propagation (the BSP CC algorithm): every
-    * vertex starts as its own label; each round every vertex takes the min
-    * of its own and its neighbors' labels; fixpoint = the component's
-    * minimum doc_id, which is also the canonical survivor (matching
-    * exactDedup's min-id convention). The fixpoint is unique, so the
-    * result is deterministic under any partitioning or join order.
+    * Components by min-label propagation WITH POINTER DOUBLING (the BSP CC
+    * algorithm plus the path-halving jump): every vertex starts as its own
+    * label; each round every vertex takes the min of (its own label, its
+    * neighbors' labels, its LABEL'S label). The jump term l(l(v)) makes the
+    * reached distance along a shortest path double-plus-one per round —
+    * a k-hop chain converges in ~log₂k rounds instead of k (ccLabels'
+    * spec pins a 16-hop chain at ≤ 7 rounds) — while the fixpoint stays
+    * the same unique value: the component's minimum doc_id, which is also
+    * the canonical survivor (matching exactDedup's min-id convention).
+    * Deterministic under any partitioning or join order.
     *
     * Scale shape: one round = an edges×labels equi-join + a min
-    * aggregation — both shuffle on vertex ids, no vertex ever carries its
-    * payload (labels are (id, id) pairs). Rounds ≤ graph diameter, and
-    * near-dup graphs are overwhelmingly tiny cliques/chains (diameter 2-4);
-    * `localCheckpoint` truncates the per-round lineage, the standard BSP
-    * barrier. (Production CC at web scale swaps in large-star/small-star
-    * to force O(log n) rounds — identical per-round plan shape.)
+    * aggregation + a labels×labels self-join (the jump) — all shuffle on
+    * vertex ids, no vertex ever carries its payload (labels are (id, id)
+    * pairs). `localCheckpoint` truncates the per-round lineage, the
+    * standard BSP barrier. Fixpoint detection is FOLDED into the round's
+    * one materialization: the per-vertex changed flag is computed in the
+    * same projection that builds the next labels, so detecting
+    * convergence costs one tiny max() over the just-checkpointed
+    * partitions — not the extra labels×labels join + count job per round
+    * the naive formulation pays. A ⌈log₂ n⌉-scaled round budget turns a
+    * would-be infinite loop (impossible for monotone min-label, but the
+    * guard is free) into a loud failure.
     *
     * Returns (doc_id, cluster, keep) for EVERY document: cluster = the
     * component's min doc_id (a singleton's own id), keep = whether this
     * document is its cluster's canonical survivor.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(pairs)._1
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("l"), col("doc_id")).as("cluster"),
+        (coalesce(col("l"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
+  /** Connected-component labels (v, l) for every vertex of the pair graph,
+    * plus the number of BSP rounds taken — exposed so the spec can assert
+    * the pointer-doubling round bound. See [[dedupClusters]]. */
+  private[graft] def ccLabels(pairs: DataFrame): (DataFrame, Int) = {
     // materialize the edge relation ONCE: every propagation round joins
     // against it, and without this barrier each round would re-execute the
     // entire upstream pair-detection DAG (for q66, the full MinHash/LSH/
@@ -369,25 +390,37 @@ object DedupOps {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct().withColumn("l", col("v"))
-    var changed = 1L
-    while (changed > 0) {
+    // ONE up-front action sizes the round budget (and warms the edge
+    // checkpoint); with the jump, rounds ≈ log₂(diameter), so ⌈log₂ n⌉
+    // plus generous slack can only trip on a logic bug — fail loudly
+    // rather than loop silently
+    val nV = labels.count()
+    val budget = 64 - java.lang.Long.numberOfLeadingZeros(nV.max(1L)) + 16
+    var rounds = 0
+    var changed = nV > 0
+    while (changed) {
+      require(rounds < budget,
+        s"connected components did not converge in $budget rounds (n=$nV)")
       val prop = sym
         .join(labels.select(col("v").as("dst"), col("l").as("__ld")), "dst")
         .groupBy("src").agg(min(col("__ld")).as("__ln"))
         .withColumnRenamed("src", "v")
+      // pointer doubling: every label is itself a vertex id (min of vertex
+      // ids, inductively), so l(l(v)) is a lookup into the same relation
+      val jump = labels.select(col("v").as("__lv"), col("l").as("__lj"))
       val next = labels
         .join(prop, Seq("v"), "left")
-        .select(col("v"), least(col("l"), coalesce(col("__ln"), col("l"))).as("l"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("l", "__lo"), "v")
-        .filter(col("l") =!= col("__lo")).count()
-      labels = next
+        .join(jump, col("l") === col("__lv"), "left")
+        .withColumn("__l2", least(col("l"),
+          coalesce(col("__ln"), col("l")), coalesce(col("__lj"), col("l"))))
+        .select(col("v"), (col("__l2") =!= col("l")).as("__chg"),
+          col("__l2").as("l"))
+        .localCheckpoint() // the round's ONE materialization
+      // fixpoint probe reads the checkpointed partitions only — no join
+      changed = next.agg(max(col("__chg"))).head.getBoolean(0)
+      labels = next.select("v", "l")
+      rounds += 1
     }
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("l"), col("doc_id")).as("cluster"),
-        (coalesce(col("l"), col("doc_id")) === col("doc_id")).as("keep"))
+    (labels, rounds)
   }
 }

@@ -117,17 +117,38 @@ class TextDedupSpec extends SparkSpec {
       5L -> ((5L, true)), 7L -> ((7L, true)), 9L -> ((7L, false))))
   }
 
-  test("dedupClusters: long path needs several propagation rounds") {
+  test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
-    // a 12-vertex path graph: min label must travel the whole diameter
-    val n = 12L
+    // a 17-vertex path graph (16 hops): the min label must cross the whole
+    // diameter. Plain neighbor-min propagation needs 16 rounds; the
+    // pointer-doubling jump reaches ≥ 2d+1 hops per round (1,3,7,15,31 —
+    // converged by round 5) plus one round to observe the fixpoint.
+    val n = 17L
     val docsDf = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.ccLabels(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+    assert(rounds <= 7, s"expected O(log n) rounds on a 16-hop chain, got $rounds")
     val out = DedupOps.dedupClusters(docsDf, pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.forall(_._2 == 1L))
     assert(out.count(_._3) === 1)
+  }
+
+  test("dedupClusters: doubling is correct when the min sits mid-chain") {
+    val s = spark
+    import s.implicits._
+    // ids deliberately NOT monotone along the path: the global min (1) is
+    // in the middle, larger ids interleave on both sides — jumps can point
+    // "away" from the min and must still converge to the right fixpoint
+    val path = Seq(9L, 4L, 8L, 1L, 7L, 3L, 6L, 2L, 5L)
+    val pairs = path.zip(path.tail).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.ccLabels(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === path.map(_ -> 1L).toMap)
+    assert(rounds <= 6, s"8-hop chain took $rounds rounds")
   }
 
   test("collect_capped bounds aggregation state and flags overflow by size") {
