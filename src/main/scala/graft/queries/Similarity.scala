@@ -134,6 +134,55 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q74: IVF ANN with nProbe=2 (the recall knob) ----------------------
+  // Same coarse quantizer as q49, but each query probes its TWO nearest
+  // cells: neighbors just across a Voronoi boundary — invisible to q49 —
+  // enter the candidate set. The oracle ranks every (vector, centroid)
+  // cosine once and reads rn=1 as the corpus assignment, rn<=2 as the
+  // query probe list.
+
+  def ivfNprobe(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .ivfTopK(embeddings(s, d), col("vec_id") < 10, k = 3, nCentroids = 16,
+        nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  private val ivfNprobeSql =
+    s"""WITH $duckCorpus,
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc WHERE rn = 1
+       |),
+       |qprobe AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc
+       |  WHERE rn <= 2 AND vec_id < 10
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM qprobe q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- q65: distributed k-means IVF training -----------------------------
   // The training step q49's centroid pick defers to: 2 Lloyd iterations,
   // deterministic init (lowest vec_ids), exact int64 fixed-point coordinate
@@ -196,6 +245,7 @@ object Similarity extends QueryModule {
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
   )
 }

@@ -109,18 +109,44 @@ object SimilarityOps {
     corpus.withColumn("cell", -best.getField("negc"))
   }
 
+  /** Per-row ARRAY of the `p` nearest centroid cells by cosine, ties to
+    * the lowest cell id — the nProbe>1 generalization of [[argmaxCell]],
+    * still a pure projection against the k×d centroid literals (array
+    * sort of k structs per row; no shuffle, no window). Sort order:
+    * ascending struct sort on (cs, negc) reversed = cs desc, then negc
+    * desc = cell ASC — exactly ROW_NUMBER(ORDER BY cs DESC, cell ASC). */
+  private def probeCellsCol(cents: Seq[(Long, Seq[Double])], p: Int): Column = {
+    val scored = cents.map { case (cell, cv) =>
+      val cnorm = math.sqrt(foldDot(cv, cv))
+      struct(
+        (VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))).as("cs"),
+        lit(-cell).as("negc"))
+    }
+    transform(slice(reverse(array_sort(array(scored: _*))), 1, p),
+      s => -s.getField("negc"))
+  }
+
   /** IVF (inverted-file) ANN: assign every vector to its nearest of
     * `nCentroids` coarse centroids (deterministic pick: the lowest-id
     * vectors act as centroids; [[kmeansCentroids]] is the trained
     * alternative — swap its (cell → coord list) output in as the
-    * centroid literals, the plan is identical), then probe only the
-    * query's cell. Assignment is a pure projection against the k×d
-    * centroid literals ([[argmaxCell]] — no shuffle, no window), one
-    * cell-equi-join for probing — the corpus is scanned once and, when
-    * the assignment is persisted partitioned by cell, a probe touches one
-    * partition.
+    * centroid literals, the plan is identical), then probe the query's
+    * `nProbe` nearest cells. Assignment is a pure projection against the
+    * k×d centroid literals ([[argmaxCell]] — no shuffle, no window), the
+    * probe side explodes to nProbe (cell, query) rows — still
+    * benchmark-sized — and ONE cell-equi-join scores candidates; the
+    * corpus is scanned once and, when the assignment is persisted
+    * partitioned by cell, a probe touches nProbe partitions.
+    *
+    * nProbe is the recall knob: a true neighbor sitting just across a
+    * Voronoi boundary (assigned to the query's 2nd-closest centroid) is
+    * invisible at nProbe=1 and found at nProbe=2 — SimilaritySpec pins
+    * exactly that geometry. Each corpus vector lives in ONE cell, so
+    * probing p distinct cells never duplicates a candidate.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCentroids: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCentroids: Int,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val corpus = prepared(emb)
     val cents = corpus
       .orderBy("vec_id").limit(nCentroids)
@@ -128,10 +154,11 @@ object SimilarityOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val assigned = argmaxCell(corpus, cents)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-    val queries = assigned
+    val queries = corpus
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("cell"))
+        col("norm").as("qnorm"),
+        explode(probeCellsCol(cents, nProbe)).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     assigned
       .join(broadcast(queries), Seq("cell"))
@@ -143,11 +170,52 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Deterministic FARTHEST-POINT seeding (Gonzalez k-center greedy, the
+    * RNG-free stand-in for k-means‖/d²-weighting): start from the lowest
+    * vec_id, then repeatedly add the vector whose maximum cosine to the
+    * already-chosen set is SMALLEST — the most angularly remote vector —
+    * with ties broken by lowest vec_id. Spreads seeds across clusters
+    * where lowest-id init can land all k seeds in one cluster
+    * (SimilaritySpec shows the objective gap on exactly that geometry).
+    *
+    * Scale shape: k−1 bounded driver actions, each ONE corpus scan — a
+    * map-side max-cosine projection against the ≤k chosen literals and a
+    * global top-1 (TopKPerKey-able single-key limit). Chosen seeds are
+    * model state (k·d doubles), never data-sized. No RNG ⇒ bit-identical
+    * on any partitioning, like every other barrier in this module.
+    */
+  def farthestPointInit(emb: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, s"farthestPointInit k must be >= 1, got $k")
+    val corpus = prepared(emb)
+    var chosen = corpus
+      .orderBy("vec_id").limit(1)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(chosen.nonEmpty, "farthestPointInit: empty corpus")
+    while (chosen.size < k) {
+      val sims = chosen.map { case (_, cv) =>
+        val cnorm = math.sqrt(foldDot(cv, cv))
+        VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))
+      }
+      val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+      chosen = chosen ++ corpus
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .withColumn("__ms", maxSim)
+        .orderBy(col("__ms").asc, col("vec_id").asc).limit(1)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    }
+    chosen
+  }
+
   /** Distributed spherical k-means (Lloyd's) over the embedding corpus —
     * the IVF training step [[ivfTopK]]'s scaladoc defers to. Fully
     * deterministic and engine-reproducible:
     *
-    *   - init: the `nCentroids` lowest-vec_id vectors (no RNG);
+    *   - init: the `nCentroids` lowest-vec_id vectors (no RNG) by
+    *     default, or [[farthestPointInit]] seeds via `init = "farthest"`
+    *     (better spread, same determinism; q65's oracle replays the
+    *     lowid form, so the query keeps the default);
     *   - assign: argmax cosine to the k×d centroid literals, ties to the
     *     lowest cell id — a pure projection over the corpus
     *     ([[argmaxCell]]), no shuffle of vectors, no window;
@@ -166,17 +234,23 @@ object SimilarityOps {
     * bit-identical assignments — the oracle hash-matches.
     */
   def kmeansCentroids(emb: DataFrame, nCentroids: Int, iters: Int,
-      scaleBits: Int = 20): DataFrame = {
+      scaleBits: Int = 20, init: String = "lowid"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import graft.functions.VecSumFixed.vec_sum_fixed
     require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
     val scale = 1L << scaleBits
     val corpus = prepared(emb)
-    var cents: Seq[(Long, Seq[Double])] = corpus
-      .orderBy("vec_id").limit(nCentroids)
-      .select("v").collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+    var cents: Seq[(Long, Seq[Double])] = init match {
+      case "lowid" => corpus
+        .orderBy("vec_id").limit(nCentroids)
+        .select("v").collect().zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+      case "farthest" => farthestPointInit(emb, nCentroids)
+        .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+      case other => throw new IllegalArgumentException(
+        s"kmeans init must be 'lowid' or 'farthest', got '$other'")
+    }
     require(cents.nonEmpty, "kmeansCentroids: empty corpus")
     // (cell, n, coordinate sums) of the LAST assignment round
     var last: Array[(Long, Long, Seq[Long])] = null

@@ -89,6 +89,72 @@ class SimilaritySpec extends SparkSpec {
     assert(key(d1) === key(d2))
   }
 
+  test("ivfTopK nProbe=2 recovers a neighbor across the cell boundary") {
+    // centroids (lowest ids): v0=(1,0), v1=(0,1). Query v2 sits in cell 0;
+    // its TRUE nearest neighbor v3 (cos ≈ 0.939) is assigned to cell 1 —
+    // just across the Voronoi boundary — while cell 0's best is only v0
+    // (cos ≈ 0.805). nProbe=1 must miss v3; nProbe=2 must find it.
+    val d = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0f, 1f),
+      2L -> Seq(0.8f, 0.59f),  // query: cell 0
+      3L -> Seq(0.55f, 0.83f), // true NN of v2: cell 1
+    )
+    def top1(p: Int) = SimilarityOps
+      .ivfTopK(d, col("vec_id") === 2, k = 1, nCentroids = 2, nProbe = p)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val Array((n1, c1)) = top1(1)
+    assert(n1 === 0L, s"nProbe=1 should only see cell 0 (got $n1)")
+    assert(c1 < 0.9)
+    val Array((n2, c2)) = top1(2)
+    assert(n2 === 3L, s"nProbe=2 should recover the cross-cell neighbor (got $n2)")
+    assert(c2 > 0.9)
+  }
+
+  test("farthest-point init spreads seeds and beats lowest-id on objective") {
+    // three tight clusters on orthogonal axes, ids ordered so the three
+    // LOWEST ids all fall in cluster A — the geometry lowid init loses
+    // seed 0 carries the only y/z lean among the A seeds, so with lowid
+    // init BOTH the y-cluster and the z-cluster assign to cell 0, merge
+    // into one smeared centroid, and 2 Lloyd rounds cannot unmerge them
+    // (cell 2 even empties out) — while farthest-point seeds one per
+    // cluster and lands the proper 3-cluster solution
+    val rows: Seq[(Long, Seq[Float])] =
+      Seq[(Long, Seq[Float])](
+        0L -> Seq(1.00f, 0.03f, 0.03f), 1L -> Seq(0.98f, 0.00f, 0.00f),
+        2L -> Seq(1.02f, 0.00f, 0.00f), 3L -> Seq(1.00f, 0.01f, 0.00f),
+        4L -> Seq(0.02f, 1.00f, 0.0f), 5L -> Seq(0.00f, 0.97f, 0.02f),
+        6L -> Seq(0.01f, 1.03f, 0.01f),
+        7L -> Seq(0.0f, 0.02f, 1.00f), 8L -> Seq(0.02f, 0.0f, 0.98f),
+        9L -> Seq(0.01f, 0.01f, 1.02f),
+      )
+    val d = emb(rows: _*)
+    // seeds: one per cluster (0 → then the most remote → then the other)
+    val seeds = SimilarityOps.farthestPointInit(d, 3).map(_._1)
+    assert(seeds.head === 0L)
+    val cluster = (id: Long) => if (id <= 3) 0 else if (id <= 6) 1 else 2
+    assert(seeds.map(cluster).toSet === Set(0, 1, 2))
+    // spherical objective Σ(1 − max cosine to a centroid) after 2 rounds
+    def objective(init: String): Double = {
+      val cents = SimilarityOps.kmeansCentroids(d, nCentroids = 3, iters = 2,
+          init = init)
+        .collect().map(r => (r.getInt(0), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq).toSeq
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      rows.map { case (_, vf) =>
+        val v = vf.map(_.toDouble)
+        1.0 - cents.map(c => cos(v, c)).max
+      }.sum
+    }
+    val objFar = objective("farthest")
+    val objLow = objective("lowid")
+    assert(objFar < objLow,
+      s"farthest-point objective $objFar should beat lowest-id $objLow")
+  }
+
   test("vec_sum_fixed: exact element-wise sums through partial buffers") {
     val s = spark
     import s.implicits._
