@@ -334,6 +334,48 @@ object DedupOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** EXACT-SUBSTRING decontamination — the suffix-style companion to
+    * [[contaminationFlags]]'s set-overlap check (the Lee et al. dedup
+    * paper's exact-substring criterion, expressed relationally): for each
+    * training document sharing at least one k-token-gram with the eval
+    * corpus, report the number of contaminated gram POSITIONS and the
+    * token length of the longest CONTIGUOUS shared run. A run of m
+    * consecutive matching k-gram start positions certifies a shared
+    * substring of m+k−1 tokens — the sorted-k-gram-run equivalent of a
+    * suffix-array longest-match scan, with no suffix structure to build.
+    *
+    * Scale shape: identical to [[contaminationFlags]] — the eval gram set
+    * is benchmark-sized and BROADCASTS; the training corpus streams once
+    * through a map-side hash join (positions ride along as posexplode
+    * output, still one pass). Only the contamination-sized hit relation
+    * reaches the per-doc window, which partitions by doc_id — state is one
+    * document's hits, never corpus-sized. The gaps-and-islands grouping
+    * (pos − row_number) is pure SQL, mirrored verbatim by the oracle.
+    */
+  def substringContamination(train: DataFrame, evalDocs: DataFrame,
+      shingleK: Int): DataFrame = {
+    import graft.functions.TextExprs
+    import org.apache.spark.sql.expressions.Window
+    val evalGrams = evalDocs
+      .select(explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct()
+    // ordered gram OCCURRENCES with positions — per-doc duplicates kept,
+    // unlike the distinct-set relation the Jaccard family uses
+    val grams = train
+      .select(col("doc_id"), expr(TextOps.tokenHashArrayExpr).as("__th"))
+      .select(col("doc_id"), posexplode(expr(TextOps.shingleHashExpr(shingleK))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams
+      .join(broadcast(evalGrams), "h")
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("__run"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("__run")).as("hit_positions"),
+        (max(col("__run")) + (shingleK - 1)).as("max_run_tokens"))
+  }
+
   /** Near-duplicate RESOLUTION: connected components over a (doc_a, doc_b)
     * pair graph, then a per-document keep/drop verdict — the step that
     * turns any pair detector (MinHash, SimHash, exact/prefix Jaccard,
@@ -417,7 +459,7 @@ object DedupOps {
           col("__l2").as("l"))
         .localCheckpoint() // the round's ONE materialization
       // fixpoint probe reads the checkpointed partitions only — no join
-      changed = next.agg(max(col("__chg"))).head.getBoolean(0)
+      changed = next.agg(max(col("__chg"))).head().getBoolean(0)
       labels = next.select("v", "l")
       rounds += 1
     }

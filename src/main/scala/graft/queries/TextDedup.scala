@@ -373,6 +373,49 @@ object TextDedup extends QueryModule {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- q75: exact-substring decontamination ------------------------------
+  // The suffix-style companion to q68: same train/eval split, but instead
+  // of counting shared distinct grams it measures the longest CONTIGUOUS
+  // shared token run per contaminated doc (consecutive matching 5-gram
+  // start positions; run m ⇒ m+4 shared tokens). Gaps-and-islands over
+  // gram positions, mirrored verbatim in the oracle.
+
+  def substringDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    DedupOps
+      .substringContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        shingleK = decontK)
+      .orderBy("doc_id")
+  }
+
+  private val substringDecontaminateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, r.i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN ev USING (h)
+       |  WHERE g.doc_id % 97 <> 0
+       |),
+       |isl AS (
+       |  SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits
+       |),
+       |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp)
+       |SELECT doc_id, CAST(sum(run) AS BIGINT) AS hit_positions,
+       |  CAST(max(run) + ${decontK - 1} AS BIGINT) AS max_run_tokens
+       |FROM runs GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -418,6 +461,7 @@ object TextDedup extends QueryModule {
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),

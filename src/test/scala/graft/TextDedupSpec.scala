@@ -86,6 +86,22 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L))
   }
 
+  test("substringContamination: longest run certifies m+k-1 shared tokens") {
+    // eval doc "a b c d e f" (k=3 grams abc bcd cde def). Train doc 1
+    // embeds "a b c d e" → hits at positions 2,3,4 = one island of 3 →
+    // 3+2 = 5 shared tokens. Train doc 2 has TWO separated islands (abc at
+    // 0, def-?? no — "a b c" then noise then "c d e": islands 1 and 1) →
+    // max run 1 → 3 tokens. Clean doc 3 is absent from the output.
+    val train = docs(
+      1L -> "x x a b c d e y y",
+      2L -> "a b c q q c d e",
+      3L -> "no shared grams here at all")
+    val eval_ = docs(97L -> "a b c d e f")
+    val out = DedupOps.substringContamination(train, eval_, shingleK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((3L, 5L)), 2L -> ((2L, 3L))))
+  }
+
   test("gram_stats: hand-counted uni/bigram repetition") {
     val s = spark
     import s.implicits._
