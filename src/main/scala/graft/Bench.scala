@@ -45,19 +45,25 @@ object Bench {
       val ok = runs.forall(_._2)
       // A throwing query must not read as a fast query: negate its duration
       // and list it under "failed" so the JSON carries an explicit marker.
-      // Under reps > 1 the min is over SUCCESSFUL runs (a fast crash must
-      // not shadow a real run's time); only an all-failed query reports the
-      // min crash latency.
+      // Under reps > 1 the statistics are over SUCCESSFUL runs (a fast
+      // crash must not shadow a real run's time); only an all-failed query
+      // reports crash latencies.
       val good = runs.collect { case (t, true) => t }
-      val dt = (if (good.nonEmpty) good else runs.map(_._1)).min
-      (name, if (ok) dt else -dt, ok)
+      val used = (if (good.nonEmpty) good else runs.map(_._1)).sorted
+      // median de-noises what min can't (min rewards one lucky run); both
+      // are emitted so the driver's single file supports regression
+      // attribution without a judge re-run. At reps=1 they coincide.
+      val med = used(used.size / 2)
+      (name, if (ok) used.head else -used.head, if (ok) med else -med, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    def obj(f: ((String, Double, Double, Boolean)) => Double) =
+      results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${obj(_._2)},"queries_median":${obj(_._3)},""" +
+      s""""failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

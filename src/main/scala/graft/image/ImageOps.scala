@@ -290,16 +290,68 @@ object ImageOps {
     * taps dropped. Integer weights make the smoothed means exactly
     * reproducible in any engine — the kernel table IS the oracle literal.
     */
-  def gaussianKernelInts(fwhmVox: Double): Seq[(Int, Int, Int, Long)] = {
+  /** The 1-D integer weight row w₁(d) = rint(1000·e^(−d²/2σ²)), |d| ≤ ⌈2σ⌉,
+    * zero weights dropped — the factor both [[gaussianKernelInts]] (joint
+    * product kernel) and [[gaussianSmoothSeparableDense]] (3-pass) build
+    * from, so the two paths share literals by construction. */
+  def gaussian1dInts(fwhmVox: Double): Seq[(Int, Long)] = {
     require(fwhmVox > 0, s"fwhm must be positive, got $fwhmVox")
     val sigma = fwhmVox / (2.0 * math.sqrt(2.0 * math.log(2.0)))
     val r = math.max(1, math.ceil(2.0 * sigma).toInt)
-    def w1(d: Int): Long =
-      math.rint(1000.0 * math.exp(-(d * d) / (2.0 * sigma * sigma))).toLong
+    (-r to r)
+      .map(d => (d, math.rint(1000.0 * math.exp(-(d * d) / (2.0 * sigma * sigma))).toLong))
+      .filter(_._2 > 0)
+  }
+
+  def gaussianKernelInts(fwhmVox: Double): Seq[(Int, Int, Int, Long)] = {
+    val w1 = gaussian1dInts(fwhmVox)
     for {
-      dx <- -r to r; dy <- -r to r; dz <- -r to r
-      w = w1(dx) * w1(dy) * w1(dz) if w > 0
+      (dx, wx) <- w1; (dy, wy) <- w1; (dz, wz) <- w1
+      w = wx * wy * wz if w > 0
     } yield (dx, dy, dz, w)
+  }
+
+  /** SEPARABLE 3-pass Gaussian for DENSE grids (the nilearn/FSL interior
+    * fast path the joint kernel's scaladoc defers to): one scatter join +
+    * sum per axis with the (2r+1)-tap 1-D row, then a single division by
+    * (Σw₁)³ — 3·(2r+1) taps per cell instead of (2r+1)³, an ~r²× tap
+    * reduction (r=4: 27 vs 729).
+    *
+    * Semantics: ZERO-PADDED dense convolution — each pass keeps exact
+    * DECIMAL numerators (no per-pass division), missing neighbors
+    * contribute 0, and the divisor is the full kernel mass. On cells
+    * whose full (2r+1)³ neighborhood exists this is BIT-IDENTICAL to
+    * [[gaussianSmooth]] (same integer weights by construction, same
+    * exact decimal triple sum, same final double division —
+    * ImageDesignSpec pins it); on boundary/masked-edge cells the joint
+    * form renormalizes over PRESENT taps while this one divides by full
+    * mass, which is why the gappy-grid queries (q61/q71) keep the joint
+    * kernel and this stays the dense-interior scale path (ProbeSmooth
+    * measures the win; SCALE.md has the table).
+    */
+  def gaussianSmoothSeparableDense(spark: SparkSession, grid: DataFrame,
+      fwhmVox: Double): DataFrame = {
+    import spark.implicits._
+    val taps = gaussian1dInts(fwhmVox)
+    val denL = { val s = taps.map(_._2).sum; s * s * s }
+    def pass(df: DataFrame, axis: String): DataFrame = {
+      val offs = taps.toDF("d", "w")
+      df.join(broadcast(offs), expr("true"))
+        .select(
+          (if (axis == "x") col("x") + col("d") else col("x")).as("x"),
+          (if (axis == "y") col("y") + col("d") else col("y")).as("y"),
+          (if (axis == "z") col("z") + col("d") else col("z")).as("z"),
+          (col("num") * col("w")).as("num"))
+        .groupBy("x", "y", "z").agg(sum(col("num")).as("num"))
+    }
+    val start = grid.select(col("x"), col("y"), col("z"),
+      col("value_dec").cast("decimal(38,2)").as("num"))
+    pass(pass(pass(start, "x"), "y"), "z")
+      // zero-padding scatters partial sums past the grid edge; only cells
+      // of the input volume are output (same footprint as the joint form)
+      .join(grid.select("x", "y", "z"), Seq("x", "y", "z"), "left_semi")
+      .select(col("x"), col("y"), col("z"),
+        (col("num").cast("double") / lit(denL).cast("double")).as("smoothed"))
   }
 
   /** A9 at arbitrary FWHM (ssm_loop.py:88 `smooth(fwhm=4)`): one-pass

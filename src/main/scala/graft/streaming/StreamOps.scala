@@ -87,6 +87,24 @@ object StreamOps {
       .filter(col("shared_grams") > 0)
   }
 
+  /** STREAMING training-set assembly — the stateless twin of q57 + q69
+    * (deterministic hash split + stratified downsampling): both batch
+    * operators are pure projections/filters of (salt, key, stratum), so
+    * the SAME bodies run unchanged over `readStream` in append mode with
+    * no watermark and no state store. A shard's split membership and
+    * sampling fate are decided the moment it lands and can never be
+    * revised by later data — the property that makes hash-keyed
+    * assembly safe for INCREMENTAL corpora, where `df.sample`'s
+    * partition-seeded RNG would re-draw on every re-plan.
+    * StreamMultimodalSpec pins stream ≡ batch on the same files. */
+  def streamingAssembly(docs: DataFrame, keyCol: String, strataCol: String,
+      salt: String, perMill: Seq[(String, Int)],
+      ratesPerMill: Map[String, Int], defaultPerMill: Int): DataFrame =
+    graft.queries.Training.hashSplit(
+      graft.queries.Training.stratifiedSample(
+        docs, keyCol, strataCol, salt, ratesPerMill, defaultPerMill),
+      keyCol, salt, perMill)
+
   /** Session windows per key with an inactivity gap (SURVEY.md §2.10
     * "per-subject completeness = session-window-like grouping"): sessions
     * close `gap` after their last event; works identically in batch and

@@ -85,6 +85,38 @@ class ImageDesignSpec extends SparkSpec {
     assert(blockBinom === declBinom)
   }
 
+  test("separable Gaussian equals the joint kernel exactly on dense interiors") {
+    // dense 12³ grid; interior = cells ≥ r from every face, where the full
+    // (2r+1)³ neighborhood exists and zero-padding vs renormalization
+    // cannot differ. Exact-double equality — same integer weights, same
+    // exact decimal sums, same final division.
+    val cells = for { x <- 0 to 11; y <- 0 to 11; z <- 0 to 11 }
+      yield (x, y, z, 1, BigDecimal(x * 37 + y * 11 + z * 3) / 4)
+    val g = grid(cells: _*)
+    for (fwhm <- Seq(2.0, 4.0)) {
+      val r = ImageOps.gaussian1dInts(fwhm).map(_._1).max
+      assert(r >= 2)
+      def interior(df: org.apache.spark.sql.DataFrame) = df
+        .filter((col("x") >= r && col("x") <= 11 - r) &&
+          (col("y") >= r && col("y") <= 11 - r) &&
+          (col("z") >= r && col("z") <= 11 - r))
+        .collect().map(rr => (rr.getInt(0), rr.getInt(1), rr.getInt(2)) -> rr.getDouble(3))
+        .toMap
+      val joint = interior(ImageOps.gaussianSmooth(spark, g, fwhm))
+      val sep = interior(ImageOps.gaussianSmoothSeparableDense(spark, g, fwhm))
+      assert(joint.nonEmpty)
+      assert(sep === joint, s"fwhm=$fwhm interior mismatch")
+    }
+    // and at the boundary they legitimately differ (renormalize vs zero-pad)
+    val jEdge = ImageOps.gaussianSmooth(spark, g, 4.0)
+      .filter(col("x") === 0 && col("y") === 0 && col("z") === 0)
+      .collect().head.getDouble(3)
+    val sEdge = ImageOps.gaussianSmoothSeparableDense(spark, g, 4.0)
+      .filter(col("x") === 0 && col("y") === 0 && col("z") === 0)
+      .collect().head.getDouble(3)
+    assert(sEdge < jEdge) // zero-padding pulls the corner toward 0
+  }
+
   test("globalSignal: per-TR masked mean, exact; out-of-mask voxels don't vote") {
     val s = spark
     import s.implicits._

@@ -84,6 +84,31 @@ class StreamMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streamingAssembly: split + stratified sample over a stream equal the batch twin") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-assembly").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    def assemble(df: org.apache.spark.sql.DataFrame) = StreamOps
+      .streamingAssembly(df, "doc_id", "lang", "graft-v1",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50),
+        Map("en" -> 250, "fr" -> 1000), defaultPerMill = 500)
+      .select("doc_id", "lang", "split")
+    val stream = s.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches
+      .parquet(dir)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val streamed = key(StreamOps.runToMemoryAppend(
+      s, assemble(stream).writeStream, "assembly_test").collect())
+    val batch = key(assemble(docs).collect())
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    assert(streamed.values.map(_._2).toSet === Set("train", "val", "test"))
+  }
+
   test("streamingDedup suppresses duplicate keys within the watermark") {
     val s = spark
     import s.implicits._
