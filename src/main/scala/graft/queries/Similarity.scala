@@ -200,10 +200,11 @@ object Similarity extends QueryModule {
       .withColumn("coord", round(col("coord"), 6))
       .orderBy("cell", "j")
 
-  private def kmeansTrainSql: String = {
-    // one assign+sum CTE pair per iteration, chained on the previous
-    // centroid list — the SQL is generated for kmIters so the two engines
-    // replay identical iterations by construction
+  /** The k-means iteration CTE chain c0, a1, s1, c1, …, s_iters
+    * (optionally ending in the final centroid list c_iters) — shared by
+    * q65 (reads the final sums) and q76 (probes against the final
+    * centroids), so both oracles replay the IDENTICAL training. */
+  private def kmIterCtesSql(withFinalCent: Boolean): String = {
     def assign(prev: String, i: Int): String =
       s"""a$i AS (
          |  SELECT vec_id, v, cell FROM (
@@ -226,19 +227,61 @@ object Similarity extends QueryModule {
          |)""".stripMargin
     val iterCtes = (1 to kmIters).flatMap { i =>
       Seq(assign(if (i == 1) "c0" else s"c${i - 1}", i), sums(i)) ++
-        (if (i < kmIters) Seq(cent(i)) else Nil)
+        (if (i < kmIters || withFinalCent) Seq(cent(i)) else Nil)
     }
-    s"""WITH $duckCorpus,
-       |c0 AS (
+    s"""c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
        |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT $kmK)
        |),
-       |${iterCtes.mkString(",\n")}
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def kmeansTrainSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = false)}
        |SELECT cell, n AS n_members, CAST(j AS INTEGER) AS j,
        |  round(CAST(s AS DOUBLE) / $kmScale.0 / n, 6) AS coord
        |FROM s$kmIters
        |ORDER BY cell, j""".stripMargin
-  }
+
+  // ---- q76: IVF served from TRAINED centroids (q65 ∘ q74) ----------------
+  // The full quantizer loop: Lloyd training (exact int64 sums, bit-replayed
+  // by the oracle's CTE chain) feeds the nProbe=2 probe pipeline. Closes
+  // q49's "production trains k-means, then serves" deferral end-to-end.
+
+  def ivfTrained(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .ivfTopKTrained(embeddings(s, d), col("vec_id") < 10, k = 3,
+        nCentroids = kmK, iters = kmIters, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  private def ivfTrainedSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (SELECT vec_id, v, norm, cell FROM rankedc WHERE rn = 1),
+       |qprobe AS (SELECT vec_id, v, norm, cell FROM rankedc WHERE rn <= 2 AND vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM qprobe q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -247,5 +290,6 @@ object Similarity extends QueryModule {
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
   )
 }

@@ -146,12 +146,32 @@ object SimilarityOps {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nCentroids: Int,
       nProbe: Int = 1): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val corpus = prepared(emb)
-    val cents = corpus
+    val cents = prepared(emb)
       .orderBy("vec_id").limit(nCentroids)
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    ivfTopKWith(emb, queryPred, k, cents, nProbe)
+  }
+
+  /** IVF ANN end-to-end from TRAINED centroids: runs [[kmeansCentroids]]'
+    * Lloyd iterations, then serves the probe against the trained (cell →
+    * mean) literals — the full "train the quantizer, then search" loop
+    * the lowest-id pick in [[ivfTopK]] stands in for. Everything stays
+    * engine-reproducible: training sums are exact int64 fixed-point, so
+    * the centroid doubles — and therefore every cosine, assignment, and
+    * probe — replay bit-identically from the oracle's SQL rendition of
+    * the same iterations. */
+  def ivfTopKTrained(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int, iters: Int, nProbe: Int = 1,
+      scaleBits: Int = 20): DataFrame =
+    ivfTopKWith(emb, queryPred, k,
+      kmeansCents(emb, nCentroids, iters, scaleBits), nProbe)
+
+  /** The shared IVF probe pipeline against explicit centroid literals. */
+  def ivfTopKWith(emb: DataFrame, queryPred: Column, k: Int,
+      cents: Seq[(Long, Seq[Double])], nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val corpus = prepared(emb)
     val assigned = argmaxCell(corpus, cents)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
     val queries = corpus
@@ -237,6 +257,32 @@ object SimilarityOps {
       scaleBits: Int = 20, init: String = "lowid"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val scale = 1L << scaleBits
+    val rows = for {
+      (cell, n, s) <- kmeansFit(emb, nCentroids, iters, scaleBits, init)
+        .toSeq.sortBy(_._1)
+      (sj, j) <- s.zipWithIndex
+    } yield (cell.toInt, n, j, sj.toDouble / scale.toDouble / n.toDouble)
+    rows.toDF("cell", "n_members", "j", "coord")
+  }
+
+  /** The trained (cell → mean coords) literals after `iters` Lloyd
+    * updates — the centroid list [[ivfTopKTrained]] serves against,
+    * derived from the same fit as [[kmeansCentroids]]' long relation. */
+  def kmeansCents(emb: DataFrame, nCentroids: Int, iters: Int,
+      scaleBits: Int = 20, init: String = "lowid"): Seq[(Long, Seq[Double])] = {
+    val scale = 1L << scaleBits
+    kmeansFit(emb, nCentroids, iters, scaleBits, init).toSeq.sortBy(_._1)
+      .map { case (cell, n, s) =>
+        (cell, s.map(_.toDouble / scale.toDouble / n.toDouble))
+      }
+  }
+
+  /** Shared Lloyd fit: (cell, n, coordinate sums) of the LAST assignment
+    * round, from which both the centroid relation and the centroid
+    * literals derive. */
+  private def kmeansFit(emb: DataFrame, nCentroids: Int, iters: Int,
+      scaleBits: Int, init: String): Array[(Long, Long, Seq[Long])] = {
     import graft.functions.VecSumFixed.vec_sum_fixed
     require(iters >= 1, s"kmeans iters must be >= 1, got $iters")
     val scale = 1L << scaleBits
@@ -252,7 +298,6 @@ object SimilarityOps {
         s"kmeans init must be 'lowid' or 'farthest', got '$other'")
     }
     require(cents.nonEmpty, "kmeansCentroids: empty corpus")
-    // (cell, n, coordinate sums) of the LAST assignment round
     var last: Array[(Long, Long, Seq[Long])] = null
     for (_ <- 1 to iters) {
       last = argmaxCell(corpus, cents)
@@ -264,11 +309,7 @@ object SimilarityOps {
         (cell, s.map(_.toDouble / scale.toDouble / n.toDouble))
       }
     }
-    val rows = for {
-      (cell, n, s) <- last.toSeq.sortBy(_._1)
-      (sj, j) <- s.zipWithIndex
-    } yield (cell.toInt, n, j, sj.toDouble / scale.toDouble / n.toDouble)
-    rows.toDF("cell", "n_members", "j", "coord")
+    last
   }
 
   /** Exact cosine near-duplicate pairs: all (a < b) pairs with cosine ≥

@@ -155,6 +155,30 @@ class SimilaritySpec extends SparkSpec {
       s"farthest-point objective $objFar should beat lowest-id $objLow")
   }
 
+  test("ivfTopKTrained serves the probe from the Lloyd-trained centroids") {
+    // two tight clusters; after training the centroids ARE the cluster
+    // means, so every query's neighbors come from its own cluster
+    val d = emb(
+      0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.1f, 1.0f),
+      2L -> Seq(0.9f, 0.0f), 3L -> Seq(1.1f, 0.2f),
+      4L -> Seq(0.0f, 0.9f), 5L -> Seq(0.2f, 1.1f),
+    )
+    val out = SimilarityOps
+      .ivfTopKTrained(d, col("vec_id") === 0 || col("vec_id") === 1,
+        k = 2, nCentroids = 2, iters = 2, nProbe = 1)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(out(0L) === Set(2L, 3L)) // x-cluster neighbors only
+    assert(out(1L) === Set(4L, 5L)) // y-cluster neighbors only
+    // and the trained path is exactly ivfTopKWith over kmeansCents
+    val viaCents = SimilarityOps.ivfTopKWith(d, col("vec_id") === 0, 2,
+      SimilarityOps.kmeansCents(d, 2, 2), nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val direct = SimilarityOps.ivfTopKTrained(d, col("vec_id") === 0, 2, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaCents.sortBy(_._2) === direct.sortBy(_._2))
+  }
+
   test("vec_sum_fixed: exact element-wise sums through partial buffers") {
     val s = spark
     import s.implicits._
