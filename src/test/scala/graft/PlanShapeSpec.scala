@@ -85,6 +85,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "eval-gram join degraded to SMJ")
   }
 
+  test("q74/q76: nProbe probe list is a projection — still at most one window each") {
+    for (name <- Seq("q74_ivf_nprobe", "q76_ivf_trained")) {
+      val p = plan(name)
+      // the per-query probe cells come from array_sort over centroid-literal
+      // structs (a projection), the corpus assignment from greatest(); only
+      // the final per-query ranking may plan as a Window
+      val windows = "Window \\[".r.findAllIn(p).size
+      assert(windows <= 1, s"$name: expected at most the final ranking window, got $windows")
+      // the benchmark-sized query/probe side must broadcast into the join
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n${p.take(800)}")
+    }
+  }
+
+  test("q75: eval grams broadcast; only contamination-sized hits reach the window") {
+    val p = plan("q75_substring_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "eval-gram join degraded to SMJ")
+    // the gaps-and-islands window partitions by doc_id — never global
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      "islands window collapsed to a single partition")
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free
