@@ -283,6 +283,49 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q77: near-dup cluster resolution over COSINE pairs (q29 ∘ q66) ---
+  // dedupClusters is detector-agnostic: here the pair graph comes from
+  // embedding cosine (q29's detector) instead of MinHash, and the same
+  // min-label + pointer-doubling components produce per-vector
+  // cluster/keep verdicts. Oracle: q29's pair SQL + the q66-style
+  // recursive reachability CTE.
+
+  def cosineClusters(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.dedup.DedupOps
+      .dedupClusters(
+        emb.select(col("vec_id").as("doc_id")),
+        SimilarityOps.cosineDupPairs(emb, threshold = 0.35, nBits = 8)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .orderBy("doc_id")
+  }
+
+  private val cosineClustersSql =
+    s"""WITH RECURSIVE $duckCorpus,
+       |bucketed AS (
+       |  SELECT vec_id, v, norm, ${duckBucket("v")} AS bucket FROM normed
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.v", "b.v")} / (a.norm * b.norm) >= 0.35
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(v, m) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.v = s.dst
+       |),
+       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v)
+       |SELECT e.vec_id AS doc_id,
+       |  COALESCE(l.cluster, e.vec_id) AS cluster,
+       |  (COALESCE(l.cluster, e.vec_id) = e.vec_id) AS keep
+       |FROM embeddings e LEFT JOIN lbl l ON l.v = e.vec_id
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
@@ -291,5 +334,6 @@ object Similarity extends QueryModule {
     Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
+    Q("q77_cosine_clusters", cosineClusters, Some(cosineClustersSql)),
   )
 }
