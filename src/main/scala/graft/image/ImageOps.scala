@@ -104,6 +104,10 @@ object ImageOps {
     import spark.implicits._
     val b = blockSize
     val offs = Offsets19
+    val oDx = offs.map(_._1).toArray
+    val oDy = offs.map(_._2).toArray
+    val oDz = offs.map(_._3).toArray
+    val nO = oDx.length
     val cells = grid.select(col("x"), col("y"), col("z"), col("label"))
       .as[(Int, Int, Int, Int)]
     val copies = cells.flatMap { case (x, y, z, l) =>
@@ -138,13 +142,38 @@ object ImageOps {
           }
         }
         blocks.flatMap { cs =>
-          val lookup = cs.iterator.map(c => (c._4, c._5, c._6) -> c._7).toMap
+          // dense (b+2)³ label array addressed by block-local coordinates
+          // (stencil radius 1), sentinel Int.MinValue for absent cells —
+          // same no-hash, no-boxing gather as blockLocalWeightedMean
+          val h0 = cs.head
+          val ext = b + 2
+          val x0 = h0._1 * b - 1; val y0 = h0._2 * b - 1; val z0 = h0._3 * b - 1
+          val dense = Array.fill(ext * ext * ext)(Int.MinValue)
+          cs.foreach { c =>
+            dense(((c._4 - x0) * ext + (c._5 - y0)) * ext + (c._6 - z0)) = c._7
+          }
+          val votes = new Array[Int](nO)
           cs.iterator.filter(_._8).map { c =>
-            val votes = offs.flatMap { case (dx, dy, dz) =>
-              lookup.get((c._4 + dx, c._5 + dy, c._6 + dz))
+            var nV = 0
+            var i = 0
+            while (i < nO) {
+              val l = dense(((c._4 + oDx(i) - x0) * ext + (c._5 + oDy(i) - y0)) * ext
+                + (c._6 + oDz(i) - z0))
+              if (l != Int.MinValue) { votes(nV) = l; nV += 1 }
+              i += 1
             }
-            val counts = votes.groupBy(identity).view.mapValues(_.size).toMap
-            val best = counts.toSeq.minBy { case (lbl, n) => (-n, lbl) }._1
+            // mode with smallest-label tie-break over ≤19 votes: sort the
+            // slice, then the longest equal run (first on ties, since equal
+            // counts are met in ascending label order)
+            java.util.Arrays.sort(votes, 0, nV)
+            var best = votes(0); var bestN = 0
+            var j = 0
+            while (j < nV) {
+              var k = j
+              while (k < nV && votes(k) == votes(j)) k += 1
+              if (k - j > bestN) { bestN = k - j; best = votes(j) }
+              j = k
+            }
             (c._4, c._5, c._6, best)
           }
         }
