@@ -360,10 +360,13 @@ object DedupOps {
       .select(explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
       .distinct()
     // ordered gram OCCURRENCES with positions — per-doc duplicates kept,
-    // unlike the distinct-set relation the Jaccard family uses
+    // unlike the distinct-set relation the Jaccard family uses. One native
+    // codegen'd projection (shingle_hashes) builds the positional array;
+    // the HOF form (tokenHashArrayExpr + shingleHashExpr) stays the
+    // oracle-mirrored spec, pinned equal by NativeTextSpec.
     val grams = train
-      .select(col("doc_id"), expr(TextOps.tokenHashArrayExpr).as("__th"))
-      .select(col("doc_id"), posexplode(expr(TextOps.shingleHashExpr(shingleK))))
+      .select(col("doc_id"),
+        posexplode(TextExprs.shingle_hashes(col("text"), shingleK)))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     grams

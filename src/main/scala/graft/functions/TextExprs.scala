@@ -122,6 +122,33 @@ object TextExprs {
     }
   }
 
+  /** ALL k-token-shingle hashes in POSITION order, duplicates kept — the
+    * positional companion to [[shingleHashSet]] for substring-run analysis
+    * (q75's islands need gram START POSITIONS, which a distinct set
+    * destroys); empty when the document has < k tokens. */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    var th = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, _, _) => {
+      if (n == th.length) th = java.util.Arrays.copyOf(th, n * 2)
+      th(n) = h; n += 1
+    })
+    if (n < k) EmptyLongs
+    else {
+      val out = new Array[Long](n - k + 1)
+      var i = 0
+      while (i + k <= n) {
+        var acc = 0L
+        var j = i
+        while (j < i + k) { acc = (acc * 31 + th(j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
   /** MinHash signature over a shingle-hash array: sig[j] = min over hashes of
     * ((2j+3)·h + (5j+7)) mod P — the affine family of DedupOps. Callers must
     * guard empty inputs (the expression returns null there — a MaxValue
@@ -275,6 +302,15 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+    override def nullSafeEval(v: Any): Any = shingleHashes(v.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.shingleHashes($c, $k)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
@@ -339,6 +375,8 @@ object TextExprs {
     ColumnBridge.column(MarkerCounts(ColumnBridge.expression(c), markerSets))
   def shingle_hash_set(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(c), k))
+  def shingle_hashes(c: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), k))
   def min_hash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
   def lsh_band_keys(c: Column, rowsPerBand: Int): Column =

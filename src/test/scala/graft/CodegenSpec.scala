@@ -66,6 +66,11 @@ class CodegenSpec extends SparkSpec {
     checkCodegen(df, "lshBandKeys")
   }
 
+  test("shingle_hashes generates and compiles") {
+    checkCodegen(docs.select(TextExprs.shingle_hashes(col("text"), 5)),
+      "shingleHashes")
+  }
+
   test("intersect_size generates and compiles") {
     val df = docs.select(TextExprs.intersect_size(
       TextExprs.shingle_hash_set(col("text"), 3),

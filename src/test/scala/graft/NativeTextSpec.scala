@@ -77,6 +77,25 @@ class NativeTextSpec extends SparkSpec {
     assert(hof.exceptAll(native).count() === 0L)
   }
 
+  test("shingle_hashes equals the positional HOF shingles, positions included") {
+    val native = docs.select(col("doc_id"),
+      posexplode(TextExprs.shingle_hashes(col("text"), 5)))
+    val hof = docs
+      .withColumn("__th", expr(TextOps.tokenHashArrayExpr))
+      .select(col("doc_id"), posexplode(expr(TextOps.shingleHashExpr(5))))
+    assert(native.exceptAll(hof).count() === 0L)
+    assert(hof.exceptAll(native).count() === 0L)
+    assert(native.count() > 0L)
+    // duplicates kept in order: "a b a b" 2-grams = [ab, ba, ab]
+    val edge = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val rows = edge.select(col("doc_id"),
+      posexplode(TextExprs.shingle_hashes(col("text"), 2)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.count(_._1 == 1L) === 3)
+    assert(rows.filter(_._1 == 1L).map(_._3).distinct.length === 2)
+    assert(rows.count(_._1 == 2L) === 0) // < k tokens → empty
+  }
+
   test("shingle_hash_set: fewer than k tokens yields an empty set") {
     val edge = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
     val n = edge.select(explode(TextExprs.shingle_hash_set(col("text"), 3))).count()
