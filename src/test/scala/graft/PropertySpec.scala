@@ -40,6 +40,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pointer-doubling CC labels equal a union-find oracle") {
+    val s = spark
+    import s.implicits._
+    // random graphs across the density spectrum (sparse chains → near-
+    // cliques): labels must equal the component minima a driver-side
+    // union-find computes, and rounds must stay within the log budget
+    val genGraph = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield edges.filter(e => e._1 != e._2)
+    for ((edges, gi) <- samples(genGraph, 6).zipWithIndex if edges.nonEmpty) {
+      // union-find oracle
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(verts.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = verts.map(v => v -> {
+        // component min = min over members sharing the root
+        val root = find(v)
+        verts.filter(w => find(w) == root).min
+      }).toMap
+      val (labels, rounds) = DedupOps.ccLabels(edges.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"graph $gi: $edges")
+      val budget = 64 - java.lang.Long.numberOfLeadingZeros(verts.size.toLong) + 16
+      assert(rounds <= budget, s"graph $gi took $rounds rounds")
+    }
+  }
+
   test("property: zscore has mean ~0 and population sd ~1 per group") {
     val s = spark
     import s.implicits._
