@@ -334,6 +334,93 @@ object DedupOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** ALTERNATING large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * EDGE-rewriting alternative to [[ccLabels]]' label propagation, with
+    * the proven O(log n) round bound on adversarial graphs where
+    * min-label schemes rely on structure:
+    *
+    *   - large-star(u): every STRICTLY LARGER neighbor of u re-attaches
+    *     to m = min(Γ(u) ∪ {u});
+    *   - small-star(u): every neighbor ≤ u, and u itself, re-attaches
+    *     to m.
+    *
+    * Both preserve connectivity and monotonically shrink the potential;
+    * at the fixpoint the edge set is a union of stars whose centers are
+    * the component minima — labels fall out as min(neighbor, self).
+    *
+    * Scale shape: each half-round is one groupBy(src).min + an
+    * adjacency×min equi-join, shuffling (id, id) pairs — the same
+    * exchange profile as a propagation round, but on a RELABELED edge
+    * set that collapses geometrically. Fixpoint detection compares an
+    * order-free (count, xor-ish sum) edge checksum between rounds on the
+    * checkpointed relation. Kept as the documented production
+    * alternative; [[dedupClusters]] runs [[ccLabels]] (pointer doubling),
+    * whose per-round cost is lower on the tiny cliques/chains near-dup
+    * graphs actually are. TextDedupSpec + PropertySpec pin both paths to
+    * identical labels.
+    */
+  private[graft] def ccLabelsAlternating(pairs: DataFrame): (DataFrame, Int) = {
+    def symmetrize(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    // per-node min over the symmetric adjacency, self included
+    def mins(adj: DataFrame): DataFrame = adj
+      .groupBy("src").agg(least(min(col("dst")), col("src")).as("__m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = symmetrize(e)
+      adj.join(mins(adj), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val adj = symmetrize(e)
+      val m = mins(adj)
+      adj.join(m, "src")
+        .filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("__m").as("dst"))
+        // u itself re-attaches to its min too
+        .unionByName(m.select(col("src"), col("__m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // order-free edge checksum: equal multiset ⇒ equal (n, sum, sumsq mod P)
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(col("src") * 31 + col("dst")), lit(0L)),
+        coalesce(sum((col("src") * 31 + col("dst")) % P
+          * ((col("src") * 31 + col("dst")) % P) % P), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var sig = checksum(edges)
+    val nE = sig._1
+    val budget = 2 * (64 - java.lang.Long.numberOfLeadingZeros(nE.max(1L))) + 16
+    var rounds = 0
+    var converged = nE == 0
+    while (!converged) {
+      require(rounds < budget,
+        s"alternating CC did not converge in $budget rounds (|E|=$nE)")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    // fixpoint = stars centered at component minima
+    val labels = symmetrize(edges)
+      .groupBy("src").agg(least(min(col("dst")), col("src")).as("l"))
+      .withColumnRenamed("src", "v")
+    (labels, rounds)
+  }
+
   /** EXACT-SUBSTRING decontamination — the suffix-style companion to
     * [[contaminationFlags]]'s set-overlap check (the Lee et al. dedup
     * paper's exact-substring criterion, expressed relationally): for each

@@ -75,6 +75,11 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"graph $gi: $edges")
       val budget = 64 - java.lang.Long.numberOfLeadingZeros(verts.size.toLong) + 16
       assert(rounds <= budget, s"graph $gi took $rounds rounds")
+      // the alternating large-star/small-star path lands the same labels
+      val (alt, altRounds) = DedupOps.ccLabelsAlternating(edges.toDF("doc_a", "doc_b"))
+      val gotAlt = alt.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAlt === expected, s"alternating, graph $gi: $edges")
+      assert(altRounds <= budget * 2, s"alternating graph $gi took $altRounds rounds")
     }
   }
 

@@ -153,6 +153,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out.count(_._3) === 1)
   }
 
+  test("alternating large/small-star CC equals the doubling labels on chains") {
+    val s = spark
+    import s.implicits._
+    val n = 17L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupOps.ccLabelsAlternating(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+    assert(rounds <= 10, s"16-hop chain took $rounds alternating rounds")
+  }
+
   test("dedupClusters: doubling is correct when the min sits mid-chain") {
     val s = spark
     import s.implicits._
