@@ -4,6 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
+  * Line-size constraint: the driver records only the LAST 2000 chars of
+  * stdout, and every BENCH_r*.json through r07 shows `parsed: null`
+  * because the full-name full-precision line outgrew that window as the
+  * suite grew (77 names × two maps ≈ 4.5 KB — the head with
+  * `{"metric":…` scrolls out and the parse fails). So stdout now carries
+  * a COMPACT line guaranteed to fit — short `qNN` keys (the unique
+  * per-query prefix), 3-decimal minimums only — and the full-precision
+  * detail (full names, min AND median per query) goes to
+  * `bench_detail.json` in the working directory for regression
+  * attribution without a judge re-run.
+  *
   * Methodology: one untimed warmup pass first (JIT + codegen cache +
   * parquet footers), then the timed pass in sorted query order — the
   * steady-state numbers a long-running cluster job would see; single-shot
@@ -56,14 +67,23 @@ object Bench {
       val med = used(used.size / 2)
       (name, if (ok) used.head else -used.head, if (ok) med else -med, ok)
     }
-    def obj(f: ((String, Double, Double, Boolean)) => Double) =
-      results.map { r => s"\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    def obj(key: String => String, f: ((String, Double, Double, Boolean)) => String) =
+      results.map { r => s"\"" + key(r._1) + "\":" + f(r) }.mkString("{", ",", "}")
+    def dp3(v: Double) = f"$v%.3f"
     val failed = results.collect { case (k, _, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${obj(_._2)},"queries_median":${obj(_._3)},""" +
-      s""""failed":$failed,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${obj(identity, _._2.toString)},""" +
+      s""""queries_median":${obj(identity, _._3.toString)},""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // qNN prefixes are unique across the suite; the compact line must stay
+    // under the driver's 2000-char stdout tail (incl. sbt's trailer).
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","reps":$reps,""" +
+      s""""queries":${obj(_.takeWhile(_ != '_'), r => dp3(r._2))},""" +
+      s""""failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -352,9 +352,11 @@ object DedupOps {
     * Scale shape: each half-round is one groupBy(src).min + an
     * adjacency×min equi-join, shuffling (id, id) pairs — the same
     * exchange profile as a propagation round, but on a RELABELED edge
-    * set that collapses geometrically. Fixpoint detection compares an
-    * order-free (count, xor-ish sum) edge checksum between rounds on the
-    * checkpointed relation. Kept as the documented production
+    * set that collapses geometrically. Fixpoint detection is EXACT on the
+    * checkpointed relations: equal counts (cheap aggregate, differs on
+    * every non-fixpoint round) and then an empty `exceptAll` — a
+    * multiset-checksum equality could collide and declare convergence on
+    * a non-fixpoint edge set. Kept as the documented production
     * alternative; [[dedupClusters]] runs [[ccLabels]] (pointer doubling),
     * whose per-round cost is lower on the tiny cliques/chains near-dup
     * graphs actually are. TextDedupSpec + PropertySpec pin both paths to
@@ -385,22 +387,13 @@ object DedupOps {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    // order-free edge checksum: equal multiset ⇒ equal (n, sum, sumsq mod P)
-    def checksum(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(
-        count(lit(1)),
-        coalesce(sum(col("src") * 31 + col("dst")), lit(0L)),
-        coalesce(sum((col("src") * 31 + col("dst")) % P
-          * ((col("src") * 31 + col("dst")) % P) % P), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
     var edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
-    var sig = checksum(edges)
-    val nE = sig._1
+    var nEdges = edges.count()
+    val nE = nEdges
     val budget = 2 * (64 - java.lang.Long.numberOfLeadingZeros(nE.max(1L))) + 16
     var rounds = 0
     var converged = nE == 0
@@ -408,10 +401,14 @@ object DedupOps {
       require(rounds < budget,
         s"alternating CC did not converge in $budget rounds (|E|=$nE)")
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextSig = checksum(next)
-      converged = nextSig == sig
+      val nextN = next.count()
+      // EXACT fixpoint test (both sides are distinct, checkpointed sets):
+      // equal cardinality + empty difference ⇔ equal sets. The count
+      // differs on every shrinking round, so the exceptAll job only runs
+      // at (or one collision-free step before) the true fixpoint.
+      converged = nextN == nEdges && next.exceptAll(edges).isEmpty
       edges = next
-      sig = nextSig
+      nEdges = nextN
       rounds += 1
     }
     // fixpoint = stars centered at component minima

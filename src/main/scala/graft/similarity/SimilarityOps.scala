@@ -218,12 +218,18 @@ object SimilarityOps {
         VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))
       }
       val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
-      chosen = chosen ++ corpus
+      val candidate = corpus
         .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
         .withColumn("__ms", maxSim)
         .orderBy(col("__ms").asc, col("vec_id").asc).limit(1)
         .select("vec_id", "v").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // Exhausted corpus with chosen.size < k would otherwise loop forever
+      // (the filter excludes every vector, chosen stops growing): misuse
+      // must fail loudly, not hang the driver running a job per spin.
+      require(candidate.nonEmpty,
+        s"farthestPointInit: k=$k exceeds corpus size ${chosen.size}")
+      chosen = chosen ++ candidate
     }
     chosen
   }

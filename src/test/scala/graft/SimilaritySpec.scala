@@ -155,6 +155,17 @@ class SimilaritySpec extends SparkSpec {
       s"farthest-point objective $objFar should beat lowest-id $objLow")
   }
 
+  test("farthest-point init fails loudly when k exceeds the corpus size") {
+    // exhausting the corpus with chosen.size < k must throw, not spin a
+    // driver job per iteration forever (the lowid path degrades to fewer
+    // seeds; this path has no such fallback by construction)
+    val d = emb(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.farthestPointInit(d, 5)
+    }
+    assert(e.getMessage.contains("exceeds corpus size"))
+  }
+
   test("ivfTopKTrained serves the probe from the Lloyd-trained centroids") {
     // two tight clusters; after training the centroids ARE the cluster
     // means, so every query's neighbors come from its own cluster
