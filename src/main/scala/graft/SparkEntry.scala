@@ -24,6 +24,7 @@ object SparkEntry {
     WindowAgg,
     Flagship,
     Training,
+    Retrieval,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

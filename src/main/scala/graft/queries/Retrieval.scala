@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.text.RetrievalOps
+
+/** Retrieval/corpus-statistics queries over `documents`: vocabulary
+  * dictionary (q80), TF-IDF top terms (q78), BM25 query scoring (q79),
+  * context packing (q81). Tokenization is the engine-wide single-space
+  * split so every oracle reproduces the counts exactly; every float is
+  * rounded to 6 decimals BEFORE ranking (Q.scala determinism rules).
+  */
+object Retrieval extends QueryModule {
+
+  // ---- q80: vocabulary dictionary (df / cf / smoothed idf) ---------------
+
+  def vocabStats(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.vocabulary(documents(s, d)).orderBy("term")
+
+  private val vocabStatsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT term,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(count(*) AS BIGINT) AS cf,
+      |  round(ln((n.n_docs + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0, 6) AS idf
+      |FROM tok CROSS JOIN n
+      |GROUP BY term, n.n_docs
+      |ORDER BY term""".stripMargin
+
+  // ---- q78: TF-IDF top terms per document --------------------------------
+
+  def tfidfTerms(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.tfIdfTopTerms(documents(s, d), k = 3).orderBy("doc_id", "rank")
+
+  private val tfidfTermsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  GROUP BY doc_id, t.term
+      |),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |),
+      |rk AS (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, term, tfidf FROM rk
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q79: BM25 scoring against a fixed query-term set ------------------
+
+  private val bmTerms = Seq("join", "customer", "filter")
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+
+  def bm25(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.bm25TopK(documents(s, d), bmTerms, bmK1, bmB, topN = 20)
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  private val bm25Sql = {
+    // mirror the Spark expression shape term by term, same fold order
+    val tfExpr = bmTerms.map(t =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n      |    ")
+    val dfExpr = bmTerms.map(t =>
+      s"CAST(sum(CASE WHEN list_contains(string_split(text, ' '), '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n      |    ")
+    val scoreTerms = bmTerms.map(t =>
+      s"ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * ($bmK1 + 1.0)) / (tf_$t + $bmK1 * (1.0 - $bmB + $bmB * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))")
+      .mkString(" + ")
+    s"""WITH per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    $tfExpr
+      |  FROM documents
+      |),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_dl,
+      |    $dfExpr
+      |  FROM documents
+      |)
+      |SELECT doc_id, dl, round($scoreTerms, 6) AS score
+      |FROM per_doc CROSS JOIN stats
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+  }
+
+  // ---- q81: fixed-budget context packing ---------------------------------
+
+  def contextPack(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.contextPack(documents(s, d), budgetTokens = 512L)
+      .orderBy("lang", "doc_id")
+
+  private val contextPackSql =
+    """WITH sized AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents
+      |),
+      |cum AS (
+      |  SELECT doc_id, lang, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id) - tokens
+      |      AS BIGINT) AS start
+      |  FROM sized
+      |)
+      |SELECT doc_id, lang, tokens,
+      |  start // 512 AS pack_id,
+      |  start % 512 AS pack_offset
+      |FROM cum
+      |ORDER BY lang, doc_id""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
+    Q("q79_bm25_topk", bm25, Some(bm25Sql)),
+    Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),
+    Q("q81_context_pack", contextPack, Some(contextPackSql)),
+  )
+}

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics retrieval/scoring operators over the `documents`
+  * table: vocabulary building, TF-IDF term weighting, BM25 query scoring,
+  * and fixed-token-budget context packing — the dictionary/relevance layer
+  * a training-data pipeline runs between dedup and sampling (quality
+  * filtering by term salience, retrieval-based subset selection, sequence
+  * packing for the trainer).
+  *
+  * Tokenization is the engine's shared convention: split on a single
+  * space, exactly `string_split(text, ' ')` in the DuckDB oracles (see
+  * queries/TextDedup.scala) — so every count here is bit-reproducible on
+  * both engines. All ratio outputs are rounded to 6 decimals BEFORE any
+  * ranking so an engine's last-ulp `ln` difference can't flip an order.
+  *
+  * Scale shapes (100 TB posture):
+  *   - [[vocabulary]]/[[tfIdfTopTerms]] shuffle only (doc_id, term) count
+  *     rows and a vocabulary-sized df relation; the vocabulary of a word-
+  *     level corpus is ≪ corpus (millions of terms vs billions of docs),
+  *     so the idf join BROADCASTS — the corpus is never re-shuffled.
+  *   - [[bm25TopK]] is ONE corpus scan: per-document query-term counts are
+  *     map-side array folds (no explode), the (N, Σdl, df…) statistics are
+  *     a single 1-row aggregate cross-joined back as a broadcast, and the
+  *     top-N is a TakeOrderedAndProject — no window, no full sort.
+  *   - [[contextPack]] is integer-exact window arithmetic partitioned by
+  *     the pack stream key; state per partition is one running sum.
+  */
+object RetrievalOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Corpus vocabulary dictionary: per-term document frequency, corpus
+    * frequency, and smoothed idf = ln((N+1)/(df+1)) + 1 — the statistic
+    * stopword discovery and TF-IDF weighting read. One explode + one
+    * term-keyed aggregation; N rides along as a 1-row aggregate
+    * cross-joined (broadcast) so the whole dictionary is a single job
+    * with no driver-side count barrier. */
+  def vocabulary(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"), count_distinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0, 6))
+      .select("term", "df", "cf", "idf")
+  }
+
+  /** Top-k terms per document by smoothed TF-IDF (tf × (ln((N+1)/(df+1))+1)),
+    * ties broken by term string — the per-document salience profile quality
+    * filters and keyword extractors read. The rank is over the ROUNDED
+    * score, identical in both engines; the per-document top-k window is the
+    * exact shape the TopKPerKey physical rewrite replaces with a bounded
+    * heap (no per-document sort at scale). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    // (doc, term) is distinct after the tf aggregate, so df is a plain count
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf
+      .join(broadcast(df.crossJoin(nDocs)), "term")
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tfidf")
+  }
+
+  /** Okapi BM25 top-N documents for a fixed query-term set
+    * (idf = ln(1 + (N−df+0.5)/(df+0.5)), the Robertson–Spärck Jones form;
+    * k1/b are the classic free parameters). Per-document term frequencies
+    * are map-side `filter(tokens)` folds — the corpus is scanned ONCE and
+    * never exploded or shuffled; (N, Σdl, per-term df) is one 1-row
+    * aggregate broadcast back. Scores are rounded before the global top-N
+    * so ranking is engine-stable; ties break by doc_id. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k1: Double, b: Double,
+      topN: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: empty query-term set")
+    def tfc(t: String) = s"tf_$t"
+    def dfc(t: String) = s"df_$t"
+    val perDoc = docs.select(
+      col("doc_id") +: size(toks).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(tfc(t))): _*)
+    val statExprs =
+      sum(size(toks).cast("long")).as("sum_dl") +:
+        terms.map(t => sum(array_contains(toks, t).cast("long")).as(dfc(t)))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statExprs: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(dfc(t)) + lit(0.5)) / (col(dfc(t)) + lit(0.5)))
+      idf * (col(tfc(t)) * (k1 + 1.0)) /
+        (col(tfc(t)) + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    perDoc
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+      .select("doc_id", "dl", "score")
+  }
+
+  /** Fixed-token-budget CONTEXT PACKING: stream documents in doc_id order
+    * within each pack key (language here), assign each document the pack
+    * whose window its first token falls in — pack_id = ⌊excl-cumsum /
+    * budget⌋ — and record the start offset inside that pack. This is the
+    * streaming sequence-packing discipline (documents may straddle a pack
+    * boundary; the trainer trims or wraps the tail), all integer-exact:
+    * no float anywhere, so the layout is bit-stable on any engine.
+    *
+    * Scale shape: one window cumsum per pack-stream partition. A single
+    * global stream would serialize; partitioning by (lang) here — and by
+    * (lang, shard) in production, exactly like the hash-split operator —
+    * keeps every partition's running sum independent and bounded. */
+  def contextPack(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "contextPack: budget must be positive")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("tokens"))
+      .withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
+      .select(
+        col("doc_id"), col("lang"), col("tokens"),
+        // `div` = integer division on longs: exact at any cumsum magnitude,
+        // where a double round-trip would wobble past 2^53 tokens
+        expr(s"start div $budgetTokens").as("pack_id"),
+        (col("start") % budgetTokens).as("pack_offset"))
+  }
+}

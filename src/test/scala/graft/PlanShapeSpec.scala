@@ -134,6 +134,23 @@ class PlanShapeSpec extends SparkSpec {
       p.take(500))
   }
 
+  test("q79: BM25 is one corpus pass — broadcast stats, global top-N, no window") {
+    val p = plan("q79_bm25_topk")
+    // the 1-row statistics aggregate joins back as a broadcast; the corpus
+    // itself must never be exchanged for the join or sorted whole
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-N degraded to a full sort")
+    assert(!p.contains("Window"), "BM25 must not rank via a window")
+  }
+
+  test("q78: TF-IDF idf join is broadcast — the corpus tf relation is never re-shuffled for it") {
+    val p = plan("q78_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "vocabulary-sized df relation degraded to SMJ")
+  }
+
   test("bucketed co-located join plans with zero shuffle exchanges") {
     val s = spark
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.RetrievalOps
+
+/** Hand-computed checks for the retrieval/corpus-statistics operators
+  * (vocabulary, TF-IDF, BM25, context packing) — the oracle hash-match at
+  * sf0.01/sf0.1 is the volume evidence; these pin the arithmetic and the
+  * tie/boundary semantics on corpora small enough to verify by hand.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  // N=3; df: a→2, b→1, c→2, d→1
+  private val tiny = docs(
+    (0L, "a a b", "en"),
+    (1L, "a c", "en"),
+    (2L, "c c c d", "fr"),
+  )
+
+  test("vocabulary: df/cf counts and smoothed idf by hand") {
+    val v = RetrievalOps.vocabulary(tiny).orderBy("term").collect()
+    val byTerm = v.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byTerm("a") === ((2L, 3L,
+      math.rint((math.log(4.0 / 3.0) + 1) * 1e6) / 1e6)))
+    assert(byTerm("b") === ((1L, 1L,
+      math.rint((math.log(4.0 / 2.0) + 1) * 1e6) / 1e6)))
+    assert(byTerm("c")._1 === 2L && byTerm("c")._2 === 4L)
+    assert(byTerm("d") === ((1L, 1L, byTerm("b")._3)))
+  }
+
+  test("tfIdfTopTerms: scores by hand; equal scores break ties by term") {
+    val top = RetrievalOps.tfIdfTopTerms(tiny, k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val idfA = math.log(4.0 / 3.0) + 1 // df 2
+    val idfB = math.log(4.0 / 2.0) + 1 // df 1
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 0: tf(a)=2 → 2·idfA ≈ 2.575 beats tf(b)=1 → 1.693
+    assert(top.filter(_._1 == 0L).map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1L, "a", r6(2 * idfA)), (2L, "b", r6(idfB))))
+    // doc 1: tf(a)=tf(c)=1 and df(a)=df(c) → identical rounded score;
+    // the term-string tiebreak must order a before c in BOTH engines
+    assert(top.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq ===
+      Seq((1L, "a"), (2L, "c")))
+    assert(top.filter(_._1 == 1L).map(_._4).distinct.length === 1)
+  }
+
+  test("bm25TopK: more hits rank higher; longer doc is length-penalized") {
+    val corpus = docs(
+      (0L, "q q q x", "en"),      // tf=3, dl=4
+      (1L, "q x x x", "en"),      // tf=1, dl=4
+      (2L, "q x x x x x x x", "en"), // tf=1, dl=8: same tf, longer → lower
+      (3L, "x x x x", "en"),      // tf=0 → zero score
+    )
+    val out = RetrievalOps.bm25TopK(corpus, Seq("q"), k1 = 1.2, b = 0.75,
+        topN = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    val score = out.toMap
+    assert(score(0L) > score(1L), "higher tf must outrank")
+    assert(score(1L) > score(2L), "equal tf: shorter doc must outrank")
+    assert(score(3L) === 0.0)
+    // hand value for doc 1: idf = ln(1 + (4-3+0.5)/(3+0.5)), dl/avgdl = 0.8
+    val idf = math.log(1.0 + 1.5 / 3.5)
+    val expect1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 4.0 / 5.0))
+    assert(math.abs(score(1L) - math.rint(expect1 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("contextPack: integer pack ids/offsets; straddlers keep their start pack") {
+    val corpus = docs(
+      (0L, "a b c", "en"),     // 3 tokens, start 0 → pack 0 offset 0
+      (1L, "a b", "en"),       // start 3 → pack 0 offset 3 (straddles into 1)
+      (2L, "a b c d", "en"),   // start 5 → pack 1 offset 1
+      (3L, "a", "fr"),         // separate stream: start 0 → pack 0
+    )
+    val packed = RetrievalOps.contextPack(corpus, budgetTokens = 4L)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(packed.toSeq === Seq(
+      (0L, "en", 0L, 0L), (1L, "en", 0L, 3L), (2L, "en", 1L, 1L),
+      (3L, "fr", 0L, 0L)))
+  }
+
+  test("contextPack is invariant under input partitioning") {
+    val base = docs((0L to 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), if (i % 2 == 0) "en" else "fr")): _*)
+    val a = RetrievalOps.contextPack(base, 16L)
+      .orderBy("lang", "doc_id").collect().toSeq
+    val b = RetrievalOps.contextPack(base.repartition(7), 16L)
+      .orderBy("lang", "doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
