@@ -99,6 +99,35 @@ object Retrieval extends QueryModule {
       |LIMIT 20""".stripMargin
   }
 
+  // ---- q82: unigram perplexity quality signal ----------------------------
+
+  def unigramPpl(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.unigramPerplexity(documents(s, d)).orderBy("doc_id")
+
+  private val unigramPplSql =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |),
+      |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+      |tot AS (SELECT count(*) AS t_total FROM tok),
+      |lnp AS (
+      |  SELECT term,
+      |    CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT)
+      |      AS lnp_fp
+      |  FROM cf CROSS JOIN tot
+      |),
+      |agg AS (
+      |  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(lnp.lnp_fp) AS BIGINT) AS s_fp
+      |  FROM tok JOIN lnp USING (term)
+      |  GROUP BY tok.doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens), 6) AS ppl
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q81: fixed-budget context packing ---------------------------------
 
   def contextPack(s: SparkSession, d: String): DataFrame =
@@ -128,5 +157,6 @@ object Retrieval extends QueryModule {
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
     Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
+    Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
   )
 }

@@ -188,6 +188,52 @@ object StreamOps {
       }
   }
 
+  /** Input row for [[streamingContextPack]]: a sized document on one
+    * pack stream. */
+  case class PackDoc(doc_id: Long, lang: String, tokens: Long)
+
+  /** One packed document: which fixed-budget context window its first
+    * token lands in, and where. */
+  case class PackedDoc(doc_id: Long, lang: String, tokens: Long,
+      pack_id: Long, pack_offset: Long)
+
+  /** The shared per-stream fold: docs in doc_id order against the running
+    * token cumsum; pack_id = ⌊cumsum/budget⌋ exactly as the batch
+    * operator's `div` (both floor on non-negative longs). */
+  private[streaming] def foldPack(startTokens: Long, rows: Seq[PackDoc],
+      budget: Long): (Long, Seq[PackedDoc]) = {
+    var s = startTokens
+    val out = rows.sortBy(_.doc_id).map { r =>
+      val p = PackedDoc(r.doc_id, r.lang, r.tokens, s / budget, s % budget)
+      s += r.tokens
+      p
+    }
+    (s, out)
+  }
+
+  /** Streaming twin of `RetrievalOps.contextPack`: ingest-time context
+    * packing with the per-language running token count carried across
+    * micro-batches by flatMapGroupsWithState — the production shape
+    * (packing happens as documents ARRIVE; a batch job would re-scan).
+    * State is ONE long per pack stream, bounded by |langs| forever.
+    * Determinism contract (same as [[runningOutliers]]): documents
+    * arrive in doc_id order across the batch sequence, each batch folds
+    * in doc_id order — StreamMultimodalSpec pins stream ≡ batch. */
+  def streamingContextPack(docs: Dataset[PackDoc],
+      budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          val (next, out) =
+            foldPack(state.getOption.getOrElse(0L), rows.toSeq, budget)
+          state.update(next)
+          out.iterator
+      }
+  }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

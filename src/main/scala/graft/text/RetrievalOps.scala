@@ -112,6 +112,39 @@ object RetrievalOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** Per-document UNIGRAM PERPLEXITY under the corpus's own maximum-
+    * likelihood unigram model — the CCNet-style quality signal (a
+    * document of corpus-typical tokens scores low; rare-token soup
+    * scores high). ppl(d) = exp(−(Σ_t ln p(t)) / n_d) with
+    * p(t) = cf(t)/T over the whole corpus.
+    *
+    * Determinism: per-token ln p is quantized to fixed-point int64
+    * (×1e9) BEFORE summation, so the per-document sum is exact and
+    * aggregation-order-free (the house rule every checked aggregate
+    * follows); only the final exp/divide is double math, rounded to 6.
+    *
+    * Scale shape: one explode + a broadcast join against the
+    * vocabulary-sized (term → ln p) relation; tokens of a document stay
+    * in their scan partition, so the doc_id hash aggregate is map-side
+    * partial — the exchange carries one row per DOCUMENT, not per token. */
+  def unigramPerplexity(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("term"))
+    val cf = tok.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = tok.agg(count(lit(1)).as("t_total"))
+    val lnp = cf.crossJoin(total).select(
+      col("term"),
+      round(log(col("cf").cast("double") / col("t_total")) * 1e9, 0)
+        .cast("long").as("lnp_fp"))
+    tok
+      .join(broadcast(lnp), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lnp_fp")).as("s_fp"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(exp(-(col("s_fp").cast("double") / 1e9) / col("n_tokens")), 6)
+          .as("ppl"))
+  }
+
   /** Fixed-token-budget CONTEXT PACKING: stream documents in doc_id order
     * within each pack key (language here), assign each document the pack
     * whose window its first token falls in — pack_id = ⌊excl-cumsum /

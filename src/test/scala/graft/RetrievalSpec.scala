@@ -52,6 +52,23 @@ class RetrievalSpec extends SparkSpec {
     assert(top.filter(_._1 == 1L).map(_._4).distinct.length === 1)
   }
 
+  test("unigramPerplexity: hand-computed fixed-point fold; rare tokens raise ppl") {
+    // T=9; cf: a→3, b→1, c→4, d→1. Same quantization as the operator:
+    // per-token ln p → int64 ×1e9, exact sum, exp/divide at the end.
+    def fp(cf: Long) = math.round(math.log(cf / 9.0) * 1e9)
+    def ppl(fps: Long*) =
+      math.rint(math.exp(-(fps.sum.toDouble / 1e9) / fps.size) * 1e6) / 1e6
+    val out = RetrievalOps.unigramPerplexity(tiny).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).toSeq === Seq(3L, 2L, 4L))
+    assert(out(0)._3 === ppl(fp(3), fp(3), fp(1)))
+    assert(out(1)._3 === ppl(fp(3), fp(4)))
+    assert(out(2)._3 === ppl(fp(4), fp(4), fp(4), fp(1)))
+    // hand values: doc1 {a,c} is most corpus-typical (2.598…); doc2's rare
+    // 'd' lifts it (3.182…); doc0's double-rare mix is worst (4.326…)
+    assert(out(1)._3 < out(2)._3 && out(2)._3 < out(0)._3)
+  }
+
   test("bm25TopK: more hits rank higher; longer doc is length-penalized") {
     val corpus = docs(
       (0L, "q q q x", "en"),      // tf=3, dl=4

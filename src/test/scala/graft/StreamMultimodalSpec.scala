@@ -84,6 +84,47 @@ class StreamMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streamingContextPack: per-lang running cumsum spans micro-batches, equals batch operator") {
+    val s = spark
+    import s.implicits._
+    import StreamOps.PackDoc
+    val dir = Files.createTempDirectory("graft-pack").toString
+    // batch 1: low doc_ids; batch 2: continuations whose pack_id is only
+    // right if the per-lang token cumsum CARRIED OVER from batch 1
+    val b1 = Seq(
+      PackDoc(0L, "en", 3L), PackDoc(1L, "en", 2L), PackDoc(2L, "fr", 5L))
+    val b2 = Seq(
+      PackDoc(3L, "en", 4L), PackDoc(4L, "fr", 1L), PackDoc(5L, "en", 2L))
+    b1.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val firstFiles = new java.io.File(dir).listFiles().map(_.toPath)
+    firstFiles.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+    b2.toDS().coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().map(_.toPath)
+      .filterNot(firstFiles.contains).foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000100000L)))
+
+    val stream = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[PackDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[PackDoc]
+    val streamed = StreamOps.runToMemoryAppend(
+        s, StreamOps.streamingContextPack(stream, budget = 4L).toDF.writeStream,
+        "pack_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // batch operator over the union of both files
+    val docsDf = (b1 ++ b2).map(p =>
+        (p.doc_id, Seq.fill(p.tokens.toInt)("w").mkString(" "), p.lang))
+      .toDF("doc_id", "text", "lang")
+    val batch = graft.text.RetrievalOps.contextPack(docsDf, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+    // doc 3 ("en", start 5) must land in pack 1 — provable only with state
+    assert(streamed.contains((3L, 1L, 1L)))
+  }
+
   test("streamingAssembly: split + stratified sample over a stream equal the batch twin") {
     val s = spark
     val dir = Files.createTempDirectory("graft-assembly").toString
