@@ -138,6 +138,64 @@ object DedupOps {
     scorePairs(lshCandidates(bands), withSh, threshold)
   }
 
+  /** INCREMENTAL dedup admission: judge each INCREMENT document against
+    * the EXISTING corpus only — the production ingest shape (a nightly
+    * batch lands against a standing corpus; re-pairing the whole world
+    * per arrival would be O(corpus²) forever):
+    *
+    *   - exact: increment semi-joins the corpus on raw text (same
+    *     equality [[exactDedup]]'s oracle uses);
+    *   - near: LSH band keys for BOTH sides, but the candidate join is
+    *     increment→corpus only — never corpus×corpus — then exact
+    *     Jaccard over the full shingle sets at `threshold`, reporting
+    *     the LOWEST matching corpus doc as `near_dup_of`.
+    *
+    * One verdict row per increment doc: (doc_id, exact_dup, near_dup_of
+    * nullable, keep = neither). Scale shape: the corpus band index is a
+    * one-time build (persist it bucketed by (band, bkey) and each
+    * increment's probe is a co-located join); the increment side is
+    * batch-sized, so every per-arrival cost is O(increment × bucket
+    * overlap), not corpus-quadratic. */
+  def incrementalDedup(corpus: DataFrame, increment: DataFrame,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.TextExprs
+    def withSh(d: DataFrame) = d
+      .select(col("doc_id"),
+        TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(d: DataFrame) = withSh(d)
+      .select(col("doc_id"),
+        posexplode(TextExprs.lsh_band_keys(
+          TextExprs.min_hash_sig(col("sh"), numHashes), rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val exact = increment
+      .join(corpus.select(col("text")), Seq("text"), "left_semi")
+      .select(col("doc_id"), lit(true).as("__ex"))
+    val cands = bandsOf(increment).withColumnRenamed("doc_id", "inc_id")
+      .join(bandsOf(corpus).withColumnRenamed("doc_id", "corp_id"),
+        Seq("band", "bkey"))
+      .select("inc_id", "corp_id").distinct()
+    val incSh = withSh(increment).select(col("doc_id").as("inc_id"),
+      col("sh").as("__shi"), size(col("sh")).cast("long").as("__ni"))
+    val corSh = withSh(corpus).select(col("doc_id").as("corp_id"),
+      col("sh").as("__shc"), size(col("sh")).cast("long").as("__nc"))
+    val near = cands
+      .join(incSh, "inc_id").join(corSh, "corp_id")
+      .withColumn("__common",
+        TextExprs.intersect_size(col("__shi"), col("__shc")))
+      .filter(col("__common").cast("double") /
+        (col("__ni") + col("__nc") - col("__common")) >= threshold)
+      .groupBy("inc_id").agg(min(col("corp_id")).as("near_dup_of"))
+    increment.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ex"), lit(false)).as("exact_dup"),
+        col("near_dup_of"),
+        (col("__ex").isNull && col("near_dup_of").isNull).as("keep"))
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via the inverted-index
     * self-join. `maxDf`: drop shingles appearing in more than maxDf docs
     * before pairing (0 = no cap). The cap bounds the self-join at scale; with

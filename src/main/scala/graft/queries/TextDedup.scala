@@ -90,6 +90,82 @@ object TextDedup extends QueryModule {
        |WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q83: incremental dedup admission ----------------------------------
+
+  /** One LSH side (toks/sh/mh/bands CTE chain) over relation `rel`, with
+    * `_$side`-suffixed names — the [[duckShingles]] + minhash machinery
+    * parameterized so the incremental oracle can build it for the corpus
+    * and the increment separately. */
+  private def duckSideCtes(side: String, rel: String): String =
+    s"""toks_$side AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM $rel
+       |),
+       |sh_$side AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 3)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks_$side, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS r(i)
+       |),
+       |mh_$side AS (
+       |  SELECT doc_id, r.j AS j, min(((2*r.j + 3) * h + (5*r.j + 7)) % $P) AS mh
+       |  FROM sh_$side, unnest(range(16)) AS r(j)
+       |  GROUP BY doc_id, r.j
+       |),
+       |bands_$side AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |         sum(mh * ([1,31,961,29791])[(j % 4) + 1]) AS bkey
+       |  FROM mh_$side GROUP BY doc_id, j // 4
+       |)""".stripMargin
+
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    DedupOps
+      .incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 10 >= 2),
+        increment = docs.filter(col("doc_id") % 10 < 2),
+        shingleK = 3, numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupSql =
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2),
+       |${duckSideCtes("c", "corp")},
+       |${duckSideCtes("i", "inc")},
+       |exact AS (
+       |  SELECT DISTINCT i.doc_id FROM inc i JOIN corp c ON c.text = i.text
+       |),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corp_id
+       |  FROM bands_i i JOIN bands_c c
+       |    ON i.band = c.band AND i.bkey = c.bkey
+       |),
+       |sz_i AS (SELECT doc_id, count(*) AS n FROM sh_i GROUP BY doc_id),
+       |sz_c AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id),
+       |com AS (
+       |  SELECT cand.inc_id, cand.corp_id, count(*) AS common
+       |  FROM cand
+       |  JOIN sh_i s1 ON s1.doc_id = cand.inc_id
+       |  JOIN sh_c s2 ON s2.doc_id = cand.corp_id AND s2.h = s1.h
+       |  GROUP BY cand.inc_id, cand.corp_id
+       |),
+       |near AS (
+       |  SELECT com.inc_id, min(com.corp_id) AS near_dup_of
+       |  FROM com
+       |  JOIN sz_i zi ON zi.doc_id = com.inc_id
+       |  JOIN sz_c zc ON zc.doc_id = com.corp_id
+       |  WHERE CAST(com.common AS DOUBLE) / (zi.n + zc.n - com.common) >= 0.5
+       |  GROUP BY com.inc_id
+       |)
+       |SELECT i.doc_id,
+       |  (e.doc_id IS NOT NULL) AS exact_dup,
+       |  near.near_dup_of,
+       |  (e.doc_id IS NULL AND near.near_dup_of IS NULL) AS keep
+       |FROM inc i
+       |LEFT JOIN exact e ON e.doc_id = i.doc_id
+       |LEFT JOIN near ON near.inc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
 
   /** maxDf = 64: the guarded inverted-index path is the DEFAULT — the
@@ -463,6 +539,7 @@ object TextDedup extends QueryModule {
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),

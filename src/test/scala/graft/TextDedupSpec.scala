@@ -120,6 +120,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) === (((1L, 1L, 1L), (0L, 0L, 0L))))
   }
 
+  test("incrementalDedup: exact dup flagged, near dup resolved, clean doc kept") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "one totally unrelated corpus document about streaming joins"),
+    ).toDF("doc_id", "text")
+    val increment = Seq(
+      (200L, base),                         // byte-identical → exact dup
+      (201L, base + " CHANGED"),            // near dup of 100 (high Jaccard)
+      (202L, "gibberish clean arrival with no shared shingles anywhere here"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps
+      .incrementalDedup(corpus, increment, shingleK = 3, numHashes = 16,
+        rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (200L, true, 100L, false),   // exact AND (trivially) near of 100
+      (201L, false, 100L, false),  // near-only
+      (202L, false, -1L, true),    // clean → admitted
+    ))
+  }
+
   test("dedupClusters: transitive chains collapse to one survivor; singletons keep") {
     val s = spark
     import s.implicits._
