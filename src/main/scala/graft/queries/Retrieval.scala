@@ -99,6 +99,41 @@ object Retrieval extends QueryModule {
       |LIMIT 20""".stripMargin
   }
 
+  // ---- q85: PMI bigram collocations --------------------------------------
+
+  def pmiCollocations(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.pmiCollocations(documents(s, d), minCount = 10L, topN = 20)
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+
+  private val pmiCollocationsSql =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS th FROM documents
+      |),
+      |bg AS (
+      |  SELECT th[r.i + 1] AS w1, th[r.i + 2] AS w2, count(*) AS n
+      |  FROM toks, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS r(i)
+      |  GROUP BY th[r.i + 1], th[r.i + 2]
+      |),
+      |uni AS (
+      |  SELECT t.term, count(*) AS c1
+      |  FROM toks, unnest(th) AS t(term) GROUP BY t.term
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(len(th)) AS BIGINT) AS t_total,
+      |    CAST(sum(greatest(len(th) - 1, 0)) AS BIGINT) AS b_total
+      |  FROM toks
+      |)
+      |SELECT bg.w1, bg.w2, CAST(bg.n AS BIGINT) AS n,
+      |  round(ln((CAST(bg.n AS DOUBLE) / b_total) /
+      |    ((CAST(a.c1 AS DOUBLE) / t_total) * (CAST(b.c1 AS DOUBLE) / t_total))), 6) AS pmi
+      |FROM bg
+      |JOIN uni a ON a.term = bg.w1
+      |JOIN uni b ON b.term = bg.w2
+      |CROSS JOIN tot
+      |WHERE bg.n >= 10
+      |ORDER BY pmi DESC, bg.w1, bg.w2
+      |LIMIT 20""".stripMargin
+
   // ---- q82: unigram perplexity quality signal ----------------------------
 
   def unigramPpl(s: SparkSession, d: String): DataFrame =
@@ -158,5 +193,6 @@ object Retrieval extends QueryModule {
     Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
+    Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
   )
 }

@@ -283,6 +283,42 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q84: coreset / representative sampling per trained cell ----------
+  // Diversity-aware selection: the 5 vectors closest to each TRAINED
+  // centroid — per-cluster medoids, the "cover every region of embedding
+  // space" sampling a frequency-weighted sample can't give. Oracle replays
+  // the identical Lloyd iterations (same CTE chain as q65/q76), then ranks
+  // within each final-assignment cell.
+
+  def kmeansCoreset(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .kmeansRepresentatives(embeddings(s, d), nCentroids = kmK,
+        iters = kmIters, m = 5)
+      .orderBy("cell", "rank")
+
+  private def kmeansCoresetSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cell, cs FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1
+       |),
+       |percell AS (
+       |  SELECT cell, vec_id, cs,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id ASC) AS rank
+       |  FROM assigned
+       |)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank,
+       |  vec_id, round(cs, 6) AS cosine
+       |FROM percell WHERE rank <= 5
+       |ORDER BY cell, rank""".stripMargin
+
   // ---- q77: near-dup cluster resolution over COSINE pairs (q29 ∘ q66) ---
   // dedupClusters is detector-agnostic: here the pair graph comes from
   // embedding cosine (q29's detector) instead of MinHash, and the same
@@ -335,5 +371,6 @@ object Similarity extends QueryModule {
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Q("q77_cosine_clusters", cosineClusters, Some(cosineClustersSql)),
+    Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
   )
 }

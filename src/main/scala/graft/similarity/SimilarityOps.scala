@@ -190,6 +190,42 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** CORESET / representative sampling over the TRAINED quantizer: run
+    * [[kmeansCentroids]]' Lloyd iterations, assign every vector to its
+    * nearest trained centroid, and keep the `m` vectors CLOSEST to each
+    * centroid (cosine desc, ties to the lowest vec_id) — the per-cluster
+    * medoid set a diversity-aware training-data selector keeps when it
+    * wants coverage of every region of embedding space rather than a
+    * frequency-weighted sample.
+    *
+    * Scale shape: assignment is the same k×d-literal projection as
+    * [[ivfTopKWith]] (cosine rides along — no second pass), and the
+    * per-cell top-m is the exact rank-window shape the TopKPerKey
+    * physical rewrite turns into bounded heaps; the exchange carries one
+    * row per vector, state is m rows per cell. Deterministic end to end:
+    * training sums are exact int64 fixed-point, so assignments, cosines,
+    * and ranks replay bit-identically from the oracle's SQL rendition. */
+  def kmeansRepresentatives(emb: DataFrame, nCentroids: Int, iters: Int,
+      m: Int, scaleBits: Int = 20): DataFrame = {
+    val cents = kmeansCents(emb, nCentroids, iters, scaleBits)
+    val scored = cents.map { case (cell, cv) =>
+      val cnorm = math.sqrt(foldDot(cv, cv))
+      struct(
+        (VectorExprs.dot_fold(col("v"), typedlit(cv)) / (col("norm") * lit(cnorm))).as("cs"),
+        lit(-cell).as("negc"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    val w = Window.partitionBy("cell")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    prepared(emb)
+      .withColumn("cell", -best.getField("negc"))
+      .withColumn("cosine", best.getField("cs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= m)
+      .select(col("cell"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic FARTHEST-POINT seeding (Gonzalez k-center greedy, the
     * RNG-free stand-in for k-means‖/d²-weighting): start from the lowest
     * vec_id, then repeatedly add the vector whose maximum cosine to the

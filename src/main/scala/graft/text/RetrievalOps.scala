@@ -112,6 +112,45 @@ object RetrievalOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** PMI COLLOCATIONS: the corpus's top bigram associations by pointwise
+    * mutual information — ln((c₂/B) / ((c₁ₐ/T)(c₁ᵦ/T))) over adjacent
+    * token pairs, the statistic phrase/vocab induction reads to decide
+    * which token pairs deserve a merged entry. `minCount` floors the
+    * bigram count (PMI of a once-seen pair is pure noise); ranking is by
+    * the ROUNDED score (engine-ulp-proof) with (w1, w2) tiebreak.
+    *
+    * Scale shape: bigrams are a per-document zip (no self-join); the two
+    * aggregates shuffle vocabulary²-bounded bigram counts and
+    * vocabulary-sized unigram counts; unigram counts and the (T, B)
+    * totals join back as broadcasts; the global top-N is a
+    * TakeOrderedAndProject. */
+  def pmiCollocations(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val t = toks
+    val pairs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bi = docs.select(explode(pairs).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(t).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val totals = docs.agg(
+      sum(size(t)).cast("long").as("t_total"),
+      sum(greatest(size(t) - 1, lit(0))).cast("long").as("b_total"))
+    bi
+      .filter(col("n") >= minCount)
+      .join(broadcast(uni.select(col("term").as("w1"), col("c1").as("c1a"))), "w1")
+      .join(broadcast(uni.select(col("term").as("w2"), col("c1").as("c1b"))), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log((col("n").cast("double") / col("b_total")) /
+          ((col("c1a").cast("double") / col("t_total")) *
+            (col("c1b").cast("double") / col("t_total")))), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select("w1", "w2", "n", "pmi")
+  }
+
   /** Per-document UNIGRAM PERPLEXITY under the corpus's own maximum-
     * likelihood unigram model — the CCNet-style quality signal (a
     * document of corpus-typical tokens scores low; rare-token soup

@@ -90,6 +90,20 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(score(1L) - math.rint(expect1 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("pmiCollocations: hand-computed PMI; order and minCount floor") {
+    // docs: "p q p q p q" (5 bigrams: pq×3, qp×2) + "r r r r" (rr×3)
+    // T=10, B=8; c1: p=3, q=3, r=4
+    val corpus = docs((0L, "p q p q p q", "en"), (1L, "r r r r", "en"))
+    val out = RetrievalOps.pmiCollocations(corpus, minCount = 2L, topN = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def pmi(n: Long, ca: Long, cb: Long) =
+      math.rint(math.log((n / 8.0) / ((ca / 10.0) * (cb / 10.0))) * 1e6) / 1e6
+    assert(out.toSeq === Seq(
+      ("p", "q", 3L, pmi(3, 3, 3)),
+      ("q", "p", 2L, pmi(2, 3, 3)),
+      ("r", "r", 3L, pmi(3, 4, 4))))
+  }
+
   test("contextPack: integer pack ids/offsets; straddlers keep their start pack") {
     val corpus = docs(
       (0L, "a b c", "en"),     // 3 tokens, start 0 → pack 0 offset 0

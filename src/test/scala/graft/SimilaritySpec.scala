@@ -155,6 +155,30 @@ class SimilaritySpec extends SparkSpec {
       s"farthest-point objective $objFar should beat lowest-id $objLow")
   }
 
+  test("kmeansRepresentatives: per-cell medoids come from their own cluster, closest first") {
+    // two tight clusters on orthogonal axes; lowid seeds (0, 4) land one
+    // per cluster, so after training each cell's representatives must be
+    // drawn from its own cluster with the closest-to-centroid first
+    val d = emb(
+      0L -> Seq(1.00f, 0.00f), 1L -> Seq(0.98f, 0.02f),
+      2L -> Seq(1.02f, 0.01f), 3L -> Seq(0.99f, 0.03f),
+      4L -> Seq(0.00f, 1.00f), 5L -> Seq(0.02f, 0.97f),
+      6L -> Seq(0.01f, 1.03f),
+    )
+    val reps = SimilarityOps.kmeansRepresentatives(d, nCentroids = 2,
+        iters = 2, m = 2)
+      .orderBy("cell", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(reps.length === 4)
+    val cluster = (id: Long) => if (id <= 3) 0L else 1L
+    reps.foreach { case (cell, _, vid, _) => assert(cluster(vid) === cell) }
+    // within a cell, rank 1's cosine >= rank 2's
+    reps.groupBy(_._1).values.foreach { rs =>
+      val s = rs.sortBy(_._2).map(_._4)
+      assert(s(0) >= s(1))
+    }
+  }
+
   test("farthest-point init fails loudly when k exceeds the corpus size") {
     // exhausting the corpus with chosen.size < k must throw, not spin a
     // driver job per iteration forever (the lowid path degrades to fewer
