@@ -127,6 +127,56 @@ object Training extends QueryModule {
     docs.filter(splitSlot(keyCol, salt) < rate)
   }
 
+  /** EXACT-n deterministic sample per stratum: rank documents within
+    * each stratum by the salted mixed hash (ties to the key) and keep
+    * the first n — exact sample sizes where [[stratifiedSample]]'s rate
+    * filter gives binomially-varying ones. Membership is still a pure
+    * function of (salt, the stratum's key set): stable under
+    * partitioning, retries, and re-plans. The stated trade vs the rate
+    * filter: a NEWLY ARRIVED document can displace the current rank-n
+    * member — exact-n and coordinated sampling are fundamentally at
+    * odds; pick per use. The rank window is the TopKPerKey bounded-heap
+    * shape (state: n rows per stratum). */
+  def exactNSample(docs: DataFrame, keyCol: String, strataCol: String,
+      salt: String, n: Int): DataFrame = {
+    require(n >= 1, s"exactNSample: n must be >= 1, got $n")
+    // full mixed hash (no mod-1000 coarsening — rank needs few ties);
+    // poly_hash < 1e9+7 so the ×2654435761 product fits int64
+    val h = Hashing.poly_hash(
+      concat_ws(":", lit(salt), col(keyCol).cast("string"))) * lit(2654435761L)
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("__h").asc, col(keyCol).asc)
+    docs
+      .withColumn("__h", h)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .drop("__h")
+  }
+
+  /** q86: exactly 30 docs per language by salted hash rank. */
+  def exactSampleQuery(s: SparkSession, d: String): DataFrame =
+    exactNSample(documents(s, d), "doc_id", "lang", "graft-v1", n = 30)
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+
+  private val exactSampleSql =
+    """WITH hashed AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('graft-v1:' || CAST(doc_id AS VARCHAR), ''),
+      |        c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761 AS h
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM hashed
+      |)
+      |SELECT lang, rank, doc_id FROM ranked
+      |WHERE rank <= 30
+      |ORDER BY lang, rank""".stripMargin
+
   /** q69: language-rebalanced corpus — keep 250‰ of English, all of
     * French, 500‰ elsewhere; per-lang counts + id_sum membership
     * fingerprint (the oracle checks the selected SET, like q57). */
@@ -156,5 +206,6 @@ object Training extends QueryModule {
     Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
     Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
     Q("q69_stratified_sample", stratifiedQuery, Some(stratifiedSql)),
+    Q("q86_exact_sample", exactSampleQuery, Some(exactSampleSql)),
   )
 }

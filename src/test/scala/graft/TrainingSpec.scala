@@ -37,6 +37,29 @@ class TrainingSpec extends SparkSpec {
     assert(s1 !== s2)
   }
 
+  test("exactNSample: exactly n per stratum, partition-invariant, short strata kept whole") {
+    def sel(df: org.apache.spark.sql.DataFrame, n: Int): Map[String, Seq[Long]] =
+      Training.exactNSample(df, "doc_id", "lang", "graft-v1", n)
+        .select("lang", "rank", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (l, rs) =>
+          l -> rs.sortBy(_._2).map(_._3).toSeq
+        }
+    val base = sel(docs, 10)
+    // exactly n from every stratum with at least n docs
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.foreach { case (l, ids) =>
+      assert(ids.length === math.min(10L, counts(l)).toInt, l)
+      assert(ids.distinct.length === ids.length)
+    }
+    // same SET and order on any partitioning
+    assert(sel(docs.repartition(13), 10) === base)
+    // n beyond the stratum size degrades to the whole stratum
+    val all = sel(docs, Int.MaxValue)
+    all.foreach { case (l, ids) => assert(ids.length === counts(l).toInt) }
+  }
+
   test("stratified sample: coordinated (rate bump only adds docs), partition-invariant") {
     def keep(df: org.apache.spark.sql.DataFrame, enRate: Int): Set[Long] =
       Training.stratifiedSample(df, "doc_id", "lang", "graft-v1",
