@@ -167,3 +167,45 @@ object ProbeGlm {
     spark.stop()
   }
 }
+
+/** Scratch main: full corpus re-pairing vs incremental admission on a
+  * cliquey synthetic corpus (2000 base docs × 10 near-dup variants).
+  * Full re-pair pays for every intra-corpus near-dup pair on EVERY
+  * batch; the incremental path only pairs the arriving batch against
+  * the standing corpus, so its verify set shrinks with the batch
+  * fraction. Not part of the driver contract; numbers go to SCALE.md. */
+object ProbeIncremental {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // each variant shares 29 of its 31 tokens' shingles with its base
+    // clique → pairwise jaccard ≈ 0.87, far above the 0.5 threshold
+    val docs = spark.range(0, 20000L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 30).map(i =>
+          concat(lit("w"), (col("id") / 10 * 31 + i * 7) % 1000)) :+
+          concat(lit("v"), col("id") % 10): _*).as("text"))
+      .cache()
+    docs.count()
+    val inc = docs.filter(col("doc_id") % 20 === 0)   // 5% arriving batch
+    val corp = docs.filter(col("doc_id") % 20 =!= 0)  // standing corpus
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      q.count() // warm
+      val t0 = System.nanoTime()
+      var rows = 0L
+      var i = 0
+      while (i < 3) { rows = q.count(); i += 1 }
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 3e9}%.3f s/run  ($rows rows)")
+    }
+    time("full re-pair (all 20k docs)",
+      graft.dedup.DedupOps.minhashDupPairs(docs, 3, 16, 4, 0.5))
+    time("incremental (1k inc vs 19k corpus)",
+      graft.dedup.DedupOps.incrementalDedup(corp, inc, 3, 16, 4, 0.5))
+    spark.stop()
+  }
+}
