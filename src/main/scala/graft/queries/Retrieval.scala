@@ -99,6 +99,34 @@ object Retrieval extends QueryModule {
       |LIMIT 20""".stripMargin
   }
 
+  // ---- q87: temperature-scaled language mixing weights -------------------
+
+  /** Multilingual sampling-temperature weights (mT5/XLM-R recipe) at
+    * α = 0.5 over the language strata — see RetrievalOps.mixWeights. */
+  def mixWeights(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.mixWeights(documents(s, d), "lang", alpha = 0.5)
+      .orderBy("lang")
+
+  private val mixWeightsSql =
+    """WITH per_lang AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY lang
+      |),
+      |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_total FROM per_lang),
+      |scored AS (
+      |  SELECT lang, tokens,
+      |    CAST(tokens AS DOUBLE) / t_total AS p,
+      |    CAST(round(pow(CAST(tokens AS DOUBLE) / t_total, 0.5) * 1e12, 0) AS BIGINT) AS pow_fp
+      |  FROM per_lang CROSS JOIN tot
+      |),
+      |ps AS (SELECT CAST(sum(pow_fp) AS BIGINT) AS pow_total FROM scored)
+      |SELECT lang, tokens,
+      |  round(p, 6) AS p,
+      |  round(CAST(pow_fp AS DOUBLE) / pow_total, 6) AS mix_weight,
+      |  round(CAST(pow_fp AS DOUBLE) / pow_total / p, 6) AS boost
+      |FROM scored CROSS JOIN ps
+      |ORDER BY lang""".stripMargin
+
   // ---- q85: PMI bigram collocations --------------------------------------
 
   def pmiCollocations(s: SparkSession, d: String): DataFrame =
@@ -194,5 +222,6 @@ object Retrieval extends QueryModule {
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
+    Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),
   )
 }

@@ -112,6 +112,35 @@ object RetrievalOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** Temperature-scaled MIXING WEIGHTS per stratum (the mT5/XLM-R
+    * multilingual sampling recipe): p_l = tokens_l/Σtokens, mix_l ∝
+    * p_l^α, and boost = mix_l/p_l — the factor each language's sampler
+    * applies so low-resource strata are up-sampled (α < 1 flattens the
+    * distribution; α = 1 is proportional, α = 0 uniform). The p^α
+    * values are quantized to int64 ×1e12 BEFORE the normalizing sum
+    * (the house exact-aggregate rule) so weights are order-free.
+    *
+    * Scale shape: one stratum-keyed aggregate (map-side partial), then
+    * strata-sized (≤ dozens of rows) broadcast cross-joins — nothing
+    * data-sized moves after the first exchange. */
+  def mixWeights(docs: DataFrame, strataCol: String, alpha: Double): DataFrame = {
+    val perStratum = docs
+      .groupBy(strataCol)
+      .agg(sum(size(toks)).cast("long").as("tokens"))
+    val total = perStratum.agg(sum(col("tokens")).as("t_total"))
+    val scored = perStratum.crossJoin(broadcast(total))
+      .withColumn("p", col("tokens").cast("double") / col("t_total"))
+      .withColumn("pow_fp", round(pow(col("p"), alpha) * 1e12, 0).cast("long"))
+    val powSum = scored.agg(sum(col("pow_fp")).as("pow_total"))
+    scored.crossJoin(broadcast(powSum))
+      .select(
+        col(strataCol), col("tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("pow_fp").cast("double") / col("pow_total"), 6).as("mix_weight"),
+        round(col("pow_fp").cast("double") / col("pow_total") / col("p"), 6)
+          .as("boost"))
+  }
+
   /** PMI COLLOCATIONS: the corpus's top bigram associations by pointwise
     * mutual information — ln((c₂/B) / ((c₁ₐ/T)(c₁ᵦ/T))) over adjacent
     * token pairs, the statistic phrase/vocab induction reads to decide

@@ -104,6 +104,23 @@ class RetrievalSpec extends SparkSpec {
       ("r", "r", 3L, pmi(3, 4, 4))))
   }
 
+  test("mixWeights: temperature flattening — weights sum to 1, small langs boosted") {
+    val corpus = docs(
+      (0L, Seq.fill(90)("w").mkString(" "), "en"),
+      (1L, Seq.fill(9)("w").mkString(" "), "fr"),
+      (2L, "w", "zh"))
+    val byLang = RetrievalOps.mixWeights(corpus, "lang", alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(math.abs(byLang.values.map(_._1).sum - 1.0) < 3e-6) // 6-dp rounded
+    // α=0.5 flattening: sqrt ratios — en 90% → ~67%, zh 1% → ~7%
+    assert(byLang("en")._1 < 0.90 && byLang("en")._2 < 1.0)
+    assert(byLang("zh")._1 > 0.01 && byLang("zh")._2 > 1.0)
+    // hand value: mix(en) = sqrt(.9)/(sqrt(.9)+sqrt(.09)+sqrt(.01))
+    val denom = math.sqrt(0.9) + math.sqrt(0.09) + math.sqrt(0.01)
+    assert(math.abs(byLang("en")._1 - math.sqrt(0.9) / denom) < 1e-6)
+  }
+
   test("contextPack: integer pack ids/offsets; straddlers keep their start pack") {
     val corpus = docs(
       (0L, "a b c", "en"),     // 3 tokens, start 0 → pack 0 offset 0
