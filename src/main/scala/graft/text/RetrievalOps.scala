@@ -58,12 +58,27 @@ object RetrievalOps {
     * exact shape the TopKPerKey physical rewrite replaces with a bounded
     * heap (no per-document sort at scale). */
   def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    // ONE doc_id exchange serves both downstream clusterings:
+    // HashPartitioning(doc_id) satisfies the (doc_id, term) aggregate's
+    // ClusteredDistribution (subset rule) AND the rank window's, so
+    // neither inserts its own shuffle — PlanShapeSpec counts exactly one
+    // doc-keyed exchange on this path. Trade: the exchange carries raw
+    // (doc_id, token) rows instead of map-side-combined distinct pairs,
+    // but it replaces TWO distinct-pair exchanges (aggregate + window),
+    // which for natural raw/distinct ratios (~2-3×) is fewer total bytes
+    // and one fewer stage barrier.
     val tf = docs
       .select(col("doc_id"), explode(toks).as("term"))
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-    // (doc, term) is distinct after the tf aggregate, so df is a plain count
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df gets its OWN lean branch (map-side array_distinct, term-keyed
+    // partial agg) — deriving it from `tf` would re-evaluate the
+    // repartitioned subtree inside the broadcast side, doubling the
+    // doc-keyed shuffle the repartition exists to dedupe
+    val df = docs
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term").asc)

@@ -149,6 +149,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q78_tfidf_terms")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
     assert(!p.contains("SortMergeJoin"), "vocabulary-sized df relation degraded to SMJ")
+    // the single doc_id repartition serves BOTH the (doc_id, term)
+    // aggregate and the rank window (HashPartitioning(doc_id) satisfies
+    // their clusterings by the subset rule) — no second doc-keyed shuffle
+    val docKeyed = "hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(docKeyed === 1, s"expected exactly 1 doc-keyed exchange, got $docKeyed:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("bucketed co-located join plans with zero shuffle exchanges") {
