@@ -87,6 +87,41 @@ object StreamOps {
       .filter(col("shared_grams") > 0)
   }
 
+  /** Freeze a unigram model for [[streamingQualityScore]]: the corpus's
+    * (term → ln p quantized int64 ×1e9) map, exactly the relation q82's
+    * batch operator joins — vocabulary-sized model state, like the eval
+    * gram set above. */
+  def unigramModel(corpus: DataFrame): Map[String, Long] = {
+    val tok = corpus.select(explode(split(col("text"), " ")).as("term"))
+    val total = tok.count().toDouble
+    tok.groupBy("term").agg(count(lit(1)).as("cf"))
+      .collect()
+      .map(r => r.getString(0) ->
+        math.round(math.log(r.getLong(1) / total) * 1e9))
+      .toMap
+  }
+
+  /** STREAMING quality scoring: per-document unigram perplexity under a
+    * FROZEN model (the CCNet recipe — score arrivals against the
+    * reference corpus's distribution, don't re-estimate it per batch).
+    * One STATELESS projection: tokens map through the (term → ln p)
+    * literal, unknown tokens take `oovLnpFp` (the floor penalty), the
+    * int64 fold is exact. Append-mode, no watermark, no state store —
+    * each document's score depends on that document plus the literal
+    * model, so stream ≡ batch by construction (spec-pinned). */
+  def streamingQualityScore(docs: DataFrame, model: Map[String, Long],
+      oovLnpFp: Long): DataFrame = {
+    val lnp = typedlit(model)
+    val fps = transform(split(col("text"), " "),
+      t => coalesce(element_at(lnp, t), lit(oovLnpFp)))
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      round(exp(-(aggregate(fps, lit(0L), (acc, x) => acc + x)
+        .cast("double") / 1e9) /
+        size(split(col("text"), " "))), 6).as("ppl"))
+  }
+
   /** STREAMING training-set assembly — the stateless twin of q57 + q69
     * (deterministic hash split + stratified downsampling): both batch
     * operators are pure projections/filters of (salt, key, stratum), so

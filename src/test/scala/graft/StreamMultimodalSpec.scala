@@ -192,6 +192,36 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(u1.head.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("streamingQualityScore: frozen-model ppl over a stream equals the corpus-model batch twin") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-qscore").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    // freeze the model ON the same corpus: every token in-vocab, so the
+    // stateless frozen-model scorer must reproduce q82's corpus-model
+    // perplexities exactly (same int64 quantization, same fold)
+    val model = StreamOps.unigramModel(docs)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val streamed = StreamOps.runToMemoryAppend(s,
+        StreamOps.streamingQualityScore(stream, model, oovLnpFp = -30000000000L)
+          .writeStream, "qscore_test")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.text.RetrievalOps.unigramPerplexity(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed === batch)
+    // out-of-vocabulary tokens take the floor penalty: a gibberish doc
+    // scores exp(30) under the frozen model
+    val odd = {
+      import s.implicits._
+      Seq((999L, "zzqx zzqx")).toDF("doc_id", "text")
+    }
+    val oov = StreamOps.streamingQualityScore(odd, model, -30000000000L)
+      .collect().head.getDouble(2)
+    assert(math.abs(oov - math.rint(math.exp(30.0) * 1e6) / 1e6) < 1e-3)
+  }
+
   test("streamingContamination: stateless ingest-time flags equal the batch operator") {
     val s = spark
     val dir = Files.createTempDirectory("graft-stream-decon").toString
