@@ -215,6 +215,31 @@ object Retrieval extends QueryModule {
       |FROM cum
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- q88: heavy-hitter terms via bounded-memory Space-Saving -----------
+
+  /** Capacity 64 > the corpus vocabulary at every SF, so the sketch runs in
+    * its exact regime and hash-matches the exact top-20 — while keeping the
+    * 100 TB plan shape (fixed-size partials, no term-keyed shuffle).
+    * SpaceSavingSpec covers the overflow regime the oracle can't. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.heavyHitters(documents(s, d), capacity = 64, k = 20)
+      .orderBy("rank")
+
+  private val heavyHittersSql =
+    """WITH tok AS (
+      |  SELECT t.term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |),
+      |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+      |rk AS (
+      |  SELECT term, cf,
+      |    CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank
+      |  FROM cf
+      |)
+      |SELECT rank, term, CAST(cf AS BIGINT) AS est_cf, CAST(0 AS BIGINT) AS err
+      |FROM rk WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
@@ -223,5 +248,6 @@ object Retrieval extends QueryModule {
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),
+    Q("q88_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
   )
 }

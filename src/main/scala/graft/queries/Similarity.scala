@@ -362,6 +362,37 @@ object Similarity extends QueryModule {
        |FROM embeddings e LEFT JOIN lbl l ON l.v = e.vec_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q89: scalar int8 quantization of the embedding corpus ------------
+  // The ANN serving-compression step: per-dimension (min,max) codebook,
+  // floor(+0.5) codes so both engines round identically, per-vector code
+  // checksum + max reconstruction error. See SimilarityOps.int8Quantize
+  // for the broadcast-codebook / map-only-quantize scale shape.
+
+  def int8Quant(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.int8Quantize(embeddings(s, d)).orderBy("vec_id")
+
+  private val int8QuantSql =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |),
+      |e AS (
+      |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM v
+      |),
+      |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+      |c AS (
+      |  SELECT e.vec_id, e.x, mm.mn, mm.mx,
+      |    CASE WHEN mm.mx = mm.mn THEN 0
+      |         ELSE CAST(floor((e.x - mm.mn) * 127.0 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
+      |    END AS code
+      |  FROM e JOIN mm USING (d)
+      |)
+      |SELECT vec_id,
+      |  CAST(sum(code) AS BIGINT) AS code_sum,
+      |  round(max(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 127.0))), 6)
+      |    AS max_abs_err
+      |FROM c GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
@@ -372,5 +403,6 @@ object Similarity extends QueryModule {
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Q("q77_cosine_clusters", cosineClusters, Some(cosineClustersSql)),
     Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
+    Q("q89_int8_quant", int8Quant, Some(int8QuantSql)),
   )
 }

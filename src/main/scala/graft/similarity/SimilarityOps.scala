@@ -369,4 +369,44 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Scalar int8 quantization of the embedding column — the compression
+    * step an ANN index applies before serving (a 64-dim float corpus is 4×
+    * smaller as codes; asymmetric distance then dequantizes on the fly).
+    * Codebook: per-dimension global (min, max), code = round((x-min)·127/
+    * (max-min)) via floor(+0.5) so both engines round identically; a
+    * constant dimension codes to 0. Emits per vector the code sum (an
+    * integer checksum of the whole code matrix) and the max absolute
+    * reconstruction error.
+    *
+    * Scale shape: the codebook is a per-dimension hash aggregate —
+    * dimension cardinality is tiny (64 here, ≤4k for any real model), so
+    * map-side partial aggregation reduces the exploded (dim, x) stream to
+    * O(dim × partitions) shuffled rows — then ONE 1-row array-assembly
+    * aggregate broadcast back over the corpus; the quantize itself is
+    * map-only (codegen'd higher-order transforms, no second corpus pass,
+    * no corpus shuffle). All arithmetic is IEEE double with identical
+    * fold order in both engines, so q89 hash-matches exactly.
+    */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = v
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+    val codebook = dims.agg(
+      expr("transform(sort_array(collect_list(struct(d, mn))), s -> s.mn)").as("mins"),
+      expr("transform(sort_array(collect_list(struct(d, mx))), s -> s.mx)").as("maxs"))
+    v.crossJoin(broadcast(codebook))
+      .withColumn("codes", expr(
+        """transform(v, (x, i) -> CASE WHEN maxs[i] = mins[i] THEN 0L
+          |ELSE CAST(floor((x - mins[i]) * 127.0D / (maxs[i] - mins[i]) + 0.5D) AS BIGINT)
+          |END)""".stripMargin))
+      .withColumn("errs", expr(
+        "transform(v, (x, i) -> abs(x - (mins[i] + CAST(codes[i] AS DOUBLE) * (maxs[i] - mins[i]) / 127.0D)))"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        round(expr("array_max(errs)"), 6).as("max_abs_err"))
+  }
 }

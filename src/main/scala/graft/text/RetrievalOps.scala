@@ -253,4 +253,28 @@ object RetrievalOps {
         expr(s"start div $budgetTokens").as("pack_id"),
         (col("start") % budgetTokens).as("pack_offset"))
   }
+
+  /** Top-k terms by corpus frequency through a bounded-memory Space-Saving
+    * sketch (functions/SpaceSaving.scala) — the heavy-hitters scale path
+    * for the dictionary statistic. Where [[vocabulary]] shuffles one row
+    * per distinct term (unbounded at URL/n-gram cardinality), this is ONE
+    * global aggregate whose partials are fixed `capacity`-counter
+    * summaries: communication O(capacity × partitions), no term-keyed
+    * exchange. Exact (err = 0, hash-matches the exact top-k oracle)
+    * while distinct terms <= capacity; bounded-error otherwise. */
+  def heavyHitters(docs: DataFrame, capacity: Int, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.SpaceSavingAgg(capacity)
+    docs.select(toks.as("toks")).as[Seq[String]]
+      .select(agg.toColumn.name("top"))
+      // the typed select yields Dataset[SSTop], flattened to its one field
+      .select(posexplode(col("items")).as(Seq("pos", "item")))
+      .where(col("pos") < k)
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("item.term").as("term"),
+        col("item.estCf").as("est_cf"),
+        col("item.err").as("err"))
+  }
 }

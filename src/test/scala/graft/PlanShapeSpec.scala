@@ -107,6 +107,26 @@ class PlanShapeSpec extends SparkSpec {
       "islands window collapsed to a single partition")
   }
 
+  test("q88: heavy hitters never hash-exchange on the term — fixed-size partials only") {
+    val p = plan("q88_heavy_hitters")
+    // the Space-Saving point: no per-term shuffle. The only exchanges are
+    // the single-partition gather of capacity-sized summaries and the
+    // final ORDER BY's range partitioning.
+    assert(!p.contains("Exchange hashpartitioning"),
+      "heavy hitters degraded to a term-keyed exchange\n" + p.take(1200))
+    assert(p.contains("Exchange SinglePartition"), p.take(1200))
+  }
+
+  test("q89: quantize stage is map-only over a broadcast codebook") {
+    val p = plan("q89_int8_quant")
+    // per-dim stats may hash-exchange on `d` (dim-cardinality rows after
+    // map-side combine); the corpus itself must meet the codebook via
+    // broadcast, never a sort-merge join.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "codebook join degraded to SMJ")
+  }
+
   test("q16: boxcar has no nested-loop over the timeline×trials product") {
     val p = plan("q16_boxcar_design")
     // bucket expansion: Generate (explode) + hash agg; the only BNLJ-free

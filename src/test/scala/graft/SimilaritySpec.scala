@@ -230,4 +230,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === Seq(4L + 4L - 8L, -4L - 4L + 16L, 10L + 10L + 0L))
     assert(out(2L) === Seq(80L, -80L, 1L))
   }
+
+  test("int8Quantize: hand codebook, constant-dim guard, half-step error bound") {
+    // dim0 spans [0,1] → code = round(x*127); dim1 is constant → code 0
+    val d = emb(
+      0L -> Seq(0f, 5f),
+      1L -> Seq(1f, 5f),
+      2L -> Seq(0.5f, 5f),
+    )
+    val r = SimilarityOps.int8Quantize(d).orderBy("vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // codes: vec0 (0,0) sum 0; vec1 (127,0) sum 127; vec2 (round(63.5+0.5)=64, 0)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((0L, 0L), (1L, 127L), (2L, 64L)))
+    // max reconstruction error ≤ half a quantization step (1/127/2 ≈ 0.003937)
+    r.foreach(x => assert(x._3 <= 0.5 / 127 + 1e-9, s"vec ${x._1} err ${x._3}"))
+    assert(r(0)._3 === 0.0) // endpoints are representable exactly
+    assert(r(1)._3 === 0.0)
+  }
+
+  test("int8Quantize codebook is global: partitioning does not change codes") {
+    val vecs = (0 until 40).map(i =>
+      i.toLong -> Seq.tabulate(8)(j => ((i * 31 + j * 17) % 97 / 96.0f) - 0.5f))
+    val one = SimilarityOps.int8Quantize(emb(vecs: _*).repartition(1))
+      .orderBy("vec_id").collect().toSeq
+    val many = SimilarityOps.int8Quantize(emb(vecs: _*).repartition(7))
+      .orderBy("vec_id").collect().toSeq
+    assert(one === many)
+  }
 }

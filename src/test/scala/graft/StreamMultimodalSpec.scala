@@ -222,6 +222,30 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(math.abs(oov - math.rint(math.exp(30.0) * 1e6) / 1e6) < 1e-3)
   }
 
+  test("streaming heavy hitters: bounded sketch state across micro-batches equals batch q88") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-hh").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    // SAME body as the batch operator over readStream: the sketch is the
+    // streaming state — ONE capacity-counter summary in the state store
+    // regardless of stream length or vocabulary growth (complete mode).
+    // Exact regime (capacity > vocab) ⇒ the emitted top-k must equal
+    // batch q88 on the same files bit-for-bit.
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val streamed = StreamOps.runToMemory(s,
+        graft.text.RetrievalOps.heavyHitters(stream, capacity = 64, k = 20)
+          .writeStream, "hh_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val batch = graft.text.RetrievalOps.heavyHitters(docs, capacity = 64, k = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("streamingContamination: stateless ingest-time flags equal the batch operator") {
     val s = spark
     val dir = Files.createTempDirectory("graft-stream-decon").toString
