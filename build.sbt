@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's ONE-line JSON from the tail of stdout. With
+// the default LoggedOutput strategy sbt re-emits the forked JVM's stdout
+// through its logger as "[info] {...}", which defeats that parse (every
+// BENCH_r*.json through r08: parsed:null even when the line fit). Route
+// the forked process's stdout/stderr straight through instead.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

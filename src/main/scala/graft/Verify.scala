@@ -2,7 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Partial-failure-proofing (round 9): CORRECTNESS_r08 came back `{}`
+  * because this main wrote oracle_sql.json LAST after ~90 serial
+  * coalesce(1) writes — a slow or killed run left the driver nothing to
+  * check. Now: (a) oracle_sql.json is written FIRST, so any prefix of the
+  * dump is checkable; (b) queries run on a small thread pool (Spark's
+  * scheduler interleaves concurrent jobs fine in local mode) instead of
+  * serially; (c) each query carries a wall budget enforced via job-group
+  * cancellation, so one pathological plan cannot eat the driver's whole
+  * window; (d) the coalesce(1) single-threaded write is gone — DuckDB
+  * reads a multi-part parquet directory just as well via glob. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -19,13 +30,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.TopKPerKey.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +46,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Per-query wall budget (seconds). 120 s is ~100× any query's sf0.01
+    // steady-state time — this trips only on a hung plan, never on a slow
+    // box, and guarantees forward progress through the whole suite.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "120").toLong
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val t0 = System.nanoTime()
+    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val f = scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      (name, f)
+    }
+    futures.foreach { case (name, f) =>
+      // Budget is per-query but the deadline is shared: queries run 8-wide,
+      // so awaiting each in submission order still bounds total wall time.
+      try scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(budgetSec, "s"))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[verify] $name exceeded ${budgetSec}s budget; cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    System.err.println(f"[verify] dump completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    pool.shutdownNow()
     spark.stop()
   }
 }
