@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -186,6 +186,129 @@ object DedupOps {
         TextExprs.intersect_size(col("__shi"), col("__shc")))
       .filter(col("__common").cast("double") /
         (col("__ni") + col("__nc") - col("__common")) >= threshold)
+      .groupBy("inc_id").agg(min(col("corp_id")).as("near_dup_of"))
+    increment.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ex"), lit(false)).as("exact_dup"),
+        col("near_dup_of"),
+        (col("__ex").isNull && col("near_dup_of").isNull).as("keep"))
+  }
+
+  // ---- standing band index ------------------------------------------------
+
+  /** Per-doc distinct shingle-hash sets: (doc_id, sh: array<long>). */
+  private def shingleSets(docs: DataFrame, shingleK: Int): DataFrame = {
+    import graft.functions.TextExprs
+    docs
+      .select(col("doc_id"),
+        TextExprs.shingle_hash_set(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** LSH band relation of a shingle-set relation: (doc_id, band, bkey). */
+  private def bandRelation(withSh: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    import graft.functions.TextExprs
+    withSh
+      .select(col("doc_id"),
+        posexplode(TextExprs.lsh_band_keys(
+          TextExprs.min_hash_sig(col("sh"), numHashes), rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** Build the STANDING corpus index for incremental dedup — the one-time
+    * cost that [[incrementalDedup]]'s scaladoc promises and [[probeBandIndex]]
+    * cashes in: per-arrival batches then probe precomputed, co-located
+    * relations instead of re-shingling and re-banding the whole corpus on
+    * every call.
+    *
+    * Three bucketed tables under `name_*` at `location` (on a cluster this
+    * is a shared filesystem path; bucket layout IS the co-location):
+    *   - `name_bands`  (band, bkey, corp_id)  bucketed by (band, bkey):
+    *     the LSH candidate join needs zero Exchange on this side;
+    *   - `name_docs`   (corp_id, sh, n)       bucketed by corp_id:
+    *     the Jaccard-verify join needs zero Exchange on this side;
+    *   - `name_texts`  (thash, text)          bucketed by thash:
+    *     the exact-dup semi-join (on xxhash64 first, full text to close
+    *     collisions) needs zero Exchange on this side;
+    * plus `name_meta` pinning (shingle_k, num_hashes, rows_per_band) so a
+    * probe can never silently use different LSH parameters than the build.
+    *
+    * 100 TB: the build is one corpus pass (the same work ONE
+    * incrementalDedup call already did); every subsequent batch skips it.
+    * Incremental MAINTENANCE (appending admitted docs to the index) is a
+    * partition-append of the same three relations. */
+  def buildBandIndex(spark: SparkSession, corpus: DataFrame, name: String,
+      shingleK: Int, numHashes: Int, rowsPerBand: Int,
+      location: String, buckets: Int = 32): Unit = {
+    import spark.implicits._
+    val sh = shingleSets(corpus, shingleK)
+    bandRelation(sh, numHashes, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc_id").as("corp_id"))
+      .write.mode("overwrite").option("path", s"$location/bands")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(s"${name}_bands")
+    sh.select(col("doc_id").as("corp_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
+      .write.mode("overwrite").option("path", s"$location/docs")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_docs")
+    corpus.select(xxhash64(col("text")).as("thash"), col("text"))
+      .write.mode("overwrite").option("path", s"$location/texts")
+      .bucketBy(buckets, "thash").sortBy("thash")
+      .saveAsTable(s"${name}_texts")
+    Seq((shingleK, numHashes, rowsPerBand))
+      .toDF("shingle_k", "num_hashes", "rows_per_band")
+      .write.mode("overwrite").option("path", s"$location/meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Probe a standing [[buildBandIndex]] index with an arriving batch.
+    * Verdict rows are IDENTICAL to
+    * `incrementalDedup(corpus, increment, …)` — pinned by spec — but the
+    * corpus-side work is a scan of the prebuilt relations: nothing
+    * re-shingles, re-minhashes, or re-bands the corpus, and each of the
+    * three corpus-side joins is either broadcast-probed (batch-sized
+    * increment: the index side streams with NO exchange at all) or
+    * bucket-co-located (large increment: only the increment side shuffles,
+    * to the bucket count). Per-batch cost is O(increment) compute plus a
+    * columnar scan of index relations — flat as the corpus grows, where
+    * the re-banding path grows linearly in corpus CPU. */
+  def probeBandIndex(spark: SparkSession, increment: DataFrame, name: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.TextExprs
+    val meta = spark.table(s"${name}_meta").head()
+    val (shingleK, numHashes, rowsPerBand) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    // thash must stay the ONLY equi-key: a second `text = __ctext` equality
+    // would be extracted as a join key, and the (thash, text) key set no
+    // longer matches the table's thash bucketing (Spark requires all
+    // cluster keys to match for co-partitioning), forcing a full re-shuffle
+    // of the index. Mutual startsWith ⇔ string equality, but stays a
+    // post-match filter on the (tiny) thash-collision candidate set.
+    val exact = increment
+      .withColumn("__th", xxhash64(col("text")))
+      .join(spark.table(s"${name}_texts").withColumnRenamed("text", "__ctext"),
+        col("__th") === col("thash") &&
+          col("text").startsWith(col("__ctext")) &&
+          col("__ctext").startsWith(col("text")),
+        "left_semi")
+      .select(col("doc_id"), lit(true).as("__ex"))
+    val incSh = shingleSets(increment, shingleK)
+    val cands = bandRelation(incSh, numHashes, rowsPerBand)
+      .withColumnRenamed("doc_id", "inc_id")
+      .join(spark.table(s"${name}_bands"), Seq("band", "bkey"))
+      .select("inc_id", "corp_id").distinct()
+    val incKeyed = incSh.select(col("doc_id").as("inc_id"),
+      col("sh").as("__shi"), size(col("sh")).cast("long").as("__ni"))
+    val near = cands
+      .join(incKeyed, "inc_id")
+      .join(spark.table(s"${name}_docs"), "corp_id")
+      .withColumn("__common", TextExprs.intersect_size(col("__shi"), col("sh")))
+      .filter(col("__common").cast("double") /
+        (col("__ni") + col("n") - col("__common")) >= threshold)
       .groupBy("inc_id").agg(min(col("corp_id")).as("near_dup_of"))
     increment.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

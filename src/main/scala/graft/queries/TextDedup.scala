@@ -166,6 +166,28 @@ object TextDedup extends QueryModule {
        |LEFT JOIN near ON near.inc_id = i.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  // ---- q90: standing-index incremental dedup -----------------------------
+
+  /** Same admission verdicts as q83 — same corpus/increment split, same
+    * oracle SQL — but probed against the PREBUILT standing band index
+    * (DedupOps.buildBandIndex): the production per-arrival shape where the
+    * corpus is shingled/banded once and every batch pays only its own
+    * probe. The build runs once per session (Bench's warmup pass absorbs
+    * it), so the timed number IS the per-batch probe cost. */
+  def standingDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_dedup_idx_$tag"
+    if (!s.catalog.tableExists(s"${name}_meta"))
+      DedupOps.buildBandIndex(s, docs.filter(col("doc_id") % 10 >= 2), name,
+        shingleK = 3, numHashes = 16, rowsPerBand = 4,
+        location = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/$tag")
+    DedupOps
+      .probeBandIndex(s, docs.filter(col("doc_id") % 10 < 2), name,
+        threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
 
   /** maxDf = 64: the guarded inverted-index path is the DEFAULT — the
@@ -540,6 +562,7 @@ object TextDedup extends QueryModule {
     Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),

@@ -209,3 +209,58 @@ object ProbeIncremental {
     spark.stop()
   }
 }
+
+/** Scratch main: standing band index vs per-call re-banding, with the
+  * corpus DOUBLING between runs — the production claim under test is that
+  * probe cost stays ~flat as the corpus grows while the re-band path
+  * grows linearly (it re-shingles + re-minhashes every corpus doc per
+  * call). Also dumps the probe's executed plan (broadcast disabled) so
+  * the bucketed-scan shape is auditable. Numbers go to SCALE.md. */
+object ProbeStanding {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 120-token docs: the corpus-side shingle+minhash CPU the re-band path
+    // pays per call has to be big enough to measure against fixed overheads
+    def mkDocs(n: Long) = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 120).map(i =>
+          concat(lit("w"), (col("id") / 10 * 31 + i * 7) % 10000)) :+
+          concat(lit("v"), col("id") % 10): _*).as("text"))
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      q.count() // warm
+      val t0 = System.nanoTime()
+      var rows = 0L
+      var i = 0
+      while (i < 3) { rows = q.count(); i += 1 }
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 3e9}%.3f s/run  ($rows rows)")
+    }
+    for (corpusN <- Seq(500000L, 1000000L, 2000000L)) {
+      val docs = mkDocs(corpusN).cache(); docs.count()
+      val inc = docs.filter(col("doc_id") % 20 === 0).limit(1000).cache(); inc.count()
+      val corp = docs.filter(col("doc_id") % 20 =!= 0)
+      val name = s"probe_standing_$corpusN"
+      graft.dedup.DedupOps.buildBandIndex(spark, corp, name, 3, 16, 4,
+        s"/tmp/probe_standing/$corpusN")
+      time(f"re-band   probe (1k inc vs ${corpusN - corpusN/20}%d corpus)",
+        graft.dedup.DedupOps.incrementalDedup(corp, inc, 3, 16, 4, 0.5))
+      time(f"standing  probe (1k inc vs ${corpusN - corpusN/20}%d corpus)",
+        graft.dedup.DedupOps.probeBandIndex(spark, inc, name, 0.5))
+      docs.unpersist(); inc.unpersist()
+    }
+    if (sys.env.contains("PROBE_STANDING_PLAN")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = mkDocs(50000L)
+      val probe = graft.dedup.DedupOps.probeBandIndex(
+        spark, docs.filter(col("doc_id") % 20 === 0).limit(1000), "probe_standing_50000", 0.5)
+      probe.count()
+      println(probe.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -147,6 +147,60 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  test("standing band index: probe verdicts ≡ incrementalDedup, bit for bit") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val increment = docs.filter(col("doc_id") % 10 < 2)
+    val name = "graft_test_standing_idx"
+    Seq("bands", "docs", "texts", "meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    DedupOps.buildBandIndex(s, corpus, name, shingleK = 3, numHashes = 16,
+      rowsPerBand = 4, location = s"/tmp/graft_test_standing_idx", buckets = 4)
+    val probed = DedupOps.probeBandIndex(s, increment, name, threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val direct = DedupOps.incrementalDedup(corpus, increment, shingleK = 3,
+      numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(probed.nonEmpty)
+    assert(probed === direct)
+  }
+
+  test("standing band index: candidate probe leaves the index side exchange-free") {
+    val s = spark
+    // built by the equivalence test above (suite order within a file is
+    // declaration order); re-check to stay order-independent
+    val name = "graft_test_standing_idx"
+    if (!s.catalog.tableExists(s"${name}_meta")) cancel("index not built")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = s.read.parquet(s"$sf0001/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val probe = DedupOps.probeBandIndex(
+        s, docs.filter(col("doc_id") % 10 < 2), name, threshold = 0.5)
+      assert(probe.count() > 0)
+      val p = probe.queryExecution.executedPlan.toString
+      // with broadcast off, every corpus-side join must ride the bucket
+      // layout: no Exchange may sit between a standing-table scan and its
+      // join. Bucketed scans print "SelectedBucketsCount"; assert each of
+      // the three index relations was read bucket-aware...
+      assert("Bucketed: true".r.findAllIn(p).length >= 3,
+        "standing tables not read as bucketed scans:\n" + p.take(1500))
+      // ...and no shuffle writes an index-sized relation: every Exchange in
+      // the plan partitions increment-derived or post-join rows, never the
+      // raw standing tables (their scans would show in the exchange subtree)
+      val exchanges = probe.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        assert(!e.toString.contains("graft_test_standing_idx"),
+          "standing index relation got re-shuffled:\n" + e.toString.take(800))
+      }
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedupClusters: transitive chains collapse to one survivor; singletons keep") {
     val s = spark
     import s.implicits._
