@@ -215,6 +215,35 @@ object Retrieval extends QueryModule {
       |FROM cum
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- q91: SHARDED context packing --------------------------------------
+
+  /** q81's layout with the |langs| parallelism ceiling removed: every
+    * language splits into doc_id % 4 sub-streams with independent cumsums
+    * (pure row function — reproducible on any engine/partitioning); a pack
+    * is addressed by (lang, shard, pack_id). */
+  def contextPackSharded(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.contextPack(documents(s, d), budgetTokens = 512L,
+        numShards = 4)
+      .orderBy("lang", "shard", "doc_id")
+
+  private val contextPackShardedSql =
+    """WITH sized AS (
+      |  SELECT doc_id, lang, doc_id % 4 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents
+      |),
+      |cum AS (
+      |  SELECT doc_id, lang, shard, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+      |      - tokens AS BIGINT) AS start
+      |  FROM sized
+      |)
+      |SELECT doc_id, lang, shard, tokens,
+      |  start // 512 AS pack_id,
+      |  start % 512 AS pack_offset
+      |FROM cum
+      |ORDER BY lang, shard, doc_id""".stripMargin
+
   // ---- q88: heavy-hitter terms via bounded-memory Space-Saving -----------
 
   /** Capacity 64 > the corpus vocabulary at every SF, so the sketch runs in
@@ -245,6 +274,7 @@ object Retrieval extends QueryModule {
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
     Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
+    Q("q91_context_pack_sharded", contextPackSharded, Some(contextPackShardedSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

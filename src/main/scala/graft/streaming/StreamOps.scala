@@ -269,6 +269,36 @@ object StreamOps {
       }
   }
 
+  /** One packed document on a SHARDED pack stream: same layout as
+    * [[PackedDoc]] plus the shard the document was routed to; a pack is
+    * addressed by (lang, shard, pack_id). */
+  case class ShardPackedDoc(doc_id: Long, lang: String, shard: Long,
+      tokens: Long, pack_id: Long, pack_offset: Long)
+
+  /** Sharded streaming twin of `RetrievalOps.contextPack(_, _, numShards)`:
+    * the pack-stream key is (lang, doc_id % numShards), so state is one
+    * long per (lang, shard) and parallelism is |langs| × numShards — the
+    * |langs|-bounded ceiling of [[streamingContextPack]] removed. Shard
+    * routing is a pure row function, so the layout is identical however
+    * arrivals are partitioned; StreamMultimodalSpec pins stream ≡ batch
+    * at numShards > 1. */
+  def streamingContextPackSharded(docs: Dataset[PackDoc], budget: Long,
+      numShards: Int): Dataset[ShardPackedDoc] = {
+    require(numShards > 0, "streamingContextPackSharded: numShards must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(r => (r.lang, r.doc_id % numShards))
+      .flatMapGroupsWithState[Long, ShardPackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((_, shard), rows, state: GroupState[Long]) =>
+          val (next, out) =
+            foldPack(state.getOption.getOrElse(0L), rows.toSeq, budget)
+          state.update(next)
+          out.iterator.map(p => ShardPackedDoc(
+            p.doc_id, p.lang, shard, p.tokens, p.pack_id, p.pack_offset))
+      }
+  }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

@@ -237,21 +237,37 @@ object RetrievalOps {
     * no float anywhere, so the layout is bit-stable on any engine.
     *
     * Scale shape: one window cumsum per pack-stream partition. A single
-    * global stream would serialize; partitioning by (lang) here — and by
-    * (lang, shard) in production, exactly like the hash-split operator —
-    * keeps every partition's running sum independent and bounded. */
-  def contextPack(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    * global stream would serialize, and |langs| streams bound parallelism
+    * at |langs| — so `numShards > 1` splits every language into
+    * `doc_id % numShards` sub-streams (a pure function of the row, like
+    * the hash-split operator: layout reproducible on any engine, any
+    * partitioning), each with its own independent cumsum. Parallelism is
+    * then |langs| × numShards; a pack is addressed by (lang, shard,
+    * pack_id). numShards = 1 keeps the single-stream layout and schema
+    * (no shard column). */
+  def contextPack(docs: DataFrame, budgetTokens: Long,
+      numShards: Int = 1): DataFrame = {
     require(budgetTokens > 0, "contextPack: budget must be positive")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    require(numShards > 0, "contextPack: numShards must be positive")
+    val keyCols =
+      if (numShards == 1) Seq(col("doc_id"), col("lang"))
+      else Seq(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(numShards.toLong)).as("shard"))
+    val w = Window
+      .partitionBy((if (numShards == 1) Seq("lang") else Seq("lang", "shard"))
+        .map(col): _*)
+      .orderBy("doc_id")
     docs
-      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("tokens"))
+      .select(keyCols :+ size(toks).cast("long").as("tokens"): _*)
       .withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
       .select(
-        col("doc_id"), col("lang"), col("tokens"),
-        // `div` = integer division on longs: exact at any cumsum magnitude,
-        // where a double round-trip would wobble past 2^53 tokens
-        expr(s"start div $budgetTokens").as("pack_id"),
-        (col("start") % budgetTokens).as("pack_offset"))
+        (if (numShards == 1) Seq(col("doc_id"), col("lang"))
+         else Seq(col("doc_id"), col("lang"), col("shard"))) ++ Seq(
+          col("tokens"),
+          // `div` = integer division on longs: exact at any cumsum
+          // magnitude, where a double round-trip would wobble past 2^53
+          expr(s"start div $budgetTokens").as("pack_id"),
+          (col("start") % budgetTokens).as("pack_offset")): _*)
   }
 
   /** Top-k terms by corpus frequency through a bounded-memory Space-Saving

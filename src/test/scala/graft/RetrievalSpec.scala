@@ -145,4 +145,34 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("lang", "doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("sharded contextPack: shard streams are independent and partition-invariant") {
+    val base = docs((0L to 60L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), if (i % 2 == 0) "en" else "fr")): _*)
+    val shards = 3
+    def key(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val sharded = key(RetrievalOps.contextPack(base, 16L, numShards = shards)
+      .orderBy("lang", "shard", "doc_id").collect().toSeq)
+    assert(sharded.nonEmpty)
+    // per-shard independence: restricting the sharded layout to one shard
+    // equals running the UNSHARDED operator on just that shard's docs —
+    // each (lang, shard) cumsum never sees another shard's tokens
+    for (sh <- 0 until shards) {
+      val restricted = sharded.filter(_._3 == sh)
+        .map { case (id, lang, _, toks, pid, off) => (id, lang, toks, pid, off) }
+      val solo = RetrievalOps
+        .contextPack(base.filter(col("doc_id") % shards === sh), 16L)
+        .orderBy("lang", "doc_id").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(restricted === solo, s"shard $sh diverged")
+    }
+    // layout is a pure row function: any input partitioning, same bytes
+    val repart = key(RetrievalOps
+      .contextPack(base.repartition(11), 16L, numShards = shards)
+      .orderBy("lang", "shard", "doc_id").collect().toSeq)
+    assert(repart === sharded)
+  }
 }

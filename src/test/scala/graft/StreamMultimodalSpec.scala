@@ -125,6 +125,51 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.contains((3L, 1L, 1L)))
   }
 
+  test("streamingContextPackSharded: (lang, shard) state spans micro-batches, equals sharded batch") {
+    val s = spark
+    import s.implicits._
+    import StreamOps.PackDoc
+    val dir = Files.createTempDirectory("graft-packsh").toString
+    // doc_ids chosen so both en shards (mod 3) get a batch-2 continuation
+    // whose pack_id is only right if that shard's own cumsum carried over
+    val b1 = Seq(
+      PackDoc(0L, "en", 3L), PackDoc(3L, "en", 2L), PackDoc(1L, "en", 2L),
+      PackDoc(2L, "fr", 5L))
+    val b2 = Seq(
+      PackDoc(6L, "en", 4L), PackDoc(9L, "en", 3L), PackDoc(5L, "fr", 1L))
+    b1.toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val firstFiles = new java.io.File(dir).listFiles().map(_.toPath)
+    firstFiles.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+    b2.toDS().coalesce(1).write.mode("append").parquet(dir)
+    new java.io.File(dir).listFiles().map(_.toPath)
+      .filterNot(firstFiles.contains).foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000100000L)))
+    val stream = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[PackDoc]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[PackDoc]
+    val streamed = StreamOps.runToMemoryAppend(
+        s, StreamOps.streamingContextPackSharded(stream, budget = 4L,
+          numShards = 3).toDF.writeStream,
+        "packsh_test")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    val docsDf = (b1 ++ b2).map(p =>
+        (p.doc_id, Seq.fill(p.tokens.toInt)("w").mkString(" "), p.lang))
+      .toDF("doc_id", "text", "lang")
+    val batch = graft.text.RetrievalOps.contextPack(docsDf, 4L, numShards = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch)
+    // en shard 0 is docs 0, 3, 6, 9: doc 6 arrives in batch 2 with start
+    // 5 (= 3 + 2 tokens from batch 1) → pack 1 offset 1 — provable only
+    // with shard-0 state carried over; doc 9 start 9 → pack 2 offset 1
+    assert(streamed.contains((6L, 0L, 1L, 1L)))
+    assert(streamed.contains((9L, 0L, 2L, 1L)))
+  }
+
   test("streamingAssembly: split + stratified sample over a stream equal the batch twin") {
     val s = spark
     val dir = Files.createTempDirectory("graft-assembly").toString
