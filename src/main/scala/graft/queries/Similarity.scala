@@ -364,7 +364,7 @@ object Similarity extends QueryModule {
 
   // ---- q89: scalar int8 quantization of the embedding corpus ------------
   // The ANN serving-compression step: per-dimension (min,max) codebook,
-  // floor(+0.5) codes so both engines round identically, per-vector code
+  // floor(+0.5) codes over the full 0..255 uint8 range so both engines round identically, per-vector code
   // checksum + max reconstruction error. See SimilarityOps.int8Quantize
   // for the broadcast-codebook / map-only-quantize scale shape.
 
@@ -382,16 +382,82 @@ object Similarity extends QueryModule {
       |c AS (
       |  SELECT e.vec_id, e.x, mm.mn, mm.mx,
       |    CASE WHEN mm.mx = mm.mn THEN 0
-      |         ELSE CAST(floor((e.x - mm.mn) * 127.0 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
+      |         ELSE CAST(floor((e.x - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
       |    END AS code
       |  FROM e JOIN mm USING (d)
       |)
       |SELECT vec_id,
       |  CAST(sum(code) AS BIGINT) AS code_sum,
-      |  round(max(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 127.0))), 6)
+      |  round(max(abs(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))), 6)
       |    AS max_abs_err
       |FROM c GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
+
+  // ---- q92: asymmetric-distance ANN over the int8 codes ------------------
+  // The serving half q89's compression presupposes: full-precision queries
+  // probe their 2 nearest IVF cells (q74's coarse quantizer) and score
+  // candidates as cos(q, dequantize(codes)) — the corpus-side payload is
+  // codes only, dequantized on the fly from the broadcast codebook.
+
+  def int8Serve(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .int8ServeTopK(embeddings(s, d), col("vec_id") < 10, k = 3,
+        nCentroids = 16, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  private val int8ServeSql =
+    s"""WITH $duckCorpus,
+       |e AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM corpus
+       |),
+       |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM e GROUP BY d),
+       |cq AS (
+       |  SELECT e.vec_id, e.d,
+       |    mm.mn + CAST(CASE WHEN mm.mx = mm.mn THEN 0
+       |      ELSE CAST(floor((e.x - mm.mn) * 255.0 / (mm.mx - mm.mn) + 0.5) AS BIGINT)
+       |      END AS DOUBLE) * (mm.mx - mm.mn) / 255.0 AS dqx
+       |  FROM e JOIN mm USING (d)
+       |),
+       |dqv AS (
+       |  SELECT vec_id, list(dqx ORDER BY d) AS dq FROM cq GROUP BY vec_id
+       |),
+       |dqn AS (
+       |  SELECT vec_id, dq, sqrt(${duckDot("dq", "dq")}) AS dqnorm FROM dqv
+       |),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (
+       |  SELECT r.vec_id, q.dq, q.dqnorm, r.cent_id AS cell
+       |  FROM rankedc r JOIN dqn q ON q.vec_id = r.vec_id WHERE r.rn = 1
+       |),
+       |qprobe AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc
+       |  WHERE rn <= 2 AND vec_id < 10
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${duckDot("q.v", "c.dq")} / (q.norm * c.dqnorm) AS cosine
+       |  FROM qprobe q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -404,5 +470,6 @@ object Similarity extends QueryModule {
     Q("q77_cosine_clusters", cosineClusters, Some(cosineClustersSql)),
     Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
     Q("q89_int8_quant", int8Quant, Some(int8QuantSql)),
+    Q("q92_int8_serve", int8Serve, Some(int8ServeSql)),
   )
 }

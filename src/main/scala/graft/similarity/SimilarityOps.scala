@@ -373,8 +373,10 @@ object SimilarityOps {
   /** Scalar int8 quantization of the embedding column — the compression
     * step an ANN index applies before serving (a 64-dim float corpus is 4×
     * smaller as codes; asymmetric distance then dequantizes on the fly).
-    * Codebook: per-dimension global (min, max), code = round((x-min)·127/
-    * (max-min)) via floor(+0.5) so both engines round identically; a
+    * Codebook: per-dimension global (min, max), code = round((x-min)·255/
+    * (max-min)) via floor(+0.5) so both engines round identically — the
+    * full 256-level uint8 code space (codes 0..255, half-step error bound
+    * (max-min)/510, the Faiss-SQ8-style layout); a
     * constant dimension codes to 0. Emits per vector the code sum (an
     * integer checksum of the whole code matrix) and the max absolute
     * reconstruction error.
@@ -388,7 +390,21 @@ object SimilarityOps {
     * no corpus shuffle). All arithmetic is IEEE double with identical
     * fold order in both engines, so q89 hash-matches exactly.
     */
-  def int8Quantize(emb: DataFrame): DataFrame = {
+  def int8Quantize(emb: DataFrame): DataFrame =
+    quantized(emb)
+      .withColumn("errs", expr("zip_with(v, dq, (x, y) -> abs(x - y))"))
+      .select(
+        col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        round(expr("array_max(errs)"), 6).as("max_abs_err"))
+
+  /** The quantized corpus relation [[int8Quantize]] checksums and
+    * [[int8ServeTopK]] serves from: (vec_id, v, norm, codes, dq, dqnorm)
+    * — original vector, its 0..255 codes against the broadcast
+    * per-dimension (min, max) codebook, and the on-the-fly dequantized
+    * vector dq[i] = min[i] + code[i]·(max[i]−min[i])/255 with its norm.
+    * One 1-row codebook aggregate + a map-only projection. */
+  private def quantized(emb: DataFrame): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val dims = v
       .select(posexplode(col("v")).as(Seq("d", "x")))
@@ -400,13 +416,57 @@ object SimilarityOps {
     v.crossJoin(broadcast(codebook))
       .withColumn("codes", expr(
         """transform(v, (x, i) -> CASE WHEN maxs[i] = mins[i] THEN 0L
-          |ELSE CAST(floor((x - mins[i]) * 127.0D / (maxs[i] - mins[i]) + 0.5D) AS BIGINT)
+          |ELSE CAST(floor((x - mins[i]) * 255.0D / (maxs[i] - mins[i]) + 0.5D) AS BIGINT)
           |END)""".stripMargin))
-      .withColumn("errs", expr(
-        "transform(v, (x, i) -> abs(x - (mins[i] + CAST(codes[i] AS DOUBLE) * (maxs[i] - mins[i]) / 127.0D)))"))
-      .select(
-        col("vec_id"),
-        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
-        round(expr("array_max(errs)"), 6).as("max_abs_err"))
+      .withColumn("dq", expr(
+        "transform(codes, (c, i) -> mins[i] + CAST(c AS DOUBLE) * (maxs[i] - mins[i]) / 255.0D)"))
+      .withColumn("norm", sqrt(VectorExprs.dot_fold(col("v"), col("v"))))
+      .withColumn("dqnorm", sqrt(VectorExprs.dot_fold(col("dq"), col("dq"))))
+      .select("vec_id", "v", "norm", "codes", "dq", "dqnorm")
+  }
+
+  /** ASYMMETRIC-DISTANCE serving over the int8 codes — the query half of
+    * the compress-then-serve loop [[int8Quantize]] is the index half of
+    * (IVF+SQ style): queries stay full-precision floats, the corpus is
+    * represented ONLY by its codes, and each candidate is scored as
+    * cos(q, dequantize(codes)) reconstructed on the fly from the
+    * broadcast codebook. Composed with the [[ivfTopK]] coarse quantizer:
+    * corpus vectors are assigned to their nearest of `nCentroids` cells
+    * at INDEX time (original-vector assignment, the stored-index
+    * decision), each query probes its `nProbe` nearest cells.
+    *
+    * Scale shape: everything [[ivfTopKWith]] has — cell assignment and
+    * probe lists are projections against k×d literals, queries broadcast,
+    * rank is the TopKPerKey window — plus the serving payload per corpus
+    * row is the code array (4× smaller at rest; dequantization is a
+    * map-side higher-order transform, no extra pass or shuffle).
+    * Deterministic: identical IEEE fold order in both engines, scores
+    * rounded to 6 dp before ranking, ties to the lowest neighbor id. */
+  def int8ServeTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nCentroids: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val qz = quantized(emb)
+    val cents = qz
+      .orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = argmaxCell(qz, cents)
+      .select(col("vec_id"), col("dq"), col("dqnorm"), col("cell"))
+    val queries = qz
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"),
+        explode(probeCellsCol(cents, nProbe)).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        VectorExprs.dot_fold(col("qv"), col("dq")) / (col("qnorm") * col("dqnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -232,7 +232,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("int8Quantize: hand codebook, constant-dim guard, half-step error bound") {
-    // dim0 spans [0,1] → code = round(x*127); dim1 is constant → code 0
+    // dim0 spans [0,1] → code = round(x*255); dim1 is constant → code 0
     val d = emb(
       0L -> Seq(0f, 5f),
       1L -> Seq(1f, 5f),
@@ -240,12 +240,39 @@ class SimilaritySpec extends SparkSpec {
     )
     val r = SimilarityOps.int8Quantize(d).orderBy("vec_id").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
-    // codes: vec0 (0,0) sum 0; vec1 (127,0) sum 127; vec2 (round(63.5+0.5)=64, 0)
-    assert(r.map(x => (x._1, x._2)).toSeq === Seq((0L, 0L), (1L, 127L), (2L, 64L)))
-    // max reconstruction error ≤ half a quantization step (1/127/2 ≈ 0.003937)
-    r.foreach(x => assert(x._3 <= 0.5 / 127 + 1e-9, s"vec ${x._1} err ${x._3}"))
+    // codes: vec0 (0,0) sum 0; vec1 (255,0) sum 255; vec2 (round(127.5+0.5)=128, 0)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((0L, 0L), (1L, 255L), (2L, 128L)))
+    // max reconstruction error ≤ half a quantization step (1/255/2 ≈
+    // 0.0019608); +5e-7 because the emitted err is rounded to 6 dp
+    r.foreach(x => assert(x._3 <= 0.5 / 255 + 5e-7, s"vec ${x._1} err ${x._3}"))
     assert(r(0)._3 === 0.0) // endpoints are representable exactly
     assert(r(1)._3 === 0.0)
+  }
+
+  test("int8ServeTopK: asymmetric serving tracks exact cosine top-k (recall + score error)") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val k = 3
+    // nProbe = nCentroids: every cell probed, so the ONLY difference from
+    // exact brute force is the int8 reconstruction of the corpus side
+    val served = SimilarityOps
+      .int8ServeTopK(e, col("vec_id") < 20, k, nCentroids = 8, nProbe = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val exact = SimilarityOps.cosineTopK(e, col("vec_id") < 20, k)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val servedSet = served.map(_._1).toSet
+    val recall = exact.count(x => servedSet(x._1)).toDouble / exact.length
+    assert(recall >= 0.8, s"recall@$k vs exact = $recall")
+    // every agreeing pair's served score sits within the quantization
+    // error envelope of the exact cosine
+    val exactScore = exact.toMap
+    served.filter(x => exactScore.contains(x._1)).foreach { case (pair, sc) =>
+      assert(math.abs(sc - exactScore(pair)) < 0.02,
+        s"$pair served $sc vs exact ${exactScore(pair)}")
+    }
   }
 
   test("int8Quantize codebook is global: partitioning does not change codes") {
