@@ -94,10 +94,17 @@ object Flagship extends QueryModule {
     // action would re-run the events scan + per-TR aggregation.
     val conf0 = tl.select("t").join(confounds(s, d), Seq("t"), "left")
       .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
+      // the partition key every window below runs under: this pipeline is
+      // ONE subject's run by construction (SURVEY §7.5), so the key is a
+      // constant — but declaring it keeps the WindowExecs partitioned (no
+      // move-everything-to-one-partition plan shape), and a multi-subject
+      // caller binds the same windows to real run ids
+      .withColumn("run_id", lit(1L))
       .localCheckpoint()
     // tissue signals: 12-TR trailing mean (a smooth slow signal, like the
     // csf/wm averages), then z-scored like ssm_loop.py:72-74
-    val wRoll = Window.orderBy(col("t")).rowsBetween(-11, 0)
+    val wRoll = Window.partitionBy(col("run_id")).orderBy(col("t"))
+      .rowsBetween(-11, 0)
     val conf = conf0
       .withColumn("tissue_avg", avg(col("tissue_avg_raw")).over(wRoll))
       .withColumn("tissue_max", avg(col("tissue_max_raw")).over(wRoll))
@@ -112,10 +119,12 @@ object Flagship extends QueryModule {
       acc.withColumn(s"z_$c",
         when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
           .otherwise(lit(0.0)))
-    }.select(col("t") +: zCols.map(c => col(s"z_$c")): _*)
+    }.select(col("t") +: col("run_id") +: zCols.map(c => col(s"z_$c")): _*)
 
-    // 6 → 24 motion covariates: c, c², Δc, (Δc)² per z-scored base
-    val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"), "t")
+    // 6 → 24 motion covariates: c, c², Δc, (Δc)² per z-scored base,
+    // lag windows partitioned by the run key
+    val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"),
+      "t", partitionCols = Seq("run_id"))
 
     // spike one-hots: the 8 busiest TRs (count desc, t asc tie-break) —
     // the engine's analog of FD-flagged motion_outlier columns; the list is
@@ -127,7 +136,7 @@ object Flagship extends QueryModule {
       acc.withColumn(s"spike_${i + 1}", when(col("t") === tr, 1.0).otherwise(0.0))
     }
 
-    taskCols.join(withSpikes, "t")
+    taskCols.join(withSpikes.drop("run_id"), "t")
   }
 
   /** Full pipeline: returns (g, regressor, beta, sigma, t_stat, p, df). */

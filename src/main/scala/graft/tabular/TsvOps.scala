@@ -38,9 +38,19 @@ object TsvOps {
     * per input column c (z-scored externally or raw): c, c², Δc, (Δc)²,
     * with the leading Δ null filled with 0. Requires an explicit ordering
     * column `t` (SURVEY.md §7.5.1 — no implicit row order in Spark).
-    */
-  def motionCovariates(df: DataFrame, cols: Seq[String], tCol: String): DataFrame = {
-    val w = Window.orderBy(col(tCol))
+    *
+    * `partitionCols` names the unit of locality (subject/run — SURVEY
+    * §2.5): the lag windows partition by it, so every stream's expansion
+    * is independent and the plan never moves all data to one partition.
+    * Empty means the caller REALLY has one global stream (a lone design
+    * matrix); prefer passing the run key even when there is only one —
+    * same result (spec-pinned), no single-partition WindowExec. */
+  def motionCovariates(df: DataFrame, cols: Seq[String], tCol: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val w =
+      (if (partitionCols.isEmpty) Window.partitionBy()
+       else Window.partitionBy(partitionCols.map(col): _*))
+        .orderBy(col(tCol))
     val expanded = cols.foldLeft(df) { (acc, c) =>
       acc
         .withColumn(s"${c}_sq", col(c) * col(c))
@@ -55,15 +65,6 @@ object TsvOps {
   /** Partitioned variant: per-subject windows (the engine's generalization
     * of the reference's one-process-per-subject isolation, O2). */
   def motionCovariatesBySubject(df: DataFrame, cols: Seq[String],
-      subjectCol: String, tCol: String): DataFrame = {
-    val w = Window.partitionBy(col(subjectCol)).orderBy(col(tCol))
-    val expanded = cols.foldLeft(df) { (acc, c) =>
-      acc
-        .withColumn(s"${c}_sq", col(c) * col(c))
-        .withColumn(s"${c}_d", col(c) - lag(col(c), 1).over(w))
-        .withColumn(s"${c}_d_sq", (col(c) - lag(col(c), 1).over(w)) *
-          (col(c) - lag(col(c), 1).over(w)))
-    }
-    expanded.na.fill(0.0, cols.flatMap(c => Seq(s"${c}_d", s"${c}_d_sq")))
-  }
+      subjectCol: String, tCol: String): DataFrame =
+    motionCovariates(df, cols, tCol, Seq(subjectCol))
 }

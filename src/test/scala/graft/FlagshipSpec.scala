@@ -65,6 +65,17 @@ class FlagshipSpec extends SparkSpec {
       s"sigma: ${got("poly0").getAs[Double]("sigma")} vs $sigma")
   }
 
+  test("designFrame windows all carry the run partition key (no single-partition WindowExec)") {
+    val df = graft.queries.Flagship.designFrame(spark, sf0001)
+    assert(df.count() === 2016)
+    assert(!df.columns.contains("run_id"), "internal run key must not leak")
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty)
+    windows.foreach(l =>
+      assert(l.contains("run_id"), s"unpartitioned window: $l"))
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -41,6 +41,35 @@ class TabularCatalogSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("mx_d_sq")).toSeq === Seq(0.0, 4.0, 9.0))
   }
 
+  test("motionCovariates: multi-subject partitioned run equals per-subject application") {
+    val s = spark
+    import s.implicits._
+    val rows = for (sub <- Seq("a", "b", "c"); t <- 0L to 9L)
+      yield (sub, t, (sub.hashCode % 7) * 1.0 + t * t * 0.5)
+    val df = rows.toDF("subject", "t", "mx")
+    val together = TsvOps
+      .motionCovariates(df, Seq("mx"), "t", partitionCols = Seq("subject"))
+      .orderBy("subject", "t").collect().toSeq
+    val solo = Seq("a", "b", "c").flatMap { sub =>
+      TsvOps.motionCovariates(df.filter(col("subject") === sub), Seq("mx"), "t")
+        .orderBy("t").collect().toSeq
+    }
+    assert(together === solo)
+    // the lag windows must carry the partition key — no "move all data to
+    // a single partition" WindowExec anywhere in the plan
+    val plan = TsvOps
+      .motionCovariates(df, Seq("mx"), "t", partitionCols = Seq("subject"))
+      .queryExecution.executedPlan.toString
+    val windows = plan.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty)
+    windows.foreach(l =>
+      assert(l.contains("subject"), s"unpartitioned window: $l"))
+    // BySubject wrapper is the same operator
+    val wrapped = TsvOps.motionCovariatesBySubject(df, Seq("mx"), "subject", "t")
+      .orderBy("subject", "t").collect().toSeq
+    assert(wrapped === together)
+  }
+
   test("BidsCatalog extracts entities and answers BIDSLayout-style queries") {
     val s = spark
     import s.implicits._
