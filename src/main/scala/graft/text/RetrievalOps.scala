@@ -278,19 +278,17 @@ object RetrievalOps {
     * summaries: communication O(capacity × partitions), no term-keyed
     * exchange. Exact (err = 0, hash-matches the exact top-k oracle)
     * while distinct terms <= capacity; bounded-error otherwise. */
-  def heavyHitters(docs: DataFrame, capacity: Int, k: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val agg = new graft.functions.SpaceSavingAgg(capacity)
-    docs.select(toks.as("toks")).as[Seq[String]]
-      .select(agg.toColumn.name("top"))
-      // the typed select yields Dataset[SSTop], flattened to its one field
-      .select(posexplode(col("items")).as(Seq("pos", "item")))
+  def heavyHitters(docs: DataFrame, capacity: Int, k: Int): DataFrame =
+    docs
+      .agg(graft.functions.SpaceSaving
+        .space_saving_topk(toks, capacity).as("top"))
+      // native TypedImperativeAggregate (house form): token arrays are
+      // read in place from Tungsten — no Dataset-encoder decode per row
+      .select(posexplode(col("top")).as(Seq("pos", "item")))
       .where(col("pos") < k)
       .select(
         (col("pos") + 1).cast("long").as("rank"),
         col("item.term").as("term"),
-        col("item.estCf").as("est_cf"),
+        col("item.est_cf").as("est_cf"),
         col("item.err").as("err"))
-  }
 }

@@ -264,3 +264,51 @@ object ProbeStanding {
     spark.stop()
   }
 }
+
+/** Scratch main: Space-Saving sketch vs exact groupBy at URL-like
+  * cardinality (distinct keys ~ corpus size) — the regime the sketch
+  * exists for. Exact pays a term-keyed exchange carrying one row per
+  * DISTINCT key; the sketch's communication is O(capacity × partitions)
+  * regardless. Numbers go to SCALE.md. */
+object ProbeSpaceSaving {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 5M docs × 8 tokens: ~4M distinct "URLs" (id-salted), plus 50 hot
+    // keys following a steep skew — the top-20 is unambiguous
+    // hot key j in 0..49 drawn with P(j) ~ (2j+1) (sqrt skew): the exact
+    // top-20 is the well-separated head 30..49, rank gaps ~9.6k
+    val docs = spark.range(0, 5000000L).select(
+      expr("""transform(sequence(0, 7), i -> CASE
+        | WHEN (id + i) % 10 < 3 THEN concat('hot/', CAST(CAST(floor(sqrt(CAST((id * 8 + i) % 2500 AS DOUBLE))) AS LONG) AS STRING))
+        | ELSE concat('u/', CAST((id * 8 + i) % 4000000 AS STRING)) END)"""
+        .stripMargin).as("toks")).cache()
+    docs.count()
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      q.count() // warm
+      val t0 = System.nanoTime()
+      var rows = 0L
+      var i = 0
+      while (i < 3) { rows = q.count(); i += 1 }
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 3e9}%.3f s/run  ($rows rows)")
+    }
+    def exact = docs.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term").asc).limit(20)
+    def sketch = docs
+      .agg(graft.functions.SpaceSaving.space_saving_topk(col("toks"), 8192).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "item")))
+      .where(col("pos") < 20)
+    time("exact groupBy top-20 (~4M keys)", exact)
+    time("space_saving_topk cap=8192", sketch)
+    // agreement on the unambiguous head
+    val e = exact.collect().map(_.getString(0)).toSeq
+    val sk = sketch.select(col("item.term")).collect().map(_.getString(0)).toSeq
+    println(s"head overlap: ${e.toSet.intersect(sk.toSet).size}/20")
+    spark.stop()
+  }
+}

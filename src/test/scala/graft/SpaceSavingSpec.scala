@@ -72,6 +72,32 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("a single over-capacity document cannot escape the fixed-size buffer") {
+    // first reduce() into a ZERO buffer with > capacity distinct terms:
+    // the empty-side early return must still trim, or a partial summary
+    // exceeds `capacity` counters and breaks the O(capacity × partitions)
+    // communication bound
+    val agg = new SpaceSavingAgg(4)
+    val wide = agg.reduce(agg.zero, (0 until 10).map(i => s"t$i"))
+    assert(wide.terms.length <= 4, s"partial holds ${wide.terms.length} counters")
+    assert(wide.overflowed)
+  }
+
+  test("exactly-capacity distinct terms stay exact across disjoint merges") {
+    // a summary holding exactly `capacity` terms with NO eviction must
+    // merge with absent-key bound 0 (overflow is an explicit flag, not a
+    // size inference) — disjoint sides stay err 0 and exact
+    val agg = new SpaceSavingAgg(4)
+    val a = agg.reduce(agg.zero, Seq("a", "b", "a"))  // 2 distinct
+    val b = agg.reduce(agg.zero, Seq("c", "d", "c", "d"))  // 2 distinct
+    val m = agg.merge(a, b) // 4 = capacity distinct, no trim anywhere
+    assert(!m.overflowed)
+    val again = agg.merge(m, agg.reduce(agg.zero, Seq("a")))
+    // still no eviction (a is already present): counts exact, errs all 0
+    assert(agg.finish(again).items.map(i => (i.term, i.estCf, i.err)) ===
+      Seq(("a", 3L, 0L), ("c", 2L, 0L), ("d", 2L, 0L), ("b", 1L, 0L)))
+  }
+
   test("aggregator merge is order-insensitive in the exact regime") {
     val agg = new SpaceSavingAgg(16)
     val z = agg.zero
