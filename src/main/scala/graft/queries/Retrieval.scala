@@ -269,12 +269,24 @@ object Retrieval extends QueryModule {
       |FROM rk WHERE rank <= 20
       |ORDER BY rank""".stripMargin
 
+  // ---- q93: BPE merge induction ------------------------------------------
+  // The tokenizer-training loop (Sennrich 2016) the packing/mixing layer
+  // presupposes: 12 rounds of most-frequent-adjacent-pair merging from
+  // characters, deterministic tie-break, oracle = a generated CTE chain
+  // replaying every round (the q65 unrolled-iterations pattern).
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeOps.merges(documents(s, d), rounds = 12).orderBy("round")
+
+  private val bpeMergesSql = graft.text.BpeOps.mergesOracleSql(12)
+
   override def queries: Seq[Q] = Seq(
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
     Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
     Q("q91_context_pack_sharded", contextPackSharded, Some(contextPackShardedSql)),
+    Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

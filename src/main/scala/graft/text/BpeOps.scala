@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction — the tokenizer-training operator the packing /
+  * mixing layer presupposes (Sennrich et al., "Neural machine translation
+  * of rare words with subword units", ACL 2016): starting from characters,
+  * repeatedly merge the most frequent adjacent symbol pair, k rounds,
+  * deterministic tie-break (freq desc, then (left, right) lexicographic).
+  *
+  * Scale shape: ONE corpus pass builds the (word, count) relation — after
+  * that every round runs on the VOCABULARY (distinct words), which is ≪
+  * corpus for any word-level tokenizer (millions of types vs billions of
+  * tokens at 100 TB). Per round: a vocabulary-sized pair aggregation, a
+  * 1-row top-pair collect (model state, like the k×d kmeans barrier), and
+  * a map-only merge projection. The driver loop is bounded by `rounds`,
+  * exactly the q65 Lloyd-iteration pattern.
+  *
+  * Determinism / oracle replayability: a word is represented as its
+  * symbols each wrapped in a  sentinel (`␁s₁␁␁s₂␁…`), and a merge
+  * of (l, r) is ONE non-overlapping left-to-right string replace of
+  * `␁l␁␁r␁` with `␁lr␁` — the per-symbol wrapping means consecutive
+  * matches share no characters, so SQL `replace` (same greedy semantics
+  * in Spark and DuckDB) IS the BPE merge step: for a run "a a a a" the
+  * pair (a,a) merges to "aa aa", never the overlapped "aa a a". No
+  * floats anywhere; the oracle replays the rounds as a generated CTE
+  * chain and hash-matches.
+  */
+object BpeOps {
+
+  /** Symbol sentinel: must not occur in corpus tokens (control char). */
+  val SEP = "\u0001"
+
+  /** The learned merge table: (round, left_sym, right_sym, freq) for
+    * `rounds` rounds of top-pair merging over the whitespace-tokenized
+    * corpus. Stops early (fewer rows) if no adjacent pair remains. */
+  def merges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"BPE rounds must be >= 1, got $rounds")
+    val s = docs.sparkSession
+    import s.implicits._
+    // one corpus pass → vocabulary-sized (repr, cnt); checkpointed so the
+    // k merge projections chain off a materialized relation
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(SEP), concat_ws(SEP + SEP, split(col("w"), "")), lit(SEP))
+          .as("repr"),
+        col("cnt"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val symsSql = s"split(trim(BOTH '$SEP' FROM repr), '$SEP$SEP')"
+    val pairsSql =
+      s"""zip_with(
+         |  slice($symsSql, 1, size($symsSql) - 1),
+         |  slice($symsSql, 2, size($symsSql) - 1),
+         |  (a, b) -> struct(a AS l, b AS r))""".stripMargin
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val best = words
+        .select(explode(expr(pairsSql)).as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("f"))
+        .orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((round.toLong, l, r, f))
+        words = words.withColumn("repr",
+          F.replace(col("repr"),
+            lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP)))
+        // merge projections are cheap but chain: truncate lineage every
+        // few rounds so round k doesn't replay rounds 1..k-1
+        if (round % 4 == 0) words = words.localCheckpoint()
+        round += 1
+      }
+    }
+    out.toSeq.toDF("round", "left_sym", "right_sym", "freq")
+  }
+
+  /** The DuckDB replay of [[merges]] as a generated CTE chain (the q65
+    * pattern: one CTE trio per round), for oracle SQL construction. */
+  def mergesOracleSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT s.l AS l, s.r AS r, sum(s.cnt) AS f FROM (
+         |    SELECT cnt, syms[j + 1] AS l, syms[j + 2] AS r
+         |    FROM (SELECT cnt, string_split(trim(repr, chr(1)), chr(1)||chr(1)) AS syms FROM w${i - 1}),
+         |      unnest(CASE WHEN len(syms) >= 2 THEN range(len(syms) - 1) ELSE [] END) AS u(j)
+         |  ) s GROUP BY s.l, s.r
+         |),
+         |b$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(repr, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
+         |                 chr(1)||b.l||b.r||chr(1)) AS repr, cnt
+         |  FROM w${i - 1}, b$i b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym, CAST(f AS BIGINT) AS freq FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1)) || chr(1) AS repr,
+       |    count(*) AS cnt
+       |  FROM (SELECT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE len(t.w) > 0)
+       |  GROUP BY w
+       |),
+       |$roundCtes
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+}

@@ -146,6 +146,34 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("BPE merges: classic hand example, greedy runs, deterministic ties") {
+    // corpus: "aaab" ×3, "ab" ×2 — char pairs: (a,a) f=6 (two per "aaab",
+    // non-overlap counted per occurrence position BEFORE merging: pairs in
+    // a-a-a-b are (a,a),(a,a),(a,b)), (a,b) f=5
+    val corpus = docs(
+      (0L, "aaab aaab", "en"), (1L, "aaab ab", "en"), (2L, "ab", "en"))
+    val m = graft.text.BpeOps.merges(corpus, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) 6 → "aaab"→[aa,a,b] (greedy left-to-right on runs)
+    assert(m(0) === ((1L, "a", "a", 6L)))
+    // round 2 pairs: "aaab"→(aa,a),(a,b) ×3; "ab"→(a,b) ×2 → (a,b) f=5;
+    // merging turns "aaab" into [aa, ab] and "ab" into [ab]
+    assert(m(1) === ((2L, "a", "b", 5L)))
+    // round 3: only "aaab"=[aa, ab] still has a pair → (aa, ab) f=3
+    assert(m(2) === ((3L, "aa", "ab", 3L)))
+  }
+
+  test("BPE merges are partitioning-invariant") {
+    val corpus = docs((0L to 30L).map(i =>
+      (i, s"w${i % 5} common tail w${i % 3}", "en")): _*)
+    val a = graft.text.BpeOps.merges(corpus, rounds = 6)
+      .collect().toSeq.map(_.toString).sorted
+    val b = graft.text.BpeOps.merges(corpus.repartition(7), rounds = 6)
+      .collect().toSeq.map(_.toString).sorted
+    assert(a === b && a.nonEmpty)
+  }
+
   test("sharded contextPack: shard streams are independent and partition-invariant") {
     val base = docs((0L to 60L).map(i =>
       (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), if (i % 2 == 0) "en" else "fr")): _*)
