@@ -259,10 +259,39 @@ object DedupOps {
       .write.mode("overwrite").option("path", s"$location/texts")
       .bucketBy(buckets, "thash").sortBy("thash")
       .saveAsTable(s"${name}_texts")
-    Seq((shingleK, numHashes, rowsPerBand))
-      .toDF("shingle_k", "num_hashes", "rows_per_band")
+    Seq((shingleK, numHashes, rowsPerBand, buckets))
+      .toDF("shingle_k", "num_hashes", "rows_per_band", "buckets")
       .write.mode("overwrite").option("path", s"$location/meta")
       .saveAsTable(s"${name}_meta")
+  }
+
+  /** Incremental MAINTENANCE of a standing [[buildBandIndex]] index:
+    * append a batch of newly ADMITTED documents (the `keep = true` rows a
+    * [[probeBandIndex]] pass let through) to all three relations — each
+    * write is a bucket-aligned append of batch-sized data, so the corpus
+    * is never re-shingled and the index never rebuilt. After the append,
+    * probes see the union corpus exactly as if the index had been built
+    * from scratch (spec-pinned). */
+  def appendToBandIndex(spark: SparkSession, newDocs: DataFrame,
+      name: String): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (shingleK, numHashes, rowsPerBand, buckets) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    val sh = shingleSets(newDocs, shingleK)
+    bandRelation(sh, numHashes, rowsPerBand)
+      .select(col("band"), col("bkey"), col("doc_id").as("corp_id"))
+      .write.mode("append")
+      .bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .saveAsTable(s"${name}_bands")
+    sh.select(col("doc_id").as("corp_id"), col("sh"),
+        size(col("sh")).cast("long").as("n"))
+      .write.mode("append")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_docs")
+    newDocs.select(xxhash64(col("text")).as("thash"), col("text"))
+      .write.mode("append")
+      .bucketBy(buckets, "thash").sortBy("thash")
+      .saveAsTable(s"${name}_texts")
   }
 
   /** Probe a standing [[buildBandIndex]] index with an arriving batch.

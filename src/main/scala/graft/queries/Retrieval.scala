@@ -280,6 +280,17 @@ object Retrieval extends QueryModule {
 
   private val bpeMergesSql = graft.text.BpeOps.mergesOracleSql(12)
 
+  // ---- q94: BPE segmentation (the serving half of q93) --------------------
+  // Apply the learned 12-round merge table to every document as one
+  // map-only chained-replace projection; per-doc subword counts are the
+  // packing-budget statistic under the REAL tokenizer.
+
+  def bpeSegment(s: SparkSession, d: String): DataFrame =
+    graft.text.BpeOps.segmentCounts(documents(s, d), rounds = 12)
+      .orderBy("doc_id")
+
+  private val bpeSegmentSql = graft.text.BpeOps.segmentOracleSql(12)
+
   override def queries: Seq[Q] = Seq(
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
@@ -287,6 +298,7 @@ object Retrieval extends QueryModule {
     Q("q81_context_pack", contextPack, Some(contextPackSql)),
     Q("q91_context_pack_sharded", contextPackSharded, Some(contextPackShardedSql)),
     Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

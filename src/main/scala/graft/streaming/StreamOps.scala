@@ -92,10 +92,15 @@ object StreamOps {
     * batch operator joins — vocabulary-sized model state, like the eval
     * gram set above. */
   def unigramModel(corpus: DataFrame): Map[String, Long] = {
-    val tok = corpus.select(explode(split(col("text"), " ")).as("term"))
-    val total = tok.count().toDouble
-    tok.groupBy("term").agg(count(lit(1)).as("cf"))
+    // ONE corpus job: per-term counts and the grand total come out of the
+    // same aggregate (sum-over-window of the partial counts would shuffle
+    // twice; a driver-side sum over the vocabulary-sized collect is free)
+    val perTerm = corpus
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
       .collect()
+    val total = perTerm.iterator.map(_.getLong(1)).sum.toDouble
+    perTerm.iterator
       .map(r => r.getString(0) ->
         math.round(math.log(r.getLong(1) / total) * 1e9))
       .toMap

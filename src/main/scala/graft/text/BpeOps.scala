@@ -82,35 +82,97 @@ object BpeOps {
     out.toSeq.toDF("round", "left_sym", "right_sym", "freq")
   }
 
-  /** The DuckDB replay of [[merges]] as a generated CTE chain (the q65
-    * pattern: one CTE trio per round), for oracle SQL construction. */
-  def mergesOracleSql(rounds: Int): String = {
+  /** Segmentation under the learned tokenizer — the serving half of
+    * [[merges]] (the q89→q92 pattern): learn the k-round merge table,
+    * then apply it to every document as ONE map-only projection (the k
+    * replaces chain inside a single codegen'd expression over the
+    * sentinel-wrapped text; word boundaries are plain spaces, which no
+    * sentinel pattern can cross) and count the resulting subword tokens —
+    * the statistic packing budgets and training-cost estimates need under
+    * the REAL tokenizer rather than the whitespace proxy. Output:
+    * (doc_id, n_words, n_subwords). */
+  def segmentCounts(docs: DataFrame, rounds: Int): DataFrame = {
+    val ms = merges(docs, rounds).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wrapped: org.apache.spark.sql.Column = expr(
+      s"""array_join(transform(filter(split(text, ' '), w -> length(w) > 0),
+         | w -> concat('$SEP', array_join(split(w, ''), '$SEP$SEP'), '$SEP')), ' ')"""
+        .stripMargin)
+    val merged = ms.foldLeft(wrapped)((c, m) =>
+      F.replace(c, lit(SEP + m._1 + SEP + SEP + m._2 + SEP),
+        lit(SEP + m._1 + m._2 + SEP)))
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long").as("n_words"),
+      // every subword symbol carries exactly two sentinels
+      ((length(merged) - length(F.replace(merged, lit(SEP), lit("")))) / 2)
+        .cast("long").as("n_subwords"))
+  }
+
+  /** The shared k-round training CTE chain: w0 (wrapped word counts) and
+    * per-round (pair counts p_i, top pair b_i, merged words w_i). */
+  private def trainingCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT s.l AS l, s.r AS r, sum(s.cnt) AS f FROM (
          |    SELECT cnt, syms[j + 1] AS l, syms[j + 2] AS r
          |    FROM (SELECT cnt, string_split(trim(repr, chr(1)), chr(1)||chr(1)) AS syms FROM w${i - 1}),
          |      unnest(CASE WHEN len(syms) >= 2 THEN range(len(syms) - 1) ELSE [] END) AS u(j)
          |  ) s GROUP BY s.l, s.r
          |),
-         |b$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l ASC, r ASC LIMIT 1),
-         |w$i AS (
+         |b$i AS MATERIALIZED (SELECT l, r, f FROM p$i ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
          |  SELECT replace(repr, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
          |                 chr(1)||b.l||b.r||chr(1)) AS repr, cnt
          |  FROM w${i - 1}, b$i b
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym, CAST(f AS BIGINT) AS freq FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS MATERIALIZED (
        |  SELECT chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1)) || chr(1) AS repr,
        |    count(*) AS cnt
        |  FROM (SELECT t.w FROM documents, unnest(string_split(text, ' ')) AS t(w) WHERE len(t.w) > 0)
        |  GROUP BY w
        |),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** The DuckDB replay of [[merges]] as a generated CTE chain (the q65
+    * pattern: one CTE trio per round), for oracle SQL construction. */
+  def mergesOracleSql(rounds: Int): String = {
+    val union = (1 to rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS round, l AS left_sym, r AS right_sym, CAST(f AS BIGINT) AS freq FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${trainingCtes(rounds)}
        |$union
        |ORDER BY round""".stripMargin
+  }
+
+  /** The DuckDB replay of [[segmentCounts]]: train via [[trainingCtes]],
+    * then chain the k replaces over per-document wrapped text. */
+  def segmentOracleSql(rounds: Int): String = {
+    val applyCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT doc_id, n_words,
+         |    replace(repr, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
+         |            chr(1)||b.l||b.r||chr(1)) AS repr
+         |  FROM d${i - 1}, b$i b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainingCtes(rounds)},
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_words,
+       |    array_to_string(
+       |      list_transform(list_filter(string_split(text, ' '), t -> len(t) > 0),
+       |        t -> chr(1) || array_to_string(string_split(t, ''), chr(1)||chr(1)) || chr(1)),
+       |      ' ') AS repr
+       |  FROM documents
+       |),
+       |$applyCtes
+       |SELECT doc_id, n_words,
+       |  CAST((len(repr) - len(replace(repr, chr(1), ''))) // 2 AS BIGINT) AS n_subwords
+       |FROM d$rounds
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -164,6 +164,24 @@ class RetrievalSpec extends SparkSpec {
     assert(m(2) === ((3L, "aa", "ab", 3L)))
   }
 
+  test("BPE segmentation counts subwords under the learned merges") {
+    // same corpus as the merge test: after 3 rounds the table is
+    // [(a,a), (a,b), (aa,ab)] → "aaab" segments to [aaab]?? no:
+    // round1 aaab→[aa,a,b]; round2 (a,b): [aa,ab]; round3 (aa,ab): [aaab]
+    // → 1 subword; "ab" → [ab] → 1 subword
+    val corpus = docs(
+      (0L, "aaab aaab", "en"), (1L, "aaab ab", "en"), (2L, "ab", "en"))
+    val seg = graft.text.BpeOps.segmentCounts(corpus, rounds = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(seg.toSeq === Seq((0L, 2L, 2L), (1L, 2L, 2L), (2L, 1L, 1L)))
+    // with only (a,a) learned: "aaab" → [aa, a, b] = 3, "ab" → [a, b] = 2
+    val seg1 = graft.text.BpeOps.segmentCounts(corpus, rounds = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(seg1.toSeq === Seq((0L, 6L), (1L, 5L), (2L, 2L)))
+  }
+
   test("BPE merges are partitioning-invariant") {
     val corpus = docs((0L to 30L).map(i =>
       (i, s"w${i % 5} common tail w${i % 3}", "en")): _*)

@@ -167,6 +167,29 @@ class TextDedupSpec extends SparkSpec {
     assert(probed === direct)
   }
 
+  test("standing band index: appended batch probes exactly like a rebuilt index") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 10 >= 4)        // initial corpus
+    val b = docs.filter(col("doc_id") % 10 === 2 || col("doc_id") % 10 === 3)
+    val c = docs.filter(col("doc_id") % 10 < 2)          // probe batch
+    val name = "graft_test_append_idx"
+    Seq("bands", "docs", "texts", "meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    DedupOps.buildBandIndex(s, a, name, shingleK = 3, numHashes = 16,
+      rowsPerBand = 4, location = "/tmp/graft_test_append_idx", buckets = 4)
+    DedupOps.appendToBandIndex(s, b, name)
+    val probed = DedupOps.probeBandIndex(s, c, name, threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    // ground truth: the one-shot incremental judgment against A ∪ B
+    val direct = DedupOps.incrementalDedup(a.union(b), c, shingleK = 3,
+      numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(probed.nonEmpty)
+    assert(probed === direct)
+  }
+
   test("standing band index: candidate probe leaves the index side exchange-free") {
     val s = spark
     // built by the equivalence test above (suite order within a file is
