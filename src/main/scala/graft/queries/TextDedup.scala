@@ -188,6 +188,136 @@ object TextDedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- q95: end-to-end corpus assembly -----------------------------------
+
+  /** The FULL training-data pipeline as ONE query — what a user of the
+    * engine actually runs nightly: eval slice held out → exact dedup
+    * (min-id survivor per text) → near dedup (drop the higher id of every
+    * verified MinHash pair, q21's relation) → benchmark decontamination
+    * (drop any doc sharing a 5-gram with the eval slice, q68's flag) →
+    * quality gate (≥ 15 tokens) → deterministic 900/50/50 hash split
+    * (q57's salted slot) → fixed-budget context packing per (split, lang)
+    * stream. One manifest row per surviving document:
+    * (doc_id, lang, split, tokens, pack_id, pack_offset).
+    *
+    * Every stage is the already-checked operator; the composition itself
+    * is what this query locks (stage order, survivor semantics, and the
+    * pack layout over the FILTERED corpus — packing before filtering
+    * would leave holes in every window). */
+  def corpusAssembly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+    val base = docs.filter(col("doc_id") % 97 =!= 0)
+    val exactKeep = base.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val k1 = base.join(exactKeep, Seq("doc_id"), "left_semi")
+    val nearDropped = DedupOps
+      .minhashDupPairs(k1, shingleK = 3, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val k2 = k1.join(nearDropped, Seq("doc_id"), "left_anti")
+    val contaminated = DedupOps
+      .contaminationFlags(k2, evalDocs, shingleK = 5)
+      .select("doc_id")
+    val k3 = k2.join(contaminated, Seq("doc_id"), "left_anti")
+    val sized = k3
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("tokens") >= 15)
+    val splitDocs = Training.hashSplit(sized, "doc_id", "graft-v1",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    val w = Window.partitionBy("split", "lang").orderBy("doc_id")
+    splitDocs
+      .withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
+      .select(col("doc_id"), col("lang"), col("split"), col("tokens"),
+        expr("start div 512").as("pack_id"),
+        (col("start") % 512).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusAssemblySql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
+       |),
+       |exk AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
+       |k1 AS (SELECT b.doc_id, b.lang, b.text FROM base b JOIN exk USING (doc_id)),
+       |${duckSideCtes("m", "k1")},
+       |candm AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_m a JOIN bands_m b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |szm AS (SELECT doc_id, count(*) AS n FROM sh_m GROUP BY doc_id),
+       |comm AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM candm c
+       |  JOIN sh_m s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh_m s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |neard AS (
+       |  SELECT DISTINCT m.doc_b AS doc_id
+       |  FROM comm m
+       |  JOIN szm za ON za.doc_id = m.doc_a
+       |  JOIN szm zb ON zb.doc_id = m.doc_b
+       |  WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |),
+       |k2 AS (
+       |  SELECT k1.* FROM k1 LEFT JOIN neard n ON n.doc_id = k1.doc_id
+       |  WHERE n.doc_id IS NULL
+       |),
+       |toks5 AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM k2
+       |),
+       |sh5 AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 5)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks5, unnest(CASE WHEN len(th) >= 5 THEN range(len(th) - 4) ELSE [] END) AS r(i)
+       |),
+       |toksev AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents WHERE doc_id % 97 = 0
+       |),
+       |ev AS (
+       |  SELECT DISTINCT
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 5)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toksev, unnest(CASE WHEN len(th) >= 5 THEN range(len(th) - 4) ELSE [] END) AS r(i)
+       |),
+       |contam AS (SELECT DISTINCT s.doc_id FROM sh5 s JOIN ev USING (h)),
+       |k3 AS (
+       |  SELECT k2.* FROM k2 LEFT JOIN contam c ON c.doc_id = k2.doc_id
+       |  WHERE c.doc_id IS NULL
+       |),
+       |qf AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM k3 WHERE len(string_split(text, ' ')) >= 15
+       |),
+       |sl AS (
+       |  SELECT doc_id, lang, tokens,
+       |    CASE WHEN slot < 900 THEN 'train'
+       |         WHEN slot < 950 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT *,
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split('graft-v1:' || CAST(doc_id AS VARCHAR), ''),
+       |          c -> CAST(ord(c) AS BIGINT))),
+       |        (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761 % 1000 AS slot
+       |    FROM qf)
+       |),
+       |cum AS (
+       |  SELECT doc_id, lang, split, tokens,
+       |    CAST(sum(tokens) OVER (PARTITION BY split, lang ORDER BY doc_id)
+       |      - tokens AS BIGINT) AS start
+       |  FROM sl
+       |)
+       |SELECT doc_id, lang, split, tokens,
+       |  start // 512 AS pack_id, start % 512 AS pack_offset
+       |FROM cum
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
 
   /** maxDf = 64: the guarded inverted-index path is the DEFAULT — the
@@ -563,6 +693,7 @@ object TextDedup extends QueryModule {
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),
+    Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),

@@ -147,6 +147,30 @@ class TextDedupSpec extends SparkSpec {
     ))
   }
 
+  test("corpus assembly manifest: every pipeline gate actually gated") {
+    val s = spark
+    val out = graft.queries.TextDedup.corpusAssembly(s, sf0001).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0)).toSet
+    // eval slice held out
+    assert(ids.forall(_ % 97 != 0))
+    // quality gate
+    assert(out.forall(_.getLong(3) >= 15L))
+    // pack offsets live inside the budget; pack ids non-negative
+    assert(out.forall(r => r.getLong(5) >= 0 && r.getLong(5) < 512))
+    assert(out.forall(_.getLong(4) >= 0))
+    // survivors carry no duplicate texts (exact dedup really ran)
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+    import s.implicits._
+    val survivorTexts = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(survivorTexts === 0L)
+    // all three splits present with the hash-split proportions roughly held
+    val splits = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(splits.keySet === Set("train", "val", "test"))
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("standing band index: probe verdicts ≡ incrementalDedup, bit for bit") {
     val s = spark
     val docs = s.read.parquet(s"$sf0001/documents.parquet")
