@@ -202,10 +202,116 @@ object Training extends QueryModule {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---- q96: per-stratum TOKEN-budget sampling -----------------------------
+
+  /** Sample documents per language, in salted-hash order, until a TOKEN
+    * budget fills — the statistic that matters for training-set assembly
+    * is tokens, not document count (q86 takes exact-n DOCS; this takes
+    * exact-budget TOKENS). A doc is admitted iff its exclusive running
+    * token sum is still under budget (the packing discipline: it STARTS
+    * inside the budget; the boundary doc may straddle). Deterministic:
+    * the order key is the salted Knuth-mixed hash (+ doc_id tie-break), a
+    * pure row function — membership survives any partitioning, retry, or
+    * re-plan. One window per stratum; the 100 TB shape is the same
+    * per-stream cumsum as contextPack (shardable by the same (lang,
+    * shard) trick when |langs| bounds parallelism). */
+  def tokenBudgetSample(docs: DataFrame, salt: String,
+      budgetTokens: Long): DataFrame = {
+    val ord = Hashing.poly_hash(
+      concat_ws(":", lit(salt), col("doc_id").cast("string"))) * lit(2654435761L)
+    val w = Window.partitionBy("lang").orderBy(ord.asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum_before", sum(col("tokens")).over(w) - col("tokens"))
+      .filter(col("cum_before") < budgetTokens)
+      .select("doc_id", "lang", "tokens", "cum_before")
+  }
+
+  def tokenBudgetQuery(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSample(documents(s, d), "budget-v1", budgetTokens = 2000L)
+      .orderBy("lang", "doc_id")
+
+  private val tokenBudgetSql =
+    """WITH sized AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('budget-v1:' || CAST(doc_id AS VARCHAR), ''),
+      |        c -> CAST(ord(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761 AS ord
+      |  FROM documents
+      |),
+      |cum AS (
+      |  SELECT doc_id, lang, tokens,
+      |    CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY ord, doc_id)
+      |      - tokens AS BIGINT) AS cum_before
+      |  FROM sized
+      |)
+      |SELECT doc_id, lang, tokens, cum_before
+      |FROM cum WHERE cum_before < 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---- q97: weighted priority sampling (Efraimidis–Spirakis) --------------
+
+  /** Weighted sample WITHOUT replacement, k per stratum: each doc draws a
+    * deterministic pseudo-uniform u ∈ (0,1) from its salted hash and gets
+    * priority ln(u)/w (monotone in the classic u^(1/w) — larger is
+    * better), w = its token count; the top-k priorities per language are
+    * the sample (Efraimidis & Spirakis, IPL 2006). Long documents are
+    * proportionally likelier WITHOUT any global sort by weight, and
+    * membership is again a pure row function. The per-stratum top-k is
+    * the TopKPerKey bounded-heap window; priorities are rounded to 6 dp
+    * BEFORE ranking (engine-ulp discipline), ties to the lowest doc_id. */
+  def prioritySample(docs: DataFrame, salt: String, k: Int): DataFrame = {
+    val h = Hashing.poly_hash(
+      concat_ws(":", lit(salt), col("doc_id").cast("string")))
+    // u in (0,1]: (mixed hash mod P) + 1 over P + 1 — never 0, so ln is finite
+    val u = ((h * lit(2654435761L)) % lit(1000000007L) + lit(1L))
+      .cast("double") / lit(1000000008.0)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("priority", round(log(u) / col("tokens"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("tokens"), col("priority"))
+  }
+
+  def prioritySampleQuery(s: SparkSession, d: String): DataFrame =
+    prioritySample(documents(s, d), "prio-v1", k = 10)
+      .orderBy("lang", "rank")
+
+  private val prioritySampleSql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+      |    round(ln(CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split('prio-v1:' || CAST(doc_id AS VARCHAR), ''),
+      |          c -> CAST(ord(c) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) * 2654435761) % 1000000007 + 1
+      |      AS DOUBLE) / 1000000008.0)
+      |      / CAST(len(string_split(text, ' ')) AS BIGINT), 6) AS priority
+      |  FROM documents
+      |),
+      |ranked AS (
+      |  SELECT lang, doc_id, tokens, priority,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM scored
+      |)
+      |SELECT lang, rank, doc_id, tokens, priority
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY lang, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
     Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
     Q("q69_stratified_sample", stratifiedQuery, Some(stratifiedSql)),
     Q("q86_exact_sample", exactSampleQuery, Some(exactSampleSql)),
+    Q("q96_token_budget", tokenBudgetQuery, Some(tokenBudgetSql)),
+    Q("q97_priority_sample", prioritySampleQuery, Some(prioritySampleSql)),
   )
 }

