@@ -216,11 +216,16 @@ object TextDedup extends QueryModule {
       .minhashDupPairs(k1, shingleK = 3, numHashes = 16, rowsPerBand = 4,
         threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
-    val k2 = k1.join(nearDropped, Seq("doc_id"), "left_anti")
+    // drop lists are id sets, orders of magnitude under the corpus (the
+    // near-dup fraction and the contamination fraction): broadcast them
+    // — Catalyst can't size post-aggregation relations and would SMJ,
+    // shuffling the full corpus per gate. (At an extreme dup rate the
+    // fallback is the plain anti-join over a doc_id-bucketed corpus.)
+    val k2 = k1.join(broadcast(nearDropped), Seq("doc_id"), "left_anti")
     val contaminated = DedupOps
       .contaminationFlags(k2, evalDocs, shingleK = 5)
       .select("doc_id")
-    val k3 = k2.join(contaminated, Seq("doc_id"), "left_anti")
+    val k3 = k2.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     val sized = k3
       .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
       .filter(col("tokens") >= 15)

@@ -91,9 +91,18 @@ object BpeOps {
     * the statistic packing budgets and training-cost estimates need under
     * the REAL tokenizer rather than the whitespace proxy. Output:
     * (doc_id, n_words, n_subwords). */
-  def segmentCounts(docs: DataFrame, rounds: Int): DataFrame = {
-    val ms = merges(docs, rounds).orderBy("round").collect()
-      .map(r => (r.getString(1), r.getString(2)))
+  def segmentCounts(docs: DataFrame, rounds: Int): DataFrame =
+    segmentCountsWith(docs,
+      merges(docs, rounds).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Segmentation under a FROZEN merge table — the projection shared by
+    * the batch operator (which learns the table first) and the streaming
+    * twin (which scores arrivals against a trained tokenizer, the same
+    * frozen-model serve shape as streamingQualityScore). Pure map-only:
+    * no state, no shuffle. */
+  def segmentCountsWith(docs: DataFrame,
+      ms: Seq[(String, String)]): DataFrame = {
     val wrapped: org.apache.spark.sql.Column = expr(
       s"""array_join(transform(filter(split(text, ' '), w -> length(w) > 0),
          | w -> concat('$SEP', array_join(split(w, ''), '$SEP$SEP'), '$SEP')), ' ')"""

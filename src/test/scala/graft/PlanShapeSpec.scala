@@ -177,6 +177,24 @@ class PlanShapeSpec extends SparkSpec {
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q95 corpus assembly: dedup/contam gates are broadcast-probed, packing windows partitioned") {
+    val s = spark
+    val df = graft.queries.TextDedup.corpusAssembly(s, sf0001)
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString
+    // the id-set gates (near-dup drops, contamination flags) are tiny
+    // relative to the corpus: they must probe as broadcast joins, never
+    // shuffle the corpus side for an anti-join
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).size >= 2,
+      "anti-join gates not broadcast:\n" +
+        p.split("\n").filter(_.contains("Anti")).mkString("\n"))
+    // the pack window carries its (split, lang) partition key
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty)
+    windows.foreach(l => assert(l.contains("split") && l.contains("lang"),
+      s"unpartitioned pack window: $l"))
+  }
+
   test("bucketed co-located join plans with zero shuffle exchanges") {
     val s = spark
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")

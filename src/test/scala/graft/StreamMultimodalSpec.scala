@@ -291,6 +291,28 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming BPE segmentation: frozen merges over a stream equal the batch twin") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-stream-bpe").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    // train once on the batch corpus; serve the FROZEN table over arrivals
+    val ms = graft.text.BpeOps.merges(docs, rounds = 8)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(ms.nonEmpty)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val streamed = StreamOps.runToMemoryAppend(
+      s, graft.text.BpeOps.segmentCountsWith(stream, ms).writeStream,
+      "bpeseg_test")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.text.BpeOps.segmentCountsWith(docs, ms)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streamingContamination: stateless ingest-time flags equal the batch operator") {
     val s = spark
     val dir = Files.createTempDirectory("graft-stream-decon").toString
