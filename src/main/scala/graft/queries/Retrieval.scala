@@ -191,6 +191,61 @@ object Retrieval extends QueryModule {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q98: bigram stupid-backoff held-out scoring -----------------------
+  // Model = even doc_ids; held-out = odd. Seen bigrams score
+  // ln(bf/cf(w1)); unseen back off to ln(0.4) + add-one unigram. Scoring
+  // a DISJOINT slice is what exercises the backoff branch.
+
+  def bigramBackoff(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.bigramBackoffScore(documents(s, d), col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+
+  private val bigramBackoffSql =
+    """WITH mtok AS (
+      |  SELECT t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |  WHERE doc_id % 2 = 0
+      |),
+      |cf AS (SELECT term, count(*) AS cf FROM mtok GROUP BY term),
+      |st AS (SELECT count(*) AS t_total, count(DISTINCT term) AS v_size FROM mtok),
+      |mth AS (
+      |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 2 = 0
+      |),
+      |mp AS (
+      |  SELECT th[j + 1] AS w1, th[j + 2] AS w2
+      |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+      |),
+      |bf AS (SELECT w1, w2, count(*) AS bf FROM mp GROUP BY w1, w2),
+      |hth AS (
+      |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 2 <> 0
+      |),
+      |hp AS (
+      |  SELECT doc_id, th[j + 1] AS w1, th[j + 2] AS w2
+      |  FROM hth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+      |),
+      |sc AS (
+      |  SELECT hp.doc_id,
+      |    CASE WHEN bf.bf IS NOT NULL
+      |      THEN CAST(round(ln(CAST(bf.bf AS DOUBLE) / CAST(c1.cf AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |      ELSE CAST(round(ln(0.4) * 1e9, 0) AS BIGINT)
+      |         + CAST(round(ln((CAST(COALESCE(c2.cf, 0) AS DOUBLE) + 1.0)
+      |             / CAST(st.t_total + st.v_size AS DOUBLE)) * 1e9, 0) AS BIGINT)
+      |    END AS lnp_fp
+      |  FROM hp
+      |  LEFT JOIN bf ON bf.w1 = hp.w1 AND bf.w2 = hp.w2
+      |  LEFT JOIN cf c1 ON c1.term = hp.w1
+      |  LEFT JOIN cf c2 ON c2.term = hp.w2
+      |  CROSS JOIN st
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(lnp_fp) AS BIGINT) AS s_fp
+      |  FROM sc GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_pairs,
+      |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_pairs), 6) AS ppl
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q81: fixed-budget context packing ---------------------------------
 
   def contextPack(s: SparkSession, d: String): DataFrame =
@@ -299,6 +354,7 @@ object Retrieval extends QueryModule {
     Q("q91_context_pack_sharded", contextPackSharded, Some(contextPackShardedSql)),
     Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
+    Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

@@ -228,6 +228,61 @@ object RetrievalOps {
           .as("ppl"))
   }
 
+  /** Bigram "stupid backoff" LM scoring of HELD-OUT documents (Brants et
+    * al., "Large language models in machine translation", EMNLP 2007 —
+    * the web-scale scoring recipe: no discounting to estimate, just a
+    * fixed backoff penalty): the model slice contributes unigram counts
+    * cf(w), bigram counts bf(w1,w2), and (T, V); each held-out adjacent
+    * pair scores ln(bf/cf(w1)) when the bigram was seen, else
+    * ln(0.4) + ln((cf(w2)+1)/(T+V)) (backoff to the add-one unigram).
+    * Each pair's ln is quantized to int64 ×1e9 BEFORE the per-doc sum
+    * (the q82 discipline — exact, order-free), then ppl =
+    * exp(−mean ln p), rounded 6 dp.
+    *
+    * Scale shape: pairs are the per-doc zip (no self-join); the bigram
+    * model is model-sized and joins by (w1, w2) key — the ONE honest
+    * shuffle (a web-scale bigram table cannot broadcast); unigram counts
+    * and (T, V) are vocabulary-sized/1-row broadcasts. Scoring held-out
+    * docs against a DISJOINT model slice is what makes the backoff
+    * branch live — a model scored on its own corpus never backs off. */
+  def bigramBackoffScore(docs: DataFrame, modelPred: Column): DataFrame = {
+    val model = docs.filter(modelPred)
+    val held = docs.filter(!modelPred)
+    val mtok = model.select(explode(toks).as("w"))
+    val cf = mtok.groupBy("w").agg(count(lit(1)).as("cf"))
+    val stats = mtok.agg(count(lit(1)).as("t_total"),
+      countDistinct(col("w")).as("v_size"))
+    def pairsOf(d: DataFrame) = d
+      .select(col("doc_id"), explode(expr(
+        """zip_with(
+          |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bf = pairsOf(model).groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
+    pairsOf(held)
+      .join(bf, Seq("w1", "w2"), "left")
+      .join(broadcast(cf.select(col("w").as("w1"), col("cf").as("cf1"))),
+        Seq("w1"), "left")
+      .join(broadcast(cf.select(col("w").as("w2"), col("cf").as("cf2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("lnp_fp",
+        when(col("bf").isNotNull,
+          round(log(col("bf").cast("double") / col("cf1").cast("double")) * 1e9, 0)
+            .cast("long"))
+        .otherwise(
+          round(log(lit(0.4)) * 1e9, 0).cast("long") +
+          round(log((coalesce(col("cf2"), lit(0L)).cast("double") + 1.0) /
+            (col("t_total") + col("v_size")).cast("double")) * 1e9, 0)
+            .cast("long")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lnp_fp")).as("s_fp"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(exp(-(col("s_fp").cast("double") / 1e9) / col("n_pairs")), 6)
+          .as("ppl"))
+  }
+
   /** Fixed-token-budget CONTEXT PACKING: stream documents in doc_id order
     * within each pack key (language here), assign each document the pack
     * whose window its first token falls in — pack_id = ⌊excl-cumsum /

@@ -146,6 +146,25 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bigram backoff: seen pairs use bf/cf, unseen back off with the 0.4 penalty") {
+    // model (doc 0): "a b a b a" → cf: a=3, b=2; T=5, V=2;
+    // bf: (a,b)=2, (b,a)=2
+    // held (doc 1): "a b c" → pairs (a,b) seen: ln(2/3);
+    //   (b,c) unseen: ln(0.4) + ln((cf(c)+1)/(T+V)) = ln(0.4) + ln(1/7)
+    val corpus = docs((0L, "a b a b a", "en"), (1L, "a b c", "en"))
+    val out = RetrievalOps.bigramBackoffScore(corpus, col("doc_id") % 2 === 0)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    val fp1 = math.round(math.log(2.0 / 3.0) * 1e9)
+    val fp2 = math.round(math.log(0.4) * 1e9) +
+      math.round(math.log(1.0 / 7.0) * 1e9)
+    val want = BigDecimal(math.exp(-((fp1 + fp2) / 1e9) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - want) < 1e-9, s"got ${r.getDouble(2)} want $want")
+  }
+
   test("BPE merges: classic hand example, greedy runs, deterministic ties") {
     // corpus: "aaab" ×3, "ab" ×2 — char pairs: (a,a) f=6 (two per "aaab",
     // non-overlap counted per occurrence position BEFORE merging: pairs in
