@@ -459,6 +459,56 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q99: embedding-space incremental admission -------------------------
+  // The vector-modality twin of q83: arrivals (vec_id < 100) judged
+  // against the standing corpus through its IVF cells (nProbe=2), flagged
+  // near-dup at cosine >= 0.35, keep = no standing match.
+
+  def embeddingAdmission(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .embeddingAdmission(embeddings(s, d), col("vec_id") < 100,
+        nCentroids = 16, nProbe = 2, threshold = 0.35)
+      .orderBy("vec_id")
+
+  private val embeddingAdmissionSql =
+    s"""WITH $duckCorpus,
+       |corp AS (SELECT * FROM normed WHERE vec_id >= 100),
+       |inc AS (SELECT * FROM normed WHERE vec_id < 100),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM corp ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM corp n CROSS JOIN cent c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1
+       |),
+       |scoredq AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM inc n CROSS JOIN cent c
+       |),
+       |qprobe AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |    FROM scoredq) WHERE rn <= 2
+       |),
+       |near AS (
+       |  SELECT q.vec_id, min(c.vec_id) AS near_dup_of
+       |  FROM qprobe q JOIN assigned c ON c.cell = q.cell
+       |  WHERE ${duckDot("q.v", "c.v")} / (q.norm * c.norm) >= 0.35
+       |  GROUP BY q.vec_id
+       |)
+       |SELECT i.vec_id, near.near_dup_of,
+       |  (near.near_dup_of IS NULL) AS keep
+       |FROM inc i LEFT JOIN near ON near.vec_id = i.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
@@ -471,5 +521,6 @@ object Similarity extends QueryModule {
     Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
     Q("q89_int8_quant", int8Quant, Some(int8QuantSql)),
     Q("q92_int8_serve", int8Serve, Some(int8ServeSql)),
+    Q("q99_embedding_admission", embeddingAdmission, Some(embeddingAdmissionSql)),
   )
 }

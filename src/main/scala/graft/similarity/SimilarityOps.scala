@@ -425,6 +425,49 @@ object SimilarityOps {
       .select("vec_id", "v", "norm", "codes", "dq", "dqnorm")
   }
 
+  /** Embedding-space INCREMENTAL ADMISSION — q83's production ingest shape
+    * for the vector modality: each ARRIVING vector is judged against the
+    * STANDING corpus only (never corpus×corpus, never increment×corpus
+    * brute force). Corpus vectors are assigned to their nearest of
+    * `nCentroids` coarse cells once (the standing IVF index); each
+    * arrival probes its `nProbe` nearest cells and is flagged a near-dup
+    * of the LOWEST corpus vec_id with cosine ≥ `threshold` (full
+    * precision — admission uses exact scores, not the int8 serving
+    * reconstruction). One verdict row per arrival: (vec_id, near_dup_of
+    * nullable, keep).
+    *
+    * Scale shape: assignment and probe lists are k×d-literal projections
+    * (zero exchange); the arrival batch broadcasts; candidate scoring
+    * touches probed cells only. The standing side persists exactly like
+    * the text band index (bucket by cell at ingest). */
+  def embeddingAdmission(emb: DataFrame, incPred: Column, nCentroids: Int,
+      nProbe: Int, threshold: Double): DataFrame = {
+    val all = prepared(emb)
+    val corpus = all.filter(!incPred)
+    val inc = all.filter(incPred)
+    val cents = corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = argmaxCell(corpus, cents)
+      .select(col("vec_id").as("corp_id"), col("v").as("cv"),
+        col("norm").as("cnorm"), col("cell"))
+    val probes = inc
+      .select(col("vec_id").as("inc_id"), col("v").as("qv"),
+        col("norm").as("qnorm"),
+        explode(probeCellsCol(cents, nProbe)).as("cell"))
+    val near = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("cosine",
+        VectorExprs.dot_fold(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cosine") >= threshold)
+      .groupBy("inc_id").agg(min(col("corp_id")).as("near_dup_of"))
+    inc.select(col("vec_id"))
+      .join(near.withColumnRenamed("inc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("near_dup_of"),
+        col("near_dup_of").isNull.as("keep"))
+  }
+
   /** ASYMMETRIC-DISTANCE serving over the int8 codes — the query half of
     * the compress-then-serve loop [[int8Quantize]] is the index half of
     * (IVF+SQ style): queries stay full-precision floats, the corpus is

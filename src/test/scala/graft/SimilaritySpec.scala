@@ -249,6 +249,36 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1)._3 === 0.0)
   }
 
+  test("embeddingAdmission: full probe equals brute-force threshold admission") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val pred = col("vec_id") < 20
+    // nProbe = nCentroids: every cell probed → verdicts must equal the
+    // exhaustive check of every arrival against every standing vector
+    val got = SimilarityOps
+      .embeddingAdmission(e, pred, nCentroids = 8, nProbe = 8, threshold = 0.35)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2)))
+    val v = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val corpusIds = v.keys.filter(_ >= 20).toSeq.sorted
+    val want = v.keys.filter(_ < 20).toSeq.sorted.map { id =>
+      val hits = corpusIds.filter(c => cos(v(id), v(c)) >= 0.35)
+      (id, if (hits.isEmpty) -1L else hits.min, hits.isEmpty)
+    }
+    assert(got.toSeq === want)
+    // both verdicts represented at this threshold, else the test is vacuous
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("int8ServeTopK: asymmetric serving tracks exact cosine top-k (recall + score error)") {
     val s = spark
     val e = s.read.parquet(s"$sf0001/embeddings.parquet")
