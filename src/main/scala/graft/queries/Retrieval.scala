@@ -13,6 +13,52 @@ import graft.text.RetrievalOps
   */
 object Retrieval extends QueryModule {
 
+  // ---- q100: KMV distinct-count sketch ------------------------------------
+  // Per-language distinct-token cardinality two ways: the exact
+  // count(DISTINCT) (one row per distinct key through the exchange) and
+  // the bottom-k KMV estimate (O(k) state, O(k × partitions)
+  // communication). KMV over a SET is deterministic — the k smallest
+  // distinct hashes don't depend on partitioning or order — so the
+  // oracle replays the estimate EXACTLY, not just its error bound.
+  // k=64 < per-lang vocab here, so the estimate regime is exercised.
+
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Hashing, KmvDistinct}
+    documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), Hashing.poly_hash(col("term")).as("h"))
+      .groupBy("lang")
+      .agg(
+        KmvDistinct.kmv_distinct(col("h"), 64, graft.text.TextOps.P)
+          .as("est_distinct"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("lang")
+  }
+
+  private val kmvDistinctSql =
+    s"""WITH tok AS (
+       |  SELECT lang,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(t.term, ''), c -> CAST(ord(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |),
+       |dh AS (SELECT DISTINCT lang, h FROM tok),
+       |rk AS (
+       |  SELECT lang, h,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS nd
+       |  FROM dh
+       |)
+       |SELECT lang,
+       |  CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+       |       ELSE 63 * 1000000007 // (max(CASE WHEN r = 64 THEN h END) + 1)
+       |       END AS BIGINT) AS est_distinct,
+       |  CAST(max(nd) AS BIGINT) AS n_distinct
+       |FROM rk
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   // ---- q80: vocabulary dictionary (df / cf / smoothed idf) ---------------
 
   def vocabStats(s: SparkSession, d: String): DataFrame =
@@ -355,6 +401,7 @@ object Retrieval extends QueryModule {
     Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
+    Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

@@ -7,7 +7,11 @@ class ContractSpec extends SparkSpec {
   test("query names are unique and q-numbered") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.size === names.distinct.size)
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    // the bench compact line keys on the pre-underscore prefix — it must
+    // stay unique as the suite crosses 100
+    val prefixes = names.map(_.takeWhile(_ != '_'))
+    assert(prefixes.size === prefixes.distinct.size)
     assert(names.size >= 54)
   }
 

@@ -146,6 +146,26 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("KMV distinct sketch: exact under k, partition-invariant, ~1/sqrt(k) accurate over") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.KmvDistinct.kmv_distinct
+    val P = graft.text.TextOps.P
+    // exact regime: fewer distinct values than k → the sketch IS the count
+    val small = Seq.tabulate(40)(i => (i % 10) * 7919L % P).toDF("h")
+    val exact = small.agg(kmv_distinct(col("h"), 64, P)).head().getLong(0)
+    assert(exact === 10L)
+    // estimate regime: 20k distinct pseudo-uniform hashes, k=256
+    def big(parts: Int) = s.range(0, 20000L)
+      .select((col("id") * 2654435761L % P).as("h")).repartition(parts)
+    val est1 = big(1).agg(kmv_distinct(col("h"), 256, P)).head().getLong(0)
+    val est13 = big(13).agg(kmv_distinct(col("h"), 256, P)).head().getLong(0)
+    // set semantics: bit-identical under any partitioning, both regimes
+    assert(est1 === est13)
+    // ~1/sqrt(256) ≈ 6% expected relative error; allow 20%
+    assert(math.abs(est1 - 20000.0) / 20000.0 < 0.2, s"estimate $est1")
+  }
+
   test("bigram backoff: seen pairs use bf/cf, unseen back off with the 0.4 penalty") {
     // model (doc 0): "a b a b a" → cf: a=3, b=2; T=5, V=2;
     // bf: (a,b)=2, (b,a)=2
