@@ -59,6 +59,55 @@ object Retrieval extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---- q101: unigram distribution drift (corpus QA) ------------------------
+  // Reference slice = doc_id % 3 == 0; current = the rest. Per-language
+  // KL(current ‖ reference) over the union vocab with add-one smoothing,
+  // each term's contribution int64-quantized pre-sum.
+
+  def unigramDrift(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.unigramDrift(documents(s, d), col("doc_id") % 3 === 0)
+      .orderBy("lang")
+
+  private val unigramDriftSql =
+    """WITH tok AS (
+      |  SELECT lang, t.term, (doc_id % 3 = 0) AS is_ref
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+      |),
+      |cfr AS (
+      |  SELECT lang, term, count(*) AS cf_ref FROM tok WHERE is_ref GROUP BY lang, term
+      |),
+      |cfc AS (
+      |  SELECT lang, term, count(*) AS cf_cur FROM tok WHERE NOT is_ref GROUP BY lang, term
+      |),
+      |j AS (
+      |  SELECT COALESCE(cfr.lang, cfc.lang) AS lang,
+      |    COALESCE(cfr.term, cfc.term) AS term,
+      |    COALESCE(cf_ref, 0) AS cf_ref, COALESCE(cf_cur, 0) AS cf_cur
+      |  FROM cfr FULL OUTER JOIN cfc ON cfr.lang = cfc.lang AND cfr.term = cfc.term
+      |),
+      |tot AS (
+      |  SELECT lang, sum(cf_ref) AS t_ref, sum(cf_cur) AS t_cur,
+      |    count(*) AS v_union
+      |  FROM j GROUP BY lang
+      |),
+      |terms AS (
+      |  SELECT j.lang,
+      |    CAST(round(
+      |      ((CAST(cf_cur AS DOUBLE) + 1.0) / CAST(t_cur + v_union AS DOUBLE))
+      |      * ln(((CAST(cf_cur AS DOUBLE) + 1.0) / CAST(t_cur + v_union AS DOUBLE))
+      |         / ((CAST(cf_ref AS DOUBLE) + 1.0) / CAST(t_ref + v_union AS DOUBLE)))
+      |      * 1e12, 0) AS BIGINT) AS term_fp,
+      |    t_ref, t_cur, v_union
+      |  FROM j JOIN tot ON tot.lang = j.lang
+      |)
+      |SELECT lang, CAST(max(t_ref) AS BIGINT) AS t_ref,
+      |  CAST(max(t_cur) AS BIGINT) AS t_cur,
+      |  CAST(max(v_union) AS BIGINT) AS v_union,
+      |  round(CAST(sum(term_fp) AS DOUBLE) / 1e12, 6) AS kl
+      |FROM terms
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ---- q80: vocabulary dictionary (df / cf / smoothed idf) ---------------
 
   def vocabStats(s: SparkSession, d: String): DataFrame =
@@ -402,6 +451,7 @@ object Retrieval extends QueryModule {
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

@@ -228,6 +228,53 @@ object RetrievalOps {
           .as("ppl"))
   }
 
+  /** Unigram-distribution DRIFT between a reference slice and a current
+    * slice, per language: KL(q‖p) over the union vocabulary with add-one
+    * smoothing — p from the reference counts, q from the current counts,
+    * both smoothed as (cf+1)/(T+V) so unseen-on-either-side terms stay
+    * finite. The corpus-QA statistic a pipeline watches to catch a source
+    * changing under it (new crawl snapshot, encoding regression, topic
+    * shift) before the model does.
+    *
+    * Determinism: each union-vocab term's contribution
+    * q(w)·ln(q(w)/p(w)) is computed in IEEE double identically on both
+    * engines and quantized to int64 ×1e12 BEFORE the per-language sum
+    * (the q82 discipline), so the aggregate is exact and order-free.
+    *
+    * Scale shape: two vocabulary-sized count aggregations, one FULL
+    * OUTER join on (lang, term) — vocabulary-sized, the only exchange —
+    * and language-sized totals broadcast back. Nothing corpus-sized
+    * moves after the token counts. */
+  def unigramDrift(docs: DataFrame, refPred: Column): DataFrame = {
+    val tok = docs.select(col("lang"), explode(toks).as("term"),
+      refPred.as("is_ref"))
+    val refCf = tok.filter(col("is_ref"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cf_ref"))
+    val curCf = tok.filter(!col("is_ref"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cf_cur"))
+    val joined = refCf.join(curCf, Seq("lang", "term"), "full_outer")
+      .select(col("lang"), col("term"),
+        coalesce(col("cf_ref"), lit(0L)).as("cf_ref"),
+        coalesce(col("cf_cur"), lit(0L)).as("cf_cur"))
+    val totals = joined.groupBy("lang").agg(
+      sum(col("cf_ref")).as("t_ref"), sum(col("cf_cur")).as("t_cur"),
+      count(lit(1)).as("v_union"))
+    joined
+      .join(broadcast(totals), "lang")
+      .withColumn("p", (col("cf_ref").cast("double") + 1.0) /
+        (col("t_ref") + col("v_union")).cast("double"))
+      .withColumn("q", (col("cf_cur").cast("double") + 1.0) /
+        (col("t_cur") + col("v_union")).cast("double"))
+      .withColumn("term_fp",
+        round(col("q") * log(col("q") / col("p")) * 1e12, 0).cast("long"))
+      .groupBy("lang")
+      .agg(max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"),
+        max(col("v_union")).as("v_union"),
+        sum(col("term_fp")).as("s_fp"))
+      .select(col("lang"), col("t_ref"), col("t_cur"), col("v_union"),
+        round(col("s_fp").cast("double") / 1e12, 6).as("kl"))
+  }
+
   /** Bigram "stupid backoff" LM scoring of HELD-OUT documents (Brants et
     * al., "Large language models in machine translation", EMNLP 2007 —
     * the web-scale scoring recipe: no discounting to estimate, just a

@@ -146,6 +146,29 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("unigram drift: zero on identical slices, positive on shift, scala mirror agrees") {
+    // identical distributions → KL = 0 exactly (p = q term-wise)
+    val same = docs(
+      (0L, "a a b", "en"), (1L, "a a b", "en"),
+      (3L, "a a b", "en"), (4L, "a a b", "en"))
+    val kl0 = RetrievalOps.unigramDrift(same, col("doc_id") % 3 === 0)
+      .head().getDouble(4)
+    assert(kl0 === 0.0)
+    // shifted: reference heavy on a, current heavy on b → positive KL,
+    // checked against a direct scala computation of the same formula
+    val shifted = docs((0L, "a a a b", "en"), (1L, "b b b a", "en"))
+    val r = RetrievalOps.unigramDrift(shifted, col("doc_id") % 3 === 0).head()
+    assert(r.getLong(1) === 4L && r.getLong(2) === 4L && r.getLong(3) === 2L)
+    def pq(cf: Long, t: Long, v: Long) = (cf + 1.0) / (t + v)
+    val want = Seq((3L, 1L), (1L, 3L)).map { case (cfr, cfc) =>
+      val (p, q) = (pq(cfr, 4, 2), pq(cfc, 4, 2))
+      math.round(q * math.log(q / p) * 1e12)
+    }.sum / 1e12
+    val expect = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - expect) < 1e-9)
+    assert(r.getDouble(4) > 0.0)
+  }
+
   test("KMV distinct sketch: exact under k, partition-invariant, ~1/sqrt(k) accurate over") {
     val s = spark
     import s.implicits._
