@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   * job, no key-keyed exchange (the Space-Saving argument, for
   * cardinality instead of frequency).
   *
+  * The estimator assumes the hash is ~uniform over [0, p). Feed it a
+  * hash that natively lives in [0, p) (the radix-31 polyHash) or a
+  * ≥63-bit hash reduced mod p (bias ~p/2⁶³, negligible) — reducing a
+  * 32-bit hash mod p ≈ 2³¹/2.15 is visibly non-uniform and skews the
+  * estimate by tens of percent (ProbeSpaceSaving demonstrates both).
+  *
   * DETERMINISM — the property the frequency sketch can't have: the k
   * smallest distinct values of a SET are partition- and order-free, so
   * the sketch (and its estimate) is bit-identical under ANY partitioning

@@ -305,6 +305,17 @@ object ProbeSpaceSaving {
       .where(col("pos") < 20)
     time("exact groupBy top-20 (~4M keys)", exact)
     time("space_saving_topk cap=8192", sketch)
+    def exactDistinct = docs.select(explode(col("toks")).as("term"))
+      .agg(countDistinct("term"))
+    def kmv = docs.select(explode(col("toks")).as("term"))
+      // 63-bit source: modulo bias is ~P/2^63, negligible — a 32-bit
+      // hash mod P would be visibly non-uniform (2^31 ≈ 2.15·P) and skew
+      // the estimator by tens of percent
+      .select(((xxhash64(col("term")).bitwiseAND(Long.MaxValue)) % 1000000007L).as("h"))
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("h"), 1024, 1000000007L))
+    time("exact countDistinct (~4M keys)", exactDistinct)
+    time("kmv_distinct k=1024", kmv)
+    println(s"exact=${exactDistinct.head.getLong(0)} kmv=${kmv.head.getLong(0)}")
     // agreement on the unambiguous head
     val e = exact.collect().map(_.getString(0)).toSeq
     val sk = sketch.select(col("item.term")).collect().map(_.getString(0)).toSeq

@@ -313,6 +313,29 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming KMV distinct: bounded sketch state across micro-batches equals batch q100") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-kmv").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    import graft.functions.KmvDistinct.kmv_distinct
+    import graft.functions.Hashing
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .select(col("lang"), Hashing.poly_hash(col("term")).as("h"))
+      .groupBy("lang")
+      .agg(kmv_distinct(col("h"), 64, graft.text.TextOps.P).as("est"))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // complete-mode aggregate: the sketch IS the streaming state — one
+    // k-longs buffer per language forever, set-semantics deterministic
+    val streamed = StreamOps.runToMemory(s, est(stream).writeStream, "kmv_test")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = est(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("streamingContamination: stateless ingest-time flags equal the batch operator") {
     val s = spark
     val dir = Files.createTempDirectory("graft-stream-decon").toString
