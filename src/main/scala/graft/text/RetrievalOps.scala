@@ -351,25 +351,22 @@ object RetrievalOps {
       numShards: Int = 1): DataFrame = {
     require(budgetTokens > 0, "contextPack: budget must be positive")
     require(numShards > 0, "contextPack: numShards must be positive")
-    val keyCols =
-      if (numShards == 1) Seq(col("doc_id"), col("lang"))
-      else Seq(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(numShards.toLong)).as("shard"))
-    val w = Window
-      .partitionBy((if (numShards == 1) Seq("lang") else Seq("lang", "shard"))
-        .map(col): _*)
-      .orderBy("doc_id")
+    val sharded = numShards > 1
+    val keyCols = Seq(col("doc_id"), col("lang")) ++
+      (if (sharded) Seq(pmod(col("doc_id"), lit(numShards.toLong)).as("shard"))
+       else Nil)
+    val streamKeys = if (sharded) Seq("lang", "shard") else Seq("lang")
+    val outKeys = Seq("doc_id", "lang") ++ (if (sharded) Seq("shard") else Nil)
+    val w = Window.partitionBy(streamKeys.map(col): _*).orderBy("doc_id")
     docs
       .select(keyCols :+ size(toks).cast("long").as("tokens"): _*)
       .withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
-      .select(
-        (if (numShards == 1) Seq(col("doc_id"), col("lang"))
-         else Seq(col("doc_id"), col("lang"), col("shard"))) ++ Seq(
-          col("tokens"),
-          // `div` = integer division on longs: exact at any cumsum
-          // magnitude, where a double round-trip would wobble past 2^53
-          expr(s"start div $budgetTokens").as("pack_id"),
-          (col("start") % budgetTokens).as("pack_offset")): _*)
+      .select(outKeys.map(col) ++ Seq(
+        col("tokens"),
+        // `div` = integer division on longs: exact at any cumsum
+        // magnitude, where a double round-trip would wobble past 2^53
+        expr(s"start div $budgetTokens").as("pack_id"),
+        (col("start") % budgetTokens).as("pack_offset")): _*)
   }
 
   /** Top-k terms by corpus frequency through a bounded-memory Space-Saving
