@@ -194,6 +194,91 @@ object Retrieval extends QueryModule {
       |LIMIT 20""".stripMargin
   }
 
+  // ---- q102: hybrid retrieval via reciprocal-rank fusion -------------------
+  // Queries = docs 0..9 (their text for BM25, their embedding for cosine);
+  // each list is top-10, fused as rrf = Σ 1/(60 + rank), final top-5.
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = RetrievalOps.bm25PerQuery(documents(s, d),
+      col("doc_id") < 10, bmK1, bmB, k = 10)
+    val sem = graft.similarity.SimilarityOps.cosineTopK(
+      embeddings(s, d), col("vec_id") < 10, k = 10)
+    RetrievalOps.hybridTopK(lex, sem, rrfK = 60, kOut = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val hybridRrfSql = {
+    val duckDot =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len(%1$s)), i -> %1$s[i+1] * %2$s[i+1])), (acc, x) -> acc + x)"
+    s"""WITH sized AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |),
+       |tf AS (
+       |  SELECT doc_id, dl, t.term, count(*) AS tf
+       |  FROM sized, unnest(tk) AS t(term)
+       |  GROUP BY doc_id, dl, t.term
+       |),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM sized),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, t.term
+       |  FROM sized, unnest(tk) AS t(term) WHERE doc_id < 10
+       |),
+       |contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * ($bmK1 + 1.0))
+       |      / (tf.tf + $bmK1 * (1.0 - $bmB + $bmB * tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+       |      * 1e9, 0) AS BIGINT) AS c_fp
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term) CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.query_id
+       |),
+       |lexs AS (
+       |  SELECT query_id, doc_id,
+       |    round(CAST(sum(c_fp) AS DOUBLE) / 1e9, 6) AS score
+       |  FROM contrib GROUP BY query_id, doc_id
+       |),
+       |lexr AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS r_lex
+       |  FROM lexs
+       |),
+       |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, v, sqrt(${duckDot.format("v", "v")}) AS norm FROM corpus
+       |),
+       |sems AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ${duckDot.format("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |),
+       |semr AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS r_sem
+       |  FROM sems
+       |),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    round(COALESCE(1.0 / (60 + l.r_lex), 0.0)
+       |        + COALESCE(1.0 / (60 + s.r_sem), 0.0), 6) AS rrf
+       |  FROM (SELECT * FROM lexr WHERE r_lex <= 10) l
+       |  FULL OUTER JOIN (SELECT * FROM semr WHERE r_sem <= 10) s
+       |    ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, doc_id, rrf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM fused
+       |)
+       |SELECT query_id, rank, doc_id, rrf
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q87: temperature-scaled language mixing weights -------------------
 
   /** Multilingual sampling-temperature weights (mT5/XLM-R recipe) at
@@ -452,6 +537,7 @@ object Retrieval extends QueryModule {
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),
+    Q("q102_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Q("q82_unigram_ppl", unigramPpl, Some(unigramPplSql)),
     Q("q85_pmi_bigrams", pmiCollocations, Some(pmiCollocationsSql)),
     Q("q87_mix_weights", mixWeights, Some(mixWeightsSql)),

@@ -127,6 +127,77 @@ object RetrievalOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** BM25 for a BATCH of query documents — [[bm25TopK]]'s literal-terms
+    * form generalized to the inverted-index shape a retrieval pipeline
+    * needs when the queries are themselves rows: per-corpus-doc (term,
+    * tf) counts join the (query_id, distinct term) relation, so only
+    * postings matching some query term survive the (broadcast) join.
+    * Same scoring expression as q79, with each (query, doc, term)
+    * contribution quantized int64 ×1e9 BEFORE the per-(query, doc) sum —
+    * relational summation has no fixed fold order, so the house exact-
+    * aggregate rule applies where q79's single-row fold didn't need it.
+    * Self-hits are excluded; ranks are (score desc, doc_id asc). */
+  def bm25PerQuery(docs: DataFrame, queryPred: Column, k1: Double,
+      b: Double, k: Int): DataFrame = {
+    val sized = docs.select(col("doc_id"), toks.as("tk"),
+      size(toks).cast("long").as("dl"))
+    val tf = sized
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = sized.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = docs.filter(queryPred)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks)).as("term"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c_fp", round(contrib * 1e9, 0).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c_fp")).cast("double") / 1e9, 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+  }
+
+  /** HYBRID retrieval by reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): fuse the lexical [[bm25PerQuery]] list and the semantic
+    * cosine top-k list for the same query documents as
+    * rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) — the rank-only combiner
+    * every hybrid-search pipeline runs because it needs no score
+    * calibration between BM25 and cosine space. Deterministic: both
+    * input rankings are round-before-rank deterministic, the fused
+    * score is a fixed two-term expression rounded to 6 dp, ties to the
+    * lowest doc id. Scale shape: both lists are (queries × k)-sized —
+    * the fusion join is trivially broadcastable regardless of corpus. */
+  def hybridTopK(lex: DataFrame, sem: DataFrame, rrfK: Int,
+      kOut: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("r_lex"))
+    val s = sem.select(col("query_id"), col("neighbor_id").as("doc_id"),
+      col("rank").as("r_sem"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    l.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kOut)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf"))
+  }
+
   /** Temperature-scaled MIXING WEIGHTS per stratum (the mT5/XLM-R
     * multilingual sampling recipe): p_l = tokens_l/Σtokens, mix_l ∝
     * p_l^α, and boost = mix_l/p_l — the factor each language's sampler

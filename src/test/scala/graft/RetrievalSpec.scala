@@ -146,6 +146,49 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bm25PerQuery agrees with the single-query literal-terms path") {
+    val s = spark
+    import s.implicits._
+    // corpus plus one synthetic query doc whose text IS the term set —
+    // the batch path's scores for that query must equal bm25TopK's run
+    // over the same corpus WITH the query doc present (both formulations
+    // see identical tf/df/avgdl; per-term quantization ≤ 1e-9 per term)
+    val base = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val qdoc = Seq((100000L, "join customer filter")).toDF("doc_id", "text")
+    val corpus = base.union(qdoc)
+    val batch = RetrievalOps
+      .bm25PerQuery(corpus, col("doc_id") === 100000L, 1.2, 0.75, k = 20)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val single = RetrievalOps
+      .bm25TopK(corpus, Seq("join", "customer", "filter"), 1.2, 0.75, topN = 21)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._1 != 100000L).take(20).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, sc) =>
+      assert(math.abs(sc - single(id)) <= 1e-5, s"doc $id: $sc vs ${single(id)}")
+    }
+  }
+
+  test("hybridTopK: RRF arithmetic and one-list-only docs") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val sem = Seq((1L, 1L, 20L), (1L, 2L, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val out = RetrievalOps.hybridTopK(lex, sem, rrfK = 60, kOut = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def rrf(rs: Seq[Long]) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 20 is in both lists (lex rank 2 + sem rank 1) and wins
+    assert(out.toSeq === Seq(
+      (1L, 20L, rrf(Seq(2L, 1L))),
+      (2L, 10L, rrf(Seq(1L))),
+      (3L, 30L, rrf(Seq(2L)))))
+  }
+
   test("unigram drift: zero on identical slices, positive on shift, scala mirror agrees") {
     // identical distributions → KL = 0 exactly (p = q term-wise)
     val same = docs(
