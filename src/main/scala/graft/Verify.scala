@@ -63,6 +63,17 @@ object Verify {
       }
       (name, f)
     }
+    // A timed-out or failed query must leave NO output dir: a partial
+    // parquet directory reads as a wrong answer in the driver compare,
+    // where a missing dump reads (correctly) as a missing dump.
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+        finally s.close()
+      }
+    }
     futures.foreach { case (name, f) =>
       // Budget is per-query but the deadline is shared: queries run 8-wide,
       // so awaiting each in submission order still bounds total wall time.
@@ -71,9 +82,14 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           System.err.println(s"[verify] $name exceeded ${budgetSec}s budget; cancelling")
-          spark.sparkContext.cancelJobGroup(name)
+          // ...AndFutureJobs: a driver-loop query (e.g. BPE merge rounds)
+          // submits fresh jobs into the same group after a plain cancel
+          // and would keep holding its pool slot past the budget
+          spark.sparkContext.cancelJobGroupAndFutureJobs(name)
+          deleteRecursively(Paths.get(s"$outDir/$name"))
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     System.err.println(f"[verify] dump completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -242,7 +242,8 @@ object DedupOps {
     * partition-append of the same three relations. */
   def buildBandIndex(spark: SparkSession, corpus: DataFrame, name: String,
       shingleK: Int, numHashes: Int, rowsPerBand: Int,
-      location: String, buckets: Int = 32): Unit = {
+      location: String, buckets: Int = 32,
+      datasetTag: String = ""): Unit = {
     import spark.implicits._
     val sh = shingleSets(corpus, shingleK)
     bandRelation(sh, numHashes, rowsPerBand)
@@ -259,11 +260,25 @@ object DedupOps {
       .write.mode("overwrite").option("path", s"$location/texts")
       .bucketBy(buckets, "thash").sortBy("thash")
       .saveAsTable(s"${name}_texts")
-    Seq((shingleK, numHashes, rowsPerBand, buckets))
-      .toDF("shingle_k", "num_hashes", "rows_per_band", "buckets")
+    Seq((shingleK, numHashes, rowsPerBand, buckets, datasetTag))
+      .toDF("shingle_k", "num_hashes", "rows_per_band", "buckets", "dataset_tag")
       .write.mode("overwrite").option("path", s"$location/meta")
       .saveAsTable(s"${name}_meta")
   }
+
+  /** Whether a standing index `name` exists AND was built from
+    * `datasetTag` — the probe-time guard against a 32-bit name collision
+    * or a cleaned tmpdir location: a missing table, an unreadable meta
+    * (e.g. the backing files were removed under a long-lived session), or
+    * a tag mismatch all answer false, telling the caller to (re)build
+    * rather than probe a wrong-scale index. */
+  def bandIndexMatches(spark: SparkSession, name: String,
+      datasetTag: String): Boolean =
+    spark.catalog.tableExists(s"${name}_meta") &&
+      (try {
+        val m = spark.table(s"${name}_meta").head()
+        m.getAs[String]("dataset_tag") == datasetTag
+      } catch { case _: Throwable => false })
 
   /** Incremental MAINTENANCE of a standing [[buildBandIndex]] index:
     * append a batch of newly ADMITTED documents (the `keep = true` rows a

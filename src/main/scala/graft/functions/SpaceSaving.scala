@@ -181,10 +181,15 @@ private[functions] final class SSBuf(
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
-      val t = tokens.getUTF8String(i).toString
-      val arr = map.get(t)
-      if (arr != null) arr(0) += 1L
-      else map.put(t, Array(1L + bon, bon))
+      // null elements are skipped, not NPE'd: split() output never has
+      // them, but the function is exposed generically over array<string>
+      // columns whose containsNull may be true
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i).toString
+        val arr = map.get(t)
+        if (arr != null) arr(0) += 1L
+        else map.put(t, Array(1L + bon, bon))
+      }
       i += 1
     }
     if (map.size() > 2 * capacity) trimTo(capacity)

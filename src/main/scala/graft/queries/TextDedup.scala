@@ -178,10 +178,15 @@ object TextDedup extends QueryModule {
     val docs = documents(s, d)
     val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
     val name = s"graft_dedup_idx_$tag"
-    if (!s.catalog.tableExists(s"${name}_meta"))
+    // the FULL dataset path is verified against _meta, not just the name's
+    // 32-bit tag: a hash collision between dataset paths (or a cleaned
+    // tmpdir under a long-lived session) must rebuild, not silently probe
+    // a wrong-scale index
+    if (!DedupOps.bandIndexMatches(s, name, d))
       DedupOps.buildBandIndex(s, docs.filter(col("doc_id") % 10 >= 2), name,
         shingleK = 3, numHashes = 16, rowsPerBand = 4,
-        location = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/$tag")
+        location = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx/$tag",
+        datasetTag = d)
     DedupOps
       .probeBandIndex(s, docs.filter(col("doc_id") % 10 < 2), name,
         threshold = 0.5)

@@ -19,15 +19,13 @@ import graft.functions.Hashing
   */
 object Training extends QueryModule {
 
-  /** Deterministic split bucket: polyHash("<salt>:<key>") Knuth-mixed
-    * (×2654435761, fits int64 since h < 1e9+7) then mod 1000, ranged
-    * against cumulative per-mill thresholds. The multiplicative mix is
+  /** The shared per-mill slot: polyHash("<salt>:<key>") Knuth-mixed
+    * (×2654435761, fits int64 since h < 1e9+7) then mod 1000 —
+    * membership a pure function of (salt, key). The multiplicative mix is
     * essential: the radix-31 fold alone maps consecutive integer keys to
     * consecutive slots (no avalanche), which would put a contiguous id
     * range entirely in one split; the ×phi-reciprocal stride (761 mod
     * 1000, coprime) equidistributes even adversarially-sequential keys. */
-  /** The shared per-mill slot: polyHash("<salt>:<key>") × Knuth mix mod
-    * 1000 — membership a pure function of (salt, key). */
   private def splitSlot(keyCol: String, salt: String) =
     (Hashing.poly_hash(
       concat_ws(":", lit(salt), col(keyCol).cast("string"))) * lit(2654435761L)) % 1000

@@ -292,7 +292,10 @@ object StreamOps {
     require(numShards > 0, "streamingContextPackSharded: numShards must be positive")
     import docs.sparkSession.implicits._
     docs
-      .groupByKey(r => (r.lang, r.doc_id % numShards))
+      // pmod, not Scala's sign-following % — the batch twin routes with
+      // pmod(doc_id, numShards), and a negative doc_id must land in the
+      // same shard on both paths for the stream ≡ batch pin to hold
+      .groupByKey(r => (r.lang, ((r.doc_id % numShards) + numShards) % numShards))
       .flatMapGroupsWithState[Long, ShardPackedDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case ((_, shard), rows, state: GroupState[Long]) =>
