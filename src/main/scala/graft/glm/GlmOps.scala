@@ -217,6 +217,86 @@ object GlmOps {
         col("sigma"), col("t_stat"), col("p"), col("df"))
   }
 
+  /** [[massGLMPacked]] generalized to PER-KEY designs — the multi-subject
+    * / multi-run form of the mass GLM (ssm_loop.py:28 runs one process per
+    * `$sub`; here subject/run is a COLUMN and every key's model fits in
+    * ONE query). `designs` maps each key (a run/subject id) to its own
+    * n×k design matrix; `series` is the long relation
+    * (keyCol, groupCol, t, y_dec). Output: one row per
+    * (key, group, regressor) with the identical beta/sigma/t/p arithmetic
+    * as [[massGLMPacked]] — spec-pinned bit-identical when every key
+    * carries the same design.
+    *
+    * Physical shape: the per-key fixed-point weight tables (k×n pinv rows,
+    * k×n design rows, k-diagonal) are MODEL STATE — |keys|·k·n longs, a
+    * catalog dimension, never data — carried as ONE broadcast row per key
+    * (nested arrays); each packed series joins to its key's row and all k
+    * projections run in-row exactly like the single-design path. The only
+    * data-sized exchange is the one series_slots aggregation, now keyed by
+    * (key, group) — same shuffle volume as before, the key just rides in
+    * the grouping. At the reference's real workload (68 subjects × 4 runs
+    * × k = 40 × n ≈ 300) the broadcast is ~70 MB of longs; per-key X
+    * collection and pinv stay a driver-side catalog barrier, the same one
+    * ssm_loop pays per process — here paid once for the whole catalog. */
+  def massGLMPackedPerKey(spark: SparkSession, series: DataFrame,
+      designs: Seq[(Long, LinAlg.Mat)], keyCol: String,
+      groupCol: String): DataFrame = {
+    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    require(designs.nonEmpty, "massGLMPackedPerKey: no designs")
+    val n = designs.head._2.length
+    val k = designs.head._2(0).length
+    designs.foreach { case (key, x) =>
+      require(x.length == n && x(0).length == k,
+        s"design for key $key is ${x.length}×${x(0).length}, want $n×$k")
+    }
+    val df = (n - k).toDouble
+    val wRows = designs.map { case (key, x) =>
+      val p = LinAlg.pinv(x)
+      (key,
+        (0 until k).map(j => (0 until n).map(t => math.rint(p(j)(t) * Scale).toLong)),
+        (0 until k).map(j => (0 until n).map(t => math.rint(x(t)(j) * Scale).toLong)),
+        LinAlg.xtxInvDiag(x).toSeq)
+    }
+    import spark.implicits._
+    val wdf = wRows.toDF(keyCol, "__ws", "__wxs", "__cjjs")
+    val packed = series
+      .groupBy(col(keyCol), col(groupCol))
+      .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
+    // identical arithmetic to massGLMPacked: dot_slots against the key's
+    // weight row (an element_at instead of a typedlit), the same
+    // decimal(38,0)/100 rescale, the same double casts
+    val js = array((0 until k).map { j =>
+      struct(
+        lit(j.toLong).as("j"),
+        ((dot_slots(col("__ys"), element_at(col("__ws"), j + 1))
+          .cast("decimal(38,0)") / 100)
+          .cast("double") / Scale.toDouble).as("beta"),
+        ((dot_slots(col("__ys"), element_at(col("__wxs"), j + 1))
+          .cast("decimal(38,0)") / 100)
+          .cast("double") / Scale.toDouble).as("u"))
+    }: _*)
+    packed
+      .join(broadcast(wdf), keyCol)
+      .select(col(keyCol), col(groupCol), js.as("__js"), col("__cjjs"),
+        ((dot_slots(col("__ys"), col("__ys")).cast("decimal(38,0)") / 10000)
+          .cast("double")).as("__syyd"))
+      .withColumn("__bxty", expr(
+        "aggregate(__js, cast(0 as decimal(38,6)), " +
+          "(acc, s) -> acc + cast(round(s.beta * s.u, 6) as decimal(38,6)))"))
+      .withColumn("sse",
+        greatest(col("__syyd") - col("__bxty").cast("double"), lit(0.0)))
+      .withColumn("sigma", sqrt(col("sse") / df))
+      .select(col(keyCol), col(groupCol), col("sigma"), col("__cjjs"),
+        posexplode(col("__js")))
+      .withColumn("t_stat", col("col.beta") / (col("sigma") *
+        sqrt(element_at(col("__cjjs"), (col("col.j") + 1).cast("int")))))
+      .withColumn("p", graft.functions.TCdf.t_pvalue(col("t_stat"), lit(df)))
+      .withColumn("df", lit(df))
+      .select(col(keyCol), col(groupCol), col("col.j").as("j"),
+        col("col.beta").as("beta"), col("sigma"), col("t_stat"), col("p"),
+        col("df"))
+  }
+
   /** M4 at the MASS scale (ssm_loop.py:97 `residual`): per-(group, t)
     * residual y − Σ_j X(t,j)·β_j, with the betas computed on the packed
     * path (bit-identical to [[massBetas]]). One series_slots aggregation

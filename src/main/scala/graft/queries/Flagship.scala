@@ -55,8 +55,8 @@ object Flagship extends QueryModule {
   /** Per-TR confound aggregates — the engine's analog of the fMRIprep
     * confounds TSV: per-type activity sums, event count, and two summary
     * signals (mean / max value) that become the tissue regressors. */
-  private def confounds(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
+  private def confounds(ev0: DataFrame): DataFrame = {
+    val ev = ev0
       .select(
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("event_type"), col("value"))
@@ -75,8 +75,11 @@ object Flagship extends QueryModule {
     * DESIGN FRAME only (N rows, constant-sized) — the single-partition sort
     * is the same driver-adjacent barrier as the pinv collect, never over
     * data-scaled relations. */
-  private[graft] def designFrame(s: SparkSession, d: String): DataFrame = {
-    val trials = events(s, d).select(
+  private[graft] def designFrame(s: SparkSession, d: String): DataFrame =
+    designFrameOf(s, events(s, d))
+
+  private[graft] def designFrameOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    val trials = ev.select(
       ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
       col("value").as("duration"),
       col("event_type").as("trial_type"),
@@ -92,7 +95,7 @@ object Flagship extends QueryModule {
     // Materialized ONCE (N rows, constant-sized): both the spike-TR pick
     // and the design collect consume it, and without the barrier each
     // action would re-run the events scan + per-TR aggregation.
-    val conf0 = tl.select("t").join(confounds(s, d), Seq("t"), "left")
+    val conf0 = tl.select("t").join(confounds(ev), Seq("t"), "left")
       .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
       // the partition key every window below runs under: this pipeline is
       // ONE subject's run by construction (SURVEY §7.5), so the key is a
@@ -140,10 +143,13 @@ object Flagship extends QueryModule {
   }
 
   /** Full pipeline: returns (g, regressor, beta, sigma, t_stat, p, df). */
-  def singleSubjectModel(s: SparkSession, d: String): DataFrame = {
+  def singleSubjectModel(s: SparkSession, d: String): DataFrame =
+    singleSubjectModelOf(s, events(s, d))
+
+  private[graft] def singleSubjectModelOf(s: SparkSession, ev: DataFrame): DataFrame = {
     // design-matrix barrier: 2016×40 doubles to the driver, like ssm_loop's
     // in-process X before regress() — scale-independent
-    val xRows = designFrame(s, d)
+    val xRows = designFrameOf(s, ev)
       .select(col("t") +: regressors.map(col): _*)
       .orderBy("t")
       .collect()
@@ -151,7 +157,7 @@ object Flagship extends QueryModule {
     val x: Array[Array[Double]] = xRows.map { r =>
       regressors.indices.map(i => r.getDouble(i + 1)).toArray
     }
-    val series = events(s, d)
+    val series = ev
       .select(
         (col("user_id") % 10).as("g"),
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
@@ -171,9 +177,188 @@ object Flagship extends QueryModule {
       .orderBy("g", "regressor")
   }
 
+  // ---- multi-subject: the catalog-driven form of the same pipeline -------
+
+  /** Per-KEY design frames in ONE relation (run_id, t, regressors...) —
+    * the multi-subject generalization of [[designFrame]]: every stage that
+    * was a global aggregate/window becomes a (run_id)-keyed one, so ALL
+    * subjects' designs come out of one lazy DAG. `ev` must carry a
+    * `run_id` column (the subject/run key); trials, confounds, rolling
+    * tissue signals, z-scoring, motion expansion, and spike picks are all
+    * computed per key, exactly as [[designFrame]] computes them for its
+    * single pinned key — FlagshipSpec pins per-key equality with the
+    * single-subject pipeline run on that key's events alone.
+    *
+    * Spike columns are built RELATIONALLY here (rank window + conditional
+    * projection) where the single-subject path collects its 8-row list:
+    * the multi-key spike relation is |keys|×8 — still catalog-sized, but
+    * there is no reason to ship it through the driver. */
+  private[graft] def designFrameKeyed(s: SparkSession, ev: DataFrame): DataFrame = {
+    val keys = ev.select("run_id").distinct()
+    val tl = DesignOps.timeline(s, N, 300.0).select("t")
+    // dense (key × timeline) grid: |keys|·N rows, catalog-sized
+    val tlK = keys.crossJoin(tl)
+
+    val trials = ev.select(
+      col("run_id"),
+      ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
+      col("value").as("duration"),
+      col("event_type").as("trial_type"),
+    )
+    // keyed boxcar: same bucket expansion as DesignOps.boxcar, grouped by
+    // (run_id, t) and densified against the key grid
+    val conds = Seq("click", "purchase")
+    val cand = trials
+      .withColumn("__t0", greatest(floor(col("onset") / 300.0).cast("long"), lit(0L)))
+      .withColumn("__t1",
+        least(floor((col("onset") + col("duration")) / 300.0).cast("long") + 1, lit(N - 1L)))
+      .filter(col("__t0") <= col("__t1"))
+      .select(col("run_id"), explode(sequence(col("__t0"), col("__t1"))).as("t"),
+        col("onset"), col("duration"), col("trial_type"))
+      .filter(col("onset") <= col("t") * 300.0 &&
+        col("t") * 300.0 < col("onset") + col("duration"))
+    val boxAggs = conds.map(c =>
+      max(when(col("trial_type") === c, 1L).otherwise(0L)).as(c))
+    val box = tlK
+      .join(cand.groupBy("run_id", "t").agg(boxAggs.head, boxAggs.tail: _*),
+        Seq("run_id", "t"), "left")
+      .na.fill(0L, conds)
+    // keyed HRF convolution: scatter taps, group back per (run_id, t)
+    val kernel = DesignOps.hrfKernelInts(1.0, 24)
+    val kdf = {
+      import s.implicits._
+      kernel.zipWithIndex.map { case (h, tau) => (tau.toLong, h) }
+        .toSeq.toDF("tau", "h")
+    }
+    val convSums = conds.map(c => sum(col("h") * col(c)).as(s"__conv_$c"))
+    val conv0 = box
+      .join(broadcast(kdf), expr("true"))
+      .withColumn("__tt", col("t") + col("tau"))
+      .filter(col("__tt") < N)
+      .groupBy(col("run_id"), col("__tt").as("t"))
+      .agg(convSums.head, convSums.tail: _*)
+    val conv = conds.foldLeft(conv0) { (acc, c) =>
+      acc.withColumn(s"conv_$c", col(s"__conv_$c").cast("double") / 1e6)
+        .drop(s"__conv_$c")
+    }
+    val taskCols = DesignOps.dctBasis(DesignOps.polyTrend(tlK, N, 0), N, 3)
+      .join(conv, Seq("run_id", "t"))
+
+    // keyed confounds over the dense grid
+    val confAggs =
+      eventTypes.map(tp =>
+        sum(when(col("event_type") === tp, col("value")).otherwise(0.0)).as(s"mo_$tp")) ++
+        Seq(
+          count(lit(1)).cast("double").as("mo_n"),
+          avg(col("value")).as("tissue_avg_raw"),
+          max(col("value")).as("tissue_max_raw"))
+    val confK = ev
+      .select(col("run_id"),
+        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
+        col("event_type"), col("value"))
+      .filter(col("t") >= 0 && col("t") < N)
+      .groupBy("run_id", "t")
+      .agg(confAggs.head, confAggs.tail: _*)
+    val conf0 = tlK.join(confK, Seq("run_id", "t"), "left")
+      .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
+      .localCheckpoint()
+    val wRoll = Window.partitionBy(col("run_id")).orderBy(col("t"))
+      .rowsBetween(-11, 0)
+    val conf = conf0
+      .withColumn("tissue_avg", avg(col("tissue_avg_raw")).over(wRoll))
+      .withColumn("tissue_max", avg(col("tissue_max_raw")).over(wRoll))
+
+    // per-key z-scoring: one stats row per key, broadcast back
+    val zCols = motionBases ++ Seq("tissue_avg", "tissue_max")
+    val statAggs = zCols.flatMap(c =>
+      Seq(avg(col(c)).as(s"__m_$c"), stddev_pop(col(c)).as(s"__s_$c")))
+    val stats = conf.groupBy("run_id").agg(statAggs.head, statAggs.tail: _*)
+    val zed = zCols.foldLeft(conf.join(broadcast(stats), "run_id")) { (acc, c) =>
+      acc.withColumn(s"z_$c",
+        when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
+          .otherwise(lit(0.0)))
+    }.select(col("t") +: col("run_id") +: zCols.map(c => col(s"z_$c")): _*)
+
+    val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"),
+      "t", partitionCols = Seq("run_id"))
+
+    // per-key spike picks, relational: rank by (mo_n desc, t asc) per key,
+    // number the 8 picks by ascending t (matching the single-subject
+    // sorted-list numbering), then conditional-project the one-hots
+    val wPick = Window.partitionBy("run_id").orderBy(col("mo_n").desc, col("t").asc)
+    val picks = conf0.select(col("run_id"), col("t"), col("mo_n"))
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") <= 8)
+    val wNum = Window.partitionBy("run_id").orderBy(col("t").asc)
+    val spikes = picks
+      .withColumn("__si", row_number().over(wNum))
+      .select(col("run_id"), col("t"), col("__si"))
+    val withSpikes = (1 to 8).foldLeft(
+      motion.join(spikes, Seq("run_id", "t"), "left")) { case (acc, i) =>
+      acc.withColumn(s"spike_$i",
+        when(col("__si") === i, 1.0).otherwise(0.0))
+    }.drop("__si")
+
+    taskCols.join(withSpikes, Seq("run_id", "t"))
+  }
+
+  /** The multi-subject flagship (SURVEY §2.9 O2 executed end-to-end,
+    * vs ssm_loop.py:28's one process per `$sub`): EVERY key's full-width
+    * design is built in one keyed DAG ([[designFrameKeyed]]), the
+    * |keys|×N×k design block collects as the catalog-sized model barrier
+    * (the same X-before-regress() barrier ssm_loop pays per process,
+    * paid here once for the whole catalog), per-key pinvs feed
+    * [[GlmOps.massGLMPackedPerKey]], and all (key, group) series fit in
+    * ONE packed mass-GLM query. Output: (run_id, g, regressor, beta,
+    * sigma, t_stat, p, df). */
+  def multiSubjectModel(s: SparkSession, ev: DataFrame): DataFrame = {
+    import graft.glm.{GlmOps, LinAlg}
+    val dRows = designFrameKeyed(s, ev)
+      .select(col("run_id") +: col("t") +: regressors.map(col): _*)
+      .orderBy("run_id", "t")
+      .collect()
+    val designs: Seq[(Long, LinAlg.Mat)] = dRows
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (key, rows) =>
+        require(rows.length == N, s"key $key design has ${rows.length} rows, want $N")
+        (key, rows.sortBy(_.getLong(1)).map { r =>
+          regressors.indices.map(i => r.getDouble(i + 2)).toArray
+        })
+      }
+    val series = ev
+      .select(
+        col("run_id"),
+        (col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
+        col("value").cast("decimal(18,2)").as("y_dec"),
+      )
+      .filter(col("t") >= 0 && col("t") < N)
+      .groupBy("run_id", "g", "t").agg(sum("y_dec").as("y_dec"))
+    val names = {
+      import s.implicits._
+      regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
+    }
+    GlmOps.massGLMPackedPerKey(s, series, designs, "run_id", "g")
+      .join(broadcast(names), "j")
+      .select(col("run_id"), col("g"), col("regressor"),
+        round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),
+        round(col("t_stat"), 6).as("t_stat"), round(col("p"), 6).as("p"), col("df"))
+      .orderBy("run_id", "g", "regressor")
+  }
+
+  /** q104: the reference's actual workload shape — a catalog of
+    * (subject, run) pairs (here subject = user_id mod 4), each with its
+    * OWN data-dependent design, modeled in ONE query. */
+  def multiSubjectQuery(s: SparkSession, d: String): DataFrame =
+    multiSubjectModel(s, events(s, d).withColumn("run_id", col("user_id") % 4))
+
   override def queries: Seq[Q] = Seq(
     // no DuckDB oracle: X is data-dependent and p needs the t CDF —
     // rows-only check here; numerics are golden-tested in GlmSpec/FlagshipSpec
     Q("q48_flagship_glm", singleSubjectModel, None),
+    // no oracle for the same reason (per-key pinv of data-dependent X);
+    // FlagshipSpec pins each key's results to the single-subject pipeline
+    // run on that key's events alone
+    Q("q104_multi_subject_glm", multiSubjectQuery, None),
   )
 }

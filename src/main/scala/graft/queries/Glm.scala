@@ -255,6 +255,112 @@ object Glm extends QueryModule {
        |ORDER BY ser.g, ser.t""".stripMargin
   }
 
+  // ---- q103: multi-RUN mass GLM on FIXED per-run designs -----------------
+  // The hash-checked half of the multi-subject flagship claim (q104 is the
+  // data-dependent-design half): 4 runs (weeks of the events month at
+  // 1-hour TR), each with its OWN design matrix — intercept, trend, DCT1,
+  // and a run-SHIFTED daily boxcar — all fitted in ONE
+  // massGLMPackedPerKey query. The designs are data-independent literals,
+  // so the oracle replays every run's fixed-point pinv/X/(XᵀX)⁻¹ as
+  // VALUES and mirrors the q60 CTE chain with `run` added to every key.
+
+  private[queries] val Runs = 4
+  private[queries] val Nr = 168 // hours per week
+  private val hourUs = 3600000000L
+
+  /** Run r's fixed design: j0 intercept, j1 centered trend, j2 DCT1, j3 a
+    * daily work-hours boxcar shifted by r hours — distinct per run, so a
+    * per-key fit is actually exercised, yet fully data-independent. */
+  private[queries] def runDesign(r: Int): LinAlg.Mat =
+    Array.tabulate(Nr, 4) { (t, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => (t - (Nr - 1) / 2.0) / Nr
+        case 2 => math.cos(math.Pi * (2 * t + 1) / (2.0 * Nr))
+        case 3 => if (t % 24 >= 8 + r && t % 24 < 16 + r) 1.0 else 0.0
+      }
+    }
+
+  def multiRunGlm(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .select(
+        (col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+        col("value").cast("decimal(18,2)").as("y_dec"))
+      .filter(col("th") >= 0 && col("th") < Runs * Nr)
+      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
+        col("g"), col("y_dec"))
+      .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
+    val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
+    GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
+      .select(col("run"), col("g"), col("j"),
+        round(col("beta"), 6).as("beta"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("t_stat"), 6).as("t_stat"))
+      .orderBy("run", "g", "j")
+  }
+
+  private def multiRunGlmSql: String = {
+    val k = 4
+    val dof = (Nr - k).toDouble
+    val quads = for {
+      r <- 0 until Runs
+      x = runDesign(r)
+      p = LinAlg.pinv(x)
+      t <- 0 until Nr
+      j <- 0 until k
+    } yield s"($r, $t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong}, " +
+      s"${math.rint(x(t)(j) * GlmOps.Scale).toLong})"
+    val cjj = for {
+      r <- 0 until Runs
+      (v, j) <- LinAlg.xtxInvDiag(runDesign(r)).zipWithIndex
+    } yield s"($r, $j, $v)"
+    s"""WITH w(run, t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
+       |cj(run, j, cjj) AS (VALUES ${cjj.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % 10 AS g,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS y
+       |  FROM events
+       |  WHERE (epoch_us(ts) - $baseUs) >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
+       |  GROUP BY 1, 2, 3
+       |),
+       |gj AS (
+       |  SELECT ser.g, ser.run, w.j,
+       |    SUM(w.w * ser.y) AS s,
+       |    SUM(w.wx * ser.y) AS us,
+       |    SUM(ser.y * ser.y) AS syy
+       |  FROM ser JOIN w ON w.run = ser.run AND w.t = ser.t
+       |  GROUP BY 1, 2, 3
+       |),
+       |gj2 AS (
+       |  SELECT g, run, j,
+       |    CAST(s AS DOUBLE) / ${GlmOps.Scale}.0 AS beta,
+       |    CAST(us AS DOUBLE) / ${GlmOps.Scale}.0 AS u,
+       |    syy
+       |  FROM gj
+       |),
+       |grp AS (
+       |  SELECT g, run,
+       |    CAST(MAX(syy) AS DOUBLE) AS syyd,
+       |    CAST(SUM(CAST(round(beta * u, 6) AS DECIMAL(38,6))) AS DOUBLE) AS bxty
+       |  FROM gj2 GROUP BY g, run
+       |),
+       |sig AS (
+       |  SELECT g, run, sqrt(greatest(syyd - bxty, 0.0) / $dof) AS sigma FROM grp
+       |)
+       |SELECT gj2.run AS run, gj2.g AS g, CAST(gj2.j AS BIGINT) AS j,
+       |  round(beta, 6) AS beta,
+       |  round(sigma, 6) AS sigma,
+       |  round(beta / (sigma * sqrt(cj.cjj)), 6) AS t_stat
+       |FROM gj2
+       |JOIN sig ON sig.g = gj2.g AND sig.run = gj2.run
+       |JOIN cj ON cj.run = gj2.run AND cj.j = gj2.j
+       |ORDER BY run, g, j""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
@@ -262,5 +368,6 @@ object Glm extends QueryModule {
     Q("q33_mass_glm_betas", massGlmBetas, Some(massGlmSql)),
     Q("q60_mass_glm_stats", massGlmStats, Some(massGlmStatsSql)),
     Q("q70_mass_glm_residuals", massGlmResiduals, Some(massGlmResidualsSql)),
+    Q("q103_multi_run_glm", multiRunGlm, Some(multiRunGlmSql)),
   )
 }

@@ -76,6 +76,41 @@ class FlagshipSpec extends SparkSpec {
       assert(l.contains("run_id"), s"unpartitioned window: $l"))
   }
 
+  test("multi-subject model equals the single-subject pipeline per key") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    // sf0.01 — the exact q104 configuration: at sf0.001 a 40-wide per-key
+    // design goes rank-deficient (a key with no boxcar-covering purchase
+    // trial zeroes a conv column; a 2-valued sparse activity signal makes
+    // z² affine in z), which is data sparsity, not a pipeline property
+    val ev = graft.util.Tables.events(s, sf001)
+      .withColumn("run_id", col("user_id") % 4)
+    val multi = graft.queries.Flagship.multiSubjectModel(s, ev).collect()
+    val k = graft.queries.Flagship.regressors.length
+    val keys = multi.map(_.getLong(0)).distinct.sorted
+    assert(keys.length === 4)
+    val byKey = multi.groupBy(_.getLong(0))
+    for (key <- keys) {
+      val single = graft.queries.Flagship
+        .singleSubjectModelOf(s, ev.filter(col("run_id") === key))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+      val mine = byKey(key)
+      assert(mine.length === single.size, s"row count for key $key")
+      mine.foreach { r =>
+        val want = single((r.getLong(1), r.getString(2)))
+        // same pipeline, different aggregation grouping ⇒ double sums may
+        // differ in the last ulps through the z-scored confounds; the
+        // models must agree far beyond any meaningful precision
+        assert(math.abs(r.getDouble(3) - want.getAs[Double]("beta")) < 1e-4,
+          s"beta key=$key $r vs $want")
+        assert(math.abs(r.getDouble(4) - want.getAs[Double]("sigma")) < 1e-4,
+          s"sigma key=$key $r vs $want")
+        assert(r.getAs[Double]("df") === (2016 - k).toDouble)
+      }
+    }
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

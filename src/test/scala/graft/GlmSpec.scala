@@ -53,6 +53,49 @@ class GlmSpec extends SparkSpec {
     assert(!r("g2").getAs[Double]("t1").isNaN)
   }
 
+  test("massGLMPackedPerKey with one shared design is bit-identical to massGLMPacked") {
+    val s = spark
+    import s.implicits._
+    val n = 24
+    val x: LinAlg.Mat = Array.tabulate(n, 3) { (t, j) =>
+      j match {
+        case 0 => 1.0
+        case 1 => (t - (n - 1) / 2.0) / n
+        case 2 => math.cos(math.Pi * (2 * t + 1) / (2.0 * n))
+      }
+    }
+    // 3 keys × 4 groups of deterministic pseudo-noise series
+    val rows = for {
+      key <- 0L to 2L
+      g <- 0L to 3L
+      t <- 0 until n
+    } yield (key, g, t.toLong,
+      BigDecimal((key * 31 + g * 17 + t * t * 7) % 97 - 48) / 100 * 25)
+    val series = rows.toDF("key", "g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    val perKey = GlmOps
+      .massGLMPackedPerKey(s, series, (0L to 2L).map(k => (k, x)), "key", "g")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(perKey.size === 3 * 4 * 3)
+    for (key <- 0L to 2L) {
+      val single = GlmOps
+        .massGLMPacked(s, series.filter(col("key") === key).drop("key"), x, "g")
+        .collect()
+      assert(single.length === 4 * 3)
+      single.foreach { r =>
+        val got = perKey((key, r.getLong(0), r.getLong(1)))
+        // identical IEEE operation sequence on both paths ⇒ exact equality
+        assert(got._1 === r.getDouble(2), s"beta key=$key $r")
+        assert(got._2 === r.getDouble(3), s"sigma key=$key $r")
+        assert(got._3 === r.getDouble(4), s"t key=$key $r")
+        assert(got._4 === r.getDouble(5), s"p key=$key $r")
+      }
+    }
+  }
+
   test("massGLM treats missing timepoints as y = 0 (sparse series)") {
     val s = spark
     import s.implicits._
