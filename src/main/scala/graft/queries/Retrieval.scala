@@ -508,10 +508,14 @@ object Retrieval extends QueryModule {
   // The tokenizer-training loop (Sennrich 2016) the packing/mixing layer
   // presupposes: 12 rounds of most-frequent-adjacent-pair merging from
   // characters, deterministic tie-break, oracle = a generated CTE chain
-  // replaying every round (the q65 unrolled-iterations pattern).
+  // replaying every round (the q65 unrolled-iterations pattern). Runs the
+  // DRIVER-FINISHED trainer (one word-count aggregation, merge loop over
+  // the vocabulary on the driver — the shape that survives 30k merges);
+  // the relational per-round form is spec-pinned row-identical and the
+  // oracle is unchanged.
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    graft.text.BpeOps.merges(documents(s, d), rounds = 12).orderBy("round")
+    graft.text.BpeOps.mergesDriver(documents(s, d), rounds = 12).orderBy("round")
 
   private val bpeMergesSql = graft.text.BpeOps.mergesOracleSql(12)
 

@@ -82,18 +82,106 @@ object BpeOps {
     out.toSeq.toDF("round", "left_sym", "right_sym", "freq")
   }
 
+  /** DRIVER-FINISHED BPE training — the production path for realistic
+    * merge counts: ONE distributed word-count aggregation (the only
+    * corpus-sized work BPE training has), then the whole merge loop over
+    * the collected vocabulary-sized (word, count) relation on the driver.
+    * [[merges]] runs one Spark job + collect PER ROUND — fine for the
+    * 12-round checked query, unusable at a real tokenizer's 30k merges
+    * (30k sequential jobs); this form runs 1k merges in seconds
+    * (Probe.bpeDriverProbe) and is spec-pinned row-identical to the
+    * relational form on the same corpus/rounds.
+    *
+    * Semantics mirrored exactly: pair counts sum word counts over EVERY
+    * adjacent position (overlaps included), the top pair breaks ties
+    * (freq desc, left asc, right asc), and a merge rewrites each word's
+    * symbol sequence greedily left-to-right without overlap — the same
+    * result as the sentinel-string `replace`. Stops early when no
+    * adjacent pair remains.
+    *
+    * Scale shape (100 TB): the aggregation shuffles (word, count) —
+    * vocabulary-sized after map-side combine; the collect is the model
+    * barrier every tokenizer trainer has (the vocabulary IS the model
+    * input). The driver loop is O(rounds × vocabulary symbols). */
+  def mergesDriver(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"BPE rounds must be >= 1, got $rounds")
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab: Array[(Array[String], Long)] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    val words: Array[Array[String]] = vocab.map(_._1)
+    val counts: Array[Long] = vocab.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi); val c = counts(wi)
+        var i = 0
+        while (i < w.length - 1) {
+          val p = (w(i), w(i + 1))
+          pairs.update(p, pairs.getOrElse(p, 0L) + c)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        pairs.foreach { case (p, f) =>
+          if (best == null || f > best._2 ||
+            (f == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, f)
+        }
+        val ((l, r), f) = best
+        out += ((round.toLong, l, r, f))
+        wi = 0
+        while (wi < words.length) {
+          val w = words(wi)
+          var has = false
+          var i = 0
+          while (!has && i < w.length - 1) {
+            if (w(i) == l && w(i + 1) == r) has = true; i += 1
+          }
+          if (has) {
+            // greedy left-to-right non-overlapping merge, exactly the
+            // sentinel-string replace
+            val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < w.length) {
+              if (i < w.length - 1 && w(i) == l && w(i + 1) == r) {
+                nb += l + r; i += 2
+              } else { nb += w(i); i += 1 }
+            }
+            words(wi) = nb.toArray
+          }
+          wi += 1
+        }
+        round += 1
+      }
+    }
+    out.toSeq.toDF("round", "left_sym", "right_sym", "freq")
+  }
+
   /** Segmentation under the learned tokenizer — the serving half of
-    * [[merges]] (the q89→q92 pattern): learn the k-round merge table,
-    * then apply it to every document as ONE map-only projection (the k
-    * replaces chain inside a single codegen'd expression over the
-    * sentinel-wrapped text; word boundaries are plain spaces, which no
-    * sentinel pattern can cross) and count the resulting subword tokens —
-    * the statistic packing budgets and training-cost estimates need under
-    * the REAL tokenizer rather than the whitespace proxy. Output:
-    * (doc_id, n_words, n_subwords). */
+    * BPE training (the q89→q92 pattern): learn the k-round merge table
+    * ([[mergesDriver]] — the production trainer, row-identical to the
+    * relational [[merges]]), then apply it to every document as ONE
+    * map-only projection (the k replaces chain inside a single codegen'd
+    * expression over the sentinel-wrapped text; word boundaries are plain
+    * spaces, which no sentinel pattern can cross) and count the resulting
+    * subword tokens — the statistic packing budgets and training-cost
+    * estimates need under the REAL tokenizer rather than the whitespace
+    * proxy. Output: (doc_id, n_words, n_subwords). */
   def segmentCounts(docs: DataFrame, rounds: Int): DataFrame =
     segmentCountsWith(docs,
-      merges(docs, rounds).orderBy("round").collect()
+      mergesDriver(docs, rounds).orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
   /** Segmentation under a FROZEN merge table — the projection shared by

@@ -270,6 +270,48 @@ object ProbeStanding {
   * exists for. Exact pays a term-keyed exchange carrying one row per
   * DISTINCT key; the sketch's communication is O(capacity × partitions)
   * regardless. Numbers go to SCALE.md. */
+/** Scratch main: driver-finished BPE at realistic merge counts. The
+  * relational trainer launches one Spark job per round (fine at 12, dead
+  * at 30k); the driver-finished form pays one word-count aggregation and
+  * loops over the vocabulary in-process. Numbers go to SCALE.md. */
+object ProbeBpe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.1")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n merges)")
+    }
+    time("relational merges, 12 rounds") {
+      graft.text.BpeOps.merges(docs, 12).count()
+    }
+    time("driver-finished, 12 rounds") {
+      graft.text.BpeOps.mergesDriver(docs, 12).count()
+    }
+    time("driver-finished, 1000 rounds") {
+      graft.text.BpeOps.mergesDriver(docs, 1000).count()
+    }
+    // the documents fixture's vocabulary exhausts at ~89 merges; a
+    // synthetic 100k-type corpus (base-26 id encodings, Zipf-ish counts
+    // via the id range) sustains 1000 genuine rounds
+    val rich = spark.range(0, 400000L).select(
+      concat_ws(" ",
+        expr("translate(conv(id % 100000, 10, 26), '0123456789ABCDEFGHIJKLMNOP', 'abcdefghijklmnopqrstuvwxyz')"),
+        expr("translate(conv((id * id) % 99991, 10, 26), '0123456789ABCDEFGHIJKLMNOP', 'abcdefghijklmnopqrstuvwxyz')"))
+        .as("text"))
+    time("driver-finished, 1000 rounds, 100k-type corpus") {
+      graft.text.BpeOps.mergesDriver(rich, 1000).count()
+    }
+    spark.stop()
+  }
+}
+
 object ProbeSpaceSaving {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

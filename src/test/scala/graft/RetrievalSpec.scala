@@ -287,6 +287,23 @@ class RetrievalSpec extends SparkSpec {
     assert(seg1.toSeq === Seq((0L, 6L), (1L, 5L), (2L, 2L)))
   }
 
+  test("driver-finished BPE training is row-identical to the relational form") {
+    // the real documents corpus at sf0.001, same rounds as q93: the
+    // production trainer (one aggregation + driver merge loop) must
+    // reproduce the per-round relational trainer's merge table exactly
+    val corpus = graft.util.Tables.documents(spark, sf0001)
+    val rel = graft.text.BpeOps.merges(corpus, rounds = 12)
+      .orderBy("round").collect().map(_.toString).toSeq
+    val drv = graft.text.BpeOps.mergesDriver(corpus, rounds = 12)
+      .orderBy("round").collect().map(_.toString).toSeq
+    assert(drv === rel && drv.length === 12)
+    // early exhaustion agrees too (tiny corpus runs dry)
+    val tiny = docs((0L, "ab ab", "en"))
+    val r2 = graft.text.BpeOps.merges(tiny, rounds = 5).collect().map(_.toString).toSeq
+    val d2 = graft.text.BpeOps.mergesDriver(tiny, rounds = 5).collect().map(_.toString).toSeq
+    assert(d2 === r2 && d2.length === 1)
+  }
+
   test("BPE merges are partitioning-invariant") {
     val corpus = docs((0L to 30L).map(i =>
       (i, s"w${i % 5} common tail w${i % 3}", "en")): _*)
