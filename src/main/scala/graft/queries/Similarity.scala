@@ -459,6 +459,150 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q105/q106: product quantization + ADC serving ---------------------
+  // The 100 TB ANN-serving compression ladder's top rung (q89 int8 → PQ):
+  // m=4 sub-quantizers × 8 cells trained with the deterministic L2 Lloyd
+  // machinery (exact int64 sums — the oracle replays every round, the q65
+  // pattern per sub-space), codes are 4 small ints per vector, and serving
+  // scores candidates by ASYMMETRIC DISTANCE through per-query lookup
+  // tables composed with the q92 coarse IVF probe.
+
+  private val pqM = 4
+  private val pqKsub = 8
+  private val pqIters = 2
+  private val pqDsub = kmDim / pqM
+
+  def pqTrain(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .pqCentroidsRelation(embeddings(s, d), m = pqM, ksub = pqKsub,
+        iters = pqIters)
+      .withColumn("coord", round(col("coord"), 6))
+      .orderBy("sub", "cell", "j")
+
+  /** The PQ training CTE chain psub, pc0, (pa_i, ps_i, pc_i)* — the q65
+    * iteration-replay pattern keyed by sub-space, with L2 assignment.
+    * Shared by the q105 oracle (reads final sums) and the q106 oracle
+    * (codes + ADC tables against the final centroids). */
+  private def pqTrainCtesSql(withFinalCent: Boolean): String = {
+    def assign(prev: String, name: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, sv, cell FROM (
+         |    SELECT t.vec_id, t.sub, t.sv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+         |        ${duckDot("c.cv", "c.cv")} - 2 * ${duckDot("t.sv", "c.cv")} ASC,
+         |        c.cell ASC) AS rn
+         |    FROM psub t JOIN $prev c ON c.sub = t.sub) WHERE rn = 1
+         |)""".stripMargin
+    def sums(i: Int): String =
+      s"""ps$i AS (
+         |  SELECT sub, cell, r.j AS j, CAST(count(*) AS BIGINT) AS n,
+         |    SUM(CAST(round(sv[r.j + 1] * $kmScale.0) AS BIGINT)) AS s
+         |  FROM pa$i, range($pqDsub) r(j) GROUP BY sub, cell, r.j
+         |)""".stripMargin
+    def cent(i: Int): String =
+      s"""pc$i AS (
+         |  SELECT sub, cell, list(CAST(s AS DOUBLE) / $kmScale.0 / n ORDER BY j) AS cv
+         |  FROM ps$i GROUP BY sub, cell
+         |)""".stripMargin
+    val iterCtes = (1 to pqIters).flatMap { i =>
+      Seq(assign(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i"), sums(i)) ++
+        (if (i < pqIters || withFinalCent) Seq(cent(i)) else Nil)
+    }
+    s"""psub AS (
+       |  SELECT c.vec_id, s.s AS sub,
+       |    list_slice(c.v, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS sv
+       |  FROM corpus c, range($pqM) s(s)
+       |),
+       |pc0 AS (
+       |  SELECT s.s AS sub,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1 AS BIGINT) AS cell,
+       |    list_slice(b.v, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS cv
+       |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT $pqKsub) b,
+       |    range($pqM) s(s)
+       |),
+       |${iterCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private def pqTrainSql: String =
+    s"""WITH $duckCorpus,
+       |${pqTrainCtesSql(withFinalCent = false)}
+       |SELECT CAST(sub AS BIGINT) AS sub, CAST(cell AS BIGINT) AS cell,
+       |  n AS n_members, CAST(j AS BIGINT) AS j,
+       |  round(CAST(s AS DOUBLE) / $kmScale.0 / n, 6) AS coord
+       |FROM ps$pqIters
+       |ORDER BY sub, cell, j""".stripMargin
+
+  def pqServe(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .pqServeTopK(embeddings(s, d), col("vec_id") < 10, k = 3, m = pqM,
+        ksub = pqKsub, iters = pqIters, nCentroids = 16, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  private def pqServeSql: String = {
+    val qs = s"list_slice(q.v, c.sub * $pqDsub + 1, (c.sub + 1) * $pqDsub)"
+    s"""WITH $duckCorpus,
+       |${pqTrainCtesSql(withFinalCent = true)},
+       |pcode AS (
+       |  SELECT vec_id, list(cell ORDER BY sub) AS codes FROM (
+       |    SELECT t.vec_id, t.sub, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+       |        ${duckDot("c.cv", "c.cv")} - 2 * ${duckDot("t.sv", "c.cv")} ASC,
+       |        c.cell ASC) AS rn
+       |    FROM psub t JOIN pc$pqIters c ON c.sub = t.sub) WHERE rn = 1
+       |  GROUP BY vec_id
+       |),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (
+       |  SELECT r.vec_id, p.codes, r.cent_id AS cell
+       |  FROM rankedc r JOIN pcode p ON p.vec_id = r.vec_id WHERE r.rn = 1
+       |),
+       |qterm AS (
+       |  SELECT q.vec_id, c.sub,
+       |    list(${duckDot(qs, qs)} - 2 * ${duckDot(qs, "c.cv")} +
+       |      ${duckDot("c.cv", "c.cv")} ORDER BY c.cell) AS tab
+       |  FROM (SELECT vec_id, v FROM corpus WHERE vec_id < 10) q
+       |  CROSS JOIN pc$pqIters c
+       |  GROUP BY q.vec_id, c.sub
+       |),
+       |qt AS (
+       |  SELECT vec_id, list(tab ORDER BY sub) AS qtab FROM qterm GROUP BY vec_id
+       |),
+       |qprobe AS (
+       |  SELECT vec_id, cent_id AS cell FROM rankedc
+       |  WHERE rn <= 2 AND vec_id < 10
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range($pqM), s -> t.qtab[s+1][c.codes[s+1]+1])),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM qprobe q
+       |  JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+       |  JOIN qt t ON t.vec_id = q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(dist, 6) AS adc_dist
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q99: embedding-space incremental admission -------------------------
   // The vector-modality twin of q83: arrivals (vec_id < 100) judged
   // against the standing corpus through its IVF cells (nProbe=2), flagged
@@ -521,6 +665,8 @@ object Similarity extends QueryModule {
     Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
     Q("q89_int8_quant", int8Quant, Some(int8QuantSql)),
     Q("q92_int8_serve", int8Serve, Some(int8ServeSql)),
+    Q("q105_pq_train", pqTrain, Some(pqTrainSql)),
+    Q("q106_pq_serve", pqServe, Some(pqServeSql)),
     Q("q99_embedding_admission", embeddingAdmission, Some(embeddingAdmissionSql)),
   )
 }

@@ -468,6 +468,173 @@ object SimilarityOps {
         col("near_dup_of").isNull.as("keep"))
   }
 
+  // ---- product quantization (PQ) -----------------------------------------
+
+  /** L2 argmin assignment of a sub-vector column against (cell, coords)
+    * literals, ties to the lowest cell: min ‖x−c‖² = min (c·c − 2·x·c),
+    * expressed as `greatest` over (2·x·c − c·c, −cell) structs — the L2
+    * twin of [[argmaxCell]], still a pure projection. */
+  private def argminCellL2(sv: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val scored = cents.map { case (cell, cv) =>
+      struct(
+        (VectorExprs.dot_fold(sv, typedlit(cv)) * 2 - lit(foldDot(cv, cv))).as("sc"),
+        lit(-cell).as("negc"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    -best.getField("negc")
+  }
+
+  /** Shared PQ Lloyd fit: per SUB-SPACE L2 k-means over the m d/m-dim
+    * sub-vector spaces, all m trained in the SAME corpus passes (one
+    * inline-exploded aggregation per iteration — m rides as a key, not as
+    * extra scans). Deterministic exactly like [[kmeansFit]]: lowest-vec_id
+    * init, exact int64 `vec_sum_fixed` centroid sums, ties to the lowest
+    * cell. Returns the last round's (sub, cell, n, coordinate sums).
+    *
+    * Every cell of every sub-quantizer must keep members (required
+    * loudly): PQ serving indexes per-query distance tables by code, which
+    * presumes the code space 0..ksub−1 is dense. */
+  private def pqFit(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      scaleBits: Int): Array[(Long, Long, Long, Seq[Long])] = {
+    import graft.functions.VecSumFixed.vec_sum_fixed
+    require(iters >= 1, s"pq iters must be >= 1, got $iters")
+    val scale = 1L << scaleBits
+    val corpus = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m sub-vectors")
+    val dsub = dim / m
+    val initRows = corpus.orderBy("vec_id").limit(ksub).select("v").collect()
+    require(initRows.length == ksub, s"pq: corpus smaller than ksub=$ksub")
+    var cents: Map[Int, Seq[(Long, Seq[Double])]] = (0 until m).map { s0 =>
+      s0 -> initRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](0).slice(s0 * dsub, (s0 + 1) * dsub))
+      }.toSeq
+    }.toMap
+    var last: Array[(Long, Long, Long, Seq[Long])] = null
+    for (_ <- 1 to iters) {
+      val parts = (0 until m).map { s0 =>
+        val sv = slice(col("v"), s0 * dsub + 1, dsub)
+        struct(lit(s0.toLong).as("sub"),
+          argminCellL2(sv, cents(s0)).as("cell"), sv.as("sv"))
+      }
+      last = corpus.select(inline(array(parts: _*)))
+        .groupBy("sub", "cell")
+        .agg(count(lit(1)).as("n"), vec_sum_fixed(col("sv"), scale).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3)))
+      cents = last.groupBy(_._1.toInt).map { case (s0, rows) =>
+        s0 -> rows.toSeq.sortBy(_._2).map { case (_, cell, n, sums) =>
+          (cell, sums.map(_.toDouble / scale.toDouble / n.toDouble))
+        }
+      }.toMap
+      (0 until m).foreach { s0 =>
+        require(cents(s0).map(_._1) == (0L until ksub.toLong),
+          s"pq: sub-quantizer $s0 lost a cell (codes must stay dense)")
+      }
+    }
+    last
+  }
+
+  /** The trained per-sub-space codebooks as literals: sub → sorted
+    * (cell, coords). */
+  private def pqCents(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      scaleBits: Int): Map[Int, Seq[(Long, Seq[Double])]] = {
+    val scale = 1L << scaleBits
+    pqFit(emb, m, ksub, iters, scaleBits).groupBy(_._1.toInt).map {
+      case (s0, rows) =>
+        s0 -> rows.toSeq.sortBy(_._2).map { case (_, cell, n, sums) =>
+          (cell, sums.map(_.toDouble / scale.toDouble / n.toDouble))
+        }
+    }.toMap
+  }
+
+  /** PRODUCT-QUANTIZATION training (Jégou et al., "Product quantization
+    * for nearest neighbor search", TPAMI 2011): m independent L2
+    * sub-quantizers of ksub centroids each — the codebook whose codes are
+    * m small ints per vector (here m=4 × 8 cells = 4096 distinct codes
+    * from 12 bits, vs int8's 64 bytes). Returns the long relation
+    * (sub, cell, n_members, j, coord) after `iters` Lloyd rounds —
+    * deterministic and oracle-replayable exactly like [[kmeansCentroids]].
+    *
+    * Scale shape: per iteration ONE corpus pass (the m sub-spaces ride an
+    * inline explode into the same hash aggregate, m×ksub×(d/m) exchange
+    * rows) and a model-sized collect; serving never touches the corpus
+    * vectors again — codes are a map-only projection against the m×ksub×
+    * (d/m) literals. */
+  def pqCentroidsRelation(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+      scaleBits: Int = 20): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = 1L << scaleBits
+    val rows = for {
+      (sub, cell, n, sums) <- pqFit(emb, m, ksub, iters, scaleBits).toSeq
+        .sortBy(r => (r._1, r._2))
+      (sj, j) <- sums.zipWithIndex
+    } yield (sub, cell, n, j.toLong, sj.toDouble / scale.toDouble / n.toDouble)
+    rows.toDF("sub", "cell", "n_members", "j", "coord")
+  }
+
+  /** PQ + ADC serving composed with the IVF coarse probe — the q89→q92
+    * pattern with the corpus payload shrunk to m PQ codes: queries stay
+    * full-precision, each candidate is scored by ASYMMETRIC DISTANCE
+    * ‖q − reconstruct(codes)‖² = Σ_s (q_s·q_s − 2·q_s·c_{s,code_s} +
+    * c·c), computed through a PER-QUERY lookup table (m×ksub distances,
+    * built once per query as a pure projection against the codebook
+    * literals; scoring a candidate is m table lookups + an in-row fold —
+    * the ADC trick that makes PQ serving O(m) per candidate regardless of
+    * d). Coarse IVF: corpus assigned to its nearest of `nCentroids`
+    * lowest-id centroids by cosine (exactly [[int8ServeTopK]]'s coarse
+    * quantizer), queries probe `nProbe` cells. Ranking: distance ASC,
+    * ties to the lowest neighbor id; fully deterministic, oracle replays
+    * training + codes + tables bit-identically. */
+  def pqServeTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      ksub: Int, iters: Int, nCentroids: Int, nProbe: Int = 1,
+      scaleBits: Int = 20): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val corpus = prepared(emb)
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible into $m sub-vectors")
+    val dsub = dim / m
+    val cb = pqCents(emb, m, ksub, iters, scaleBits)
+    val codesCol = array((0 until m).map { s0 =>
+      argminCellL2(slice(col("v"), s0 * dsub + 1, dsub), cb(s0))
+    }: _*)
+    val coarse = corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = argmaxCell(corpus, coarse)
+      .select(col("vec_id"), codesCol.as("codes"), col("cell"))
+    // per-query ADC table: for each sub-space an array over cells of
+    // q_s·q_s − 2·q_s·c + c·c — m×ksub dot projections, query-side only
+    // (built over the un-renamed corpus columns, in the same select as the
+    // probe-cell explode, which also reads v/norm)
+    val qtab = array((0 until m).map { s0 =>
+      val qs = slice(col("v"), s0 * dsub + 1, dsub)
+      array(cb(s0).map { case (_, cv) =>
+        VectorExprs.dot_fold(qs, qs) -
+          lit(2.0) * VectorExprs.dot_fold(qs, typedlit(cv)) +
+          lit(foldDot(cv, cv))
+      }: _*)
+    }: _*)
+    val queries = corpus
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), qtab.as("qtab"),
+        explode(probeCellsCol(coarse, nProbe)).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(codes, qtab, " +
+          "(cd, tab) -> element_at(tab, CAST(cd AS INT) + 1)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("dist"), 6).as("adc_dist"))
+  }
+
   /** ASYMMETRIC-DISTANCE serving over the int8 codes — the query half of
     * the compress-then-serve loop [[int8Quantize]] is the index half of
     * (IVF+SQ style): queries stay full-precision floats, the corpus is

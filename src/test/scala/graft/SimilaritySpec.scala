@@ -305,6 +305,87 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqServeTopK: ADC serving tracks exact L2 top-k (recall)") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val k = 3
+    // nProbe = nCentroids: every coarse cell probed, so the ONLY
+    // difference from exact L2 brute force is the PQ reconstruction
+    val served = SimilarityOps
+      .pqServeTopK(e, col("vec_id") < 20, k, m = 8, ksub = 8, iters = 2,
+        nCentroids = 8, nProbe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // exact L2 top-k, driver-side brute force
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val byId = vecs.toMap
+    val exact = vecs.filter(_._1 < 20).flatMap { case (q, qv) =>
+      vecs.filter(_._1 != q)
+        .map { case (c, cv) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val t = qv(i) - cv(i); d += t * t; i += 1 }
+          (c, d)
+        }
+        .sortBy { case (c, d) => (d, c) }.take(k)
+        .map { case (c, _) => (q, c) }
+    }
+    assert(byId.size >= 100)
+    val servedSet = served.toSet
+    val recall = exact.count(servedSet).toDouble / exact.length
+    // this corpus is near-iid random — the WORST case for PQ (neighbors
+    // nearly equidistant, reconstruction error dominates): a driver-side
+    // numpy replication of the identical training/codes/ADC gives exactly
+    // 0.15 here. The pin is "far above chance" (random recall@3 ≈ 0.006);
+    // the clustered-corpus test below pins the high-recall regime.
+    assert(recall >= 0.1, s"recall@$k vs exact L2 = $recall")
+  }
+
+  test("pqServeTopK: clustered corpus — every served neighbor is in-cluster") {
+    // 8 tight clusters × 10 members; vec_ids 0..7 are one member per
+    // cluster (cluster = id % 8), so lowest-id init seeds every cluster.
+    // Within a tight cluster PQ codes coincide, so WITHIN-cluster ranking
+    // is tie-broken by id (quantized distances can't see 0.01 jitter —
+    // inherent to PQ, not a defect); what PQ must get right is the
+    // CLUSTER: all k served neighbors come from the query's own cluster,
+    // and the in-cluster tie-break is the deterministic lowest-id one.
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = (c + 8 * i).toLong
+      id -> Seq.tabulate(64) { j =>
+        (((c * 37 + j * 11) % 13 - 6) / 3.0 +
+          ((i * 7 + j) % 5 - 2) * 0.01).toFloat
+      }
+    }
+    val e = emb(vecs.sortBy(_._1): _*)
+    val served = SimilarityOps
+      .pqServeTopK(e, col("vec_id") < 8, k = 3, m = 8, ksub = 8, iters = 2,
+        nCentroids = 8, nProbe = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served.length === 8 * 3)
+    served.foreach { case (q, _, c) =>
+      assert(c % 8 === q, s"query $q served out-of-cluster neighbor $c")
+    }
+    // identical codes ⇒ identical ADC distance ⇒ rank order is the
+    // lowest-id members of the cluster after the query itself
+    for (q <- 0L until 8L) {
+      val mine = served.filter(_._1 == q).sortBy(_._2).map(_._3)
+      assert(mine === Seq(q + 8, q + 16, q + 24), s"query $q got $mine")
+    }
+  }
+
+  test("pq training is partitioning-invariant (exact fixed-point sums)") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("sub", "cell", "j")
+      .collect().map(_.toString).toSeq
+    val a = key(SimilarityOps.pqCentroidsRelation(e, m = 4, ksub = 8, iters = 2))
+    val b = key(SimilarityOps.pqCentroidsRelation(e.repartition(7), m = 4, ksub = 8, iters = 2))
+    assert(a === b && a.nonEmpty)
+  }
+
   test("int8Quantize codebook is global: partitioning does not change codes") {
     val vecs = (0 until 40).map(i =>
       i.toLong -> Seq.tabulate(8)(j => ((i * 31 + j * 17) % 97 / 96.0f) - 0.5f))
