@@ -320,12 +320,88 @@ object DedupOps {
     * to the bucket count). Per-batch cost is O(increment) compute plus a
     * columnar scan of index relations — flat as the corpus grows, where
     * the re-banding path grows linearly in corpus CPU. */
-  def probeBandIndex(spark: SparkSession, increment: DataFrame, name: String,
-      threshold: Double): DataFrame = {
+  /** The verified near-dup PAIRS an increment makes against a standing
+    * [[buildBandIndex]] index: (inc_id, corp_id) with exact Jaccard ≥
+    * `threshold` — the full edge relation (not the per-doc min verdict),
+    * the input incremental CLUSTER maintenance needs. Same probe shape as
+    * [[probeBandIndex]]: candidates from the prebuilt band relation,
+    * verification against the prebuilt shingle-set relation, nothing
+    * corpus-side recomputed. */
+  def probeBandIndexPairs(spark: SparkSession, increment: DataFrame,
+      name: String, threshold: Double): DataFrame = {
     import graft.functions.TextExprs
     val meta = spark.table(s"${name}_meta").head()
     val (shingleK, numHashes, rowsPerBand) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val incSh = shingleSets(increment, shingleK)
+    val cands = bandRelation(incSh, numHashes, rowsPerBand)
+      .withColumnRenamed("doc_id", "inc_id")
+      .join(spark.table(s"${name}_bands"), Seq("band", "bkey"))
+      .select("inc_id", "corp_id").distinct()
+    val incKeyed = incSh.select(col("doc_id").as("inc_id"),
+      col("sh").as("__shi"), size(col("sh")).cast("long").as("__ni"))
+    cands
+      .join(incKeyed, "inc_id")
+      .join(spark.table(s"${name}_docs"), "corp_id")
+      .withColumn("__common", TextExprs.intersect_size(col("__shi"), col("sh")))
+      .filter(col("__common").cast("double") /
+        (col("__ni") + col("n") - col("__common")) >= threshold)
+      .select("inc_id", "corp_id")
+  }
+
+  /** INCREMENTAL near-dup cluster maintenance — [[dedupClusters]] without
+    * the global re-run: a standing corpus carries labels (doc_id →
+    * cluster = its component's min id, [[dedupClusters]]' output) and a
+    * standing band index; an arriving batch contributes ONLY
+    *   - its increment↔corpus verified pairs (probed from the index,
+    *     [[probeBandIndexPairs]]), and
+    *   - its increment↔increment pairs (batch-sized MinHash),
+    * and connected components run on the SMALL graph whose vertices are
+    * the increment docs plus the TOUCHED standing cluster
+    * representatives (corpus endpoints are lifted to their labels — valid
+    * because a label already names its whole component, and corpus-only
+    * pair structure cannot change when the corpus didn't). The result is
+    * IDENTICAL to re-running [[dedupClusters]] on the union corpus
+    * (spec-pinned, and q107's oracle recomputes the union re-run in SQL):
+    * union components = old components merged along new edges, and the
+    * new component min = min over (touched old minima, increment ids) —
+    * exactly what min-label CC on the lifted graph computes.
+    *
+    * Scale shape: per batch, probe cost (flat as the corpus grows — see
+    * ProbeStanding), a batch² LSH self-join, CC on a batch-sized graph,
+    * ONE broadcast remap join keyed by cluster to relabel only affected
+    * components, and the increment's own labels. The corpus is never
+    * re-paired and unaffected components are never touched. */
+  def incrementalClusters(spark: SparkSession, standingLabels: DataFrame,
+      increment: DataFrame, name: String, threshold: Double): DataFrame = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (shingleK, numHashes, rowsPerBand) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val crossPairs = probeBandIndexPairs(spark, increment, name, threshold)
+    val incPairs = minhashDupPairs(increment, shingleK, numHashes,
+      rowsPerBand, threshold).select("doc_a", "doc_b")
+    val lifted = crossPairs
+      .join(standingLabels.select(col("doc_id").as("corp_id"), col("cluster")),
+        "corp_id")
+      .select(col("inc_id").as("doc_a"), col("cluster").as("doc_b"))
+    val (labels, _) = ccLabels(lifted.unionByName(incPairs))
+    // relabel ONLY the touched components: (old cluster rep → new min)
+    val remap = labels
+      .join(lifted.select(col("doc_b").as("v")).distinct(), "v")
+      .select(col("v").as("cluster"), col("l").as("__nl"))
+    val corpusNew = standingLabels
+      .join(broadcast(remap), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("__nl"), col("cluster")).as("cluster"))
+    val incNew = increment.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("cluster"))
+    corpusNew.unionByName(incNew)
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("keep"))
+  }
+
+  def probeBandIndex(spark: SparkSession, increment: DataFrame, name: String,
+      threshold: Double): DataFrame = {
     // thash must stay the ONLY equi-key: a second `text = __ctext` equality
     // would be extracted as a join key, and the (thash, text) key set no
     // longer matches the table's thash bucketing (Spark requires all
@@ -340,19 +416,7 @@ object DedupOps {
           col("__ctext").startsWith(col("text")),
         "left_semi")
       .select(col("doc_id"), lit(true).as("__ex"))
-    val incSh = shingleSets(increment, shingleK)
-    val cands = bandRelation(incSh, numHashes, rowsPerBand)
-      .withColumnRenamed("doc_id", "inc_id")
-      .join(spark.table(s"${name}_bands"), Seq("band", "bkey"))
-      .select("inc_id", "corp_id").distinct()
-    val incKeyed = incSh.select(col("doc_id").as("inc_id"),
-      col("sh").as("__shi"), size(col("sh")).cast("long").as("__ni"))
-    val near = cands
-      .join(incKeyed, "inc_id")
-      .join(spark.table(s"${name}_docs"), "corp_id")
-      .withColumn("__common", TextExprs.intersect_size(col("__shi"), col("sh")))
-      .filter(col("__common").cast("double") /
-        (col("__ni") + col("n") - col("__common")) >= threshold)
+    val near = probeBandIndexPairs(spark, increment, name, threshold)
       .groupBy("inc_id").agg(min(col("corp_id")).as("near_dup_of"))
     increment.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

@@ -193,6 +193,36 @@ object TextDedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- q107: incremental cluster maintenance -----------------------------
+
+  /** q90 ∘ q66: the standing corpus carries cluster labels and a band
+    * index; the arriving batch's new edges (probe pairs + batch-internal
+    * pairs) update labels INCREMENTALLY — connected components run on the
+    * batch-plus-touched-representatives graph only, never the corpus. The
+    * oracle is q66's union re-run (the recursive-CTE clusters over ALL
+    * documents): the hash match IS the proof that incremental ≡ full.
+    * Own index name/location (not q90's) so the two queries can build
+    * concurrently under Verify's thread pool. */
+  def incrementalClustersQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val inc = docs.filter(col("doc_id") % 10 < 2)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_dedup_cidx_$tag"
+    if (!DedupOps.bandIndexMatches(s, name, d))
+      DedupOps.buildBandIndex(s, corpus, name,
+        shingleK = 3, numHashes = 16, rowsPerBand = 4,
+        location = s"${sys.props("java.io.tmpdir")}/graft_dedup_cidx/$tag",
+        datasetTag = d)
+    val standing = DedupOps
+      .dedupClusters(corpus,
+        DedupOps.minhashDupPairs(corpus, shingleK = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.5))
+      .select("doc_id", "cluster")
+    DedupOps.incrementalClusters(s, standing, inc, name, threshold = 0.5)
+      .orderBy("doc_id")
+  }
+
   // ---- q95: end-to-end corpus assembly -----------------------------------
 
   /** The FULL training-data pipeline as ONE query — what a user of the
@@ -703,6 +733,7 @@ object TextDedup extends QueryModule {
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),
+    Q("q107_incremental_clusters", incrementalClustersQuery, Some(dedupClustersSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),

@@ -307,6 +307,39 @@ object StreamOps {
       }
   }
 
+  /** STREAMING standing-index maintenance — the probe→admit→append loop
+    * as ONE continuous pipeline (the batch pieces are q90's
+    * `probeBandIndex` and `appendToBandIndex`; this wires them into a
+    * `foreachBatch` sink so ingest-time dedup admission runs as documents
+    * ARRIVE): each micro-batch is judged against the standing index AS OF
+    * the batch start (verdicts are materialized via localCheckpoint
+    * BEFORE the append — the lazy probe plan must not observe its own
+    * batch's append), then the admitted (keep = true) documents join the
+    * index, and the verdicts land in `outPath` as appended parquet.
+    *
+    * Semantics: identical to running the batch probe→append loop over the
+    * same batch sequence (spec-pinned over 3 micro-batches). Duplicates
+    * WITHIN one micro-batch are both admitted — intra-batch dedup is
+    * [[streamingDedup]]'s job upstream, exactly as in the batch pipeline.
+    *
+    * Scale shape: per batch, the flat standing-probe cost plus a
+    * bucket-aligned batch-sized append; state lives in the bucketed index
+    * tables, not the state store, so it survives restarts and is shared
+    * with every batch consumer of the index. */
+  def streamingStandingAdmission(docs: DataFrame, name: String,
+      threshold: Double, outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val verdicts = graft.dedup.DedupOps
+        .probeBandIndex(s, batch, name, threshold)
+        .localCheckpoint()
+      val admitted = batch.join(
+        verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.dedup.DedupOps.appendToBandIndex(s, admitted, name)
+      verdicts.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

@@ -265,6 +265,80 @@ object ProbeStanding {
   }
 }
 
+/** Scratch main: incremental cluster maintenance vs full CC re-run as
+  * the corpus grows. The full re-run re-pairs and re-propagates the whole
+  * corpus per batch (cost grows with corpus); the incremental path pays
+  * the flat standing probe + a batch-sized graph + one remap join.
+  * Numbers go to SCALE.md. */
+object ProbeIncClusters {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // dup GROUPS OF 2 (id div 2), unlike ProbeStanding's groups of 10: the
+    // full-re-run baseline must actually run its CC over the pair graph,
+    // and 10-cliques × 20k groups blow Catalyst's size estimation
+    // (BigInteger overflow in SizeInBytesOnlyStatsPlanVisitor) before any
+    // work happens
+    // INTEGER `div` and no modulus on the group term: `/` on a long
+    // column is double division (tokens then differ per id — no dup
+    // pairs at all), and a modulus aliases groups g and g+mod into
+    // identical token streams (pair-graph explosion)
+    def mkDocs(n: Long) = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      expr("""concat_ws(' ',
+        |  concat_ws(' ', transform(sequence(0, 59),
+        |    i -> concat('w', (id div 2) * 31 + i * 7))),
+        |  concat('v', id % 2))""".stripMargin).as("text"))
+    // single-shot: the full-re-run baseline is a multi-minute job at the
+    // largest tier — warm+3 reps would quadruple a number whose point is
+    // its GROWTH CURVE, not its third decimal
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = q.count()
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 1e9}%.3f s  ($rows rows)")
+    }
+    for (corpusN <- Seq(100000L, 200000L, 400000L)) {
+      // materialize to parquet, not cache: synthetic in-memory lineage
+      // gives the deep pair-detection plan Long.Max default size stats,
+      // whose per-join products overflow Catalyst's BigInteger range;
+      // parquet leaves carry real (small) file sizes
+      mkDocs(corpusN).write.mode("overwrite")
+        .parquet(s"/tmp/probe_incclusters/docs_$corpusN")
+      val docs = spark.read.parquet(s"/tmp/probe_incclusters/docs_$corpusN")
+      val inc = docs.filter(col("doc_id") % 20 === 0).limit(1000).cache(); inc.count()
+      val corp = docs.filter(col("doc_id") % 20 =!= 0)
+      val name = s"probe_incclusters_$corpusN"
+      graft.dedup.DedupOps.buildBandIndex(spark, corp, name, 3, 16, 4,
+        s"/tmp/probe_incclusters/$corpusN")
+      // standing labels are STATE, not per-batch work — and on this
+      // synthetic fixture they're known in closed form (docs pair up as
+      // (2k, 2k+1); a doc's cluster is the pair min when the partner is
+      // in the corpus): a pure projection stands in for the one-time CC.
+      // (Running the full dedupClusters here trips Catalyst's BigInteger
+      // stats overflow on the synthetic lineage — see the mkDocs note —
+      // which real parquet corpora don't: q66/q107 run it at sf0.1.)
+      val partner = expr("doc_id + 1 - 2 * (doc_id % 2)") // = doc_id xor 1
+      val standing = corp.select(col("doc_id"),
+        when(partner % 20 =!= 0 && partner < corpusN,
+          least(col("doc_id"), partner)).otherwise(col("doc_id")).as("cluster"))
+        .cache()
+      standing.count()
+      // the irreducible corpus-side cost of ANY full re-run: re-pairing
+      // the union corpus (CC on top only adds rounds over these pairs)
+      time(f"union re-pair  (1k batch vs ${corpusN - corpusN / 20}%d corpus)",
+        graft.dedup.DedupOps.minhashDupPairs(corp.unionByName(inc), 3, 16, 4, 0.5))
+      time(f"incremental    (1k batch vs ${corpusN - corpusN / 20}%d corpus)",
+        graft.dedup.DedupOps.incrementalClusters(spark, standing, inc, name, 0.5))
+      inc.unpersist(); standing.unpersist()
+    }
+    spark.stop()
+  }
+}
+
 /** Scratch main: Space-Saving sketch vs exact groupBy at URL-like
   * cardinality (distinct keys ~ corpus size) — the regime the sketch
   * exists for. Exact pays a term-keyed exchange carrying one row per

@@ -28,12 +28,13 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are the documented three") {
+  test("rows-only queries are the documented four") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly === Set(
       "q32_ols_pvalues", // Student-t CDF has no DuckDB form
       "q48_flagship_glm", // data-dependent design matrix + t CDF
       "q55_approx_stats", // sketches differ across engines by design
+      "q104_multi_subject_glm", // per-key data-dependent designs + t CDF
     ))
   }
 

@@ -313,6 +313,58 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("streaming standing-index admission equals the sequential batch loop (3 micro-batches)") {
+    import graft.dedup.DedupOps
+    val s = spark
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 >= 4)
+    // synthetic cross-batch exact dup: 900002 is a dup of 900001, which is
+    // ADMITTED in batch 1 — batch 2 can only flag it if the append ran
+    val syn = "synthetic standing admission probe text unique tokens qq ww ee rr tt yy"
+    val fixture = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      fixture.filter(_._1 % 10 == 0).toSeq :+ (900001L, syn),
+      fixture.filter(_._1 % 10 == 1).toSeq :+ (900002L, syn),
+      fixture.filter(r => r._1 % 10 == 2 || r._1 % 10 == 3).toSeq,
+    )
+    def freshIndex(name: String): Unit = {
+      Seq("bands", "docs", "texts", "meta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      DedupOps.buildBandIndex(s, corpus, name, shingleK = 3, numHashes = 16,
+        rowsPerBand = 4, location = s"/tmp/$name", buckets = 4)
+    }
+    import s.implicits._
+    // batch reference: the explicit probe→admit→append loop
+    freshIndex("graft_test_admit_ref")
+    val ref = batches.flatMap { rows =>
+      val b = rows.toDF("doc_id", "text")
+      val v = DedupOps.probeBandIndex(s, b, "graft_test_admit_ref", 0.5)
+        .localCheckpoint()
+      val admitted = b.join(v.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      DedupOps.appendToBandIndex(s, admitted, "graft_test_admit_ref")
+      v.collect().map(_.toString)
+    }.sorted
+    // streaming: the same batches through the foreachBatch sink
+    freshIndex("graft_test_admit_str")
+    val out = java.nio.file.Files.createTempDirectory("graft-admit").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamOps.streamingStandingAdmission(
+      ms.toDF().toDF("doc_id", "text"), "graft_test_admit_str", 0.5, out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got === ref)
+    // the cross-batch admission visibly worked: 900001 kept, 900002 exact-dup
+    val byId = s.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(3)))).toMap
+    assert(byId(900001L) === ((false, true)), "batch-1 synthetic should be admitted")
+    assert(byId(900002L) === ((true, false)), "batch-2 dup of an admitted doc must be flagged")
+  }
+
   test("streaming KMV distinct: bounded sketch state across micro-batches equals batch q100") {
     val s = spark
     val dir = Files.createTempDirectory("graft-kmv").toString

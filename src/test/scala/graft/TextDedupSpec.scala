@@ -191,6 +191,37 @@ class TextDedupSpec extends SparkSpec {
     assert(probed === direct)
   }
 
+  test("incremental cluster maintenance equals the full union re-run") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val increment = docs.filter(col("doc_id") % 10 < 2)
+    val name = "graft_test_cluster_idx"
+    Seq("bands", "docs", "texts", "meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    DedupOps.buildBandIndex(s, corpus, name, shingleK = 3, numHashes = 16,
+      rowsPerBand = 4, location = "/tmp/graft_test_cluster_idx", buckets = 4)
+    val standing = DedupOps
+      .dedupClusters(corpus,
+        DedupOps.minhashDupPairs(corpus, 3, 16, 4, 0.5))
+      .select("doc_id", "cluster")
+    val inc = DedupOps.incrementalClusters(s, standing, increment, name, 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val full = DedupOps
+      .dedupClusters(docs, DedupOps.minhashDupPairs(docs, 3, 16, 4, 0.5))
+      .orderBy("doc_id").collect().toSeq
+    assert(inc.nonEmpty)
+    assert(inc === full)
+    // sanity: the batch actually merged something (otherwise the test
+    // proves nothing about the lifted-graph path)
+    val standingMap = standing.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val changed = inc.count { r =>
+      standingMap.get(r.getLong(0)).exists(_ != r.getLong(1))
+    }
+    assert(changed > 0, "no standing label changed — fixture too weak")
+  }
+
   test("standing band index: appended batch probes exactly like a rebuilt index") {
     val s = spark
     val docs = s.read.parquet(s"$sf0001/documents.parquet")
