@@ -684,6 +684,82 @@ object TextDedup extends QueryModule {
        |FROM runs GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q108: trained quality classifier (logistic regression) ------------
+  // The fastText-style LEARNED filter over the existing quality signals
+  // (q24's features; label: lang = 'en'): 6 deterministic fixed-point GD
+  // steps (LogitOps — int64-quantized per-doc gradient contributions,
+  // floor-of-exact-quotient updates, lr = 1/2), trace hash-checked — the
+  // oracle replays every step as a CTE chain (the q65/q93 unrolled-
+  // iterations pattern). weight_fp is exact int64, so the hash has no
+  // float hazard beyond the quantized exp() discipline q82/q98 set.
+
+  private val logitSteps = 6
+  private val logitXCols = Seq("x0", "x1", "x2", "x3", "x4")
+
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val feats = TextOps.qualityStats(documents(s, d), Seq("the", "a"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        col("type_token_ratio").as("x1"),
+        col("mean_token_len").as("x2"),
+        col("stopword_ratio").as("x3"),
+        col("punct_ratio").as("x4"))
+    graft.glm.LogitOps.trainTrace(feats, logitXCols, "y", logitSteps)
+      .orderBy("step", "j")
+  }
+
+  private def qualityClassifierSql: String = {
+    val k = logitXCols.length
+    val margin = (0 until k).map(j => s"(w.w$j / 1000000.0) * f.x$j").mkString(" + ")
+    def gradCte(i: Int): String = {
+      val sums = (0 until k).map(j =>
+        s"CAST(SUM(CAST(round((f.y - 1.0/(1.0 + exp(-($margin)))) * f.x$j * 1000000) AS BIGINT)) AS BIGINT) AS g$j")
+        .mkString(",\n    ")
+      s"""g$i AS (
+         |  SELECT $sums,
+         |    COUNT(*) AS n
+         |  FROM feat f CROSS JOIN w${i - 1} w
+         |)""".stripMargin
+    }
+    def wCte(i: Int): String = {
+      val ws = (0 until k).map(j =>
+        s"w.w$j + CAST(floor(g.g$j / (2.0 * g.n)) AS BIGINT) AS w$j").mkString(", ")
+      s"w$i AS (SELECT $ws FROM w${i - 1} w CROSS JOIN g$i g)"
+    }
+    val chain = (1 to logitSteps).map(i => s"${gradCte(i)},\n${wCte(i)}").mkString(",\n")
+    val zeros = (0 until k).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
+    val wCols = (0 until k).map(j => s"w$j").mkString(", ")
+    val selects = (1 to logitSteps).flatMap(i => (0 until k).map(j =>
+      s"SELECT CAST($i AS BIGINT) AS step, CAST($j AS BIGINT) AS j, w$j AS weight_fp, w$j / 1000000.0 AS weight FROM w$i"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.t AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_distinct,
+       |    sum(CAST(length(tok) AS BIGINT)) AS sumlen,
+       |    sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
+       |  FROM tok GROUP BY doc_id
+       |),
+       |feat AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) AS x1,
+       |    round(CAST(a.sumlen AS DOUBLE) / a.n_tokens, 6) AS x2,
+       |    round(CAST(a.nstop AS DOUBLE) / a.n_tokens, 6) AS x3,
+       |    round(CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(d.text), 6) AS x4
+       |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+       |),
+       |w0($wCols) AS (VALUES ($zeros)),
+       |$chain
+       |$selects
+       |ORDER BY step, j""".stripMargin
+  }
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -734,6 +810,7 @@ object TextDedup extends QueryModule {
     Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),
     Q("q107_incremental_clusters", incrementalClustersQuery, Some(dedupClustersSql)),
+    Q("q108_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),

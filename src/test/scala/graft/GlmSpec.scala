@@ -96,6 +96,31 @@ class GlmSpec extends SparkSpec {
     }
   }
 
+  test("logistic GD separates separable data; training is partition-invariant") {
+    import graft.glm.LogitOps
+    val s = spark
+    import s.implicits._
+    // y = 1 iff x1 > 0 on a balanced symmetric design: the w0 gradient
+    // cancels, one step already gives w1 > 0 ⇒ sign(margin) = sign(x1)
+    val rows = (0 until 100).map { i =>
+      val x1 = (i - 49.5) / 50.0
+      (i.toLong, if (x1 > 0) 1.0 else 0.0, 1.0, x1)
+    }
+    val feats = rows.toDF("id", "y", "x0", "x1")
+    val trace = LogitOps.gdStepsFp(feats, Seq("x0", "x1"), "y", steps = 8)
+    val w = trace.last
+    assert(w(1) > 0, s"slope should be positive: ${w.toSeq}")
+    val scored = LogitOps.scoreWith(feats, Seq("x0", "x1"), w)
+      .select(col("y"), col("keep")).collect()
+    val acc = scored.count(r => (r.getDouble(0) == 1.0) == r.getBoolean(1))
+    assert(acc === 100, s"separable accuracy $acc/100")
+    // exact int64 gradient sums ⇒ identical trace on any partitioning
+    val t7 = LogitOps.gdStepsFp(feats.repartition(7), Seq("x0", "x1"), "y", steps = 8)
+    assert(trace.map(_.toSeq) === t7.map(_.toSeq))
+    // and the loss-direction sanity: each step's slope never flips sign
+    assert(trace.forall(_(1) >= 0))
+  }
+
   test("massGLM treats missing timepoints as y = 0 (sparse series)") {
     val s = spark
     import s.implicits._
