@@ -74,6 +74,31 @@ object Verify {
         finally s.close()
       }
     }
+    // Cancellation is asynchronous: the future's thread may still be
+    // mid-write when Await.result times out. Deleting while the writer
+    // races re-creates the dir (a partial dump then reads as a WRONG
+    // answer downstream) and a file landing between Files.walk and
+    // deleteIfExists throws DirectoryNotEmptyException. So: wait for the
+    // future to settle (bounded grace), swallow delete errors, and retry
+    // once if the dir reappears.
+    def purgeOutput(name: String, f: scala.concurrent.Future[Unit]): Unit = {
+      try scala.concurrent.Await.ready(
+        f, scala.concurrent.duration.Duration(30, "s"))
+      catch { case _: Throwable => () } // still running: delete best-effort
+      val p = Paths.get(s"$outDir/$name")
+      var attempts = 0
+      while (attempts < 2 && Files.exists(p)) {
+        attempts += 1
+        try deleteRecursively(p)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] $name cleanup attempt $attempts: ${e.getMessage}")
+            Thread.sleep(1000)
+        }
+      }
+      if (Files.exists(p))
+        System.err.println(s"[verify] WARNING: $name output dir survived cleanup; driver compare may see a partial dump")
+    }
     futures.foreach { case (name, f) =>
       // Budget is per-query but the deadline is shared: queries run 8-wide,
       // so awaiting each in submission order still bounds total wall time.
@@ -86,10 +111,10 @@ object Verify {
           // submits fresh jobs into the same group after a plain cancel
           // and would keep holding its pool slot past the budget
           spark.sparkContext.cancelJobGroupAndFutureJobs(name)
-          deleteRecursively(Paths.get(s"$outDir/$name"))
+          purgeOutput(name, f)
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          deleteRecursively(Paths.get(s"$outDir/$name"))
+          purgeOutput(name, f)
       }
     }
     System.err.println(f"[verify] dump completed in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -241,7 +241,6 @@ object GlmOps {
   def massGLMPackedPerKey(spark: SparkSession, series: DataFrame,
       designs: Seq[(Long, LinAlg.Mat)], keyCol: String,
       groupCol: String): DataFrame = {
-    import graft.functions.SeriesSlots.{dot_slots, series_slots}
     require(designs.nonEmpty, "massGLMPackedPerKey: no designs")
     val n = designs.head._2.length
     val k = designs.head._2(0).length
@@ -249,7 +248,6 @@ object GlmOps {
       require(x.length == n && x(0).length == k,
         s"design for key $key is ${x.length}×${x(0).length}, want $n×$k")
     }
-    val df = (n - k).toDouble
     val wRows = designs.map { case (key, x) =>
       val p = LinAlg.pinv(x)
       (key,
@@ -259,6 +257,67 @@ object GlmOps {
     }
     import spark.implicits._
     val wdf = wRows.toDF(keyCol, "__ws", "__wxs", "__cjjs")
+    massGLMPackedPerKeyWeights(spark, series, wdf, n, k, keyCol, groupCol,
+      broadcastWeights = true)
+  }
+
+  /** The per-key weight relation (keyCol, __ws k×n pinv longs, __wxs k×n
+    * design longs, __cjjs k-diagonal) computed DISTRIBUTED from a keyed
+    * design frame (keyCol, tCol, regressor columns): one mapGroups per
+    * key — each key's pinv is an independent k×n Breeze-free LinAlg job
+    * on an executor, so the catalog never crosses to the driver. A key's
+    * design is n rows of k doubles (constant-sized); the shuffle is the
+    * |keys|·n design frame keyed by key, i.e. catalog-sized, never data.
+    *
+    * Bit-identical to the driver path ([[massGLMPackedPerKey]]'s wRows):
+    * the SAME LinAlg.pinv / xtxInvDiag over the SAME doubles in the SAME
+    * t-order — IEEE arithmetic is deterministic, so where the rows are
+    * computed does not change a single bit (spec-pinned). */
+  def designWeightsKeyed(designFrame: DataFrame, keyCol: String, tCol: String,
+      regressorCols: Seq[String], n: Int): DataFrame = {
+    val s = designFrame.sparkSession
+    import s.implicits._
+    val k = regressorCols.length
+    designFrame
+      .select(col(keyCol).cast("long").as("_1"), col(tCol).cast("long").as("_2"),
+        array(regressorCols.map(c => col(c).cast("double")): _*).as("_3"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length == n,
+          s"key $key design has ${rows.length} rows, want $n")
+        val x: LinAlg.Mat = rows.map(_._3.toArray)
+        val p = LinAlg.pinv(x)
+        (key,
+          (0 until k).map(j => (0 until n).map(t => math.rint(p(j)(t) * Scale).toLong)),
+          (0 until k).map(j => (0 until n).map(t => math.rint(x(t)(j) * Scale).toLong)),
+          LinAlg.xtxInvDiag(x).toSeq)
+      }
+      .toDF(keyCol, "__ws", "__wxs", "__cjjs")
+  }
+
+  /** The [[massGLMPackedPerKey]] GLM core against an ARBITRARY weight
+    * relation (keyCol, __ws, __wxs, __cjjs) — driver-literal or computed
+    * distributed ([[designWeightsKeyed]]). With `broadcastWeights = false`
+    * the weights relation is MATERIALIZED (localCheckpoint) and joined
+    * with no hint: Catalyst's static size estimate for a mapGroups output
+    * is the tiny upstream scan, which would wrongly broadcast a
+    * gigabyte-scale catalog (at |keys| ≈ 27k, k = 40, n ≈ 300 the weight
+    * relation is ~2.6 GB), so the plan must decide from REAL sizes — the
+    * checkpoint barrier resets the estimate, the static plan becomes a
+    * key-aligned shuffle join, and AQE promotes it back to broadcast at
+    * runtime whenever the actual weight bytes are under its threshold.
+    * Small catalogs get the broadcast, large ones the shuffle, chosen by
+    * measured size with zero driver logic. The checkpoint itself is
+    * catalog-sized model state, the same barrier class as a k-means
+    * centroid collect — never data. */
+  def massGLMPackedPerKeyWeights(spark: SparkSession, series: DataFrame,
+      weights: DataFrame, n: Int, k: Int, keyCol: String, groupCol: String,
+      broadcastWeights: Boolean = false): DataFrame = {
+    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    val df = (n - k).toDouble
+    val wdf = if (broadcastWeights) broadcast(weights) else weights.localCheckpoint()
     val packed = series
       .groupBy(col(keyCol), col(groupCol))
       .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
@@ -276,7 +335,7 @@ object GlmOps {
           .cast("double") / Scale.toDouble).as("u"))
     }: _*)
     packed
-      .join(broadcast(wdf), keyCol)
+      .join(wdf, keyCol)
       .select(col(keyCol), col(groupCol), js.as("__js"), col("__cjjs"),
         ((dot_slots(col("__ys"), col("__ys")).cast("decimal(38,0)") / 10000)
           .cast("double")).as("__syyd"))

@@ -57,10 +57,14 @@ object Flagship extends QueryModule {
     * signals (mean / max value) that become the tissue regressors. */
   private def confounds(ev0: DataFrame): DataFrame = {
     val ev = ev0
+      // raw-difference guard BEFORE bucketing: Spark `div` truncates toward
+      // zero (an event < 1 TR before baseUs would land in t = 0) while the
+      // floor semantics the design assumes exclude it
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
       .select(
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("event_type"), col("value"))
-      .filter(col("t") >= 0 && col("t") < N)
+      .filter(col("t") < N)
     val aggs =
       eventTypes.map(tp =>
         sum(when(col("event_type") === tp, col("value")).otherwise(0.0)).as(s"mo_$tp")) ++
@@ -158,12 +162,13 @@ object Flagship extends QueryModule {
       regressors.indices.map(i => r.getDouble(i + 1)).toArray
     }
     val series = ev
+      .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
       .select(
         (col("user_id") % 10).as("g"),
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("value").cast("decimal(18,2)").as("y_dec"),
       )
-      .filter(col("t") >= 0 && col("t") < N)
+      .filter(col("t") < N)
       .groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
     val names = {
       import s.implicits._
@@ -253,10 +258,11 @@ object Flagship extends QueryModule {
           avg(col("value")).as("tissue_avg_raw"),
           max(col("value")).as("tissue_max_raw"))
     val confK = ev
+      .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
       .select(col("run_id"),
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("event_type"), col("value"))
-      .filter(col("t") >= 0 && col("t") < N)
+      .filter(col("t") < N)
       .groupBy("run_id", "t")
       .agg(confAggs.head, confAggs.tail: _*)
     val conf0 = tlK.join(confK, Seq("run_id", "t"), "left")
@@ -302,16 +308,60 @@ object Flagship extends QueryModule {
     taskCols.join(withSpikes, Seq("run_id", "t"))
   }
 
+  /** The keyed (run_id, g, t, y_dec) series shared by both multi-subject
+    * GLM paths. */
+  private def seriesKeyed(ev: DataFrame): DataFrame = ev
+    .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
+    .select(
+      col("run_id"),
+      (col("user_id") % 10).as("g"),
+      expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
+      col("value").cast("decimal(18,2)").as("y_dec"),
+    )
+    .filter(col("t") < N)
+    .groupBy("run_id", "g", "t").agg(sum("y_dec").as("y_dec"))
+
+  private def finishMulti(s: SparkSession, raw: DataFrame): DataFrame = {
+    val names = {
+      import s.implicits._
+      regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
+    }
+    raw
+      .join(broadcast(names), "j")
+      .select(col("run_id"), col("g"), col("regressor"),
+        round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),
+        round(col("t_stat"), 6).as("t_stat"), round(col("p"), 6).as("p"), col("df"))
+      .orderBy("run_id", "g", "regressor")
+  }
+
   /** The multi-subject flagship (SURVEY §2.9 O2 executed end-to-end,
-    * vs ssm_loop.py:28's one process per `$sub`): EVERY key's full-width
-    * design is built in one keyed DAG ([[designFrameKeyed]]), the
-    * |keys|×N×k design block collects as the catalog-sized model barrier
-    * (the same X-before-regress() barrier ssm_loop pays per process,
-    * paid here once for the whole catalog), per-key pinvs feed
-    * [[GlmOps.massGLMPackedPerKey]], and all (key, group) series fit in
-    * ONE packed mass-GLM query. Output: (run_id, g, regressor, beta,
-    * sigma, t_stat, p, df). */
+    * vs ssm_loop.py:28's one process per `$sub`), FULLY DISTRIBUTED:
+    * EVERY key's full-width design is built in one keyed DAG
+    * ([[designFrameKeyed]]), each key's pinv runs as an independent
+    * executor-side mapGroups job ([[GlmOps.designWeightsKeyed]] — no
+    * O(catalog) driver collect), and the weight relation joins the packed
+    * series BY KEY with no broadcast hint (AQE broadcasts while the
+    * catalog is small, switches to a key-aligned shuffle join past its
+    * threshold — at ~27k keys the weights are gigabytes: exactly the
+    * broadcast this path avoids). All (key, group) series fit in ONE
+    * packed mass-GLM query. Output: (run_id, g, regressor, beta, sigma,
+    * t_stat, p, df). Spec-pinned bit-equal to
+    * [[multiSubjectModelCollected]]. */
   def multiSubjectModel(s: SparkSession, ev: DataFrame): DataFrame = {
+    import graft.glm.GlmOps
+    val weights = GlmOps.designWeightsKeyed(
+      designFrameKeyed(s, ev).select(col("run_id") +: col("t") +: regressors.map(col): _*),
+      "run_id", "t", regressors, N)
+    finishMulti(s, GlmOps.massGLMPackedPerKeyWeights(
+      s, seriesKeyed(ev), weights, N, regressors.length, "run_id", "g"))
+  }
+
+  /** The pre-r11 driver-collected variant — the |keys|×N×k design block
+    * crosses to the driver and the per-key weight tables ship as one
+    * broadcast. Kept as the spec pin for the distributed path (bit-equal
+    * by construction: same LinAlg on the same doubles) and as the
+    * measured small-catalog reference point in Probe. */
+  private[graft] def multiSubjectModelCollected(s: SparkSession, ev: DataFrame): DataFrame = {
     import graft.glm.{GlmOps, LinAlg}
     val dRows = designFrameKeyed(s, ev)
       .select(col("run_id") +: col("t") +: regressors.map(col): _*)
@@ -325,25 +375,8 @@ object Flagship extends QueryModule {
           regressors.indices.map(i => r.getDouble(i + 2)).toArray
         })
       }
-    val series = ev
-      .select(
-        col("run_id"),
-        (col("user_id") % 10).as("g"),
-        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
-        col("value").cast("decimal(18,2)").as("y_dec"),
-      )
-      .filter(col("t") >= 0 && col("t") < N)
-      .groupBy("run_id", "g", "t").agg(sum("y_dec").as("y_dec"))
-    val names = {
-      import s.implicits._
-      regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
-    }
-    GlmOps.massGLMPackedPerKey(s, series, designs, "run_id", "g")
-      .join(broadcast(names), "j")
-      .select(col("run_id"), col("g"), col("regressor"),
-        round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),
-        round(col("t_stat"), 6).as("t_stat"), round(col("p"), 6).as("p"), col("df"))
-      .orderBy("run_id", "g", "regressor")
+    finishMulti(s,
+      GlmOps.massGLMPackedPerKey(s, seriesKeyed(ev), designs, "run_id", "g"))
   }
 
   /** q104: the reference's actual workload shape — a catalog of

@@ -102,11 +102,17 @@ object Glm extends QueryModule {
   private val bucketUs = 21600000000L // 6 hours
 
   def massGlmBetas(s: SparkSession, d: String): DataFrame = {
-    val series = events(s, d).select(
-      (col("user_id") % 20).as("g"),
-      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
-      col("value").cast("decimal(18,2)").as("y_dec"),
-    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    // `ts div 1000 - baseUs >= 0` BEFORE bucketing: Spark `div` truncates
+    // toward zero while the oracle's `//` floors, so a pre-baseUs event
+    // would land in bucket 0 here but bucket −1 (excluded by the design
+    // join) in the oracle. On nonnegative differences the two agree.
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 20).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+        col("value").cast("decimal(18,2)").as("y_dec"),
+      ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
     GlmOps.massBetas(s, series, design, "g").orderBy("g", "j")
   }
 
@@ -136,11 +142,14 @@ object Glm extends QueryModule {
   // GlmOps.massGLM) is mirrored op-for-op in SQL.
 
   def massGlmStats(s: SparkSession, d: String): DataFrame = {
-    val series = events(s, d).select(
-      (col("user_id") % 20).as("g"),
-      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
-      col("value").cast("decimal(18,2)").as("y_dec"),
-    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    // raw-difference guard before bucketing: see massGlmBetas
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 20).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+        col("value").cast("decimal(18,2)").as("y_dec"),
+      ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
     // the PACKED path (bit-identical to massGLM, spec-pinned) — this very
     // query's hash match against the classic-arithmetic SQL oracle is the
     // end-to-end proof of that equivalence
@@ -211,11 +220,14 @@ object Glm extends QueryModule {
   // them into a per-group list, and dots the SAME n×k design literal.
 
   def massGlmResiduals(s: SparkSession, d: String): DataFrame = {
-    val series = events(s, d).select(
-      (col("user_id") % 20).as("g"),
-      expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
-      col("value").cast("decimal(18,2)").as("y_dec"),
-    ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    // raw-difference guard before bucketing: see massGlmBetas
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 20).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+        col("value").cast("decimal(18,2)").as("y_dec"),
+      ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
     GlmOps.massResiduals(s, series, design, "g")
       .withColumn("resid", round(col("resid"), 6))
       .orderBy("g", "t")
@@ -283,11 +295,15 @@ object Glm extends QueryModule {
 
   def multiRunGlm(s: SparkSession, d: String): DataFrame = {
     val series = events(s, d)
+      // guard on the RAW difference, mirroring the oracle's WHERE: trunc
+      // div would map an event up to 1 h before baseUs to (run 0, t 0)
+      // while the floor-div oracle excludes it (see massGlmBetas)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
       .select(
         (col("user_id") % 10).as("g"),
         expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
         col("value").cast("decimal(18,2)").as("y_dec"))
-      .filter(col("th") >= 0 && col("th") < Runs * Nr)
+      .filter(col("th") < Runs * Nr)
       .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
         col("g"), col("y_dec"))
       .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))

@@ -32,6 +32,17 @@ object BpeOps {
   /** Symbol sentinel: must not occur in corpus tokens (control char). */
   val SEP = "\u0001"
 
+  /** Code-point (= UTF-8 byte = Spark UTF8String) string ordering. Java's
+    * String `<` compares UTF-16 code units, which sorts supplementary-
+    * plane characters (surrogate pairs, 0xD800\u20130xDFFF units) BELOW
+    * U+E000\u2013U+FFFF \u2014 the opposite of code-point order. The driver trainer
+    * must break ties exactly like the relational trainer's Spark orderBy,
+    * so compare UTF-8 bytes unsigned. */
+  private[text] def cpLt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   /** The learned merge table: (round, left_sym, right_sym, freq) for
     * `rounds` rounds of top-pair merging over the whitespace-tokenized
     * corpus. Stops early (fewer rows) if no adjacent pair remains. */
@@ -82,6 +93,13 @@ object BpeOps {
     out.toSeq.toDF("round", "left_sym", "right_sym", "freq")
   }
 
+  /** Bound on the driver-side vocabulary collect: a web-scale corpus has
+    * 10⁸–10⁹ word types, and an unbounded `.collect()` there is a silent
+    * OOM. The trainer fetches at most `maxVocab + 1` rows (top-frequency
+    * first) and REFUSES loudly if the cap binds — capped ≡ uncapped
+    * whenever the corpus fits (spec-pinned). */
+  val DefaultMaxVocab = 5000000
+
   /** DRIVER-FINISHED BPE training — the production path for realistic
     * merge counts: ONE distributed word-count aggregation (the only
     * corpus-sized work BPE training has), then the whole merge loop over
@@ -103,15 +121,26 @@ object BpeOps {
     * vocabulary-sized after map-side combine; the collect is the model
     * barrier every tokenizer trainer has (the vocabulary IS the model
     * input). The driver loop is O(rounds × vocabulary symbols). */
-  def mergesDriver(docs: DataFrame, rounds: Int): DataFrame = {
+  def mergesDriver(docs: DataFrame, rounds: Int,
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
     require(rounds >= 1, s"BPE rounds must be >= 1, got $rounds")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val s = docs.sparkSession
     import s.implicits._
-    val vocab: Array[(Array[String], Long)] = docs
+    // TakeOrderedAndProject bounds the barrier: at most maxVocab+1 rows
+    // ever cross to the driver, whatever the corpus size. Row order is
+    // irrelevant to the merge loop (pair counts are a sum over words).
+    val vocabRows = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(maxVocab + 1)
       .collect()
+    require(vocabRows.length <= maxVocab,
+      s"BPE vocabulary exceeds maxVocab=$maxVocab word types; raise maxVocab " +
+        "or apply a min-count floor upstream — refusing an unbounded driver collect")
+    val vocab: Array[(Array[String], Long)] = vocabRows
       .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
     val words: Array[Array[String]] = vocab.map(_._1)
     val counts: Array[Long] = vocab.map(_._2)
@@ -135,9 +164,13 @@ object BpeOps {
       else {
         var best: ((String, String), Long) = null
         pairs.foreach { case (p, f) =>
+          // tie-break by CODE POINTS (= UTF-8 byte order = Spark's
+          // UTF8String ordering), not Java String's UTF-16 code-unit
+          // order — the two differ for supplementary-plane symbols, and
+          // the relational trainer's orderBy uses the former
           if (best == null || f > best._2 ||
-            (f == best._2 && (p._1 < best._1._1 ||
-              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, f)
+            (f == best._2 && (cpLt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && cpLt(p._2, best._1._2))))) best = (p, f)
         }
         val ((l, r), f) = best
         out += ((round.toLong, l, r, f))

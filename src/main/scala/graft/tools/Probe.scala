@@ -439,3 +439,81 @@ object ProbeSpaceSaving {
     spark.stop()
   }
 }
+
+/** Scratch main: the q104 catalog-scale question — per-key mass GLM at a
+  * ~5k-key catalog, driver-collected designs + one O(catalog) broadcast
+  * (the pre-r11 path) vs distributed mapGroups pinv + hint-free weights
+  * join (AQE picks broadcast vs key-aligned shuffle). At 5000 keys,
+  * k = 8, n = 128 the weight relation is 5000·(2·8·128 + 8) longs ≈
+  * 82 MB — past AQE's broadcast threshold, so the hint-free plan joins
+  * by key and nothing catalog-sized crosses the driver or every
+  * executor. Not part of the driver contract; numbers go to SCALE.md. */
+object ProbePerKeyGlm {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.glm.{GlmOps, LinAlg}
+    val keys = 5000
+    val n = 128
+    val k = 8
+    // per-key design: intercept + key-phased cosines — every key distinct,
+    // all well-conditioned
+    def designOf(key: Long): LinAlg.Mat = Array.tabulate(n, k)((t, j) =>
+      if (j == 0) 1.0
+      else math.cos(math.Pi * j * (2 * t + 1) / (2.0 * n) + (key % 7) * 0.1))
+    // the keyed design frame as a relation (what designFrameKeyed emits):
+    // |keys|·n rows, k regressor columns
+    val regs = (0 until k).map(j => s"x$j")
+    val frame = spark.range(0, keys.toLong * n).select(
+      (col("id") / n).cast("long").as("key"),
+      (col("id") % n).cast("long").as("t"),
+      col("id"))
+      .select(col("key") +: col("t") +: (0 until k).map(j =>
+        when(lit(j) === 0, 1.0)
+          .otherwise(cos(lit(math.Pi * j) * (col("t") * 2 + 1) / (2.0 * n)
+            + (col("key") % 7) * 0.1)).as(s"x$j")): _*)
+    // 4 groups per key × n timepoints = 2.56M observation rows
+    val series = spark.range(0, keys.toLong * 4 * n).select(
+      (col("id") / (4 * n)).cast("long").as("key"),
+      (col("id") / n % 4).cast("long").as("g"),
+      (col("id") % n).cast("long").as("t"),
+      ((col("id") * 37 % 997).cast("decimal(18,2)") / 100)
+        .cast("decimal(18,2)").as("y_dec"))
+    def time(label: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+      def q = mk().agg(count(lit(1)), sum(col("t_stat")))
+      q.collect() // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 3) { q.collect(); i += 1 }
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 3e9}%.2f s/run")
+    }
+    time(s"collected designs + broadcast ($keys keys)", () => {
+      val designs = (0 until keys).map(key => (key.toLong, designOf(key)))
+      GlmOps.massGLMPackedPerKey(spark, series, designs, "key", "g")
+    })
+    time(s"distributed pinv + hint-free join ($keys keys)", () => {
+      val w = GlmOps.designWeightsKeyed(frame, "key", "t", regs, n)
+      GlmOps.massGLMPackedPerKeyWeights(spark, series, w, n, k, "key", "g")
+    })
+    // plan evidence, read AFTER execution (AQE final plan): at 5000 keys
+    // the weights join must stay a shuffle join; at 50 keys AQE should
+    // promote it to broadcast from the measured checkpoint size
+    def finalJoin(nKeys: Int): String = {
+      val fr = frame.filter(col("key") < nKeys)
+      val se = series.filter(col("key") < nKeys)
+      val w = GlmOps.designWeightsKeyed(fr, "key", "t", regs, n)
+      val q = GlmOps.massGLMPackedPerKeyWeights(spark, se, w, n, k, "key", "g")
+        .agg(count(lit(1)))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin" else "shuffle join"
+    }
+    println(s"weights join at 50 keys:   ${finalJoin(50)}")
+    println(s"weights join at 5000 keys: ${finalJoin(5000)}")
+    spark.stop()
+  }
+}

@@ -111,6 +111,21 @@ class FlagshipSpec extends SparkSpec {
     }
   }
 
+  test("distributed per-key weights path is BIT-equal to the collected broadcast path") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val ev = graft.util.Tables.events(s, sf001)
+      .withColumn("run_id", col("user_id") % 4)
+    // same LinAlg over the same doubles in the same t-order, whether the
+    // pinv runs driver-side (collected+broadcast) or in executor mapGroups
+    // (distributed, hint-free join) — IEEE determinism means EVERY value
+    // must match exactly, not just to tolerance
+    val dist = graft.queries.Flagship.multiSubjectModel(s, ev).collect()
+    val coll = graft.queries.Flagship.multiSubjectModelCollected(s, ev).collect()
+    assert(dist.length === coll.length)
+    dist.zip(coll).foreach { case (a, b) => assert(a === b, s"$a vs $b") }
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
