@@ -52,29 +52,6 @@ object Flagship extends QueryModule {
       Seq("z_tissue_avg", "z_tissue_max") ++
       (1 to 8).map(i => s"spike_$i")
 
-  /** Per-TR confound aggregates — the engine's analog of the fMRIprep
-    * confounds TSV: per-type activity sums, event count, and two summary
-    * signals (mean / max value) that become the tissue regressors. */
-  private def confounds(ev0: DataFrame): DataFrame = {
-    val ev = ev0
-      // raw-difference guard BEFORE bucketing: Spark `div` truncates toward
-      // zero (an event < 1 TR before baseUs would land in t = 0) while the
-      // floor semantics the design assumes exclude it
-      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
-      .select(
-        expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
-        col("event_type"), col("value"))
-      .filter(col("t") < N)
-    val aggs =
-      eventTypes.map(tp =>
-        sum(when(col("event_type") === tp, col("value")).otherwise(0.0)).as(s"mo_$tp")) ++
-        Seq(
-          count(lit(1)).cast("double").as("mo_n"),
-          avg(col("value")).as("tissue_avg_raw"),
-          max(col("value")).as("tissue_max_raw"))
-    ev.groupBy("t").agg(aggs.head, aggs.tail: _*)
-  }
-
   /** The full 2016×40 design frame. Window functions here run over the
     * DESIGN FRAME only (N rows, constant-sized) — the single-partition sort
     * is the same driver-adjacent barrier as the pinv collect, never over
@@ -82,69 +59,13 @@ object Flagship extends QueryModule {
   private[graft] def designFrame(s: SparkSession, d: String): DataFrame =
     designFrameOf(s, events(s, d))
 
-  private[graft] def designFrameOf(s: SparkSession, ev: DataFrame): DataFrame = {
-    val trials = ev.select(
-      ((expr("ts div 1000") - baseUs) / 1000000.0).as("onset"),
-      col("value").as("duration"),
-      col("event_type").as("trial_type"),
-    )
-    val tl = DesignOps.timeline(s, N, 300.0)
-    val box = DesignOps.boxcar(tl, trials, Seq("click", "purchase"), 300.0, N.toLong)
-    val conv = DesignOps.convolve(box, s, DesignOps.hrfKernelInts(1.0, 24),
-      Seq("click", "purchase"), N)
-    val taskCols = DesignOps.dctBasis(DesignOps.polyTrend(tl.select("t"), N, 0), N, 3)
-      .join(conv, "t")
-
-    // confounds joined to the dense timeline; empty TRs are quiet (0.0).
-    // Materialized ONCE (N rows, constant-sized): both the spike-TR pick
-    // and the design collect consume it, and without the barrier each
-    // action would re-run the events scan + per-TR aggregation.
-    val conf0 = tl.select("t").join(confounds(ev), Seq("t"), "left")
-      .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
-      // the partition key every window below runs under: this pipeline is
-      // ONE subject's run by construction (SURVEY §7.5), so the key is a
-      // constant — but declaring it keeps the WindowExecs partitioned (no
-      // move-everything-to-one-partition plan shape), and a multi-subject
-      // caller binds the same windows to real run ids
-      .withColumn("run_id", lit(1L))
-      .localCheckpoint()
-    // tissue signals: 12-TR trailing mean (a smooth slow signal, like the
-    // csf/wm averages), then z-scored like ssm_loop.py:72-74
-    val wRoll = Window.partitionBy(col("run_id")).orderBy(col("t"))
-      .rowsBetween(-11, 0)
-    val conf = conf0
-      .withColumn("tissue_avg", avg(col("tissue_avg_raw")).over(wRoll))
-      .withColumn("tissue_max", avg(col("tissue_max_raw")).over(wRoll))
-
-    // z-score the 6 motion bases + 2 tissue signals over the timeline
-    // (population ddof, matching StatsOps.zscore): one agg row, broadcast
-    val zCols = motionBases ++ Seq("tissue_avg", "tissue_max")
-    val statAggs = zCols.flatMap(c =>
-      Seq(avg(col(c)).as(s"__m_$c"), stddev_pop(col(c)).as(s"__s_$c")))
-    val stats = conf.agg(statAggs.head, statAggs.tail: _*)
-    val zed = zCols.foldLeft(conf.crossJoin(broadcast(stats))) { (acc, c) =>
-      acc.withColumn(s"z_$c",
-        when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
-          .otherwise(lit(0.0)))
-    }.select(col("t") +: col("run_id") +: zCols.map(c => col(s"z_$c")): _*)
-
-    // 6 → 24 motion covariates: c, c², Δc, (Δc)² per z-scored base,
-    // lag windows partitioned by the run key
-    val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"),
-      "t", partitionCols = Seq("run_id"))
-
-    // spike one-hots: the 8 busiest TRs (count desc, t asc tie-break) —
-    // the engine's analog of FD-flagged motion_outlier columns; the list is
-    // 8 rows to the driver, constant-sized
-    val spikeTs = conf0.select(col("t"), col("mo_n"))
-      .orderBy(col("mo_n").desc, col("t").asc)
-      .limit(8).collect().map(_.getLong(0)).sorted.toSeq
-    val withSpikes = spikeTs.zipWithIndex.foldLeft(motion) { case (acc, (tr, i)) =>
-      acc.withColumn(s"spike_${i + 1}", when(col("t") === tr, 1.0).otherwise(0.0))
-    }
-
-    taskCols.join(withSpikes.drop("run_id"), "t")
-  }
+  /** Single-subject design = the keyed pipeline pinned to one constant key
+    * and the key dropped. ONE implementation serves both the per-process
+    * shape (ssm_loop.py's one `$sub`) and the whole-catalog shape — the
+    * r10 spec pin "keyed ≡ single-subject per key" is now true by
+    * construction, not by parallel maintenance of twin code paths. */
+  private[graft] def designFrameOf(s: SparkSession, ev: DataFrame): DataFrame =
+    designFrameKeyed(s, ev.withColumn("run_id", lit(1L))).drop("run_id")
 
   /** Full pipeline: returns (g, regressor, beta, sigma, t_stat, p, df). */
   def singleSubjectModel(s: SparkSession, d: String): DataFrame =
@@ -249,50 +170,74 @@ object Flagship extends QueryModule {
     val taskCols = DesignOps.dctBasis(DesignOps.polyTrend(tlK, N, 0), N, 3)
       .join(conv, Seq("run_id", "t"))
 
-    // keyed confounds over the dense grid
+    // keyed confounds over the dense grid — INTEGER fixed-point from the
+    // first aggregate on: each event's value quantizes once to cents
+    // (floor(v·100 + ½), a deterministic double op in every engine), and
+    // everything downstream of that is int64 arithmetic. This is what
+    // makes the whole design frame hash-checkable (q109): no engine ever
+    // sums raw doubles in its own partition order.
+    val fpv = expr("cast(floor(value * 100 + 0.5D) as bigint)")
     val confAggs =
       eventTypes.map(tp =>
-        sum(when(col("event_type") === tp, col("value")).otherwise(0.0)).as(s"mo_$tp")) ++
+        sum(when(col("event_type") === tp, col("__fpv")).otherwise(0L)).as(s"fp_mo_$tp")) ++
         Seq(
-          count(lit(1)).cast("double").as("mo_n"),
-          avg(col("value")).as("tissue_avg_raw"),
-          max(col("value")).as("tissue_max_raw"))
+          count(lit(1)).as("fp_mo_n"),
+          sum(col("__fpv")).as("__sv"),
+          max(col("__fpv")).as("__mx"))
     val confK = ev
       .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
       .select(col("run_id"),
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
-        col("event_type"), col("value"))
+        col("event_type"), fpv.as("__fpv"))
       .filter(col("t") < N)
       .groupBy("run_id", "t")
       .agg(confAggs.head, confAggs.tail: _*)
+    val fpCols = motionBases.map(c => s"fp_$c") ++ Seq("__sv", "__mx")
     val conf0 = tlK.join(confK, Seq("run_id", "t"), "left")
-      .na.fill(0.0, motionBases ++ Seq("tissue_avg_raw", "tissue_max_raw"))
+      .na.fill(0L, fpCols)
       .localCheckpoint()
+    // tissue signals over a 12-TR trailing window: POOLED mean (window
+    // event-cent sum / window event count — one double division, not a
+    // mean of per-TR means) re-quantized to cents, and the window max.
+    // Both are exact int64 windows + one deterministic double op.
     val wRoll = Window.partitionBy(col("run_id")).orderBy(col("t"))
       .rowsBetween(-11, 0)
     val conf = conf0
-      .withColumn("tissue_avg", avg(col("tissue_avg_raw")).over(wRoll))
-      .withColumn("tissue_max", avg(col("tissue_max_raw")).over(wRoll))
+      .withColumn("__rs", sum(col("__sv")).over(wRoll))
+      .withColumn("__rc", sum(col("fp_mo_n")).over(wRoll))
+      .withColumn("fp_tissue_avg",
+        when(col("__rc") > 0,
+          expr("cast(floor(cast(__rs as double) / cast(__rc as double) + 0.5D) as bigint)"))
+          .otherwise(lit(0L)))
+      .withColumn("fp_tissue_max", max(col("__mx")).over(wRoll))
 
-    // per-key z-scoring: one stats row per key, broadcast back
+    // per-key z-scoring from EXACT integer moments (Σx, Σx² over the fp
+    // columns; n = N is a constant of the design): mean/var/σ/z are then
+    // the same short double-op chain in every engine — bit-equal, where
+    // avg+stddev_pop would differ in engine-specific summation order.
+    // z is scale-invariant, so z over cents ≡ z over the raw signal.
     val zCols = motionBases ++ Seq("tissue_avg", "tissue_max")
     val statAggs = zCols.flatMap(c =>
-      Seq(avg(col(c)).as(s"__m_$c"), stddev_pop(col(c)).as(s"__s_$c")))
+      Seq(sum(col(s"fp_$c")).as(s"__s_$c"),
+        sum(col(s"fp_$c") * col(s"fp_$c")).as(s"__q_$c")))
     val stats = conf.groupBy("run_id").agg(statAggs.head, statAggs.tail: _*)
     val zed = zCols.foldLeft(conf.join(broadcast(stats), "run_id")) { (acc, c) =>
+      val mean = col(s"__s_$c").cast("double") / N.toDouble
+      val varr = col(s"__q_$c").cast("double") / N.toDouble - mean * mean
       acc.withColumn(s"z_$c",
-        when(col(s"__s_$c") > 0, (col(c) - col(s"__m_$c")) / col(s"__s_$c"))
+        when(varr > 0, (col(s"fp_$c").cast("double") - mean) / sqrt(varr))
           .otherwise(lit(0.0)))
     }.select(col("t") +: col("run_id") +: zCols.map(c => col(s"z_$c")): _*)
 
     val motion = TsvOps.motionCovariates(zed, motionBases.map(c => s"z_$c"),
       "t", partitionCols = Seq("run_id"))
 
-    // per-key spike picks, relational: rank by (mo_n desc, t asc) per key,
-    // number the 8 picks by ascending t (matching the single-subject
-    // sorted-list numbering), then conditional-project the one-hots
-    val wPick = Window.partitionBy("run_id").orderBy(col("mo_n").desc, col("t").asc)
-    val picks = conf0.select(col("run_id"), col("t"), col("mo_n"))
+    // per-key spike picks, relational: rank by (event count desc, t asc)
+    // per key, number the 8 picks by ascending t (matching the
+    // single-subject sorted-list numbering), then conditional-project the
+    // one-hots
+    val wPick = Window.partitionBy("run_id").orderBy(col("fp_mo_n").desc, col("t").asc)
+    val picks = conf0.select(col("run_id"), col("t"), col("fp_mo_n"))
       .withColumn("__rk", row_number().over(wPick))
       .filter(col("__rk") <= 8)
     val wNum = Window.partitionBy("run_id").orderBy(col("t").asc)
@@ -385,6 +330,173 @@ object Flagship extends QueryModule {
   def multiSubjectQuery(s: SparkSession, d: String): DataFrame =
     multiSubjectModel(s, events(s, d).withColumn("run_id", col("user_id") % 4))
 
+  /** q109: the keyed design frame ITSELF as a hash-checked relation —
+    * everything q104 computes upstream of pinv (keyed boxcar, HRF
+    * convolution, DCT/poly, fixed-point confounds, pooled rolling tissue
+    * signals, exact-moment z-scores, 24 motion covariates, rank-window
+    * spike picks) mirrored op-for-op in the oracle. Closes the flagship
+    * verification gap: after this, only the pinv/t-CDF numerics stay
+    * rows-only (q48/q104), and those are spec-pinned.
+    *
+    * Every value is bit-equal across engines by construction: integer
+    * fixed-point confounds, exact int64 moments, and shared-literal
+    * kernels; only the dct cosines pass through a libm call, and those
+    * are rounded to 6 dp on both sides (the q34 discipline). */
+  def keyedDesign(s: SparkSession, d: String): DataFrame = {
+    val out = designFrameKeyed(s,
+      events(s, d).withColumn("run_id", col("user_id") % 4))
+    val cols = regressors.map {
+      case c if c.startsWith("dct") => round(col(c), 6).as(c)
+      case c => col(c)
+    }
+    out.select(col("run_id") +: col("t") +: cols: _*).orderBy("run_id", "t")
+  }
+
+  private def keyedDesignSql: String = {
+    val kern = DesignOps.hrfKernelInts(1.0, 24).zipWithIndex
+      .map { case (h, tau) => s"($tau, $h)" }.mkString(", ")
+    val fpAggs = (eventTypes.map(tp =>
+      s"SUM(CASE WHEN event_type = '$tp' THEN fpv ELSE 0 END) AS fp_mo_$tp") ++
+      Seq("COUNT(*) AS fp_mo_n", "SUM(fpv) AS sv", "MAX(fpv) AS mx"))
+      .mkString(",\n    ")
+    val fpCoals = (motionBases.map(c => s"COALESCE(k.fp_$c, 0) AS fp_$c") ++
+      Seq("COALESCE(k.sv, 0) AS sv", "COALESCE(k.mx, 0) AS mx"))
+      .mkString(",\n    ")
+    val zc = motionBases ++ Seq("tissue_avg", "tissue_max")
+    val statAggs = zc.flatMap(c => Seq(
+      s"SUM(fp_$c) AS s_$c", s"SUM(fp_$c * fp_$c) AS q_$c")).mkString(",\n    ")
+    def zExpr(c: String): String = {
+      val m = s"(CAST(s_$c AS DOUBLE) / $N.0)"
+      val v = s"(CAST(q_$c AS DOUBLE) / $N.0 - $m * $m)"
+      s"CASE WHEN $v > 0 THEN (CAST(fp_$c AS DOUBLE) - $m) / sqrt($v) ELSE 0.0 END AS z_$c"
+    }
+    val zExprs = zc.map(zExpr).mkString(",\n    ")
+    val zPass = (motionBases.map(c => s"z_$c") ++ Seq("z_tissue_avg", "z_tissue_max"))
+      .mkString(", ")
+    val motExprs = motionBases.map { c0 =>
+      val c = s"z_$c0"
+      s"""$c * $c AS ${c}_sq,
+         |    COALESCE($c - LAG($c) OVER wt, 0.0) AS ${c}_d,
+         |    COALESCE(($c - LAG($c) OVER wt) * ($c - LAG($c) OVER wt), 0.0) AS ${c}_d_sq"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val dcts = (1 to 3).map(kk =>
+      s"round(cos(${math.Pi * kk} * (2 * m.t + 1) / ${2.0 * N}), 6) AS dct$kk")
+      .mkString(",\n  ")
+    val motOut = motionBases
+      .flatMap(c0 => Seq(s"z_$c0", s"z_${c0}_sq", s"z_${c0}_d", s"z_${c0}_d_sq"))
+      .map(c => s"m.$c AS $c").mkString(",\n  ")
+    val spikes = (1 to 8).map(i =>
+      s"CAST(CASE WHEN sp.si = $i THEN 1.0 ELSE 0.0 END AS DOUBLE) AS spike_$i")
+      .mkString(",\n  ")
+    s"""WITH ev AS (
+       |  SELECT user_id % 4 AS run_id, epoch_us(ts) AS us, event_type, value,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS fpv
+       |  FROM events
+       |),
+       |keys AS (SELECT DISTINCT run_id FROM ev),
+       |tl AS (SELECT CAST(g AS BIGINT) AS t FROM generate_series(0, ${N - 1}) AS gs(g)),
+       |tlk AS (SELECT run_id, t FROM keys CROSS JOIN tl),
+       |tr AS (
+       |  SELECT run_id, (us - $baseUs) / 1000000.0 AS onset,
+       |         value AS duration, event_type AS trial_type
+       |  FROM ev
+       |),
+       |cand AS (
+       |  SELECT run_id, trial_type, onset, duration,
+       |    unnest(generate_series(CAST(greatest(floor(onset / 300.0), 0) AS BIGINT),
+       |                           CAST(least(floor((onset + duration) / 300.0) + 1, ${N - 1}) AS BIGINT))) AS t
+       |  FROM tr
+       |  WHERE CAST(greatest(floor(onset / 300.0), 0) AS BIGINT)
+       |     <= CAST(least(floor((onset + duration) / 300.0) + 1, ${N - 1}) AS BIGINT)
+       |),
+       |boxh AS (
+       |  SELECT run_id, t,
+       |    MAX(CASE WHEN trial_type = 'click' THEN 1 ELSE 0 END) AS click,
+       |    MAX(CASE WHEN trial_type = 'purchase' THEN 1 ELSE 0 END) AS purchase
+       |  FROM cand
+       |  WHERE onset <= t * 300.0 AND t * 300.0 < onset + duration
+       |  GROUP BY run_id, t
+       |),
+       |box AS (
+       |  SELECT tlk.run_id, tlk.t,
+       |    COALESCE(b.click, 0) AS click, COALESCE(b.purchase, 0) AS purchase
+       |  FROM tlk LEFT JOIN boxh b ON b.run_id = tlk.run_id AND b.t = tlk.t
+       |),
+       |kern(tau, h) AS (VALUES $kern),
+       |conv AS (
+       |  SELECT b.run_id, b.t + k.tau AS t,
+       |    CAST(SUM(k.h * b.click) AS DOUBLE) / 1000000.0 AS conv_click,
+       |    CAST(SUM(k.h * b.purchase) AS DOUBLE) / 1000000.0 AS conv_purchase
+       |  FROM box b JOIN kern k ON b.t + k.tau < $N
+       |  GROUP BY b.run_id, b.t + k.tau
+       |),
+       |confk AS (
+       |  SELECT run_id, t,
+       |    $fpAggs
+       |  FROM (SELECT run_id, (us - $baseUs) // $trUs AS t, event_type, fpv
+       |        FROM ev WHERE us - $baseUs >= 0) e
+       |  WHERE t < $N
+       |  GROUP BY run_id, t
+       |),
+       |conf0 AS (
+       |  SELECT tlk.run_id, tlk.t,
+       |    $fpCoals
+       |  FROM tlk LEFT JOIN confk k ON k.run_id = tlk.run_id AND k.t = tlk.t
+       |),
+       |roll AS (
+       |  SELECT *, SUM(sv) OVER w12 AS rs, SUM(fp_mo_n) OVER w12 AS rc,
+       |    MAX(mx) OVER w12 AS fp_tissue_max
+       |  FROM conf0
+       |  WINDOW w12 AS (PARTITION BY run_id ORDER BY t
+       |                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+       |),
+       |sig AS (
+       |  SELECT *, CASE WHEN rc > 0
+       |    THEN CAST(floor(CAST(rs AS DOUBLE) / CAST(rc AS DOUBLE) + 0.5) AS BIGINT)
+       |    ELSE 0 END AS fp_tissue_avg
+       |  FROM roll
+       |),
+       |st AS (
+       |  SELECT run_id,
+       |    $statAggs
+       |  FROM sig GROUP BY run_id
+       |),
+       |zed AS (
+       |  SELECT g.run_id, g.t,
+       |    $zExprs
+       |  FROM sig g JOIN st USING (run_id)
+       |),
+       |mot AS (
+       |  SELECT run_id, t, $zPass,
+       |    $motExprs
+       |  FROM zed
+       |  WINDOW wt AS (PARTITION BY run_id ORDER BY t)
+       |),
+       |picks AS (
+       |  SELECT run_id, t,
+       |    ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY fp_mo_n DESC, t ASC) AS rk
+       |  FROM conf0
+       |),
+       |spikes AS (
+       |  SELECT run_id, t, ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY t ASC) AS si
+       |  FROM picks WHERE rk <= 8
+       |)
+       |SELECT m.run_id, m.t,
+       |  c.conv_click AS conv_click,
+       |  c.conv_purchase AS conv_purchase,
+       |  $dcts,
+       |  CAST(1.0 AS DOUBLE) AS poly0,
+       |  $motOut,
+       |  m.z_tissue_avg AS z_tissue_avg,
+       |  m.z_tissue_max AS z_tissue_max,
+       |  $spikes
+       |FROM mot m
+       |JOIN conv c ON c.run_id = m.run_id AND c.t = m.t
+       |LEFT JOIN spikes sp ON sp.run_id = m.run_id AND sp.t = m.t
+       |ORDER BY m.run_id, m.t""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     // no DuckDB oracle: X is data-dependent and p needs the t CDF —
     // rows-only check here; numerics are golden-tested in GlmSpec/FlagshipSpec
@@ -393,5 +505,6 @@ object Flagship extends QueryModule {
     // FlagshipSpec pins each key's results to the single-subject pipeline
     // run on that key's events alone
     Q("q104_multi_subject_glm", multiSubjectQuery, None),
+    Q("q109_keyed_design", keyedDesign, Some(keyedDesignSql)),
   )
 }

@@ -19,7 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events` with `ts` normalized to BIGINT NANOSECONDS since the epoch —
+    * the engine-wide ts convention (every consumer computes micros as
+    * `ts div 1000`). Earlier driver drops stored ts as parquet
+    * TIMESTAMP(NANOS), which Spark has no type for and surfaces as BIGINT
+    * nanos; the current drop stores TIMESTAMP(MICROS) → TIMESTAMP_NTZ, so
+    * the load re-derives the same nanos integer (session timezone is
+    * pinned to UTC in every entrypoint, making the NTZ→epoch conversion
+    * timezone-free). Handles both vintages so the convention is stable
+    * whatever the driver wrote. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

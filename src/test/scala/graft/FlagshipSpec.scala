@@ -127,7 +127,11 @@ class FlagshipSpec extends SparkSpec {
   }
 
   test("entry returns rows on sf0.001 (driver smoke contract)") {
-    assert(SparkEntry.entry(spark).count() > 0)
+    // entry() installs TopKPerKey on the shared session; undo it so other
+    // suites keep planning against stock Spark (SparkSpec's invariant —
+    // PlanShapeSpec's q78 exchange count is sensitive to the extension)
+    try assert(SparkEntry.entry(spark).count() > 0)
+    finally graft.plans.TopKPerKey.uninstall(spark)
   }
 
   test("M5: per-regressor partitioned export (write.partitionBy)") {

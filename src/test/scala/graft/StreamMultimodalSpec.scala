@@ -10,8 +10,9 @@ class StreamMultimodalSpec extends SparkSpec {
   test("streaming tumbling counts equal the batch twin on the same files") {
     val s = spark
     val dir = Files.createTempDirectory("graft-stream").toString
-    // events with a real TimestampType ts (testdata nanos-long → timestamp)
-    val batch = s.read.parquet(s"$sf0001/events.parquet")
+    // events with a real TimestampType ts (Tables.events normalizes ts to
+    // epoch-nanos BIGINT whatever vintage the driver wrote)
+    val batch = graft.util.Tables.events(s, sf0001)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("ts", "event_type", "value")
     batch.repartition(3).write.mode("overwrite").parquet(dir)
