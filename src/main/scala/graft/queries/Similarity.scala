@@ -653,6 +653,31 @@ object Similarity extends QueryModule {
        |FROM inc i LEFT JOIN near ON near.vec_id = i.vec_id
        |ORDER BY i.vec_id""".stripMargin
 
+  // ---- q110: persisted standing vector index ------------------------------
+
+  /** q99's verdicts served from the PREBUILT standing vector index
+    * (SimilarityOps.buildVecIndex) — the production per-arrival shape
+    * where the corpus is prepared/assigned once and every batch pays only
+    * its own probe. Same arrival split, centroids, nProbe, and threshold
+    * as q99, and the oracle IS q99's SQL: the hash match proves the index
+    * path changes nothing but the cost shape. The build runs once per
+    * session (Bench's warmup absorbs it), so the timed number is the
+    * per-batch probe cost. */
+  def standingVecAdmission(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_vec_idx_$tag"
+    if (!SimilarityOps.vecIndexMatches(s, name, d))
+      SimilarityOps.buildVecIndex(s, emb.filter(col("vec_id") >= 100), name,
+        nCentroids = 16,
+        location = s"${sys.props("java.io.tmpdir")}/graft_vec_idx/$tag",
+        datasetTag = d)
+    SimilarityOps
+      .probeVecIndex(s, emb.filter(col("vec_id") < 100), name,
+        nProbe = 2, threshold = 0.35)
+      .orderBy("vec_id")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
@@ -668,5 +693,6 @@ object Similarity extends QueryModule {
     Q("q105_pq_train", pqTrain, Some(pqTrainSql)),
     Q("q106_pq_serve", pqServe, Some(pqServeSql)),
     Q("q99_embedding_admission", embeddingAdmission, Some(embeddingAdmissionSql)),
+    Q("q110_standing_vec", standingVecAdmission, Some(embeddingAdmissionSql)),
   )
 }

@@ -517,3 +517,51 @@ object ProbePerKeyGlm {
     spark.stop()
   }
 }
+
+/** Scratch main: the q110 claim — per-batch probe cost against a
+  * PERSISTED standing vector index stays flat as the corpus grows, while
+  * the rebuild-every-batch path (embeddingAdmission) re-scans everything.
+  * A synthetic corpus of unit-ish 16-dim vectors at 3 sizes; the same
+  * 20-vector batch probes each through a 256-cell index, so the probed
+  * cells are a small fraction and bucket pruning on the IN(cell) filter
+  * can bite. Not part of the driver contract; numbers go to SCALE.md. */
+object ProbeVecIndex {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.similarity.SimilarityOps
+    def corpusOf(n: Long) = spark.range(0, n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> cast(sin(id * 0.7 + i * 1.3) as float))")
+        .as("embedding"))
+    def time(label: String)(f: => Long): Unit = {
+      f // warm
+      val t0 = System.nanoTime()
+      var i = 0
+      var n = 0L
+      while (i < 3) { n = f; i += 1 }
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 3e9}%.2f s/probe  ($n verdicts)")
+    }
+    for (sz <- Seq(100000L, 400000L, 1600000L)) {
+      val corpus = corpusOf(sz).filter(col("vec_id") >= 20)
+      val batch = corpusOf(sz).filter(col("vec_id") < 20)
+      val name = s"graft_probe_vec_$sz"
+      SimilarityOps.buildVecIndex(spark, corpus, name, nCentroids = 256,
+        location = s"${sys.props("java.io.tmpdir")}/graft_probe_vec/$sz",
+        buckets = 64, datasetTag = sz.toString)
+      time(s"probe standing index, corpus $sz") {
+        SimilarityOps.probeVecIndex(spark, batch, name, nProbe = 2,
+          threshold = 0.95).count()
+      }
+      time(s"rebuild-path admission, corpus $sz") {
+        SimilarityOps.embeddingAdmission(corpusOf(sz), col("vec_id") < 20,
+          nCentroids = 256, nProbe = 2, threshold = 0.95).count()
+      }
+    }
+    spark.stop()
+  }
+}

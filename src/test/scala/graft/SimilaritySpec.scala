@@ -395,4 +395,68 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(one === many)
   }
+
+  test("standing vector index: probe verdicts ≡ embeddingAdmission, bit for bit") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val name = "graft_vec_spec_probe"
+    val loc = java.nio.file.Files.createTempDirectory("graft-vecidx").toString
+    try {
+      SimilarityOps.buildVecIndex(s, e.filter(col("vec_id") >= 20), name,
+        nCentroids = 8, location = loc, datasetTag = "spec")
+      // same centroid pick (lowest corpus ids), same probe cells, same
+      // exact cosines — the index path must change NOTHING but cost shape
+      val got = SimilarityOps
+        .probeVecIndex(s, e.filter(col("vec_id") < 20), name,
+          nProbe = 2, threshold = 0.35)
+        .orderBy("vec_id").collect().toSeq
+      val want = SimilarityOps
+        .embeddingAdmission(e, col("vec_id") < 20,
+          nCentroids = 8, nProbe = 2, threshold = 0.35)
+        .orderBy("vec_id").collect().toSeq
+      assert(got === want)
+      assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
+      // scale shape: the index side is a BUCKETED scan with the probed-cell
+      // IN filter applied (bucket pruning reports SelectedBucketsCount) and
+      // the batch broadcasts — no exchange ever touches the corpus side
+      val plan = SimilarityOps
+        .probeVecIndex(s, e.filter(col("vec_id") < 20), name,
+          nProbe = 2, threshold = 0.35)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan.take(2000))
+      assert(plan.contains("BroadcastExchange"))
+    } finally Seq("cells", "cents", "meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+  }
+
+  test("standing vector index: appended batch probes exactly like a rebuilt index") {
+    val s = spark
+    val e = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val a = e.filter(col("vec_id") >= 20 && col("vec_id") < 200)
+    val b = e.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    val probe = e.filter(col("vec_id") < 20)
+    val n1 = "graft_vec_spec_app"
+    val n2 = "graft_vec_spec_full"
+    val l1 = java.nio.file.Files.createTempDirectory("graft-vecidx-a").toString
+    val l2 = java.nio.file.Files.createTempDirectory("graft-vecidx-f").toString
+    try {
+      SimilarityOps.buildVecIndex(s, a, n1, nCentroids = 8, location = l1,
+        datasetTag = "spec")
+      SimilarityOps.appendToVecIndex(s, b, n1)
+      // the rebuilt index picks the same lowest-id centroids (b's ids are
+      // all above a's), so append ≡ rebuild must hold bit for bit
+      SimilarityOps.buildVecIndex(s, a.unionByName(b), n2, nCentroids = 8,
+        location = l2, datasetTag = "spec")
+      val viaAppend = SimilarityOps
+        .probeVecIndex(s, probe, n1, nProbe = 2, threshold = 0.35)
+        .orderBy("vec_id").collect().toSeq
+      val viaRebuild = SimilarityOps
+        .probeVecIndex(s, probe, n2, nProbe = 2, threshold = 0.35)
+        .orderBy("vec_id").collect().toSeq
+      assert(viaAppend === viaRebuild)
+    } finally for (n <- Seq(n1, n2); t <- Seq("cells", "cents", "meta"))
+      s.sql(s"DROP TABLE IF EXISTS ${n}_$t")
+  }
 }
