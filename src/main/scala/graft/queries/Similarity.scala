@@ -483,7 +483,8 @@ object Similarity extends QueryModule {
     * iteration-replay pattern keyed by sub-space, with L2 assignment.
     * Shared by the q105 oracle (reads final sums) and the q106 oracle
     * (codes + ADC tables against the final centroids). */
-  private def pqTrainCtesSql(withFinalCent: Boolean): String = {
+  private def pqTrainCtesSql(withFinalCent: Boolean, src: String = "corpus",
+      vcol: String = "v", subName: String = "psub"): String = {
     def assign(prev: String, name: String): String =
       s"""$name AS (
          |  SELECT vec_id, sub, sv, cell FROM (
@@ -491,7 +492,7 @@ object Similarity extends QueryModule {
          |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
          |        ${duckDot("c.cv", "c.cv")} - 2 * ${duckDot("t.sv", "c.cv")} ASC,
          |        c.cell ASC) AS rn
-         |    FROM psub t JOIN $prev c ON c.sub = t.sub) WHERE rn = 1
+         |    FROM $subName t JOIN $prev c ON c.sub = t.sub) WHERE rn = 1
          |)""".stripMargin
     def sums(i: Int): String =
       s"""ps$i AS (
@@ -508,16 +509,16 @@ object Similarity extends QueryModule {
       Seq(assign(if (i == 1) "pc0" else s"pc${i - 1}", s"pa$i"), sums(i)) ++
         (if (i < pqIters || withFinalCent) Seq(cent(i)) else Nil)
     }
-    s"""psub AS (
+    s"""$subName AS (
        |  SELECT c.vec_id, s.s AS sub,
-       |    list_slice(c.v, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS sv
-       |  FROM corpus c, range($pqM) s(s)
+       |    list_slice(c.$vcol, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS sv
+       |  FROM $src c, range($pqM) s(s)
        |),
        |pc0 AS (
        |  SELECT s.s AS sub,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY s.s ORDER BY b.vec_id) - 1 AS BIGINT) AS cell,
-       |    list_slice(b.v, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS cv
-       |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT $pqKsub) b,
+       |    list_slice(b.$vcol, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS cv
+       |  FROM (SELECT vec_id, $vcol FROM $src ORDER BY vec_id LIMIT $pqKsub) b,
        |    range($pqM) s(s)
        |),
        |${iterCtes.mkString(",\n")}""".stripMargin
@@ -591,6 +592,103 @@ object Similarity extends QueryModule {
        |  FROM qprobe q
        |  JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
        |  JOIN qt t ON t.vec_id = q.vec_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(dist, 6) AS adc_dist
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- q111: IVFADC — PQ over coarse residuals ----------------------------
+  // The last rung of the compression ladder (q89 int8 → q106 raw-vector
+  // PQ → residual PQ): codebooks train on x − coarse_centroid(x), so the
+  // same 4×8-cell budget quantizes the residual support instead of the
+  // whole corpus spread; serving tables are per (query, probed cell).
+
+  def ivfadc(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .ivfadcTopK(embeddings(s, d), col("vec_id") < 10, k = 3, m = pqM,
+        ksub = pqKsub, iters = pqIters, nCentroids = 16, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  private def ivfadcSql: String = {
+    val qs = s"list_slice(r.qr, c.sub * $pqDsub + 1, (c.sub + 1) * $pqDsub)"
+    s"""WITH $duckCorpus,
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |rfr AS (
+       |  SELECT r.vec_id,
+       |    list_transform(range($kmDim), i -> r.v[i+1] - ct.cv[i+1]) AS rv,
+       |    r.cent_id AS ccell
+       |  FROM rankedc r JOIN cent ct ON ct.cent_id = r.cent_id
+       |  WHERE r.rn = 1
+       |),
+       |rtrain AS (
+       |  SELECT * FROM rfr WHERE vec_id NOT IN (SELECT cent_id FROM cent)
+       |),
+       |${pqTrainCtesSql(withFinalCent = true, src = "rtrain", vcol = "rv", subName = "psubt")},
+       |psub AS (
+       |  SELECT c.vec_id, s.s AS sub,
+       |    list_slice(c.rv, s.s * $pqDsub + 1, (s.s + 1) * $pqDsub) AS sv
+       |  FROM rfr c, range($pqM) s(s)
+       |),
+       |pcode AS (
+       |  SELECT vec_id, list(cell ORDER BY sub) AS codes FROM (
+       |    SELECT t.vec_id, t.sub, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub ORDER BY
+       |        ${duckDot("c.cv", "c.cv")} - 2 * ${duckDot("t.sv", "c.cv")} ASC,
+       |        c.cell ASC) AS rn
+       |    FROM psub t JOIN pc$pqIters c ON c.sub = t.sub) WHERE rn = 1
+       |  GROUP BY vec_id
+       |),
+       |assigned AS (
+       |  SELECT p.vec_id, p.codes, f.ccell AS cell
+       |  FROM pcode p JOIN rfr f ON f.vec_id = p.vec_id
+       |),
+       |qprobe AS (
+       |  SELECT vec_id, cent_id AS cell, v FROM rankedc
+       |  WHERE rn <= 2 AND vec_id < 10
+       |),
+       |qres AS (
+       |  SELECT q.vec_id, q.cell,
+       |    list_transform(range($kmDim), i -> q.v[i+1] - ct.cv[i+1]) AS qr
+       |  FROM qprobe q JOIN cent ct ON ct.cent_id = q.cell
+       |),
+       |qterm AS (
+       |  SELECT r.vec_id, r.cell, c.sub,
+       |    list(${duckDot(qs, qs)} - 2 * ${duckDot(qs, "c.cv")} +
+       |      ${duckDot("c.cv", "c.cv")} ORDER BY c.cell) AS tab
+       |  FROM qres r CROSS JOIN pc$pqIters c
+       |  GROUP BY r.vec_id, r.cell, c.sub
+       |),
+       |qt AS (
+       |  SELECT vec_id, cell, list(tab ORDER BY sub) AS qtab
+       |  FROM qterm GROUP BY vec_id, cell
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range($pqM), s -> t.qtab[s+1][a.codes[s+1]+1])),
+       |      (acc, x) -> acc + x) AS dist
+       |  FROM qprobe q
+       |  JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+       |  JOIN qt t ON t.vec_id = q.vec_id AND t.cell = q.cell
        |),
        |ranked AS (
        |  SELECT query_id, neighbor_id, dist,
@@ -694,5 +792,6 @@ object Similarity extends QueryModule {
     Q("q106_pq_serve", pqServe, Some(pqServeSql)),
     Q("q99_embedding_admission", embeddingAdmission, Some(embeddingAdmissionSql)),
     Q("q110_standing_vec", standingVecAdmission, Some(embeddingAdmissionSql)),
+    Q("q111_ivfadc", ivfadc, Some(ivfadcSql)),
   )
 }

@@ -680,6 +680,85 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVFADC — PQ over COARSE RESIDUALS (Jégou et al., TPAMI 2011 §IV,
+    * the full "IVFADC" system): corpus vectors are assigned to their
+    * coarse IVF cell, the PQ codebooks are trained on the RESIDUALS
+    * x − c(cell(x)) (which concentrate around 0, so the same code budget
+    * quantizes a far smaller support than raw vectors), and serving
+    * scores candidates by asymmetric distance with a PER-(query, cell)
+    * lookup table built from the query's residual against THAT cell —
+    * ‖(q−c) − code(x−c)‖² approximates ‖q − x‖² within a probed cell.
+    *
+    * Everything rides the existing deterministic machinery: lowest-id
+    * coarse centroids (as [[ivfTopK]]), lowest-id residual init + exact
+    * int64 Lloyd sums (as [[pqServeTopK]]'s codebooks), ties to the
+    * lowest cell/neighbor — the oracle replays training bit for bit.
+    * Scale shape: residual computation is a map-side zip_with against
+    * the k×d centroid-map literal (no shuffle), training is the same one
+    * aggregation per Lloyd round, serving tables are (queries×nProbe)-
+    * sized, and candidate scoring stays m lookups per candidate. */
+  def ivfadcTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      ksub: Int, iters: Int, nCentroids: Int, nProbe: Int = 1,
+      scaleBits: Int = 20): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val corpus = prepared(emb)
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"ivfadc: dim $dim not divisible into $m sub-vectors")
+    val dsub = dim / m
+    val coarse = corpus
+      .orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val cmap = typedlit(coarse.toMap)
+    def residOf(vc: Column, cellc: Column): Column =
+      zip_with(vc, element_at(cmap, cellc), (x, c) => x - c)
+    val resid = argmaxCell(corpus, coarse)
+      .withColumn("__r", residOf(col("v"), col("cell")))
+    // Train on NON-CENTROID residuals only: a coarse centroid's residual
+    // in its own cell is the zero vector, so the lowest-id init (ids ≤
+    // the centroid ids) would seed every sub-quantizer with ksub copies
+    // of 0 and collapse training to one cell. Members carry the actual
+    // residual geometry; every vector (centroids included) still gets
+    // codes from the trained books below.
+    val coarseIds = coarse.map(_._1)
+    val cb = pqCents(
+      resid.filter(!col("vec_id").isin(coarseIds: _*))
+        .select(col("vec_id"), col("__r").as("embedding")),
+      m, ksub, iters, scaleBits)
+    val codesCol = array((0 until m).map { s0 =>
+      argminCellL2(slice(col("__r"), s0 * dsub + 1, dsub), cb(s0))
+    }: _*)
+    val assigned = resid.select(col("vec_id"), codesCol.as("codes"), col("cell"))
+    // per-(query, probed cell) ADC table from the QUERY residual against
+    // that cell — still query-side-only projections
+    def qtabOf(qr: Column): Column = array((0 until m).map { s0 =>
+      val qs = slice(qr, s0 * dsub + 1, dsub)
+      array(cb(s0).map { case (_, cv) =>
+        VectorExprs.dot_fold(qs, qs) -
+          lit(2.0) * VectorExprs.dot_fold(qs, typedlit(cv)) +
+          lit(foldDot(cv, cv))
+      }: _*)
+    }: _*)
+    val queries = corpus
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v"),
+        explode(probeCellsCol(coarse, nProbe)).as("cell"))
+      .withColumn("__qr", residOf(col("v"), col("cell")))
+      .select(col("query_id"), col("cell"), qtabOf(col("__qr")).as("qtab"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("vec_id").asc)
+    assigned
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(codes, qtab, " +
+          "(cd, tab) -> element_at(tab, CAST(cd AS INT) + 1)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("dist"), 6).as("adc_dist"))
+  }
+
   // ---- persisted standing vector index -----------------------------------
   // The embedding-modality twin of DedupOps.buildBandIndex: assign the
   // corpus to its IVF cells ONCE, persist cell-bucketed, and serve every
