@@ -752,6 +752,56 @@ object DedupOps {
         (max(col("__run")) + (shingleK - 1)).as("max_run_tokens"))
   }
 
+  /** CORPUS-INTERNAL exact-substring dedup (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" criterion turned inward,
+    * with keep-first semantics): a gram position (d, p) is DUPLICATED when
+    * the k-token gram starting there also occurs in some EARLIER document
+    * (min doc_id over the gram's occurrences < d — that earliest document
+    * keeps its text untouched). Consecutive duplicated positions form
+    * runs; a run of m positions certifies a shared substring of m+k−1
+    * tokens, and only runs certifying ≥ `minRunTokens` tokens count (the
+    * paper uses 50). Returns one row per document with ≥ 1 qualifying
+    * span: (doc_id, n_spans, dup_positions, dup_tokens, max_run_tokens) —
+    * the removal manifest a rewrite pass would consume. Adjacent spans
+    * separated by < k positions can share boundary tokens; dup_tokens is
+    * the Σ(run + k − 1) span-certificate total, not a disjoint-union size.
+    *
+    * Scale shape: the sorted-k-gram-run equivalent of the suffix-array
+    * scan, with no suffix structure to build — one positional gram pass
+    * (corpus-sized), a gram-keyed min aggregation (the only corpus-sized
+    * shuffle, map-side combinable), a gram-keyed equi-join back, and
+    * per-doc windows partitioned by doc_id (state = one document's hits).
+    * Unlike [[substringContamination]] there is no benchmark-sized
+    * broadcast side — the corpus checks against ITSELF, so the first-
+    * occurrence relation is vocabulary-sized and stays a shuffle join. */
+  def substringCorpusDedup(docs: DataFrame, shingleK: Int,
+      minRunTokens: Int): DataFrame = {
+    import graft.functions.TextExprs
+    import org.apache.spark.sql.expressions.Window
+    require(minRunTokens >= shingleK,
+      s"minRunTokens ($minRunTokens) must be >= shingleK ($shingleK)")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(TextExprs.shingle_hashes(col("text"), shingleK)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val first = grams.groupBy("h").agg(min(col("doc_id")).as("__fd"))
+    val hits = grams
+      .join(first, "h")
+      .filter(col("doc_id") > col("__fd"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "__grp").agg(count(lit(1)).as("__run"))
+      .filter(col("__run") + (shingleK - 1) >= minRunTokens)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__run")).as("dup_positions"),
+        sum(col("__run") + (shingleK - 1)).as("dup_tokens"),
+        (max(col("__run")) + (shingleK - 1)).as("max_run_tokens"))
+  }
+
   /** Near-duplicate RESOLUTION: connected components over a (doc_a, doc_b)
     * pair graph, then a per-document keep/drop verdict — the step that
     * turns any pair detector (MinHash, SimHash, exact/prefix Jaccard,

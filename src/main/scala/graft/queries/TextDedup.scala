@@ -684,6 +684,50 @@ object TextDedup extends QueryModule {
        |FROM runs GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q112: corpus-internal exact-substring dedup ------------------------
+  // q75's gaps-and-islands machinery turned INWARD (Lee et al. keep-first):
+  // repeated ≥ 8-token runs ACROSS corpus documents, attributed to every
+  // document except the earliest holder of each gram. No eval split, no
+  // broadcast side — the corpus checks against itself.
+
+  private val dedupMinRunTokens = 8
+
+  def substringCorpusDedup(s: SparkSession, d: String): DataFrame =
+    DedupOps
+      .substringCorpusDedup(documents(s, d), shingleK = decontK,
+        minRunTokens = dedupMinRunTokens)
+      .orderBy("doc_id")
+
+  private val substringCorpusDedupSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, r.i AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |f AS (SELECT h, min(doc_id) AS fd FROM g GROUP BY h),
+       |hits AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN f USING (h)
+       |  WHERE g.doc_id > f.fd
+       |),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM hits
+       |),
+       |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, grp),
+       |q AS (SELECT doc_id, run FROM runs WHERE run + ${decontK - 1} >= $dedupMinRunTokens)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(run) AS BIGINT) AS dup_positions,
+       |  CAST(sum(run + ${decontK - 1}) AS BIGINT) AS dup_tokens,
+       |  CAST(max(run) + ${decontK - 1} AS BIGINT) AS max_run_tokens
+       |FROM q GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q108: trained quality classifier (logistic regression) ------------
   // The fastText-style LEARNED filter over the existing quality signals
   // (q24's features; label: lang = 'en'): 6 deterministic fixed-point GD
@@ -806,6 +850,7 @@ object TextDedup extends QueryModule {
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
+    Q("q112_substring_dedup", substringCorpusDedup, Some(substringCorpusDedupSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("q83_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),

@@ -102,6 +102,27 @@ class TextDedupSpec extends SparkSpec {
     assert(out === Map(1L -> ((3L, 5L)), 2L -> ((2L, 3L))))
   }
 
+  test("substringCorpusDedup: keep-first spans, threshold floor, clean docs absent") {
+    // 10-token run shared by docs 0, 1, 3. Doc 0 is the earliest holder —
+    // keep-first means it is NEVER flagged; docs 1 and 3 each get one
+    // qualifying span: 6 consecutive 5-gram hit positions certify
+    // 6+4 = 10 shared tokens ≥ the 8-token floor. Doc 2 (clean) and a
+    // short repeat in doc 4 (5 tokens < floor) are absent.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      0L -> s"$shared tail0 zz",
+      1L -> s"pre1 $shared tail1",
+      2L -> "totally different words entirely unrelated content here",
+      3L -> s"a b $shared",
+      4L -> "pre4 w1 w2 w3 w4 w5 other4 stuff4 more4 words4")
+    val out = DedupOps.substringCorpusDedup(d, shingleK = 5, minRunTokens = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 6L, 10L, 10L),
+      (3L, 1L, 6L, 10L, 10L)))
+  }
+
   test("gram_stats: hand-counted uni/bigram repetition") {
     val s = spark
     import s.implicits._
