@@ -565,3 +565,69 @@ object ProbeVecIndex {
     spark.stop()
   }
 }
+
+/** Scratch main: the r11 larger-scale evidence row — build a DETERMINISTIC
+  * 10× replication of sf0.1 under /tmp (events/documents/embeddings with
+  * shifted ids — every text and vector appears 10×, which deliberately
+  * stresses the dedup family with maximal duplicate skew; dimension
+  * tables copied as-is) and run the most expensive queries single-shot
+  * against it, surfacing any data-derived driver state (BPE vocab, design
+  * collects, logit steps) that sf0.1 hides. Numbers go to SCALE.md. */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
+    val copies = 10
+    val ok = java.nio.file.Paths.get(s"$dst/_OK")
+    if (!java.nio.file.Files.exists(ok)) {
+      def rep(df: org.apache.spark.sql.DataFrame,
+          shift: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+        (0 until copies).map(i => shift(df, i)).reduce(_ unionByName _)
+      rep(graft.util.Tables.events(spark, src), (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * 100000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      rep(graft.util.Tables.documents(spark, src), (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      rep(graft.util.Tables.embeddings(spark, src), (d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      for (t <- Seq("lineitem", "orders", "customer", "supplier", "part",
+          "nation", "region"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      java.nio.file.Files.createFile(ok)
+      println("built 10x dir")
+    }
+    graft.plans.TopKPerKey.install(spark)
+    graft.SparkEntry.queries("q01_pricing_summary")(spark, dst).count() // warm
+    val list = if (args.nonEmpty) args.toSeq else Seq(
+      "q48_flagship_glm", "q104_multi_subject_glm", "q109_keyed_design",
+      "q107_incremental_clusters", "q102_hybrid_rrf", "q108_quality_classifier",
+      "q22_jaccard_pairs", "q59_jaccard_prefix", "q93_bpe_merges",
+      "q106_pq_serve", "q111_ivfadc", "q85_pmi_bigrams",
+      "q21_minhash_pairs", "q66_dedup_clusters")
+    for (n <- list) {
+      val fn = graft.SparkEntry.queries(n)
+      val t0 = System.nanoTime()
+      val r = try Right(fn(spark, dst).count()) catch {
+        case e: Throwable => Left(e.toString.take(200))
+      }
+      r match {
+        case Right(c) =>
+          println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  $c%10d rows")
+        case Left(e) =>
+          println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s  FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}
