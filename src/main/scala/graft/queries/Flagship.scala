@@ -63,9 +63,14 @@ object Flagship extends QueryModule {
     * and the key dropped. ONE implementation serves both the per-process
     * shape (ssm_loop.py's one `$sub`) and the whole-catalog shape — the
     * r10 spec pin "keyed ≡ single-subject per key" is now true by
-    * construction, not by parallel maintenance of twin code paths. */
-  private[graft] def designFrameOf(s: SparkSession, ev: DataFrame): DataFrame =
-    designFrameKeyed(s, ev.withColumn("run_id", lit(1L))).drop("run_id")
+    * construction, not by parallel maintenance of twin code paths. The
+    * key set is passed literally (one row), so the single-subject path
+    * never scans events just to discover its own constant key. */
+  private[graft] def designFrameOf(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
+    designFrameKeyed(s, ev.withColumn("run_id", lit(1L)),
+      keysOpt = Some(Seq(1L).toDF("run_id"))).drop("run_id")
+  }
 
   /** Full pipeline: returns (g, regressor, beta, sigma, t_stat, p, df). */
   def singleSubjectModel(s: SparkSession, d: String): DataFrame =
@@ -119,8 +124,9 @@ object Flagship extends QueryModule {
     * projection) where the single-subject path collects its 8-row list:
     * the multi-key spike relation is |keys|×8 — still catalog-sized, but
     * there is no reason to ship it through the driver. */
-  private[graft] def designFrameKeyed(s: SparkSession, ev: DataFrame): DataFrame = {
-    val keys = ev.select("run_id").distinct()
+  private[graft] def designFrameKeyed(s: SparkSession, ev: DataFrame,
+      keysOpt: Option[DataFrame] = None): DataFrame = {
+    val keys = keysOpt.getOrElse(ev.select("run_id").distinct())
     val tl = DesignOps.timeline(s, N, 300.0).select("t")
     // dense (key × timeline) grid: |keys|·N rows, catalog-sized
     val tlK = keys.crossJoin(tl)
