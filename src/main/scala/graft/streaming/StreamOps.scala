@@ -340,6 +340,35 @@ object StreamOps {
       ()
     }
 
+  /** The VECTOR twin of [[streamingStandingAdmission]]: a stream of
+    * (vec_id, embedding) arrivals probes the persisted standing vector
+    * index (SimilarityOps.probeVecIndex — exact cosines against the
+    * pinned coarse cells, bucket-pruned corpus scan), writes one verdict
+    * row per arrival, and APPENDS the admitted vectors to the index
+    * before the next batch — so batch N+1's probe sees batch N's
+    * admissions, exactly like the sequential loop (spec-pinned).
+    * Verdicts materialize BEFORE the append, so a batch never observes
+    * itself. Intra-batch near-dups are upstream's job (the same contract
+    * as the text loop).
+    *
+    * Scale shape: per batch, the flat standing-probe cost plus a
+    * bucket-aligned batch-sized append; state lives in the bucketed index
+    * tables, not the state store — restart-safe and shared with every
+    * batch consumer of the index. */
+  def streamingVecAdmission(vecs: DataFrame, name: String, nProbe: Int,
+      threshold: Double, outPath: String): DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val verdicts = graft.similarity.SimilarityOps
+        .probeVecIndex(s, batch, name, nProbe, threshold)
+        .localCheckpoint()
+      val admitted = batch.join(
+        verdicts.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
+      graft.similarity.SimilarityOps.appendToVecIndex(s, admitted, name)
+      verdicts.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

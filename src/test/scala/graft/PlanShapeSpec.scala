@@ -177,6 +177,20 @@ class PlanShapeSpec extends SparkSpec {
       p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q112: corpus substring dedup joins grams by key — no nested loop, no cartesian") {
+    val p = plan("q112_substring_dedup")
+    assert(!p.contains("CartesianProduct"), "gram self-check degraded to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q109: keyed design scans prune to the event columns they need") {
+    val p = plan("q109_keyed_design")
+    // trials need (ts, value, event_type [, user_id for the key]);
+    // props must never reach any of the events scans
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("props"), "events scan reads the unused props column")
+  }
+
   test("q95 corpus assembly: dedup/contam gates are broadcast-probed, packing windows partitioned") {
     val s = spark
     val df = graft.queries.TextDedup.corpusAssembly(s, sf0001)

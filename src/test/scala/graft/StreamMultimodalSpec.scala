@@ -366,6 +366,63 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(byId(900002L) === ((true, false)), "batch-2 dup of an admitted doc must be flagged")
   }
 
+  test("streaming vector admission equals the sequential batch loop (3 micro-batches)") {
+    import graft.similarity.SimilarityOps
+    val s = spark
+    val emb = s.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 10 >= 4)
+    // synthetic cross-batch dup: 900002 is the SAME vector as 900001,
+    // which is ADMITTED in batch 1 — batch 2 can only flag it if the
+    // bucket-aligned append ran between batches
+    val syn: Seq[Float] = Seq.tabulate(64)(j => math.sin(j * 0.37).toFloat)
+    val fixture = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val batches: Seq[Seq[(Long, Seq[Float])]] = Seq(
+      fixture.filter(_._1 % 10 == 0).toSeq :+ (900001L -> syn),
+      fixture.filter(_._1 % 10 == 1).toSeq :+ (900002L -> syn),
+      fixture.filter(r => r._1 % 10 == 2 || r._1 % 10 == 3).toSeq,
+    )
+    def freshIndex(name: String): Unit = {
+      Seq("cells", "cents", "meta")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      SimilarityOps.buildVecIndex(s, corpus, name, nCentroids = 8,
+        location = s"/tmp/$name", buckets = 4)
+    }
+    import s.implicits._
+    // batch reference: the explicit probe→admit→append loop
+    freshIndex("graft_test_vadmit_ref")
+    val ref = batches.flatMap { rows =>
+      val b = rows.toDF("vec_id", "embedding")
+      val v = SimilarityOps
+        .probeVecIndex(s, b, "graft_test_vadmit_ref", nProbe = 2, threshold = 0.9)
+        .localCheckpoint()
+      val admitted = b.join(v.filter(col("keep")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      SimilarityOps.appendToVecIndex(s, admitted, "graft_test_vadmit_ref")
+      v.collect().map(_.toString)
+    }.sorted
+    // streaming: the same batches through the foreachBatch sink
+    freshIndex("graft_test_vadmit_str")
+    val out = Files.createTempDirectory("graft-vadmit").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.streamingVecAdmission(
+      ms.toDF().toDF("vec_id", "embedding"), "graft_test_vadmit_str",
+      nProbe = 2, threshold = 0.9, out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted
+    assert(got.nonEmpty && got === ref)
+    val byId = s.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(byId(900001L) === ((-1L, true)), "batch-1 synthetic should be admitted")
+    assert(byId(900002L) === ((900001L, false)),
+      "batch-2 copy of an admitted vector must be flagged against it")
+  }
+
   test("streaming KMV distinct: bounded sketch state across micro-batches equals batch q100") {
     val s = spark
     val dir = Files.createTempDirectory("graft-kmv").toString
