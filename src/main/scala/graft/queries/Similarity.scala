@@ -701,6 +701,43 @@ object Similarity extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q113: SemDeDup — semantic near-dedup within trained clusters ------
+  // Abbas et al. 2023: within each trained k-means cluster, drop every
+  // vector with a lower-id neighbor at cosine ≥ 0.35; survivor = lowest
+  // id. The oracle replays the q65 Lloyd rounds, assigns rn=1 (the q76
+  // chain), and mirrors the per-cell lower-id scan.
+
+  def semDedupQuery(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .semDedup(embeddings(s, d), nCentroids = kmK, iters = kmIters,
+        threshold = 0.35)
+      .orderBy("vec_id")
+
+  private def semDedupSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (SELECT vec_id, v, norm, cell FROM rankedc WHERE rn = 1),
+       |dups AS (
+       |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b
+       |    ON b.cell = a.cell AND b.vec_id < a.vec_id
+       |  WHERE ${duckDot("a.v", "b.v")} / (a.norm * b.norm) >= 0.35
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
+       |  (d.dup_of IS NULL) AS keep
+       |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---- q99: embedding-space incremental admission -------------------------
   // The vector-modality twin of q83: arrivals (vec_id < 100) judged
   // against the standing corpus through its IVF cells (nProbe=2), flagged
@@ -793,5 +830,6 @@ object Similarity extends QueryModule {
     Q("q99_embedding_admission", embeddingAdmission, Some(embeddingAdmissionSql)),
     Q("q110_standing_vec", standingVecAdmission, Some(embeddingAdmissionSql)),
     Q("q111_ivfadc", ivfadc, Some(ivfadcSql)),
+    Q("q113_semdedup", semDedupQuery, Some(semDedupSql)),
   )
 }

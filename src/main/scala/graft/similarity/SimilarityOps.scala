@@ -680,6 +680,48 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): k-means the
+    * embedding space, then WITHIN each trained cluster drop every vector
+    * that has a strictly-lower-id neighbor at cosine ≥ `threshold` —
+    * semantic near-dup pruning whose candidate set is CLUSTER-scoped,
+    * never corpus². The trained-quantizer sibling of
+    * [[cosineDupPairs]]' sign-LSH buckets: clusters follow the data
+    * instead of fixed hyperplanes, so paraphrase groups land together
+    * even when their leading-coordinate signs differ.
+    *
+    * Output: (vec_id, cell, dup_of nullable — the LOWEST same-cell
+    * lower-id vector over the threshold — keep). Fully deterministic:
+    * centroids come from the exact-int64 Lloyd machinery
+    * ([[kmeansCents]], lowest-id init), assignment ties go to the lowest
+    * cell, the survivor of a duplicate group is its lowest id — the
+    * oracle replays training round for round.
+    *
+    * Scale shape: training is one aggregation per Lloyd round;
+    * assignment is a map-side projection against the k×d centroid
+    * literals; the ONLY data-sized exchange is the per-cell self-join,
+    * bounded by the cell-size histogram (at web scale, split or salt
+    * cells past a member cap — the SemDeDup paper's per-cluster scoping
+    * is exactly this bound). */
+  def semDedup(emb: DataFrame, nCentroids: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansCents(emb, nCentroids, iters)
+    val assigned = argmaxCell(prepared(emb), cents)
+    val lower = assigned.select(col("cell"), col("vec_id").as("__bid"),
+      col("v").as("__bv"), col("norm").as("__bnorm"))
+    val dups = assigned
+      .join(lower, Seq("cell"))
+      .filter(col("__bid") < col("vec_id"))
+      .withColumn("__cos",
+        VectorExprs.dot_fold(col("v"), col("__bv")) / (col("norm") * col("__bnorm")))
+      .filter(col("__cos") >= threshold)
+      .groupBy("vec_id").agg(min(col("__bid")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   /** IVFADC — PQ over COARSE RESIDUALS (Jégou et al., TPAMI 2011 §IV,
     * the full "IVFADC" system): corpus vectors are assigned to their
     * coarse IVF cell, the PQ codebooks are trained on the RESIDUALS

@@ -416,6 +416,30 @@ class SimilaritySpec extends SparkSpec {
     assert(ad >= 0.4, s"ivfadc recall $ad too close to chance")
   }
 
+  test("semDedup: tight clusters collapse to their lowest-id representative") {
+    // 8 tight clusters × 10 members (jitter 1e-3 ⇒ in-cluster cosines
+    // ≈ 1); lowid k-means seeds one centroid per cluster, so every
+    // member except the cluster's lowest id must be dropped AGAINST that
+    // lowest id, and the 8 representatives all keep
+    val vecs = for (c <- 0 until 8; i <- 0 until 10) yield {
+      val id = (c + 8 * i).toLong
+      id -> Seq.tabulate(64) { j =>
+        (((c * 37 + j * 11) % 13 - 6) / 3.0 +
+          ((i * 7 + j) % 5 - 2) * 0.001).toFloat
+      }
+    }
+    val out = SimilarityOps
+      .semDedup(emb(vecs.sortBy(_._1): _*), nCentroids = 8, iters = 2,
+        threshold = 0.999)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2)), r.getBoolean(3))).toMap
+    assert(out.size === 80)
+    for (c <- 0L until 8L) assert(out(c) === ((-1L, true)), s"rep $c")
+    for ((id, _) <- vecs; if id >= 8)
+      assert(out(id) === ((id % 8, false)), s"member $id")
+  }
+
   test("pq training is partitioning-invariant (exact fixed-point sums)") {
     val s = spark
     val e = s.read.parquet(s"$sf0001/embeddings.parquet")
