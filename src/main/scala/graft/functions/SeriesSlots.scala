@@ -111,6 +111,38 @@ object DotSlots {
     }
     acc
   }
+
+  /** All k dots of `ys` against the rows of a nested k×n long array, as one
+    * array<long>. Same exact (Math.*Exact) arithmetic as [[dot]] per row. */
+  def dotRows(ys: ArrayData, rows: ArrayData): ArrayData = {
+    val k = rows.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      out(j) = dot(ys, rows.getArray(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All k exact int64 dot products of one packed series against a k×n nested
+  * weight array, in ONE expression whose generated code is a single helper
+  * call — O(1) code size in k. The unrolled form (k separate [[DotSlots]] +
+  * `element_at` + decimal-rescale chains in one projection) grows the
+  * whole-stage-codegen `processNext()` past the JVM's 64 KB method limit at
+  * k = 40, silently dropping the flagship GLM stage to interpreted eval;
+  * this collapses the k-fan-out into a loop (FlagshipCodegenSpec pins the
+  * stage compiling under `spark.sql.codegen.fallback=false`). */
+case class DotSlotsRows(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dot_slots_rows"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotSlots.dotRows(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotSlots.dotRows($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 object SeriesSlots {
@@ -123,4 +155,9 @@ object SeriesSlots {
   /** `dot_slots(a, b)`: exact int64 dot of two long arrays. */
   def dot_slots(a: Column, b: Column): Column =
     ColumnBridge.column(DotSlots(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `dot_slots_rows(ys, rows)`: all k exact int64 dots of `ys` against the
+    * rows of a k×n nested long array, as array<long>. */
+  def dot_slots_rows(ys: Column, rows: Column): Column =
+    ColumnBridge.column(DotSlotsRows(ColumnBridge.expression(ys), ColumnBridge.expression(rows)))
 }

@@ -173,7 +173,7 @@ object GlmOps {
     * Math.*Exact error, never a silent wrap. */
   def massGLMPacked(spark: SparkSession, series: DataFrame, x: LinAlg.Mat,
       groupCol: String): DataFrame = {
-    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    import graft.functions.SeriesSlots.{dot_slots, dot_slots_rows, series_slots}
     val n = x.length
     val k = x(0).length
     val df = (n - k).toDouble
@@ -189,19 +189,29 @@ object GlmOps {
       .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
     // k (j, beta, u) structs as projections on the packed series; the
     // decimal(38,0)/100 rescale reproduces the classic DECIMAL value
-    // exactly before the identical double cast
-    val js = array((0 until k).map { j =>
+    // exactly before the identical double cast. All k dots run as ONE
+    // dot_slots_rows loop per weight table against the k×n nested literal,
+    // and the rescale lambda evaluates through the same Catalyst
+    // Cast/Divide — bit-identical to the unrolled form, but the generated
+    // stage stays k-independent in code size (the unrolled 2k-chain
+    // compiled, unlike the per-key join stage, yet cost ~1 s of Janino
+    // time per fresh plan — a real tax once interleaved bench reps stopped
+    // hitting the 100-entry codegen cache).
+    val rescale = (c: Column) =>
+      (c.cast("decimal(38,0)") / 100).cast("double") / Scale.toDouble
+    val js = transform(sequence(lit(0), lit(k - 1)), jc =>
       struct(
-        lit(j.toLong).as("j"),
-        ((dot_slots(col("__ys"), typedlit(wRow(j))).cast("decimal(38,0)") / 100)
-          .cast("double") / Scale.toDouble).as("beta"),
-        ((dot_slots(col("__ys"), typedlit(wxRow(j))).cast("decimal(38,0)") / 100)
-          .cast("double") / Scale.toDouble).as("u"))
-    }: _*)
+        jc.cast("long").as("j"),
+        rescale(element_at(col("__bl"), jc + 1)).as("beta"),
+        rescale(element_at(col("__ul"), jc + 1)).as("u")))
     packed
-      .select(col(groupCol), js.as("__js"),
+      .select(col(groupCol),
+        dot_slots_rows(col("__ys"), typedlit((0 until k).map(wRow))).as("__bl"),
+        dot_slots_rows(col("__ys"), typedlit((0 until k).map(wxRow))).as("__ul"),
         ((dot_slots(col("__ys"), col("__ys")).cast("decimal(38,0)") / 10000)
           .cast("double")).as("__syyd"))
+      .withColumn("__js", js)
+      .drop("__bl", "__ul")
       .withColumn("__bxty", expr(
         "aggregate(__js, cast(0 as decimal(38,6)), " +
           "(acc, s) -> acc + cast(round(s.beta * s.u, 6) as decimal(38,6)))"))
@@ -315,30 +325,36 @@ object GlmOps {
   def massGLMPackedPerKeyWeights(spark: SparkSession, series: DataFrame,
       weights: DataFrame, n: Int, k: Int, keyCol: String, groupCol: String,
       broadcastWeights: Boolean = false): DataFrame = {
-    import graft.functions.SeriesSlots.{dot_slots, series_slots}
+    import graft.functions.SeriesSlots.{dot_slots, dot_slots_rows, series_slots}
     val df = (n - k).toDouble
     val wdf = if (broadcastWeights) broadcast(weights) else weights.localCheckpoint()
     val packed = series
       .groupBy(col(keyCol), col(groupCol))
       .agg(series_slots(col("t"), (col("y_dec") * 100).cast("long"), n).as("__ys"))
-    // identical arithmetic to massGLMPacked: dot_slots against the key's
-    // weight row (an element_at instead of a typedlit), the same
-    // decimal(38,0)/100 rescale, the same double casts
-    val js = array((0 until k).map { j =>
+    // identical arithmetic to massGLMPacked: dots against the key's weight
+    // rows, the same decimal(38,0)/100 rescale, the same double casts. The
+    // k-fan-out runs as ONE dot_slots_rows loop per weight table plus a
+    // transform() over the resulting long arrays — the unrolled 2k-chain
+    // projection blew whole-stage codegen's 64 KB method limit at k = 40
+    // (FlagshipCodegenSpec pins this stage compiling); the rescale lambda
+    // evaluates through the same Catalyst Cast/Divide, so every beta/u is
+    // bit-identical to the unrolled form.
+    val rescale = (c: Column) =>
+      (c.cast("decimal(38,0)") / 100).cast("double") / Scale.toDouble
+    val js = transform(sequence(lit(0), lit(k - 1)), jc =>
       struct(
-        lit(j.toLong).as("j"),
-        ((dot_slots(col("__ys"), element_at(col("__ws"), j + 1))
-          .cast("decimal(38,0)") / 100)
-          .cast("double") / Scale.toDouble).as("beta"),
-        ((dot_slots(col("__ys"), element_at(col("__wxs"), j + 1))
-          .cast("decimal(38,0)") / 100)
-          .cast("double") / Scale.toDouble).as("u"))
-    }: _*)
+        jc.cast("long").as("j"),
+        rescale(element_at(col("__bl"), jc + 1)).as("beta"),
+        rescale(element_at(col("__ul"), jc + 1)).as("u")))
     packed
       .join(wdf, keyCol)
-      .select(col(keyCol), col(groupCol), js.as("__js"), col("__cjjs"),
+      .select(col(keyCol), col(groupCol), col("__cjjs"),
+        dot_slots_rows(col("__ys"), col("__ws")).as("__bl"),
+        dot_slots_rows(col("__ys"), col("__wxs")).as("__ul"),
         ((dot_slots(col("__ys"), col("__ys")).cast("decimal(38,0)") / 10000)
           .cast("double")).as("__syyd"))
+      .withColumn("__js", js)
+      .drop("__bl", "__ul")
       .withColumn("__bxty", expr(
         "aggregate(__js, cast(0 as decimal(38,6)), " +
           "(acc, s) -> acc + cast(round(s.beta * s.u, 6) as decimal(38,6)))"))

@@ -222,10 +222,16 @@ object Flagship extends QueryModule {
     // the same short double-op chain in every engine — bit-equal, where
     // avg+stddev_pop would differ in engine-specific summation order.
     // z is scale-invariant, so z over cents ≡ z over the raw signal.
+    // Σx² runs as DECIMAL(38,0): a long·long square of per-TR cent sums
+    // wraps silently past ~3e9 cents under Spark's non-ANSI long
+    // arithmetic while DuckDB's SUM(BIGINT) promotes to HUGEINT — the
+    // decimal sum (mirrored as HUGEINT in the oracle) keeps both engines
+    // exact at any realistic magnitude, and Decimal→double is the same
+    // single correctly-rounded cast as long→double.
     val zCols = motionBases ++ Seq("tissue_avg", "tissue_max")
     val statAggs = zCols.flatMap(c =>
       Seq(sum(col(s"fp_$c")).as(s"__s_$c"),
-        sum(col(s"fp_$c") * col(s"fp_$c")).as(s"__q_$c")))
+        sum(col(s"fp_$c").cast("decimal(38,0)") * col(s"fp_$c")).as(s"__q_$c")))
     val stats = conf.groupBy("run_id").agg(statAggs.head, statAggs.tail: _*)
     val zed = zCols.foldLeft(conf.join(broadcast(stats), "run_id")) { (acc, c) =>
       val mean = col(s"__s_$c").cast("double") / N.toDouble
@@ -369,8 +375,10 @@ object Flagship extends QueryModule {
       Seq("COALESCE(k.sv, 0) AS sv", "COALESCE(k.mx, 0) AS mx"))
       .mkString(",\n    ")
     val zc = motionBases ++ Seq("tissue_avg", "tissue_max")
+    // Σx² as HUGEINT, mirroring the Spark side's DECIMAL(38,0): a BIGINT
+    // square would overflow in DuckDB exactly where Spark's long would wrap
     val statAggs = zc.flatMap(c => Seq(
-      s"SUM(fp_$c) AS s_$c", s"SUM(fp_$c * fp_$c) AS q_$c")).mkString(",\n    ")
+      s"SUM(fp_$c) AS s_$c", s"SUM(CAST(fp_$c AS HUGEINT) * fp_$c) AS q_$c")).mkString(",\n    ")
     def zExpr(c: String): String = {
       val m = s"(CAST(s_$c AS DOUBLE) / $N.0)"
       val v = s"(CAST(q_$c AS DOUBLE) / $N.0 - $m * $m)"
