@@ -26,8 +26,15 @@ import org.apache.spark.sql.SparkSession
   * reports each query's MINIMUM — the statistic robust to external noise
   * spikes — for regression attribution; the DEFAULT is 3 (min-of-3) so
   * the driver's contract number stops being a single noise sample (r9
-  * verdict item 2). SPARK_GRAFT_NO_TOPK=1 skips the TopKPerKey installation so the
-  * rewrite's effect can be isolated the same way.
+  * verdict item 2). The reps are INTERLEAVED (r11 verdict item 2): N full
+  * suite passes with the per-query min taken ACROSS passes, instead of N
+  * consecutive runs of each query — consecutive reps let one
+  * host-contention window poison every rep of an alphabetically-contiguous
+  * stretch (the r11 q61–q64/q88–q89 signature: 3–19× inflation with zero
+  * code change), while interleaving separates a query's reps by a full
+  * suite period (~minutes), so min-of-N actually samples N independent
+  * noise states. SPARK_GRAFT_NO_TOPK=1 skips the TopKPerKey installation
+  * so the rewrite's effect can be isolated the same way.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,13 +54,17 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = queries.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+    // interleaved reps: pass-major order (pass 1 of every query, then pass
+    // 2, ...) — runsByQuery(i) collects query i's rep from each pass
+    val runsByQuery = Array.fill(queries.size)(Vector.empty[(Double, Boolean)])
+    for (_ <- 1 to reps; i <- queries.indices) {
+      val t0 = System.nanoTime()
+      val ok = try { queries(i)._2(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      runsByQuery(i) :+= (((System.nanoTime() - t0) / 1e9, ok))
+    }
+    val results = queries.zipWithIndex.map { case ((name, _), i) =>
+      val runs = runsByQuery(i)
       val ok = runs.forall(_._2)
       // A throwing query must not read as a fast query: negate its duration
       // and list it under "failed" so the JSON carries an explicit marker.
