@@ -7,8 +7,9 @@ import graft.text.TextOps
 /** Deduplication operators for a training-data pipeline: exact, MinHash+LSH,
   * SimHash, and exact n-gram Jaccard.
   *
-  * Determinism: MinHash uses the affine family h_j(x) = ((2j+3)·x + (5j+7))
-  * mod P over TextOps.polyHash shingle hashes — fixed constants, pure int64
+  * Determinism: MinHash uses the affine family h_j(x) = (a_j·x + b_j)
+  * mod P (large pairwise-independent multipliers, TextExprs.minHashSig)
+  * over TextOps.polyHash shingle hashes — fixed constants, pure int64
   * arithmetic, reproducible in any engine. SimHash is a 32-bit sign
   * aggregate of token hashes. No RNG anywhere.
   *
@@ -40,13 +41,17 @@ object DedupOps {
       .select("keep_id", "n_copies")
 
   /** MinHash signatures: doc_id × j(0..k-1) → min over the doc's shingle
-    * hashes of ((2j+3)·h + (5j+7)) mod P. All k mins are computed in ONE
-    * aggregation pass (k agg columns, no k× row explosion — map-side
-    * partial aggregation sees each shingle once), then stacked to long
-    * form for banding. */
+    * hashes of (a_j·h + b_j) mod P, the large-multiplier affine family of
+    * TextExprs.minHashSig (see its scaladoc for why the original
+    * small-multiplier family collapsed the bands). All k mins are computed
+    * in ONE aggregation pass (k agg columns, no k× row explosion —
+    * map-side partial aggregation sees each shingle once), then stacked to
+    * long form for banding. */
   def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map { j =>
-      min(expr(s"((2*$j + 3) * h + (5*$j + 7)) % ${P}L")).as(s"__mh$j")
+      val a = (654435747L * (j + 1)) % P
+      val b = (1779033703L * (2L * j + 1)) % P
+      min(expr(s"(${a}L * h + ${b}L) % ${P}L")).as(s"__mh$j")
     }
     val stackArgs = (0 until k).map(j => s"${j}L, __mh$j").mkString(", ")
     shingles
@@ -274,7 +279,8 @@ object DedupOps {
     * rather than probe a wrong-scale index. */
   def bandIndexMatches(spark: SparkSession, name: String,
       datasetTag: String): Boolean =
-    spark.catalog.tableExists(s"${name}_meta") &&
+    Seq("bands", "docs", "texts", "meta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
       (try {
         val m = spark.table(s"${name}_meta").head()
         m.getAs[String]("dataset_tag") == datasetTag
@@ -286,12 +292,27 @@ object DedupOps {
     * write is a bucket-aligned append of batch-sized data, so the corpus
     * is never re-shingled and the index never rebuilt. After the append,
     * probes see the union corpus exactly as if the index had been built
-    * from scratch (spec-pinned). */
-  def appendToBandIndex(spark: SparkSession, newDocs: DataFrame,
-      name: String): Unit = {
+    * from scratch (spec-pinned).
+    *
+    * `idempotent = true` guards against at-least-once replay (the
+    * foreachBatch contract): the batch anti-joins on doc_id against the
+    * standing `name_docs` ids before writing, so a batch retried after a
+    * successful append inserts nothing. The join's index side reads one
+    * column of the corp_id-bucketed docs table with zero exchange (the
+    * batch side shuffles to the bucket count); callers that can rule out
+    * replay (a pure batch loop) keep the default and skip the scan. */
+  def appendToBandIndex(spark: SparkSession, newDocs0: DataFrame,
+      name: String, idempotent: Boolean = false): Unit = {
     val meta = spark.table(s"${name}_meta").head()
     val (shingleK, numHashes, rowsPerBand, buckets) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    // the guard must evaluate ONCE, against the PRE-append index: the three
+    // table writes below append to name_docs midway, and a lazy anti-join
+    // re-read by the texts write would then filter the batch against its
+    // own docs append — localCheckpoint pins the pre-append verdict
+    val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
+      spark.table(s"${name}_docs").select(col("corp_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
     val sh = shingleSets(newDocs, shingleK)
     bandRelation(sh, numHashes, rowsPerBand)
       .select(col("band"), col("bkey"), col("doc_id").as("corp_id"))

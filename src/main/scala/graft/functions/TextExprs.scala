@@ -149,21 +149,39 @@ object TextExprs {
     }
   }
 
-  /** MinHash signature over a shingle-hash array: sig[j] = min over hashes of
-    * ((2j+3)·h + (5j+7)) mod P — the affine family of DedupOps. Callers must
-    * guard empty inputs (the expression returns null there — a MaxValue
-    * sentinel signature would band-collide every empty doc with every
-    * other). */
+  /** MinHash signature over a shingle-hash array: sig[j] = min over hashes
+    * of (a_j·h + b_j) mod P with a_j = 654435747·(j+1) mod P and
+    * b_j = 1779033703·(2j+1) mod P — a pairwise-independent affine family
+    * with LARGE per-row multipliers. The original small-multiplier family
+    * ((2j+3)·h + (5j+7)) was nearly degenerate: with a_j ≤ 33 the product
+    * barely wraps mod P, so every row's minimum was usually attained by
+    * the SAME globally-smallest h and the b "independent" bands collapsed
+    * to ~one effective band — LSH recall at moderate Jaccard fell from the
+    * textbook 1-(1-J^r)^b to roughly a single Bernoulli draw
+    * (StreamClusterSpec's J ≈ 0.44 bridge missed all 16 single-row bands).
+    * Large multipliers wrap ~a_j times across [0, P), decorrelating the
+    * rows; a_j·h stays within int64 (both factors < P ≈ 2³⁰). The DuckDB
+    * oracles transcribe this family verbatim. Callers must guard empty
+    * inputs (the expression returns null there — a MaxValue sentinel
+    * signature would band-collide every empty doc with every other). */
   def minHashSig(sh: ArrayData, k: Int): ArrayData = {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var j0 = 0
+    while (j0 < k) {
+      as(j0) = (654435747L * (j0 + 1)) % P
+      bs(j0) = (1779033703L * (2L * j0 + 1)) % P
+      j0 += 1
+    }
     val n = sh.numElements()
     var i = 0
     while (i < n) {
       val h = sh.getLong(i)
       var j = 0
       while (j < k) {
-        val v = ((2L * j + 3L) * h + (5L * j + 7L)) % P
+        val v = (as(j) * h + bs(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }

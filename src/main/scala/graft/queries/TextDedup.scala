@@ -57,7 +57,7 @@ object TextDedup extends QueryModule {
   private val minhashCtes =
     s"""$duckShingles,
        |mh AS (
-       |  SELECT doc_id, r.j AS j, min(((2*r.j + 3) * h + (5*r.j + 7)) % $P) AS mh
+       |  SELECT doc_id, r.j AS j, min(((654435747*(r.j + 1) % 1000000007) * h + 1779033703*(2*r.j + 1) % 1000000007) % $P) AS mh
        |  FROM sh, unnest(range(16)) AS r(j)
        |  GROUP BY doc_id, r.j
        |),
@@ -107,7 +107,7 @@ object TextDedup extends QueryModule {
        |  FROM toks_$side, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS r(i)
        |),
        |mh_$side AS (
-       |  SELECT doc_id, r.j AS j, min(((2*r.j + 3) * h + (5*r.j + 7)) % $P) AS mh
+       |  SELECT doc_id, r.j AS j, min(((654435747*(r.j + 1) % 1000000007) * h + 1779033703*(2*r.j + 1) % 1000000007) % $P) AS mh
        |  FROM sh_$side, unnest(range(16)) AS r(j)
        |  GROUP BY doc_id, r.j
        |),
