@@ -700,18 +700,24 @@ object SimilarityOps {
     * Scale shape: training is one aggregation per Lloyd round;
     * assignment is a map-side projection against the k×d centroid
     * literals; the ONLY data-sized exchange is the per-cell self-join,
-    * bounded by the cell-size histogram (at web scale, split or salt
-    * cells past a member cap — the SemDeDup paper's per-cluster scoping
-    * is exactly this bound). */
+    * bounded by `cellCap`: cells past the cap split into
+    * ⌈size/cap⌉ deterministic id-hash sub-buckets (the SemDeDup paper's
+    * split-oversized-clusters move — comparisons across sub-buckets of a
+    * cell are forgone, the documented recall trade-off), PLUS a leader
+    * pass — every member also scores against each sub-bucket's lowest-id
+    * member of its cell — so a mega-cell that is one near-dup clique (the
+    * boilerplate-page case that motivates the cap) still converges to the
+    * exact uncapped keep set: each bucket's survivors see the global
+    * lowest id through its leader row. Per-cell pair cost drops from
+    * size² to size·cap + size·⌈size/cap⌉. With the default unbounded cap
+    * the single-branch uncapped join runs — q113 is plan- and
+    * bit-identical to the pre-cap operator (SemDedupCapSpec pins capped ≡
+    * uncapped on clique fixtures and the pair-count bound). */
   def semDedup(emb: DataFrame, nCentroids: Int, iters: Int,
-      threshold: Double): DataFrame = {
-    val cents = kmeansCents(emb, nCentroids, iters)
-    val assigned = argmaxCell(prepared(emb), cents)
-    val lower = assigned.select(col("cell"), col("vec_id").as("__bid"),
-      col("v").as("__bv"), col("norm").as("__bnorm"))
-    val dups = assigned
-      .join(lower, Seq("cell"))
-      .filter(col("__bid") < col("vec_id"))
+      threshold: Double, cellCap: Int = Int.MaxValue): DataFrame = {
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
+    val assigned = semAssigned(emb, nCentroids, iters)
+    val dups = semCandidatePairs(assigned, cellCap)
       .withColumn("__cos",
         VectorExprs.dot_fold(col("v"), col("__bv")) / (col("norm") * col("__bnorm")))
       .filter(col("__cos") >= threshold)
@@ -720,6 +726,52 @@ object SimilarityOps {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
+  /** The trained-and-assigned relation (vec_id, v, norm, cell) semDedup
+    * dedups over — factored out so the spec can count candidate pairs. */
+  private[graft] def semAssigned(emb: DataFrame, nCentroids: Int,
+      iters: Int): DataFrame =
+    argmaxCell(prepared(emb), kmeansCents(emb, nCentroids, iters))
+
+  /** semDedup's candidate pair relation (vec_id side + __bid/__bv/__bnorm
+    * lower side). Uncapped: the full within-cell lower-id self-join.
+    * Capped: within-(cell, sub-bucket) pairs UNION member-vs-sub-leader
+    * pairs (see [[semDedup]]); a pair may appear in both legs — the
+    * downstream min() aggregate is insensitive to multiplicity. */
+  private[graft] def semCandidatePairs(assigned: DataFrame,
+      cellCap: Int): DataFrame = {
+    val pairCols = Seq(col("vec_id"), col("v"), col("norm"),
+      col("__bid"), col("__bv"), col("__bnorm"))
+    if (cellCap == Int.MaxValue) {
+      val lower = assigned.select(col("cell"), col("vec_id").as("__bid"),
+        col("v").as("__bv"), col("norm").as("__bnorm"))
+      assigned.join(lower, Seq("cell"))
+        .filter(col("__bid") < col("vec_id"))
+        .select(pairCols: _*)
+    } else {
+      // cell-size histogram: ≤ nCentroids rows, catalog-sized → broadcast
+      val cnts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+      val sub = assigned.join(broadcast(cnts), Seq("cell"))
+        .withColumn("__s", expr(s"(__cn + ${cellCap - 1}L) div ${cellCap}L"))
+        .withColumn("__sub", pmod(xxhash64(col("vec_id")), col("__s")))
+        .select("cell", "__sub", "vec_id", "v", "norm")
+      val lower = sub.select(col("cell"), col("__sub"),
+        col("vec_id").as("__bid"), col("v").as("__bv"), col("norm").as("__bnorm"))
+      val within = sub.join(lower, Seq("cell", "__sub"))
+        .filter(col("__bid") < col("vec_id"))
+        .select(pairCols: _*)
+      // per-(cell, sub) leaders: Σ⌈size/cap⌉ rows — no broadcast hint, AQE
+      // decides from measured bytes as the corpus grows
+      val leaders = sub.groupBy("cell", "__sub").agg(min("vec_id").as("__bid"))
+        .join(sub.select(col("vec_id").as("__bid"), col("v").as("__bv"),
+          col("norm").as("__bnorm")), Seq("__bid"))
+        .select("cell", "__bid", "__bv", "__bnorm")
+      val vsLeaders = sub.join(leaders, Seq("cell"))
+        .filter(col("__bid") < col("vec_id"))
+        .select(pairCols: _*)
+      within.unionByName(vsLeaders)
+    }
   }
 
   /** IVFADC — PQ over COARSE RESIDUALS (Jégou et al., TPAMI 2011 §IV,
@@ -852,10 +904,16 @@ object SimilarityOps {
   /** Whether a standing vector index `name` exists AND was built from
     * `datasetTag` — the same probe-time guard as
     * DedupOps.bandIndexMatches (missing table / unreadable meta / tag
-    * mismatch ⇒ rebuild, never probe a wrong-scale index). */
+    * mismatch ⇒ rebuild, never probe a wrong-scale index). ALL THREE
+    * tables must exist, not just meta: build order writes meta last, so a
+    * fresh build always passes, but a partial cleanup that dropped
+    * cells/cents while leaving meta behind must answer "rebuild" — a
+    * meta-only check would skip the rebuild and the next probe would die
+    * on a missing table. */
   def vecIndexMatches(spark: org.apache.spark.sql.SparkSession, name: String,
       datasetTag: String): Boolean =
-    spark.catalog.tableExists(s"${name}_meta") &&
+    Seq("cells", "cents", "meta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
       (try {
         val m = spark.table(s"${name}_meta").head()
         m.getAs[String]("dataset_tag") == datasetTag
@@ -874,13 +932,31 @@ object SimilarityOps {
     * against the PINNED centroids, so the corpus is never re-assigned and
     * the index never rebuilt. After the append, probes see the union
     * corpus exactly as if the index had been built from scratch over it
-    * with the same centroids (spec-pinned). */
+    * with the same centroids (spec-pinned).
+    *
+    * `idempotent = true` guards against at-least-once replay (the
+    * foreachBatch contract: a batch retried after a successful append
+    * must not insert its rows twice): the batch anti-joins on vec_id
+    * against the EXISTING cell rows before writing. The anti-join is
+    * bucket-pruned to the batch's own target cells — replayed vectors
+    * assign to the same cells under the pinned centroids, so only those
+    * cells' files are read and the guard stays batch-sized, not
+    * corpus-sized. */
   def appendToVecIndex(spark: org.apache.spark.sql.SparkSession,
-      newVecs: DataFrame, name: String): Unit = {
+      newVecs: DataFrame, name: String, idempotent: Boolean = false): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
-    argmaxCell(prepared(newVecs), loadCents(spark, name))
+    val assigned = argmaxCell(prepared(newVecs), loadCents(spark, name))
       .select(col("cell"), col("vec_id"), col("v"), col("norm"))
-      .write.mode("append")
+    val rows = if (!idempotent) assigned else {
+      val touched = assigned.select("cell").distinct().collect().map(_.getLong(0))
+      // evaluate the guard against the PRE-append cells (the write below
+      // appends to the same table the anti-join reads)
+      assigned.join(
+        spark.table(s"${name}_cells").filter(col("cell").isin(touched: _*))
+          .select("vec_id"),
+        Seq("vec_id"), "left_anti").localCheckpoint()
+    }
+    rows.write.mode("append")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(s"${name}_cells")
   }
