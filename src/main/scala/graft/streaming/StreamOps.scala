@@ -322,6 +322,17 @@ object StreamOps {
     * WITHIN one micro-batch are both admitted — intra-batch dedup is
     * [[streamingDedup]]'s job upstream, exactly as in the batch pipeline.
     *
+    * At-least-once caveat: foreachBatch may REPLAY a batch whose append
+    * already succeeded. The index append is idempotent (anti-join against
+    * the standing doc ids — `appendToBandIndex(idempotent = true)`), so
+    * the standing state never double-inserts; the verdict parquet is an
+    * append-only sink, so a replayed batch CAN land duplicate verdict
+    * rows, and a replayed row's verdict is recomputed against an index
+    * that already holds its batch's admissions (self-matches flip keep to
+    * false). Downstream readers of `outPath` should dedup on doc_id
+    * keeping the keep=true row — exactly-once would need a transactional
+    * sink, which plain parquet is not.
+    *
     * Scale shape: per batch, the flat standing-probe cost plus a
     * bucket-aligned batch-sized append; state lives in the bucketed index
     * tables, not the state store, so it survives restarts and is shared
@@ -335,7 +346,7 @@ object StreamOps {
         .localCheckpoint()
       val admitted = batch.join(
         verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-      graft.dedup.DedupOps.appendToBandIndex(s, admitted, name)
+      graft.dedup.DedupOps.appendToBandIndex(s, admitted, name, idempotent = true)
       verdicts.write.mode("append").parquet(outPath)
       ()
     }
@@ -351,6 +362,13 @@ object StreamOps {
     * itself. Intra-batch near-dups are upstream's job (the same contract
     * as the text loop).
     *
+    * At-least-once caveat: same contract as
+    * [[streamingStandingAdmission]] — the index append is idempotent
+    * under replay (`appendToVecIndex(idempotent = true)`, a cell-pruned
+    * anti-join on vec_id), the verdict parquet is not; replayed verdict
+    * rows can duplicate and self-match, so readers dedup on vec_id
+    * keeping keep=true.
+    *
     * Scale shape: per batch, the flat standing-probe cost plus a
     * bucket-aligned batch-sized append; state lives in the bucketed index
     * tables, not the state store — restart-safe and shared with every
@@ -364,8 +382,65 @@ object StreamOps {
         .localCheckpoint()
       val admitted = batch.join(
         verdicts.filter(col("keep")).select("vec_id"), Seq("vec_id"), "left_semi")
-      graft.similarity.SimilarityOps.appendToVecIndex(s, admitted, name)
+      graft.similarity.SimilarityOps.appendToVecIndex(s, admitted, name,
+        idempotent = true)
       verdicts.write.mode("append").parquet(outPath)
+      ()
+    }
+
+  /** STREAMING incremental cluster maintenance — q107's `foreachBatch`
+    * twin, closing the standing-index loop family (text admission, vector
+    * admission, and now LABEL maintenance — the nightly-ingest shape the
+    * reference's `update/` drop directory implies, convert2BIDS.sh:8).
+    * Standing state is TWO stores shared with batch consumers: the band
+    * index (`name_*` tables) and the label relation at `labelsPath`
+    * (doc_id, cluster). Per micro-batch:
+    *
+    *   1. probe: the batch's increment↔corpus pairs come off the standing
+    *      band index, its internal pairs off a batch-sized MinHash
+    *      self-join (both inside DedupOps.incrementalClusters);
+    *   2. delta CC: connected components on the batch-plus-touched-
+    *      representatives graph only — the corpus is never re-paired;
+    *   3. remap: ONE broadcast join relabels only touched components;
+    *   4. append: the batch joins the band index
+    *      (`appendToBandIndex(idempotent = true)`) and the label store is
+    *      atomically replaced with the merged relation, so batch N+1
+    *      probes AND relabels against everything batch N admitted.
+    *
+    * Spec-pinned (StreamClusterSpec): 3 micro-batches ≡ the sequential
+    * batch loop ≡ one dedupClusters re-run over the union corpus,
+    * including a batch that MERGES two standing clusters formed in
+    * different earlier batches.
+    *
+    * At-least-once caveat: the label overwrite is idempotent by
+    * construction — a replayed batch's docs are filtered out against the
+    * standing labels first (they were already absorbed), so the replay
+    * reduces to remapping along already-applied merges (a no-op) and an
+    * empty index append.
+    *
+    * Scale shape: per batch, flat probe cost + batch² LSH + CC on a
+    * batch-sized graph + one broadcast remap (ProbeIncClusters evidence);
+    * the label store rewrite is O(corpus) I/O per batch — at 100 TB keep
+    * labels in a format with merge-on-read upserts or partition the
+    * relabel by touched cluster; the parquet overwrite here is the
+    * smallest faithful stand-in for that sink. */
+  def streamingIncrementalClusters(docs: DataFrame, name: String,
+      threshold: Double, labelsPath: String, outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val s = batch0.sparkSession
+      val standing = s.read.parquet(labelsPath).select("doc_id", "cluster")
+      // replay guard: docs already labeled were absorbed by a prior
+      // (successful) run of this batch — process only the remainder
+      val batch = batch0.join(standing, Seq("doc_id"), "left_anti")
+      val updated = graft.dedup.DedupOps
+        .incrementalClusters(s, standing, batch, name, threshold)
+        .localCheckpoint() // sever lineage: next writes replace its inputs
+      graft.dedup.DedupOps.appendToBandIndex(s, batch, name, idempotent = true)
+      // batch's plan reads labelsPath (through the anti-join) — every
+      // consumer of it must run BEFORE the label store is replaced
+      updated.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(outPath)
+      updated.select("doc_id", "cluster").write.mode("overwrite").parquet(labelsPath)
       ()
     }
 
