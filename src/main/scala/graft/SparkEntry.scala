@@ -32,6 +32,9 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The E1 pipeline (SURVEY.md §3): boxcar → HRF → DCT/poly → mass GLM. */
   def entry(spark: SparkSession): DataFrame = {
+    // an external driver session may carry a non-UTC timezone; every ts
+    // normalization in Tables.events assumes UTC wall-clock semantics
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.TopKPerKey.install(spark)
     Flagship.singleSubjectModel(spark, "/root/testdata/sf0.001")
   }

@@ -33,7 +33,14 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ =>
+        // the NTZ→timestamp cast below interprets the wall-clock in the
+        // SESSION timezone: Verify/Bench/the specs pin UTC, but an
+        // external driver session might not, which would silently shift
+        // every event and corrupt all TR bucketing — pin it here, where
+        // the conversion actually happens
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
