@@ -54,4 +54,86 @@ object BinaryExprs {
 
   def block_resize(c: Column, block: Int, keep: Int): Column =
     ColumnBridge.column(BlockResize(ColumnBridge.expression(c), block, keep))
+
+  // ---- perceptual hash ----------------------------------------------------
+
+  case class Phash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "phash32"
+    override def nullSafeEval(v: Any): Any =
+      Phash.phash32(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Phash.phash32($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `phash32(payload)`: 32-bit blocked-DCT perceptual hash of a binary
+    * column. */
+  def phash32(c: Column): Column =
+    ColumnBridge.column(Phash32(ColumnBridge.expression(c)))
+}
+
+/** 1-D pHash over a binary payload (the blocked-DCT sign hash of Zauner's
+  * pHash, in the byte-stream domain): average-pool the payload onto a
+  * fixed 64-block grid (the "resize to canonical size" step — this is what
+  * buys robustness to re-encoding/decimation that an exact content hash
+  * lacks), take a 64-point DCT-II, and keep the SIGNS of the 32 lowest
+  * non-DC coefficients as a 32-bit fingerprint. The invariance is a
+  * property of signals WITH low-frequency structure (images, audio
+  * envelopes): PhashSpec demonstrates survival of block_resize decimation
+  * on smooth payloads, and near-total sign scrambling on ASCII text, whose
+  * block means are noise — exactly the content pHash is designed to look
+  * through.
+  *
+  * Every step is exact int64 arithmetic so the DuckDB oracle replays it
+  * bit for bit: block means are floor((Σ bytes)·1e6 / width), and the
+  * cosine kernel is quantized once to ×1e6 integers ([[kernel]], emitted
+  * into the oracle SQL as literals — no libm call crosses an engine
+  * boundary, the q51/W4 fixed-point discipline). |K·m| ≤ 1e6·255e6·64 ≈
+  * 1.6e16, well inside int64.
+  *
+  * Scale shape: a per-row projection in the scan stage, payloads never
+  * shuffle; downstream near-dup machinery moves 8-byte fingerprints only.
+  * Top-level object so generated code can call
+  * `graft.functions.Phash.phash32` (Janino cannot resolve a nested Scala
+  * object through the Java-style path). */
+object Phash {
+  val Grid = 64
+  val Bits = 32
+  val MeanScale = 1000000L
+
+  /** K(k)(b) = round(cos(π·(k+1)·(2b+1)/(2·Grid)) · 1e6). */
+  lazy val kernel: Array[Array[Long]] = Array.tabulate(Bits, Grid)((k, b) =>
+    math.rint(math.cos(math.Pi * (k + 1) * (2 * b + 1) / (2.0 * Grid)) * 1e6).toLong)
+
+  def phash32(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val m = new Array[Long](Grid)
+    var b = 0
+    while (b < Grid) {
+      val lo = (b.toLong * n / Grid).toInt
+      val hi = ((b + 1).toLong * n / Grid).toInt
+      if (hi > lo) {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+        m(b) = s * MeanScale / (hi - lo)
+      }
+      b += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < Bits) {
+      val kr = kernel(k)
+      var c = 0L
+      var bb = 0
+      while (bb < Grid) { c += kr(bb) * m(bb); bb += 1 }
+      if (c > 0) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
 }

@@ -100,9 +100,147 @@ object Multimodal extends QueryModule {
       |FROM resized
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q114/q115: perceptual near-dup + cross-modal manifest -------------
+
+  import graft.functions.{BinaryExprs, Phash}
+
+  /** Per-payload 32-bit blocked-DCT perceptual hash (BinaryExprs.phash32)
+    * plus its 4×8-bit Hamming bands — the media analog of q23's simhash:
+    * payloads never shuffle, only 8-byte fingerprints and band keys do. */
+  private def phashBands(s: SparkSession, d: String): DataFrame = {
+    val ph = MultimodalOps.mediaFromDocuments(documents(s, d))
+      .select(col("doc_id"), BinaryExprs.phash32(col("payload")).as("ph"))
+    ph.select(col("doc_id"), col("ph"),
+      explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"),
+          shiftright(col("ph"), 8 * r).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("ph"), col("bd.r").as("r"), col("bd.bv").as("bv"))
+  }
+
+  /** The verified perceptual near-dup PAIR relation at Hamming ≤ τ. */
+  private def phashPairRelation(s: SparkSession, d: String, tau: Int): DataFrame = {
+    val bands = phashBands(s, d)
+    bands.select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("__phb"),
+        col("r"), col("bv")), Seq("r", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "__pha", "__phb").distinct()
+      .withColumn("dist", expr("CAST(bit_count(__pha ^ __phb) AS BIGINT)"))
+      .filter(col("dist") <= tau)
+  }
+
+  /** q114: perceptual near-dup pairs over binary payloads — pHash
+    * fingerprints, bucketed by 4 disjoint 8-bit bands, verified by exact
+    * Hamming distance ≤ 3. By pigeonhole the banding is EXACT at this
+    * radius (a pair differing in ≤ 3 bits cannot differ in all 4 bands),
+    * so unlike MinHash banding there is no recall luck: the bucket join is
+    * pure pruning. Scale shape: candidates are bounded by the band-value
+    * histogram (256 values × 4 bands); payload bytes stay in the scan
+    * stage. */
+  def phashPairs(s: SparkSession, d: String): DataFrame =
+    phashPairRelation(s, d, tau = 3)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The kernel literal + per-doc phash CTE chain shared by both oracles:
+    * block means and DCT signs replayed in exact int64 over the ASCII
+    * stand-in payloads (char ops == byte ops), with the ×1e6 cosine kernel
+    * emitted from [[Phash.kernel]] so no libm call crosses the engine
+    * boundary. */
+  private def phashCtes: String = {
+    val kern = (for {
+      k <- 1 to Phash.Bits
+      b <- 0 until Phash.Grid
+    } yield s"($k,$b,${Phash.kernel(k - 1)(b)})").mkString(", ")
+    s"""kern(k, b, w) AS (VALUES $kern),
+       |media AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       |grid AS (
+       |  SELECT doc_id, text, n, g.b AS b,
+       |    (g.b * n) // ${Phash.Grid} AS lo, ((g.b + 1) * n) // ${Phash.Grid} AS hi
+       |  FROM media, unnest(range(${Phash.Grid})) AS g(b)
+       |),
+       |blocks AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN hi > lo THEN
+       |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(lo, hi),
+       |           i -> CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT))),
+       |         (a, x) -> a + x) * ${Phash.MeanScale}) // (hi - lo)
+       |    ELSE 0 END AS m
+       |  FROM grid
+       |),
+       |coef AS (
+       |  SELECT doc_id, k.k AS k, sum(k.w * bl.m) AS c
+       |  FROM blocks bl JOIN kern k ON k.b = bl.b
+       |  GROUP BY doc_id, k.k
+       |),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (k - 1)) ELSE 0 END) AS BIGINT) AS ph
+       |  FROM coef GROUP BY doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, ph, r.r AS r, (ph >> (8 * r.r)) & 255 AS bv
+       |  FROM ph, unnest(range(4)) AS r(r)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.ph AS pha, b.doc_id AS doc_b, b.ph AS phb
+       |  FROM bands a JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  private def phashPairsSql: String =
+    s"""WITH $phashCtes
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
+       |FROM cand
+       |WHERE bit_count(xor(pha, phb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q115: the CROSS-MODAL manifest — each document's text verdict (exact
+    * dedup: lowest doc_id of its text group) joined with its media verdict
+    * (lowest perceptual near-dup at Hamming ≤ 3) into one keep decision,
+    * the shape a multimodal training-data pipeline gates on: a sample
+    * survives only if BOTH modalities are novel. */
+  def crossmodalManifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val textV = docs
+      .select(col("doc_id"),
+        min("doc_id").over(Window.partitionBy("text")).as("__tm"))
+      .select(col("doc_id"),
+        when(col("doc_id") > col("__tm"), col("__tm")).as("text_dup_of"))
+    val imgV = phashPairRelation(s, d, tau = 3)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("image_dup_of"))
+    textV.join(imgV, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_dup_of"), col("image_dup_of"),
+        (col("text_dup_of").isNull && col("image_dup_of").isNull).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private def crossmodalManifestSql: String =
+    s"""WITH $phashCtes,
+       |tv AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY text)
+       |         THEN min(doc_id) OVER (PARTITION BY text) END AS text_dup_of
+       |  FROM documents
+       |),
+       |iv AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS image_dup_of
+       |  FROM cand WHERE bit_count(xor(pha, phb)) <= 3
+       |  GROUP BY doc_b
+       |)
+       |SELECT t.doc_id, t.text_dup_of, iv.image_dup_of,
+       |  (t.text_dup_of IS NULL AND iv.image_dup_of IS NULL) AS keep
+       |FROM tv t LEFT JOIN iv ON iv.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),
+    Q("q114_phash_pairs", phashPairs, Some(phashPairsSql)),
+    Q("q115_crossmodal_manifest", crossmodalManifest, Some(crossmodalManifestSql)),
   )
 }

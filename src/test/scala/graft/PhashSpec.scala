@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{BinaryExprs, Phash}
+
+/** The perceptual hash (q114/q115): invariance, exactness, and plumbing
+  * pins for the blocked-DCT sign hash over binary payloads.
+  */
+class PhashSpec extends SparkSpec {
+
+  private def smooth(n: Int, f1: Int, f2: Int, phase: Double): Array[Byte] =
+    Array.tabulate(n) { i =>
+      val v = 128 + 60 * math.sin(2 * math.Pi * f1 * i / n) +
+        40 * math.sin(2 * math.Pi * f2 * i / n + phase)
+      math.max(0, math.min(255, math.rint(v).toInt)).toByte
+    }
+
+  private def dist(a: Long, b: Long): Int =
+    java.lang.Long.bitCount((a ^ b) & 0xffffffffL)
+
+  test("a smooth payload survives its own block_resize; the exact hash does not") {
+    // 32 smooth "images" (two-harmonic byte signals): stride decimation
+    // (q56's resize) keeps the low-frequency structure the hash reads, so
+    // the fingerprint moves a few bits at most — while any exact content
+    // hash changes completely. This is the invariance that motivates a
+    // perceptual hash over exact hashing for re-encoded media.
+    val cases = for (f1 <- 1 to 8; f2 <- 9 to 12) yield {
+      val p = smooth(4096, f1, f2, 0.7 * f1)
+      val r = BinaryExprs.blockResize(p, 8, 4)
+      (dist(Phash.phash32(p), Phash.phash32(r)),
+        java.util.Arrays.equals(p, r))
+    }
+    assert(cases.forall(!_._2), "resize must actually change the bytes")
+    val ds = cases.map(_._1)
+    assert(ds.max <= 10, s"resize moved too many bits: ${ds.mkString(",")}")
+    assert(ds.sorted.apply(ds.size / 2) <= 4, "median resize distance too high")
+  }
+
+  test("text payloads scramble under resize — the hash reads structure, not bytes") {
+    // ASCII text block-means are noise around the ASCII mean: decimation
+    // re-rolls the signs. The CONTRAST with the smooth case is the point:
+    // pHash responds to low-frequency content, not byte identity.
+    val s = spark
+    val d = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .select(BinaryExprs.phash32(col("p")).as("h0"),
+        BinaryExprs.phash32(BinaryExprs.block_resize(col("p"), 8, 4)).as("h1"))
+      .select(expr("percentile(bit_count(h0 ^ h1), 0.5)").as("med"))
+      .head().getDouble(0)
+    assert(d >= 8.0, s"text resize distance unexpectedly small: $d")
+  }
+
+  test("identical payloads collide exactly; banding is pigeonhole-exact at tau=3") {
+    val base = smooth(2048, 3, 11, 0.4)
+    assert(Phash.phash32(base) === Phash.phash32(base.clone()))
+    // flipping any 3 of the 32 sign bits leaves at least one of the 4
+    // disjoint 8-bit bands untouched — the exact-recall guarantee the q114
+    // join relies on (no MinHash-style luck)
+    val h = Phash.phash32(base)
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val bits = rnd.shuffle((0 until 32).toList).take(3)
+      val h2 = bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val shared = (0 until 4).exists(r => ((h >> (8 * r)) & 255) === ((h2 >> (8 * r)) & 255))
+      assert(shared, s"dist-3 variant lost all bands: bits $bits")
+    }
+  }
+
+  test("phash32 generates and compiles inside whole-stage codegen") {
+    val s = spark
+    val conf = s.conf
+    val prev = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = s.read.parquet(s"$sf0001/documents.parquet")
+        .select(BinaryExprs.phash32(encode(col("text"), "UTF-8")).as("h"))
+      assert(df.count() > 0)
+      import org.apache.spark.sql.execution.debug._
+      val gen = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
+      assert(gen.contains("Phash.phash32"), "phash32 not in generated code")
+    } finally prev match {
+      case Some(v) => conf.set("spark.sql.codegen.fallback", v)
+      case None => conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("q114 pairs are symmetric-free, verified, and ordered") {
+    val out = graft.queries.Multimodal.phashPairs(spark, sf0001).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getLong(2) <= 3))
+  }
+
+  test("q115 manifest: keep iff both modalities novel") {
+    val out = graft.queries.Multimodal.crossmodalManifest(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getBoolean(3) === (r.isNullAt(1) && r.isNullAt(2))))
+  }
+}
