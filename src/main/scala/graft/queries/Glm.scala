@@ -377,6 +377,162 @@ object Glm extends QueryModule {
        |ORDER BY run, g, j""".stripMargin
   }
 
+  // ---- q116: DATA-DEPENDENT design GLM, hash-checked end to end ----------
+
+  private val NG = 2016
+  private val trUsG = 300000000L
+  private val KG = 6
+
+  /** Canonical symmetric moment name (only the upper triangle is summed). */
+  private def aName(i: Int, j: Int): String =
+    if (i <= j) s"a_${i}_$j" else s"a_${j}_$i"
+
+  /** The no-pivot Gauss-Jordan elimination of the augmented system
+    * [A | b] → [I | A⁻¹b], emitted as per-stage SQL expression lists. The
+    * SAME strings run through Spark's selectExpr and the DuckDB oracle, so
+    * both engines execute the identical IEEE-754 op sequence and the betas
+    * are bit-equal BY CONSTRUCTION — the generator is the k-scalable form
+    * of q47's hand-transcribed k=3 inverse. No pivoting is needed: XᵀX of
+    * a full-rank design is symmetric positive definite, so every leading
+    * principal minor — and hence every no-pivot pivot — is strictly
+    * positive. */
+  private[graft] def gjStagesForTest(k: Int): Seq[Seq[String]] =
+    gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+
+  private def gjStages(k: Int, a: (Int, Int) => String,
+      b: Int => String): Seq[Seq[String]] = {
+    var cur: IndexedSeq[IndexedSeq[String]] =
+      (0 until k).map(i => (0 to k).map(j => if (j < k) a(i, j) else b(i)))
+    (0 until k).map { p =>
+      val prev = cur
+      cur = (0 until k).map(i => (0 to k).map(j => s"g${p}_${i}_$j"))
+      for (i <- 0 until k; j <- 0 to k) yield {
+        val e =
+          if (i == p) s"(${prev(p)(j)}) / (${prev(p)(p)})"
+          else s"(${prev(i)(j)}) - (${prev(i)(p)}) * ((${prev(p)(j)}) / (${prev(p)(p)}))"
+        s"$e AS g${p}_${i}_$j"
+      }
+    }
+  }
+
+  /** q116: the flagship GLM shape with a DATA-DEPENDENT design, solved
+    * ENTIRELY in the engines — the answer to "the pinv is data-dependent,
+    * so q48/q104 stay rows-only": at small k the pinv barrier disappears
+    * into the relational algebra. X(t) = [1, t, t², click cents(t),
+    * purchase cents(t), event count(t)] over the week grid (three columns
+    * are per-TR event aggregates — no engine knows X until it scans the
+    * data), y(g, t) = per-group TR cents. β_g = (XᵀX)⁻¹Xᵀy via the
+    * GENERATED no-pivot Gauss-Jordan chain ([[gjStages]]) over
+    * exact-integer moments: one design aggregate (k(k+1)/2 DECIMAL sums),
+    * one per-group Xᵀy aggregate, and a pure per-group projection — no
+    * driver-side linear algebra at ALL, unlike q48's collected pinv. The
+    * oracle replays every stage with the same expression strings.
+    *
+    * Scale shape: one scan for the design moments (k² tiny sums), one
+    * data-sized aggregate keyed by (g, t) then g, one broadcast of the
+    * 1-row moment relation; the k³ elimination runs per group as
+    * projection arithmetic. At k = 40 the same construction would emit
+    * ~40³ expression terms — the generator works, but the SQL grows to
+    * megabytes; that, not semantics, is why the full-width flagship keeps
+    * its spec-pinned driver pinv (recorded in SCALE.md). */
+  def normalGlm(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(expr(s"(ts div 1000 - $baseUs) div $trUsG").as("t"),
+        (col("user_id") % 10).as("g"), col("event_type"),
+        expr("cast(floor(value * 100 + 0.5D) as bigint)").as("fpv"))
+      .filter(col("t") < NG)
+    val perT = ev.groupBy("t").agg(
+      sum(when(col("event_type") === "click", col("fpv")).otherwise(0L)).as("xc"),
+      sum(when(col("event_type") === "purchase", col("fpv")).otherwise(0L)).as("xp"),
+      count(lit(1)).as("xn"))
+    val design = s.range(NG).select(col("id").as("t"))
+      .join(perT, Seq("t"), "left").na.fill(0L, Seq("xc", "xp", "xn"))
+      .select(col("t"), lit(1L).as("x0"), col("t").as("x1"),
+        (col("t") * col("t")).as("x2"), col("xc").as("x3"), col("xp").as("x4"),
+        col("xn").as("x5"))
+    val xtxAggs = for (i <- 0 until KG; j <- i until KG)
+      yield sum(col(s"x$i").cast("decimal(38,0)") * col(s"x$j")).as(aName(i, j))
+    val xtx = design.agg(xtxAggs.head, xtxAggs.tail: _*)
+    val y = ev.groupBy("g", "t").agg(sum("fpv").as("y"))
+    val xtyAggs = (0 until KG).map(i =>
+      sum(col(s"x$i").cast("decimal(38,0)") * col("y")).as(s"b_$i"))
+    val xty = y.join(broadcast(design), Seq("t"))
+      .groupBy("g").agg(xtyAggs.head, xtyAggs.tail: _*)
+    val init = xty.crossJoin(broadcast(xtx)).selectExpr(
+      "g" +:
+        ((for (i <- 0 until KG; j <- 0 until KG)
+          yield s"CAST(${aName(i, j)} AS DOUBLE) AS d_${i}_$j") ++
+          (0 until KG).map(i => s"CAST(b_$i AS DOUBLE) AS db_$i")): _*)
+    val solved = gjStages(KG, (i, j) => s"d_${i}_$j", i => s"db_$i")
+      .foldLeft(init)((df, st) => df.selectExpr("g" +: st: _*))
+    solved.selectExpr(
+      "g" +: (0 until KG).map(i => s"round(g${KG - 1}_${i}_$KG, 6) AS beta_$i"): _*)
+      .orderBy("g")
+  }
+
+  private def normalGlmSql: String = {
+    val xtxSums = (for (i <- 0 until KG; j <- i until KG)
+      yield s"SUM(CAST(x$i AS HUGEINT) * x$j) AS ${aName(i, j)}").mkString(",\n    ")
+    val xtySums = (0 until KG)
+      .map(i => s"SUM(CAST(x$i AS HUGEINT) * y) AS b_$i").mkString(",\n    ")
+    val initCols = ((for (i <- 0 until KG; j <- 0 until KG)
+      yield s"CAST(${aName(i, j)} AS DOUBLE) AS d_${i}_$j") ++
+      (0 until KG).map(i => s"CAST(b_$i AS DOUBLE) AS db_$i")).mkString(",\n    ")
+    val stages = gjStages(KG, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, p) =>
+      val prev = if (p == 0) "init" else s"st${p - 1}"
+      s"st$p AS (\n  SELECT g, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    val out = (0 until KG)
+      .map(i => s"round(g${KG - 1}_${i}_$KG, 6) AS beta_$i").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT (epoch_us(ts) - $baseUs) // $trUsG AS t,
+       |    user_id % 10 AS g, event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS fpv
+       |  FROM events
+       |  WHERE epoch_us(ts) - $baseUs >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $trUsG < $NG
+       |),
+       |pert AS (
+       |  SELECT t,
+       |    SUM(CASE WHEN event_type = 'click' THEN fpv ELSE 0 END) AS xc,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN fpv ELSE 0 END) AS xp,
+       |    COUNT(*) AS xn
+       |  FROM ev GROUP BY t
+       |),
+       |design AS (
+       |  SELECT tl.t, CAST(1 AS BIGINT) AS x0, tl.t AS x1, tl.t * tl.t AS x2,
+       |    COALESCE(p.xc, 0) AS x3, COALESCE(p.xp, 0) AS x4,
+       |    COALESCE(p.xn, 0) AS x5
+       |  FROM (SELECT CAST(r.r AS BIGINT) AS t FROM unnest(range($NG)) AS r(r)) tl
+       |  LEFT JOIN pert p ON p.t = tl.t
+       |),
+       |xtx AS (
+       |  SELECT
+       |    $xtxSums
+       |  FROM design
+       |),
+       |yy AS (
+       |  SELECT g, t, SUM(fpv) AS y FROM ev GROUP BY g, t
+       |),
+       |xty AS (
+       |  SELECT g,
+       |    $xtySums
+       |  FROM yy JOIN design USING (t)
+       |  GROUP BY g
+       |),
+       |init AS (
+       |  SELECT g,
+       |    $initCols
+       |  FROM xty CROSS JOIN xtx
+       |),
+       |$stageCtes
+       |SELECT g, $out
+       |FROM st${KG - 1}
+       |ORDER BY g""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
@@ -385,5 +541,6 @@ object Glm extends QueryModule {
     Q("q60_mass_glm_stats", massGlmStats, Some(massGlmStatsSql)),
     Q("q70_mass_glm_residuals", massGlmResiduals, Some(massGlmResidualsSql)),
     Q("q103_multi_run_glm", multiRunGlm, Some(multiRunGlmSql)),
+    Q("q116_normal_glm", normalGlm, Some(normalGlmSql)),
   )
 }

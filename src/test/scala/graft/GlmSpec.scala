@@ -9,6 +9,41 @@ import graft.glm.{GlmOps, LinAlg, TDist}
   */
 class GlmSpec extends SparkSpec {
 
+  test("q116 normal-equations GLM: relational no-pivot solve matches LinAlg") {
+    // the generated Gauss-Jordan chain (one selectExpr stage per pivot)
+    // must solve the same normal system LinAlg solves — pin on a synthetic
+    // SPD system pushed through the actual Spark expression chain
+    val s = spark
+    val k = 6
+    // distinct per-column frequencies: same-frequency phase shifts would
+    // span a 2-D space and make the normal matrix singular
+    val x = Array.tabulate(40, k)((t, j) =>
+      if (j == 0) 1.0 else math.sin((0.31 + 0.4 * j) * t + 0.1 * j))
+    val bTrue = Array.tabulate(k)(j => 1.0 + j)
+    val y = x.map(row => row.zip(bTrue).map { case (a, b) => a * b }.sum)
+    val a = Array.tabulate(k, k)((i, j) =>
+      x.map(r => r(i) * r(j)).sum)
+    val bv = Array.tabulate(k)(i => x.zip(y).map { case (r, yy) => r(i) * yy }.sum)
+    import s.implicits._
+    val init = Seq(1).toDF("g").selectExpr(
+      "g" +: ((for (i <- 0 until k; j <- 0 until k)
+        yield s"CAST(${a(i)(j)} AS DOUBLE) AS d_${i}_$j") ++
+        (0 until k).map(i => s"CAST(${bv(i)} AS DOUBLE) AS db_$i")): _*)
+    val stages = graft.queries.Glm.gjStagesForTest(k)
+    val solved = stages.foldLeft(init)((df, st) => df.selectExpr("g" +: st: _*))
+      .selectExpr((0 until k).map(i => s"g${k - 1}_${i}_$k"): _*)
+      .head()
+    (0 until k).foreach { i =>
+      assert(math.abs(solved.getDouble(i) - bTrue(i)) < 1e-8,
+        s"beta $i: ${solved.getDouble(i)} vs ${bTrue(i)}")
+    }
+    // and the full query runs with finite betas on real data
+    val out = graft.queries.Glm.normalGlm(s, sf0001).collect()
+    assert(out.length === 10)
+    assert(out.forall(r => (1 to 6).forall(c => !r.isNullAt(c) &&
+      !r.getDouble(c).isNaN && !r.getDouble(c).isInfinite)))
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
