@@ -614,7 +614,9 @@ object ProbeScale {
       "q107_incremental_clusters", "q102_hybrid_rrf", "q108_quality_classifier",
       "q22_jaccard_pairs", "q59_jaccard_prefix", "q93_bpe_merges",
       "q106_pq_serve", "q111_ivfadc", "q85_pmi_bigrams",
-      "q21_minhash_pairs", "q66_dedup_clusters")
+      "q21_minhash_pairs", "q66_dedup_clusters",
+      "q110_standing_vec", "q112_substring_dedup", "q113_semdedup",
+      "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
