@@ -633,3 +633,33 @@ object ProbeScale {
     spark.stop()
   }
 }
+
+/** Time a single named SparkEntry query in isolation (args: name [sfDir]
+  * [reps]) — the attribution tool Bench's full-suite passes can't be: one
+  * query, warm JVM, N reps, no alphabetical neighbors to share a
+  * contention window with. */
+object ProbeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q48_flagship_glm")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TopKPerKey.install(spark)
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"$name: ${ts.map(t => f"$t%.2f").mkString(", ")}  min=${ts.min}%.2f")
+    spark.stop()
+  }
+}
