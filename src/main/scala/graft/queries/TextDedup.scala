@@ -202,23 +202,34 @@ object TextDedup extends QueryModule {
     * oracle is q66's union re-run (the recursive-CTE clusters over ALL
     * documents): the hash match IS the proof that incremental ≡ full.
     * Own index name/location (not q90's) so the two queries can build
-    * concurrently under Verify's thread pool. */
+    * concurrently under Verify's thread pool.
+    *
+    * The standing LABEL relation persists alongside the band index
+    * (written before the index build, whose meta-last ordering gates
+    * both): the per-call cost is probe + batch CC + remap against TWO
+    * standing stores — the operator's production shape (and the one
+    * `StreamOps.streamingIncrementalClusters` maintains per batch) —
+    * not an in-query re-derivation of the corpus clustering, which the
+    * r11 plan audit correctly called fixture cost. */
   def incrementalClustersQuery(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val corpus = docs.filter(col("doc_id") % 10 >= 2)
     val inc = docs.filter(col("doc_id") % 10 < 2)
     val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
     val name = s"graft_dedup_cidx_$tag"
-    if (!DedupOps.bandIndexMatches(s, name, d))
+    val location = s"${sys.props("java.io.tmpdir")}/graft_dedup_cidx/$tag"
+    if (!DedupOps.bandIndexMatches(s, name, d)) {
+      DedupOps
+        .dedupClusters(corpus,
+          DedupOps.minhashDupPairs(corpus, shingleK = 3, numHashes = 16,
+            rowsPerBand = 4, threshold = 0.5))
+        .select("doc_id", "cluster")
+        .write.mode("overwrite").parquet(s"$location/labels")
       DedupOps.buildBandIndex(s, corpus, name,
         shingleK = 3, numHashes = 16, rowsPerBand = 4,
-        location = s"${sys.props("java.io.tmpdir")}/graft_dedup_cidx/$tag",
-        datasetTag = d)
-    val standing = DedupOps
-      .dedupClusters(corpus,
-        DedupOps.minhashDupPairs(corpus, shingleK = 3, numHashes = 16,
-          rowsPerBand = 4, threshold = 0.5))
-      .select("doc_id", "cluster")
+        location = location, datasetTag = d)
+    }
+    val standing = s.read.parquet(s"$location/labels")
     DedupOps.incrementalClusters(s, standing, inc, name, threshold = 0.5)
       .orderBy("doc_id")
   }
