@@ -738,6 +738,66 @@ object Similarity extends QueryModule {
        |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- q117: SemDeDup with a BINDING cell cap -----------------------------
+  // The capped path itself as a hash-checked relation: cells past
+  // cellCap = 16 split into id-hash sub-buckets plus the per-sub leader
+  // pass (SimilarityOps.semCandidatePairs). Verdicts differ from q113
+  // exactly where the cap's documented recall trade binds — and the oracle
+  // replays the split and leader machinery, so the trade is pinned, not
+  // hand-waved. The sub-bucket hash is the oracle-expressible
+  // ((id mod P)·2654435761 mod P) mod s.
+
+  private val semCap = 16
+
+  def semDedupCappedQuery(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .semDedup(embeddings(s, d), nCentroids = kmK, iters = kmIters,
+        threshold = 0.35, cellCap = semCap)
+      .orderBy("vec_id")
+
+  private def semDedupCappedSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (SELECT vec_id, v, norm, cell FROM rankedc WHERE rn = 1),
+       |cnts AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY cell),
+       |sub AS (
+       |  SELECT a.*, ((a.vec_id % 1000000007) * 2654435761) % 1000000007
+       |      % ((c.cn + ${semCap - 1}) // $semCap) AS sb
+       |  FROM assigned a JOIN cnts c USING (cell)
+       |),
+       |leaders AS (SELECT cell, sb, min(vec_id) AS lid FROM sub GROUP BY cell, sb),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS bid, a.v AS av, a.norm AS an,
+       |    b.v AS bv, b.norm AS bn
+       |  FROM sub a JOIN sub b ON b.cell = a.cell AND b.sb = a.sb
+       |    AND b.vec_id < a.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id, lb.vec_id AS bid, a.v AS av, a.norm AS an,
+       |    lb.v AS bv, lb.norm AS bn
+       |  FROM sub a
+       |  JOIN leaders l ON l.cell = a.cell AND l.lid < a.vec_id
+       |  JOIN assigned lb ON lb.vec_id = l.lid
+       |),
+       |dups AS (
+       |  SELECT vec_id, min(bid) AS dup_of
+       |  FROM pairs
+       |  WHERE ${duckDot("av", "bv")} / (an * bn) >= 0.35
+       |  GROUP BY vec_id
+       |)
+       |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, d.dup_of,
+       |  (d.dup_of IS NULL) AS keep
+       |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // ---- q99: embedding-space incremental admission -------------------------
   // The vector-modality twin of q83: arrivals (vec_id < 100) judged
   // against the standing corpus through its IVF cells (nProbe=2), flagged
@@ -831,5 +891,6 @@ object Similarity extends QueryModule {
     Q("q110_standing_vec", standingVecAdmission, Some(embeddingAdmissionSql)),
     Q("q111_ivfadc", ivfadc, Some(ivfadcSql)),
     Q("q113_semdedup", semDedupQuery, Some(semDedupSql)),
+    Q("q117_semdedup_capped", semDedupCappedQuery, Some(semDedupCappedSql)),
   )
 }

@@ -750,11 +750,17 @@ object SimilarityOps {
         .filter(col("__bid") < col("vec_id"))
         .select(pairCols: _*)
     } else {
-      // cell-size histogram: ≤ nCentroids rows, catalog-sized → broadcast
+      // cell-size histogram: ≤ nCentroids rows, catalog-sized → broadcast.
+      // Sub-bucket hash is a multiplicative mod-P mix (NOT xxhash64): the
+      // same expression is replayable in any engine, so the capped path is
+      // oracle-checkable (q117) — and ((id mod P)·2654435761) stays within
+      // int64 for any id.
       val cnts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
       val sub = assigned.join(broadcast(cnts), Seq("cell"))
         .withColumn("__s", expr(s"(__cn + ${cellCap - 1}L) div ${cellCap}L"))
-        .withColumn("__sub", pmod(xxhash64(col("vec_id")), col("__s")))
+        .withColumn("__sub", pmod(
+          pmod(col("vec_id"), lit(1000000007L)) * lit(2654435761L) % lit(1000000007L),
+          col("__s")))
         .select("cell", "__sub", "vec_id", "v", "norm")
       val lower = sub.select(col("cell"), col("__sub"),
         col("vec_id").as("__bid"), col("v").as("__bv"), col("norm").as("__bnorm"))
