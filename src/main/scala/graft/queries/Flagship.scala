@@ -90,17 +90,24 @@ object Flagship extends QueryModule {
     val series = ev
       .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
       .select(
+        lit(1L).as("run_id"),
         (col("user_id") % 10).as("g"),
         expr(s"(ts div 1000 - $baseUs) div $trUs").as("t"),
         col("value").cast("decimal(18,2)").as("y_dec"),
       )
       .filter(col("t") < N)
-      .groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+      .groupBy("run_id", "g", "t").agg(sum("y_dec").as("y_dec"))
     val names = {
       import s.implicits._
       regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
     }
-    GlmOps.massGLMPacked(s, series, x, "g")
+    // the per-key GLM core with ONE pinned key: the weight tables ride as
+    // a broadcast RELATION (one nested-array row) instead of two 40×2016
+    // plan literals — the literal form pushed ~160k longs through every
+    // plan tree walk and task binary (the 2 MB task-binary warnings), pure
+    // driver overhead for identical numbers (GlmSpec pins the two paths
+    // bit-identical on a shared design)
+    GlmOps.massGLMPackedPerKey(s, series, Seq((1L, x)), "run_id", "g")
       .join(broadcast(names), "j")
       .select(col("g"), col("regressor"),
         round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),

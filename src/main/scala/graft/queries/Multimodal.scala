@@ -135,8 +135,11 @@ object Multimodal extends QueryModule {
     * radius (a pair differing in ≤ 3 bits cannot differ in all 4 bands),
     * so unlike MinHash banding there is no recall luck: the bucket join is
     * pure pruning. Scale shape: candidates are bounded by the band-value
-    * histogram (256 values × 4 bands); payload bytes stay in the scan
-    * stage. */
+    * histogram (256 values × 4 bands) and payload bytes stay in the scan
+    * stage — but 8-bit bands pool candidates as ~n²/256 per band, so past
+    * ~10⁶ payloads widen the fingerprint (phash64 from the same kernel,
+    * 16-bit bands → 65k values, still pigeonhole-exact at radius 3) — the
+    * machinery is width-agnostic; 32/8 is proportioned to this corpus. */
   def phashPairs(s: SparkSession, d: String): DataFrame =
     phashPairRelation(s, d, tau = 3)
       .select(col("doc_a"), col("doc_b"), col("dist"))
