@@ -101,6 +101,20 @@ class StreamClusterSpec extends SparkSpec {
       labelsPath, outPath).start()
     try {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      // at-least-once REPLAY: re-deliver batch 3 verbatim — the standing
+      // stores must not change (its docs are already labeled, so the
+      // replay guard reduces the batch to empty and the idempotent index
+      // append inserts nothing)
+      val before = s.read.parquet(labelsPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bandsBefore = s.table("graft_test_sclu_str_docs").count()
+      ms.addData(batches.last)
+      q.processAllAvailable()
+      val after = s.read.parquet(labelsPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after === before, "replayed batch changed the label store")
+      assert(s.table("graft_test_sclu_str_docs").count() === bandsBefore,
+        "replayed batch double-appended to the band index")
     } finally q.stop()
 
     val streamed = s.read.parquet(labelsPath)
