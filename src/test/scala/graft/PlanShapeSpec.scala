@@ -191,6 +191,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("props"), "events scan reads the unused props column")
   }
 
+  test("q114/q115: payload bytes stay in the scan stage — no exchange carries text") {
+    // the perceptual-hash pipeline's contract: only 8-byte fingerprints
+    // and band keys shuffle; the payload (here the text stand-in) must be
+    // consumed by phash32 inside the scan stage and never serialize
+    // through an Exchange. q115's text-dedup window legitimately
+    // partitions by text — only lines that ALSO carry a phash column are
+    // the defect.
+    for (q <- Seq("q114_phash_pairs", "q115_crossmodal_manifest")) {
+      val p = plan(q)
+      val exchangeLines = p.split("\n").filter(_.contains("Exchange"))
+      assert(exchangeLines.nonEmpty, s"$q plan shows no exchange at all")
+      val offending = exchangeLines.filter(l =>
+        l.contains("ph#") && l.contains("text#"))
+      assert(offending.isEmpty,
+        s"$q shuffles payload bytes alongside fingerprints:\n${offending.mkString("\n")}")
+    }
+  }
+
+  test("q116: the Gauss-Jordan solve is projection-only — no exchange in the elimination") {
+    // beta = (XtX)^-1 Xty runs as generated per-group projections: the
+    // plan's exchanges serve the moment aggregations, the grid join, and
+    // the final sort — the k-stage elimination adds none (its g{p}_{i}_{j}
+    // columns never appear in an Exchange line)
+    val p = plan("q116_normal_glm")
+    val offending = p.split("\n")
+      .filter(_.contains("Exchange")).filter(_.contains("g0_"))
+    assert(offending.isEmpty,
+      s"q116 shuffles mid-elimination:\n${offending.mkString("\n")}")
+    assert(p.contains("Project"), "expected the GJ projection stages")
+  }
+
   test("q95 corpus assembly: dedup/contam gates are broadcast-probed, packing windows partitioned") {
     val s = spark
     val df = graft.queries.TextDedup.corpusAssembly(s, sf0001)
