@@ -798,6 +798,66 @@ object Similarity extends QueryModule {
        |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- q118: cluster-balanced sampling ------------------------------------
+  // The semantic analog of q58's per-language quota (the domain-balancing
+  // step of corpus assembly, done by TRAINED clusters instead of metadata
+  // labels): assign every vector to its Lloyd-trained cell, then keep at
+  // most `clusterQuota` per cell by a deterministic salt-hash ranking —
+  // boilerplate-heavy regions of embedding space stop dominating the
+  // mixture no matter how many near-copies they contribute. Membership is
+  // a pure function of (vec_id, trained centroids): partition-invariant,
+  // retry-stable, and coordinated (raising the quota only ADDS vectors).
+  // Scale shape: assignment is the map-side k×d-literal argmax; the only
+  // exchange is the per-cell rank window (keyed by cell — exactly the
+  // TopKPerKey rewrite's shape when installed).
+
+  private val clusterQuota = 20
+
+  def clusterQuotaSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = SimilarityOps
+      .semAssigned(embeddings(s, d), nCentroids = kmK, iters = kmIters)
+      .select(col("vec_id"), col("cell"))
+    val slot = pmod(
+      pmod(col("vec_id"), lit(1000000007L)) * lit(2654435761L) % lit(1000000007L),
+      lit(1000000L))
+    val w = Window.partitionBy("cell").orderBy(col("__slot").asc, col("vec_id").asc)
+    assigned
+      .withColumn("__slot", slot)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= clusterQuota)
+      .select(col("cell").cast("long").as("cell"),
+        col("rank").cast("long").as("rank"), col("vec_id"))
+      .orderBy("cell", "rank")
+  }
+
+  private def clusterQuotaSampleSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1
+       |),
+       |slotted AS (
+       |  SELECT vec_id, cell,
+       |    ((vec_id % 1000000007) * 2654435761) % 1000000007 % 1000000 AS slot
+       |  FROM assigned
+       |),
+       |ranked AS (
+       |  SELECT cell, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY slot ASC, vec_id ASC) AS rank
+       |  FROM slotted
+       |)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(rank AS BIGINT) AS rank, vec_id
+       |FROM ranked WHERE rank <= $clusterQuota
+       |ORDER BY cell, rank""".stripMargin
+
   // ---- q99: embedding-space incremental admission -------------------------
   // The vector-modality twin of q83: arrivals (vec_id < 100) judged
   // against the standing corpus through its IVF cells (nProbe=2), flagged
@@ -892,5 +952,6 @@ object Similarity extends QueryModule {
     Q("q111_ivfadc", ivfadc, Some(ivfadcSql)),
     Q("q113_semdedup", semDedupQuery, Some(semDedupSql)),
     Q("q117_semdedup_capped", semDedupCappedQuery, Some(semDedupCappedSql)),
+    Q("q118_cluster_quota", clusterQuotaSample, Some(clusterQuotaSampleSql)),
   )
 }

@@ -524,4 +524,19 @@ class SimilaritySpec extends SparkSpec {
     } finally for (n <- Seq(n1, n2); t <- Seq("cells", "cents", "meta"))
       s.sql(s"DROP TABLE IF EXISTS ${n}_$t")
   }
+  test("q118 cluster quota: every cell capped, ranks contiguous, deterministic") {
+    val out = graft.queries.Similarity.clusterQuotaSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byCell = out.groupBy(_._1)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 20, s"cell $cell over quota: ${rows.length}")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"cell $cell ranks not contiguous")
+    }
+    // pure function of (vec_id, centroids): a second run is identical
+    val again = graft.queries.Similarity.clusterQuotaSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
