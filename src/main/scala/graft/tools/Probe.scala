@@ -616,7 +616,8 @@ object ProbeScale {
       "q106_pq_serve", "q111_ivfadc", "q85_pmi_bigrams",
       "q21_minhash_pairs", "q66_dedup_clusters",
       "q110_standing_vec", "q112_substring_dedup", "q113_semdedup",
-      "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm")
+      "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm",
+      "q117_semdedup_capped", "q118_cluster_quota")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
