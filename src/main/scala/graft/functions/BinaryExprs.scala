@@ -73,6 +73,24 @@ object BinaryExprs {
     * column. */
   def phash32(c: Column): Column =
     ColumnBridge.column(Phash32(ColumnBridge.expression(c)))
+
+  case class Phash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "phash64"
+    override def nullSafeEval(v: Any): Any =
+      Phash.phash64(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Phash.phash64($c)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** `phash64(payload)`: 64-bit blocked-DCT perceptual hash of a binary
+    * column — the production width (16-bit Hamming bands → 65k bucket
+    * values, vs phash32's 256). */
+  def phash64(c: Column): Column =
+    ColumnBridge.column(Phash64(ColumnBridge.expression(c)))
 }
 
 /** 1-D pHash over a binary payload (the blocked-DCT sign hash of Zauner's
@@ -104,18 +122,30 @@ object Phash {
   val Bits = 32
   val MeanScale = 1000000L
 
-  /** K(k)(b) = round(cos(π·(k+1)·(2b+1)/(2·Grid)) · 1e6). */
-  lazy val kernel: Array[Array[Long]] = Array.tabulate(Bits, Grid)((k, b) =>
-    math.rint(math.cos(math.Pi * (k + 1) * (2 * b + 1) / (2.0 * Grid)) * 1e6).toLong)
+  /** 64-bit production geometry: 128 pooling blocks so all 64 kept
+    * coefficients are non-degenerate (at Grid = Bits the k = Bits DCT row
+    * is cos((2b+1)π/2) = 0 identically — the highest bit would never
+    * fire). |K·m| ≤ 1e6 · 255e6 · 128 ≈ 3.3e16, still well inside int64. */
+  val Grid64 = 128
+  val Bits64 = 64
 
-  def phash32(bytes: Array[Byte]): Long = {
+  private def mkKernel(bits: Int, grid: Int): Array[Array[Long]] =
+    Array.tabulate(bits, grid)((k, b) =>
+      math.rint(math.cos(math.Pi * (k + 1) * (2 * b + 1) / (2.0 * grid)) * 1e6).toLong)
+
+  /** K(k)(b) = round(cos(π·(k+1)·(2b+1)/(2·Grid)) · 1e6). */
+  lazy val kernel: Array[Array[Long]] = mkKernel(Bits, Grid)
+  lazy val kernel64: Array[Array[Long]] = mkKernel(Bits64, Grid64)
+
+  private def phashImpl(bytes: Array[Byte], bits: Int, grid: Int,
+      kern: Array[Array[Long]]): Long = {
     val n = bytes.length
     if (n == 0) return 0L
-    val m = new Array[Long](Grid)
+    val m = new Array[Long](grid)
     var b = 0
-    while (b < Grid) {
-      val lo = (b.toLong * n / Grid).toInt
-      val hi = ((b + 1).toLong * n / Grid).toInt
+    while (b < grid) {
+      val lo = (b.toLong * n / grid).toInt
+      val hi = ((b + 1).toLong * n / grid).toInt
       if (hi > lo) {
         var s = 0L
         var i = lo
@@ -126,14 +156,21 @@ object Phash {
     }
     var hash = 0L
     var k = 0
-    while (k < Bits) {
-      val kr = kernel(k)
+    while (k < bits) {
+      val kr = kern(k)
       var c = 0L
       var bb = 0
-      while (bb < Grid) { c += kr(bb) * m(bb); bb += 1 }
+      while (bb < grid) { c += kr(bb) * m(bb); bb += 1 }
       if (c > 0) hash |= (1L << k)
       k += 1
     }
     hash
   }
+
+  def phash32(bytes: Array[Byte]): Long = phashImpl(bytes, Bits, Grid, kernel)
+
+  /** 64-bit variant (sign bit = coefficient 64 — the Long wraps negative
+    * when it fires; band extraction masks after the arithmetic shift so
+    * signedness never leaks into bucket keys). */
+  def phash64(bytes: Array[Byte]): Long = phashImpl(bytes, Bits64, Grid64, kernel64)
 }

@@ -1,0 +1,173 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BinaryExprs
+
+/** Perceptual near-dup machinery over binary media payloads — the media
+  * modality's twin of the text band index (DedupOps.buildBandIndex) and the
+  * vector index (SimilarityOps.buildVecIndex), closing the standing-index /
+  * admission / streaming symmetry across all three modalities (SURVEY.md
+  * §8b; the reference's update-drop ingest loop, convert2BIDS.sh:8, is the
+  * workflow this serves at training-data scale).
+  *
+  * Fingerprint: [[graft.functions.Phash.phash64]] — the 64-bit blocked-DCT
+  * sign hash — bucketed by 4 disjoint 16-bit Hamming bands. By pigeonhole
+  * the banding is EXACT at radius τ = 3 (a pair differing in ≤ 3 bits
+  * cannot differ in all 4 bands), so unlike MinHash banding there is no
+  * recall luck: the bucket join is pure pruning, and the verification step
+  * (exact popcount of the XOR) closes precision. 16-bit bands give 65 536
+  * bucket values per band, so random-pair pooling is ~n²/65 536 per band —
+  * 256× fewer candidates than the 8-bit geometry this replaces, which
+  * pooled ~n²/256 and was the round-12 scale reservation.
+  *
+  * Scale shape: payloads never shuffle — the fingerprint is computed in the
+  * scan stage and only 8-byte hashes + band keys move. The standing index
+  * persists band rows bucketed by (r, bv), so a probing batch joins with
+  * ZERO corpus-side exchange (broadcast-probed for batch-sized increments;
+  * bucket-co-located for large ones).
+  */
+object PhashOps {
+
+  /** Disjoint Hamming bands over the 64-bit fingerprint. */
+  val Bands = 4
+  val BandBits = 16
+  private val BandMask = (1L << BandBits) - 1
+
+  /** Exactness bound: banding loses no pair at Hamming distance ≤ Bands-1. */
+  val Tau = 3
+
+  /** media(doc_id, payload) → (doc_id, ph): the per-payload fingerprint. */
+  def fingerprints(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), BinaryExprs.phash64(col("payload")).as("ph"))
+
+  /** The band key of fingerprint `ph` for band `r` — mask AFTER the
+    * arithmetic shift so the sign bit (coefficient 64) never leaks into
+    * bucket keys. */
+  private def bandKey(ph: Column, r: Int): Column =
+    shiftright(ph, BandBits * r).bitwiseAND(lit(BandMask))
+
+  /** (doc_id, ph) → (doc_id, ph, r, bv): one row per disjoint band. */
+  def bandRelation(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"), col("ph"),
+      explode(array((0 until Bands).map(r =>
+        struct(lit(r).as("r"), bandKey(col("ph"), r).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("ph"), col("bd.r").as("r"), col("bd.bv").as("bv"))
+
+  /** Verified perceptual near-dup pairs within one media relation:
+    * (doc_a, doc_b, dist) with doc_a < doc_b and Hamming dist ≤ tau.
+    * Exact at tau ≤ Bands-1 by pigeonhole. */
+  def pairRelation(media: DataFrame, tau: Int = Tau): DataFrame = {
+    val bands = bandRelation(fingerprints(media))
+    bands.select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("__phb"),
+        col("r"), col("bv")), Seq("r", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "__pha", "__phb").distinct()
+      .withColumn("dist", expr("CAST(bit_count(__pha ^ __phb) AS BIGINT)"))
+      .filter(col("dist") <= tau)
+      .select("doc_a", "doc_b", "dist")
+  }
+
+  /** Build the STANDING perceptual index at `location`: two bucketed
+    * tables plus a meta pin, the q90/q110 layout —
+    *   - `name_pbands` (r, bv, corp_id, ph) bucketed by (r, bv): a probe's
+    *     candidate join needs zero Exchange on this side, and the 8-byte
+    *     fingerprint rides along so verification needs NO second
+    *     corpus-side join;
+    *   - `name_pdocs`  (corp_id, ph) bucketed by corp_id: the id set for
+    *     idempotent appends (and rebuild-equality audits);
+    *   - `name_pmeta`  (bands, band_bits, buckets, dataset_tag): a probe
+    *     can never silently use different band geometry than the build.
+    * The build is one corpus pass (fingerprints in the scan stage); every
+    * subsequent batch pays only its own probe. */
+  def buildPhashIndex(spark: SparkSession, media: DataFrame, name: String,
+      location: String, buckets: Int = 32, datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    val ph = fingerprints(media)
+    bandRelation(ph)
+      .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("ph"))
+      .write.mode("overwrite").option("path", s"$location/pbands")
+      .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
+      .saveAsTable(s"${name}_pbands")
+    ph.select(col("doc_id").as("corp_id"), col("ph"))
+      .write.mode("overwrite").option("path", s"$location/pdocs")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_pdocs")
+    Seq((Bands, BandBits, buckets, datasetTag))
+      .toDF("bands", "band_bits", "buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/pmeta")
+      .saveAsTable(s"${name}_pmeta")
+  }
+
+  /** Whether standing index `name` exists AND was built from `datasetTag`
+    * with THIS code's band geometry — same guard contract as
+    * DedupOps.bandIndexMatches: any missing table, unreadable meta, tag
+    * mismatch, or geometry drift (an index persisted by an older width)
+    * answers false → rebuild, never probe a stale index. */
+  def phashIndexMatches(spark: SparkSession, name: String,
+      datasetTag: String): Boolean =
+    Seq("pbands", "pdocs", "pmeta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
+      (try {
+        val m = spark.table(s"${name}_pmeta").head()
+        m.getAs[String]("dataset_tag") == datasetTag &&
+          m.getAs[Int]("bands") == Bands && m.getAs[Int]("band_bits") == BandBits
+      } catch { case _: Throwable => false })
+
+  /** Incremental MAINTENANCE: append a batch of newly admitted payloads to
+    * both relations — bucket-aligned, batch-sized; the corpus is never
+    * re-fingerprinted. `idempotent = true` guards at-least-once replay
+    * (foreachBatch): the batch anti-joins on doc_id against the standing
+    * pdocs ids BEFORE any write, pinned via localCheckpoint so the pbands
+    * append cannot observe the pdocs append mid-flight. */
+  def appendToPhashIndex(spark: SparkSession, newMedia0: DataFrame,
+      name: String, idempotent: Boolean = false): Unit = {
+    val buckets = spark.table(s"${name}_pmeta").head().getAs[Int]("buckets")
+    val newMedia = if (!idempotent) newMedia0 else newMedia0.join(
+      spark.table(s"${name}_pdocs").select(col("corp_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val ph = fingerprints(newMedia)
+    bandRelation(ph)
+      .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("ph"))
+      .write.mode("append")
+      .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
+      .saveAsTable(s"${name}_pbands")
+    ph.select(col("doc_id").as("corp_id"), col("ph"))
+      .write.mode("append")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_pdocs")
+  }
+
+  /** The verified near-dup PAIRS an arriving batch makes against the
+    * standing corpus: (inc_id, corp_id, dist), dist ≤ tau. Candidates come
+    * off the prebuilt (r, bv)-bucketed band relation — the batch side is
+    * banded fresh (batch-sized), the corpus side is a columnar scan with
+    * no exchange — and verification is an inline popcount on the two
+    * fingerprints the band rows already carry. Per-batch cost is
+    * O(batch × bucket occupancy), flat as the corpus grows. */
+  def probePhashIndexPairs(spark: SparkSession, media: DataFrame,
+      name: String, tau: Int = Tau): DataFrame =
+    bandRelation(fingerprints(media))
+      .select(col("doc_id").as("inc_id"), col("ph").as("__phi"),
+        col("r"), col("bv"))
+      .join(spark.table(s"${name}_pbands"), Seq("r", "bv"))
+      .select("inc_id", "corp_id", "__phi", "ph").distinct()
+      .withColumn("dist", expr("CAST(bit_count(__phi ^ ph) AS BIGINT)"))
+      .filter(col("dist") <= tau)
+      .select("inc_id", "corp_id", "dist")
+
+  /** Per-arrival admission verdicts against the standing index:
+    * (doc_id, image_dup_of = min near-dup corpus id at Hamming ≤ tau,
+    * keep = no near-dup) — q114's pair semantics, served per batch. */
+  def probePhashIndex(spark: SparkSession, media: DataFrame, name: String,
+      tau: Int = Tau): DataFrame = {
+    val near = probePhashIndexPairs(spark, media, name, tau)
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min("corp_id").as("image_dup_of"))
+    media.select("doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("image_dup_of"),
+        col("image_dup_of").isNull.as("keep"))
+  }
+}

@@ -29,6 +29,18 @@ object Multimodal extends QueryModule {
       )
       .orderBy("doc_id")
 
+  /** ASCII guard shared by every media oracle that mirrors BYTE operations
+    * in the char domain (ord(char) == byte only for pure ASCII): a future
+    * non-ASCII corpus must fail loudly here, not silently diverge the
+    * hash check. octet_length(encode(text)) == length(text) iff ASCII. */
+  private val asciiDocs =
+    """docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN octet_length(encode(text)) = length(text) THEN text
+      |         ELSE error('media oracle: non-ASCII payload, char-domain mirror invalid') END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   private def stripeHash(j: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(list_filter(range(length(text)), i -> i % ${MultimodalOps.FeatureDim} = $j),
@@ -36,11 +48,12 @@ object Multimodal extends QueryModule {
        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin.replace("\n", " ")
 
   private val mediaFeaturesSql =
-    s"""SELECT doc_id,
+    s"""WITH $asciiDocs
+       |SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_bytes,
        |  round(CAST(${stripeHash(0)} AS DOUBLE) / 1000000007.0, 6) AS f0,
        |  round(CAST(${stripeHash(1)} AS DOUBLE) / 1000000007.0, 6) AS f1
-       |FROM documents
+       |FROM docs
        |ORDER BY doc_id""".stripMargin
 
   /** q43: every 4th 64-byte frame of each payload, with the frame bytes. */
@@ -55,10 +68,11 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_idx")
 
   private val frameSampleSql =
-    """WITH media AS (
+    s"""WITH $asciiDocs,
+      |media AS (
       |  SELECT doc_id, text AS payload,
       |    octet_length(encode(text)) // 64 AS n_frames
-      |  FROM documents
+      |  FROM docs
       |)
       |SELECT doc_id, n_frames, r.f AS frame_idx,
       |  substring(payload, CAST(r.f * 64 + 1 AS INTEGER), 64) AS frame_text
@@ -87,11 +101,12 @@ object Multimodal extends QueryModule {
   }
 
   private val mediaResizeSql =
-    """WITH resized AS (
+    s"""WITH $asciiDocs,
+      |resized AS (
       |  SELECT doc_id, length(text) AS n_in,
       |    array_to_string(list_transform(range((length(text) + 7) // 8),
       |      i -> substring(text, CAST(8 * i + 1 AS INT), 4)), '') AS r
-      |  FROM documents
+      |  FROM docs
       |)
       |SELECT doc_id,
       |  CAST(n_in AS BIGINT) AS n_bytes_in,
@@ -100,69 +115,69 @@ object Multimodal extends QueryModule {
       |FROM resized
       |ORDER BY doc_id""".stripMargin
 
-  // ---- q114/q115: perceptual near-dup + cross-modal manifest -------------
+  // ---- q114/q115/q119: perceptual near-dup + cross-modal manifest --------
 
-  import graft.functions.{BinaryExprs, Phash}
+  import graft.functions.Phash
+  import graft.multimodal.PhashOps
 
-  /** Per-payload 32-bit blocked-DCT perceptual hash (BinaryExprs.phash32)
-    * plus its 4×8-bit Hamming bands — the media analog of q23's simhash:
-    * payloads never shuffle, only 8-byte fingerprints and band keys do. */
-  private def phashBands(s: SparkSession, d: String): DataFrame = {
-    val ph = MultimodalOps.mediaFromDocuments(documents(s, d))
-      .select(col("doc_id"), BinaryExprs.phash32(col("payload")).as("ph"))
-    ph.select(col("doc_id"), col("ph"),
-      explode(array((0 until 4).map(r =>
-        struct(lit(r).as("r"),
-          shiftright(col("ph"), 8 * r).bitwiseAND(lit(255L)).as("bv"))): _*)).as("bd"))
-      .select(col("doc_id"), col("ph"), col("bd.r").as("r"), col("bd.bv").as("bv"))
-  }
+  /** The verified perceptual near-dup PAIR relation at Hamming ≤ τ —
+    * [[PhashOps.pairRelation]] over the documents-backed media table. */
+  private def phashPairRelation(s: SparkSession, d: String, tau: Int): DataFrame =
+    PhashOps.pairRelation(
+      MultimodalOps.mediaFromDocuments(documents(s, d)), tau)
 
-  /** The verified perceptual near-dup PAIR relation at Hamming ≤ τ. */
-  private def phashPairRelation(s: SparkSession, d: String, tau: Int): DataFrame = {
-    val bands = phashBands(s, d)
-    bands.select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("__phb"),
-        col("r"), col("bv")), Seq("r", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "__pha", "__phb").distinct()
-      .withColumn("dist", expr("CAST(bit_count(__pha ^ __phb) AS BIGINT)"))
-      .filter(col("dist") <= tau)
-  }
-
-  /** q114: perceptual near-dup pairs over binary payloads — pHash
-    * fingerprints, bucketed by 4 disjoint 8-bit bands, verified by exact
-    * Hamming distance ≤ 3. By pigeonhole the banding is EXACT at this
-    * radius (a pair differing in ≤ 3 bits cannot differ in all 4 bands),
-    * so unlike MinHash banding there is no recall luck: the bucket join is
-    * pure pruning. Scale shape: candidates are bounded by the band-value
-    * histogram (256 values × 4 bands) and payload bytes stay in the scan
-    * stage — but 8-bit bands pool candidates as ~n²/256 per band, so past
-    * ~10⁶ payloads widen the fingerprint (phash64 from the same kernel,
-    * 16-bit bands → 65k values, still pigeonhole-exact at radius 3) — the
-    * machinery is width-agnostic; 32/8 is proportioned to this corpus. */
+  /** q114: perceptual near-dup pairs over binary payloads — 64-bit pHash
+    * fingerprints (Phash.phash64), bucketed by 4 disjoint 16-bit bands,
+    * verified by exact Hamming distance ≤ 3. By pigeonhole the banding is
+    * EXACT at this radius (a pair differing in ≤ 3 bits cannot differ in
+    * all 4 bands), so unlike MinHash banding there is no recall luck: the
+    * bucket join is pure pruning. Scale shape: candidates are bounded by
+    * the band-value histogram — 65 536 values per band pools random pairs
+    * as ~n²/65 536, 256× fewer candidates than the 8-bit geometry this
+    * width replaces (the round-12 scale reservation) — and payload bytes
+    * stay in the scan stage; only 8-byte fingerprints and band keys
+    * shuffle. */
   def phashPairs(s: SparkSession, d: String): DataFrame =
-    phashPairRelation(s, d, tau = 3)
+    phashPairRelation(s, d, tau = PhashOps.Tau)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
 
-  /** The kernel literal + per-doc phash CTE chain shared by both oracles:
-    * block means and DCT signs replayed in exact int64 over the ASCII
-    * stand-in payloads (char ops == byte ops), with the ×1e6 cosine kernel
-    * emitted from [[Phash.kernel]] so no libm call crosses the engine
-    * boundary. */
-  private def phashCtes: String = {
+  /** The ×1e6 cosine kernel emitted from [[Phash.kernel64]] as literals —
+    * no libm call crosses the engine boundary (the q51/W4 fixed-point
+    * discipline). Shared with TextDedup's q120 oracle. */
+  private[queries] def kernCte: String = {
     val kern = (for {
-      k <- 1 to Phash.Bits
-      b <- 0 until Phash.Grid
-    } yield s"($k,$b,${Phash.kernel(k - 1)(b)})").mkString(", ")
-    s"""kern(k, b, w) AS (VALUES $kern),
-       |media AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
-       |grid AS (
-       |  SELECT doc_id, text, n, g.b AS b,
-       |    (g.b * n) // ${Phash.Grid} AS lo, ((g.b + 1) * n) // ${Phash.Grid} AS hi
-       |  FROM media, unnest(range(${Phash.Grid})) AS g(b)
+      k <- 1 to Phash.Bits64
+      b <- 0 until Phash.Grid64
+    } yield s"($k,$b,${Phash.kernel64(k - 1)(b)})").mkString(", ")
+    s"kern(k, b, w) AS (VALUES $kern)"
+  }
+
+  /** Per-side phash64 CTE chain over relation `rel` (names `_$sx`-suffixed
+    * so two sides can coexist, the q83 duckSideCtes pattern): block means
+    * and DCT signs replayed in exact int64 over the ASCII stand-in
+    * payloads. The media CTE asserts ASCII-ness (octet_length == length)
+    * via error(): the oracle mirrors byte ops in the char domain, which is
+    * only valid for pure-ASCII text — a future non-ASCII corpus must fail
+    * loudly here, not silently diverge the hash check. Bit 64 is the int64
+    * sign bit: the CASE emits min-long for k = 64 (DuckDB's `1 << 63`
+    * overflows), matching the JVM's natural wrap; band extraction masks
+    * after the arithmetic shift, so signedness never reaches bucket
+    * keys — bit-identical to [[PhashOps.bandRelation]]. */
+  private[queries] def phashSideCtes(sx: String, rel: String): String =
+    s"""media_$sx AS (
+       |  SELECT doc_id,
+       |    CASE WHEN octet_length(encode(text)) = length(text) THEN text
+       |         ELSE error('phash oracle: non-ASCII payload, char-domain mirror invalid') END AS text,
+       |    CAST(length(text) AS BIGINT) AS n
+       |  FROM $rel
        |),
-       |blocks AS (
+       |grid_$sx AS (
+       |  SELECT doc_id, text, n, g.b AS b,
+       |    (g.b * n) // ${Phash.Grid64} AS lo, ((g.b + 1) * n) // ${Phash.Grid64} AS hi
+       |  FROM media_$sx, unnest(range(${Phash.Grid64})) AS g(b)
+       |),
+       |blocks_$sx AS (
        |  SELECT doc_id, b,
        |    CASE WHEN hi > lo THEN
        |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -170,33 +185,41 @@ object Multimodal extends QueryModule {
        |           i -> CAST(ord(substring(text, CAST(i + 1 AS INT), 1)) AS BIGINT))),
        |         (a, x) -> a + x) * ${Phash.MeanScale}) // (hi - lo)
        |    ELSE 0 END AS m
-       |  FROM grid
+       |  FROM grid_$sx
        |),
-       |coef AS (
+       |coef_$sx AS (
        |  SELECT doc_id, k.k AS k, sum(k.w * bl.m) AS c
-       |  FROM blocks bl JOIN kern k ON k.b = bl.b
+       |  FROM blocks_$sx bl JOIN kern k ON k.b = bl.b
        |  GROUP BY doc_id, k.k
        |),
-       |ph AS (
+       |ph_$sx AS (
        |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (k - 1)) ELSE 0 END) AS BIGINT) AS ph
-       |  FROM coef GROUP BY doc_id
+       |    CAST(sum(CASE WHEN c > 0 THEN
+       |      CASE WHEN k = ${Phash.Bits64} THEN CAST(-9223372036854775808 AS BIGINT)
+       |           ELSE (CAST(1 AS BIGINT) << (k - 1)) END
+       |      ELSE 0 END) AS BIGINT) AS ph
+       |  FROM coef_$sx GROUP BY doc_id
        |),
-       |bands AS (
-       |  SELECT doc_id, ph, r.r AS r, (ph >> (8 * r.r)) & 255 AS bv
-       |  FROM ph, unnest(range(4)) AS r(r)
-       |),
+       |bands_$sx AS (
+       |  SELECT doc_id, ph, r.r AS r, (ph >> (16 * r.r)) & 65535 AS bv
+       |  FROM ph_$sx, unnest(range(4)) AS r(r)
+       |)""".stripMargin
+
+  /** Single-relation phash CTE chain ending in `cand` — shared by the
+    * q114 and q115 oracles. */
+  private def phashCtes: String =
+    s"""$kernCte,
+       |${phashSideCtes("s", "documents")},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.ph AS pha, b.doc_id AS doc_b, b.ph AS phb
-       |  FROM bands a JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  FROM bands_s a JOIN bands_s b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id
        |)""".stripMargin
-  }
 
   private def phashPairsSql: String =
     s"""WITH $phashCtes
        |SELECT doc_a, doc_b, CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
        |FROM cand
-       |WHERE bit_count(xor(pha, phb)) <= 3
+       |WHERE bit_count(xor(pha, phb)) <= ${PhashOps.Tau}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q115: the CROSS-MODAL manifest — each document's text verdict (exact
@@ -239,11 +262,58 @@ object Multimodal extends QueryModule {
        |FROM tv t LEFT JOIN iv ON iv.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---- q119: standing perceptual index + media admission ------------------
+
+  /** q119: per-arrival media admission against the STANDING perceptual
+    * index — the media modality's q90 (text) / q110 (vectors) twin,
+    * completing the standing-index symmetry across all three modalities.
+    * Same corpus/increment split as q90 (doc_id % 10): the corpus is
+    * fingerprinted and band-bucketed ONCE (PhashOps.buildPhashIndex —
+    * Bench's warmup pass absorbs the build, so the timed number IS the
+    * per-batch probe), then each arriving payload is judged by probing the
+    * (r, bv)-bucketed band relation with zero corpus-side exchange.
+    * Verdict semantics are exactly q114's pair relation restricted to
+    * increment↔corpus edges: image_dup_of = min corpus near-dup at
+    * Hamming ≤ 3, keep = none. The FULL dataset path is verified against
+    * _pmeta (the q90 guard): a tag mismatch, missing table, or band-
+    * geometry drift rebuilds rather than probing a stale index. */
+  def standingPhash(s: SparkSession, d: String): DataFrame = {
+    val media = MultimodalOps.mediaFromDocuments(documents(s, d))
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_phash_idx_$tag"
+    if (!PhashOps.phashIndexMatches(s, name, d))
+      PhashOps.buildPhashIndex(s, media.filter(col("doc_id") % 10 >= 2), name,
+        location = s"${sys.props("java.io.tmpdir")}/graft_phash_idx/$tag",
+        datasetTag = d)
+    PhashOps.probePhashIndex(s, media.filter(col("doc_id") % 10 < 2), name)
+      .orderBy("doc_id")
+  }
+
+  private def standingPhashSql: String =
+    s"""WITH $kernCte,
+       |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2),
+       |${phashSideCtes("c", "corp")},
+       |${phashSideCtes("i", "inc")},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, i.ph AS phi, c.doc_id AS corp_id, c.ph AS phc
+       |  FROM bands_i i JOIN bands_c c ON i.r = c.r AND i.bv = c.bv
+       |),
+       |near AS (
+       |  SELECT inc_id, min(corp_id) AS image_dup_of
+       |  FROM cand WHERE bit_count(xor(phi, phc)) <= ${PhashOps.Tau}
+       |  GROUP BY inc_id
+       |)
+       |SELECT i.doc_id, n.image_dup_of, (n.image_dup_of IS NULL) AS keep
+       |FROM inc i LEFT JOIN near n ON n.inc_id = i.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),
     Q("q114_phash_pairs", phashPairs, Some(phashPairsSql)),
     Q("q115_crossmodal_manifest", crossmodalManifest, Some(crossmodalManifestSql)),
+    Q("q119_standing_phash", standingPhash, Some(standingPhashSql)),
   )
 }

@@ -218,7 +218,16 @@ object TextDedup extends QueryModule {
     val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
     val name = s"graft_dedup_cidx_$tag"
     val location = s"${sys.props("java.io.tmpdir")}/graft_dedup_cidx/$tag"
-    if (!DedupOps.bandIndexMatches(s, name, d)) {
+    // the guard covers BOTH standing stores: a matched band index whose
+    // labels parquet is missing or partial (cleaned tmpdir, or an index
+    // persisted by pre-labels code in a long-lived session) must rebuild,
+    // not throw on the unguarded read below — _SUCCESS is written last,
+    // so its presence certifies a complete labels dump
+    val labelsOk = try {
+      val p = new org.apache.hadoop.fs.Path(s"$location/labels/_SUCCESS")
+      p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+    } catch { case _: Throwable => false }
+    if (!DedupOps.bandIndexMatches(s, name, d) || !labelsOk) {
       DedupOps
         .dedupClusters(corpus,
           DedupOps.minhashDupPairs(corpus, shingleK = 3, numHashes = 16,
@@ -250,9 +259,25 @@ object TextDedup extends QueryModule {
     * is what this query locks (stage order, survivor semantics, and the
     * pack layout over the FILTERED corpus — packing before filtering
     * would leave holes in every window). */
-  def corpusAssembly(s: SparkSession, d: String): DataFrame = {
+  def corpusAssembly(s: SparkSession, d: String): DataFrame =
+    assemble(documents(s, d), mediaGate = false)
+
+  /** q120: q95's nightly pipeline with the MEDIA gate composed in — after
+    * text exact dedup, text near dedup, and decontamination, a document is
+    * also dropped when its binary payload has a perceptual near-dup
+    * (phash64 Hamming ≤ 3, q114's pair relation) with a lower id among the
+    * text survivors — the q115 cross-modal verdict acting inside the
+    * end-to-end manifest, so a sample ships only if BOTH modalities are
+    * novel. Gate placement matters and is what the oracle locks: the
+    * perceptual pairs are computed over the text-survivor set (pairs whose
+    * lower endpoint was already text-dropped must not suppress the
+    * survivor), and packing runs after ALL gates. MultimodalAssemblySpec
+    * pins a document dropped ONLY by its payload verdict. */
+  def multimodalAssembly(s: SparkSession, d: String): DataFrame =
+    assemble(documents(s, d), mediaGate = true)
+
+  private[graft] def assemble(docs: DataFrame, mediaGate: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
     val evalDocs = docs.filter(col("doc_id") % 97 === 0)
     val base = docs.filter(col("doc_id") % 97 =!= 0)
     val exactKeep = base.groupBy("text").agg(min("doc_id").as("doc_id"))
@@ -272,7 +297,17 @@ object TextDedup extends QueryModule {
       .contaminationFlags(k2, evalDocs, shingleK = 5)
       .select("doc_id")
     val k3 = k2.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    val sized = k3
+    // media gate (q120): perceptual near-dup drop over the text-survivor
+    // payloads — the pair relation moves 8-byte fingerprints only, and the
+    // drop list is dup-fraction-sized → broadcast, like the text gates
+    val k4 = if (!mediaGate) k3 else {
+      val media = k3.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      val mediaDropped = graft.multimodal.PhashOps.pairRelation(media)
+        .select(col("doc_b").as("doc_id")).distinct()
+      k3.join(broadcast(mediaDropped), Seq("doc_id"), "left_anti")
+    }
+    val sized = k4
       .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
       .filter(col("tokens") >= 15)
     val splitDocs = Training.hashSplit(sized, "doc_id", "graft-v1",
@@ -286,8 +321,31 @@ object TextDedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val corpusAssemblySql =
-    s"""WITH base AS (
+  private val corpusAssemblySql = corpusAssemblySqlWith(mediaGate = false)
+
+  /** One SQL for q95 (text-only) and q120 (media gate composed in): the
+    * gate adds the phash64 CTE chain over the k3 survivors (the kernel
+    * literal + per-doc fingerprint replay, Multimodal's oracle machinery)
+    * and re-points the quality filter at the media-surviving set. */
+  private def corpusAssemblySqlWith(mediaGate: Boolean): String = {
+    val kern = if (mediaGate) s"${Multimodal.kernCte},\n" else ""
+    val gate = if (!mediaGate) "" else
+      s""",
+         |${Multimodal.phashSideCtes("p", "k3")},
+         |candp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.ph AS pha, b.doc_id AS doc_b, b.ph AS phb
+         |  FROM bands_p a JOIN bands_p b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |),
+         |mediad AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM candp
+         |  WHERE bit_count(xor(pha, phb)) <= ${graft.multimodal.PhashOps.Tau}
+         |),
+         |k4 AS (
+         |  SELECT k3.* FROM k3 LEFT JOIN mediad md ON md.doc_id = k3.doc_id
+         |  WHERE md.doc_id IS NULL
+         |)""".stripMargin
+    val survivors = if (mediaGate) "k4" else "k3"
+    s"""WITH ${kern}base AS (
        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
        |),
        |exk AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY text),
@@ -339,11 +397,11 @@ object TextDedup extends QueryModule {
        |k3 AS (
        |  SELECT k2.* FROM k2 LEFT JOIN contam c ON c.doc_id = k2.doc_id
        |  WHERE c.doc_id IS NULL
-       |),
+       |)$gate,
        |qf AS (
        |  SELECT doc_id, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-       |  FROM k3 WHERE len(string_split(text, ' ')) >= 15
+       |  FROM $survivors WHERE len(string_split(text, ' ')) >= 15
        |),
        |sl AS (
        |  SELECT doc_id, lang, tokens,
@@ -368,6 +426,7 @@ object TextDedup extends QueryModule {
        |  start // 512 AS pack_id, start % 512 AS pack_offset
        |FROM cum
        |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- q22: exact all-pairs n-gram Jaccard -------------------------------
 
@@ -868,6 +927,8 @@ object TextDedup extends QueryModule {
     Q("q107_incremental_clusters", incrementalClustersQuery, Some(dedupClustersSql)),
     Q("q108_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
+    Q("q120_multimodal_assembly", multimodalAssembly,
+      Some(corpusAssemblySqlWith(mediaGate = true))),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),

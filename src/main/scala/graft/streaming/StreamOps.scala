@@ -388,6 +388,43 @@ object StreamOps {
       ()
     }
 
+  /** The MEDIA twin of [[streamingStandingAdmission]], completing the
+    * modality symmetry (text q90, vectors q110, media q119): a stream of
+    * (doc_id, payload) arrivals probes the persisted standing perceptual
+    * index (PhashOps.probePhashIndex — banded candidates off the
+    * (r, bv)-bucketed relation, exact Hamming verification inline), writes
+    * one verdict row per arrival, and APPENDS the admitted payloads'
+    * fingerprints to the index before the next batch — so batch N+1's
+    * probe sees batch N's admissions, exactly like the sequential loop
+    * (spec-pinned, PhashIndexSpec). Verdicts materialize BEFORE the
+    * append, so a batch never observes itself. Intra-batch near-dups are
+    * upstream's job (the same contract as the text and vector loops).
+    *
+    * At-least-once caveat: identical to the siblings — the index append
+    * is idempotent under replay (`appendToPhashIndex(idempotent = true)`),
+    * the verdict parquet is not; readers dedup on doc_id keeping
+    * keep=true.
+    *
+    * Scale shape: per batch, a batch-sized fingerprint pass (payloads
+    * never leave the scan stage) + the flat standing probe + a
+    * bucket-aligned 12-byte-per-row append; state lives in the bucketed
+    * index tables, not the state store — restart-safe and shared with
+    * every batch consumer of the index. */
+  def streamingMediaAdmission(media: DataFrame, name: String, tau: Int,
+      outPath: String): DataStreamWriter[Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val verdicts = graft.multimodal.PhashOps
+        .probePhashIndex(s, batch, name, tau)
+        .localCheckpoint()
+      val admitted = batch.join(
+        verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.multimodal.PhashOps.appendToPhashIndex(s, admitted, name,
+        idempotent = true)
+      verdicts.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING incremental cluster maintenance — q107's `foreachBatch`
     * twin, closing the standing-index loop family (text admission, vector
     * admission, and now LABEL maintenance — the nightly-ingest shape the
@@ -404,7 +441,7 @@ object StreamOps {
     *   3. remap: ONE broadcast join relabels only touched components;
     *   4. append: the batch joins the band index
     *      (`appendToBandIndex(idempotent = true)`) and the label store is
-    *      atomically replaced with the merged relation, so batch N+1
+    *      replaced via write-to-sibling + rename (below), so batch N+1
     *      probes AND relabels against everything batch N admitted.
     *
     * Spec-pinned (StreamClusterSpec): 3 micro-batches ≡ the sequential
@@ -422,8 +459,20 @@ object StreamOps {
     * batch-sized graph + one broadcast remap (ProbeIncClusters evidence);
     * the label store rewrite is O(corpus) I/O per batch — at 100 TB keep
     * labels in a format with merge-on-read upserts or partition the
-    * relabel by touched cluster; the parquet overwrite here is the
-    * smallest faithful stand-in for that sink. */
+    * relabel by touched cluster; the parquet sibling-swap here is the
+    * smallest faithful stand-in for that sink.
+    *
+    * Crash safety of the swap: the merged labels are FULLY written to a
+    * `.next` sibling before the live directory is touched, then two
+    * renames (live → `.bak`, `.next` → live) and a `.bak` delete. A crash
+    * mid-write leaves the live store intact (the stale `.next` is cleared
+    * at the next batch start); a crash between the renames leaves the
+    * live path MISSING — a loud read failure with both complete copies
+    * (`.bak`, `.next`) on disk for recovery — never a silently-accepted
+    * partial directory, which is what a plain overwrite (delete then
+    * rewrite in place) risks. True no-window atomicity needs a pointer
+    * file or a table format with atomic commit; on a 100 TB deployment
+    * use the latter. */
   def streamingIncrementalClusters(docs: DataFrame, name: String,
       threshold: Double, labelsPath: String, outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
@@ -440,7 +489,16 @@ object StreamOps {
       // consumer of it must run BEFORE the label store is replaced
       updated.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(outPath)
-      updated.select("doc_id", "cluster").write.mode("overwrite").parquet(labelsPath)
+      val live = new org.apache.hadoop.fs.Path(labelsPath)
+      val next = new org.apache.hadoop.fs.Path(labelsPath + ".next")
+      val bak = new org.apache.hadoop.fs.Path(labelsPath + ".bak")
+      val fs = live.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(next, true)
+      fs.delete(bak, true)
+      updated.select("doc_id", "cluster").write.parquet(next.toString)
+      fs.rename(live, bak)
+      fs.rename(next, live)
+      fs.delete(bak, true)
       ()
     }
 

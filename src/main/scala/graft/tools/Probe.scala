@@ -664,3 +664,35 @@ object ProbeQuery {
     spark.stop()
   }
 }
+
+/** Attribute TaskSetManager "task of very large size" warnings to queries:
+  * run every SparkEntry query SERIALLY at WARN log level with a stdout
+  * marker per query, so the interleaved warning lines map one-to-one onto
+  * the query that scheduled the oversized stage (the bench's parallel
+  * pools make the stage numbers useless for attribution). */
+object ProbeTaskSize {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.lift(1).map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPerKey.install(spark)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
+        // stderr so the marker interleaves with log4j's stderr warnings
+        System.err.println(s"=== PROBE $name")
+        System.err.flush()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"=== ERR $name: $e") }
+      }
+    System.err.println("=== PROBE done")
+    spark.stop()
+  }
+}

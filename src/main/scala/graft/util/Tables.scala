@@ -33,14 +33,18 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock-as-UTC via NTZ DIFFERENCE arithmetic — timezone-free
+        // by construction, so no session mutation: the earlier
+        // cast-to-timestamp route read the session timezone, and pinning
+        // it here silently overrode whatever an embedding session had
+        // deliberately set, for every later query on the shared session
+        raw.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
       case _ =>
-        // the NTZ→timestamp cast below interprets the wall-clock in the
-        // SESSION timezone: Verify/Bench/the specs pin UTC, but an
-        // external driver session might not, which would silently shift
-        // every event and corrupt all TR bucketing — pin it here, where
-        // the conversion actually happens
-        s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+        // instant-typed vintage: unix_micros reads the instant directly
+        // (timezone-free)
+        raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

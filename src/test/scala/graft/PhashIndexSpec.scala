@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Phash
+import graft.multimodal.PhashOps
+import graft.streaming.StreamOps
+
+/** The standing perceptual index (q119 + streamingMediaAdmission): banding
+  * exactness on a NON-EMPTY near-dup fixture, append ≡ rebuild, standing
+  * probe ≡ direct pair semantics, and stream ≡ batch — the media leg of the
+  * standing-index symmetry (text q90 / vectors q110 precedents).
+  */
+class PhashIndexSpec extends SparkSpec {
+
+  /** Payloads with PLANTED fingerprints: the 128 block means are the
+    * inverse DCT of a chosen ±4 sign vector, so phash64 recovers exactly
+    * the planted 64 signs (margin: |c_k| = 4·64e12 against ≤ 6.4e13
+    * worst-case byte-rounding noise — verified planted-exact in this
+    * suite). Near-dups are then EXACT: flipping d planted signs moves the
+    * fingerprint by Hamming distance d, regardless of payload length.
+    * Independent seeds give ~Binomial(64, ½) cross distances (min ~14
+    * over 276 pairs), far outside τ. */
+  private def synth(n: Int, signs: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](n)
+    for (b <- 0 until 128) {
+      var v = 128.0
+      for (k <- 0 until 64)
+        v += 4.0 * signs(k) * math.cos(math.Pi * (k + 1) * (2 * b + 1) / 256)
+      val by = math.max(0, math.min(255, math.rint(v).toInt)).toByte
+      val lo = (b.toLong * n / 128).toInt
+      val hi = ((b + 1).toLong * n / 128).toInt
+      java.util.Arrays.fill(out, lo, hi, by)
+    }
+    out
+  }
+
+  private def signs(seed: Int): Array[Int] = {
+    val r = new java.util.Random(seed * 1000003L)
+    Array.fill(64)(if (r.nextBoolean()) 1 else -1)
+  }
+
+  /** Flip `d` planted signs → a payload at exact Hamming distance d. */
+  private def near(s: Array[Int], d: Int): Array[Int] = {
+    val out = s.clone()
+    (0 until d).foreach(i => out(5 + 16 * i) = -out(5 + 16 * i))
+    out
+  }
+
+  /** 24 distinct planted-fingerprint "images" + a near-dup of every 4th
+    * one: payloads 100..123 are originals, 200+i is a DIFFERENT-LENGTH
+    * payload whose planted signs differ in 1..3 positions from 100+i's
+    * (for i % 4 == 0) — within τ by construction while cross-pairs stay
+    * far. */
+  private def fixture: Seq[(Long, Array[Byte])] = {
+    val originals = (0 until 24).map { i =>
+      (100L + i, synth(3000 + 40 * i, signs(i + 1)))
+    }
+    val nears = (0 until 24).collect { case i if i % 4 == 0 =>
+      (200L + i, synth(3700 + 40 * i, near(signs(i + 1), 1 + (i / 4) % 3)))
+    }
+    originals ++ nears
+  }
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "payload")
+  }
+
+  private def freshIndex(name: String, corpus: Seq[(Long, Array[Byte])]): Unit = {
+    val s = spark
+    Seq("pbands", "pdocs", "pmeta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    PhashOps.buildPhashIndex(s, mediaDf(corpus), name,
+      location = s"/tmp/$name", buckets = 4)
+  }
+
+  test("pairRelation equals brute-force Hamming at tau=3 on a near-dup fixture") {
+    val fx = fixture
+    // brute force over the driver-side fingerprints: the banding must lose
+    // NOTHING at radius <= bands-1 (pigeonhole) and add nothing (verified)
+    val ph = fx.map { case (id, p) => id -> Phash.phash64(p) }
+    val brute = (for {
+      (a, ha) <- ph; (b, hb) <- ph if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= PhashOps.Tau
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain at least one near pair")
+    val got = PhashOps.pairRelation(mediaDf(fx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // and the near-dups are exactly the PLANTED ones, not luck
+    assert(brute.forall { case (a, b, _) => b - a == 100 },
+      s"unexpected cross pairs: $brute")
+  }
+
+  test("append to the standing index ≡ rebuild from the union corpus") {
+    val fx = fixture
+    val a = fx.filter(_._1 % 2 == 0)
+    val b = fx.filter(t => t._1 % 2 == 1 && t._1 < 200)
+    val probe = fx.filter(t => t._1 >= 200 && t._1 % 2 == 1) ++
+      Seq((999L, synth(5000, signs(99))))
+    def verdicts(name: String) = PhashOps
+      .probePhashIndex(spark, mediaDf(probe), name)
+      .collect().map(_.toString).sorted.toSeq
+    freshIndex("graft_test_phidx_app", a)
+    PhashOps.appendToPhashIndex(spark, mediaDf(b), "graft_test_phidx_app")
+    freshIndex("graft_test_phidx_reb", a ++ b)
+    assert(verdicts("graft_test_phidx_app") === verdicts("graft_test_phidx_reb"))
+    // idempotent re-append of an already-present batch inserts nothing
+    val before = spark.table("graft_test_phidx_app_pdocs").count()
+    PhashOps.appendToPhashIndex(spark, mediaDf(b), "graft_test_phidx_app",
+      idempotent = true)
+    assert(spark.table("graft_test_phidx_app_pdocs").count() === before)
+  }
+
+  test("standing probe verdicts equal the direct pair relation's admission semantics") {
+    val fx = fixture
+    val corpus = fx.filter(_._1 < 200)
+    val inc = fx.filter(_._1 >= 200)
+    freshIndex("graft_test_phidx_dir", corpus)
+    val got = PhashOps.probePhashIndex(spark, mediaDf(inc), "graft_test_phidx_dir")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    // direct: q114's pair relation over the union, restricted to inc↔corp
+    val expected = {
+      val pairs = PhashOps.pairRelation(mediaDf(fx)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      inc.map { case (id, _) =>
+        val dups = pairs.collect {
+          case (a, b) if b == id && corpus.exists(_._1 == a) => a
+          case (a, b) if a == id && corpus.exists(_._1 == b) => b
+        }
+        id -> ((if (dups.isEmpty) -1L else dups.min, dups.isEmpty))
+      }.toMap
+    }
+    assert(got === expected)
+    assert(got.values.exists(!_._2), "fixture must flag at least one arrival")
+  }
+
+  test("streaming media admission equals the sequential batch loop (3 micro-batches)") {
+    val s = spark
+    val fx = fixture
+    val corpus = fx.filter(t => t._1 < 200 && t._1 % 4 != 0)
+    // synthetic cross-batch near-dup: 900002 is a re-encode-style
+    // perturbation of 900001, which is ADMITTED in batch 1 — batch 2 can
+    // only flag it if the bucket-aligned append ran between batches
+    val syn = synth(4200, signs(77))
+    val synNear = synth(4300, near(signs(77), 2))
+    assert(java.lang.Long.bitCount(
+      Phash.phash64(syn) ^ Phash.phash64(synNear)) <= PhashOps.Tau,
+      "synthetic near-dup must be within tau")
+    val batches: Seq[Seq[(Long, Array[Byte])]] = Seq(
+      fx.filter(t => t._1 % 4 == 0 && t._1 < 200) :+ (900001L -> syn),
+      fx.filter(t => t._1 >= 200) :+ (900002L -> synNear),
+      Seq((999L, synth(5000, signs(99)))),
+    )
+    // batch reference: the explicit probe→admit→append loop
+    freshIndex("graft_test_phidx_ref", corpus)
+    val ref = batches.flatMap { rows =>
+      val b = mediaDf(rows)
+      val v = PhashOps.probePhashIndex(s, b, "graft_test_phidx_ref")
+        .localCheckpoint()
+      val admitted = b.join(v.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      PhashOps.appendToPhashIndex(s, admitted, "graft_test_phidx_ref")
+      v.collect().map(_.toString)
+    }.sorted
+    // streaming: the same batches through the foreachBatch sink
+    freshIndex("graft_test_phidx_str", corpus)
+    val out = java.nio.file.Files.createTempDirectory("graft-phadmit").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // tuple encoders don't cover Array[Byte] directly — stream base64 text
+    // and unwrap in the sink-side projection
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamOps.streamingMediaAdmission(
+      ms.toDF().toDF("doc_id", "payload64")
+        .select(col("doc_id"), unbase64(col("payload64")).as("payload")),
+      "graft_test_phidx_str", PhashOps.Tau, out).start()
+    try {
+      batches.foreach { rows =>
+        ms.addData(rows.map { case (id, p) =>
+          (id, java.util.Base64.getEncoder.encodeToString(p))
+        })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got === ref)
+    val byId = s.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(byId(900001L) === ((-1L, true)), "batch-1 synthetic should be admitted")
+    assert(byId(900002L) === ((900001L, false)),
+      "batch-2 near-dup of an admitted payload must be flagged against it")
+  }
+
+  test("probe candidates come off the bucketed band relation (no corpus-side shuffle)") {
+    val fx = fixture
+    freshIndex("graft_test_phidx_plan", fx.filter(_._1 < 200))
+    val probe = PhashOps.probePhashIndexPairs(spark,
+      mediaDf(fx.filter(_._1 >= 200)), "graft_test_phidx_plan")
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("Bucketed: true"),
+      s"index scan not bucket-aware:\n$planStr")
+    // the pbands SCAN must not sit under any shuffle: downstream exchanges
+    // (the candidate distinct) repartition batch-derived pair rows, which
+    // is fine — re-shuffling the corpus-side table is the 100 TB defect
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root: SparkPlan = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def pbandsUnder(p: SparkPlan): Boolean = p.collectFirst {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.contains("pbands")) => f
+    }.nonEmpty
+    assert(pbandsUnder(root), "expected a pbands table scan in the plan")
+    // scope to the JOIN SIDE feeding the candidate join: downstream
+    // exchanges (the candidate distinct) repartition batch-derived pair
+    // rows above the join, which is fine — an Exchange BETWEEN the scan
+    // and its join is the corpus re-shuffle this test forbids
+    val sides = root.collect {
+      case j if j.children.length == 2 => j.children.filter(pbandsUnder)
+    }.flatten
+    assert(sides.nonEmpty, "expected the pbands scan on a join side")
+    val side = sides.minBy(_.collect { case n => n }.size)
+    val offending = side.collect { case e: ShuffleExchangeExec => e }
+    assert(offending.isEmpty,
+      s"pbands rows shuffle before their join:\n${offending.mkString("\n")}")
+  }
+}

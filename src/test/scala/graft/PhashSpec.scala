@@ -18,6 +18,8 @@ class PhashSpec extends SparkSpec {
   private def dist(a: Long, b: Long): Int =
     java.lang.Long.bitCount((a ^ b) & 0xffffffffL)
 
+  private def dist64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
   test("a smooth payload survives its own block_resize; the exact hash does not") {
     // 32 smooth "images" (two-harmonic byte signals): stride decimation
     // (q56's resize) keeps the low-frequency structure the hash reads, so
@@ -34,6 +36,51 @@ class PhashSpec extends SparkSpec {
     val ds = cases.map(_._1)
     assert(ds.max <= 10, s"resize moved too many bits: ${ds.mkString(",")}")
     assert(ds.sorted.apply(ds.size / 2) <= 4, "median resize distance too high")
+  }
+
+  test("phash64: smooth payloads survive resize; all 64 bits are live") {
+    // the q114 production width keeps the same invariance per-bit: the 32
+    // extra coefficients are higher-frequency but still pooled structure,
+    // so decimation moves a bounded fraction of the 64 bits
+    val cases = for (f1 <- 1 to 8; f2 <- 9 to 12) yield {
+      val p = smooth(4096, f1, f2, 0.7 * f1)
+      val r = BinaryExprs.blockResize(p, 8, 4)
+      dist64(Phash.phash64(p), Phash.phash64(r))
+    }
+    assert(cases.max <= 20, s"resize moved too many of 64 bits: ${cases.mkString(",")}")
+    assert(cases.sorted.apply(cases.size / 2) <= 8, "median resize distance too high")
+    // no degenerate bit: over a broadband payload population every one of
+    // the 64 positions fires both ways (at Grid == Bits the last DCT row
+    // would be identically zero — the Grid64 = 128 geometry keeps it
+    // live). The population must be spectrally dense: narrow two-harmonic
+    // signals legitimately pin their high-frequency signs.
+    val pop = (1 to 128).map { s =>
+      val rnd = new java.util.Random(s * 7919L)
+      val p = new Array[Byte](2048 + s * 7)
+      rnd.nextBytes(p)
+      Phash.phash64(p)
+    }
+    val ones = (0 until 64).map(k => pop.count(h => ((h >> k) & 1L) == 1L))
+    assert(ones.forall(c => c > 0 && c < pop.size),
+      s"degenerate fingerprint bits: ${ones.zipWithIndex.filter(t => t._1 == 0 || t._1 == pop.size).map(_._2).mkString(",")}")
+  }
+
+  test("phash64 banding is pigeonhole-exact at tau=3 with 16-bit bands") {
+    val base = smooth(2048, 3, 11, 0.4)
+    assert(Phash.phash64(base) === Phash.phash64(base.clone()))
+    // flipping any 3 of the 64 sign bits leaves at least one of the 4
+    // disjoint 16-bit bands untouched — including flips of bit 63, the
+    // int64 sign bit, which must stay a plain band bit after masking
+    val h = Phash.phash64(base)
+    val rnd = new scala.util.Random(11)
+    val trials = (1 to 200).map(_ =>
+      rnd.shuffle((0 until 64).toList).take(3)) :+ List(63, 47, 31)
+    trials.foreach { bits =>
+      val h2 = bits.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val shared = (0 until 4).exists(r =>
+        ((h >> (16 * r)) & 65535L) === ((h2 >> (16 * r)) & 65535L))
+      assert(shared, s"dist-3 variant lost all bands: bits $bits")
+    }
   }
 
   test("text payloads scramble under resize — the hash reads structure, not bytes") {
@@ -73,11 +120,13 @@ class PhashSpec extends SparkSpec {
     conf.set("spark.sql.codegen.fallback", "false")
     try {
       val df = s.read.parquet(s"$sf0001/documents.parquet")
-        .select(BinaryExprs.phash32(encode(col("text"), "UTF-8")).as("h"))
+        .select(BinaryExprs.phash32(encode(col("text"), "UTF-8")).as("h"),
+          BinaryExprs.phash64(encode(col("text"), "UTF-8")).as("h64"))
       assert(df.count() > 0)
       import org.apache.spark.sql.execution.debug._
       val gen = df.queryExecution.debug.codegenToSeq().map(_._2).mkString("\n")
       assert(gen.contains("Phash.phash32"), "phash32 not in generated code")
+      assert(gen.contains("Phash.phash64"), "phash64 not in generated code")
     } finally prev match {
       case Some(v) => conf.set("spark.sql.codegen.fallback", v)
       case None => conf.unset("spark.sql.codegen.fallback")
