@@ -77,16 +77,19 @@ object Flagship extends QueryModule {
     singleSubjectModelOf(s, events(s, d))
 
   private[graft] def singleSubjectModelOf(s: SparkSession, ev: DataFrame): DataFrame = {
-    // design-matrix barrier: 2016×40 doubles to the driver, like ssm_loop's
-    // in-process X before regress() — scale-independent
-    val xRows = designFrameOf(s, ev)
-      .select(col("t") +: regressors.map(col): _*)
-      .orderBy("t")
-      .collect()
-    require(xRows.length == N, s"design matrix has ${xRows.length} rows, want $N")
-    val x: Array[Array[Double]] = xRows.map { r =>
-      regressors.indices.map(i => r.getDouble(i + 1)).toArray
-    }
+    import s.implicits._
+    // weights computed DISTRIBUTED from the (already distributed) design
+    // frame — GlmOps.designWeightsKeyed, spec-pinned bit-identical to the
+    // collected-X driver path. The driver path built a one-row 2×(40×2016)
+    // long LocalRelation and broadcast it, and Spark materializes a
+    // broadcast over a LocalRelation by RUNNING A JOB over
+    // sc.parallelize(rows) — the rows ride the task closure, which was the
+    // bench's standing 1297 KiB task-binary warning. The executor-side
+    // pinv keeps every task binary code-sized; the weight BYTES move via
+    // the torrent broadcast, where they belong.
+    val designK = designFrameKeyed(s, ev.withColumn("run_id", lit(1L)),
+      keysOpt = Some(Seq(1L).toDF("run_id")))
+    val weights = GlmOps.designWeightsKeyed(designK, "run_id", "t", regressors, N)
     val series = ev
       .filter(expr(s"ts div 1000 - $baseUs >= 0")) // floor/trunc parity
       .select(
@@ -101,13 +104,11 @@ object Flagship extends QueryModule {
       import s.implicits._
       regressors.zipWithIndex.map { case (nm, j) => (j.toLong, nm) }.toDF("j", "regressor")
     }
-    // the per-key GLM core with ONE pinned key: the weight tables ride as
-    // a broadcast RELATION (one nested-array row) instead of two 40×2016
-    // plan literals — the literal form pushed ~160k longs through every
-    // plan tree walk and task binary (the 2 MB task-binary warnings), pure
-    // driver overhead for identical numbers (GlmSpec pins the two paths
-    // bit-identical on a shared design)
-    GlmOps.massGLMPackedPerKey(s, series, Seq((1L, x)), "run_id", "g")
+    // the per-key GLM core with ONE pinned key; broadcastWeights = true is
+    // safe here because the weights plan is a distributed mapGroups, so
+    // the broadcast's collect job carries code-sized task binaries
+    GlmOps.massGLMPackedPerKeyWeights(s, series, weights, N, regressors.length,
+      "run_id", "g", broadcastWeights = true)
       .join(broadcast(names), "j")
       .select(col("g"), col("regressor"),
         round(col("beta"), 6).as("beta"), round(col("sigma"), 6).as("sigma"),

@@ -696,3 +696,38 @@ object ProbeTaskSize {
     spark.stop()
   }
 }
+
+/** Pin the oversized-task stage of ONE query to its call site: register a
+  * listener mapping stage id → details (creation call site), run the
+  * query, then re-read the TaskSetManager warning's stage id against the
+  * map. */
+object ProbeStageSite {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q48_flagship_glm")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.TopKPerKey.install(spark)
+    val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          sites.put(e.stageInfo.stageId,
+            e.stageInfo.name + " :: tasks=" + e.stageInfo.numTasks +
+              " :: rdds=" + e.stageInfo.rddInfos.map(r => r.name + "@" + r.scope.map(_.name).getOrElse("?")).mkString(" | "))
+      })
+    graft.SparkEntry.queries(name)(spark, sfDir).count()
+    import scala.jdk.CollectionConverters._
+    sites.asScala.toSeq.sortBy(_._1).foreach { case (id, d) =>
+      System.err.println(s"STAGE $id :: $d")
+    }
+    spark.stop()
+  }
+}
