@@ -14,7 +14,25 @@ class TopKSpec extends SparkSpec {
   // queries whose plans contain filter(row_number().over(...) <= k | = 1)
   private val affected = Seq(
     "q27_cosine_topk", "q28_lsh_topk", "q49_ivf_topk",
-    "q09_mode_quantity", "q37_stencil_mode", "q11_top_orders", "q58_lang_quota")
+    "q09_mode_quantity", "q37_stencil_mode", "q11_top_orders", "q58_lang_quota",
+    "q84_kmeans_coreset", "q86_exact_sample", "q118_cluster_quota")
+
+  test("rewrite fires on the quota/coreset windows: no Window survives (r12 item 6)") {
+    // q84 (distance rank per trained cell), q86 (salted-hash rank per
+    // lang), q118 (salt-hash rank per semantic cell) are all the
+    // row_number-filter shape — the rewrite must replace EVERY rank
+    // window with the bounded-heap exec, leaving zero WindowExec (and so
+    // zero per-key sorts for the rank) in the executed plan
+    TopKPerKey.install(spark)
+    try {
+      for (name <- Seq("q84_kmeans_coreset", "q86_exact_sample", "q118_cluster_quota")) {
+        val df = SparkEntry.queries(name)(spark, sf001)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("TopKPerKey"), s"$name: rewrite did not fire\n${p.take(800)}")
+        assert(!p.contains("Window"), s"$name: rank window survived\n${p.take(800)}")
+      }
+    } finally TopKPerKey.uninstall(spark)
+  }
 
   test("rewrite preserves every affected query's result exactly") {
     for (name <- affected) {
