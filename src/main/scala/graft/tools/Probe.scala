@@ -731,3 +731,41 @@ object ProbeStageSite {
     spark.stop()
   }
 }
+
+/** Quantify the phash band-pooling improvement (r12 verdict item 1) on
+  * the 10× dup-skew fixture: candidate pairs per geometry are
+  * Σ_(r,bv) C(n,2) over band-bucket sizes — a pure aggregation, no join —
+  * for the retired 32-bit/8-bit-band geometry vs the shipped
+  * 64-bit/16-bit one, next to the verified-pair count (the output-bound
+  * floor no banding can beat on this fixture: every doc has 10 payload
+  * copies). */
+object ProbePhashCand {
+  def main(args: Array[String]): Unit = {
+    val dst = args.headOption.getOrElse("/tmp/graft_sf1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.BinaryExprs
+    val media = spark.read.parquet(s"$dst/documents.parquet")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val n = media.count()
+    def candPairs(ph: org.apache.spark.sql.Column, bands: Int, bits: Int): Long = {
+      val mask = (1L << bits) - 1
+      media.select(ph.as("ph"))
+        .select(explode(array((0 until bands).map(r =>
+          struct(lit(r).as("r"),
+            shiftright(col("ph"), bits * r).bitwiseAND(lit(mask)).as("bv"))): _*)).as("bd"))
+        .groupBy("bd.r", "bd.bv").count()
+        .agg(sum(expr("count * (count - 1) div 2")).cast("long")).head().getLong(0)
+    }
+    val c32 = candPairs(BinaryExprs.phash32(col("payload")), 4, 8)
+    val c64 = candPairs(BinaryExprs.phash64(col("payload")), 4, 16)
+    val verified = graft.multimodal.PhashOps.pairRelation(media).count()
+    println(f"docs=$n  cand32/8=$c32  cand64/16=$c64  ratio=${c32.toDouble / c64}%.1f  verified(tau=3)=$verified")
+    spark.stop()
+  }
+}
