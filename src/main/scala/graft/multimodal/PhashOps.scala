@@ -157,6 +157,45 @@ object PhashOps {
       .filter(col("dist") <= tau)
       .select("inc_id", "corp_id", "dist")
 
+  /** INCREMENTAL perceptual cluster maintenance — the media twin of
+    * DedupOps.incrementalClusters (q107), same delta-CC construction: a
+    * standing corpus carries labels (doc_id → its component's min id over
+    * the Hamming ≤ tau pair graph) and the standing band index; an
+    * arriving batch contributes only its increment↔corpus pairs (probed
+    * off the index) and its batch-internal pairs, corpus endpoints are
+    * LIFTED to their labels, and connected components run on the
+    * batch-plus-touched-representatives graph — the corpus is never
+    * re-paired (valid for exactly the q107 reason: a label names its
+    * whole component, and corpus-only pair structure cannot change when
+    * the corpus didn't). Result ≡ re-clustering the union from scratch
+    * (spec-pinned; q121's oracle recomputes the union re-run in SQL).
+    *
+    * Scale shape: per batch, flat probe cost + batch² banding + CC on a
+    * batch-sized graph + ONE broadcast remap of touched components. */
+  def incrementalPhashClusters(spark: SparkSession, standingLabels: DataFrame,
+      increment: DataFrame, name: String, tau: Int = Tau): DataFrame = {
+    val crossPairs = probePhashIndexPairs(spark, increment, name, tau)
+      .select("inc_id", "corp_id")
+    val incPairs = pairRelation(increment, tau).select("doc_a", "doc_b")
+    val lifted = crossPairs
+      .join(standingLabels.select(col("doc_id").as("corp_id"), col("cluster")),
+        "corp_id")
+      .select(col("inc_id").as("doc_a"), col("cluster").as("doc_b"))
+    val (labels, _) = graft.dedup.DedupOps.ccLabels(lifted.unionByName(incPairs))
+    val remap = labels
+      .join(lifted.select(col("doc_b").as("v")).distinct(), "v")
+      .select(col("v").as("cluster"), col("l").as("__nl"))
+    val corpusNew = standingLabels
+      .join(broadcast(remap), Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("__nl"), col("cluster")).as("cluster"))
+    val incNew = increment.select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), col("doc_id")).as("cluster"))
+    corpusNew.unionByName(incNew)
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("keep"))
+  }
+
   /** Per-arrival admission verdicts against the standing index:
     * (doc_id, image_dup_of = min near-dup corpus id at Hamming ≤ tau,
     * keep = no near-dup) — q114's pair semantics, served per batch. */

@@ -308,6 +308,65 @@ object Multimodal extends QueryModule {
        |FROM inc i LEFT JOIN near n ON n.inc_id = i.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  // ---- q121: incremental perceptual cluster maintenance -------------------
+
+  /** q121: q119 ∘ q114-clusters — the media twin of q107: the standing
+    * corpus carries perceptual cluster labels (component min ids over the
+    * Hamming ≤ 3 pair graph) beside the standing band index; the arriving
+    * batch's new edges update labels INCREMENTALLY (probe + delta-CC +
+    * broadcast remap, PhashOps.incrementalPhashClusters) — the corpus is
+    * never re-paired. The oracle is the union RE-RUN (recursive-CTE
+    * components over ALL documents' phash pair graph): the hash match IS
+    * the proof that incremental ≡ full. Own index name/location (not
+    * q119's) so the two queries can build concurrently under Verify's
+    * thread pool; the labels store is guarded by its _SUCCESS marker (the
+    * q107 ADVICE closure) in addition to the index meta. */
+  def phashClusters(s: SparkSession, d: String): DataFrame = {
+    val media = MultimodalOps.mediaFromDocuments(documents(s, d))
+    val corpus = media.filter(col("doc_id") % 10 >= 2)
+    val inc = media.filter(col("doc_id") % 10 < 2)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_phash_cidx_$tag"
+    val location = s"${sys.props("java.io.tmpdir")}/graft_phash_cidx/$tag"
+    val labelsOk = try {
+      val p = new org.apache.hadoop.fs.Path(s"$location/labels/_SUCCESS")
+      p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+    } catch { case _: Throwable => false }
+    if (!PhashOps.phashIndexMatches(s, name, d) || !labelsOk) {
+      graft.dedup.DedupOps
+        .dedupClusters(corpus, PhashOps.pairRelation(corpus))
+        .select("doc_id", "cluster")
+        .write.mode("overwrite").parquet(s"$location/labels")
+      PhashOps.buildPhashIndex(s, corpus, name, location = location,
+        datasetTag = d)
+    }
+    val standing = s.read.parquet(s"$location/labels")
+    PhashOps.incrementalPhashClusters(s, standing, inc, name)
+      .orderBy("doc_id")
+  }
+
+  private def phashClustersSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE bit_count(xor(pha, phb)) <= ${PhashOps.Tau}
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(v, m) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.v = s.dst
+       |),
+       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v)
+       |SELECT d.doc_id,
+       |  COALESCE(l.cluster, d.doc_id) AS cluster,
+       |  (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS keep
+       |FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
@@ -315,5 +374,6 @@ object Multimodal extends QueryModule {
     Q("q114_phash_pairs", phashPairs, Some(phashPairsSql)),
     Q("q115_crossmodal_manifest", crossmodalManifest, Some(crossmodalManifestSql)),
     Q("q119_standing_phash", standingPhash, Some(standingPhashSql)),
+    Q("q121_phash_clusters", phashClusters, Some(phashClustersSql)),
   )
 }

@@ -502,6 +502,47 @@ object StreamOps {
       ()
     }
 
+  /** The MEDIA twin of [[streamingIncrementalClusters]], completing the
+    * cluster-maintenance symmetry (text q107, media q121): standing state
+    * is the perceptual band index (`name_p*` tables) and the label
+    * relation at `labelsPath`; per micro-batch the arrivals' new edges
+    * (standing-index probe + batch-internal pairs) update labels via
+    * delta-CC + one broadcast remap (PhashOps.incrementalPhashClusters),
+    * the batch's fingerprints join the index
+    * (`appendToPhashIndex(idempotent = true)`), and the label store is
+    * replaced with the same sibling-write + rename swap (crash semantics
+    * documented there). Spec-pinned (PhashIndexSpec): 3 micro-batches ≡
+    * the sequential batch loop ≡ one re-clustering of the union corpus,
+    * including a batch that MERGES two standing clusters formed in
+    * different earlier batches. Replay guard: docs already labeled were
+    * absorbed by a prior successful run of this batch and are filtered
+    * out first. */
+  def streamingMediaClusters(media: DataFrame, name: String, tau: Int,
+      labelsPath: String, outPath: String): DataStreamWriter[Row] =
+    media.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val s = batch0.sparkSession
+      val standing = s.read.parquet(labelsPath).select("doc_id", "cluster")
+      val batch = batch0.join(standing, Seq("doc_id"), "left_anti")
+      val updated = graft.multimodal.PhashOps
+        .incrementalPhashClusters(s, standing, batch, name, tau)
+        .localCheckpoint() // sever lineage: next writes replace its inputs
+      graft.multimodal.PhashOps.appendToPhashIndex(s, batch, name,
+        idempotent = true)
+      updated.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(outPath)
+      val live = new org.apache.hadoop.fs.Path(labelsPath)
+      val next = new org.apache.hadoop.fs.Path(labelsPath + ".next")
+      val bak = new org.apache.hadoop.fs.Path(labelsPath + ".bak")
+      val fs = live.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(next, true)
+      fs.delete(bak, true)
+      updated.select("doc_id", "cluster").write.parquet(next.toString)
+      fs.rename(live, bak)
+      fs.rename(next, live)
+      fs.delete(bak, true)
+      ()
+    }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

@@ -196,6 +196,99 @@ class PhashIndexSpec extends SparkSpec {
       "batch-2 near-dup of an admitted payload must be flagged against it")
   }
 
+  test("streaming media cluster maintenance ≡ sequential loop ≡ union re-run, with a cross-batch merge") {
+    val s = spark
+    import graft.dedup.DedupOps
+    def flip(v: Array[Int], bits: Int*): Array[Int] = {
+      val out = v.clone(); bits.foreach(b => out(b) = -out(b)); out
+    }
+    // planted geometry: clusters A {10, 11} and B {20, 21} sit 6 bits
+    // apart (flips F = {5,21,37,53,10,26}); the batch-2 bridge flips
+    // exactly {5,21,37} of A — distance 3 to BOTH sides, so it merges A
+    // and B while A↔B stay out of radius on their own
+    val vA = signs(201)
+    val vB = flip(vA, 5, 21, 37, 53, 10, 26)
+    val mid = flip(vA, 5, 21, 37)
+    val vD = signs(77)
+    val corpusRows = Seq(
+      10L -> synth(3000, vA), 11L -> synth(3100, flip(vA, 4)),
+      20L -> synth(3200, vB), 21L -> synth(3300, flip(vB, 60)),
+      30L -> synth(3400, signs(55)))
+    val batches: Seq[Seq[(Long, Array[Byte])]] = Seq(
+      Seq(100L -> synth(4100, flip(vA, 8)), 101L -> synth(4200, vD)),
+      Seq(200L -> synth(4300, mid)), // bridge: MERGES A and B
+      Seq(300L -> synth(4400, flip(vD, 60)), 301L -> synth(4500, signs(88))),
+    )
+    def initialLabels = DedupOps
+      .dedupClusters(mediaDf(corpusRows), PhashOps.pairRelation(mediaDf(corpusRows)))
+      .select("doc_id", "cluster")
+
+    // ---- sequential reference loop -------------------------------------
+    freshIndex("graft_test_phclu_ref", corpusRows)
+    var labels = initialLabels.localCheckpoint()
+    val afterBatch = batches.map { rows =>
+      val b = mediaDf(rows)
+      val upd = PhashOps
+        .incrementalPhashClusters(s, labels, b, "graft_test_phclu_ref")
+        .select("doc_id", "cluster").localCheckpoint()
+      PhashOps.appendToPhashIndex(s, b, "graft_test_phclu_ref")
+      labels = upd
+      upd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val ref = afterBatch.last
+    assert(afterBatch(0)(10L) !== afterBatch(0)(20L), "A and B merged too early")
+    assert(afterBatch(1)(20L) === afterBatch(1)(10L), "bridge did not merge A and B")
+    assert(ref(100L) === 10L, "batch-1 arrival should have joined cluster A")
+    assert(ref(300L) === 101L, "batch-3 near-dup of an admitted doc must join its cluster")
+
+    // ---- union re-run (the ground truth q121's oracle replays) ---------
+    val union = mediaDf(corpusRows ++ batches.flatten)
+    val full = DedupOps.dedupClusters(union, PhashOps.pairRelation(union))
+      .select("doc_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ref === full)
+
+    // ---- streaming twin ------------------------------------------------
+    freshIndex("graft_test_phclu_str", corpusRows)
+    val dir = java.nio.file.Files.createTempDirectory("graft-phclu").toString
+    val labelsPath = s"$dir/labels"
+    val outPath = s"$dir/verdicts"
+    initialLabels.write.parquet(labelsPath)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamOps.streamingMediaClusters(
+      ms.toDF().toDF("doc_id", "payload64")
+        .select(col("doc_id"), unbase64(col("payload64")).as("payload")),
+      "graft_test_phclu_str", PhashOps.Tau, labelsPath, outPath).start()
+    try {
+      def send(rows: Seq[(Long, Array[Byte])]): Unit = {
+        ms.addData(rows.map { case (id, p) =>
+          (id, java.util.Base64.getEncoder.encodeToString(p))
+        })
+        q.processAllAvailable()
+      }
+      batches.foreach(send)
+      // at-least-once REPLAY: re-deliver batch 3 verbatim — neither
+      // standing store may change
+      val before = s.read.parquet(labelsPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val docsBefore = s.table("graft_test_phclu_str_pdocs").count()
+      send(batches.last)
+      val after = s.read.parquet(labelsPath)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after === before, "replayed batch changed the label store")
+      assert(s.table("graft_test_phclu_str_pdocs").count() === docsBefore,
+        "replayed batch double-appended to the index")
+    } finally q.stop()
+    val streamed = s.read.parquet(labelsPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === ref)
+    val outIds = s.read.parquet(outPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(outIds === batches.flatten.map(_._1).sorted)
+  }
+
   test("probe candidates come off the bucketed band relation (no corpus-side shuffle)") {
     val fx = fixture
     freshIndex("graft_test_phidx_plan", fx.filter(_._1 < 200))
