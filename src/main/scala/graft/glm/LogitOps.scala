@@ -41,9 +41,16 @@ object LogitOps {
     * example; `yCol` ∈ {0.0, 1.0}; `xCols` SHOULD include a constant
     * 1.0 intercept column). Returns the fixed-point weight vector after
     * each step (step 1..steps). */
-  def gdStepsFp(feats: DataFrame, xCols: Seq[String], yCol: String,
+  def gdStepsFp(feats0: DataFrame, xCols: Seq[String], yCol: String,
       steps: Int): Seq[Array[Long]] = {
     require(steps >= 1, s"gdStepsFp: steps must be >= 1, got $steps")
+    // materialize the feature relation ONCE: every step is an action, and
+    // without the barrier each of the `steps` aggregations re-executes the
+    // whole upstream derivation (for q108, the tokenize + per-doc quality
+    // aggregation over the corpus — the dominant cost, paid 6×). The
+    // checkpoint changes no value (bit-identity preserved); at scale this
+    // is the standard iterate-over-cached-features shape.
+    val feats = feats0.select((xCols :+ yCol).map(col): _*).localCheckpoint()
     var wFp = Array.fill(xCols.length)(0L)
     val out = Seq.newBuilder[Array[Long]]
     for (_ <- 1 to steps) {

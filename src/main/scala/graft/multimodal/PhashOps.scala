@@ -37,6 +37,10 @@ object PhashOps {
   /** Exactness bound: banding loses no pair at Hamming distance ≤ Bands-1. */
   val Tau = 3
 
+  /** Widest radius the multi-probe expansion supports (q = 2 flips per
+    * band: Bands·(q+1)−1). */
+  val TauMax = 11
+
   /** media(doc_id, payload) → (doc_id, ph): the per-payload fingerprint. */
   def fingerprints(media: DataFrame): DataFrame =
     media.select(col("doc_id"), BinaryExprs.phash64(col("payload")).as("ph"))
@@ -54,12 +58,58 @@ object PhashOps {
         struct(lit(r).as("r"), bandKey(col("ph"), r).as("bv"))): _*)).as("bd"))
       .select(col("doc_id"), col("ph"), col("bd.r").as("r"), col("bd.bv").as("bv"))
 
+  /** MULTI-PROBE expansion factor for radius `tau`: q = flips per band
+    * such that tau ≤ Bands·(q+1)−1 (a pair within tau must have SOME band
+    * differing in ≤ q bits — if every band differed in ≥ q+1, the total
+    * would exceed tau). q = 0 is the plain probe (exact ≤ 3); q = 1
+    * probes each band key plus its 16 Hamming-1 neighbors (exact ≤ 7);
+    * q = 2 adds the 120 Hamming-2 neighbors (exact ≤ 11, the 2×-resize
+    * operating point — PhashSpec measures decimation at ~8–10 bits). */
+  private def flipsPerBand(tau: Int): Int = {
+    require(tau >= 0 && tau <= TauMax,
+      s"phash radius must be in [0, $TauMax], got $tau")
+    (tau + Bands) / Bands - 1 // = ceil((tau+1)/Bands) - 1
+  }
+
+  /** XOR masks with popcount ≤ q over the band width. |masks| = 1, 17,
+    * 137 for q = 0, 1, 2. */
+  private def probeMasks(q: Int): Seq[Long] = {
+    val one = (0 until BandBits).map(1L << _)
+    val two = for {
+      i <- 0 until BandBits; j <- (i + 1) until BandBits
+    } yield (1L << i) | (1L << j)
+    Seq(0L) ++ (if (q >= 1) one else Nil) ++ (if (q >= 2) two else Nil)
+  }
+
+  /** The PROBE-side band relation for radius `tau`: each band key is
+    * expanded to its Hamming-≤q neighborhood (classic multi-probe LSH,
+    * but here EXACT by pigeonhole, not recall-probabilistic: flipping the
+    * ≤ q differing bits on the probe side hits the corpus-side key
+    * exactly). Expansion lives on the probe side ONLY, so the standing
+    * index stays one row per (band, key) and candidate pooling is
+    * ~n²·|masks|/2^BandBits per band — at q = 2 that is n²·137/65 536 ≈
+    * n²/478, still 1.9× below even ONE band of the retired 8-bit
+    * geometry. */
+  private def probeSideBands(media: DataFrame, tau: Int): DataFrame = {
+    val q = flipsPerBand(tau)
+    val base = bandRelation(fingerprints(media))
+    if (q == 0) base
+    else base
+      .select(col("doc_id"), col("ph"), col("r"),
+        explode(typedlit(probeMasks(q))).as("__m"), col("bv"))
+      .select(col("doc_id"), col("ph"), col("r"),
+        col("bv").bitwiseXOR(col("__m")).as("bv"))
+  }
+
   /** Verified perceptual near-dup pairs within one media relation:
     * (doc_a, doc_b, dist) with doc_a < doc_b and Hamming dist ≤ tau.
-    * Exact at tau ≤ Bands-1 by pigeonhole. */
+    * EXACT at any tau ≤ TauMax: plain banding covers tau ≤ Bands−1 and
+    * the multi-probe expansion widens the pigeonhole bound (see
+    * [[probeSideBands]]). */
   def pairRelation(media: DataFrame, tau: Int = Tau): DataFrame = {
     val bands = bandRelation(fingerprints(media))
-    bands.select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
+    probeSideBands(media, tau)
+      .select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
       .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("__phb"),
         col("r"), col("bv")), Seq("r", "bv"))
       .filter(col("doc_a") < col("doc_b"))
@@ -148,7 +198,7 @@ object PhashOps {
     * O(batch × bucket occupancy), flat as the corpus grows. */
   def probePhashIndexPairs(spark: SparkSession, media: DataFrame,
       name: String, tau: Int = Tau): DataFrame =
-    bandRelation(fingerprints(media))
+    probeSideBands(media, tau)
       .select(col("doc_id").as("inc_id"), col("ph").as("__phi"),
         col("r"), col("bv"))
       .join(spark.table(s"${name}_pbands"), Seq("r", "bv"))

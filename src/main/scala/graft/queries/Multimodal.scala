@@ -308,6 +308,33 @@ object Multimodal extends QueryModule {
        |FROM inc i LEFT JOIN near n ON n.inc_id = i.doc_id
        |ORDER BY i.doc_id""".stripMargin
 
+  // ---- q122: resize-robust near-dup via multi-probe banding ----------------
+
+  /** q122: perceptual near-dup pairs at Hamming ≤ 11 — the 2×-RESIZE
+    * operating point (PhashSpec measures block-decimation at ~8–10 of the
+    * 64 bits, OUTSIDE q114's re-encode radius 3). The widened radius comes
+    * from multi-probe banding: each probe-side band key expands to its
+    * Hamming-≤2 neighborhood (137 keys), which keeps the candidate join
+    * pigeonhole-EXACT at radius 4·3−1 = 11 (some band must differ in ≤ 2
+    * bits) while pooling stays ~n²·137/65 536 per band — bounded, unlike
+    * any exact all-pairs scan. The oracle is the banding-FREE all-pairs
+    * SQL: the hash match proves the multi-probe expansion lost no pair.
+    * q114 (τ = 3, 1× probe cost) and q122 (τ = 11, 137× probe cost) are
+    * the two documented operating points of one operator. */
+  def phashResizePairs(s: SparkSession, d: String): DataFrame =
+    phashPairRelation(s, d, tau = 11)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+
+  private def phashResizePairsSql: String =
+    s"""WITH $kernCte,
+       |${phashSideCtes("s", "documents")}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+       |FROM ph_s a JOIN ph_s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= 11
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q121: incremental perceptual cluster maintenance -------------------
 
   /** q121: q119 ∘ q114-clusters — the media twin of q107: the standing
@@ -375,5 +402,6 @@ object Multimodal extends QueryModule {
     Q("q115_crossmodal_manifest", crossmodalManifest, Some(crossmodalManifestSql)),
     Q("q119_standing_phash", standingPhash, Some(standingPhashSql)),
     Q("q121_phash_clusters", phashClusters, Some(phashClustersSql)),
+    Q("q122_phash_multiprobe", phashResizePairs, Some(phashResizePairsSql)),
   )
 }

@@ -196,6 +196,60 @@ class PhashIndexSpec extends SparkSpec {
       "batch-2 near-dup of an admitted payload must be flagged against it")
   }
 
+  test("multi-probe banding is exact at tau = 7 and 11: equals brute force on planted distances 0..13") {
+    // one payload per distance d = 0..13 from a base fingerprint: the
+    // widened radii must find exactly the pairs within tau and lose none
+    // (pigeonhole via Hamming-<=q band-key neighborhoods), proven against
+    // driver-side brute force
+    val base = signs(301)
+    val fx = (1001L, synth(5100, base)) +: (0 to 13).map { d =>
+      (1100L + d, synth(5200 + 60 * d, (0 until d).foldLeft(base.clone()) {
+        (v, i) => v(3 + 4 * i) = -v(3 + 4 * i); v
+      }))
+    }
+    val ph = fx.map { case (id, p) => id -> Phash.phash64(p) }
+    for (tau <- Seq(7, 11)) {
+      val brute = (for {
+        (a, ha) <- ph; (b, hb) <- ph if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= tau
+      } yield (a, b, d.toLong)).toSet
+      assert(brute.exists(_._3 == tau),
+        s"fixture must contain a pair at exactly distance $tau")
+      val got = PhashOps.pairRelation(mediaDf(fx), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute, s"tau=$tau")
+    }
+    // standing probe agrees at the widened radius
+    freshIndex("graft_test_phidx_mp", fx.filter(_._1 >= 1100))
+    val probe = PhashOps.probePhashIndexPairs(spark,
+      mediaDf(fx.filter(_._1 == 1001L)), "graft_test_phidx_mp", tau = 11)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expect = ph.filter(_._1 >= 1100)
+      .map { case (id, h) => (id, java.lang.Long.bitCount(ph.head._2 ^ h).toLong) }
+      .filter(_._2 <= 11).toSet
+    assert(probe === expect)
+  }
+
+  test("tau = 11 catches a 2x decimation that tau = 3 misses (the resize operating point)") {
+    // a realistic broadband payload (not planted): its block_resize twin
+    // sits at the ~8-10 bit distance PhashSpec measures — inside the
+    // multi-probe radius, outside the plain-banding one
+    val p = Array.tabulate(4096) { i =>
+      var v = 128.0
+      for (h <- 1 to 6)
+        v += (50.0 / h) * math.sin(2 * math.Pi * h * i / 4096 + 0.7 * h)
+      math.max(0, math.min(255, math.rint(v).toInt)).toByte
+    }
+    val r = graft.functions.BinaryExprs.blockResize(p, 8, 4)
+    val d = java.lang.Long.bitCount(Phash.phash64(p) ^ Phash.phash64(r))
+    assume(d > 3 && d <= 11, s"fixture decimation distance $d outside (3, 11]")
+    val fx = Seq((1L, p), (2L, r))
+    assert(PhashOps.pairRelation(mediaDf(fx), tau = 3).count() === 0,
+      "tau=3 should not see a decimated twin")
+    val found = PhashOps.pairRelation(mediaDf(fx), tau = 11).collect()
+    assert(found.length === 1 && found.head.getLong(2) === d.toLong)
+  }
+
   test("streaming media cluster maintenance ≡ sequential loop ≡ union re-run, with a cross-batch merge") {
     val s = spark
     import graft.dedup.DedupOps
