@@ -769,3 +769,59 @@ object ProbePhashCand {
     spark.stop()
   }
 }
+
+/** Standing perceptual index: per-batch probe cost vs corpus growth —
+  * the media twin of ProbeStanding/ProbeVecIndex. Synthetic payloads are
+  * deterministic byte signals (one pHash per doc); every 50th doc is a
+  * +1-perturbed copy of a corpus doc so the probe verifies real
+  * candidates, not just empty buckets. The re-band path (pairRelation on
+  * corpus ∪ batch) re-fingerprints the corpus per call; the standing
+  * probe pays only the batch side. Numbers go to SCALE.md. */
+object ProbePhashStanding {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // 3 KB payloads with doc-seeded broadband structure: the corpus-side
+    // fingerprint CPU the re-band path pays per call must be measurable
+    def mkMedia(n: Long) = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      // deterministic pseudo-random bytes per doc: repeat the doc seed
+      // through a hash chain; near-dups (id % 50 == 1) copy id-1's bytes
+      // via the same generator so the probe has true candidates
+      expr("""
+        aggregate(sequence(0, 95),
+          cast('' as binary),
+          (acc, i) -> concat(acc, unhex(substring(
+            md5(concat(cast(doc_id - (case when doc_id % 50 = 1 then 1 else 0 end) as string), '_', cast(i as string))), 1, 32))))
+      """).as("payload"))
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      q.count() // warm
+      val t0 = System.nanoTime()
+      var rows = 0L
+      var i = 0
+      while (i < 3) { rows = q.count(); i += 1 }
+      println(f"$label%-46s ${(System.nanoTime() - t0) / 3e9}%.3f s/run  ($rows rows)")
+    }
+    import graft.multimodal.PhashOps
+    for (corpusN <- Seq(250000L, 500000L, 1000000L)) {
+      val media = mkMedia(corpusN)
+      val inc = media.filter(col("doc_id") % 50 === 1).limit(1000)
+        .localCheckpoint()
+      val corp = media.filter(col("doc_id") % 50 =!= 1)
+      val name = s"probe_phstanding_$corpusN"
+      Seq("pbands", "pdocs", "pmeta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      PhashOps.buildPhashIndex(spark, corp, name,
+        s"/tmp/probe_phstanding/$corpusN")
+      time(f"re-band  probe (1k inc vs ${corpusN - corpusN/50}%d corpus)",
+        PhashOps.pairRelation(corp.unionByName(inc)))
+      time(f"standing probe (1k inc vs ${corpusN - corpusN/50}%d corpus)",
+        PhashOps.probePhashIndex(spark, inc, name))
+    }
+    spark.stop()
+  }
+}
