@@ -25,6 +25,7 @@ object SparkEntry {
     Flagship,
     Training,
     Retrieval,
+    Curation,
   )
 
   private lazy val all: Seq[Q] = modules.flatMap(_.queries)

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.text.{CurationOps, TextOps}
+
+/** Corpus-curation queries over `documents` / `embeddings`: global
+  * boilerplate-segment removal with text reassembly (q123), RAG-style
+  * overlapping chunking (q124), and MMR diversity re-ranking (q125).
+  *
+  * All three are DuckDB-hash-checked: segment/chunk hashes are the
+  * engine-wide radix-31 two-level fold the oracle replays with
+  * list_reduce, and q125's greedy selection runs entirely in the
+  * integer domain (sims integerized to round(cos*1e6) up front), with
+  * the k greedy rounds UNROLLED into k CTE layers on the oracle side
+  * (recursive SQL cannot aggregate in the recursive term).
+  */
+object Curation extends QueryModule {
+
+  private val P = TextOps.P
+
+  /** DuckDB: polynomial char-fold hash of expression `e`. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** DuckDB: two-level fold over a token-list expression `seg`. */
+  private def duckSegHash(seg: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($seg, tok -> ${duckHash("tok")})), (acc, h) -> (acc * 31 + h) % $P)"
+
+  // ---- q123: global boilerplate-segment removal ---------------------------
+  // The CCNet/RefinedWeb line-dedup shape on this corpus's space-separated
+  // text: consecutive 6-token segments, dropped when the segment hash
+  // occurs in >= 3 DISTINCT docs corpus-wide, text reassembled in order.
+  // Non-vacuous at both driver scales (28 boilerplate segments at sf0.01,
+  // 173 at sf0.1) without being degenerate (~0.8% of distinct segments).
+
+  private val segTokens = 6
+  private val minDocs = 3
+
+  def boilerplate(s: SparkSession, d: String): DataFrame =
+    CurationOps.boilerplateStrip(documents(s, d), segTokens, minDocs)
+      .orderBy("doc_id")
+
+  private val boilerplateSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+       |    list_slice(toks, CAST(u.i AS BIGINT) * $segTokens + 1, (CAST(u.i AS BIGINT) + 1) * $segTokens) AS seg
+       |  FROM t, unnest(range(CAST(ceil(len(toks) / $segTokens.0) AS BIGINT))) u(i)
+       |),
+       |hh AS (SELECT doc_id, seg_idx, seg, ${duckSegHash("seg")} AS h FROM s),
+       |f AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= $minDocs),
+       |m AS (SELECT hh.*, (f.h IS NOT NULL) AS boil FROM hh LEFT JOIN f ON f.h = hh.h)
+       |SELECT doc_id,
+       |  COALESCE(string_agg(CASE WHEN NOT boil THEN array_to_string(seg, ' ') END, ' ' ORDER BY seg_idx), '') AS clean_text,
+       |  CAST(sum(len(seg)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN NOT boil THEN len(seg) ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT) AS dropped_segments,
+       |  round((sum(len(seg)) - sum(CASE WHEN NOT boil THEN len(seg) ELSE 0 END)) * 1.0 / sum(len(seg)), 6) AS dropped_frac
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q124: RAG chunker --------------------------------------------------
+  // 32-token windows at 24-token stride (8-token overlap); chunk_hash is
+  // the cross-doc exact-chunk-dedup key.
+
+  private val chunkWindow = 32
+  private val chunkStride = 24
+
+  def chunks(s: SparkSession, d: String): DataFrame =
+    CurationOps.chunk(documents(s, d), chunkWindow, chunkStride)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunksSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+       |    list_slice(toks, CAST(u.i AS BIGINT) * $chunkStride + 1, CAST(u.i AS BIGINT) * $chunkStride + $chunkWindow) AS chunk
+       |  FROM t, unnest(range(CAST(floor((len(toks) - 1) / $chunkStride.0) AS BIGINT) + 1)) u(i)
+       |)
+       |SELECT doc_id, chunk_id, chunk_id * $chunkStride AS start,
+       |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+       |  ${duckSegHash("chunk")} AS chunk_hash,
+       |  array_to_string(chunk, ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- q125: MMR diversity re-rank ----------------------------------------
+  // Queries = vec_id < 5; pool = cosine top-10; greedy k = 5 at lambda 0.7
+  // (integer weights 7 / 3 over round(cos*1e6) sims).
+
+  private val mmrPoolK = 10
+  private val mmrK = 5
+  private val mmrLamX10 = 7
+
+  def mmr(s: SparkSession, d: String): DataFrame =
+    CurationOps.mmrRerank(embeddings(s, d), col("vec_id") < 5,
+        mmrPoolK, mmrK, mmrLamX10)
+      .orderBy("query_id", "rank")
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])), (acc, x) -> acc + x)"
+
+  private val mmrSql: String = {
+    val lam = mmrLamX10
+    val mu = 10 - mmrLamX10
+    val head =
+      s"""WITH corpus AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), normed AS (
+         |  SELECT vec_id, v, sqrt(${duckDot("v", "v")}) AS norm FROM corpus
+         |),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(round(${duckDot("q.v", "c.v")} / (q.norm * c.norm) * 1000000) AS BIGINT) AS sim6
+         |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5
+         |),
+         |pool AS (
+         |  SELECT query_id, cand_id, sim6 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id ASC) AS rk
+         |    FROM scored) WHERE rk <= $mmrPoolK
+         |),
+         |pv AS (
+         |  SELECT p.query_id, p.cand_id, n.v, n.norm
+         |  FROM pool p JOIN normed n ON n.vec_id = p.cand_id
+         |),
+         |pp AS (
+         |  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         |    CAST(round(${duckDot("x.v", "y.v")} / (x.norm * y.norm) * 1000000) AS BIGINT) AS ab6
+         |  FROM pv x JOIN pv y ON y.query_id = x.query_id AND y.cand_id <> x.cand_id
+         |),
+         |sel1 AS (
+         |  SELECT query_id, cand_id AS neighbor_id, CAST(1 AS BIGINT) AS rank, $lam * sim6 AS score6 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim6 DESC, cand_id ASC) AS rk
+         |    FROM pool) WHERE rk = 1
+         |),
+         |selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val rounds = (2 to mmrK).map { r =>
+      s"""rem$r AS (
+         |  SELECT p.* FROM pool p
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+         |                    WHERE s.query_id = p.query_id AND s.neighbor_id = p.cand_id)
+         |),
+         |pen$r AS (
+         |  SELECT pp.query_id, pp.a AS cand_id, max(pp.ab6) AS pen6
+         |  FROM pp JOIN selu${r - 1} s ON s.query_id = pp.query_id AND s.neighbor_id = pp.b
+         |  GROUP BY pp.query_id, pp.a
+         |),
+         |sel$r AS (
+         |  SELECT query_id, cand_id AS neighbor_id, CAST($r AS BIGINT) AS rank, score6 FROM (
+         |    SELECT r.query_id, r.cand_id, $lam * r.sim6 - $mu * p.pen6 AS score6,
+         |      ROW_NUMBER() OVER (PARTITION BY r.query_id ORDER BY ($lam * r.sim6 - $mu * p.pen6) DESC, r.cand_id ASC) AS rk
+         |    FROM rem$r r JOIN pen$r p ON p.query_id = r.query_id AND p.cand_id = r.cand_id
+         |  ) WHERE rk = 1
+         |),
+         |selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT query_id, rank, neighbor_id, score6
+       |FROM selu$mmrK ORDER BY query_id, rank""".stripMargin
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q123_boilerplate_strip", boilerplate, Some(boilerplateSql)),
+    Q("q124_chunking", chunks, Some(chunksSql)),
+    Q("q125_mmr_rerank", mmr, Some(mmrSql)),
+  )
+}

@@ -1,0 +1,170 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.similarity.SimilarityOps
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw scrape and tokenization: global boilerplate stripping
+  * (the line-level dedup of CCNet / RefinedWeb, re-expressed over this
+  * corpus's space-separated token segments), RAG-style overlapping
+  * chunking, and MMR diversity re-ranking of retrieval candidates.
+  *
+  * Cross-engine determinism: segment/chunk keys are the engine-wide
+  * two-level radix-31 polynomial hash (char fold per token, then a fold
+  * over token hashes — TextOps.P modulus), and every MMR similarity is
+  * integerized (`round(cos * 1e6)` as int64) BEFORE any comparison, so
+  * greedy selection never depends on float tie behavior.
+  *
+  * Scale notes (100 TB):
+  *   - boilerplateStrip is explode → groupBy(segment hash) → join-back →
+  *     groupBy(doc_id): two shuffles on map-side-combinable keys plus one
+  *     hash join against the (heavy-hitter-sized) boilerplate set — the
+  *     boilerplate relation only holds segments repeated in >= minDocs
+  *     DISTINCT docs, so at scale it is tiny relative to the corpus and
+  *     AQE broadcasts the join-back side.
+  *   - chunk is a pure per-row projection + explode: no cross-doc
+  *     shuffle at all; fan-out (~n_tokens/stride per doc) stays inside
+  *     the scan stage.
+  *   - mmrRerank's loop only ever touches |queries| x poolK rows: the
+  *     corpus is streamed ONCE for the top-poolK pool (broadcast query
+  *     set, no corpus shuffle — the q27 shape), and each greedy round is
+  *     a join + window over the k-sized pool.
+  */
+object CurationOps {
+
+  private val P = TextOps.P
+
+  /** Radix-31 fold over an array<string> of tokens: char fold per token,
+    * then a fold over the token hashes (same two-level scheme as
+    * TextOps.shingleHashExpr, so oracles mirror it with list_reduce). */
+  private def segHashExpr(segCol: String): String =
+    s"aggregate(transform($segCol, tok -> ${TextOps.polyHash("tok")}), 0L, (acc, h) -> (acc * 31 + h) % ${P}L)"
+
+  /** Global boilerplate-segment removal (RefinedWeb/CCNet line dedup
+    * re-expressed on single-space token text): split each doc into
+    * consecutive `segTokens`-token segments (last one may be shorter),
+    * drop every segment whose hash occurs in >= `minDocs` DISTINCT
+    * documents corpus-wide, and reassemble the surviving text in order.
+    *
+    * Output: doc_id, clean_text, n_tokens, kept_tokens,
+    * dropped_segments, dropped_frac (dropped tokens / n_tokens). */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0D) AS INT) - 1), i -> slice(toks, i * $segTokens + 1, $segTokens))"))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", expr(segHashExpr("seg")))
+    // distinct-doc frequency per segment hash; >= minDocs → boilerplate.
+    // countDistinct partial-aggregates per partition before the exchange.
+    val boil = segs
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("boil"))
+    segs
+      .join(boil, Seq("h"), "left")
+      .withColumn("keep", col("boil").isNull)
+      .groupBy("doc_id")
+      .agg(
+        sum(size(col("seg"))).cast("long").as("n_tokens"),
+        sum(when(col("keep"), size(col("seg"))).otherwise(0)).cast("long").as("kept_tokens"),
+        count(when(!col("keep"), 1)).cast("long").as("dropped_segments"),
+        sort_array(collect_list(when(col("keep"), struct(col("seg_idx"), col("seg"))))).as("__ks"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", flatten(expr("transform(__ks, s -> s.seg)"))).as("clean_text"),
+        col("n_tokens"), col("kept_tokens"), col("dropped_segments"),
+        round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6)
+          .as("dropped_frac"))
+  }
+
+  /** RAG-style overlapping chunker: token windows of `window` tokens at
+    * `stride`-token steps (stride < window ⇒ overlap); the final chunk
+    * may be shorter. chunk_id is the 0-based window ordinal; chunk_hash
+    * is the two-level polynomial fold (the cross-doc exact-chunk-dedup
+    * key — identical chunks from different docs share it). */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, s"need 0 < stride <= window")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(floor((size(toks) - 1) / $stride.0D) AS INT)), i -> slice(toks, i * $stride + 1, $window))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("start"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        expr(segHashExpr("chunk")).as("chunk_hash"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** MMR (maximal-marginal-relevance) diversity re-rank: for each query
+    * vector, take the brute-force cosine top-`poolK` pool, then greedily
+    * select `k` results maximizing
+    *   score = lamX10 * sim(q,c) - (10 - lamX10) * max_{s in S} sim(c,s)
+    * with all similarities integerized to round(cos*1e6) first, so the
+    * argmax (ties: lowest cand id) is exact integer arithmetic in any
+    * engine. rank 1 is the plain top-1 (empty S ⇒ zero penalty).
+    *
+    * Output: query_id, rank, neighbor_id, score6 (the integer MMR score
+    * the pick maximized). */
+  def mmrRerank(emb: DataFrame, queryPred: Column, poolK: Int, k: Int,
+      lamX10: Int): DataFrame = {
+    require(k >= 1 && poolK >= k && lamX10 >= 0 && lamX10 <= 10)
+    val corpus = SimilarityOps.prepared(emb)
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim6",
+        round(VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")) * 1e6)
+          .cast("long"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("vec_id").asc)
+    // |queries| x poolK rows from here on; checkpoint so the k greedy
+    // rounds don't re-stream the corpus once per round.
+    val pool = scored
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= poolK)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("sim6"), col("v"), col("norm"))
+      .localCheckpoint()
+    val lhs = pool.select(col("query_id"), col("cand_id").as("a"), col("v").as("av"), col("norm").as("an"))
+    val rhs = pool.select(col("query_id"), col("cand_id").as("b"), col("v").as("bv"), col("norm").as("bn"))
+    val pairs = lhs.join(rhs, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(VectorExprs.dot_fold(col("av"), col("bv")) / (col("an") * col("bn")) * 1e6)
+          .cast("long").as("ab6"))
+    val cands = pool.select("query_id", "cand_id", "sim6")
+
+    var selected = cands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim6").desc, col("cand_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        lit(1L).as("rank"), (lit(lamX10.toLong) * col("sim6")).as("score6"))
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id"))
+      val rem = cands.join(
+        selIds.withColumnRenamed("neighbor_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+      val pen = pairs
+        .join(selIds.withColumnRenamed("neighbor_id", "b"), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand_id"))
+        .agg(max(col("ab6")).as("pen6"))
+      val next = rem.join(pen, Seq("query_id", "cand_id"))
+        .withColumn("score6",
+          lit(lamX10.toLong) * col("sim6") - lit((10 - lamX10).toLong) * col("pen6"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score6").desc, col("cand_id").asc)))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand_id").as("neighbor_id"),
+          lit(r.toLong).as("rank"), col("score6"))
+      selected = selected.unionByName(next)
+    }
+    selected
+  }
+}

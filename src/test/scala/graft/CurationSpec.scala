@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.text.CurationOps
+
+/** Curation operators (q123-q125) on planted fixtures.
+  *
+  * boilerplateStrip: a segment repeated across >= minDocs docs is dropped
+  * from every doc (including reassembly order and the all-boilerplate
+  * doc's empty clean_text); a segment repeated < minDocs survives.
+  *
+  * chunk: window/stride geometry (starts, overlap content, short tail),
+  * and identical text ⇒ identical chunk hashes (the cross-doc dedup key).
+  *
+  * mmrRerank: checked against an in-test greedy reference over the same
+  * integerized sims — in a pool where the two most query-similar
+  * candidates are near-duplicates of each other, rank 2 must skip the
+  * redundant one (the defining MMR behavior vs plain top-k).
+  */
+class CurationSpec extends SparkSpec {
+
+  // ---- boilerplateStrip ---------------------------------------------------
+
+  /** 6-token segments; "b0 .. b5" planted in docs 1,2,3 (boilerplate at
+    * minDocs=3); "r0 .. r5" planted in docs 1,2 only (kept). Doc 4 is
+    * pure boilerplate. */
+  private lazy val boilDocs: DataFrame = {
+    import spark.implicits._
+    val boil = (0 until 6).map(i => s"b$i").mkString(" ")
+    val rare = (0 until 6).map(i => s"r$i").mkString(" ")
+    val u = (d: Int) => (0 until 6).map(i => s"u${d}_$i").mkString(" ")
+    Seq(
+      (1L, s"${u(1)} $boil $rare"),
+      (2L, s"$boil ${u(2)} $rare"),
+      (3L, s"$boil ${u(3)}"),
+      (4L, boil),
+      (5L, u(5)),
+    ).toDF("doc_id", "text")
+  }
+
+  private lazy val stripped: Map[Long, Row] =
+    CurationOps.boilerplateStrip(boilDocs, segTokens = 6, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("boilerplate segment dropped everywhere; order preserved") {
+    val boil = (0 until 6).map(i => s"b$i").mkString(" ")
+    val rare = (0 until 6).map(i => s"r$i").mkString(" ")
+    assert(stripped(1L).getString(1) == s"${(0 until 6).map(i => s"u1_$i").mkString(" ")} $rare")
+    assert(stripped(2L).getString(1) == s"${(0 until 6).map(i => s"u2_$i").mkString(" ")} $rare")
+    assert(!stripped.values.exists(_.getString(1).contains(boil)))
+  }
+
+  test("sub-threshold repeats survive; untouched docs pass through") {
+    val rare = (0 until 6).map(i => s"r$i").mkString(" ")
+    assert(stripped(1L).getString(1).endsWith(rare)) // repeated in 2 docs < minDocs
+    assert(stripped(5L).getString(1) == (0 until 6).map(i => s"u5_$i").mkString(" "))
+    assert(stripped(5L).getLong(4) == 0L) // dropped_segments
+  }
+
+  test("all-boilerplate doc collapses to empty text with frac 1.0") {
+    assert(stripped(4L).getString(1) == "")
+    assert(stripped(4L).getLong(3) == 0L) // kept_tokens
+    assert(stripped(4L).getDouble(5) == 1.0)
+  }
+
+  test("token accounting: n_tokens = kept + dropped segment tokens") {
+    stripped.values.foreach { r =>
+      val n = r.getLong(2); val kept = r.getLong(3)
+      assert(n >= kept && (kept == n) == (r.getLong(4) == 0L))
+    }
+    assert(stripped(1L).getLong(2) == 18L)
+    assert(stripped(1L).getLong(3) == 12L)
+  }
+
+  // ---- chunk --------------------------------------------------------------
+
+  test("chunk geometry: starts, overlap, short tail") {
+    import spark.implicits._
+    val toks = (0 until 80).map(i => s"t$i")
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val rows = CurationOps.chunk(docs, window = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 24L, 48L, 72L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(32L, 32L, 32L, 8L))
+    // overlap: chunk 1 starts 8 tokens before chunk 0 ends
+    assert(rows(1).getString(5).startsWith("t24 t25"))
+    assert(rows(0).getString(5).endsWith("t30 t31"))
+    assert(rows(3).getString(5) == (72 until 80).map(i => s"t$i").mkString(" "))
+  }
+
+  test("identical chunk text across docs shares chunk_hash") {
+    import spark.implicits._
+    val shared = (0 until 32).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared), (3L, (0 until 32).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hs = CurationOps.chunk(docs, 32, 24).select("doc_id", "chunk_hash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L) && hs(1L) != hs(3L))
+  }
+
+  // ---- mmrRerank ----------------------------------------------------------
+
+  /** Query 0 = e0; candidates 10/11 are scaled near-copies of each other at
+    * cos 0.8 to q (so their MUTUAL cos is ~1.0 but neither is ~the query —
+    * at lambda 0.7 a duplicate of a pick at cos~1 to q would still win on
+    * relevance); 12 is almost as relevant (cos 0.751) but nearly orthogonal
+    * to 10 (cos 0.204). Plain top-2 = (10, 11); MMR rank 2 must be 12. */
+  private lazy val mmrEmb: DataFrame = {
+    import spark.implicits._
+    def v(xs: Double*) = xs.toArray
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (10L, v(0.8, 0.6, 0, 0)),
+      (11L, v(1.6, 1.2001, 0, 0)),
+      (12L, v(0.75, -0.66, 0, 0)),
+      (13L, v(0.1, 0, 1, 0)),
+      (14L, v(0, 0, 0, 1)),
+      (15L, v(-1, 0, 0, 0)),
+    )
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("MMR skips the redundant near-duplicate that plain top-k keeps") {
+    val out = CurationOps.mmrRerank(mmrEmb, col("vec_id") === 0, poolK = 6, k = 3, lamX10 = 7)
+      .orderBy("rank").collect()
+    val picks = out.map(_.getLong(1)).toSeq // neighbor_id per rank
+    assert(picks.head == 10L)          // best sim
+    assert(picks(1) == 12L)            // diverse beats near-dup 11
+    assert(!picks.take(2).contains(11L))
+  }
+
+  test("MMR agrees with an in-test greedy reference over integer sims") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    import spark.implicits._
+    val vecs = mmrEmb.as[(Long, Array[Double])].collect().toMap
+    val q = vecs(0L)
+    val sims = vecs.filter(_._1 != 0L).map { case (id, v) => id -> math.round(cos(q, v) * 1e6) }
+    val pool = sims.toSeq.sortBy { case (id, s) => (-s, id) }.take(6)
+    var sel = List.empty[Long]
+    (1 to 3).foreach { _ =>
+      val pick = pool.filter(p => !sel.contains(p._1)).map { case (id, s) =>
+        val pen = if (sel.isEmpty) 0L
+          else sel.map(sid => math.round(cos(vecs(id), vecs(sid)) * 1e6)).max
+        (id, 7L * s - 3L * pen)
+      }.minBy { case (id, score) => (-score, id) }
+      sel = sel :+ pick._1
+    }
+    val out = CurationOps.mmrRerank(mmrEmb, col("vec_id") === 0, poolK = 6, k = 3, lamX10 = 7)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(out == sel)
+  }
+}
