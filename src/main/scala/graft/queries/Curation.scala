@@ -93,7 +93,7 @@ object Curation extends QueryModule {
   private val mmrLamX10 = 7
 
   def mmr(s: SparkSession, d: String): DataFrame =
-    CurationOps.mmrRerank(embeddings(s, d), col("vec_id") < 5,
+    CurationOps.mmrRerankPacked(embeddings(s, d), col("vec_id") < 5,
         mmrPoolK, mmrK, mmrLamX10)
       .orderBy("query_id", "rank")
 

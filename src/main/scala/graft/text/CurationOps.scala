@@ -167,4 +167,68 @@ object CurationOps {
     }
     selected
   }
+
+  /** Packed MMR: same contract as [[mmrRerank]] (CurationSpec pins
+    * row-for-row equality), but the greedy selection runs as ONE
+    * codegen'd projection over the per-query pool instead of k rounds of
+    * joins — after the top-poolK window, the ONLY exchange is the
+    * groupBy(query_id) that packs the pool (poolK rows per query), and
+    * the poolK² pairwise sims + k greedy rounds are HOF arithmetic inside
+    * the projection (poolK and k are bounded constants, so per-row work
+    * is O(k · poolK²) regardless of corpus size). This is the production
+    * path: the loop form costs ~2 exchanges per greedy round. */
+  def mmrRerankPacked(emb: DataFrame, queryPred: Column, poolK: Int, k: Int,
+      lamX10: Int): DataFrame = {
+    require(k >= 1 && poolK >= k && lamX10 >= 0 && lamX10 <= 10)
+    val lam = lamX10.toLong
+    val mu = (10 - lamX10).toLong
+    val corpus = SimilarityOps.prepared(emb)
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim6",
+        round(VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")) * 1e6)
+          .cast("long"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("vec_id").asc)
+    val pool = scored
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= poolK)
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("sim6"), col("v"), col("norm"))
+    val packed = pool
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        col("cand_id"), col("sim6"), col("v"), col("norm")))).as("cands"))
+    // pen(c | sel): max over selected s of round(cos(c, s) * 1e6); computed
+    // on demand from the packed vectors (no materialized pair relation).
+    val pairSim = // cos between two pool entries x, y, integerized
+      "CAST(round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D, (a2, t) -> a2 + t) / (x.norm * y.norm) * 1e6) AS BIGINT)"
+    val greedy =
+      s"""aggregate(
+         |  sequence(1, $k),
+         |  CAST(struct(array(), array()) AS
+         |       struct<sel: array<bigint>, out: array<struct<rank: bigint, neighbor_id: bigint, score6: bigint>>>),
+         |  (acc, r) -> aggregate(
+         |    array(array_max(transform(
+         |      filter(cands, x -> NOT array_contains(acc.sel, x.cand_id)),
+         |      x -> struct(
+         |        $lam * x.sim6 - $mu * coalesce(
+         |          aggregate(
+         |            transform(filter(cands, y -> array_contains(acc.sel, y.cand_id)),
+         |                      y -> $pairSim),
+         |            CAST(NULL AS BIGINT),
+         |            (m, ab) -> CASE WHEN m IS NULL OR ab > m THEN ab ELSE m END),
+         |          0L) AS score,
+         |        -x.cand_id AS negid)))),
+         |    acc,
+         |    (a, best) -> struct(
+         |      concat(a.sel, array(-best.negid)) AS sel,
+         |      concat(a.out, array(struct(CAST(r AS BIGINT) AS rank,
+         |                                 -best.negid AS neighbor_id,
+         |                                 best.score AS score6))) AS out)),
+         |  acc -> acc.out)""".stripMargin.replace("\n", " ")
+    packed
+      .select(col("query_id"), explode(expr(greedy)).as("pick"))
+      .select(col("query_id"), col("pick.rank").as("rank"),
+        col("pick.neighbor_id").as("neighbor_id"), col("pick.score6").as("score6"))
+  }
 }

@@ -153,4 +153,19 @@ class CurationSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(out == sel)
   }
+
+  test("packed MMR is row-for-row identical to the join-loop form") {
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // planted fixture
+    assert(
+      rows(CurationOps.mmrRerankPacked(mmrEmb, col("vec_id") === 0, 6, 3, 7).select("query_id", "rank", "neighbor_id", "score6")) ==
+      rows(CurationOps.mmrRerank(mmrEmb, col("vec_id") === 0, 6, 3, 7).select("query_id", "rank", "neighbor_id", "score6")))
+    // real embeddings, the q125 operating point
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    assert(
+      rows(CurationOps.mmrRerankPacked(emb, col("vec_id") < 5, 10, 5, 7).select("query_id", "rank", "neighbor_id", "score6")) ==
+      rows(CurationOps.mmrRerank(emb, col("vec_id") < 5, 10, 5, 7).select("query_id", "rank", "neighbor_id", "score6")))
+  }
 }
