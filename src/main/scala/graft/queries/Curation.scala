@@ -42,7 +42,9 @@ object Curation extends QueryModule {
     CurationOps.boilerplateStrip(documents(s, d), segTokens, minDocs)
       .orderBy("doc_id")
 
-  private val boilerplateSql =
+  /** One SQL for q123 (whole corpus) and q126 (standing-store probe whose
+    * verdict equals the union run RESTRICTED to the increment docs). */
+  private def boilerplateSqlWhere(where: String): String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |s AS (
        |  SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
@@ -58,7 +60,28 @@ object Curation extends QueryModule {
        |  CAST(sum(CASE WHEN NOT boil THEN len(seg) ELSE 0 END) AS BIGINT) AS kept_tokens,
        |  CAST(sum(CASE WHEN boil THEN 1 ELSE 0 END) AS BIGINT) AS dropped_segments,
        |  round((sum(len(seg)) - sum(CASE WHEN NOT boil THEN len(seg) ELSE 0 END)) * 1.0 / sum(len(seg)), 6) AS dropped_frac
-       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM m $where GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val boilerplateSql = boilerplateSqlWhere("")
+
+  // ---- q126: standing boilerplate admission --------------------------------
+  // q90's shape for line dedup: the admitted corpus (doc_id % 10 >= 2)
+  // persists a segment-frequency store; the arriving slice (% 10 < 2)
+  // is stripped against standing + own counts — the verdict equals the
+  // q123 union run restricted to the increment (the oracle proves it).
+
+  def standingBoilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_segfreq_$tag"
+    if (!CurationOps.segFreqStoreMatches(s, name, d))
+      CurationOps.buildSegFreqStore(s, docs.filter(col("doc_id") % 10 >= 2),
+        name, segTokens, minDocs,
+        location = s"${sys.props("java.io.tmpdir")}/graft_segfreq/$tag",
+        datasetTag = d)
+    CurationOps.probeSegFreqStrip(s, docs.filter(col("doc_id") % 10 < 2), name)
+      .orderBy("doc_id")
+  }
 
   // ---- q124: RAG chunker --------------------------------------------------
   // 32-token windows at 24-token stride (8-token overlap); chunk_hash is
@@ -165,5 +188,7 @@ object Curation extends QueryModule {
     Q("q123_boilerplate_strip", boilerplate, Some(boilerplateSql)),
     Q("q124_chunking", chunks, Some(chunksSql)),
     Q("q125_mmr_rerank", mmr, Some(mmrSql)),
+    Q("q126_standing_boilerplate", standingBoilerplate,
+      Some(boilerplateSqlWhere("WHERE doc_id % 10 < 2"))),
   )
 }

@@ -425,6 +425,42 @@ object StreamOps {
       ()
     }
 
+  /** The BOILERPLATE twin of [[streamingStandingAdmission]]: arriving
+    * docs are stripped against the standing segment-frequency store
+    * (CurationOps.probeSegFreqStrip — standing distinct-doc counts plus
+    * the batch's own, so a segment crossing min_docs WITHIN a batch is
+    * stripped from that batch), one stripped row per arrival is written,
+    * and the batch's ORIGINAL text appends to the store before the next
+    * batch — admission-time semantics: each doc's verdict equals the
+    * batch run over everything admitted up to and including its own
+    * batch, restricted to that batch (spec-pinned), and already-admitted
+    * docs are never re-stripped.
+    *
+    * At-least-once caveat: the store append is idempotent under replay
+    * (`appendToSegFreqStore(idempotent = true)` — doc_id anti-join), the
+    * verdict parquet is not; a replayed batch's verdicts recompute
+    * against counts that already include its own docs, so readers dedup
+    * on doc_id keeping the FIRST write (here: min dropped_frac row is
+    * NOT safe — use writes' file order or re-probe; the batch loop in
+    * CurationSpec documents the exact window).
+    *
+    * Scale shape: per batch, batch-side segmentation + a broadcast
+    * batch-hash probe of the h-bucketed store (store streams with no
+    * exchange) + a bucket-aligned batch-sized append; state lives in the
+    * bucketed store tables — restart-safe, shared with batch readers. */
+  def streamingBoilerplateAdmission(docs: DataFrame, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val stripped = graft.text.CurationOps
+        .probeSegFreqStrip(s, batch, name)
+        .localCheckpoint()
+      graft.text.CurationOps.appendToSegFreqStore(s, batch, name,
+        idempotent = true)
+      stripped.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING incremental cluster maintenance — q107's `foreachBatch`
     * twin, closing the standing-index loop family (text admission, vector
     * admission, and now LABEL maintenance — the nightly-ingest shape the

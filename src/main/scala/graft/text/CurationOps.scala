@@ -43,32 +43,22 @@ object CurationOps {
   private def segHashExpr(segCol: String): String =
     s"aggregate(transform($segCol, tok -> ${TextOps.polyHash("tok")}), 0L, (acc, h) -> (acc * 31 + h) % ${P}L)"
 
-  /** Global boilerplate-segment removal (RefinedWeb/CCNet line dedup
-    * re-expressed on single-space token text): split each doc into
-    * consecutive `segTokens`-token segments (last one may be shorter),
-    * drop every segment whose hash occurs in >= `minDocs` DISTINCT
-    * documents corpus-wide, and reassemble the surviving text in order.
-    *
-    * Output: doc_id, clean_text, n_tokens, kept_tokens,
-    * dropped_segments, dropped_frac (dropped tokens / n_tokens). */
-  def boilerplateStrip(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
-    val segs = docs
+  /** (doc_id, seg_idx, seg, h): consecutive `segTokens`-token segments of
+    * each doc (last may be shorter) with the two-level fold hash. */
+  private[text] def segmentRelation(docs: DataFrame, segTokens: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0D) AS INT) - 1), i -> slice(toks, i * $segTokens + 1, $segTokens))"))
           .as(Seq("seg_idx", "seg")))
       .withColumn("h", expr(segHashExpr("seg")))
-    // distinct-doc frequency per segment hash; >= minDocs → boilerplate.
-    // countDistinct partial-aggregates per partition before the exchange.
-    val boil = segs
-      .groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"), lit(true).as("boil"))
-    segs
-      .join(boil, Seq("h"), "left")
-      .withColumn("keep", col("boil").isNull)
+
+  /** Reassemble per-doc output from a marked segment relation (must carry
+    * doc_id, seg_idx, seg, keep). The groupBy(doc_id) is the operator's
+    * ONE text-carrying exchange — inherent to reassembly. */
+  private def reassemble(marked: DataFrame): DataFrame =
+    marked
       .groupBy("doc_id")
       .agg(
         sum(size(col("seg"))).cast("long").as("n_tokens"),
@@ -81,6 +71,118 @@ object CurationOps {
         col("n_tokens"), col("kept_tokens"), col("dropped_segments"),
         round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6)
           .as("dropped_frac"))
+
+  /** Global boilerplate-segment removal (RefinedWeb/CCNet line dedup
+    * re-expressed on single-space token text): split each doc into
+    * consecutive `segTokens`-token segments (last one may be shorter),
+    * drop every segment whose hash occurs in >= `minDocs` DISTINCT
+    * documents corpus-wide, and reassemble the surviving text in order.
+    *
+    * Output: doc_id, clean_text, n_tokens, kept_tokens,
+    * dropped_segments, dropped_frac (dropped tokens / n_tokens). */
+  def boilerplateStrip(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = segmentRelation(docs, segTokens)
+    // distinct-doc frequency per segment hash; >= minDocs → boilerplate.
+    // countDistinct partial-aggregates per partition before the exchange
+    // (column pruning keeps text out of it: only h + doc_id shuffle).
+    val boil = segs
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("boil"))
+    reassemble(segs
+      .join(boil, Seq("h"), "left")
+      .withColumn("keep", col("boil").isNull))
+  }
+
+  // ---- standing segment-frequency store (the q90/q110/q119 symmetry) ----
+
+  /** Persist the corpus's segment-frequency state for incremental
+    * boilerplate admission: `name_segs` holds DISTINCT (h, doc_id) pairs
+    * bucketed by h (probes aggregate only matched hashes with a
+    * bucket-aligned scan; the pair grain also makes appends idempotent
+    * and rebuilds exact), `name_docs` the admitted ids (replay guard),
+    * `name_meta` (written LAST — it gates completeness) the geometry +
+    * dataset tag. */
+  def buildSegFreqStore(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, name: String, segTokens: Int, minDocs: Int,
+      location: String, buckets: Int = 32, datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    segmentRelation(corpus, segTokens)
+      .select("h", "doc_id").distinct()
+      .write.mode("overwrite").option("path", s"$location/segs")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${name}_segs")
+    corpus.select("doc_id")
+      .write.mode("overwrite").option("path", s"$location/docs")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+    Seq((segTokens, minDocs, buckets, datasetTag))
+      .toDF("seg_tokens", "min_docs", "buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Whether store `name` exists AND was built from `datasetTag` (the
+    * bandIndexMatches contract: missing table / unreadable meta / tag
+    * mismatch all answer "rebuild"). */
+  def segFreqStoreMatches(spark: org.apache.spark.sql.SparkSession,
+      name: String, datasetTag: String): Boolean =
+    Seq("segs", "docs", "meta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
+      (try {
+        spark.table(s"${name}_meta").head().getAs[String]("dataset_tag") == datasetTag
+      } catch { case _: Throwable => false })
+
+  /** Append an admitted batch to the standing store — a bucket-aligned
+    * append of batch-sized data; the corpus is never re-segmented.
+    * `idempotent = true` anti-joins the batch against `name_docs` first
+    * (at-least-once replay inserts nothing); localCheckpoint pins the
+    * verdict against the PRE-append ids before the writes mutate them. */
+  def appendToSegFreqStore(spark: org.apache.spark.sql.SparkSession,
+      newDocs0: DataFrame, name: String, idempotent: Boolean = false): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (segTokens, buckets) = (meta.getInt(0), meta.getInt(2))
+    val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
+      spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
+    segmentRelation(newDocs, segTokens)
+      .select("h", "doc_id").distinct()
+      .write.mode("append")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${name}_segs")
+    newDocs.select("doc_id")
+      .write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+  }
+
+  /** Strip an arriving batch against the standing store: a segment is
+    * boilerplate when standing distinct-doc count + the batch's OWN
+    * distinct-doc count reaches min_docs — i.e. the verdict equals
+    * running [[boilerplateStrip]] over (admitted corpus ∪ batch)
+    * restricted to the batch's docs (spec-pinned; admission-time
+    * semantics: already-admitted docs are never re-stripped).
+    *
+    * Scale shape: batch-side segmentation + a broadcast of the batch's
+    * DISTINCT hashes probing the h-bucketed store (store streams with no
+    * exchange; only matched hashes aggregate), then the batch-sized
+    * reassembly — flat per batch as the corpus grows. */
+  def probeSegFreqStrip(spark: org.apache.spark.sql.SparkSession,
+      increment: DataFrame, name: String): DataFrame = {
+    val meta = spark.table(s"${name}_meta").head()
+    val (segTokens, minDocs) = (meta.getInt(0), meta.getInt(1))
+    val segs = segmentRelation(increment, segTokens)
+    val batchNd = segs.groupBy("h").agg(countDistinct(col("doc_id")).as("__bnd"))
+    val standingNd = spark.table(s"${name}_segs")
+      .join(broadcast(segs.select("h").distinct()), Seq("h"))
+      .groupBy("h").agg(count(lit(1)).as("__snd")) // store rows are distinct pairs
+    val boil = batchNd
+      .join(standingNd, Seq("h"), "left")
+      .filter(col("__bnd") + coalesce(col("__snd"), lit(0L)) >= minDocs)
+      .select(col("h"), lit(true).as("boil"))
+    reassemble(segs
+      .join(boil, Seq("h"), "left")
+      .withColumn("keep", col("boil").isNull))
   }
 
   /** RAG-style overlapping chunker: token windows of `window` tokens at

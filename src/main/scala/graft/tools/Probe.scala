@@ -617,7 +617,8 @@ object ProbeScale {
       "q21_minhash_pairs", "q66_dedup_clusters",
       "q110_standing_vec", "q112_substring_dedup", "q113_semdedup",
       "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm",
-      "q117_semdedup_capped", "q118_cluster_quota")
+      "q117_semdedup_capped", "q118_cluster_quota",
+      "q123_boilerplate_strip", "q124_chunking", "q125_mmr_rerank")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
