@@ -240,6 +240,53 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned pack window: $l"))
   }
 
+  test("q123: boilerplate set broadcasts; only the reassembly exchange carries text") {
+    val p = plan("q123_boilerplate_strip")
+    // the >= minDocs frequency relation is heavy-hitter-sized → broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"), "boilerplate join degraded to SMJ")
+    // exactly ONE exchange is keyed by doc_id (the reassembly groupBy —
+    // the operator's single text-carrying shuffle); the frequency
+    // exchanges are keyed by segment hash only
+    val docExchanges = p.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning(doc_id"))
+    assert(docExchanges.length == 1, docExchanges.mkString("\n"))
+  }
+
+  test("q124: chunker is a pure map stage — no join, no hash exchange") {
+    val p = plan("q124_chunking")
+    assert(!p.contains("Join"), "chunker should not join anything")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunker shuffled — only the final sort's range exchange is expected")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to doc_id + text")
+  }
+
+  test("q125: packed MMR — one hash exchange, top-k limited before it") {
+    val p = plan("q125_mmr_rerank")
+    // the corpus side never fully shuffles: WindowGroupLimit(Partial)
+    // bounds each map partition to poolK rows per query pre-exchange
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    val hashExchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges.length == 1,
+      s"packed MMR should pay exactly one hash exchange (query_id):\n${hashExchanges.mkString("\n")}")
+    // pool collection reuses the window's partitioning — no second exchange
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q126: standing probe reads the bucketed store without exchanging it") {
+    val p = plan("q126_standing_boilerplate")
+    // batch hashes broadcast into the store scan; the store side must
+    // never hash-exchange (its only exchanges are batch-sized: the
+    // batch's own counts and the reassembly)
+    assert(p.contains("Bucketed: true"), "store scan lost its bucketing")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    val storeExchange = p.split("\n").sliding(8).exists(w =>
+      w.head.contains("Exchange hashpartitioning") &&
+        w.exists(_.contains("graft_segfreq")) && !w.exists(_.contains("Broadcast")))
+    assert(!storeExchange, "standing segs store is shuffled at probe time")
+  }
+
   test("bucketed co-located join plans with zero shuffle exchanges") {
     val s = spark
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
