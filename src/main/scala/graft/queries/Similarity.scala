@@ -933,7 +933,44 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  // ---- q127: contrastive pair mining --------------------------------------
+  // Anchors = vec_id < 5; per anchor, the 5 most similar SAME-label
+  // neighbors ('pos') and the 5 most similar DIFFERENT-label neighbors
+  // ('neg' — hard negatives). Exercises the corpus's label column; the
+  // plan is the q27 broadcast-anchor shape with a (query, kind) window.
+
+  def contrastive(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.contrastivePairs(embeddings(s, d), col("vec_id") < 5, k = 5)
+      .orderBy("query_id", "kind", "rank")
+
+  private val contrastiveSql =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), normed AS (
+       |  SELECT vec_id, label, v, sqrt(${duckDot("v", "v")}) AS norm FROM corpus
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id,
+       |    CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+       |    c.vec_id AS neighbor_id, c.label,
+       |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, kind
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, kind, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  label, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, kind, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q127_contrastive_pairs", contrastive, Some(contrastiveSql)),
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),

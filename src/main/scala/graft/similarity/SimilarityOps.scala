@@ -52,6 +52,37 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Contrastive pair mining over the labeled embedding corpus: for each
+    * anchor (query) vector, the k most cosine-similar SAME-label
+    * neighbors (kind = 'pos' — the in-batch positives a contrastive loss
+    * wants) and the k most similar DIFFERENT-label neighbors
+    * (kind = 'neg' — hard negatives: the confusable examples that carry
+    * the gradient signal). Same plan shape as [[cosineTopK]] — broadcast
+    * anchor set, one corpus pass, per-(anchor, kind) rank window with
+    * WindowGroupLimit bounding each map partition to k rows pre-exchange
+    * — so mining scales exactly like brute-force top-k. */
+  def contrastivePairs(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = emb
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(VectorExprs.dot_fold(col("v"), col("v"))))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("kind", when(col("label") === col("qlabel"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("cosine", VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id", "kind")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("kind"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Sign-LSH bucket id: bits 0..nBits-1 are the signs of the first nBits
     * coordinates (axis-aligned random-projection LSH; a production variant
     * swaps in seeded hyperplanes — same plan shape, the projection becomes

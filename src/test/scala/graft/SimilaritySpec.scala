@@ -539,4 +539,31 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("contrastivePairs: a confusable different-label vector is the top hard negative") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // anchor 0 (label 0); 10 is a same-label near-copy (pos rank 1);
+    // 20 (label 1) sits CLOSER to the anchor than any other label-0
+    // vector — plain top-k would rank it globally first, contrastive
+    // mining must surface it as the rank-1 NEGATIVE with its label
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (10L, Seq(0.9f, 0.1f, 0f), 0),
+      (11L, Seq(0f, 1f, 0f), 0),
+      (20L, Seq(0.99f, 0.01f, 0f), 1),
+      (21L, Seq(0f, 0f, 1f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.similarity.SimilarityOps
+      .contrastivePairs(rows, col("vec_id") === 0, k = 2)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("neg", 1L)) == ((20L, 1L)), "hard negative must lead the neg list")
+    assert(out(("pos", 1L)) == ((10L, 0L)))
+    assert(out(("pos", 2L)) == ((11L, 0L)))
+    assert(out(("neg", 2L)) == ((21L, 1L)))
+    assert(out.size == 4)
+  }
 }
