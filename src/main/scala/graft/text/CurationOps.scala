@@ -163,10 +163,13 @@ object CurationOps {
     * restricted to the batch's docs (spec-pinned; admission-time
     * semantics: already-admitted docs are never re-stripped).
     *
-    * Scale shape: batch-side segmentation + a broadcast of the batch's
-    * DISTINCT hashes probing the h-bucketed store (store streams with no
-    * exchange; only matched hashes aggregate), then the batch-sized
-    * reassembly — flat per batch as the corpus grows. */
+    * Scale shape: batch-side segmentation + the batch's DISTINCT hashes
+    * probing the h-bucketed store — a small batch broadcasts into the
+    * store scan (store streams with NO exchange), a corpus-fraction
+    * increment co-locates to the bucket layout with only the increment
+    * side shuffling (the probeBandIndex contract: no forced hint, AQE
+    * picks the regime from the measured batch size) — then the
+    * batch-sized reassembly. Flat per batch as the corpus grows. */
   def probeSegFreqStrip(spark: org.apache.spark.sql.SparkSession,
       increment: DataFrame, name: String): DataFrame = {
     val meta = spark.table(s"${name}_meta").head()
@@ -174,7 +177,7 @@ object CurationOps {
     val segs = segmentRelation(increment, segTokens)
     val batchNd = segs.groupBy("h").agg(countDistinct(col("doc_id")).as("__bnd"))
     val standingNd = spark.table(s"${name}_segs")
-      .join(broadcast(segs.select("h").distinct()), Seq("h"))
+      .join(segs.select("h").distinct(), Seq("h"))
       .groupBy("h").agg(count(lit(1)).as("__snd")) // store rows are distinct pairs
     val boil = batchNd
       .join(standingNd, Seq("h"), "left")
