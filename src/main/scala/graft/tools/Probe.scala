@@ -618,7 +618,8 @@ object ProbeScale {
       "q110_standing_vec", "q112_substring_dedup", "q113_semdedup",
       "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm",
       "q117_semdedup_capped", "q118_cluster_quota",
-      "q123_boilerplate_strip", "q124_chunking", "q125_mmr_rerank")
+      "q123_boilerplate_strip", "q124_chunking", "q125_mmr_rerank",
+      "q126_standing_boilerplate", "q127_contrastive_pairs")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
