@@ -307,6 +307,9 @@ object CurationOps {
     // on demand from the packed vectors (no materialized pair relation).
     val pairSim = // cos between two pool entries x, y, integerized
       "CAST(round(aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D, (a2, t) -> a2 + t) / (x.norm * y.norm) * 1e6) AS BIGINT)"
+    // a query whose pool holds fewer than k candidates exhausts it: the
+    // round guard keeps acc unchanged (the loop form emits no row there
+    // either — CurationSpec pins the small-pool case)
     val greedy =
       s"""aggregate(
          |  sequence(1, $k),
@@ -325,11 +328,11 @@ object CurationOps {
          |          0L) AS score,
          |        -x.cand_id AS negid)))),
          |    acc,
-         |    (a, best) -> struct(
+         |    (a, best) -> CASE WHEN best IS NULL THEN a ELSE struct(
          |      concat(a.sel, array(-best.negid)) AS sel,
          |      concat(a.out, array(struct(CAST(r AS BIGINT) AS rank,
          |                                 -best.negid AS neighbor_id,
-         |                                 best.score AS score6))) AS out)),
+         |                                 best.score AS score6))) AS out) END),
          |  acc -> acc.out)""".stripMargin.replace("\n", " ")
     packed
       .select(col("query_id"), explode(expr(greedy)).as("pick"))

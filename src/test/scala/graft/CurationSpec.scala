@@ -168,4 +168,19 @@ class CurationSpec extends SparkSpec {
       rows(CurationOps.mmrRerankPacked(emb, col("vec_id") < 5, 10, 5, 7).select("query_id", "rank", "neighbor_id", "score6")) ==
       rows(CurationOps.mmrRerank(emb, col("vec_id") < 5, 10, 5, 7).select("query_id", "rank", "neighbor_id", "score6")))
   }
+
+  test("packed MMR stops cleanly when the pool is smaller than k") {
+    import spark.implicits._
+    // 3 vectors: query 0 has only 2 candidates, k = 5 — both forms must
+    // emit exactly 2 ranks, no null picks
+    val tiny = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.0, 1.0)),
+    ).toDF("vec_id", "embedding")
+    val packed = CurationOps.mmrRerankPacked(tiny, col("vec_id") === 0, poolK = 5, k = 5, lamX10 = 7)
+      .orderBy("rank").collect()
+    val loop = CurationOps.mmrRerank(tiny, col("vec_id") === 0, poolK = 5, k = 5, lamX10 = 7)
+      .orderBy("rank").collect()
+    assert(packed.map(_.toString).toSeq == loop.map(_.toString).toSeq)
+    assert(packed.length == 2 && packed.forall(r => !r.anyNull))
+  }
 }
