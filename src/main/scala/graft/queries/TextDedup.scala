@@ -276,7 +276,19 @@ object TextDedup extends QueryModule {
   def multimodalAssembly(s: SparkSession, d: String): DataFrame =
     assemble(documents(s, d), mediaGate = true)
 
-  private[graft] def assemble(docs: DataFrame, mediaGate: Boolean): DataFrame = {
+  /** q128: the FULL pipeline — q120's gates plus boilerplate-aware token
+    * accounting: the budget/packing token count is the doc's SURVIVING
+    * count under the corpus-wide segment-frequency verdict (computed over
+    * the gate survivors, the same placement discipline as the media
+    * gate), and a doc whose clean count falls under the length floor is
+    * dropped even though its raw count passed. Counts flow through the
+    * hash-only path (no text-carrying exchange added — see
+    * CurationOps.boilerplateKeptTokens). */
+  def cleanAssembly(s: SparkSession, d: String): DataFrame =
+    assemble(documents(s, d), mediaGate = true, boilGate = true)
+
+  private[graft] def assemble(docs: DataFrame, mediaGate: Boolean,
+      boilGate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val evalDocs = docs.filter(col("doc_id") % 97 === 0)
     val base = docs.filter(col("doc_id") % 97 =!= 0)
@@ -307,9 +319,19 @@ object TextDedup extends QueryModule {
         .select(col("doc_b").as("doc_id")).distinct()
       k3.join(broadcast(mediaDropped), Seq("doc_id"), "left_anti")
     }
-    val sized = k4
-      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
-      .filter(col("tokens") >= 15)
+    val sized =
+      if (!boilGate)
+        k4.withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+          .filter(col("tokens") >= 15)
+      else
+        // boilerplate-aware accounting: budget on surviving tokens only;
+        // the counts relation is int-only, so the doc_id join adds no
+        // text-carrying exchange (text is dropped before it)
+        k4.select(col("doc_id"), col("lang"))
+          .join(graft.text.CurationOps.boilerplateKeptTokens(
+            k4.select("doc_id", "text"), segTokens = 6, minDocs = 3),
+            Seq("doc_id"))
+          .filter(col("tokens") >= 15)
     val splitDocs = Training.hashSplit(sized, "doc_id", "graft-v1",
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
     val w = Window.partitionBy("split", "lang").orderBy("doc_id")
@@ -327,7 +349,8 @@ object TextDedup extends QueryModule {
     * gate adds the phash64 CTE chain over the k3 survivors (the kernel
     * literal + per-doc fingerprint replay, Multimodal's oracle machinery)
     * and re-points the quality filter at the media-surviving set. */
-  private def corpusAssemblySqlWith(mediaGate: Boolean): String = {
+  private def corpusAssemblySqlWith(mediaGate: Boolean,
+      boilGate: Boolean = false): String = {
     val kern = if (mediaGate) s"${Multimodal.kernCte},\n" else ""
     val gate = if (!mediaGate) "" else
       s""",
@@ -345,6 +368,38 @@ object TextDedup extends QueryModule {
          |  WHERE md.doc_id IS NULL
          |)""".stripMargin
     val survivors = if (mediaGate) "k4" else "k3"
+    // boilerplate-aware accounting (q128): tokens = the doc's surviving
+    // count under the segment-frequency verdict over the gate survivors
+    val qfCte =
+      if (!boilGate)
+        s"""qf AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM $survivors WHERE len(string_split(text, ' ')) >= 15
+           |)""".stripMargin
+      else
+        s"""tb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $survivors),
+           |sb AS (
+           |  SELECT doc_id,
+           |    list_slice(toks, CAST(u.i AS BIGINT) * 6 + 1, (CAST(u.i AS BIGINT) + 1) * 6) AS seg
+           |  FROM tb, unnest(range(CAST(ceil(len(toks) / 6.0) AS BIGINT))) u(i)
+           |),
+           |hb AS (
+           |  SELECT doc_id, len(seg) AS stok,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(seg, tok -> ${duckHash("tok")})), (acc, h2) -> (acc * 31 + h2) % $P) AS h
+           |  FROM sb
+           |),
+           |fb AS (SELECT h FROM hb GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+           |keptb AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN fb.h IS NULL THEN stok ELSE 0 END) AS BIGINT) AS tokens
+           |  FROM hb LEFT JOIN fb ON fb.h = hb.h GROUP BY doc_id
+           |),
+           |qf AS (
+           |  SELECT s.doc_id, s.lang, k.tokens
+           |  FROM $survivors s JOIN keptb k ON k.doc_id = s.doc_id
+           |  WHERE k.tokens >= 15
+           |)""".stripMargin
     s"""WITH ${kern}base AS (
        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
        |),
@@ -398,11 +453,7 @@ object TextDedup extends QueryModule {
        |  SELECT k2.* FROM k2 LEFT JOIN contam c ON c.doc_id = k2.doc_id
        |  WHERE c.doc_id IS NULL
        |)$gate,
-       |qf AS (
-       |  SELECT doc_id, lang,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
-       |  FROM $survivors WHERE len(string_split(text, ' ')) >= 15
-       |),
+       |$qfCte,
        |sl AS (
        |  SELECT doc_id, lang, tokens,
        |    CASE WHEN slot < 900 THEN 'train'
@@ -929,6 +980,8 @@ object TextDedup extends QueryModule {
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q120_multimodal_assembly", multimodalAssembly,
       Some(corpusAssemblySqlWith(mediaGate = true))),
+    Q("q128_clean_assembly", cleanAssembly,
+      Some(corpusAssemblySqlWith(mediaGate = true, boilGate = true))),
     Q("q59_jaccard_prefix", jaccardPrefix, Some(jaccardPrefixSql)),
     Q("q23_simhash", simhashQ, Some(simhashSql)),
     Q("q24_text_stats", textStats, Some(textStatsSql)),

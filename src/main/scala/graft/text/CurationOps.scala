@@ -95,6 +95,26 @@ object CurationOps {
       .withColumn("keep", col("boil").isNull))
   }
 
+  /** (doc_id, tokens): each doc's SURVIVING token count under
+    * [[boilerplateStrip]]'s verdict — the counts-only path for pipelines
+    * that budget/pack on clean tokens without materializing clean_text:
+    * text is pruned before the first exchange (segment hashes + int
+    * sizes shuffle; no reassembly, no text-carrying exchange at all). */
+  def boilerplateKeptTokens(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = segmentRelation(docs, segTokens)
+      .select(col("doc_id"), col("h"), size(col("seg")).as("__stok"))
+    val boil = segs
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("boil"))
+    segs
+      .join(boil, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("boil").isNull, col("__stok")).otherwise(0))
+        .cast("long").as("tokens"))
+  }
+
   // ---- standing segment-frequency store (the q90/q110/q119 symmetry) ----
 
   /** Persist the corpus's segment-frequency state for incremental

@@ -59,4 +59,35 @@ class MultimodalAssemblySpec extends SparkSpec {
     assert(gated.contains(1L), "the survivor (lower id) must stay")
     assert(textOnly - 2L === gated, "the gate must drop NOTHING else")
   }
+
+  test("q128: boilerplate-aware accounting drops a doc only the clean count fails") {
+    val s = spark
+    import s.implicits._
+    val boil = (0 until 6).map(i => s"bp$i").mkString(" ")
+    // doc 100: 18 raw tokens but 12 of them are a segment repeated in 3
+    // docs → clean count 6 < 15 → dropped ONLY under the boil gate.
+    // docs 101/102 carry the repeats and enough unique bulk to survive.
+    // Unique spans are RANDOM words (seeded) — byte-structurally distinct,
+    // so the media gate can't fire between them (the q120 fixture lesson).
+    def uniq(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed * 7919)
+      (0 until n).map(_ => r.alphanumeric.filter(_.isLetter)
+        .take(3 + r.nextInt(8)).mkString.toLowerCase).mkString(" ")
+    }
+    val docs = (Seq(
+      (100L, "en", s"$boil $boil ${uniq(100, 6)}"),
+      (101L, "en", s"$boil ${uniq(101, 30)}"),
+      (102L, "en", s"$boil ${uniq(102, 30)}"),
+    ) ++ (3 to 10).map(i => (i.toLong, "en", uniq(i, 24)))).toDF("doc_id", "lang", "text")
+    val raw = TextDedup.assemble(docs, mediaGate = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val clean = TextDedup.assemble(docs, mediaGate = true, boilGate = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(raw.contains(100L) && raw(100L) == 18L,
+      "raw accounting keeps the mostly-boilerplate doc")
+    assert(!clean.contains(100L), "clean accounting must drop it")
+    assert(clean(101L) == 30L && raw(101L) == 36L,
+      "survivors budget on stripped counts")
+    assert(clean.keySet + 100L == raw.keySet, "nothing else changes")
+  }
 }
