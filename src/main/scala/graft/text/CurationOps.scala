@@ -43,16 +43,21 @@ object CurationOps {
   private def segHashExpr(segCol: String): String =
     s"aggregate(transform($segCol, tok -> ${TextOps.polyHash("tok")}), 0L, (acc, h) -> (acc * 31 + h) % ${P}L)"
 
-  /** (doc_id, seg_idx, seg, h): consecutive `segTokens`-token segments of
-    * each doc (last may be shorter) with the two-level fold hash. */
-  private[text] def segmentRelation(docs: DataFrame, segTokens: Int): DataFrame =
+  /** (doc_id[, carry...], seg_idx, seg, h): consecutive `segTokens`-token
+    * segments of each doc (last may be shorter) with the two-level fold
+    * hash. `carry` names extra per-doc columns to ride along the explode
+    * (cheap for short values; lets a caller aggregate per (doc, carry)
+    * without re-reading the doc relation). */
+  private[text] def segmentRelation(docs: DataFrame, segTokens: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: carry.map(col)
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        posexplode(expr(
+      .select(keys :+ split(col("text"), " ").as("toks"): _*)
+      .select(keys :+ posexplode(expr(
           s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0D) AS INT) - 1), i -> slice(toks, i * $segTokens + 1, $segTokens))"))
-          .as(Seq("seg_idx", "seg")))
+          .as(Seq("seg_idx", "seg")): _*)
       .withColumn("h", expr(segHashExpr("seg")))
+  }
 
   /** Reassemble per-doc output from a marked segment relation (must carry
     * doc_id, seg_idx, seg, keep). The groupBy(doc_id) is the operator's
@@ -100,9 +105,11 @@ object CurationOps {
     * that budget/pack on clean tokens without materializing clean_text:
     * text is pruned before the first exchange (segment hashes + int
     * sizes shuffle; no reassembly, no text-carrying exchange at all). */
-  def boilerplateKeptTokens(docs: DataFrame, segTokens: Int, minDocs: Int): DataFrame = {
-    val segs = segmentRelation(docs, segTokens)
-      .select(col("doc_id"), col("h"), size(col("seg")).as("__stok"))
+  def boilerplateKeptTokens(docs: DataFrame, segTokens: Int, minDocs: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val segs = segmentRelation(docs, segTokens, carry)
+      .select(col("doc_id") +: carry.map(col) :+ col("h") :+
+        size(col("seg")).as("__stok"): _*)
     val boil = segs
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -110,7 +117,7 @@ object CurationOps {
       .select(col("h"), lit(true).as("boil"))
     segs
       .join(boil, Seq("h"), "left")
-      .groupBy("doc_id")
+      .groupBy(col("doc_id") +: carry.map(col): _*)
       .agg(sum(when(col("boil").isNull, col("__stok")).otherwise(0))
         .cast("long").as("tokens"))
   }

@@ -619,7 +619,8 @@ object ProbeScale {
       "q114_phash_pairs", "q115_crossmodal_manifest", "q116_normal_glm",
       "q117_semdedup_capped", "q118_cluster_quota",
       "q123_boilerplate_strip", "q124_chunking", "q125_mmr_rerank",
-      "q126_standing_boilerplate", "q127_contrastive_pairs")
+      "q126_standing_boilerplate", "q127_contrastive_pairs",
+      "q128_clean_assembly")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
