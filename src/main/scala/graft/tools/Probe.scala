@@ -828,3 +828,56 @@ object ProbePhashStanding {
     spark.stop()
   }
 }
+
+/** Corpus-growth sweep for the standing segment-frequency store (q126):
+  * the no-store path re-counts segment frequencies over the UNION per
+  * batch (cost grows with the corpus); the standing probe pays only
+  * batch segmentation + a probe of the bucketed store — flat. Docs are
+  * ~30 md5-derived unique tokens; every 10th doc carries a planted
+  * 6-token boilerplate segment so the verdicts are non-trivial. */
+object ProbeSegFreqStanding {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      expr("""concat(
+        case when id % 10 = 0 then 'b0 b1 b2 b3 b4 b5 ' else '' end,
+        array_join(transform(sequence(0, 23),
+          i -> substring(md5(concat(cast(id as string), '_', cast(i as string))), 1, 6)), ' '))""").as("text"))
+    // force the FREQUENCY branch: a bare count() lets Catalyst drop the
+    // verdict join entirely (left join against a unique-key aggregate is
+    // multiplicity-preserving, so the boilerplate subtree is dead code
+    // for row counting) — aggregate a verdict-dependent column instead
+    def force(q: org.apache.spark.sql.DataFrame): Long =
+      q.agg(sum(col("kept_tokens"))).head().getLong(0)
+    def time(label: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      force(q) // warm
+      val t0 = System.nanoTime()
+      var kept = 0L
+      var i = 0
+      while (i < 3) { kept = force(q); i += 1 }
+      println(f"$label%-52s ${(System.nanoTime() - t0) / 3e9}%.3f s/run  (kept $kept)")
+    }
+    import graft.text.CurationOps
+    for (corpusN <- Seq(1000000L, 2000000L, 4000000L)) {
+      val corp = mkDocs(0, corpusN)
+      val inc = mkDocs(2000000000L, 2000000000L + 1000).localCheckpoint()
+      val name = s"probe_segfreq_$corpusN"
+      Seq("segs", "docs", "meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      CurationOps.buildSegFreqStore(spark, corp, name, segTokens = 6,
+        minDocs = 3, location = s"/tmp/probe_segfreq/$corpusN")
+      time(f"re-count strip (1k inc vs $corpusN%d corpus)",
+        CurationOps.boilerplateStrip(corp.unionByName(inc), 6, 3)
+          .filter(col("doc_id") >= 2000000000L))
+      time(f"standing strip (1k inc vs $corpusN%d corpus)",
+        CurationOps.probeSegFreqStrip(spark, inc, name))
+    }
+    spark.stop()
+  }
+}
