@@ -1,0 +1,79 @@
+package graft.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance for the standing bucketed stores (text band index, vector
+  * index, perceptual index, segment-frequency store): every idempotent
+  * append writes a NEW file set per bucket, so a nightly admission loop
+  * accumulates O(batches) small files per bucket — at a year of nightly
+  * batches that is hundreds of files per bucket, and probe-side scan cost
+  * starts tracking file count instead of data size. `compact` rewrites a
+  * table to one file set per bucket, PRESERVING its bucket/sort spec (so
+  * probes stay exchange-free) and its contents bit-for-bit (spec-pinned:
+  * probe results identical before/after; appends keep working after).
+  *
+  * Swap protocol (the label-store sibling discipline): write the full
+  * compacted copy to a sibling location under a NEW table name, then
+  * drop the old catalog entry, rename the sibling into the name, and
+  * only then delete the old files. Crash windows: before the drop —
+  * nothing changed (sibling is garbage, rebuilt next run); between drop
+  * and rename — the name is absent, which every store's `*Matches` guard
+  * reads as "rebuild", never as a silently-partial store; after the
+  * rename — only the old file cleanup remains, re-runnable. True
+  * no-window atomicity needs a table format with atomic commit; at
+  * 100 TB use one.
+  */
+object BucketedStores {
+
+  /** Files currently backing `table` (data files only). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) 0
+    else fs.listStatus(loc).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Compact `table` to one file set, preserving bucket and sort spec.
+    * Returns (files before, files after). */
+  def compact(spark: SparkSession, table: String): (Int, Int) = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val before = dataFileCount(spark, table)
+    val oldLoc = new Path(meta.location)
+    val newLoc = new Path(oldLoc.getParent,
+      oldLoc.getName + "_c" + System.nanoTime())
+    val tmpTable = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    // One shuffle to the bucket layout, then one sorted file per bucket.
+    // Read the FILES, not the catalog table: a bucketed-table scan claims
+    // the target partitioning, so the planner elides the repartition but
+    // delivers plain file splits — tasks then hold mixed buckets and the
+    // writer emits one file per (task, bucket) again. A plain parquet
+    // read forces a real shuffle; HashPartitioning(bucketCols, n) is
+    // exactly the bucket-id function, so each task owns one whole bucket.
+    val src = spark.read.parquet(meta.location.toString)
+    val writer = src
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(src.col): _*)
+      .write.mode("overwrite").option("path", newLoc.toString)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else writer)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table") // external: catalog entry only
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(oldLoc, true)
+    (before, dataFileCount(spark, table))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.CurationOps
+import graft.util.BucketedStores
+
+/** Standing-store compaction (BucketedStores.compact): appends accumulate
+  * one file set per batch; compaction must shrink the file count while
+  * keeping probe results IDENTICAL, preserving the bucket layout (probe
+  * plan still reads `Bucketed: true`), and leaving the store appendable.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private val SEG = 6
+  private def seg(tag: String) = (0 until SEG).map(i => s"${tag}$i").mkString(" ")
+  private def doc(id: Long, segs: String*): (Long, String) = (id, segs.mkString(" "))
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("compaction shrinks files, preserves probe results and appendability") {
+    val name = "graft_test_compact"
+    Seq("segs", "docs", "meta").foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    val corpus = df(Seq(
+      doc(1L, seg("x"), seg("u1")), doc(2L, seg("x"), seg("u2")),
+      doc(3L, seg("y"), seg("u3")), doc(4L, seg("y"))))
+    CurationOps.buildSegFreqStore(spark, corpus, name, SEG, minDocs = 3,
+      location = s"/tmp/$name", buckets = 4)
+    // several appends → file count grows with batch count
+    for (b <- 0 until 3)
+      CurationOps.appendToSegFreqStore(spark,
+        df(Seq(doc(100L + b, seg("x"), seg(s"a$b")))), name)
+    val probe = df(Seq(doc(900L, seg("x"), seg("y"), seg("z"))))
+    val before = CurationOps.probeSegFreqStrip(spark, probe, name)
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = BucketedStores.dataFileCount(spark, s"${name}_segs")
+
+    val (fb, fa) = BucketedStores.compact(spark, s"${name}_segs")
+    assert(fb == filesBefore && fa < fb,
+      s"expected fewer files after compaction: $fb -> $fa")
+    assert(fa <= 4, s"one file set per bucket expected, got $fa")
+
+    // identical probe verdicts (x is over min_docs via appends; y under)
+    val after = CurationOps.probeSegFreqStrip(spark, probe, name)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // bucket layout survived: the store side still scans bucketed
+    val plan = CurationOps.probeSegFreqStrip(spark, probe, name)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(600))
+    // and the store still accepts appends that change future verdicts
+    CurationOps.appendToSegFreqStore(spark,
+      df(Seq(doc(200L, seg("y")), doc(201L, seg("y")))), name)
+    val afterAppend = CurationOps.probeSegFreqStrip(spark, probe, name)
+      .collect().head
+    assert(!afterAppend.getString(1).contains("y0"),
+      "y crosses min_docs after the post-compaction appends")
+  }
+}
