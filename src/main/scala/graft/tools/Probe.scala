@@ -624,7 +624,10 @@ object ProbeScale {
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
-      val r = try Right(fn(spark, dst).count()) catch {
+      // toRdd, not count(): same row count, but executes the query's own
+      // plan — count() lets the optimizer prune aggregate functions and
+      // verdict joins (the Bench lesson, see SCALE.md)
+      val r = try Right(fn(spark, dst).queryExecution.toRdd.count()) catch {
         case e: Throwable => Left(e.toString.take(200))
       }
       r match {
