@@ -59,4 +59,26 @@ class CompactionSpec extends SparkSpec {
     assert(!afterAppend.getString(1).contains("y0"),
       "y crosses min_docs after the post-compaction appends")
   }
+
+  test("compaction is store-generic: the perceptual band index") {
+    import graft.multimodal.PhashOps
+    val s = spark
+    import s.implicits._
+    val name = "graft_test_compact_ph"
+    Seq("pbands", "pdocs", "pmeta").foreach(t => s.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    def media(ids: Seq[Long]): DataFrame = ids.map { i =>
+      val r = new scala.util.Random(i * 104729)
+      (i, Array.fill(3072)(r.nextInt(256).toByte))
+    }.toDF("doc_id", "payload")
+    PhashOps.buildPhashIndex(s, media(0L until 40L), name, s"/tmp/$name", buckets = 4)
+    for (b <- 0 until 3)
+      PhashOps.appendToPhashIndex(s, media(100L + b * 10 until 110L + b * 10), name)
+    // probe payload = byte-identical copy of doc 5 → must match pre/post
+    val probe = media(Seq(5L)).withColumn("doc_id", lit(900L))
+    val before = PhashOps.probePhashIndex(s, probe, name).collect().map(_.toString).toSeq
+    val (fb, fa) = BucketedStores.compact(s, s"${name}_pbands")
+    assert(fa < fb && fa <= 4, s"$fb -> $fa")
+    val after = PhashOps.probePhashIndex(s, probe, name).collect().map(_.toString).toSeq
+    assert(after == before && before.head.contains("5"))
+  }
 }
