@@ -530,4 +530,76 @@ object ImageOps {
         col("label"), col("value_dec")), Seq("sx", "sy", "sz"))
       .select(col("x"), col("y"), col("z"), col("label"), col("value_dec"))
   }
+
+  /** I5 interpolating form — TRILINEAR resample under a RATIONAL affine
+    * output→input map (antsApplyTransforms -n linear, the default
+    * interpolator of preprocess_parallel.sh:151-159; the NN form above is
+    * `-n nearestNeighbor`). The affine is passed as integer numerators over
+    * one denominator `den` (source coord s_i = (aNum_i·o + bNum_i) / den),
+    * so the floor cell and the fractional weights are EXACT integers:
+    * f_i = sNum_i mod den ∈ [0, den), per-axis weight numerators are
+    * (den − f_i, f_i), and each of the 8 corner weights is a product of
+    * three numerators over den³. Values enter as DECIMAL(18,2)·100 int64,
+    * so the interpolated sum Σ w·v is exact integer arithmetic — the DuckDB
+    * oracle replays it bit-for-bit (same property as every aggregate in
+    * this engine; see SCALE.md §determinism).
+    *
+    * Only output cells whose FULL 8-corner support exists are emitted
+    * (count(*) = 8 after the corner join) — the interior-only policy ANTs
+    * calls `defaultValue` avoidance; boundary extrapolation is a caller
+    * policy, not hidden behavior.
+    *
+    * Plan shape: distributed output-box generation → 8-way corner explode
+    * (map-side, constant factor) → hash join on source cell keys → hash
+    * aggregate by output cell. Identical exchange structure to
+    * [[resampleAffineNN]]; with block-partitioned ingest both sides
+    * co-locate by spatial block at cluster scale.
+    */
+  def resampleAffineTrilinear(spark: SparkSession, grid: DataFrame,
+      aNum: Array[Array[Long]], bNum: Array[Long], den: Long,
+      dims: (Int, Int, Int)): DataFrame = {
+    require(den > 0, "denominator must be positive")
+    val (nx, ny, nz) = dims
+    val out = spark.range(nx.toLong * ny * nz).selectExpr(
+      s"CAST(id div ${ny.toLong * nz} AS INT) AS x",
+      s"CAST((id div $nz) % $ny AS INT) AS y",
+      s"CAST(id % $nz AS INT) AS z")
+    def sNum(i: Int) =
+      (lit(aNum(i)(0)) * col("x") + lit(aNum(i)(1)) * col("y") +
+        lit(aNum(i)(2)) * col("z") + lit(bNum(i))).cast("long")
+    val corners = out
+      .select(col("x"), col("y"), col("z"),
+        sNum(0).as("sn0"), sNum(1).as("sn1"), sNum(2).as("sn2"))
+      // floor cell + fractional numerator per axis (exact integer split;
+      // pmod keeps it correct for negative source coordinates too)
+      .select(col("x"), col("y"), col("z"),
+        ((col("sn0") - pmod(col("sn0"), lit(den))) / den).cast("int").as("s0x"),
+        ((col("sn1") - pmod(col("sn1"), lit(den))) / den).cast("int").as("s0y"),
+        ((col("sn2") - pmod(col("sn2"), lit(den))) / den).cast("int").as("s0z"),
+        pmod(col("sn0"), lit(den)).as("fx"),
+        pmod(col("sn1"), lit(den)).as("fy"),
+        pmod(col("sn2"), lit(den)).as("fz"))
+      .withColumn("c", explode(expr(
+        "transform(sequence(0, 7), k -> struct(" +
+          "CAST(k div 4 AS INT) AS dx, CAST((k div 2) % 2 AS INT) AS dy, " +
+          "CAST(k % 2 AS INT) AS dz))")))
+      .select(col("x"), col("y"), col("z"),
+        (col("s0x") + col("c.dx")).as("sx"),
+        (col("s0y") + col("c.dy")).as("sy"),
+        (col("s0z") + col("c.dz")).as("sz"),
+        // corner weight numerator over den^3
+        (when(col("c.dx") === 0, lit(den) - col("fx")).otherwise(col("fx")) *
+          when(col("c.dy") === 0, lit(den) - col("fy")).otherwise(col("fy")) *
+          when(col("c.dz") === 0, lit(den) - col("fz")).otherwise(col("fz")))
+          .as("wn"))
+    corners
+      .join(grid.select(col("x").as("sx"), col("y").as("sy"),
+        col("z").as("sz"),
+        (col("value_dec") * 100).cast("long").as("v100")), Seq("sx", "sy", "sz"))
+      .groupBy("x", "y", "z")
+      .agg(sum(col("wn") * col("v100")).as("num"), count(lit(1)).as("nc"))
+      .filter(col("nc") === 8)
+      .select(col("x"), col("y"), col("z"),
+        (col("num").cast("double") / (100.0 * den * den * den)).as("value"))
+  }
 }

@@ -184,11 +184,100 @@ object Curation extends QueryModule {
        |FROM selu$mmrK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q129: PII / lexicon scrub ------------------------------------------
+  // The redaction pass every training pipeline runs before tokenization.
+  // The synthetic corpus is digit-free (no emails/phones to hit), so the
+  // query's pattern set is lexicon rules that DO fire here (934 + 29
+  // matches at sf0.01) — the machinery (ordered regexp_replace chain,
+  // pre-scrub regexp_count) is exactly the production email/phone/IP one.
+  // Regexes stay in the Java∩RE2 subset so DuckDB replays them verbatim.
+
+  private val scrubPatterns = Seq(
+    ("entity", "\\bcustomer\\b", "<ENTITY>"),
+    ("phrase", "\\bbig data\\b", "<PHRASE>"),
+  )
+
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    CurationOps.piiScrub(documents(s, d), scrubPatterns)
+      .orderBy("doc_id")
+
+  private val piiScrubSql = {
+    val counts = scrubPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n       |  ")
+    val replaced = scrubPatterns.foldLeft("text") {
+      case (e, (_, pat, rep)) => s"regexp_replace($e, '$pat', '$rep', 'g')"
+    }
+    val total = scrubPatterns.map(p => s"n_${p._1}").mkString(" + ")
+    s"""SELECT doc_id,
+       |  $counts,
+       |  $total AS total_redactions,
+       |  $replaced AS scrubbed_text
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q130: intra-document segment dedup ----------------------------------
+  // The WITHIN-doc half of RefinedWeb line dedup (q123 is the cross-doc
+  // half): first occurrence of each repeated segment survives, text
+  // reassembled in order. 2-token segments are non-vacuous on this corpus
+  // (246 intra-doc repeat groups across 181 docs at sf0.01). The operator
+  // is pure array expressions — ZERO exchanges; the oracle mirrors the
+  // first-occurrence rule with a row_number window over (doc_id, h).
+
+  private val intraSegTokens = 2
+
+  def intraDedup(s: SparkSession, d: String): DataFrame =
+    CurationOps.intraDocDedup(documents(s, d), intraSegTokens)
+      .orderBy("doc_id")
+
+  private val intraDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS n_toks, CAST(u.i AS BIGINT) AS seg_idx,
+       |    list_slice(toks, CAST(u.i AS BIGINT) * $intraSegTokens + 1, (CAST(u.i AS BIGINT) + 1) * $intraSegTokens) AS seg
+       |  FROM t, unnest(range(CAST(ceil(len(toks) / $intraSegTokens.0) AS BIGINT))) u(i)
+       |),
+       |hh AS (SELECT doc_id, n_toks, seg_idx, seg, ${duckSegHash("seg")} AS h FROM s),
+       |m AS (SELECT *, (ROW_NUMBER() OVER (PARTITION BY doc_id, h ORDER BY seg_idx) = 1) AS keep FROM hh)
+       |SELECT doc_id,
+       |  COALESCE(string_agg(CASE WHEN keep THEN array_to_string(seg, ' ') END, ' ' ORDER BY seg_idx), '') AS clean_text,
+       |  CAST(any_value(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN keep THEN len(seg) ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped_segments,
+       |  round((any_value(n_toks) - sum(CASE WHEN keep THEN len(seg) ELSE 0 END)) * 1.0 / any_value(n_toks), 6) AS dropped_frac
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q131: external-tool stage (O3 closed) --------------------------------
+  // The reference chains external binaries per subject via files
+  // (preprocess_parallel.sh:17-159); the Spark-native form is RDD.pipe —
+  // one subprocess per partition, rows streamed as TSV. The test binary is
+  // coreutils `tr` (uppercase) so the oracle can verify the full
+  // serialize → subprocess → parse round trip with upper(); a production
+  // stage swaps in the real binary (fastText langid, a tokenizer, ANTs)
+  // with the identical plumbing.
+
+  def externalStage(s: SparkSession, d: String): DataFrame =
+    graft.util.ExternalStage.pipeTsv(
+        documents(s, d).select("doc_id", "text"),
+        Seq("tr", "a-z", "A-Z"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("shout_text",
+            org.apache.spark.sql.types.StringType))))
+      .orderBy("doc_id")
+
+  private val externalStageSql =
+    "SELECT doc_id, upper(text) AS shout_text FROM documents ORDER BY doc_id"
+
   override def queries: Seq[Q] = Seq(
     Q("q123_boilerplate_strip", boilerplate, Some(boilerplateSql)),
     Q("q124_chunking", chunks, Some(chunksSql)),
     Q("q125_mmr_rerank", mmr, Some(mmrSql)),
     Q("q126_standing_boilerplate", standingBoilerplate,
       Some(boilerplateSqlWhere("WHERE doc_id % 10 < 2"))),
+    Q("q129_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("q130_intradoc_dedup", intraDedup, Some(intraDedupSql)),
+    Q("q131_external_stage", externalStage, Some(externalStageSql)),
   )
 }

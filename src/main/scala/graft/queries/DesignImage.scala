@@ -292,6 +292,60 @@ object DesignImage extends QueryModule {
        |FROM m JOIN grid g ON g.x = m.sx AND g.y = m.sy AND g.z = m.sz
        |ORDER BY m.x, m.y, m.z""".stripMargin
 
+  // ---- q132: trilinear affine resample (I5 interpolating form) -----------
+  // Upsample 2x with a quarter-voxel offset: s = (2*o + 1) / 4 per axis, so
+  // the fractional numerator is (2o+1) mod 4 ∈ {1, 3} — never 0: every
+  // corner weight is a nonzero exact quarter-product (1/64 granularity) and
+  // the interior-only count(*)=8 policy is exercised at the box faces. The
+  // oracle replays the identical integer arithmetic (floor cell via //,
+  // weight numerators over 4, value_dec·100 int64 sums).
+
+  def resampleTrilinear(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .resampleAffineTrilinear(s, ImageOps.voxelGrid(lineitem(s, d), L),
+        Array(Array(2L, 0L, 0L), Array(0L, 2L, 0L), Array(0L, 0L, 2L)),
+        Array(1L, 1L, 1L), den = 4L, (2 * L, 2 * L, 2 * L))
+      .orderBy("x", "y", "z")
+
+  private val resampleTrilinearSql = {
+    val n = 2 * L
+    s"""WITH $duckGrid,
+       |o AS (
+       |  SELECT CAST(g // ${n * n} AS INTEGER) AS x,
+       |         CAST((g // $n) % $n AS INTEGER) AS y,
+       |         CAST(g % $n AS INTEGER) AS z
+       |  FROM generate_series(0, ${n * n * n - 1}) AS gs(g)
+       |), sn AS (
+       |  SELECT x, y, z,
+       |    CAST(2 * x + 1 AS BIGINT) AS sn0,
+       |    CAST(2 * y + 1 AS BIGINT) AS sn1,
+       |    CAST(2 * z + 1 AS BIGINT) AS sn2
+       |  FROM o
+       |), cell AS (
+       |  SELECT x, y, z,
+       |    CAST(sn0 // 4 AS INTEGER) AS s0x, CAST(sn1 // 4 AS INTEGER) AS s0y,
+       |    CAST(sn2 // 4 AS INTEGER) AS s0z,
+       |    sn0 % 4 AS fx, sn1 % 4 AS fy, sn2 % 4 AS fz
+       |  FROM sn
+       |), corner AS (
+       |  SELECT c.x, c.y, c.z,
+       |    c.s0x + CAST(k // 4 AS INTEGER) AS sx,
+       |    c.s0y + CAST((k // 2) % 2 AS INTEGER) AS sy,
+       |    c.s0z + CAST(k % 2 AS INTEGER) AS sz,
+       |    (CASE WHEN k // 4 = 0 THEN 4 - c.fx ELSE c.fx END) *
+       |    (CASE WHEN (k // 2) % 2 = 0 THEN 4 - c.fy ELSE c.fy END) *
+       |    (CASE WHEN k % 2 = 0 THEN 4 - c.fz ELSE c.fz END) AS wn
+       |  FROM cell c, generate_series(0, 7) AS ks(k)
+       |), j AS (
+       |  SELECT corner.x, corner.y, corner.z,
+       |    sum(wn * CAST(g.value_dec * 100 AS BIGINT)) AS num, count(*) AS nc
+       |  FROM corner JOIN grid g ON g.x = corner.sx AND g.y = corner.sy AND g.z = corner.sz
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT x, y, z, CAST(num AS DOUBLE) / ${100.0 * 64} AS value
+       |FROM j WHERE nc = 8 ORDER BY x, y, z""".stripMargin
+  }
+
   // ---- q64: per-TR global signal over the masked 4-D series (A4) ---------
   // nb cell 42: global signal = mean over in-mask voxels at each TR. The
   // mask is the aseg-code mask of the 3-D grid (an atlas: O(volume),
@@ -401,6 +455,7 @@ object DesignImage extends QueryModule {
     Q("q73_smooth_binom_block", smoothBinomBlock, Some(smoothSql)),
     Q("q72_mean_image", meanImage, Some(meanImageSql)),
     Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
+    Q("q132_resample_trilinear", resampleTrilinear, Some(resampleTrilinearSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -220,6 +220,77 @@ object CurationOps {
     * may be shorter. chunk_id is the 0-based window ordinal; chunk_hash
     * is the two-level polynomial fold (the cross-doc exact-chunk-dedup
     * key — identical chunks from different docs share it). */
+  /** PII / lexicon scrub: apply `patterns` — (name, regex, replacement)
+    * triples — to each document IN ORDER (a later pattern sees the earlier
+    * replacements, exactly like a sed chain), with per-pattern match counts
+    * measured on the ORIGINAL text. The regex subset used must be common to
+    * Java regex and RE2 (`\b`, literals, alternation, classes — no
+    * backreferences/lookaround) so the DuckDB oracle replays it verbatim.
+    *
+    * Pure per-row projection: zero exchanges, stays inside whole-stage
+    * codegen (regexp_replace / regexp_count are native expressions). At
+    * 100 TB this is scan-bound — the ideal shape for a redaction pass.
+    * Production pattern sets are the usual email/phone/IPv4/SSN regexes;
+    * the test corpus is digit-free, so its queries use lexicon patterns
+    * that actually fire (the machinery is identical).
+    *
+    * Output: doc_id, n_<name> per pattern, total_redactions, scrubbed_text.
+    */
+  def piiScrub(docs: DataFrame, patterns: Seq[(String, String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val scrubbed = patterns.foldLeft(col("text")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, lit(pat), lit(rep))
+    }
+    val counts = patterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+    }
+    docs
+      .select(col("doc_id") +: counts :+ scrubbed.as("scrubbed_text"): _*)
+      .withColumn("total_redactions",
+        patterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .select(col("doc_id") +:
+        patterns.map(p => col(s"n_${p._1}")) :+
+        col("total_redactions") :+ col("scrubbed_text"): _*)
+  }
+
+  /** Intra-document segment dedup (the WITHIN-doc half of RefinedWeb's
+    * line dedup; [[boilerplateStrip]] is the cross-doc half): split each
+    * doc into consecutive `segTokens`-token segments, keep only the FIRST
+    * occurrence of each repeated segment (by the engine-wide two-level
+    * hash), and reassemble the survivors in order.
+    *
+    * Entirely map-side: the whole operator is higher-order array
+    * expressions over one row — first-occurrence marking is
+    * `array_contains` over the hash prefix (O(n²) in segments per doc,
+    * but n is tokens/segTokens ≈ dozens), and NO exchange of any kind is
+    * planned. At 100 TB this is scan-bound, embarrassingly parallel, and
+    * immune to skew — the contrast with boilerplateStrip's corpus-wide
+    * frequency shuffle is the point: per-doc semantics should never pay a
+    * cross-doc exchange.
+    *
+    * Output schema matches boilerplateStrip: doc_id, clean_text, n_tokens,
+    * kept_tokens, dropped_segments, dropped_frac. */
+  def intraDocDedup(docs: DataFrame, segTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("segs", expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0D) AS INT) - 1), i -> slice(toks, i * $segTokens + 1, $segTokens))"))
+      .withColumn("hs", expr(s"transform(segs, seg -> ${segHashExpr("seg")})"))
+      // keep(i) ⟺ hs(i) not among hs(1..i-1) — slice(hs, 1, 0) is empty
+      .withColumn("keep", expr(
+        "transform(sequence(1, size(hs)), i -> NOT array_contains(slice(hs, 1, i - 1), element_at(hs, i)))"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", flatten(expr(
+          "transform(filter(arrays_zip(segs, keep), p -> p.keep), p -> p.segs)")))
+          .as("clean_text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(zip_with(segs, keep, (s, k) -> IF(k, size(s), 0)), 0, (a, x) -> a + x)")
+          .cast("long").as("kept_tokens"),
+        expr("size(filter(keep, k -> NOT k))").cast("long").as("dropped_segments"))
+      .withColumn("dropped_frac",
+        round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6))
+
   def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride, s"need 0 < stride <= window")
     docs

@@ -183,4 +183,59 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_.toString).toSeq == loop.map(_.toString).toSeq)
     assert(packed.length == 2 && packed.forall(r => !r.anyNull))
   }
+
+  // ---- piiScrub -------------------------------------------------------------
+
+  test("piiScrub: patterns chain in order, counts measured on the original text") {
+    import spark.implicits._
+    val docs = Seq((1L, "foo bar baz"), (2L, "nothing here")).toDF("doc_id", "text")
+    // p1 rewrites foo→bar; p2 then sees BOTH bars (the sed-chain contract),
+    // while n_bar counts only the ORIGINAL one.
+    val out = CurationOps.piiScrub(docs, Seq(
+        ("foo", "\\bfoo\\b", "bar"), ("bar", "\\bbar\\b", "<X>")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_foo") == 1L)
+    assert(out(1L).getAs[Long]("n_bar") == 1L)
+    assert(out(1L).getAs[Long]("total_redactions") == 2L)
+    assert(out(1L).getAs[String]("scrubbed_text") == "<X> <X> baz")
+    assert(out(2L).getAs[Long]("total_redactions") == 0L)
+    assert(out(2L).getAs[String]("scrubbed_text") == "nothing here")
+  }
+
+  test("piiScrub: word boundaries do not fire inside tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "customer customers accustomed customer")).toDF("doc_id", "text")
+    val out = CurationOps.piiScrub(docs, Seq(("c", "\\bcustomer\\b", "<E>")))
+      .collect().head
+    assert(out.getAs[Long]("n_c") == 2L)
+    assert(out.getAs[String]("scrubbed_text") == "<E> customers accustomed <E>")
+  }
+
+  // ---- intraDocDedup --------------------------------------------------------
+
+  test("intraDocDedup: first occurrence survives, later repeats drop, order kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d a b e f"), // [a b][c d][a b][e f] → drop the 2nd [a b]
+      (2L, "a b a b a"),       // [a b][a b][a] → short tail [a] is distinct
+      (3L, "x y z w"),         // no repeats
+    ).toDF("doc_id", "text")
+    val out = CurationOps.intraDocDedup(docs, segTokens = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "a b c d e f")
+    assert(out(1L).getAs[Long]("n_tokens") == 8L)
+    assert(out(1L).getAs[Long]("kept_tokens") == 6L)
+    assert(out(1L).getAs[Long]("dropped_segments") == 1L)
+    assert(out(1L).getAs[Double]("dropped_frac") == 0.25)
+    assert(out(2L).getAs[String]("clean_text") == "a b a")
+    assert(out(2L).getAs[Long]("dropped_segments") == 1L)
+    assert(out(3L).getAs[String]("clean_text") == "x y z w")
+    assert(out(3L).getAs[Long]("dropped_segments") == 0L)
+  }
+
+  test("intraDocDedup plans ZERO exchanges (per-doc semantics stay map-side)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val p = CurationOps.intraDocDedup(docs, 2).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+  }
 }

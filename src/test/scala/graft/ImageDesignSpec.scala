@@ -153,6 +153,43 @@ class ImageDesignSpec extends SparkSpec {
       === key(ImageOps.resampleHalf(g)))
   }
 
+  test("resampleAffineTrilinear: reproduces a linear field exactly; interior-only") {
+    // v = 4x + 2y + z is linear, so trilinear interpolation must return the
+    // field value AT the source point s = (2o+1)/4 — exactly, since every
+    // weight is a quarter-product and values are DECIMAL·100 int64.
+    val g = grid(
+      (for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 }
+        yield (x, y, z, 0, BigDecimal(4 * x + 2 * y + z))): _*)
+    val out = ImageOps.resampleAffineTrilinear(spark, g,
+        Array(Array(2L, 0L, 0L), Array(0L, 2L, 0L), Array(0L, 0L, 2L)),
+        Array(1L, 1L, 1L), den = 4L, (4, 4, 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    // only o ∈ {0,1}³ has full 8-corner support in a 2³ grid (interior-only)
+    assert(out.size == 8)
+    for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 } {
+      val (sx, sy, sz) = ((2 * x + 1) / 4.0, (2 * y + 1) / 4.0, (2 * z + 1) / 4.0)
+      assert(out((x, y, z)) == 4 * sx + 2 * sy + sz) // exact, no tolerance
+    }
+  }
+
+  test("resampleAffineTrilinear: lattice-point affine returns input values on the interior") {
+    // s = o exactly (aNum = 4·I, b = 0, den = 4): fractional numerators are
+    // all 0, so the sample IS the floor-cell value — but the +1 corners
+    // still participate in the 8-corner support test, so only cells whose
+    // full neighborhood exists are emitted (the conservative interior
+    // policy, stated in the scaladoc).
+    val g = grid(
+      (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }
+        yield (x, y, z, 0, BigDecimal(x * 100 + y * 10 + z))): _*)
+    val out = ImageOps.resampleAffineTrilinear(spark, g,
+        Array(Array(4L, 0L, 0L), Array(0L, 4L, 0L), Array(0L, 0L, 4L)),
+        Array(0L, 0L, 0L), den = 4L, (3, 3, 3))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(out.size == 8) // o ∈ {0,1}³: cells with an existing +1 corner
+    for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 }
+      assert(out((x, y, z)) == x * 100 + y * 10 + z)
+  }
+
   test("binomialSmooth preserves a constant field") {
     val g = grid(
       (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }

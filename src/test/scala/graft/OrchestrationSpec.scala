@@ -66,4 +66,29 @@ class OrchestrationSpec extends SparkSpec {
     assert(routed("002") === "t1_only")
     assert(routed("003") === "skip")
   }
+
+  test("O3: external stage pipes rows through a real subprocess, multi-partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "hello world"), (2L, "spark rdd pipe"), (3L, "MiXeD case"))
+      .toDF("doc_id", "text").repartition(3) // one subprocess per partition
+    val out = graft.util.ExternalStage.pipeTsv(df, Seq("tr", "a-z", "A-Z"),
+        StructType(Seq(StructField("doc_id", LongType), StructField("up", StringType))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "HELLO WORLD", 2L -> "SPARK RDD PIPE", 3L -> "MIXED CASE"))
+  }
+
+  test("O3: external stage rejects framing bytes loudly instead of corrupting rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val bad = Seq((7L, "has\ttab")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.util.ExternalStage.pipeTsv(bad, Seq("cat"),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("framing byte")))
+  }
 }
