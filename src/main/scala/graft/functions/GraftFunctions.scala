@@ -44,6 +44,8 @@ object GraftFunctions {
       TextExprs.TokenStats(e.head, e.tail.flatMap(strLits(_, "token_stats"))))
     add("shingle_hash_set")(e =>
       TextExprs.ShingleHashSet(e.head, intLit(e(1), "shingle_hash_set")))
+    add("seg_dedup")(e =>
+      TextExprs.SegDedup(e.head, intLit(e(1), "seg_dedup")))
     add("min_hash_sig")(e =>
       TextExprs.MinHashSig(e.head, intLit(e(1), "min_hash_sig")))
     add("lsh_band_keys")(e =>

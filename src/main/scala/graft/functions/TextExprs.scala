@@ -259,6 +259,53 @@ object TextExprs {
     common
   }
 
+  /** One-pass intra-document segment dedup (CurationOps.intraDocDedup's
+    * production kernel): consecutive `segTokens`-token segments, first
+    * occurrence of each two-level-fold hash kept, survivors' ORIGINAL char
+    * spans re-joined by single spaces. Span copying is exact because
+    * `split(s, ' ')` tokens are separated by exactly one space char in the
+    * source by construction (runs of spaces become empty tokens), so a
+    * segment's [firstTokenStart, lastTokenEnd) span IS its tokens joined
+    * with ' ' — including empty-token runs.
+    *
+    * Returns (clean_text, n_tokens, kept_tokens, dropped_segments). */
+  def segDedup(s: UTF8String, segTokens: Int): InternalRow = {
+    val str = s.toString
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var hs = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, a, b) => {
+      if (n == hs.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+        hs = java.util.Arrays.copyOf(hs, n * 2)
+      }
+      starts(n) = a; ends(n) = b; hs(n) = h; n += 1
+    })
+    val nSeg = ((n + segTokens - 1) / segTokens)
+    val seen = new java.util.HashSet[java.lang.Long](nSeg * 2)
+    val sb = new java.lang.StringBuilder(str.length)
+    var keptTokens = 0L
+    var dropped = 0L
+    var i = 0
+    while (i < nSeg) {
+      val t0 = i * segTokens
+      val t1 = math.min(t0 + segTokens, n)
+      var acc = 0L
+      var j = t0
+      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
+      if (seen.add(acc)) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(str, starts(t0), ends(t1 - 1))
+        keptTokens += t1 - t0
+      } else dropped += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), n.toLong, keptTokens, dropped))
+  }
+
   private val T = "graft.functions.TextExprs"
 
   // ------------------------------------------------------------ expressions
@@ -308,6 +355,20 @@ object TextExprs {
       val ref = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
       defineCodeGen(ctx, ev, c => s"$T.markerCounts($c, $ref)")
     }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class SegDedup(child: Expression, segTokens: Int) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean_text", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("kept_tokens", LongType, nullable = false),
+      StructField("dropped_segments", LongType, nullable = false),
+    ))
+    override def prettyName: String = "seg_dedup"
+    override def nullSafeEval(v: Any): Any = segDedup(v.asInstanceOf[UTF8String], segTokens)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.segDedup($c, $segTokens)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -391,6 +452,8 @@ object TextExprs {
     ColumnBridge.column(TokenStats(ColumnBridge.expression(c), stopwords))
   def marker_counts(c: Column, markerSets: Seq[Seq[String]]): Column =
     ColumnBridge.column(MarkerCounts(ColumnBridge.expression(c), markerSets))
+  def seg_dedup(c: Column, segTokens: Int): Column =
+    ColumnBridge.column(SegDedup(ColumnBridge.expression(c), segTokens))
   def shingle_hash_set(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(c), k))
   def shingle_hashes(c: Column, k: Int): Column =

@@ -304,8 +304,53 @@ object Training extends QueryModule {
       |FROM ranked WHERE rank <= 10
       |ORDER BY lang, rank""".stripMargin
 
+  // ---- q133: deterministic epoch shuffle + shard assignment ---------------
+  // The "global shuffle" a training data-loader consumes: each epoch needs a
+  // DIFFERENT but fully REPRODUCIBLE corpus order, materialized as (shard,
+  // pos) so N loader workers each read one shard sequentially. Random
+  // shuffles fail the q57 reproducibility argument (partitioning/retry
+  // changes the order); a keyed hash mix is a pure function of
+  // (doc_id, epoch): restartable mid-epoch, auditable, identical on any
+  // cluster. Plan: pure projection + ONE exchange keyed (epoch, shard) with
+  // a shard-local sort — exactly the write path of sharded training files;
+  // at 100 TB nShards scales to writer parallelism and no global sort or
+  // driver state exists anywhere.
+
+  /** mix = ((doc_id mod P)·2654435761 + epoch·40503 + 17) mod P: the q57
+    * Knuth stride decorrelates consecutive ids; the epoch term relocates
+    * every doc each epoch. All operands bound the product under 2^63. */
+  def epochShuffle(docs: DataFrame, epochs: Seq[Int], nShards: Int): DataFrame = {
+    val P = graft.text.TextOps.P
+    docs
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(lit(epochs.toArray)))
+      .withColumn("mix",
+        pmod(pmod(col("doc_id"), lit(P)) * lit(2654435761L)
+          + col("epoch") * lit(40503L) + lit(17L), lit(P)))
+      .withColumn("shard", pmod(col("mix"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("mix", "doc_id")).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"), col("mix"))
+  }
+
+  def epochShuffleQuery(s: SparkSession, d: String): DataFrame =
+    epochShuffle(documents(s, d), epochs = Seq(1, 2), nShards = 8)
+      .orderBy("epoch", "shard", "pos")
+
+  private val epochShuffleSql =
+    """WITH mixed AS (
+      |  SELECT e.epoch, doc_id,
+      |    ((doc_id % 1000000007) * 2654435761 + e.epoch * 40503 + 17) % 1000000007 AS mix
+      |  FROM documents, unnest([1, 2]) AS e(epoch)
+      |)
+      |SELECT epoch, CAST(mix % 8 AS INTEGER) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, mix % 8 ORDER BY mix, doc_id) AS BIGINT) AS pos,
+      |  doc_id, mix
+      |FROM mixed ORDER BY epoch, shard, pos""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
+    Q("q133_epoch_shuffle", epochShuffleQuery, Some(epochShuffleSql)),
     Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
     Q("q69_stratified_sample", stratifiedQuery, Some(stratifiedSql)),
     Q("q86_exact_sample", exactSampleQuery, Some(exactSampleSql)),

@@ -269,8 +269,27 @@ object CurationOps {
     * cross-doc exchange.
     *
     * Output schema matches boilerplateStrip: doc_id, clean_text, n_tokens,
-    * kept_tokens, dropped_segments, dropped_frac. */
+    * kept_tokens, dropped_segments, dropped_frac.
+    *
+    * Production path: ONE native expression (TextExprs.SegDedup) computes
+    * the whole verdict per row inside whole-stage codegen — the HOF form
+    * below ([[intraDocDedupSpec]]) allocates per-char/per-token objects in
+    * interpreted lambdas and measured ~4× slower at sf0.1; it remains the
+    * executable spec (CurationSpec pins bit-equality on the corpus). */
   def intraDocDedup(docs: DataFrame, segTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextExprs.seg_dedup(col("text"), segTokens).as("s"))
+      .select(
+        col("doc_id"), col("s.clean_text").as("clean_text"),
+        col("s.n_tokens").as("n_tokens"), col("s.kept_tokens").as("kept_tokens"),
+        col("s.dropped_segments").as("dropped_segments"))
+      .withColumn("dropped_frac",
+        round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6))
+
+  /** The declarative higher-order-function form of [[intraDocDedup]] — the
+    * executable spec the oracle mirrors; not the production path. */
+  def intraDocDedupSpec(docs: DataFrame, segTokens: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("segs", expr(

@@ -645,6 +645,34 @@ object ProbeScale {
   * [reps]) — the attribution tool Bench's full-suite passes can't be: one
   * query, warm JVM, N reps, no alphabetical neighbors to share a
   * contention window with. */
+/** Native SegDedup kernel vs the HOF spec form, same toRdd statistic —
+  * backs the SCALE.md intra-doc dedup row. */
+object ProbeSegDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count() // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: ${ts.map(t => f"$t%.2f").mkString(", ")}  min=${ts.min}%.2f")
+    }
+    time("native", graft.text.CurationOps.intraDocDedup(docs, 2))
+    time("hof-spec", graft.text.CurationOps.intraDocDedupSpec(docs, 2))
+    spark.stop()
+  }
+}
+
 object ProbeQuery {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q48_flagship_glm")
@@ -660,10 +688,13 @@ object ProbeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKPerKey.install(spark)
     val fn = graft.SparkEntry.queries(name)
-    fn(spark, sfDir).count() // warm
+    // toRdd like Bench/ProbeScale: count() would let Catalyst prune
+    // aggregate functions / final sorts / projection-only work entirely
+    def run(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
+    run() // warm
     val ts = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      run()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"$name: ${ts.map(t => f"$t%.2f").mkString(", ")}  min=${ts.min}%.2f")

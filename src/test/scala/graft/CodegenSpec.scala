@@ -93,6 +93,10 @@ class CodegenSpec extends SparkSpec {
     checkCodegen(docs.select(TextExprs.gram_stats(col("text"), 2)), "gramStats")
   }
 
+  test("seg_dedup generates and compiles") {
+    checkCodegen(docs.select(TextExprs.seg_dedup(col("text"), 2)), "segDedup")
+  }
+
   test("t_pvalue generates and compiles") {
     val df = docs.select(graft.functions.TCdf.t_pvalue(
       (col("doc_id") % 7).cast("double"), lit(10.0)))

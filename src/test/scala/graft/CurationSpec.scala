@@ -238,4 +238,24 @@ class CurationSpec extends SparkSpec {
     val p = CurationOps.intraDocDedup(docs, 2).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("intraDocDedup: native kernel is bit-identical to the HOF spec form on the corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    for (st <- Seq(1, 2, 6))
+      assert(rows(CurationOps.intraDocDedup(docs, st))
+        == rows(CurationOps.intraDocDedupSpec(docs, st)), s"segTokens=$st")
+  }
+
+  test("intraDocDedup: spec-form equality holds on framing edge cases") {
+    import spark.implicits._
+    // empty-ish text, double spaces (empty tokens), doc shorter than a segment
+    val docs = Seq((1L, "a"), (2L, "a  b a  b"), (3L, "x y")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    for (st <- Seq(1, 2, 3))
+      assert(rows(CurationOps.intraDocDedup(docs, st))
+        == rows(CurationOps.intraDocDedupSpec(docs, st)), s"segTokens=$st")
+  }
 }

@@ -139,4 +139,25 @@ class TrainingSpec extends SparkSpec {
       assert(ttrs.zip(ttrs.tail).forall { case (a, b) => a >= b }, s"$lang ordering")
     }
   }
+
+  test("epochShuffle: each epoch is a permutation; epochs reorder; reruns identical") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(Tuple1(_)).toDF("doc_id")
+    def run() = Training.epochShuffle(docs, epochs = Seq(1, 2), nShards = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.sorted.toSeq == run().sorted.toSeq) // pure function of (doc_id, epoch)
+    for (e <- Seq(1, 2)) {
+      val rows = a.filter(_._1 == e)
+      assert(rows.map(_._4).sorted.toSeq == (0L until 64L)) // a permutation
+      // pos is dense 1..n within each shard
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to rs.length))
+      }
+    }
+    // the epoch term actually relocates docs: global orders differ
+    def order(e: Int) = a.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(1) != order(2))
+  }
 }
