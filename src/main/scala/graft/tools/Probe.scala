@@ -620,7 +620,9 @@ object ProbeScale {
       "q117_semdedup_capped", "q118_cluster_quota",
       "q123_boilerplate_strip", "q124_chunking", "q125_mmr_rerank",
       "q126_standing_boilerplate", "q127_contrastive_pairs",
-      "q128_clean_assembly")
+      "q128_clean_assembly",
+      "q129_pii_scrub", "q130_intradoc_dedup", "q131_external_stage",
+      "q132_resample_trilinear", "q133_epoch_shuffle")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

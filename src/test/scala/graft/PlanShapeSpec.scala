@@ -262,6 +262,41 @@ class PlanShapeSpec extends SparkSpec {
       "documents scan must prune to doc_id + text")
   }
 
+  test("q129: PII scrub is a pure map stage reading only doc_id + text") {
+    val p = plan("q129_pii_scrub")
+    assert(!p.contains("Join"), "scrub should not join anything")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "scrub shuffled — only the final sort's range exchange is expected")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to doc_id + text")
+  }
+
+  test("q130: intra-doc dedup is a pure map stage (native kernel, no fan-out)") {
+    val p = plan("q130_intradoc_dedup")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      "per-doc dedup must not join or explode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "per-doc semantics paid a cross-doc shuffle")
+    assert(p.contains("seg_dedup"), "native kernel missing from the plan")
+  }
+
+  test("q132: trilinear resample keeps the NN exchange structure (no nested loop)") {
+    val p = plan("q132_resample_trilinear")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corner join degraded to a non-keyed join")
+    // output-cell aggregation is exactly one (x, y, z)-keyed exchange
+    val outExchanges = p.split("\n")
+      .filter(l => l.contains("Exchange hashpartitioning(x"))
+    assert(outExchanges.length == 1, outExchanges.mkString("\n"))
+  }
+
+  test("q133: epoch shuffle pays exactly one hash exchange (the shard window)") {
+    val p = plan("q133_epoch_shuffle")
+    assert(!p.contains("Join"), "epoch shuffle should not join anything")
+    val hashExchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges.length == 1, hashExchanges.mkString("\n"))
+  }
+
   test("q125: packed MMR — one hash exchange, top-k limited before it") {
     val p = plan("q125_mmr_rerank")
     // the corpus side never fully shuffles: WindowGroupLimit(Partial)
