@@ -594,6 +594,38 @@ object StreamOps {
   }
 
   /** Append-mode variant (dedup and other non-aggregating sinks). */
+  /** STREAMING PII scrub and intra-document dedup — stateless twins of
+    * q129/q130: both batch bodies are pure projections (zero exchanges, no
+    * state store), so the SAME code runs unchanged over `readStream` in
+    * append mode — the frozen-pattern serve shape of
+    * [[streamingQualityScore]]. A document's redactions and within-doc
+    * verdict are decided the moment it lands and can never be revised by
+    * later data, which is what makes admission-time scrubbing safe for
+    * incremental corpora. StreamMultimodalSpec pins stream ≡ batch. */
+  def streamingScrub(docs: DataFrame,
+      patterns: Seq[(String, String, String)]): DataFrame =
+    graft.text.CurationOps.piiScrub(docs, patterns)
+
+  /** See [[streamingScrub]]. */
+  def streamingIntraDedup(docs: DataFrame, segTokens: Int): DataFrame =
+    graft.text.CurationOps.intraDocDedup(docs, segTokens)
+
+  /** STREAMING external-tool stage — q131's foreachBatch twin: RDD.pipe
+    * has no streaming-plan form, so each micro-batch drops to the batch
+    * operator (one subprocess per batch partition) and appends the piped
+    * rows to `outPath` — the same escape hatch every RDD-level loop in
+    * this file uses. At-least-once: a replayed batch re-pipes and
+    * re-appends its own rows; a sink needing exactly-once dedupes on the
+    * row key downstream (stated, not hidden). */
+  def streamingExternalStage(docs: DataFrame, cmd: Seq[String],
+      outSchema: org.apache.spark.sql.types.StructType,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.util.ExternalStage.pipeTsv(batch, cmd, outSchema)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   def runToMemoryAppend(spark: SparkSession, writer: DataStreamWriter[Row],
       name: String): DataFrame = {
     val q = writer

@@ -497,4 +497,43 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("frame_idx")).toSeq.sorted === Seq(0L, 2L))
     frames.foreach(r => assert(r.getAs[Array[Byte]]("frame").length === 64))
   }
+
+  test("streamingScrub + streamingIntraDedup: stateless twins equal the batch bodies") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-scrub").toString
+    val docs = s.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val pats = Seq(("entity", "\\bcustomer\\b", "<ENTITY>"))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(StreamOps.runToMemoryAppend(s,
+        StreamOps.streamingScrub(stream, pats).writeStream, "scrub_test"))
+      == rows(graft.text.CurationOps.piiScrub(docs, pats)))
+    assert(rows(StreamOps.runToMemoryAppend(s,
+        StreamOps.streamingIntraDedup(stream, 2).writeStream, "intradedup_test"))
+      == rows(graft.text.CurationOps.intraDocDedup(docs, 2)))
+  }
+
+  test("streamingExternalStage: micro-batched subprocess pipe equals the batch pipe") {
+    val s = spark
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-extst").toString
+    val out = Files.createTempDirectory("graft-extst-out").toString + "/v"
+    val docs = s.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("up", StringType)))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.streamingExternalStage(stream, Seq("tr", "a-z", "A-Z"),
+        schema, out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val batch = graft.util.ExternalStage.pipeTsv(docs, Seq("tr", "a-z", "A-Z"), schema)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
