@@ -39,9 +39,15 @@ object ExternalStage {
     val spark = df.sparkSession
     val guarded = df.columns.map { c =>
       val sc = col(c).cast("string")
-      when(sc.contains("\t") || sc.contains("\n"),
-        raise_error(concat(lit(s"ExternalStage: framing byte in column $c, row key="),
-          col(df.columns.head).cast("string"))))
+      // null guard first: concat_ws SKIPS null elements (no separator left
+      // behind), which would silently shift every later TSV field — the
+      // exact corruption class this stage exists to prevent
+      when(sc.isNull,
+        raise_error(concat(lit(s"ExternalStage: null in column $c, row key="),
+          coalesce(col(df.columns.head).cast("string"), lit("null")))))
+        .when(sc.contains("\t") || sc.contains("\n"),
+          raise_error(concat(lit(s"ExternalStage: framing byte in column $c, row key="),
+            col(df.columns.head).cast("string"))))
         .otherwise(sc)
     }
     val lines = df.select(concat_ws("\t", guarded: _*).as("line"))

@@ -91,4 +91,19 @@ class OrchestrationSpec extends SparkSpec {
       Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(ex).exists(m => m != null && m.contains("framing byte")))
   }
+
+  test("O3: external stage rejects null fields (concat_ws would silently shift TSV columns)") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val bad = Seq((7L, Option.empty[String]), (8L, Some("fine"))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.util.ExternalStage.pipeTsv(bad, Seq("cat"),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("null in column")))
+  }
 }
