@@ -37,7 +37,13 @@ object ImageOps {
       )
       .agg(
         min(((col("l_partkey") * 7 + col("l_suppkey")) % 60).cast("int")).as("label"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("value_dec"),
+        // fixed-point int64 sum, presented as DECIMAL(18,2): bit-identical
+        // to sum(cast(decimal)) for 2-decimal inputs (cell sums ≤ 3e9·100
+        // stay exact in both int64 and the double division), but the long
+        // sum stays in primitive codegen where Decimal sums box — measured
+        // 0.40 → 0.22 s on the sf0.1 ingest (ProbeDecimal)
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0)
+          .cast("decimal(18,2)").as("value_dec"),
       )
 
   /** I1 binarize + I2 label-preserving mask: nonzero→1 mask bit and
@@ -441,7 +447,8 @@ object ImageOps {
         (col("l_partkey") % l).cast("int").as("y"),
         (col("l_suppkey") % l).cast("int").as("z"),
       )
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("value_dec"))
+      .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0)
+        .cast("decimal(18,2)").as("value_dec")) // see voxelGrid's note
 
   /** A4 proper — PER-TR global signal (nb cell 42 `np.mean(data, axis=1)`
     * over the masked 4-D series): for each TR, the count and exact-decimal

@@ -15,23 +15,33 @@ object Relational extends QueryModule {
 
   /** TPC-H Q1-shaped pricing summary: groupBy + exact decimal sums.
     * Reference analog: per-group aggregation (SURVEY A1-A3). */
-  def pricingSummary(s: SparkSession, d: String): DataFrame =
+  /** q01 sums run in FIXED-POINT int64, not DECIMAL(18,2): both are exact
+    * for 2-decimal inputs (bit-identical results, RelationalSpec pins it),
+    * but long sums stay in primitive codegen while Decimal sums box —
+    * measured 0.83 → 0.34 s at sf0.1 on the single-row-group scan. The
+    * disc-price product is 1e-4-unit fixed point: p100·(100−d100) ≤ 1e9
+    * per row, far under int64 overflow at any per-group cardinality the
+    * 18-digit DECIMAL could have held either. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    val q100 = round(col("l_quantity") * 100).cast("long")
+    val p100 = round(col("l_extendedprice") * 100).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
-          .cast("double").as("sum_disc_price"),
+        (sum(q100) / 100.0).as("sum_qty"),
+        (sum(p100) / 100.0).as("sum_base_price"),
+        (sum(p100 * (lit(100L) - d100)) / 10000.0).as("sum_disc_price"),
         count(lit(1)).as("count_order"),
       )
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   private val pricingSummarySql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -59,15 +69,17 @@ object Relational extends QueryModule {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
-          .cast("double").as("revenue"),
+        // fixed-point 1e-4 units, exact like DECIMAL — see pricingSummary
+        (sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0)
+          .as("revenue"),
         count(lit(1)).as("n_items"),
       )
       .orderBy("n_name")
 
   private val joinRevenueSql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey

@@ -47,14 +47,15 @@ object WindowAgg extends QueryModule {
     lineitem(s, d)
       .cube("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        // fixed-point int64, exact like DECIMAL — see q01's scaladoc
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"),
         count(lit(1)).as("n"),
       )
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   private val cubePricingSql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -29,4 +29,22 @@ class RelationalSpec extends SparkSpec {
     val rows = Relational.filterProject(spark, sf0001).collect()
     assert(rows.forall(_.getDouble(2) > 100000.0))
   }
+
+  test("q01 fixed-point sums are bit-identical to the DECIMAL(18,2) form") {
+    import org.apache.spark.sql.functions._
+    val dec = "decimal(18,2)"
+    val decimalForm = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).toSeq
+    val fixedForm = Relational.pricingSummary(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(fixedForm == decimalForm) // exact == exact, no tolerance
+  }
 }
