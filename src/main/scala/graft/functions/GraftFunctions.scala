@@ -46,6 +46,11 @@ object GraftFunctions {
       TextExprs.ShingleHashSet(e.head, intLit(e(1), "shingle_hash_set")))
     add("seg_dedup")(e =>
       TextExprs.SegDedup(e.head, intLit(e(1), "seg_dedup")))
+    add("seg_structs")(e =>
+      TextExprs.SegStructs(e.head, intLit(e(1), "seg_structs")))
+    add("chunk_structs")(e =>
+      TextExprs.ChunkStructs(e.head, intLit(e(1), "chunk_structs"),
+        intLit(e(2), "chunk_structs")))
     add("min_hash_sig")(e =>
       TextExprs.MinHashSig(e.head, intLit(e(1), "min_hash_sig")))
     add("lsh_band_keys")(e =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -306,6 +306,79 @@ object TextExprs {
       UTF8String.fromString(sb.toString), n.toLong, keptTokens, dropped))
   }
 
+  /** One-pass consecutive-segment relation kernel (CurationOps.
+    * segmentRelation's production path): (seg_idx, h, ntok, txt) per
+    * `segTokens`-token segment, spans copied from the source like
+    * [[segDedup]]. The HOF form (split → transform/slice → per-token char
+    * fold) re-hashes and re-allocates per segment in interpreted lambdas;
+    * this touches each char once inside codegen. */
+  def segStructs(s: UTF8String, segTokens: Int): ArrayData = {
+    val str = s.toString
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var hs = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, a, b) => {
+      if (n == hs.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+        hs = java.util.Arrays.copyOf(hs, n * 2)
+      }
+      starts(n) = a; ends(n) = b; hs(n) = h; n += 1
+    })
+    val nSeg = (n + segTokens - 1) / segTokens
+    val out = new Array[Any](nSeg)
+    var i = 0
+    while (i < nSeg) {
+      val t0 = i * segTokens
+      val t1 = math.min(t0 + segTokens, n)
+      var acc = 0L
+      var j = t0
+      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
+      out(i) = new GenericInternalRow(Array[Any](
+        i, acc, t1 - t0, UTF8String.fromString(str.substring(starts(t0), ends(t1 - 1)))))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass overlapping-window chunk kernel (CurationOps.chunk's
+    * production path): (chunk_id, start, ntok, h, txt) per `stride`-spaced
+    * `window`-token chunk (last may be shorter), identical hash/text
+    * semantics to the HOF form. */
+  def chunkStructs(s: UTF8String, window: Int, stride: Int): ArrayData = {
+    val str = s.toString
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var hs = new Array[Long](16)
+    var n = 0
+    foreachToken(str, (h, a, b) => {
+      if (n == hs.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+        hs = java.util.Arrays.copyOf(hs, n * 2)
+      }
+      starts(n) = a; ends(n) = b; hs(n) = h; n += 1
+    })
+    // same chunk count as sequence(0, floor((n-1)/stride)): every start
+    // index i*stride < n yields a chunk
+    val nChunk = (n - 1) / stride + 1
+    val out = new Array[Any](nChunk)
+    var c = 0
+    while (c < nChunk) {
+      val t0 = c * stride
+      val t1 = math.min(t0 + window, n)
+      var acc = 0L
+      var j = t0
+      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
+      out(c) = new GenericInternalRow(Array[Any](
+        c.toLong, t0.toLong, (t1 - t0).toLong, acc,
+        UTF8String.fromString(str.substring(starts(t0), ends(t1 - 1)))))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val T = "graft.functions.TextExprs"
 
   // ------------------------------------------------------------ expressions
@@ -369,6 +442,37 @@ object TextExprs {
     override def nullSafeEval(v: Any): Any = segDedup(v.asInstanceOf[UTF8String], segTokens)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"$T.segDedup($c, $segTokens)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class SegStructs(child: Expression, segTokens: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("seg_idx", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("ntok", IntegerType, nullable = false),
+      StructField("txt", StringType, nullable = false),
+    )), containsNull = false)
+    override def prettyName: String = "seg_structs"
+    override def nullSafeEval(v: Any): Any = segStructs(v.asInstanceOf[UTF8String], segTokens)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.segStructs($c, $segTokens)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  case class ChunkStructs(child: Expression, window: Int, stride: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("start", LongType, nullable = false),
+      StructField("ntok", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("txt", StringType, nullable = false),
+    )), containsNull = false)
+    override def prettyName: String = "chunk_structs"
+    override def nullSafeEval(v: Any): Any =
+      chunkStructs(v.asInstanceOf[UTF8String], window, stride)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.chunkStructs($c, $window, $stride)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -454,6 +558,10 @@ object TextExprs {
     ColumnBridge.column(MarkerCounts(ColumnBridge.expression(c), markerSets))
   def seg_dedup(c: Column, segTokens: Int): Column =
     ColumnBridge.column(SegDedup(ColumnBridge.expression(c), segTokens))
+  def seg_structs(c: Column, segTokens: Int): Column =
+    ColumnBridge.column(SegStructs(ColumnBridge.expression(c), segTokens))
+  def chunk_structs(c: Column, window: Int, stride: Int): Column =
+    ColumnBridge.column(ChunkStructs(ColumnBridge.expression(c), window, stride))
   def shingle_hash_set(c: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashSet(ColumnBridge.expression(c), k))
   def shingle_hashes(c: Column, k: Int): Column =

@@ -48,7 +48,25 @@ object CurationOps {
     * hash. `carry` names extra per-doc columns to ride along the explode
     * (cheap for short values; lets a caller aggregate per (doc, carry)
     * without re-reading the doc relation). */
-  private[text] def segmentRelation(docs: DataFrame, segTokens: Int,
+  private[graft] def segmentRelation(docs: DataFrame, segTokens: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = col("doc_id") +: carry.map(col)
+    // production path: the native one-pass kernel hashes each char once
+    // inside codegen; [[segmentRelationSpec]] is the HOF executable spec
+    // (bit-equality pinned in CurationSpec)
+    docs
+      .select(keys :+ graft.functions.TextExprs
+        .seg_structs(col("text"), segTokens).as("__segs"): _*)
+      .select(keys :+ explode(col("__segs")).as("__s"): _*)
+      .select(keys ++ Seq(
+        col("__s.seg_idx").as("seg_idx"),
+        split(col("__s.txt"), " ").as("seg"),
+        col("__s.h").as("h")): _*)
+  }
+
+  /** The declarative HOF form of [[segmentRelation]] — the executable
+    * spec the oracles mirror; not the production path. */
+  private[graft] def segmentRelationSpec(docs: DataFrame, segTokens: Int,
       carry: Seq[String] = Nil): DataFrame = {
     val keys = col("doc_id") +: carry.map(col)
     docs
@@ -311,6 +329,24 @@ object CurationOps {
         round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6))
 
   def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, s"need 0 < stride <= window")
+    // production path: native one-pass kernel (see segmentRelation's note);
+    // [[chunkSpec]] is the HOF executable spec, bit-equality pinned
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs
+          .chunk_structs(col("text"), window, stride)).as("__c"))
+      .select(
+        col("doc_id"),
+        col("__c.chunk_id").as("chunk_id"),
+        col("__c.start").as("start"),
+        col("__c.ntok").as("n_tokens"),
+        col("__c.h").as("chunk_hash"),
+        col("__c.txt").as("chunk_text"))
+  }
+
+  /** The declarative HOF form of [[chunk]] — the executable spec. */
+  private[graft] def chunkSpec(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride, s"need 0 < stride <= window")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

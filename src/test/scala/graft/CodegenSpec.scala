@@ -97,6 +97,11 @@ class CodegenSpec extends SparkSpec {
     checkCodegen(docs.select(TextExprs.seg_dedup(col("text"), 2)), "segDedup")
   }
 
+  test("seg_structs / chunk_structs generate and compile") {
+    checkCodegen(docs.select(TextExprs.seg_structs(col("text"), 6)), "segStructs")
+    checkCodegen(docs.select(TextExprs.chunk_structs(col("text"), 32, 24)), "chunkStructs")
+  }
+
   test("t_pvalue generates and compiles") {
     val df = docs.select(graft.functions.TCdf.t_pvalue(
       (col("doc_id") % 7).cast("double"), lit(10.0)))

@@ -248,6 +248,26 @@ class CurationSpec extends SparkSpec {
         == rows(CurationOps.intraDocDedupSpec(docs, st)), s"segTokens=$st")
   }
 
+  test("segmentRelation + chunk: native kernels are bit-identical to the HOF spec forms") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+    for (st <- Seq(2, 6))
+      assert(rows(CurationOps.segmentRelation(docs, st))
+        == rows(CurationOps.segmentRelationSpec(docs, st)), s"segTokens=$st")
+    assert(rows(CurationOps.segmentRelation(docs, 6, carry = Seq("lang")))
+      == rows(CurationOps.segmentRelationSpec(docs, 6, carry = Seq("lang"))))
+    for ((w, st) <- Seq((32, 24), (4, 4), (5, 2)))
+      assert(rows(CurationOps.chunk(docs, w, st))
+        == rows(CurationOps.chunkSpec(docs, w, st)), s"window=$w stride=$st")
+    // framing edge cases: double spaces (empty tokens), sub-window doc
+    import spark.implicits._
+    val edge = Seq((1L, "a"), (2L, "a  b a  b"), (3L, "x y z")).toDF("doc_id", "text")
+    assert(rows(CurationOps.segmentRelation(edge, 2))
+      == rows(CurationOps.segmentRelationSpec(edge, 2)))
+    assert(rows(CurationOps.chunk(edge, 2, 2)) == rows(CurationOps.chunkSpec(edge, 2, 2)))
+  }
+
   test("intraDocDedup: spec-form equality holds on framing edge cases") {
     import spark.implicits._
     // empty-ish text, double spaces (empty tokens), doc shorter than a segment
