@@ -288,6 +288,11 @@ object TextExprs {
     val sb = new java.lang.StringBuilder(str.length)
     var keptTokens = 0L
     var dropped = 0L
+    // explicit first-kept flag, NOT sb.length: an empty first segment
+    // (leading-space doc) leaves sb empty, and the length test would then
+    // silently swallow the joining space before the next segment — found
+    // by the PropertySpec random-docs equality sweep
+    var firstKept = true
     var i = 0
     while (i < nSeg) {
       val t0 = i * segTokens
@@ -296,7 +301,8 @@ object TextExprs {
       var j = t0
       while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
       if (seen.add(acc)) {
-        if (sb.length > 0) sb.append(' ')
+        if (!firstKept) sb.append(' ')
+        firstKept = false
         sb.append(str, starts(t0), ends(t1 - 1))
         keptTokens += t1 - t0
       } else dropped += 1

@@ -318,7 +318,13 @@ object Training extends QueryModule {
 
   /** mix = ((doc_id mod P)·2654435761 + epoch·40503 + 17) mod P: the q57
     * Knuth stride decorrelates consecutive ids; the epoch term relocates
-    * every doc each epoch. All operands bound the product under 2^63. */
+    * every doc each epoch. All operands bound the product under 2^63.
+    *
+    * `epochs` is a SMALL demo cross (the query uses two to prove orders
+    * differ); production materializes one epoch per nightly run —
+    * `epochs = Seq(e)` — so the explode never multiplies corpus bytes.
+    * Nothing is epoch-stateful: epoch N+1's order needs no artifact from
+    * epoch N. */
   def epochShuffle(docs: DataFrame, epochs: Seq[Int], nShards: Int): DataFrame = {
     val P = graft.text.TextOps.P
     docs

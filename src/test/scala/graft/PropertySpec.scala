@@ -182,4 +182,29 @@ class PropertySpec extends SparkSpec {
       assert(BigInt(out) === ref)
     }
   }
+
+  test("property: native segment/chunk/dedup kernels equal the HOF spec forms on random docs") {
+    import graft.text.CurationOps
+    val s = spark
+    import s.implicits._
+    // small vocab forces intra-doc repeats; occasional empty tokens via
+    // "" entries exercise the double-space framing path
+    val word = Gen.frequency((8, Gen.choose(1, 6).map(i => s"w$i")), (1, Gen.const("")))
+    val doc = Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(12, doc)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+    for (texts <- samples(docsGen, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (st <- Seq(1, 2, 5)) {
+        assert(rows(CurationOps.segmentRelation(docs, st))
+          == rows(CurationOps.segmentRelationSpec(docs, st)), s"segments st=$st: $texts")
+        assert(rows(CurationOps.intraDocDedup(docs, st))
+          == rows(CurationOps.intraDocDedupSpec(docs, st)), s"dedup st=$st: $texts")
+      }
+      for ((w, st) <- Seq((3, 2), (4, 4), (6, 1)))
+        assert(rows(CurationOps.chunk(docs, w, st))
+          == rows(CurationOps.chunkSpec(docs, w, st)), s"chunk w=$w st=$st: $texts")
+    }
+  }
 }
