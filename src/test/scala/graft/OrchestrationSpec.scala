@@ -92,6 +92,22 @@ class OrchestrationSpec extends SparkSpec {
     assert(messages(ex).exists(m => m != null && m.contains("framing byte")))
   }
 
+  test("O3: one subprocess per partition (cat -n numbering restarts at each partition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text").repartition(3)
+    // cat -n prepends "<lineno>\t" per INVOCATION: if the stage truly runs
+    // one subprocess per partition, each partition's numbering restarts at 1
+    val out = graft.util.ExternalStage.pipeTsv(df, Seq("cat", "-n"),
+        StructType(Seq(StructField("lineno", LongType),
+          StructField("doc_id", LongType), StructField("text", StringType))))
+      .collect()
+    assert(out.length == 12 && out.forall(r => r.getString(2) == s"doc${r.getLong(1)}"))
+    val linenos = out.map(_.getLong(0))
+    assert(linenos.count(_ == 1L) == 3, s"expected 3 restarts, got ${linenos.toSeq}")
+    assert(linenos.max == 4L) // 12 rows over 3 round-robin partitions
+  }
+
   test("O3: external stage rejects null fields (concat_ws would silently shift TSV columns)") {
     import org.apache.spark.sql.types._
     val s = spark
