@@ -269,8 +269,9 @@ object TextExprs {
     * with ' ' — including empty-token runs.
     *
     * Returns (clean_text, n_tokens, kept_tokens, dropped_segments). */
-  def segDedup(s: UTF8String, segTokens: Int): InternalRow = {
-    val str = s.toString
+  /** Token offsets + hashes of `str` in one [[foreachToken]] walk:
+    * (starts, ends, hs, n) — arrays may be oversized, read only [0, n). */
+  private def tokenArrays(str: String): (Array[Int], Array[Int], Array[Long], Int) = {
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var hs = new Array[Long](16)
@@ -283,6 +284,20 @@ object TextExprs {
       }
       starts(n) = a; ends(n) = b; hs(n) = h; n += 1
     })
+    (starts, ends, hs, n)
+  }
+
+  /** Second-level radix-31 fold over hs[t0, t1). */
+  private def foldRange(hs: Array[Long], t0: Int, t1: Int): Long = {
+    var acc = 0L
+    var j = t0
+    while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
+    acc
+  }
+
+  def segDedup(s: UTF8String, segTokens: Int): InternalRow = {
+    val str = s.toString
+    val (starts, ends, hs, n) = tokenArrays(str)
     val nSeg = ((n + segTokens - 1) / segTokens)
     val seen = new java.util.HashSet[java.lang.Long](nSeg * 2)
     val sb = new java.lang.StringBuilder(str.length)
@@ -297,10 +312,7 @@ object TextExprs {
     while (i < nSeg) {
       val t0 = i * segTokens
       val t1 = math.min(t0 + segTokens, n)
-      var acc = 0L
-      var j = t0
-      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
-      if (seen.add(acc)) {
+      if (seen.add(foldRange(hs, t0, t1))) {
         if (!firstKept) sb.append(' ')
         firstKept = false
         sb.append(str, starts(t0), ends(t1 - 1))
@@ -320,29 +332,16 @@ object TextExprs {
     * this touches each char once inside codegen. */
   def segStructs(s: UTF8String, segTokens: Int): ArrayData = {
     val str = s.toString
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var hs = new Array[Long](16)
-    var n = 0
-    foreachToken(str, (h, a, b) => {
-      if (n == hs.length) {
-        starts = java.util.Arrays.copyOf(starts, n * 2)
-        ends = java.util.Arrays.copyOf(ends, n * 2)
-        hs = java.util.Arrays.copyOf(hs, n * 2)
-      }
-      starts(n) = a; ends(n) = b; hs(n) = h; n += 1
-    })
+    val (starts, ends, hs, n) = tokenArrays(str)
     val nSeg = (n + segTokens - 1) / segTokens
     val out = new Array[Any](nSeg)
     var i = 0
     while (i < nSeg) {
       val t0 = i * segTokens
       val t1 = math.min(t0 + segTokens, n)
-      var acc = 0L
-      var j = t0
-      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
       out(i) = new GenericInternalRow(Array[Any](
-        i, acc, t1 - t0, UTF8String.fromString(str.substring(starts(t0), ends(t1 - 1)))))
+        i, foldRange(hs, t0, t1), t1 - t0,
+        UTF8String.fromString(str.substring(starts(t0), ends(t1 - 1)))))
       i += 1
     }
     new GenericArrayData(out)
@@ -354,18 +353,7 @@ object TextExprs {
     * semantics to the HOF form. */
   def chunkStructs(s: UTF8String, window: Int, stride: Int): ArrayData = {
     val str = s.toString
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var hs = new Array[Long](16)
-    var n = 0
-    foreachToken(str, (h, a, b) => {
-      if (n == hs.length) {
-        starts = java.util.Arrays.copyOf(starts, n * 2)
-        ends = java.util.Arrays.copyOf(ends, n * 2)
-        hs = java.util.Arrays.copyOf(hs, n * 2)
-      }
-      starts(n) = a; ends(n) = b; hs(n) = h; n += 1
-    })
+    val (starts, ends, hs, n) = tokenArrays(str)
     // same chunk count as sequence(0, floor((n-1)/stride)): every start
     // index i*stride < n yields a chunk
     val nChunk = (n - 1) / stride + 1
@@ -374,11 +362,8 @@ object TextExprs {
     while (c < nChunk) {
       val t0 = c * stride
       val t1 = math.min(t0 + window, n)
-      var acc = 0L
-      var j = t0
-      while (j < t1) { acc = (acc * 31 + hs(j)) % P; j += 1 }
       out(c) = new GenericInternalRow(Array[Any](
-        c.toLong, t0.toLong, (t1 - t0).toLong, acc,
+        c.toLong, t0.toLong, (t1 - t0).toLong, foldRange(hs, t0, t1),
         UTF8String.fromString(str.substring(starts(t0), ends(t1 - 1)))))
       c += 1
     }
@@ -438,6 +423,7 @@ object TextExprs {
   }
 
   case class SegDedup(child: Expression, segTokens: Int) extends UnaryExpression {
+    require(segTokens > 0, s"seg_dedup: segTokens must be positive, got $segTokens")
     override def dataType: DataType = StructType(Seq(
       StructField("clean_text", StringType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
@@ -452,6 +438,7 @@ object TextExprs {
   }
 
   case class SegStructs(child: Expression, segTokens: Int) extends UnaryExpression {
+    require(segTokens > 0, s"seg_structs: segTokens must be positive, got $segTokens")
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("seg_idx", IntegerType, nullable = false),
       StructField("h", LongType, nullable = false),
@@ -467,6 +454,8 @@ object TextExprs {
 
   case class ChunkStructs(child: Expression, window: Int, stride: Int)
       extends UnaryExpression {
+    require(stride > 0 && window >= stride,
+      s"chunk_structs: need 0 < stride <= window, got window=$window stride=$stride")
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("chunk_id", LongType, nullable = false),
       StructField("start", LongType, nullable = false),

@@ -11,11 +11,8 @@ import graft.util.Tables._
   */
 object Relational extends QueryModule {
 
-  private val dec = "decimal(18,2)"
-
-  /** TPC-H Q1-shaped pricing summary: groupBy + exact decimal sums.
-    * Reference analog: per-group aggregation (SURVEY A1-A3). */
-  /** q01 sums run in FIXED-POINT int64, not DECIMAL(18,2): both are exact
+  /** TPC-H Q1-shaped pricing summary (per-group aggregation, SURVEY
+    * A1-A3). The sums run in FIXED-POINT int64, not DECIMAL(18,2): both are exact
     * for 2-decimal inputs (bit-identical results, RelationalSpec pins it),
     * but long sums stay in primitive codegen while Decimal sums box —
     * measured 0.83 → 0.34 s at sf0.1 on the single-row-group scan. The

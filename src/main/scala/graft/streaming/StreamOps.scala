@@ -593,7 +593,6 @@ object StreamOps {
     spark.table(name)
   }
 
-  /** Append-mode variant (dedup and other non-aggregating sinks). */
   /** STREAMING PII scrub and intra-document dedup — stateless twins of
     * q129/q130: both batch bodies are pure projections (zero exchanges, no
     * state store), so the SAME code runs unchanged over `readStream` in
@@ -626,6 +625,7 @@ object StreamOps {
       ()
     }
 
+  /** Append-mode variant (dedup and other non-aggregating sinks). */
   def runToMemoryAppend(spark: SparkSession, writer: DataStreamWriter[Row],
       name: String): DataFrame = {
     val q = writer

@@ -125,9 +125,14 @@ object CurationOps {
     * sizes shuffle; no reassembly, no text-carrying exchange at all). */
   def boilerplateKeptTokens(docs: DataFrame, segTokens: Int, minDocs: Int,
       carry: Seq[String] = Nil): DataFrame = {
-    val segs = segmentRelation(docs, segTokens, carry)
-      .select(col("doc_id") +: carry.map(col) :+ col("h") :+
-        size(col("seg")).as("__stok"): _*)
+    val keys = col("doc_id") +: carry.map(col)
+    // counts-only path: project the kernel's ntok directly — no reason to
+    // re-split segment text into token arrays just to size() them
+    val segs = docs
+      .select(keys :+ graft.functions.TextExprs
+        .seg_structs(col("text"), segTokens).as("__segs"): _*)
+      .select(keys :+ explode(col("__segs")).as("__s"): _*)
+      .select(keys :+ col("__s.h").as("h") :+ col("__s.ntok").as("__stok"): _*)
     val boil = segs
       .groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -233,11 +238,6 @@ object CurationOps {
       .withColumn("keep", col("boil").isNull))
   }
 
-  /** RAG-style overlapping chunker: token windows of `window` tokens at
-    * `stride`-token steps (stride < window ⇒ overlap); the final chunk
-    * may be shorter. chunk_id is the 0-based window ordinal; chunk_hash
-    * is the two-level polynomial fold (the cross-doc exact-chunk-dedup
-    * key — identical chunks from different docs share it). */
   /** PII / lexicon scrub: apply `patterns` — (name, regex, replacement)
     * triples — to each document IN ORDER (a later pattern sees the earlier
     * replacements, exactly like a sed chain), with per-pattern match counts
@@ -328,6 +328,11 @@ object CurationOps {
       .withColumn("dropped_frac",
         round((col("n_tokens") - col("kept_tokens")).cast("double") / col("n_tokens"), 6))
 
+  /** RAG-style overlapping chunker: token windows of `window` tokens at
+    * `stride`-token steps (stride < window ⇒ overlap); the final chunk
+    * may be shorter. chunk_id is the 0-based window ordinal; chunk_hash
+    * is the two-level polynomial fold (the cross-doc exact-chunk-dedup
+    * key — identical chunks from different docs share it). */
   def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
     require(stride > 0 && window >= stride, s"need 0 < stride <= window")
     // production path: native one-pass kernel (see segmentRelation's note);

@@ -45,7 +45,9 @@ object ExternalStage {
       when(sc.isNull,
         raise_error(concat(lit(s"ExternalStage: null in column $c, row key="),
           coalesce(col(df.columns.head).cast("string"), lit("null")))))
-        .when(sc.contains("\t") || sc.contains("\n"),
+        // \r included: the pipe's line reader treats a lone \r as a line
+        // terminator, so it would silently split one row into two
+        .when(sc.contains("\t") || sc.contains("\n") || sc.contains("\r"),
           raise_error(concat(lit(s"ExternalStage: framing byte in column $c, row key="),
             col(df.columns.head).cast("string"))))
         .otherwise(sc)

@@ -81,15 +81,17 @@ class OrchestrationSpec extends SparkSpec {
   test("O3: external stage rejects framing bytes loudly instead of corrupting rows") {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val bad = Seq((7L, "has\ttab")).toDF("doc_id", "text")
-    val ex = intercept[Exception] {
-      graft.util.ExternalStage.pipeTsv(bad, Seq("cat"),
-        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
-        .collect()
-    }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
-    assert(messages(ex).exists(m => m != null && m.contains("framing byte")))
+    for (payload <- Seq("has\ttab", "has\nnewline", "has\rcarriage")) {
+      val bad = Seq((7L, payload)).toDF("doc_id", "text")
+      val ex = intercept[Exception] {
+        graft.util.ExternalStage.pipeTsv(bad, Seq("cat"),
+          StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+          .collect()
+      }
+      assert(messages(ex).exists(m => m != null && m.contains("framing byte")), payload)
+    }
   }
 
   test("O3: one subprocess per partition (cat -n numbering restarts at each partition)") {
