@@ -207,4 +207,43 @@ class PropertySpec extends SparkSpec {
           == rows(CurationOps.chunkSpec(docs, w, st)), s"chunk w=$w st=$st: $texts")
     }
   }
+
+  test("property: simhash / shingle / minhash-band kernels equal spec forms on random docs") {
+    import graft.functions.TextExprs
+    import graft.text.TextOps
+    val s = spark
+    import s.implicits._
+    // empty tokens AND leading/trailing spaces — the framing class the
+    // curation sweep proved productive
+    val word = Gen.frequency((8, Gen.choose(1, 7).map(i => s"w$i")), (1, Gen.const("")))
+    val doc = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(10, doc)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    for (texts <- samples(docsGen, 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      assert(rows(graft.dedup.DedupOps.simhash(docs))
+        == rows(graft.dedup.DedupOps.simhashViaExplode(docs)), s"simhash: $texts")
+      for (k <- Seq(1, 2, 3)) {
+        val native = docs.select(col("doc_id"),
+          explode(TextExprs.shingle_hash_set(col("text"), k)).as("h"))
+        val hof = docs
+          .withColumn("__th", expr(TextOps.tokenHashArrayExpr))
+          .select(col("doc_id"), explode(expr(TextOps.shingleHashExpr(k))).as("h"))
+          .distinct()
+        assert(rows(native) == rows(hof), s"shingle_hash_set k=$k: $texts")
+      }
+      val specBands = graft.dedup.DedupOps
+        .lshBands(graft.dedup.DedupOps.minhashSignatures(
+          TextOps.shingleHashes(docs, 2), 8), 2)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      val nativeBands = docs
+        .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          posexplode(TextExprs.lsh_band_keys(TextExprs.min_hash_sig(col("sh"), 8), 2)))
+        .select(col("doc_id"), col("pos").cast("long").as("band"), col("col").as("bkey"))
+      assert(rows(nativeBands) == rows(specBands), s"minhash bands: $texts")
+    }
+  }
 }
