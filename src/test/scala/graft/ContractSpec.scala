@@ -56,4 +56,16 @@ class ContractSpec extends SparkSpec {
       assert(!sql.contains("\t"), s"$name oracle contains a tab")
     }
   }
+
+  test("Graft.install wires the SQL surface and the top-k rewrite, idempotently") {
+    Graft.install(spark)
+    Graft.install(spark) // second call must not duplicate strategies
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.TopKPerKeyStrategy) == 1)
+    val hashed = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    assert(hashed == (((('a'.toInt * 31) + 'b'.toInt) * 31 + 'c'.toInt) % 1000000007))
+    val dedup = spark
+      .sql("SELECT seg_dedup('a b a b', 2).clean_text AS t").head().getString(0)
+    assert(dedup == "a b")
+  }
 }
