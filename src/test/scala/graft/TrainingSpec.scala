@@ -148,6 +148,11 @@ class TrainingSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     val a = run()
     assert(a.sorted.toSeq == run().sorted.toSeq) // pure function of (doc_id, epoch)
+    // partition-invariance: the (shard, pos) assignment must not depend on
+    // physical layout (mix orders totally within shard, doc_id breaks ties)
+    val rep = Training.epochShuffle(docs.repartition(7), epochs = Seq(1, 2), nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rep.sorted.toSeq == a.sorted.toSeq)
     for (e <- Seq(1, 2)) {
       val rows = a.filter(_._1 == e)
       assert(rows.map(_._4).sorted.toSeq == (0L until 64L)) // a permutation
