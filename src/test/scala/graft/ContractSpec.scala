@@ -58,14 +58,22 @@ class ContractSpec extends SparkSpec {
   }
 
   test("Graft.install wires the SQL surface and the top-k rewrite, idempotently") {
-    Graft.install(spark)
-    Graft.install(spark) // second call must not duplicate strategies
-    assert(spark.experimental.extraStrategies
-      .count(_ == graft.plans.TopKPerKeyStrategy) == 1)
-    val hashed = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
-    assert(hashed == (((('a'.toInt * 31) + 'b'.toInt) * 31 + 'c'.toInt) % 1000000007))
-    val dedup = spark
-      .sql("SELECT seg_dedup('a b a b', 2).clean_text AS t").head().getString(0)
-    assert(dedup == "a b")
+    val hadTopK = spark.experimental.extraStrategies
+      .contains(graft.plans.TopKPerKeyStrategy)
+    try {
+      Graft.install(spark)
+      Graft.install(spark) // second call must not duplicate strategies
+      assert(spark.experimental.extraStrategies
+        .count(_ == graft.plans.TopKPerKeyStrategy) == 1)
+      val hashed = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+      assert(hashed == (((('a'.toInt * 31) + 'b'.toInt) * 31 + 'c'.toInt) % 1000000007))
+      val dedup = spark
+        .sql("SELECT seg_dedup('a b a b', 2).clean_text AS t").head().getString(0)
+      assert(dedup == "a b")
+    } finally {
+      // the suite shares one session: PlanShapeSpec's window-shape pins
+      // assume the rewrite is NOT installed unless they install it
+      if (!hadTopK) graft.plans.TopKPerKey.uninstall(spark)
+    }
   }
 }
