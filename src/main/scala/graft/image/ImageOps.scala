@@ -562,9 +562,15 @@ object ImageOps {
     * [[resampleAffineNN]]; with block-partitioned ingest both sides
     * co-locate by spatial block at cluster scale.
     */
+  /** Boundary policy: with `pad100 = None` (the default), only output
+    * cells whose FULL 8-corner support exists are emitted (interior-only;
+    * see the class note below). With `pad100 = Some(v)`, missing corners
+    * contribute the pad value (in DECIMAL·100 int64 units) and EVERY
+    * output cell emits — antsApplyTransforms' `defaultValue` semantics
+    * (pad 0 = zero-padded convolution at the volume edge). */
   def resampleAffineTrilinear(spark: SparkSession, grid: DataFrame,
       aNum: Array[Array[Long]], bNum: Array[Long], den: Long,
-      dims: (Int, Int, Int)): DataFrame = {
+      dims: (Int, Int, Int), pad100: Option[Long] = None): DataFrame = {
     require(den > 0, "denominator must be positive")
     val (nx, ny, nz) = dims
     val out = spark.range(nx.toLong * ny * nz).selectExpr(
@@ -599,13 +605,19 @@ object ImageOps {
           when(col("c.dy") === 0, lit(den) - col("fy")).otherwise(col("fy")) *
           when(col("c.dz") === 0, lit(den) - col("fz")).otherwise(col("fz")))
           .as("wn"))
-    corners
-      .join(grid.select(col("x").as("sx"), col("y").as("sy"),
-        col("z").as("sz"),
-        (col("value_dec") * 100).cast("long").as("v100")), Seq("sx", "sy", "sz"))
+    val gridV = grid.select(col("x").as("sx"), col("y").as("sy"),
+      col("z").as("sz"), (col("value_dec") * 100).cast("long").as("v100"))
+    val joined = pad100 match {
+      case None => corners.join(gridV, Seq("sx", "sy", "sz"))
+      case Some(p) => corners.join(gridV, Seq("sx", "sy", "sz"), "left")
+        .withColumn("v100", coalesce(col("v100"), lit(p)))
+    }
+    val agg = joined
       .groupBy("x", "y", "z")
       .agg(sum(col("wn") * col("v100")).as("num"), count(lit(1)).as("nc"))
-      .filter(col("nc") === 8)
+    // padded mode keeps every output cell (the left join preserves all 8
+    // corner rows); interior-only keeps full-support cells
+    (if (pad100.isEmpty) agg.filter(col("nc") === 8) else agg)
       .select(col("x"), col("y"), col("z"),
         (col("num").cast("double") / (100.0 * den * den * den)).as("value"))
   }

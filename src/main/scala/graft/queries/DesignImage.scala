@@ -346,6 +346,58 @@ object DesignImage extends QueryModule {
        |FROM j WHERE nc = 8 ORDER BY x, y, z""".stripMargin
   }
 
+  // ---- q134: zero-padded trilinear resample (the ANTs defaultValue form) --
+  // Same geometry as q132, boundary policy flipped: missing corners
+  // contribute 0 (antsApplyTransforms --default-value 0), so EVERY output
+  // cell emits — boundary cells fade toward zero instead of dropping. The
+  // oracle LEFT-joins the grid and coalesces.
+
+  def resampleTrilinearPadded(s: SparkSession, d: String): DataFrame =
+    ImageOps
+      .resampleAffineTrilinear(s, ImageOps.voxelGrid(lineitem(s, d), L),
+        Array(Array(2L, 0L, 0L), Array(0L, 2L, 0L), Array(0L, 0L, 2L)),
+        Array(1L, 1L, 1L), den = 4L, (2 * L, 2 * L, 2 * L), pad100 = Some(0L))
+      .orderBy("x", "y", "z")
+
+  private val resampleTrilinearPaddedSql = {
+    val n = 2 * L
+    s"""WITH $duckGrid,
+       |o AS (
+       |  SELECT CAST(g // ${n * n} AS INTEGER) AS x,
+       |         CAST((g // $n) % $n AS INTEGER) AS y,
+       |         CAST(g % $n AS INTEGER) AS z
+       |  FROM generate_series(0, ${n * n * n - 1}) AS gs(g)
+       |), sn AS (
+       |  SELECT x, y, z,
+       |    CAST(2 * x + 1 AS BIGINT) AS sn0,
+       |    CAST(2 * y + 1 AS BIGINT) AS sn1,
+       |    CAST(2 * z + 1 AS BIGINT) AS sn2
+       |  FROM o
+       |), cell AS (
+       |  SELECT x, y, z,
+       |    CAST(sn0 // 4 AS INTEGER) AS s0x, CAST(sn1 // 4 AS INTEGER) AS s0y,
+       |    CAST(sn2 // 4 AS INTEGER) AS s0z,
+       |    sn0 % 4 AS fx, sn1 % 4 AS fy, sn2 % 4 AS fz
+       |  FROM sn
+       |), corner AS (
+       |  SELECT c.x, c.y, c.z,
+       |    c.s0x + CAST(k // 4 AS INTEGER) AS sx,
+       |    c.s0y + CAST((k // 2) % 2 AS INTEGER) AS sy,
+       |    c.s0z + CAST(k % 2 AS INTEGER) AS sz,
+       |    (CASE WHEN k // 4 = 0 THEN 4 - c.fx ELSE c.fx END) *
+       |    (CASE WHEN (k // 2) % 2 = 0 THEN 4 - c.fy ELSE c.fy END) *
+       |    (CASE WHEN k % 2 = 0 THEN 4 - c.fz ELSE c.fz END) AS wn
+       |  FROM cell c, generate_series(0, 7) AS ks(k)
+       |), j AS (
+       |  SELECT corner.x, corner.y, corner.z,
+       |    sum(wn * COALESCE(CAST(g.value_dec * 100 AS BIGINT), 0)) AS num
+       |  FROM corner LEFT JOIN grid g ON g.x = corner.sx AND g.y = corner.sy AND g.z = corner.sz
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT x, y, z, CAST(num AS DOUBLE) / ${100.0 * 64} AS value
+       |FROM j ORDER BY x, y, z""".stripMargin
+  }
+
   // ---- q64: per-TR global signal over the masked 4-D series (A4) ---------
   // nb cell 42: global signal = mean over in-mask voxels at each TR. The
   // mask is the aseg-code mask of the 3-D grid (an atlas: O(volume),
@@ -456,6 +508,7 @@ object DesignImage extends QueryModule {
     Q("q72_mean_image", meanImage, Some(meanImageSql)),
     Q("q63_resample_affine", resampleAffine, Some(resampleAffineSql)),
     Q("q132_resample_trilinear", resampleTrilinear, Some(resampleTrilinearSql)),
+    Q("q134_resample_padded", resampleTrilinearPadded, Some(resampleTrilinearPaddedSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q40_resample", resample, Some(resampleSql)),

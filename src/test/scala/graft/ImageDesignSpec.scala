@@ -190,6 +190,27 @@ class ImageDesignSpec extends SparkSpec {
       assert(out((x, y, z)) == x * 100 + y * 10 + z)
   }
 
+  test("resampleAffineTrilinear padded: full box emits; boundary fades; interior matches") {
+    val g = grid(
+      (for { x <- 0 to 1; y <- 0 to 1; z <- 0 to 1 }
+        yield (x, y, z, 0, BigDecimal(8))): _*) // constant field
+    val aff = Array(Array(2L, 0L, 0L), Array(0L, 2L, 0L), Array(0L, 0L, 2L))
+    val interior = ImageOps.resampleAffineTrilinear(spark, g, aff,
+        Array(1L, 1L, 1L), den = 4L, (4, 4, 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val padded = ImageOps.resampleAffineTrilinear(spark, g, aff,
+        Array(1L, 1L, 1L), den = 4L, (4, 4, 4), pad100 = Some(0L))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(padded.size == 64) // EVERY output cell of the 4³ box
+    // on full-support cells the two policies agree exactly
+    interior.foreach { case (k, v) => assert(padded(k) == v, s"$k") }
+    // a boundary cell fades: o=2 → s=1.25, one corner (x=2) missing → pad 0
+    // contributes weight 1/4 of the x-axis mass: 8 * 3/4 = 6
+    assert(padded((2, 0, 0)) == 6.0)
+    // a fully-outside cell is all padding
+    assert(padded((3, 3, 3)) == 0.125) // s=1.75: only corner (1,1,1) in-grid, w=(1/4)³·8
+  }
+
   test("binomialSmooth preserves a constant field") {
     val g = grid(
       (for { x <- 0 to 2; y <- 0 to 2; z <- 0 to 2 }
