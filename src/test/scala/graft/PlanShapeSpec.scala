@@ -278,6 +278,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "per-doc semantics paid a cross-doc shuffle")
     assert(p.contains("seg_dedup"), "native kernel missing from the plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to doc_id + text")
+  }
+
+  test("q133: epoch shuffle scan prunes to doc_id alone") {
+    val p = plan("q133_epoch_shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "nothing but the key should be read")
   }
 
   test("q132: trilinear resample keeps the NN exchange structure (no nested loop)") {
