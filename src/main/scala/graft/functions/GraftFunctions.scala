@@ -48,6 +48,7 @@ object GraftFunctions {
       TextExprs.SegDedup(e.head, intLit(e(1), "seg_dedup")))
     add("seg_structs")(e =>
       TextExprs.SegStructs(e.head, intLit(e(1), "seg_structs")))
+    add("term_counts")(e => TextExprs.TermCounts(e.head))
     add("chunk_structs")(e =>
       TextExprs.ChunkStructs(e.head, intLit(e(1), "chunk_structs"),
         intLit(e(2), "chunk_structs")))

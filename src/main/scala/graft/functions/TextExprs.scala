@@ -370,6 +370,32 @@ object TextExprs {
     new GenericArrayData(out)
   }
 
+  /** Per-document term frequencies in ONE pass, first-occurrence order:
+    * (term, c) per DISTINCT token. Replaces the explode → groupBy(doc,
+    * term) shape in TF builders — the per-doc aggregation happens inside
+    * the scan stage (map-side, bounded by doc length), so the only
+    * exchange left in a TF/DF pipeline is the corpus-level term one. */
+  def termCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val order = new java.util.ArrayList[String]()
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    foreachToken(str, (_, a, b) => {
+      val tok = str.substring(a, b)
+      val prev = counts.get(tok)
+      if (prev == null) { order.add(tok); counts.put(tok, 1L) }
+      else counts.put(tok, prev + 1L)
+    })
+    val out = new Array[Any](order.size)
+    var i = 0
+    while (i < order.size) {
+      val tok = order.get(i)
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(tok), counts.get(tok).longValue()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val T = "graft.functions.TextExprs"
 
   // ------------------------------------------------------------ expressions
@@ -471,6 +497,18 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  case class TermCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("c", LongType, nullable = false),
+    )), containsNull = false)
+    override def prettyName: String = "term_counts"
+    override def nullSafeEval(v: Any): Any = termCounts(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$T.termCounts($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hash_set"
@@ -555,6 +593,8 @@ object TextExprs {
     ColumnBridge.column(SegDedup(ColumnBridge.expression(c), segTokens))
   def seg_structs(c: Column, segTokens: Int): Column =
     ColumnBridge.column(SegStructs(ColumnBridge.expression(c), segTokens))
+  def term_counts(c: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(c)))
   def chunk_structs(c: Column, window: Int, stride: Int): Column =
     ColumnBridge.column(ChunkStructs(ColumnBridge.expression(c), window, stride))
   def shingle_hash_set(c: Column, k: Int): Column =

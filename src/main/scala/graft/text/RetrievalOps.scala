@@ -58,20 +58,16 @@ object RetrievalOps {
     * exact shape the TopKPerKey physical rewrite replaces with a bounded
     * heap (no per-document sort at scale). */
   def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
-    // ONE doc_id exchange serves both downstream clusterings:
-    // HashPartitioning(doc_id) satisfies the (doc_id, term) aggregate's
-    // ClusteredDistribution (subset rule) AND the rank window's, so
-    // neither inserts its own shuffle — PlanShapeSpec counts exactly one
-    // doc-keyed exchange on this path. Trade: the exchange carries raw
-    // (doc_id, token) rows instead of map-side-combined distinct pairs,
-    // but it replaces TWO distinct-pair exchanges (aggregate + window),
-    // which for natural raw/distinct ratios (~2-3×) is fewer total bytes
-    // and one fewer stage barrier.
+    // the per-doc (term, tf) pairs come out of the scan as ONE native
+    // expression, so the single doc_id exchange left on this path (the
+    // rank window's) carries map-side-combined DISTINCT pairs — strictly
+    // fewer bytes than either historical shape (raw-token single exchange,
+    // or aggregate + window double exchange); PlanShapeSpec still counts
+    // exactly one doc-keyed exchange
     val tf = docs
-      .select(col("doc_id"), explode(toks).as("term"))
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.term_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.c").as("tf"))
     // df gets its OWN lean branch (map-side array_distinct, term-keyed
     // partial agg) — deriving it from `tf` would re-evaluate the
     // repartitioned subtree inside the broadcast side, doubling the
@@ -139,12 +135,23 @@ object RetrievalOps {
     * Self-hits are excluded; ranks are (score desc, doc_id asc). */
   def bm25PerQuery(docs: DataFrame, queryPred: Column, k1: Double,
       b: Double, k: Int): DataFrame = {
-    val sized = docs.select(col("doc_id"), toks.as("tk"),
-      size(toks).cast("long").as("dl"))
-    val tf = sized
-      .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // per-doc term frequencies come out of the scan stage as ONE native
+    // expression (distinct (term, c) pairs — no (doc, term) aggregation
+    // exchange), then ONE explicit doc_id repartition: it parallelizes
+    // everything downstream of a possibly-few-split scan AND satisfies the
+    // final (query_id, doc_id) aggregation by the clustering-subset rule,
+    // so the whole pipeline pays a single doc-keyed exchange of
+    // map-side-combined pairs (the old aggregate shape paid that exchange
+    // on RAW token occurrences, then a second one for the per-query sums —
+    // ProbeBm25 has the A/B: 1.28 / 3.84-without-repartition / 1.22 s)
+    val tf = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(graft.functions.TextExprs.term_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("dl"),
+        col("tc.term").as("term"), col("tc.c").as("tf"))
+      .repartition(col("doc_id"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val sized = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
     val stats = sized.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = docs.filter(queryPred)
       .select(col("doc_id").as("query_id"),

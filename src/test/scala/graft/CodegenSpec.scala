@@ -97,6 +97,10 @@ class CodegenSpec extends SparkSpec {
     checkCodegen(docs.select(TextExprs.seg_dedup(col("text"), 2)), "segDedup")
   }
 
+  test("term_counts generates and compiles") {
+    checkCodegen(docs.select(TextExprs.term_counts(col("text"))), "termCounts")
+  }
+
   test("seg_structs / chunk_structs generate and compile") {
     checkCodegen(docs.select(TextExprs.seg_structs(col("text"), 6)), "segStructs")
     checkCodegen(docs.select(TextExprs.chunk_structs(col("text"), 32, 24)), "chunkStructs")

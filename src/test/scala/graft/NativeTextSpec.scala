@@ -96,6 +96,23 @@ class NativeTextSpec extends SparkSpec {
     assert(rows.count(_._1 == 2L) === 0) // < k tokens → empty
   }
 
+  test("term_counts equals the explode/groupBy term-frequency spec") {
+    val native = docs.select(col("doc_id"),
+      explode(TextExprs.term_counts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.c").as("tf"))
+    val spec = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(native.exceptAll(spec).count() === 0L)
+    assert(spec.exceptAll(native).count() === 0L)
+    assert(native.count() > 0L)
+    // empty-token framing: "a  b" has an empty token with count 1
+    val edge = Seq((1L, "a  b a")).toDF("doc_id", "text")
+    val m = edge.select(explode(TextExprs.term_counts(col("text"))).as("tc"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    assert(m === Map("a" -> 2L, "" -> 1L, "b" -> 1L))
+  }
+
   test("shingle_hash_set: fewer than k tokens yields an empty set") {
     val edge = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
     val n = edge.select(explode(TextExprs.shingle_hash_set(col("text"), 3))).count()
