@@ -233,6 +233,12 @@ class PropertySpec extends SparkSpec {
           .distinct()
         assert(rows(native) == rows(hof), s"shingle_hash_set k=$k: $texts")
       }
+      assert(rows(docs.select(col("doc_id"),
+          explode(TextExprs.term_counts(col("text"))).as("tc"))
+          .select(col("doc_id"), col("tc.term"), col("tc.c")))
+        == rows(docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("c"))),
+        s"term_counts: $texts")
       val specBands = graft.dedup.DedupOps
         .lshBands(graft.dedup.DedupOps.minhashSignatures(
           TextOps.shingleHashes(docs, 2), 8), 2)
