@@ -183,6 +183,99 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q135: ANN recall@k evaluation (the index-quality measurement) -----
+  // The operator a serving team actually runs to pick nprobe: per query,
+  // |IVF top-k ∩ exact top-k| / k at nprobe 1 and 2 — composed entirely
+  // from the already-hash-proven q27 (exact) and q74 (probed) relations,
+  // so determinism is inherited (same float ordering + tie-breaks both
+  // engines). Queries with zero recall survive via the query-frame left
+  // join; both nprobe settings ride ONE union so the corpus assignment
+  // is planned once.
+
+  private val recallK = 3
+
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val pred = col("vec_id") < 10
+    val exact = SimilarityOps.cosineTopK(emb, pred, recallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val probes = Seq(1, 2).map(np =>
+      SimilarityOps.ivfTopK(emb, pred, recallK, nCentroids = 16, nProbe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id")))
+      .reduce(_ unionByName _)
+    val hits = probes
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe", "query_id").agg(count(lit(1)).as("hits"))
+    import s.implicits._
+    val frame = emb.filter(pred).select(col("vec_id").as("query_id"))
+      .crossJoin(Seq(1, 2).toDF("nprobe"))
+    frame
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / recallK, 6))
+      .orderBy("nprobe", "query_id")
+  }
+
+  private val annRecallSql = {
+    def cand(np: Int) =
+      s"""qprobe$np AS (
+         |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc
+         |  WHERE rn <= $np AND vec_id < 10
+         |),
+         |scored$np AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+         |  FROM qprobe$np q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+         |),
+         |cand$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |    FROM scored$np) WHERE rank <= $recallK
+         |),
+         |hits$np AS (
+         |  SELECT c.query_id, count(*) AS hits
+         |  FROM cand$np c JOIN exact e ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+         |  GROUP BY c.query_id
+         |)""".stripMargin
+    def half(np: Int) =
+      s"""SELECT $np AS nprobe, q.query_id, COALESCE(h.hits, 0) AS hits,
+         |  round(COALESCE(h.hits, 0) / $recallK.0, 6) AS recall
+         |FROM queries q LEFT JOIN hits$np h ON h.query_id = q.query_id""".stripMargin
+    s"""WITH $duckCorpus,
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc WHERE rn = 1
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckDot("q.v", "c.v")} / (q.norm * c.norm) DESC, c.vec_id ASC) AS rank
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= $recallK
+       |),
+       |queries AS (SELECT vec_id AS query_id FROM corpus WHERE vec_id < 10),
+       |${cand(1)},
+       |${cand(2)}
+       |${half(1)}
+       |UNION ALL
+       |${half(2)}
+       |ORDER BY nprobe, query_id""".stripMargin
+  }
+
   // ---- q65: distributed k-means IVF training -----------------------------
   // The training step q49's centroid pick defers to: 2 Lloyd iterations,
   // deterministic init (lowest vec_ids), exact int64 fixed-point coordinate
@@ -975,6 +1068,7 @@ object Similarity extends QueryModule {
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
+    Q("q135_ann_recall", annRecall, Some(annRecallSql)),
     Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),

@@ -566,4 +566,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out(("neg", 2L)) == ((21L, 1L)))
     assert(out.size == 4)
   }
+
+  test("annRecall (q135): complete frame, bounded, monotone in nprobe, exact on a planted gap") {
+    val rows = graft.queries.Similarity.annRecall(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size == 20) // 10 queries x nprobe in {1, 2}, zero-hit rows included
+    rows.foreach { case ((_, _), (h, rec)) =>
+      assert(h >= 0L && h <= 3L && rec >= 0.0 && rec <= 1.0)
+    }
+    // probing MORE cells can only add exact neighbors to the candidate set
+    (0L until 10L).foreach { q =>
+      assert(rows((2, q))._1 >= rows((1, q))._1, s"recall must be monotone in nprobe (query $q)")
+    }
+  }
 }
