@@ -208,6 +208,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: trilinear resample reproduces random linear fields under random dyadic affines") {
+    import graft.image.ImageOps
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      den <- Gen.oneOf(2L, 4L)
+      a <- Gen.choose(1L, 3L) // diagonal scale numerator
+      bn <- Gen.choose(0L, den - 1) // sub-voxel shift numerator
+      cx <- Gen.choose(1, 5); cy <- Gen.choose(1, 5); cz <- Gen.choose(1, 5)
+    } yield (den, a, bn, cx, cy, cz)
+    for ((den, a, bn, cx, cy, cz) <- samples(gen, 8)) {
+      // v = cx·x + cy·y + cz·z scaled to keep 2-decimal exactness
+      val g = (for { x <- 0 to 3; y <- 0 to 3; z <- 0 to 3 }
+        yield (x, y, z, 0, BigDecimal(cx * x + cy * y + cz * z)))
+        .toDF("x", "y", "z", "label", "value_dec")
+        .withColumn("value_dec", col("value_dec").cast("decimal(18,2)"))
+      val out = ImageOps.resampleAffineTrilinear(s, g,
+          Array(Array(a, 0L, 0L), Array(0L, a, 0L), Array(0L, 0L, a)),
+          Array(bn, bn, bn), den, (4, 4, 4))
+        .collect()
+      // interior-only: every emitted cell must equal the field AT the
+      // exact rational source point (trilinear is exact on linear fields)
+      out.foreach { r =>
+        val (x, y, z, v) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+        def src(o: Int) = (a * o + bn).toDouble / den
+        val expect = cx * src(x) + cy * src(y) + cz * src(z)
+        assert(math.abs(v - expect) < 1e-9,
+          s"den=$den a=$a b=$bn cell=($x,$y,$z): $v != $expect")
+      }
+      assert(out.nonEmpty, s"den=$den a=$a b=$bn produced no interior cells")
+    }
+  }
+
   test("property: simhash / shingle / minhash-band kernels equal spec forms on random docs") {
     import graft.functions.TextExprs
     import graft.text.TextOps
