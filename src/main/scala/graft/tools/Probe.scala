@@ -622,7 +622,8 @@ object ProbeScale {
       "q126_standing_boilerplate", "q127_contrastive_pairs",
       "q128_clean_assembly",
       "q129_pii_scrub", "q130_intradoc_dedup", "q131_external_stage",
-      "q132_resample_trilinear", "q133_epoch_shuffle")
+      "q132_resample_trilinear", "q133_epoch_shuffle",
+      "q134_resample_padded", "q135_ann_recall")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()
