@@ -88,8 +88,8 @@ object Glm extends QueryModule {
   /** 6-hour-bucket design over the events month: n=120 timepoints,
     * k=3 regressors (intercept, centered linear trend, first DCT cosine —
     * the ssm_loop poly/DCT shape, ssm_loop.py:55-56). */
-  private[queries] val N = 120
-  private[queries] val design: LinAlg.Mat =
+  private[graft] val N = 120
+  private[graft] val design: LinAlg.Mat =
     Array.tabulate(N, 3) { (t, j) =>
       j match {
         case 0 => 1.0
@@ -533,6 +533,214 @@ object Glm extends QueryModule {
        |ORDER BY g""".stripMargin
   }
 
+  // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
+  // The serial-correlation correction the flagship family still lacked:
+  // fMRI GLM packages (SPM/FSL) never fit the ssm_loop design under a
+  // white-noise assumption — they estimate an AR(1) residual model and
+  // prewhiten (ssm_loop.py's betas are the white special case). Fully
+  // in-engine AND hash-checked: (1) OLS betas via the q33 fixed-point
+  // pinv literals, (2) per-group lag-1 residual autocorrelation rho_g
+  // from exact-DECIMAL sums of rounded products, (3) whitened normal
+  // equations — X*ᵀX* = A0 − rho(A1 + A1ᵀ) + rho²A2 where all three k×k
+  // lag-moment matrices are LITERALS (X is the fixed q33 design), X*ᵀy*
+  // is one per-group aggregate — solved per group by the SHARED
+  // Gauss–Jordan string generator (gjStages), so both engines execute the
+  // identical IEEE-754 op sequence and betas are bit-equal by
+  // construction.
+  //
+  // Scale shape: ONE data-sized exchange (events → (g,t) partial-agg);
+  // everything after is bounded at Groups×N rows regardless of input
+  // size. The whitened re-fit never materializes a per-group design —
+  // the rho-quadratic collapses it to literal matrix arithmetic.
+
+  private val Groups = 20
+
+  /** Driver-side literal lag moments over design rows t = 1..N-1:
+    * A0 = Σ x_t x_tᵀ, A1 = Σ x_t x_{t-1}ᵀ, A2 = Σ x_{t-1} x_{t-1}ᵀ. */
+  private lazy val lagMoments: (LinAlg.Mat, LinAlg.Mat, LinAlg.Mat) = {
+    val k = design(0).length
+    val a0 = Array.ofDim[Double](k, k)
+    val a1 = Array.ofDim[Double](k, k)
+    val a2 = Array.ofDim[Double](k, k)
+    for (t <- 1 until N; i <- 0 until k; j <- 0 until k) {
+      a0(i)(j) += design(t)(i) * design(t)(j)
+      a1(i)(j) += design(t)(i) * design(t - 1)(j)
+      a2(i)(j) += design(t - 1)(i) * design(t - 1)(j)
+    }
+    (a0, a1, a2)
+  }
+
+  // shared expression strings — the SAME text runs through Spark
+  // selectExpr and the DuckDB oracle, so each stage's double math is the
+  // identical parse tree on both engines
+  private val eStr =
+    "CAST(y AS DOUBLE) - (x0 * b_0 + x1 * b_1 + x2 * b_2)"
+  private val rhoStr =
+    "CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ELSE 0.0 END"
+  private def wbStr(j: Int) =
+    s"SUM(CAST(round((x$j - rho * xl$j) * " +
+      s"(CAST(y AS DOUBLE) - rho * CAST(y_lag AS DOUBLE)), 4) AS DECIMAL(38,4)))"
+  private def mStr(i: Int, j: Int): String = {
+    val (a0, a1, a2) = lagMoments
+    s"((${a0(i)(j)}) - rho * ((${a1(i)(j)}) + (${a1(j)(i)})) " +
+      s"+ rho * rho * (${a2(i)(j)}))"
+  }
+
+  /** The q136 body from the grid-filled (g, t, y-cents) relation —
+    * separated so specs can feed planted series. */
+  private[graft] def ar1Core(s: SparkSession, full: DataFrame): DataFrame = {
+    import s.implicits._
+    val k = design(0).length
+    val p = LinAlg.pinv(design)
+    val wRel = (0 until N).map { t =>
+      (t.toLong,
+        math.rint(p(0)(t) * GlmOps.Scale).toLong,
+        math.rint(p(1)(t) * GlmOps.Scale).toLong,
+        math.rint(p(2)(t) * GlmOps.Scale).toLong)
+    }.toDF("t", "w0", "w1", "w2")
+    val xRel = (0 until N).map { t =>
+      def xl(j: Int) = if (t > 0) design(t - 1)(j) else 0.0
+      (t.toLong, design(t)(0), design(t)(1), design(t)(2), xl(0), xl(1), xl(2))
+    }.toDF("t", "x0", "x1", "x2", "xl0", "xl1", "xl2")
+
+    val betas = full.join(broadcast(wRel), Seq("t"))
+      .groupBy("g")
+      .agg(expr("SUM(CAST(w0 AS DECIMAL(38,0)) * y)").as("s_0"),
+        expr("SUM(CAST(w1 AS DECIMAL(38,0)) * y)").as("s_1"),
+        expr("SUM(CAST(w2 AS DECIMAL(38,0)) * y)").as("s_2"))
+      .selectExpr("g" +:
+        (0 until k).map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j"): _*)
+    val res = full.join(broadcast(xRel), Seq("t"))
+      .join(broadcast(betas), Seq("g"))
+      .selectExpr("g", "t", "y", s"$eStr AS e")
+    val lagged = res.selectExpr("g", "t", "y", "e",
+      "lag(y) OVER (PARTITION BY g ORDER BY t) AS y_lag",
+      "lag(e) OVER (PARTITION BY g ORDER BY t) AS e_lag")
+    val rg = lagged.groupBy("g")
+      .agg(expr("SUM(CAST(round(e * e_lag, 4) AS DECIMAL(38,4)))").as("num"),
+        expr("SUM(CAST(round(e_lag * e_lag, 4) AS DECIMAL(38,4)))").as("den"))
+      .selectExpr("g", s"$rhoStr AS rho")
+    val white = lagged.filter(col("t") >= 1)
+      .join(broadcast(xRel), Seq("t"))
+      .join(broadcast(rg), Seq("g"))
+      .groupBy("g")
+      .agg(expr(wbStr(0)).as("wb_0"), expr(wbStr(1)).as("wb_1"),
+        expr(wbStr(2)).as("wb_2"))
+    val init = white.join(broadcast(rg), Seq("g")).selectExpr(
+      Seq("g", "rho") ++
+        (for (i <- 0 until k; j <- 0 until k) yield s"${mStr(i, j)} AS d_${i}_$j") ++
+        (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i"): _*)
+    val solved = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+      .foldLeft(init)((df, st) => df.selectExpr("g" +: "rho" +: st: _*))
+    solved.selectExpr(("g" +: "round(rho, 6) AS rho" +:
+      (0 until k).map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i")): _*)
+      .orderBy("g")
+  }
+
+  /** q136: grid-filled per-group 6-h-bucket cents series → ar1Core. */
+  def ar1Glm(s: SparkSession, d: String): DataFrame = {
+    val ser = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select((col("user_id") % Groups).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+        expr("cast(floor(value * 100 + 0.5D) as bigint)").as("fpv"))
+      .filter(col("t") < N)
+      .groupBy("g", "t").agg(sum("fpv").as("y"))
+    val grid = s.range(Groups).select(col("id").as("g"))
+      .crossJoin(s.range(N).select(col("id").as("t")))
+    val full = grid.join(ser, Seq("g", "t"), "left").na.fill(0L, Seq("y"))
+    ar1Core(s, full)
+  }
+
+  private def ar1GlmSql: String = {
+    val k = design(0).length
+    val p = LinAlg.pinv(design)
+    val wRows = (0 until N).map { t =>
+      s"($t, ${math.rint(p(0)(t) * GlmOps.Scale).toLong}, " +
+        s"${math.rint(p(1)(t) * GlmOps.Scale).toLong}, " +
+        s"${math.rint(p(2)(t) * GlmOps.Scale).toLong})"
+    }
+    val xRows = (0 until N).map { t =>
+      def xl(j: Int) = if (t > 0) design(t - 1)(j) else 0.0
+      s"($t, ${design(t)(0)}, ${design(t)(1)}, ${design(t)(2)}, " +
+        s"${xl(0)}, ${xl(1)}, ${xl(2)})"
+    }
+    val sCols = (0 until k)
+      .map(j => s"SUM(CAST(w$j AS HUGEINT) * y) AS s_$j").mkString(",\n    ")
+    val bCols = (0 until k)
+      .map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j").mkString(", ")
+    val wbCols = (0 until k).map(j => s"${wbStr(j)} AS wb_$j").mkString(",\n    ")
+    val dCols = ((for (i <- 0 until k; j <- 0 until k)
+      yield s"${mStr(i, j)} AS d_${i}_$j") ++
+      (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i")).mkString(",\n    ")
+    val stages = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, pi) =>
+      val prev = if (pi == 0) "init" else s"st${pi - 1}"
+      s"st$pi AS (\n  SELECT g, rho, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")
+    s"""WITH w(t, w0, w1, w2) AS (VALUES ${wRows.mkString(", ")}),
+       |x(t, x0, x1, x2, xl0, xl1, xl2) AS (VALUES ${xRows.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % $Groups AS g,
+       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
+       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+       |  FROM events
+       |  WHERE epoch_us(ts) - $baseUs >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $bucketUs < $N
+       |  GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT CAST(gg.g AS BIGINT) AS g, CAST(tt.t AS BIGINT) AS t
+       |  FROM unnest(range($Groups)) AS gg(g)
+       |  CROSS JOIN unnest(range($N)) AS tt(t)
+       |),
+       |filled AS (
+       |  SELECT grid.g, grid.t, COALESCE(ser.y, 0) AS y
+       |  FROM grid LEFT JOIN ser ON ser.g = grid.g AND ser.t = grid.t
+       |),
+       |ols AS (
+       |  SELECT g,
+       |    $sCols
+       |  FROM filled JOIN w USING (t) GROUP BY g
+       |),
+       |betas AS (SELECT g, $bCols FROM ols),
+       |res AS (
+       |  SELECT filled.g, filled.t, filled.y, $eStr AS e
+       |  FROM filled JOIN x USING (t) JOIN betas USING (g)
+       |),
+       |lagged AS (
+       |  SELECT g, t, y, e,
+       |    lag(y) OVER (PARTITION BY g ORDER BY t) AS y_lag,
+       |    lag(e) OVER (PARTITION BY g ORDER BY t) AS e_lag
+       |  FROM res
+       |),
+       |rg AS (
+       |  SELECT g, $rhoStr AS rho FROM (
+       |    SELECT g,
+       |      SUM(CAST(round(e * e_lag, 4) AS DECIMAL(38,4))) AS num,
+       |      SUM(CAST(round(e_lag * e_lag, 4) AS DECIMAL(38,4))) AS den
+       |    FROM lagged GROUP BY g)
+       |),
+       |white AS (
+       |  SELECT g,
+       |    $wbCols
+       |  FROM lagged JOIN x USING (t) JOIN rg USING (g)
+       |  WHERE t >= 1
+       |  GROUP BY g
+       |),
+       |init AS (
+       |  SELECT g, rho,
+       |    $dCols
+       |  FROM white JOIN rg USING (g)
+       |),
+       |$stageCtes
+       |SELECT g, round(rho, 6) AS rho, $out
+       |FROM st${k - 1}
+       |ORDER BY g""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
@@ -542,5 +750,6 @@ object Glm extends QueryModule {
     Q("q70_mass_glm_residuals", massGlmResiduals, Some(massGlmResidualsSql)),
     Q("q103_multi_run_glm", multiRunGlm, Some(multiRunGlmSql)),
     Q("q116_normal_glm", normalGlm, Some(normalGlmSql)),
+    Q("q136_ar1_glm", ar1Glm, Some(ar1GlmSql)),
   )
 }

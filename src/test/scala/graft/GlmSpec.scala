@@ -44,6 +44,66 @@ class GlmSpec extends SparkSpec {
       !r.getDouble(c).isNaN && !r.getDouble(c).isInfinite)))
   }
 
+  test("q136 AR(1) GLM: zero group hits the den=0 branch with exact zeros") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    // g=0: all-zero series → OLS betas 0 → residuals 0 → den=0 → rho=0,
+    // whitened normal system solves to exact zeros
+    val full = (0 until n).map(t => (0L, t.toLong, 0L)).toDF("g", "t", "y")
+    val row = graft.queries.Glm.ar1Core(s, full).head()
+    assert(row.getDouble(1) === 0.0) // rho
+    (2 to 4).foreach(i => assert(row.getDouble(i) === 0.0))
+  }
+
+  test("q136 AR(1) GLM: planted AR(1) noise recovers rho; pure signal recovers betas") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    val x = graft.queries.Glm.design
+    val rnd = new scala.util.Random(42)
+    // g=0: y = X·c + AR(1) noise at rho=0.8 (c in cents)
+    val c = Array(200000.0, 50000.0, 30000.0)
+    var ar = 0.0
+    val g0 = (0 until n).map { t =>
+      ar = 0.8 * ar + rnd.nextGaussian()
+      val sig = (0 until 3).map(j => x(t)(j) * c(j)).sum
+      (0L, t.toLong, math.rint(sig + 1000.0 * ar).toLong)
+    }
+    // g=1: pure signal, no noise (only integer-rounding residuals)
+    val g1 = (0 until n).map { t =>
+      val sig = (0 until 3).map(j => x(t)(j) * c(j)).sum
+      (1L, t.toLong, math.rint(sig).toLong)
+    }
+    val out = graft.queries.Glm.ar1Core(s, (g0 ++ g1).toDF("g", "t", "y"))
+      .collect().sortBy(_.getLong(0))
+    val rho0 = out(0).getDouble(1)
+    assert(rho0 > 0.55 && rho0 < 0.95, s"estimated rho $rho0 not near 0.8")
+    // whitened betas still recover the planted signal within the noise
+    (0 until 3).foreach { j =>
+      val b = out(0).getDouble(2 + j)
+      assert(math.abs(b - c(j)) < 20000.0, s"g0 beta_$j $b vs ${c(j)}")
+    }
+    // pure-signal group: betas to within integer-rounding error
+    (0 until 3).foreach { j =>
+      val b = out(1).getDouble(2 + j)
+      assert(math.abs(b - c(j)) < 5.0, s"g1 beta_$j $b vs ${c(j)}")
+    }
+  }
+
+  test("q136 AR(1) GLM: partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- 0L until 3L; t <- 0 until n)
+      yield (g, t.toLong, rnd.nextInt(100000).toLong)
+    val df = rows.toDF("g", "t", "y")
+    val a = graft.queries.Glm.ar1Core(s, df).collect().toSeq
+    val b = graft.queries.Glm.ar1Core(s, df.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)

@@ -222,6 +222,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Project"), "expected the GJ projection stages")
   }
 
+  test("q136: one data-sized exchange; whitened solve is broadcast + projection only") {
+    // the events scan feeds ONE (g,t) partial aggregation; every later
+    // stage (grid fill, OLS betas, residual lag, rho, whitened normal
+    // equations, Gauss-Jordan) runs on bounded Groups×N relations joined
+    // by broadcast — no elimination column ever crosses an exchange
+    val p = plan("q136_ar1_glm")
+    val offending = p.split("\n")
+      .filter(_.contains("Exchange")).filter(_.contains("g0_"))
+    assert(offending.isEmpty,
+      s"q136 shuffles mid-elimination:\n${offending.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "literal design joins must broadcast")
+    // the events-side aggregate is partial (map-side combine) before its
+    // exchange: HashAggregate appears below the first hashpartitioning
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
   test("q95 corpus assembly: dedup/contam gates are broadcast-probed, packing windows partitioned") {
     val s = spark
     val df = graft.queries.TextDedup.corpusAssembly(s, sf0001)
