@@ -270,6 +270,56 @@ object Curation extends QueryModule {
   private val externalStageSql =
     "SELECT doc_id, upper(text) AS shout_text FROM documents ORDER BY doc_id"
 
+  // ---- q137: DSIR importance weights (targeted data selection) -------------
+  // Data Selection via Importance Resampling (Xie et al. 2023): fit
+  // Laplace-smoothed bag-of-hashed-bigram models on a target slice (the
+  // English corpus) and on the raw corpus, score every document with
+  // log w = Σ_f c_f · [ln p̂_tgt(f) − ln q̂_raw(f)] — the standard
+  // cheap proxy for "select raw data that looks like the target". The
+  // bucket log-ratios are fixed-point BIGINTs (rounded at 9 decimals, the
+  // q82 precedent) so the per-doc sums are exact-integer and the oracle
+  // hash-matches. Spark side scores via ONE literal lookup array (the
+  // fitted model is `buckets` longs — model-sized state): zero data-sized
+  // exchanges, the whole corpus pass is projection + a bounded histogram.
+
+  private val dsirBuckets = 512
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    CurationOps.dsirWeights(documents(s, d), col("lang") === "en", dsirBuckets)
+      .orderBy("doc_id")
+
+  private def dsirWeightsSql: String = {
+    val b = dsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = 'en' AS is_t,
+       |    list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, is_t,
+       |    list_transform(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END,
+       |      i -> ((th[i + 1] * 31 + th[i + 2]) % $P) % $b) AS f
+       |  FROM toks
+       |),
+       |cnt AS (
+       |  SELECT u.f AS f, count(*) AS cr,
+       |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+       |  FROM bg, unnest(f) AS u(f) GROUP BY 1
+       |),
+       |tot AS (SELECT SUM(cr) AS crt, SUM(ct) AS ctt FROM cnt),
+       |lr AS (SELECT f, ${CurationOps.dsirLrStr(b)} AS lr_fp
+       |       FROM cnt CROSS JOIN tot),
+       |ds AS (SELECT bg.doc_id, u.f FROM bg, unnest(f) AS u(f)),
+       |sc AS (
+       |  SELECT ds.doc_id, SUM(lr.lr_fp) AS s_fp
+       |  FROM ds JOIN lr USING (f) GROUP BY 1
+       |)
+       |SELECT bg.doc_id, CAST(len(f) AS BIGINT) AS n_bigrams,
+       |  round(CAST(COALESCE(sc.s_fp, 0) AS DOUBLE) / 1e9, 6) AS logw
+       |FROM bg LEFT JOIN sc ON sc.doc_id = bg.doc_id
+       |ORDER BY bg.doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q123_boilerplate_strip", boilerplate, Some(boilerplateSql)),
     Q("q124_chunking", chunks, Some(chunksSql)),
@@ -279,5 +329,6 @@ object Curation extends QueryModule {
     Q("q129_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q130_intradoc_dedup", intraDedup, Some(intraDedupSql)),
     Q("q131_external_stage", externalStage, Some(externalStageSql)),
+    Q("q137_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
   )
 }

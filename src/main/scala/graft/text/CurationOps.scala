@@ -497,4 +497,55 @@ object CurationOps {
       .select(col("query_id"), col("pick.rank").as("rank"),
         col("pick.neighbor_id").as("neighbor_id"), col("pick.score6").as("score6"))
   }
+
+  // ---- DSIR-style importance weights --------------------------------------
+
+  /** The per-bucket log-ratio expression — the SAME string runs in Spark
+    * and the DuckDB oracle, so the fixed-point values are identical
+    * (ln over the same exact-integer ratios, rounded at 9 decimals; the
+    * q82 lnp_fp precedent). */
+  private[graft] def dsirLrStr(buckets: Int): String =
+    s"CAST(round((ln((ct + 1.0) / (ctt + $buckets)) - " +
+      s"ln((cr + 1.0) / (crt + $buckets))) * 1e9, 0) AS BIGINT)"
+
+  /** Hashed-bigram bucket array per doc: two-level radix-31 fold (char
+    * fold per token, fold over each 2-slice) mod `buckets`. */
+  private[graft] def dsirBucketsExpr(buckets: Int): String =
+    s"transform(${TextOps.shingleHashExpr(2)}, h -> h % $buckets)"
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) weights:
+    * bag-of-hashed-bigram models for the target slice and the raw corpus,
+    * Laplace-smoothed; each doc scores
+    * log w = Σ_occurrences [ln p̂_tgt(f) − ln q̂_raw(f)].
+    *
+    * Scale shape: the feature pass is a pure projection (no explode
+    * survives — the bucket histogram aggregate is keyed by f, bounded at
+    * `buckets` rows after map-side combine); the fitted model is collected
+    * like centroids (`buckets` fixed-point longs — model-sized, never
+    * data-sized) and re-enters the corpus pass as ONE literal array, so
+    * scoring is projection-only: zero data-sized exchanges end to end. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        expr(TextOps.tokenHashArrayExpr).as("__th"))
+      .select(col("doc_id"), col("is_t"),
+        expr(dsirBucketsExpr(buckets)).as("f"))
+    val cnt = bg.select(col("is_t"), explode(col("f")).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum("cr").as("crt"), sum("ct").as("ctt"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .selectExpr("f", s"${dsirLrStr(buckets)} AS lr_fp")
+    // model-sized collect (<= buckets rows) — the fitted classifier, not
+    // data; unseen buckets keep 0 (they cannot occur in any doc: every
+    // bucket a doc emits was counted by construction)
+    val arr = Array.fill[Long](buckets)(0L)
+    lr.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val lrLit = s"array(${arr.mkString("L, ")}L)"
+    bg.selectExpr("doc_id", "CAST(size(f) AS BIGINT) AS n_bigrams",
+      s"aggregate(f, 0L, (acc, x) -> acc + element_at($lrLit, CAST(x AS INT) + 1)) AS s_fp")
+      .selectExpr("doc_id", "n_bigrams",
+        "round(CAST(s_fp AS DOUBLE) / 1e9, 6) AS logw")
+  }
 }

@@ -278,4 +278,76 @@ class CurationSpec extends SparkSpec {
       assert(rows(CurationOps.intraDocDedup(docs, st))
         == rows(CurationOps.intraDocDedupSpec(docs, st)), s"segTokens=$st")
   }
+
+  // ---- q137 DSIR importance weights ---------------------------------------
+
+  private val dsirDocs = Seq(
+    // target slice: vocabulary A
+    (1L, "alpha beta gamma alpha beta", "en"),
+    (2L, "beta gamma alpha beta gamma", "en"),
+    (3L, "alpha beta alpha beta alpha", "en"),
+    // raw-only slice: vocabulary B
+    (4L, "rot grun blau rot grun", "de"),
+    (5L, "grun blau rot grun blau", "de"),
+    // held-out: one doc per vocabulary
+    (6L, "alpha beta gamma alpha", "zz"),
+    (7L, "rot grun blau rot", "zz"),
+    // degenerate: single token (0 bigrams), empty-token framing
+    (8L, "solo", "zz"),
+  )
+
+  test("dsirWeights: target-looking doc outscores raw-looking doc; 0-bigram doc is 0") {
+    import spark.implicits._
+    val df = dsirDocs.toDF("doc_id", "text", "lang")
+    val out = CurationOps.dsirWeights(df, col("lang") === "en", 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(6)._2 > out(7)._2,
+      s"target-vocab held-out ${out(6)._2} should beat raw-vocab ${out(7)._2}")
+    assert(out(8) === (0L, 0.0))
+    assert(out(6)._1 === 3L && out(7)._1 === 3L) // 4 tokens -> 3 bigrams
+  }
+
+  test("dsirWeights: exact Scala replay of the smoothed log-ratio model") {
+    import spark.implicits._
+    val P = 1000000007L
+    val B = 64
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    def buckets(text: String): Seq[Int] = {
+      val th = text.split(" ", -1).toSeq.map(tokHash)
+      th.sliding(2).filter(_.length == 2)
+        .map(p => (((p(0) * 31 + p(1)) % P) % B).toInt).toSeq
+    }
+    val docs = dsirDocs
+    val tgt = docs.filter(_._3 == "en").flatMap(d => buckets(d._2))
+    val raw = docs.flatMap(d => buckets(d._2))
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ctt, crt) = (tgt.size.toLong, raw.size.toLong)
+    def lrFp(f: Int): Long = {
+      val v = (math.log((ct.getOrElse(f, 0L) + 1.0) / (ctt + B)) -
+        math.log((cr.getOrElse(f, 0L) + 1.0) / (crt + B))) * 1e9
+      BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def logw(text: String): Double = {
+      val s = buckets(text).map(lrFp).sum
+      BigDecimal(s / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = CurationOps.dsirWeights(docs.toDF("doc_id", "text", "lang"),
+        col("lang") === "en", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    docs.foreach { d =>
+      assert(out(d._1) === logw(d._2), s"doc ${d._1}")
+    }
+  }
+
+  test("dsirWeights: partition-invariant") {
+    import spark.implicits._
+    val df = dsirDocs.toDF("doc_id", "text", "lang")
+    val a = CurationOps.dsirWeights(df, col("lang") === "en", 64)
+      .orderBy("doc_id").collect().toSeq
+    val b = CurationOps.dsirWeights(df.repartition(5), col("lang") === "en", 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }
