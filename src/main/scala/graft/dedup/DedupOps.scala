@@ -644,6 +644,121 @@ object DedupOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  // ---- standing eval-gram store (decontamination joins the q90/q110/q119
+  // standing-state family: benchmarks are ADMITTED over time — new eval
+  // sets append their gram hashes; training arrivals probe the standing
+  // set without ever re-shingling the admitted benchmarks) ---------------
+
+  /** Persist the eval corpus's decontamination state: `name_grams` holds
+    * DISTINCT (h, doc_id) gram-hash pairs bucketed by h (pair grain keeps
+    * appends idempotent and rebuilds exact; probes touch only matched
+    * buckets), `name_docs` the admitted benchmark ids (replay guard),
+    * `name_meta` (written LAST — it gates completeness) the geometry. */
+  def buildEvalGramStore(spark: SparkSession, evalDocs: DataFrame,
+      name: String, shingleK: Int, location: String, buckets: Int = 32,
+      datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    import graft.functions.TextExprs
+    evalDocs
+      .select(col("doc_id"),
+        explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct()
+      .write.mode("overwrite").option("path", s"$location/grams")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${name}_grams")
+    evalDocs.select("doc_id")
+      .write.mode("overwrite").option("path", s"$location/docs")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+    Seq((shingleK, buckets, datasetTag))
+      .toDF("shingle_k", "buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Whether store `name` exists AND was built from `datasetTag`. */
+  def evalGramStoreMatches(spark: SparkSession, name: String,
+      datasetTag: String): Boolean =
+    Seq("grams", "docs", "meta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
+      (try {
+        spark.table(s"${name}_meta").head()
+          .getAs[String]("dataset_tag") == datasetTag
+      } catch { case _: Throwable => false })
+
+  /** Admit a new benchmark slice: append its distinct gram pairs —
+    * benchmark-sized work, the standing set is never re-shingled.
+    * `idempotent = true` anti-joins against `name_docs` first, so
+    * at-least-once replay inserts nothing (localCheckpoint pins the
+    * filtered batch before the writes mutate the guard). */
+  def appendToEvalGramStore(spark: SparkSession, newEval0: DataFrame,
+      name: String, idempotent: Boolean = false): Unit = {
+    import graft.functions.TextExprs
+    val meta = spark.table(s"${name}_meta").head()
+    val (shingleK, buckets) = (meta.getInt(0), meta.getInt(1))
+    val newEval = if (!idempotent) newEval0 else newEval0.join(
+      spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
+    newEval
+      .select(col("doc_id"),
+        explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct()
+      .write.mode("append")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${name}_grams")
+    newEval.select("doc_id")
+      .write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+  }
+
+  /** Rewrite only the meta tag — the completeness seal for multi-stage
+    * builds: build with a staging tag, append the remaining benchmark
+    * slices, then retag to the final dataset tag. A crash anywhere
+    * before the retag leaves a non-matching tag, so the guard answers
+    * "rebuild" instead of probing a half-admitted store. */
+  def retagEvalGramStore(spark: SparkSession, name: String,
+      location: String, datasetTag: String): Unit = {
+    import spark.implicits._
+    val meta = spark.table(s"${name}_meta").head()
+    Seq((meta.getInt(0), meta.getInt(1), datasetTag))
+      .toDF("shingle_k", "buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Probe arriving training docs against the standing eval-gram set:
+    * identical verdict to [[contaminationFlags]](train, admitted evals)
+    * — per train doc, the count of its distinct grams present ANYWHERE
+    * in the admitted benchmarks (store rows are (h, doc_id) pairs, so
+    * the store side first collapses matched hashes with a bucket-aligned
+    * distinct — no exchange on the standing side).
+    *
+    * Scale shape: train-side one-pass shingle projection; the probe's
+    * distinct hash set joins the h-bucketed store reading only matched
+    * buckets; per-doc counts aggregate contamination-sized hits. Flat
+    * per batch as the admitted benchmark family grows. */
+  def probeContamination(spark: SparkSession, train: DataFrame,
+      name: String): DataFrame = {
+    import graft.functions.TextExprs
+    // the store is maintained by OTHER writers (benchmark admission may
+    // run in a different session while a probe stream is live); drop the
+    // session's cached relation so this probe lists the store's current
+    // files — without this, a cloned streaming session keeps answering
+    // from the file list of its first batch
+    spark.catalog.refreshTable(s"${name}_grams")
+    val shingleK = spark.table(s"${name}_meta").head().getInt(0)
+    val trainGrams = train
+      .select(col("doc_id"),
+        explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+    val standingHit = spark.table(s"${name}_grams")
+      .join(trainGrams.select("h").distinct(), Seq("h"))
+      .select("h").distinct()
+    trainGrams
+      .join(standingHit, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** ALTERNATING large-star/small-star connected components (Kiveris et
     * al., "Connected Components in MapReduce and Beyond") — the
     * EDGE-rewriting alternative to [[ccLabels]]' label propagation, with

@@ -767,6 +767,35 @@ object TextDedup extends QueryModule {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- q138: standing decontamination store ------------------------------
+  // Decontamination joins the standing-state family (q90 text bands,
+  // q110 vectors, q119 phash, q126 segment frequencies): benchmarks are
+  // ADMITTED over time — the store is built from half the eval slice,
+  // the other half arrives via appendToEvalGramStore, and the meta tag
+  // is sealed only after the append (a crash mid-admission leaves a
+  // staging tag → rebuild, never a silent half-benchmark probe). The
+  // training corpus then probes the standing gram set. The ORACLE is the
+  // q68 union semantics — its hash match proves append ≡ rebuild on the
+  // driver's own data, not just on a spec fixture.
+
+  def standingDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_evalgrams_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_evalgrams/$tag"
+    if (!DedupOps.evalGramStoreMatches(s, name, d)) {
+      val evalDocs = docs.filter(col("doc_id") % 97 === 0)
+      DedupOps.buildEvalGramStore(s,
+        evalDocs.filter(expr("(doc_id div 97) % 2 = 0")), name, decontK,
+        location = loc, datasetTag = s"$d:building")
+      DedupOps.appendToEvalGramStore(s,
+        evalDocs.filter(expr("(doc_id div 97) % 2 = 1")), name)
+      DedupOps.retagEvalGramStore(s, name, loc, d)
+    }
+    DedupOps.probeContamination(s, docs.filter(col("doc_id") % 97 =!= 0), name)
+      .orderBy("doc_id")
+  }
+
   // ---- q75: exact-substring decontamination ------------------------------
   // The suffix-style companion to q68: same train/eval split, but instead
   // of counting shared distinct grams it measures the longest CONTIGUOUS
@@ -975,6 +1004,7 @@ object TextDedup extends QueryModule {
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),
     Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
     Q("q112_substring_dedup", substringCorpusDedup, Some(substringCorpusDedupSql)),
     Q("q22_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),

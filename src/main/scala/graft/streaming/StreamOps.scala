@@ -461,6 +461,25 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING decontamination probe — arriving training docs checked
+    * against the standing eval-gram store (q138's state) before
+    * admission to the training corpus: the hygiene gate of a
+    * continuously-ingesting pipeline. The probe is stateless (the store
+    * is maintained by benchmark ADMISSION — `appendToEvalGramStore` —
+    * not by this loop), so each micro-batch's verdict equals the batch
+    * probe at that moment; spec-pinned including a doc whose only
+    * contamination is against a benchmark admitted BETWEEN batches.
+    * Only contaminated docs are emitted (shared_grams >= 1), mirroring
+    * probeContamination's inner-join semantics. */
+  def streamingContaminationProbe(docs: DataFrame, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.dedup.DedupOps
+        .probeContamination(batch.sparkSession, batch, name)
+        .write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING incremental cluster maintenance — q107's `foreachBatch`
     * twin, closing the standing-index loop family (text admission, vector
     * admission, and now LABEL maintenance — the nightly-ingest shape the
