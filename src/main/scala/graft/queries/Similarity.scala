@@ -276,6 +276,111 @@ object Similarity extends QueryModule {
        |ORDER BY nprobe, query_id""".stripMargin
   }
 
+  // ---- q139: ANN nDCG@k evaluation (graded companion to q135) ------------
+  // Recall@k treats every true neighbor equally; nDCG grades them: the
+  // exact rank-i neighbor carries gain k+1-i, the served list's position
+  // discounts by 1/log2(pos+1), and the score normalizes by the ideal
+  // DCG. Per-position terms are integerized (round(gain/discount * 1e6)
+  // BIGINT) so per-query sums are exact-integer and order-free; IDCG is
+  // one shared literal (a full graded list is always available — the
+  // exact top-k is k rows by construction). Composed from the same
+  // hash-proven q27/q74 relations as q135: determinism is inherited.
+
+  private lazy val idcgFp: Long = (1 to recallK).map(i =>
+    math.rint((recallK + 1 - i) / (math.log(i + 1.0) / math.log(2.0)) * 1e6)
+      .toLong).sum
+
+  def annNdcg(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val pred = col("vec_id") < 10
+    val exact = SimilarityOps.cosineTopK(emb, pred, recallK)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(recallK + 1L) - col("rank")).as("grade"))
+    val probes = Seq(1, 2).map(np =>
+      SimilarityOps.ivfTopK(emb, pred, recallK, nCentroids = 16, nProbe = np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("rank"),
+          col("neighbor_id")))
+      .reduce(_ unionByName _)
+    val dcg = probes
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("g", coalesce(col("grade"), lit(0L)))
+      .withColumn("term_fp",
+        expr("CAST(round(g / (ln(rank + 1) / ln(2)) * 1e6, 0) AS BIGINT)"))
+      .groupBy("nprobe", "query_id").agg(sum("term_fp").as("dcg_fp"))
+    import s.implicits._
+    val frame = emb.filter(pred).select(col("vec_id").as("query_id"))
+      .crossJoin(Seq(1, 2).toDF("nprobe"))
+    frame
+      .join(dcg, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"))
+      .withColumn("ndcg",
+        expr(s"round(CAST(dcg_fp AS DOUBLE) / $idcgFp, 6)"))
+      .orderBy("nprobe", "query_id")
+  }
+
+  private val annNdcgSql = {
+    def cand(np: Int) =
+      s"""qprobe$np AS (
+         |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc
+         |  WHERE rn <= $np AND vec_id < 10
+         |),
+         |scored$np AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+         |  FROM qprobe$np q JOIN assigned c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+         |),
+         |cand$np AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |    FROM scored$np) WHERE rank <= $recallK
+         |),
+         |dcg$np AS (
+         |  SELECT c.query_id,
+         |    SUM(CAST(round(COALESCE(e.grade, 0) / (ln(c.rank + 1) / ln(2)) * 1e6, 0) AS BIGINT)) AS dcg_fp
+         |  FROM cand$np c
+         |  LEFT JOIN exact e ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+         |  GROUP BY c.query_id
+         |)""".stripMargin
+    def half(np: Int) =
+      s"""SELECT $np AS nprobe, q.query_id,
+         |  CAST(COALESCE(d.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+         |  round(CAST(COALESCE(d.dcg_fp, 0) AS DOUBLE) / $idcgFp, 6) AS ndcg
+         |FROM queries q LEFT JOIN dcg$np d ON d.query_id = q.query_id""".stripMargin
+    s"""WITH $duckCorpus,
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS cv, norm AS cnorm
+       |  FROM normed ORDER BY vec_id LIMIT 16
+       |),
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, n.norm, c.cent_id,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * c.cnorm) AS cs
+       |  FROM normed n CROSS JOIN cent c
+       |),
+       |rankedc AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+       |  FROM scoredc
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cent_id AS cell FROM rankedc WHERE rn = 1
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id, ${recallK + 1} - rank AS grade FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckDot("q.v", "c.v")} / (q.norm * c.norm) DESC, c.vec_id ASC) AS rank
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= $recallK
+       |),
+       |queries AS (SELECT vec_id AS query_id FROM corpus WHERE vec_id < 10),
+       |${cand(1)},
+       |${cand(2)}
+       |${half(1)}
+       |UNION ALL
+       |${half(2)}
+       |ORDER BY nprobe, query_id""".stripMargin
+  }
+
   // ---- q65: distributed k-means IVF training -----------------------------
   // The training step q49's centroid pick defers to: 2 Lloyd iterations,
   // deterministic init (lowest vec_ids), exact int64 fixed-point coordinate
@@ -1069,6 +1174,7 @@ object Similarity extends QueryModule {
     Q("q29_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("q135_ann_recall", annRecall, Some(annRecallSql)),
+    Q("q139_ann_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),

@@ -579,4 +579,45 @@ class SimilaritySpec extends SparkSpec {
       assert(rows((2, q))._1 >= rows((1, q))._1, s"recall must be monotone in nprobe (query $q)")
     }
   }
+
+  test("annNdcg (q139): exact Scala replay, bounds, monotone in nprobe") {
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val emb = graft.util.Tables.embeddings(spark, sf001)
+    val pred = col("vec_id") < 10
+    // replay the fixed-point DCG from the two public relations q139 composes
+    val grade = graft.similarity.SimilarityOps.cosineTopK(emb, pred, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (k + 1 - r.getLong(1))).toMap
+    def dcgFp(np: Int): Map[Long, Long] = graft.similarity.SimilarityOps
+      .ivfTopK(emb, pred, k, nCentroids = 16, nProbe = np)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map { r =>
+        val g = grade.getOrElse((r.getLong(0), r.getLong(2)), 0L)
+        val v = g / (math.log(r.getLong(1) + 1.0) / math.log(2.0)) * 1e6
+        BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum).toMap
+    val idcg = (1 to k).map(i =>
+      math.rint((k + 1 - i) / (math.log(i + 1.0) / math.log(2.0)) * 1e6).toLong).sum
+    val want = (1 to 2).flatMap { np =>
+      val d = dcgFp(np)
+      (0L until 10L).map { q =>
+        val fp = d.getOrElse(q, 0L)
+        (np, q) -> ((fp, BigDecimal(fp.toDouble / idcg)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toMap
+    val got = graft.queries.Similarity.annNdcg(spark, sf001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == 20)
+    assert(got == want, "q139 must equal the per-position fixed-point replay")
+    got.foreach { case (_, (_, nd)) => assert(nd >= 0.0 && nd <= 1.0) }
+    // a superset candidate pool can only improve each served position's grade
+    (0L until 10L).foreach { q =>
+      assert(got((2, q))._1 >= got((1, q))._1, s"nDCG monotone in nprobe (query $q)")
+    }
+  }
 }
