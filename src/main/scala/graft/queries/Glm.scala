@@ -316,9 +316,12 @@ object Glm extends QueryModule {
       .orderBy("run", "g", "j")
   }
 
-  private def multiRunGlmSql: String = {
+  /** The q103 first-level chain through gj2 (per-(run, g, j) unrounded
+    * betas) — shared verbatim by q103's tail (σ/t) and q140's
+    * second-level aggregation, so both oracles replay the IDENTICAL
+    * first-level fit. */
+  private def multiRunBetaCtes: String = {
     val k = 4
-    val dof = (Nr - k).toDouble
     val quads = for {
       r <- 0 until Runs
       x = runDesign(r)
@@ -327,12 +330,7 @@ object Glm extends QueryModule {
       j <- 0 until k
     } yield s"($r, $t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong}, " +
       s"${math.rint(x(t)(j) * GlmOps.Scale).toLong})"
-    val cjj = for {
-      r <- 0 until Runs
-      (v, j) <- LinAlg.xtxInvDiag(runDesign(r)).zipWithIndex
-    } yield s"($r, $j, $v)"
-    s"""WITH w(run, t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
-       |cj(run, j, cjj) AS (VALUES ${cjj.mkString(", ")}),
+    s"""w(run, t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
        |ser AS (
        |  SELECT user_id % 10 AS g,
        |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
@@ -357,7 +355,18 @@ object Glm extends QueryModule {
        |    CAST(us AS DOUBLE) / ${GlmOps.Scale}.0 AS u,
        |    syy
        |  FROM gj
-       |),
+       |)""".stripMargin
+  }
+
+  private def multiRunGlmSql: String = {
+    val k = 4
+    val dof = (Nr - k).toDouble
+    val cjj = for {
+      r <- 0 until Runs
+      (v, j) <- LinAlg.xtxInvDiag(runDesign(r)).zipWithIndex
+    } yield s"($r, $j, $v)"
+    s"""WITH $multiRunBetaCtes,
+       |cj(run, j, cjj) AS (VALUES ${cjj.mkString(", ")}),
        |grp AS (
        |  SELECT g, run,
        |    CAST(MAX(syy) AS DOUBLE) AS syyd,
@@ -532,6 +541,77 @@ object Glm extends QueryModule {
        |FROM st${KG - 1}
        |ORDER BY g""".stripMargin
   }
+
+  // ---- q140: second-level (group) GLM ------------------------------------
+  // The random-effects step above q103's first level: each group's
+  // per-run beta is a subject-level observation; for every (run, j) the
+  // second level tests whether the effect is nonzero across groups with
+  // a one-sample t (mean / (sd/√n)) — the fMRI hierarchy's "group
+  // analysis" (FSL FLAME / SPM second-level, simplest OLS form).
+  // Determinism: first-level betas are the IDENTICAL op chain both
+  // engines already hash-prove via q103; the second level integerizes
+  // each beta to round(beta·1e6) BIGINT, sums exactly (squares in
+  // DECIMAL(38,0) — b_fp² overflows int64), and derives mean/var/t with
+  // shared expression strings. Scale shape: the first level's one
+  // data-sized exchange, then a bounded (Runs·k)-row aggregate.
+
+  private val glK = 4
+
+  private val glMStr = "CAST(s1 AS DOUBLE) / (n * 1e6)"
+  private val glVStr =
+    "(CAST(s2 AS DOUBLE) / 1e12 - n * (CAST(s1 AS DOUBLE) / (n * 1e6)) * " +
+      "(CAST(s1 AS DOUBLE) / (n * 1e6))) / (n - 1)"
+  private val glTStr = "CASE WHEN v > 0 THEN m / sqrt(v / n) END"
+
+  def groupGlm(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+        col("value").cast("decimal(18,2)").as("y_dec"))
+      .filter(col("th") < Runs * Nr)
+      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
+        col("g"), col("y_dec"))
+      .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
+    val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
+    val firstLevel = GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
+      .select(col("run"), col("j"), col("beta"))
+      .selectExpr("run", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
+    secondLevel(firstLevel)
+  }
+
+  /** One-sample t across a (run, j, b_fp) relation of fixed-point
+    * first-level betas — split out so specs can feed planted values. */
+  private[graft] def secondLevel(firstLevel: DataFrame): DataFrame =
+    firstLevel
+      .groupBy("run", "j")
+      .agg(expr("COUNT(*)").as("n"), expr("SUM(b_fp)").as("s1"),
+        expr("SUM(CAST(b_fp AS DECIMAL(38,0)) * b_fp)").as("s2"))
+      .selectExpr("run", "j", "n", s"$glMStr AS m", s"$glVStr AS v")
+      .selectExpr("run", "j", "n", "round(m, 6) AS mean_beta",
+        s"round($glTStr, 6) AS t_group")
+      .orderBy("run", "j")
+
+  private def groupGlmSql: String =
+    s"""WITH $multiRunBetaCtes,
+       |fl AS (
+       |  SELECT run, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
+       |  FROM gj2
+       |),
+       |agg AS (
+       |  SELECT run, j, COUNT(*) AS n, SUM(b_fp) AS s1,
+       |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS s2
+       |  FROM fl GROUP BY run, j
+       |),
+       |mv AS (
+       |  SELECT run, j, n, $glMStr AS m, $glVStr AS v FROM agg
+       |)
+       |SELECT run, CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
+       |  round(m, 6) AS mean_beta,
+       |  round($glTStr, 6) AS t_group
+       |FROM mv
+       |ORDER BY run, j""".stripMargin
 
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
   // The serial-correlation correction the flagship family still lacked:
@@ -751,5 +831,6 @@ object Glm extends QueryModule {
     Q("q103_multi_run_glm", multiRunGlm, Some(multiRunGlmSql)),
     Q("q116_normal_glm", normalGlm, Some(normalGlmSql)),
     Q("q136_ar1_glm", ar1Glm, Some(ar1GlmSql)),
+    Q("q140_group_glm", groupGlm, Some(groupGlmSql)),
   )
 }

@@ -104,6 +104,27 @@ class GlmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q140 second level: one-sample t matches the textbook formula; zero-variance is NULL") {
+    val s = spark
+    import s.implicits._
+    // planted per-subject betas (already fixed-point): effect 2.5 ± noise
+    val vals = Seq(2.4, 2.6, 2.5, 2.7, 2.3)
+    val fl = vals.zipWithIndex.map { case (v, i) =>
+      (0L, 0L, math.rint(v * 1e6).toLong)
+    } ++ Seq.fill(3)((0L, 1L, 3000000L)) // constant -> var 0 -> t NULL
+    val out = graft.queries.Glm.secondLevel(fl.toDF("run", "j", "b_fp"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val n = vals.length
+    val m = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / (n - 1))
+    val t = m / (sd / math.sqrt(n))
+    assert(out(0L).getLong(2) === n.toLong)
+    assert(math.abs(out(0L).getDouble(3) - m) < 1e-9)
+    assert(math.abs(out(0L).getDouble(4) - t) < 1e-6, s"t ${out(0L).getDouble(4)} vs $t")
+    assert(out(1L).getDouble(3) === 3.0)
+    assert(out(1L).isNullAt(4), "zero variance across subjects must yield NULL t")
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
