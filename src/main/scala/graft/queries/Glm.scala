@@ -161,7 +161,10 @@ object Glm extends QueryModule {
       .orderBy("g", "j")
   }
 
-  private def massGlmStatsSql: String = {
+  /** The q60 chain through gj2 (unrounded betas) and sig (σ) — shared
+    * verbatim by q60's t-stat tail and q141's contrast tail, so both
+    * oracles replay the IDENTICAL fixed-design fit. */
+  private def fixedDesignStatCtes: String = {
     val p = LinAlg.pinv(design)
     val k = design(0).length
     val dof = (N - k).toDouble
@@ -170,10 +173,7 @@ object Glm extends QueryModule {
       j <- 0 until k
     } yield s"($t, $j, ${math.rint(p(j)(t) * GlmOps.Scale).toLong}, " +
       s"${math.rint(design(t)(j) * GlmOps.Scale).toLong})"
-    val diag = LinAlg.xtxInvDiag(design)
-    val cjj = diag.zipWithIndex.map { case (v, j) => s"($j, $v)" }
-    s"""WITH w(t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
-       |cj(j, cjj) AS (VALUES ${cjj.mkString(", ")}),
+    s"""w(t, j, w, wx) AS (VALUES ${quads.mkString(", ")}),
        |ser AS (
        |  SELECT user_id % 20 AS g,
        |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
@@ -203,7 +203,14 @@ object Glm extends QueryModule {
        |),
        |sig AS (
        |  SELECT g, sqrt(greatest(syyd - bxty, 0.0) / $dof) AS sigma FROM grp
-       |)
+       |)""".stripMargin
+  }
+
+  private def massGlmStatsSql: String = {
+    val diag = LinAlg.xtxInvDiag(design)
+    val cjj = diag.zipWithIndex.map { case (v, j) => s"($j, $v)" }
+    s"""WITH $fixedDesignStatCtes,
+       |cj(j, cjj) AS (VALUES ${cjj.mkString(", ")})
        |SELECT gj2.g AS g, CAST(gj2.j AS BIGINT) AS j,
        |  round(beta, 6) AS beta,
        |  round(sigma, 6) AS sigma,
@@ -613,6 +620,66 @@ object Glm extends QueryModule {
        |FROM mv
        |ORDER BY run, j""".stripMargin
 
+  // ---- q141: contrast inference on the fixed-design GLM ------------------
+  // The COPE step the reference ecosystem runs after every first-level
+  // fit (FSL contrast estimates / SPM con images): a single-row contrast
+  // c = [0, 1, −1] (trend vs DCT1) with its t statistic
+  // t_c = c'β / (σ·√(c'(XᵀX)⁻¹c)), and the joint 2-row contrast
+  // C = {trend, DCT1} with its F statistic
+  // F = (Cβ)' [C(XᵀX)⁻¹C']⁻¹ (Cβ) / (q·σ²). X is the q33 literal
+  // design, so c'(XᵀX)⁻¹c and the 2×2 [C(XᵀX)⁻¹C']⁻¹ are driver
+  // literals; β and σ ride the SAME chain both engines hash-prove via
+  // q60 (the oracle shares its CTE prefix verbatim). Pure per-group
+  // projection after the q60 aggregate — no new exchange.
+
+  private lazy val xtxInv: LinAlg.Mat =
+    LinAlg.inverse(LinAlg.matmul(LinAlg.transpose(design), design))
+  private lazy val contrastVc: Double =
+    xtxInv(1)(1) - 2 * xtxInv(1)(2) + xtxInv(2)(2)
+  private lazy val contrastMinv: LinAlg.Mat = LinAlg.inverse(
+    Array(Array(xtxInv(1)(1), xtxInv(1)(2)), Array(xtxInv(2)(1), xtxInv(2)(2))))
+
+  private def contrastTStr =
+    s"CASE WHEN sigma > 0 THEN (b_1 - b_2) / (sigma * sqrt($contrastVc)) END"
+  private def contrastFStr =
+    s"CASE WHEN sigma > 0 THEN " +
+      s"((b_1 * (${contrastMinv(0)(0)}) + b_2 * (${contrastMinv(0)(1)})) * b_1 + " +
+      s"(b_1 * (${contrastMinv(1)(0)}) + b_2 * (${contrastMinv(1)(1)})) * b_2) / " +
+      s"(2 * (sigma * sigma)) END"
+
+  def contrastGlm(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 20).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $bucketUs").as("t"),
+        col("value").cast("decimal(18,2)").as("y_dec"),
+      ).groupBy("g", "t").agg(sum("y_dec").as("y_dec"))
+    GlmOps.massGLMPacked(s, series, design, "g")
+      .groupBy("g")
+      .agg(max(when(col("j") === 1, col("beta"))).as("b_1"),
+        max(when(col("j") === 2, col("beta"))).as("b_2"),
+        max(col("sigma")).as("sigma"))
+      .selectExpr("g", "round(b_1 - b_2, 6) AS cope",
+        s"round($contrastTStr, 6) AS t_contrast",
+        s"round($contrastFStr, 6) AS f_joint")
+      .orderBy("g")
+  }
+
+  private def contrastGlmSql: String =
+    s"""WITH $fixedDesignStatCtes,
+       |bv AS (
+       |  SELECT g,
+       |    MAX(CASE WHEN j = 1 THEN beta END) AS b_1,
+       |    MAX(CASE WHEN j = 2 THEN beta END) AS b_2
+       |  FROM gj2 GROUP BY g
+       |)
+       |SELECT bv.g, round(b_1 - b_2, 6) AS cope,
+       |  round($contrastTStr, 6) AS t_contrast,
+       |  round($contrastFStr, 6) AS f_joint
+       |FROM bv JOIN sig ON sig.g = bv.g
+       |ORDER BY bv.g""".stripMargin
+
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
   // The serial-correlation correction the flagship family still lacked:
   // fMRI GLM packages (SPM/FSL) never fit the ssm_loop design under a
@@ -832,5 +899,6 @@ object Glm extends QueryModule {
     Q("q116_normal_glm", normalGlm, Some(normalGlmSql)),
     Q("q136_ar1_glm", ar1Glm, Some(ar1GlmSql)),
     Q("q140_group_glm", groupGlm, Some(groupGlmSql)),
+    Q("q141_contrast_glm", contrastGlm, Some(contrastGlmSql)),
   )
 }

@@ -125,6 +125,36 @@ class GlmSpec extends SparkSpec {
     assert(out(1L).isNullAt(4), "zero variance across subjects must yield NULL t")
   }
 
+  test("q141 contrast: literal inverses check out; outputs agree with q60's betas/sigma") {
+    // 2x2 [C (X'X)^-1 C']^-1 must invert its submatrix
+    val x = graft.queries.Glm.design
+    val xtx = LinAlg.matmul(LinAlg.transpose(x), x)
+    val inv = LinAlg.inverse(xtx)
+    val m = Array(Array(inv(1)(1), inv(1)(2)), Array(inv(2)(1), inv(2)(2)))
+    val minv = LinAlg.inverse(m)
+    val id = LinAlg.matmul(m, minv)
+    assert(math.abs(id(0)(0) - 1) < 1e-10 && math.abs(id(1)(1) - 1) < 1e-10 &&
+      math.abs(id(0)(1)) < 1e-10 && math.abs(id(1)(0)) < 1e-10)
+    val vc = inv(1)(1) - 2 * inv(1)(2) + inv(2)(2)
+    assert(vc > 0)
+    // consistency with the q60 relation (both ride the same fit)
+    val stats = graft.queries.Glm.massGlmStats(spark, sf0001).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues { rows =>
+        val byJ = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        (byJ(1L), byJ(2L), rows.head.getDouble(3))
+      }.toMap
+    val out = graft.queries.Glm.contrastGlm(spark, sf0001).collect()
+    assert(out.length == stats.size)
+    out.foreach { r =>
+      val (b1, b2, sigma) = stats(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - (b1 - b2)) < 1e-3, s"cope g=${r.getLong(0)}")
+      if (sigma > 0)
+        assert(math.abs(r.getDouble(2) - (b1 - b2) / (sigma * math.sqrt(vc))) < 1e-3,
+          s"t_contrast g=${r.getLong(0)}")
+    }
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
