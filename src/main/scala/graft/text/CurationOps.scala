@@ -509,7 +509,9 @@ object CurationOps {
       s"ln((cr + 1.0) / (crt + $buckets))) * 1e9, 0) AS BIGINT)"
 
   /** Hashed-bigram bucket array per doc: two-level radix-31 fold (char
-    * fold per token, fold over each 2-slice) mod `buckets`. */
+    * fold per token, fold over each 2-slice) mod `buckets`. HOF form —
+    * the executable spec for the native `shingle_hashes` route the
+    * production path takes (bit-equality spec-pinned). */
   private[graft] def dsirBucketsExpr(buckets: Int): String =
     s"transform(${TextOps.shingleHashExpr(2)}, h -> h % $buckets)"
 
@@ -525,11 +527,14 @@ object CurationOps {
     * data-sized) and re-enters the corpus pass as ONE literal array, so
     * scoring is projection-only: zero data-sized exchanges end to end. */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    // production path: the native one-pass shingle kernel (codegen'd;
+    // bit-equal to dsirBucketsExpr's HOF spec form, CurationSpec) — the
+    // HOF route re-tokenized every doc through three interpreted lambdas
+    // on BOTH corpus passes
     val bg = docs
       .select(col("doc_id"), isTarget.as("is_t"),
-        expr(TextOps.tokenHashArrayExpr).as("__th"))
-      .select(col("doc_id"), col("is_t"),
-        expr(dsirBucketsExpr(buckets)).as("f"))
+        transform(graft.functions.TextExprs.shingle_hashes(col("text"), 2),
+          h => h % buckets).as("f"))
     val cnt = bg.select(col("is_t"), explode(col("f")).as("f"))
       .groupBy("f")
       .agg(count(lit(1)).as("cr"),
@@ -542,9 +547,12 @@ object CurationOps {
     // bucket a doc emits was counted by construction)
     val arr = Array.fill[Long](buckets)(0L)
     lr.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    val lrLit = s"array(${arr.mkString("L, ")}L)"
-    bg.selectExpr("doc_id", "CAST(size(f) AS BIGINT) AS n_bigrams",
-      s"aggregate(f, 0L, (acc, x) -> acc + element_at($lrLit, CAST(x AS INT) + 1)) AS s_fp")
+    // ONE array literal (typedLit), not a 512-child CreateArray — the
+    // expression-tree size is what the optimizer and codegen pay for
+    val lrLit = typedLit(arr.toSeq)
+    bg.select(col("doc_id"), size(col("f")).cast("long").as("n_bigrams"),
+        aggregate(col("f"), lit(0L),
+          (acc, x) => acc + element_at(lrLit, (x + 1).cast("int"))).as("s_fp"))
       .selectExpr("doc_id", "n_bigrams",
         "round(CAST(s_fp AS DOUBLE) / 1e9, 6) AS logw")
   }

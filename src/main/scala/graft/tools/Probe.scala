@@ -623,7 +623,9 @@ object ProbeScale {
       "q128_clean_assembly",
       "q129_pii_scrub", "q130_intradoc_dedup", "q131_external_stage",
       "q132_resample_trilinear", "q133_epoch_shuffle",
-      "q134_resample_padded", "q135_ann_recall")
+      "q134_resample_padded", "q135_ann_recall",
+      "q136_ar1_glm", "q137_dsir_weights", "q138_standing_decontam",
+      "q139_ann_ndcg", "q140_group_glm", "q141_contrast_glm")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

@@ -281,7 +281,7 @@ class CurationSpec extends SparkSpec {
 
   // ---- q137 DSIR importance weights ---------------------------------------
 
-  private val dsirDocs = Seq(
+  private[graft] val dsirDocs = Seq(
     // target slice: vocabulary A
     (1L, "alpha beta gamma alpha beta", "en"),
     (2L, "beta gamma alpha beta gamma", "en"),
@@ -339,6 +339,26 @@ class CurationSpec extends SparkSpec {
     docs.foreach { d =>
       assert(out(d._1) === logw(d._2), s"doc ${d._1}")
     }
+  }
+
+  test("dsirWeights: native shingle kernel is bit-equal to the HOF spec form") {
+    import spark.implicits._
+    // framing-heavy docs: double spaces (empty tokens), single token,
+    // empty-ish text — the native kernel must walk tokens exactly like
+    // split(text, ' ')
+    val docs = (dsirDocs.map(d => (d._1, d._2)) ++ Seq(
+      (100L, "a  b a  b"), (101L, "x"), (102L, "a "), (103L, " a"),
+    )).toDF("doc_id", "text")
+    val B = 64
+    val hof = docs
+      .selectExpr("doc_id", s"${graft.text.TextOps.tokenHashArrayExpr} AS __th")
+      .selectExpr("doc_id", s"${CurationOps.dsirBucketsExpr(B)} AS f")
+    val native = docs.select(col("doc_id"),
+      transform(graft.functions.TextExprs.shingle_hashes(col("text"), 2),
+        h => h % B).as("f"))
+    val a = hof.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = native.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a === b)
   }
 
   test("dsirWeights: partition-invariant") {
