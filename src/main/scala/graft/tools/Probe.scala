@@ -625,7 +625,8 @@ object ProbeScale {
       "q132_resample_trilinear", "q133_epoch_shuffle",
       "q134_resample_padded", "q135_ann_recall",
       "q136_ar1_glm", "q137_dsir_weights", "q138_standing_decontam",
-      "q139_ann_ndcg", "q140_group_glm", "q141_contrast_glm")
+      "q139_ann_ndcg", "q140_group_glm", "q141_contrast_glm",
+      "q142_cluster_extent")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

@@ -257,4 +257,59 @@ class ImageDesignSpec extends SparkSpec {
     assert(dm.last < -0.99) // cos(π(2n-1)/(2n)) ≈ −1
     assert(math.abs(dm.sum) < 1e-9) // DCT-II basis column sums to 0
   }
+
+  // ---- q142 cluster-extent thresholding -----------------------------------
+
+  private def vid(x: Long, y: Long, z: Long): Long = x * 256 + y * 16 + z
+
+  test("q142 clusterLabels: 6-connectivity merges faces, not diagonals; singletons survive") {
+    // an L-shape (3 cells), a diagonal pair (NOT 6-connected), a singleton
+    val cells = Array(
+      vid(1, 1, 1), vid(2, 1, 1), vid(2, 2, 1), // L-shape: one component
+      vid(5, 5, 5), vid(6, 6, 5), // diagonal: two components
+      vid(9, 0, 0), // singleton
+      vid(15, 15, 15), vid(15, 15, 14), // face pair at the boundary
+    )
+    val lab = graft.queries.DesignImage.clusterLabels(cells)
+    assert(lab(vid(1, 1, 1)) == vid(1, 1, 1))
+    assert(lab(vid(2, 1, 1)) == vid(1, 1, 1) && lab(vid(2, 2, 1)) == vid(1, 1, 1))
+    assert(lab(vid(5, 5, 5)) == vid(5, 5, 5) && lab(vid(6, 6, 5)) == vid(6, 6, 5))
+    assert(lab(vid(9, 0, 0)) == vid(9, 0, 0))
+    assert(lab(vid(15, 15, 15)) == vid(15, 15, 14))
+  }
+
+  test("q142 clusterLabels: vid-wraparound neighbors never merge across grid faces") {
+    // (0,0,15) and (0,1,0) have consecutive vids but are NOT z-neighbors
+    val cells = Array(vid(0, 0, 15), vid(0, 1, 0))
+    val lab = graft.queries.DesignImage.clusterLabels(cells)
+    assert(lab(cells(0)) != lab(cells(1)),
+      "z+1 at the face boundary must not wrap into the next y row")
+  }
+
+  test("q142 clusterLabels equals the distributed ccLabels fixpoint on real data") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val grid = graft.image.ImageOps.voxelGrid(
+      graft.util.Tables.lineitem(s, sf001), 16)
+    val tot = grid.agg(sum(col("value_dec")).as("tv"), count(lit(1)).as("nc"))
+    val supra = grid.crossJoin(broadcast(tot))
+      .filter(expr("value_dec * 20 * nc > 21 * tv"))
+      .select((col("x") * 256 + col("y") * 16 + col("z")).cast("long").as("vid"),
+        col("x"), col("y"), col("z"))
+      .localCheckpoint()
+    val e = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1)).map { case (dx, dy, dz) =>
+      supra.as("a").join(supra.as("b"),
+        col("a.x") + dx === col("b.x") && col("a.y") + dy === col("b.y") &&
+          col("a.z") + dz === col("b.z"))
+        .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"))
+    }.reduce(_ unionByName _)
+    val (ccDf, _) = graft.dedup.DedupOps.ccLabels(e)
+    val cc = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vids = supra.select("vid").collect().map(_.getLong(0))
+    val uf = graft.queries.DesignImage.clusterLabels(vids)
+    vids.foreach { v =>
+      assert(uf(v) == cc.getOrElse(v, v), s"vid $v: uf=${uf(v)} cc=${cc.getOrElse(v, v)}")
+    }
+  }
 }
