@@ -320,6 +320,71 @@ object Curation extends QueryModule {
        |ORDER BY bg.doc_id""".stripMargin
   }
 
+  // ---- q143: standing DSIR model (incremental importance scoring) ---------
+  // The deployment shape of q137: the importance model is fitted on the
+  // ADMITTED corpus (standing additive bucket counts — the aggregating
+  // member of the standing-store family) and scores ARRIVALS it has
+  // never seen; admissions append per-batch count deltas, never
+  // re-counting the corpus. The oracle fits the model on the admitted
+  // slice directly and scores the arrival slice — its hash match proves
+  // the delta-maintained model ≡ the direct fit.
+
+  def standingDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_dsir_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_dsir/$tag"
+    if (!CurationOps.dsirStoreMatches(s, name, d)) {
+      val admitted = docs.filter(col("doc_id") % 10 >= 2)
+      // two-stage admission exercises the delta path on the driver's own
+      // data: build from half, append the rest, seal via the final tag
+      CurationOps.buildDsirStore(s, admitted.filter(col("doc_id") % 2 === 0),
+        col("lang") === "en", name, dsirBuckets, loc, datasetTag = s"$d:building")
+      CurationOps.appendToDsirStore(s, admitted.filter(col("doc_id") % 2 === 1),
+        col("lang") === "en", name)
+      import s.implicits._
+      Seq((dsirBuckets, d)).toDF("buckets", "dataset_tag")
+        .write.mode("overwrite").option("path", s"$loc/meta")
+        .saveAsTable(s"${name}_meta")
+    }
+    CurationOps.probeDsirScore(s, docs.filter(col("doc_id") % 10 < 2), name)
+      .orderBy("doc_id")
+  }
+
+  private def standingDsirSql: String = {
+    val b = dsirBuckets
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = 'en' AS is_t, doc_id % 10 < 2 AS arriving,
+       |    list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |bg AS (
+       |  SELECT doc_id, is_t, arriving,
+       |    list_transform(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END,
+       |      i -> ((th[i + 1] * 31 + th[i + 2]) % $P) % $b) AS f
+       |  FROM toks
+       |),
+       |cnt AS (
+       |  SELECT u.f AS f, count(*) AS cr,
+       |    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+       |  FROM bg, unnest(f) AS u(f) WHERE NOT arriving GROUP BY 1
+       |),
+       |tot AS (SELECT SUM(cr) AS crt, SUM(ct) AS ctt FROM cnt),
+       |lr AS (SELECT f, ${CurationOps.dsirLrStr(b)} AS lr_fp
+       |       FROM cnt CROSS JOIN tot),
+       |un AS (SELECT ${CurationOps.dsirUnseenStr(b)} AS u FROM tot),
+       |ds AS (SELECT bg.doc_id, u.f FROM bg, unnest(f) AS u(f) WHERE arriving),
+       |sc AS (
+       |  SELECT ds.doc_id, SUM(COALESCE(lr.lr_fp, un.u)) AS s_fp
+       |  FROM ds LEFT JOIN lr USING (f) CROSS JOIN un GROUP BY 1
+       |)
+       |SELECT bg.doc_id, CAST(len(f) AS BIGINT) AS n_bigrams,
+       |  round(CAST(COALESCE(sc.s_fp, 0) AS DOUBLE) / 1e9, 6) AS logw
+       |FROM bg LEFT JOIN sc ON sc.doc_id = bg.doc_id
+       |WHERE bg.arriving
+       |ORDER BY bg.doc_id""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q123_boilerplate_strip", boilerplate, Some(boilerplateSql)),
     Q("q124_chunking", chunks, Some(chunksSql)),
@@ -330,5 +395,6 @@ object Curation extends QueryModule {
     Q("q130_intradoc_dedup", intraDedup, Some(intraDedupSql)),
     Q("q131_external_stage", externalStage, Some(externalStageSql)),
     Q("q137_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    Q("q143_standing_dsir", standingDsir, Some(standingDsirSql)),
   )
 }

@@ -461,6 +461,29 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING DSIR admission — the score-then-admit loop over the
+    * standing importance model (q143's state): each arriving batch is
+    * scored against the model as it stood when the batch arrived, then
+    * its bucket-count delta is admitted (idempotent via the doc guard —
+    * counts are ADDITIVE, so a replayed unguarded append would bias the
+    * model, not just waste space). Later batches are scored by a model
+    * that has absorbed earlier ones — spec-pinned ≡ the sequential
+    * probe→append loop, including a vocabulary whose ratio flips between
+    * batches. */
+  def streamingDsirAdmission(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val scored = graft.text.CurationOps
+        .probeDsirScore(s, batch, name)
+        .localCheckpoint()
+      graft.text.CurationOps.appendToDsirStore(s, batch, isTarget, name,
+        idempotent = true)
+      scored.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING decontamination probe — arriving training docs checked
     * against the standing eval-gram store (q138's state) before
     * admission to the training corpus: the hygiene gate of a

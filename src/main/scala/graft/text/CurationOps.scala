@@ -526,34 +526,142 @@ object CurationOps {
     * like centroids (`buckets` fixed-point longs — model-sized, never
     * data-sized) and re-enters the corpus pass as ONE literal array, so
     * scoring is projection-only: zero data-sized exchanges end to end. */
-  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
-    // production path: the native one-pass shingle kernel (codegen'd;
-    // bit-equal to dsirBucketsExpr's HOF spec form, CurationSpec) — the
-    // HOF route re-tokenized every doc through three interpreted lambdas
-    // on BOTH corpus passes
-    val bg = docs
-      .select(col("doc_id"), isTarget.as("is_t"),
-        transform(graft.functions.TextExprs.shingle_hashes(col("text"), 2),
-          h => h % buckets).as("f"))
-    val cnt = bg.select(col("is_t"), explode(col("f")).as("f"))
-      .groupBy("f")
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    val tot = cnt.agg(sum("cr").as("crt"), sum("ct").as("ctt"))
-    val lr = cnt.crossJoin(broadcast(tot))
-      .selectExpr("f", s"${dsirLrStr(buckets)} AS lr_fp")
-    // model-sized collect (<= buckets rows) — the fitted classifier, not
-    // data; unseen buckets keep 0 (they cannot occur in any doc: every
-    // bucket a doc emits was counted by construction)
-    val arr = Array.fill[Long](buckets)(0L)
-    lr.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-    // ONE array literal (typedLit), not a 512-child CreateArray — the
-    // expression-tree size is what the optimizer and codegen pay for
+  /** Hashed-bigram bucket relation (doc_id, is_t, f-array) — the shared
+    * feature pass of [[dsirWeights]] and the standing-store paths. */
+  private def dsirFeatures(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame =
+    docs.select(col("doc_id"), isTarget.as("is_t"),
+      transform(graft.functions.TextExprs.shingle_hashes(col("text"), 2),
+        h => h % buckets).as("f"))
+
+  /** Score a feature relation against a fitted lr array (projection-only;
+    * the model enters as ONE typedLit). */
+  private def dsirScore(bg: DataFrame, arr: Array[Long]): DataFrame = {
     val lrLit = typedLit(arr.toSeq)
     bg.select(col("doc_id"), size(col("f")).cast("long").as("n_bigrams"),
         aggregate(col("f"), lit(0L),
           (acc, x) => acc + element_at(lrLit, (x + 1).cast("int"))).as("s_fp"))
       .selectExpr("doc_id", "n_bigrams",
         "round(CAST(s_fp AS DOUBLE) / 1e9, 6) AS logw")
+  }
+
+  /** The Laplace-smoothed log-ratio of a bucket the model never counted
+    * (ct = cr = 0) — what an ARRIVING doc's novel bucket must score. */
+  private[graft] def dsirUnseenStr(buckets: Int): String =
+    s"CAST(round((ln(1.0 / (ctt + $buckets)) - " +
+      s"ln(1.0 / (crt + $buckets))) * 1e9, 0) AS BIGINT)"
+
+  /** Collect a (f, ct, cr) bucket-count relation into the fitted
+    * fixed-point lr array (model-sized: <= buckets rows); uncounted
+    * buckets carry the smoothed unseen value, not 0 — scoring a corpus
+    * the model was fitted ON never reads them, but standing-model
+    * arrivals do. */
+  private def fitLr(cnt: DataFrame, buckets: Int): Array[Long] = {
+    val tot = cnt.agg(coalesce(sum("cr"), lit(0L)).as("crt"),
+      coalesce(sum("ct"), lit(0L)).as("ctt"))
+    val un = tot.selectExpr(s"${dsirUnseenStr(buckets)} AS u").head().getLong(0)
+    val lr = cnt.crossJoin(broadcast(tot))
+      .selectExpr("f", s"${dsirLrStr(buckets)} AS lr_fp")
+    val arr = Array.fill[Long](buckets)(un)
+    lr.collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    // production path: the native one-pass shingle kernel (codegen'd;
+    // bit-equal to dsirBucketsExpr's HOF spec form, CurationSpec) — the
+    // HOF route re-tokenized every doc through three interpreted lambdas
+    // on BOTH corpus passes. Model-sized collect (<= buckets rows), then
+    // the score pass is projection-only: the fitted model re-enters as
+    // ONE typedLit array literal, not a 512-child CreateArray (the
+    // expression-tree size is what the optimizer and codegen pay for).
+    // Unseen buckets keep 0 — they cannot occur in any doc: every bucket
+    // a doc emits was counted by construction.
+    val bg = dsirFeatures(docs, isTarget, buckets)
+    val cnt = bg.select(col("is_t"), explode(col("f")).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    dsirScore(bg, fitLr(cnt, buckets))
+  }
+
+  // ---- standing DSIR model (the aggregating-store member of the
+  // q90/q110/q119/q126/q138 standing family: model COUNTS are additive,
+  // so admission appends per-batch bucket deltas and the probe sums) ----
+
+  /** Persist the importance model's state: `name_counts` holds additive
+    * (f, ct, cr) delta rows (each admission appends its batch's bucket
+    * histogram — B-bounded per batch; the probe re-aggregates, so a
+    * replayed UNGUARDED append would double-count: that is what the
+    * `name_docs` guard is for), `name_docs` the admitted ids,
+    * `name_meta` the geometry (written LAST). */
+  def buildDsirStore(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, isTarget: Column, name: String, buckets: Int,
+      location: String, datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    dsirFeatures(docs, isTarget, buckets)
+      .select(col("is_t"), explode(col("f")).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .write.mode("overwrite").option("path", s"$location/counts")
+      .saveAsTable(s"${name}_counts")
+    docs.select("doc_id")
+      .write.mode("overwrite").option("path", s"$location/docs")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+    Seq((buckets, datasetTag)).toDF("buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/meta")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Whether store `name` exists AND was built from `datasetTag`. */
+  def dsirStoreMatches(spark: org.apache.spark.sql.SparkSession,
+      name: String, datasetTag: String): Boolean =
+    Seq("counts", "docs", "meta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
+      (try {
+        spark.table(s"${name}_meta").head()
+          .getAs[String]("dataset_tag") == datasetTag
+      } catch { case _: Throwable => false })
+
+  /** Admit a batch into the model: append its bucket-count delta —
+    * batch-sized work, the corpus is never re-counted. `idempotent`
+    * anti-joins against `name_docs` (at-least-once replay adds nothing;
+    * critical here — counts are additive, so an unguarded replay would
+    * BIAS the model, not just waste space). */
+  def appendToDsirStore(spark: org.apache.spark.sql.SparkSession,
+      newDocs0: DataFrame, isTarget: Column, name: String,
+      idempotent: Boolean = false): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getInt(0)
+    val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
+      spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
+    dsirFeatures(newDocs, isTarget, buckets)
+      .select(col("is_t"), explode(col("f")).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .write.mode("append").saveAsTable(s"${name}_counts")
+    newDocs.select("doc_id")
+      .write.mode("append")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${name}_docs")
+  }
+
+  /** Score arrivals against the standing model — identical verdict to
+    * fitting [[dsirWeights]]' model on the admitted corpus and scoring
+    * the arrivals with it (the true DSIR deployment: reference model,
+    * new data). Delta rows re-aggregate to exact counts (addition is
+    * order-free), then scoring is the projection-only typedLit pass.
+    * Tables are refreshed first: admission may run in another session
+    * while a probe stream is live (the q138 lesson). */
+  def probeDsirScore(spark: org.apache.spark.sql.SparkSession,
+      arrivals: DataFrame, name: String): DataFrame = {
+    spark.catalog.refreshTable(s"${name}_counts")
+    val buckets = spark.table(s"${name}_meta").head().getInt(0)
+    val cnt = spark.table(s"${name}_counts")
+      .groupBy("f").agg(sum("cr").as("cr"), sum("ct").as("ct"))
+    dsirScore(dsirFeatures(arrivals, lit(false), buckets),
+      fitLr(cnt, buckets))
   }
 }
