@@ -354,8 +354,96 @@ object Training extends QueryModule {
       |  doc_id, mix
       |FROM mixed ORDER BY epoch, shard, pos""".stripMargin
 
+  // ---- q144: epoch schedule (mixture × budget × shuffle, composed) --------
+  // The nightly artifact a training launch actually consumes: for each
+  // epoch, (1) the temperature-scaled language mixture (q87's integer
+  // pow_fp machinery) converts the epoch's token budget into per-language
+  // budgets by EXACT integer division; (2) each language admits docs in
+  // epoch-salted mix order until its budget fills (q96's exclusive-cumsum
+  // discipline — the boundary doc may straddle); (3) admitted docs land
+  // in (shard, pos) slots (q133's keyed mix), so N loader workers read N
+  // sequential shards and every epoch reorders reproducibly. One window
+  // per (epoch, lang) for admission + one per (epoch, shard) for
+  // placement — the q96/q133 shapes composed, nothing new shuffles.
+
+  private val schedEpochs = Seq(1, 2)
+  private val schedBudget = 3000L // tokens per epoch, split by the mixture
+  private val schedShards = 8
+
+  def epochSchedule(s: SparkSession, d: String): DataFrame = {
+    val P = graft.text.TextOps.P
+    val sized = documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+    val perLang = sized.groupBy("lang").agg(sum("tokens").cast("long").as("ltokens"))
+    val tot = perLang.agg(sum(col("ltokens")).as("t_total"))
+    val pw = perLang.crossJoin(broadcast(tot)).selectExpr("lang",
+      "CAST(round(pow(CAST(ltokens AS DOUBLE) / t_total, 0.5) * 1e12, 0) AS BIGINT) AS pow_fp")
+    val ps = pw.agg(sum(col("pow_fp")).as("pow_total"))
+    val budgets = pw.crossJoin(broadcast(ps))
+      .selectExpr("lang", s"($schedBudget * pow_fp) div pow_total AS budget")
+    // NOTE: not q133's additive epoch term — adding a constant mod P only
+    // ROTATES the mix order, which leaves a budget PREFIX almost
+    // unchanged across epochs; admission needs a per-epoch PERMUTATION,
+    // so the epoch perturbs the multiplicative stride itself
+    val mixed = sized
+      .withColumn("epoch", explode(lit(schedEpochs.toArray)))
+      .withColumn("mix",
+        pmod(pmod(col("doc_id"), lit(P))
+          * (lit(2654435761L) + col("epoch") * lit(40503L)) + lit(17L), lit(P)))
+    val wAdmit = Window.partitionBy("epoch", "lang").orderBy(col("mix"), col("doc_id"))
+    val admitted = mixed.join(broadcast(budgets), Seq("lang"))
+      .withColumn("cum_before", sum(col("tokens")).over(wAdmit) - col("tokens"))
+      .filter(col("cum_before") < col("budget"))
+    admitted
+      .withColumn("shard", pmod(col("mix"), lit(schedShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("mix", "doc_id")).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"),
+        col("lang"), col("tokens"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  private val epochScheduleSql =
+    s"""WITH sized AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents
+       |),
+       |per_lang AS (
+       |  SELECT lang, CAST(SUM(tokens) AS BIGINT) AS ltokens FROM sized GROUP BY lang
+       |),
+       |tot AS (SELECT CAST(SUM(ltokens) AS BIGINT) AS t_total FROM per_lang),
+       |pw AS (
+       |  SELECT lang,
+       |    CAST(round(pow(CAST(ltokens AS DOUBLE) / t_total, 0.5) * 1e12, 0) AS BIGINT) AS pow_fp
+       |  FROM per_lang CROSS JOIN tot
+       |),
+       |ps AS (SELECT CAST(SUM(pow_fp) AS BIGINT) AS pow_total FROM pw),
+       |budgets AS (SELECT lang, (3000 * pow_fp) // pow_total AS budget
+       |            FROM pw CROSS JOIN ps),
+       |mixed AS (
+       |  SELECT s.doc_id, s.lang, s.tokens, e.epoch,
+       |    ((s.doc_id % 1000000007) * (2654435761 + e.epoch * 40503) + 17) % 1000000007 AS mix
+       |  FROM sized s, unnest([1, 2]) AS e(epoch)
+       |),
+       |adm AS (
+       |  SELECT m.*, b.budget,
+       |    SUM(m.tokens) OVER (PARTITION BY m.epoch, m.lang ORDER BY m.mix, m.doc_id)
+       |      - m.tokens AS cum_before
+       |  FROM mixed m JOIN budgets b USING (lang)
+       |),
+       |fin AS (
+       |  SELECT epoch, CAST(mix % 8 AS INTEGER) AS shard, doc_id, lang, tokens, mix
+       |  FROM adm WHERE cum_before < budget
+       |)
+       |SELECT epoch, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY mix, doc_id) AS BIGINT) AS pos,
+       |  doc_id, lang, tokens
+       |FROM fin ORDER BY epoch, shard, pos""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q57_hash_split", hashSplitQuery, Some(hashSplitSql)),
+    Q("q144_epoch_schedule", epochSchedule, Some(epochScheduleSql)),
     Q("q133_epoch_shuffle", epochShuffleQuery, Some(epochShuffleSql)),
     Q("q58_lang_quota", langQuota, Some(langQuotaSql)),
     Q("q69_stratified_sample", stratifiedQuery, Some(stratifiedSql)),

@@ -165,4 +165,42 @@ class TrainingSpec extends SparkSpec {
     def order(e: Int) = a.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
     assert(order(1) != order(2))
   }
+
+  test("q144 epoch schedule: budget discipline, temperature boost, epoch reorder") {
+    val out = graft.queries.Training.epochSchedule(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // per (epoch, lang): admitted tokens minus the straddling boundary doc
+    // stay under the language budget, and budgets sum to <= the epoch total
+    val sized = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS LONG) AS t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val langTok = sized.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tTotal = langTok.values.sum
+    val powFp = langTok.view.mapValues(t =>
+      math.rint(math.pow(t.toDouble / tTotal, 0.5) * 1e12).toLong).toMap
+    val powTotal = powFp.values.sum
+    val budget = powFp.view.mapValues(p => 3000L * p / powTotal).toMap
+    for (((e, l), rows) <- out.groupBy(r => (r._1, r._5))) {
+      val toks = rows.map(_._6).sum
+      assert(toks - rows.map(_._6).max < budget(l),
+        s"epoch $e lang $l: all but the straddler must fit the budget")
+      assert(toks >= budget(l) - 100 || rows.length == sized.count(_._1 == l),
+        s"epoch $e lang $l under-fills without exhausting the corpus")
+    }
+    // temperature alpha=0.5 boosts low-resource languages above their
+    // proportional token share
+    val smallest = langTok.minBy(_._2)._1
+    val schedShare = out.filter(_._5 == smallest).map(_._6).sum.toDouble /
+      out.map(_._6).sum
+    assert(schedShare > langTok(smallest).toDouble / tTotal,
+      s"$smallest share $schedShare should exceed proportional")
+    // epochs admit different doc sets (the salted mix reorders admission)
+    def ids(e: Int) = out.filter(_._1 == e).map(_._4).toSet
+    assert(ids(1) != ids(2))
+    // positions are dense per (epoch, shard)
+    for (((_, _), rows) <- out.groupBy(r => (r._1, r._2)))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+  }
 }
