@@ -733,9 +733,19 @@ object Glm extends QueryModule {
       s"+ rho * rho * (${a2(i)(j)}))"
   }
 
-  /** The q136 body from the grid-filled (g, t, y-cents) relation —
-    * separated so specs can feed planted series. */
-  private[graft] def ar1Core(s: SparkSession, full: DataFrame): DataFrame = {
+  /** The literal design-row relation (t, x0..x2, xl0..xl2) shared by the
+    * residual chain's consumers. */
+  private def xRelOf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until N).map { t =>
+      def xl(j: Int) = if (t > 0) design(t - 1)(j) else 0.0
+      (t.toLong, design(t)(0), design(t)(1), design(t)(2), xl(0), xl(1), xl(2))
+    }.toDF("t", "x0", "x1", "x2", "xl0", "xl1", "xl2")
+  }
+
+  /** OLS residual relation (g, t, y, e) from a grid-filled cents series —
+    * the first-level chain shared by q136 (AR(1)) and q145 (despike). */
+  private[graft] def residualRelation(s: SparkSession, full: DataFrame): DataFrame = {
     import s.implicits._
     val k = design(0).length
     val p = LinAlg.pinv(design)
@@ -745,11 +755,6 @@ object Glm extends QueryModule {
         math.rint(p(1)(t) * GlmOps.Scale).toLong,
         math.rint(p(2)(t) * GlmOps.Scale).toLong)
     }.toDF("t", "w0", "w1", "w2")
-    val xRel = (0 until N).map { t =>
-      def xl(j: Int) = if (t > 0) design(t - 1)(j) else 0.0
-      (t.toLong, design(t)(0), design(t)(1), design(t)(2), xl(0), xl(1), xl(2))
-    }.toDF("t", "x0", "x1", "x2", "xl0", "xl1", "xl2")
-
     val betas = full.join(broadcast(wRel), Seq("t"))
       .groupBy("g")
       .agg(expr("SUM(CAST(w0 AS DECIMAL(38,0)) * y)").as("s_0"),
@@ -757,9 +762,17 @@ object Glm extends QueryModule {
         expr("SUM(CAST(w2 AS DECIMAL(38,0)) * y)").as("s_2"))
       .selectExpr("g" +:
         (0 until k).map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j"): _*)
-    val res = full.join(broadcast(xRel), Seq("t"))
+    full.join(broadcast(xRelOf(s)), Seq("t"))
       .join(broadcast(betas), Seq("g"))
       .selectExpr("g", "t", "y", s"$eStr AS e")
+  }
+
+  /** The q136 body from the grid-filled (g, t, y-cents) relation —
+    * separated so specs can feed planted series. */
+  private[graft] def ar1Core(s: SparkSession, full: DataFrame): DataFrame = {
+    val k = design(0).length
+    val xRel = xRelOf(s)
+    val res = residualRelation(s, full)
     val lagged = res.selectExpr("g", "t", "y", "e",
       "lag(y) OVER (PARTITION BY g ORDER BY t) AS y_lag",
       "lag(e) OVER (PARTITION BY g ORDER BY t) AS e_lag")
@@ -784,8 +797,8 @@ object Glm extends QueryModule {
       .orderBy("g")
   }
 
-  /** q136: grid-filled per-group 6-h-bucket cents series → ar1Core. */
-  def ar1Glm(s: SparkSession, d: String): DataFrame = {
+  /** The grid-filled per-group 6-h-bucket cents series (q136/q145 input). */
+  private def fullSeries(s: SparkSession, d: String): DataFrame = {
     val ser = events(s, d)
       .filter(expr(s"ts div 1000 - $baseUs >= 0"))
       .select((col("user_id") % Groups).as("g"),
@@ -795,11 +808,16 @@ object Glm extends QueryModule {
       .groupBy("g", "t").agg(sum("fpv").as("y"))
     val grid = s.range(Groups).select(col("id").as("g"))
       .crossJoin(s.range(N).select(col("id").as("t")))
-    val full = grid.join(ser, Seq("g", "t"), "left").na.fill(0L, Seq("y"))
-    ar1Core(s, full)
+    grid.join(ser, Seq("g", "t"), "left").na.fill(0L, Seq("y"))
   }
 
-  private def ar1GlmSql: String = {
+  /** q136: grid-filled per-group 6-h-bucket cents series → ar1Core. */
+  def ar1Glm(s: SparkSession, d: String): DataFrame =
+    ar1Core(s, fullSeries(s, d))
+
+  /** The oracle's residual-chain prefix (w/x literals, grid-filled
+    * series, OLS betas, res) — shared verbatim by q136 and q145. */
+  private def ar1ResidCtes: String = {
     val k = design(0).length
     val p = LinAlg.pinv(design)
     val wRows = (0 until N).map { t =>
@@ -816,18 +834,7 @@ object Glm extends QueryModule {
       .map(j => s"SUM(CAST(w$j AS HUGEINT) * y) AS s_$j").mkString(",\n    ")
     val bCols = (0 until k)
       .map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j").mkString(", ")
-    val wbCols = (0 until k).map(j => s"${wbStr(j)} AS wb_$j").mkString(",\n    ")
-    val dCols = ((for (i <- 0 until k; j <- 0 until k)
-      yield s"${mStr(i, j)} AS d_${i}_$j") ++
-      (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i")).mkString(",\n    ")
-    val stages = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
-    val stageCtes = stages.zipWithIndex.map { case (st, pi) =>
-      val prev = if (pi == 0) "init" else s"st${pi - 1}"
-      s"st$pi AS (\n  SELECT g, rho, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
-    }.mkString(",\n")
-    val out = (0 until k)
-      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")
-    s"""WITH w(t, w0, w1, w2) AS (VALUES ${wRows.mkString(", ")}),
+    s"""w(t, w0, w1, w2) AS (VALUES ${wRows.mkString(", ")}),
        |x(t, x0, x1, x2, xl0, xl1, xl2) AS (VALUES ${xRows.mkString(", ")}),
        |ser AS (
        |  SELECT user_id % $Groups AS g,
@@ -856,7 +863,23 @@ object Glm extends QueryModule {
        |res AS (
        |  SELECT filled.g, filled.t, filled.y, $eStr AS e
        |  FROM filled JOIN x USING (t) JOIN betas USING (g)
-       |),
+       |)""".stripMargin
+  }
+
+  private def ar1GlmSql: String = {
+    val k = design(0).length
+    val wbCols = (0 until k).map(j => s"${wbStr(j)} AS wb_$j").mkString(",\n    ")
+    val dCols = ((for (i <- 0 until k; j <- 0 until k)
+      yield s"${mStr(i, j)} AS d_${i}_$j") ++
+      (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i")).mkString(",\n    ")
+    val stages = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, pi) =>
+      val prev = if (pi == 0) "init" else s"st${pi - 1}"
+      s"st$pi AS (\n  SELECT g, rho, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")
+    s"""WITH $ar1ResidCtes,
        |lagged AS (
        |  SELECT g, t, y, e,
        |    lag(y) OVER (PARTITION BY g ORDER BY t) AS y_lag,
@@ -888,6 +911,56 @@ object Glm extends QueryModule {
        |ORDER BY g""".stripMargin
   }
 
+  // ---- q145: MAD despiking of the per-group series -----------------------
+  // AFNI 3dDespike's shape, simplified to the engine's fixed design: fit
+  // the smooth trend (the q33 OLS), measure residual spread ROBUSTLY
+  // (median absolute deviation — a spike cannot inflate its own
+  // detection threshold the way σ would), and clip any residual beyond
+  // 3.5·1.4826·MAD to the threshold boundary, preserving the trend.
+  // Medians are order statistics (order-free — no float-sum rounding
+  // needed); Spark `percentile` and DuckDB `quantile_cont` share type-7
+  // interpolation (the q53 contract). Scale shape: the one (g,t)
+  // exchange, then bounded Groups×N work; two tiny per-group medians.
+
+  private val despikeThrStr =
+    "2.5 * (1.4826 * mad)"
+
+  private[graft] def despikeCore(s: SparkSession, full: DataFrame): DataFrame = {
+    val res = residualRelation(s, full)
+    val med = res.groupBy("g").agg(expr("percentile(e, 0.5)").as("med"))
+    val dev = res.join(broadcast(med), Seq("g"))
+    val mad = dev.groupBy("g")
+      .agg(expr("percentile(abs(e - med), 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .selectExpr("g", "t", "y",
+        s"CASE WHEN abs(e - med) > $despikeThrStr THEN 1 ELSE 0 END AS is_spike",
+        s"round(CASE WHEN abs(e - med) > $despikeThrStr THEN " +
+          s"(CAST(y AS DOUBLE) - e) + med + " +
+          s"(CASE WHEN e > med THEN $despikeThrStr ELSE -($despikeThrStr) END) " +
+          s"ELSE CAST(y AS DOUBLE) END, 6) AS y_despiked")
+      .selectExpr("g", "t", "y", "CAST(is_spike AS BIGINT) AS is_spike",
+        "y_despiked")
+      .orderBy("g", "t")
+  }
+
+  def despike(s: SparkSession, d: String): DataFrame =
+    despikeCore(s, fullSeries(s, d))
+
+  private def despikeSql: String =
+    s"""WITH $ar1ResidCtes,
+       |med AS (SELECT g, quantile_cont(e, 0.5) AS med FROM res GROUP BY g),
+       |dev AS (SELECT res.*, med.med FROM res JOIN med USING (g)),
+       |mad AS (SELECT g, quantile_cont(abs(e - med), 0.5) AS mad
+       |        FROM dev GROUP BY g)
+       |SELECT dev.g, dev.t, CAST(dev.y AS BIGINT) AS y,
+       |  CAST(CASE WHEN abs(e - med) > $despikeThrStr THEN 1 ELSE 0 END AS BIGINT) AS is_spike,
+       |  round(CASE WHEN abs(e - med) > $despikeThrStr THEN
+       |    (CAST(y AS DOUBLE) - e) + med +
+       |    (CASE WHEN e > med THEN $despikeThrStr ELSE -($despikeThrStr) END)
+       |    ELSE CAST(y AS DOUBLE) END, 6) AS y_despiked
+       |FROM dev JOIN mad USING (g)
+       |ORDER BY g, t""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
@@ -900,5 +973,6 @@ object Glm extends QueryModule {
     Q("q136_ar1_glm", ar1Glm, Some(ar1GlmSql)),
     Q("q140_group_glm", groupGlm, Some(groupGlmSql)),
     Q("q141_contrast_glm", contrastGlm, Some(contrastGlmSql)),
+    Q("q145_despike", despike, Some(despikeSql)),
   )
 }

@@ -155,6 +155,54 @@ class GlmSpec extends SparkSpec {
     }
   }
 
+  test("q145 despike: planted spikes are caught and clipped toward the trend; clean rows pass through") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    val x = graft.queries.Glm.design
+    val rnd = new scala.util.Random(11)
+    val c = Array(200000.0, 40000.0, 25000.0)
+    def trend(t: Int) = (0 until 3).map(j => x(t)(j) * c(j)).sum
+    // g=0: smooth trend + small noise, two massive spikes planted
+    val spikeTs = Set(30, 77)
+    val rows = (0 until n).map { t =>
+      val base = trend(t) + 200.0 * rnd.nextGaussian()
+      val v = if (spikeTs(t)) base + 50000.0 else base
+      (0L, t.toLong, math.rint(v).toLong)
+    }
+    val out = graft.queries.Glm.despikeCore(s, rows.toDF("g", "t", "y"))
+      .collect().map(r => r.getLong(1).toInt ->
+        ((r.getLong(3), r.getLong(2), r.getDouble(4)))).toMap
+    // both spikes caught — MAD does not let a spike mask itself
+    spikeTs.foreach { t =>
+      val (isSpike, y, despiked) = out(t)
+      assert(isSpike == 1L, s"t=$t must be flagged")
+      assert(despiked < y - 30000.0, s"t=$t must be clipped far below the spike")
+      assert(math.abs(despiked - trend(t)) < 10000.0,
+        s"t=$t clipped value should sit near the trend")
+    }
+    // clean rows: untouched (y_despiked == y exactly)
+    val dirty = out.count { case (t, (f, y, d)) => f == 1L || d != y.toDouble }
+    assert(dirty <= 4, s"at most the spikes and a couple of noise tails move, got $dirty")
+    (0 until n).filterNot(spikeTs).take(20).foreach { t =>
+      val (f, y, d) = out(t)
+      if (f == 0L) assert(d == y.toDouble)
+    }
+  }
+
+  test("q145 despike: partition-invariant") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    val rnd = new scala.util.Random(3)
+    val rows = for (g <- 0L until 2L; t <- 0 until n)
+      yield (g, t.toLong, rnd.nextInt(200000).toLong)
+    val df = rows.toDF("g", "t", "y")
+    val a = graft.queries.Glm.despikeCore(s, df).collect().toSeq
+    val b = graft.queries.Glm.despikeCore(s, df.repartition(9)).collect().toSeq
+    assert(a === b)
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
