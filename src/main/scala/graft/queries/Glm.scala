@@ -815,6 +815,28 @@ object Glm extends QueryModule {
   def ar1Glm(s: SparkSession, d: String): DataFrame =
     ar1Core(s, fullSeries(s, d))
 
+  /** The oracle's grid-filled cents series (ser/grid/filled) — the SQL
+    * twin of [[fullSeries]], shared by q136/q145/q146. */
+  private def filledSeriesCtes: String =
+    s"""ser AS (
+       |  SELECT user_id % $Groups AS g,
+       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
+       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+       |  FROM events
+       |  WHERE epoch_us(ts) - $baseUs >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $bucketUs < $N
+       |  GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT CAST(gg.g AS BIGINT) AS g, CAST(tt.t AS BIGINT) AS t
+       |  FROM unnest(range($Groups)) AS gg(g)
+       |  CROSS JOIN unnest(range($N)) AS tt(t)
+       |),
+       |filled AS (
+       |  SELECT grid.g, grid.t, COALESCE(ser.y, 0) AS y
+       |  FROM grid LEFT JOIN ser ON ser.g = grid.g AND ser.t = grid.t
+       |)""".stripMargin
+
   /** The oracle's residual-chain prefix (w/x literals, grid-filled
     * series, OLS betas, res) — shared verbatim by q136 and q145. */
   private def ar1ResidCtes: String = {
@@ -836,24 +858,7 @@ object Glm extends QueryModule {
       .map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j").mkString(", ")
     s"""w(t, w0, w1, w2) AS (VALUES ${wRows.mkString(", ")}),
        |x(t, x0, x1, x2, xl0, xl1, xl2) AS (VALUES ${xRows.mkString(", ")}),
-       |ser AS (
-       |  SELECT user_id % $Groups AS g,
-       |    (epoch_us(ts) - $baseUs) // $bucketUs AS t,
-       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
-       |  FROM events
-       |  WHERE epoch_us(ts) - $baseUs >= 0
-       |    AND (epoch_us(ts) - $baseUs) // $bucketUs < $N
-       |  GROUP BY 1, 2
-       |),
-       |grid AS (
-       |  SELECT CAST(gg.g AS BIGINT) AS g, CAST(tt.t AS BIGINT) AS t
-       |  FROM unnest(range($Groups)) AS gg(g)
-       |  CROSS JOIN unnest(range($N)) AS tt(t)
-       |),
-       |filled AS (
-       |  SELECT grid.g, grid.t, COALESCE(ser.y, 0) AS y
-       |  FROM grid LEFT JOIN ser ON ser.g = grid.g AND ser.t = grid.t
-       |),
+       |$filledSeriesCtes,
        |ols AS (
        |  SELECT g,
        |    $sCols
@@ -961,6 +966,75 @@ object Glm extends QueryModule {
        |FROM dev JOIN mad USING (g)
        |ORDER BY g, t""".stripMargin
 
+  // ---- q146: ALFF / fALFF spectral power ----------------------------------
+  // The resting-state staple (Zang et al. 2007): per series, the
+  // amplitude of low-frequency fluctuation is the power in a low band,
+  // fALFF its fraction of total power. On the engine's grid this is
+  // PURE PROJECTION arithmetic: band power = Σ_k c_k² over DCT-II
+  // coefficients c_k = Σ_t w_kt·y_t with fixed-point literal weights —
+  // exact BIGINT sums per coefficient, then one shared expression string
+  // squares and ratios them. Same one-exchange shape as q33.
+
+  private val AlffK = 8 // DCT coefficients 1..8; low band = 1..4
+  private val AlffLow = 4
+
+  private def dctW(k: Int, t: Int): Long =
+    math.rint(math.cos(math.Pi * (2 * t + 1) * k / (2.0 * N)) *
+      GlmOps.Scale).toLong
+
+  // shared strings over c_1..c_AlffK (doubles)
+  private def powStr(ks: Range): String =
+    ks.map(k => s"c_$k * c_$k").mkString(" + ")
+  private def alffStr = s"sqrt(${powStr(1 to AlffLow)})"
+  private def falffStr =
+    s"CASE WHEN ${powStr(1 to AlffK)} > 0 THEN " +
+      s"sqrt(${powStr(1 to AlffLow)}) / sqrt(${powStr(1 to AlffK)}) END"
+
+  private[graft] def alffCore(s: SparkSession, full: DataFrame): DataFrame = {
+    import s.implicits._
+    val dRel = (0 until N).map { t =>
+      t.toLong +: (1 to AlffK).map(k => dctW(k, t)).toList
+    }.map {
+      case t :: ws => (t, ws(0), ws(1), ws(2), ws(3), ws(4), ws(5), ws(6), ws(7))
+      case _ => throw new IllegalStateException("unreachable")
+    }.toDF("t" +: (1 to AlffK).map(k => s"d_$k"): _*)
+    full.join(broadcast(dRel), Seq("t"))
+      .groupBy("g")
+      .agg(expr(s"SUM(CAST(d_1 AS DECIMAL(38,0)) * y)").as("s_1"),
+        (2 to AlffK).map(k =>
+          expr(s"SUM(CAST(d_$k AS DECIMAL(38,0)) * y)").as(s"s_$k")): _*)
+      .selectExpr("g" +:
+        (1 to AlffK).map(k => s"CAST(s_$k AS DOUBLE) / ${GlmOps.Scale}.0 AS c_$k"): _*)
+      .selectExpr("g", s"round($alffStr, 6) AS alff",
+        s"round($falffStr, 6) AS falff")
+      .orderBy("g")
+  }
+
+  def alff(s: SparkSession, d: String): DataFrame =
+    alffCore(s, fullSeries(s, d))
+
+  private def alffSql: String = {
+    val dRows = (0 until N).map { t =>
+      s"($t, ${(1 to AlffK).map(k => dctW(k, t)).mkString(", ")})"
+    }
+    val sCols = (1 to AlffK)
+      .map(k => s"SUM(CAST(d_$k AS HUGEINT) * y) AS s_$k").mkString(",\n    ")
+    val cCols = (1 to AlffK)
+      .map(k => s"CAST(s_$k AS DOUBLE) / ${GlmOps.Scale}.0 AS c_$k").mkString(", ")
+    s"""WITH dw(t, ${(1 to AlffK).map(k => s"d_$k").mkString(", ")}) AS (VALUES ${dRows.mkString(", ")}),
+       |$filledSeriesCtes,
+       |sums AS (
+       |  SELECT g,
+       |    $sCols
+       |  FROM filled JOIN dw USING (t) GROUP BY g
+       |),
+       |coef AS (SELECT g, $cCols FROM sums)
+       |SELECT g, round($alffStr, 6) AS alff,
+       |  round($falffStr, 6) AS falff
+       |FROM coef
+       |ORDER BY g""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q30_ols_group", olsGroup, Some(olsGroupSql)),
     Q("q31_ols_residuals", olsResiduals, Some(olsResidualsSql)),
@@ -974,5 +1048,6 @@ object Glm extends QueryModule {
     Q("q140_group_glm", groupGlm, Some(groupGlmSql)),
     Q("q141_contrast_glm", contrastGlm, Some(contrastGlmSql)),
     Q("q145_despike", despike, Some(despikeSql)),
+    Q("q146_alff", alff, Some(alffSql)),
   )
 }

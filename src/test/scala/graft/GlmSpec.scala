@@ -203,6 +203,28 @@ class GlmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q146 ALFF: pure low-band signal gives fALFF ~1, pure high-band ~0; amplitude recovered") {
+    val s = spark
+    import s.implicits._
+    val n = graft.queries.Glm.N
+    def dct(k: Int, t: Int) = math.cos(math.Pi * (2 * t + 1) * k / (2.0 * n))
+    val amp = 10000.0
+    // g=0: pure k=1 (low band); g=1: pure k=8 (top of measured band)
+    val rows = (0 until n).flatMap { t =>
+      Seq((0L, t.toLong, math.rint(amp * dct(1, t)).toLong),
+        (1L, t.toLong, math.rint(amp * dct(8, t)).toLong))
+    }
+    val out = graft.queries.Glm.alffCore(s, rows.toDF("g", "t", "y"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val (alff0, falff0) = out(0L)
+    val (alff1, falff1) = out(1L)
+    assert(falff0 > 0.999, s"low-band fALFF $falff0")
+    assert(falff1 < 0.01, s"high-band fALFF $falff1")
+    // c_1 = amp * N/2 for a pure DCT-1 signal (basis self-product sums to N/2)
+    assert(math.abs(alff0 - amp * n / 2.0) < amp * 0.01, s"alff0 $alff0")
+    assert(alff1 < amp, s"high-band signal carries no low-band power, alff1 $alff1")
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
