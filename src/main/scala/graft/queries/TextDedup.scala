@@ -908,7 +908,10 @@ object TextDedup extends QueryModule {
       .orderBy("step", "j")
   }
 
-  private def qualityClassifierSql: String = {
+  /** The oracle's feature + GD-training chain (feat, w0..w{steps}) —
+    * shared verbatim by q108 (reads the whole trace) and q147 (scores
+    * with the FINAL weights). */
+  private def logitCtes: String = {
     val k = logitXCols.length
     val margin = (0 until k).map(j => s"(w.w$j / 1000000.0) * f.x$j").mkString(" + ")
     def gradCte(i: Int): String = {
@@ -929,10 +932,7 @@ object TextDedup extends QueryModule {
     val chain = (1 to logitSteps).map(i => s"${gradCte(i)},\n${wCte(i)}").mkString(",\n")
     val zeros = (0 until k).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
     val wCols = (0 until k).map(j => s"w$j").mkString(", ")
-    val selects = (1 to logitSteps).flatMap(i => (0 until k).map(j =>
-      s"SELECT CAST($i AS BIGINT) AS step, CAST($j AS BIGINT) AS j, w$j AS weight_fp, w$j / 1000000.0 AS weight FROM w$i"))
-      .mkString("\nUNION ALL\n")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, u.t AS tok
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
        |),
@@ -954,10 +954,84 @@ object TextDedup extends QueryModule {
        |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id
        |),
        |w0($wCols) AS (VALUES ($zeros)),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  private def qualityClassifierSql: String = {
+    val k = logitXCols.length
+    val selects = (1 to logitSteps).flatMap(i => (0 until k).map(j =>
+      s"SELECT CAST($i AS BIGINT) AS step, CAST($j AS BIGINT) AS j, w$j AS weight_fp, w$j / 1000000.0 AS weight FROM w$i"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH $logitCtes
        |$selects
        |ORDER BY step, j""".stripMargin
   }
+
+  // ---- q147: classifier calibration (reliability diagram + ECE) -----------
+  // The evaluation a filtering classifier needs before its scores gate a
+  // corpus: per confidence bin, predicted probability vs observed
+  // accuracy. Trains the SAME model as q108 (the oracle shares the
+  // feature + GD chain verbatim), scores every doc with the FINAL
+  // weights, bins p into 10 equal-width bins, and reports per-bin count,
+  // mean confidence (exact fixed-point sums — p is integerized per row
+  // BEFORE summing, the engine-wide order-free discipline), observed
+  // accuracy, and |gap|. ECE is the n-weighted gap sum — emitted as a
+  // final per-bin column so the single scalar is recoverable without a
+  // second query. Scale: scoring is a frozen-model projection (the
+  // streamingQualityScore family); binning is a 10-row aggregate.
+
+  def calibration(s: SparkSession, d: String): DataFrame = {
+    val feats = TextOps.qualityStats(documents(s, d), Seq("the", "a"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        col("type_token_ratio").as("x1"),
+        col("mean_token_len").as("x2"),
+        col("stopword_ratio").as("x3"),
+        col("punct_ratio").as("x4"))
+    val wFp = graft.glm.LogitOps
+      .gdStepsFp(feats, logitXCols, "y", logitSteps).last
+    calibrationCore(graft.glm.LogitOps.scoreWith(feats, logitXCols, wFp)
+      .selectExpr("y", "1.0 / (1.0 + exp(-margin)) AS p"))
+  }
+
+  /** Reliability-diagram aggregation over a (y, p) relation — split out
+    * so specs can feed planted probability/outcome pairs. */
+  private[graft] def calibrationCore(scored: DataFrame): DataFrame =
+    scored
+      .selectExpr("y", "p",
+        "least(CAST(floor(p * 10) AS BIGINT), 9) AS bin",
+        "CAST(round(p * 1000000) AS BIGINT) AS p_fp")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("SUM(p_fp)").as("s_p"),
+        expr("SUM(CAST(y AS BIGINT))").as("s_y"))
+      .selectExpr("bin", "n",
+        "round(CAST(s_p AS DOUBLE) / (n * 1000000.0), 6) AS confidence",
+        "round(CAST(s_y AS DOUBLE) / n, 6) AS accuracy",
+        "round(abs(CAST(s_y AS DOUBLE) / n - CAST(s_p AS DOUBLE) / (n * 1000000.0)), 6) AS gap")
+      .orderBy("bin")
+
+  private def calibrationSql: String =
+    s"""WITH $logitCtes,
+       |scored AS (
+       |  SELECT f.y,
+       |    1.0 / (1.0 + exp(-(${(0 until logitXCols.length)
+            .map(j => s"(w.w$j / 1000000.0) * f.x$j").mkString(" + ")}))) AS p
+       |  FROM feat f CROSS JOIN w$logitSteps w
+       |),
+       |binned AS (
+       |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+       |    CAST(round(p * 1000000) AS BIGINT) AS p_fp, y
+       |  FROM scored
+       |)
+       |SELECT bin, COUNT(*) AS n,
+       |  round(CAST(SUM(p_fp) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS confidence,
+       |  round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+       |  round(abs(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / COUNT(*)
+       |    - CAST(SUM(p_fp) AS DOUBLE) / (COUNT(*) * 1000000.0)), 6) AS gap
+       |FROM binned GROUP BY bin
+       |ORDER BY bin""".stripMargin
 
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
@@ -1012,6 +1086,7 @@ object TextDedup extends QueryModule {
     Q("q90_standing_dedup", standingDedup, Some(incrementalDedupSql)),
     Q("q107_incremental_clusters", incrementalClustersQuery, Some(dedupClustersSql)),
     Q("q108_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    Q("q147_calibration", calibration, Some(calibrationSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q120_multimodal_assembly", multimodalAssembly,
       Some(corpusAssemblySqlWith(mediaGate = true))),

@@ -412,4 +412,29 @@ class TextDedupSpec extends SparkSpec {
       assert(got(id) === ((fold(t), min8(t))))
     }
   }
+
+  // ---- q147 calibration ---------------------------------------------------
+
+  test("q147 calibration: perfectly calibrated bins show ~zero gap; a lying bin shows its lie") {
+    val s = spark
+    import s.implicits._
+    // bin 2 (p=0.25): 1 positive of 4 -> perfectly calibrated;
+    // bin 9 (p=0.95): 0 positives of 4 -> gap = 0.95;
+    // p = 1.0 must land in bin 9 (the least() clamp), not a phantom bin 10
+    val rows = Seq(
+      (1.0, 0.25), (0.0, 0.25), (0.0, 0.25), (0.0, 0.25),
+      (0.0, 0.95), (0.0, 0.95), (0.0, 0.95), (0.0, 0.95),
+      (1.0, 1.0),
+    )
+    val out = graft.queries.TextDedup.calibrationCore(rows.toDF("y", "p"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(2L, 9L))
+    assert(out(2L).getLong(1) == 4L)
+    assert(math.abs(out(2L).getDouble(4)) < 1e-9, "calibrated bin gap must be ~0")
+    assert(out(9L).getLong(1) == 5L) // the p=1.0 row clamps into bin 9
+    assert(out(9L).getDouble(2) > 0.95 && out(9L).getDouble(3) == 0.2)
+    // ECE recoverable: n-weighted gap sum matches the hand value
+    val ece = out.values.map(r => r.getLong(1) * r.getDouble(4)).sum / 9.0
+    assert(ece > 0.4 && ece < 0.5)
+  }
 }
