@@ -680,6 +680,108 @@ object Glm extends QueryModule {
        |FROM bv JOIN sig ON sig.g = bv.g
        |ORDER BY bv.g""".stripMargin
 
+  // ---- q148: sign-flip permutation test on the second level --------------
+  // FSL randomise's one-sample shape: under H0 (no group effect) each
+  // subject's beta is symmetric around 0, so every sign pattern of the
+  // betas is equally likely — the permutation p-value is the fraction of
+  // sign patterns whose |t| meets the observed |t|. Signs are a PURE
+  // FUNCTION of (pattern, g) (Knuth-mix parity — reproducible on any
+  // cluster, mirrored verbatim in the oracle); sign-flipping leaves Σb²
+  // invariant, so each pattern costs ONE exact integer sum Σ s_g·b_fp
+  // and the t recomputation is projection arithmetic. Work is bounded at
+  // Runs·k·P·n terms after the first-level fit (the data-sized part).
+
+  private val PermP = 256
+
+  private val permTStr =
+    "CASE WHEN (q - n * (m * m)) > 0 THEN " +
+      "m / sqrt(((q - n * (m * m)) / (n - 1)) / n) END"
+
+  /** (run, j, t_obs, p_perm) from a (run, j, b_fp) first-level relation. */
+  private[graft] def signFlipCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
+    val base = firstLevel.groupBy("run", "j")
+      .agg(expr("COUNT(*)").as("n"), expr("SUM(b_fp)").as("s1"),
+        expr("SUM(CAST(b_fp AS DECIMAL(38,0)) * b_fp)").as("s2"))
+      .selectExpr("run", "j", "n",
+        "CAST(s1 AS DOUBLE) / (n * 1e6) AS m",
+        "CAST(s2 AS DOUBLE) / 1e12 AS q")
+      .selectExpr("run", "j", "n", "q", s"$permTStr AS t_obs")
+    val perms = firstLevel
+      .crossJoin(s.range(PermP).select(col("id").as("perm")))
+      .selectExpr("run", "j", "perm",
+        // sign = parity of h^2 mod P with h the keyed Knuth mix: the
+        // SQUARE is the nonlinearity — any affine function of (perm, g)
+        // gives near-alternating parities whose flips cancel (measured:
+        // every pattern summed to ~0 and the permutation null collapsed)
+        s"CASE WHEN (((perm * 2654435761L + g * 40503L + 17L) % ${graft.text.TextOps.P}L) * " +
+          s"((perm * 2654435761L + g * 40503L + 17L) % ${graft.text.TextOps.P}L)) % ${graft.text.TextOps.P}L % 2 = 0 " +
+          "THEN b_fp ELSE -b_fp END AS sb_fp")
+      .groupBy("run", "j", "perm")
+      .agg(expr("COUNT(*)").as("n"), expr("SUM(sb_fp)").as("sp"))
+      .selectExpr("run", "j", "perm", "n",
+        "CAST(sp AS DOUBLE) / (n * 1e6) AS m")
+    val permT = perms.join(base.select("run", "j", "q"), Seq("run", "j"))
+      .selectExpr("run", "j", s"$permTStr AS t_p")
+    permT.join(base.select("run", "j", "n", "t_obs"), Seq("run", "j"))
+      .groupBy("run", "j")
+      .agg(expr("MAX(n)").as("n"), expr("MAX(t_obs)").as("t_obs"),
+        expr("SUM(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
+      .selectExpr("run", "j", "n", "round(t_obs, 6) AS t_obs",
+        s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm")
+      .orderBy("run", "j")
+  }
+
+  def signFlip(s: SparkSession, d: String): DataFrame = {
+    val series = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(
+        (col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+        col("value").cast("decimal(18,2)").as("y_dec"))
+      .filter(col("th") < Runs * Nr)
+      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
+        col("g"), col("y_dec"))
+      .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
+    val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
+    val firstLevel = GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
+      .selectExpr("run", "g", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
+    signFlipCore(s, firstLevel)
+  }
+
+  private def signFlipSql: String =
+    s"""WITH $multiRunBetaCtes,
+       |fl AS (
+       |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
+       |  FROM gj2
+       |),
+       |base AS (
+       |  SELECT run, j, n, q, $permTStr AS t_obs FROM (
+       |    SELECT run, j, COUNT(*) AS n,
+       |      CAST(SUM(b_fp) AS DOUBLE) / (COUNT(*) * 1e6) AS m,
+       |      CAST(SUM(CAST(b_fp AS HUGEINT) * b_fp) AS DOUBLE) / 1e12 AS q
+       |    FROM fl GROUP BY run, j)
+       |),
+       |perms AS (
+       |  SELECT run, j, perm, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN (((perm * 2654435761 + g * 40503 + 17) % ${graft.text.TextOps.P}) *
+       |        ((perm * 2654435761 + g * 40503 + 17) % ${graft.text.TextOps.P})) % ${graft.text.TextOps.P} % 2 = 0
+       |      THEN b_fp ELSE -b_fp END) AS DOUBLE) / (COUNT(*) * 1e6) AS m
+       |  FROM fl, (SELECT CAST(r.r AS BIGINT) AS perm FROM unnest(range($PermP)) AS r(r))
+       |  GROUP BY run, j, perm
+       |),
+       |pt AS (
+       |  SELECT perms.run, perms.j, $permTStr AS t_p
+       |  FROM perms JOIN (SELECT run, j, q FROM base) b
+       |    ON b.run = perms.run AND b.j = perms.j
+       |)
+       |SELECT base.run, CAST(base.j AS BIGINT) AS j, CAST(base.n AS BIGINT) AS n,
+       |  round(base.t_obs, 6) AS t_obs,
+       |  round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |    / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm
+       |FROM pt JOIN base ON base.run = pt.run AND base.j = pt.j
+       |GROUP BY base.run, base.j, base.n, base.t_obs
+       |ORDER BY base.run, base.j""".stripMargin
+
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
   // The serial-correlation correction the flagship family still lacked:
   // fMRI GLM packages (SPM/FSL) never fit the ssm_loop design under a
@@ -1049,5 +1151,6 @@ object Glm extends QueryModule {
     Q("q141_contrast_glm", contrastGlm, Some(contrastGlmSql)),
     Q("q145_despike", despike, Some(despikeSql)),
     Q("q146_alff", alff, Some(alffSql)),
+    Q("q148_sign_flip", signFlip, Some(signFlipSql)),
   )
 }

@@ -530,7 +530,69 @@ object Retrieval extends QueryModule {
 
   private val bpeSegmentSql = graft.text.BpeOps.segmentOracleSql(12)
 
+  // ---- q149: Zipf slope of the term-frequency head -------------------------
+  // The corpus-statistics sanity check (does the token distribution look
+  // like natural language?): OLS of ln(frequency) on ln(rank) over the
+  // top-100 terms — natural corpora fit slope ≈ −1. Log values are
+  // integerized per point BEFORE the moment sums (products overflow
+  // int64 → DECIMAL(38,0)/HUGEINT), so the regression consumes exact
+  // integers and the final slope/intercept are shared-string double ops.
+  // Vocabulary-sized work after one token aggregate; the rank window is
+  // vocab-bounded.
+
+  private val zipfTop = 100
+
+  private val zipfSlopeStr =
+    "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) / " +
+      "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+  private val zipfInterceptStr =
+    s"(CAST(sy AS DOUBLE) - ($zipfSlopeStr) * CAST(sx AS DOUBLE)) / (n * 1e9)"
+
+  def zipfSlope(s: SparkSession, d: String): DataFrame = {
+    val cf = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val ranked = cf
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cf").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= zipfTop)
+      .selectExpr("CAST(round(ln(rank) * 1e9, 0) AS BIGINT) AS lx",
+        "CAST(round(ln(cf) * 1e9, 0) AS BIGINT) AS ly")
+    ranked
+      .agg(expr("COUNT(*)").as("n"), expr("SUM(lx)").as("sx"),
+        expr("SUM(ly)").as("sy"),
+        expr("SUM(CAST(lx AS DECIMAL(38,0)) * lx)").as("sxx"),
+        expr("SUM(CAST(lx AS DECIMAL(38,0)) * ly)").as("sxy"))
+      .selectExpr("n", s"round($zipfSlopeStr, 6) AS slope",
+        s"round($zipfInterceptStr, 6) AS intercept")
+  }
+
+  private val zipfSlopeSql =
+    s"""WITH cf AS (
+       |  SELECT t.term, count(*) AS cf
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  GROUP BY t.term
+       |),
+       |ranked AS (
+       |  SELECT CAST(round(ln(rank) * 1e9, 0) AS BIGINT) AS lx,
+       |    CAST(round(ln(cf) * 1e9, 0) AS BIGINT) AS ly
+       |  FROM (SELECT cf, ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS rank
+       |        FROM cf)
+       |  WHERE rank <= $zipfTop
+       |),
+       |mom AS (
+       |  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+       |    SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+       |    SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+       |  FROM ranked
+       |)
+       |SELECT CAST(n AS BIGINT) AS n, round($zipfSlopeStr, 6) AS slope,
+       |  round($zipfInterceptStr, 6) AS intercept
+       |FROM mom""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q149_zipf", zipfSlope, Some(zipfSlopeSql)),
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),
     Q("q80_vocab_stats", vocabStats, Some(vocabStatsSql)),

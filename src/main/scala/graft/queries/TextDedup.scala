@@ -1033,6 +1033,75 @@ object TextDedup extends QueryModule {
        |FROM binned GROUP BY bin
        |ORDER BY bin""".stripMargin
 
+  // ---- q150: classifier AUC (Mann–Whitney ranks) ---------------------------
+  // The threshold-free companion to q147: AUC = P(score(pos) > score(neg))
+  // computed from average ranks (ties share (min+max)/2 — exact halves,
+  // so every arithmetic step is exact in doubles and order-free). Scores
+  // come from the same frozen q108 model (projection); the rank window
+  // runs over the eval relation (the q139 query-sample argument: AUC is
+  // an evaluation, computed on an eval slice, not a corpus-sized sweep).
+
+  def auc(s: SparkSession, d: String): DataFrame = {
+    val feats = TextOps.qualityStats(documents(s, d), Seq("the", "a"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        col("type_token_ratio").as("x1"),
+        col("mean_token_len").as("x2"),
+        col("stopword_ratio").as("x3"),
+        col("punct_ratio").as("x4"))
+    val wFp = graft.glm.LogitOps
+      .gdStepsFp(feats, logitXCols, "y", logitSteps).last
+    aucCore(graft.glm.LogitOps.scoreWith(feats, logitXCols, wFp)
+      .selectExpr("doc_id", "y", "margin AS p"))
+  }
+
+  /** AUC over a (doc_id, y, p) relation: tie-averaged ranks of p
+    * ascending; U = Σ ranks(pos) − n1(n1+1)/2; AUC = U / (n1·n0). */
+  private[graft] def aucCore(scored: DataFrame): DataFrame =
+    scored
+      .selectExpr("y", "p",
+        "CAST(row_number() OVER (ORDER BY p ASC, doc_id ASC) AS BIGINT) AS rn")
+      // tie groups are contiguous in rank, so the shared average rank is
+      // (min+max)/2 — exact halves, deterministic
+      .groupBy("p")
+      .agg(expr("(CAST(MIN(rn) AS DOUBLE) + MAX(rn)) / 2.0").as("r_avg"),
+        expr("SUM(CAST(y AS BIGINT))").as("n_pos_p"),
+        expr("COUNT(*)").as("n_p"))
+      .agg(expr("SUM(n_pos_p)").as("n1"),
+        expr("SUM(n_p - n_pos_p)").as("n0"),
+        expr("SUM(n_pos_p * r_avg)").as("r1"))
+      .selectExpr("n1", "n0",
+        "round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) AS auc")
+
+  private def aucSql: String =
+    s"""WITH $logitCtes,
+       |scored AS (
+       |  SELECT f.doc_id, f.y,
+       |    ${(0 until logitXCols.length)
+            .map(j => s"(w.w$j / 1000000.0) * f.x$j").mkString(" + ")} AS p
+       |  FROM feat f CROSS JOIN w$logitSteps w
+       |),
+       |rn AS (
+       |  SELECT y, p,
+       |    CAST(row_number() OVER (ORDER BY p ASC, doc_id ASC) AS BIGINT) AS rn
+       |  FROM scored
+       |),
+       |grp AS (
+       |  SELECT p, (CAST(MIN(rn) AS DOUBLE) + MAX(rn)) / 2.0 AS r_avg,
+       |    SUM(CAST(y AS BIGINT)) AS n_pos_p, COUNT(*) AS n_p
+       |  FROM rn GROUP BY p
+       |),
+       |aucagg AS (
+       |  SELECT CAST(SUM(n_pos_p) AS BIGINT) AS n1,
+       |    CAST(SUM(n_p - n_pos_p) AS BIGINT) AS n0,
+       |    CAST(SUM(n_pos_p * r_avg) AS DOUBLE) AS r1
+       |  FROM grp
+       |)
+       |SELECT n1, n0,
+       |  round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) AS auc
+       |FROM aucagg""".stripMargin
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -1087,6 +1156,7 @@ object TextDedup extends QueryModule {
     Q("q107_incremental_clusters", incrementalClustersQuery, Some(dedupClustersSql)),
     Q("q108_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q147_calibration", calibration, Some(calibrationSql)),
+    Q("q150_auc", auc, Some(aucSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q120_multimodal_assembly", multimodalAssembly,
       Some(corpusAssemblySqlWith(mediaGate = true))),

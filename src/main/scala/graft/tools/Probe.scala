@@ -627,7 +627,8 @@ object ProbeScale {
       "q136_ar1_glm", "q137_dsir_weights", "q138_standing_decontam",
       "q139_ann_ndcg", "q140_group_glm", "q141_contrast_glm",
       "q142_cluster_extent", "q143_standing_dsir", "q144_epoch_schedule",
-      "q145_despike", "q146_alff", "q147_calibration")
+      "q145_despike", "q146_alff", "q147_calibration",
+      "q148_sign_flip", "q149_zipf", "q150_auc")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

@@ -225,6 +225,29 @@ class GlmSpec extends SparkSpec {
     assert(alff1 < amp, s"high-band signal carries no low-band power, alff1 $alff1")
   }
 
+  test("q148 sign-flip: a strong consistent effect earns the minimal p; pure noise does not") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    // run 0: all 12 subjects' betas strongly positive (consistent effect);
+    // run 1: symmetric noise around 0
+    val fl = (0 until 12).flatMap { g =>
+      Seq((0L, g.toLong, 0L, 5000000L + rnd.nextInt(100000)),
+        (1L, g.toLong, 0L, (rnd.nextGaussian() * 1000000).toLong))
+    }.toDF("run", "g", "j", "b_fp")
+    val out = graft.queries.Glm.signFlipCore(s, fl)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    val (t0, p0) = out(0L)
+    val (_, p1) = out(1L)
+    assert(t0 > 10.0, s"consistent effect t $t0")
+    // only sign patterns nearly all-positive can match: p near 1/257
+    assert(p0 < 0.02, s"strong effect permutation p $p0")
+    assert(p1 > 0.1, s"noise permutation p $p1")
+    // deterministic: identical on rerun
+    val again = graft.queries.Glm.signFlipCore(s, fl).collect().toSeq
+    assert(again == graft.queries.Glm.signFlipCore(s, fl.repartition(7)).collect().toSeq)
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)

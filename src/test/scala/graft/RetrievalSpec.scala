@@ -343,4 +343,28 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("lang", "shard", "doc_id").collect().toSeq)
     assert(repart === sharded)
   }
+
+  test("q149 Zipf: a planted 1/rank corpus fits slope ~ -1") {
+    val s = spark
+    import s.implicits._
+    // term_i appears round(3000/i) times, i = 1..60 -> slope -1 by construction
+    val text = (1 to 60).flatMap(i => Seq.fill(math.round(3000.0 / i).toInt)(s"w$i"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val cf = docs.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("term"))
+      .groupBy("term").count()
+    assert(cf.count() == 60)
+    // run the real query body against a temp view? zipfSlope reads documents
+    // from a dir - test the math through a scratch parquet dir instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    docs.withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Retrieval.zipfSlope(s, dir).head()
+    val slope = out.getDouble(1)
+    assert(out.getLong(0) == 60L)
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope should be ~ -1")
+  }
 }

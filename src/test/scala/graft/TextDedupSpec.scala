@@ -437,4 +437,23 @@ class TextDedupSpec extends SparkSpec {
     val ece = out.values.map(r => r.getLong(1) * r.getDouble(4)).sum / 9.0
     assert(ece > 0.4 && ece < 0.5)
   }
+
+  // ---- q150 AUC -----------------------------------------------------------
+
+  test("q150 AUC: perfect separation 1.0, reversal 0.0, all-ties 0.5, hand case exact") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Double, Double)]): Double =
+      graft.queries.TextDedup.aucCore(rows.toDF("doc_id", "y", "p"))
+        .head().getDouble(2)
+    val perfect = Seq((1L, 0.0, 0.1), (2L, 0.0, 0.2), (3L, 1.0, 0.8), (4L, 1.0, 0.9))
+    assert(run(perfect) == 1.0)
+    assert(run(perfect.map { case (i, y, p) => (i, 1.0 - y, p) }) == 0.0)
+    val ties = Seq((1L, 0.0, 0.5), (2L, 1.0, 0.5), (3L, 0.0, 0.5), (4L, 1.0, 0.5))
+    assert(run(ties) == 0.5, "tie-averaged ranks must give exactly 0.5")
+    // hand case: pos at 0.9 and 0.3; neg at 0.5 and 0.1 ->
+    // pairs won: (0.9>0.5), (0.9>0.1), (0.3>0.1) = 3 of 4 -> 0.75
+    val hand = Seq((1L, 1.0, 0.9), (2L, 0.0, 0.5), (3L, 1.0, 0.3), (4L, 0.0, 0.1))
+    assert(run(hand) == 0.75)
+  }
 }
