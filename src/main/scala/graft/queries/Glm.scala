@@ -697,8 +697,12 @@ object Glm extends QueryModule {
     "CASE WHEN (q - n * (m * m)) > 0 THEN " +
       "m / sqrt(((q - n * (m * m)) / (n - 1)) / n) END"
 
-  /** (run, j, t_obs, p_perm) from a (run, j, b_fp) first-level relation. */
-  private[graft] def signFlipCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
+  /** The permutation machinery shared by q148/q151/q152: from a
+    * (run, g, j, b_fp) first-level relation, the observed-stat relation
+    * `base` (run, j, n, q, t_obs) and the per-pattern stat relation
+    * `permT` (run, j, perm, t_p). */
+  private[graft] def signFlipParts(s: SparkSession,
+      firstLevel: DataFrame): (DataFrame, DataFrame) = {
     val base = firstLevel.groupBy("run", "j")
       .agg(expr("COUNT(*)").as("n"), expr("SUM(b_fp)").as("s1"),
         expr("SUM(CAST(b_fp AS DECIMAL(38,0)) * b_fp)").as("s2"))
@@ -721,7 +725,13 @@ object Glm extends QueryModule {
       .selectExpr("run", "j", "perm", "n",
         "CAST(sp AS DOUBLE) / (n * 1e6) AS m")
     val permT = perms.join(base.select("run", "j", "q"), Seq("run", "j"))
-      .selectExpr("run", "j", s"$permTStr AS t_p")
+      .selectExpr("run", "j", "perm", s"$permTStr AS t_p")
+    (base, permT)
+  }
+
+  /** (run, j, t_obs, p_perm) from a (run, j, b_fp) first-level relation. */
+  private[graft] def signFlipCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
+    val (base, permT) = signFlipParts(s, firstLevel)
     permT.join(base.select("run", "j", "n", "t_obs"), Seq("run", "j"))
       .groupBy("run", "j")
       .agg(expr("MAX(n)").as("n"), expr("MAX(t_obs)").as("t_obs"),
@@ -731,7 +741,9 @@ object Glm extends QueryModule {
       .orderBy("run", "j")
   }
 
-  def signFlip(s: SparkSession, d: String): DataFrame = {
+  /** The (run, g, j, b_fp) first-level relation under the per-run fixed
+    * designs — shared by q148/q151/q152. */
+  private def multiRunFirstLevel(s: SparkSession, d: String): DataFrame = {
     val series = events(s, d)
       .filter(expr(s"ts div 1000 - $baseUs >= 0"))
       .select(
@@ -743,13 +755,61 @@ object Glm extends QueryModule {
         col("g"), col("y_dec"))
       .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
     val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
-    val firstLevel = GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
+    GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
       .selectExpr("run", "g", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
-    signFlipCore(s, firstLevel)
   }
 
-  private def signFlipSql: String =
-    s"""WITH $multiRunBetaCtes,
+  def signFlip(s: SparkSession, d: String): DataFrame =
+    signFlipCore(s, multiRunFirstLevel(s, d))
+
+  // ---- q151: Benjamini–Hochberg FDR over the permutation p-values ---------
+  // The multiple-comparison step every mass analysis ends with: rank the
+  // m = Runs·k permutation p-values ascending, find the largest k with
+  // p_(k) ≤ k·α/m, reject hypotheses 1..k. α/m is an exact double
+  // literal; p-values arrive 6-dp rounded, so every comparison is
+  // boundary-free in both engines. Bounded work over the q148 relation.
+
+  private val FdrAlphaOverM: Double = 0.1 / (Runs * 4)
+
+  /** BH verdicts over a (run, j, ..., p_perm) relation. */
+  private[graft] def fdrBhCore(pp: DataFrame): DataFrame = {
+    val ranked = pp.selectExpr("run", "j", "p_perm",
+      "CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk")
+    val kmax = ranked.agg(expr(
+      s"COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($FdrAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh"))
+    ranked.crossJoin(broadcast(kmax))
+      .selectExpr("run", "j", "p_perm", "rk", "kbh", "rk <= kbh AS rejected")
+      .orderBy("run", "j")
+  }
+
+  def fdrBh(s: SparkSession, d: String): DataFrame =
+    fdrBhCore(signFlipCore(s, multiRunFirstLevel(s, d)))
+
+  // ---- q152: Westfall–Young maxT (strong FWER control) --------------------
+  // From the SAME permutation relation: p_maxT(run, j) = fraction of
+  // patterns whose MAX |t| over ALL hypotheses meets |t_obs| — the
+  // permutation analogue of Bonferroni that respects the hypotheses'
+  // correlation structure. One bounded max per pattern + a tiny cross.
+
+  private[graft] def maxTCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
+    val (base, permT) = signFlipParts(s, firstLevel)
+    val mx = permT.groupBy("perm").agg(expr("MAX(abs(t_p))").as("mx"))
+    base.select("run", "j", "t_obs").crossJoin(broadcast(mx))
+      .groupBy("run", "j")
+      .agg(expr("MAX(t_obs)").as("t_obs"),
+        expr("SUM(CASE WHEN mx >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
+      .selectExpr("run", "j", "round(t_obs, 6) AS t_obs",
+        s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) AS p_maxt")
+      .orderBy("run", "j")
+  }
+
+  def maxT(s: SparkSession, d: String): DataFrame =
+    maxTCore(s, multiRunFirstLevel(s, d))
+
+  /** The oracle's permutation CTE chain (fl, base, perms, pt, pp) —
+    * shared verbatim by q148, q151, and q152. */
+  private def signFlipCtes: String =
+    s"""$multiRunBetaCtes,
        |fl AS (
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
        |  FROM gj2
@@ -770,16 +830,50 @@ object Glm extends QueryModule {
        |  GROUP BY run, j, perm
        |),
        |pt AS (
-       |  SELECT perms.run, perms.j, $permTStr AS t_p
+       |  SELECT perms.run, perms.j, perms.perm, $permTStr AS t_p
        |  FROM perms JOIN (SELECT run, j, q FROM base) b
        |    ON b.run = perms.run AND b.j = perms.j
+       |),
+       |pp AS (
+       |  SELECT base.run AS run, CAST(base.j AS BIGINT) AS j,
+       |    CAST(base.n AS BIGINT) AS n,
+       |    round(base.t_obs, 6) AS t_obs,
+       |    round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |      / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm
+       |  FROM pt JOIN base ON base.run = pt.run AND base.j = pt.j
+       |  GROUP BY base.run, base.j, base.n, base.t_obs
+       |)""".stripMargin
+
+  private def signFlipSql: String =
+    s"""WITH $signFlipCtes
+       |SELECT run, j, n, t_obs, p_perm FROM pp
+       |ORDER BY run, j""".stripMargin
+
+  private def fdrBhSql: String =
+    s"""WITH $signFlipCtes,
+       |ranked AS (
+       |  SELECT run, j, p_perm,
+       |    CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk
+       |  FROM pp
+       |),
+       |km AS (
+       |  SELECT COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($FdrAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh
+       |  FROM ranked
        |)
-       |SELECT base.run, CAST(base.j AS BIGINT) AS j, CAST(base.n AS BIGINT) AS n,
-       |  round(base.t_obs, 6) AS t_obs,
-       |  round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
-       |    / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm
-       |FROM pt JOIN base ON base.run = pt.run AND base.j = pt.j
-       |GROUP BY base.run, base.j, base.n, base.t_obs
+       |SELECT run, j, p_perm, rk, CAST(kbh AS BIGINT) AS kbh,
+       |  rk <= kbh AS rejected
+       |FROM ranked CROSS JOIN km
+       |ORDER BY run, j""".stripMargin
+
+  private def maxTSql: String =
+    s"""WITH $signFlipCtes,
+       |mx AS (SELECT perm, MAX(abs(t_p)) AS mx FROM pt GROUP BY perm)
+       |SELECT base.run, CAST(base.j AS BIGINT) AS j,
+       |  round(MAX(base.t_obs), 6) AS t_obs,
+       |  round((1 + SUM(CASE WHEN mx.mx >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |    / CAST(${1 + PermP} AS DOUBLE), 6) AS p_maxt
+       |FROM base CROSS JOIN mx
+       |GROUP BY base.run, base.j
        |ORDER BY base.run, base.j""".stripMargin
 
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
@@ -1152,5 +1246,7 @@ object Glm extends QueryModule {
     Q("q145_despike", despike, Some(despikeSql)),
     Q("q146_alff", alff, Some(alffSql)),
     Q("q148_sign_flip", signFlip, Some(signFlipSql)),
+    Q("q151_fdr_bh", fdrBh, Some(fdrBhSql)),
+    Q("q152_maxt", maxT, Some(maxTSql)),
   )
 }

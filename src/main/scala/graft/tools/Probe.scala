@@ -628,7 +628,8 @@ object ProbeScale {
       "q139_ann_ndcg", "q140_group_glm", "q141_contrast_glm",
       "q142_cluster_extent", "q143_standing_dsir", "q144_epoch_schedule",
       "q145_despike", "q146_alff", "q147_calibration",
-      "q148_sign_flip", "q149_zipf", "q150_auc")
+      "q148_sign_flip", "q149_zipf", "q150_auc", "q151_fdr_bh",
+      "q152_maxt")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

@@ -248,6 +248,44 @@ class GlmSpec extends SparkSpec {
     assert(again == graft.queries.Glm.signFlipCore(s, fl.repartition(7)).collect().toSeq)
   }
 
+  test("q151 BH: hand-computed rejection set; step-up picks the LARGEST qualifying rank") {
+    val s = spark
+    import s.implicits._
+    // m in the query is Runs*k = 16, alpha/m = 0.00625. Planted ps:
+    // rank1 .004 <= .00625 ok; rank2 .014 > .0125 NOT ok alone, but
+    // rank3 .018 <= .01875 ok -> step-up rejects ranks 1..3.
+    val pp = Seq(
+      (0L, 0L, 0.004), (0L, 1L, 0.014), (0L, 2L, 0.018), (0L, 3L, 0.5),
+      (1L, 0L, 0.9), (1L, 1L, 0.7), (1L, 2L, 0.8), (1L, 3L, 0.6),
+    ).toDF("run", "j", "p_perm")
+    val out = graft.queries.Glm.fdrBhCore(pp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(out((0L, 0L)) && out((0L, 1L)) && out((0L, 2L)),
+      "step-up must rescue rank 2 via rank 3")
+    assert(!out((0L, 3L)) && !out((1L, 0L)))
+    assert(out.values.count(identity) == 3)
+  }
+
+  test("q152 maxT: corrected p never below the per-hypothesis p; strong effect survives") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9)
+    val fl = (0 until 12).flatMap { g =>
+      Seq((0L, g.toLong, 0L, 8000000L + rnd.nextInt(50000)), // strong
+        (0L, g.toLong, 1L, (rnd.nextGaussian() * 1000000).toLong), // noise
+        (1L, g.toLong, 0L, (rnd.nextGaussian() * 1000000).toLong))
+    }.toDF("run", "g", "j", "b_fp")
+    val perP = graft.queries.Glm.signFlipCore(s, fl)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val maxP = graft.queries.Glm.maxTCore(s, fl)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    maxP.foreach { case (k, pm) =>
+      assert(pm >= perP(k) - 1e-9, s"$k: maxT $pm < per-hypothesis ${perP(k)}")
+    }
+    assert(maxP((0L, 0L)) < 0.02, "strong effect survives strong FWER control")
+    assert(maxP((1L, 0L)) > 0.2, "noise does not")
+  }
+
   test("TDist matches published two-sided critical values (p = 0.05)") {
     // t_{0.975, df}: df=1 → 12.706, df=10 → 2.228, df=30 → 2.042
     assert(math.abs(TDist.pTwoSided(12.706, 1) - 0.05) < 5e-4)
