@@ -1033,6 +1033,65 @@ object TextDedup extends QueryModule {
        |FROM binned GROUP BY bin
        |ORDER BY bin""".stripMargin
 
+  // ---- q153: leakage-safe split (cluster-keyed assembly) -------------------
+  // The q57 hash split keyed on the NEAR-DUP CLUSTER instead of the doc:
+  // when two near-duplicate documents land on opposite sides of a
+  // train/test split, the eval leaks — the standard fix is to split by
+  // dedup cluster so every near-dup family moves as one unit. Composes
+  // the hash-proven q66 components with the q57 slot (pure projection on
+  // the cluster id); the oracle replays both verbatim.
+
+  def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clusters = DedupOps
+      .dedupClusters(docs,
+        DedupOps.minhashDupPairs(docs, shingleK = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.5))
+      .select("doc_id", "cluster")
+    Training.hashSplit(clusters, "cluster", "graft-v1",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select("doc_id", "cluster", "split")
+      .orderBy("doc_id")
+  }
+
+  private val leakageSplitSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs2 AS (
+       |  SELECT m.doc_a, m.doc_b
+       |  FROM com m
+       |  JOIN sz za ON za.doc_id = m.doc_a
+       |  JOIN sz zb ON zb.doc_id = m.doc_b
+       |  WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs2
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs2
+       |),
+       |reach(v, m) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.v = s.dst
+       |),
+       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v),
+       |cl AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
+       |),
+       |slotted AS (
+       |  SELECT doc_id, cluster,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('graft-v1:' || CAST(cluster AS VARCHAR), ''),
+       |        c -> CAST(ord(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $P) * 2654435761 % 1000 AS slot
+       |  FROM cl
+       |)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN slot < 900 THEN 'train'
+       |       WHEN slot < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM slotted
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q150: classifier AUC (Mann–Whitney ranks) ---------------------------
   // The threshold-free companion to q147: AUC = P(score(pos) > score(neg))
   // computed from average ranks (ties share (min+max)/2 — exact halves,
@@ -1157,6 +1216,7 @@ object TextDedup extends QueryModule {
     Q("q108_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     Q("q147_calibration", calibration, Some(calibrationSql)),
     Q("q150_auc", auc, Some(aucSql)),
+    Q("q153_leakage_split", leakageSplit, Some(leakageSplitSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q120_multimodal_assembly", multimodalAssembly,
       Some(corpusAssemblySqlWith(mediaGate = true))),

@@ -456,4 +456,20 @@ class TextDedupSpec extends SparkSpec {
     val hand = Seq((1L, 1.0, 0.9), (2L, 0.0, 0.5), (3L, 1.0, 0.3), (4L, 0.0, 0.1))
     assert(run(hand) == 0.75)
   }
+
+  // ---- q153 leakage-safe split --------------------------------------------
+
+  test("q153: every near-dup cluster lands wholly in one split") {
+    val out = graft.queries.TextDedup.leakageSplit(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // cluster -> distinct splits must be 1 for every cluster
+    val bad = out.groupBy(_._2).filter(_._2.map(_._3).distinct.length > 1)
+    assert(bad.isEmpty, s"clusters split across sets: ${bad.keys.take(3)}")
+    // and there exist multi-doc clusters, so the invariant is non-vacuous
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "fixture must contain at least one near-dup family")
+    // distribution sanity: all three splits appear
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
 }
