@@ -684,7 +684,7 @@ object DedupOps {
       (try {
         spark.table(s"${name}_meta").head()
           .getAs[String]("dataset_tag") == datasetTag
-      } catch { case _: Throwable => false })
+      } catch { case scala.util.control.NonFatal(_) => false })
 
   /** Admit a new benchmark slice: append its distinct gram pairs —
     * benchmark-sized work, the standing set is never re-shingled.

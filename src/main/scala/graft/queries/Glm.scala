@@ -570,23 +570,8 @@ object Glm extends QueryModule {
       "(CAST(s1 AS DOUBLE) / (n * 1e6))) / (n - 1)"
   private val glTStr = "CASE WHEN v > 0 THEN m / sqrt(v / n) END"
 
-  def groupGlm(s: SparkSession, d: String): DataFrame = {
-    val series = events(s, d)
-      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
-      .select(
-        (col("user_id") % 10).as("g"),
-        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
-        col("value").cast("decimal(18,2)").as("y_dec"))
-      .filter(col("th") < Runs * Nr)
-      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
-        col("g"), col("y_dec"))
-      .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
-    val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
-    val firstLevel = GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
-      .select(col("run"), col("j"), col("beta"))
-      .selectExpr("run", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
-    secondLevel(firstLevel)
-  }
+  def groupGlm(s: SparkSession, d: String): DataFrame =
+    secondLevel(multiRunFirstLevel(s, d).select("run", "j", "b_fp"))
 
   /** One-sample t across a (run, j, b_fp) relation of fixed-point
     * first-level betas — split out so specs can feed planted values. */
@@ -737,7 +722,11 @@ object Glm extends QueryModule {
       .agg(expr("MAX(n)").as("n"), expr("MAX(t_obs)").as("t_obs"),
         expr("SUM(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
       .selectExpr("run", "j", "n", "round(t_obs, 6) AS t_obs",
-        s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm")
+        // an undefined test (zero variance -> NULL t_obs) must report
+        // NULL, not the minimal p: every comparison against NULL counts
+        // 0 exceedances, which would read as maximal significance
+        s"CASE WHEN t_obs IS NULL THEN NULL ELSE " +
+          s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_perm")
       .orderBy("run", "j")
   }
 
@@ -772,7 +761,10 @@ object Glm extends QueryModule {
   private val FdrAlphaOverM: Double = 0.1 / (Runs * 4)
 
   /** BH verdicts over a (run, j, ..., p_perm) relation. */
-  private[graft] def fdrBhCore(pp: DataFrame): DataFrame = {
+  private[graft] def fdrBhCore(pp0: DataFrame): DataFrame = {
+    // undefined hypotheses (NULL p from a zero-variance test) cannot be
+    // ranked or rejected - and the engines order NULLs differently
+    val pp = pp0.filter(col("p_perm").isNotNull)
     val ranked = pp.selectExpr("run", "j", "p_perm",
       "CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk")
     val kmax = ranked.agg(expr(
@@ -799,7 +791,8 @@ object Glm extends QueryModule {
       .agg(expr("MAX(t_obs)").as("t_obs"),
         expr("SUM(CASE WHEN mx >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
       .selectExpr("run", "j", "round(t_obs, 6) AS t_obs",
-        s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) AS p_maxt")
+        s"CASE WHEN t_obs IS NULL THEN NULL ELSE " +
+          s"round((1 + n_ge) / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_maxt")
       .orderBy("run", "j")
   }
 
@@ -838,8 +831,9 @@ object Glm extends QueryModule {
        |  SELECT base.run AS run, CAST(base.j AS BIGINT) AS j,
        |    CAST(base.n AS BIGINT) AS n,
        |    round(base.t_obs, 6) AS t_obs,
-       |    round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
-       |      / CAST(${1 + PermP} AS DOUBLE), 6) AS p_perm
+       |    CASE WHEN base.t_obs IS NULL THEN NULL ELSE
+       |      round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |        / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_perm
        |  FROM pt JOIN base ON base.run = pt.run AND base.j = pt.j
        |  GROUP BY base.run, base.j, base.n, base.t_obs
        |)""".stripMargin
@@ -854,7 +848,7 @@ object Glm extends QueryModule {
        |ranked AS (
        |  SELECT run, j, p_perm,
        |    CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk
-       |  FROM pp
+       |  FROM pp WHERE p_perm IS NOT NULL
        |),
        |km AS (
        |  SELECT COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($FdrAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh
@@ -870,8 +864,9 @@ object Glm extends QueryModule {
        |mx AS (SELECT perm, MAX(abs(t_p)) AS mx FROM pt GROUP BY perm)
        |SELECT base.run, CAST(base.j AS BIGINT) AS j,
        |  round(MAX(base.t_obs), 6) AS t_obs,
-       |  round((1 + SUM(CASE WHEN mx.mx >= abs(base.t_obs) THEN 1 ELSE 0 END))
-       |    / CAST(${1 + PermP} AS DOUBLE), 6) AS p_maxt
+       |  CASE WHEN MAX(base.t_obs) IS NULL THEN NULL ELSE
+       |    round((1 + SUM(CASE WHEN mx.mx >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |      / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_maxt
        |FROM base CROSS JOIN mx
        |GROUP BY base.run, base.j
        |ORDER BY base.run, base.j""".stripMargin
@@ -1117,7 +1112,8 @@ object Glm extends QueryModule {
   // the smooth trend (the q33 OLS), measure residual spread ROBUSTLY
   // (median absolute deviation — a spike cannot inflate its own
   // detection threshold the way σ would), and clip any residual beyond
-  // 3.5·1.4826·MAD to the threshold boundary, preserving the trend.
+  // 2.5·1.4826·MAD (AFNI's default c1 = 2.5, in σ-equivalent units) to
+  // the threshold boundary, preserving the trend.
   // Medians are order statistics (order-free — no float-sum rounding
   // needed); Spark `percentile` and DuckDB `quantile_cont` share type-7
   // interpolation (the q53 contract). Scale shape: the one (g,t)

@@ -419,12 +419,12 @@ object Training extends QueryModule {
        |  FROM per_lang CROSS JOIN tot
        |),
        |ps AS (SELECT CAST(SUM(pow_fp) AS BIGINT) AS pow_total FROM pw),
-       |budgets AS (SELECT lang, (3000 * pow_fp) // pow_total AS budget
+       |budgets AS (SELECT lang, ($schedBudget * pow_fp) // pow_total AS budget
        |            FROM pw CROSS JOIN ps),
        |mixed AS (
        |  SELECT s.doc_id, s.lang, s.tokens, e.epoch,
-       |    ((s.doc_id % 1000000007) * (2654435761 + e.epoch * 40503) + 17) % 1000000007 AS mix
-       |  FROM sized s, unnest([1, 2]) AS e(epoch)
+       |    ((s.doc_id % ${graft.text.TextOps.P}) * (2654435761 + e.epoch * 40503) + 17) % ${graft.text.TextOps.P} AS mix
+       |  FROM sized s, unnest([${schedEpochs.mkString(", ")}]) AS e(epoch)
        |),
        |adm AS (
        |  SELECT m.*, b.budget,
@@ -433,7 +433,7 @@ object Training extends QueryModule {
        |  FROM mixed m JOIN budgets b USING (lang)
        |),
        |fin AS (
-       |  SELECT epoch, CAST(mix % 8 AS INTEGER) AS shard, doc_id, lang, tokens, mix
+       |  SELECT epoch, CAST(mix % $schedShards AS INTEGER) AS shard, doc_id, lang, tokens, mix
        |  FROM adm WHERE cum_before < budget
        |)
        |SELECT epoch, shard,

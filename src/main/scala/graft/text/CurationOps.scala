@@ -556,7 +556,11 @@ object CurationOps {
     * buckets carry the smoothed unseen value, not 0 — scoring a corpus
     * the model was fitted ON never reads them, but standing-model
     * arrivals do. */
-  private def fitLr(cnt: DataFrame, buckets: Int): Array[Long] = {
+  private def fitLr(cnt0: DataFrame, buckets: Int): Array[Long] = {
+    // two actions read cnt (un, then the lr collect); without the
+    // barrier each would re-execute the corpus-sized lineage (the
+    // gdStepsFp lesson) — cnt is <= buckets rows, so pin it once
+    val cnt = cnt0.localCheckpoint()
     val tot = cnt.agg(coalesce(sum("cr"), lit(0L)).as("crt"),
       coalesce(sum("ct"), lit(0L)).as("ctt"))
     val un = tot.selectExpr(s"${dsirUnseenStr(buckets)} AS u").head().getLong(0)
@@ -575,8 +579,8 @@ object CurationOps {
     // the score pass is projection-only: the fitted model re-enters as
     // ONE typedLit array literal, not a 512-child CreateArray (the
     // expression-tree size is what the optimizer and codegen pay for).
-    // Unseen buckets keep 0 — they cannot occur in any doc: every bucket
-    // a doc emits was counted by construction.
+    // Every bucket a doc emits was counted by construction, so the
+    // smoothed-unseen fill fitLr applies is never read on this path.
     val bg = dsirFeatures(docs, isTarget, buckets)
     val cnt = bg.select(col("is_t"), explode(col("f")).as("f"))
       .groupBy("f")
@@ -589,21 +593,44 @@ object CurationOps {
   // q90/q110/q119/q126/q138 standing family: model COUNTS are additive,
   // so admission appends per-batch bucket deltas and the probe sums) ----
 
-  /** Persist the importance model's state: `name_counts` holds additive
-    * (f, ct, cr) delta rows (each admission appends its batch's bucket
-    * histogram — B-bounded per batch; the probe re-aggregates, so a
-    * replayed UNGUARDED append would double-count: that is what the
-    * `name_docs` guard is for), `name_docs` the admitted ids,
-    * `name_meta` the geometry (written LAST). */
-  def buildDsirStore(spark: org.apache.spark.sql.SparkSession,
-      docs: DataFrame, isTarget: Column, name: String, buckets: Int,
-      location: String, datasetTag: String = ""): Unit = {
-    import spark.implicits._
+  /** The batch's content fingerprint — a pure function of its doc-id
+    * SET (order-free sums), so an at-least-once REPLAY of the same batch
+    * reproduces the same value. Stamped on every delta row; the probe
+    * dedupes on (batch_fp, f), which makes a replayed delta append a
+    * no-op for correctness NO MATTER where a crash interleaved it with
+    * the doc-guard write (the guard is an optimization, not the
+    * correctness mechanism). */
+  private def batchFingerprint(docs: DataFrame): Long = {
+    val P = TextOps.P
+    val r = docs.agg(
+      sum(pmod(col("doc_id"), lit(P)) * lit(31L) % lit(P)).as("s1"),
+      sum(pmod(col("doc_id"), lit(P)) * pmod(col("doc_id"), lit(P)) % lit(P)).as("s2"),
+      count(lit(1)).as("n")).head()
+    if (r.isNullAt(0)) 0L
+    else ((r.getLong(0) % P) * 31 + (r.getLong(1) % P)) % P * 1000003 + r.getLong(2)
+  }
+
+  /** The (batch_fp, f, ct, cr) delta of one admitted batch. */
+  private def dsirDelta(docs: DataFrame, isTarget: Column, buckets: Int,
+      batchFp: Long): DataFrame =
     dsirFeatures(docs, isTarget, buckets)
       .select(col("is_t"), explode(col("f")).as("f"))
       .groupBy("f")
       .agg(count(lit(1)).as("cr"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .select(lit(batchFp).as("batch_fp"), col("f"), col("cr"), col("ct"))
+
+  /** Persist the importance model's state: `name_counts` holds additive
+    * (batch_fp, f, ct, cr) delta rows (each admission appends its
+    * batch's bucket histogram — B-bounded per batch; the probe dedupes
+    * identical replayed deltas on batch_fp before summing), `name_docs`
+    * the admitted ids (the replay-skip guard), `name_meta` the geometry
+    * (written LAST). */
+  def buildDsirStore(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, isTarget: Column, name: String, buckets: Int,
+      location: String, datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    dsirDelta(docs, isTarget, buckets, batchFingerprint(docs))
       .write.mode("overwrite").option("path", s"$location/counts")
       .saveAsTable(s"${name}_counts")
     docs.select("doc_id")
@@ -623,24 +650,21 @@ object CurationOps {
       (try {
         spark.table(s"${name}_meta").head()
           .getAs[String]("dataset_tag") == datasetTag
-      } catch { case _: Throwable => false })
+      } catch { case scala.util.control.NonFatal(_) => false })
 
   /** Admit a batch into the model: append its bucket-count delta —
     * batch-sized work, the corpus is never re-counted. `idempotent`
-    * anti-joins against `name_docs` (at-least-once replay adds nothing;
-    * critical here — counts are additive, so an unguarded replay would
-    * BIAS the model, not just waste space). */
+    * anti-joins against `name_docs` to skip replays cheaply; even
+    * without it (or when a crash landed BETWEEN the counts append and
+    * the doc-guard write), a replayed identical delta is harmless — it
+    * carries the same batch fingerprint and the probe dedupes on it. */
   def appendToDsirStore(spark: org.apache.spark.sql.SparkSession,
       newDocs0: DataFrame, isTarget: Column, name: String,
       idempotent: Boolean = false): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getInt(0)
     val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
       spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
-    dsirFeatures(newDocs, isTarget, buckets)
-      .select(col("is_t"), explode(col("f")).as("f"))
-      .groupBy("f")
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    dsirDelta(newDocs, isTarget, buckets, batchFingerprint(newDocs))
       .write.mode("append").saveAsTable(s"${name}_counts")
     newDocs.select("doc_id")
       .write.mode("append")
@@ -659,7 +683,14 @@ object CurationOps {
       arrivals: DataFrame, name: String): DataFrame = {
     spark.catalog.refreshTable(s"${name}_counts")
     val buckets = spark.table(s"${name}_meta").head().getInt(0)
+    // dedupe replayed deltas on (batch_fp, f) BEFORE summing: a batch
+    // whose append raced a crash may appear twice with identical rows —
+    // max() collapses them (rows of one (batch_fp, f) are identical by
+    // construction), making replay idempotence independent of the
+    // doc-guard write ordering
     val cnt = spark.table(s"${name}_counts")
+      .groupBy("batch_fp", "f")
+      .agg(max("cr").as("cr"), max("ct").as("ct"))
       .groupBy("f").agg(sum("cr").as("cr"), sum("ct").as("ct"))
     dsirScore(dsirFeatures(arrivals, lit(false), buckets),
       fitLr(cnt, buckets))

@@ -543,4 +543,22 @@ class GlmSpec extends SparkSpec {
       assert(math.abs(got - closed(j)) < 1e-6, s"j=$j got=$got closed=${closed(j)}")
     }
   }
+
+  test("q148/q151/q152: a zero-variance hypothesis reports NULL p and is never rejected") {
+    val s = spark
+    import s.implicits._
+    val fl = ((0 until 10).map(g => (0L, g.toLong, 0L, 4000000L)) ++ // constant
+      (0 until 10).map(g => (0L, g.toLong, 1L, (g * 1000000L - 4500000L)))) // spread
+      .toDF("run", "g", "j", "b_fp")
+    val pp = graft.queries.Glm.signFlipCore(s, fl)
+    val rows = pp.collect().map(r => r.getLong(1) -> r).toMap
+    assert(rows(0L).isNullAt(3) && rows(0L).isNullAt(4),
+      "undefined test must be NULL, not minimally significant")
+    assert(!rows(1L).isNullAt(4))
+    val bh = graft.queries.Glm.fdrBhCore(pp).collect()
+    assert(bh.forall(_.getLong(1) != 0L), "undefined hypothesis is excluded from BH")
+    val mt = graft.queries.Glm.maxTCore(s, fl).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(mt(0L).isNullAt(3), "maxT of an undefined test is NULL")
+  }
 }

@@ -133,4 +133,22 @@ class StandingDsirSpec extends SparkSpec {
     val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == ref)
   }
+
+  test("a replayed identical delta is deduped by batch fingerprint (crash-window safety)") {
+    // simulate the crash-between-writes replay: the SAME batch appended
+    // twice with NO doc guard - the probe must answer as if once
+    fresh("graft_test_dsir_cw", corpusA)
+    val before = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cw").collect())
+    CurationOps.appendToDsirStore(spark, df3(corpusB), col("lang") === "en",
+      "graft_test_dsir_cw", idempotent = false)
+    val once = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cw").collect())
+    CurationOps.appendToDsirStore(spark, df3(corpusB), col("lang") === "en",
+      "graft_test_dsir_cw", idempotent = false)
+    val twice = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cw").collect())
+    assert(once == twice, "identical replayed delta must not bias the model")
+    assert(before != once, "the first admission must actually change the model")
+  }
 }
