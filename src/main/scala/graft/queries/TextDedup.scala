@@ -1161,6 +1161,137 @@ object TextDedup extends QueryModule {
        |  round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) AS auc
        |FROM aucagg""".stripMargin
 
+  // ---- q154: feature whitening (in-engine Cholesky) ------------------------
+  // Decorrelate the quality features before they feed a learner
+  // (correlated features slow GD and distort distance metrics): compute
+  // the 4×4 feature covariance from EXACT fixed-point moments, factor it
+  // IN-ENGINE with a GENERATED closed-form Cholesky (the triangular
+  // analogue of q116's Gauss–Jordan generator — the same expression
+  // strings run through Spark selectExpr and the DuckDB oracle, so L and
+  // every whitened coordinate are bit-equal by construction), and solve
+  // z = L⁻¹(x − μ) per doc by generated forward substitution. Covariance
+  // is SPD here (features are not collinear), so no pivoting is needed —
+  // the q116 argument. Scale shape: one corpus pass for moments (k(k+1)/2
+  // tiny sums), one broadcast of the 1-row moment relation, then a pure
+  // per-doc projection.
+
+  private val whitenK = 4
+
+  /** Generated closed-form Cholesky of a k×k SPD matrix given entry
+    * names `c(i, j)` (i >= j): stage p emits column p of L. */
+  private def cholStages(k: Int, c: (Int, Int) => String): Seq[Seq[String]] =
+    (0 until k).map { p =>
+      (p until k).map { i =>
+        val dots = (0 until p).map(q => s"l_${i}_$q * l_${p}_$q")
+        val body =
+          if (i == p) {
+            val sub = if (dots.isEmpty) "" else s" - (${dots.mkString(" + ")})"
+            s"sqrt(${c(p, p)}$sub)"
+          } else {
+            val sub = if (dots.isEmpty) "" else s" - (${dots.mkString(" + ")})"
+            s"(${c(i, p)}$sub) / l_${p}_$p"
+          }
+        s"$body AS l_${i}_$p"
+      }
+    }
+
+  /** Generated forward substitution z = L⁻¹ v for entry names v(i). */
+  private def fwdSubst(k: Int, v: Int => String): Seq[String] =
+    (0 until k).map { i =>
+      val dots = (0 until i).map(q => s"l_${i}_$q * z_$q")
+      val sub = if (dots.isEmpty) "" else s" - (${dots.mkString(" + ")})"
+      s"((${v(i)})$sub) / l_${i}_$i AS z_$i"
+    }
+
+  def featureWhiten(s: SparkSession, d: String): DataFrame = {
+    val k = whitenK
+    val feats = TextOps.qualityStats(documents(s, d), Seq("the", "a"))
+      .selectExpr("doc_id",
+        "CAST(round(type_token_ratio * 1e6, 0) AS BIGINT) AS xf_0",
+        "CAST(round(mean_token_len * 1e6, 0) AS BIGINT) AS xf_1",
+        "CAST(round(stopword_ratio * 1e6, 0) AS BIGINT) AS xf_2",
+        // NOT punct_ratio: the test corpus is punctuation-free, so that
+        // feature is constant and the covariance would be singular
+        // (Cholesky needs SPD); doc length varies on any corpus
+        "CAST(n_tokens * 1000000 AS BIGINT) AS xf_3")
+    val momAggs =
+      (0 until k).map(i => expr(s"SUM(xf_$i)").as(s"s_$i")) ++
+        (for (i <- 0 until k; j <- 0 to i)
+          yield expr(s"SUM(CAST(xf_$i AS DECIMAL(38,0)) * xf_$j)").as(s"q_${i}_$j")) :+
+        expr("COUNT(*)").as("n")
+    val mom = feats.agg(momAggs.head, momAggs.tail: _*)
+    // cov entries as shared strings over the exact moments (unbiased /n)
+    def cStr(i: Int, j: Int): String =
+      s"(CAST(q_${i}_$j AS DOUBLE) / n - " +
+        s"(CAST(s_$i AS DOUBLE) / n) * (CAST(s_$j AS DOUBLE) / n)) / 1e12"
+    val withL = cholStages(k, (i, j) => cStr(i, j))
+      .foldLeft(mom.selectExpr(
+        ((0 until k).map(i => s"s_$i") ++
+          (for (i <- 0 until k; j <- 0 to i) yield s"q_${i}_$j") :+ "n"): _*)) {
+        (df, st) => df.selectExpr(df.columns ++ st: _*)
+      }
+    val zCols = fwdSubst(k,
+      i => s"CAST(xf_$i AS DOUBLE) / 1e6 - CAST(s_$i AS DOUBLE) / (n * 1e6)")
+    feats.crossJoin(broadcast(withL))
+      .selectExpr("doc_id" +: (0 until k).map(i => s"xf_$i") ++:
+        withL.columns.filter(_.startsWith("l_")) ++: Seq("n") ++:
+        (0 until k).map(i => s"s_$i"): _*)
+      .selectExpr("doc_id" +: zCols: _*)
+      .selectExpr("doc_id" +: (0 until k).map(i => s"round(z_$i, 6) AS z_$i"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def featureWhitenSql: String = {
+    val k = whitenK
+    def cStr(i: Int, j: Int): String =
+      s"(CAST(q_${i}_$j AS DOUBLE) / n - " +
+        s"(CAST(s_$i AS DOUBLE) / n) * (CAST(s_$j AS DOUBLE) / n)) / 1e12"
+    val momSums =
+      ((0 until k).map(i => s"SUM(xf_$i) AS s_$i") ++
+        (for (i <- 0 until k; j <- 0 to i)
+          yield s"SUM(CAST(xf_$i AS HUGEINT) * xf_$j) AS q_${i}_$j") :+
+        "COUNT(*) AS n").mkString(",\n    ")
+    val stages = cholStages(k, (i, j) => cStr(i, j))
+    val cholCtes = stages.zipWithIndex.map { case (st, p) =>
+      val prev = if (p == 0) "mom" else s"ch${p - 1}"
+      s"ch$p AS (SELECT *, ${st.mkString(",\n    ")} FROM $prev)"
+    }.mkString(",\n")
+    val zCols = fwdSubst(k,
+      i => s"CAST(xf_$i AS DOUBLE) / 1e6 - CAST(s_$i AS DOUBLE) / (n * 1e6)")
+    s"""WITH tok AS (
+       |  SELECT doc_id, u.t AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_distinct,
+       |    sum(CAST(length(tok) AS BIGINT)) AS sumlen,
+       |    sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
+       |  FROM tok GROUP BY doc_id
+       |),
+       |feats AS (
+       |  SELECT d.doc_id,
+       |    CAST(round(round(CAST(a.n_distinct AS DOUBLE) / a.n_tokens, 6) * 1e6, 0) AS BIGINT) AS xf_0,
+       |    CAST(round(round(CAST(a.sumlen AS DOUBLE) / a.n_tokens, 6) * 1e6, 0) AS BIGINT) AS xf_1,
+       |    CAST(round(round(CAST(a.nstop AS DOUBLE) / a.n_tokens, 6) * 1e6, 0) AS BIGINT) AS xf_2,
+       |    CAST(a.n_tokens * 1000000 AS BIGINT) AS xf_3
+       |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+       |),
+       |mom AS (
+       |  SELECT
+       |    $momSums
+       |  FROM feats
+       |),
+       |$cholCtes
+       |SELECT doc_id,
+       |  ${(0 until k).map(i => s"round(z_$i, 6) AS z_$i").mkString(",\n  ")}
+       |FROM (
+       |  SELECT feats.doc_id, ${zCols.mkString(",\n    ")}
+       |  FROM feats CROSS JOIN ch${k - 1}
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q66: near-dup cluster resolution over the MinHash pair graph ------
   // Connected components by min-label propagation; every document gets its
   // component's min doc_id as cluster and a keep verdict. The oracle
@@ -1217,6 +1348,7 @@ object TextDedup extends QueryModule {
     Q("q147_calibration", calibration, Some(calibrationSql)),
     Q("q150_auc", auc, Some(aucSql)),
     Q("q153_leakage_split", leakageSplit, Some(leakageSplitSql)),
+    Q("q154_feature_whiten", featureWhiten, Some(featureWhitenSql)),
     Q("q95_corpus_assembly", corpusAssembly, Some(corpusAssemblySql)),
     Q("q120_multimodal_assembly", multimodalAssembly,
       Some(corpusAssemblySqlWith(mediaGate = true))),

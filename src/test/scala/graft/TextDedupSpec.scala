@@ -472,4 +472,19 @@ class TextDedupSpec extends SparkSpec {
     // distribution sanity: all three splits appear
     assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
+
+  // ---- q154 feature whitening ---------------------------------------------
+
+  test("q154: whitened features have identity covariance") {
+    val rows = graft.queries.TextDedup.featureWhiten(spark, sf001).collect()
+      .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val n = rows.length
+    assert(n > 100)
+    val mean = Array.tabulate(4)(j => rows.map(_(j)).sum / n)
+    for (i <- 0 until 4; j <- 0 to i) {
+      val c = rows.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      if (i == j) assert(math.abs(c - 1.0) < 0.02, s"var z_$i = $c")
+      else assert(math.abs(c) < 0.02, s"cov z_$i z_$j = $c")
+    }
+  }
 }
