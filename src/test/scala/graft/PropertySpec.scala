@@ -285,4 +285,36 @@ class PropertySpec extends SparkSpec {
       assert(rows(nativeBands) == rows(specBands), s"minhash bands: $texts")
     }
   }
+
+  test("property: dsir bigram buckets (native) equal the HOF spec form on random docs") {
+    import graft.text.{CurationOps, TextOps}
+    import graft.functions.TextExprs
+    val s = spark
+    import s.implicits._
+    val word = Gen.frequency((8, Gen.choose(1, 6).map(i => s"w$i")), (1, Gen.const("")))
+    val doc = Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(12, doc)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toSeq
+    for (texts <- samples(docsGen, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (b <- Seq(16, 512)) {
+        val native = docs.select(col("doc_id"),
+          transform(TextExprs.shingle_hashes(col("text"), 2), h => h % b).as("f"))
+        val hof = docs
+          .selectExpr("doc_id", s"${TextOps.tokenHashArrayExpr} AS __th")
+          .selectExpr("doc_id", s"${CurationOps.dsirBucketsExpr(b)} AS f")
+        assert(rows(native) == rows(hof), s"dsir buckets b=$b: $texts")
+      }
+      // dsirWeights end-to-end stays finite and partition-invariant on
+      // random framing-heavy docs (empty tokens, 1-token docs)
+      val lang = docs.withColumn("lang",
+        when(col("doc_id") % 2 === 0, "en").otherwise("xx"))
+      val a = CurationOps.dsirWeights(lang, col("lang") === "en", 64)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      val b2 = CurationOps.dsirWeights(lang.repartition(5), col("lang") === "en", 64)
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(a == b2, s"dsirWeights partition-variance: $texts")
+    }
+  }
 }
