@@ -238,6 +238,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(400))
   }
 
+  test("q137/q154: corpus text never crosses an exchange; models re-enter as broadcasts") {
+    // DSIR scoring and whitening are frozen-model projections: the only
+    // shuffles carry bucket histograms / moment rows, never document
+    // payloads — at 100 TB that is the difference between shuffling
+    // kilobytes and shuffling the corpus
+    for (q <- Seq("q137_dsir_weights", "q154_feature_whiten")) {
+      val p = plan(q)
+      val offending = p.split("\n")
+        .filter(_.contains("Exchange")).filter(_.contains("text#"))
+      assert(offending.isEmpty,
+        s"$q shuffles document text:\n${offending.mkString("\n")}")
+    }
+    // q154's factor relation is one broadcast row
+    assert(plan("q154_feature_whiten").contains("Broadcast"),
+      "whitening factors must broadcast")
+  }
+
+  test("q142: everything after the grid aggregate is volume-bounded — no voxel exchange") {
+    // the ONE data-sized exchange is the (x,y,z) grid aggregation; the
+    // supra/label joins below it are broadcasts of <= L^3 rows
+    val p = plan("q142_cluster_extent")
+    val gridExchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    // grid agg + final-order rangepartitioning allowed; no join-driven
+    // voxel-keyed exchange (vid never appears in a hashpartitioning)
+    val offending = gridExchanges.filter(_.contains("vid#"))
+    assert(offending.isEmpty,
+      s"q142 shuffles the voxel relation:\n${offending.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "cluster labels must broadcast")
+  }
+
   test("q95 corpus assembly: dedup/contam gates are broadcast-probed, packing windows partitioned") {
     val s = spark
     val df = graft.queries.TextDedup.corpusAssembly(s, sf0001)
