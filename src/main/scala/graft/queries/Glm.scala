@@ -760,16 +760,32 @@ object Glm extends QueryModule {
 
   private val FdrAlphaOverM: Double = 0.1 / (Runs * 4)
 
-  /** BH verdicts over a (run, j, ..., p_perm) relation. */
+  /** BH verdicts over a (run, j, ..., p_perm) relation.
+    *
+    * Ranking never runs a global window over the hypothesis relation: at
+    * the mass regime BH ranks voxels×contrasts rows, and an unpartitioned
+    * `row_number` is a single-partition sort of all of them. The
+    * permutation p-values are quantized to the (1+n_ge)/(1+PermP) grid
+    * (≤ 1+PermP distinct values), so the global rank reduces EXACTLY to
+    * distinct-value cumulative counts: rk = (# rows with smaller p) +
+    * (rank within the tie group, PARTITIONED by p). The only unpartitioned
+    * window runs over the ≤257-row distinct-p relation.
+    */
   private[graft] def fdrBhCore(pp0: DataFrame): DataFrame = {
     // undefined hypotheses (NULL p from a zero-variance test) cannot be
     // ranked or rejected - and the engines order NULLs differently
     val pp = pp0.filter(col("p_perm").isNotNull)
-    val ranked = pp.selectExpr("run", "j", "p_perm",
-      "CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk")
-    val kmax = ranked.agg(expr(
-      s"COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($FdrAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh"))
-    ranked.crossJoin(broadcast(kmax))
+    val byP = pp.groupBy("p_perm").agg(count(lit(1)).as("n_p"))
+      .selectExpr("p_perm", "n_p",
+        "CAST(COALESCE(SUM(n_p) OVER (ORDER BY p_perm ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before")
+    // within a tie group p <= rk·α/m holds for the group's LAST rank if it
+    // holds for any, so kbh needs only the distinct relation
+    val kmax = byP.agg(expr(
+      s"COALESCE(MAX(CASE WHEN p_perm <= (cum_before + n_p) * CAST($FdrAlphaOverM AS DOUBLE) THEN cum_before + n_p END), 0) AS kbh"))
+    pp.join(broadcast(byP.select("p_perm", "cum_before")), Seq("p_perm"))
+      .selectExpr("run", "j", "p_perm",
+        "cum_before + row_number() OVER (PARTITION BY p_perm ORDER BY run ASC, j ASC) AS rk")
+      .crossJoin(broadcast(kmax))
       .selectExpr("run", "j", "p_perm", "rk", "kbh", "rk <= kbh AS rejected")
       .orderBy("run", "j")
   }

@@ -1116,22 +1116,33 @@ object TextDedup extends QueryModule {
   }
 
   /** AUC over a (doc_id, y, p) relation: tie-averaged ranks of p
-    * ascending; U = Σ ranks(pos) − n1(n1+1)/2; AUC = U / (n1·n0). */
+    * ascending; U = Σ ranks(pos) − n1(n1+1)/2; AUC = U / (n1·n0).
+    *
+    * Ranks are never materialized per row: a global `row_number` would
+    * single-partition-sort the whole eval relation. Instead the scores
+    * aggregate FIRST (groupBy p — the same tie groups the average rank is
+    * defined over) and the only unpartitioned window runs over the
+    * distinct-score relation, where the tie-averaged rank is recovered
+    * exactly as r_avg = cum_before + (n_p+1)/2 (integers + exact halves —
+    * identical to the old (min+max)/2 in IEEE doubles). A single-class
+    * slice (n1=0 or n0=0) reports NULL explicitly rather than a silent
+    * NaN.
+    */
   private[graft] def aucCore(scored: DataFrame): DataFrame =
     scored
-      .selectExpr("y", "p",
-        "CAST(row_number() OVER (ORDER BY p ASC, doc_id ASC) AS BIGINT) AS rn")
-      // tie groups are contiguous in rank, so the shared average rank is
-      // (min+max)/2 — exact halves, deterministic
       .groupBy("p")
-      .agg(expr("(CAST(MIN(rn) AS DOUBLE) + MAX(rn)) / 2.0").as("r_avg"),
-        expr("SUM(CAST(y AS BIGINT))").as("n_pos_p"),
+      .agg(expr("SUM(CAST(y AS BIGINT))").as("n_pos_p"),
         expr("COUNT(*)").as("n_p"))
+      .selectExpr("n_pos_p", "n_p",
+        "COALESCE(SUM(n_p) OVER (ORDER BY p ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          "+ (CAST(n_p AS DOUBLE) + 1.0) / 2.0 AS r_avg")
       .agg(expr("SUM(n_pos_p)").as("n1"),
         expr("SUM(n_p - n_pos_p)").as("n0"),
         expr("SUM(n_pos_p * r_avg)").as("r1"))
       .selectExpr("n1", "n0",
-        "round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) AS auc")
+        "CASE WHEN n1 > 0 AND n0 > 0 THEN " +
+          "round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) " +
+          "ELSE NULL END AS auc")
 
   private def aucSql: String =
     s"""WITH $logitCtes,
@@ -1158,7 +1169,9 @@ object TextDedup extends QueryModule {
        |  FROM grp
        |)
        |SELECT n1, n0,
-       |  round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6) AS auc
+       |  CASE WHEN n1 > 0 AND n0 > 0 THEN
+       |    round((r1 - n1 * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n0), 6)
+       |  ELSE NULL END AS auc
        |FROM aucagg""".stripMargin
 
   // ---- q154: feature whitening (in-engine Cholesky) ------------------------

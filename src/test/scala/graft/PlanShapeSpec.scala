@@ -328,6 +328,26 @@ class PlanShapeSpec extends SparkSpec {
       "documents scan must prune to doc_id + text")
   }
 
+  test("q150/q151: no unpartitioned window over a data-sized relation") {
+    // BH ranks voxels×contrasts hypotheses at the mass regime and AUC ranks
+    // the eval slice — a global row_number there is a single-partition sort
+    // of the whole input. Both reduce exactly to distinct-value cumulative
+    // counts, so the ONLY unpartitioned window allowed in either plan is one
+    // whose input has already been collapsed by an aggregation (the
+    // distinct-p / distinct-score relation).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (q <- Seq("q150_auc", "q151_fdr_bh")) {
+      val lp = SparkEntry.queries(q)(spark, sf001).queryExecution.optimizedPlan
+      val offending = lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collect { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(offending.isEmpty,
+        s"$q runs an unpartitioned window over a non-aggregated relation:\n" +
+          offending.map(_.treeString).mkString("\n"))
+    }
+  }
+
   test("q133: epoch shuffle scan prunes to doc_id alone") {
     val p = plan("q133_epoch_shuffle")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
