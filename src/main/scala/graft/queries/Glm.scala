@@ -887,6 +887,85 @@ object Glm extends QueryModule {
        |GROUP BY base.run, base.j
        |ORDER BY base.run, base.j""".stripMargin
 
+  // ---- q155: composed end-to-end inference chain --------------------------
+  // The analytical counterpart of the q95/q120/q128 assembly family: the
+  // whole second-level pipeline as ONE hash-checked relation — multi-run
+  // first level (q103's fit), group GLM (q140), sign-flip permutation
+  // null (q148), and BOTH corrected verdicts (q151 BH FDR, q152
+  // Westfall–Young maxT) — so the nightly analysis emits one per-(run, j)
+  // row of effect size + raw p + both corrections instead of four queries
+  // stitched downstream. Scale shape: the first level's ONE data-sized
+  // exchange, then every later stage is bounded at Runs·k hypotheses ×
+  // PermP patterns; the first-level relation is localCheckpoint'ed so the
+  // three consumers (second level, permutation null, maxT) share the
+  // materialized Runs·Groups·k-row relation instead of re-running the fit.
+  // kbh is reported only on ranked rows (NULL-p hypotheses keep NULL
+  // rk/kbh and a false BH verdict; their maxT verdict is NULL) — the
+  // same exclusion semantics as q151, oracle-mirrored.
+
+  private[graft] def inferenceChainCore(s: SparkSession, fl0: DataFrame): DataFrame = {
+    val fl = fl0.localCheckpoint()
+    val second = secondLevel(fl.select("run", "j", "b_fp"))
+    val sf = signFlipCore(s, fl).select("run", "j", "t_obs", "p_perm")
+    val bh = fdrBhCore(sf).select("run", "j", "rk", "kbh", "rejected")
+    val mt = maxTCore(s, fl).select("run", "j", "p_maxt")
+    second.join(sf, Seq("run", "j"))
+      .join(bh, Seq("run", "j"), "left")
+      .join(mt, Seq("run", "j"))
+      .selectExpr("run", "j", "n", "mean_beta", "t_group", "t_obs", "p_perm",
+        "rk", "kbh", "COALESCE(rejected, false) AS rejected_bh",
+        "p_maxt", "p_maxt <= 0.05 AS rejected_maxt")
+      .orderBy("run", "j")
+  }
+
+  def inferenceChain(s: SparkSession, d: String): DataFrame =
+    inferenceChainCore(s, multiRunFirstLevel(s, d))
+
+  private def inferenceChainSql: String =
+    s"""WITH $signFlipCtes,
+       |agg AS (
+       |  SELECT run, j, COUNT(*) AS n, SUM(b_fp) AS s1,
+       |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS s2
+       |  FROM fl GROUP BY run, j
+       |),
+       |mv AS (
+       |  SELECT run, j, n, $glMStr AS m, $glVStr AS v FROM agg
+       |),
+       |second AS (
+       |  SELECT run, j, n, round(m, 6) AS mean_beta,
+       |    round($glTStr, 6) AS t_group
+       |  FROM mv
+       |),
+       |ranked AS (
+       |  SELECT run, j, p_perm,
+       |    CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk
+       |  FROM pp WHERE p_perm IS NOT NULL
+       |),
+       |km AS (
+       |  SELECT COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($FdrAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh
+       |  FROM ranked
+       |),
+       |mx AS (SELECT perm, MAX(abs(t_p)) AS mx FROM pt GROUP BY perm),
+       |mt AS (
+       |  SELECT base.run AS run, base.j AS j,
+       |    CASE WHEN MAX(base.t_obs) IS NULL THEN NULL ELSE
+       |      round((1 + SUM(CASE WHEN mx.mx >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |        / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_maxt
+       |  FROM base CROSS JOIN mx
+       |  GROUP BY base.run, base.j
+       |)
+       |SELECT s.run, CAST(s.j AS BIGINT) AS j, CAST(s.n AS BIGINT) AS n,
+       |  s.mean_beta, s.t_group, pp.t_obs, pp.p_perm,
+       |  r.rk, CASE WHEN r.rk IS NOT NULL THEN CAST(km.kbh AS BIGINT) END AS kbh,
+       |  COALESCE(r.rk <= km.kbh, false) AS rejected_bh,
+       |  mt.p_maxt, mt.p_maxt <= 0.05 AS rejected_maxt
+       |FROM second s
+       |JOIN pp ON pp.run = s.run AND pp.j = s.j
+       |LEFT JOIN ranked r ON r.run = s.run AND r.j = s.j
+       |CROSS JOIN km
+       |JOIN mt ON mt.run = s.run AND mt.j = s.j
+       |ORDER BY s.run, s.j""".stripMargin
+
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
   // The serial-correlation correction the flagship family still lacked:
   // fMRI GLM packages (SPM/FSL) never fit the ssm_loop design under a
@@ -1260,5 +1339,6 @@ object Glm extends QueryModule {
     Q("q148_sign_flip", signFlip, Some(signFlipSql)),
     Q("q151_fdr_bh", fdrBh, Some(fdrBhSql)),
     Q("q152_maxt", maxT, Some(maxTSql)),
+    Q("q155_inference_chain", inferenceChain, Some(inferenceChainSql)),
   )
 }

@@ -629,7 +629,8 @@ object ProbeScale {
       "q142_cluster_extent", "q143_standing_dsir", "q144_epoch_schedule",
       "q145_despike", "q146_alff", "q147_calibration",
       "q148_sign_flip", "q149_zipf", "q150_auc", "q151_fdr_bh",
-      "q152_maxt", "q153_leakage_split", "q154_feature_whiten")
+      "q152_maxt", "q153_leakage_split", "q154_feature_whiten",
+      "q155_inference_chain")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

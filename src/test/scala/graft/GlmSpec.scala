@@ -561,4 +561,46 @@ class GlmSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r).toMap
     assert(mt(0L).isNullAt(3), "maxT of an undefined test is NULL")
   }
+
+  test("q155: composed chain equals the four queries stitched row-for-row") {
+    val s = spark
+    val composed = graft.queries.Glm.inferenceChain(s, sf0001).collect().toSeq
+    val second = graft.queries.Glm.groupGlm(s, sf0001)
+    val sf = graft.queries.Glm.signFlip(s, sf0001)
+      .select("run", "j", "t_obs", "p_perm")
+    val bh = graft.queries.Glm.fdrBh(s, sf0001)
+      .select("run", "j", "rk", "kbh", "rejected")
+    val mt = graft.queries.Glm.maxT(s, sf0001).select("run", "j", "p_maxt")
+    val expected = second.join(sf, Seq("run", "j"))
+      .join(bh, Seq("run", "j"), "left")
+      .join(mt, Seq("run", "j"))
+      .selectExpr("run", "j", "n", "mean_beta", "t_group", "t_obs", "p_perm",
+        "rk", "kbh", "COALESCE(rejected, false) AS rejected_bh",
+        "p_maxt", "p_maxt <= 0.05 AS rejected_maxt")
+      .orderBy("run", "j").collect().toSeq
+    assert(composed.nonEmpty, "composed chain returned no hypotheses")
+    assert(composed == expected,
+      s"composed:\n${composed.mkString("\n")}\nchain:\n${expected.mkString("\n")}")
+  }
+
+  test("q155: a zero-variance hypothesis rides the composed chain as NULL/false") {
+    val s = spark
+    import s.implicits._
+    val fl = ((0 until 10).map(g => (0L, g.toLong, 0L, 4000000L)) ++
+      (0 until 10).map(g => (0L, g.toLong, 1L, (g * 1000000L - 4500000L))))
+      .toDF("run", "g", "j", "b_fp")
+    val out = graft.queries.Glm.inferenceChainCore(s, fl).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    val z = out(0L)
+    assert(z.isNullAt(z.fieldIndex("p_perm")), "undefined test must carry NULL p")
+    assert(z.isNullAt(z.fieldIndex("rk")) && z.isNullAt(z.fieldIndex("kbh")),
+      "undefined test is excluded from BH ranking")
+    assert(!z.getBoolean(z.fieldIndex("rejected_bh")),
+      "undefined test must not be BH-rejected")
+    assert(z.isNullAt(z.fieldIndex("p_maxt")) &&
+      z.isNullAt(z.fieldIndex("rejected_maxt")),
+      "undefined test's maxT verdict is NULL")
+    assert(!out(1L).isNullAt(out(1L).fieldIndex("p_perm")),
+      "the defined hypothesis still gets a p")
+  }
 }
