@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
-import graft.glm.{GlmOps, LinAlg}
+import graft.glm.{BetaStore, GlmOps, LinAlg}
 
 /** GLM queries (SURVEY.md §2.6 M1-M5): per-group OLS from exact moments,
   * residuals, p-values, and the mass-univariate shared-design GLM with a
@@ -816,12 +816,15 @@ object Glm extends QueryModule {
     maxTCore(s, multiRunFirstLevel(s, d))
 
   /** The oracle's permutation CTE chain (fl, base, perms, pt, pp) —
-    * shared verbatim by q148, q151, and q152. */
-  private def signFlipCtes: String =
+    * shared verbatim by q148, q151, q152, q155, and (with the admitted-
+    * cohort predicate) q156. */
+  private def signFlipCtes: String = signFlipCtesWhere("")
+
+  private def signFlipCtesWhere(flWhere: String): String =
     s"""$multiRunBetaCtes,
        |fl AS (
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
-       |  FROM gj2
+       |  FROM gj2$flWhere
        |),
        |base AS (
        |  SELECT run, j, n, q, $permTStr AS t_obs FROM (
@@ -921,8 +924,10 @@ object Glm extends QueryModule {
   def inferenceChain(s: SparkSession, d: String): DataFrame =
     inferenceChainCore(s, multiRunFirstLevel(s, d))
 
-  private def inferenceChainSql: String =
-    s"""WITH $signFlipCtes,
+  private def inferenceChainSql: String = inferenceChainSqlWhere("")
+
+  private def inferenceChainSqlWhere(flWhere: String): String =
+    s"""WITH ${signFlipCtesWhere(flWhere)},
        |agg AS (
        |  SELECT run, j, COUNT(*) AS n, SUM(b_fp) AS s1,
        |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS s2
@@ -965,6 +970,39 @@ object Glm extends QueryModule {
        |CROSS JOIN km
        |JOIN mt ON mt.run = s.run AND mt.j = s.j
        |ORDER BY s.run, s.j""".stripMargin
+
+  // ---- q156: standing second level (incremental beta admission) -----------
+  // The standing-store deployment of q155: first-level betas arrive PER
+  // SUBJECT (the reference's acquisition pattern — convert2BIDS.sh:8
+  // processes an `update/` drop directory) and persist in the
+  // BetaStore; each admission is subject-bounded (Runs·k facts), and the
+  // full inference chain (second level + permutation null + BH/maxT)
+  // re-probes the bounded Runs·Groups·k store relation — never re-fitting
+  // the corpus-sized series. The oracle computes the chain directly on
+  // the admitted cohort's first level: hash match proves the two-stage
+  // admission (build + append) ≡ the one-shot rebuild, the
+  // q90/q110/q119/q143 precedent. Replay idempotency needs no batch
+  // fingerprint: betas are deterministic facts keyed (run, g, j), so the
+  // probe max-dedupes replays (see BetaStore scaladoc).
+
+  def standingSecondLevel(s: SparkSession, d: String): DataFrame = {
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_betas_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_betas/$tag"
+    if (!BetaStore.storeMatches(s, name, d)) {
+      // the admitted cohort: subjects g >= 2 (g < 2 not yet acquired) —
+      // admitted in two stages to exercise the append path on driver data
+      val fl = multiRunFirstLevel(s, d).filter(col("g") >= 2).localCheckpoint()
+      BetaStore.buildBetaStore(s, fl.filter(col("g") % 2 === 0), name, loc,
+        datasetTag = s"$d:building")
+      BetaStore.appendSubjects(s, fl.filter(col("g") % 2 === 1), name)
+      import s.implicits._
+      Seq(d).toDF("dataset_tag")
+        .write.mode("overwrite").option("path", s"$loc/meta")
+        .saveAsTable(s"${name}_meta")
+    }
+    inferenceChainCore(s, BetaStore.betaRelation(s, name))
+  }
 
   // ---- q136: AR(1) prewhitened mass GLM (Cochrane–Orcutt) ---------------
   // The serial-correlation correction the flagship family still lacked:
@@ -1340,5 +1378,7 @@ object Glm extends QueryModule {
     Q("q151_fdr_bh", fdrBh, Some(fdrBhSql)),
     Q("q152_maxt", maxT, Some(maxTSql)),
     Q("q155_inference_chain", inferenceChain, Some(inferenceChainSql)),
+    Q("q156_standing_second_level", standingSecondLevel,
+      Some(inferenceChainSqlWhere(" WHERE g >= 2"))),
   )
 }

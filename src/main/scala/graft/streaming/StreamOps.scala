@@ -484,6 +484,28 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING second-level admission — q156's foreachBatch twin: each
+    * arriving subject-batch of first-level betas is admitted into the
+    * standing beta store (subject-bounded facts, idempotent via the
+    * subject guard + probe-side max-dedup), then the FULL inference
+    * chain (second level + sign-flip null + BH/maxT verdicts) re-probes
+    * the store AS IT STANDS, including this batch — the group analysis
+    * updates as subjects come off the scanner. The verdict relation is a
+    * complete snapshot, so the sink OVERWRITES: after any batch,
+    * `outPath` holds exactly the batch-probe verdict at that moment
+    * (spec-pinned, including a cross-batch admission that changes an
+    * earlier hypothesis's p). */
+  def streamingBetaAdmission(betas: DataFrame, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    betas.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      graft.glm.BetaStore.appendSubjects(s, batch, name, idempotent = true)
+      graft.queries.Glm.inferenceChainCore(s,
+        graft.glm.BetaStore.betaRelation(s, name))
+        .write.mode("overwrite").parquet(outPath)
+      ()
+    }
+
   /** STREAMING decontamination probe — arriving training docs checked
     * against the standing eval-gram store (q138's state) before
     * admission to the training corpus: the hygiene gate of a
