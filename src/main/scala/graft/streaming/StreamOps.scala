@@ -106,6 +106,36 @@ object StreamOps {
       .toMap
   }
 
+  /** Web-scale serving variant of [[unigramModel]]: the frozen model is
+    * capped at the top-V terms by corpus frequency (deterministic
+    * tie-break on the term), with probabilities still normalized by the
+    * FULL corpus total — so a retained term's ln p is identical to the
+    * exact model's, and truncated-tail tokens fall through to the
+    * caller's OOV floor exactly like genuinely unseen ones. The driver
+    * collect is V-bounded, never vocabulary-sized: at web scale the
+    * vocabulary is 10⁸–10⁹ types and [[unigramModel]]'s exact collect is
+    * the driver-memory wall; top-V runs as a TakeOrdered over the counts
+    * relation (top-V per partition, merged). When V covers the
+    * vocabulary the model is IDENTICAL to the exact one; when the cap
+    * binds, every scored document's ppl moves only TOWARD the floor
+    * penalty (a dropped term's true ln p ≥ any sane floor) — one-sided
+    * drift, spec-pinned both ways. Exact alternative at the same shape:
+    * the q88 Space-Saving sketch (ε-approximate counts, one summary). */
+  def unigramModelCapped(corpus: DataFrame, topV: Int): Map[String, Long] = {
+    val perTerm = corpus
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      // two consumers (grand total + top-V) of the one corpus pass
+      .localCheckpoint()
+    val total = perTerm.agg(coalesce(sum("cf"), lit(0L)))
+      .head().getLong(0).toDouble
+    perTerm.orderBy(col("cf").desc, col("term").asc).limit(topV)
+      .collect().iterator
+      .map(r => r.getString(0) ->
+        math.round(math.log(r.getLong(1) / total) * 1e9))
+      .toMap
+  }
+
   /** STREAMING quality scoring: per-document unigram perplexity under a
     * FROZEN model (the CCNet recipe — score arrivals against the
     * reference corpus's distribution, don't re-estimate it per batch).

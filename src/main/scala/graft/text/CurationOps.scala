@@ -594,20 +594,28 @@ object CurationOps {
   // so admission appends per-batch bucket deltas and the probe sums) ----
 
   /** The batch's content fingerprint — a pure function of its doc-id
-    * SET (order-free sums), so an at-least-once REPLAY of the same batch
-    * reproduces the same value. Stamped on every delta row; the probe
-    * dedupes on (batch_fp, f), which makes a replayed delta append a
-    * no-op for correctness NO MATTER where a crash interleaved it with
-    * the doc-guard write (the guard is an optimization, not the
-    * correctness mechanism). */
-  private def batchFingerprint(docs: DataFrame): Long = {
+    * set, its TEXT content (poly-hash sum), and the target-predicate
+    * partition (all order-free sums), so an at-least-once REPLAY of the
+    * same batch reproduces the same value while two admissions that
+    * merely share a doc-id set (a text edit, a flipped target predicate)
+    * get DISTINCT fingerprints and both count. Stamped on every delta
+    * row; the probe dedupes on (batch_fp, f), which makes a replayed
+    * delta append a no-op for correctness NO MATTER where a crash
+    * interleaved it with the doc-guard write (the guard is an
+    * optimization, not the correctness mechanism). Always ≥ 0, so
+    * [[BaseFp]] = −1 can never collide with a genuine batch. */
+  private def batchFingerprint(docs: DataFrame, isTarget: Column): Long = {
     val P = TextOps.P
     val r = docs.agg(
       sum(pmod(col("doc_id"), lit(P)) * lit(31L) % lit(P)).as("s1"),
       sum(pmod(col("doc_id"), lit(P)) * pmod(col("doc_id"), lit(P)) % lit(P)).as("s2"),
+      sum(pmod(graft.functions.Hashing.poly_hash(col("text")), lit(P))).as("s3"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("s4"),
       count(lit(1)).as("n")).head()
     if (r.isNullAt(0)) 0L
-    else ((r.getLong(0) % P) * 31 + (r.getLong(1) % P)) % P * 1000003 + r.getLong(2)
+    else Seq(r.getLong(0) % P, r.getLong(1) % P, r.getLong(2) % P,
+        r.getLong(3) % P)
+      .foldLeft(0L)((acc, x) => (acc * 31 + x) % P) * 1000003 + r.getLong(4)
   }
 
   /** The (batch_fp, f, ct, cr) delta of one admitted batch. */
@@ -630,7 +638,7 @@ object CurationOps {
       docs: DataFrame, isTarget: Column, name: String, buckets: Int,
       location: String, datasetTag: String = ""): Unit = {
     import spark.implicits._
-    dsirDelta(docs, isTarget, buckets, batchFingerprint(docs))
+    dsirDelta(docs, isTarget, buckets, batchFingerprint(docs, isTarget))
       .write.mode("overwrite").option("path", s"$location/counts")
       .saveAsTable(s"${name}_counts")
     docs.select("doc_id")
@@ -664,7 +672,7 @@ object CurationOps {
     val buckets = spark.table(s"${name}_meta").head().getInt(0)
     val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
       spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
-    dsirDelta(newDocs, isTarget, buckets, batchFingerprint(newDocs))
+    dsirDelta(newDocs, isTarget, buckets, batchFingerprint(newDocs, isTarget))
       .write.mode("append").saveAsTable(s"${name}_counts")
     newDocs.select("doc_id")
       .write.mode("append")
@@ -683,16 +691,69 @@ object CurationOps {
       arrivals: DataFrame, name: String): DataFrame = {
     spark.catalog.refreshTable(s"${name}_counts")
     val buckets = spark.table(s"${name}_meta").head().getInt(0)
-    // dedupe replayed deltas on (batch_fp, f) BEFORE summing: a batch
-    // whose append raced a crash may appear twice with identical rows —
-    // max() collapses them (rows of one (batch_fp, f) are identical by
-    // construction), making replay idempotence independent of the
-    // doc-guard write ordering
-    val cnt = spark.table(s"${name}_counts")
+    dsirScore(dsirFeatures(arrivals, lit(false), buckets),
+      fitLr(liveCounts(spark, name), buckets))
+  }
+
+  /** Sentinel batch_fp of the folded BASE rows a compaction writes —
+    * genuine fingerprints are always ≥ 0 ([[batchFingerprint]]). */
+  private val BaseFp = -1L
+
+  /** Sentinel f of a TOMBSTONE row recording an absorbed batch_fp —
+    * genuine bucket ids are always in [0, buckets). Tombstones live in
+    * the SAME table as the counts so the fold is one atomic sibling
+    * swap: there is no window where the base exists without its
+    * absorbed-set or vice versa. */
+  private val TombF = -1L
+
+  /** The store's exact (f, cr, ct) counts as it stands: drop replayed
+    * deltas of batches a compaction already folded (tombstone anti-join
+    * — the absorbed set is batches-sized, broadcast), dedupe the live
+    * deltas on (batch_fp, f) (a batch whose append raced a crash may
+    * appear twice with identical rows — max() collapses them, making
+    * replay idempotence independent of the doc-guard write ordering),
+    * then sum deltas + base. */
+  private def liveCounts(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame = {
+    val all = spark.table(s"${name}_counts")
+    val folded = all.filter(col("f") === TombF).select("batch_fp")
+    all.filter(col("f") =!= TombF)
+      .join(broadcast(folded), Seq("batch_fp"), "left_anti")
       .groupBy("batch_fp", "f")
       .agg(max("cr").as("cr"), max("ct").as("ct"))
       .groupBy("f").agg(sum("cr").as("cr"), sum("ct").as("ct"))
-    dsirScore(dsirFeatures(arrivals, lit(false), buckets),
-      fitLr(cnt, buckets))
+  }
+
+  /** Fold the accumulated per-batch delta rows into ONE base count set
+    * (batch_fp = [[BaseFp]]) plus tombstones recording every absorbed
+    * fingerprint — without the fold, probe-side dedup re-reads O(batches)
+    * delta rows forever. Replay idempotency SURVIVES the fold: a
+    * replayed pre-compaction batch re-appends its delta rows, the probe
+    * anti-joins them against the tombstone set, and the verdict is
+    * unchanged (spec-pinned). One [[graft.util.BucketedStores.swapContents]]
+    * sibling swap; the fold input is localCheckpoint'ed because the swap
+    * drops the table it derives from. Returns (rows before, rows after). */
+  def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Long, Long) = {
+    spark.catalog.refreshTable(s"${name}_counts")
+    val all = spark.table(s"${name}_counts").localCheckpoint()
+    val folded = all.filter(col("f") === TombF).select("batch_fp")
+    val live = all.filter(col("f") =!= TombF)
+      .join(broadcast(folded), Seq("batch_fp"), "left_anti")
+      .groupBy("batch_fp", "f")
+      .agg(max("cr").as("cr"), max("ct").as("ct"))
+    val base = live.groupBy("f")
+      .agg(sum("cr").as("cr"), sum("ct").as("ct"))
+      .select(lit(BaseFp).as("batch_fp"), col("f"), col("cr"), col("ct"))
+    val tombs = live.filter(col("batch_fp") =!= BaseFp)
+      .select("batch_fp")
+      .union(folded).distinct()
+      .select(col("batch_fp"), lit(TombF).as("f"),
+        lit(0L).as("cr"), lit(0L).as("ct"))
+    val before = all.count()
+    graft.util.BucketedStores.swapContents(spark, s"${name}_counts",
+      base.unionByName(tombs))
+    spark.catalog.refreshTable(s"${name}_counts")
+    (before, spark.table(s"${name}_counts").count())
   }
 }

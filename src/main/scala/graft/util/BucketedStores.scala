@@ -41,7 +41,20 @@ object BucketedStores {
 
   /** Compact `table` to one file set, preserving bucket and sort spec.
     * Returns (files before, files after). */
-  def compact(spark: SparkSession, table: String): (Int, Int) = {
+  def compact(spark: SparkSession, table: String): (Int, Int) =
+    rewrite(spark, table, identity)
+
+  /** [[compact]] that also collapses exact-duplicate rows — the fold for
+    * FACT stores whose probes `distinct()` anyway (the eval-gram pair
+    * store): unguarded at-least-once replays append identical rows that
+    * cost file space and probe-side scan work forever; folding them is
+    * probe-invariant by construction. */
+  def compactDistinct(spark: SparkSession, table: String): (Int, Int) =
+    rewrite(spark, table, _.distinct())
+
+  private def rewrite(spark: SparkSession, table: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Int, Int) = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
@@ -60,7 +73,7 @@ object BucketedStores {
     // writer emits one file per (task, bucket) again. A plain parquet
     // read forces a real shuffle; HashPartitioning(bucketCols, n) is
     // exactly the bucket-id function, so each task owns one whole bucket.
-    val src = spark.read.parquet(meta.location.toString)
+    val src = transform(spark.read.parquet(meta.location.toString))
     val writer = src
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(src.col): _*)
       .write.mode("overwrite").option("path", newLoc.toString)
@@ -75,5 +88,31 @@ object BucketedStores {
     val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(oldLoc, true)
     (before, dataFileCount(spark, table))
+  }
+
+  /** Replace a NON-bucketed table's contents with `df` via the same
+    * sibling-swap protocol (the additive delta stores' fold path). `df`
+    * MUST be materialized (e.g. localCheckpoint) before the call when it
+    * derives from `table` itself — the swap drops the table it came
+    * from. Crash windows are [[compact]]'s: before the drop nothing
+    * changed; between drop and rename the name is absent and the store's
+    * `*Matches` guard reads "rebuild"; after the rename only the old
+    * file cleanup remains, re-runnable. */
+  def swapContents(spark: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val oldLoc = new Path(meta.location)
+    val newLoc = new Path(oldLoc.getParent,
+      oldLoc.getName + "_c" + System.nanoTime())
+    val tmpTable = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    df.write.mode("overwrite").option("path", newLoc.toString)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(oldLoc, true)
   }
 }

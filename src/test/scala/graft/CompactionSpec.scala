@@ -60,6 +60,37 @@ class CompactionSpec extends SparkSpec {
       "y crosses min_docs after the post-compaction appends")
   }
 
+  test("compactDistinct folds replayed fact rows in the eval-gram store") {
+    import graft.dedup.DedupOps
+    val name = "graft_test_compact_eg"
+    Seq("grams", "docs", "meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    DedupOps.buildEvalGramStore(spark,
+      df(Seq(doc(1L, seg("e")), doc(2L, seg("f")))), name, shingleK = 3,
+      location = s"/tmp/$name", buckets = 4)
+    // crash-window simulation: the SAME benchmark appended twice unguarded
+    // → duplicate (h, doc_id) fact rows the probe's distinct hides but the
+    // store pays for on every scan
+    val bench = df(Seq(doc(10L, seg("g"))))
+    DedupOps.appendToEvalGramStore(spark, bench, name, idempotent = false)
+    DedupOps.appendToEvalGramStore(spark, bench, name, idempotent = false)
+    val probe = df(Seq(doc(900L, seg("g"), seg("zz")), doc(901L, seg("qq"))))
+    val before = DedupOps.probeContamination(spark, probe, name)
+      .collect().map(_.toString).sorted.toSeq
+    val rowsBefore = spark.table(s"${name}_grams").count()
+    val (fb, fa) = BucketedStores.compactDistinct(spark, s"${name}_grams")
+    assert(fa < fb && fa <= 4, s"$fb -> $fa")
+    spark.catalog.refreshTable(s"${name}_grams")
+    assert(spark.table(s"${name}_grams").count() < rowsBefore,
+      "duplicate fact rows must fold away")
+    val after = DedupOps.probeContamination(spark, probe, name)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before && before.nonEmpty)
+    // still appendable: a new benchmark changes future verdicts
+    DedupOps.appendToEvalGramStore(spark, df(Seq(doc(11L, seg("qq")))), name)
+    assert(DedupOps.probeContamination(spark, probe, name).count() > before.size)
+  }
+
   test("compaction is store-generic: the perceptual band index") {
     import graft.multimodal.PhashOps
     val s = spark

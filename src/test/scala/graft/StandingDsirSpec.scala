@@ -134,6 +134,57 @@ class StandingDsirSpec extends SparkSpec {
     assert(got.nonEmpty && got == ref)
   }
 
+  test("delta fold: probe invariant, replayed absorbed batch stays a no-op, store stays live") {
+    fresh("graft_test_dsir_cp", corpusA)
+    CurationOps.appendToDsirStore(spark, df3(corpusB), col("lang") === "en",
+      "graft_test_dsir_cp")
+    val before = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cp").collect())
+    val (rb, ra) = CurationOps.compactDsirStore(spark, "graft_test_dsir_cp")
+    assert(ra <= rb, s"fold must not grow the store: $rb -> $ra")
+    assert(canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cp").collect()) == before, "fold must be probe-invariant")
+    // a PRE-compaction batch replayed unguarded: its fingerprint is
+    // tombstoned, so the re-appended delta must not double-count
+    CurationOps.appendToDsirStore(spark, df3(corpusB), col("lang") === "en",
+      "graft_test_dsir_cp", idempotent = false)
+    assert(canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cp").collect()) == before,
+      "replay of an absorbed batch must stay a no-op after the fold")
+    // NEW admissions still count, and a second fold is also invariant
+    val corpusC = Seq((31L, "nova vocab nova vocab nova", "en"))
+    CurationOps.appendToDsirStore(spark, df3(corpusC), col("lang") === "en",
+      "graft_test_dsir_cp")
+    val mid = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cp").collect())
+    assert(mid != before, "a genuinely new admission must still shift the model")
+    CurationOps.compactDsirStore(spark, "graft_test_dsir_cp")
+    assert(canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_cp").collect()) == mid, "second fold must be invariant too")
+  }
+
+  test("fingerprints see content and predicate: same-id re-admissions both count") {
+    fresh("graft_test_dsir_fp", corpusA)
+    // same doc-id set, different TEXT: a real second admission, not a replay
+    CurationOps.appendToDsirStore(spark, df3(Seq((50L, "alpha beta alpha", "en"))),
+      col("lang") === "en", "graft_test_dsir_fp", idempotent = false)
+    val p1 = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_fp").collect())
+    CurationOps.appendToDsirStore(spark, df3(Seq((50L, "gamma rot gamma", "en"))),
+      col("lang") === "en", "graft_test_dsir_fp", idempotent = false)
+    val p2 = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_fp").collect())
+    assert(p1 != p2,
+      "same ids + different content must fingerprint differently and count")
+    // same rows, flipped target predicate: also a distinct admission
+    CurationOps.appendToDsirStore(spark, df3(Seq((50L, "gamma rot gamma", "en"))),
+      lit(false), "graft_test_dsir_fp", idempotent = false)
+    val p3 = canon(CurationOps.probeDsirScore(spark, df2(arrivals),
+      "graft_test_dsir_fp").collect())
+    assert(p2 != p3,
+      "same rows + different predicate must fingerprint differently and count")
+  }
+
   test("a replayed identical delta is deduped by batch fingerprint (crash-window safety)") {
     // simulate the crash-between-writes replay: the SAME batch appended
     // twice with NO doc guard - the probe must answer as if once

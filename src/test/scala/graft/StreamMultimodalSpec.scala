@@ -268,6 +268,32 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(math.abs(oov - math.rint(math.exp(30.0) * 1e6) / 1e6) < 1e-3)
   }
 
+  test("unigramModelCapped: identical to exact when V covers the vocab; one-sided drift when it binds") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val exact = StreamOps.unigramModel(docs)
+    // cap above the vocabulary: the serving model IS the exact model
+    val roomy = StreamOps.unigramModelCapped(docs, exact.size + 100)
+    assert(roomy === exact)
+    // cap binding: retained terms keep their exact ln p (normalization is
+    // still the FULL total), and every score drifts only TOWARD the floor
+    val capped = StreamOps.unigramModelCapped(docs, exact.size / 2)
+    assert(capped.size == exact.size / 2)
+    capped.foreach { case (t, lnp) => assert(lnp == exact(t), t) }
+    val floor = -30000000000L
+    val e = StreamOps.streamingQualityScore(docs, exact, floor)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val c = StreamOps.streamingQualityScore(docs, capped, floor)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    e.foreach { case (id, ppl) =>
+      assert(c(id) >= ppl - 1e-9,
+        s"doc $id: capped ppl ${c(id)} moved AWAY from the floor vs $ppl")
+    }
+    assert(e.exists { case (id, ppl) => c(id) > ppl + 1e-9 },
+      "a binding cap must actually shift some document")
+  }
+
   test("streaming heavy hitters: bounded sketch state across micro-batches equals batch q88") {
     val s = spark
     val dir = Files.createTempDirectory("graft-hh").toString
