@@ -259,16 +259,6 @@ object TextExprs {
     common
   }
 
-  /** One-pass intra-document segment dedup (CurationOps.intraDocDedup's
-    * production kernel): consecutive `segTokens`-token segments, first
-    * occurrence of each two-level-fold hash kept, survivors' ORIGINAL char
-    * spans re-joined by single spaces. Span copying is exact because
-    * `split(s, ' ')` tokens are separated by exactly one space char in the
-    * source by construction (runs of spaces become empty tokens), so a
-    * segment's [firstTokenStart, lastTokenEnd) span IS its tokens joined
-    * with ' ' — including empty-token runs.
-    *
-    * Returns (clean_text, n_tokens, kept_tokens, dropped_segments). */
   /** Token offsets + hashes of `str` in one [[foreachToken]] walk:
     * (starts, ends, hs, n) — arrays may be oversized, read only [0, n). */
   private def tokenArrays(str: String): (Array[Int], Array[Int], Array[Long], Int) = {
@@ -295,6 +285,16 @@ object TextExprs {
     acc
   }
 
+  /** One-pass intra-document segment dedup (CurationOps.intraDocDedup's
+    * production kernel): consecutive `segTokens`-token segments, first
+    * occurrence of each two-level-fold hash kept, survivors' ORIGINAL char
+    * spans re-joined by single spaces. Span copying is exact because
+    * `split(s, ' ')` tokens are separated by exactly one space char in the
+    * source by construction (runs of spaces become empty tokens), so a
+    * segment's [firstTokenStart, lastTokenEnd) span IS its tokens joined
+    * with ' ' — including empty-token runs.
+    *
+    * Returns (clean_text, n_tokens, kept_tokens, dropped_segments). */
   def segDedup(s: UTF8String, segTokens: Int): InternalRow = {
     val str = s.toString
     val (starts, ends, hs, n) = tokenArrays(str)

@@ -719,8 +719,13 @@ object Glm extends QueryModule {
     val (base, permT) = signFlipParts(s, firstLevel)
     permT.join(base.select("run", "j", "n", "t_obs"), Seq("run", "j"))
       .groupBy("run", "j")
+      // a DEGENERATE pattern (flipped series with zero variance -> NULL
+      // t_p) counts as an exceedance: its statistic is undefined, and a
+      // permutation that cannot be shown smaller than the observed one
+      // must not shrink the p-value (counting it 0 would be
+      // anti-conservative; oracle-mirrored, spec-pinned)
       .agg(expr("MAX(n)").as("n"), expr("MAX(t_obs)").as("t_obs"),
-        expr("SUM(CASE WHEN abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
+        expr("SUM(CASE WHEN t_p IS NULL OR abs(t_p) >= abs(t_obs) THEN 1 ELSE 0 END)").as("n_ge"))
       .selectExpr("run", "j", "n", "round(t_obs, 6) AS t_obs",
         // an undefined test (zero variance -> NULL t_obs) must report
         // NULL, not the minimal p: every comparison against NULL counts
@@ -851,7 +856,7 @@ object Glm extends QueryModule {
        |    CAST(base.n AS BIGINT) AS n,
        |    round(base.t_obs, 6) AS t_obs,
        |    CASE WHEN base.t_obs IS NULL THEN NULL ELSE
-       |      round((1 + SUM(CASE WHEN abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
+       |      round((1 + SUM(CASE WHEN pt.t_p IS NULL OR abs(pt.t_p) >= abs(base.t_obs) THEN 1 ELSE 0 END))
        |        / CAST(${1 + PermP} AS DOUBLE), 6) END AS p_perm
        |  FROM pt JOIN base ON base.run = pt.run AND base.j = pt.j
        |  GROUP BY base.run, base.j, base.n, base.t_obs

@@ -33,8 +33,17 @@ object ExternalStage {
     * declared types). The command must emit exactly one line per input
     * line if row identity matters to the caller — that contract belongs
     * to the external tool, exactly as in the reference's file-based DAG.
+    *
+    * `enforceOneToOne = true` VERIFIES that contract per partition (rows
+    * carry their own keys, so a dropped or added line re-associates
+    * nothing — it just vanishes or appears; tools are trusted today the
+    * way the reference's file DAG trusts them): input and output line
+    * counts are compared in the same task and a mismatch fails the stage
+    * loudly. Gated off by default because legitimately FILTERING tools
+    * (a grep-shaped stage) break 1:1 on purpose.
     */
-  def pipeTsv(df: DataFrame, cmd: Seq[String], outSchema: StructType): DataFrame = {
+  def pipeTsv(df: DataFrame, cmd: Seq[String], outSchema: StructType,
+      enforceOneToOne: Boolean = false): DataFrame = {
     require(cmd.nonEmpty, "need a command")
     val spark = df.sparkSession
     val guarded = df.columns.map { c =>
@@ -54,7 +63,28 @@ object ExternalStage {
     }
     val lines = df.select(concat_ws("\t", guarded: _*).as("line"))
       .rdd.map(_.getString(0))
-    val piped = lines.pipe(cmd)
+    val piped0 = lines.pipe(cmd)
+    // same-task count compare: pipe preserves partitioning, so input
+    // partition i and output partition i meet in one task; the input
+    // lineage is cheap to re-evaluate for the count
+    val piped = if (!enforceOneToOne) piped0 else
+      lines.zipPartitions(piped0) { (in, out) =>
+        var nIn = 0L
+        while (in.hasNext) { in.next(); nIn += 1 }
+        val expected = nIn
+        new Iterator[String] {
+          private var nOut = 0L
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) require(nOut == expected,
+              s"ExternalStage: command emitted $nOut lines for $expected " +
+                "input lines — the 1:1 contract is violated (use " +
+                "enforceOneToOne = false for filtering tools)")
+            h
+          }
+          def next(): String = { nOut += 1; out.next() }
+        }
+      }
     val n = outSchema.fields.length
     val asRows = piped.map { ln =>
       val parts = ln.split("\t", -1)

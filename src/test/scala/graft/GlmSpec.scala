@@ -562,6 +562,23 @@ class GlmSpec extends SparkSpec {
     assert(mt(0L).isNullAt(3), "maxT of an undefined test is NULL")
   }
 
+  test("q148: a degenerate sign pattern counts as an exceedance, not a free pass") {
+    val s = spark
+    import s.implicits._
+    // two subjects at b and -b: the OBSERVED t is 0 (defined), but every
+    // opposite-sign pattern flips the pair to (c, c) — zero variance,
+    // NULL t_p. Counting those 0 would shrink p below the exact answer:
+    // with t_obs = 0 no pattern can be strictly smaller, so p must be
+    // (1 + 256)/257 = 1.0 — the conservative reading of an undefined
+    // permutation statistic.
+    val fl = Seq((0L, 0L, 0L, 3000000L), (0L, 1L, 0L, -3000000L))
+      .toDF("run", "g", "j", "b_fp")
+    val out = graft.queries.Glm.signFlipCore(s, fl).collect().head
+    assert(!out.isNullAt(out.fieldIndex("p_perm")))
+    assert(out.getDouble(out.fieldIndex("p_perm")) == 1.0,
+      s"degenerate patterns must count as exceedances, got $out")
+  }
+
   test("q155: composed chain equals the four queries stitched row-for-row") {
     val s = spark
     val composed = graft.queries.Glm.inferenceChain(s, sf0001).collect().toSeq

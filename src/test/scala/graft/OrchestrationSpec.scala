@@ -78,6 +78,31 @@ class OrchestrationSpec extends SparkSpec {
     assert(out === Map(1L -> "HELLO WORLD", 2L -> "SPARK RDD PIPE", 3L -> "MIXED CASE"))
   }
 
+  test("O3: enforceOneToOne fails loudly when the tool drops lines, passes 1:1 tools") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "keep me"), (2L, "drop me"), (3L, "keep too"))
+      .toDF("doc_id", "text").repartition(2)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // a 1:1 tool passes under enforcement
+    val ok = graft.util.ExternalStage
+      .pipeTsv(df, Seq("cat"), schema, enforceOneToOne = true)
+      .collect()
+    assert(ok.length == 3)
+    // a FILTERING tool violates the contract: enforcement must fail the
+    // stage instead of silently losing row 2
+    val filtered = graft.util.ExternalStage
+      .pipeTsv(df, Seq("grep", "keep"), schema, enforceOneToOne = true)
+    val e = intercept[org.apache.spark.SparkException](filtered.collect())
+    assert(e.getMessage.contains("1:1 contract") ||
+      Option(e.getCause).exists(_.getMessage.contains("1:1 contract")),
+      e.getMessage.take(400))
+    // the same tool is fine when the caller opts out (default)
+    assert(graft.util.ExternalStage
+      .pipeTsv(df, Seq("grep", "keep"), schema).collect().length == 2)
+  }
+
   test("O3: external stage rejects framing bytes loudly instead of corrupting rows") {
     import spark.implicits._
     import org.apache.spark.sql.types._
