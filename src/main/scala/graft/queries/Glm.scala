@@ -283,14 +283,14 @@ object Glm extends QueryModule {
   // so the oracle replays every run's fixed-point pinv/X/(XᵀX)⁻¹ as
   // VALUES and mirrors the q60 CTE chain with `run` added to every key.
 
-  private[queries] val Runs = 4
-  private[queries] val Nr = 168 // hours per week
+  private[graft] val Runs = 4
+  private[graft] val Nr = 168 // hours per week
   private val hourUs = 3600000000L
 
   /** Run r's fixed design: j0 intercept, j1 centered trend, j2 DCT1, j3 a
     * daily work-hours boxcar shifted by r hours — distinct per run, so a
     * per-key fit is actually exercised, yet fully data-independent. */
-  private[queries] def runDesign(r: Int): LinAlg.Mat =
+  private[graft] def runDesign(r: Int): LinAlg.Mat =
     Array.tabulate(Nr, 4) { (t, j) =>
       j match {
         case 0 => 1.0
@@ -831,7 +831,13 @@ object Glm extends QueryModule {
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
        |  FROM gj2$flWhere
        |),
-       |base AS (
+       |$permCtes""".stripMargin
+
+  /** The permutation chain (base, perms, pt, pp) over an `fl` CTE of
+    * (run, g, j, b_fp) first-level facts — shared by every first-level
+    * flavor (the q103 OLS fit, the q157 AR(1) fit, a standing store). */
+  private def permCtes: String =
+    s"""base AS (
        |  SELECT run, j, n, q, $permTStr AS t_obs FROM (
        |    SELECT run, j, COUNT(*) AS n,
        |      CAST(SUM(b_fp) AS DOUBLE) / (COUNT(*) * 1e6) AS m,
@@ -933,7 +939,13 @@ object Glm extends QueryModule {
 
   private def inferenceChainSqlWhere(flWhere: String): String =
     s"""WITH ${signFlipCtesWhere(flWhere)},
-       |agg AS (
+       |$inferenceTailSql""".stripMargin
+
+  /** The chain's tail (second level, BH ranking, maxT, final verdict
+    * join) over the shared fl/base/pt/pp CTEs — reused verbatim by q155,
+    * q156, and the AR(1)-first-level q157. */
+  private def inferenceTailSql: String =
+    s"""agg AS (
        |  SELECT run, j, COUNT(*) AS n, SUM(b_fp) AS s1,
        |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS s2
        |  FROM fl GROUP BY run, j
@@ -1245,6 +1257,265 @@ object Glm extends QueryModule {
        |ORDER BY g""".stripMargin
   }
 
+  // ---- q157: AR(1) multi-run first level → full inference chain ----------
+  // The chain the r14 verdict described, now with the SERIALLY-CORRECT
+  // first level: q136's Cochrane–Orcutt prewhitening generalized to the
+  // per-run designs (runDesign differs per run, so pinv, the lag-moment
+  // matrices, and the design rows all become run-keyed literal RELATIONS
+  // instead of scalar literals), feeding the identical second-level
+  // machinery (group GLM → sign-flip null → BH + maxT) via
+  // inferenceChainCore. Determinism is q136's: exact DECIMAL sums
+  // everywhere data-sized, rho and the whitened normal equations through
+  // SHARED expression strings (d_ij references the broadcast a-relation's
+  // columns — same text both engines), the k-stage Gauss–Jordan solved by
+  // the shared generator, betas bit-equal by construction. Oracle VALUES
+  // print doubles with an E0 suffix: DuckDB parses bare decimal literals
+  // as DECIMAL and the cast to DOUBLE can lose 1 ulp (measured on the
+  // DCT values); the exponent form parses as DOUBLE exactly.
+  // Scale shape: ONE data-sized exchange (events → (run,g,t)
+  // partial-agg); everything after is bounded at Runs·Groups·Nr rows;
+  // the permutation/verdict tail is the q155 shape.
+
+  private val K157 = 4
+
+  private lazy val runPinv: Seq[LinAlg.Mat] =
+    (0 until Runs).map(r => LinAlg.pinv(runDesign(r)))
+
+  private lazy val runLagMoments: Seq[(LinAlg.Mat, LinAlg.Mat, LinAlg.Mat)] =
+    (0 until Runs).map { r =>
+      val x = runDesign(r)
+      val a0 = Array.ofDim[Double](K157, K157)
+      val a1 = Array.ofDim[Double](K157, K157)
+      val a2 = Array.ofDim[Double](K157, K157)
+      for (t <- 1 until Nr; i <- 0 until K157; j <- 0 until K157) {
+        a0(i)(j) += x(t)(i) * x(t)(j)
+        a1(i)(j) += x(t)(i) * x(t - 1)(j)
+        a2(i)(j) += x(t - 1)(i) * x(t - 1)(j)
+      }
+      (a0, a1, a2)
+    }
+
+  private val e157Str =
+    "CAST(y AS DOUBLE) - (x0 * b_0 + x1 * b_1 + x2 * b_2 + x3 * b_3)"
+
+  /** Whitened normal-equation entry from the run-keyed moment COLUMNS —
+    * q136's mStr with literals replaced by the a-relation's columns. */
+  private def d157Str(i: Int, j: Int): String =
+    s"(a0_${i}_$j - rho * (a1_${i}_$j + a1_${j}_$i) + rho * rho * a2_${i}_$j)"
+
+  /** Exact-double literal for the oracle: DuckDB types a bare decimal
+    * literal DECIMAL and the DOUBLE cast can be 1 ulp off; the exponent
+    * form parses as DOUBLE with correct rounding. */
+  private def dlit(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  private def wRel157Of(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (r <- 0 until Runs; t <- 0 until Nr) yield
+      (r.toLong, t.toLong,
+        math.rint(runPinv(r)(0)(t) * GlmOps.Scale).toLong,
+        math.rint(runPinv(r)(1)(t) * GlmOps.Scale).toLong,
+        math.rint(runPinv(r)(2)(t) * GlmOps.Scale).toLong,
+        math.rint(runPinv(r)(3)(t) * GlmOps.Scale).toLong))
+      .toDF("run", "t", "w0", "w1", "w2", "w3")
+  }
+
+  private def xRel157Of(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (r <- 0 until Runs; t <- 0 until Nr) yield {
+      val x = runDesign(r)
+      def xl(j: Int) = if (t > 0) x(t - 1)(j) else 0.0
+      (r.toLong, t.toLong, x(t)(0), x(t)(1), x(t)(2), x(t)(3),
+        xl(0), xl(1), xl(2), xl(3))
+    }).toDF("run", "t", "x0", "x1", "x2", "x3", "xl0", "xl1", "xl2", "xl3")
+  }
+
+  private def aRel157Of(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val fields = StructField("run", LongType) +:
+      (for (m <- 0 to 2; i <- 0 until K157; j <- 0 until K157)
+        yield StructField(s"a${m}_${i}_$j", DoubleType, nullable = false))
+    val rows: Seq[Row] = (0 until Runs).map { r =>
+      val (a0, a1, a2) = runLagMoments(r)
+      Row.fromSeq(r.toLong +:
+        (for (m <- 0 to 2; i <- 0 until K157; j <- 0 until K157)
+          yield Seq(a0, a1, a2)(m)(i)(j)))
+    }
+    s.createDataFrame(rows.asJava, StructType(fields.toArray))
+  }
+
+  private[graft] def ar1MultiRunFirstLevel(s: SparkSession, d: String): DataFrame = {
+    val ser = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select((col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+        expr("cast(floor(value * 100 + 0.5D) as bigint)").as("fpv"))
+      .filter(col("th") < Runs * Nr)
+      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
+        col("g"), col("fpv"))
+      .groupBy("run", "g", "t").agg(sum("fpv").as("y"))
+    val grid = s.range(Runs).select(col("id").as("run"))
+      .crossJoin(s.range(10).select(col("id").as("g")))
+      .crossJoin(s.range(Nr).select(col("id").as("t")))
+    ar1MultiRunFirstLevelCore(s,
+      grid.join(ser, Seq("run", "g", "t"), "left").na.fill(0L, Seq("y")))
+  }
+
+  /** The AR(1) multi-run fit from a grid-filled (run, g, t, y-cents)
+    * relation — split out so specs can feed planted series. */
+  private[graft] def ar1MultiRunFirstLevelCore(s: SparkSession,
+      filled: DataFrame): DataFrame = {
+    val k = K157
+    val betas = filled.join(broadcast(wRel157Of(s)), Seq("run", "t"))
+      .groupBy("run", "g")
+      .agg(expr("SUM(CAST(w0 AS DECIMAL(38,0)) * y)").as("s_0"),
+        expr("SUM(CAST(w1 AS DECIMAL(38,0)) * y)").as("s_1"),
+        expr("SUM(CAST(w2 AS DECIMAL(38,0)) * y)").as("s_2"),
+        expr("SUM(CAST(w3 AS DECIMAL(38,0)) * y)").as("s_3"))
+      .selectExpr("run" +: "g" +:
+        (0 until k).map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j"): _*)
+    val xRel = xRel157Of(s)
+    val res = filled.join(broadcast(xRel), Seq("run", "t"))
+      .join(broadcast(betas), Seq("run", "g"))
+      .selectExpr("run", "g", "t", "y", s"$e157Str AS e")
+    val lagged = res.selectExpr("run", "g", "t", "y", "e",
+      "lag(y) OVER (PARTITION BY run, g ORDER BY t) AS y_lag",
+      "lag(e) OVER (PARTITION BY run, g ORDER BY t) AS e_lag")
+    val rg = lagged.groupBy("run", "g")
+      .agg(expr("SUM(CAST(round(e * e_lag, 4) AS DECIMAL(38,4)))").as("num"),
+        expr("SUM(CAST(round(e_lag * e_lag, 4) AS DECIMAL(38,4)))").as("den"))
+      .selectExpr("run", "g", s"$rhoStr AS rho")
+    val white = lagged.filter(col("t") >= 1)
+      .join(broadcast(xRel), Seq("run", "t"))
+      .join(broadcast(rg), Seq("run", "g"))
+      .groupBy("run", "g")
+      .agg(expr(wbStr(0)).as("wb_0"), expr(wbStr(1)).as("wb_1"),
+        expr(wbStr(2)).as("wb_2"), expr(wbStr(3)).as("wb_3"))
+    val init = white.join(broadcast(rg), Seq("run", "g"))
+      .join(broadcast(aRel157Of(s)), Seq("run"))
+      .selectExpr(Seq("run", "g", "rho") ++
+        (for (i <- 0 until k; j <- 0 until k)
+          yield s"${d157Str(i, j)} AS d_${i}_$j") ++
+        (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i"): _*)
+    val solved = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+      .foldLeft(init)((df, st) => df.selectExpr("run" +: "g" +: "rho" +: st: _*))
+    solved.selectExpr("run", "g",
+      s"stack($k, ${(0 until k).map(i =>
+          s"CAST($i AS BIGINT), CAST(round(g${k - 1}_${i}_$k * 1e6, 0) AS BIGINT)")
+        .mkString(", ")}) AS (j, b_fp)")
+  }
+
+  def ar1Chain(s: SparkSession, d: String): DataFrame =
+    inferenceChainCore(s, ar1MultiRunFirstLevel(s, d))
+
+  private def ar1ChainSql: String = {
+    val k = K157
+    val wRows = for (r <- 0 until Runs; t <- 0 until Nr) yield
+      s"($r, $t, ${(0 until k).map(j =>
+        math.rint(runPinv(r)(j)(t) * GlmOps.Scale).toLong).mkString(", ")})"
+    val xRows = for (r <- 0 until Runs; t <- 0 until Nr) yield {
+      val x = runDesign(r)
+      def xl(j: Int) = if (t > 0) x(t - 1)(j) else 0.0
+      s"($r, $t, ${(0 until k).map(j => dlit(x(t)(j))).mkString(", ")}, " +
+        s"${(0 until k).map(j => dlit(xl(j))).mkString(", ")})"
+    }
+    val aCols = (for (m <- 0 to 2; i <- 0 until k; j <- 0 until k)
+      yield s"a${m}_${i}_$j").mkString(", ")
+    val aRows = (0 until Runs).map { r =>
+      val (a0, a1, a2) = runLagMoments(r)
+      val vals = for (m <- 0 to 2; i <- 0 until k; j <- 0 until k)
+        yield dlit(Seq(a0, a1, a2)(m)(i)(j))
+      s"($r, ${vals.mkString(", ")})"
+    }
+    val sCols = (0 until k)
+      .map(j => s"SUM(CAST(w$j AS HUGEINT) * y) AS s_$j").mkString(",\n    ")
+    val bCols = (0 until k)
+      .map(j => s"CAST(s_$j AS DOUBLE) / ${GlmOps.Scale}.0 AS b_$j").mkString(", ")
+    val wbCols = (0 until k).map(j => s"${wbStr(j)} AS wb_$j").mkString(",\n    ")
+    val dCols = ((for (i <- 0 until k; j <- 0 until k)
+      yield s"${d157Str(i, j)} AS d_${i}_$j") ++
+      (0 until k).map(i => s"CAST(wb_$i AS DOUBLE) AS db_$i")).mkString(",\n    ")
+    val stages = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, pi) =>
+      val prev = if (pi == 0) "init" else s"st${pi - 1}"
+      s"st$pi AS (\n  SELECT run, g, rho, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    val unpiv = (0 until k).map(i =>
+      s"SELECT run, g, CAST($i AS BIGINT) AS j, g${k - 1}_${i}_$k AS beta FROM st${k - 1}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w(run, t, ${(0 until k).map(j => s"w$j").mkString(", ")}) AS (VALUES ${wRows.mkString(", ")}),
+       |x(run, t, ${(0 until k).map(j => s"x$j").mkString(", ")}, ${(0 until k).map(j => s"xl$j").mkString(", ")}) AS (VALUES ${xRows.mkString(", ")}),
+       |a(run, $aCols) AS (VALUES ${aRows.mkString(", ")}),
+       |ser AS (
+       |  SELECT user_id % 10 AS g,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
+       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS y
+       |  FROM events
+       |  WHERE (epoch_us(ts) - $baseUs) >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
+       |  GROUP BY 1, 2, 3
+       |),
+       |grid AS (
+       |  SELECT CAST(rr.r AS BIGINT) AS run, CAST(gg.g AS BIGINT) AS g,
+       |    CAST(tt.t AS BIGINT) AS t
+       |  FROM unnest(range($Runs)) AS rr(r)
+       |  CROSS JOIN unnest(range(10)) AS gg(g)
+       |  CROSS JOIN unnest(range($Nr)) AS tt(t)
+       |),
+       |filled AS (
+       |  SELECT grid.run, grid.g, grid.t, COALESCE(ser.y, 0) AS y
+       |  FROM grid LEFT JOIN ser
+       |    ON ser.run = grid.run AND ser.g = grid.g AND ser.t = grid.t
+       |),
+       |ols AS (
+       |  SELECT run, g,
+       |    $sCols
+       |  FROM filled JOIN w USING (run, t) GROUP BY run, g
+       |),
+       |betas AS (SELECT run, g, $bCols FROM ols),
+       |res AS (
+       |  SELECT filled.run, filled.g, filled.t, filled.y, $e157Str AS e
+       |  FROM filled JOIN x USING (run, t) JOIN betas USING (run, g)
+       |),
+       |lagged AS (
+       |  SELECT run, g, t, y, e,
+       |    lag(y) OVER (PARTITION BY run, g ORDER BY t) AS y_lag,
+       |    lag(e) OVER (PARTITION BY run, g ORDER BY t) AS e_lag
+       |  FROM res
+       |),
+       |rg AS (
+       |  SELECT run, g, $rhoStr AS rho FROM (
+       |    SELECT run, g,
+       |      SUM(CAST(round(e * e_lag, 4) AS DECIMAL(38,4))) AS num,
+       |      SUM(CAST(round(e_lag * e_lag, 4) AS DECIMAL(38,4))) AS den
+       |    FROM lagged GROUP BY run, g)
+       |),
+       |white AS (
+       |  SELECT run, g,
+       |    $wbCols
+       |  FROM lagged JOIN x USING (run, t) JOIN rg USING (run, g)
+       |  WHERE t >= 1
+       |  GROUP BY run, g
+       |),
+       |init AS (
+       |  SELECT run, g, rho,
+       |    $dCols
+       |  FROM white JOIN rg USING (run, g) JOIN a USING (run)
+       |),
+       |$stageCtes,
+       |fl AS (
+       |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
+       |  FROM ($unpiv)
+       |),
+       |$permCtes,
+       |$inferenceTailSql""".stripMargin
+  }
+
   // ---- q145: MAD despiking of the per-group series -----------------------
   // AFNI 3dDespike's shape, simplified to the engine's fixed design: fit
   // the smooth trend (the q33 OLS), measure residual spread ROBUSTLY
@@ -1385,5 +1656,6 @@ object Glm extends QueryModule {
     Q("q155_inference_chain", inferenceChain, Some(inferenceChainSql)),
     Q("q156_standing_second_level", standingSecondLevel,
       Some(inferenceChainSqlWhere(" WHERE g >= 2"))),
+    Q("q157_ar1_chain", ar1Chain, Some(ar1ChainSql)),
   )
 }

@@ -630,7 +630,7 @@ object ProbeScale {
       "q145_despike", "q146_alff", "q147_calibration",
       "q148_sign_flip", "q149_zipf", "q150_auc", "q151_fdr_bh",
       "q152_maxt", "q153_leakage_split", "q154_feature_whiten",
-      "q155_inference_chain", "q156_standing_second_level")
+      "q155_inference_chain", "q156_standing_second_level", "q157_ar1_chain")
     for (n <- list) {
       val fn = graft.SparkEntry.queries(n)
       val t0 = System.nanoTime()

@@ -579,6 +579,65 @@ class GlmSpec extends SparkSpec {
       s"degenerate patterns must count as exceedances, got $out")
   }
 
+  test("q157: AR(1) multi-run fit matches a driver-side Cochrane-Orcutt replay") {
+    val s = spark
+    import s.implicits._
+    import graft.glm.LinAlg
+    val G = graft.queries.Glm
+    val k = 4
+    val runs = Seq(0, 1)
+    val gs = Seq(0L, 1L)
+    // planted cents series: smooth design response + an AR(1)-ish wobble,
+    // all integers (deterministic function of (run, g, t))
+    def y(r: Int, g: Long, t: Int): Long = {
+      val x = G.runDesign(r)(t)
+      math.round(5000.0 * x(0) + 900.0 * x(1) + 700.0 * x(2) + 400.0 * x(3) +
+        300.0 * math.sin(0.37 * t + g) + 150.0 * math.sin(0.36 * (t - 1) + g))
+    }
+    val filled = (for (r <- runs; g <- gs; t <- 0 until G.Nr)
+      yield (r.toLong, g, t.toLong, y(r, g, t))).toDF("run", "g", "t", "y")
+    val out = G.ar1MultiRunFirstLevelCore(s, filled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(out.size == runs.size * gs.size * k)
+    // exact driver replay of the engine's op sequence (incl. the 4-dp
+    // summand rounding) — closed-form solve instead of Gauss-Jordan
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- runs; g <- gs) {
+      val x = G.runDesign(r)
+      val p = LinAlg.pinv(x)
+      val ys = (0 until G.Nr).map(t => y(r, g, t).toDouble).toArray
+      // OLS via the same fixed-point pinv weights
+      val b = (0 until k).map(j => (0 until G.Nr)
+        .map(t => math.rint(p(j)(t) * 1e9) * ys(t)).sum / 1e9).toArray
+      val e = (0 until G.Nr).map(t =>
+        ys(t) - (0 until k).map(j => x(t)(j) * b(j)).sum).toArray
+      val num = (1 until G.Nr).map(t => r4(e(t) * e(t - 1))).sum
+      val den = (1 until G.Nr).map(t => r4(e(t - 1) * e(t - 1))).sum
+      val rho = if (den > 0) num / den else 0.0
+      val a0 = Array.ofDim[Double](k, k)
+      val a1 = Array.ofDim[Double](k, k)
+      val a2 = Array.ofDim[Double](k, k)
+      for (t <- 1 until G.Nr; i <- 0 until k; j <- 0 until k) {
+        a0(i)(j) += x(t)(i) * x(t)(j)
+        a1(i)(j) += x(t)(i) * x(t - 1)(j)
+        a2(i)(j) += x(t - 1)(i) * x(t - 1)(j)
+      }
+      val m = Array.tabulate(k, k)((i, j) =>
+        a0(i)(j) - rho * (a1(i)(j) + a1(j)(i)) + rho * rho * a2(i)(j))
+      val wb = (0 until k).map(j => (1 until G.Nr).map(t =>
+        r4((x(t)(j) - rho * x(t - 1)(j)) * (ys(t) - rho * ys(t - 1)))).sum).toArray
+      val beta = LinAlg.matmul(LinAlg.inverse(m), Array(wb).transpose).map(_(0))
+      for (j <- 0 until k) {
+        val got = out((r.toLong, g, j.toLong)) / 1e6
+        assert(math.abs(got - beta(j)) < 5e-5,
+          s"run=$r g=$g j=$j engine=$got replay=${beta(j)} rho=$rho")
+      }
+      assert(rho > 0.01, s"planted wobble should yield positive rho, got $rho")
+    }
+  }
+
   test("q155: composed chain equals the four queries stitched row-for-row") {
     val s = spark
     val composed = graft.queries.Glm.inferenceChain(s, sf0001).collect().toSeq
