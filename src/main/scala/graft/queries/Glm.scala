@@ -1110,9 +1110,13 @@ object Glm extends QueryModule {
 
   /** The q136 body from the grid-filled (g, t, y-cents) relation —
     * separated so specs can feed planted series. */
-  private[graft] def ar1Core(s: SparkSession, full: DataFrame): DataFrame = {
+  private[graft] def ar1Core(s: SparkSession, full0: DataFrame): DataFrame = {
     val k = design(0).length
     val xRel = xRelOf(s)
+    // bounded (Groups·N rows) but carrying the data-sized exchange in
+    // its lineage, and consumed from several places — pin it once (the
+    // q157 lesson; shaves the repeated events scans)
+    val full = full0.localCheckpoint()
     val res = residualRelation(s, full)
     val lagged = res.selectExpr("g", "t", "y", "e",
       "lag(y) OVER (PARTITION BY g ORDER BY t) AS y_lag",
@@ -1368,8 +1372,13 @@ object Glm extends QueryModule {
   /** The AR(1) multi-run fit from a grid-filled (run, g, t, y-cents)
     * relation — split out so specs can feed planted series. */
   private[graft] def ar1MultiRunFirstLevelCore(s: SparkSession,
-      filled: DataFrame): DataFrame = {
+      filled0: DataFrame): DataFrame = {
     val k = K157
+    // the grid-filled series is BOUNDED (Runs·Groups·Nr rows) but its
+    // lineage holds the one data-sized exchange — and the chain consumes
+    // it from four places (betas, res, and lagged's two readers), which
+    // would re-run the events scan each time. Pin it once.
+    val filled = filled0.localCheckpoint()
     val betas = filled.join(broadcast(wRel157Of(s)), Seq("run", "t"))
       .groupBy("run", "g")
       .agg(expr("SUM(CAST(w0 AS DECIMAL(38,0)) * y)").as("s_0"),
@@ -1531,7 +1540,8 @@ object Glm extends QueryModule {
   private val despikeThrStr =
     "2.5 * (1.4826 * mad)"
 
-  private[graft] def despikeCore(s: SparkSession, full: DataFrame): DataFrame = {
+  private[graft] def despikeCore(s: SparkSession, full0: DataFrame): DataFrame = {
+    val full = full0.localCheckpoint()
     val res = residualRelation(s, full)
     val med = res.groupBy("g").agg(expr("percentile(e, 0.5)").as("med"))
     val dev = res.join(broadcast(med), Seq("g"))
