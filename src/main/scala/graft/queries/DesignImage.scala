@@ -458,6 +458,109 @@ object DesignImage extends QueryModule {
        |GROUP BY x, y, z
        |ORDER BY x, y, z""".stripMargin
 
+  // ---- q158: seed-based functional connectivity (A7 over the 4-D series) -
+  // THE resting-state analysis downstream of the reference's preprocessing
+  // (ssm_loop.py stops at the first-level fit; seed-based FC is what the
+  // cleaned series feeds): pick a coordinate-defined seed ROI (a 3x3x3 box
+  // around a peak coordinate — the atlas-coordinate "sphere" practice;
+  // label-based seeds are scale-fragile here because voxelGrid's MIN-label
+  // collapses as draws-per-voxel grow), average its time series, and
+  // correlate every voxel's series against it, reporting Pearson r and
+  // Fisher z = atanh(r).
+  //
+  // Determinism: the seed series enters as the exact-integer cent SUM over
+  // seed voxels (correlation is invariant to the constant 1/|seed|
+  // divisor, so the mean's division never happens); all five moments
+  // (Σv, Σv², Σs, Σs², Σvs) are exact BIGINT/DECIMAL sums under dense
+  // semantics (absent cells are zeros, n = NT), and r/z are one shared
+  // double expression over those integers, rounded to 6 decimals.
+  //
+  // Scale shape: the series relation is VOLUME-bounded (L³·NT rows) but
+  // carries the data-sized lineitem scan in its lineage and is consumed
+  // twice (seed branch + voxel branch) — pinned once (the q157 lesson).
+  // The seed relation is ≤NT rows, broadcast; per-voxel moments are one
+  // volume-keyed aggregation. No data-sized shuffle, no window.
+
+  private val seedLo = 4
+  private val seedHi = 6
+
+  private val fcNumStr =
+    s"($NT * CAST(svs AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(ss AS DOUBLE))"
+  private val fcDenVStr =
+    s"($NT * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+  private val fcDenSStr =
+    s"($NT * CAST(sss AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+  private val fcRStr =
+    s"CASE WHEN $fcDenVStr > 0 AND $fcDenSStr > 0 " +
+      s"THEN $fcNumStr / (sqrt($fcDenVStr) * sqrt($fcDenSStr)) END"
+  private val fcZStr =
+    "CASE WHEN r > -1.0 AND r < 1.0 THEN 0.5 * ln((1.0 + r) / (1.0 - r)) END"
+
+  def seedConnectivity(s: SparkSession, d: String): DataFrame =
+    seedConnectivityCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q158 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can feed planted series. */
+  private[graft] def seedConnectivityCore(series0: DataFrame): DataFrame = {
+    val series = series0.localCheckpoint()
+    val inSeed = (c: String) =>
+      col(c) >= seedLo && col(c) <= seedHi
+    val seed = series
+      .filter(inSeed("x") && inSeed("y") && inSeed("z"))
+      .groupBy("t").agg(sum("v").as("s_t"))
+    val seedMom = seed.agg(
+      sum("s_t").as("ss"),
+      sum(expr("CAST(s_t AS DECIMAL(38,0)) * s_t")).as("sss"))
+    series
+      .join(broadcast(seed), Seq("t"), "left")
+      .na.fill(0L, Seq("s_t"))
+      .groupBy("x", "y", "z")
+      .agg(count(lit(1)).as("n_t"),
+        sum("v").as("sv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * s_t")).as("svs"))
+      .crossJoin(broadcast(seedMom))
+      .selectExpr("x", "y", "z", "n_t", s"$fcRStr AS r")
+      .selectExpr("x", "y", "z", "CAST(n_t AS BIGINT) AS n_t",
+        "round(r, 6) AS r_seed", s"round($fcZStr, 6) AS z_fisher")
+      .orderBy("x", "y", "z")
+  }
+
+  private val seedConnectivitySql =
+    s"""WITH series AS (
+       |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1, 2, 3, 4
+       |),
+       |seed AS (
+       |  SELECT t, SUM(v) AS s_t FROM series
+       |  WHERE x BETWEEN $seedLo AND $seedHi AND y BETWEEN $seedLo AND $seedHi
+       |    AND z BETWEEN $seedLo AND $seedHi
+       |  GROUP BY t
+       |),
+       |sm AS (
+       |  SELECT SUM(s_t) AS ss, SUM(CAST(s_t AS HUGEINT) * s_t) AS sss FROM seed
+       |),
+       |pv AS (
+       |  SELECT s.x, s.y, s.z, COUNT(*) AS n_t, SUM(v) AS sv,
+       |    SUM(CAST(v AS HUGEINT) * v) AS svv,
+       |    SUM(CAST(v AS HUGEINT) * COALESCE(seed.s_t, 0)) AS svs
+       |  FROM series s LEFT JOIN seed ON seed.t = s.t
+       |  GROUP BY 1, 2, 3
+       |),
+       |rr AS (
+       |  SELECT x, y, z, n_t, $fcRStr AS r FROM pv CROSS JOIN sm
+       |)
+       |SELECT x, y, z, CAST(n_t AS BIGINT) AS n_t,
+       |  round(r, 6) AS r_seed, round($fcZStr, 6) AS z_fisher
+       |FROM rr
+       |ORDER BY x, y, z""".stripMargin
+
   // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
 
   def entityCatalog(s: SparkSession, d: String): DataFrame =
@@ -610,6 +713,7 @@ object DesignImage extends QueryModule {
     Q("q134_resample_padded", resampleTrilinearPadded, Some(resampleTrilinearPaddedSql)),
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
+    Q("q158_seed_connectivity", seedConnectivity, Some(seedConnectivitySql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),
   )

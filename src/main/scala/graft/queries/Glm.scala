@@ -605,6 +605,132 @@ object Glm extends QueryModule {
        |FROM mv
        |ORDER BY run, j""".stripMargin
 
+  // ---- q160: two-sample + covariate second level (ANCOVA) ----------------
+  // The group-DIFFERENCE design every clinical second level runs (FSL
+  // "two-group difference with a continuous covariate", SPM factorial +
+  // regressor): per (run, j), model each subject's first-level beta as
+  // b_g = a + c·grp_g + d·cov_g + e with grp the subject's cohort
+  // (g % 2 — patients vs controls in the acquisition analog) and cov the
+  // subject's global signal for that run (the exact cent sum — a real
+  // data-derived nuisance covariate, not a literal). Reports the
+  // covariate-adjusted group difference c and its t statistic
+  // t = c / sqrt(sigma² · [XᵀX⁻¹]_cc), df = n − 3.
+  //
+  // Determinism: all ten moments are exact integer/DECIMAL sums of
+  // fixed-point values (b_fp at 1e6, cov in cents); the 3×3 normal
+  // equations are solved in closed cofactor form through three projection
+  // stages of SHARED expression strings, so both engines execute the
+  // identical double op sequence (the q136 Gauss–Jordan argument, with
+  // the symmetric-inverse cofactors written out since k=3 is fixed).
+  //
+  // Scale shape: the first level's one data-sized exchange; the covariate
+  // is a bounded (Runs·Subjects) aggregate of the SAME series; the ANCOVA
+  // itself is one (run, j)-keyed aggregate over n=10 rows per cell — at
+  // the mass regime (voxels×contrasts cells) it stays one exchange keyed
+  // by hypothesis, no window, no driver state.
+
+  // stage 1: integer moments → scaled doubles (cov at 1e6 cents = one
+  // "megacent" unit so coefficients land O(1) for the 6-dp round)
+  private val anStageD = Seq(
+    "CAST(n AS DOUBLE) AS dn",
+    "CAST(sg AS DOUBLE) AS dg",
+    "CAST(sc AS DOUBLE) / 1e6 AS dc",
+    "CAST(scc AS DOUBLE) / 1e12 AS dcc",
+    "CAST(sgc AS DOUBLE) / 1e6 AS dgc",
+    "CAST(sb AS DOUBLE) / 1e6 AS db",
+    "CAST(sgb AS DOUBLE) / 1e6 AS dgb",
+    "CAST(scb AS DOUBLE) / 1e12 AS dcb",
+    "CAST(sbb AS DOUBLE) / 1e12 AS dbb")
+  // stage 2: cofactors of the symmetric XtX (sgg = sg since grp ∈ {0,1})
+  private val anStageM = Seq(
+    "(dg * dcc - dgc * dgc) AS m00",
+    "(dc * dgc - dg * dcc) AS m01",
+    "(dg * dgc - dg * dc) AS m02",
+    "(dn * dcc - dc * dc) AS m11",
+    "(dg * dc - dn * dgc) AS m12",
+    "(dn * dg - dg * dg) AS m22",
+    "(dn * (dg * dcc - dgc * dgc) - dg * (dg * dcc - dgc * dc) " +
+      "+ dc * (dg * dgc - dg * dc)) AS det")
+  // stage 3: coefficients via the symmetric inverse rows
+  private val anStageB = Seq(
+    "CASE WHEN det <> 0 THEN (m00 * db + m01 * dgb + m02 * dcb) / det END AS ca",
+    "CASE WHEN det <> 0 THEN (m01 * db + m11 * dgb + m12 * dcb) / det END AS cg",
+    "CASE WHEN det <> 0 THEN (m02 * db + m12 * dgb + m22 * dcb) / det END AS cv")
+  // stage 4: residual variance and the group-effect t
+  private val anSig2Str = "(dbb - (ca * db + cg * dgb + cv * dcb)) / (dn - 3)"
+  private val anTStr =
+    "CASE WHEN det <> 0 AND sig2 > 0 AND m11 / det > 0 " +
+      "THEN cg / sqrt(sig2 * (m11 / det)) END"
+
+  /** ANCOVA core over a (run, g, j, b_fp) first level and a (run, g,
+    * cov_c) covariate relation — split out so specs can plant values. */
+  private[graft] def ancovaCore(firstLevel: DataFrame, cov: DataFrame): DataFrame =
+    firstLevel.join(broadcast(cov), Seq("run", "g"))
+      .selectExpr("run", "j", "g % 2 AS grp", "cov_c", "b_fp")
+      .groupBy("run", "j")
+      .agg(expr("COUNT(*)").as("n"),
+        expr("SUM(grp)").as("sg"),
+        expr("SUM(CAST(cov_c AS DECIMAL(38,0)))").as("sc"),
+        expr("SUM(CAST(cov_c AS DECIMAL(38,0)) * cov_c)").as("scc"),
+        expr("SUM(CASE WHEN grp = 1 THEN CAST(cov_c AS DECIMAL(38,0)) ELSE 0 END)").as("sgc"),
+        expr("SUM(CAST(b_fp AS DECIMAL(38,0)))").as("sb"),
+        expr("SUM(CASE WHEN grp = 1 THEN CAST(b_fp AS DECIMAL(38,0)) ELSE 0 END)").as("sgb"),
+        expr("SUM(CAST(cov_c AS DECIMAL(38,0)) * b_fp)").as("scb"),
+        expr("SUM(CAST(b_fp AS DECIMAL(38,0)) * b_fp)").as("sbb"))
+      .selectExpr(Seq("run", "j", "n") ++ anStageD: _*)
+      .selectExpr(Seq("run", "j", "n", "dn", "db", "dgb", "dcb", "dbb") ++ anStageM: _*)
+      .selectExpr(Seq("run", "j", "n", "dn", "db", "dgb", "dcb", "dbb",
+        "m11", "det") ++ anStageB: _*)
+      .selectExpr("run", "j", "n", "m11", "det", "ca", "cg", "cv",
+        s"$anSig2Str AS sig2")
+      .selectExpr("run", "CAST(j AS BIGINT) AS j", "CAST(n AS BIGINT) AS n",
+        "round(ca, 6) AS intercept", "round(cg, 6) AS group_diff",
+        "round(cv, 6) AS cov_slope", s"round($anTStr, 6) AS t_group")
+      .orderBy("run", "j")
+
+  def ancovaGlm(s: SparkSession, d: String): DataFrame = {
+    val cov = multiRunSeries(s, d)
+      .groupBy("run", "g")
+      .agg(expr("CAST(SUM(y_dec) * 100 AS BIGINT)").as("cov_c"))
+    ancovaCore(multiRunFirstLevel(s, d), cov)
+  }
+
+  private def ancovaGlmSql: String =
+    s"""WITH $multiRunBetaCtes,
+       |fl AS (
+       |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
+       |  FROM gj2
+       |),
+       |cov AS (
+       |  SELECT run, g, CAST(SUM(y) * 100 AS BIGINT) AS cov_c
+       |  FROM ser GROUP BY run, g
+       |),
+       |jn AS (
+       |  SELECT fl.run, fl.j, fl.g % 2 AS grp, cov_c, b_fp
+       |  FROM fl JOIN cov ON cov.run = fl.run AND cov.g = fl.g
+       |),
+       |mom AS (
+       |  SELECT run, j, COUNT(*) AS n, SUM(grp) AS sg,
+       |    SUM(CAST(cov_c AS HUGEINT)) AS sc,
+       |    SUM(CAST(cov_c AS HUGEINT) * cov_c) AS scc,
+       |    SUM(CASE WHEN grp = 1 THEN CAST(cov_c AS HUGEINT) ELSE 0 END) AS sgc,
+       |    SUM(CAST(b_fp AS HUGEINT)) AS sb,
+       |    SUM(CASE WHEN grp = 1 THEN CAST(b_fp AS HUGEINT) ELSE 0 END) AS sgb,
+       |    SUM(CAST(cov_c AS HUGEINT) * b_fp) AS scb,
+       |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS sbb
+       |  FROM jn GROUP BY run, j
+       |),
+       |d1 AS (SELECT run, j, n, ${anStageD.mkString(", ")} FROM mom),
+       |d2 AS (SELECT run, j, n, dn, db, dgb, dcb, dbb, ${anStageM.mkString(", ")} FROM d1),
+       |d3 AS (SELECT run, j, n, dn, db, dgb, dcb, dbb, m11, det,
+       |  ${anStageB.mkString(", ")} FROM d2),
+       |d4 AS (SELECT run, j, n, m11, det, ca, cg, cv, $anSig2Str AS sig2 FROM d3)
+       |SELECT run, CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
+       |  round(ca, 6) AS intercept, round(cg, 6) AS group_diff,
+       |  round(cv, 6) AS cov_slope, round($anTStr, 6) AS t_group
+       |FROM d4
+       |ORDER BY run, j""".stripMargin
+
   // ---- q141: contrast inference on the fixed-design GLM ------------------
   // The COPE step the reference ecosystem runs after every first-level
   // fit (FSL contrast estimates / SPM con images): a single-row contrast
@@ -735,10 +861,10 @@ object Glm extends QueryModule {
       .orderBy("run", "j")
   }
 
-  /** The (run, g, j, b_fp) first-level relation under the per-run fixed
-    * designs — shared by q148/q151/q152. */
-  private def multiRunFirstLevel(s: SparkSession, d: String): DataFrame = {
-    val series = events(s, d)
+  /** The (run, g, t, y_dec) per-run series — the first-level input shared
+    * by [[multiRunFirstLevel]] and q160's per-subject covariate. */
+  private def multiRunSeries(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .filter(expr(s"ts div 1000 - $baseUs >= 0"))
       .select(
         (col("user_id") % 10).as("g"),
@@ -748,8 +874,12 @@ object Glm extends QueryModule {
       .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
         col("g"), col("y_dec"))
       .groupBy("run", "g", "t").agg(sum("y_dec").as("y_dec"))
+
+  /** The (run, g, j, b_fp) first-level relation under the per-run fixed
+    * designs — shared by q148/q151/q152. */
+  private def multiRunFirstLevel(s: SparkSession, d: String): DataFrame = {
     val designs = (0 until Runs).map(r => (r.toLong, runDesign(r)))
-    GlmOps.massGLMPackedPerKey(s, series, designs, "run", "g")
+    GlmOps.massGLMPackedPerKey(s, multiRunSeries(s, d), designs, "run", "g")
       .selectExpr("run", "g", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
   }
 
@@ -1667,5 +1797,6 @@ object Glm extends QueryModule {
     Q("q156_standing_second_level", standingSecondLevel,
       Some(inferenceChainSqlWhere(" WHERE g >= 2"))),
     Q("q157_ar1_chain", ar1Chain, Some(ar1ChainSql)),
+    Q("q160_ancova_glm", ancovaGlm, Some(ancovaGlmSql)),
   )
 }

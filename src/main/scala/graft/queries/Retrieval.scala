@@ -591,7 +591,91 @@ object Retrieval extends QueryModule {
        |  round($zipfInterceptStr, 6) AS intercept
        |FROM mom""".stripMargin
 
+  // ---- q161: capped-vocabulary frozen-model scoring ----------------------
+  // The WEB-SCALE serving shape of q82, fully in-engine (the batch twin
+  // of StreamOps.unigramModelCapped): freeze a unigram model on the
+  // reference slice (even doc_ids) but keep only the top-V terms by
+  // corpus frequency (deterministic (cf DESC, term ASC) tie-break);
+  // normalization stays the FULL corpus total, so a retained term's ln p
+  // is identical to the exact model's and every truncated-tail or unseen
+  // token takes the same OOV floor ln(1/total). Scoring the held-out
+  // slice (odd doc_ids) exercises both branches.
+  //
+  // Scale shape: the vocabulary relation is pinned once (two consumers:
+  // the grand total and the cap); top-V is TakeOrdered (top-V per
+  // partition, merged — NOT a global sort, the q151 lesson applied to
+  // model freezing); the V-row model broadcasts to the scoring side,
+  // which never shuffles anything but its own per-doc aggregate.
+
+  private val CapV = 64
+
+  def cappedPpl(s: SparkSession, d: String): DataFrame =
+    cappedPplCore(documents(s, d), CapV)
+
+  /** The q161 body over any (doc_id, text) frame — split out (with the
+    * cap a parameter) so specs can pin capped ≡ exact and the one-sided
+    * drift when the cap binds. */
+  private[graft] def cappedPplCore(docs: DataFrame, capV: Int): DataFrame = {
+    val cf = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .localCheckpoint() // vocabulary-bounded, two consumers
+    val tot = cf.agg(sum("cf").as("t_total"))
+    val lnp = cf.orderBy(col("cf").desc, col("term").asc).limit(capV)
+      .crossJoin(broadcast(tot))
+      .selectExpr("term",
+        "CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT) AS lnp_fp")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(lnp), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "COALESCE(lnp_fp, CAST(round(ln(1.0 / t_total) * 1e9, 0) AS BIGINT)) AS fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"), sum("fp").as("s_fp"))
+      .selectExpr("doc_id", "n_tokens",
+        "round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens), 6) AS ppl")
+      .orderBy("doc_id")
+  }
+
+  private val cappedPplSql =
+    s"""WITH mtok AS (
+       |  SELECT t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 2 = 0
+       |),
+       |cf AS (SELECT term, count(*) AS cf FROM mtok GROUP BY term),
+       |tot AS (SELECT count(*) AS t_total FROM mtok),
+       |lnp AS (
+       |  SELECT term,
+       |    CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT)
+       |      AS lnp_fp
+       |  FROM cf CROSS JOIN tot
+       |  ORDER BY cf DESC, term ASC LIMIT $CapV
+       |),
+       |htok AS (
+       |  SELECT doc_id, t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 2 <> 0
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |    COALESCE(lnp.lnp_fp,
+       |      CAST(round(ln(1.0 / t_total) * 1e9, 0) AS BIGINT)) AS fp
+       |  FROM htok LEFT JOIN lnp USING (term) CROSS JOIN tot
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(fp) AS BIGINT) AS s_fp
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens), 6) AS ppl
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q161_capped_ppl", cappedPpl, Some(cappedPplSql)),
     Q("q149_zipf", zipfSlope, Some(zipfSlopeSql)),
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     Q("q79_bm25_topk", bm25, Some(bm25Sql)),

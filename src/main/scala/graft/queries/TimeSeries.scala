@@ -177,6 +177,119 @@ object TimeSeries extends QueryModule {
       |GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ---- q159: framewise displacement + motion scrubbing (W1-W3 + QC) ------
+  // The motion-QC step between the reference's confound extraction
+  // (ssm_loop.py:46-50 pulls trans/rot columns; fmriprep_motion_hist.R
+  // plots them) and the GLM: Power-style framewise displacement
+  // FD_t = Σ|Δtrans| + 50·Σ|Δrot| per run, spike flagging, and the
+  // standard censor augmentation (a spike at f censors frames f-1..f+2).
+  //
+  // Six synthetic motion params per (run, TR): exact cent sums split by
+  // event_id residue (3 "translations", 3 "rotations"), grid-filled dense.
+  // FD stays in INTEGER cents (|Δ| of exact sums, the ×50 rotation radius
+  // integer) until the final /100 display divide, so flagging compares
+  // integers-cast-to-double on both engines. The spike threshold is
+  // RELATIVE (2.5× the run’s FD median — exact half-integers under the
+  // shared type-7 percentile/quantile_cont), because an absolute
+  // millimeter threshold is meaningless for synthetic magnitudes that
+  // scale with data volume.
+  //
+  // Scale shape: one data-sized exchange (events → per-(run,TR) partial
+  // aggregate); everything after is bounded at R·N rows. All windows
+  // partition by run — no global window, no driver state.
+
+  private val fdRuns = 8
+  private val fdN = 168
+  private val fdBaseUs = 1704067200000000L
+  private val fdTrUs = 3600000000L
+
+  private val fdStr =
+    "abs(d_0) + abs(d_1) + abs(d_2) + 50 * (abs(d_3) + abs(d_4) + abs(d_5))"
+  private val fdSpikeStr = "CAST(fd_c AS DOUBLE) > 2.5 * med"
+
+  def fdScrub(s: SparkSession, d: String): DataFrame = {
+    val pCols = (0 until 6).map(j => s"p_$j")
+    val aggs = (0 until 6).map(j =>
+      sum(when(col("j") === j, col("c")).otherwise(0L)).as(s"p_$j"))
+    val raw = events(s, d)
+      .filter(expr(s"ts div 1000 - $fdBaseUs >= 0"))
+      .select((col("user_id") % fdRuns).as("run"),
+        expr(s"(ts div 1000 - $fdBaseUs) div $fdTrUs").as("t"),
+        (col("event_id") % 6).as("j"),
+        expr("cast(floor(value * 100 + 0.5D) as bigint)").as("c"))
+      .filter(col("t") < fdN)
+      .groupBy("run", "t")
+      .agg(aggs.head, aggs.tail: _*)
+    val grid = s.range(fdRuns).select(col("id").as("run"))
+      .crossJoin(s.range(fdN).select(col("id").as("t")))
+    fdScrubCore(grid.join(raw, Seq("run", "t"), "left")
+      .na.fill(0L, pCols))
+  }
+
+  /** The q159 body from a grid-filled (run, t, p_0..p_5) params relation —
+    * split out so specs can plant motion traces. */
+  private[graft] def fdScrubCore(filled: DataFrame): DataFrame = {
+    val diffs = filled.selectExpr(Seq("run", "t") ++ (0 until 6).map(j =>
+      s"COALESCE(p_$j - lag(p_$j) OVER (PARTITION BY run ORDER BY t), 0) AS d_$j"): _*)
+    val fd = diffs.selectExpr("run", "t", s"$fdStr AS fd_c")
+    val med = fd.groupBy("run").agg(expr("percentile(fd_c, 0.5)").as("med"))
+    fd.join(broadcast(med), Seq("run"))
+      .selectExpr("run", "t", "fd_c",
+        s"CASE WHEN $fdSpikeStr THEN 1 ELSE 0 END AS spike")
+      .selectExpr("run", "t", "fd_c", "spike",
+        "MAX(spike) OVER (PARTITION BY run ORDER BY t " +
+          "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS censored")
+      .selectExpr("run", "t", "CAST(fd_c AS DOUBLE) / 100.0 AS fd",
+        "CAST(spike AS BIGINT) AS spike", "CAST(censored AS BIGINT) AS censored")
+      .orderBy("run", "t")
+  }
+
+  private val fdScrubSql = {
+    val pSel = (0 until 6).map(j =>
+      s"SUM(CASE WHEN j = $j THEN c ELSE 0 END) AS p_$j").mkString(",\n|    ")
+    val dSel = (0 until 6).map(j =>
+      s"COALESCE(p_$j - LAG(p_$j) OVER (PARTITION BY run ORDER BY t), 0) AS d_$j")
+      .mkString(",\n|    ")
+    s"""WITH raw AS (
+       |  SELECT user_id % $fdRuns AS run,
+       |    (epoch_us(ts) - $fdBaseUs) // $fdTrUs AS t,
+       |    event_id % 6 AS j,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE epoch_us(ts) - $fdBaseUs >= 0
+       |), agg AS (
+       |  SELECT run, t,
+       |    $pSel
+       |  FROM raw WHERE t < $fdN GROUP BY run, t
+       |), grid AS (
+       |  SELECT rs.r AS run, gs.g AS t
+       |  FROM generate_series(0, ${fdRuns - 1}) AS rs(r),
+       |       generate_series(0, ${fdN - 1}) AS gs(g)
+       |), filled AS (
+       |  SELECT grid.run, grid.t,
+       |    ${(0 until 6).map(j => s"COALESCE(p_$j, 0) AS p_$j").mkString(", ")}
+       |  FROM grid LEFT JOIN agg ON agg.run = grid.run AND agg.t = grid.t
+       |), diffs AS (
+       |  SELECT run, t,
+       |    $dSel
+       |  FROM filled
+       |), fd AS (
+       |  SELECT run, t, $fdStr AS fd_c FROM diffs
+       |), med AS (
+       |  SELECT run, quantile_cont(fd_c, 0.5) AS med FROM fd GROUP BY run
+       |), flagged AS (
+       |  SELECT fd.run, fd.t, fd_c,
+       |    CASE WHEN $fdSpikeStr THEN 1 ELSE 0 END AS spike
+       |  FROM fd JOIN med ON med.run = fd.run
+       |)
+       |SELECT run, t, CAST(fd_c AS DOUBLE) / 100.0 AS fd,
+       |  CAST(spike AS BIGINT) AS spike,
+       |  CAST(MAX(spike) OVER (PARTITION BY run ORDER BY t
+       |    ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS censored
+       |FROM flagged
+       |ORDER BY run, t""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -184,5 +297,6 @@ object TimeSeries extends QueryModule {
     Q("q17_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q19_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
     Q("q52_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )
 }

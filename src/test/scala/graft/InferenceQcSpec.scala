@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-data specs for the q158-q161 family: seed-based functional
+  * connectivity, framewise-displacement scrubbing, the ANCOVA second
+  * level, and capped-vocabulary frozen-model scoring.
+  */
+class InferenceQcSpec extends SparkSpec {
+
+  // ---- q158 seed connectivity --------------------------------------------
+
+  private def plantedSeries(rows: Seq[(Int, Int, Int, Int, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("t", "x", "y", "z", "v")
+  }
+
+  test("q158: a voxel tracking the seed is r~+1, an inverted one r~-1, a flat one NULL") {
+    // seed box is [4,6]^3; plant one seed voxel with a wiggly series
+    val seed = (0 until 30).map(t => (t, 5, 5, 5, (100 + 37 * (t % 7)).toLong))
+    val pos = (0 until 30).map(t => (t, 0, 0, 0, 2L * (100 + 37 * (t % 7))))
+    val neg = (0 until 30).map(t => (t, 1, 0, 0, 1000L - (100 + 37 * (t % 7))))
+    val flat = (0 until 30).map(t => (t, 2, 0, 0, 55L))
+    val out = graft.queries.DesignImage
+      .seedConnectivityCore(plantedSeries(seed ++ pos ++ neg ++ flat))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    val (rPos, _) = out((0, 0, 0))
+    val (rNeg, _) = out((1, 0, 0))
+    val (rFlat, zFlat) = out((2, 0, 0))
+    assert(rPos.exists(_ > 0.999999), s"positive tracker r = $rPos")
+    assert(rNeg.exists(_ < -0.999999), s"inverted tracker r = $rNeg")
+    assert(rFlat.isEmpty && zFlat.isEmpty, "flat voxel must be NULL r/z")
+    // the seed voxel itself correlates perfectly with the seed sum
+    assert(out((5, 5, 5))._1.exists(_ > 0.999999))
+  }
+
+  test("q158: r matches a driver replay of the exact-moment formula") {
+    val nT = 30
+    val seedSeries = (0 until nT).map(t => (100 + 37 * (t % 7)).toLong)
+    val vSeries = (0 until nT).map(t => (50 + ((t * 13) % 29)).toLong)
+    val seed = (0 until nT).map(t => (t, 4, 4, 4, seedSeries(t)))
+    val vox = (0 until nT).map(t => (t, 7, 8, 9, vSeries(t)))
+    val out = graft.queries.DesignImage
+      .seedConnectivityCore(plantedSeries(seed ++ vox))
+      .filter(col("x") === 7).collect()
+    assert(out.length == 1)
+    val got = out.head.getDouble(4)
+    // identical op sequence to the shared expression strings
+    val sv = vSeries.sum.toDouble
+    val svv = vSeries.map(v => v * v).sum.toDouble
+    val ss = seedSeries.sum.toDouble
+    val sss = seedSeries.map(v => v * v).sum.toDouble
+    val svs = vSeries.zip(seedSeries).map { case (a, b) => a * b }.sum.toDouble
+    val num = nT * svs - sv * ss
+    val denv = nT * svv - sv * sv
+    val dens = nT * sss - ss * ss
+    val expected = math.rint(num / (math.sqrt(denv) * math.sqrt(dens)) * 1e6) / 1e6
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  // ---- q159 framewise displacement + scrubbing ---------------------------
+
+  private def plantedParams(rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("run", "t", "p_0", "p_1", "p_2", "p_3", "p_4", "p_5")
+  }
+
+  test("q159: a one-frame excursion spikes both crossings and censors [f-1, f+2]") {
+    // baseline wiggle FD=10 each frame; excursion at t=10 makes FD(10)
+    // and FD(11) large (the frame out and back)
+    val rows = (0L until 30L).map { t =>
+      val p0 = if (t == 10) 1000L else 10L * (t % 2)
+      (0L, t, p0, 0L, 0L, 0L, 0L, 0L)
+    }
+    val out = graft.queries.TimeSeries.fdScrubCore(plantedParams(rows))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    val spikes = out.filter(_._2 == 1).map(_._1).toSet
+    val censored = out.filter(_._3 == 1).map(_._1).toSet
+    assert(spikes == Set(10L, 11L), s"spikes = $spikes")
+    assert(censored == Set(9L, 10L, 11L, 12L, 13L), s"censored = $censored")
+  }
+
+  test("q159: rotation deltas carry the 50mm radius weight") {
+    // the SAME delta magnitude on a rotation param is 50x the FD of a
+    // translation: delta 20 on p_3 -> FD 1000 vs delta 20 on p_0 -> FD 20
+    val rows = (0L until 20L).map { t =>
+      val pr = if (t == 5) 20L else 0L
+      val pt = if (t == 15) 20L else 0L
+      (0L, t, pt, 0L, 0L, pr, 0L, 0L)
+    }
+    val out = graft.queries.TimeSeries.fdScrubCore(plantedParams(rows))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(5L) == 10.0, s"rotation FD = ${out(5L)}") // 50*20 cents = 10.00
+    assert(out(15L) == 0.2, s"translation FD = ${out(15L)}")
+  }
+
+  test("q159: partition-invariant") {
+    val rows = (0L until 4L).flatMap(run => (0L until 40L).map { t =>
+      (run, t, (t * 7 + run) % 23, (t * 3) % 11, 0L, (t * 5) % 13, 0L, 0L)
+    })
+    val base = graft.queries.TimeSeries.fdScrubCore(plantedParams(rows))
+      .collect().toSeq
+    val shuffled = graft.queries.TimeSeries
+      .fdScrubCore(plantedParams(scala.util.Random.shuffle(rows)).repartition(7))
+      .collect().toSeq
+    assert(base == shuffled)
+  }
+
+  // ---- q160 ANCOVA second level ------------------------------------------
+
+  private def plantedAncova(fl: Seq[(Long, Long, Long, Long)],
+      cov: Seq[(Long, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    graft.queries.Glm.ancovaCore(
+      fl.toDF("run", "g", "j", "b_fp"),
+      cov.toDF("run", "g", "cov_c"))
+  }
+
+  test("q160: an exactly-linear cohort recovers (intercept, group, slope); zero residual means NULL t") {
+    // b = 2.0 + 0.5*grp + 1.5*cov with cov_c = g megacents
+    val fl = (0 until 10).map { g =>
+      val b = 2.0 + 0.5 * (g % 2) + 1.5 * g
+      (0L, g.toLong, 0L, math.rint(b * 1e6).toLong)
+    }
+    val cov = (0 until 10).map(g => (0L, g.toLong, g * 1000000L))
+    val out = plantedAncova(fl, cov).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDouble(3) == 2.0, s"intercept ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.5, s"group_diff ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.5, s"cov_slope ${r.getDouble(5)}")
+    assert(r.isNullAt(6), "exact fit must yield NULL t (zero residual variance)")
+  }
+
+  test("q160: t matches a textbook normal-equations replay under noise") {
+    val bs = Seq(3.1, 2.7, 4.0, 3.3, 5.2, 4.8, 4.1, 5.5, 2.9, 4.6)
+    val covs = Seq(1.0, 2.0, 1.5, 3.0, 2.5, 0.5, 1.8, 2.2, 3.1, 0.9)
+    val fl = bs.zipWithIndex.map { case (b, g) =>
+      (0L, g.toLong, 0L, math.rint(b * 1e6).toLong)
+    }
+    val cov = covs.zipWithIndex.map { case (c, g) =>
+      (0L, g.toLong, math.rint(c * 1e6).toLong)
+    }
+    val r = plantedAncova(fl, cov).collect().head
+    // textbook OLS via LinAlg on X = [1, grp, cov]
+    val x = (0 until 10).map(g =>
+      Array(1.0, (g % 2).toDouble, covs(g))).toArray
+    val xtx = graft.glm.LinAlg.matmul(graft.glm.LinAlg.transpose(x), x)
+    val inv = graft.glm.LinAlg.inverse(xtx)
+    val xty = Array(bs.sum, bs.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).sum,
+      bs.zip(covs).map { case (a, b) => a * b }.sum)
+    val beta = (0 until 3).map(i =>
+      (0 until 3).map(j => inv(i)(j) * xty(j)).sum)
+    val rss = bs.zipWithIndex.map { case (b, g) =>
+      val f = beta(0) + beta(1) * (g % 2) + beta(2) * covs(g)
+      (b - f) * (b - f)
+    }.sum
+    val t = beta(1) / math.sqrt((rss / 7.0) * inv(1)(1))
+    assert(math.abs(r.getDouble(4) - beta(1)) < 1e-6,
+      s"group_diff ${r.getDouble(4)} vs ${beta(1)}")
+    assert(math.abs(r.getDouble(6) - t) < 1e-5,
+      s"t_group ${r.getDouble(6)} vs $t")
+  }
+
+  test("q160: a collinear covariate (constant) yields NULL everything") {
+    val fl = (0 until 10).map(g => (0L, g.toLong, 0L, (g * 1000000L)))
+    val cov = (0 until 10).map(g => (0L, g.toLong, 5000000L))
+    val r = plantedAncova(fl, cov).collect().head
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+      s"singular design must be all-NULL: $r")
+  }
+
+  // ---- q161 capped-model scoring -----------------------------------------
+
+  private def plantedDocs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("q161: a cap covering the vocabulary reproduces the exact model") {
+    val docs = plantedDocs(Seq(
+      (0L, "a a b c"), (2L, "a b b d"), (1L, "a b x"), (3L, "c d")))
+    val exact = graft.queries.Retrieval.cappedPplCore(docs, 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val capped = graft.queries.Retrieval.cappedPplCore(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(exact == capped, s"$exact vs $capped")
+    // hand replay for doc 1 = "a b x": model from docs 0,2 has
+    // total=8, cf(a)=3, cf(b)=3; x is OOV -> ln(1/8)
+    val lnp = Map("a" -> math.round(math.log(3.0 / 8) * 1e9),
+      "b" -> math.round(math.log(3.0 / 8) * 1e9))
+    val floor = math.round(math.log(1.0 / 8) * 1e9)
+    val sfp = lnp("a") + lnp("b") + floor
+    val want = math.rint(math.exp(-(sfp.toDouble / 1e9) / 3) * 1e6) / 1e6
+    assert(exact(1L) == want, s"${exact(1L)} vs $want")
+  }
+
+  test("q161: a binding cap only drifts scores toward the floor penalty") {
+    val docs = plantedDocs(Seq(
+      (0L, "a a a b b c d e"), (2L, "a b c c d e f"),
+      (1L, "a b c d e f"), (3L, "b c d")))
+    val exact = graft.queries.Retrieval.cappedPplCore(docs, 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val capped = graft.queries.Retrieval.cappedPplCore(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    for ((id, p) <- exact)
+      assert(capped(id) >= p - 1e-9,
+        s"doc $id: capped ${capped(id)} < exact $p — drift must be one-sided")
+    assert(exact.exists { case (id, p) => capped(id) > p },
+      "cap at V=2 must actually bind on this corpus")
+  }
+}
