@@ -731,6 +731,210 @@ object Glm extends QueryModule {
        |FROM d4
        |ORDER BY run, j""".stripMargin
 
+  // ---- q162: motion-censored first-level GLM -----------------------------
+  // Scrubbing APPLIED — the reason q159 exists: drop the censored frames
+  // and refit each run's first level on the surviving ones (FSL's
+  // "motion outliers as censoring" / AFNI -censor). The kept-frame set is
+  // DATA-DEPENDENT, so the literal-pinv shortcut is off the table; this
+  // is exactly q116's regime — XᵀX over the kept frames is a k(k+1)/2
+  // DECIMAL aggregate of the fixed-point design relation, Xᵀy one
+  // per-(run, g) aggregate, and the generated no-pivot Gauss–Jordan
+  // ([[gjStages]]) solves per (run, g) as projection arithmetic, shared
+  // string for string with the oracle.
+  //
+  // The censor flags ride the EXACT q159 kernel (TimeSeries.fdScrubCore —
+  // same FD formula, same 2.5×median rule, same f-1..f+2 augmentation)
+  // computed on the multi-run grid, so QC and refit agree by
+  // construction.
+  //
+  // Scale shape: two data-sized exchanges (the motion-param aggregate and
+  // the series aggregate — both partial-combine map-side to grid-bounded
+  // rows); the kept-frame relation is Runs·Nr-bounded and broadcast; XᵀX
+  // is Runs rows; the k³ elimination is per-(run, g) projection math. No
+  // global window, no driver linear algebra.
+
+  private val XfScale = 1000000L
+
+  /** Fixed-point per-run design rows (run, t, xf0..xf3) at 1e6 — exact
+    * integer moments without DECIMAL(38) overflow (1e9² products would
+    * need >int128 headroom across Nr terms in the oracle's HUGEINT). */
+  private def xFp162Of(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for (r <- 0 until Runs; t <- 0 until Nr) yield {
+      val x = runDesign(r)
+      (r.toLong, t.toLong,
+        math.rint(x(t)(0) * XfScale).toLong,
+        math.rint(x(t)(1) * XfScale).toLong,
+        math.rint(x(t)(2) * XfScale).toLong,
+        math.rint(x(t)(3) * XfScale).toLong)
+    }).toDF("run", "t", "xf0", "xf1", "xf2", "xf3")
+  }
+
+  /** Censored refit from a censor relation (run, t, censored) and the
+    * (run, g, t, y_dec) series — split out so specs can plant censor
+    * patterns. */
+  private[graft] def censoredGlmCore(s: SparkSession, censor: DataFrame,
+      series: DataFrame): DataFrame = {
+    val k = K157
+    // bounded at Runs·Nr rows but lineage carries the data-sized motion
+    // aggregate, and it feeds both the XtX and Xty branches — pin once
+    val keep = censor.filter(col("censored") === 0)
+      .select("run", "t").localCheckpoint()
+    val xf = xFp162Of(s)
+    val kept = xf.join(broadcast(keep), Seq("run", "t"))
+    val xtxAggs = (for (i <- 0 until k; j <- i until k) yield
+      expr(s"SUM(CAST(xf$i AS DECIMAL(38,0)) * xf$j)").as(s"sxx_${i}_$j")) :+
+      count(lit(1)).as("n_kept")
+    val xtx = kept.groupBy("run").agg(xtxAggs.head, xtxAggs.tail: _*)
+    val sxyAggs = (0 until k).map(i =>
+      expr(s"SUM(CAST(xf$i AS DECIMAL(38,0)) * y)").as(s"sxy_$i"))
+    val xty = series.selectExpr("run", "t", "g", "CAST(y_dec * 100 AS BIGINT) AS y")
+      .join(broadcast(keep), Seq("run", "t"))
+      .join(broadcast(xf), Seq("run", "t"))
+      .groupBy("run", "g").agg(sxyAggs.head, sxyAggs.tail: _*)
+    val dExprs = (for (i <- 0 until k; j <- 0 until k) yield {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s"CAST(sxx_${a}_$b AS DOUBLE) / 1e12 AS d_${i}_$j"
+    }) ++ (0 until k).map(i => s"CAST(sxy_$i AS DOUBLE) / 1e8 AS db_$i")
+    val init = xty.join(broadcast(xtx), Seq("run"))
+      .selectExpr(Seq("run", "g", "n_kept") ++ dExprs: _*)
+    val solved = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+      .foldLeft(init)((df, st) =>
+        df.selectExpr(Seq("run", "g", "n_kept") ++ st: _*))
+    solved.selectExpr(Seq("run", "g", "CAST(n_kept AS BIGINT) AS n_kept") ++
+      (0 until k).map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i"): _*)
+      .orderBy("run", "g")
+  }
+
+  /** The q159 motion params on the multi-run grid → censor flags. */
+  private def multiRunCensor(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until 6).map(j =>
+      sum(when(col("j") === j, col("c")).otherwise(0L)).as(s"p_$j"))
+    val raw = events(s, d)
+      .filter(expr(s"ts div 1000 - $baseUs >= 0"))
+      .select(expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+        (col("event_id") % 6).as("j"),
+        expr("cast(floor(value * 100 + 0.5D) as bigint)").as("c"))
+      .filter(col("th") < Runs * Nr)
+      .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
+        col("j"), col("c"))
+      .groupBy("run", "t").agg(aggs.head, aggs.tail: _*)
+    val grid = s.range(Runs).select(col("id").as("run"))
+      .crossJoin(s.range(Nr).select(col("id").as("t")))
+    TimeSeries.fdScrubCore(grid.join(raw, Seq("run", "t"), "left")
+      .na.fill(0L, (0 until 6).map(j => s"p_$j")))
+      .select("run", "t", "censored")
+  }
+
+  def censoredGlm(s: SparkSession, d: String): DataFrame =
+    censoredGlmCore(s, multiRunCensor(s, d), multiRunSeries(s, d))
+
+  private def censoredGlmSql: String = {
+    val k = K157
+    val xfVals = (for (r <- 0 until Runs; t <- 0 until Nr) yield {
+      val x = runDesign(r)
+      s"($r, $t, ${(0 until k).map(j => math.rint(x(t)(j) * XfScale).toLong).mkString(", ")})"
+    }).mkString(", ")
+    val pSel = (0 until 6).map(j =>
+      s"SUM(CASE WHEN j = $j THEN c ELSE 0 END) AS p_$j").mkString(",\n|      ")
+    val dSel = (0 until 6).map(j =>
+      s"COALESCE(p_$j - LAG(p_$j) OVER (PARTITION BY run ORDER BY t), 0) AS d_$j")
+      .mkString(",\n|      ")
+    val xtxSums = (for (i <- 0 until k; j <- i until k) yield
+      s"SUM(CAST(xf$i AS HUGEINT) * xf$j) AS sxx_${i}_$j").mkString(",\n|    ")
+    val xtySums = (0 until k)
+      .map(i => s"SUM(CAST(xf$i AS HUGEINT) * y) AS sxy_$i").mkString(",\n|    ")
+    val initCols = ((for (i <- 0 until k; j <- 0 until k) yield {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s"CAST(sxx_${a}_$b AS DOUBLE) / 1e12 AS d_${i}_$j"
+    }) ++ (0 until k).map(i =>
+      s"CAST(sxy_$i AS DOUBLE) / 1e8 AS db_$i")).mkString(",\n|    ")
+    val stages = gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, p) =>
+      val prev = if (p == 0) "init" else s"st${p - 1}"
+      s"st$p AS (\n  SELECT run, g, n_kept, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    val out = (0 until k)
+      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")
+    s"""WITH xf(run, t, ${(0 until k).map(j => s"xf$j").mkString(", ")}) AS (
+       |  VALUES $xfVals
+       |),
+       |mraw AS (
+       |  SELECT ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
+       |    event_id % 6 AS j,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE epoch_us(ts) - $baseUs >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
+       |), magg AS (
+       |  SELECT run, t,
+       |      $pSel
+       |  FROM mraw GROUP BY run, t
+       |), mgrid AS (
+       |  SELECT rs.r AS run, gs.g AS t
+       |  FROM generate_series(0, ${Runs - 1}) AS rs(r),
+       |       generate_series(0, ${Nr - 1}) AS gs(g)
+       |), mfilled AS (
+       |  SELECT mgrid.run, mgrid.t,
+       |    ${(0 until 6).map(j => s"COALESCE(p_$j, 0) AS p_$j").mkString(", ")}
+       |  FROM mgrid LEFT JOIN magg ON magg.run = mgrid.run AND magg.t = mgrid.t
+       |), mdiffs AS (
+       |  SELECT run, t,
+       |      $dSel
+       |  FROM mfilled
+       |), mfd AS (
+       |  SELECT run, t, ${TimeSeries.fdStr} AS fd_c FROM mdiffs
+       |), mmed AS (
+       |  SELECT run, quantile_cont(fd_c, 0.5) AS med FROM mfd GROUP BY run
+       |), mflag AS (
+       |  SELECT mfd.run, mfd.t, fd_c,
+       |    CASE WHEN ${TimeSeries.fdSpikeStr} THEN 1 ELSE 0 END AS spike
+       |  FROM mfd JOIN mmed ON mmed.run = mfd.run
+       |), keep AS (
+       |  SELECT run, t FROM (
+       |    SELECT run, t,
+       |      MAX(spike) OVER (PARTITION BY run ORDER BY t
+       |        ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS censored
+       |    FROM mflag
+       |  ) WHERE censored = 0
+       |),
+       |xtx AS (
+       |  SELECT xf.run,
+       |    $xtxSums,
+       |    COUNT(*) AS n_kept
+       |  FROM xf JOIN keep ON keep.run = xf.run AND keep.t = xf.t
+       |  GROUP BY xf.run
+       |),
+       |ser AS (
+       |  SELECT user_id % 10 AS g,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+       |  FROM events
+       |  WHERE (epoch_us(ts) - $baseUs) >= 0
+       |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
+       |  GROUP BY 1, 2, 3
+       |),
+       |xty AS (
+       |  SELECT ser.run, ser.g,
+       |    $xtySums
+       |  FROM ser
+       |  JOIN keep ON keep.run = ser.run AND keep.t = ser.t
+       |  JOIN xf ON xf.run = ser.run AND xf.t = ser.t
+       |  GROUP BY ser.run, ser.g
+       |),
+       |init AS (
+       |  SELECT xty.run, g, n_kept,
+       |    $initCols
+       |  FROM xty JOIN xtx ON xtx.run = xty.run
+       |),
+       |$stageCtes
+       |SELECT run, g, CAST(n_kept AS BIGINT) AS n_kept, $out
+       |FROM st${k - 1}
+       |ORDER BY run, g""".stripMargin
+  }
+
   // ---- q141: contrast inference on the fixed-design GLM ------------------
   // The COPE step the reference ecosystem runs after every first-level
   // fit (FSL contrast estimates / SPM con images): a single-row contrast
@@ -1798,5 +2002,6 @@ object Glm extends QueryModule {
       Some(inferenceChainSqlWhere(" WHERE g >= 2"))),
     Q("q157_ar1_chain", ar1Chain, Some(ar1ChainSql)),
     Q("q160_ancova_glm", ancovaGlm, Some(ancovaGlmSql)),
+    Q("q162_censored_glm", censoredGlm, Some(censoredGlmSql)),
   )
 }

@@ -203,9 +203,9 @@ object TimeSeries extends QueryModule {
   private val fdBaseUs = 1704067200000000L
   private val fdTrUs = 3600000000L
 
-  private val fdStr =
+  private[graft] val fdStr =
     "abs(d_0) + abs(d_1) + abs(d_2) + 50 * (abs(d_3) + abs(d_4) + abs(d_5))"
-  private val fdSpikeStr = "CAST(fd_c AS DOUBLE) > 2.5 * med"
+  private[graft] val fdSpikeStr = "CAST(fd_c AS DOUBLE) > 2.5 * med"
 
   def fdScrub(s: SparkSession, d: String): DataFrame = {
     val pCols = (0 until 6).map(j => s"p_$j")

@@ -175,6 +175,53 @@ class InferenceQcSpec extends SparkSpec {
       s"singular design must be all-NULL: $r")
   }
 
+  // ---- q162 censored refit -----------------------------------------------
+
+  test("q162: censored frames are truly excluded — garbage there cannot move the betas") {
+    val s = spark
+    import s.implicits._
+    val G = graft.queries.Glm
+    val k = 4
+    val nr = 168
+    val planted = Array(2.0, -1.5, 0.75, 3.25)
+    // censor a block in each run; put absurd values on censored frames
+    val censorSet = (40 to 55).toSet
+    val censor = (0 until 2).flatMap(r => (0 until nr).map(t =>
+      (r.toLong, t.toLong, if (censorSet(t)) 1L else 0L)))
+      .toDF("run", "t", "censored")
+    val series = for {
+      r <- 0 until 2; g <- 0 until 3; t <- 0 until nr
+    } yield {
+      val x = G.runDesign(r)(t)
+      val clean = (0 until k).map(j => x(j) * planted(j)).sum * (g + 1) * 100
+      val y = if (censorSet(t)) 99999.99 else math.rint(clean * 100) / 100
+      (r.toLong, g.toLong, t.toLong,
+        BigDecimal(y).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val seriesDf = series.toDF("run", "g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    val out = G.censoredGlmCore(s, censor, seriesDf).collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      val g = r.getLong(1)
+      assert(r.getLong(2) == (nr - censorSet.size).toLong)
+      for (j <- 0 until k) {
+        val got = r.getDouble(3 + j)
+        val want = planted(j) * (g + 1) * 100
+        // y was cent-quantized, so recovery is near-exact, not exact
+        assert(math.abs(got - want) < 0.01,
+          s"run=${r.getLong(0)} g=$g beta_$j: $got vs $want")
+      }
+    }
+    // the control: an uncensored fit over the same garbage-bearing series
+    // is pulled far off the planted betas
+    val noCensor = censor.withColumn("censored", lit(0L))
+    val dirty = G.censoredGlmCore(s, noCensor, seriesDf).collect()
+    assert(dirty.exists(r => math.abs(r.getDouble(3) - planted(0) *
+      (r.getLong(1) + 1) * 100) > 1.0),
+      "garbage frames should have wrecked the uncensored fit")
+  }
+
   // ---- q161 capped-model scoring -----------------------------------------
 
   private def plantedDocs(rows: Seq[(Long, String)]) = {

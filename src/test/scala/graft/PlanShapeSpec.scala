@@ -348,6 +348,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q159/q161: QC windows stay run-partitioned; the model cap is a TakeOrdered, not a sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // every q159 window (param deltas, censor augmentation) partitions by
+    // run — motion QC must never funnel the corpus through one task
+    val lp159 = SparkEntry.queries("q159_fd_scrub")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val unpart = lp159.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(unpart.isEmpty,
+      s"q159 has unpartitioned windows:\n${unpart.map(_.treeString).mkString("\n")}")
+    // q161's top-V model freeze must plan as TakeOrdered (per-partition
+    // top-V, merged) — a global Sort of the vocabulary is the q151 class
+    val pp161 = SparkEntry.queries("q161_capped_ppl")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(pp161.contains("TakeOrderedAndProject"),
+      s"q161 cap lost its TakeOrdered shape:\n${pp161.take(1000)}")
+  }
+
   test("q133: epoch shuffle scan prunes to doc_id alone") {
     val p = plan("q133_epoch_shuffle")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
