@@ -561,6 +561,153 @@ object DesignImage extends QueryModule {
        |FROM rr
        |ORDER BY x, y, z""".stripMargin
 
+  // ---- q163: regional homogeneity (ReHo — Kendall's W over the stencil) --
+  // The third classic resting-state map next to ALFF (q146) and seed FC
+  // (q158): per voxel, Kendall's coefficient of concordance W of the
+  // time-series RANKS across its 27-neighborhood (Zang et al. 2004),
+  // tie-corrected — W = 12·S / (m²(n³−n) − m·ΣTᵤ) with S the variance
+  // sum of the per-TR rank totals, m the in-grid neighborhood size, and
+  // Tᵤ = Σ(tₑ³−tₑ) over each neighbor's tie groups.
+  //
+  // Determinism WITHOUT fixed-point machinery: tie-averaged ranks are
+  // exact halves (RANK() + (n_eq−1)/2), per-TR rank totals are sums of
+  // ≤27 halves, and S sums squares bounded by (27·30·31)² ≪ 2⁵³ — every
+  // intermediate is exactly representable, so double addition is
+  // associative here and partition order cannot change a bit. Both
+  // engines share the final W expression string.
+  //
+  // Scale shape: ONE data-sized aggregate (lineitem → the voxel series);
+  // the dense grid, ranks, tie terms, and the 27× stencil expansion are
+  // all VOLUME-bounded (L³·NT rows) — ReHo's cost is independent of the
+  // input size past the first exchange, exactly like the q37/q51 stencil
+  // family. Rank windows partition by voxel; no global window.
+
+  private val rehoDenStr =
+    s"(CAST(m AS DOUBLE) * m * ${NT * NT * NT - NT} - m * sum_tu)"
+  // S = Σ(Rₜ − m(n+1)/2)² in moment form (Σrt², Σrt are exact sums of
+  // exact quarters/halves, so the expansion is bit-stable)
+  private val rehoSVarStr =
+    s"(srt2 - 2.0 * (m * ${(NT + 1) / 2.0}) * srt " +
+      s"+ $NT * (m * ${(NT + 1) / 2.0}) * (m * ${(NT + 1) / 2.0}))"
+  private val rehoWStr =
+    s"CASE WHEN $rehoDenStr > 0 THEN 12.0 * $rehoSVarStr / $rehoDenStr END"
+
+  def reho(s: SparkSession, d: String): DataFrame =
+    rehoCore(s, ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q163 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can plant neighborhoods. */
+  private[graft] def rehoCore(s: SparkSession, sparse: DataFrame): DataFrame = {
+    import s.implicits._
+    // dense L³×NT grid: absent cells are zeros (the meanImage dense-array
+    // rule) — VOLUME-bounded, pinned once for its two consumers
+    val grid = s.range(L).select(col("id").as("x"))
+      .crossJoin(s.range(L).select(col("id").as("y")))
+      .crossJoin(s.range(L).select(col("id").as("z")))
+      .crossJoin(s.range(NT).select(col("id").as("t")))
+    val dense = grid
+      .join(sparse.selectExpr("CAST(x AS BIGINT) AS x", "CAST(y AS BIGINT) AS y",
+        "CAST(z AS BIGINT) AS z", "CAST(t AS BIGINT) AS t", "v"),
+        Seq("x", "y", "z", "t"), "left")
+      .na.fill(0L, Seq("v"))
+      .localCheckpoint()
+    val ranks = dense.selectExpr("x", "y", "z", "t",
+      "RANK() OVER (PARTITION BY x, y, z ORDER BY v) " +
+        "+ (COUNT(*) OVER (PARTITION BY x, y, z, v) - 1) / 2.0 AS r")
+    val ties = dense.groupBy("x", "y", "z", "v").agg(count(lit(1)).as("n_eq"))
+      .groupBy("x", "y", "z")
+      .agg(sum(expr("CAST(n_eq AS DOUBLE) * n_eq * n_eq - n_eq")).as("tu"))
+    val offsets = (for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
+      yield (dx, dy, dz)).toDF("dx", "dy", "dz")
+    def stencil(df: DataFrame) = df.crossJoin(broadcast(offsets))
+      .selectExpr(Seq("x + dx AS x", "y + dy AS y", "z + dz AS z") ++
+        df.columns.filter(c => !Seq("x", "y", "z").contains(c)): _*)
+      .filter(col("x") >= 0 && col("x") < L && col("y") >= 0 && col("y") < L &&
+        col("z") >= 0 && col("z") < L)
+    val rt = stencil(ranks)
+      .groupBy("x", "y", "z", "t")
+      .agg(sum("r").as("rt"), count(lit(1)).as("m"))
+    val sVar = rt.groupBy("x", "y", "z")
+      .agg(sum(expr("rt * rt")).as("srt2"), sum("rt").as("srt"),
+        max("m").as("m"))
+    val tuSum = stencil(ties).groupBy("x", "y", "z")
+      .agg(sum("tu").as("sum_tu"))
+    sVar.join(tuSum, Seq("x", "y", "z"))
+      .selectExpr("x", "y", "z", "CAST(m AS BIGINT) AS m",
+        s"round($rehoWStr, 6) AS w")
+      .orderBy("x", "y", "z")
+  }
+
+  private val rehoSql =
+    s"""WITH series AS (
+       |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1, 2, 3, 4
+       |),
+       |grid AS (
+       |  SELECT xs.x, ys.y, zs.z, ts.t
+       |  FROM generate_series(0, ${L - 1}) AS xs(x),
+       |       generate_series(0, ${L - 1}) AS ys(y),
+       |       generate_series(0, ${L - 1}) AS zs(z),
+       |       generate_series(0, ${NT - 1}) AS ts(t)
+       |),
+       |dense AS (
+       |  SELECT grid.x, grid.y, grid.z, grid.t, COALESCE(series.v, 0) AS v
+       |  FROM grid LEFT JOIN series ON series.x = grid.x AND series.y = grid.y
+       |    AND series.z = grid.z AND series.t = grid.t
+       |),
+       |ranks AS (
+       |  SELECT x, y, z, t,
+       |    RANK() OVER (PARTITION BY x, y, z ORDER BY v)
+       |      + (COUNT(*) OVER (PARTITION BY x, y, z, v) - 1) / 2.0 AS r
+       |  FROM dense
+       |),
+       |ties AS (
+       |  SELECT x, y, z, SUM(CAST(n_eq AS DOUBLE) * n_eq * n_eq - n_eq) AS tu
+       |  FROM (SELECT x, y, z, v, COUNT(*) AS n_eq FROM dense GROUP BY 1, 2, 3, 4)
+       |  GROUP BY x, y, z
+       |),
+       |offsets AS (
+       |  SELECT dxs.dx, dys.dy, dzs.dz
+       |  FROM generate_series(-1, 1) AS dxs(dx),
+       |       generate_series(-1, 1) AS dys(dy),
+       |       generate_series(-1, 1) AS dzs(dz)
+       |),
+       |rt AS (
+       |  SELECT ranks.x + dx AS x, ranks.y + dy AS y, ranks.z + dz AS z, t,
+       |    SUM(r) AS rt, COUNT(*) AS m
+       |  FROM ranks CROSS JOIN offsets
+       |  WHERE ranks.x + dx BETWEEN 0 AND ${L - 1}
+       |    AND ranks.y + dy BETWEEN 0 AND ${L - 1}
+       |    AND ranks.z + dz BETWEEN 0 AND ${L - 1}
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |svar AS (
+       |  SELECT x, y, z,
+       |    SUM(rt * rt) AS srt2, SUM(rt) AS srt,
+       |    MAX(m) AS m
+       |  FROM rt GROUP BY x, y, z
+       |),
+       |tusum AS (
+       |  SELECT ties.x + dx AS x, ties.y + dy AS y, ties.z + dz AS z,
+       |    SUM(tu) AS sum_tu
+       |  FROM ties CROSS JOIN offsets
+       |  WHERE ties.x + dx BETWEEN 0 AND ${L - 1}
+       |    AND ties.y + dy BETWEEN 0 AND ${L - 1}
+       |    AND ties.z + dz BETWEEN 0 AND ${L - 1}
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT svar.x, svar.y, svar.z, CAST(m AS BIGINT) AS m,
+       |  round($rehoWStr, 6) AS w
+       |FROM svar JOIN tusum ON tusum.x = svar.x AND tusum.y = svar.y
+       |  AND tusum.z = svar.z
+       |ORDER BY svar.x, svar.y, svar.z""".stripMargin
+
   // ---- q41: catalog entity extraction (BIDS-path analog) -----------------
 
   def entityCatalog(s: SparkSession, d: String): DataFrame =
@@ -714,6 +861,7 @@ object DesignImage extends QueryModule {
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q158_seed_connectivity", seedConnectivity, Some(seedConnectivitySql)),
+    Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),
   )

@@ -222,6 +222,41 @@ class InferenceQcSpec extends SparkSpec {
       "garbage frames should have wrecked the uncensored fit")
   }
 
+  // ---- q163 ReHo ----------------------------------------------------------
+
+  test("q163: a perfectly concordant neighborhood has W = 1; rank-based W ignores monotone rescaling") {
+    val s = spark
+    import s.implicits._
+    // all 27 voxels of the box around (8,8,8) follow the same strictly
+    // increasing series; everything else is the all-zero background
+    def planted(f: Long => Long) = (for {
+      x <- 7 to 9; y <- 7 to 9; z <- 7 to 9; t <- 0 until 30
+    } yield (t, x, y, z, f(t.toLong))).toDF("t", "x", "y", "z", "v")
+    val out = graft.queries.DesignImage.rehoCore(s, planted(t => t + 1))
+      .filter(col("x") === 8 && col("y") === 8 && col("z") === 8).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 27L)
+    assert(out.head.getDouble(4) == 1.0, s"W = ${out.head.getDouble(4)}")
+    // monotone value transform leaves ranks — and hence W — untouched
+    val sq = graft.queries.DesignImage.rehoCore(s, planted(t => (t + 1) * (t + 1)))
+      .filter(col("x") === 8 && col("y") === 8 && col("z") === 8).collect()
+    assert(sq.head.getDouble(4) == 1.0)
+  }
+
+  test("q163: an all-constant neighborhood is NULL (undefined concordance)") {
+    val s = spark
+    import s.implicits._
+    // one non-constant voxel far from the corner keeps the relation
+    // non-degenerate; the corner neighborhood is pure background zeros
+    val probe = (0 until 30).map(t => (t, 12, 12, 12, (t + 1).toLong))
+    val out = graft.queries.DesignImage
+      .rehoCore(s, probe.toDF("t", "x", "y", "z", "v"))
+      .filter(col("x") === 0 && col("y") === 0 && col("z") === 0).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 8L) // corner: 2x2x2 in-grid neighborhood
+    assert(out.head.isNullAt(4), "all-tied neighborhood must be NULL W")
+  }
+
   // ---- q161 capped-model scoring -----------------------------------------
 
   private def plantedDocs(rows: Seq[(Long, String)]) = {
