@@ -283,6 +283,25 @@ class InferenceQcSpec extends SparkSpec {
     assert(exact(1L) == want, s"${exact(1L)} vs $want")
   }
 
+  test("q161: the relational form equals the streaming serving path (capped model + OOV floor)") {
+    val docs = plantedDocs(Seq(
+      (0L, "a a a b b c d"), (2L, "a b c c e f"),
+      (1L, "a b c q"), (3L, "b c d e f g")))
+    for (v <- Seq(3, 100)) {
+      val relational = graft.queries.Retrieval.cappedPplCore(docs, v)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val model = graft.streaming.StreamOps
+        .unigramModelCapped(docs.filter(col("doc_id") % 2 === 0), v)
+      val total = docs.filter(col("doc_id") % 2 === 0)
+        .select(explode(split(col("text"), " "))).count()
+      val floor = math.round(math.log(1.0 / total) * 1e9)
+      val served = graft.streaming.StreamOps
+        .streamingQualityScore(docs.filter(col("doc_id") % 2 =!= 0), model, floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(relational == served, s"V=$v: $relational vs $served")
+    }
+  }
+
   test("q161: a binding cap only drifts scores toward the floor penalty") {
     val docs = plantedDocs(Seq(
       (0L, "a a a b b c d e"), (2L, "a b c c d e f"),
