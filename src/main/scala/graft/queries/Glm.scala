@@ -831,6 +831,17 @@ object Glm extends QueryModule {
 
   private def censoredGlmSql: String = {
     val k = K157
+    s"""WITH $censoredGlmCtes
+       |SELECT run, g, CAST(n_kept AS BIGINT) AS n_kept, ${(0 until k)
+      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")}
+       |FROM st${k - 1}
+       |ORDER BY run, g""".stripMargin
+  }
+
+  /** The q162 oracle body through the solved st{k-1} relation — shared
+    * with q164's group tail. */
+  private def censoredGlmCtes: String = {
+    val k = K157
     val xfVals = (for (r <- 0 until Runs; t <- 0 until Nr) yield {
       val x = runDesign(r)
       s"($r, $t, ${(0 until k).map(j => math.rint(x(t)(j) * XfScale).toLong).mkString(", ")})"
@@ -856,7 +867,7 @@ object Glm extends QueryModule {
     }.mkString(",\n")
     val out = (0 until k)
       .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")
-    s"""WITH xf(run, t, ${(0 until k).map(j => s"xf$j").mkString(", ")}) AS (
+    s"""xf(run, t, ${(0 until k).map(j => s"xf$j").mkString(", ")}) AS (
        |  VALUES $xfVals
        |),
        |mraw AS (
@@ -929,10 +940,51 @@ object Glm extends QueryModule {
        |    $initCols
        |  FROM xty JOIN xtx ON xtx.run = xty.run
        |),
-       |$stageCtes
-       |SELECT run, g, CAST(n_kept AS BIGINT) AS n_kept, $out
-       |FROM st${k - 1}
-       |ORDER BY run, g""".stripMargin
+       |$stageCtes""".stripMargin
+  }
+
+  // ---- q164: QC-aware group analysis (censored first level → group t) ----
+  // The composition the q162 scrubbing exists FOR: motion-censored
+  // per-subject betas feed the one-sample second level (q140's tail) —
+  // the full "scrub, refit, group-infer" chain as ONE hash-checked
+  // relation. Betas re-enter the second level through the SAME 1e6
+  // fixed-point integerization q140 applies to its first level, so the
+  // tail is literally [[secondLevel]]; the oracle stacks the solved
+  // Gauss–Jordan relation with a 4-way UNION and replays the q140
+  // aggregate strings. Bounded work over the q162 relation — no new
+  // exchange beyond the (run, j) second-level aggregate.
+
+  def censoredGroupGlm(s: SparkSession, d: String): DataFrame = {
+    val k = K157
+    val fl = censoredGlm(s, d).selectExpr("run",
+      s"stack($k, ${(0 until k).map(i => s"${i}L, beta_$i").mkString(", ")}) AS (j, beta)")
+      .selectExpr("run", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
+    secondLevel(fl)
+  }
+
+  private def censoredGroupGlmSql: String = {
+    val k = K157
+    val arms = (0 until k).map(i =>
+      s"SELECT run, CAST($i AS BIGINT) AS j, " +
+        s"CAST(round(round(g${k - 1}_${i}_$k, 6) * 1e6, 0) AS BIGINT) AS b_fp " +
+        s"FROM st${k - 1}").mkString("\n  UNION ALL\n  ")
+    s"""WITH $censoredGlmCtes,
+       |fl AS (
+       |  $arms
+       |),
+       |agg AS (
+       |  SELECT run, j, COUNT(*) AS n, SUM(b_fp) AS s1,
+       |    SUM(CAST(b_fp AS HUGEINT) * b_fp) AS s2
+       |  FROM fl GROUP BY run, j
+       |),
+       |mv AS (
+       |  SELECT run, j, n, $glMStr AS m, $glVStr AS v FROM agg
+       |)
+       |SELECT run, j, CAST(n AS BIGINT) AS n,
+       |  round(m, 6) AS mean_beta,
+       |  round($glTStr, 6) AS t_group
+       |FROM mv
+       |ORDER BY run, j""".stripMargin
   }
 
   // ---- q141: contrast inference on the fixed-design GLM ------------------
@@ -2003,5 +2055,6 @@ object Glm extends QueryModule {
     Q("q157_ar1_chain", ar1Chain, Some(ar1ChainSql)),
     Q("q160_ancova_glm", ancovaGlm, Some(ancovaGlmSql)),
     Q("q162_censored_glm", censoredGlm, Some(censoredGlmSql)),
+    Q("q164_censored_group_glm", censoredGroupGlm, Some(censoredGroupGlmSql)),
   )
 }

@@ -257,6 +257,50 @@ class InferenceQcSpec extends SparkSpec {
     assert(out.head.isNullAt(4), "all-tied neighborhood must be NULL W")
   }
 
+  // ---- q164 QC-aware group chain -----------------------------------------
+
+  test("q164: garbage on censored frames cannot move the group-level statistics") {
+    val s = spark
+    import s.implicits._
+    val G = graft.queries.Glm
+    val k = 4
+    val nr = 168
+    val planted = Array(2.0, -1.5, 0.75, 3.25)
+    val censorSet = (40 to 55).toSet
+    def censor(active: Boolean) = (0 until 2).flatMap(r => (0 until nr).map(t =>
+      (r.toLong, t.toLong, if (active && censorSet(t)) 1L else 0L)))
+      .toDF("run", "t", "censored")
+    def series(garbage: Boolean) = (for {
+      r <- 0 until 2; g <- 0 until 4; t <- 0 until nr
+    } yield {
+      val x = G.runDesign(r)(t)
+      val clean = (0 until k).map(j => x(j) * planted(j)).sum * (g + 1) * 100
+      val y = if (garbage && censorSet(t)) 99999.99
+        else math.rint(clean * 100) / 100
+      (r.toLong, g.toLong, t.toLong,
+        BigDecimal(y).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }).toDF("run", "g", "t", "y_dec")
+      .withColumn("y_dec", col("y_dec").cast("decimal(18,2)"))
+    def chain(censorDf: org.apache.spark.sql.DataFrame,
+        seriesDf: org.apache.spark.sql.DataFrame) =
+      G.censoredGlmCore(s, censorDf, seriesDf)
+        .selectExpr("run",
+          s"stack($k, ${(0 until k).map(i => s"${i}L, beta_$i").mkString(", ")}) AS (j, beta)")
+        .selectExpr("run", "j", "CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp")
+    val scrubbed = G.secondLevel(chain(censor(active = true), series(garbage = true)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    val clean = G.secondLevel(chain(censor(active = false), series(garbage = false)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(scrubbed.keySet == clean.keySet)
+    for ((key, (mGarbage, _)) <- scrubbed) {
+      val (mClean, _) = clean(key)
+      assert(math.abs(mGarbage - mClean) < math.max(0.01, 0.001 * math.abs(mClean)),
+        s"$key: scrubbed mean_beta $mGarbage strayed from clean $mClean")
+    }
+  }
+
   // ---- q161 capped-model scoring -----------------------------------------
 
   private def plantedDocs(rows: Seq[(Long, String)]) = {
