@@ -806,19 +806,31 @@ object Glm extends QueryModule {
       .orderBy("run", "g")
   }
 
-  /** The q159 motion params on the multi-run grid → censor flags. */
-  private def multiRunCensor(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until 6).map(j =>
-      sum(when(col("j") === j, col("c")).otherwise(0L)).as(s"p_$j"))
-    val raw = events(s, d)
+  /** ONE data-sized pass feeding BOTH q162 branches: the (run, g, t, j)
+    * cents aggregate, from which the motion params (sum over g) and the
+    * series (sum over j) are bounded re-aggregations. events.value is
+    * exactly 2-decimal, so floor(v·100+0.5) cents summed per cell equals
+    * the DECIMAL(18,2) sum ×100 — the series derived here is bit-equal
+    * to [[multiRunSeries]]'s cents (the oracle mirrors the same
+    * restructuring). Bounded at Runs·Nr·Subjects·6 rows; pinned once. */
+  private def multiRunCombined(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .filter(expr(s"ts div 1000 - $baseUs >= 0"))
-      .select(expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
+      .select((col("user_id") % 10).as("g"),
+        expr(s"(ts div 1000 - $baseUs) div $hourUs").as("th"),
         (col("event_id") % 6).as("j"),
         expr("cast(floor(value * 100 + 0.5D) as bigint)").as("c"))
       .filter(col("th") < Runs * Nr)
       .select(expr(s"th div $Nr").as("run"), expr(s"th % $Nr").as("t"),
-        col("j"), col("c"))
-      .groupBy("run", "t").agg(aggs.head, aggs.tail: _*)
+        col("g"), col("j"), col("c"))
+      .groupBy("run", "g", "t", "j").agg(sum("c").as("c"))
+      .localCheckpoint()
+
+  /** The q159 motion params on the multi-run grid → censor flags. */
+  private def multiRunCensor(s: SparkSession, combined: DataFrame): DataFrame = {
+    val aggs = (0 until 6).map(j =>
+      sum(when(col("j") === j, col("c")).otherwise(0L)).as(s"p_$j"))
+    val raw = combined.groupBy("run", "t").agg(aggs.head, aggs.tail: _*)
     val grid = s.range(Runs).select(col("id").as("run"))
       .crossJoin(s.range(Nr).select(col("id").as("t")))
     TimeSeries.fdScrubCore(grid.join(raw, Seq("run", "t"), "left")
@@ -826,8 +838,13 @@ object Glm extends QueryModule {
       .select("run", "t", "censored")
   }
 
-  def censoredGlm(s: SparkSession, d: String): DataFrame =
-    censoredGlmCore(s, multiRunCensor(s, d), multiRunSeries(s, d))
+  def censoredGlm(s: SparkSession, d: String): DataFrame = {
+    val combined = multiRunCombined(s, d)
+    val series = combined.groupBy("run", "g", "t")
+      .agg(expr("CAST(CAST(SUM(c) AS DECIMAL(18,2)) / 100 AS DECIMAL(18,2))")
+        .as("y_dec"))
+    censoredGlmCore(s, multiRunCensor(s, combined), series)
+  }
 
   private def censoredGlmSql: String = {
     val k = K157
@@ -870,18 +887,20 @@ object Glm extends QueryModule {
     s"""xf(run, t, ${(0 until k).map(j => s"xf$j").mkString(", ")}) AS (
        |  VALUES $xfVals
        |),
-       |mraw AS (
-       |  SELECT ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
+       |comb AS (
+       |  SELECT user_id % 10 AS g,
+       |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
        |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
        |    event_id % 6 AS j,
-       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS c
        |  FROM events
        |  WHERE epoch_us(ts) - $baseUs >= 0
        |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
+       |  GROUP BY 1, 2, 3, 4
        |), magg AS (
        |  SELECT run, t,
        |      $pSel
-       |  FROM mraw GROUP BY run, t
+       |  FROM comb GROUP BY run, t
        |), mgrid AS (
        |  SELECT rs.r AS run, gs.g AS t
        |  FROM generate_series(0, ${Runs - 1}) AS rs(r),
@@ -918,14 +937,8 @@ object Glm extends QueryModule {
        |  GROUP BY xf.run
        |),
        |ser AS (
-       |  SELECT user_id % 10 AS g,
-       |    ((epoch_us(ts) - $baseUs) // $hourUs) // $Nr AS run,
-       |    ((epoch_us(ts) - $baseUs) // $hourUs) % $Nr AS t,
-       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
-       |  FROM events
-       |  WHERE (epoch_us(ts) - $baseUs) >= 0
-       |    AND (epoch_us(ts) - $baseUs) // $hourUs < ${Runs * Nr}
-       |  GROUP BY 1, 2, 3
+       |  SELECT run, g, t, CAST(SUM(c) AS BIGINT) AS y
+       |  FROM comb GROUP BY 1, 2, 3
        |),
        |xty AS (
        |  SELECT ser.run, ser.g,
