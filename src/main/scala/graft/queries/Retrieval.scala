@@ -426,6 +426,64 @@ object Retrieval extends QueryModule {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q165: interpolated Kneser–Ney bigram held-out scoring -------------
+  // The principled counterpart to q98's stupid backoff: discounted bigram
+  // mass interpolated with the CONTINUATION (type-count) unigram, fixed
+  // D = 0.75. Model = even doc_ids, held-out = odd — the disjoint slice
+  // keeps both the discount and the unseen-context branch live. All
+  // counts derive from one bigram-type relation; the probability is the
+  // shared RetrievalOps.knPStr expression in both engines.
+
+  def kneserNey(s: SparkSession, d: String): DataFrame =
+    RetrievalOps.kneserNeyScore(documents(s, d), col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+
+  private val kneserNeySql =
+    s"""WITH mtok AS (
+       |  SELECT t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 2 = 0
+       |),
+       |st AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size FROM mtok),
+       |mth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 2 = 0
+       |),
+       |mp AS (
+       |  SELECT th[j + 1] AS w1, th[j + 2] AS w2
+       |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+       |),
+       |bf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
+       |cl AS (
+       |  SELECT w1, CAST(sum(bf) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1l
+       |  FROM bf GROUP BY w1
+       |),
+       |nr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bf GROUP BY w2),
+       |tb AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bf),
+       |hth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 2 <> 0
+       |),
+       |hp AS (
+       |  SELECT doc_id, th[j + 1] AS w1, th[j + 2] AS w2
+       |  FROM hth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+       |),
+       |sc AS (
+       |  SELECT hp.doc_id,
+       |    CAST(round(ln(${RetrievalOps.knPStr}) * 1e9, 0) AS BIGINT) AS lnp_fp
+       |  FROM hp
+       |  LEFT JOIN bf ON bf.w1 = hp.w1 AND bf.w2 = hp.w2
+       |  LEFT JOIN cl ON cl.w1 = hp.w1
+       |  LEFT JOIN nr ON nr.w2 = hp.w2
+       |  CROSS JOIN tb CROSS JOIN st
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(lnp_fp) AS BIGINT) AS s_fp
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_pairs,
+       |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_pairs), 6) AS ppl
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q81: fixed-budget context packing ---------------------------------
 
   def contextPack(s: SparkSession, d: String): DataFrame =
@@ -685,6 +743,7 @@ object Retrieval extends QueryModule {
     Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
+    Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),
     Q("q102_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

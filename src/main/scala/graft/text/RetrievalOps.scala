@@ -468,4 +468,79 @@ object RetrievalOps {
         col("item.term").as("term"),
         col("item.est_cf").as("est_cf"),
         col("item.err").as("err"))
+
+  /** The interpolated-KN probability as ONE shared expression string over
+    * exact integer columns (bf, c1, n1l, n1r, tt, v_size) — both engines
+    * execute the identical IEEE-754 op sequence, so ln p quantizes to the
+    * same int64 on both sides (the q158/q162 shared-string discipline). */
+  private[graft] val knPContStr =
+    "((CAST(COALESCE(n1r, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) / " +
+      "(CAST(tt AS DOUBLE) + CAST(v_size AS DOUBLE) + CAST(1 AS DOUBLE)))"
+  private[graft] val knPStr =
+    "CASE WHEN c1 IS NOT NULL THEN " +
+      "(GREATEST(CAST(COALESCE(bf, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)) + " +
+      s"CAST(0.75 AS DOUBLE) * CAST(n1l AS DOUBLE) * $knPContStr) " +
+      s"/ CAST(c1 AS DOUBLE) ELSE $knPContStr END"
+
+  /** Interpolated Kneser–Ney bigram scoring of HELD-OUT documents (Kneser
+    * & Ney 1995; the interpolated form of Chen & Goodman 1999 with the
+    * fixed discount D = 0.75): a pair with a seen context w1 scores
+    *
+    *   p(w2|w1) = (max(c(w1,w2) − D, 0) + D · N1+(w1,·) · p_cont(w2)) / c(w1)
+    *
+    * and an unseen context falls back to the continuation distribution
+    * itself. The continuation probability counts context TYPES, not
+    * tokens — p_cont(w2) ∝ N1+(·,w2) — the KN insight that a word seen
+    * often but only after one context ("Francisco") should carry little
+    * novel-context mass. The type space is add-one smoothed,
+    * p_cont = (N1+(·,w2)+1)/(T+V+1), so held-out OOVs stay scoreable —
+    * the same role q98's add-one unigram plays in stupid backoff.
+    *
+    * Every count is an exact BIGINT derived from ONE bigram-type relation
+    * (c(w1) = Σ_w2 c(w1,w2) and N1+(w1,·) fall out of a groupBy over it,
+    * N1+(·,w2) of another, T of a 1-row count); the probability is the
+    * single shared double expression [[knPStr]], quantized ×1e9 per pair
+    * BEFORE the per-doc sum (the q82/q98 order-free discipline), and
+    * ppl = exp(−mean ln p) rounded 6 dp.
+    *
+    * Scale shape: like [[bigramBackoffScore]], the bigram model is the one
+    * honest (w1,w2)-keyed shuffle; the context relation (c1, n1l), the
+    * right-type relation (n1r), and the two totals are vocabulary-sized /
+    * 1-row broadcasts. The bigram-type relation feeds four consumers, so
+    * it is pinned once — a MODEL-sized pin (the trained LM itself, the
+    * table a production pipeline materializes anyway; at the 10⁹-type
+    * wall it becomes a stored standing model, the q143 road). */
+  def kneserNeyScore(docs: DataFrame, modelPred: Column): DataFrame = {
+    val model = docs.filter(modelPred)
+    val held = docs.filter(!modelPred)
+    def pairsOf(d: DataFrame) = d
+      .select(col("doc_id"), explode(expr(
+        """zip_with(
+          |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val vSize = model.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("v_size"))
+    val bf = pairsOf(model).groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
+      .localCheckpoint()
+    val cl = bf.groupBy("w1")
+      .agg(sum("bf").as("c1"), count(lit(1)).as("n1l"))
+    val nr = bf.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tb = bf.agg(count(lit(1)).as("tt"))
+    pairsOf(held)
+      .join(bf, Seq("w1", "w2"), "left")
+      .join(broadcast(cl), Seq("w1"), "left")
+      .join(broadcast(nr), Seq("w2"), "left")
+      .crossJoin(broadcast(tb))
+      .crossJoin(broadcast(vSize))
+      .selectExpr("doc_id",
+        s"CAST(round(ln($knPStr) * 1e9, 0) AS BIGINT) AS lnp_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lnp_fp")).as("s_fp"))
+      .select(col("doc_id"), col("n_pairs"),
+        round(exp(-(col("s_fp").cast("double") / 1e9) / col("n_pairs")), 6)
+          .as("ppl"))
+  }
 }

@@ -251,6 +251,32 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - want) < 1e-9, s"got ${r.getDouble(2)} want $want")
   }
 
+  test("Kneser–Ney: discounted, interpolated, and unseen-context branches by hand") {
+    // model (docs 0, 2): pairs (a,b)=1, (b,a)=2, (a,c)=1 →
+    //   c1: a=2 (n1l=2), b=2 (n1l=1); n1r: a=1, b=1, c=1; T=3, V=3
+    // held (doc 1) "a b x y":
+    //   (a,b) seen: (max(1−D,0) + D·2·pcont(b)) / 2
+    //   (b,x) seen context, unseen bigram, OOV right type:
+    //     (0 + D·1·pcont(x)) / 2
+    //   (x,y) unseen context: pcont(y) itself
+    val corpus = docs(
+      (0L, "a b a c", "en"), (2L, "b a", "en"), (1L, "a b x y", "en"))
+    val out = RetrievalOps.kneserNeyScore(corpus, col("doc_id") % 2 === 0)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 3L)
+    val den = (3.0 + 3.0) + 1.0 // (T + V) + 1, engine association order
+    def pcont(n1r: Long) = (n1r + 1.0) / den
+    val p1 = (math.max(1.0 - 0.75, 0.0) + 0.75 * 2.0 * pcont(1)) / 2.0
+    val p2 = (0.0 + 0.75 * 1.0 * pcont(0)) / 2.0
+    val p3 = pcont(0)
+    val s = Seq(p1, p2, p3).map(p => math.round(math.log(p) * 1e9)).sum
+    val want = BigDecimal(math.exp(-(s / 1e9) / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - want) < 1e-9, s"got ${r.getDouble(2)} want $want")
+  }
+
   test("BPE merges: classic hand example, greedy runs, deterministic ties") {
     // corpus: "aaab" ×3, "ab" ×2 — char pairs: (a,a) f=6 (two per "aaab",
     // non-overlap counted per occurrence position BEFORE merging: pairs in
