@@ -528,8 +528,11 @@ object DesignImage extends QueryModule {
       .orderBy("x", "y", "z")
   }
 
-  private val seedConnectivitySql =
-    s"""WITH series AS (
+  /** Shared oracle prefix: the cents voxel series + the seed-box per-TR
+    * sums — the q158 head, reused verbatim by the q166 PPI design
+    * (oracle-sharing discipline: one string, two queries). */
+  private def seedSeriesCtes: String =
+    s"""series AS (
        |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
        |         CAST(l_orderkey % $L AS INTEGER) AS x,
        |         CAST(l_partkey % $L AS INTEGER) AS y,
@@ -542,7 +545,10 @@ object DesignImage extends QueryModule {
        |  WHERE x BETWEEN $seedLo AND $seedHi AND y BETWEEN $seedLo AND $seedHi
        |    AND z BETWEEN $seedLo AND $seedHi
        |  GROUP BY t
-       |),
+       |)""".stripMargin
+
+  private val seedConnectivitySql =
+    s"""WITH $seedSeriesCtes,
        |sm AS (
        |  SELECT SUM(s_t) AS ss, SUM(CAST(s_t AS HUGEINT) * s_t) AS sss FROM seed
        |),
@@ -560,6 +566,124 @@ object DesignImage extends QueryModule {
        |  round(r, 6) AS r_seed, round($fcZStr, 6) AS z_fisher
        |FROM rr
        |ORDER BY x, y, z""".stripMargin
+
+  // ---- q166: PPI — psychophysiological interaction GLM -------------------
+  // (Friston et al. 1997; the per-voxel moderation practice): does task
+  // context CHANGE a voxel's coupling with the seed? Per voxel, fit
+  //   y(t) ~ β0 + β1·task(t) + β2·seed(t) + β3·task(t)·seed(t)
+  // where task is the block boxcar (t % 10 < 5) and seed is the q158
+  // seed-box series; β3 is the PPI effect. The design is DATA-DERIVED
+  // (the seed regressor is an aggregate of the very volume being fit),
+  // so the literal-pinv shortcut is out — this is the q116/q162 road:
+  // the design is NT rows of exact integers (boxcar 0/1, seed cents),
+  // XᵀX is ONE 4×4 exact DECIMAL aggregate shared by every voxel, Xᵀy
+  // one volume-keyed aggregate, and the generated no-pivot Gauss–Jordan
+  // (Glm.gjStages) solves per voxel as projection arithmetic — identical
+  // expression strings in both engines.
+  //
+  // Column scaling (the only doubles): seed-bearing columns enter the
+  // elimination as cents/1e6 and y as cents/100 — a fixed diagonal
+  // rescale (betas are reported in the rescaled units: β_j_scaled =
+  // c_j·10^e_j/100), keeping the no-pivot pivots O(1)-conditioned while
+  // every moment stays an exact integer until the single CAST-to-double.
+  //
+  // Scale shape: ONE data-sized exchange (the voxel-series aggregate,
+  // pinned once for its two consumers); the seed and design relations
+  // are NT-row broadcasts; XᵀX is a 1-row cross join; the k³ elimination
+  // is per-voxel projection math. No window, no driver linear algebra.
+
+  private val ppiK = 4
+  private val ppiScaleExp = Array(0, 0, 6, 6) // per-column 10^e divisors
+
+  def ppiGlm(s: SparkSession, d: String): DataFrame =
+    ppiGlmCore(s, ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q166 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can plant seed/probe series with known coefficients. */
+  private[graft] def ppiGlmCore(s: SparkSession, series0: DataFrame): DataFrame = {
+    val k = ppiK
+    val series = series0.localCheckpoint()
+    val inSeed = (c: String) => col(c) >= seedLo && col(c) <= seedHi
+    val seed = series
+      .filter(inSeed("x") && inSeed("y") && inSeed("z"))
+      .groupBy("t").agg(sum("v").as("s_t"))
+    val xf = s.range(NT).select(col("id").as("t"))
+      .join(seed, Seq("t"), "left").na.fill(0L, Seq("s_t"))
+      .selectExpr("t", "CAST(1 AS BIGINT) AS x0",
+        "CAST(CASE WHEN t % 10 < 5 THEN 1 ELSE 0 END AS BIGINT) AS x1",
+        "s_t AS x2",
+        "CAST(CASE WHEN t % 10 < 5 THEN s_t ELSE 0 END AS BIGINT) AS x3")
+      .localCheckpoint() // NT rows; carries the seed aggregate, 2 consumers
+    val xtxAggs = for (i <- 0 until k; j <- i until k) yield
+      expr(s"SUM(CAST(x$i AS DECIMAL(38,0)) * x$j)").as(s"sxx_${i}_$j")
+    val xtx = xf.agg(xtxAggs.head, xtxAggs.tail: _*)
+    val sxyAggs = (0 until k).map(i =>
+      expr(s"SUM(CAST(x$i AS DECIMAL(38,0)) * v)").as(s"sxy_$i"))
+    val xty = series.join(broadcast(xf), Seq("t"))
+      .groupBy("x", "y", "z").agg(sxyAggs.head, sxyAggs.tail: _*)
+    val init = xty.crossJoin(broadcast(xtx))
+      .selectExpr(Seq("x", "y", "z") ++ ppiInitExprs: _*)
+    val solved = Glm.gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+      .foldLeft(init)((df, st) =>
+        df.selectExpr(Seq("x", "y", "z") ++ st: _*))
+    solved.selectExpr(Seq("x", "y", "z") ++
+      (0 until k).map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i"): _*)
+      .orderBy("x", "y", "z")
+  }
+
+  private def ppiInitExprs: Seq[String] = {
+    val k = ppiK
+    val es = ppiScaleExp
+    (for (i <- 0 until k; j <- 0 until k) yield {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      s"CAST(sxx_${a}_$b AS DOUBLE) / 1e${es(a) + es(b)} AS d_${i}_$j"
+    }) ++ (0 until k).map(i =>
+      s"CAST(sxy_$i AS DOUBLE) / 1e${es(i) + 2} AS db_$i")
+  }
+
+  private def ppiGlmSql: String = {
+    val k = ppiK
+    val xtxSums = (for (i <- 0 until k; j <- i until k) yield
+      s"SUM(CAST(x$i AS HUGEINT) * x$j) AS sxx_${i}_$j").mkString(",\n|    ")
+    val xtySums = (0 until k)
+      .map(i => s"SUM(CAST(x$i AS HUGEINT) * v) AS sxy_$i").mkString(",\n|    ")
+    val stages = Glm.gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
+    val stageCtes = stages.zipWithIndex.map { case (st, p) =>
+      val prev = if (p == 0) "init" else s"st${p - 1}"
+      s"st$p AS (\n  SELECT x, y, z, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
+    }.mkString(",\n")
+    s"""WITH $seedSeriesCtes,
+       |xf AS (
+       |  SELECT ts.t, CAST(1 AS BIGINT) AS x0,
+       |    CAST(CASE WHEN ts.t % 10 < 5 THEN 1 ELSE 0 END AS BIGINT) AS x1,
+       |    CAST(COALESCE(seed.s_t, 0) AS BIGINT) AS x2,
+       |    CAST(CASE WHEN ts.t % 10 < 5 THEN COALESCE(seed.s_t, 0) ELSE 0 END AS BIGINT) AS x3
+       |  FROM generate_series(0, ${NT - 1}) AS ts(t)
+       |  LEFT JOIN seed ON seed.t = ts.t
+       |),
+       |xtx AS (
+       |  SELECT
+       |    $xtxSums
+       |  FROM xf
+       |),
+       |xty AS (
+       |  SELECT s.x, s.y, s.z,
+       |    $xtySums
+       |  FROM series s JOIN xf ON xf.t = s.t
+       |  GROUP BY 1, 2, 3
+       |),
+       |init AS (
+       |  SELECT x, y, z, ${ppiInitExprs.mkString(",\n|    ")}
+       |  FROM xty CROSS JOIN xtx
+       |),
+       |$stageCtes
+       |SELECT x, y, z, ${(0 until k)
+      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")}
+       |FROM st${k - 1}
+       |ORDER BY x, y, z""".stripMargin
+  }
 
   // ---- q163: regional homogeneity (ReHo — Kendall's W over the stencil) --
   // The third classic resting-state map next to ALFF (q146) and seed FC
@@ -861,6 +985,7 @@ object DesignImage extends QueryModule {
     Q("q39_slice_means", sliceMeans, Some(sliceMeansSql)),
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q158_seed_connectivity", seedConnectivity, Some(seedConnectivitySql)),
+    Q("q166_ppi_glm", ppiGlm, Some(ppiGlmSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),

@@ -415,7 +415,7 @@ object Glm extends QueryModule {
   private[graft] def gjStagesForTest(k: Int): Seq[Seq[String]] =
     gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
 
-  private def gjStages(k: Int, a: (Int, Int) => String,
+  private[graft] def gjStages(k: Int, a: (Int, Int) => String,
       b: Int => String): Seq[Seq[String]] = {
     var cur: IndexedSeq[IndexedSeq[String]] =
       (0 until k).map(i => (0 to k).map(j => if (j < k) a(i, j) else b(i)))
