@@ -528,10 +528,9 @@ object DesignImage extends QueryModule {
       .orderBy("x", "y", "z")
   }
 
-  /** Shared oracle prefix: the cents voxel series + the seed-box per-TR
-    * sums — the q158 head, reused verbatim by the q166 PPI design
-    * (oracle-sharing discipline: one string, two queries). */
-  private def seedSeriesCtes: String =
+  /** Shared oracle prefix: the cents voxel series — reused by q158/q166
+    * (via [[seedSeriesCtes]]) and q167 (oracle-sharing discipline). */
+  private def centsSeriesCte: String =
     s"""series AS (
        |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
        |         CAST(l_orderkey % $L AS INTEGER) AS x,
@@ -539,7 +538,12 @@ object DesignImage extends QueryModule {
        |         CAST(l_suppkey % $L AS INTEGER) AS z,
        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
        |  FROM lineitem GROUP BY 1, 2, 3, 4
-       |),
+       |)""".stripMargin
+
+  /** The q158 head (cents series + seed-box per-TR sums), reused verbatim
+    * by the q166 PPI design. */
+  private def seedSeriesCtes: String =
+    s"""$centsSeriesCte,
        |seed AS (
        |  SELECT t, SUM(v) AS s_t FROM series
        |  WHERE x BETWEEN $seedLo AND $seedHi AND y BETWEEN $seedLo AND $seedHi
@@ -682,6 +686,86 @@ object DesignImage extends QueryModule {
        |SELECT x, y, z, ${(0 until k)
       .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")}
        |FROM st${k - 1}
+       |ORDER BY x, y, z""".stripMargin
+  }
+
+  // ---- q167: VMHC — voxel-mirrored homotopic connectivity ----------------
+  // (Zuo et al. 2010): per voxel, the Pearson correlation between its
+  // time series and its x-mirror's ((L−1−x, y, z)) — the interhemispheric
+  // symmetry map, the fourth classic resting-state statistic next to
+  // ALFF (q146), seed FC (q158), and ReHo (q163). r is symmetric in the
+  // pair, so the output is ONE row per mirror pair, keyed by the low-x
+  // member.
+  //
+  // No self-join: each series row maps to its PAIR key (LEAST(x, L−1−x),
+  // y, z, t) with the value routed to a left/right slot; the cross moment
+  // Σvl·vr then falls out of one more volume-bounded aggregation — two
+  // bounded exchanges replace a time-keyed self-join of the series. All
+  // five moments are exact BIGINT/DECIMAL sums under dense semantics
+  // (absent cells are zeros, n = NT; an all-absent side has zero variance
+  // → NULL r, the q158 rule), and r/z are one shared double expression.
+  //
+  // Scale shape: ONE data-sized exchange (the voxel series), then
+  // volume-bounded pair-fold aggregations. No window, no join at all.
+
+  private val vmhcNumStr =
+    s"($NT * CAST(svm AS DOUBLE) - CAST(svl AS DOUBLE) * CAST(svr AS DOUBLE))"
+  private val vmhcDenLStr =
+    s"($NT * CAST(svvl AS DOUBLE) - CAST(svl AS DOUBLE) * CAST(svl AS DOUBLE))"
+  private val vmhcDenRStr =
+    s"($NT * CAST(svvr AS DOUBLE) - CAST(svr AS DOUBLE) * CAST(svr AS DOUBLE))"
+  private val vmhcRStr =
+    s"CASE WHEN $vmhcDenLStr > 0 AND $vmhcDenRStr > 0 " +
+      s"THEN $vmhcNumStr / (sqrt($vmhcDenLStr) * sqrt($vmhcDenRStr)) END"
+
+  def vmhc(s: SparkSession, d: String): DataFrame =
+    vmhcCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q167 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can plant mirror pairs. */
+  private[graft] def vmhcCore(series: DataFrame): DataFrame = {
+    val half = L / 2
+    val keyed = series.selectExpr(
+      s"LEAST(x, ${L - 1} - x) AS xp", "y", "z", "t",
+      s"CASE WHEN x < $half THEN v ELSE CAST(0 AS BIGINT) END AS a",
+      s"CASE WHEN x >= $half THEN v ELSE CAST(0 AS BIGINT) END AS b")
+    keyed.groupBy("xp", "y", "z", "t")
+      .agg(sum("a").as("vl"), sum("b").as("vr"))
+      .groupBy("xp", "y", "z")
+      .agg(sum("vl").as("svl"),
+        sum(expr("CAST(vl AS DECIMAL(38,0)) * vl")).as("svvl"),
+        sum("vr").as("svr"),
+        sum(expr("CAST(vr AS DECIMAL(38,0)) * vr")).as("svvr"),
+        sum(expr("CAST(vl AS DECIMAL(38,0)) * vr")).as("svm"))
+      .selectExpr("xp AS x", "y", "z", s"$vmhcRStr AS r")
+      .selectExpr("x", "y", "z", "round(r, 6) AS r_vmhc",
+        s"round($fcZStr, 6) AS z_fisher")
+      .orderBy("x", "y", "z")
+  }
+
+  private def vmhcSql: String = {
+    val half = L / 2
+    s"""WITH $centsSeriesCte,
+       |pairs AS (
+       |  SELECT LEAST(x, ${L - 1} - x) AS xp, y, z, t,
+       |    SUM(CASE WHEN x < $half THEN v ELSE CAST(0 AS BIGINT) END) AS vl,
+       |    SUM(CASE WHEN x >= $half THEN v ELSE CAST(0 AS BIGINT) END) AS vr
+       |  FROM series GROUP BY 1, 2, 3, 4
+       |),
+       |mom AS (
+       |  SELECT xp, y, z,
+       |    SUM(vl) AS svl, SUM(CAST(vl AS HUGEINT) * vl) AS svvl,
+       |    SUM(vr) AS svr, SUM(CAST(vr AS HUGEINT) * vr) AS svvr,
+       |    SUM(CAST(vl AS HUGEINT) * vr) AS svm
+       |  FROM pairs GROUP BY 1, 2, 3
+       |),
+       |rr AS (
+       |  SELECT xp AS x, y, z, $vmhcRStr AS r FROM mom
+       |)
+       |SELECT x, y, z, round(r, 6) AS r_vmhc, round($fcZStr, 6) AS z_fisher
+       |FROM rr
        |ORDER BY x, y, z""".stripMargin
   }
 
@@ -986,6 +1070,7 @@ object DesignImage extends QueryModule {
     Q("q64_global_signal", globalSignal, Some(globalSignalSql)),
     Q("q158_seed_connectivity", seedConnectivity, Some(seedConnectivitySql)),
     Q("q166_ppi_glm", ppiGlm, Some(ppiGlmSql)),
+    Q("q167_vmhc", vmhc, Some(vmhcSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),

@@ -87,6 +87,25 @@ class InferenceQcSpec extends SparkSpec {
       assert(math.abs(g - w) < 1e-3, s"seed betas $bSeed") }
   }
 
+  // ---- q167 VMHC ---------------------------------------------------------
+
+  test("q167: tracking mirror r~+1, inverted mirror r~-1, absent mirror NULL") {
+    def base(t: Int) = (100 + 37 * (t % 7)).toLong
+    val track = (0 until 30).flatMap(t =>
+      Seq((t, 2, 3, 4, base(t)), (t, 13, 3, 4, 3L * base(t))))
+    val inv = (0 until 30).flatMap(t =>
+      Seq((t, 5, 0, 0, base(t)), (t, 10, 0, 0, 1000L - base(t))))
+    val lone = (0 until 30).map(t => (t, 0, 1, 1, base(t)))
+    val out = graft.queries.DesignImage
+      .vmhcCore(plantedSeries(track ++ inv ++ lone))
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size === 3) // one row per low-x pair
+    assert(out((2, 3, 4)).exists(_ > 0.999999), s"tracking pair ${out((2, 3, 4))}")
+    assert(out((5, 0, 0)).exists(_ < -0.999999), s"inverted pair ${out((5, 0, 0))}")
+    assert(out((0, 1, 1)).isEmpty, "absent mirror must be NULL r")
+  }
+
   // ---- q159 framewise displacement + scrubbing ---------------------------
 
   private def plantedParams(rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) = {
