@@ -769,6 +769,112 @@ object DesignImage extends QueryModule {
        |ORDER BY x, y, z""".stripMargin
   }
 
+  // ---- q168: parcellated connectome + degree centrality ------------------
+  // The ROI-level functional connectome (the atlas practice — Power/
+  // Schaefer-style parcels; here a deterministic coordinate-hash atlas
+  // p = (7x+11y+13z) mod NP, scale-stable where the voxelGrid MIN-label
+  // is not): parcel series are exact cent SUMS (correlation ignores the
+  // 1/|parcel| divisor), the NP×NP upper triangle correlates via exact
+  // integer moments, and a graph layer thresholds |r| ≥ 0.1 into edges
+  // and per-parcel degree centrality — the first graph-theoretic summary
+  // (Rubinov & Sporns 2010) on top of the q146/q158/q163/q167 maps.
+  //
+  // Determinism: moments are exact BIGINT/DECIMAL sums under dense
+  // semantics (n = NT); r is the shared expression, ROUNDED to 6 dp
+  // BEFORE thresholding so an engine's last-ulp can't flip an edge.
+  //
+  // Scale shape: ONE data-sized exchange (the parcel-series aggregate,
+  // combining map-side to NP·NT rows, pinned for its two join sides);
+  // the t-keyed self-join, moments, threshold, and degree fold are all
+  // parcel-bounded. At atlas scale (NP ≈ 10²-10³) the pair relation is
+  // NP²/2 rows — still broadcast-class.
+
+  private val connNP = 12
+  private val connNumStr =
+    s"($NT * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val connDenAStr =
+    s"($NT * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+  private val connDenBStr =
+    s"($NT * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val connRStr =
+    s"CASE WHEN $connDenAStr > 0 AND $connDenBStr > 0 " +
+      s"THEN $connNumStr / (sqrt($connDenAStr) * sqrt($connDenBStr)) END"
+  private val connEdgeStr =
+    "CASE WHEN r_par IS NOT NULL AND abs(r_par) >= CAST(0.1 AS DOUBLE) " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+  def connectome(s: SparkSession, d: String): DataFrame =
+    connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q168 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can plant parcel series. */
+  private[graft] def connectomeCore(series: DataFrame): DataFrame = {
+    val par = series
+      .selectExpr(s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p",
+        "t", "v")
+      .groupBy("p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint()
+    val a = par.selectExpr("p AS p1", "t", "pv AS pva")
+    val b = par.selectExpr("p AS p2", "t", "pv AS pvb")
+    val mom = a.join(b, Seq("t")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+    val pairs = mom.selectExpr("p1", "p2", s"round($connRStr, 6) AS r_par")
+      .selectExpr("p1", "p2", "r_par", s"$connEdgeStr AS edge")
+      .localCheckpoint() // NP²-bounded; output + two degree reads
+    val ones = pairs.filter(col("edge") === 1)
+    val deg = ones.selectExpr("p1 AS p").union(ones.selectExpr("p2 AS p"))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    pairs
+      .join(broadcast(deg.selectExpr("p AS p1", "deg AS deg_p1")), Seq("p1"), "left")
+      .join(broadcast(deg.selectExpr("p AS p2", "deg AS deg_p2")), Seq("p2"), "left")
+      .na.fill(0L, Seq("deg_p1", "deg_p2"))
+      .selectExpr("p1", "p2", "r_par", "edge", "deg_p1", "deg_p2")
+      .orderBy("p1", "p2")
+  }
+
+  private def connectomeSql: String =
+    s"""WITH $centsSeriesCte,
+       |par AS (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM series GROUP BY 1, 2
+       |),
+       |mom AS (
+       |  SELECT a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM par a JOIN par b ON a.t = b.t AND a.p < b.p
+       |  GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT p1, p2, round($connRStr, 6) AS r_par FROM mom
+       |),
+       |pe AS (
+       |  SELECT p1, p2, r_par, $connEdgeStr AS edge FROM pairs
+       |),
+       |deg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM pe WHERE edge = 1
+       |    UNION ALL
+       |    SELECT p2 AS p FROM pe WHERE edge = 1
+       |  ) GROUP BY p
+       |)
+       |SELECT pe.p1, pe.p2, pe.r_par, pe.edge,
+       |  CAST(COALESCE(d1.deg, 0) AS BIGINT) AS deg_p1,
+       |  CAST(COALESCE(d2.deg, 0) AS BIGINT) AS deg_p2
+       |FROM pe
+       |LEFT JOIN deg d1 ON d1.p = pe.p1
+       |LEFT JOIN deg d2 ON d2.p = pe.p2
+       |ORDER BY p1, p2""".stripMargin
+
   // ---- q163: regional homogeneity (ReHo — Kendall's W over the stencil) --
   // The third classic resting-state map next to ALFF (q146) and seed FC
   // (q158): per voxel, Kendall's coefficient of concordance W of the
@@ -1071,6 +1177,7 @@ object DesignImage extends QueryModule {
     Q("q158_seed_connectivity", seedConnectivity, Some(seedConnectivitySql)),
     Q("q166_ppi_glm", ppiGlm, Some(ppiGlmSql)),
     Q("q167_vmhc", vmhc, Some(vmhcSql)),
+    Q("q168_connectome", connectome, Some(connectomeSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),

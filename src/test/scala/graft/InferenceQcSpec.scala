@@ -106,6 +106,28 @@ class InferenceQcSpec extends SparkSpec {
     assert(out((0, 1, 1)).isEmpty, "absent mirror must be NULL r")
   }
 
+  // ---- q168 parcellated connectome ---------------------------------------
+
+  test("q168: coupled parcels form an edge; a flat parcel is NULL-r and degree-0") {
+    def base(t: Int) = (100 + 37 * (t % 7)).toLong
+    val a = (0 until 30).map(t => (t, 0, 0, 0, base(t))) // parcel 0
+    val b = (0 until 30).map(t => (t, 1, 0, 0, 2L * base(t))) // parcel 7
+    val c = (0 until 30).map(t => (t, 0, 1, 0, 55L)) // parcel 11, flat
+    val rows = graft.queries.DesignImage
+      .connectomeCore(plantedSeries(a ++ b ++ c))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows.size === 3)
+    val (rAB, eAB, dA, dB) = rows((0, 7))
+    assert(rAB.exists(_ > 0.999999) && eAB === 1L, s"coupled pair $rAB/$eAB")
+    assert(dA === 1L && dB === 1L)
+    val (rAC, eAC, _, dC) = rows((0, 11))
+    assert(rAC.isEmpty && eAC === 0L && dC === 0L, "flat parcel must be NULL/0")
+    val (rBC, eBC, _, _) = rows((7, 11))
+    assert(rBC.isEmpty && eBC === 0L)
+  }
+
   // ---- q159 framewise displacement + scrubbing ---------------------------
 
   private def plantedParams(rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) = {
