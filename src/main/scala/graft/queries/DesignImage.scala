@@ -551,9 +551,11 @@ object DesignImage extends QueryModule {
        |  GROUP BY t
        |)""".stripMargin
 
-  private val seedConnectivitySql =
-    s"""WITH $seedSeriesCtes,
-       |sm AS (
+  /** The q158 moment CTEs (seed moments + per-voxel moments), shared with
+    * the q169 panel; the r-projection CTE is emitted by the caller under
+    * its own name. */
+  private def seedFcMomentCtes: String =
+    s"""sm AS (
        |  SELECT SUM(s_t) AS ss, SUM(CAST(s_t AS HUGEINT) * s_t) AS sss FROM seed
        |),
        |pv AS (
@@ -562,7 +564,11 @@ object DesignImage extends QueryModule {
        |    SUM(CAST(v AS HUGEINT) * COALESCE(seed.s_t, 0)) AS svs
        |  FROM series s LEFT JOIN seed ON seed.t = s.t
        |  GROUP BY 1, 2, 3
-       |),
+       |)""".stripMargin
+
+  private val seedConnectivitySql =
+    s"""WITH $seedSeriesCtes,
+       |$seedFcMomentCtes,
        |rr AS (
        |  SELECT x, y, z, n_t, $fcRStr AS r FROM pv CROSS JOIN sm
        |)
@@ -745,10 +751,12 @@ object DesignImage extends QueryModule {
       .orderBy("x", "y", "z")
   }
 
-  private def vmhcSql: String = {
+  /** The q167 pair-fold CTEs (pairs + moments), shared with the q169
+    * panel; the r-projection CTE is emitted by the caller under its own
+    * name. */
+  private def vmhcBodyCtes: String = {
     val half = L / 2
-    s"""WITH $centsSeriesCte,
-       |pairs AS (
+    s"""pairs AS (
        |  SELECT LEAST(x, ${L - 1} - x) AS xp, y, z, t,
        |    SUM(CASE WHEN x < $half THEN v ELSE CAST(0 AS BIGINT) END) AS vl,
        |    SUM(CASE WHEN x >= $half THEN v ELSE CAST(0 AS BIGINT) END) AS vr
@@ -760,14 +768,18 @@ object DesignImage extends QueryModule {
        |    SUM(vr) AS svr, SUM(CAST(vr AS HUGEINT) * vr) AS svvr,
        |    SUM(CAST(vl AS HUGEINT) * vr) AS svm
        |  FROM pairs GROUP BY 1, 2, 3
-       |),
+       |)""".stripMargin
+  }
+
+  private def vmhcSql: String =
+    s"""WITH $centsSeriesCte,
+       |$vmhcBodyCtes,
        |rr AS (
        |  SELECT xp AS x, y, z, $vmhcRStr AS r FROM mom
        |)
        |SELECT x, y, z, round(r, 6) AS r_vmhc, round($fcZStr, 6) AS z_fisher
        |FROM rr
        |ORDER BY x, y, z""".stripMargin
-  }
 
   // ---- q168: parcellated connectome + degree centrality ------------------
   // The ROI-level functional connectome (the atlas practice — Power/
@@ -875,6 +887,81 @@ object DesignImage extends QueryModule {
        |LEFT JOIN deg d2 ON d2.p = pe.p2
        |ORDER BY p1, p2""".stripMargin
 
+  // ---- q169: one-pass resting-state panel --------------------------------
+  // The analytical fan-in for the volume maps (the q162/q164 one-pass
+  // lesson applied to the resting-state family): mean image, seed FC
+  // (q158), ReHo (q163), and VMHC (q167) computed from ONE shared series
+  // scan and joined into a single per-voxel QC panel — what a real
+  // pipeline writes per subject per session. Naively that is four
+  // data-sized scans; here the cents series is pinned once and every
+  // consumer is VOLUME-bounded, so the panel costs one exchange plus
+  // bounded arithmetic.
+  //
+  // Semantics are exactly the standalone queries' (the cores are reused,
+  // and the oracle reuses their CTE strings verbatim — only the final
+  // r-projection CTEs are renamed to coexist); the spec pins panel ≡
+  // standalone maps row-for-row. VMHC re-enters at voxel grain (each
+  // voxel carries its mirror pair's symmetric r). Grid-absent voxels
+  // carry mean 0 and NULL r/W (dense zero-series semantics).
+
+  private def panelMeanStr =
+    s"round(CAST(COALESCE(sv, 0) AS DOUBLE) / 100 / $NT, 6) AS mean_v"
+
+  def restingPanel(s: SparkSession, d: String): DataFrame =
+    restingPanelCore(s, ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q169 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can pin panel ≡ standalone maps. */
+  private[graft] def restingPanelCore(s: SparkSession, series0: DataFrame): DataFrame = {
+    // THE one data-sized exchange; the four map cores re-pin this bounded
+    // relation locally (cheap: it is already materialized)
+    val series = series0.localCheckpoint()
+    val mean = series.groupBy("x", "y", "z").agg(sum("v").as("sv"))
+    val fc = seedConnectivityCore(series).selectExpr("x", "y", "z", "r_seed")
+    val rh = rehoCore(s, series).selectExpr("x", "y", "z", "w AS reho_w")
+    val vm0 = vmhcCore(series).selectExpr("x", "y", "z", "r_vmhc")
+    val vm = vm0.union(vm0.selectExpr(s"${L - 1} - x AS x", "y", "z", "r_vmhc"))
+      .selectExpr("x", "y", "z", "r_vmhc AS vmhc_r")
+    rh.join(fc, Seq("x", "y", "z"), "left")
+      .join(vm, Seq("x", "y", "z"), "left")
+      .join(mean, Seq("x", "y", "z"), "left")
+      .selectExpr("x", "y", "z", panelMeanStr, "r_seed", "reho_w", "vmhc_r")
+      .orderBy("x", "y", "z")
+  }
+
+  private def restingPanelSql: String =
+    s"""WITH $seedSeriesCtes,
+       |$seedFcMomentCtes,
+       |sfr AS (
+       |  SELECT x, y, z, n_t, $fcRStr AS r FROM pv CROSS JOIN sm
+       |),
+       |$rehoBodyCtes,
+       |$vmhcBodyCtes,
+       |vmr AS (
+       |  SELECT xp AS x, y, z, $vmhcRStr AS r FROM mom
+       |),
+       |vmv AS (
+       |  SELECT x, y, z, r FROM vmr
+       |  UNION ALL
+       |  SELECT ${L - 1} - x AS x, y, z, r FROM vmr
+       |),
+       |mim AS (
+       |  SELECT x, y, z, SUM(v) AS sv FROM series GROUP BY 1, 2, 3
+       |)
+       |SELECT svar.x, svar.y, svar.z,
+       |  $panelMeanStr,
+       |  round(sfr.r, 6) AS r_seed,
+       |  round($rehoWStr, 6) AS reho_w,
+       |  round(vmv.r, 6) AS vmhc_r
+       |FROM svar
+       |JOIN tusum ON tusum.x = svar.x AND tusum.y = svar.y AND tusum.z = svar.z
+       |LEFT JOIN sfr ON sfr.x = svar.x AND sfr.y = svar.y AND sfr.z = svar.z
+       |LEFT JOIN vmv ON vmv.x = svar.x AND vmv.y = svar.y AND vmv.z = svar.z
+       |LEFT JOIN mim ON mim.x = svar.x AND mim.y = svar.y AND mim.z = svar.z
+       |ORDER BY svar.x, svar.y, svar.z""".stripMargin
+
   // ---- q163: regional homogeneity (ReHo — Kendall's W over the stencil) --
   // The third classic resting-state map next to ALFF (q146) and seed FC
   // (q158): per voxel, Kendall's coefficient of concordance W of the
@@ -954,16 +1041,11 @@ object DesignImage extends QueryModule {
       .orderBy("x", "y", "z")
   }
 
-  private val rehoSql =
-    s"""WITH series AS (
-       |  SELECT CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
-       |         CAST(l_orderkey % $L AS INTEGER) AS x,
-       |         CAST(l_partkey % $L AS INTEGER) AS y,
-       |         CAST(l_suppkey % $L AS INTEGER) AS z,
-       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
-       |  FROM lineitem GROUP BY 1, 2, 3, 4
-       |),
-       |grid AS (
+  /** The q163 body CTEs (dense grid → ranks/ties → stencil moments),
+    * shared with the q169 panel; ends at svar/tusum, the caller selects
+    * the W projection. */
+  private def rehoBodyCtes: String =
+    s"""grid AS (
        |  SELECT xs.x, ys.y, zs.z, ts.t
        |  FROM generate_series(0, ${L - 1}) AS xs(x),
        |       generate_series(0, ${L - 1}) AS ys(y),
@@ -1015,7 +1097,11 @@ object DesignImage extends QueryModule {
        |    AND ties.y + dy BETWEEN 0 AND ${L - 1}
        |    AND ties.z + dz BETWEEN 0 AND ${L - 1}
        |  GROUP BY 1, 2, 3
-       |)
+       |)""".stripMargin
+
+  private val rehoSql =
+    s"""WITH $centsSeriesCte,
+       |$rehoBodyCtes
        |SELECT svar.x, svar.y, svar.z, CAST(m AS BIGINT) AS m,
        |  round($rehoWStr, 6) AS w
        |FROM svar JOIN tusum ON tusum.x = svar.x AND tusum.y = svar.y
@@ -1178,6 +1264,7 @@ object DesignImage extends QueryModule {
     Q("q166_ppi_glm", ppiGlm, Some(ppiGlmSql)),
     Q("q167_vmhc", vmhc, Some(vmhcSql)),
     Q("q168_connectome", connectome, Some(connectomeSql)),
+    Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),
     Q("q41_entity_catalog", entityCatalog, Some(entityCatalogSql)),

@@ -128,6 +128,44 @@ class InferenceQcSpec extends SparkSpec {
     assert(rBC.isEmpty && eBC === 0L)
   }
 
+  // ---- q169 resting-state panel ------------------------------------------
+
+  test("q169: the panel equals the standalone maps joined, row for row") {
+    def base(t: Int) = (100 + 37 * (t % 7)).toLong
+    // seed-box voxel + a tracker + a mirror pair + a flat voxel
+    val rows = (0 until 30).flatMap(t => Seq(
+      (t, 5, 5, 5, base(t)), (t, 0, 0, 0, 2L * base(t)),
+      (t, 2, 3, 4, base(t)), (t, 13, 3, 4, 1000L - base(t)),
+      (t, 7, 7, 7, 42L)))
+    val series = plantedSeries(rows)
+    val dim = graft.queries.DesignImage
+    val panel = dim.restingPanelCore(spark, series).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (3 until 7).map(i => Option(r.get(i)).map(_.asInstanceOf[Double]))).toMap
+    assert(panel.size === 16 * 16 * 16)
+    val fc = dim.seedConnectivityCore(series).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getInt(2).toLong) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    val rh = dim.rehoCore(spark, series).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    val vm = dim.vmhcCore(series).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    for ((k @ (x, y, z), Seq(meanV, rSeed, rehoW, vmhcR)) <- panel) {
+      assert(rSeed === fc.getOrElse(k, None), s"r_seed at $k")
+      assert(rehoW === rh(k), s"reho_w at $k")
+      val vmKey = (math.min(x, 15 - x).toInt, y.toInt, z.toInt)
+      assert(vmhcR === vm.getOrElse(vmKey, None), s"vmhc_r at $k")
+      // mean: cents sum / 100 / NT; spot-check the planted tracker
+      if (k == (0L, 0L, 0L)) {
+        val want = BigDecimal((0 until 30).map(t => 2L * base(t)).sum / 100.0 / 30.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(meanV.exists(m => math.abs(m - want) < 1e-9), s"mean at $k: $meanV")
+      }
+    }
+  }
+
   // ---- q159 framewise displacement + scrubbing ---------------------------
 
   private def plantedParams(rows: Seq[(Long, Long, Long, Long, Long, Long, Long, Long)]) = {
