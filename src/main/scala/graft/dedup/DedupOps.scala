@@ -644,6 +644,38 @@ object DedupOps {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Per-document k-gram NOVELTY against a reference slice — the graded
+    * complement of [[contaminationFlags]]'s boolean hygiene flag (the
+    * memorization-overlap statistic of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each held-out
+    * document, novelty = 1 − |G_doc ∩ G_ref| / |G_doc| over DISTINCT
+    * k-token gram hashes. Docs with fewer than k tokens have no gram set
+    * → NULL novelty (explicit, not 0 — "no evidence" ≠ "all novel").
+    *
+    * Scale shape: per-doc gram sets are the one-pass `shingle_hash_set`
+    * projection (set semantics by construction); |G_doc| is a map-side
+    * size(); the reference gram set is model-sized and the membership
+    * join is the one honest shuffle — broadcast here (the reference is a
+    * slice), a gram-keyed shuffle join at full-corpus reference scale. */
+  def gramNovelty(ref: DataFrame, heldOut: DataFrame, shingleK: Int): DataFrame = {
+    import graft.functions.TextExprs
+    val refGrams = ref
+      .select(explode(TextExprs.shingle_hash_set(col("text"), shingleK)).as("h"))
+      .distinct()
+    heldOut
+      .select(col("doc_id"),
+        TextExprs.shingle_hash_set(col("text"), shingleK).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        explode_outer(col("hs")).as("h"))
+      .join(broadcast(refGrams.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("shared"))
+      .selectExpr("doc_id", "n_grams", "CAST(shared AS BIGINT) AS shared",
+        "CASE WHEN n_grams > 0 THEN round(CAST(1 AS DOUBLE) " +
+          "- CAST(shared AS DOUBLE) / n_grams, 6) END AS novelty")
+  }
+
   // ---- standing eval-gram store (decontamination joins the q90/q110/q119
   // standing-state family: benchmarks are ADMITTED over time — new eval
   // sets append their gram hashes; training arrivals probe the standing

@@ -588,6 +588,45 @@ object Retrieval extends QueryModule {
 
   private val bpeSegmentSql = graft.text.BpeOps.segmentOracleSql(12)
 
+  // ---- q170: tokenizer fertility by language ------------------------------
+  // The multilingual-tokenizer efficiency statistic (subwords per word —
+  // Rust et al. 2021's fertility): roll the q94 per-doc segmentation
+  // counts under the learned 12-round BPE up to the language grain.
+  // High-fertility languages burn more context budget per word — the
+  // number the packing (q81/q91) and mixing (q87) layers should see.
+  // One doc-keyed join of two projections of the same table + a
+  // |langs|-bounded aggregate; the oracle embeds the q94 chain verbatim
+  // as a subquery.
+
+  def bpeFertility(s: SparkSession, d: String): DataFrame =
+    bpeFertilityOf(documents(s, d), rounds = 12).orderBy("lang")
+
+  /** The q170 body — split out so specs can drive small corpora at a
+    * hand-checkable merge count. */
+  private[graft] def bpeFertilityOf(docs: DataFrame, rounds: Int): DataFrame = {
+    val seg = graft.text.BpeOps.segmentCounts(docs, rounds)
+    docs.select(col("doc_id"), col("lang"))
+      .join(seg, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_words").as("words"),
+        sum("n_subwords").as("subwords"))
+      .selectExpr("lang", "docs", "CAST(words AS BIGINT) AS words",
+        "CAST(subwords AS BIGINT) AS subwords",
+        "CASE WHEN words > 0 THEN round(CAST(subwords AS DOUBLE) / words, 6) END AS fertility")
+  }
+
+  private val bpeFertilitySql =
+    s"""WITH seg AS (
+       |  SELECT * FROM (${graft.text.BpeOps.segmentOracleSql(12)})
+       |)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS docs,
+       |  CAST(SUM(seg.n_words) AS BIGINT) AS words,
+       |  CAST(SUM(seg.n_subwords) AS BIGINT) AS subwords,
+       |  CASE WHEN SUM(seg.n_words) > 0 THEN round(CAST(SUM(seg.n_subwords) AS DOUBLE) / SUM(seg.n_words), 6) END AS fertility
+       |FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   // ---- q149: Zipf slope of the term-frequency head -------------------------
   // The corpus-statistics sanity check (does the token distribution look
   // like natural language?): OLS of ln(frequency) on ln(rank) over the
@@ -744,6 +783,7 @@ object Retrieval extends QueryModule {
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
+    Q("q170_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),
     Q("q102_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),

@@ -767,6 +767,49 @@ object TextDedup extends QueryModule {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- q171: k-gram novelty score ----------------------------------------
+  // The graded complement of q68: instead of flagging training docs that
+  // share ANY eval gram, score every held-out doc (odd ids vs the even
+  // reference — the q98/q165 split convention) by the fraction of its
+  // distinct 5-gram hashes ABSENT from the reference. High novelty =
+  // fresh text; low = near-memorized. NULL for docs too short to carry
+  // a gram. Same radix-31 gram hashes as q68, so collisions mirror.
+
+  def gramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    DedupOps
+      .gramNovelty(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0),
+        shingleK = decontK)
+      .orderBy("doc_id")
+  }
+
+  private val gramNoveltySql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |mg AS (SELECT DISTINCT h FROM sh WHERE doc_id % 2 = 0),
+       |hg AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN mg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS shared
+       |  FROM sh s LEFT JOIN mg ON mg.h = s.h
+       |  WHERE s.doc_id % 2 <> 0
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(hg.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(hg.shared, 0) AS BIGINT) AS shared,
+       |  CASE WHEN COALESCE(hg.n_grams, 0) > 0 THEN round(CAST(1 AS DOUBLE) - CAST(hg.shared AS DOUBLE) / hg.n_grams, 6) END AS novelty
+       |FROM documents d LEFT JOIN hg ON hg.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- q138: standing decontamination store ------------------------------
   // Decontamination joins the standing-state family (q90 text bands,
   // q110 vectors, q119 phash, q126 segment frequencies): benchmarks are
@@ -1350,6 +1393,7 @@ object TextDedup extends QueryModule {
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),
     Q("q75_substring_decontam", substringDecontaminate, Some(substringDecontaminateSql)),
     Q("q112_substring_dedup", substringCorpusDedup, Some(substringCorpusDedupSql)),

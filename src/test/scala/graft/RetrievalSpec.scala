@@ -277,6 +277,19 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - want) < 1e-9, s"got ${r.getDouble(2)} want $want")
   }
 
+  test("q170 fertility: subwords-per-word rolls up by language") {
+    // 1 merge round: (a,a) f=6 merges → "aaab"→[aa,a,b]=3 subwords,
+    // "ab"→[a,b]=2. en: (2w,6s)+(2w,5s) → 11/4; fr: (1w,2s) → 2.0
+    val corpus = docs(
+      (0L, "aaab aaab", "en"), (1L, "aaab ab", "en"), (2L, "ab", "fr"))
+    val out = graft.queries.Retrieval.bpeFertilityOf(corpus, rounds = 1)
+      .orderBy("lang").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("en") === ((2L, 4L, 11L, 2.75)))
+    assert(out("fr") === ((1L, 1L, 2L, 2.0)))
+  }
+
   test("BPE merges: classic hand example, greedy runs, deterministic ties") {
     // corpus: "aaab" ×3, "ab" ×2 — char pairs: (a,a) f=6 (two per "aaab",
     // non-overlap counted per occurrence position BEFORE merging: pairs in

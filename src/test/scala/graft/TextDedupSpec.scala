@@ -15,6 +15,23 @@ class TextDedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("gramNovelty: shared fraction, fully-novel doc, and too-short NULL") {
+    // ref doc0 "a b c d": 2-grams {ab, bc, cd}
+    // held doc1 "a b c x": {ab, bc, cx} → shared 2/3, novelty 1/3
+    // held doc3 "z": no 2-gram → NULL novelty
+    // held doc5 "q r": {qr} → shared 0, novelty 1.0
+    val d = docs(0L -> "a b c d", 1L -> "a b c x", 3L -> "z", 5L -> "q r")
+    val out = DedupOps.gramNovelty(
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
+      shingleK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) === ((3L, 2L, Some(0.333333))))
+    assert(out(3L) === ((0L, 0L, None)))
+    assert(out(5L) === ((1L, 0L, Some(1.0))))
+  }
+
   test("exactDedup keeps the minimum doc_id per distinct text") {
     val d = docs(1L -> "x y z", 5L -> "x y z", 3L -> "a b c")
     val got = DedupOps.exactDedup(d).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
