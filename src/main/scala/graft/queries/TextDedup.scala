@@ -1362,8 +1362,10 @@ object TextDedup extends QueryModule {
           rowsPerBand = 4, threshold = 0.5))
       .orderBy("doc_id")
 
-  private val dedupClustersSql =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** The q66 chain through the min-label fixpoint (lbl) — shared with the
+    * q172 duplication profile. */
+  private val dedupClusterCtes =
+    s"""$minhashCtes,
        |pairs AS (
        |  SELECT m.doc_a, m.doc_b
        |  FROM com m
@@ -1380,18 +1382,61 @@ object TextDedup extends QueryModule {
        |  UNION
        |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.v = s.dst
        |),
-       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v)
+       |lbl AS (SELECT v, min(m) AS cluster FROM reach GROUP BY v)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $dedupClusterCtes
        |SELECT d.doc_id,
        |  COALESCE(l.cluster, d.doc_id) AS cluster,
        |  (COALESCE(l.cluster, d.doc_id) = d.doc_id) AS keep
        |FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q172: corpus duplication profile ----------------------------------
+  // The dedup REPORT a curation run ships with its output (the "what did
+  // dedup actually find" datacard row): the q66 near-dup clusters rolled
+  // into a cluster-size histogram — one row per size with the cluster
+  // and document counts. size = 1 is the untouched mass; the ≥ 2 tail is
+  // the duplication profile (n_docs − n_clusters docs would be dropped
+  // by keep-min). Oracle shares the q66 chain verbatim through the
+  // min-label fixpoint; only the rollup differs.
+  //
+  // Scale shape: q66's bucketed machinery (never all-pairs) + two
+  // bounded aggregations (cluster-keyed, then size-keyed — the second is
+  // histogram-sized). No window, no new data-sized exchange.
+
+  def dupProfile(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    DedupOps
+      .dedupClusters(docs,
+        DedupOps.minhashDupPairs(docs, shingleK = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.5))
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .selectExpr("CAST(size AS BIGINT) AS size", "n_clusters",
+        "CAST(size * n_clusters AS BIGINT) AS n_docs")
+      .orderBy("size")
+  }
+
+  private val dupProfileSql =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+       |cl AS (
+       |  SELECT COALESCE(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
+       |),
+       |cs AS (SELECT cluster, count(*) AS size FROM cl GROUP BY cluster)
+       |SELECT CAST(size AS BIGINT) AS size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY size
+       |ORDER BY size""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("q172_dup_profile", dupProfile, Some(dupProfileSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),

@@ -330,6 +330,25 @@ class TextDedupSpec extends SparkSpec {
       5L -> ((5L, true)), 7L -> ((7L, true)), 9L -> ((7L, false))))
   }
 
+  test("q172 dup profile is the cluster-size histogram and conserves the corpus") {
+    val s = spark
+    val out = graft.queries.TextDedup.dupProfile(s, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // independent histogram straight off the q66 cluster labels
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val labels = DedupOps
+      .dedupClusters(docs, DedupOps.minhashDupPairs(docs, 3, 16, 4, 0.5))
+      .collect().map(_.getLong(1))
+    val expect = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> ((cs.size.toLong, sz * cs.size)) }
+    assert(out === expect)
+    // conservation: every document lands in exactly one histogram row
+    assert(out.values.map(_._2).sum === labels.length.toLong)
+    // the fixture must actually exercise the ≥2 tail
+    assert(out.keySet.exists(_ >= 2L), "no dup cluster in fixture — test too weak")
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
