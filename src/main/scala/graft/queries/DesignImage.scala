@@ -850,8 +850,10 @@ object DesignImage extends QueryModule {
       .orderBy("p1", "p2")
   }
 
-  private def connectomeSql: String =
-    s"""WITH $centsSeriesCte,
+  /** The q168 chain through the thresholded edge relation (pe) — shared
+    * with the q173 graph metrics. */
+  private def connectomeCtes: String =
+    s"""$centsSeriesCte,
        |par AS (
        |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
        |    t, SUM(v) AS pv
@@ -871,7 +873,10 @@ object DesignImage extends QueryModule {
        |),
        |pe AS (
        |  SELECT p1, p2, r_par, $connEdgeStr AS edge FROM pairs
-       |),
+       |)""".stripMargin
+
+  private def connectomeSql: String =
+    s"""WITH $connectomeCtes,
        |deg AS (
        |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
        |    SELECT p1 AS p FROM pe WHERE edge = 1
@@ -886,6 +891,87 @@ object DesignImage extends QueryModule {
        |LEFT JOIN deg d1 ON d1.p = pe.p1
        |LEFT JOIN deg d2 ON d2.p = pe.p2
        |ORDER BY p1, p2""".stripMargin
+
+  // ---- q173: connectome graph metrics ------------------------------------
+  // The per-node graph layer over the q168 edges (Rubinov & Sporns 2010
+  // §"segregation"): per parcel, degree, TRIANGLE count, and the local
+  // clustering coefficient C_p = 2·T_p / (deg·(deg−1)) — NULL when deg <
+  // 2 leaves it undefined — plus the graph-level edge density every row
+  // carries. Triangles enumerate once each as a<b<c via two joins of the
+  // ordered edge list against itself; every relation past the q168
+  // moments is NP- or NP²-bounded (NP ≈ 10²–10³ at atlas scale:
+  // broadcast-class), so nothing here grows with the data. Oracle shares
+  // the q168 chain verbatim through pe (donor re-verified).
+
+  def graphMetrics(s: SparkSession, d: String): DataFrame =
+    graphMetricsCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  /** The q173 body from a q168-shaped (p1, p2, r_par, edge, …) pair
+    * relation — split out so specs can plant edge graphs. */
+  private[graft] def graphMetricsCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint() // NP²-bounded
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1).select("p1", "p2")
+    val deg = ones.select(col("p1").as("p"))
+      .union(ones.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    // a<b<c once per triangle: (a,b) joins (b,c), closed by (a,c)
+    val tri = ones.selectExpr("p1 AS a", "p2 AS b")
+      .join(ones.selectExpr("p1 AS b", "p2 AS c"), Seq("b"))
+      .join(ones.selectExpr("p1 AS a", "p2 AS c"), Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("tri"))
+    val glob = ones.agg(count(lit(1)).as("m"))
+      .crossJoin(parcels.agg(count(lit(1)).as("np")))
+    parcels
+      .join(broadcast(deg), Seq("p"), "left")
+      .join(broadcast(tri), Seq("p"), "left")
+      .na.fill(0L, Seq("deg", "tri"))
+      .crossJoin(broadcast(glob))
+      .selectExpr("p", "deg", "tri",
+        "CASE WHEN deg >= 2 THEN round(2.0 * tri / (CAST(deg AS DOUBLE) * (deg - 1)), 6) END AS c_coef",
+        "CASE WHEN np >= 2 THEN round(2.0 * m / (CAST(np AS DOUBLE) * (np - 1)), 6) END AS density")
+      .orderBy("p")
+  }
+
+  private def graphMetricsSql: String =
+    s"""WITH $connectomeCtes,
+       |parcels AS (SELECT p1 AS p FROM pe UNION SELECT p2 FROM pe),
+       |ones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |deg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM ones UNION ALL SELECT p2 FROM ones
+       |  ) GROUP BY p
+       |),
+       |tr AS (
+       |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       |  FROM ones e1
+       |  JOIN ones e2 ON e2.p1 = e1.p2
+       |  JOIN ones e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       |),
+       |tri AS (
+       |  SELECT u.p, CAST(count(*) AS BIGINT) AS tri
+       |  FROM tr, unnest([a, b, c]) AS u(p) GROUP BY u.p
+       |),
+       |gstats AS (
+       |  SELECT (SELECT count(*) FROM ones) AS m,
+       |         (SELECT count(*) FROM parcels) AS np
+       |)
+       |SELECT parcels.p,
+       |  CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+       |  CAST(COALESCE(tri.tri, 0) AS BIGINT) AS tri,
+       |  CASE WHEN COALESCE(deg.deg, 0) >= 2
+       |    THEN round(2.0 * COALESCE(tri.tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) END AS c_coef,
+       |  CASE WHEN gstats.np >= 2
+       |    THEN round(2.0 * gstats.m / (CAST(gstats.np AS DOUBLE) * (gstats.np - 1)), 6) END AS density
+       |FROM parcels
+       |LEFT JOIN deg ON deg.p = parcels.p
+       |LEFT JOIN tri ON tri.p = parcels.p
+       |CROSS JOIN gstats
+       |ORDER BY parcels.p""".stripMargin
 
   // ---- q169: one-pass resting-state panel --------------------------------
   // The analytical fan-in for the volume maps (the q162/q164 one-pass
@@ -1264,6 +1350,7 @@ object DesignImage extends QueryModule {
     Q("q166_ppi_glm", ppiGlm, Some(ppiGlmSql)),
     Q("q167_vmhc", vmhc, Some(vmhcSql)),
     Q("q168_connectome", connectome, Some(connectomeSql)),
+    Q("q173_graph_metrics", graphMetrics, Some(graphMetricsSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -128,6 +128,27 @@ class InferenceQcSpec extends SparkSpec {
     assert(rBC.isEmpty && eBC === 0L)
   }
 
+  // ---- q173 connectome graph metrics -------------------------------------
+
+  test("q173: hand graph — triangle members cluster, leaf and isolate are NULL") {
+    val s = spark
+    import s.implicits._
+    // triangle 0-1-2, pendant edge 2-3, isolate 4 (present via a non-edge)
+    val pairs = Seq(
+      (0, 1, 1L), (0, 2, 1L), (1, 2, 1L), (2, 3, 1L), (3, 4, 0L))
+      .toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.graphMetricsCore(pairs)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getDouble(4)))).toMap
+    assert(out.keySet === Set(0, 1, 2, 3, 4))
+    assert(out(0) === ((2L, 1L, Some(1.0), 0.4)))
+    assert(out(1) === ((2L, 1L, Some(1.0), 0.4)))
+    assert(out(2) === ((3L, 1L, Some(0.333333), 0.4)))
+    assert(out(3)._1 === 1L && out(3)._3.isEmpty, "deg-1 leaf: C undefined")
+    assert(out(4) === ((0L, 0L, None, 0.4)), "isolate: deg 0, C undefined")
+  }
+
   // ---- q169 resting-state panel ------------------------------------------
 
   test("q169: the panel equals the standalone maps joined, row for row") {
