@@ -517,6 +517,115 @@ object Similarity extends QueryModule {
        |FROM percell WHERE rank <= 5
        |ORDER BY cell, rank""".stripMargin
 
+  // ---- q174: embedding-space drift monitor (q101's vector twin) -----------
+  // The retrain signal a frozen ANN index needs: assign EVERY vector to
+  // the q65-trained centroids (the frozen quantizer), split the corpus
+  // into reference (vec_id % 3 == 0, mirroring q101) and current slices,
+  // and report per cell the occupancy shift (share_cur − share_ref) plus
+  // the cosine between the two slices' mean vectors (from exact
+  // fixed-point coordinate sums; the scale cancels in the ratio). Cell
+  // occupancy drifting or slice means decorrelating is exactly "the
+  // quantizer no longer fits the data" — when it trips, retrain (q65)
+  // and rebuild (q110).
+  //
+  // Determinism: per-slice sums are exact int64 (vec_sum_fixed); the
+  // cross-moment terms are integer-quantized PER j (÷1e6, int64-safe at
+  // |s| ≤ n·2^20·|v|) before the order-free integer sum; cos is one
+  // shared double expression over exact ints. Scale shape: assignment is
+  // the k×d-literal projection (no shuffle); ONE data-sized exchange for
+  // the (cell, slice) sums (map-side combined to 2k rows); everything
+  // after is k-bounded.
+
+  def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    embeddingDriftCore(
+      SimilarityOps.semAssigned(embeddings(s, d), kmK, kmIters)
+        .withColumn("is_ref", col("vec_id") % 3 === 0))
+
+  /** The q174 body from an assigned (vec_id, v, cell, is_ref) relation —
+    * split out so specs can plant slice geometries. */
+  private[graft] def embeddingDriftCore(assigned: DataFrame): DataFrame = {
+    import graft.functions.VecSumFixed.vec_sum_fixed
+    val per = assigned
+      .groupBy("cell", "is_ref")
+      .agg(count(lit(1)).as("n"), vec_sum_fixed(col("v"), kmScale).as("sv"))
+    val ref = per.filter(col("is_ref"))
+      .select(col("cell"), col("n").as("n_ref"), col("sv").as("s_ref"))
+    val cur = per.filter(!col("is_ref"))
+      .select(col("cell"), col("n").as("n_cur"), col("sv").as("s_cur"))
+    def momFp(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> " +
+        "CAST(round(CAST(x AS DOUBLE) * y / 1e6, 0) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    ref.join(cur, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(
+        per.agg(sum(when(col("is_ref"), col("n")).otherwise(0L)).as("t_ref"),
+          sum(when(!col("is_ref"), col("n")).otherwise(0L)).as("t_cur"))))
+      .selectExpr("cell", "n_ref", "n_cur",
+        "round(CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref, 6) AS shift",
+        s"${momFp("s_ref", "s_cur")} AS dot_fp",
+        s"${momFp("s_ref", "s_ref")} AS na2_fp",
+        s"${momFp("s_cur", "s_cur")} AS nb2_fp")
+      .selectExpr("cell", "n_ref", "n_cur", "shift",
+        "CASE WHEN na2_fp > 0 AND nb2_fp > 0 THEN " +
+          "round(CAST(dot_fp AS DOUBLE) / (sqrt(CAST(na2_fp AS DOUBLE)) * sqrt(CAST(nb2_fp AS DOUBLE))), 6) " +
+          "END AS mean_cos")
+      .orderBy("cell")
+  }
+
+  private def embeddingDriftSql: String =
+    s"""WITH $duckCorpus,
+       |${kmIterCtesSql(withFinalCent = true)},
+       |scoredc AS (
+       |  SELECT n.vec_id, n.v, c.cell,
+       |    ${duckDot("n.v", "c.cv")} / (n.norm * sqrt(${duckDot("c.cv", "c.cv")})) AS cs
+       |  FROM normed n CROSS JOIN c$kmIters c
+       |),
+       |assigned AS (
+       |  SELECT vec_id, v, cell, (vec_id % 3 = 0) AS is_ref FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1
+       |),
+       |nc AS (
+       |  SELECT cell, is_ref, CAST(count(*) AS BIGINT) AS n
+       |  FROM assigned GROUP BY 1, 2
+       |),
+       |sj AS (
+       |  SELECT cell, is_ref, r.j,
+       |    SUM(CAST(round(v[r.j + 1] * $kmScale.0) AS BIGINT)) AS s
+       |  FROM assigned CROSS JOIN range($kmDim) r(j) GROUP BY 1, 2, 3
+       |),
+       |mom AS (
+       |  SELECT a.cell,
+       |    SUM(CAST(round(CAST(a.s AS DOUBLE) * b.s / 1e6, 0) AS BIGINT)) AS dot_fp,
+       |    SUM(CAST(round(CAST(a.s AS DOUBLE) * a.s / 1e6, 0) AS BIGINT)) AS na2_fp,
+       |    SUM(CAST(round(CAST(b.s AS DOUBLE) * b.s / 1e6, 0) AS BIGINT)) AS nb2_fp
+       |  FROM sj a JOIN sj b ON b.cell = a.cell AND b.j = a.j
+       |  WHERE a.is_ref AND NOT b.is_ref
+       |  GROUP BY a.cell
+       |),
+       |cellsfull AS (
+       |  SELECT COALESCE(r.cell, c.cell) AS cell,
+       |    COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+       |  FROM (SELECT cell, n FROM nc WHERE is_ref) r
+       |  FULL OUTER JOIN (SELECT cell, n FROM nc WHERE NOT is_ref) c
+       |    ON c.cell = r.cell
+       |),
+       |tot AS (
+       |  SELECT SUM(CASE WHEN is_ref THEN n ELSE 0 END) AS t_ref,
+       |         SUM(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS t_cur
+       |  FROM nc
+       |)
+       |SELECT CAST(f.cell AS BIGINT) AS cell, f.n_ref, f.n_cur,
+       |  round(CAST(f.n_cur AS DOUBLE) / t.t_cur - CAST(f.n_ref AS DOUBLE) / t.t_ref, 6) AS shift,
+       |  CASE WHEN m.na2_fp > 0 AND m.nb2_fp > 0 THEN
+       |    round(CAST(m.dot_fp AS DOUBLE) / (sqrt(CAST(m.na2_fp AS DOUBLE)) * sqrt(CAST(m.nb2_fp AS DOUBLE))), 6)
+       |  END AS mean_cos
+       |FROM cellsfull f
+       |LEFT JOIN mom m ON m.cell = f.cell
+       |CROSS JOIN tot t
+       |ORDER BY cell""".stripMargin
+
   // ---- q77: near-dup cluster resolution over COSINE pairs (q29 ∘ q66) ---
   // dedupClusters is detector-agnostic: here the pair graph comes from
   // embedding cosine (q29's detector) instead of MinHash, and the same
@@ -1180,6 +1289,7 @@ object Similarity extends QueryModule {
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),
     Q("q77_cosine_clusters", cosineClusters, Some(cosineClustersSql)),
     Q("q84_kmeans_coreset", kmeansCoreset, Some(kmeansCoresetSql)),
+    Q("q174_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Q("q89_int8_quant", int8Quant, Some(int8QuantSql)),
     Q("q92_int8_serve", int8Serve, Some(int8ServeSql)),
     Q("q105_pq_train", pqTrain, Some(pqTrainSql)),

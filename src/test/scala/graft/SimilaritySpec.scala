@@ -620,4 +620,28 @@ class SimilaritySpec extends SparkSpec {
       assert(got((2, q))._1 >= got((1, q))._1, s"nDCG monotone in nprobe (query $q)")
     }
   }
+
+  test("q174: same-direction slices cos 1, inverted -1, empty slice NULL; shares shift") {
+    val s = spark
+    import s.implicits._
+    // cell 0: ref 2× e1, cur 3× 2e1 (same direction, larger magnitude)
+    // cell 1: ref e2 vs cur −e2 (inverted); cell 2: ref-only
+    val assigned = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0L, true),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0), 0L, true),
+      (3L, Seq(2.0, 0.0, 0.0, 0.0), 0L, false),
+      (4L, Seq(2.0, 0.0, 0.0, 0.0), 0L, false),
+      (5L, Seq(2.0, 0.0, 0.0, 0.0), 0L, false),
+      (6L, Seq(0.0, 1.0, 0.0, 0.0), 1L, true),
+      (7L, Seq(0.0, -1.0, 0.0, 0.0), 1L, false),
+      (8L, Seq(0.0, 0.0, 1.0, 0.0), 2L, true),
+    ).toDF("vec_id", "v", "cell", "is_ref")
+    val out = graft.queries.Similarity.embeddingDriftCore(assigned)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((2L, 3L, 0.25, Some(1.0))), s"cell 0: ${out(0L)}")
+    assert(out(1L) === ((1L, 1L, 0.0, Some(-1.0))), s"cell 1: ${out(1L)}")
+    assert(out(2L) === ((1L, 0L, -0.25, None)), s"cell 2: ${out(2L)}")
+  }
 }
