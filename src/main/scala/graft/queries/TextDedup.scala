@@ -1431,12 +1431,124 @@ object TextDedup extends QueryModule {
        |FROM cs GROUP BY size
        |ORDER BY size""".stripMargin
 
+  // ---- q175: corpus datacard ----------------------------------------------
+  // The dataset nutrition label a curation run publishes with its output
+  // (Gebru et al. 2021 "Datasheets for Datasets" rendered as a query):
+  // one (metric, value) relation carrying size (n_docs / n_tokens /
+  // mean_doc_tokens), language mix (n_langs, Shannon entropy with
+  // per-term 1e12 quantization over the |langs|-bounded relation),
+  // duplication (share of docs keep-min would drop — the q66 chain),
+  // contamination (share of train docs flagged by q68's 5-gram rule),
+  // and quality (mean stopword ratio, per-doc 1e6-quantized before the
+  // exact sum). Each family is one corpus pass feeding a bounded
+  // aggregate; the dedup chain is the only non-trivial cost and it is
+  // the bucketed q66 machinery. Oracle shares the q66 and q68 CTE
+  // chains verbatim (suffix-renamed where names collide).
+
+  def datacard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .selectExpr("stack(4, " +
+        "'n_docs', CAST(n_docs AS DOUBLE), " +
+        "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+        "'n_langs', CAST(n_langs AS DOUBLE), " +
+        "'mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) / n_docs, 6)" +
+        ") AS (metric, value)")
+    val lc = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("n"))))
+      .selectExpr("CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) * 1e12, 0) AS BIGINT) AS t")
+      .agg(expr("round(-CAST(SUM(t) AS DOUBLE) / 1e12, 6)").as("value"))
+      .selectExpr("'lang_entropy' AS metric", "value")
+    val dup = DedupOps
+      .dedupClusters(docs,
+        DedupOps.minhashDupPairs(docs, shingleK = 3, numHashes = 16,
+          rowsPerBand = 4, threshold = 0.5))
+      .agg(countDistinct(col("cluster")).as("nc"), count(lit(1)).as("nd"))
+      .selectExpr("'dup_doc_share' AS metric",
+        "round(CAST(nd - nc AS DOUBLE) / nd, 6) AS value")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val contam = DedupOps
+      .contaminationFlags(train, docs.filter(col("doc_id") % 97 === 0),
+        shingleK = decontK)
+      .agg(count(lit(1)).as("n_contam"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train"))))
+      .selectExpr("'contaminated_share' AS metric",
+        "round(CAST(n_contam AS DOUBLE) / n_train, 6) AS value")
+    val qual = TextOps.qualityStats(docs, Seq("the", "a"))
+      .agg(sum(expr("CAST(round(stopword_ratio * 1e6, 0) AS BIGINT)")).as("sfp"),
+        count(lit(1)).as("n"))
+      .selectExpr("'mean_stopword_ratio' AS metric",
+        "round(CAST(sfp AS DOUBLE) / 1e6 / n, 6) AS value")
+    base.union(ent).union(dup).union(contam).union(qual).orderBy("metric")
+  }
+
+  private val datacardSql =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+       |base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents
+       |),
+       |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang),
+       |lct AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lc),
+       |ent AS (
+       |  SELECT round(-CAST(SUM(CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS v
+       |  FROM lc CROSS JOIN lct
+       |),
+       |dupstat AS (
+       |  SELECT CAST(count(DISTINCT COALESCE(l.cluster, d.doc_id)) AS BIGINT) AS nc,
+       |    CAST(count(*) AS BIGINT) AS nd
+       |  FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
+       |),
+       |toks_dc AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |sh_dc AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks_dc, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |ev_dc AS (SELECT DISTINCT h FROM sh_dc WHERE doc_id % 97 = 0),
+       |cstat AS (
+       |  SELECT (SELECT count(DISTINCT s.doc_id) FROM sh_dc s JOIN ev_dc e USING (h)
+       |          WHERE s.doc_id % 97 <> 0) AS n_contam,
+       |         (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) AS n_train
+       |),
+       |tq AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN u.t IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
+       |  GROUP BY doc_id
+       |),
+       |qstat AS (
+       |  SELECT CAST(SUM(CAST(round(round(CAST(nstop AS DOUBLE) / n_tokens, 6) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sfp,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM tq
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+       |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+       |  UNION ALL SELECT 'mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM base
+       |  UNION ALL SELECT 'lang_entropy', v FROM ent
+       |  UNION ALL SELECT 'dup_doc_share', round(CAST(nd - nc AS DOUBLE) / nd, 6) FROM dupstat
+       |  UNION ALL SELECT 'contaminated_share', round(CAST(n_contam AS DOUBLE) / n_train, 6) FROM cstat
+       |  UNION ALL SELECT 'mean_stopword_ratio', round(CAST(sfp AS DOUBLE) / 1e6 / n, 6) FROM qstat
+       |)
+       |ORDER BY metric""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q172_dup_profile", dupProfile, Some(dupProfileSql)),
+    Q("q175_datacard", datacard, Some(datacardSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),

@@ -349,6 +349,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out.keySet.exists(_ >= 2L), "no dup cluster in fixture — test too weak")
   }
 
+  test("q175 datacard: every metric equals its independent recomputation") {
+    val s = spark
+    val out = graft.queries.TextDedup.datacard(s, sf0001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+    val n = docs.count().toDouble
+    assert(out("n_docs") === n)
+    val nTok = docs.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS t")
+      .agg(org.apache.spark.sql.functions.sum(col("t"))).head().getLong(0)
+    assert(out("n_tokens") === nTok.toDouble)
+    assert(out("mean_doc_tokens") ===
+      BigDecimal(nTok / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val nLangs = docs.select("lang").distinct().count().toDouble
+    assert(out("n_langs") === nLangs)
+    assert(out("lang_entropy") > 0.0 && out("lang_entropy") <= math.log(nLangs) + 1e-9)
+    val nc = DedupOps
+      .dedupClusters(docs.select("doc_id", "text"),
+        DedupOps.minhashDupPairs(docs.select("doc_id", "text"), 3, 16, 4, 0.5))
+      .select("cluster").distinct().count()
+    assert(out("dup_doc_share") ===
+      BigDecimal((n - nc) / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val nTrain = docs.filter(col("doc_id") % 97 =!= 0).count().toDouble
+    val nContam = DedupOps.contaminationFlags(
+      docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text"), 5).count()
+    assert(out("contaminated_share") ===
+      BigDecimal(nContam / nTrain).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out("mean_stopword_ratio") > 0.0 && out("mean_stopword_ratio") < 1.0)
+    assert(out.size === 8)
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
