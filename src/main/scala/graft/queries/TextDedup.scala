@@ -1542,6 +1542,106 @@ object TextDedup extends QueryModule {
        |)
        |ORDER BY metric""".stripMargin
 
+  // ---- q176: standing datacard ---------------------------------------------
+  // q175 maintained INCREMENTALLY: the nightly admission updates every
+  // datacard metric from standing state + the increment alone — no
+  // standing-corpus text is rescanned. Standing state: the q107 band
+  // index + cluster labels (dup share via incrementalClusters — the
+  // append ≡ rebuild precedent), the q138 eval-gram store (increment
+  // contamination probe; the increment is train-only by construction,
+  // so the standing eval slice stays complete), and additive scalars
+  // (doc/token/quality-fixed-point sums + |langs|-bounded lang counts)
+  // persisted at build. Every metric is additive or bounded-mergeable,
+  // so the probe costs one increment pass + bucket-co-located index
+  // probes. Oracle: the q175 chain VERBATIM on the union — the
+  // hash-match IS the append ≡ rebuild proof at the datacard grain.
+
+  def standingDatacard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isEval = col("doc_id") % 97 === 0
+    val standingPred = (col("doc_id") % 10 >= 2) || isEval
+    val standing = docs.filter(standingPred)
+    val inc = docs.filter(!standingPred) // train-only by construction
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val idxName = s"graft_dcard_idx_$tag"
+    val idxLoc = s"${sys.props("java.io.tmpdir")}/graft_dcard_idx/$tag"
+    val gramName = s"graft_dcard_evalgrams_$tag"
+    val gramLoc = s"${sys.props("java.io.tmpdir")}/graft_dcard_evalgrams/$tag"
+    def ok(sub: String) = try {
+      val p = new org.apache.hadoop.fs.Path(s"$idxLoc/$sub/_SUCCESS")
+      p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+    } catch { case _: Throwable => false }
+    if (!DedupOps.bandIndexMatches(s, idxName, d) ||
+        !ok("labels") || !ok("scalars") || !ok("langs")) {
+      DedupOps
+        .dedupClusters(standing,
+          DedupOps.minhashDupPairs(standing, shingleK = 3, numHashes = 16,
+            rowsPerBand = 4, threshold = 0.5))
+        .select("doc_id", "cluster")
+        .write.mode("overwrite").parquet(s"$idxLoc/labels")
+      standing.groupBy("lang").agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$idxLoc/langs")
+      val contamStanding = DedupOps
+        .contaminationFlags(standing.filter(!isEval), standing.filter(isEval),
+          shingleK = decontK)
+        .agg(count(lit(1)).as("n_contam"))
+      TextOps.qualityStats(standing, Seq("the", "a"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(expr("CAST(round(stopword_ratio * 1e6, 0) AS BIGINT)")).as("sfp"),
+          sum(when(!isEval, 1L).otherwise(0L)).as("n_train"))
+        .crossJoin(contamStanding)
+        .write.mode("overwrite").parquet(s"$idxLoc/scalars")
+      DedupOps.buildBandIndex(s, standing, idxName,
+        shingleK = 3, numHashes = 16, rowsPerBand = 4,
+        location = idxLoc, buckets = 8, datasetTag = d)
+    }
+    if (!DedupOps.evalGramStoreMatches(s, gramName, d)) {
+      DedupOps.buildEvalGramStore(s, docs.filter(isEval), gramName, decontK,
+        location = gramLoc, datasetTag = d)
+    }
+    // ---- probe: increment pass + standing state only ----
+    val st = s.read.parquet(s"$idxLoc/scalars")
+      .selectExpr("n_docs AS st_docs", "n_tokens AS st_tokens",
+        "sfp AS st_sfp", "n_train AS st_train", "n_contam AS st_contam")
+    val incAgg = TextOps.qualityStats(inc, Seq("the", "a"))
+      .agg(count(lit(1)).as("in_docs"),
+        sum(col("n_tokens")).as("in_tokens"),
+        sum(expr("CAST(round(stopword_ratio * 1e6, 0) AS BIGINT)")).as("in_sfp"))
+    val incContam = DedupOps.probeContamination(s, inc, gramName)
+      .agg(count(lit(1)).as("in_contam"))
+    val merged = incAgg.crossJoin(broadcast(st)).crossJoin(broadcast(incContam))
+      .selectExpr(
+        "st_docs + in_docs AS n_docs",
+        "st_tokens + COALESCE(in_tokens, 0) AS n_tokens",
+        "st_sfp + COALESCE(in_sfp, 0) AS sfp",
+        "st_train + in_docs AS n_train",
+        "st_contam + in_contam AS n_contam")
+    val lc = s.read.parquet(s"$idxLoc/langs")
+      .unionByName(inc.groupBy("lang").agg(count(lit(1)).as("c")))
+      .groupBy("lang").agg(sum(col("c")).as("c"))
+    val nLangs = lc.agg(count(lit(1)).as("n_langs"))
+    val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("n"))))
+      .selectExpr("CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) * 1e12, 0) AS BIGINT) AS t")
+      .agg(expr("round(-CAST(SUM(t) AS DOUBLE) / 1e12, 6)").as("value"))
+      .selectExpr("'lang_entropy' AS metric", "value")
+    val nc = DedupOps
+      .incrementalClusters(s, s.read.parquet(s"$idxLoc/labels"), inc,
+        idxName, threshold = 0.5)
+      .agg(countDistinct(col("cluster")).as("nc"))
+    val base = merged.crossJoin(broadcast(nLangs)).crossJoin(broadcast(nc))
+      .selectExpr("stack(7, " +
+        "'n_docs', CAST(n_docs AS DOUBLE), " +
+        "'n_tokens', CAST(n_tokens AS DOUBLE), " +
+        "'n_langs', CAST(n_langs AS DOUBLE), " +
+        "'mean_doc_tokens', round(CAST(n_tokens AS DOUBLE) / n_docs, 6), " +
+        "'dup_doc_share', round(CAST(n_docs - nc AS DOUBLE) / n_docs, 6), " +
+        "'contaminated_share', round(CAST(n_contam AS DOUBLE) / n_train, 6), " +
+        "'mean_stopword_ratio', round(CAST(sfp AS DOUBLE) / 1e6 / n_docs, 6)" +
+        ") AS (metric, value)")
+    base.union(ent).orderBy("metric")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
@@ -1549,6 +1649,7 @@ object TextDedup extends QueryModule {
     Q("q66_dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("q172_dup_profile", dupProfile, Some(dupProfileSql)),
     Q("q175_datacard", datacard, Some(datacardSql)),
+    Q("q176_standing_datacard", standingDatacard, Some(datacardSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),

@@ -380,6 +380,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size === 8)
   }
 
+  test("q176 standing datacard equals the full-recompute datacard, bit for bit") {
+    val s = spark
+    val full = graft.queries.TextDedup.datacard(s, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val standing = graft.queries.TextDedup.standingDatacard(s, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(standing === full)
+    // the pin is only meaningful if the increment is non-empty
+    val nInc = s.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") % 10 < 2 && col("doc_id") % 97 =!= 0).count()
+    assert(nInc > 0, "fixture increment is empty — pin proves nothing")
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
