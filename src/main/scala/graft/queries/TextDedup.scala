@@ -1620,15 +1620,26 @@ object TextDedup extends QueryModule {
     val lc = s.read.parquet(s"$idxLoc/langs")
       .unionByName(inc.groupBy("lang").agg(count(lit(1)).as("c")))
       .groupBy("lang").agg(sum(col("c")).as("c"))
+    val nc = DedupOps
+      .incrementalClusters(s, s.read.parquet(s"$idxLoc/labels"), inc,
+        idxName, threshold = 0.5)
+      .agg(countDistinct(col("cluster")).as("nc"))
+    datacardFromState(merged, lc, nc)
+  }
+
+  /** The datacard's metric assembly from its bounded state relations —
+    * shared by [[standingDatacard]] and the streaming admission twin so
+    * both produce bit-identical metric rows. `merged`: one row of
+    * (n_docs, n_tokens, sfp, n_train, n_contam); `lc`: the
+    * |langs|-bounded counts; `nc`: one row of the distinct-cluster
+    * count. */
+  private[graft] def datacardFromState(merged: DataFrame, lc: DataFrame,
+      nc: DataFrame): DataFrame = {
     val nLangs = lc.agg(count(lit(1)).as("n_langs"))
     val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("n"))))
       .selectExpr("CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) * 1e12, 0) AS BIGINT) AS t")
       .agg(expr("round(-CAST(SUM(t) AS DOUBLE) / 1e12, 6)").as("value"))
       .selectExpr("'lang_entropy' AS metric", "value")
-    val nc = DedupOps
-      .incrementalClusters(s, s.read.parquet(s"$idxLoc/labels"), inc,
-        idxName, threshold = 0.5)
-      .agg(countDistinct(col("cluster")).as("nc"))
     val base = merged.crossJoin(broadcast(nLangs)).crossJoin(broadcast(nc))
       .selectExpr("stack(7, " +
         "'n_docs', CAST(n_docs AS DOUBLE), " +

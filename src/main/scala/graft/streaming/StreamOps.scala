@@ -673,6 +673,74 @@ object StreamOps {
       ()
     }
 
+  /** Streaming twin of the q176 standing datacard: each micro-batch of
+    * arriving (train-only) documents is admitted into ALL the datacard's
+    * standing state — band index + cluster labels (the
+    * [[streamingIncrementalClusters]] body), additive scalars (doc /
+    * token / quality-fixed-point / contamination counts via a probe of
+    * the standing eval-gram store), and |langs|-bounded lang counts —
+    * and the full 8-metric datacard is appended to `outPath` stamped
+    * with the batch id: the card is CURRENT after every admission, at
+    * increment cost. Metric assembly is the shared
+    * `TextDedup.datacardFromState`, so rows are bit-identical to
+    * q175/q176 on the same state. Replay guard + sibling-swap label
+    * store as in the cluster twin; scalars/langs are rewritten through
+    * the same `.next`/`.bak` swap (tiny relations, same crash
+    * semantics). */
+  def streamingDatacardAdmission(docs: DataFrame, idxName: String,
+      gramName: String, statePath: String, outPath: String,
+      threshold: Double, stopwords: Seq[String]): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch0: DataFrame, batchId: Long) =>
+      val s = batch0.sparkSession
+      val labelsPath = s"$statePath/labels"
+      val scalarsPath = s"$statePath/scalars"
+      val langsPath = s"$statePath/langs"
+      def swapInto(path: String)(write: String => Unit): Unit = {
+        val live = new org.apache.hadoop.fs.Path(path)
+        val next = new org.apache.hadoop.fs.Path(path + ".next")
+        val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+        val fs = live.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(next, true); fs.delete(bak, true)
+        write(next.toString)
+        fs.rename(live, bak); fs.rename(next, live); fs.delete(bak, true)
+      }
+      val standing = s.read.parquet(labelsPath).select("doc_id", "cluster")
+      val batch = batch0.join(standing, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val updated = graft.dedup.DedupOps
+        .incrementalClusters(s, standing, batch, idxName, threshold)
+        .localCheckpoint()
+      graft.dedup.DedupOps.appendToBandIndex(s, batch, idxName,
+        idempotent = true)
+      // additive scalar fold (COALESCE: an empty/replayed batch adds 0)
+      val merged = s.read.parquet(scalarsPath)
+        .crossJoin(graft.text.TextOps.qualityStats(batch, stopwords)
+          .agg(count(lit(1)).as("b_docs"),
+            sum(col("n_tokens")).as("b_tokens"),
+            sum(expr("CAST(round(stopword_ratio * 1e6, 0) AS BIGINT)")).as("b_sfp")))
+        .crossJoin(graft.dedup.DedupOps.probeContamination(s, batch, gramName)
+          .agg(count(lit(1)).as("b_contam")))
+        .selectExpr(
+          "n_docs + b_docs AS n_docs",
+          "n_tokens + COALESCE(b_tokens, 0) AS n_tokens",
+          "sfp + COALESCE(b_sfp, 0) AS sfp",
+          "n_train + b_docs AS n_train",
+          "n_contam + b_contam AS n_contam")
+        .localCheckpoint()
+      val lc = s.read.parquet(langsPath)
+        .unionByName(batch.groupBy("lang").agg(count(lit(1)).as("c")))
+        .groupBy("lang").agg(sum(col("c")).as("c"))
+        .localCheckpoint()
+      val nc = updated.agg(countDistinct(col("cluster")).as("nc"))
+      graft.queries.TextDedup.datacardFromState(merged, lc, nc)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outPath)
+      swapInto(labelsPath)(updated.select("doc_id", "cluster").write.parquet(_))
+      swapInto(scalarsPath)(merged.write.parquet(_))
+      swapInto(langsPath)(lc.write.parquet(_))
+      ()
+    }
+
   /** Drain an AvailableNow stream into an in-memory table and return its
     * final contents — the deterministic test harness for streaming ops. */
   def runToMemory(spark: SparkSession, writer: DataStreamWriter[Row],

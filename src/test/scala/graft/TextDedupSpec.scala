@@ -393,6 +393,72 @@ class TextDedupSpec extends SparkSpec {
     assert(nInc > 0, "fixture increment is empty — pin proves nothing")
   }
 
+  test("q176 streaming twin: per-batch datacard admission ends at the full card; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val docs = s.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val isEval = col("doc_id") % 97 === 0
+    val standing = docs.filter((col("doc_id") % 10 >= 2) || isEval)
+    val b1 = docs.filter(col("doc_id") % 10 === 0 && !isEval)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val b2 = docs.filter(col("doc_id") % 10 === 1 && !isEval)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val idxName = "graft_test_dcard_idx"
+    val gramName = "graft_test_dcard_grams"
+    Seq("bands", "docs", "texts", "meta").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS ${idxName}_$t"))
+    Seq("grams", "docs", "meta").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS ${gramName}_$t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dcard").toString
+    // standing state, exactly the q176 build
+    DedupOps
+      .dedupClusters(standing,
+        DedupOps.minhashDupPairs(standing, 3, 16, 4, 0.5))
+      .select("doc_id", "cluster").write.parquet(s"$dir/state/labels")
+    standing.groupBy("lang").agg(count(lit(1)).as("c"))
+      .write.parquet(s"$dir/state/langs")
+    graft.text.TextOps.qualityStats(standing, Seq("the", "a"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(org.apache.spark.sql.functions
+          .expr("CAST(round(stopword_ratio * 1e6, 0) AS BIGINT)")).as("sfp"),
+        sum(when(!isEval, 1L).otherwise(0L)).as("n_train"))
+      .crossJoin(DedupOps
+        .contaminationFlags(standing.filter(!isEval), standing.filter(isEval), 5)
+        .agg(count(lit(1)).as("n_contam")))
+      .write.parquet(s"$dir/state/scalars")
+    DedupOps.buildBandIndex(s, standing, idxName, shingleK = 3,
+      numHashes = 16, rowsPerBand = 4, location = s"$dir/idx", buckets = 4)
+    DedupOps.buildEvalGramStore(s, docs.filter(isEval), gramName, 5,
+      location = s"$dir/grams")
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.streamingDatacardAdmission(
+      ms.toDF().toDF("doc_id", "text", "lang"), idxName, gramName,
+      s"$dir/state", s"$dir/cards", threshold = 0.5,
+      stopwords = Seq("the", "a")).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val after2 = s.read.parquet(s"$dir/state/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ms.addData(b2); q.processAllAvailable() // at-least-once replay
+      val after3 = s.read.parquet(s"$dir/state/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after3 === after2, "replayed batch changed the label store")
+    } finally q.stop()
+    val cards = s.read.parquet(s"$dir/cards")
+      .collect().map(r => (r.getLong(2), r.getString(0), r.getDouble(1)))
+    val full = graft.queries.TextDedup.datacard(s, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(cards.filter(_._1 == 1L).map(c => (c._2, c._3)).toSet === full,
+      "card after the final admission must equal the full-recompute datacard")
+    assert(cards.filter(_._1 == 2L).map(c => (c._2, c._3)).toSet === full,
+      "replayed batch must re-emit the same card, not drift the state")
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
