@@ -1627,6 +1627,121 @@ object TextDedup extends QueryModule {
     datacardFromState(merged, lc, nc)
   }
 
+  // ---- q177: per-source mix report -----------------------------------------
+  // The domain-mixing view the q175 corpus-level card can't give: per
+  // source, size (docs / tokens / token share of the corpus), dominant
+  // language (ties to the lexically smallest), quality (mean stopword
+  // ratio, per-doc 1e6-quantized), and contamination rate within the
+  // source's train docs — what a mixture designer reads before setting
+  // per-domain sampling weights (the q87/q144 inputs). One corpus pass
+  // for the per-doc stats, one for the lang counts, the q68 gram chain
+  // for flags; every post-pass relation is |sources|- or
+  // |sources×langs|-bounded (the top-lang window runs on ~100 rows).
+
+  def sourceMix(s: SparkSession, d: String): DataFrame =
+    sourceMixCore(documents(s, d))
+
+  /** The q177 body from a (doc_id, text, lang, source) relation — split
+    * out so specs can plant per-source corpora. */
+  private[graft] def sourceMixCore(docs: DataFrame): DataFrame = {
+    import graft.functions.TextExprs
+    val perDoc = docs.select(col("doc_id"), col("source"),
+        TextExprs.token_stats(col("text"), Seq("the", "a")).as("ts"))
+      .selectExpr("doc_id", "source", "ts.n_tokens AS n_tokens",
+        "CAST(round(round(CAST(ts.nstop AS DOUBLE) / ts.n_tokens, 6) * 1e6, 0) AS BIGINT) AS sr_fp")
+    val bySrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sr_fp")).as("sfp"))
+    val top = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c"))
+    val flagged = DedupOps
+      .contaminationFlags(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), shingleK = decontK)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_contam"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .groupBy("source").agg(count(lit(1)).as("n_train"))
+    bySrc
+      .join(broadcast(top), Seq("source"))
+      .join(broadcast(train), Seq("source"), "left")
+      .join(broadcast(flagged), Seq("source"), "left")
+      .na.fill(0L, Seq("n_contam", "n_train"))
+      .crossJoin(broadcast(bySrc.agg(sum(col("n_tokens")).as("tt"))))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share",
+        "top_lang",
+        "round(CAST(c AS DOUBLE) / n_docs, 6) AS top_lang_share",
+        "CASE WHEN n_train > 0 THEN round(CAST(n_contam AS DOUBLE) / n_train, 6) END AS contam_share",
+        "round(CAST(sfp AS DOUBLE) / 1e6 / n_docs, 6) AS mean_stopword_ratio")
+      .orderBy("source")
+  }
+
+  private val sourceMixSql =
+    s"""WITH tq AS (
+       |  SELECT doc_id, source, count(*) AS n_tokens,
+       |    sum(CASE WHEN u.t IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |    unnest(w) AS u(t)
+       |  GROUP BY doc_id, source
+       |),
+       |pd AS (
+       |  SELECT source, n_tokens,
+       |    CAST(round(round(CAST(nstop AS DOUBLE) / n_tokens, 6) * 1e6, 0) AS BIGINT) AS sr_fp
+       |  FROM tq
+       |),
+       |bysrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(sr_fp) AS BIGINT) AS sfp
+       |  FROM pd GROUP BY source
+       |),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM bysrc),
+       |bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+       |       FROM documents GROUP BY 1, 2),
+       |top AS (
+       |  SELECT source, lang AS top_lang, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+       |    FROM bl) WHERE rn = 1
+       |),
+       |toks_sm AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |sh_sm AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks_sm, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |ev_sm AS (SELECT DISTINCT h FROM sh_sm WHERE doc_id % 97 = 0),
+       |fl AS (
+       |  SELECT s.doc_id FROM sh_sm s JOIN ev_sm e USING (h)
+       |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+       |),
+       |flsrc AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_contam
+       |  FROM fl JOIN documents d USING (doc_id) GROUP BY d.source
+       |),
+       |trsrc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_train
+       |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+       |)
+       |SELECT b.source, b.n_docs, b.n_tokens,
+       |  round(CAST(b.n_tokens AS DOUBLE) / t.tt, 6) AS token_share,
+       |  p.top_lang,
+       |  round(CAST(p.c AS DOUBLE) / b.n_docs, 6) AS top_lang_share,
+       |  CASE WHEN COALESCE(r.n_train, 0) > 0
+       |    THEN round(CAST(COALESCE(f.n_contam, 0) AS DOUBLE) / r.n_train, 6) END AS contam_share,
+       |  round(CAST(b.sfp AS DOUBLE) / 1e6 / b.n_docs, 6) AS mean_stopword_ratio
+       |FROM bysrc b
+       |JOIN top p ON p.source = b.source
+       |LEFT JOIN trsrc r ON r.source = b.source
+       |LEFT JOIN flsrc f ON f.source = b.source
+       |CROSS JOIN tot t
+       |ORDER BY b.source""".stripMargin
+
   /** The datacard's metric assembly from its bounded state relations —
     * shared by [[standingDatacard]] and the streaming admission twin so
     * both produce bit-identical metric rows. `merged`: one row of
@@ -1661,6 +1776,7 @@ object TextDedup extends QueryModule {
     Q("q172_dup_profile", dupProfile, Some(dupProfileSql)),
     Q("q175_datacard", datacard, Some(datacardSql)),
     Q("q176_standing_datacard", standingDatacard, Some(datacardSql)),
+    Q("q177_source_mix", sourceMix, Some(sourceMixSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),

@@ -459,6 +459,30 @@ class TextDedupSpec extends SparkSpec {
       "replayed batch must re-emit the same card, not drift the state")
   }
 
+  test("q177 source mix: hand corpus — shares, dominant-lang tie-break, contamination, quality") {
+    val s = spark
+    import s.implicits._
+    // src a: all-stopword doc (ratio 1.0) + no-stopword doc; en/fr tie → 'en'
+    // src b: eval doc 0 + a train doc sharing a 5-gram with it (contaminated)
+    val docs = Seq(
+      (1L, "the a", "en", "a"),
+      (2L, "y y", "fr", "a"),
+      (0L, "p q r s t u", "en", "b"),
+      (3L, "z p q r s t", "en", "b"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.queries.TextDedup.sourceMixCore(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getDouble(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]), r.getDouble(7)))).toMap
+    // 16 corpus tokens: src a 4, src b 12
+    assert(out("a") === ((2L, 4L, 0.25, "en", 0.5, Some(0.0), 0.5)), s"src a: ${out("a")}")
+    val b = out("b")
+    assert(b._1 === 2L && b._2 === 12L && b._3 === 0.75)
+    assert(b._4 === "en" && b._5 === 1.0)
+    assert(b._6 === Some(1.0), "src b's one train doc shares a 5-gram with the eval doc")
+    assert(b._7 === 0.0)
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
