@@ -836,8 +836,18 @@ object DesignImage extends QueryModule {
         sum("pva").as("sa"), sum("pvb").as("sb"),
         sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
         sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
-    val pairs = mom.selectExpr("p1", "p2", s"round($connRStr, 6) AS r_par")
-      .selectExpr("p1", "p2", "r_par", s"$connEdgeStr AS edge")
+    connectomeFromMoments(mom, connRStr, Nil)
+  }
+
+  /** The shared moments → r → edges → degrees tail of q168/q178:
+    * threshold the rounded r, fold per-parcel degree, join it back.
+    * `extraCols` are already-named mom columns carried to the output
+    * (q178's n_kept). All relations NP²-bounded. */
+  private def connectomeFromMoments(mom: DataFrame, rStr: String,
+      extraCols: Seq[String]): DataFrame = {
+    val keep = Seq("p1", "p2") ++ extraCols
+    val pairs = mom.selectExpr(keep :+ s"round($rStr, 6) AS r_par": _*)
+      .selectExpr(keep ++ Seq("r_par", s"$connEdgeStr AS edge"): _*)
       .localCheckpoint() // NP²-bounded; output + two degree reads
     val ones = pairs.filter(col("edge") === 1)
     val deg = ones.selectExpr("p1 AS p").union(ones.selectExpr("p2 AS p"))
@@ -846,7 +856,7 @@ object DesignImage extends QueryModule {
       .join(broadcast(deg.selectExpr("p AS p1", "deg AS deg_p1")), Seq("p1"), "left")
       .join(broadcast(deg.selectExpr("p AS p2", "deg AS deg_p2")), Seq("p2"), "left")
       .na.fill(0L, Seq("deg_p1", "deg_p2"))
-      .selectExpr("p1", "p2", "r_par", "edge", "deg_p1", "deg_p2")
+      .selectExpr(keep ++ Seq("r_par", "edge", "deg_p1", "deg_p2"): _*)
       .orderBy("p1", "p2")
   }
 
@@ -972,6 +982,112 @@ object DesignImage extends QueryModule {
        |LEFT JOIN tri ON tri.p = parcels.p
        |CROSS JOIN gstats
        |ORDER BY parcels.p""".stripMargin
+
+  // ---- q178: DVARS-scrubbed connectome ------------------------------------
+  // Motion-robust q168 (Power et al. 2012's actual protocol): frames
+  // whose GLOBAL signal jumps (|Δ global| > 2.5× the scan's median |Δ| —
+  // the q159 spike rule transplanted to the volume domain, where the
+  // censor signal must come from the scan itself) are censored with the
+  // standard f−1..f+2 augmentation, and the connectome correlates only
+  // the SURVIVING frames — so the moments carry a data-dependent n
+  // (count per pair) instead of q168's dense NT. Every post-series
+  // relation is NT- or NP²-bounded; the lag/censor windows run on the
+  // NT-row global-signal relation (bounded — the q151 distinct-relation
+  // class, not a data-sized window).
+
+  private val scnNum =
+    "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val scnDenA =
+    "(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+  private val scnDenB =
+    "(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val scnRStr =
+    s"CASE WHEN $scnDenA > 0 AND $scnDenB > 0 " +
+      s"THEN $scnNum / (sqrt($scnDenA) * sqrt($scnDenB)) END"
+  private val scnSpikeStr = "CAST(dv AS DOUBLE) > 2.5 * med"
+
+  def scrubbedConnectome(s: SparkSession, d: String): DataFrame =
+    scrubbedConnectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  /** The q178 body from a (t, x, y, z, v-cents) series — split out so
+    * specs can plant spike frames and censored-frame garbage. */
+  private[graft] def scrubbedConnectomeCore(series0: DataFrame): DataFrame = {
+    // feeds the censor derivation AND the parcel moments — pin once
+    val series = series0.localCheckpoint()
+    val dv = series.groupBy("t").agg(sum("v").as("g"))
+      .selectExpr("t", "abs(COALESCE(g - lag(g) OVER (ORDER BY t), 0)) AS dv")
+    val keep = dv.crossJoin(broadcast(dv.agg(expr("percentile(dv, 0.5)").as("med"))))
+      .selectExpr("t", s"CASE WHEN $scnSpikeStr THEN 1 ELSE 0 END AS spike")
+      .selectExpr("t", "MAX(spike) OVER (ORDER BY t " +
+        "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS censored")
+      .filter(col("censored") === 0).select("t")
+    val par = series.join(broadcast(keep), Seq("t"))
+      .selectExpr(s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p",
+        "t", "v")
+      .groupBy("p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint()
+    val a = par.selectExpr("p AS p1", "t", "pv AS pva")
+    val b = par.selectExpr("p AS p2", "t", "pv AS pvb")
+    val mom = a.join(b, Seq("t")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+      .withColumn("n", col("n_kept"))
+    connectomeFromMoments(mom, scnRStr, Seq("n_kept"))
+  }
+
+  private def scrubbedConnectomeSql: String =
+    s"""WITH $centsSeriesCte,
+       |gsr AS (SELECT t, SUM(v) AS g FROM series GROUP BY t),
+       |dvr AS (
+       |  SELECT t, abs(COALESCE(g - LAG(g) OVER (ORDER BY t), 0)) AS dv FROM gsr
+       |),
+       |mdv AS (SELECT quantile_cont(dv, 0.5) AS med FROM dvr),
+       |keepf AS (
+       |  SELECT t FROM (
+       |    SELECT t, MAX(spike) OVER (ORDER BY t
+       |      ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS censored
+       |    FROM (SELECT t, CASE WHEN $scnSpikeStr THEN 1 ELSE 0 END AS spike
+       |          FROM dvr CROSS JOIN mdv))
+       |  WHERE censored = 0
+       |),
+       |par AS (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    s.t, SUM(v) AS pv
+       |  FROM series s JOIN keepf USING (t) GROUP BY 1, 2
+       |),
+       |mom AS (
+       |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM par a JOIN par b ON a.t = b.t AND a.p < b.p
+       |  GROUP BY 1, 2
+       |),
+       |pe AS (
+       |  SELECT p1, p2, n AS n_kept, r_par, $connEdgeStr AS edge
+       |  FROM (SELECT p1, p2, n, round($scnRStr, 6) AS r_par FROM mom)
+       |),
+       |deg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM pe WHERE edge = 1
+       |    UNION ALL
+       |    SELECT p2 AS p FROM pe WHERE edge = 1
+       |  ) GROUP BY p
+       |)
+       |SELECT pe.p1, pe.p2, pe.n_kept, pe.r_par, pe.edge,
+       |  CAST(COALESCE(d1.deg, 0) AS BIGINT) AS deg_p1,
+       |  CAST(COALESCE(d2.deg, 0) AS BIGINT) AS deg_p2
+       |FROM pe
+       |LEFT JOIN deg d1 ON d1.p = pe.p1
+       |LEFT JOIN deg d2 ON d2.p = pe.p2
+       |ORDER BY p1, p2""".stripMargin
 
   // ---- q169: one-pass resting-state panel --------------------------------
   // The analytical fan-in for the volume maps (the q162/q164 one-pass
@@ -1351,6 +1467,7 @@ object DesignImage extends QueryModule {
     Q("q167_vmhc", vmhc, Some(vmhcSql)),
     Q("q168_connectome", connectome, Some(connectomeSql)),
     Q("q173_graph_metrics", graphMetrics, Some(graphMetricsSql)),
+    Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -128,6 +128,31 @@ class InferenceQcSpec extends SparkSpec {
     assert(rBC.isEmpty && eBC === 0L)
   }
 
+  // ---- q178 DVARS-scrubbed connectome -------------------------------------
+
+  test("q178: spike frames are censored; garbage there cannot move the scrubbed r") {
+    // two voxels in parcels 0 and 7, perfectly linear (B = 2A) on every
+    // frame except t = 5, where B is garbage and the global signal spikes
+    def rows(garbage: Long) = (0 until 10).flatMap { t =>
+      val a = 100L + 10L * t
+      val b = if (t == 5) garbage else 200L + 20L * t
+      Seq((t, 0, 0, 0, a), (t, 1, 0, 0, b))
+    }
+    def run(garbage: Long) = graft.queries.DesignImage
+      .scrubbedConnectomeCore(plantedSeries(rows(garbage)))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getLong(4)))).toMap
+    val out = run(-1000000L)
+    val (nKept, rPar, edge) = out((0, 7))
+    // spikes at t=5 (drop) and t=6 (recovery) censor t ∈ {4..8} → 5 kept
+    assert(nKept === 5L, s"kept $nKept")
+    assert(rPar === Some(1.0), s"scrubbed r must be exactly 1.0, got $rPar")
+    assert(edge === 1L)
+    // a different garbage value on the censored frame changes NOTHING
+    assert(run(7777777L) === out, "censored-frame garbage moved the output")
+  }
+
   // ---- q173 connectome graph metrics -------------------------------------
 
   test("q173: hand graph — triangle members cluster, leaf and isolate are NULL") {
