@@ -288,9 +288,11 @@ object Curation extends QueryModule {
     CurationOps.dsirWeights(documents(s, d), col("lang") === "en", dsirBuckets)
       .orderBy("doc_id")
 
-  private def dsirWeightsSql: String = {
+  /** The q137 chain through the per-doc fixed-point score (sc) — shared
+    * with the q179 resample. */
+  private def dsirWeightCtes: String = {
     val b = dsirBuckets
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, lang = 'en' AS is_t,
        |    list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
        |  FROM documents
@@ -313,12 +315,73 @@ object Curation extends QueryModule {
        |sc AS (
        |  SELECT ds.doc_id, SUM(lr.lr_fp) AS s_fp
        |  FROM ds JOIN lr USING (f) GROUP BY 1
-       |)
+       |)""".stripMargin
+  }
+
+  private def dsirWeightsSql: String =
+    s"""WITH $dsirWeightCtes
        |SELECT bg.doc_id, CAST(len(f) AS BIGINT) AS n_bigrams,
        |  round(CAST(COALESCE(sc.s_fp, 0) AS DOUBLE) / 1e9, 6) AS logw
        |FROM bg LEFT JOIN sc ON sc.doc_id = bg.doc_id
        |ORDER BY bg.doc_id""".stripMargin
+
+  // ---- q179: DSIR importance RESAMPLE (the selection step) -----------------
+  // q137 computes the importance weights; this is the draw (Xie et al.
+  // 2023 step 2): a Gumbel-top-k sample without replacement with
+  // P(select) ∝ w — priority = logw + Gumbel(0,1), Gumbel noise derived
+  // DETERMINISTICALLY from the salted Knuth-mixed doc hash (the q97 u
+  // construction: membership is a pure row function, stable under any
+  // partitioning/retry/re-plan — `df.sample` would not be). Priorities
+  // round to 6 dp before ranking (engine-ulp discipline), ties to the
+  // lowest doc_id. Scale shape: the priority is a projection;
+  // `orderBy.limit(N)` plans as TakeOrdered (per-partition top-N, one
+  // N-row merge — never a global sort); the rank stamp runs on the
+  // N-row result (bounded class).
+
+  private val resampleN = 200
+
+  def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirResampleCore(CurationOps
+      .dsirWeights(documents(s, d), col("lang") === "en", dsirBuckets),
+      resampleN)
+
+  /** The q179 body from a (doc_id, n_bigrams, logw) weight relation —
+    * split out so specs can plant weight profiles. */
+  private[graft] def dsirResampleCore(weights: DataFrame, n: Int): DataFrame = {
+    import graft.functions.Hashing
+    val u = ((Hashing.poly_hash(
+        concat_ws(":", lit("dsir-v1"), col("doc_id").cast("string")))
+        * lit(2654435761L)) % lit(1000000007L) + lit(1L))
+      .cast("double") / lit(1000000008.0)
+    val scored = weights
+      .withColumn("u", u)
+      .selectExpr("doc_id", "n_bigrams", "logw",
+        "round(logw - ln(-ln(u)), 6) AS priority")
+    scored.orderBy(col("priority").desc, col("doc_id").asc).limit(n)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id").asc)).cast("long"))
+      .select("rank", "doc_id", "n_bigrams", "logw", "priority")
   }
+
+  private def dsirResampleSql: String =
+    s"""WITH $dsirWeightCtes,
+       |scored AS (
+       |  SELECT bg.doc_id, CAST(len(f) AS BIGINT) AS n_bigrams,
+       |    round(CAST(COALESCE(sc.s_fp, 0) AS DOUBLE) / 1e9, 6) AS logw,
+       |    round(round(CAST(COALESCE(sc.s_fp, 0) AS DOUBLE) / 1e9, 6)
+       |      - ln(-ln(CAST((${duckHash(s"'dsir-v1:' || CAST(bg.doc_id AS VARCHAR)")}
+       |          * 2654435761) % 1000000007 + 1 AS DOUBLE) / 1000000008.0)), 6) AS priority
+       |  FROM bg LEFT JOIN sc ON sc.doc_id = bg.doc_id
+       |),
+       |ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS BIGINT) AS rank,
+       |    doc_id, n_bigrams, logw, priority
+       |  FROM scored
+       |)
+       |SELECT rank, doc_id, n_bigrams, logw, priority
+       |FROM ranked WHERE rank <= $resampleN
+       |ORDER BY rank""".stripMargin
 
   // ---- q143: standing DSIR model (incremental importance scoring) ---------
   // The deployment shape of q137: the importance model is fitted on the
@@ -395,6 +458,7 @@ object Curation extends QueryModule {
     Q("q130_intradoc_dedup", intraDedup, Some(intraDedupSql)),
     Q("q131_external_stage", externalStage, Some(externalStageSql)),
     Q("q137_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    Q("q179_dsir_resample", dsirResample, Some(dsirResampleSql)),
     Q("q143_standing_dsir", standingDsir, Some(standingDsirSql)),
   )
 }

@@ -370,4 +370,23 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("q179 resample: dominant weights always selected; draw is partition-invariant") {
+    import spark.implicits._
+    // Gumbel noise from u ∈ (1/(P+1), P/(P+1)) is bounded in ≈(−3.04, 20.7),
+    // so a ±200 logw gap makes the top-3 deterministic regardless of noise
+    val w = Seq(
+      (1L, 10L, 200.0), (2L, 10L, 200.0), (3L, 10L, 200.0),
+      (4L, 10L, -200.0), (5L, 10L, -200.0), (6L, 10L, -200.0))
+      .toDF("doc_id", "n_bigrams", "logw")
+    val top = graft.queries.Curation.dsirResampleCore(w, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(top.map(_._2).toSet === Set(1L, 2L, 3L), s"selected ${top.toSeq}")
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 3L), "ranks must be 1..n")
+    assert(top.forall(_._3 > 150.0), "priorities must sit near the logw mass")
+    // pure row-function noise: any partitioning draws the identical sample
+    val again = graft.queries.Curation.dsirResampleCore(w.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(again.toSeq === top.toSeq)
+  }
 }

@@ -165,6 +165,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "BM25 must not rank via a window")
   }
 
+  test("q179: resample is TakeOrdered top-N; the only window runs on the N-row result") {
+    val p = plan("q179_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"), "top-N degraded to a full sort")
+    // the rank stamp may window, but only ABOVE the TakeOrdered (N rows);
+    // nothing below the TakeOrdered may be a Window or a global Sort
+    val below = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(!below.contains("Window"), "a window reached the corpus side")
+  }
+
   test("q78: TF-IDF idf join is broadcast — the corpus tf relation is never re-shuffled for it") {
     val p = plan("q78_tfidf_terms")
     assert(p.contains("BroadcastHashJoin"), p.take(500))
