@@ -767,6 +767,103 @@ object TextDedup extends QueryModule {
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- q180: fuzzy decontamination (exact grams ∪ near-dup) ----------------
+  // The union decontamination verdict real pipelines run (GPT-3's n-gram
+  // overlap + Llama-style near-dup screening): a train doc is
+  // contaminated if it shares ANY 5-gram with the eval slice (q68's
+  // exact rule — catches quotes) OR is a MinHash near-duplicate
+  // (jaccard ≥ 0.5) of an eval doc (catches paraphrase/whole-doc leaks
+  // the gram rule can miss under tokenization drift). Near candidates
+  // come from the banded cross-join of the two slices' LSH keys (q83's
+  // machinery — never all-pairs); the gram leg is the q68 chain
+  // verbatim. One row per contaminated train doc: its shared-gram count
+  // and (if near) the lowest matching eval id.
+
+  def fuzzyDecontam(s: SparkSession, d: String): DataFrame =
+    fuzzyDecontamCore(documents(s, d))
+
+  /** The q180 body from a (doc_id, text) relation — split out so specs
+    * can plant gram-only and near-dup contamination. */
+  private[graft] def fuzzyDecontamCore(docs: DataFrame): DataFrame = {
+    import graft.functions.TextExprs
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val evalD = docs.filter(col("doc_id") % 97 === 0)
+    def withSh(dd: DataFrame) = dd.select(col("doc_id"),
+        TextExprs.shingle_hash_set(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(dd: DataFrame) = withSh(dd).select(col("doc_id"),
+        posexplode(TextExprs.lsh_band_keys(
+          TextExprs.min_hash_sig(col("sh"), 16), 4)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cands = bandsOf(train).withColumnRenamed("doc_id", "tid")
+      .join(bandsOf(evalD).withColumnRenamed("doc_id", "eid"),
+        Seq("band", "bkey"))
+      .select("tid", "eid").distinct()
+    val near = cands
+      .join(withSh(train).select(col("doc_id").as("tid"),
+        col("sh").as("sht"), size(col("sh")).cast("long").as("nt")), "tid")
+      .join(withSh(evalD).select(col("doc_id").as("eid"),
+        col("sh").as("she"), size(col("sh")).cast("long").as("ne")), "eid")
+      .withColumn("common", TextExprs.intersect_size(col("sht"), col("she")))
+      .filter(col("common").cast("double") /
+        (col("nt") + col("ne") - col("common")) >= 0.5)
+      .groupBy("tid").agg(min(col("eid")).as("near_dup_of"))
+      .withColumnRenamed("tid", "doc_id")
+    DedupOps.contaminationFlags(train, evalD, shingleK = decontK)
+      .join(near, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "CAST(COALESCE(shared_grams, 0) AS BIGINT) AS shared_grams",
+        "near_dup_of")
+      .orderBy("doc_id")
+  }
+
+  private val fuzzyDecontamSql =
+    s"""WITH trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |evd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+       |toks_g AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |sh_g AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + $decontK)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks_g, unnest(CASE WHEN len(th) >= $decontK THEN range(len(th) - ${decontK - 1}) ELSE [] END) AS r(i)
+       |),
+       |evg AS (SELECT DISTINCT h FROM sh_g WHERE doc_id % 97 = 0),
+       |grams AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+       |  FROM sh_g s JOIN evg USING (h)
+       |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+       |),
+       |${duckSideCtes("t", "trd")},
+       |${duckSideCtes("e", "evd")},
+       |candx AS (
+       |  SELECT DISTINCT t.doc_id AS tid, e.doc_id AS eid
+       |  FROM bands_t t JOIN bands_e e ON e.band = t.band AND e.bkey = t.bkey
+       |),
+       |szt AS (SELECT doc_id, count(*) AS n FROM sh_t GROUP BY doc_id),
+       |sze AS (SELECT doc_id, count(*) AS n FROM sh_e GROUP BY doc_id),
+       |comx AS (
+       |  SELECT c.tid, c.eid, count(*) AS common
+       |  FROM candx c
+       |  JOIN sh_t st ON st.doc_id = c.tid
+       |  JOIN sh_e se ON se.doc_id = c.eid AND se.h = st.h
+       |  GROUP BY c.tid, c.eid
+       |),
+       |near AS (
+       |  SELECT tid AS doc_id, min(eid) AS near_dup_of
+       |  FROM comx
+       |  JOIN szt ON szt.doc_id = comx.tid
+       |  JOIN sze ON sze.doc_id = comx.eid
+       |  WHERE CAST(common AS DOUBLE) / (szt.n + sze.n - common) >= 0.5
+       |  GROUP BY tid
+       |)
+       |SELECT COALESCE(g.doc_id, n.doc_id) AS doc_id,
+       |  CAST(COALESCE(g.shared_grams, 0) AS BIGINT) AS shared_grams,
+       |  n.near_dup_of
+       |FROM grams g FULL OUTER JOIN near n ON n.doc_id = g.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q171: k-gram novelty score ----------------------------------------
   // The graded complement of q68: instead of flagging training docs that
   // share ANY eval gram, score every held-out doc (odd ids vs the even
@@ -1777,6 +1874,7 @@ object TextDedup extends QueryModule {
     Q("q175_datacard", datacard, Some(datacardSql)),
     Q("q176_standing_datacard", standingDatacard, Some(datacardSql)),
     Q("q177_source_mix", sourceMix, Some(sourceMixSql)),
+    Q("q180_fuzzy_decontam", fuzzyDecontam, Some(fuzzyDecontamSql)),
     Q("q68_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("q171_gram_novelty", gramNovelty, Some(gramNoveltySql)),
     Q("q138_standing_decontam", standingDecontam, Some(decontaminateSql)),

@@ -483,6 +483,26 @@ class TextDedupSpec extends SparkSpec {
     assert(b._7 === 0.0)
   }
 
+  test("q180 fuzzy decontam: gram-only doc flagged without near id; near-dup carries both; clean absent") {
+    // eval doc 0: "p q r s t u v w"
+    // train 1: shares exactly the 5-gram window mass of "p q r s t" but is
+    //          nowhere near a duplicate (long unrelated tail)
+    // train 2: a near-identical copy of doc 0 (one token appended)
+    // train 3: clean
+    val d = docs(
+      0L -> "p q r s t u v w",
+      1L -> "p q r s t a1 a2 a3 a4 a5 a6 a7 a8 a9 b1 b2 b3 b4 b5 b6 b7 b8 b9 c1 c2 c3",
+      2L -> "p q r s t u v w x",
+      3L -> "m n o aa bb cc dd ee")
+    val out = graft.queries.TextDedup.fuzzyDecontamCore(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out.keySet === Set(1L, 2L), s"flagged ${out.keySet}")
+    assert(out(1L) === ((1L, None)), s"gram-only doc: ${out(1L)}")
+    val (g2, n2) = out(2L)
+    assert(g2 >= 4L && n2 === Some(0L), s"near-dup doc: ${out(2L)}")
+  }
+
   test("dedupClusters: 16-hop chain converges in O(log) rounds via doubling") {
     val s = spark
     import s.implicits._
