@@ -1276,6 +1276,66 @@ object Similarity extends QueryModule {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, kind, rank""".stripMargin
 
+  // ---- q181: binary (1-bit) quantization + Hamming ANN recall ------------
+  // The serving tier BELOW q89's int8: sign-bit codes (⌈d/32⌉ BIGINT
+  // words — 32-bit words because bit 63 of a signed 64-bit word overflows
+  // checked engines), Hamming ranking via bit_count(XOR) — integer-only
+  // scoring, exact in both engines with no rounding discipline — and
+  // recall@k against the exact cosine top-k (q27's relation, same
+  // tie-breaks). See SimilarityOps.binaryHammingRecall for the
+  // map-only-code / broadcast-query / WindowGroupLimit scale shape.
+
+  private val bqK = 5
+  private val bqWords = 2
+
+  def binaryHamming(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .binaryHammingRecall(embeddings(s, d), col("vec_id") < 10, k = bqK)
+      .orderBy("query_id", "rank")
+
+  private val binaryHammingSql =
+    s"""WITH $duckCorpus,
+       |coded AS (
+       |  SELECT vec_id, list_transform(range($bqWords), w ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), i ->
+       |      CASE WHEN v[w * 32 + i + 1] > 0 THEN CAST(1 AS BIGINT) << i
+       |           ELSE CAST(0 AS BIGINT) END)), (a, b) -> a | b)) AS code
+       |  FROM corpus
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range($bqWords),
+       |      w -> bit_count(xor(q.code[w + 1], c.code[w + 1])))) AS BIGINT) AS hamming
+       |  FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY hamming ASC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckDot("q.v", "c.v")} / (q.norm * c.norm) DESC, c.vec_id ASC) AS rnk
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rnk <= $bqK
+       |),
+       |hits AS (
+       |  SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+       |    r.hamming,
+       |    CASE WHEN e.neighbor_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS hit
+       |  FROM ranked r
+       |  LEFT JOIN exact e
+       |    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       |  WHERE r.rank <= $bqK
+       |)
+       |SELECT query_id, rank, neighbor_id, hamming, hit,
+       |  round(CAST(SUM(hit) OVER (PARTITION BY query_id) AS DOUBLE) / $bqK, 6) AS recall
+       |FROM hits
+       |ORDER BY query_id, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q127_contrastive_pairs", contrastive, Some(contrastiveSql)),
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -1300,5 +1360,6 @@ object Similarity extends QueryModule {
     Q("q113_semdedup", semDedupQuery, Some(semDedupSql)),
     Q("q117_semdedup_capped", semDedupCappedQuery, Some(semDedupCappedSql)),
     Q("q118_cluster_quota", clusterQuotaSample, Some(clusterQuotaSampleSql)),
+    Q("q181_binary_hamming", binaryHamming, Some(binaryHammingSql)),
   )
 }

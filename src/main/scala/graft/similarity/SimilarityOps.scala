@@ -1038,4 +1038,54 @@ object SimilarityOps {
       .select(col("vec_id"), col("near_dup_of"),
         col("near_dup_of").isNull.as("keep"))
   }
+
+  /** q181: 1-bit binary quantization + Hamming ANN with recall@k — the
+    * BQ serving tier below q89's int8 (the modern vector-DB default for
+    * the first-pass scan): each vector compresses to ⌈d/32⌉ sign-bit
+    * words (64 dims → two BIGINTs: a 32× payload cut vs float64, 8× vs
+    * int8), and candidates rank by Hamming distance
+    * Σ_w bit_count(q_w XOR c_w) — INTEGER-only scoring, zero float math
+    * in the hot path, so the compare is exact and engine-invariant by
+    * construction (no rounding discipline needed until the recall
+    * division). Words are 32-bit (not 64) because packing bit 63 of a
+    * signed 64-bit word overflows checked engines; ⌈d/32⌉ words cover
+    * any dimension. Recall@k against the exact cosine top-k ([[cosineTopK]],
+    * same k, same tie-breaks) measures what the 1-bit cut costs per query.
+    *
+    * Scale shape: the code relation is a map-only projection (the
+    * standing serving payload a BQ index materializes); the query set is
+    * bounded and broadcast; per-query ranking is the q27
+    * WindowGroupLimit shape (per-partition top-k before the exchange);
+    * the recall join touches only |queries|·k rows. One corpus pass per
+    * scoring leg, no corpus-side shuffle. */
+  def binaryHammingRecall(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val words = 2 // ⌈64/32⌉ for the 64-dim corpus
+    val coded = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bits", expr(
+        "transform(v, (x, i) -> IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i % 32), 0L))"))
+      .withColumn("code", expr(
+        s"transform(sequence(0, ${words - 1}), w -> aggregate(slice(bits, w * 32 + 1, 32), 0L, (a, b) -> a | b))"))
+      .select(col("vec_id"), col("code"))
+    val queries = coded.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val scored = coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "CAST(aggregate(zip_with(qcode, code, (a, b) -> bit_count(a ^ b)), 0, (a, b) -> a + b) AS BIGINT)"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("vec_id").asc)
+    val top = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"))
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    top
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("hit"))
+      .withColumn("recall",
+        round(sum("hit").over(Window.partitionBy("query_id")).cast("double") / k, 6))
+      .select("query_id", "rank", "neighbor_id", "hamming", "hit", "recall")
+  }
 }

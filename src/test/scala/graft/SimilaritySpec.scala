@@ -644,4 +644,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) === ((1L, 1L, 0.0, Some(-1.0))), s"cell 1: ${out(1L)}")
     assert(out(2L) === ((1L, 0L, -0.25, None)), s"cell 2: ${out(2L)}")
   }
+
+  test("q181: sign-bit packing, word boundary, and exact Hamming ranking") {
+    // 34 dims: positives at 0, 2, and 33 — bit 33 must land in WORD 1
+    // (bit index 1), proving the 32-bit word split; zeros pack as 0 bits.
+    val high = Seq.tabulate(34)(i =>
+      if (i == 0 || i == 2 || i == 33) 1f else if (i % 2 == 0) 0f else -1f)
+    val d = emb(
+      0L -> high,                                    // code [5, 2]
+      1L -> high.updated(33, -1f),                   // hamming 1 from q
+      2L -> high.updated(0, -1f).updated(2, -1f),    // hamming 2
+      3L -> Seq.tabulate(34)(i => if (i % 2 == 0 && i != 0 && i != 2 || i == 33) 1f else -1f), // far
+    )
+    val r = SimilarityOps.binaryHammingRecall(d, col("vec_id") === 0, k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    // v3: word0 symmetric diff = {0,2} vs {4,6,..,30} = 2 + 14; word1 =
+    // bit 0 (i=32) only — 17 total
+    assert(r.map(_.getLong(3)).toSeq === Seq(1L, 2L, 17L))
+  }
+
+  test("q181: recall@k counts Hamming hits against the exact cosine top-k") {
+    // q=[1,0.1]: exact top-1 is v1 (cos≈0.98) but its sign pattern differs
+    // in bit 1, while v2 (cos≈0.2) shares q's signs — Hamming picks v2,
+    // recall@1 = 0. The 1-bit cut's failure mode, pinned.
+    val d = emb(
+      0L -> Seq(1f, 0.1f),
+      1L -> Seq(1f, -0.1f),
+      2L -> Seq(0.1f, 1f),
+    )
+    val r = SimilarityOps.binaryHammingRecall(d, col("vec_id") === 0, k = 1)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(2) === 2L) // hamming neighbor
+    assert(r.head.getLong(4) === 0L) // not an exact-cosine hit
+    assert(r.head.getDouble(5) === 0.0)
+  }
 }
