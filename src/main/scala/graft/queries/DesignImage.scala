@@ -983,6 +983,142 @@ object DesignImage extends QueryModule {
        |CROSS JOIN gstats
        |ORDER BY parcels.p""".stripMargin
 
+  // ---- q182: group-level connectome edge inference ------------------------
+  // NBS-lite (the edge-level half of Zalesky et al. 2010, stopping before
+  // the cluster step): per-SESSION connectomes (g = l_linenumber % GRuns —
+  // four acquisitions of the same grid), per-edge Fisher z, and the q148
+  // sign-flip permutation kernel at the EDGE grain — under H0 each
+  // session's z is symmetric around 0, so the per-edge one-sample t gets
+  // an exact permutation p from the Knuth-mixed sign patterns — then
+  // q151's distinct-value-rank BH over the NP²/2 edge hypotheses. The
+  // permutation/BH machinery is Glm.signFlipCore/fdrBhCore VERBATIM under
+  // the (hypothesis, flip-unit) → (edge, session) renaming, so the
+  // hash-proven kernel carries; only the first-level facts (z_fp) are new.
+  //
+  // Determinism: per-session edge moments are exact integer sums (dense
+  // n = NT per session); r → z → round(z·1e6) is one shared expression
+  // chain (the q158 atanh discipline); everything after z_fp is integer
+  // permutation arithmetic plus the shared t expression strings.
+  //
+  // Scale shape: ONE data-sized exchange (the per-session parcel-series
+  // aggregate, map-side combined to GRuns·NP·NT rows); moments, z, the
+  // PermP expansion, and BH are all GRuns·NP²-bounded. BH ranks via the
+  // distinct-p relation — never a global window over the edge set.
+
+  private val GRuns = 4
+  private val edgeAlphaOverM: Double = 0.1 / (connNP * (connNP - 1) / 2)
+
+  private val edgeZStr =
+    "CASE WHEN r_par > -1.0 AND r_par < 1.0 " +
+      "THEN 0.5 * ln((1.0 + r_par) / (1.0 - r_par)) END"
+
+  /** The per-session cents series (g, t, x, y, z, v). */
+  private def sessionSeries(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(
+        (col("l_linenumber") % GRuns).cast("int").as("g"),
+        ((col("l_orderkey") + col("l_linenumber") * 11) % NT).cast("int").as("t"),
+        (col("l_orderkey") % L).cast("int").as("x"),
+        (col("l_partkey") % L).cast("int").as("y"),
+        (col("l_suppkey") % L).cast("int").as("z"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))
+
+  /** Per-session per-edge Fisher-z facts (g, p1, p2, z_fp) from a
+    * (g, t, x, y, z, v-cents) series — the first-level relation the
+    * permutation kernel flips. Split out so specs can plant series. */
+  private[graft] def edgeZFactsCore(series: DataFrame): DataFrame = {
+    val par = series
+      .selectExpr("g", s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p",
+        "t", "v")
+      .groupBy("g", "p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint()
+    val a = par.selectExpr("g", "p AS p1", "t", "pv AS pva")
+    val b = par.selectExpr("g", "p AS p2", "t", "pv AS pvb")
+    a.join(b, Seq("g", "t")).filter(col("p1") < col("p2"))
+      .groupBy("g", "p1", "p2")
+      .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+      .selectExpr("g", "p1", "p2", s"$connRStr AS r_par")
+      .selectExpr("g", "p1", "p2",
+        s"CAST(round(($edgeZStr) * 1e6, 0) AS BIGINT) AS z_fp")
+  }
+
+  /** Permutation + BH tail over (g, p1, p2, z_fp) facts — split out so
+    * specs can plant z patterns and alphas. */
+  private[graft] def edgeInferenceCore(s: SparkSession, facts: DataFrame,
+      alphaOverM: Double): DataFrame = {
+    val fl = facts
+      .filter(col("z_fp").isNotNull)
+      .select(col("p1").as("run"), col("p2").as("j"), col("g"),
+        col("z_fp").as("b_fp"))
+    val sf = Glm.signFlipCore(s, fl)
+    val bh = Glm.fdrBhCore(sf, alphaOverM)
+      .select("run", "j", "rk", "kbh", "rejected")
+    sf.join(bh, Seq("run", "j"), "left")
+      .selectExpr("CAST(run AS INT) AS p1", "CAST(j AS INT) AS p2", "n",
+        "t_obs", "p_perm", "rk", "kbh",
+        "COALESCE(rejected, false) AS rejected")
+      .orderBy("p1", "p2")
+  }
+
+  def edgeInference(s: SparkSession, d: String): DataFrame =
+    edgeInferenceCore(s, edgeZFactsCore(sessionSeries(s, d)), edgeAlphaOverM)
+
+  private def edgeInferenceSql: String =
+    s"""WITH mrs AS (
+       |  SELECT CAST(l_linenumber % $GRuns AS INTEGER) AS g,
+       |         CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1, 2, 3, 4, 5
+       |),
+       |mpar AS (
+       |  SELECT g, CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM mrs GROUP BY 1, 2, 3
+       |),
+       |mmom AS (
+       |  SELECT a.g, a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM mpar a JOIN mpar b ON a.g = b.g AND a.t = b.t AND a.p < b.p
+       |  GROUP BY 1, 2, 3
+       |),
+       |zed AS (
+       |  SELECT g, p1, p2,
+       |    CAST(round(($edgeZStr) * 1e6, 0) AS BIGINT) AS z_fp
+       |  FROM (SELECT g, p1, p2, $connRStr AS r_par FROM mmom)
+       |),
+       |fl AS (
+       |  SELECT p1 AS run, g, p2 AS j, z_fp AS b_fp FROM zed
+       |  WHERE z_fp IS NOT NULL
+       |),
+       |${Glm.permCtes},
+       |ranked AS (
+       |  SELECT run, j, p_perm,
+       |    CAST(row_number() OVER (ORDER BY p_perm ASC, run ASC, j ASC) AS BIGINT) AS rk
+       |  FROM pp WHERE p_perm IS NOT NULL
+       |),
+       |km AS (
+       |  SELECT COALESCE(MAX(CASE WHEN p_perm <= rk * CAST($edgeAlphaOverM AS DOUBLE) THEN rk END), 0) AS kbh
+       |  FROM ranked
+       |)
+       |SELECT CAST(pp.run AS INTEGER) AS p1, CAST(pp.j AS INTEGER) AS p2,
+       |  pp.n, pp.t_obs, pp.p_perm, ranked.rk,
+       |  CASE WHEN ranked.rk IS NOT NULL THEN CAST(km.kbh AS BIGINT) END AS kbh,
+       |  COALESCE(ranked.rk <= km.kbh, false) AS rejected
+       |FROM pp
+       |LEFT JOIN ranked ON ranked.run = pp.run AND ranked.j = pp.j
+       |CROSS JOIN km
+       |ORDER BY p1, p2""".stripMargin
+
   // ---- q178: DVARS-scrubbed connectome ------------------------------------
   // Motion-robust q168 (Power et al. 2012's actual protocol): frames
   // whose GLOBAL signal jumps (|Δ global| > 2.5× the scan's median |Δ| —
@@ -1468,6 +1604,7 @@ object DesignImage extends QueryModule {
     Q("q168_connectome", connectome, Some(connectomeSql)),
     Q("q173_graph_metrics", graphMetrics, Some(graphMetricsSql)),
     Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
+    Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -1175,7 +1175,8 @@ object Glm extends QueryModule {
     * (rank within the tie group, PARTITIONED by p). The only unpartitioned
     * window runs over the ≤257-row distinct-p relation.
     */
-  private[graft] def fdrBhCore(pp0: DataFrame): DataFrame = {
+  private[graft] def fdrBhCore(pp0: DataFrame,
+      alphaOverM: Double = FdrAlphaOverM): DataFrame = {
     // undefined hypotheses (NULL p from a zero-variance test) cannot be
     // ranked or rejected - and the engines order NULLs differently
     val pp = pp0.filter(col("p_perm").isNotNull)
@@ -1185,7 +1186,7 @@ object Glm extends QueryModule {
     // within a tie group p <= rk·α/m holds for the group's LAST rank if it
     // holds for any, so kbh needs only the distinct relation
     val kmax = byP.agg(expr(
-      s"COALESCE(MAX(CASE WHEN p_perm <= (cum_before + n_p) * CAST($FdrAlphaOverM AS DOUBLE) THEN cum_before + n_p END), 0) AS kbh"))
+      s"COALESCE(MAX(CASE WHEN p_perm <= (cum_before + n_p) * CAST($alphaOverM AS DOUBLE) THEN cum_before + n_p END), 0) AS kbh"))
     pp.join(broadcast(byP.select("p_perm", "cum_before")), Seq("p_perm"))
       .selectExpr("run", "j", "p_perm",
         "cum_before + row_number() OVER (PARTITION BY p_perm ORDER BY run ASC, j ASC) AS rk")
@@ -1235,7 +1236,7 @@ object Glm extends QueryModule {
   /** The permutation chain (base, perms, pt, pp) over an `fl` CTE of
     * (run, g, j, b_fp) first-level facts — shared by every first-level
     * flavor (the q103 OLS fit, the q157 AR(1) fit, a standing store). */
-  private def permCtes: String =
+  private[queries] def permCtes: String =
     s"""base AS (
        |  SELECT run, j, n, q, $permTStr AS t_obs FROM (
        |    SELECT run, j, COUNT(*) AS n,

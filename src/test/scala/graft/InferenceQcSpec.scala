@@ -511,4 +511,62 @@ class InferenceQcSpec extends SparkSpec {
     assert(exact.exists { case (id, p) => capped(id) > p },
       "cap at V=2 must actually bind on this corpus")
   }
+
+  // ---- q182 group-level connectome edge inference -------------------------
+
+  test("q182: edge z facts quantize atanh of the exact dense-moment r; |r|=1 is NULL") {
+    val s = spark
+    import s.implicits._
+    // session 0: parcels 0 (voxel 0,0,0), 7 (1,0,0), 11 (0,1,0);
+    // parcel 11 = 2× parcel 0 exactly → r = 1 → z NULL
+    def a(t: Int) = (100 + 37 * (t % 7)).toLong
+    def b(t: Int) = (100 + 53 * (t % 5)).toLong
+    val rows = (0 until 30).flatMap(t => Seq(
+      (0, t, 0, 0, 0, a(t)), (0, t, 1, 0, 0, b(t)), (0, t, 0, 1, 0, 2L * a(t))))
+    val out = graft.queries.DesignImage
+      .edgeZFactsCore(rows.toDF("g", "t", "x", "y", "z", "v"))
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    // expected z for (0, 7) under dense n = 30 semantics (all t present)
+    val n = 30.0
+    val (sa, sb) = ((0 until 30).map(a).sum.toDouble, (0 until 30).map(b).sum.toDouble)
+    val saa = (0 until 30).map(t => a(t) * a(t)).sum.toDouble
+    val sbb = (0 until 30).map(t => b(t) * b(t)).sum.toDouble
+    val sab = (0 until 30).map(t => a(t) * b(t)).sum.toDouble
+    val r = (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    val zfp = BigDecimal(0.5 * math.log((1.0 + r) / (1.0 - r)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(out((0, 7)) === Some(zfp), s"z_fp ${out((0, 7))} vs expected $zfp")
+    assert(out((0, 11)).isEmpty, "r = 1 must yield NULL z (atanh undefined)")
+    assert(out((7, 11)) === out((0, 7)), "parcel 11 doubles parcel 0 — same r vs 7")
+  }
+
+  test("q182: consistent edge ranks first; zero-variance edge is NULL-p and never rejected") {
+    val s = spark
+    import s.implicits._
+    val facts = Seq(
+      // edge (0,1): consistently positive z, small jitter → max |t|
+      (0, 0, 1, 500000L), (1, 0, 1, 510000L), (2, 0, 1, 490000L), (3, 0, 1, 505000L),
+      // edge (0,2): sign-balanced noise
+      (0, 0, 2, 200000L), (1, 0, 2, -250000L), (2, 0, 2, 30000L), (3, 0, 2, -10000L),
+      // edge (1,3): identical z in every session → zero variance → NULL t
+      (0, 1, 3, 300000L), (1, 1, 3, 300000L), (2, 1, 3, 300000L), (3, 1, 3, 300000L),
+    ).toDF("g", "p1", "p2", "z_fp")
+    def run(alpha: Double) = graft.queries.DesignImage
+      .edgeInferenceCore(spark, facts, alpha)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(7)))).toMap
+    val loose = run(1.0) // every ranked p ≤ rk·1.0 → all ranked edges reject
+    val (pStrong, rkStrong, rejStrong) = loose((0, 1))
+    assert(rkStrong === Some(1L) && rejStrong, s"strong edge $pStrong $rkStrong")
+    assert(pStrong.get < loose((0, 2))._1.get, "consistent edge must out-rank noise")
+    assert(loose((0, 2))._3, "alpha/m = 1 rejects every ranked edge")
+    val (pNull, rkNull, rejNull) = loose((1, 3))
+    assert(pNull.isEmpty && rkNull.isEmpty && !rejNull,
+      "zero-variance edge must be NULL-p, unranked, not rejected")
+    val strict = run(1e-4) // kbh = 0 → nothing rejected
+    assert(strict.values.forall(!_._3), "alpha/m ~ 0 rejects nothing")
+  }
 }
