@@ -1119,6 +1119,145 @@ object DesignImage extends QueryModule {
        |CROSS JOIN km
        |ORDER BY p1, p2""".stripMargin
 
+  // ---- q183: connectome fingerprinting ------------------------------------
+  // Finn et al. 2015 (Nat Neurosci): functional connectomes are
+  // individual-specific enough to IDENTIFY a subject — correlate each
+  // subject's scan-A edge vector against every subject's scan-B edge
+  // vector and predict the argmax. Here: sessions g (l_linenumber % GRuns)
+  // are the "subjects"; the A/B scans split each session's draws by the
+  // price-cents parity h (exact via DECIMAL — a key independent of the
+  // t/x/y/z coordinate hashes). Edge vectors are 1e6-quantized r per
+  // (g, h) under dense n = NT semantics; the identification correlation
+  // runs over the edge set where BOTH scans have defined r, with a
+  // data-dependent n_e. Output: the GRuns×GRuns identification matrix
+  // with the per-row argmax (ties to the smallest candidate) and the
+  // diagonal-hit verdict.
+  //
+  // Scale shape: ONE data-sized exchange (the (g, h)-keyed parcel-series
+  // aggregate); moments, r, and the identification matrix are
+  // GRuns·NP²-bounded; the argmax window partitions by ga over
+  // GRuns²-sized rows. At atlas scale the edge vectors are the standing
+  // per-scan artifact (NP²/2 rows each) a fingerprint service stores.
+
+  private val fpIdRStr =
+    "CASE WHEN (CAST(n_e AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0 " +
+      "AND (CAST(n_e AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0 " +
+      "THEN (CAST(n_e AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+      "(sqrt(CAST(n_e AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * " +
+      "sqrt(CAST(n_e AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) END"
+
+  /** Per-(session, scan-half) quantized edge vectors (g, h, p1, p2, r_fp)
+    * from a (g, h, t, x, y, z, v-cents) series — spec-plantable. */
+  private[graft] def scanEdgeVectors(series: DataFrame): DataFrame = {
+    val par = series
+      .selectExpr("g", "h",
+        s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p", "t", "v")
+      .groupBy("g", "h", "p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint()
+    val a = par.selectExpr("g", "h", "p AS p1", "t", "pv AS pva")
+    val b = par.selectExpr("g", "h", "p AS p2", "t", "pv AS pvb")
+    a.join(b, Seq("g", "h", "t")).filter(col("p1") < col("p2"))
+      .groupBy("g", "h", "p1", "p2")
+      .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+      .selectExpr("g", "h", "p1", "p2",
+        s"CAST(round(($connRStr) * 1e6, 0) AS BIGINT) AS r_fp")
+      .filter(col("r_fp").isNotNull)
+  }
+
+  /** Identification matrix from (g, h, p1, p2, r_fp) edge vectors. */
+  private[graft] def fingerprintCore(vectors: DataFrame): DataFrame = {
+    val s0 = vectors.filter(col("h") === 0)
+      .selectExpr("g AS ga", "p1", "p2", "r_fp AS ra")
+    val s1 = vectors.filter(col("h") === 1)
+      .selectExpr("g AS gb", "p1", "p2", "r_fp AS rb")
+    val mat = s0.join(s1, Seq("p1", "p2"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_e"),
+        sum("ra").as("sa"), sum("rb").as("sb"),
+        sum(expr("CAST(ra AS DECIMAL(38,0)) * ra")).as("saa"),
+        sum(expr("CAST(rb AS DECIMAL(38,0)) * rb")).as("sbb"),
+        sum(expr("CAST(ra AS DECIMAL(38,0)) * rb")).as("sab"))
+      .selectExpr("ga", "gb", "n_e", s"round($fpIdRStr, 6) AS r_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ga").orderBy(col("r_id").desc_nulls_last, col("gb").asc)
+    mat
+      .withColumn("best", row_number().over(w) === 1)
+      .selectExpr("ga", "gb", "n_e", "r_id", "best",
+        "best AND ga = gb AS correct")
+      .orderBy("ga", "gb")
+  }
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintCore(scanEdgeVectors(lineitem(s, d)
+      .groupBy(
+        (col("l_linenumber") % GRuns).cast("int").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").mod(2).cast("int").as("h"),
+        ((col("l_orderkey") + col("l_linenumber") * 11) % NT).cast("int").as("t"),
+        (col("l_orderkey") % L).cast("int").as("x"),
+        (col("l_partkey") % L).cast("int").as("y"),
+        (col("l_suppkey") % L).cast("int").as("z"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+        .cast("long").as("v"))))
+
+  private def fingerprintSql: String =
+    s"""WITH fps AS (
+       |  SELECT CAST(l_linenumber % $GRuns AS INTEGER) AS g,
+       |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 2 AS INTEGER) AS h,
+       |         CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
+       |         CAST(l_orderkey % $L AS INTEGER) AS x,
+       |         CAST(l_partkey % $L AS INTEGER) AS y,
+       |         CAST(l_suppkey % $L AS INTEGER) AS z,
+       |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+       |  FROM lineitem GROUP BY 1, 2, 3, 4, 5, 6
+       |),
+       |fpar AS (
+       |  SELECT g, h, CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM fps GROUP BY 1, 2, 3, 4
+       |),
+       |fmom AS (
+       |  SELECT a.g, a.h, a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM fpar a JOIN fpar b ON a.g = b.g AND a.h = b.h AND a.t = b.t AND a.p < b.p
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |vecs AS (
+       |  SELECT g, h, p1, p2, r_fp FROM (
+       |    SELECT g, h, p1, p2,
+       |      CAST(round(($connRStr) * 1e6, 0) AS BIGINT) AS r_fp
+       |    FROM fmom)
+       |  WHERE r_fp IS NOT NULL
+       |),
+       |mat AS (
+       |  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_e,
+       |    SUM(a.r_fp) AS sa, SUM(b.r_fp) AS sb,
+       |    SUM(CAST(a.r_fp AS HUGEINT) * a.r_fp) AS saa,
+       |    SUM(CAST(b.r_fp AS HUGEINT) * b.r_fp) AS sbb,
+       |    SUM(CAST(a.r_fp AS HUGEINT) * b.r_fp) AS sab
+       |  FROM (SELECT * FROM vecs WHERE h = 0) a
+       |  JOIN (SELECT * FROM vecs WHERE h = 1) b ON a.p1 = b.p1 AND a.p2 = b.p2
+       |  GROUP BY 1, 2
+       |),
+       |scoredm AS (
+       |  SELECT ga, gb, n_e, round($fpIdRStr, 6) AS r_id FROM mat
+       |),
+       |bests AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ga
+       |    ORDER BY r_id DESC NULLS LAST, gb ASC) AS rn
+       |  FROM scoredm
+       |)
+       |SELECT ga, gb, n_e, r_id, rn = 1 AS best,
+       |  rn = 1 AND ga = gb AS correct
+       |FROM bests
+       |ORDER BY ga, gb""".stripMargin
+
   // ---- q178: DVARS-scrubbed connectome ------------------------------------
   // Motion-robust q168 (Power et al. 2012's actual protocol): frames
   // whose GLOBAL signal jumps (|Δ global| > 2.5× the scan's median |Δ| —
@@ -1605,6 +1744,7 @@ object DesignImage extends QueryModule {
     Q("q173_graph_metrics", graphMetrics, Some(graphMetricsSql)),
     Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
+    Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -569,4 +569,32 @@ class InferenceQcSpec extends SparkSpec {
     val strict = run(1e-4) // kbh = 0 → nothing rejected
     assert(strict.values.forall(!_._3), "alpha/m ~ 0 rejects nothing")
   }
+
+  // ---- q183 connectome fingerprinting --------------------------------------
+
+  test("q183: identification correlates common edges only; scaled twin wins, constant scan is NULL") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      // subject 0, scan A; scan B = 2× (r_id = 1.0) plus an extra edge
+      // (1,3) present ONLY in B — must be excluded from the common set
+      (0, 0, 0, 1, 100L), (0, 0, 0, 2, 200L), (0, 0, 1, 2, 300L),
+      (0, 1, 0, 1, 200L), (0, 1, 0, 2, 400L), (0, 1, 1, 2, 600L), (0, 1, 1, 3, 999L),
+      // subject 1: scans identical; permuted vs subject 0 (r = -0.5)
+      (1, 0, 0, 1, 300L), (1, 0, 0, 2, 100L), (1, 0, 1, 2, 200L),
+      (1, 1, 0, 1, 300L), (1, 1, 0, 2, 100L), (1, 1, 1, 2, 200L),
+      // subject 2 has only a CONSTANT scan B → r_id NULL against anyone
+      (2, 1, 0, 1, 5L), (2, 1, 0, 2, 5L), (2, 1, 1, 2, 5L),
+    ).toDF("g", "h", "p1", "p2", "r_fp")
+    val out = graft.queries.DesignImage.fingerprintCore(vecs)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)))
+    assert(out((0, 0)) === ((3L, Some(1.0), true, true)), s"${out((0, 0))}")
+    assert(out((0, 1)) === ((3L, Some(-0.5), false, false)))
+    assert(out((0, 2))._2.isEmpty && !out((0, 2))._3, "constant scan must be NULL r, never best")
+    assert(out((1, 1)) === ((3L, Some(1.0), true, true)))
+    assert(out((1, 0)) === ((3L, Some(-0.5), false, false)))
+  }
 }
