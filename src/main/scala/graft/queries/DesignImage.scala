@@ -1119,6 +1119,111 @@ object DesignImage extends QueryModule {
        |CROSS JOIN km
        |ORDER BY p1, p2""".stripMargin
 
+  // ---- q184: connectome path metrics ---------------------------------------
+  // The integration half of Rubinov & Sporns 2010 (q173 covered
+  // segregation): unweighted shortest paths over the thresholded q168
+  // edges, then per parcel the eccentricity, reach count, and nodal
+  // efficiency e_p = Σ_j (1/d_pj)/(np−1), plus the graph-level
+  // characteristic path length (mean d over FINITE ordered pairs) and
+  // global efficiency (Latora–Marchiori: unreachable contributes 0).
+  //
+  // Distances run as min-plus DOUBLING: dist_{2k}(a,b) = min(dist_k,
+  // min_c dist_k(a,c)+dist_k(c,b)) — ⌈log₂ NP⌉ rounds of an NP²-bounded
+  // self-join (each round localCheckpoint'ed), not NP sequential BFS
+  // rounds. Every relation is NP²-bounded (broadcast-class at atlas
+  // scale NP ≈ 10²–10³; the doubling join is NP³ work — the documented
+  // ceiling of this regime, distributed but quadratic state, fine for
+  // atlas graphs and NOT meant for voxel-level graphs). Reciprocals are
+  // per-term 1e12-quantized before summing (the q175 entropy discipline)
+  // so double addition order can never flip a digit.
+  //
+  // Oracle: DuckDB recursive-CTE BFS over the same edge set, capped at
+  // d < NP — min-plus doubling and BFS agree on min distance exactly.
+
+  /** Per-parcel path metrics from a q168-shaped (p1, p2, …, edge)
+    * relation — spec-plantable. */
+  private[graft] def pathMetricsCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    val rounds = math.max(1,
+      math.ceil(math.log(connNP.toDouble) / math.log(2.0)).toInt)
+    for (_ <- 0 until rounds) {
+      val through = dist.selectExpr("a", "b AS c", "d AS d1")
+        .join(dist.selectExpr("a AS c", "b AS bb", "d AS d2"), Seq("c"))
+        .selectExpr("a", "bb AS b", "d1 + d2 AS d")
+      dist = dist.unionByName(through)
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    val glob = dist
+      .agg(sum("d").as("sd"), count(lit(1)).as("n_fin"),
+        sum(expr("CAST(round(1e12 / d, 0) AS BIGINT)")).as("sr"))
+      .crossJoin(parcels.agg(count(lit(1)).as("np")))
+    val perP = dist.groupBy(col("a").as("p"))
+      .agg(max("d").as("ecc"), count(lit(1)).as("n_reach"),
+        sum(expr("CAST(round(1e12 / d, 0) AS BIGINT)")).as("srp"))
+    parcels
+      .join(broadcast(perP), Seq("p"), "left")
+      .crossJoin(broadcast(glob))
+      .selectExpr("p", "ecc", "COALESCE(n_reach, 0L) AS n_reach",
+        "round(CAST(COALESCE(srp, 0L) AS DOUBLE) / (np - 1) / 1e12, 6) AS eff_p",
+        "CASE WHEN n_fin > 0 THEN round(CAST(sd AS DOUBLE) / n_fin, 6) END AS cpl",
+        "round(CAST(sr AS DOUBLE) / (CAST(np AS DOUBLE) * (np - 1)) / 1e12, 6) AS eff_glob")
+      .orderBy("p")
+  }
+
+  def pathMetrics(s: SparkSession, d: String): DataFrame =
+    pathMetricsCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def pathMetricsSql: String =
+    // NOTE: under WITH RECURSIVE, DuckDB gives ANY top-level-UNION CTE
+    // recursive base∪step semantics (no global dedup) — so the parcel and
+    // symmetric-edge unions live inside subqueries, never at CTE top level.
+    s"""WITH RECURSIVE $connectomeCtes,
+       |parcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |ones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |sym AS (SELECT a, b FROM (
+       |  SELECT p1 AS a, p2 AS b FROM ones
+       |  UNION ALL SELECT p2 AS a, p1 AS b FROM ones)),
+       |walk(a, b, d) AS (
+       |  SELECT a, b, CAST(1 AS BIGINT) AS d FROM sym
+       |  UNION
+       |  SELECT w.a, s.b, w.d + 1
+       |  FROM walk w JOIN sym s ON s.a = w.b
+       |  WHERE w.d < $connNP AND s.b <> w.a
+       |),
+       |dist AS (
+       |  SELECT a, b, MIN(d) AS d FROM walk GROUP BY a, b
+       |),
+       |gstat AS (
+       |  SELECT SUM(d) AS sd, CAST(COUNT(*) AS BIGINT) AS n_fin,
+       |    SUM(CAST(round(1e12 / d, 0) AS BIGINT)) AS sr,
+       |    (SELECT COUNT(*) FROM parcels) AS np
+       |  FROM dist
+       |),
+       |perp AS (
+       |  SELECT a AS p, MAX(d) AS ecc, CAST(COUNT(*) AS BIGINT) AS n_reach,
+       |    SUM(CAST(round(1e12 / d, 0) AS BIGINT)) AS srp
+       |  FROM dist GROUP BY a
+       |)
+       |SELECT parcels.p, perp.ecc,
+       |  COALESCE(perp.n_reach, 0) AS n_reach,
+       |  round(CAST(COALESCE(perp.srp, 0) AS DOUBLE) / (gstat.np - 1) / 1e12, 6) AS eff_p,
+       |  CASE WHEN gstat.n_fin > 0
+       |    THEN round(CAST(gstat.sd AS DOUBLE) / gstat.n_fin, 6) END AS cpl,
+       |  round(CAST(gstat.sr AS DOUBLE) / (CAST(gstat.np AS DOUBLE) * (gstat.np - 1)) / 1e12, 6) AS eff_glob
+       |FROM parcels LEFT JOIN perp ON perp.p = parcels.p CROSS JOIN gstat
+       |ORDER BY parcels.p""".stripMargin
+
   // ---- q183: connectome fingerprinting ------------------------------------
   // Finn et al. 2015 (Nat Neurosci): functional connectomes are
   // individual-specific enough to IDENTIFY a subject — correlate each
@@ -1745,6 +1850,7 @@ object DesignImage extends QueryModule {
     Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -570,6 +570,28 @@ class InferenceQcSpec extends SparkSpec {
     assert(strict.values.forall(!_._3), "alpha/m ~ 0 rejects nothing")
   }
 
+  // ---- q184 connectome path metrics ----------------------------------------
+
+  test("q184: path graph distances, eccentricity, nodal/global efficiency, isolate") {
+    val s = spark
+    import s.implicits._
+    // 0—1—2—3 path; parcel 4 appears only through a non-edge pair → isolate
+    val pe = Seq((0, 1, 1L), (1, 2, 1L), (2, 3, 1L), (0, 4, 0L))
+      .toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.pathMetricsCore(pe)
+      .collect().map(r => r.getInt(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2),
+        r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getDouble(5)))).toMap
+    assert(out.keySet === Set(0, 1, 2, 3, 4))
+    assert(out(0) === ((Some(3L), 3L, 0.458333, Some(1.666667), 0.433333)), s"${out(0)}")
+    assert(out(1) === ((Some(2L), 3L, 0.625, Some(1.666667), 0.433333)))
+    assert(out(2) === ((Some(2L), 3L, 0.625, Some(1.666667), 0.433333)))
+    assert(out(3) === ((Some(3L), 3L, 0.458333, Some(1.666667), 0.433333)))
+    assert(out(4) === ((None, 0L, 0.0, Some(1.666667), 0.433333)),
+      "isolate: NULL ecc, zero reach/efficiency")
+  }
+
   // ---- q183 connectome fingerprinting --------------------------------------
 
   test("q183: identification correlates common edges only; scaled twin wins, constant scan is NULL") {
