@@ -771,7 +771,148 @@ object Retrieval extends QueryModule {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q185: DoReMi-style domain reweighting ------------------------------
+  // The excess-loss step of DoReMi (Xie et al. 2023) as one deterministic
+  // relation: per domain (source), the held-out slice's mean NLL under
+  // the GLOBAL frozen unigram model minus under the domain's OWN model —
+  // a domain the global model underserves (positive excess) gets
+  // upweighted w'_k ∝ baseline_k · exp(η · max(excess_k, 0)), the
+  // multiplicative-weights update with the baseline as the prior. Models
+  // train on even doc_ids, score odd doc_ids (the q161 freeze/score
+  // split); baselines are full-corpus token shares derived from the two
+  // passes already made (train totals + held counts — no third pass).
+  //
+  // Determinism: per-token ln p is 1e9-quantized under EACH model (the
+  // q161 idiom) so per-domain sums are exact integers; excess and the
+  // exp reweight are shared double expressions over those integers,
+  // 1e12-quantized per domain (the q87 discipline) before the bounded
+  // normalization sum.
+  //
+  // Scale shape: one corpus pass to train (vocab×K-bounded model,
+  // pinned), one to score (two broadcast model joins, per-source
+  // partial-combined aggregate); everything after is |sources|-bounded.
+
+  private val doremiEta = 1.0
+
+  /** The q185 body over any (doc_id, text, source) frame — split out so
+    * specs can plant domains with known excess. */
+  private[graft] def doremiCore(docs: DataFrame, eta: Double): DataFrame = {
+    // the train/held split must be INDEPENDENT of source (doc_id parity
+    // is not: the fixture's source IS a doc_id residue) — Knuth-mix
+    // parity (the q57/q97 split construction) balances every domain
+    val isTrain = expr(s"(doc_id * 2654435761L) % ${graft.text.TextOps.P}L % 2 = 0")
+    // vocab×K-bounded model relation: one training pass, pinned for its
+    // four consumers (domain model, domain totals, global model, total)
+    val domCf = docs.filter(isTrain)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cfk"))
+      .localCheckpoint()
+    val domTot = domCf.groupBy("source").agg(sum("cfk").as("tk"))
+    val refCf = domCf.groupBy("term").agg(sum("cfk").as("cf"))
+    val refTot = refCf.agg(sum("cf").as("tt"))
+    val held = docs.filter(!isTrain)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(refCf), Seq("term"), "left")
+      .join(broadcast(domCf.select("source", "term", "cfk")),
+        Seq("source", "term"), "left")
+      .join(broadcast(domTot), Seq("source"), "left")
+      .crossJoin(broadcast(refTot))
+      // reference: the frozen global model with the 1-count OOV floor;
+      // own: Jelinek-Mercer 0.5·domain + 0.5·global (the cheap analogue
+      // of DoReMi's trained proxy — an unsmoothed per-domain unigram is
+      // so sparse the global model always wins and excess never fires)
+      .selectExpr("source",
+        "CAST(round(ln(CAST(COALESCE(cf, 1) AS DOUBLE) / tt) * 1e9, 0) AS BIGINT) AS fp_ref",
+        "CAST(round(ln(0.5 * CAST(COALESCE(cfk, 0) AS DOUBLE) / tk + 0.5 * CAST(COALESCE(cf, 1) AS DOUBLE) / tt) * 1e9, 0) AS BIGINT) AS fp_own")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"), sum("fp_ref").as("s_ref"),
+        sum("fp_own").as("s_own"))
+    // baseline share: train totals + held counts = full-corpus tokens
+    val base = domTot.selectExpr("source", "tk AS tok")
+      .unionByName(held.selectExpr("source", "n_h AS tok"))
+      .groupBy("source").agg(sum("tok").as("tokens"))
+    val nllRef = "-(CAST(s_ref AS DOUBLE) / 1e9) / n_h"
+    val nllOwn = "-(CAST(s_own AS DOUBLE) / 1e9) / n_h"
+    val excess =
+      s"CASE WHEN s_ref IS NULL OR s_own IS NULL THEN 0.0 " +
+        s"ELSE GREATEST(($nllRef) - ($nllOwn), 0.0) END"
+    val scored = base
+      .join(held, Seq("source"), "left")
+      .crossJoin(broadcast(base.agg(sum("tokens").as("tot"))))
+      .selectExpr("source", "tokens",
+        "CAST(tokens AS DOUBLE) / tot AS p",
+        s"round($nllRef, 6) AS nll_ref", s"round($nllOwn, 6) AS nll_own",
+        s"round($excess, 6) AS excess",
+        s"CAST(round(CAST(tokens AS DOUBLE) / tot * exp($eta * ($excess)) * 1e12, 0) AS BIGINT) AS w_fp")
+      .localCheckpoint() // |sources|-bounded; weight normalization reads twice
+    scored
+      .crossJoin(broadcast(scored.agg(sum("w_fp").as("w_tot"))))
+      .selectExpr("source", "tokens", "round(p, 6) AS p",
+        "nll_ref", "nll_own", "excess",
+        "round(CAST(w_fp AS DOUBLE) / w_tot, 6) AS mix_weight",
+        "round(CAST(w_fp AS DOUBLE) / w_tot / p, 6) AS boost")
+      .orderBy("source")
+  }
+
+  def doremiWeights(s: SparkSession, d: String): DataFrame =
+    doremiCore(documents(s, d), doremiEta)
+
+  private val doremiSql = {
+    val nllRef = "-(CAST(s_ref AS DOUBLE) / 1e9) / n_h"
+    val nllOwn = "-(CAST(s_own AS DOUBLE) / 1e9) / n_h"
+    val excess =
+      s"CASE WHEN s_ref IS NULL OR s_own IS NULL THEN 0.0 " +
+        s"ELSE GREATEST(($nllRef) - ($nllOwn), 0.0) END"
+    s"""WITH dtok AS (
+       |  SELECT source, t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE (doc_id * 2654435761) % 1000000007 % 2 = 0
+       |),
+       |domcf AS (SELECT source, term, count(*) AS cfk FROM dtok GROUP BY 1, 2),
+       |domtot AS (SELECT source, CAST(SUM(cfk) AS BIGINT) AS tk FROM domcf GROUP BY 1),
+       |refcf AS (SELECT term, CAST(SUM(cfk) AS BIGINT) AS cf FROM domcf GROUP BY 1),
+       |reftot AS (SELECT CAST(SUM(cf) AS BIGINT) AS tt FROM refcf),
+       |htok AS (
+       |  SELECT source, t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE (doc_id * 2654435761) % 1000000007 % 2 <> 0
+       |),
+       |held AS (
+       |  SELECT h.source, CAST(count(*) AS BIGINT) AS n_h,
+       |    SUM(CAST(round(ln(CAST(COALESCE(g.cf, 1) AS DOUBLE) / reftot.tt) * 1e9, 0) AS BIGINT)) AS s_ref,
+       |    SUM(CAST(round(ln(0.5 * CAST(COALESCE(k.cfk, 0) AS DOUBLE) / dt.tk + 0.5 * CAST(COALESCE(g.cf, 1) AS DOUBLE) / reftot.tt) * 1e9, 0) AS BIGINT)) AS s_own
+       |  FROM htok h
+       |  LEFT JOIN refcf g ON g.term = h.term
+       |  LEFT JOIN domcf k ON k.source = h.source AND k.term = h.term
+       |  LEFT JOIN domtot dt ON dt.source = h.source
+       |  CROSS JOIN reftot
+       |  GROUP BY h.source
+       |),
+       |base AS (
+       |  SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens FROM (
+       |    SELECT source, tk AS tok FROM domtot
+       |    UNION ALL SELECT source, n_h AS tok FROM held
+       |  ) GROUP BY source
+       |),
+       |btot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot FROM base),
+       |scored AS (
+       |  SELECT base.source, tokens,
+       |    CAST(tokens AS DOUBLE) / tot AS p,
+       |    round($nllRef, 6) AS nll_ref, round($nllOwn, 6) AS nll_own,
+       |    round($excess, 6) AS excess,
+       |    CAST(round(CAST(tokens AS DOUBLE) / tot * exp($doremiEta * ($excess)) * 1e12, 0) AS BIGINT) AS w_fp
+       |  FROM base LEFT JOIN held ON held.source = base.source CROSS JOIN btot
+       |),
+       |wtot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_tot FROM scored)
+       |SELECT source, tokens, round(p, 6) AS p, nll_ref, nll_own, excess,
+       |  round(CAST(w_fp AS DOUBLE) / w_tot, 6) AS mix_weight,
+       |  round(CAST(w_fp AS DOUBLE) / w_tot / p, 6) AS boost
+       |FROM scored CROSS JOIN wtot
+       |ORDER BY source""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q185_doremi_weights", doremiWeights, Some(doremiSql)),
     Q("q161_capped_ppl", cappedPpl, Some(cappedPplSql)),
     Q("q149_zipf", zipfSlope, Some(zipfSlopeSql)),
     Q("q78_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),

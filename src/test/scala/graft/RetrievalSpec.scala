@@ -406,4 +406,27 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getLong(0) == 60L)
     assert(math.abs(slope + 1.0) < 0.02, s"slope $slope should be ~ -1")
   }
+
+  test("q185: a domain its own model serves better is upweighted; a mismatched one clamps to 0") {
+    val s = spark
+    import s.implicits._
+    // Knuth-mix parity: ids 0,3 train; 1,2 held. Global model: aaa 4, bbb 4.
+    // srcA held "aaa aaa": own JM p = 0.5·1 + 0.5·0.5 = 0.75 vs ref 0.5
+    //   → excess = ln 1.5; srcB held "aaa aaa": own p = 0.25 < ref → clamp 0.
+    val corpus = Seq(
+      (0L, "aaa aaa aaa aaa", "srcA"), (1L, "aaa aaa", "srcA"),
+      (3L, "bbb bbb bbb bbb", "srcB"), (2L, "aaa aaa", "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val out = graft.queries.Retrieval.doremiCore(corpus, eta = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val (tokA, pA, nllRefA, excA, wA, boostA) = out("srcA")
+    val (tokB, pB, nllRefB, excB, wB, boostB) = out("srcB")
+    assert((tokA, tokB) === ((6L, 6L)) && pA === 0.5 && pB === 0.5)
+    assert(nllRefA === 0.693147 && nllRefB === 0.693147)
+    assert(excA === 0.405465, s"excess A $excA")
+    assert(excB === 0.0, "mismatched domain must clamp to zero excess")
+    assert(wA === 0.6 && wB === 0.4, s"weights $wA/$wB")
+    assert(boostA === 1.2 && boostB === 0.8)
+  }
 }
