@@ -394,7 +394,91 @@ object Multimodal extends QueryModule {
        |FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q186: video keyframe dedup ------------------------------------------
+  // The frame-pruning step a video-captioning pipeline runs BEFORE the
+  // expensive per-frame model: within each video (payload), drop frames
+  // perceptually near-identical (phash64 Hamming ≤ τ) to ANY earlier
+  // frame — the greedy streaming-decoder rule (novel-vs-all-prior, NOT
+  // connected components: a suppressed frame still suppresses its own
+  // later near-twins, which is what a decode-in-order gate does). Frames
+  // are the q43 slicing at stride 1, sampled at 2× the content rate
+  // (each frame appears twice in sequence — the operator's actual
+  // regime: decoders sample faster than scenes change; measured, the
+  // ASCII stand-in payloads have NO organic near-dup frames — min
+  // intra-video Hamming 15 — so without the oversampling the gate would
+  // be fixture-vacuous). Fingerprints are the q114 phash64; the organic
+  // ≤ τ path (corrupted near-twin, chain suppression) is spec-pinned.
+  //
+  // Scale shape: phash is a map-only projection in the scan stage (only
+  // 8-byte fingerprints leave it); the pair relation is per-video
+  // (frames² per key, bounded by clip duration — intra-video needs no
+  // banding; CROSS-video dedup is q114/q119's banded index). The verdict
+  // join is frame-table-sized, co-keyed on doc_id.
+
+  private val KfTau = 3
+  private val KfFrameBytes = 64
+
+  /** The q186 body over a (doc_id, frame_idx, frame) relation —
+    * spec-plantable. */
+  private[graft] def keyframeDedupCore(frames0: DataFrame, tau: Int): DataFrame = {
+    import graft.functions.BinaryExprs
+    val ph = frames0.select(col("doc_id"), col("frame_idx"),
+      BinaryExprs.phash64(col("frame")).as("ph"))
+    val dup = ph.selectExpr("doc_id", "frame_idx AS fa", "ph AS pha")
+      .join(ph.selectExpr("doc_id", "frame_idx AS fb", "ph AS phb"),
+        Seq("doc_id"))
+      .filter(col("fa") < col("fb"))
+      .filter(expr(s"bit_count(pha ^ phb) <= $tau"))
+      .groupBy(col("doc_id"), col("fb").as("frame_idx"))
+      .agg(min("fa").as("dup_of"))
+    ph.select("doc_id", "frame_idx")
+      .join(dup, Seq("doc_id", "frame_idx"), "left")
+      .selectExpr("doc_id", "frame_idx", "dup_of", "dup_of IS NULL AS kept")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  def keyframeDedup(s: SparkSession, d: String): DataFrame =
+    keyframeDedupCore(
+      MultimodalOps.sampleFrames(
+          MultimodalOps.mediaFromDocuments(documents(s, d)),
+          frameBytes = KfFrameBytes, stride = 1)
+        .selectExpr("doc_id",
+          "explode(array(frame_idx * 2, frame_idx * 2 + 1)) AS frame_idx",
+          "frame"),
+      KfTau)
+
+  private def keyframeDedupSql: String =
+    s"""WITH $kernCte,
+       |fmedia AS (
+       |  SELECT doc_id, text, octet_length(encode(text)) // $KfFrameBytes AS n_frames
+       |  FROM documents
+       |),
+       |frames AS (
+       |  SELECT doc_id, r.f * 2 + o.i AS frame_idx,
+       |    substring(text, CAST(r.f * $KfFrameBytes + 1 AS INTEGER), $KfFrameBytes) AS ftext
+       |  FROM fmedia, unnest(range(0, n_frames, 1)) AS r(f),
+       |       unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS o(i)
+       |  WHERE n_frames > 0
+       |),
+       |${phashSideCtes("kf", "(SELECT doc_id * 1024 + frame_idx AS doc_id, ftext AS text FROM frames)")},
+       |kfp AS (
+       |  SELECT a.doc_id // 1024 AS doc_id, a.doc_id % 1024 AS fa,
+       |    b.doc_id % 1024 AS fb
+       |  FROM ph_kf a JOIN ph_kf b
+       |    ON a.doc_id // 1024 = b.doc_id // 1024
+       |   AND a.doc_id % 1024 < b.doc_id % 1024
+       |  WHERE bit_count(xor(a.ph, b.ph)) <= $KfTau
+       |),
+       |dupkf AS (
+       |  SELECT doc_id, fb, MIN(fa) AS dup_of FROM kfp GROUP BY doc_id, fb
+       |)
+       |SELECT f.doc_id, f.frame_idx, d.dup_of, d.dup_of IS NULL AS kept
+       |FROM frames f
+       |LEFT JOIN dupkf d ON d.doc_id = f.doc_id AND d.fb = f.frame_idx
+       |ORDER BY f.doc_id, f.frame_idx""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q186_keyframe_dedup", keyframeDedup, Some(keyframeDedupSql)),
     Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),

@@ -144,4 +144,28 @@ class PhashSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(r => r.getBoolean(3) === (r.isNullAt(1) && r.isNullAt(2))))
   }
+
+  test("q186: identical frames drop to the EARLIEST twin, per video; novel frames keep") {
+    val s = spark
+    import s.implicits._
+    val still = ("the same slow scene byte for byte " * 2).take(64)
+    val cut = ("completely different content after a hard scene cut here " * 2).take(64)
+    val frames = Seq(
+      (10L, 0L, still), (10L, 1L, still), // oversampled twin → drop, dup_of 0
+      (10L, 2L, still),                   // suppressed frame 1 still points to 0
+      (10L, 3L, cut),                     // scene cut → novel, kept
+      (20L, 0L, still),                   // SAME bytes in another video: kept
+    ).toDF("doc_id", "frame_idx", "ftext")
+      .select(col("doc_id"), col("frame_idx"),
+        encode(col("ftext"), "UTF-8").as("frame"))
+    val out = graft.queries.Multimodal.keyframeDedupCore(frames, tau = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    assert(out((10L, 0L)) === ((None, true)))
+    assert(out((10L, 1L)) === ((Some(0L), false)))
+    assert(out((10L, 2L)) === ((Some(0L), false)),
+      "a frame suppressed by a suppressed frame must still cite the earliest")
+    assert(out((10L, 3L)) === ((None, true)), "scene cut must survive")
+    assert(out((20L, 0L)) === ((None, true)), "dedup is strictly intra-video")
+  }
 }
