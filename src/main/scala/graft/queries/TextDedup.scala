@@ -1865,7 +1865,57 @@ object TextDedup extends QueryModule {
     base.union(ent).orderBy("metric")
   }
 
+  // ---- q187: n-gram diversity (distinct-n) ---------------------------------
+  // Li et al. 2016's distinct-n — the lexical-diversity number a datacard
+  // reports next to duplication (q172) and that synthetic/generated text
+  // fails first: per (lang, n ∈ {1,2,3}), distinct n-grams over total
+  // n-grams. Gram hashes are the engine-wide radix-31 fold over token
+  // hashes (the q68/q171 kernel, non-distinct variant), so the oracle
+  // replays counts exactly.
+  //
+  // Scale shape: ONE corpus pass — the three gram lengths ride one
+  // explode (array-of-structs, one kernel call per n in the scan stage)
+  // into one (lang, n)-keyed aggregate. count(DISTINCT h) sends one row
+  // per distinct gram through the exchange — exact by design here; the
+  // sketch swap at the 10⁹-gram wall is q100's KMV (documented trade).
+
+  def distinctNgrams(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextExprs
+    documents(s, d)
+      .select(col("lang"), explode(array(Seq(1, 2, 3).map(n =>
+        struct(lit(n.toLong).as("n"),
+          TextExprs.shingle_hashes(col("text"), n).as("hs"))): _*)).as("g"))
+      .select(col("lang"), col("g.n").as("n"), explode(col("g.hs")).as("h"))
+      .groupBy("lang", "n")
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("h")).as("distinct_grams"))
+      .selectExpr("lang", "n", "total_grams", "distinct_grams",
+        "CASE WHEN total_grams > 0 THEN round(CAST(distinct_grams AS DOUBLE) / total_grams, 6) END AS distinct_ratio")
+      .orderBy("lang", "n")
+  }
+
+  private val distinctNgramsSql =
+    s"""WITH dtoks AS (
+       |  SELECT lang, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM documents
+       |),
+       |dg AS (
+       |  SELECT lang, n.n AS n,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + n.n)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM dtoks,
+       |       unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)]) AS n(n),
+       |       unnest(CASE WHEN len(th) >= n.n THEN range(len(th) - n.n + 1) ELSE [] END) AS r(i)
+       |)
+       |SELECT lang, n, CAST(count(*) AS BIGINT) AS total_grams,
+       |  CAST(count(DISTINCT h) AS BIGINT) AS distinct_grams,
+       |  CASE WHEN count(*) > 0
+       |    THEN round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) END AS distinct_ratio
+       |FROM dg
+       |GROUP BY lang, n
+       |ORDER BY lang, n""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q187_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql)),
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),

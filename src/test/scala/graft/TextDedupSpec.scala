@@ -677,4 +677,30 @@ class TextDedupSpec extends SparkSpec {
       else assert(math.abs(c) < 0.02, s"cov z_$i z_$j = $c")
     }
   }
+
+  test("q187: distinct-n counts per (lang, n); gram-less combos emit no row") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a a a a", "x"),   // n1: 4/1, n2: 3/1, n3: 2/1
+      (1L, "a b c", "y"),     // fully diverse at every n
+      (2L, "a b", "z"),       // no trigrams → no (z, 3) row
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dn").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextDedup.distinctNgrams(s, dir)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("x", 1L)) === ((4L, 1L, Some(0.25))))
+    assert(out(("x", 2L)) === ((3L, 1L, Some(0.333333))))
+    assert(out(("x", 3L)) === ((2L, 1L, Some(0.5))))
+    assert(out(("y", 1L)) === ((3L, 3L, Some(1.0))))
+    assert(out(("y", 2L)) === ((2L, 2L, Some(1.0))))
+    assert(out(("y", 3L)) === ((1L, 1L, Some(1.0))))
+    assert(out(("z", 2L)) === ((1L, 1L, Some(1.0))))
+    assert(!out.contains(("z", 3L)), "a gram-less (lang, n) combo has no row")
+  }
 }
