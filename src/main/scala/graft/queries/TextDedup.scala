@@ -1865,6 +1865,102 @@ object TextDedup extends QueryModule {
     base.union(ent).orderBy("metric")
   }
 
+  // ---- q188: LSH banding recall/precision sweep -----------------------------
+  // The q135 measurement applied to the DEDUP family: MinHash banding,
+  // unlike q114's pigeonhole-exact phash bands, has probabilistic recall
+  // (P(candidate) = 1 − (1 − j^r)^b) — this query measures what each band
+  // geometry actually buys on THIS corpus. Ground truth: exact Jaccard
+  // ≥ 0.5 pairs (q22's inverted-index semantics, hash-proven unpruned);
+  // per rows-per-band r ∈ {1, 2, 4} over the same 16-hash signature:
+  // candidate count, true-pair hits, recall, and candidate precision —
+  // the table an operator reads before picking q21's geometry.
+  //
+  // Scale shape: the signature relation is computed ONCE and pinned (it
+  // IS the standing artifact a MinHash index materializes; three band
+  // geometries read it); each geometry's candidate set comes from the
+  // bucket self-join (bucket sizes are the candidate sets); the truth
+  // relation is near-dup-pair-sized. Output is 3 rows.
+
+  private val lshEvalRpb = Seq(1, 2, 4)
+
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextExprs
+    val docs = documents(s, d)
+    val sh = docs
+      .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+    val sig = DedupOps.minhashSignatures(sh, 16).localCheckpoint()
+    val truth = DedupOps.jaccardDupPairs(docs, shingleK = 3, threshold = 0.5,
+      maxDf = 64L).select("doc_a", "doc_b").localCheckpoint()
+    val perR = lshEvalRpb.map { r =>
+      val cand = DedupOps.lshCandidates(DedupOps.lshBands(sig, r))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .withColumn("rows_per_band", lit(r.toLong))
+    }.reduce(_ unionByName _)
+    perR
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .selectExpr("rows_per_band", "n_true", "n_cand", "n_hit",
+        "CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall",
+        "CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS cand_precision")
+      .orderBy("rows_per_band")
+  }
+
+  private val lshRecallSql = {
+    def bandCtes(r: Int): String =
+      s"""bands$r AS (
+         |  SELECT doc_id, j // $r AS band,
+         |         sum(mh * ([1,31,961,29791])[(j % $r) + 1]) AS bkey
+         |  FROM mh GROUP BY doc_id, j // $r
+         |),
+         |cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands$r a JOIN bands$r b ON a.band = b.band AND a.bkey = b.bkey
+         |   AND a.doc_id < b.doc_id
+         |)""".stripMargin
+    def row(r: Int): String =
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT count(*) FROM tru) AS n_true,
+         |  (SELECT count(*) FROM cand$r) AS n_cand,
+         |  (SELECT count(*) FROM cand$r c JOIN tru t
+         |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit""".stripMargin
+    s"""WITH $duckShingles,
+       |xc AS (
+       |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+       |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
+       |),
+       |xsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |xcom AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM xc c
+       |  JOIN sh s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |tru AS (
+       |  SELECT m.doc_a, m.doc_b FROM xcom m
+       |  JOIN xsz za ON za.doc_id = m.doc_a
+       |  JOIN xsz zb ON zb.doc_id = m.doc_b
+       |  WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |),
+       |mh AS (
+       |  SELECT doc_id, r.j AS j, min(((654435747*(r.j + 1) % 1000000007) * h + 1779033703*(2*r.j + 1) % 1000000007) % $P) AS mh
+       |  FROM sh, unnest(range(16)) AS r(j)
+       |  GROUP BY doc_id, r.j
+       |),
+       |${lshEvalRpb.map(bandCtes).mkString(",\n")},
+       |rows_out AS (
+       |${lshEvalRpb.map(row).mkString("\nUNION ALL\n")}
+       |)
+       |SELECT rows_per_band, n_true, n_cand, n_hit,
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+       |  CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS cand_precision
+       |FROM rows_out
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   // ---- q187: n-gram diversity (distinct-n) ---------------------------------
   // Li et al. 2016's distinct-n — the lexical-diversity number a datacard
   // reports next to duplication (q172) and that synthetic/generated text
@@ -1916,6 +2012,7 @@ object TextDedup extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q187_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql)),
+    Q("q188_lsh_recall", lshRecall, Some(lshRecallSql)),
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),

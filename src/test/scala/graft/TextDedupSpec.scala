@@ -703,4 +703,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(("z", 2L)) === ((1L, 1L, Some(1.0))))
     assert(!out.contains(("z", 3L)), "a gram-less (lang, n) combo has no row")
   }
+
+  test("q188: banding recall/precision sweep is monotone; exact twins always collide") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // exact twin of 0
+      (2L, "one two three four five six"),
+      (3L, "one two three four five seven"),       // jaccard 0.6 vs 2
+      (4L, "nothing shared here at all whatsoever"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshr").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextDedup.lshRecall(s, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val (t1, c1, h1, r1) = rows(1L)
+    val (t2, c2, h2, r2) = rows(2L)
+    val (t4, c4, h4, r4) = rows(4L)
+    assert(t1 === 2L && t2 === 2L && t4 === 2L, "truth: the twin pair + the 0.6 pair")
+    // looser bands can only ADD candidates and hits
+    assert(c1 >= c2 && c2 >= c4, s"candidates must shrink with rows/band: $c1 $c2 $c4")
+    assert(h1 >= h2 && h2 >= h4 && r1 >= r2 && r2 >= r4)
+    // an exact twin has an identical signature — every geometry finds it
+    assert(h4 >= 1L, "exact twins must collide even at the strictest banding")
+    rows.values.foreach { case (t, c, h, _) =>
+      assert(h <= t && h <= c, "hits bounded by truth and candidates") }
+  }
 }
