@@ -1224,6 +1224,106 @@ object DesignImage extends QueryModule {
        |FROM parcels LEFT JOIN perp ON perp.p = parcels.p CROSS JOIN gstat
        |ORDER BY parcels.p""".stripMargin
 
+  // ---- q189: small-world index ---------------------------------------------
+  // Humphries & Gurney 2008: σ = (C/C_rand)/(L/L_rand) — the one-number
+  // segregation-vs-integration summary clinicians quote, composed from
+  // the q173 clustering layer and the q184 path layer against the
+  // Erdős–Rényi baselines C_rand = k̄/(n−1), L_rand = ln n / ln k̄.
+  // Per-node clustering coefficients are 1e6-quantized before the mean
+  // (sum order can never flip a digit); every other moment is integer.
+  // Undefined guards: no deg≥2 node → NULL C; k̄ ≤ 1 → NULL L_rand → NULL σ.
+  //
+  // Scale shape: the q168 pair relation is computed ONCE and pinned
+  // (NP²-bounded) and feeds both bounded layers; output is ONE row.
+
+  /** One-row small-world summary from a q168-shaped pair relation. */
+  private[graft] def smallWorldCore(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint() // NP²-bounded; two graph layers read it
+    val g = graphMetricsCore(pairs)
+      .agg(count(lit(1)).as("np"),
+        (sum("deg") / 2).cast("long").as("m"),
+        sum(expr("CAST(round(c_coef * 1e6, 0) AS BIGINT)")).as("c_fp"),
+        count(col("c_coef")).as("n_c"))
+    val l = pathMetricsCore(pairs)
+      .agg(max("cpl").as("l_obs"), max("eff_glob").as("eff_glob"))
+    g.crossJoin(l)
+      .selectExpr("np", "m",
+        "round(CAST(2 AS DOUBLE) * m / np, 6) AS k_mean",
+        "CASE WHEN n_c > 0 THEN round(CAST(c_fp AS DOUBLE) / n_c / 1e6, 6) END AS c_mean",
+        "CASE WHEN np >= 2 THEN round(2.0 * m / (CAST(np AS DOUBLE) * (np - 1)), 6) END AS c_rand",
+        "l_obs", "eff_glob",
+        "CASE WHEN CAST(2 AS DOUBLE) * m / np > 1.0 THEN round(ln(CAST(np AS DOUBLE)) / ln(CAST(2 AS DOUBLE) * m / np), 6) END AS l_rand",
+        "CASE WHEN n_c > 0 AND m > 0 AND l_obs > 0 AND CAST(2 AS DOUBLE) * m / np > 1.0 AND ln(CAST(2 AS DOUBLE) * m / np) > 0 THEN " +
+          "round((CAST(c_fp AS DOUBLE) / n_c / 1e6) / (2.0 * m / (CAST(np AS DOUBLE) * (np - 1))) " +
+          "/ (l_obs / (ln(CAST(np AS DOUBLE)) / ln(CAST(2 AS DOUBLE) * m / np))), 6) END AS sigma")
+  }
+
+  def smallWorld(s: SparkSession, d: String): DataFrame =
+    smallWorldCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def smallWorldSql: String =
+    s"""WITH RECURSIVE $connectomeCtes,
+       |parcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |ones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |deg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM ones UNION ALL SELECT p2 AS p FROM ones
+       |  ) GROUP BY p
+       |),
+       |tr AS (
+       |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+       |  FROM ones e1
+       |  JOIN ones e2 ON e2.p1 = e1.p2
+       |  JOIN ones e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+       |),
+       |tri AS (
+       |  SELECT u.p, CAST(count(*) AS BIGINT) AS tri
+       |  FROM tr, unnest([a, b, c]) AS u(p) GROUP BY u.p
+       |),
+       |cnode AS (
+       |  SELECT parcels.p,
+       |    CASE WHEN COALESCE(deg.deg, 0) >= 2
+       |      THEN round(2.0 * COALESCE(tri.tri, 0) / (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) END AS c_coef
+       |  FROM parcels
+       |  LEFT JOIN deg ON deg.p = parcels.p
+       |  LEFT JOIN tri ON tri.p = parcels.p
+       |),
+       |sym AS (SELECT a, b FROM (
+       |  SELECT p1 AS a, p2 AS b FROM ones
+       |  UNION ALL SELECT p2 AS a, p1 AS b FROM ones)),
+       |walk(a, b, d) AS (
+       |  SELECT a, b, CAST(1 AS BIGINT) AS d FROM sym
+       |  UNION
+       |  SELECT w.a, s.b, w.d + 1
+       |  FROM walk w JOIN sym s ON s.a = w.b
+       |  WHERE w.d < $connNP AND s.b <> w.a
+       |),
+       |dist AS (SELECT a, b, MIN(d) AS d FROM walk GROUP BY a, b),
+       |gsum AS (
+       |  SELECT CAST((SELECT count(*) FROM parcels) AS BIGINT) AS np,
+       |    CAST((SELECT count(*) FROM ones) AS BIGINT) AS m,
+       |    (SELECT SUM(CAST(round(c_coef * 1e6, 0) AS BIGINT)) FROM cnode) AS c_fp,
+       |    CAST((SELECT count(c_coef) FROM cnode) AS BIGINT) AS n_c,
+       |    (SELECT CASE WHEN count(*) > 0
+       |       THEN round(CAST(SUM(d) AS DOUBLE) / count(*), 6) END FROM dist) AS l_obs,
+       |    (SELECT round(CAST(SUM(CAST(round(1e12 / d, 0) AS BIGINT)) AS DOUBLE)
+       |       / (CAST((SELECT count(*) FROM parcels) AS DOUBLE)
+       |          * ((SELECT count(*) FROM parcels) - 1)) / 1e12, 6) FROM dist) AS eff_glob
+       |)
+       |SELECT np, m,
+       |  round(CAST(2 AS DOUBLE) * m / np, 6) AS k_mean,
+       |  CASE WHEN n_c > 0 THEN round(CAST(c_fp AS DOUBLE) / n_c / 1e6, 6) END AS c_mean,
+       |  CASE WHEN np >= 2 THEN round(2.0 * m / (CAST(np AS DOUBLE) * (np - 1)), 6) END AS c_rand,
+       |  l_obs, eff_glob,
+       |  CASE WHEN CAST(2 AS DOUBLE) * m / np > 1.0 THEN round(ln(CAST(np AS DOUBLE)) / ln(CAST(2 AS DOUBLE) * m / np), 6) END AS l_rand,
+       |  CASE WHEN n_c > 0 AND m > 0 AND l_obs > 0 AND CAST(2 AS DOUBLE) * m / np > 1.0 AND ln(CAST(2 AS DOUBLE) * m / np) > 0 THEN
+       |    round((CAST(c_fp AS DOUBLE) / n_c / 1e6) / (2.0 * m / (CAST(np AS DOUBLE) * (np - 1)))
+       |    / (l_obs / (ln(CAST(np AS DOUBLE)) / ln(CAST(2 AS DOUBLE) * m / np))), 6) END AS sigma
+       |FROM gsum""".stripMargin
+
   // ---- q183: connectome fingerprinting ------------------------------------
   // Finn et al. 2015 (Nat Neurosci): functional connectomes are
   // individual-specific enough to IDENTIFY a subject — correlate each
@@ -1851,6 +1951,7 @@ object DesignImage extends QueryModule {
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
+    Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),
     Q("q40_resample", resample, Some(resampleSql)),

@@ -592,6 +592,26 @@ class InferenceQcSpec extends SparkSpec {
       "isolate: NULL ecc, zero reach/efficiency")
   }
 
+  // ---- q189 small-world index -----------------------------------------------
+
+  test("q189: triangle-plus-tail graph — C, L, random baselines, sigma") {
+    val s = spark
+    import s.implicits._
+    val pe = Seq((0, 1, 1L), (1, 2, 1L), (0, 2, 1L), (2, 3, 1L))
+      .toDF("p1", "p2", "edge")
+    val r = graft.queries.DesignImage.smallWorldCore(pe).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L) // np, m
+    assert(r.getDouble(2) === 2.0)                     // k_mean
+    // c: nodes 0,1 → 1.0; node 2 → 1/3 (rounded 0.333333); node 3 deg<2
+    assert(r.getDouble(3) === 0.777778, s"c_mean ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 0.666667)                // c_rand = 2m/(n(n-1))
+    assert(r.getDouble(5) === 1.333333)                // l_obs: 8 hops / 6 pairs
+    assert(r.getDouble(7) === 2.0)                     // l_rand = ln4/ln2
+    val sigma = BigDecimal(((2333333.0 / 3 / 1e6) / (2.0 * 4 / (4.0 * 3))) /
+        (1.333333 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(8) === sigma, s"sigma ${r.getDouble(8)} vs $sigma")
+  }
+
   // ---- q183 connectome fingerprinting --------------------------------------
 
   test("q183: identification correlates common edges only; scaled twin wins, constant scan is NULL") {
