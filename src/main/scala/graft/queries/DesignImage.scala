@@ -1373,11 +1373,17 @@ object DesignImage extends QueryModule {
   }
 
   /** Identification matrix from (g, h, p1, p2, r_fp) edge vectors. */
-  private[graft] def fingerprintCore(vectors: DataFrame): DataFrame = {
-    val s0 = vectors.filter(col("h") === 0)
-      .selectExpr("g AS ga", "p1", "p2", "r_fp AS ra")
-    val s1 = vectors.filter(col("h") === 1)
-      .selectExpr("g AS gb", "p1", "p2", "r_fp AS rb")
+  private[graft] def fingerprintCore(vectors: DataFrame): DataFrame =
+    fingerprintMatch(vectors.filter(col("h") === 0),
+      vectors.filter(col("h") === 1))
+
+  /** Identification matrix from separate probe (scan-A) and gallery
+    * (scan-B) edge-vector relations (g, p1, p2, r_fp) — the split q190's
+    * standing gallery probes through. */
+  private[graft] def fingerprintMatch(probe: DataFrame,
+      gallery: DataFrame): DataFrame = {
+    val s0 = probe.selectExpr("g AS ga", "p1", "p2", "r_fp AS ra")
+    val s1 = gallery.selectExpr("g AS gb", "p1", "p2", "r_fp AS rb")
     val mat = s0.join(s1, Seq("p1", "p2"))
       .groupBy("ga", "gb")
       .agg(count(lit(1)).as("n_e"),
@@ -1395,8 +1401,10 @@ object DesignImage extends QueryModule {
       .orderBy("ga", "gb")
   }
 
-  def fingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprintCore(scanEdgeVectors(lineitem(s, d)
+  /** The (g, h, t, x, y, z, v) two-scans-per-session series feeding
+    * q183 and q190. */
+  private def fpSeries(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
       .groupBy(
         (col("l_linenumber") % GRuns).cast("int").as("g"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
@@ -1406,7 +1414,48 @@ object DesignImage extends QueryModule {
         (col("l_partkey") % L).cast("int").as("y"),
         (col("l_suppkey") % L).cast("int").as("z"))
       .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
-        .cast("long").as("v"))))
+        .cast("long").as("v"))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    fingerprintCore(scanEdgeVectors(fpSeries(s, d)))
+
+  // ---- q190: standing fingerprint gallery -----------------------------------
+  // The q183 identification as a SERVICE: reference scans ENROLL over
+  // time into a persisted gallery of quantized edge vectors
+  // (graft.image.GalleryStore — the connectome member of the standing
+  // family, completing store symmetry for the imaging modality the way
+  // q156 did for betas), and each identification probes the standing
+  // gallery: enroll work is scan-bounded (NP²/2 facts per scan, the
+  // scan's series read once), probe work is |probe scans|·gallery-sized —
+  // never a re-read of enrolled series. The ORACLE is the q183 SQL
+  // verbatim: its hash match proves the two-stage enrollment (build +
+  // append) ≡ the one-shot rebuild on the driver's own data (the
+  // q90/q110/q119/q143/q156 precedent). Replays need no fingerprints:
+  // edge vectors are deterministic facts keyed (g, p1, p2) that the
+  // probe max-dedupes (the BetaStore contract).
+
+  def standingFingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.image.GalleryStore
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_gallery_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_gallery/$tag"
+    if (!GalleryStore.storeMatches(s, name, d)) {
+      // gallery = the h = 1 scans, enrolled in two stages to exercise
+      // the append path on driver data
+      val gal = scanEdgeVectors(fpSeries(s, d).filter(col("h") === 1))
+        .localCheckpoint() // GRuns·NP²-bounded; split into two admissions
+      GalleryStore.buildGallery(s, gal.filter(col("g") % 2 === 0), name,
+        loc, datasetTag = s"$d:building")
+      GalleryStore.enrollScans(s, gal.filter(col("g") % 2 === 1), name)
+      import s.implicits._
+      Seq(d).toDF("dataset_tag")
+        .write.mode("overwrite").option("path", s"$loc/meta")
+        .saveAsTable(s"${name}_meta")
+    }
+    fingerprintMatch(
+      scanEdgeVectors(fpSeries(s, d).filter(col("h") === 0)),
+      GalleryStore.galleryRelation(s, name))
+  }
 
   private def fingerprintSql: String =
     s"""WITH fps AS (
@@ -1950,6 +1999,7 @@ object DesignImage extends QueryModule {
     Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q190_standing_fingerprint", standingFingerprint, Some(fingerprintSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),

@@ -536,6 +536,25 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING gallery enrollment — q190's foreachBatch twin: each
+    * arriving batch of reference-scan edge vectors enrolls into the
+    * standing gallery (scan-bounded facts, idempotent via the scan guard
+    * + probe-side max-dedup), then the identification matrix for the
+    * given probe scans re-probes the gallery AS IT STANDS — the match
+    * verdicts update as reference scans are enrolled. The matrix is a
+    * complete snapshot, so the sink OVERWRITES (the
+    * streamingBetaAdmission contract). */
+  def streamingGalleryEnrollment(vecs: DataFrame, name: String,
+      probe: DataFrame, outPath: String): DataStreamWriter[Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      graft.image.GalleryStore.enrollScans(s, batch, name, idempotent = true)
+      graft.queries.DesignImage.fingerprintMatch(probe,
+        graft.image.GalleryStore.galleryRelation(s, name))
+        .write.mode("overwrite").parquet(outPath)
+      ()
+    }
+
   /** STREAMING decontamination probe — arriving training docs checked
     * against the standing eval-gram store (q138's state) before
     * admission to the training corpus: the hygiene gate of a
