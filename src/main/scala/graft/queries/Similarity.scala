@@ -1336,7 +1336,80 @@ object Similarity extends QueryModule {
        |FROM hits
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- q191: two-stage BQ serving (Hamming shortlist → exact re-rank) ----
+  // The production answer to q181's recall numbers: a coarse 1-bit
+  // Hamming scan shortlists c = 50 candidates per query (integer-only,
+  // 10% of this corpus; ~0.1% at production scale), then exact cosine
+  // re-ranks ONLY the shortlist — float math touches |queries|·c
+  // vectors instead of the corpus. recall@k against q27's exact top-k
+  // shows what the shortlist recovers over the raw 1-bit ranking.
+
+  private val rerankC = 50
+
+  def binaryRerank(s: SparkSession, d: String): DataFrame =
+    SimilarityOps
+      .binaryRerankRecall(embeddings(s, d), col("vec_id") < 10, k = bqK,
+        c = rerankC)
+      .orderBy("query_id", "rank")
+
+  private val binaryRerankSql =
+    s"""WITH $duckCorpus,
+       |coded AS (
+       |  SELECT vec_id, list_transform(range($bqWords), w ->
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(32), i ->
+       |      CASE WHEN v[w * 32 + i + 1] > 0 THEN CAST(1 AS BIGINT) << i
+       |           ELSE CAST(0 AS BIGINT) END)), (a, b) -> a | b)) AS code
+       |  FROM corpus
+       |),
+       |hscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range($bqWords),
+       |      w -> bit_count(xor(q.code[w + 1], c.code[w + 1])))) AS BIGINT) AS hamming
+       |  FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS hrank
+       |    FROM hscored) WHERE hrank <= $rerankC
+       |),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${duckDot("q.v", "c.v")} / (q.norm * c.norm) AS cosine
+       |  FROM shortlist s
+       |  JOIN normed q ON q.vec_id = s.query_id
+       |  JOIN normed c ON c.vec_id = s.neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rescored
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckDot("q.v", "c.v")} / (q.norm * c.norm) DESC, c.vec_id ASC) AS rnk
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rnk <= $bqK
+       |),
+       |hits AS (
+       |  SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+       |    round(r.cosine, 6) AS cosine,
+       |    CASE WHEN e.neighbor_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS hit
+       |  FROM ranked r
+       |  LEFT JOIN exact e
+       |    ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       |  WHERE r.rank <= $bqK
+       |)
+       |SELECT query_id, rank, neighbor_id, cosine, hit,
+       |  round(CAST(SUM(hit) OVER (PARTITION BY query_id) AS DOUBLE) / $bqK, 6) AS recall
+       |FROM hits
+       |ORDER BY query_id, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
+    Q("q191_binary_rerank", binaryRerank, Some(binaryRerankSql)),
     Q("q127_contrastive_pairs", contrastive, Some(contrastiveSql)),
     Q("q27_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Q("q28_lsh_topk", lshTopK, Some(lshTopKSql)),

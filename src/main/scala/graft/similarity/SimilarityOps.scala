@@ -1058,7 +1058,54 @@ object SimilarityOps {
     * WindowGroupLimit shape (per-partition top-k before the exchange);
     * the recall join touches only |queries|·k rows. One corpus pass per
     * scoring leg, no corpus-side shuffle. */
-  def binaryHammingRecall(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** q191: the two-stage BQ serving path [[binaryHammingRecall]]'s raw
+    * numbers argue for — stage 1 shortlists `c` candidates per query by
+    * Hamming over the 1-bit codes (integer-only, the full-corpus scan),
+    * stage 2 re-ranks ONLY the shortlist by exact cosine and returns
+    * top-k, with recall@k against the exact brute-force top-k. This is
+    * how production BQ indexes actually serve (coarse binary scan +
+    * float re-rank of ~1% of the corpus): recall recovers to ~1 while
+    * the float math touches only |queries|·c vectors.
+    *
+    * Scale shape: stage 1 is [[binaryHammingRecall]]'s map-only scan +
+    * WindowGroupLimit top-c; stage 2 joins the c-sized shortlist back to
+    * the corpus BY KEY (neighbor_id) — candidate-bounded, not
+    * corpus-bounded — then a |queries|·c-row rank window. */
+  def binaryRerankRecall(emb: DataFrame, queryPred: Column, k: Int,
+      c: Int): DataFrame = {
+    val corpus = prepared(emb)
+    val shortlist = binaryHammingTopK(emb, queryPred, c)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val scored = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cosine",
+        VectorExprs.dot_fold(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val top = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    val exact = cosineTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    top
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("hit"))
+      .withColumn("recall",
+        round(sum("hit").over(Window.partitionBy("query_id")).cast("double") / k, 6))
+      .select("query_id", "rank", "neighbor_id", "cosine", "hit", "recall")
+  }
+
+  /** The Hamming top-k leg alone — (query_id, rank, neighbor_id,
+    * hamming) — shared by the raw-recall measurement and q191's
+    * shortlist stage. */
+  def binaryHammingTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val words = 2 // ⌈64/32⌉ for the 64-dim corpus
     val coded = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1074,11 +1121,15 @@ object SimilarityOps {
       .withColumn("hamming", expr(
         "CAST(aggregate(zip_with(qcode, code, (a, b) -> bit_count(a ^ b)), 0, (a, b) -> a + b) AS BIGINT)"))
     val w = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("vec_id").asc)
-    val top = scored
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor_id"), col("hamming"))
+  }
+
+  def binaryHammingRecall(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val top = binaryHammingTopK(emb, queryPred, k)
     val exact = cosineTopK(emb, queryPred, k)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     top

@@ -664,6 +664,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(3)).toSeq === Seq(1L, 2L, 17L))
   }
 
+  test("q191: re-rank restores exact order WITHIN the shortlist; the c knob gates it") {
+    // q181's failure fixture: v1 is cosine-nearest but Hamming-farther
+    val d = emb(
+      0L -> Seq(1f, 0.1f),
+      1L -> Seq(1f, -0.1f),
+      2L -> Seq(0.1f, 1f),
+    )
+    // c = 2: both candidates shortlist → exact re-rank puts v1 first
+    val wide = SimilarityOps.binaryRerankRecall(d, col("vec_id") === 0, k = 1, c = 2)
+      .collect()
+    assert(wide.head.getLong(2) === 1L && wide.head.getDouble(5) === 1.0,
+      s"re-rank must recover the cosine-nearest: ${wide.head}")
+    // c = 1: the shortlist is Hamming-only → v2 survives, recall 0
+    val tight = SimilarityOps.binaryRerankRecall(d, col("vec_id") === 0, k = 1, c = 1)
+      .collect()
+    assert(tight.head.getLong(2) === 2L && tight.head.getDouble(5) === 0.0,
+      s"a too-tight shortlist cannot be repaired by re-ranking: ${tight.head}")
+  }
+
   test("q181: recall@k counts Hamming hits against the exact cosine top-k") {
     // q=[1,0.1]: exact top-1 is v1 (cos≈0.98) but its sign pattern differs
     // in bit 1, while v2 (cos≈0.2) shares q's signs — Hamming picks v2,
