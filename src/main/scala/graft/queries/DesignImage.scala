@@ -1419,6 +1419,92 @@ object DesignImage extends QueryModule {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintCore(scanEdgeVectors(fpSeries(s, d)))
 
+  // ---- q192: edge-level test–retest reliability (ICC) -----------------------
+  // Shrout & Fleiss ICC(2,1) per connectome edge — THE reliability
+  // number reported before any fingerprinting/group claim (Noble et al.
+  // 2019's meta-analytic target): a two-way random-effects ANOVA over
+  // the GRuns×2 (session × scan) table of quantized edge values,
+  // ICC = (MSR − MSE)/(MSR + (k−1)MSE + k(MSC − MSE)/n). Every sum of
+  // squares comes from exact integer moments (S, Q, Σ row-sums²,
+  // Σ col-sums²) over the 1e6-quantized r_fp cells; the ratio is one
+  // shared double expression. Edges with an incomplete table (a scan's
+  // r undefined) or a zero denominator report NULL — never a fabricated
+  // reliability.
+  //
+  // Scale shape: one (g,h)-keyed series exchange (the q183 chain), then
+  // three GRuns·NP²-bounded aggregates (cells, row sums, col sums)
+  // joined at the NP²-bounded edge grain.
+
+  private val iccN = GRuns // sessions (rows)
+  private val iccK = 2 // scans (raters)
+
+  /** ICC(2,1) per edge from (g, h, p1, p2, r_fp) cells — spec-plantable. */
+  private[graft] def edgeIccCore(cells: DataFrame): DataFrame = {
+    val n = iccN; val k = iccK
+    val tot = cells.groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_cells"), sum("r_fp").as("s"),
+        sum(expr("CAST(r_fp AS DECIMAL(38,0)) * r_fp")).as("q"))
+    val rows = cells.groupBy("p1", "p2", "g")
+      .agg(sum("r_fp").as("rs"))
+      .groupBy("p1", "p2")
+      .agg(sum(expr("CAST(rs AS DECIMAL(38,0)) * rs")).as("rg"))
+    val cols = cells.groupBy("p1", "p2", "h")
+      .agg(sum("r_fp").as("cs"))
+      .groupBy("p1", "p2")
+      .agg(sum(expr("CAST(cs AS DECIMAL(38,0)) * cs")).as("ch"))
+    val nk = n * k
+    val sst = s"(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val ssr = s"(CAST(rg AS DOUBLE) / $k - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val ssc = s"(CAST(ch AS DOUBLE) / $n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val msr = s"(($ssr) / ${n - 1})"
+    val msc = s"(($ssc) / ${k - 1})"
+    val mse = s"((($sst) - ($ssr) - ($ssc)) / ${(n - 1) * (k - 1)})"
+    val den = s"(($msr) + ${k - 1} * ($mse) + $k * (($msc) - ($mse)) / $n)"
+    tot.join(rows, Seq("p1", "p2")).join(cols, Seq("p1", "p2"))
+      .selectExpr("p1", "p2", "n_cells",
+        s"CASE WHEN n_cells = $nk AND ($den) <> 0 " +
+          s"THEN round((($msr) - ($mse)) / ($den), 6) END AS icc21")
+      .orderBy("p1", "p2")
+  }
+
+  def edgeIcc(s: SparkSession, d: String): DataFrame =
+    edgeIccCore(scanEdgeVectors(fpSeries(s, d)))
+
+  private def edgeIccSql: String = {
+    val n = iccN; val k = iccK; val nk = n * k
+    val sst = s"(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val ssr = s"(CAST(rg AS DOUBLE) / $k - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val ssc = s"(CAST(ch AS DOUBLE) / $n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / $nk)"
+    val msr = s"(($ssr) / ${n - 1})"
+    val msc = s"(($ssc) / ${k - 1})"
+    val mse = s"((($sst) - ($ssr) - ($ssc)) / ${(n - 1) * (k - 1)})"
+    val den = s"(($msr) + ${k - 1} * ($mse) + $k * (($msc) - ($mse)) / $n)"
+    // the fps/fpar/fmom/vecs chain is the q183 oracle's, verbatim
+    s"""WITH $fpVecsCtes,
+       |tot AS (
+       |  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_cells,
+       |    SUM(r_fp) AS s, SUM(CAST(r_fp AS HUGEINT) * r_fp) AS q
+       |  FROM vecs GROUP BY 1, 2
+       |),
+       |rsum AS (
+       |  SELECT p1, p2, SUM(CAST(rs AS HUGEINT) * rs) AS rg FROM (
+       |    SELECT p1, p2, g, SUM(r_fp) AS rs FROM vecs GROUP BY 1, 2, 3
+       |  ) GROUP BY 1, 2
+       |),
+       |csum AS (
+       |  SELECT p1, p2, SUM(CAST(cs AS HUGEINT) * cs) AS ch FROM (
+       |    SELECT p1, p2, h, SUM(r_fp) AS cs FROM vecs GROUP BY 1, 2, 3
+       |  ) GROUP BY 1, 2
+       |)
+       |SELECT tot.p1, tot.p2, tot.n_cells,
+       |  CASE WHEN tot.n_cells = $nk AND ($den) <> 0
+       |    THEN round((($msr) - ($mse)) / ($den), 6) END AS icc21
+       |FROM tot
+       |JOIN rsum ON rsum.p1 = tot.p1 AND rsum.p2 = tot.p2
+       |JOIN csum ON csum.p1 = tot.p1 AND csum.p2 = tot.p2
+       |ORDER BY tot.p1, tot.p2""".stripMargin
+  }
+
   // ---- q190: standing fingerprint gallery -----------------------------------
   // The q183 identification as a SERVICE: reference scans ENROLL over
   // time into a persisted gallery of quantized edge vectors
@@ -1457,8 +1543,11 @@ object DesignImage extends QueryModule {
       GalleryStore.galleryRelation(s, name))
   }
 
-  private def fingerprintSql: String =
-    s"""WITH fps AS (
+  /** The fps → fpar → fmom → vecs oracle chain (per-(session, scan)
+    * quantized edge vectors) — shared verbatim by q183/q190 (the
+    * identification tail) and q192 (the ICC tail). */
+  private def fpVecsCtes: String =
+    s"""fps AS (
        |  SELECT CAST(l_linenumber % $GRuns AS INTEGER) AS g,
        |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 2 AS INTEGER) AS h,
        |         CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
@@ -1488,7 +1577,10 @@ object DesignImage extends QueryModule {
        |      CAST(round(($connRStr) * 1e6, 0) AS BIGINT) AS r_fp
        |    FROM fmom)
        |  WHERE r_fp IS NOT NULL
-       |),
+       |)""".stripMargin
+
+  private def fingerprintSql: String =
+    s"""WITH $fpVecsCtes,
        |mat AS (
        |  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_e,
        |    SUM(a.r_fp) AS sa, SUM(b.r_fp) AS sb,
@@ -2000,6 +2092,7 @@ object DesignImage extends QueryModule {
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q190_standing_fingerprint", standingFingerprint, Some(fingerprintSql)),
+    Q("q192_edge_icc", edgeIcc, Some(edgeIccSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),

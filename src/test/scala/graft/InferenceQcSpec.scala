@@ -592,6 +592,30 @@ class InferenceQcSpec extends SparkSpec {
       "isolate: NULL ecc, zero reach/efficiency")
   }
 
+  // ---- q192 edge ICC(2,1) -----------------------------------------------------
+
+  test("q192: subject-separated edge ICC 1, pure rater effect 0, degenerate/incomplete NULL") {
+    val s = spark
+    import s.implicits._
+    val cells = (0 until 4).flatMap { g =>
+      (0 until 2).map { h =>
+        Seq(
+          (g, h, 0, 1, 100L * g),      // scan-invariant, subject-separated → 1
+          (g, h, 0, 2, 100L * h),      // pure scan (rater) effect → 0
+          (g, h, 1, 2, 55L),           // constant table → 0/0 → NULL
+        )
+      }
+    }.flatten ++ Seq((0, 0, 1, 3, 10L)) // incomplete table → NULL
+    val out = graft.queries.DesignImage
+      .edgeIccCore(cells.toDF("g", "h", "p1", "p2", "r_fp"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out((0, 1)) === ((8L, Some(1.0))), s"${out((0, 1))}")
+    assert(out((0, 2)) === ((8L, Some(0.0))), s"${out((0, 2))}")
+    assert(out((1, 2)) === ((8L, None)), "a flat table has undefined reliability")
+    assert(out((1, 3)) === ((1L, None)), "an incomplete table must be NULL, not fabricated")
+  }
+
   // ---- q189 small-world index -----------------------------------------------
 
   test("q189: triangle-plus-tail graph — C, L, random baselines, sigma") {
