@@ -1865,6 +1865,74 @@ object TextDedup extends QueryModule {
     base.union(ent).orderBy("metric")
   }
 
+  // ---- q193: Gopher-rule quality gate ----------------------------------------
+  // Rae et al. 2021 Table A1 as one verdict relation — the rule-based
+  // filter every web-corpus pipeline runs before the learned one (q108):
+  // per document, the five deterministic rules and the composite pass.
+  // Every rule compares EXACT INTEGERS (3 ≤ mean-word-len ≤ 10 becomes
+  // 3·nw ≤ Σlen ∧ Σlen ≤ 10·nw; the 10%/80% ratios cross-multiply the
+  // same way) — no double appears anywhere, so the oracle needs no
+  // rounding discipline at all.
+  //
+  // Scale shape: ONE corpus pass, all five rules as projections over the
+  // token array in the scan stage; no shuffle but the output sort.
+
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherGate(s: SparkSession, d: String): DataFrame =
+    gopherGateCore(documents(s, d))
+
+  /** The q193 body over any (doc_id, text) frame — spec-plantable. */
+  private[graft] def gopherGateCore(docs: DataFrame): DataFrame = {
+    val stopArr = gopherStops.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("th", split(col("text"), " "))
+      .selectExpr("doc_id", "CAST(size(th) AS BIGINT) AS n_words",
+        "CAST(aggregate(th, 0L, (a, w) -> a + length(w)) AS BIGINT) AS sumlen",
+        "CAST(size(filter(th, w -> w rlike '[^a-zA-Z0-9]')) AS BIGINT) AS n_sym",
+        "CAST(size(filter(th, w -> w rlike '[a-zA-Z]')) AS BIGINT) AS n_alpha",
+        s"CAST(size(filter(th, w -> array_contains(array($stopArr), w))) AS BIGINT) AS n_stop")
+      .selectExpr("doc_id", "n_words",
+        "CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_len",
+        "CAST(3 * n_words <= sumlen AND sumlen <= 10 * n_words AS BIGINT) AS r_wordlen",
+        "CAST(10 * n_sym <= n_words AS BIGINT) AS r_symbol",
+        "CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS r_alpha",
+        "CAST(n_stop >= 2 AS BIGINT) AS r_stop")
+      .selectExpr("doc_id", "n_words", "r_len", "r_wordlen", "r_symbol",
+        "r_alpha", "r_stop",
+        "r_len + r_wordlen + r_symbol + r_alpha + r_stop = 5 AS pass")
+      .orderBy("doc_id")
+  }
+
+  private val gopherGateSql = {
+    val stopArr = gopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH gth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents
+       |),
+       |gfeat AS (
+       |  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(th, w -> length(w))) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(th, w -> regexp_matches(w, '[^a-zA-Z0-9]'))) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(th, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(th, w -> list_contains([$stopArr], w))) AS BIGINT) AS n_stop
+       |  FROM gth
+       |),
+       |grules AS (
+       |  SELECT doc_id, n_words,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_len,
+       |    CAST(3 * n_words <= sumlen AND sumlen <= 10 * n_words AS BIGINT) AS r_wordlen,
+       |    CAST(10 * n_sym <= n_words AS BIGINT) AS r_symbol,
+       |    CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS r_alpha,
+       |    CAST(n_stop >= 2 AS BIGINT) AS r_stop
+       |  FROM gfeat
+       |)
+       |SELECT doc_id, n_words, r_len, r_wordlen, r_symbol, r_alpha, r_stop,
+       |  r_len + r_wordlen + r_symbol + r_alpha + r_stop = 5 AS pass
+       |FROM grules
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q188: LSH banding recall/precision sweep -----------------------------
   // The q135 measurement applied to the DEDUP family: MinHash banding,
   // unlike q114's pigeonhole-exact phash bands, has probabilistic recall
@@ -2013,6 +2081,7 @@ object TextDedup extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q187_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql)),
     Q("q188_lsh_recall", lshRecall, Some(lshRecallSql)),
+    Q("q193_gopher_gate", gopherGate, Some(gopherGateSql)),
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),

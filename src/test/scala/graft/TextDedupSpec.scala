@@ -704,6 +704,29 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.contains(("z", 3L)), "a gram-less (lang, n) combo has no row")
   }
 
+  test("q193: each Gopher rule fails on its designed violation, and only there") {
+    val s = spark
+    import s.implicits._
+    def fill(n: Int) = (1 to n).map(i => s"wrd$i").mkString(" ") // 4-5 char fillers
+    val corpus = Seq(
+      (0L, s"the of ${fill(48)}"),                             // 50 words, all rules pass
+      (1L, "the of too short"),                                // r_len fails
+      (3L, ("extraordinarilylongword " * 48 + "the of").trim), // mean len > 10 → r_wordlen
+      (4L, ("$$$ " * 10 + "the of " + fill(38)).trim),         // >10% symbol words
+      (5L, ("12345 " * 20 + "the of " + fill(28)).trim),       // <80% alphabetic
+      (6L, s"aaa bbb ${fill(48)}"),                            // no stopwords → r_stop
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextDedup.gopherGateCore(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(out(0L) === ((1L, 1L, 1L, 1L, 1L, true)), s"${out(0L)}")
+    assert(out(1L)._1 === 0L && !out(1L)._6, "short doc fails r_len")
+    assert(out(3L)._2 === 0L && !out(3L)._6, "long-word doc fails r_wordlen")
+    assert(out(4L)._3 === 0L && !out(4L)._6, "symbol-heavy doc fails r_symbol")
+    assert(out(5L)._4 === 0L && !out(5L)._6, "numeric-heavy doc fails r_alpha")
+    assert(out(6L)._5 === 0L && !out(6L)._6, "stopword-free doc fails r_stop")
+  }
+
   test("q188: banding recall/precision sweep is monotone; exact twins always collide") {
     val s = spark
     import s.implicits._
