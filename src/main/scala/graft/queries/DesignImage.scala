@@ -1419,6 +1419,143 @@ object DesignImage extends QueryModule {
   def fingerprint(s: SparkSession, d: String): DataFrame =
     fingerprintCore(scanEdgeVectors(fpSeries(s, d)))
 
+  // ---- q194: global-signal-regressed connectome ------------------------------
+  // GSR — the other motion-mitigation protocol (Murphy & Fox 2017; q178
+  // covered scrubbing): regress the global signal out of every parcel
+  // series, then correlate residuals. Because regression is linear and
+  // the design ([1, g]) is shared, residual correlation equals the
+  // PARTIAL correlation given g — r_xy·g = (r_xy − r_xg·r_yg) /
+  // √((1−r_xg²)(1−r_yg²)) — so the whole analysis stays CLOSED-FORM over
+  // exact integer moments: no residual series is ever materialized, no
+  // per-voxel betas leave the formula. g(t) = Σ_p pv(t) is itself an
+  // exact integer series. Same edge/degree tail semantics as q168
+  // (threshold the ROUNDED partial r at |r| ≥ 0.1).
+  //
+  // Scale shape: ONE data-sized exchange (the parcel-series aggregate,
+  // pinned); g and the parcel-vs-g moments are NT- and NP-bounded; pair
+  // moments NP²-bounded; the partial-r projection and degree fold are
+  // broadcast-class. Undefined guards: any degenerate marginal
+  // (zero-variance parcel or |r_xg| = 1 — a parcel that IS the global
+  // signal) yields NULL r, never a fabricated edge.
+
+  private val gsrPartialStr =
+    "CASE WHEN r_xy IS NOT NULL AND r_xg IS NOT NULL AND r_yg IS NOT NULL " +
+      "AND (1.0 - r_xg * r_xg) > 0 AND (1.0 - r_yg * r_yg) > 0 THEN " +
+      "(r_xy - r_xg * r_yg) / (sqrt(1.0 - r_xg * r_xg) * sqrt(1.0 - r_yg * r_yg)) END"
+
+  /** q194 body from a (t, x, y, z, v-cents) series — spec-plantable. */
+  private[graft] def gsrConnectomeCore(series: DataFrame): DataFrame = {
+    val par = series
+      .selectExpr(s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p",
+        "t", "v")
+      .groupBy("p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint()
+    val g = par.groupBy("t").agg(sum("pv").as("gv"))
+    val gm = g.agg(sum("gv").as("sg"),
+      sum(expr("CAST(gv AS DECIMAL(38,0)) * gv")).as("sgg"))
+    val pg = par.join(broadcast(g), Seq("t"))
+      .groupBy("p")
+      .agg(sum("pv").as("sx"),
+        sum(expr("CAST(pv AS DECIMAL(38,0)) * pv")).as("sxx"),
+        sum(expr("CAST(pv AS DECIMAL(38,0)) * gv")).as("sxg"))
+      .crossJoin(broadcast(gm))
+      .selectExpr("p",
+        s"""CASE WHEN ($NT * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+           | AND ($NT * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) > 0
+           |THEN ($NT * CAST(sxg AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sg AS DOUBLE)) /
+           | (sqrt($NT * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           |  sqrt($NT * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) END AS r_pg""".stripMargin.replace("\n", " "))
+    val a = par.selectExpr("p AS p1", "t", "pv AS pva")
+    val b = par.selectExpr("p AS p2", "t", "pv AS pvb")
+    val mom = a.join(b, Seq("t")).filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+      .selectExpr("p1", "p2", s"$connRStr AS r_xy")
+    val pairs = mom
+      .join(broadcast(pg.selectExpr("p AS p1", "r_pg AS r_xg")), Seq("p1"))
+      .join(broadcast(pg.selectExpr("p AS p2", "r_pg AS r_yg")), Seq("p2"))
+      .selectExpr("p1", "p2", s"round($gsrPartialStr, 6) AS r_par")
+      .selectExpr("p1", "p2", "r_par", s"$connEdgeStr AS edge")
+      .localCheckpoint() // NP²-bounded; output + two degree reads
+    val ones = pairs.filter(col("edge") === 1)
+    val deg = ones.selectExpr("p1 AS p").union(ones.selectExpr("p2 AS p"))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    pairs
+      .join(broadcast(deg.selectExpr("p AS p1", "deg AS deg_p1")), Seq("p1"), "left")
+      .join(broadcast(deg.selectExpr("p AS p2", "deg AS deg_p2")), Seq("p2"), "left")
+      .na.fill(0L, Seq("deg_p1", "deg_p2"))
+      .select("p1", "p2", "r_par", "edge", "deg_p1", "deg_p2")
+      .orderBy("p1", "p2")
+  }
+
+  def gsrConnectome(s: SparkSession, d: String): DataFrame =
+    gsrConnectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  private def gsrConnectomeSql: String =
+    s"""WITH $centsSeriesCte,
+       |par AS (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM series GROUP BY 1, 2
+       |),
+       |gsig AS (SELECT t, SUM(pv) AS gv FROM par GROUP BY t),
+       |ggm AS (
+       |  SELECT SUM(gv) AS sg, SUM(CAST(gv AS HUGEINT) * gv) AS sgg FROM gsig
+       |),
+       |pgm AS (
+       |  SELECT p, SUM(pv) AS sx, SUM(CAST(pv AS HUGEINT) * pv) AS sxx,
+       |    SUM(CAST(pv AS HUGEINT) * gv) AS sxg
+       |  FROM par JOIN gsig ON gsig.t = par.t
+       |  GROUP BY p
+       |),
+       |pg AS (
+       |  SELECT p,
+       |    CASE WHEN ($NT * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+       |     AND ($NT * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) > 0
+       |    THEN ($NT * CAST(sxg AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sg AS DOUBLE)) /
+       |     (sqrt($NT * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |      sqrt($NT * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) END AS r_pg
+       |  FROM pgm CROSS JOIN ggm
+       |),
+       |gmom AS (
+       |  SELECT a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM par a JOIN par b ON a.t = b.t AND a.p < b.p
+       |  GROUP BY 1, 2
+       |),
+       |gpairs AS (
+       |  SELECT p1, p2, round($gsrPartialStr, 6) AS r_par FROM (
+       |    SELECT m.p1, m.p2, $connRStr AS r_xy, xg.r_pg AS r_xg, yg.r_pg AS r_yg
+       |    FROM gmom m
+       |    JOIN pg xg ON xg.p = m.p1
+       |    JOIN pg yg ON yg.p = m.p2)
+       |),
+       |gpe AS (
+       |  SELECT p1, p2, r_par, $connEdgeStr AS edge FROM gpairs
+       |),
+       |gdeg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM gpe WHERE edge = 1
+       |    UNION ALL
+       |    SELECT p2 AS p FROM gpe WHERE edge = 1
+       |  ) GROUP BY p
+       |)
+       |SELECT gpe.p1, gpe.p2, gpe.r_par, gpe.edge,
+       |  CAST(COALESCE(d1.deg, 0) AS BIGINT) AS deg_p1,
+       |  CAST(COALESCE(d2.deg, 0) AS BIGINT) AS deg_p2
+       |FROM gpe
+       |LEFT JOIN gdeg d1 ON d1.p = gpe.p1
+       |LEFT JOIN gdeg d2 ON d2.p = gpe.p2
+       |ORDER BY p1, p2""".stripMargin
+
   // ---- q192: edge-level test–retest reliability (ICC) -----------------------
   // Shrout & Fleiss ICC(2,1) per connectome edge — THE reliability
   // number reported before any fingerprinting/group claim (Noble et al.
@@ -2093,6 +2230,7 @@ object DesignImage extends QueryModule {
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q190_standing_fingerprint", standingFingerprint, Some(fingerprintSql)),
     Q("q192_edge_icc", edgeIcc, Some(edgeIccSql)),
+    Q("q194_gsr_connectome", gsrConnectome, Some(gsrConnectomeSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),

@@ -592,6 +592,54 @@ class InferenceQcSpec extends SparkSpec {
       "isolate: NULL ecc, zero reach/efficiency")
   }
 
+  // ---- q194 GSR connectome ------------------------------------------------------
+
+  test("q194: partial r equals explicit residualization; a shared global component is removed") {
+    val s = spark
+    import s.implicits._
+    // three parcels: small independent signals + one big shared drift
+    def base(t: Int, k: Int) = (50 + 17 * ((t * k + 3) % 11)).toLong
+    val drift = (t: Int) => 4000L * (1 + (t % 5))
+    val xs = (0 until 30).map(t => base(t, 2) + drift(t))
+    val ys = (0 until 30).map(t => base(t, 7) + drift(t))
+    val zs = (0 until 30).map(t => base(t, 13)) // no drift
+    val rows = (0 until 30).flatMap(t => Seq(
+      (t, 0, 0, 0, xs(t)), (t, 1, 0, 0, ys(t)), (t, 0, 1, 0, zs(t))))
+    val out = graft.queries.DesignImage
+      .gsrConnectomeCore(plantedSeries(rows))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // scala-side explicit residualization against g = x + y + z (dense n = 30)
+    val g = (0 until 30).map(t => xs(t) + ys(t) + zs(t))
+    def resid(v: Seq[Long]): Seq[Double] = {
+      val n = 30.0
+      val (sv, sg) = (v.sum.toDouble, g.sum.toDouble)
+      val svg = v.zip(g).map { case (a, b) => a.toDouble * b }.sum
+      val sgg = g.map(x => x.toDouble * x).sum
+      val beta = (n * svg - sv * sg) / (n * sgg - sg * sg)
+      val alpha = (sv - beta * sg) / n
+      v.zip(g).map { case (a, b) => a - alpha - beta * b }
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = 30.0
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      val (saa, sbb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      (n * sab - sa * sb) / (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    }
+    val (rx, ry, rz) = (resid(xs), resid(ys), resid(zs))
+    val expect = Map((0, 7) -> pearson(rx, ry), (0, 11) -> pearson(rx, rz),
+      (7, 11) -> pearson(ry, rz))
+    for ((k, e) <- expect) {
+      val got = out(k).get
+      assert(math.abs(got - e) < 2e-6, s"edge $k: partial $got vs residual $e")
+    }
+    // the raw correlation is drift-dominated; the partial one is not
+    val rawXY = pearson(xs.map(_.toDouble), ys.map(_.toDouble))
+    assert(rawXY > 0.99, s"fixture sanity: shared drift must dominate raw r ($rawXY)")
+    assert(math.abs(out((0, 7)).get) < 0.9, "GSR must remove the shared component")
+  }
+
   // ---- q192 edge ICC(2,1) -----------------------------------------------------
 
   test("q192: subject-separated edge ICC 1, pure rater effect 0, degenerate/incomplete NULL") {
