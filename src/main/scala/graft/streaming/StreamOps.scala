@@ -258,6 +258,69 @@ object StreamOps {
       }
   }
 
+  /** Input frame for [[streamingKeyframeGate]]: a decoded frame's 64-bit
+    * perceptual hash (phash is map-only in the scan stage — only the
+    * 8-byte fingerprint enters the stateful operator). */
+  case class FrameIn(doc_id: Long, frame_idx: Long, ph: Long)
+
+  /** One gated frame: the earliest prior near-twin (if any) and the keep
+    * verdict. */
+  case class FrameVerdict(doc_id: Long, frame_idx: Long,
+      dup_of: Option[Long], kept: Boolean)
+
+  /** The shared per-video fold (q186's greedy novel-vs-all-prior rule):
+    * frames in frame_idx order against ALL previously seen frames of the
+    * video — a suppressed frame still suppresses its own later
+    * near-twins, so the state keeps every seen (frame_idx, ph), bounded
+    * by frames-per-clip. */
+  private def foldFrames(seen: Seq[(Long, Long)], frames: Seq[FrameIn],
+      tau: Int): (Seq[(Long, Long)], Seq[FrameVerdict]) = {
+    var st = seen
+    val out = Seq.newBuilder[FrameVerdict]
+    for (f <- frames.sortBy(_.frame_idx)) {
+      val hits = st.collect { case (idx, h)
+        if idx < f.frame_idx && java.lang.Long.bitCount(h ^ f.ph) <= tau => idx }
+      val dup = if (hits.isEmpty) None else Some(hits.min)
+      out += FrameVerdict(f.doc_id, f.frame_idx, dup, dup.isEmpty)
+      st = st :+ ((f.frame_idx, f.ph))
+    }
+    (st, out.result())
+  }
+
+  /** STREAMING keyframe gate — q186's stateful twin on the
+    * flatMapGroupsWithState surface: frames arrive per video in decode
+    * order across micro-batches; each is admitted iff no prior frame of
+    * the SAME video (any batch) is phash-near-identical. State spans the
+    * stream lifetime (the running-outliers shape), bounded by
+    * frames-per-clip per key. Determinism contract: frames fold in
+    * frame_idx order within each batch; in-order arrival gives
+    * stream ≡ batch exactly (spec-pinned incl. cross-batch suppression). */
+  def streamingKeyframeGate(frames: Dataset[FrameIn],
+      tau: Int): Dataset[FrameVerdict] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Seq[(Long, Long)], FrameVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Seq[(Long, Long)]]) =>
+          val st = state.getOption.getOrElse(Seq.empty)
+          val (next, verdicts) = foldFrames(st, rows.toSeq, tau)
+          state.update(next)
+          verdicts.iterator
+      }
+  }
+
+  /** Batch twin: identical fold over each whole video (single batch). */
+  def keyframeGateBatch(frames: Dataset[FrameIn],
+      tau: Int): Dataset[FrameVerdict] = {
+    import frames.sparkSession.implicits._
+    frames
+      .groupByKey(_.doc_id)
+      .flatMapGroups { (_, rows) =>
+        foldFrames(Seq.empty, rows.toSeq, tau)._2.iterator
+      }
+  }
+
   /** Input row for [[streamingContextPack]]: a sized document on one
     * pack stream. */
   case class PackDoc(doc_id: Long, lang: String, tokens: Long)

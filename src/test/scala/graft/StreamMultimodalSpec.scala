@@ -562,4 +562,51 @@ class StreamMultimodalSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming keyframe gate: state spans batches, equals the q186 relation exactly") {
+    val s = spark
+    import s.implicits._
+    val still = ("the same slow scene byte for byte " * 2).take(64)
+    val cut = ("completely different content after a hard scene cut here " * 2).take(64)
+    // decode order: batch 1 = frames 0-1, batch 2 = frames 2-3 + video 20
+    val all = Seq(
+      (10L, 0L, still), (10L, 1L, still),
+      (10L, 2L, still), (10L, 3L, cut),
+      (20L, 0L, still),
+    )
+    def frameDf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("doc_id", "frame_idx", "ftext")
+        .select(col("doc_id"), col("frame_idx"),
+          org.apache.spark.sql.functions.encode(col("ftext"), "UTF-8").as("frame"))
+    def toIn(rows: Seq[(Long, Long, String)]) =
+      frameDf(rows)
+        .select(col("doc_id"), col("frame_idx"),
+          graft.functions.BinaryExprs.phash64(col("frame")).as("ph"))
+        .as[StreamOps.FrameIn].collect().toSeq
+    // the q186 batch relation is the ground truth
+    val expected = graft.queries.Multimodal.keyframeDedupCore(frameDf(all), tau = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))).toMap
+    // batch twin on FrameIn rows
+    val batchTwin = StreamOps
+      .keyframeGateBatch(toIn(all).toDS(), tau = 3)
+      .collect().map(v => (v.doc_id, v.frame_idx) -> ((v.dup_of, v.kept))).toMap
+    assert(batchTwin === expected)
+    // streaming: frame 2's suppressor (frame 0) lives in the PRIOR batch
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamOps.FrameIn]
+    val q = StreamOps.streamingKeyframeGate(ms.toDS(), tau = 3)
+      .writeStream.format("memory").queryName("kf_gate_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(toIn(all.take(2))); q.processAllAvailable()
+      ms.addData(toIn(all.drop(2))); q.processAllAvailable()
+      val got = s.table("kf_gate_test").as[StreamOps.FrameVerdict]
+        .collect().map(v => (v.doc_id, v.frame_idx) -> ((v.dup_of, v.kept))).toMap
+      assert(got === expected, "stream verdicts must equal the q186 relation")
+      assert(got((10L, 2L)) === ((Some(0L), false)),
+        "cross-batch suppression must cite the batch-1 frame")
+    } finally q.stop()
+  }
 }
