@@ -817,8 +817,11 @@ object TextDedup extends QueryModule {
       .orderBy("doc_id")
   }
 
-  private val fuzzyDecontamSql =
-    s"""WITH trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+  /** The q180 oracle chain (trd/evd → gram hits + banded near-dups vs
+    * the eval slice), ending in `grams` and `near` — shared verbatim by
+    * q180 and the q195 ledger. */
+  private def fuzzyDecontamCtes: String =
+    s"""trd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
        |evd AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
        |toks_g AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
@@ -857,7 +860,10 @@ object TextDedup extends QueryModule {
        |  JOIN sze ON sze.doc_id = comx.eid
        |  WHERE CAST(common AS DOUBLE) / (szt.n + sze.n - common) >= 0.5
        |  GROUP BY tid
-       |)
+       |)""".stripMargin
+
+  private def fuzzyDecontamSql =
+    s"""WITH $fuzzyDecontamCtes
        |SELECT COALESCE(g.doc_id, n.doc_id) AS doc_id,
        |  CAST(COALESCE(g.shared_grams, 0) AS BIGINT) AS shared_grams,
        |  n.near_dup_of
@@ -1865,6 +1871,132 @@ object TextDedup extends QueryModule {
     base.union(ent).orderBy("metric")
   }
 
+  // ---- q195: FineWeb-style curation ledger ------------------------------------
+  // The modern web-corpus pipeline (Penedo et al. 2024's stage order) as
+  // ONE per-document rejection ledger — exact dedup → MinHash near-dup
+  // (on exact survivors) → fuzzy decontamination vs the eval slice
+  // (q180's exact-gram ∪ near-dup rule) → the Gopher rule gate — where
+  // each document carries the verdict of every stage it REACHED (later
+  // stages are NULL once a document is dropped: the ledger says WHY a
+  // doc died, not what later gates would have thought). kept = survived
+  // all four. The q128 assembly answers "what survives"; this answers
+  // the curation team's other question, "where does the corpus go".
+  //
+  // Every stage reuses its family's hash-proven machinery: exact/near
+  // dedup are q20/q128's chains, contamination is q180's CTEs verbatim,
+  // the gate is q193's integer rules. Scale shape is the union of the
+  // donors': no new exchange class appears — the ledger itself is one
+  // final doc-keyed projection over four flag relations.
+
+  /** The q195 body over any (doc_id, lang, text) frame (eval slice =
+    * doc_id % 97 = 0, never ledgered) — spec-plantable. */
+  private[graft] def finewebLedgerCore(docs: DataFrame): DataFrame = {
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "lang", "text")
+    val t1 = train
+      .join(train.groupBy("text").agg(min("doc_id").as("keep_id")), Seq("text"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+      .localCheckpoint() // consumed by the ledger spine + the k1 filter
+    val k1 = t1.filter(!col("exact_dup")).select("doc_id", "lang", "text")
+    val near = DedupOps
+      .minhashDupPairs(k1, shingleK = 3, numHashes = 16, rowsPerBand = 4,
+        threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_hit", lit(true))
+    val cont = fuzzyDecontamCore(docs)
+      .select(col("doc_id")).withColumn("cont_hit", lit(true))
+    val gate = gopherGateCore(train.select("doc_id", "text"))
+      .select(col("doc_id"), col("n_words"), (!col("pass")).as("gate_fail"))
+    t1.select("doc_id", "lang", "exact_dup")
+      .join(near, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(gate, Seq("doc_id"), "left")
+      // masked stages are nullable BIGINT 0/1, not nullable BOOLEAN —
+      // pandas renders engine NULL booleans differently (None vs NaN),
+      // while nullable ints coerce to float64 NaN on BOTH sides
+      .selectExpr("doc_id", "lang", "n_words", "exact_dup",
+        "CASE WHEN exact_dup THEN NULL ELSE CAST(COALESCE(near_hit, false) AS BIGINT) END AS near_dup",
+        "CASE WHEN exact_dup OR COALESCE(near_hit, false) THEN NULL " +
+          "ELSE CAST(COALESCE(cont_hit, false) AS BIGINT) END AS contaminated",
+        "CASE WHEN exact_dup OR COALESCE(near_hit, false) OR COALESCE(cont_hit, false) THEN NULL " +
+          "ELSE CAST(gate_fail AS BIGINT) END AS gopher_fail",
+        "NOT exact_dup AND NOT COALESCE(near_hit, false) " +
+          "AND NOT COALESCE(cont_hit, false) AND NOT gate_fail AS kept")
+      .orderBy("doc_id")
+  }
+
+  def finewebLedger(s: SparkSession, d: String): DataFrame =
+    finewebLedgerCore(documents(s, d))
+
+  private def finewebLedgerSql: String =
+    s"""WITH $fuzzyDecontamCtes,
+       |lbase AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0),
+       |lexk AS (SELECT text, min(doc_id) AS keep_id FROM lbase GROUP BY text),
+       |lt1 AS (
+       |  SELECT b.doc_id, b.lang, b.text, b.doc_id <> k.keep_id AS exact_dup
+       |  FROM lbase b JOIN lexk k ON k.text = b.text
+       |),
+       |lk1 AS (SELECT doc_id, text FROM lt1 WHERE NOT exact_dup),
+       |${duckSideCtes("m", "lk1")},
+       |lcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_m a JOIN bands_m b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |lsz AS (SELECT doc_id, count(*) AS n FROM sh_m GROUP BY doc_id),
+       |lcom AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM lcand c
+       |  JOIN sh_m s1 ON s1.doc_id = c.doc_a
+       |  JOIN sh_m s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
+       |  GROUP BY c.doc_a, c.doc_b
+       |),
+       |lnear AS (
+       |  SELECT DISTINCT m.doc_b AS doc_id
+       |  FROM lcom m
+       |  JOIN lsz za ON za.doc_id = m.doc_a
+       |  JOIN lsz zb ON zb.doc_id = m.doc_b
+       |  WHERE CAST(m.common AS DOUBLE) / (za.n + zb.n - m.common) >= 0.5
+       |),
+       |lcont AS (
+       |  SELECT doc_id FROM grams WHERE shared_grams > 0
+       |  UNION SELECT doc_id FROM near
+       |),
+       |lgth AS (SELECT doc_id, string_split(text, ' ') AS th FROM lbase),
+       |lgfeat AS (
+       |  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(th, w -> length(w))) AS BIGINT) AS sumlen,
+       |    CAST(len(list_filter(th, w -> regexp_matches(w, '[^a-zA-Z0-9]'))) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(th, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(th, w -> list_contains([${gopherStops.map(w => s"'$w'").mkString(", ")}], w))) AS BIGINT) AS n_stop
+       |  FROM lgth
+       |),
+       |lgate AS (
+       |  SELECT doc_id, n_words, NOT (
+       |    n_words >= 50 AND n_words <= 100000
+       |    AND 3 * n_words <= sumlen AND sumlen <= 10 * n_words
+       |    AND 10 * n_sym <= n_words
+       |    AND 5 * n_alpha >= 4 * n_words
+       |    AND n_stop >= 2) AS gate_fail
+       |  FROM lgfeat
+       |)
+       |SELECT t.doc_id, t.lang, g.n_words, t.exact_dup,
+       |  CASE WHEN t.exact_dup THEN NULL
+       |       ELSE CAST(n.doc_id IS NOT NULL AS BIGINT) END AS near_dup,
+       |  CASE WHEN t.exact_dup OR COALESCE(n.doc_id IS NOT NULL, false) THEN NULL
+       |       ELSE CAST(c.doc_id IS NOT NULL AS BIGINT) END AS contaminated,
+       |  CASE WHEN t.exact_dup OR COALESCE(n.doc_id IS NOT NULL, false)
+       |         OR COALESCE(c.doc_id IS NOT NULL, false) THEN NULL
+       |       ELSE CAST(g.gate_fail AS BIGINT) END AS gopher_fail,
+       |  NOT t.exact_dup AND n.doc_id IS NULL AND c.doc_id IS NULL
+       |    AND NOT g.gate_fail AS kept
+       |FROM lt1 t
+       |LEFT JOIN lnear n ON n.doc_id = t.doc_id
+       |LEFT JOIN lcont c ON c.doc_id = t.doc_id
+       |LEFT JOIN lgate g ON g.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- q193: Gopher-rule quality gate ----------------------------------------
   // Rae et al. 2021 Table A1 as one verdict relation — the rule-based
   // filter every web-corpus pipeline runs before the learned one (q108):
@@ -2082,6 +2214,7 @@ object TextDedup extends QueryModule {
     Q("q187_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql)),
     Q("q188_lsh_recall", lshRecall, Some(lshRecallSql)),
     Q("q193_gopher_gate", gopherGate, Some(gopherGateSql)),
+    Q("q195_fineweb_ledger", finewebLedger, Some(finewebLedgerSql)),
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),
     Q("q20_exact_dedup", exactDedup, Some(exactDedupSql)),
     Q("q21_minhash_pairs", minhashPairs, Some(minhashPairsSql)),

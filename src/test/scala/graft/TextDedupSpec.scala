@@ -727,6 +727,41 @@ class TextDedupSpec extends SparkSpec {
     assert(out(6L)._5 === 0L && !out(6L)._6, "stopword-free doc fails r_stop")
   }
 
+  test("q195: every stage fires once, later verdicts are NULL after a drop, survivor keeps") {
+    val s = spark
+    import s.implicits._
+    def fill(n: Int) = (1 to n).map(i => s"wrd$i").mkString(" ")
+    val evalText = "secret eval question answer tokens here now ok"
+    val nearBase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, evalText),                                  // eval slice (0 % 97 == 0)
+      (1L, nearBase), (2L, nearBase),                  // 2 = exact dup of 1
+      (3L, nearBase.replace("kappa", "lambda")),       // near-dup of 1 (j >= 0.5)
+      (4L, s"intro secret eval question answer tokens stolen ${fill(5)}"), // 5-gram leak
+      (5L, "way too short"),                           // gopher r_len fail
+      (6L, s"the of ${fill(48)}"),                     // clean survivor
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val out = graft.queries.TextDedup.finewebLedgerCore(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]), r.getBoolean(7)))).toMap
+    assert(!out.contains(0L), "the eval slice is never ledgered")
+    assert(out(2L) === ((true, None, None, None, false)),
+      s"exact dup masks everything downstream: ${out(2L)}")
+    assert(out(3L) === ((false, Some(1L), None, None, false)),
+      s"near-dup dies at stage 2: ${out(3L)}")
+    assert(out(4L) === ((false, Some(0L), Some(1L), None, false)),
+      s"leaked doc dies at decontamination: ${out(4L)}")
+    assert(out(5L) === ((false, Some(0L), Some(0L), Some(1L), false)),
+      s"short doc dies at the gate: ${out(5L)}")
+    assert(out(6L) === ((false, Some(0L), Some(0L), Some(0L), true)),
+      s"clean doc survives all four: ${out(6L)}")
+    assert(out(1L)._5 === false && out(1L)._4 === Some(1L),
+      "the kept exact-original still faces the gate (word salad fails it)")
+  }
+
   test("q188: banding recall/precision sweep is monotone; exact twins always collide") {
     val s = spark
     import s.implicits._
