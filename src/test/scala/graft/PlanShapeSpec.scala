@@ -218,6 +218,39 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q181/q191: BQ codes never shuffle with vectors; query side broadcasts") {
+    // the 1-bit serving contract: sign-bit words are computed map-only in
+    // the scan stage and the (broadcast) query join never hash-exchanges
+    // the corpus; no Exchange line may carry the full vector column v
+    // alongside a code column (that would mean codes shuffled WITH their
+    // 8×-larger source vectors instead of replacing them)
+    for (q <- Seq("q181_binary_hamming", "q191_binary_rerank")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: query side must broadcast\n" + p.take(400))
+      val offending = p.split("\n").filter(_.contains("Exchange"))
+        .filter(l => l.contains("code#") && l.contains(" v#"))
+      assert(offending.isEmpty,
+        s"$q shuffles vectors alongside codes:\n${offending.mkString("\n")}")
+    }
+  }
+
+  test("q186: frame bytes stay in the scan stage — the pair join carries fingerprints only") {
+    // the q114 contract at the frame grain: phash64 consumes the frame
+    // inside the scan; only (doc_id, frame_idx, ph) shuffles
+    val p = plan("q186_keyframe_dedup")
+    val offending = p.split("\n").filter(_.contains("Exchange"))
+      .filter(l => l.contains("frame#") || l.contains("text#"))
+    assert(offending.isEmpty,
+      s"q186 shuffles frame/payload bytes:\n${offending.mkString("\n")}")
+  }
+
+  test("q194: GSR joins are broadcast-only — the NP-bounded marginals never sort-merge") {
+    val p = plan("q194_gsr_connectome")
+    assert(!p.contains("SortMergeJoin"),
+      "q194 degraded an NP-bounded join to SMJ:\n" + p.take(600))
+  }
+
   test("q116: the Gauss-Jordan solve is projection-only — no exchange in the elimination") {
     // beta = (XtX)^-1 Xty runs as generated per-group projections: the
     // plan's exchanges serve the moment aggregations, the grid join, and
