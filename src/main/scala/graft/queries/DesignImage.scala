@@ -582,28 +582,41 @@ object DesignImage extends QueryModule {
   // context CHANGE a voxel's coupling with the seed? Per voxel, fit
   //   y(t) ~ β0 + β1·task(t) + β2·seed(t) + β3·task(t)·seed(t)
   // where task is the block boxcar (t % 10 < 5) and seed is the q158
-  // seed-box series; β3 is the PPI effect. The design is DATA-DERIVED
-  // (the seed regressor is an aggregate of the very volume being fit),
-  // so the literal-pinv shortcut is out — this is the q116/q162 road:
-  // the design is NT rows of exact integers (boxcar 0/1, seed cents),
-  // XᵀX is ONE 4×4 exact DECIMAL aggregate shared by every voxel, Xᵀy
-  // one volume-keyed aggregate, and the generated no-pivot Gauss–Jordan
-  // (Glm.gjStages) solves per voxel as projection arithmetic — identical
-  // expression strings in both engines.
+  // seed-box series quantized to $10 units; β3 is the PPI effect. The
+  // design is DATA-DERIVED (the seed regressor is an aggregate of the
+  // very volume being fit), so the literal-pinv shortcut is out.
   //
-  // Column scaling (the only doubles): seed-bearing columns enter the
-  // elimination as cents/1e6 and y as cents/100 — a fixed diagonal
-  // rescale (betas are reported in the rescaled units: β_j_scaled =
-  // c_j·10^e_j/100), keeping the no-pivot pivots O(1)-conditioned while
-  // every moment stays an exact integer until the single CAST-to-double.
+  // Determinism (the r15 lesson): the first cut solved the 4×4 normal
+  // equations by a 4-stage double Gauss–Jordan (Glm.gjStages). That is
+  // bit-stable within ONE engine build, but the oracle engine's
+  // HUGEINT→DOUBLE cast / division ULP behavior varies by version, and a
+  // last-ulp divergence entering a 4-stage chain can land outputs on a
+  // round(x,6) boundary — rows/schema matched, hash didn't, in an oracle
+  // engine version we don't control. This rewrite generalizes q160's
+  // closed-cofactor road to k=4 and goes one step further: EVERYTHING is
+  // exact integer arithmetic. The seed regressor is an integer half-up
+  // quantization ((s_t + 500) div 1000), all ten XᵀX moments and four
+  // Xᵀy moments are exact DECIMAL(38,0)/HUGEINT sums, det(XᵀX) and the
+  // ten distinct adj(XᵀX) cofactors are generated cofactor-expansion
+  // strings over those integers, and each beta is fixed-pointed by ONE
+  // exact integer division (half-away: (2·|num|·1e6 + det) div (2·det)).
+  // The only floating op in the whole query is CAST(bfp AS DOUBLE)/1e6
+  // on a < 2^53 integer — exact in every IEEE-754 engine, any version.
+  // Magnitudes (probed at sf0.1: s_q ≤ 407, v ≤ 5.3e4, NT=30): moments
+  // ≤ 5e6, det ≤ 24·m⁴ ≈ 1.4e28, num·2e6 ≤ 4e36 < 10^38 — inside
+  // DECIMAL(38,0)/HUGEINT with worst-case bounds.
+  //
+  // Betas are reported in natural units (cents for β0/β1; cents per
+  // $10-of-seed for β2/β3), 6-dp fixed point.
   //
   // Scale shape: ONE data-sized exchange (the voxel-series aggregate,
   // pinned once for its two consumers); the seed and design relations
-  // are NT-row broadcasts; XᵀX is a 1-row cross join; the k³ elimination
-  // is per-voxel projection math. No window, no driver linear algebra.
+  // are NT-row broadcasts; XᵀX/adj is a 1-row cross join; the per-voxel
+  // work is 4 integer dot products + 4 integer divisions. No window, no
+  // driver linear algebra.
 
   private val ppiK = 4
-  private val ppiScaleExp = Array(0, 0, 6, 6) // per-column 10^e divisors
+  private val ppiSeedQuantum = 1000L // seed regressor unit: $10 = 1000 cents
 
   def ppiGlm(s: SparkSession, d: String): DataFrame =
     ppiGlmCore(s, ImageOps.voxelSeries(lineitem(s, d), L, NT)
@@ -614,6 +627,7 @@ object DesignImage extends QueryModule {
     * specs can plant seed/probe series with known coefficients. */
   private[graft] def ppiGlmCore(s: SparkSession, series0: DataFrame): DataFrame = {
     val k = ppiK
+    val q2 = ppiSeedQuantum / 2
     val series = series0.localCheckpoint()
     val inSeed = (c: String) => col(c) >= seedLo && col(c) <= seedHi
     val seed = series
@@ -623,53 +637,83 @@ object DesignImage extends QueryModule {
       .join(seed, Seq("t"), "left").na.fill(0L, Seq("s_t"))
       .selectExpr("t", "CAST(1 AS BIGINT) AS x0",
         "CAST(CASE WHEN t % 10 < 5 THEN 1 ELSE 0 END AS BIGINT) AS x1",
-        "s_t AS x2",
-        "CAST(CASE WHEN t % 10 < 5 THEN s_t ELSE 0 END AS BIGINT) AS x3")
+        s"CAST((s_t + $q2) DIV $ppiSeedQuantum AS BIGINT) AS x2",
+        s"CAST(CASE WHEN t % 10 < 5 THEN (s_t + $q2) DIV $ppiSeedQuantum ELSE 0 END AS BIGINT) AS x3")
       .localCheckpoint() // NT rows; carries the seed aggregate, 2 consumers
     val xtxAggs = for (i <- 0 until k; j <- i until k) yield
       expr(s"SUM(CAST(x$i AS DECIMAL(38,0)) * x$j)").as(s"sxx_${i}_$j")
-    val xtx = xf.agg(xtxAggs.head, xtxAggs.tail: _*)
+    val adjRow = xf.agg(xtxAggs.head, xtxAggs.tail: _*)
+      .selectExpr(ppiAdjExprs: _*)
     val sxyAggs = (0 until k).map(i =>
       expr(s"SUM(CAST(x$i AS DECIMAL(38,0)) * v)").as(s"sxy_$i"))
     val xty = series.join(broadcast(xf), Seq("t"))
       .groupBy("x", "y", "z").agg(sxyAggs.head, sxyAggs.tail: _*)
-    val init = xty.crossJoin(broadcast(xtx))
-      .selectExpr(Seq("x", "y", "z") ++ ppiInitExprs: _*)
-    val solved = Glm.gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
-      .foldLeft(init)((df, st) =>
-        df.selectExpr(Seq("x", "y", "z") ++ st: _*))
-    solved.selectExpr(Seq("x", "y", "z") ++
-      (0 until k).map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i"): _*)
+    xty.crossJoin(broadcast(adjRow))
+      .selectExpr(Seq("x", "y", "z", "det") ++ ppiNumExprs: _*)
+      .selectExpr(Seq("x", "y", "z") ++ ppiBetaFpExprs("DIV"): _*)
+      .selectExpr(Seq("x", "y", "z") ++
+        (0 until k).map(i => s"CAST(bfp_$i AS DOUBLE) / 1e6 AS beta_$i"): _*)
       .orderBy("x", "y", "z")
   }
 
-  private def ppiInitExprs: Seq[String] = {
+  /** Cofactor-expansion string (along the first listed row) for the
+    * determinant of the rows×cols sub-matrix of the symmetric moment
+    * matrix; `m(i,j)` names the (order-free) moment column. Products of
+    * ≤ 4 exact integer moments — pure integer SQL, shared by engines. */
+  private def ppiDetStr(rows: Seq[Int], cols: Seq[Int], m: (Int, Int) => String): String =
+    if (rows.size == 1) m(rows.head, cols.head)
+    else cols.indices.map { p =>
+      val sub = ppiDetStr(rows.tail, cols.patch(p, Nil, 1), m)
+      val term = s"${m(rows.head, cols(p))} * ($sub)"
+      if (p == 0) term else if (p % 2 == 0) s"+ $term" else s"- $term"
+    }.mkString(" ")
+
+  /** det(XᵀX) and the 10 distinct adjugate entries (symmetric ⇒
+    * adj_ij = adj_ji), each an exact-integer cofactor expansion. */
+  private def ppiAdjExprs: Seq[String] = {
     val k = ppiK
-    val es = ppiScaleExp
-    (for (i <- 0 until k; j <- 0 until k) yield {
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      s"CAST(sxx_${a}_$b AS DOUBLE) / 1e${es(a) + es(b)} AS d_${i}_$j"
-    }) ++ (0 until k).map(i =>
-      s"CAST(sxy_$i AS DOUBLE) / 1e${es(i) + 2} AS db_$i")
+    val m = (i: Int, j: Int) => s"sxx_${i min j}_${i max j}"
+    val all = (0 until k).toList
+    val adj = for (i <- all; j <- i until k) yield {
+      val d = ppiDetStr(all.filterNot(_ == j), all.filterNot(_ == i), m)
+      val signed = if ((i + j) % 2 == 0) s"($d)" else s"-($d)"
+      s"$signed AS adj_${i}_$j"
+    }
+    adj :+ s"(${ppiDetStr(all, all, m)}) AS det"
   }
+
+  /** num_i = (adj(XᵀX)·Xᵀy)_i — exact integer dot products. */
+  private def ppiNumExprs: Seq[String] =
+    (0 until ppiK).map { i =>
+      val terms = (0 until ppiK).map(j => s"adj_${i min j}_${i max j} * sxy_$j")
+      s"(${terms.mkString(" + ")}) AS num_$i"
+    }
+
+  /** β_i at 6-dp fixed point via ONE exact integer division with
+    * half-away-from-zero rounding; `divTok` is the engine's integral
+    * division token (Spark `DIV`, DuckDB `//` — floor-division agrees
+    * on the non-negative operands used here). */
+  private def ppiBetaFpExprs(divTok: String): Seq[String] =
+    (0 until ppiK).map { i =>
+      val pos = s"(2 * num_$i * 1000000 + det) $divTok (2 * det)"
+      val neg = s"(2 * (-num_$i) * 1000000 + det) $divTok (2 * det)"
+      s"CASE WHEN det > 0 THEN CAST(CASE WHEN num_$i < 0 THEN -($neg) ELSE $pos END AS BIGINT) END AS bfp_$i"
+    }
 
   private def ppiGlmSql: String = {
     val k = ppiK
+    val qu = ppiSeedQuantum
+    val q2 = qu / 2
     val xtxSums = (for (i <- 0 until k; j <- i until k) yield
       s"SUM(CAST(x$i AS HUGEINT) * x$j) AS sxx_${i}_$j").mkString(",\n|    ")
     val xtySums = (0 until k)
       .map(i => s"SUM(CAST(x$i AS HUGEINT) * v) AS sxy_$i").mkString(",\n|    ")
-    val stages = Glm.gjStages(k, (i, j) => s"d_${i}_$j", i => s"db_$i")
-    val stageCtes = stages.zipWithIndex.map { case (st, p) =>
-      val prev = if (p == 0) "init" else s"st${p - 1}"
-      s"st$p AS (\n  SELECT x, y, z, ${st.mkString(",\n    ")}\n  FROM $prev\n)"
-    }.mkString(",\n")
     s"""WITH $seedSeriesCtes,
        |xf AS (
        |  SELECT ts.t, CAST(1 AS BIGINT) AS x0,
        |    CAST(CASE WHEN ts.t % 10 < 5 THEN 1 ELSE 0 END AS BIGINT) AS x1,
-       |    CAST(COALESCE(seed.s_t, 0) AS BIGINT) AS x2,
-       |    CAST(CASE WHEN ts.t % 10 < 5 THEN COALESCE(seed.s_t, 0) ELSE 0 END AS BIGINT) AS x3
+       |    CAST((COALESCE(seed.s_t, 0) + $q2) // $qu AS BIGINT) AS x2,
+       |    CAST(CASE WHEN ts.t % 10 < 5 THEN (COALESCE(seed.s_t, 0) + $q2) // $qu ELSE 0 END AS BIGINT) AS x3
        |  FROM generate_series(0, ${NT - 1}) AS ts(t)
        |  LEFT JOIN seed ON seed.t = ts.t
        |),
@@ -678,20 +722,30 @@ object DesignImage extends QueryModule {
        |    $xtxSums
        |  FROM xf
        |),
+       |adj AS (
+       |  SELECT
+       |    ${ppiAdjExprs.mkString(",\n|    ")}
+       |  FROM xtx
+       |),
        |xty AS (
        |  SELECT s.x, s.y, s.z,
        |    $xtySums
        |  FROM series s JOIN xf ON xf.t = s.t
        |  GROUP BY 1, 2, 3
        |),
-       |init AS (
-       |  SELECT x, y, z, ${ppiInitExprs.mkString(",\n|    ")}
-       |  FROM xty CROSS JOIN xtx
+       |nums AS (
+       |  SELECT x, y, z, det,
+       |    ${ppiNumExprs.mkString(",\n|    ")}
+       |  FROM xty CROSS JOIN adj
        |),
-       |$stageCtes
+       |bfp AS (
+       |  SELECT x, y, z,
+       |    ${ppiBetaFpExprs("//").mkString(",\n|    ")}
+       |  FROM nums
+       |)
        |SELECT x, y, z, ${(0 until k)
-      .map(i => s"round(g${k - 1}_${i}_$k, 6) AS beta_$i").mkString(", ")}
-       |FROM st${k - 1}
+      .map(i => s"CAST(bfp_$i AS DOUBLE) / 1e6 AS beta_$i").mkString(", ")}
+       |FROM bfp
        |ORDER BY x, y, z""".stripMargin
   }
 

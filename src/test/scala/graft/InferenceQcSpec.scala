@@ -63,28 +63,32 @@ class InferenceQcSpec extends SparkSpec {
 
   // ---- q166 PPI GLM ------------------------------------------------------
 
-  test("q166: planted PPI coefficients are recovered per voxel") {
-    // seed voxel (4,4,4): s(t) = 1000 + 7t cents; probe (0,0,0):
-    //   v = 100 + 50·task + 2·s + 1·task·s  (task = t % 10 < 5)
-    // betas are in rescaled units: β_j = c_j · 10^e_j / 100, e = [0,0,6,6]
+  test("q166: planted PPI coefficients are recovered per voxel, exactly") {
+    // seed voxel (4,4,4): s(t) = (1000 + 7t)·1000 cents, an exact
+    // multiple of the $10 quantum, so the quantized regressor is
+    // s_q(t) = 1000 + 7t exactly. Probe (0,0,0):
+    //   v = 100 + 50·task + 2·s_q + 1·task·s_q  (task = t % 10 < 5)
+    // Betas are in natural units (cents, cents per $10 of seed); the
+    // whole chain is exact integer arithmetic, so an exactly-realizable
+    // design recovers the planted coefficients to the last bit.
     val nT = 30
     def task(t: Int) = if (t % 10 < 5) 1L else 0L
-    def sSeed(t: Int) = 1000L + 7L * t
-    val seed = (0 until nT).map(t => (t, 4, 4, 4, sSeed(t)))
+    def sq(t: Int) = 1000L + 7L * t
+    val seed = (0 until nT).map(t => (t, 4, 4, 4, sq(t) * 1000L))
     val probe = (0 until nT).map(t =>
-      (t, 0, 0, 0, 100L + 50L * task(t) + 2L * sSeed(t) + task(t) * sSeed(t)))
+      (t, 0, 0, 0, 100L + 50L * task(t) + 2L * sq(t) + task(t) * sq(t)))
     val out = graft.queries.DesignImage
       .ppiGlmCore(spark, plantedSeries(seed ++ probe))
       .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
         (0 until 4).map(i => r.getDouble(3 + i)))).toMap
     assert(out.size === 2)
     val bProbe = out((0, 0, 0))
-    Seq(1.0, 0.5, 20000.0, 10000.0).zip(bProbe).foreach { case (w, g) =>
-      assert(math.abs(g - w) < 1e-3, s"probe betas $bProbe") }
-    // the seed voxel's own series IS the seed regressor: c = [0, 0, 1, 0]
+    Seq(100.0, 50.0, 2.0, 1.0).zip(bProbe).foreach { case (w, g) =>
+      assert(g === w, s"probe betas $bProbe") }
+    // the seed voxel's own series is 1000·s_q: c = [0, 0, 1000, 0]
     val bSeed = out((4, 4, 4))
-    Seq(0.0, 0.0, 10000.0, 0.0).zip(bSeed).foreach { case (w, g) =>
-      assert(math.abs(g - w) < 1e-3, s"seed betas $bSeed") }
+    Seq(0.0, 0.0, 1000.0, 0.0).zip(bSeed).foreach { case (w, g) =>
+      assert(g === w, s"seed betas $bSeed") }
   }
 
   // ---- q167 VMHC ---------------------------------------------------------
