@@ -1204,8 +1204,14 @@ object DesignImage extends QueryModule {
     val sym = ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
     var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    // doubling rounds sized from the INPUT's node count (2^rounds ≥ n >
+    // diameter), not the global connNP constant — a planted graph with
+    // more nodes than the production atlas still gets full coverage.
+    // parcels is an atlas-sized (node-count) relation; the count is a
+    // bounded driver action, not data-sized state.
+    val nNodes = math.max(2L, parcels.count())
     val rounds = math.max(1,
-      math.ceil(math.log(connNP.toDouble) / math.log(2.0)).toInt)
+      math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
     for (_ <- 0 until rounds) {
       val through = dist.selectExpr("a", "b AS c", "d AS d1")
         .join(dist.selectExpr("a AS c", "b AS bb", "d AS d2"), Seq("c"))

@@ -460,13 +460,16 @@ object Multimodal extends QueryModule {
        |       unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS o(i)
        |  WHERE n_frames > 0
        |),
-       |${phashSideCtes("kf", "(SELECT doc_id * 1024 + frame_idx AS doc_id, ftext AS text FROM frames)")},
+       |-- pack radix 1e6: frame_idx reaches 2·(octet_length/$KfFrameBytes), so any
+       |-- document under ~32 MB stays collision-free (the 1024 radix only
+       |-- covered ~32 KB docs — a silent desync trap as fixtures grow)
+       |${phashSideCtes("kf", "(SELECT doc_id * 1000000 + frame_idx AS doc_id, ftext AS text FROM frames)")},
        |kfp AS (
-       |  SELECT a.doc_id // 1024 AS doc_id, a.doc_id % 1024 AS fa,
-       |    b.doc_id % 1024 AS fb
+       |  SELECT a.doc_id // 1000000 AS doc_id, a.doc_id % 1000000 AS fa,
+       |    b.doc_id % 1000000 AS fb
        |  FROM ph_kf a JOIN ph_kf b
-       |    ON a.doc_id // 1024 = b.doc_id // 1024
-       |   AND a.doc_id % 1024 < b.doc_id % 1024
+       |    ON a.doc_id // 1000000 = b.doc_id // 1000000
+       |   AND a.doc_id % 1000000 < b.doc_id % 1000000
        |  WHERE bit_count(xor(a.ph, b.ph)) <= $KfTau
        |),
        |dupkf AS (

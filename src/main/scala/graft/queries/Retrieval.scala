@@ -799,8 +799,12 @@ object Retrieval extends QueryModule {
   private[graft] def doremiCore(docs: DataFrame, eta: Double): DataFrame = {
     // the train/held split must be INDEPENDENT of source (doc_id parity
     // is not: the fixture's source IS a doc_id residue) — Knuth-mix
-    // parity (the q57/q97 split construction) balances every domain
-    val isTrain = expr(s"(doc_id * 2654435761L) % ${graft.text.TextOps.P}L % 2 = 0")
+    // parity (the q57/q97 split construction) balances every domain.
+    // doc_id is reduced mod P BEFORE the mix so the int64 product can
+    // never overflow (wrap in Spark vs checked error in DuckDB for
+    // doc_id ≳ 3.5e9); identical mod-P value either way.
+    val isTrain = expr(
+      s"((doc_id % ${graft.text.TextOps.P}L) * 2654435761L) % ${graft.text.TextOps.P}L % 2 = 0")
     // vocab×K-bounded model relation: one training pass, pinned for its
     // four consumers (domain model, domain totals, global model, total)
     val domCf = docs.filter(isTrain)
@@ -866,7 +870,7 @@ object Retrieval extends QueryModule {
     s"""WITH dtok AS (
        |  SELECT source, t.term
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-       |  WHERE (doc_id * 2654435761) % 1000000007 % 2 = 0
+       |  WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 2 = 0
        |),
        |domcf AS (SELECT source, term, count(*) AS cfk FROM dtok GROUP BY 1, 2),
        |domtot AS (SELECT source, CAST(SUM(cfk) AS BIGINT) AS tk FROM domcf GROUP BY 1),
@@ -875,7 +879,7 @@ object Retrieval extends QueryModule {
        |htok AS (
        |  SELECT source, t.term
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-       |  WHERE (doc_id * 2654435761) % 1000000007 % 2 <> 0
+       |  WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 2 <> 0
        |),
        |held AS (
        |  SELECT h.source, CAST(count(*) AS BIGINT) AS n_h,

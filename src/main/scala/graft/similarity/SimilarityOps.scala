@@ -1104,15 +1104,17 @@ object SimilarityOps {
 
   /** The Hamming top-k leg alone — (query_id, rank, neighbor_id,
     * hamming) — shared by the raw-recall measurement and q191's
-    * shortlist stage. */
+    * shortlist stage. The 32-bit word count is derived PER ROW from the
+    * embedding's own length (⌈size/32⌉), so any dimensionality codes
+    * losslessly — nothing is silently dropped past 64 dims. */
   def binaryHammingTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val words = 2 // ⌈64/32⌉ for the 64-dim corpus
     val coded = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("bits", expr(
         "transform(v, (x, i) -> IF(x > 0D, shiftleft(CAST(1 AS BIGINT), i % 32), 0L))"))
       .withColumn("code", expr(
-        s"transform(sequence(0, ${words - 1}), w -> aggregate(slice(bits, w * 32 + 1, 32), 0L, (a, b) -> a | b))"))
+        "transform(sequence(0, greatest(CAST(ceil(size(v) / 32.0) AS INT) - 1, 0)), " +
+          "w -> aggregate(slice(bits, w * 32 + 1, 32), 0L, (a, b) -> a | b))"))
       .select(col("vec_id"), col("code"))
     val queries = coded.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("code").as("qcode"))

@@ -596,6 +596,21 @@ class InferenceQcSpec extends SparkSpec {
       "isolate: NULL ecc, zero reach/efficiency")
   }
 
+  test("q184: doubling rounds follow the input's node count, not the atlas constant") {
+    val s = spark
+    import s.implicits._
+    // a 21-node path: diameter 20 > 2^4 = 16, the coverage the old
+    // connNP-derived round count (ceil(log2(12)) = 4) silently missed
+    val n = 21
+    val pe = (0 until n - 1).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.pathMetricsCore(pe)
+      .collect().map(r => r.getInt(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))).toMap
+    assert(out.size === n)
+    assert(out(0) === ((Some(20L), 20L)), s"endpoint sees the far end: ${out(0)}")
+    assert(out(10) === ((Some(10L), 20L)), "midpoint eccentricity is n/2")
+  }
+
   // ---- q194 GSR connectome ------------------------------------------------------
 
   test("q194: partial r equals explicit residualization; a shared global component is removed") {
