@@ -1121,8 +1121,10 @@ object DesignImage extends QueryModule {
   def edgeInference(s: SparkSession, d: String): DataFrame =
     edgeInferenceCore(s, edgeZFactsCore(sessionSeries(s, d)), edgeAlphaOverM)
 
-  private def edgeInferenceSql: String =
-    s"""WITH mrs AS (
+  /** The q182 oracle prefix — per-session series through the (run, g, j,
+    * b_fp) first-level facts — shared verbatim with q196's NBS oracle. */
+  private def edgeFlCtes: String =
+    s"""mrs AS (
        |  SELECT CAST(l_linenumber % $GRuns AS INTEGER) AS g,
        |         CAST((l_orderkey + l_linenumber * 11) % $NT AS INTEGER) AS t,
        |         CAST(l_orderkey % $L AS INTEGER) AS x,
@@ -1153,7 +1155,10 @@ object DesignImage extends QueryModule {
        |fl AS (
        |  SELECT p1 AS run, g, p2 AS j, z_fp AS b_fp FROM zed
        |  WHERE z_fp IS NOT NULL
-       |),
+       |)""".stripMargin
+
+  private def edgeInferenceSql: String =
+    s"""WITH $edgeFlCtes,
        |${Glm.permCtes},
        |ranked AS (
        |  SELECT run, j, p_perm,
@@ -1173,7 +1178,166 @@ object DesignImage extends QueryModule {
        |CROSS JOIN km
        |ORDER BY p1, p2""".stripMargin
 
-  // ---- q184: connectome path metrics ---------------------------------------
+  // ---- q196: NBS — network-based statistic component extent ---------------
+  // The cluster step q182 deliberately stopped before (Zalesky et al.
+  // 2010's ACTUAL statistic): threshold every edge's one-sample t at a
+  // primary |t| > tPrim, label the connected components of the
+  // suprathreshold graph, and compare each observed component's EDGE
+  // COUNT against the permutation null of the MAX component size — the
+  // same sign-flip patterns as q182 (Glm.signFlipParts verbatim), but
+  // the exceedance is at the component grain, which is what buys NBS its
+  // power over edge-wise FDR. A degenerate flip pattern (NULL t_p) keeps
+  // its edge suprathreshold in the null — an undefined statistic must
+  // not shrink the null max, same conservatism as q182's NULL-exceedance
+  // rule. Undefined observed tests (NULL t_obs) are excluded from the
+  // observed graph.
+  //
+  // Components run as reachability DOUBLING keyed by permutation
+  // (identity ∪ edges, squared ⌈log₂ n⌉ times, then comp = min reachable
+  // parcel) — the q184 lesson: rounds derive from the input's node
+  // count, and every relation is (PermP·NP²)-bounded, broadcast-class.
+  //
+  // Scale shape: ONE data-sized exchange (q182's per-session parcel
+  // aggregate); the threshold, the PermP-keyed component fold, and the
+  // null-max comparison are all bounded by PermP·NP² rows. At the mass
+  // regime the doubling join is PermP·NP³ bounded work — atlas-regime
+  // like q184, documented.
+
+  // |t| > 3.0 primary: the fixture's sign-flip null is heavily
+  // inter-edge correlated (one flip pattern moves every edge of a
+  // session together), so lower thresholds let nearly every null
+  // pattern reproduce the observed component and p pins at 1.0; at 3.0
+  // both SFs give non-degenerate component p-values. With GRuns = 4
+  // flip units the achievable p floor is ~0.128 (all-same-sign patterns
+  // always reproduce |t|), so `rejected` is structurally false on the
+  // fixture — the spec plants 10 sessions to prove the gate fires.
+  private val nbsTPrim = 3.0
+  private val nbsAlpha = 0.05
+
+  /** (k, p, comp) component labels for a (k, a, b)-keyed undirected edge
+    * relation: comp = min parcel reachable within key k. */
+  private[graft] def nbsComponentsCore(edges: DataFrame): DataFrame = {
+    val sym = edges.selectExpr("k", "a", "b")
+      .unionByName(edges.selectExpr("k", "b AS a", "a AS b"))
+    val nodes = sym.select(col("k"), col("a").as("p")).distinct()
+    var reach = sym.unionByName(nodes.selectExpr("k", "p AS a", "p AS b"))
+      .distinct().localCheckpoint()
+    val nNodes = math.max(2L, nodes.select("p").distinct().count())
+    val rounds = math.max(1,
+      math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
+    for (_ <- 0 until rounds) {
+      val sq = reach.selectExpr("k", "a", "b AS c")
+        .join(reach.selectExpr("k", "a AS c", "b"), Seq("k", "c"))
+        .select("k", "a", "b")
+      reach = reach.unionByName(sq).distinct().localCheckpoint()
+    }
+    reach.groupBy(col("k"), col("a").as("p")).agg(min("b").as("comp"))
+  }
+
+  /** The q196 body over q182's (g, p1, p2, z_fp) facts — spec-plantable. */
+  private[graft] def nbsCore(s: SparkSession, facts: DataFrame,
+      tPrim: Double): DataFrame = {
+    val fl = facts
+      .filter(col("z_fp").isNotNull)
+      .select(col("p1").as("run"), col("p2").as("j"), col("g"),
+        col("z_fp").as("b_fp"))
+    val (base, permT) = Glm.signFlipParts(s, fl)
+    val obsE = base
+      .filter(expr(s"t_obs IS NOT NULL AND abs(t_obs) > $tPrim"))
+      .selectExpr("CAST(-1 AS BIGINT) AS k", "CAST(run AS INT) AS a",
+        "CAST(j AS INT) AS b")
+      .localCheckpoint() // bounded (≤ NP² rows); 3 consumers
+    val permE = permT
+      .filter(expr(s"t_p IS NULL OR abs(t_p) > $tPrim"))
+      .selectExpr("perm AS k", "CAST(run AS INT) AS a", "CAST(j AS INT) AS b")
+    val comp = nbsComponentsCore(obsE.unionByName(permE)).localCheckpoint()
+    val obsComp = comp.filter(col("k") === -1L).selectExpr("p", "comp")
+    val oc = obsE
+      .join(obsComp.selectExpr("p AS a", "comp"), Seq("a"))
+      .groupBy("comp").agg(count(lit(1)).as("n_edges"))
+    val onodes = obsE.selectExpr("a AS p").unionByName(obsE.selectExpr("b AS p"))
+      .distinct()
+      .join(obsComp, Seq("p"))
+      .groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+    val permSize = permE
+      .join(comp.selectExpr("k", "p AS a", "comp"), Seq("k", "a"))
+      .groupBy("k", "comp").agg(count(lit(1)).as("sz"))
+    val permMax = s.range(Glm.PermP).select(col("id").as("k"))
+      .join(permSize.groupBy("k").agg(max("sz").as("mx")), Seq("k"), "left")
+      .na.fill(0L, Seq("mx"))
+    oc.join(onodes, Seq("comp"))
+      .crossJoin(broadcast(permMax.select("mx")))
+      .groupBy("comp", "n_nodes", "n_edges")
+      .agg(expr("SUM(CASE WHEN mx >= n_edges THEN 1 ELSE 0 END)").as("n_ge"))
+      .selectExpr("CAST(comp AS INT) AS comp", "n_nodes", "n_edges",
+        s"round((1 + n_ge) / CAST(${1 + Glm.PermP} AS DOUBLE), 6) AS p_nbs")
+      .selectExpr("comp", "n_nodes", "n_edges", "p_nbs",
+        s"p_nbs <= $nbsAlpha AS rejected")
+      .orderBy("comp")
+  }
+
+  def nbsComponents(s: SparkSession, d: String): DataFrame =
+    nbsCore(s, edgeZFactsCore(sessionSeries(s, d)), nbsTPrim)
+
+  private def nbsComponentsSql: String =
+    s"""WITH RECURSIVE $edgeFlCtes,
+       |${Glm.permCtes},
+       |obse AS (
+       |  SELECT CAST(run AS INTEGER) AS a, CAST(j AS INTEGER) AS b
+       |  FROM base WHERE t_obs IS NOT NULL AND abs(t_obs) > $nbsTPrim
+       |),
+       |perme AS (
+       |  SELECT perm AS k, CAST(run AS INTEGER) AS a, CAST(j AS INTEGER) AS b
+       |  FROM pt WHERE t_p IS NULL OR abs(t_p) > $nbsTPrim
+       |),
+       |-- RECURSIVE is live: non-recursive unions stay inside subqueries
+       |edg AS (SELECT k, a, b FROM (
+       |  SELECT CAST(-1 AS BIGINT) AS k, a, b FROM obse
+       |  UNION ALL SELECT k, a, b FROM perme)),
+       |syme AS (SELECT k, a, b FROM (
+       |  SELECT k, a, b FROM edg UNION ALL SELECT k, b AS a, a AS b FROM edg)),
+       |nodes AS (SELECT DISTINCT k, a AS p FROM syme),
+       |walk(k, a, b) AS (
+       |  SELECT k, p AS a, p AS b FROM nodes
+       |  UNION
+       |  SELECT w.k, w.a, s.b FROM walk w JOIN syme s ON s.k = w.k AND s.a = w.b
+       |),
+       |comp AS (SELECT k, a AS p, MIN(b) AS comp FROM walk GROUP BY k, a),
+       |oc AS (
+       |  SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |  FROM obse e JOIN comp c ON c.k = -1 AND c.p = e.a
+       |  GROUP BY c.comp
+       |),
+       |onodes AS (
+       |  SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |  FROM (SELECT DISTINCT p FROM (
+       |    SELECT a AS p FROM obse UNION ALL SELECT b AS p FROM obse)) n
+       |  JOIN comp c ON c.k = -1 AND c.p = n.p
+       |  GROUP BY c.comp
+       |),
+       |permsize AS (
+       |  SELECT e.k, c.comp, COUNT(*) AS sz
+       |  FROM perme e JOIN comp c ON c.k = e.k AND c.p = e.a
+       |  GROUP BY e.k, c.comp
+       |),
+       |permmax AS (
+       |  SELECT r.k, COALESCE(MAX(ps.sz), 0) AS mx
+       |  FROM (SELECT CAST(r.r AS BIGINT) AS k FROM unnest(range(${Glm.PermP})) AS r(r)) r
+       |  LEFT JOIN permsize ps ON ps.k = r.k
+       |  GROUP BY r.k
+       |),
+       |pv AS (
+       |  SELECT oc.comp, onodes.n_nodes, oc.n_edges,
+       |    SUM(CASE WHEN pm.mx >= oc.n_edges THEN 1 ELSE 0 END) AS n_ge
+       |  FROM oc JOIN onodes ON onodes.comp = oc.comp
+       |  CROSS JOIN permmax pm
+       |  GROUP BY oc.comp, onodes.n_nodes, oc.n_edges
+       |)
+       |SELECT CAST(comp AS INTEGER) AS comp, n_nodes, n_edges,
+       |  round((1 + n_ge) / CAST(${1 + Glm.PermP} AS DOUBLE), 6) AS p_nbs,
+       |  round((1 + n_ge) / CAST(${1 + Glm.PermP} AS DOUBLE), 6) <= $nbsAlpha AS rejected
+       |FROM pv
+       |ORDER BY comp""".stripMargin
   // The integration half of Rubinov & Sporns 2010 (q173 covered
   // segregation): unweighted shortest paths over the thresholded q168
   // edges, then per parcel the eccentricity, reach count, and nodal
@@ -2287,6 +2451,7 @@ object DesignImage extends QueryModule {
     Q("q173_graph_metrics", graphMetrics, Some(graphMetricsSql)),
     Q("q178_scrubbed_connectome", scrubbedConnectome, Some(scrubbedConnectomeSql)),
     Q("q182_edge_inference", edgeInference, Some(edgeInferenceSql)),
+    Q("q196_nbs_components", nbsComponents, Some(nbsComponentsSql)),
     Q("q183_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q190_standing_fingerprint", standingFingerprint, Some(fingerprintSql)),
     Q("q192_edge_icc", edgeIcc, Some(edgeIccSql)),

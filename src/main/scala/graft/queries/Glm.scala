@@ -1071,7 +1071,7 @@ object Glm extends QueryModule {
   // and the t recomputation is projection arithmetic. Work is bounded at
   // Runs·k·P·n terms after the first-level fit (the data-sized part).
 
-  private val PermP = 256
+  private[queries] val PermP = 256
 
   private val permTStr =
     "CASE WHEN (q - n * (m * m)) > 0 THEN " +

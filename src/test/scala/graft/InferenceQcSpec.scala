@@ -574,6 +574,32 @@ class InferenceQcSpec extends SparkSpec {
     assert(strict.values.forall(!_._3), "alpha/m ~ 0 rejects nothing")
   }
 
+  // ---- q196 NBS component extent -------------------------------------------
+
+  test("q196: a consistent suprathreshold subgraph rejects at the component grain; noise and degenerate edges stay out") {
+    val s = spark
+    import s.implicits._
+    // 12 sessions (the production GRuns = 4 cannot reach p < 0.05 — the
+    // sign-flip floor; 12 units push the near-same-sign pattern fraction
+    // low enough for the gate to fire). Edges 0-1, 1-2, 2-3 carry a
+    // strong consistent z (per-session jitter keeps the flip t defined);
+    // 4-5 alternates sign (sub-threshold); 6-7 is CONSTANT z (zero
+    // variance -> NULL t_obs -> excluded from the observed graph).
+    val strong = for (g <- 0 until 12; (a, b) <- Seq((0, 1), (1, 2), (2, 3)))
+      yield (g, a, b, 1000000L + 1000L * g + 137L * a)
+    val noise = (0 until 12).map(g =>
+      (g, 4, 5, (if (g % 2 == 0) 1L else -1L) * 50000L))
+    val degen = (0 until 12).map(g => (g, 6, 7, 777777L))
+    val facts = (strong ++ noise ++ degen).toDF("g", "p1", "p2", "z_fp")
+    val out = graft.queries.DesignImage.nbsCore(spark, facts, 3.0)
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(0), s"only the strong component: $out")
+    val (nn, ne, p, rej) = out(0)
+    assert(nn === 4L && ne === 3L, s"component shape $nn/$ne")
+    assert(p < 0.05 && rej, s"strong component must reject: p=$p")
+  }
+
   // ---- q184 connectome path metrics ----------------------------------------
 
   test("q184: path graph distances, eccentricity, nodal/global efficiency, isolate") {
