@@ -2083,9 +2083,13 @@ object TextDedup extends QueryModule {
 
   private val lshEvalRpb = Seq(1, 2, 4)
 
-  def lshRecall(s: SparkSession, d: String): DataFrame = {
+  def lshRecall(s: SparkSession, d: String): DataFrame =
+    lshRecallCore(documents(s, d))
+
+  /** The q188 sweep body over any (doc_id, text) frame — shared by the
+    * full sweep and q197's sampled mode, and spec-pinnable. */
+  private[graft] def lshRecallCore(docs: DataFrame): DataFrame = {
     import graft.functions.TextExprs
-    val docs = documents(s, d)
     val sh = docs
       .select(col("doc_id"), TextExprs.shingle_hash_set(col("text"), 3).as("shs"))
       .filter(size(col("shs")) > 0)
@@ -2108,7 +2112,50 @@ object TextDedup extends QueryModule {
       .orderBy("rows_per_band")
   }
 
-  private val lshRecallSql = {
+  // ---- q197: the q188 sweep in SAMPLED-evaluation mode ---------------------
+  // The scale posture q188 documented but didn't execute: at corpus scale
+  // a recall sweep is an EVALUATION, not a production pass — run it on a
+  // deterministic hash-sample and read the same table. The sample gate is
+  // the q57 salted slot (poly_hash("lsh-sample-v1:" ‖ doc_id) Knuth-mixed
+  // mod 1000 < mill): membership is a pure projection of doc_id, so the
+  // sample is reproducible across engines, executions, and cluster sizes,
+  // and composes with the standing-index discipline (a doc's membership
+  // never changes as the corpus grows).
+  //
+  // Estimator behavior when the sample binds: truth and candidate PAIRS
+  // survive only when BOTH endpoints are sampled (rate ≈ (mill/1000)²),
+  // so n_true/n_cand/n_hit are downscaled counts, while recall and
+  // cand_precision are RATIO estimators whose bias vanishes as the
+  // sampled pair population grows — the standard pair-sampling trade
+  // (documented; the spec pins mill = 1000 ≡ the full sweep).
+
+  private val lshSampleMill = 500
+
+  /** The q197 body: the q188 sweep over the deterministic doc sample. */
+  private[graft] def lshRecallSampledCore(docs: DataFrame, mill: Int): DataFrame = {
+    import graft.functions.Hashing
+    val gate = (Hashing.poly_hash(
+      concat_ws(":", lit("lsh-sample-v1"), col("doc_id").cast("string")))
+      * lit(2654435761L)) % lit(1000L) < lit(mill.toLong)
+    lshRecallCore(docs.filter(gate))
+      .selectExpr(s"CAST($mill AS BIGINT) AS sample_mill", "rows_per_band",
+        "n_true", "n_cand", "n_hit", "recall", "cand_precision")
+  }
+
+  def lshRecallSampled(s: SparkSession, d: String): DataFrame =
+    lshRecallSampledCore(documents(s, d), lshSampleMill)
+
+  private val lshRecallSql = lshSweepSql("documents", "")
+
+  private val lshRecallSampledSql = lshSweepSql(
+    s"""(SELECT doc_id, text FROM documents
+       |   WHERE (${duckHash("'lsh-sample-v1:' || CAST(doc_id AS VARCHAR)")}
+       |     * 2654435761) % 1000 < $lshSampleMill)""".stripMargin,
+    s"CAST($lshSampleMill AS BIGINT) AS sample_mill, ")
+
+  /** The q188/q197 oracle sweep over a parametric document source;
+    * `headCols` prefixes extra literal output columns. */
+  private def lshSweepSql(docsSrc: String, headCols: String): String = {
     def bandCtes(r: Int): String =
       s"""bands$r AS (
          |  SELECT doc_id, j // $r AS band,
@@ -2126,7 +2173,15 @@ object TextDedup extends QueryModule {
          |  (SELECT count(*) FROM cand$r) AS n_cand,
          |  (SELECT count(*) FROM cand$r c JOIN tru t
          |     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit""".stripMargin
-    s"""WITH $duckShingles,
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), tok -> ${duckHash("tok")}) AS th
+       |  FROM $docsSrc
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, r.i + 1, r.i + 3)), (acc, x) -> (acc * 31 + x) % $P) AS h
+       |  FROM toks, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS r(i)
+       |),
        |xc AS (
        |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
        |  FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.doc_id < s2.doc_id
@@ -2154,7 +2209,7 @@ object TextDedup extends QueryModule {
        |rows_out AS (
        |${lshEvalRpb.map(row).mkString("\nUNION ALL\n")}
        |)
-       |SELECT rows_per_band, n_true, n_cand, n_hit,
+       |SELECT ${headCols}rows_per_band, n_true, n_cand, n_hit,
        |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
        |  CASE WHEN n_cand > 0 THEN round(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS cand_precision
        |FROM rows_out
@@ -2213,6 +2268,7 @@ object TextDedup extends QueryModule {
   override def queries: Seq[Q] = Seq(
     Q("q187_distinct_ngrams", distinctNgrams, Some(distinctNgramsSql)),
     Q("q188_lsh_recall", lshRecall, Some(lshRecallSql)),
+    Q("q197_lsh_recall_sampled", lshRecallSampled, Some(lshRecallSampledSql)),
     Q("q193_gopher_gate", gopherGate, Some(gopherGateSql)),
     Q("q195_fineweb_ledger", finewebLedger, Some(finewebLedgerSql)),
     Q("q54_token_counts", tokenCounts, Some(tokenCountsSql)),

@@ -793,4 +793,25 @@ class TextDedupSpec extends SparkSpec {
     rows.values.foreach { case (t, c, h, _) =>
       assert(h <= t && h <= c, "hits bounded by truth and candidates") }
   }
+
+  test("q197: a sample covering the corpus reproduces the full q188 sweep; a binding sample shrinks the pair population") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 40L).map { i =>
+      val base = s"tok${i % 8} alpha beta gamma delta tok${(i * 3) % 8} epsilon"
+      (i, if (i % 2 == 0) base else base + s" extra${i}")
+    }.toDF("doc_id", "text")
+    val full = graft.queries.TextDedup.lshRecallCore(corpus)
+      .collect().toSeq
+    val covered = graft.queries.TextDedup.lshRecallSampledCore(corpus, 1000)
+      .drop("sample_mill").collect().toSeq
+    assert(covered === full, "mill = 1000 must equal the full sweep exactly")
+    val bound = graft.queries.TextDedup.lshRecallSampledCore(corpus, 500)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val fullTrue = full.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bound.foreach { case (rpb, nTrue) =>
+      assert(nTrue <= fullTrue(rpb), "a binding sample cannot add truth pairs") }
+    assert(bound.values.exists(_ < fullTrue.values.max),
+      "the half sample must actually bind on this corpus")
+  }
 }
