@@ -484,6 +484,93 @@ object Retrieval extends QueryModule {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q198: standing bigram LM (incremental KN admission + capped serve) --
+  // The q143 road applied to q165's family, the wall SCALE.md named: at
+  // ~10⁹ bigram types the model-sized pin becomes a STORED standing
+  // model. Admission appends additive (w1,w2) / unigram count deltas
+  // (fingerprint replay guard, never re-counting the corpus); serving
+  // re-aggregates the live deltas to exact counts, caps the model at the
+  // top-V bigram types by the TOTAL (bf DESC, w1, w2) order (q161's
+  // frozen-serving discipline — V = 512 binds at both SFs), derives KN's
+  // non-additive type statistics (n1l, n1r, T) from the capped relation,
+  // and scores arrivals with the shared knPStr expression. The oracle
+  // fits q165's model on the admitted slice directly, caps identically,
+  // and scores the arrivals — its hash match proves delta-maintained
+  // admission ≡ the one-shot fit (append ≡ rebuild at the driver grain).
+
+  private val knTopV = 512
+
+  def standingBigramLm(s: SparkSession, d: String): DataFrame = {
+    import graft.text.BigramStore
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_bglm_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_bglm/$tag"
+    if (!BigramStore.matches(s, name, d)) {
+      val admitted = docs.filter(col("doc_id") % 10 >= 2)
+      // two-stage admission exercises the delta path on the driver's own
+      // data: build from half, append the rest, seal via the final tag
+      BigramStore.build(s, admitted.filter(col("doc_id") % 2 === 0),
+        name, loc, datasetTag = s"$d:building")
+      BigramStore.append(s, admitted.filter(col("doc_id") % 2 === 1), name)
+      import s.implicits._
+      Seq(Tuple1(d)).toDF("dataset_tag")
+        .write.mode("overwrite").option("path", s"$loc/meta")
+        .saveAsTable(s"${name}_meta")
+    }
+    BigramStore.serveKn(s, docs.filter(col("doc_id") % 10 < 2), name, knTopV)
+      .orderBy("doc_id")
+  }
+
+  private def standingBigramLmSql: String =
+    s"""WITH mtok AS (
+       |  SELECT t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 10 >= 2
+       |),
+       |st AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size FROM mtok),
+       |mth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 10 >= 2
+       |),
+       |mp AS (
+       |  SELECT th[j + 1] AS w1, th[j + 2] AS w2
+       |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+       |),
+       |bf0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
+       |bf AS (
+       |  SELECT w1, w2, bf FROM bf0 ORDER BY bf DESC, w1, w2 LIMIT $knTopV
+       |),
+       |cl AS (
+       |  SELECT w1, CAST(sum(bf) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1l
+       |  FROM bf GROUP BY w1
+       |),
+       |nr AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bf GROUP BY w2),
+       |tb AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bf),
+       |hth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 10 < 2
+       |),
+       |hp AS (
+       |  SELECT doc_id, th[j + 1] AS w1, th[j + 2] AS w2
+       |  FROM hth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+       |),
+       |sc AS (
+       |  SELECT hp.doc_id,
+       |    CAST(round(ln(${RetrievalOps.knPStr}) * 1e9, 0) AS BIGINT) AS lnp_fp
+       |  FROM hp
+       |  LEFT JOIN bf ON bf.w1 = hp.w1 AND bf.w2 = hp.w2
+       |  LEFT JOIN cl ON cl.w1 = hp.w1
+       |  LEFT JOIN nr ON nr.w2 = hp.w2
+       |  CROSS JOIN tb CROSS JOIN st
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(lnp_fp) AS BIGINT) AS s_fp
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_pairs,
+       |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_pairs), 6) AS ppl
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q81: fixed-budget context packing ---------------------------------
 
   def contextPack(s: SparkSession, d: String): DataFrame =
@@ -928,6 +1015,7 @@ object Retrieval extends QueryModule {
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
+    Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),
     Q("q170_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),

@@ -577,6 +577,26 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING bigram-LM admission — q198's foreachBatch twin (the
+    * score-then-admit loop over the standing KN model): each arriving
+    * batch is scored against the CAPPED model as it stood when the batch
+    * arrived, then its bigram/unigram count deltas are admitted
+    * (idempotent via the doc guard — counts are additive, an unguarded
+    * replay would bias the model). Later batches see a model that has
+    * absorbed earlier ones — spec-pinned ≡ the sequential serve→append
+    * loop, including a bigram whose capped-model membership flips
+    * between batches. */
+  def streamingBigramAdmission(docs: DataFrame, name: String, topV: Int,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val scored = graft.text.BigramStore.serveKn(s, batch, name, topV)
+        .localCheckpoint()
+      graft.text.BigramStore.append(s, batch, name, idempotent = true)
+      scored.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING second-level admission — q156's foreachBatch twin: each
     * arriving subject-batch of first-level betas is admitted into the
     * standing beta store (subject-bounded facts, idempotent via the

@@ -514,22 +514,33 @@ object RetrievalOps {
   def kneserNeyScore(docs: DataFrame, modelPred: Column): DataFrame = {
     val model = docs.filter(modelPred)
     val held = docs.filter(!modelPred)
-    def pairsOf(d: DataFrame) = d
-      .select(col("doc_id"), explode(expr(
-        """zip_with(
-          |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
-          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val vSize = model.select(explode(toks).as("w"))
       .agg(countDistinct(col("w")).as("v_size"))
-    val bf = pairsOf(model).groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
+    val bf = knPairs(model).groupBy("w1", "w2").agg(count(lit(1)).as("bf"))
       .localCheckpoint()
+    knScore(knPairs(held), bf, vSize)
+  }
+
+  /** (doc_id, w1, w2) adjacent-token pairs — the bigram event stream. */
+  private[text] def knPairs(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(expr(
+      """zip_with(
+        |  slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+        |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+        |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Score held-out (doc_id, w1, w2) pairs against a (w1, w2, bf) bigram
+    * model plus a 1-row v_size relation — the KN projection shared by the
+    * one-shot fit above and the standing-store serve (q198). Every model
+    * aggregate (c1, n1l, n1r, T) derives from the bf relation itself. */
+  private[graft] def knScore(heldPairs: DataFrame, bf: DataFrame,
+      vSize: DataFrame): DataFrame = {
     val cl = bf.groupBy("w1")
       .agg(sum("bf").as("c1"), count(lit(1)).as("n1l"))
     val nr = bf.groupBy("w2").agg(count(lit(1)).as("n1r"))
     val tb = bf.agg(count(lit(1)).as("tt"))
-    pairsOf(held)
+    heldPairs
       .join(bf, Seq("w1", "w2"), "left")
       .join(broadcast(cl), Seq("w1"), "left")
       .join(broadcast(nr), Seq("w2"), "left")

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.text.BigramStore
+import graft.streaming.StreamOps
+
+/** The standing bigram LM (q198 + streamingBigramAdmission): additive
+  * bigram/unigram count deltas, capped KN serve. Pins:
+  *
+  *  - append ≡ rebuild (delta-maintained counts score like a one-shot
+  *    fit on the union corpus);
+  *  - idempotent replay adds nothing (counts are additive — an unguarded
+  *    replay would bias every c1/n1l statistic);
+  *  - the top-V cap binds deterministically: a capped model scores a
+  *    dropped bigram through the continuation branch, and tightening V
+  *    can only change scores in the capped direction;
+  *  - streaming score-then-admit ≡ the sequential loop, including a
+  *    batch whose score depends on an earlier batch's admission.
+  */
+class BigramStoreSpec extends SparkSpec {
+
+  private val corpusA = Seq(
+    (1L, "a b a b a c"),
+    (2L, "a b c a b"),
+    (3L, "x y x y x"),
+  )
+  private val corpusB = Seq(
+    (4L, "a b a b"),
+    (5L, "x y z x y"),
+  )
+  private val arrivals = Seq(
+    (11L, "a b c"),
+    (12L, "x y z"),
+    (13L, "q r s"), // fully novel vocabulary
+  )
+
+  private def df2(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def fresh(name: String, rows: Seq[(Long, String)]): Unit = {
+    Seq("bigrams", "grams", "docs", "meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    BigramStore.build(spark, df2(rows), name,
+      location = s"/tmp/$name", datasetTag = "fix")
+  }
+
+  private def canon(rows: Array[Row]): Seq[String] =
+    rows.map(_.toString).sorted.toSeq
+
+  test("append equals rebuild; idempotent replay adds nothing") {
+    fresh("graft_test_bglm_a", corpusA)
+    BigramStore.append(spark, df2(corpusB), "graft_test_bglm_a")
+    fresh("graft_test_bglm_b", corpusA ++ corpusB)
+    val a = BigramStore.serveKn(spark, df2(arrivals), "graft_test_bglm_a", 512)
+    val b = BigramStore.serveKn(spark, df2(arrivals), "graft_test_bglm_b", 512)
+    assert(canon(a.collect()) == canon(b.collect()))
+    // in-vocabulary arrival must beat the fully-novel one on perplexity
+    val byId = a.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(11L) < byId(13L), s"in-vocab ppl ${byId(11L)} vs novel ${byId(13L)}")
+    // replay: re-admitting already-admitted docs must not shift counts
+    val sumBefore = spark.table("graft_test_bglm_a_bigrams")
+      .agg(sum("bf")).head()
+    BigramStore.append(spark, df2(corpusB), "graft_test_bglm_a",
+      idempotent = true)
+    spark.catalog.refreshTable("graft_test_bglm_a_bigrams")
+    assert(spark.table("graft_test_bglm_a_bigrams").agg(sum("bf")).head()
+      == sumBefore)
+    assert(canon(BigramStore.serveKn(spark, df2(arrivals),
+      "graft_test_bglm_a", 512).collect()) == canon(a.collect()))
+  }
+
+  test("the serve-time cap binds: V = 1 keeps only the heaviest bigram and the verdict matches a hand KN replay") {
+    fresh("graft_test_bglm_c", corpusA ++ corpusB)
+    // model bigram counts: (a,b)=6 (heaviest), (b,a)=4, (x,y)=5, ...
+    // V = 1 keeps exactly (a,b): c1(a)=6, n1l(a)=1, n1r(b)=1, T=1, V=6
+    val out = BigramStore.serveKn(spark, df2(Seq((21L, "a b"), (22L, "b a"))),
+        "graft_test_bglm_c", 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vSize = 6.0 // distinct tokens across corpusA ++ corpusB: a b c x y z
+    // kept pair (a,b): p = (max(6 - .75, 0) + .75·1·pCont(b)) / 6
+    val pContB = (1.0 + 1.0) / (1.0 + vSize + 1.0)
+    val pAB = ((6.0 - 0.75) + 0.75 * 1.0 * pContB) / 6.0
+    // dropped pair (b,a): unseen context b -> continuation of a: (0+1)/(T+V+1)
+    val pBA = (0.0 + 1.0) / (1.0 + vSize + 1.0)
+    def ppl(p: Double) = {
+      val lnFp = BigDecimal(math.log(p) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      BigDecimal(math.exp(-(lnFp / 1e9) / 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(21L) === ((1L, ppl(pAB))), s"kept bigram ${out(21L)} vs ${ppl(pAB)}")
+    assert(out(22L) === ((1L, ppl(pBA))), s"dropped bigram ${out(22L)} vs ${ppl(pBA)}")
+  }
+
+  test("streaming score-then-admit equals the sequential loop across model drift") {
+    val s = spark
+    import s.implicits._
+    // batch 1 admits heavy "a b" mass; batch 2's arrival reuses that
+    // vocabulary, so its score depends on batch 1's admission
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((21L, "a b a b a b"), (22L, "m n m")),
+      Seq((23L, "a b m n"), (24L, "x y a b")),
+    )
+    // sequential reference
+    fresh("graft_test_bglm_sr", corpusA)
+    val ref = batches.flatMap { rows =>
+      val b = df2(rows)
+      val v = BigramStore.serveKn(s, b, "graft_test_bglm_sr", 512)
+        .localCheckpoint()
+      BigramStore.append(s, b, "graft_test_bglm_sr", idempotent = true)
+      v.collect().map(_.toString)
+    }.sorted
+    // streaming twin
+    fresh("graft_test_bglm_st", corpusA)
+    val out = java.nio.file.Files.createTempDirectory("graft-bglm").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamOps.streamingBigramAdmission(
+      ms.toDF().toDF("doc_id", "text"), "graft_test_bglm_st", 512, out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref)
+  }
+}
