@@ -1385,6 +1385,13 @@ object DesignImage extends QueryModule {
         .groupBy("a", "b").agg(min("d").as("d"))
         .localCheckpoint()
     }
+    pathMetricsFromDist(dist, parcels)
+  }
+
+  /** The q184/q199 aggregation tail over a finished (a, b, d) shortest-
+    * distance relation: per-parcel ecc/reach/nodal efficiency plus the
+    * graph-level cpl and global efficiency. */
+  private def pathMetricsFromDist(dist: DataFrame, parcels: DataFrame): DataFrame = {
     val glob = dist
       .agg(sum("d").as("sd"), count(lit(1)).as("n_fin"),
         sum(expr("CAST(round(1e12 / d, 0) AS BIGINT)")).as("sr"))
@@ -1401,6 +1408,63 @@ object DesignImage extends QueryModule {
         "round(CAST(sr AS DOUBLE) / (CAST(np AS DOUBLE) * (np - 1)) / 1e12, 6) AS eff_glob")
       .orderBy("p")
   }
+
+  // ---- q199: path metrics by FRONTIER BFS (the voxel-regime road) ----------
+  // q184's min-plus doubling is atlas-regime by design: its self-join is
+  // dist ⋈ dist — NP³ bounded work per round, quadratic distributed
+  // state — which is exactly right for NP ≈ 10²–10³ parcels and exactly
+  // wrong for a 10⁵⁺-node voxel graph. This is the documented
+  // alternative made code (q142's bounded-frontier lesson applied to
+  // distances): keep the full dist relation as accumulated state, but
+  // join ONLY the current FRONTIER (pairs discovered last round) against
+  // the edge list each round — per-round work O(|frontier|·degree), total
+  // O(N·E) like textbook multi-source BFS, with the per-round relation
+  // E-sparse instead of N²-dense. Rounds = graph diameter (not log₂ N —
+  // the doubling trade: more, cheaper rounds), each round one
+  // frontier-sized join + anti-join, terminating on the first empty
+  // frontier (a bounded driver probe per round, the q142 loop shape).
+  // On voxel lattices degree is ≤ 26 and diameter is O(L), so both
+  // factors stay small where doubling's NP³ explodes.
+  //
+  // Same output contract as q184 (the tail is shared code); the oracle
+  // is q184's VERBATIM — its recursive walk CTE already computes
+  // distances the BFS way, so the hash match pins doubling ≡ frontier
+  // BFS on the production graph, and the spec pins equality on planted
+  // graphs including a diameter deeper than doubling's default cover.
+
+  /** Per-parcel path metrics via frontier BFS from a q168-shaped
+    * (p1, p2, …, edge) relation — spec-plantable. */
+  private[graft] def pathMetricsBfsCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+      .distinct().localCheckpoint()
+    val nNodes = math.max(2L, parcels.count())
+    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    var frontier = dist.select("a", "b")
+    var depth = 1L
+    while (depth < nNodes && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.selectExpr("a", "b AS c")
+        .join(sym.selectExpr("a AS c", "b"), Seq("c"))
+        .select("a", "b").distinct()
+        .filter(col("a") =!= col("b"))
+        .join(dist.select("a", "b"), Seq("a", "b"), "left_anti")
+        .localCheckpoint()
+      frontier = next
+      dist = dist.unionByName(next.withColumn("d", lit(depth)))
+        .localCheckpoint()
+    }
+    pathMetricsFromDist(dist, parcels)
+  }
+
+  def pathMetricsBfs(s: SparkSession, d: String): DataFrame =
+    pathMetricsBfsCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
 
   def pathMetrics(s: SparkSession, d: String): DataFrame =
     pathMetricsCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
@@ -2457,6 +2521,7 @@ object DesignImage extends QueryModule {
     Q("q192_edge_icc", edgeIcc, Some(edgeIccSql)),
     Q("q194_gsr_connectome", gsrConnectome, Some(gsrConnectomeSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
+    Q("q199_path_metrics_bfs", pathMetricsBfs, Some(pathMetricsSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

@@ -637,6 +637,27 @@ class InferenceQcSpec extends SparkSpec {
     assert(out(10) === ((Some(10L), 20L)), "midpoint eccentricity is n/2")
   }
 
+  test("q199: frontier BFS equals min-plus doubling on every planted shape") {
+    val s = spark
+    import s.implicits._
+    // the q184 fixture (path + isolate), a deep 21-node path (diameter
+    // 20), and a two-component graph with a cycle
+    val shapes = Seq(
+      Seq((0, 1, 1L), (1, 2, 1L), (2, 3, 1L), (0, 4, 0L)),
+      (0 until 20).map(i => (i, i + 1, 1L)),
+      Seq((0, 1, 1L), (1, 2, 1L), (2, 0, 1L), (5, 6, 1L), (6, 7, 1L),
+        (3, 7, 0L)),
+    )
+    shapes.zipWithIndex.foreach { case (rows, i) =>
+      val pe = rows.toDF("p1", "p2", "edge")
+      val doubling = graft.queries.DesignImage.pathMetricsCore(pe)
+        .collect().map(_.toString).sorted.toSeq
+      val bfs = graft.queries.DesignImage.pathMetricsBfsCore(pe)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bfs === doubling, s"shape $i diverged")
+    }
+  }
+
   // ---- q194 GSR connectome ------------------------------------------------------
 
   test("q194: partial r equals explicit residualization; a shared global component is removed") {
