@@ -664,6 +664,75 @@ object Retrieval extends QueryModule {
 
   private val bpeMergesSql = graft.text.BpeOps.mergesOracleSql(12)
 
+  // ---- q200: unigram-LM tokenizer training (SentencePiece's algorithm) ----
+  // The second mainstream subword family next to BPE (Kudo 2018; q93's
+  // counterpart): pieces carry probabilities, tokenization is maximum-
+  // likelihood segmentation. Two hard-EM (Viterbi) rounds from the
+  // substring seed, +1 char floor each M-step, top-24 cap with chars
+  // retained — the full rationale and determinism argument live on
+  // graft.text.UnigramLmOps; the oracle replays the identical rounds as
+  // generated recursive-CTE blocks (the q65 unrolled-iterations
+  // pattern). Output: the final vocabulary with exact counts and the
+  // 1e9-fixed-point serving log-probs.
+
+  private val ulmRounds = 2
+  private val ulmCapV = 24
+
+  def unigramLmTrain(s: SparkSession, d: String): DataFrame = {
+    import graft.text.UnigramLmOps
+    val fin = UnigramLmOps.train(documents(s, d), ulmRounds, ulmCapV)
+      .localCheckpoint() // model-sized; read twice (rows + total)
+    fin.join(UnigramLmOps.modelOf(fin), Seq("piece"))
+      .select("piece", "cnt", "lnp_fp")
+      .orderBy("piece")
+  }
+
+  private def unigramLmTrainSql: String =
+    s"""WITH RECURSIVE ${graft.text.UnigramLmOps.oracleCtes(ulmRounds, ulmCapV)}
+       |SELECT f.piece, f.cnt, m.lnp_fp
+       |FROM ufin f JOIN umf m USING (piece)
+       |ORDER BY f.piece""".stripMargin
+
+  // ---- q201: unigram-LM segmentation + fertility (the serving half) -------
+  // Serve the q200 model: Viterbi-segment every distinct word once
+  // (vocabulary-bounded), then join the per-doc word stream against the
+  // |vocab|-row best-segmentation relation — per doc the word count,
+  // piece count, and fertility (pieces per word, the q170 metric on the
+  // unigram tokenizer). The corpus is scanned once; the expensive
+  // enumeration never touches it.
+
+  def unigramLmSegment(s: SparkSession, d: String): DataFrame = {
+    import graft.text.UnigramLmOps
+    val docs = documents(s, d)
+    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV)
+    val best = UnigramLmOps.viterbiBest(
+      UnigramLmOps.wordFreqs(docs).select("w"), UnigramLmOps.modelOf(fin))
+      .select(col("w"), col("np"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(best), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .selectExpr("doc_id", "n_words", "n_pieces",
+        "round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility")
+      .orderBy("doc_id")
+  }
+
+  private def unigramLmSegmentSql: String = {
+    val ops = graft.text.UnigramLmOps
+    s"""WITH RECURSIVE ${ops.oracleCtes(ulmRounds, ulmCapV)},
+       |${ops.serveSegCtes(ulmRounds + 1)},
+       |dw AS (
+       |  SELECT doc_id, t.term AS w
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       |  round(CAST(SUM(b.np) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM dw JOIN ubest${ulmRounds + 1} b ON b.w = dw.w
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+  }
+
   // ---- q94: BPE segmentation (the serving half of q93) --------------------
   // Apply the learned 12-round merge table to every document as one
   // map-only chained-replace projection; per-doc subword counts are the
@@ -1013,6 +1082,8 @@ object Retrieval extends QueryModule {
     Q("q91_context_pack_sharded", contextPackSharded, Some(contextPackShardedSql)),
     Q("q93_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
+    Q("q200_unigram_lm_train", unigramLmTrain, Some(unigramLmTrainSql)),
+    Q("q201_unigram_lm_segment", unigramLmSegment, Some(unigramLmSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),

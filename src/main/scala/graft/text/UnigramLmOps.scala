@@ -1,0 +1,215 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer training (Kudo 2018, the
+  * SentencePiece unigram algorithm) — the second mainstream subword
+  * family next to BPE (BpeOps, q93/q94): pieces carry probabilities and
+  * a word's tokenization is its maximum-likelihood segmentation.
+  *
+  * This is the VITERBI (hard-EM) variant: each E-step assigns every
+  * distinct word its single best segmentation under the current piece
+  * probabilities (enumerated exhaustively — with piece length ≤
+  * [[PieceLenMax]] a w-char word has at most tetranacci(w) compositions,
+  * ≤ 108 for the corpus's 8-char words), and the M-step recounts pieces
+  * from those segmentations, word-frequency-weighted. Soft-EM's
+  * forward–backward marginals would need per-position float DPs; the
+  * hard variant keeps EVERY comparison on integers — segmentation scores
+  * are exact sums of 1e9-fixed-point log-probs, and the argmax tie-break
+  * (score DESC, piece count ASC, segmentation string ASC) is total — so
+  * both engines pick identical segmentations, which is what makes the
+  * training oracle-checkable at all.
+  *
+  * Seeding counts every substring occurrence of length ≤ 4 (the standard
+  * suffix-array seed truncated to the enumerable length); every M-step
+  * adds a +1 floor on every single character so each word stays
+  * segmentable in the next round; after the fixed rounds the vocabulary
+  * is capped at the top-V pieces by the TOTAL (cnt DESC, piece ASC)
+  * order with all single characters retained (the pruning step of
+  * unigram training, q161's bounded-serving discipline).
+  *
+  * Oracle: the q65 unrolled-iterations pattern — each EM round is a
+  * generated CTE block (a recursive composition walk + the recount), so
+  * DuckDB replays the IDENTICAL training ([[oracleCtes]]).
+  *
+  * Scale shape: everything after [[wordFreqs]] (the one corpus-sized
+  * aggregate) is VOCABULARY-bounded — the composition expansion is
+  * |vocab|·compositions rows joined against a broadcast model, the
+  * argmax is a vocabulary-partitioned window, and serving (q201) joins
+  * the per-doc word stream against the |vocab|-row best-segmentation
+  * relation. The corpus is scanned once per query, never re-shuffled.
+  */
+object UnigramLmOps {
+
+  val PieceLenMax = 4
+
+  /** Shared fixed-point log-probability string (needs cols cnt, tot). */
+  val lnpStr = "CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1e9, 0) AS BIGINT)"
+
+  /** (w, freq) distinct-word frequencies — the one corpus aggregate. */
+  def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Seed counts: every substring occurrence of length ≤ 4, weighted by
+    * word frequency (two occurrences inside one word count twice). */
+  def seedCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), explode(expr(
+      s"""flatten(transform(sequence(0, length(w) - 1),
+         |  i -> transform(sequence(1, $PieceLenMax),
+         |    l -> struct(l AS l, substring(w, i + 1, l) AS piece))))""".stripMargin))
+      .as("s"))
+      .filter(expr("length(s.piece) = s.l"))
+      .select(col("s.piece").as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** (piece, lnp_fp) model from a (piece, cnt) count relation. */
+  def modelOf(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
+      .selectExpr("piece", s"$lnpStr AS lnp_fp")
+
+  /** The +1-per-character floor keeping every word segmentable. */
+  def charFloor(wf: DataFrame): DataFrame =
+    wf.select(explode(expr(
+      "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"))
+      .as("piece"))
+      .distinct().withColumn("cnt", lit(1L))
+
+  /** Best (max-likelihood) segmentation per word under a (piece, lnp_fp)
+    * model, by exhaustive composition enumeration: partials extend one
+    * model piece at a time (loop rounds = the input's max word length, a
+    * bounded driver probe), completed segmentations argmax on the total
+    * integer order (sc DESC, np ASC, seg ASC). */
+  def viterbiBest(words: DataFrame, model: DataFrame): DataFrame = {
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    var partial = words.select(col("w"), lit(0).as("pos"),
+      lit("").as("seg"), lit(0L).as("np"), lit(0L).as("sc")).localCheckpoint()
+    var completed = partial.filter(expr("pos = length(w)"))
+    for (_ <- 0 until maxLen) {
+      val ext = partial.filter(expr("pos < length(w)"))
+        .withColumn("l", explode(expr(s"sequence(1, $PieceLenMax)")))
+        .withColumn("piece", expr("substring(w, pos + 1, l)"))
+        .filter(expr("length(piece) = l"))
+        .join(broadcast(model), Seq("piece"))
+        .selectExpr("w", "pos + l AS pos",
+          "CASE WHEN pos = 0 THEN piece ELSE concat(seg, ' ', piece) END AS seg",
+          "np + 1 AS np", "sc + lnp_fp AS sc")
+        .localCheckpoint()
+      completed = completed
+        .unionByName(ext.filter(expr("pos = length(w)"))).localCheckpoint()
+      partial = ext
+    }
+    completed
+      .withColumn("rn", row_number().over(Window.partitionBy("w")
+        .orderBy(col("sc").desc, col("np").asc, col("seg").asc)))
+      .filter(col("rn") === 1)
+      .select("w", "seg", "np", "sc")
+  }
+
+  /** M-step: piece counts from best segmentations, frequency-weighted. */
+  def usageCounts(best: DataFrame, wf: DataFrame): DataFrame =
+    best.join(wf, Seq("w"))
+      .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** `rounds` hard-EM rounds from the substring seed, then the top-V cap
+    * (single characters always retained): the final (piece, cnt). */
+  def train(docs: DataFrame, rounds: Int, capV: Int): DataFrame = {
+    val wf = wordFreqs(docs).localCheckpoint()
+    var counts = seedCounts(wf)
+    for (_ <- 0 until rounds) {
+      counts = usageCounts(viterbiBest(wf.select("w"), modelOf(counts)), wf)
+        .unionByName(charFloor(wf))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
+        .localCheckpoint()
+    }
+    val cap = counts.orderBy(col("cnt").desc, col("piece")).limit(capV)
+    val chars = charFloor(wf).select("piece").join(counts, Seq("piece"))
+    cap.unionByName(chars).groupBy("piece").agg(max("cnt").as("cnt"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle: the generated CTE chain replaying the same training.
+  // ---------------------------------------------------------------------
+
+  private def segCte(i: Int, model: String): String =
+    s"""useg$i(w, pos, seg, np, sc) AS (
+       |  SELECT w, CAST(0 AS BIGINT), '', CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM uwf
+       |  UNION ALL
+       |  SELECT s.w, s.pos + length(m.piece),
+       |    CASE WHEN s.pos = 0 THEN m.piece ELSE s.seg || ' ' || m.piece END,
+       |    s.np + 1, s.sc + m.lnp_fp
+       |  FROM useg$i s JOIN $model m
+       |    ON m.piece = substring(s.w, s.pos + 1, length(m.piece))
+       |  WHERE s.pos < length(s.w)
+       |),
+       |ubest$i AS (
+       |  SELECT w, seg, np FROM (
+       |    SELECT w, seg, np, ROW_NUMBER() OVER (PARTITION BY w
+       |      ORDER BY sc DESC, np ASC, seg ASC) AS rn
+       |    FROM useg$i WHERE pos = length(w)) WHERE rn = 1
+       |)""".stripMargin
+
+  private def recountCte(i: Int): String =
+    s"""uc$i AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT u.piece AS piece, uwf.freq AS cnt
+       |    FROM ubest$i b JOIN uwf ON uwf.w = b.w,
+       |         unnest(string_split(b.seg, ' ')) AS u(piece)
+       |    UNION ALL SELECT piece, 1 FROM uchars
+       |  ) GROUP BY piece
+       |)""".stripMargin
+
+  private def modelCte(name: String, counts: String): String =
+    s"""$name AS (
+       |  SELECT piece, $lnpStr AS lnp_fp
+       |  FROM $counts CROSS JOIN (SELECT SUM(cnt) AS tot FROM $counts)
+       |)""".stripMargin
+
+  /** CTE chain through the final capped count relation `ufin` (and its
+    * model `umf`); requires WITH RECURSIVE at the head. Non-recursive
+    * unions stay inside subqueries (the engine-wide RECURSIVE caveat). */
+  def oracleCtes(rounds: Int, capV: Int): String = {
+    val emBlocks = (1 to rounds).map { i =>
+      val model = if (i == 1) "um0" else s"um${i - 1}"
+      Seq(segCte(i, model), recountCte(i)) ++
+        (if (i < rounds) Seq(modelCte(s"um$i", s"uc$i")) else Nil)
+    }.flatten.mkString(",\n")
+    s"""uwf AS (
+       |  SELECT t.term AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  GROUP BY 1
+       |),
+       |uchars AS (
+       |  SELECT DISTINCT substring(w, s.i + 1, 1) AS piece
+       |  FROM uwf, unnest(range(length(w))) AS s(i)
+       |),
+       |uc0 AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substring(w, s.i + 1, l.l) AS piece, freq
+       |    FROM uwf, unnest(range(length(w))) AS s(i),
+       |         unnest([1, 2, 3, 4]) AS l(l)
+       |    WHERE s.i + l.l <= length(w)
+       |  ) GROUP BY piece
+       |),
+       |${modelCte("um0", "uc0")},
+       |$emBlocks,
+       |ucap AS (
+       |  SELECT piece, cnt FROM uc$rounds ORDER BY cnt DESC, piece ASC LIMIT $capV
+       |),
+       |ufin AS (
+       |  SELECT piece, MAX(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM ucap
+       |    UNION ALL
+       |    SELECT c.piece, c.cnt FROM uc$rounds c JOIN uchars USING (piece)
+       |  ) GROUP BY piece
+       |),
+       |${modelCte("umf", "ufin")}""".stripMargin
+  }
+
+  /** The serving segmentation block: `useg<i>`/`ubest<i>` over the final
+    * model `umf` — appended after [[oracleCtes]] by q201's oracle. */
+  def serveSegCtes(i: Int): String = segCte(i, "umf")
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.UnigramLmOps
+
+/** Unigram-LM tokenizer training/serving (q200/q201): hard-EM from the
+  * substring seed, integer Viterbi with the total tie-break, capped
+  * vocabulary with the char floor. */
+class UnigramLmSpec extends SparkSpec {
+
+  private def df2(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("viterbi: max-likelihood wins; ties break by fewer pieces then segmentation string") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("ab", "cd").toDF("w")
+    // "ab" as one piece beats "a b" outright; for "cd" the two
+    // segmentations tie on score, so np ASC must pick the single piece
+    val model = Seq(
+      ("ab", -1000000000L), ("a", -1000000000L), ("b", -1000000000L),
+      ("cd", -2000000000L), ("c", -1000000000L), ("d", -1000000000L),
+    ).toDF("piece", "lnp_fp")
+    val out = UnigramLmOps.viterbiBest(words, model)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("ab") === (("ab", 1L)), s"likelihood argmax: ${out("ab")}")
+    assert(out("cd") === (("cd", 1L)), s"tie must prefer fewer pieces: ${out("cd")}")
+  }
+
+  test("a dominant word survives the cap as one piece; a rare word falls to characters") {
+    val docs = df2((0L until 10L).map(i => (i, "abcd abcd abcd")) :+
+      (10L, "xyzw"))
+    // capV = 3 binds hard: top pieces are dominated by "abcd" mass
+    val fin = UnigramLmOps.train(docs, rounds = 2, capV = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fin.contains("abcd"), s"dominant word must be a whole piece: $fin")
+    assert(Seq("x", "y", "z", "w").forall(fin.contains),
+      "char floor must keep every character")
+    assert(!fin.contains("xyzw"), "rare word must not survive a binding cap")
+    val best = UnigramLmOps.viterbiBest(
+      UnigramLmOps.wordFreqs(docs).select("w"),
+      UnigramLmOps.modelOf(UnigramLmOps.train(docs, 2, 3)))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(best("abcd") === 1L, "dominant word segments to itself")
+    assert(best("xyzw") === 4L, "capped-out word segments to characters")
+  }
+
+  test("EM reallocates mass: after training, whole-word pieces out-count their substrings") {
+    val docs = df2((0L until 8L).map(i => (i, "toka tokb toka")))
+    val fin = UnigramLmOps.train(docs, rounds = 2, capV = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hard-EM's recount only credits pieces the Viterbi actually used:
+    // both words tokenize whole, so interior substrings get no mass
+    assert(fin("toka") === 16L && fin("tokb") === 8L, s"$fin")
+    assert(!fin.contains("tok") && !fin.contains("oka"),
+      s"unused interior substrings must carry no mass after EM: $fin")
+  }
+}
