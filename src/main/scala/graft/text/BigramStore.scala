@@ -105,20 +105,71 @@ object BigramStore {
       .saveAsTable(s"${name}_docs")
   }
 
-  /** The store's exact (w1, w2, bf) counts as it stands: dedupe replayed
-    * identical deltas on (batch_fp, key), then sum. */
-  private def liveBigrams(spark: SparkSession, name: String): DataFrame = {
-    spark.catalog.refreshTable(s"${name}_bigrams")
-    spark.table(s"${name}_bigrams")
-      .groupBy("batch_fp", "w1", "w2").agg(max("bf").as("bf"))
-      .groupBy("w1", "w2").agg(sum("bf").as("bf"))
+  /** Sentinel batch_fp of the folded BASE rows a compaction writes —
+    * genuine fingerprints are always ≥ 0 ([[batchFingerprint]]). */
+  private val BaseFp = -1L
+
+  /** Tombstone rows (recording an absorbed batch_fp) carry a NULL key —
+    * genuine tokens/bigram members are never NULL. They live in the same
+    * table as the counts so the fold is one atomic sibling swap (the
+    * CurationOps compaction argument). */
+  private def liveDeltas(spark: SparkSession, table: String,
+      keyCols: Seq[String], valCol: String): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val all = spark.table(table)
+    val folded = all.filter(col(keyCols.head).isNull).select("batch_fp")
+    all.filter(col(keyCols.head).isNotNull)
+      .join(broadcast(folded), Seq("batch_fp"), "left_anti")
+      .groupBy(("batch_fp" +: keyCols).map(col): _*)
+      .agg(max(valCol).as(valCol))
+      .groupBy(keyCols.map(col): _*).agg(sum(valCol).as(valCol))
   }
 
-  private def liveVSize(spark: SparkSession, name: String): DataFrame = {
-    spark.catalog.refreshTable(s"${name}_grams")
-    spark.table(s"${name}_grams")
-      .select("w").distinct()
+  /** The store's exact (w1, w2, bf) counts as it stands: drop replayed
+    * deltas of folded batches (tombstone anti-join), dedupe live deltas
+    * on (batch_fp, key), then sum deltas + base. */
+  private def liveBigrams(spark: SparkSession, name: String): DataFrame =
+    liveDeltas(spark, s"${name}_bigrams", Seq("w1", "w2"), "bf")
+
+  private def liveVSize(spark: SparkSession, name: String): DataFrame =
+    liveDeltas(spark, s"${name}_grams", Seq("w"), "cf")
       .agg(count(lit(1)).as("v_size"))
+
+  private def compactTable(spark: SparkSession, table: String,
+      keyCols: Seq[String], valCol: String): (Long, Long) = {
+    spark.catalog.refreshTable(table)
+    val all = spark.table(table).localCheckpoint()
+    val folded = all.filter(col(keyCols.head).isNull).select("batch_fp")
+    val live = all.filter(col(keyCols.head).isNotNull)
+      .join(broadcast(folded), Seq("batch_fp"), "left_anti")
+      .groupBy(("batch_fp" +: keyCols).map(col): _*)
+      .agg(max(valCol).as(valCol))
+    val base = live.groupBy(keyCols.map(col): _*)
+      .agg(sum(valCol).as(valCol))
+      .select(lit(BaseFp).as("batch_fp") +: keyCols.map(col) :+ col(valCol): _*)
+    val tombs = live.filter(col("batch_fp") =!= BaseFp)
+      .select("batch_fp").union(folded).distinct()
+      .select(col("batch_fp") +:
+        keyCols.map(k => lit(null).cast("string").as(k)) :+
+        lit(0L).as(valCol): _*)
+    val before = all.count()
+    graft.util.BucketedStores.swapContents(spark, table,
+      base.unionByName(tombs))
+    spark.catalog.refreshTable(table)
+    (before, spark.table(table).count())
+  }
+
+  /** Fold accumulated per-batch delta rows into ONE base count set plus
+    * tombstones per table — the q143 compaction applied to this family:
+    * without the fold, every serve re-reads O(batches) delta rows.
+    * Replay idempotency survives: a replayed pre-fold batch re-appends
+    * deltas, the serve anti-joins them against the tombstones, verdict
+    * unchanged (spec-pinned). Returns (rows before, rows after) summed
+    * over the bigram + unigram tables. */
+  def compact(spark: SparkSession, name: String): (Long, Long) = {
+    val (b1, a1) = compactTable(spark, s"${name}_bigrams", Seq("w1", "w2"), "bf")
+    val (b2, a2) = compactTable(spark, s"${name}_grams", Seq("w"), "cf")
+    (b1 + b2, a1 + a2)
   }
 
   /** Serve KN scoring of arrivals from the standing model, capped at the

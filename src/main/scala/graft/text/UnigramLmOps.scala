@@ -48,9 +48,14 @@ object UnigramLmOps {
   /** Shared fixed-point log-probability string (needs cols cnt, tot). */
   val lnpStr = "CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1e9, 0) AS BIGINT)"
 
-  /** (w, freq) distinct-word frequencies — the one corpus aggregate. */
+  /** (w, freq) distinct-word frequencies — the one corpus aggregate.
+    * Empty tokens (doubled separators) are dropped: Spark's
+    * sequence(0, -1) DESCENDS, so a zero-length word would feed garbage
+    * substring indices into the seed where DuckDB's range(0) is empty —
+    * the guard is mirrored in the oracle (uwf WHERE term <> ''). */
   def wordFreqs(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
   /** Seed counts: every substring occurrence of length ≤ 4, weighted by
@@ -180,6 +185,7 @@ object UnigramLmOps {
     s"""uwf AS (
        |  SELECT t.term AS w, CAST(count(*) AS BIGINT) AS freq
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE t.term <> ''
        |  GROUP BY 1
        |),
        |uchars AS (

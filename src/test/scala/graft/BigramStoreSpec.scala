@@ -96,6 +96,29 @@ class BigramStoreSpec extends SparkSpec {
     assert(out(22L) === ((1L, ppl(pBA))), s"dropped bigram ${out(22L)} vs ${ppl(pBA)}")
   }
 
+  test("delta fold: serve invariant, replayed absorbed batch stays a no-op, store stays live") {
+    fresh("graft_test_bglm_cp", corpusA)
+    BigramStore.append(spark, df2(corpusB), "graft_test_bglm_cp")
+    def serve() = canon(BigramStore.serveKn(spark, df2(arrivals),
+      "graft_test_bglm_cp", 512).collect())
+    val before = serve()
+    val (rb, ra) = BigramStore.compact(spark, "graft_test_bglm_cp")
+    assert(ra <= rb, s"fold must not grow the store: $rb -> $ra")
+    assert(serve() == before, "fold must be serve-invariant")
+    // a PRE-fold batch replayed unguarded: its fingerprint is
+    // tombstoned, so the re-appended delta must not double-count
+    BigramStore.append(spark, df2(corpusB), "graft_test_bglm_cp",
+      idempotent = false)
+    assert(serve() == before,
+      "replay of an absorbed batch must stay a no-op after the fold")
+    // NEW admissions still count, and a second fold is also invariant
+    BigramStore.append(spark, df2(Seq((31L, "q r q r q"))), "graft_test_bglm_cp")
+    val mid = serve()
+    assert(mid != before, "a genuinely new admission must still shift the model")
+    BigramStore.compact(spark, "graft_test_bglm_cp")
+    assert(serve() == mid, "second fold must be invariant too")
+  }
+
   test("streaming score-then-admit equals the sequential loop across model drift") {
     val s = spark
     import s.implicits._
