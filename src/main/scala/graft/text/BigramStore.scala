@@ -172,14 +172,21 @@ object BigramStore {
     (b1 + b2, a1 + a2)
   }
 
+  /** The capped model relation (pre-checkpoint — plan-shape-pinnable):
+    * top-V bigram types by the total (bf DESC, w1, w2) order, which must
+    * plan as a TakeOrdered, never a global vocabulary sort. */
+  private[graft] def cappedBigrams(spark: SparkSession, name: String,
+      topV: Int): DataFrame =
+    liveBigrams(spark, name)
+      .orderBy(col("bf").desc, col("w1"), col("w2"))
+      .limit(topV)
+
   /** Serve KN scoring of arrivals from the standing model, capped at the
     * top-V bigram types — identical verdict to fitting q165's model on
     * the admitted corpus, capping, and scoring (the oracle's form). */
   def serveKn(spark: SparkSession, arrivals: DataFrame, name: String,
       topV: Int): DataFrame = {
-    val capped = liveBigrams(spark, name)
-      .orderBy(col("bf").desc, col("w1"), col("w2"))
-      .limit(topV)
+    val capped = cappedBigrams(spark, name, topV)
       .localCheckpoint() // model-sized pin: 4 aggregate consumers
     RetrievalOps.knScore(RetrievalOps.knPairs(arrivals), capped,
       liveVSize(spark, name))

@@ -96,6 +96,14 @@ class BigramStoreSpec extends SparkSpec {
     assert(out(22L) === ((1L, ppl(pBA))), s"dropped bigram ${out(22L)} vs ${ppl(pBA)}")
   }
 
+  test("the serve cap plans as TakeOrdered, never a global vocabulary sort") {
+    fresh("graft_test_bglm_pl", corpusA)
+    val p = BigramStore.cappedBigrams(spark, "graft_test_bglm_pl", 512)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"cap lost its TakeOrdered shape:\n${p.take(1000)}")
+  }
+
   test("delta fold: serve invariant, replayed absorbed batch stays a no-op, store stays live") {
     fresh("graft_test_bglm_cp", corpusA)
     BigramStore.append(spark, df2(corpusB), "graft_test_bglm_cp")

@@ -523,6 +523,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q166: exact-cofactor PPI joins broadcast, never sort-merge; no window") {
+    val p = plan("q166_ppi_glm")
+    // the design (NT rows) and the adj/det row broadcast into the series
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "a bounded side degraded to SMJ")
+    assert(!p.contains("Window"), "the per-voxel solve needs no window")
+  }
+
+  test("q201: serving joins the broadcast segmentation model; the corpus is scanned once") {
+    val p = plan("q201_unigram_lm_segment")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // training state is checkpointed; the serve itself reads documents once
+    val docScans = p.split("\n").filter(_.contains("documents.parquet"))
+    assert(docScans.length == 1, docScans.mkString("\n"))
+  }
+
   test("asofJoin: simultaneous right row counts (ties at equal ts)") {
     val s = spark
     import s.implicits._
