@@ -1466,6 +1466,89 @@ object DesignImage extends QueryModule {
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
 
+  // ---- q203: eigenvector centrality (ECM) -----------------------------------
+  // The hub metric of the connectome toolbox (Lohmann et al. 2010's fast
+  // ECM practice; Rubinov & Sporns 2010 §"centrality") that degree can't
+  // see: a node is central when its NEIGHBORS are central — the dominant
+  // eigenvector of the adjacency. Computed as FOUR UNNORMALIZED power-
+  // iteration steps of the SHIFTED matrix, x ← (A + I)·x, from the
+  // all-ones vector — the +I shift is the standard ECM positivity trick
+  // (Lohmann 2010 uses the same idea via a nonnegative similarity): on a
+  // bipartite component plain A·x oscillates (a star's hub and leaves
+  // TIE at every even step), while A + I has a unique dominant
+  // eigenvector on every connected component. Every intermediate is an
+  // EXACT integer (entries ≤ (deg_max+1)⁴ ≤ (NP+1)⁴, int64-trivial), so
+  // normalization happens exactly once at the end — one correctly-
+  // rounded double division per node (the q166 lesson applied at birth:
+  // no float chain for an oracle engine to ULP-drift). Four steps
+  // separate hubs from leaves at atlas diameters; the iteration count is
+  // a fixed documented constant (the q65 fixed-rounds convention), not a
+  // convergence loop — the replayed oracle must run the same arithmetic.
+  //
+  // Scale shape: ⌈4⌉ NP-bounded joins against the NP²-bounded symmetric
+  // edge list (broadcast-class at atlas scale); one 1-row max; no
+  // window, no driver state. Isolated parcels stay 0 (dropped from the
+  // sparse product, re-attached by the parcels left join).
+
+  private val ecmSteps = 4
+
+  /** ECM core from a q168-shaped (p1, p2, …, edge) relation. */
+  private[graft] def eigenCentralityCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+      .localCheckpoint()
+    var x = parcels.select(col("p"), lit(1L).as("x")).localCheckpoint()
+    for (_ <- 0 until ecmSteps) {
+      val nx = sym.selectExpr("a", "b AS p")
+        .join(x, Seq("p"))
+        .groupBy(col("a").as("p")).agg(sum("x").as("nx"))
+      x = x.join(nx, Seq("p"), "left").na.fill(0L, Seq("nx"))
+        .selectExpr("p", "x + nx AS x")
+        .localCheckpoint() // NP-bounded; read twice next step
+    }
+    x.crossJoin(broadcast(x.agg(max("x").as("mx"))))
+      .selectExpr("p", "x AS ec_raw",
+        "CASE WHEN mx > 0 THEN round(CAST(x AS DOUBLE) / mx, 6) END AS ec")
+      .orderBy("p")
+  }
+
+  def eigenCentrality(s: SparkSession, d: String): DataFrame =
+    eigenCentralityCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def eigenCentralitySql: String = {
+    val steps = (1 to ecmSteps).map { i =>
+      s"""ex$i AS (
+         |  SELECT x.p, CAST(x.x + COALESCE(n.nx, 0) AS BIGINT) AS x
+         |  FROM ex${i - 1} x LEFT JOIN (
+         |    SELECT s.a AS p, SUM(xx.x) AS nx
+         |    FROM esym s JOIN ex${i - 1} xx ON xx.p = s.b
+         |    GROUP BY s.a) n ON n.p = x.p
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $connectomeCtes,
+       |eparcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |eones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |esym AS (SELECT a, b FROM (
+       |  SELECT p1 AS a, p2 AS b FROM eones
+       |  UNION ALL SELECT p2 AS a, p1 AS b FROM eones)),
+       |ex0 AS (SELECT p, CAST(1 AS BIGINT) AS x FROM eparcels),
+       |$steps,
+       |emx AS (SELECT MAX(x) AS mx FROM ex$ecmSteps)
+       |SELECT e.p, e.x AS ec_raw,
+       |  CASE WHEN emx.mx > 0
+       |    THEN round(CAST(e.x AS DOUBLE) / emx.mx, 6) END AS ec
+       |FROM ex$ecmSteps e
+       |CROSS JOIN emx
+       |ORDER BY e.p""".stripMargin
+  }
+
   def pathMetrics(s: SparkSession, d: String): DataFrame =
     pathMetricsCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
       .select(col("t"), col("x"), col("y"), col("z"),
@@ -2522,6 +2605,7 @@ object DesignImage extends QueryModule {
     Q("q194_gsr_connectome", gsrConnectome, Some(gsrConnectomeSql)),
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q199_path_metrics_bfs", pathMetricsBfs, Some(pathMetricsSql)),
+    Q("q203_eigen_centrality", eigenCentrality, Some(eigenCentralitySql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

@@ -701,6 +701,17 @@ object Retrieval extends QueryModule {
   // unigram tokenizer). The corpus is scanned once; the expensive
   // enumeration never touches it.
 
+  /** The q201/q202 shared tail: per-doc word/piece counts + fertility
+    * from a (w, np) per-word piece-count relation. */
+  private def fertilityOf(docs: DataFrame, perWord: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .selectExpr("doc_id", "n_words", "n_pieces",
+        "round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility")
+      .orderBy("doc_id")
+
   def unigramLmSegment(s: SparkSession, d: String): DataFrame = {
     import graft.text.UnigramLmOps
     val docs = documents(s, d)
@@ -708,13 +719,7 @@ object Retrieval extends QueryModule {
     val best = UnigramLmOps.viterbiBest(
       UnigramLmOps.wordFreqs(docs).select("w"), UnigramLmOps.modelOf(fin))
       .select(col("w"), col("np"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(best), Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
-      .selectExpr("doc_id", "n_words", "n_pieces",
-        "round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility")
-      .orderBy("doc_id")
+    fertilityOf(docs, best)
   }
 
   private def unigramLmSegmentSql: String = {
@@ -729,6 +734,41 @@ object Retrieval extends QueryModule {
        |  CAST(SUM(b.np) AS BIGINT) AS n_pieces,
        |  round(CAST(SUM(b.np) AS DOUBLE) / count(*), 6) AS fertility
        |FROM dw JOIN ubest${ulmRounds + 1} b ON b.w = dw.w
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+  }
+
+  // ---- q202: WordPiece-rule (greedy) segmentation over the q200 vocab -----
+  // The third decoding family: maximum-munch longest-prefix matching (the
+  // WordPiece serving rule; Song et al. 2021's "Fast WordPiece" is this
+  // walk linearized) under the SAME capped unigram vocabulary as q201's
+  // Viterbi — so per doc, q202.fertility − q201.fertility is the price
+  // of greedy decoding in isolation, the comparison a tokenizer bake-off
+  // actually wants. Single-path integer walk: the longest vocab match at
+  // every (word, position) is one vocabulary-bounded join; the char
+  // floor guarantees a match everywhere, so the walk always terminates
+  // at the word end.
+
+  def wordpieceSegment(s: SparkSession, d: String): DataFrame = {
+    import graft.text.UnigramLmOps
+    val docs = documents(s, d)
+    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV)
+    fertilityOf(docs,
+      UnigramLmOps.greedyCounts(UnigramLmOps.wordFreqs(docs).select("w"), fin))
+  }
+
+  private def wordpieceSegmentSql: String = {
+    val ops = graft.text.UnigramLmOps
+    s"""WITH RECURSIVE ${ops.oracleCtes(ulmRounds, ulmCapV)},
+       |${ops.greedySegCtes},
+       |dw AS (
+       |  SELECT doc_id, t.term AS w
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       |  round(CAST(SUM(b.np) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM dw JOIN ugw b ON b.w = dw.w
        |GROUP BY dw.doc_id
        |ORDER BY dw.doc_id""".stripMargin
   }
@@ -1084,6 +1124,7 @@ object Retrieval extends QueryModule {
     Q("q94_bpe_segment", bpeSegment, Some(bpeSegmentSql)),
     Q("q200_unigram_lm_train", unigramLmTrain, Some(unigramLmTrainSql)),
     Q("q201_unigram_lm_segment", unigramLmSegment, Some(unigramLmSegmentSql)),
+    Q("q202_wordpiece_segment", wordpieceSegment, Some(wordpieceSegmentSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),

@@ -135,6 +135,40 @@ object UnigramLmOps {
     cap.unionByName(chars).groupBy("piece").agg(max("cnt").as("cnt"))
   }
 
+  /** Greedy longest-match segmentation counts per word — the WordPiece
+    * SERVING rule (maximum-munch; Song et al. 2021's "Fast WordPiece"
+    * linearizes exactly this walk) applied to the q200 vocabulary, so
+    * greedy and Viterbi tokenize under the SAME pieces and their
+    * fertility gap is attributable to the decoding rule alone. The walk
+    * is single-path and integer-only: precompute the longest vocab match
+    * at every (word, position) — one vocabulary-bounded join — then fold
+    * positions (loop rounds = max word length; each round consumes ≥ 1
+    * char, and the char floor guarantees a match at every position). */
+  def greedyCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val lm = words
+      .withColumn("pos", explode(expr("sequence(0, length(w) - 1)")))
+      .withColumn("l", explode(expr(s"sequence(1, $PieceLenMax)")))
+      .withColumn("piece", expr("substring(w, pos + 1, l)"))
+      .filter(expr("length(piece) = l"))
+      .join(broadcast(vocab.select("piece")), Seq("piece"))
+      .groupBy("w", "pos").agg(max("l").as("l"))
+      .localCheckpoint()
+    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    var partial = words.select(col("w"), lit(0).as("pos"), lit(0L).as("np"))
+      .localCheckpoint()
+    var done = partial.filter(expr("pos = length(w)"))
+    for (_ <- 0 until maxLen) {
+      val step = partial.filter(expr("pos < length(w)"))
+        .join(lm, Seq("w", "pos"))
+        .selectExpr("w", "pos + l AS pos", "np + 1 AS np")
+        .localCheckpoint()
+      done = done.unionByName(step.filter(expr("pos = length(w)")))
+        .localCheckpoint()
+      partial = step
+    }
+    done.select("w", "np")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle: the generated CTE chain replaying the same training.
   // ---------------------------------------------------------------------
@@ -218,4 +252,24 @@ object UnigramLmOps {
   /** The serving segmentation block: `useg<i>`/`ubest<i>` over the final
     * model `umf` — appended after [[oracleCtes]] by q201's oracle. */
   def serveSegCtes(i: Int): String = segCte(i, "umf")
+
+  /** The greedy (WordPiece-rule) serving block over `umf`: `ulm` is the
+    * longest vocab match at every (word, position); `ugseg`/`ugw` the
+    * single-path maximum-munch walk — appended after [[oracleCtes]] by
+    * q202's oracle. */
+  def greedySegCtes: String =
+    s"""ulm AS (
+       |  SELECT w, p.i AS pos, CAST(MAX(length(m.piece)) AS BIGINT) AS l
+       |  FROM uwf, unnest(range(length(w))) AS p(i)
+       |  JOIN umf m ON m.piece = substring(w, p.i + 1, length(m.piece))
+       |  GROUP BY w, p.i
+       |),
+       |ugseg(w, pos, np) AS (
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM uwf
+       |  UNION ALL
+       |  SELECT s.w, s.pos + ulm.l, s.np + 1
+       |  FROM ugseg s JOIN ulm ON ulm.w = s.w AND ulm.pos = s.pos
+       |  WHERE s.pos < length(s.w)
+       |),
+       |ugw AS (SELECT w, np FROM ugseg WHERE pos = length(w))""".stripMargin
 }

@@ -637,6 +637,32 @@ class InferenceQcSpec extends SparkSpec {
     assert(out(10) === ((Some(10L), 20L)), "midpoint eccentricity is n/2")
   }
 
+  test("q203: power-iteration centrality - path interior beats ends, star center is 1, isolate is 0") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3-4: (A+I)^4·1 = [35,60,69,60,35] exactly
+    val path = (0 until 4).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.eigenCentralityCore(path)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(0) === ((35L, Some(0.507246))) && out(1) === ((60L, Some(0.869565))) &&
+      out(2) === ((69L, Some(1.0))) && out(3) === ((60L, Some(0.869565))) &&
+      out(4) === ((35L, Some(0.507246))), s"path centrality: $out")
+    // star 0-{1,2,3} + isolate 9: (A+I)·x has a unique dominant vector on
+    // the bipartite star (plain A·x would TIE hub and leaves at even
+    // steps); hub (A+I)⁴ mass = 76, leaves 44, the isolate keeps its
+    // initial unit only
+    val star = Seq((0, 1, 1L), (0, 2, 1L), (0, 3, 1L), (0, 9, 0L))
+      .toDF("p1", "p2", "edge")
+    val so = graft.queries.DesignImage.eigenCentralityCore(star)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(so(0) === ((76L, Some(1.0))), s"hub: ${so(0)}")
+    assert(so(1) === ((44L, Some(0.578947))) && so(1) === so(2) && so(2) === so(3))
+    assert(so(9) === ((1L, Some(0.013158))),
+      s"isolate keeps only its unit mass: ${so(9)}")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._

