@@ -1516,6 +1516,102 @@ object DesignImage extends QueryModule {
       .orderBy("p")
   }
 
+  // ---- q204: module roles — participation coefficient + within-module z ---
+  // The node-role taxonomy of Guimerà & Amaral 2005 as used in network
+  // neuroscience (Power et al. 2011; Rubinov & Sporns 2010 §"modular
+  // roles"): against a FIXED system assignment (the atlas-network lookup
+  // practice — here module(p) = p mod 3, the engine's stand-in for a
+  // Yeo/Power network table), report per parcel its degree, within-
+  // module degree, participation coefficient
+  //   PC_p = 1 − Σ_m (κ_pm / k_p)²  =  (k_p² − Σ_m κ_pm²) / k_p²
+  // (computed as exact integer numerator/denominator with ONE double
+  // division — the q166/q203 discipline), and the within-module degree
+  // z-score (population ddof, the A6 convention) from exact per-module
+  // integer moments through the shared mean/var expression strings.
+  // Connector hubs read high-PC/high-z; provincial hubs high-z/low-PC.
+  //
+  // Scale shape: one NP²-bounded edge relation, two NP-bounded
+  // aggregates (per-parcel-per-module, per-module moments), broadcast
+  // joins; no window, no driver state.
+
+  private val moduleCount = 3
+
+  /** Module-role core from a q168-shaped (p1, p2, …, edge) relation. */
+  private[graft] def moduleRolesCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
+    val km = sym
+      .selectExpr("p", s"q % $moduleCount AS m")
+      .groupBy("p", "m").agg(count(lit(1)).as("kin"))
+      .localCheckpoint() // NP·modules-bounded; 2 consumers
+    val deg = km.groupBy("p")
+      .agg(sum("kin").as("k"), sum(expr("kin * kin")).as("skk"))
+    val own = parcels
+      .join(deg, Seq("p"), "left").na.fill(0L, Seq("k", "skk"))
+      .selectExpr("p", s"p % $moduleCount AS m", "k", "skk")
+      .join(km.selectExpr("p", "m", "kin AS k_in"), Seq("p", "m"), "left")
+      .na.fill(0L, Seq("k_in"))
+      .localCheckpoint() // NP rows; feeds moments + output
+    val mom = own.groupBy("m")
+      .agg(count(lit(1)).as("n"), sum("k_in").as("s1"),
+        sum(expr("k_in * k_in")).as("s2"))
+    own.join(broadcast(mom), Seq("m"))
+      .selectExpr("p", "CAST(m AS INT) AS module", "k", "k_in",
+        "CASE WHEN k > 0 THEN round(CAST(k * k - skk AS DOUBLE) / (k * k), 6) END AS pc",
+        s"CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within")
+      .orderBy("p")
+  }
+
+  private val mrMeanStr = "CAST(s1 AS DOUBLE) / n"
+  private val mrVarStr =
+    "(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+
+  def moduleRoles(s: SparkSession, d: String): DataFrame =
+    moduleRolesCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def moduleRolesSql: String =
+    s"""WITH $connectomeCtes,
+       |mparcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |mones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |msym AS (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |mkm AS (
+       |  SELECT p, q % $moduleCount AS m, CAST(count(*) AS BIGINT) AS kin
+       |  FROM msym GROUP BY 1, 2
+       |),
+       |mdeg AS (
+       |  SELECT p, CAST(SUM(kin) AS BIGINT) AS k,
+       |    CAST(SUM(kin * kin) AS BIGINT) AS skk
+       |  FROM mkm GROUP BY p
+       |),
+       |mown AS (
+       |  SELECT mparcels.p, mparcels.p % $moduleCount AS m,
+       |    COALESCE(mdeg.k, 0) AS k, COALESCE(mdeg.skk, 0) AS skk,
+       |    COALESCE(mkm.kin, 0) AS k_in
+       |  FROM mparcels
+       |  LEFT JOIN mdeg ON mdeg.p = mparcels.p
+       |  LEFT JOIN mkm ON mkm.p = mparcels.p AND mkm.m = mparcels.p % $moduleCount
+       |),
+       |mmom AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n, CAST(SUM(k_in) AS BIGINT) AS s1,
+       |    CAST(SUM(k_in * k_in) AS BIGINT) AS s2
+       |  FROM mown GROUP BY m
+       |)
+       |SELECT o.p, CAST(o.m AS INTEGER) AS module, CAST(o.k AS BIGINT) AS k,
+       |  CAST(o.k_in AS BIGINT) AS k_in,
+       |  CASE WHEN o.k > 0 THEN round(CAST(o.k * o.k - o.skk AS DOUBLE) / (o.k * o.k), 6) END AS pc,
+       |  CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within
+       |FROM mown o JOIN mmom ON mmom.m = o.m
+       |ORDER BY o.p""".stripMargin
+
   def eigenCentrality(s: SparkSession, d: String): DataFrame =
     eigenCentralityCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
       .select(col("t"), col("x"), col("y"), col("z"),
@@ -2606,6 +2702,7 @@ object DesignImage extends QueryModule {
     Q("q184_path_metrics", pathMetrics, Some(pathMetricsSql)),
     Q("q199_path_metrics_bfs", pathMetricsBfs, Some(pathMetricsSql)),
     Q("q203_eigen_centrality", eigenCentrality, Some(eigenCentralitySql)),
+    Q("q204_module_roles", moduleRoles, Some(moduleRolesSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

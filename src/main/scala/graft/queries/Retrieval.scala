@@ -967,6 +967,119 @@ object Retrieval extends QueryModule {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q205: CCNet perplexity buckets (head / middle / tail) ---------------
+  // The curation idiom of CCNet (Wenzek et al. 2020) that downstream
+  // pipelines consume as a quality label: score every document's
+  // perplexity under a frozen reference LM (the q161 capped model,
+  // trained on even doc_ids), then per LANGUAGE split the corpus into
+  // head/middle/tail terciles — head = lowest perplexity. Buckets are
+  // assigned by VALUE CUTOFFS, not per-doc ranks (CCNet's own method:
+  // thresholds from the distribution, membership by comparison): the
+  // cutoff is the smallest 1e6-fixed-point ppl whose cumulative doc
+  // count reaches n/3 (then 2n/3), computed on the per-(lang, ppl_fp)
+  // DISTINCT-VALUE relation — so ties share a bucket, membership is a
+  // pure function of (model, ppl), and the only window runs over the
+  // aggregated distinct relation partitioned by lang (the q150/q151
+  // discipline: never a doc-grain global rank).
+  //
+  // Scale shape: one scoring pass (broadcast V-row model), one doc-grain
+  // aggregate; the cutoff machinery is distinct-value-bounded; the final
+  // bucket label is a broadcast-join comparison. At the 100 TB regime
+  // CCNet derives cutoffs from a SAMPLE — q197's deterministic
+  // hash-sample slots in front of the cutoff relation unchanged.
+
+  def pplBuckets(s: SparkSession, d: String): DataFrame =
+    pplBucketsCore(documents(s, d))
+
+  /** The q205 body over any (doc_id, lang, text) frame — spec-plantable. */
+  private[graft] def pplBucketsCore(docs: DataFrame): DataFrame = {
+    val cf = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .localCheckpoint()
+    val tot = cf.agg(sum("cf").as("t_total"))
+    val lnp = cf.orderBy(col("cf").desc, col("term").asc).limit(CapV)
+      .crossJoin(broadcast(tot))
+      .selectExpr("term",
+        "CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT) AS lnp_fp")
+    val scored = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(lnp), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "lang",
+        "COALESCE(lnp_fp, CAST(round(ln(1.0 / t_total) * 1e9, 0) AS BIGINT)) AS fp")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("long").as("n_tokens"), sum("fp").as("s_fp"))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "CAST(round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens) * 1e6, 0) AS BIGINT) AS ppl_fp")
+      .localCheckpoint() // doc-grain facts; 2 consumers (cutoffs + labels)
+    val dist = scored.groupBy("lang", "ppl_fp").agg(count(lit(1)).as("c"))
+    val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    val cum = dist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("ppl_fp")))
+      .join(broadcast(nl), Seq("lang"))
+    val cuts = cum.groupBy("lang")
+      .agg(expr("MIN(CASE WHEN cum * 3 >= n THEN ppl_fp END)").as("cut1"),
+        expr("MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_fp END)").as("cut2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .selectExpr("doc_id", "lang", "n_tokens",
+        "round(CAST(ppl_fp AS DOUBLE) / 1e6, 6) AS ppl",
+        "CASE WHEN ppl_fp <= cut1 THEN 'head' " +
+          "WHEN ppl_fp <= cut2 THEN 'middle' ELSE 'tail' END AS bucket")
+      .orderBy("doc_id")
+  }
+
+  private val pplBucketsSql =
+    s"""WITH mtok AS (
+       |  SELECT t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 2 = 0
+       |),
+       |cf AS (SELECT term, count(*) AS cf FROM mtok GROUP BY term),
+       |tot AS (SELECT count(*) AS t_total FROM mtok),
+       |lnp AS (
+       |  SELECT term,
+       |    CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT)
+       |      AS lnp_fp
+       |  FROM cf CROSS JOIN tot
+       |  ORDER BY cf DESC, term ASC LIMIT $CapV
+       |),
+       |atok AS (
+       |  SELECT doc_id, lang, t.term
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    COALESCE(lnp.lnp_fp,
+       |      CAST(round(ln(1.0 / t_total) * 1e9, 0) AS BIGINT)) AS fp
+       |  FROM atok LEFT JOIN lnp USING (term) CROSS JOIN tot
+       |),
+       |scored AS (
+       |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(round(exp(-(CAST(sum(fp) AS DOUBLE) / 1e9) / count(*)) * 1e6, 0) AS BIGINT) AS ppl_fp
+       |  FROM sc GROUP BY doc_id, lang
+       |),
+       |dist AS (SELECT lang, ppl_fp, count(*) AS c FROM scored GROUP BY 1, 2),
+       |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY lang),
+       |cum AS (
+       |  SELECT d.lang, d.ppl_fp,
+       |    SUM(d.c) OVER (PARTITION BY d.lang ORDER BY d.ppl_fp) AS cum, nl.n
+       |  FROM dist d JOIN nl ON nl.lang = d.lang
+       |),
+       |cuts AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN cum * 3 >= n THEN ppl_fp END) AS cut1,
+       |    MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_fp END) AS cut2
+       |  FROM cum GROUP BY lang
+       |)
+       |SELECT s.doc_id, s.lang, s.n_tokens,
+       |  round(CAST(s.ppl_fp AS DOUBLE) / 1e6, 6) AS ppl,
+       |  CASE WHEN s.ppl_fp <= c.cut1 THEN 'head'
+       |    WHEN s.ppl_fp <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM scored s JOIN cuts c ON c.lang = s.lang
+       |ORDER BY s.doc_id""".stripMargin
+
   // ---- q185: DoReMi-style domain reweighting ------------------------------
   // The excess-loss step of DoReMi (Xie et al. 2023) as one deterministic
   // relation: per domain (source), the held-out slice's mean NLL under
@@ -1125,6 +1238,7 @@ object Retrieval extends QueryModule {
     Q("q200_unigram_lm_train", unigramLmTrain, Some(unigramLmTrainSql)),
     Q("q201_unigram_lm_segment", unigramLmSegment, Some(unigramLmSegmentSql)),
     Q("q202_wordpiece_segment", wordpieceSegment, Some(wordpieceSegmentSql)),
+    Q("q205_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),

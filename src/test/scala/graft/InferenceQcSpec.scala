@@ -574,6 +574,33 @@ class InferenceQcSpec extends SparkSpec {
     assert(strict.values.forall(!_._3), "alpha/m ~ 0 rejects nothing")
   }
 
+  // ---- q205 CCNet perplexity buckets ----------------------------------------
+
+  test("q205: bucket membership is by value cutoff - ties share a bucket, order is by model fit") {
+    val s = spark
+    import s.implicits._
+    // model trains on even doc_ids: "aa" is the frequent (head-cheap)
+    // token. Nine odd+even docs in one lang: three fluent (all "aa"),
+    // three mixed, three OOV-heavy - the three ppl values split 3/3/3
+    // into head/middle/tail, and all ties of a value share one bucket.
+    val docs = (
+      (0L until 6L).map(i => (i, "en", "aa aa aa aa")) ++ // trains + scores head
+      Seq((7L, "en", "aa aa bb bb"), (9L, "en", "aa bb aa bb"),
+        (11L, "en", "bb aa bb aa"),
+        (13L, "en", "zz zz zz zz"), (15L, "en", "zz yy zz yy"),
+        (17L, "en", "yy zz yy zz"))).toDF("doc_id", "lang", "text")
+    val out = graft.queries.Retrieval.pplBucketsCore(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getString(4)))).toMap
+    val fluent = (0L until 6L).map(out(_))
+    assert(fluent.forall(_._2 == "head"), s"all-'aa' docs are head: $fluent")
+    assert(Seq(7L, 9L, 11L).forall(out(_)._2 == "middle"),
+      "equal-ppl mixed docs share the middle bucket")
+    assert(Seq(13L, 15L, 17L).forall(out(_)._2 == "tail"),
+      "OOV-heavy docs land in the tail")
+    assert(out(0L)._1 < out(7L)._1 && out(7L)._1 < out(13L)._1,
+      "bucket order tracks model fit")
+  }
+
   // ---- q196 NBS component extent -------------------------------------------
 
   test("q196: a consistent suprathreshold subgraph rejects at the component grain; noise and degenerate edges stay out") {
@@ -661,6 +688,35 @@ class InferenceQcSpec extends SparkSpec {
     assert(so(1) === ((44L, Some(0.578947))) && so(1) === so(2) && so(2) === so(3))
     assert(so(9) === ((1L, Some(0.013158))),
       s"isolate keeps only its unit mass: ${so(9)}")
+  }
+
+  test("q204: connector vs provincial roles - exact PC; within-module z from exact moments") {
+    val s = spark
+    import s.implicits._
+    // modules are p % 3: {0,3,6} m0, {1,4} m1, {2,5} m2. Node 0 spreads
+    // one edge into each of three modules -> PC = 1 - 3·(1/3)² = 2/3;
+    // node 3 keeps both edges inside m0 -> PC = 1 - 1 = 0 (provincial);
+    // node 9 (m0) is an isolate via a non-edge pair -> NULL pc, k = 0.
+    val pe = Seq(
+      (0, 3, 1L), (0, 1, 1L), (0, 2, 1L), // node 0: m0+m1+m2
+      (3, 6, 1L),                         // node 3: second intra-m0 edge
+      (4, 9, 0L),                         // brings isolate 9 (m0) in
+    ).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.moduleRolesCore(pe)
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    val (m0, k0, kin0, pc0, _) = out(0)
+    assert(m0 === 0 && k0 === 3L && kin0 === 1L && pc0 === Some(0.666667),
+      s"connector: ${out(0)}")
+    val (_, k3, kin3, pc3, z3) = out(3)
+    assert(k3 === 2L && kin3 === 2L && pc3 === Some(0.0), s"provincial: ${out(3)}")
+    // m0 within-degrees: {0->1, 3->2, 6->1, 9->0}: mean 1, var 0.5
+    assert(z3 === Some(BigDecimal((2 - 1.0) / math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(9) === ((0, 0L, 0L, None, Some(BigDecimal(-1.0 / math.sqrt(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))),
+      s"isolate: ${out(9)}")
   }
 
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
