@@ -773,6 +773,80 @@ object Retrieval extends QueryModule {
        |ORDER BY dw.doc_id""".stripMargin
   }
 
+  // ---- q206: tokenizer bake-off — BPE vs unigram-Viterbi vs WordPiece -----
+  // The composed comparison a model team actually reads before picking a
+  // tokenizer (the Rust et al. 2021 fertility table across FAMILIES):
+  // per language, the fertility of all three in-engine tokenizers — the
+  // learned 12-round BPE (q94), the trained unigram LM decoded by
+  // Viterbi (q201), and the same unigram vocabulary decoded by greedy
+  // maximum-munch (q202) — in ONE relation with one shared denominator
+  // (the identical nonempty-word count). The q155 composition
+  // discipline: each trainer runs once, the unigram model is pinned and
+  // feeds BOTH decoders, and the corpus word stream is read once for
+  // the word-level pair.
+  //
+  // Scale shape: BPE's merge table is driver-finished (q93's documented
+  // shape) then map-only; the unigram side is one corpus word count +
+  // vocabulary-bounded decoding joined broadcast; rollups are
+  // |langs|-bounded.
+
+  def tokenizerBakeoff(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{BpeOps, UnigramLmOps}
+    val docs = documents(s, d)
+    val bpe = BpeOps.segmentCounts(docs, rounds = 12)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_subwords").as("s_bpe"))
+    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV).localCheckpoint()
+    val words = UnigramLmOps.wordFreqs(docs).select("w").localCheckpoint()
+    val perWord = UnigramLmOps.viterbiBest(words, UnigramLmOps.modelOf(fin))
+      .select(col("w"), col("np").as("np_v"))
+      .join(UnigramLmOps.greedyCounts(words, fin)
+        .select(col("w"), col("np").as("np_g")), Seq("w"))
+    val uni = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy("lang").agg(sum("np_v").as("s_vit"), sum("np_g").as("s_gre"))
+    bpe.join(uni, Seq("lang"))
+      .selectExpr("lang", "n_words",
+        "round(CAST(s_bpe AS DOUBLE) / n_words, 6) AS fert_bpe",
+        "round(CAST(s_vit AS DOUBLE) / n_words, 6) AS fert_unigram",
+        "round(CAST(s_gre AS DOUBLE) / n_words, 6) AS fert_wordpiece")
+      .orderBy("lang")
+  }
+
+  private def tokenizerBakeoffSql: String = {
+    val ops = graft.text.UnigramLmOps
+    s"""WITH RECURSIVE ${graft.text.BpeOps.segmentCtes(12)},
+       |${ops.oracleCtes(ulmRounds, ulmCapV)},
+       |${ops.serveSegCtes(ulmRounds + 1)},
+       |${ops.greedySegCtes},
+       |bl AS (
+       |  SELECT d.lang, CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       |    CAST(SUM(b.n_subwords) AS BIGINT) AS s_bpe
+       |  FROM bseg b JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang
+       |),
+       |dwl AS (
+       |  SELECT lang, t.term AS w
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |),
+       |ul AS (
+       |  SELECT dwl.lang, CAST(SUM(v.np) AS BIGINT) AS s_vit,
+       |    CAST(SUM(g.np) AS BIGINT) AS s_gre
+       |  FROM dwl
+       |  JOIN ubest${ulmRounds + 1} v ON v.w = dwl.w
+       |  JOIN ugw g ON g.w = dwl.w
+       |  GROUP BY dwl.lang
+       |)
+       |SELECT bl.lang, bl.n_words,
+       |  round(CAST(s_bpe AS DOUBLE) / bl.n_words, 6) AS fert_bpe,
+       |  round(CAST(s_vit AS DOUBLE) / bl.n_words, 6) AS fert_unigram,
+       |  round(CAST(s_gre AS DOUBLE) / bl.n_words, 6) AS fert_wordpiece
+       |FROM bl JOIN ul ON ul.lang = bl.lang
+       |ORDER BY bl.lang""".stripMargin
+  }
+
   // ---- q94: BPE segmentation (the serving half of q93) --------------------
   // Apply the learned 12-round merge table to every document as one
   // map-only chained-replace projection; per-doc subword counts are the
@@ -1239,6 +1313,7 @@ object Retrieval extends QueryModule {
     Q("q201_unigram_lm_segment", unigramLmSegment, Some(unigramLmSegmentSql)),
     Q("q202_wordpiece_segment", wordpieceSegment, Some(wordpieceSegmentSql)),
     Q("q205_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
+    Q("q206_tokenizer_bakeoff", tokenizerBakeoff, Some(tokenizerBakeoffSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),

@@ -278,9 +278,10 @@ object BpeOps {
        |ORDER BY round""".stripMargin
   }
 
-  /** The DuckDB replay of [[segmentCounts]]: train via [[trainingCtes]],
-    * then chain the k replaces over per-document wrapped text. */
-  def segmentOracleSql(rounds: Int): String = {
+  /** The full train+apply CTE chain through `bseg` — one (doc_id,
+    * n_words, n_subwords) row per document — for composed oracles
+    * (q94 wraps it directly; q206 joins it against other tokenizers). */
+  def segmentCtes(rounds: Int): String = {
     val applyCtes = (1 to rounds).map { i =>
       s"""d$i AS MATERIALIZED (
          |  SELECT doc_id, n_words,
@@ -289,7 +290,7 @@ object BpeOps {
          |  FROM d${i - 1}, b$i b
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${trainingCtes(rounds)},
+    s"""${trainingCtes(rounds)},
        |d0 AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_words,
@@ -299,10 +300,19 @@ object BpeOps {
        |      ' ') AS repr
        |  FROM documents
        |),
-       |$applyCtes
-       |SELECT doc_id, n_words,
-       |  CAST((len(repr) - len(replace(repr, chr(1), ''))) // 2 AS BIGINT) AS n_subwords
-       |FROM d$rounds
-       |ORDER BY doc_id""".stripMargin
+       |$applyCtes,
+       |bseg AS (
+       |  SELECT doc_id, n_words,
+       |    CAST((len(repr) - len(replace(repr, chr(1), ''))) // 2 AS BIGINT) AS n_subwords
+       |  FROM d$rounds
+       |)""".stripMargin
   }
+
+  /** The DuckDB replay of [[segmentCounts]]: train via [[trainingCtes]],
+    * then chain the k replaces over per-document wrapped text. */
+  def segmentOracleSql(rounds: Int): String =
+    s"""WITH ${segmentCtes(rounds)}
+       |SELECT doc_id, n_words, n_subwords
+       |FROM bseg
+       |ORDER BY doc_id""".stripMargin
 }

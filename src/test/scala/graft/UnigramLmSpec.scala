@@ -67,6 +67,42 @@ class UnigramLmSpec extends SparkSpec {
     assert(greedy === 3L && viterbi === 2L, s"greedy $greedy viterbi $viterbi")
   }
 
+  test("q206: the bake-off row equals its donors' per-doc rollups on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "en", "alpha beta alpha beta gamma"),
+      (1L, "en", "beta gamma delta alpha"),
+      (2L, "de", "rot grun blau rot"),
+      (3L, "de", "grun blau grun rot blau"),
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bake").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bake = graft.queries.Retrieval.tokenizerBakeoff(s, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // donor rollups: q94 BPE counts and q201/q202 per-doc fertility,
+    // re-aggregated to the language grain with the same denominator
+    def roll(perDoc: org.apache.spark.sql.DataFrame, pieces: String) = perDoc
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang").agg(sum("n_words").as("nw"), sum(pieces).as("np"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    val bpe = roll(graft.text.BpeOps.segmentCounts(corpus, 12), "n_subwords")
+    val vit = roll(graft.queries.Retrieval.unigramLmSegment(s, dir), "n_pieces")
+    val gre = roll(graft.queries.Retrieval.wordpieceSegment(s, dir), "n_pieces")
+    Seq("en", "de").foreach { l =>
+      val (nw, fb, fv, fg) = bake(l)
+      assert(nw === bpe(l)._1 && nw === vit(l)._1 && nw === gre(l)._1,
+        s"$l denominators: $nw vs ${bpe(l)._1}/${vit(l)._1}/${gre(l)._1}")
+      assert(fb === bpe(l)._2 && fv === vit(l)._2 && fg === gre(l)._2,
+        s"$l fertilities: ($fb,$fv,$fg) vs (${bpe(l)._2},${vit(l)._2},${gre(l)._2})")
+    }
+  }
+
   test("EM reallocates mass: after training, whole-word pieces out-count their substrings") {
     val docs = df2((0L until 8L).map(i => (i, "toka tokb toka")))
     val fin = UnigramLmOps.train(docs, rounds = 2, capV = 8)
