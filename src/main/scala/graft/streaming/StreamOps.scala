@@ -545,11 +545,16 @@ object StreamOps {
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.sparkSession
+      // score the GUARD-SURVIVING docs, not the raw batch: on an
+      // at-least-once replay the doc guard keeps the STORE idempotent,
+      // but a raw-batch score would re-emit the replayed docs (now
+      // against the updated store) into outPath (r16 ADVICE class)
+      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+        "left_anti").localCheckpoint()
       val stripped = graft.text.CurationOps
-        .probeSegFreqStrip(s, batch, name)
+        .probeSegFreqStrip(s, fresh, name)
         .localCheckpoint()
-      graft.text.CurationOps.appendToSegFreqStore(s, batch, name,
-        idempotent = true)
+      graft.text.CurationOps.appendToSegFreqStore(s, fresh, name)
       stripped.write.mode("append").parquet(outPath)
       ()
     }
@@ -568,11 +573,13 @@ object StreamOps {
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.sparkSession
+      // guard-surviving docs only — see streamingBoilerplateAdmission
+      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+        "left_anti").localCheckpoint()
       val scored = graft.text.CurationOps
-        .probeDsirScore(s, batch, name)
+        .probeDsirScore(s, fresh, name)
         .localCheckpoint()
-      graft.text.CurationOps.appendToDsirStore(s, batch, isTarget, name,
-        idempotent = true)
+      graft.text.CurationOps.appendToDsirStore(s, fresh, isTarget, name)
       scored.write.mode("append").parquet(outPath)
       ()
     }
@@ -590,9 +597,14 @@ object StreamOps {
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val s = batch.sparkSession
-      val scored = graft.text.BigramStore.serveKn(s, batch, name, topV)
+      // guard-surviving docs only — see streamingBoilerplateAdmission:
+      // a replayed batch re-scored against the now-updated model would
+      // append duplicate doc_id rows with drifted scores (r16 ADVICE)
+      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+        "left_anti").localCheckpoint()
+      val scored = graft.text.BigramStore.serveKn(s, fresh, name, topV)
         .localCheckpoint()
-      graft.text.BigramStore.append(s, batch, name, idempotent = true)
+      graft.text.BigramStore.append(s, fresh, name)
       scored.write.mode("append").parquet(outPath)
       ()
     }

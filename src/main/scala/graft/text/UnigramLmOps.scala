@@ -82,13 +82,20 @@ object UnigramLmOps {
       .as("piece"))
       .distinct().withColumn("cnt", lit(1L))
 
+  /** Longest word in `words` — the loop bound shared by both walks. Read
+    * defensively: on an EMPTY words relation max() is NULL, and the walks
+    * must return an empty segmentation, not NPE (r16 ADVICE). */
+  private def maxWordLen(words: DataFrame): Int =
+    Option(words.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+
   /** Best (max-likelihood) segmentation per word under a (piece, lnp_fp)
     * model, by exhaustive composition enumeration: partials extend one
     * model piece at a time (loop rounds = the input's max word length, a
     * bounded driver probe), completed segmentations argmax on the total
     * integer order (sc DESC, np ASC, seg ASC). */
   def viterbiBest(words: DataFrame, model: DataFrame): DataFrame = {
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"),
       lit("").as("seg"), lit(0L).as("np"), lit(0L).as("sc")).localCheckpoint()
     var completed = partial.filter(expr("pos = length(w)"))
@@ -153,7 +160,7 @@ object UnigramLmOps {
       .join(broadcast(vocab.select("piece")), Seq("piece"))
       .groupBy("w", "pos").agg(max("l").as("l"))
       .localCheckpoint()
-    val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+    val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"), lit(0L).as("np"))
       .localCheckpoint()
     var done = partial.filter(expr("pos = length(w)"))

@@ -155,8 +155,13 @@ class BigramStoreSpec extends SparkSpec {
       ms.toDF().toDF("doc_id", "text"), "graft_test_bglm_st", 512, out).start()
     try {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      // at-least-once replay: re-delivering batch 1 must neither shift
+      // the model (doc guard) nor append duplicate drifted rows to the
+      // sink (the loop scores only guard-surviving docs — r16 ADVICE)
+      ms.addData(batches.head); q.processAllAvailable()
     } finally q.stop()
     val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
-    assert(got.nonEmpty && got == ref)
+    assert(got.nonEmpty && got == ref,
+      "replayed batch must not re-emit scored rows")
   }
 }

@@ -103,6 +103,15 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("empty words relation yields empty segmentations, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val words = Seq.empty[String].toDF("w")
+    val model = Seq(("a", -1000000000L)).toDF("piece", "lnp_fp")
+    assert(UnigramLmOps.viterbiBest(words, model).count() === 0L)
+    assert(UnigramLmOps.greedyCounts(words, model.select("piece")).count() === 0L)
+  }
+
   test("EM reallocates mass: after training, whole-word pieces out-count their substrings") {
     val docs = df2((0L until 8L).map(i => (i, "toka tokb toka")))
     val fin = UnigramLmOps.train(docs, rounds = 2, capV = 8)
