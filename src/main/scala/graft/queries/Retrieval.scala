@@ -1049,12 +1049,22 @@ object Retrieval extends QueryModule {
   // head/middle/tail terciles — head = lowest perplexity. Buckets are
   // assigned by VALUE CUTOFFS, not per-doc ranks (CCNet's own method:
   // thresholds from the distribution, membership by comparison): the
-  // cutoff is the smallest 1e6-fixed-point ppl whose cumulative doc
-  // count reaches n/3 (then 2n/3), computed on the per-(lang, ppl_fp)
+  // cutoff is the smallest mean-NLL value whose cumulative doc count
+  // reaches n/3 (then 2n/3), computed on the per-(lang, knll)
   // DISTINCT-VALUE relation — so ties share a bucket, membership is a
-  // pure function of (model, ppl), and the only window runs over the
+  // pure function of (model, score), and the only window runs over the
   // aggregated distinct relation partitioned by lang (the q150/q151
   // discipline: never a doc-grain global rank).
+  //
+  // Determinism of the bucket key (r16 ADVICE): perplexity is MONOTONE
+  // in the exact integer mean NLL, so membership keys on
+  // knll = CAST(-s_fp AS DOUBLE) / n_tokens — both operands exact
+  // integers < 2^53, and IEEE division is CORRECTLY ROUNDED (unlike
+  // exp/ln, which vary across libm/DuckDB builds at the last ulp), so
+  // the key is bit-identical in any engine and no tercile boundary can
+  // ULP-flip. exp() survives only in the DISPLAY ppl column. The 2^53
+  // bound: |s_fp| ≈ 12e9·n_tokens holds to n_tokens ≈ 7.5e5 per doc —
+  // beyond that, pre-divide s_fp by a power of two on both sides.
   //
   // Scale shape: one scoring pass (broadcast V-row model), one doc-grain
   // aggregate; the cutoff machinery is distinct-value-bounded; the final
@@ -1065,8 +1075,9 @@ object Retrieval extends QueryModule {
   def pplBuckets(s: SparkSession, d: String): DataFrame =
     pplBucketsCore(documents(s, d))
 
-  /** The q205 body over any (doc_id, lang, text) frame — spec-plantable. */
-  private[graft] def pplBucketsCore(docs: DataFrame): DataFrame = {
+  /** The q205/q209 scoring pass: per (doc_id, lang) the exact integer
+    * NLL sum and the knll bucket key, under the frozen even-doc model. */
+  private def pplScored(docs: DataFrame): DataFrame = {
     val cf = docs.filter(col("doc_id") % 2 === 0)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cf"))
@@ -1076,7 +1087,7 @@ object Retrieval extends QueryModule {
       .crossJoin(broadcast(tot))
       .selectExpr("term",
         "CAST(round(ln(CAST(cf AS DOUBLE) / t_total) * 1e9, 0) AS BIGINT) AS lnp_fp")
-    val scored = docs
+    docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
       .join(broadcast(lnp), Seq("term"), "left")
       .crossJoin(broadcast(tot))
@@ -1084,28 +1095,76 @@ object Retrieval extends QueryModule {
         "COALESCE(lnp_fp, CAST(round(ln(1.0 / t_total) * 1e9, 0) AS BIGINT)) AS fp")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).cast("long").as("n_tokens"), sum("fp").as("s_fp"))
-      .selectExpr("doc_id", "lang", "n_tokens",
-        "CAST(round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens) * 1e6, 0) AS BIGINT) AS ppl_fp")
+      .selectExpr("doc_id", "lang", "n_tokens", "s_fp",
+        "CAST(-s_fp AS DOUBLE) / n_tokens AS knll")
       .localCheckpoint() // doc-grain facts; 2 consumers (cutoffs + labels)
-    val dist = scored.groupBy("lang", "ppl_fp").agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-lang tercile VALUE cutoffs over a (lang, knll) doc relation:
+    * the smallest distinct knll whose cumulative count reaches n/3 and
+    * 2n/3 — distinct-value-bounded, lang-partitioned window only. */
+  private def pplCuts(scored: DataFrame): DataFrame = {
+    val dist = scored.groupBy("lang", "knll").agg(count(lit(1)).as("c"))
     val nl = scored.groupBy("lang").agg(count(lit(1)).as("n"))
-    val cum = dist.withColumn("cum",
+    dist.withColumn("cum",
       sum("c").over(org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy("ppl_fp")))
+        .partitionBy("lang").orderBy("knll")))
       .join(broadcast(nl), Seq("lang"))
-    val cuts = cum.groupBy("lang")
-      .agg(expr("MIN(CASE WHEN cum * 3 >= n THEN ppl_fp END)").as("cut1"),
-        expr("MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_fp END)").as("cut2"))
-    scored.join(broadcast(cuts), Seq("lang"))
+      .groupBy("lang")
+      .agg(expr("MIN(CASE WHEN cum * 3 >= n THEN knll END)").as("cut1"),
+        expr("MIN(CASE WHEN cum * 3 >= 2 * n THEN knll END)").as("cut2"))
+  }
+
+  /** The q205 body over any (doc_id, lang, text) frame — spec-plantable. */
+  private[graft] def pplBucketsCore(docs: DataFrame): DataFrame = {
+    val scored = pplScored(docs)
+    scored.join(broadcast(pplCuts(scored)), Seq("lang"))
       .selectExpr("doc_id", "lang", "n_tokens",
-        "round(CAST(ppl_fp AS DOUBLE) / 1e6, 6) AS ppl",
-        "CASE WHEN ppl_fp <= cut1 THEN 'head' " +
-          "WHEN ppl_fp <= cut2 THEN 'middle' ELSE 'tail' END AS bucket")
+        "round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens), 6) AS ppl",
+        "CASE WHEN knll <= cut1 THEN 'head' " +
+          "WHEN knll <= cut2 THEN 'middle' ELSE 'tail' END AS bucket")
       .orderBy("doc_id")
   }
 
-  private val pplBucketsSql =
-    s"""WITH mtok AS (
+  // ---- q209: q205's cutoffs from a deterministic hash-SAMPLE ---------------
+  // The scale posture q205 documented but didn't execute (the exact
+  // q188→q197 move): at 100 TB CCNet derives its tercile cutoffs from a
+  // SAMPLE of the scored corpus — the cutoff relation is an estimation
+  // problem, not a production pass — while every document is still
+  // LABELED against those cutoffs. The sample gate is the q197 salted
+  // slot (poly_hash("ppl-sample-v1:" ‖ doc_id) Knuth-mixed mod 1000 <
+  // mill): membership is a pure projection of doc_id, reproducible
+  // across engines/executions/cluster sizes. mill = 1000 degenerates to
+  // q205's full cutoffs exactly (spec-pinned); a lang with an empty
+  // sample labels all-'head' via the NULL-safe comparison (left join —
+  // docs are never dropped by an unlucky sample).
+
+  private val pplSampleMill = 500
+
+  /** The q209 body: q205's scoring + labels, cutoffs from the sample. */
+  private[graft] def pplBucketsSampledCore(docs: DataFrame, mill: Int): DataFrame = {
+    import graft.functions.Hashing
+    val gate = (Hashing.poly_hash(
+      concat_ws(":", lit("ppl-sample-v1"), col("doc_id").cast("string")))
+      * lit(2654435761L)) % lit(1000L) < lit(mill.toLong)
+    val scored = pplScored(docs)
+    scored.join(broadcast(pplCuts(scored.filter(gate))), Seq("lang"), "left")
+      .selectExpr(s"CAST($mill AS BIGINT) AS sample_mill",
+        "doc_id", "lang", "n_tokens",
+        "round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_tokens), 6) AS ppl",
+        "CASE WHEN cut2 IS NOT NULL AND knll > cut2 THEN 'tail' " +
+          "WHEN cut1 IS NOT NULL AND knll > cut1 THEN 'middle' " +
+          "ELSE 'head' END AS bucket")
+      .orderBy("doc_id")
+  }
+
+  def pplBucketsSampled(s: SparkSession, d: String): DataFrame =
+    pplBucketsSampledCore(documents(s, d), pplSampleMill)
+
+  /** The shared q205/q209 scoring + cutoff CTE chain; `cutSrc` is the
+    * doc relation the tercile cutoffs are computed over. */
+  private def pplBucketsCtes(cutSrc: String): String =
+    s"""mtok AS (
        |  SELECT t.term
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
        |  WHERE doc_id % 2 = 0
@@ -1131,27 +1190,51 @@ object Retrieval extends QueryModule {
        |),
        |scored AS (
        |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
-       |    CAST(round(exp(-(CAST(sum(fp) AS DOUBLE) / 1e9) / count(*)) * 1e6, 0) AS BIGINT) AS ppl_fp
+       |    CAST(sum(fp) AS BIGINT) AS s_fp,
+       |    -- route HUGEINT sum through BIGINT: BIGINT→DOUBLE is exact
+       |    -- below 2^53 on every build, HUGEINT→DOUBLE is not (q166)
+       |    CAST(-CAST(sum(fp) AS BIGINT) AS DOUBLE) / count(*) AS knll
        |  FROM sc GROUP BY doc_id, lang
        |),
-       |dist AS (SELECT lang, ppl_fp, count(*) AS c FROM scored GROUP BY 1, 2),
-       |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY lang),
+       |dist AS (SELECT lang, knll, count(*) AS c FROM $cutSrc GROUP BY 1, 2),
+       |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM $cutSrc GROUP BY lang),
        |cum AS (
-       |  SELECT d.lang, d.ppl_fp,
-       |    SUM(d.c) OVER (PARTITION BY d.lang ORDER BY d.ppl_fp) AS cum, nl.n
+       |  SELECT d.lang, d.knll,
+       |    SUM(d.c) OVER (PARTITION BY d.lang ORDER BY d.knll) AS cum, nl.n
        |  FROM dist d JOIN nl ON nl.lang = d.lang
        |),
        |cuts AS (
        |  SELECT lang,
-       |    MIN(CASE WHEN cum * 3 >= n THEN ppl_fp END) AS cut1,
-       |    MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_fp END) AS cut2
+       |    MIN(CASE WHEN cum * 3 >= n THEN knll END) AS cut1,
+       |    MIN(CASE WHEN cum * 3 >= 2 * n THEN knll END) AS cut2
        |  FROM cum GROUP BY lang
-       |)
+       |)""".stripMargin
+
+  private val pplBucketsSql =
+    s"""WITH ${pplBucketsCtes("scored")}
        |SELECT s.doc_id, s.lang, s.n_tokens,
-       |  round(CAST(s.ppl_fp AS DOUBLE) / 1e6, 6) AS ppl,
-       |  CASE WHEN s.ppl_fp <= c.cut1 THEN 'head'
-       |    WHEN s.ppl_fp <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
+       |  round(exp(-(CAST(s.s_fp AS DOUBLE) / 1e9) / s.n_tokens), 6) AS ppl,
+       |  CASE WHEN s.knll <= c.cut1 THEN 'head'
+       |    WHEN s.knll <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM scored s JOIN cuts c ON c.lang = s.lang
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** DuckDB: polynomial char-fold hash (the TextDedup/Curation mirror). */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % ${graft.text.TextOps.P})"
+
+  private val pplBucketsSampledSql =
+    s"""WITH ${pplBucketsCtes(
+      s"""(SELECT * FROM scored
+         |   WHERE (${duckHash("'ppl-sample-v1:' || CAST(doc_id AS VARCHAR)")}
+         |     * 2654435761) % 1000 < $pplSampleMill)""".stripMargin)}
+       |SELECT CAST($pplSampleMill AS BIGINT) AS sample_mill,
+       |  s.doc_id, s.lang, s.n_tokens,
+       |  round(exp(-(CAST(s.s_fp AS DOUBLE) / 1e9) / s.n_tokens), 6) AS ppl,
+       |  CASE WHEN c.cut2 IS NOT NULL AND s.knll > c.cut2 THEN 'tail'
+       |    WHEN c.cut1 IS NOT NULL AND s.knll > c.cut1 THEN 'middle'
+       |    ELSE 'head' END AS bucket
+       |FROM scored s LEFT JOIN cuts c ON c.lang = s.lang
        |ORDER BY s.doc_id""".stripMargin
 
   // ---- q185: DoReMi-style domain reweighting ------------------------------
@@ -1313,6 +1396,7 @@ object Retrieval extends QueryModule {
     Q("q201_unigram_lm_segment", unigramLmSegment, Some(unigramLmSegmentSql)),
     Q("q202_wordpiece_segment", wordpieceSegment, Some(wordpieceSegmentSql)),
     Q("q205_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
+    Q("q209_ppl_buckets_sampled", pplBucketsSampled, Some(pplBucketsSampledSql)),
     Q("q206_tokenizer_bakeoff", tokenizerBakeoff, Some(tokenizerBakeoffSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),

@@ -601,6 +601,28 @@ class InferenceQcSpec extends SparkSpec {
       "bucket order tracks model fit")
   }
 
+  test("q209: mill = 1000 sampled cutoffs degenerate to q205's full buckets; an empty sample labels all-head") {
+    val s = spark
+    import s.implicits._
+    val docs = (
+      (0L until 6L).map(i => (i, "en", "aa aa aa aa")) ++
+      Seq((7L, "en", "aa aa bb bb"), (9L, "en", "aa bb aa bb"),
+        (11L, "en", "bb aa bb aa"),
+        (13L, "en", "zz zz zz zz"), (15L, "en", "zz yy zz yy"),
+        (17L, "en", "yy zz yy zz"))).toDF("doc_id", "lang", "text")
+    val full = graft.queries.Retrieval.pplBucketsCore(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val sampled = graft.queries.Retrieval.pplBucketsSampledCore(docs, 1000)
+      .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(sampled === full, s"mill=1000 must equal the full cutoffs: $sampled vs $full")
+    // mill = 0: no doc passes the gate, cutoffs are NULL per lang →
+    // every doc labels 'head' and none is dropped by the left join
+    val empty = graft.queries.Retrieval.pplBucketsSampledCore(docs, 0)
+      .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(empty.keySet === full.keySet && empty.values.forall(_ == "head"),
+      s"empty sample: keep every doc, label head: $empty")
+  }
+
   // ---- q196 NBS component extent -------------------------------------------
 
   test("q196: a consistent suprathreshold subgraph rejects at the component grain; noise and degenerate edges stay out") {
