@@ -1536,23 +1536,28 @@ object DesignImage extends QueryModule {
 
   private val moduleCount = 3
 
-  /** Module-role core from a q168-shaped (p1, p2, …, edge) relation. */
-  private[graft] def moduleRolesCore(pairs0: DataFrame): DataFrame = {
+  /** Module-role core from a q168-shaped (p1, p2, …, edge) relation and
+    * an explicit (p, m) module assignment — the Guimerà–Amaral kernel
+    * shared by q204 (fixed atlas-style assignment) and q208 (data-driven
+    * label-propagation modules). */
+  private[graft] def moduleRolesWith(pairs0: DataFrame,
+      modules: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
     val parcels = pe.select(col("p1").as("p"))
       .union(pe.select(col("p2").as("p"))).distinct()
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
+    val mods = modules.localCheckpoint() // NP-bounded; 2 consumers
     val km = sym
-      .selectExpr("p", s"q % $moduleCount AS m")
+      .join(broadcast(mods.selectExpr("p AS q", "m")), Seq("q"))
       .groupBy("p", "m").agg(count(lit(1)).as("kin"))
       .localCheckpoint() // NP·modules-bounded; 2 consumers
     val deg = km.groupBy("p")
       .agg(sum("kin").as("k"), sum(expr("kin * kin")).as("skk"))
     val own = parcels
       .join(deg, Seq("p"), "left").na.fill(0L, Seq("k", "skk"))
-      .selectExpr("p", s"p % $moduleCount AS m", "k", "skk")
+      .join(broadcast(mods), Seq("p"))
       .join(km.selectExpr("p", "m", "kin AS k_in"), Seq("p", "m"), "left")
       .na.fill(0L, Seq("k_in"))
       .localCheckpoint() // NP rows; feeds moments + output
@@ -1564,6 +1569,14 @@ object DesignImage extends QueryModule {
         "CASE WHEN k > 0 THEN round(CAST(k * k - skk AS DOUBLE) / (k * k), 6) END AS pc",
         s"CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within")
       .orderBy("p")
+  }
+
+  /** Module-role core under q204's FIXED stand-in assignment. */
+  private[graft] def moduleRolesCore(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    moduleRolesWith(pe, parcels.selectExpr("p", s"p % $moduleCount AS m"))
   }
 
   private val mrMeanStr = "CAST(s1 AS DOUBLE) / n"
@@ -1616,6 +1629,124 @@ object DesignImage extends QueryModule {
     eigenCentralityCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  // ---- q208: data-driven modules (label propagation) + module roles -------
+  // Closes q204's declared gap: the named practice (Power et al. 2011;
+  // Rubinov & Sporns 2010 §"modularity") derives modules FROM THE GRAPH,
+  // not from an atlas lookup. Detection is synchronous label propagation
+  // (Raghavan et al. 2007) made deterministic and oracle-replayable the
+  // q65/q196 way: labels start as parcel ids; each of the FIXED
+  // [[lpaRounds]] rounds every node adopts the most frequent label among
+  // its neighbors PLUS ITSELF (the self-vote is the bipartite-
+  // oscillation damper — the q203 A+I trick at the label grain), ties
+  // broken by (count DESC, label ASC) — a total integer order, so both
+  // engines propagate identical labels. The final labels feed the SAME
+  // Guimerà–Amaral PC / within-module-z kernel as q204, so the two
+  // queries differ in exactly one input: who says what the modules are.
+  //
+  // Scale shape: per round one edge-relation join against the NP-row
+  // label relation + an NP·labels-bounded vote aggregate; rounds are a
+  // fixed constant. Everything stays NP²-bounded, broadcast-class at
+  // atlas scale (the q204 argument).
+
+  private val lpaRounds = 4
+
+  /** Deterministic fixed-rounds label propagation over a q168-shaped
+    * (p1, p2, …, edge) relation → (p, m) modules. */
+  private[graft] def lpaModules(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
+      .localCheckpoint()
+    var lab = parcels.select(col("p"), col("p").as("lab")).localCheckpoint()
+    for (_ <- 0 until lpaRounds) {
+      val votes = sym.join(lab.selectExpr("p AS q", "lab"), Seq("q"))
+        .select("p", "lab")
+        .unionByName(lab.select("p", "lab")) // the self-vote
+        .groupBy("p", "lab").agg(count(lit(1)).as("c"))
+      lab = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p")
+            .orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select("p", "lab")
+        .localCheckpoint() // NP rows; next round reads twice
+    }
+    lab.selectExpr("p", "CAST(lab AS INT) AS m")
+  }
+
+  def moduleLpa(s: SparkSession, d: String): DataFrame = {
+    val pe = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .select("p1", "p2", "edge").localCheckpoint()
+    moduleRolesWith(pe, lpaModules(pe))
+  }
+
+  /** The generated LPA round CTEs: lp0 … lp{rounds} over mparcels/msym,
+    * ending in `mmod(p, m)`. */
+  private def lpaCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""lpv$i AS (
+         |  SELECT v.p, v.lab, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT s.p AS p, l.lab AS lab FROM msym s JOIN lp${i - 1} l ON l.p = s.q
+         |    UNION ALL
+         |    SELECT p, lab FROM lp${i - 1}
+         |  ) v GROUP BY v.p, v.lab
+         |),
+         |lp$i AS (
+         |  SELECT p, lab FROM (
+         |    SELECT p, lab, ROW_NUMBER() OVER (PARTITION BY p
+         |      ORDER BY c DESC, lab ASC) AS rn
+         |    FROM lpv$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""lp0 AS (SELECT p, p AS lab FROM mparcels),
+       |$roundCtes,
+       |mmod AS (SELECT p, CAST(lab AS INTEGER) AS m FROM lp$rounds)""".stripMargin
+  }
+
+  private def moduleLpaSql: String =
+    s"""WITH $connectomeCtes,
+       |mparcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |mones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |msym AS (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${lpaCtes(lpaRounds)},
+       |mkm AS (
+       |  SELECT s.p, mm.m, CAST(count(*) AS BIGINT) AS kin
+       |  FROM msym s JOIN mmod mm ON mm.p = s.q
+       |  GROUP BY 1, 2
+       |),
+       |mdeg AS (
+       |  SELECT p, CAST(SUM(kin) AS BIGINT) AS k,
+       |    CAST(SUM(kin * kin) AS BIGINT) AS skk
+       |  FROM mkm GROUP BY p
+       |),
+       |mown AS (
+       |  SELECT mparcels.p, mmod.m,
+       |    COALESCE(mdeg.k, 0) AS k, COALESCE(mdeg.skk, 0) AS skk,
+       |    COALESCE(mkm.kin, 0) AS k_in
+       |  FROM mparcels
+       |  JOIN mmod ON mmod.p = mparcels.p
+       |  LEFT JOIN mdeg ON mdeg.p = mparcels.p
+       |  LEFT JOIN mkm ON mkm.p = mparcels.p AND mkm.m = mmod.m
+       |),
+       |mmom AS (
+       |  SELECT m, CAST(count(*) AS BIGINT) AS n, CAST(SUM(k_in) AS BIGINT) AS s1,
+       |    CAST(SUM(k_in * k_in) AS BIGINT) AS s2
+       |  FROM mown GROUP BY m
+       |)
+       |SELECT o.p, CAST(o.m AS INTEGER) AS module, CAST(o.k AS BIGINT) AS k,
+       |  CAST(o.k_in AS BIGINT) AS k_in,
+       |  CASE WHEN o.k > 0 THEN round(CAST(o.k * o.k - o.skk AS DOUBLE) / (o.k * o.k), 6) END AS pc,
+       |  CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within
+       |FROM mown o JOIN mmom ON mmom.m = o.m
+       |ORDER BY o.p""".stripMargin
 
   private def eigenCentralitySql: String = {
     val steps = (1 to ecmSteps).map { i =>
@@ -2703,6 +2834,7 @@ object DesignImage extends QueryModule {
     Q("q199_path_metrics_bfs", pathMetricsBfs, Some(pathMetricsSql)),
     Q("q203_eigen_centrality", eigenCentrality, Some(eigenCentralitySql)),
     Q("q204_module_roles", moduleRoles, Some(moduleRolesSql)),
+    Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

@@ -659,8 +659,35 @@ object Retrieval extends QueryModule {
   // the relational per-round form is spec-pinned row-identical and the
   // oracle is unchanged.
 
+  // ---- the standing tokenizer-model store (train once, serve many) --------
+  // The r16 verdict's top item: q200/q201/q202/q206 each retrained the
+  // unigram model (q206 also re-ran the BPE merge loop) inside the query
+  // — 4 of the 5 most expensive suite members, ~20 s of pure re-training.
+  // Now the FIRST tokenizer query to run trains both families once and
+  // persists them under the dataset-tagged store (graft.text
+  // .TokenizerStore — the q198 discipline); every tokenizer query serves
+  // from the stored model. The oracles still train inline, so every hash
+  // match PROVES store-serve ≡ inline-train at the driver grain.
+
+  private val bpeRounds = 12
+
+  private def tokenizerStoreName(s: SparkSession, d: String): String = {
+    import graft.text.TokenizerStore
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_tok_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_tok/$tag"
+    TokenizerStore.ensure(s, documents(s, d), name, loc,
+      ulmRounds, ulmCapV, bpeRounds, d)
+    name
+  }
+
+  /** The stored (piece, lnp_fp) unigram serving model for dataset `d`. */
+  private def storedUnigram(s: SparkSession, d: String): DataFrame =
+    graft.text.TokenizerStore.vocab(s, tokenizerStoreName(s, d))
+      .select("piece", "lnp_fp")
+
   def bpeMerges(s: SparkSession, d: String): DataFrame =
-    graft.text.BpeOps.mergesDriver(documents(s, d), rounds = 12).orderBy("round")
+    s.table(s"${tokenizerStoreName(s, d)}_merges").orderBy("round")
 
   private val bpeMergesSql = graft.text.BpeOps.mergesOracleSql(12)
 
@@ -678,14 +705,9 @@ object Retrieval extends QueryModule {
   private val ulmRounds = 2
   private val ulmCapV = 24
 
-  def unigramLmTrain(s: SparkSession, d: String): DataFrame = {
-    import graft.text.UnigramLmOps
-    val fin = UnigramLmOps.train(documents(s, d), ulmRounds, ulmCapV)
-      .localCheckpoint() // model-sized; read twice (rows + total)
-    fin.join(UnigramLmOps.modelOf(fin), Seq("piece"))
-      .select("piece", "cnt", "lnp_fp")
+  def unigramLmTrain(s: SparkSession, d: String): DataFrame =
+    graft.text.TokenizerStore.vocab(s, tokenizerStoreName(s, d))
       .orderBy("piece")
-  }
 
   private def unigramLmTrainSql: String =
     s"""WITH RECURSIVE ${graft.text.UnigramLmOps.oracleCtes(ulmRounds, ulmCapV)}
@@ -701,23 +723,15 @@ object Retrieval extends QueryModule {
   // unigram tokenizer). The corpus is scanned once; the expensive
   // enumeration never touches it.
 
-  /** The q201/q202 shared tail: per-doc word/piece counts + fertility
-    * from a (w, np) per-word piece-count relation. */
+  /** The q201/q202/q207 shared tail — UnigramLmOps.fertility, sorted. */
   private def fertilityOf(docs: DataFrame, perWord: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(perWord), Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
-      .selectExpr("doc_id", "n_words", "n_pieces",
-        "round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility")
-      .orderBy("doc_id")
+    graft.text.UnigramLmOps.fertility(docs, perWord).orderBy("doc_id")
 
   def unigramLmSegment(s: SparkSession, d: String): DataFrame = {
     import graft.text.UnigramLmOps
     val docs = documents(s, d)
-    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV)
     val best = UnigramLmOps.viterbiBest(
-      UnigramLmOps.wordFreqs(docs).select("w"), UnigramLmOps.modelOf(fin))
+      UnigramLmOps.wordFreqs(docs).select("w"), storedUnigram(s, d))
       .select(col("w"), col("np"))
     fertilityOf(docs, best)
   }
@@ -752,15 +766,15 @@ object Retrieval extends QueryModule {
   def wordpieceSegment(s: SparkSession, d: String): DataFrame = {
     import graft.text.UnigramLmOps
     val docs = documents(s, d)
-    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV)
     fertilityOf(docs,
-      UnigramLmOps.greedyCounts(UnigramLmOps.wordFreqs(docs).select("w"), fin))
+      UnigramLmOps.greedyCounts(UnigramLmOps.wordFreqs(docs).select("w"),
+        storedUnigram(s, d)))
   }
 
   private def wordpieceSegmentSql: String = {
     val ops = graft.text.UnigramLmOps
     s"""WITH RECURSIVE ${ops.oracleCtes(ulmRounds, ulmCapV)},
-       |${ops.greedySegCtes},
+       |${ops.greedySegCtes()},
        |dw AS (
        |  SELECT doc_id, t.term AS w
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
@@ -791,15 +805,16 @@ object Retrieval extends QueryModule {
   // |langs|-bounded.
 
   def tokenizerBakeoff(s: SparkSession, d: String): DataFrame = {
-    import graft.text.{BpeOps, UnigramLmOps}
+    import graft.text.{BpeOps, TokenizerStore, UnigramLmOps}
     val docs = documents(s, d)
-    val bpe = BpeOps.segmentCounts(docs, rounds = 12)
+    val name = tokenizerStoreName(s, d)
+    val bpe = BpeOps.segmentCountsWith(docs, TokenizerStore.bpeMergePairs(s, name))
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy("lang")
       .agg(sum("n_words").as("n_words"), sum("n_subwords").as("s_bpe"))
-    val fin = UnigramLmOps.train(docs, ulmRounds, ulmCapV).localCheckpoint()
+    val fin = TokenizerStore.vocab(s, name)
     val words = UnigramLmOps.wordFreqs(docs).select("w").localCheckpoint()
-    val perWord = UnigramLmOps.viterbiBest(words, UnigramLmOps.modelOf(fin))
+    val perWord = UnigramLmOps.viterbiBest(words, fin.select("piece", "lnp_fp"))
       .select(col("w"), col("np").as("np_v"))
       .join(UnigramLmOps.greedyCounts(words, fin)
         .select(col("w"), col("np").as("np_g")), Seq("w"))
@@ -820,7 +835,7 @@ object Retrieval extends QueryModule {
     s"""WITH RECURSIVE ${graft.text.BpeOps.segmentCtes(12)},
        |${ops.oracleCtes(ulmRounds, ulmCapV)},
        |${ops.serveSegCtes(ulmRounds + 1)},
-       |${ops.greedySegCtes},
+       |${ops.greedySegCtes()},
        |bl AS (
        |  SELECT d.lang, CAST(SUM(b.n_words) AS BIGINT) AS n_words,
        |    CAST(SUM(b.n_subwords) AS BIGINT) AS s_bpe
@@ -847,13 +862,71 @@ object Retrieval extends QueryModule {
        |ORDER BY bl.lang""".stripMargin
   }
 
+  // ---- q207: tokenizer store-serve on ARRIVALS (train/apply split) ---------
+  // The pipeline shape the store exists for: the tokenizer trains on the
+  // corpus snapshot (doc_id % 10 ≥ 2, the q198 admission slice) and is
+  // then APPLIED to data it never saw (doc_id % 10 < 2) — per arrival
+  // doc the word/piece counts and fertility under the frozen stored
+  // model. This is also where the OOV fallback is structurally live:
+  // arrival words may carry characters the training slice never
+  // produced, and the serve must count them (at the OovLnpFp floor)
+  // instead of silently dropping the word (the fixture's slices share
+  // one alphabet, so the fallback set is empty THERE — the divergence is
+  // spec-planted, the q196/q202 non-vacuity protocol). The oracle trains
+  // inline on the same slice and serves with the mirrored fallback
+  // block, so the hash pins store-serve ≡ inline-train end to end.
+  //
+  // Scale shape: training cost is paid once at build (store hit on every
+  // later call); the serve is one arrival-corpus scan joined broadcast
+  // against the |vocab|-row best-segmentation relation.
+
+  def tokenizerStoreServe(s: SparkSession, d: String): DataFrame = {
+    import graft.text.{TokenizerStore, UnigramLmOps}
+    val docs = documents(s, d)
+    val arrivals = docs.filter(col("doc_id") % 10 < 2)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_tokadm_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_tokadm/$tag"
+    TokenizerStore.ensure(s, docs.filter(col("doc_id") % 10 >= 2), name, loc,
+      ulmRounds, ulmCapV, bpeRounds = 0, datasetTag = s"$d:adm")
+    val best = UnigramLmOps.viterbiBest(
+      UnigramLmOps.wordFreqs(arrivals).select("w"),
+      TokenizerStore.vocab(s, name).select("piece", "lnp_fp"))
+      .select(col("w"), col("np"))
+    fertilityOf(arrivals, best)
+  }
+
+  private def tokenizerStoreServeSql: String = {
+    val ops = graft.text.UnigramLmOps
+    s"""WITH RECURSIVE ${ops.oracleCtes(ulmRounds, ulmCapV,
+        docsSrc = "(SELECT * FROM documents WHERE doc_id % 10 >= 2)")},
+       |awf AS (
+       |  SELECT DISTINCT t.term AS w
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 10 < 2 AND t.term <> ''
+       |),
+       |${ops.serveSegCtes(ulmRounds + 1, wordsSrc = "awf")},
+       |dw AS (
+       |  SELECT doc_id, t.term AS w
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 10 < 2
+       |)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.np) AS BIGINT) AS n_pieces,
+       |  round(CAST(SUM(b.np) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM dw JOIN ubest${ulmRounds + 1} b ON b.w = dw.w
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+  }
+
   // ---- q94: BPE segmentation (the serving half of q93) --------------------
   // Apply the learned 12-round merge table to every document as one
   // map-only chained-replace projection; per-doc subword counts are the
   // packing-budget statistic under the REAL tokenizer.
 
   def bpeSegment(s: SparkSession, d: String): DataFrame =
-    graft.text.BpeOps.segmentCounts(documents(s, d), rounds = 12)
+    graft.text.BpeOps.segmentCountsWith(documents(s, d),
+        graft.text.TokenizerStore.bpeMergePairs(s, tokenizerStoreName(s, d)))
       .orderBy("doc_id")
 
   private val bpeSegmentSql = graft.text.BpeOps.segmentOracleSql(12)
@@ -869,12 +942,20 @@ object Retrieval extends QueryModule {
   // as a subquery.
 
   def bpeFertility(s: SparkSession, d: String): DataFrame =
-    bpeFertilityOf(documents(s, d), rounds = 12).orderBy("lang")
+    bpeFertilityWith(documents(s, d),
+      graft.text.TokenizerStore.bpeMergePairs(s, tokenizerStoreName(s, d)))
+      .orderBy("lang")
 
   /** The q170 body — split out so specs can drive small corpora at a
     * hand-checkable merge count. */
-  private[graft] def bpeFertilityOf(docs: DataFrame, rounds: Int): DataFrame = {
-    val seg = graft.text.BpeOps.segmentCounts(docs, rounds)
+  private[graft] def bpeFertilityOf(docs: DataFrame, rounds: Int): DataFrame =
+    bpeFertilityWith(docs,
+      graft.text.BpeOps.mergesDriver(docs, rounds).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  private def bpeFertilityWith(docs: DataFrame,
+      ms: Seq[(String, String)]): DataFrame = {
+    val seg = graft.text.BpeOps.segmentCountsWith(docs, ms)
     docs.select(col("doc_id"), col("lang"))
       .join(seg, Seq("doc_id"))
       .groupBy("lang")
@@ -1398,6 +1479,7 @@ object Retrieval extends QueryModule {
     Q("q205_ppl_buckets", pplBuckets, Some(pplBucketsSql)),
     Q("q209_ppl_buckets_sampled", pplBucketsSampled, Some(pplBucketsSampledSql)),
     Q("q206_tokenizer_bakeoff", tokenizerBakeoff, Some(tokenizerBakeoffSql)),
+    Q("q207_tokenizer_store_serve", tokenizerStoreServe, Some(tokenizerStoreServeSql)),
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),

@@ -609,6 +609,36 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING tokenizer serve — q207's foreachBatch twin: each arriving
+    * doc batch is segmented (Viterbi + OOV char fallback) against the
+    * FROZEN standing tokenizer model and its fertility row emitted. The
+    * model is trained once (TokenizerStore.build) and never updated by
+    * this loop, so the verdict is a PURE FUNCTION of the batch — replays
+    * cannot drift. The sink is therefore batchId-KEYED: an at-least-once
+    * replay of batch k overwrites outPath/batch=k with identical rows
+    * instead of appending duplicates (the r16 ADVICE sink discipline for
+    * stateless scorers; spec-pinned ≡ the batch serve incl. a replay). */
+  def streamingTokenizerServe(docs: DataFrame, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      tokenizerServeBatch(batch, name, outPath, batchId)
+    }
+
+  /** One micro-batch of [[streamingTokenizerServe]] — public so the spec
+    * can redeliver the SAME batchId and pin the overwrite. */
+  def tokenizerServeBatch(batch: DataFrame, name: String, outPath: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val best = graft.text.UnigramLmOps.viterbiBest(
+      graft.text.UnigramLmOps.wordFreqs(batch).select("w"),
+      graft.text.TokenizerStore.vocab(s, name).select("piece", "lnp_fp"))
+      .select(org.apache.spark.sql.functions.col("w"),
+        org.apache.spark.sql.functions.col("np"))
+    graft.text.UnigramLmOps.fertility(batch, best)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    ()
+  }
+
   /** STREAMING second-level admission — q156's foreachBatch twin: each
     * arriving subject-batch of first-level betas is admitted into the
     * standing beta store (subject-bounded facts, idempotent via the

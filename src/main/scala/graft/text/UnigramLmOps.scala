@@ -48,6 +48,29 @@ object UnigramLmOps {
   /** Shared fixed-point log-probability string (needs cols cnt, tot). */
   val lnpStr = "CAST(round(ln(CAST(cnt AS DOUBLE) / tot) * 1e9, 0) AS BIGINT)"
 
+  /** Fallback log-prob (1e9 fixed point) for an OOV single character —
+    * a character in a SERVING word that the training corpus never saw.
+    * Without it the serve's model join silently DROPPED the whole word
+    * from fertility counts (r16 ADVICE: the exact binaryHammingTopK
+    * genre — safe on every in-corpus caller, wrong for the public API).
+    * The value is a plain integer literal (lnp = −100, far below any
+    * trained piece) shared verbatim by both engines — no transcendental
+    * to ULP-drift. During TRAINING the fallback set is provably empty
+    * (the substring seed and the per-round char floor keep every corpus
+    * character in the model), so training CTEs don't mirror it. */
+  val OovLnpFp = -100000000000L
+
+  /** The single characters of `words` absent from `pieces` — the OOV
+    * fallback alphabet of a serve call (empty when the serving words are
+    * drawn from the training corpus). */
+  private def oovChars(words: DataFrame, pieces: DataFrame): DataFrame =
+    words.filter(length(col("w")) > 0)
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - 1), i -> substring(w, i + 1, 1))"))
+        .as("piece"))
+      .distinct()
+      .join(pieces.select("piece"), Seq("piece"), "left_anti")
+
   /** (w, freq) distinct-word frequencies — the one corpus aggregate.
     * Empty tokens (doubled separators) are dropped: Spark's
     * sequence(0, -1) DESCENDS, so a zero-length word would feed garbage
@@ -94,7 +117,10 @@ object UnigramLmOps {
     * model piece at a time (loop rounds = the input's max word length, a
     * bounded driver probe), completed segmentations argmax on the total
     * integer order (sc DESC, np ASC, seg ASC). */
-  def viterbiBest(words: DataFrame, model: DataFrame): DataFrame = {
+  def viterbiBest(words: DataFrame, model0: DataFrame): DataFrame = {
+    val model = model0.select("piece", "lnp_fp")
+      .unionByName(oovChars(words, model0).withColumn("lnp_fp", lit(OovLnpFp)))
+      .localCheckpoint() // vocab-sized; broadcast-joined every round
     val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"),
       lit("").as("seg"), lit(0L).as("np"), lit(0L).as("sc")).localCheckpoint()
@@ -152,12 +178,15 @@ object UnigramLmOps {
     * positions (loop rounds = max word length; each round consumes ≥ 1
     * char, and the char floor guarantees a match at every position). */
   def greedyCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val pieces = vocab.select("piece")
+      .unionByName(oovChars(words, vocab))
+      .localCheckpoint() // vocab-sized; guarantees a match everywhere
     val lm = words
       .withColumn("pos", explode(expr("sequence(0, length(w) - 1)")))
       .withColumn("l", explode(expr(s"sequence(1, $PieceLenMax)")))
       .withColumn("piece", expr("substring(w, pos + 1, l)"))
       .filter(expr("length(piece) = l"))
-      .join(broadcast(vocab.select("piece")), Seq("piece"))
+      .join(broadcast(pieces), Seq("piece"))
       .groupBy("w", "pos").agg(max("l").as("l"))
       .localCheckpoint()
     val maxLen = maxWordLen(words)
@@ -176,13 +205,24 @@ object UnigramLmOps {
     done.select("w", "np")
   }
 
+  /** Per-doc word/piece counts + fertility from a (w, np) per-word
+    * piece-count relation — the serving tail shared by q201/q202/q206/
+    * q207 and the streaming twin. Unordered; callers sort. */
+  def fertility(docs: DataFrame, perWord: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(perWord), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+      .selectExpr("doc_id", "n_words", "n_pieces",
+        "round(CAST(n_pieces AS DOUBLE) / n_words, 6) AS fertility")
+
   // ---------------------------------------------------------------------
   // DuckDB oracle: the generated CTE chain replaying the same training.
   // ---------------------------------------------------------------------
 
-  private def segCte(i: Int, model: String): String =
+  private def segCte(i: Int, model: String, wordsSrc: String): String =
     s"""useg$i(w, pos, seg, np, sc) AS (
-       |  SELECT w, CAST(0 AS BIGINT), '', CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM uwf
+       |  SELECT w, CAST(0 AS BIGINT), '', CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM $wordsSrc
        |  UNION ALL
        |  SELECT s.w, s.pos + length(m.piece),
        |    CASE WHEN s.pos = 0 THEN m.piece ELSE s.seg || ' ' || m.piece END,
@@ -196,6 +236,26 @@ object UnigramLmOps {
        |    SELECT w, seg, np, ROW_NUMBER() OVER (PARTITION BY w
        |      ORDER BY sc DESC, np ASC, seg ASC) AS rn
        |    FROM useg$i WHERE pos = length(w)) WHERE rn = 1
+       |)""".stripMargin
+
+  /** The OOV-fallback-augmented model `umfx$sfx` over serving words
+    * `wordsSrc`: chars of the serving words absent from `model` enter at
+    * the [[OovLnpFp]] floor — the [[oovChars]] mirror. The inner UNION
+    * stays in a subquery (the engine-wide WITH RECURSIVE caveat). */
+  private def fallbackModelCtes(sfx: String, model: String,
+      wordsSrc: String): String =
+    s"""uoov$sfx AS (
+       |  SELECT piece FROM (
+       |    SELECT DISTINCT substring(w, s.i + 1, 1) AS piece
+       |    FROM $wordsSrc, unnest(range(length(w))) AS s(i)
+       |  ) cx WHERE NOT EXISTS (SELECT 1 FROM $model m WHERE m.piece = cx.piece)
+       |),
+       |umfx$sfx AS (
+       |  SELECT piece, lnp_fp FROM (
+       |    SELECT piece, lnp_fp FROM $model
+       |    UNION ALL
+       |    SELECT piece, CAST($OovLnpFp AS BIGINT) FROM uoov$sfx
+       |  )
        |)""".stripMargin
 
   private def recountCte(i: Int): String =
@@ -216,16 +276,20 @@ object UnigramLmOps {
 
   /** CTE chain through the final capped count relation `ufin` (and its
     * model `umf`); requires WITH RECURSIVE at the head. Non-recursive
-    * unions stay inside subqueries (the engine-wide RECURSIVE caveat). */
-  def oracleCtes(rounds: Int, capV: Int): String = {
+    * unions stay inside subqueries (the engine-wide RECURSIVE caveat).
+    * `docsSrc` is the training-corpus relation (q207 trains on a slice).
+    * Training blocks carry NO OOV fallback: every training-word char is
+    * in every round's model by construction (seed + char floor). */
+  def oracleCtes(rounds: Int, capV: Int,
+      docsSrc: String = "documents"): String = {
     val emBlocks = (1 to rounds).map { i =>
       val model = if (i == 1) "um0" else s"um${i - 1}"
-      Seq(segCte(i, model), recountCte(i)) ++
+      Seq(segCte(i, model, "uwf"), recountCte(i)) ++
         (if (i < rounds) Seq(modelCte(s"um$i", s"uc$i")) else Nil)
     }.flatten.mkString(",\n")
     s"""uwf AS (
        |  SELECT t.term AS w, CAST(count(*) AS BIGINT) AS freq
-       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  FROM $docsSrc, unnest(string_split(text, ' ')) AS t(term)
        |  WHERE t.term <> ''
        |  GROUP BY 1
        |),
@@ -256,23 +320,29 @@ object UnigramLmOps {
        |${modelCte("umf", "ufin")}""".stripMargin
   }
 
-  /** The serving segmentation block: `useg<i>`/`ubest<i>` over the final
-    * model `umf` — appended after [[oracleCtes]] by q201's oracle. */
-  def serveSegCtes(i: Int): String = segCte(i, "umf")
+  /** The serving segmentation block: OOV-fallback model + `useg<i>`/
+    * `ubest<i>` over the final model `umf` — appended after
+    * [[oracleCtes]] by q201/q206/q207's oracles. `wordsSrc` is the
+    * serving-word relation (column w); when it is the training `uwf`
+    * the fallback set is provably empty. */
+  def serveSegCtes(i: Int, wordsSrc: String = "uwf"): String =
+    s"""${fallbackModelCtes(i.toString, "umf", wordsSrc)},
+       |${segCte(i, s"umfx$i", wordsSrc)}""".stripMargin
 
   /** The greedy (WordPiece-rule) serving block over `umf`: `ulm` is the
-    * longest vocab match at every (word, position); `ugseg`/`ugw` the
-    * single-path maximum-munch walk — appended after [[oracleCtes]] by
-    * q202's oracle. */
-  def greedySegCtes: String =
-    s"""ulm AS (
+    * longest fallback-augmented-vocab match at every (word, position);
+    * `ugseg`/`ugw` the single-path maximum-munch walk — appended after
+    * [[oracleCtes]] by q202/q206's oracles. */
+  def greedySegCtes(wordsSrc: String = "uwf"): String =
+    s"""${fallbackModelCtes("g", "umf", wordsSrc)},
+       |ulm AS (
        |  SELECT w, p.i AS pos, CAST(MAX(length(m.piece)) AS BIGINT) AS l
-       |  FROM uwf, unnest(range(length(w))) AS p(i)
-       |  JOIN umf m ON m.piece = substring(w, p.i + 1, length(m.piece))
+       |  FROM $wordsSrc, unnest(range(length(w))) AS p(i)
+       |  JOIN umfxg m ON m.piece = substring(w, p.i + 1, length(m.piece))
        |  GROUP BY w, p.i
        |),
        |ugseg(w, pos, np) AS (
-       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM uwf
+       |  SELECT w, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM $wordsSrc
        |  UNION ALL
        |  SELECT s.w, s.pos + ulm.l, s.np + 1
        |  FROM ugseg s JOIN ulm ON ulm.w = s.w AND ulm.pos = s.pos

@@ -741,6 +741,32 @@ class InferenceQcSpec extends SparkSpec {
       s"isolate: ${out(9)}")
   }
 
+  test("q208: label propagation recovers two planted cliques; the bridge node reads connector") {
+    val s = spark
+    import s.implicits._
+    // two 3-cliques {0,1,2} and {10,11,12} joined by one bridge 2-10
+    val pe = Seq(
+      (0, 1, 1L), (0, 2, 1L), (1, 2, 1L),
+      (10, 11, 1L), (10, 12, 1L), (11, 12, 1L),
+      (2, 10, 1L),
+    ).toDF("p1", "p2", "edge")
+    val mods = graft.queries.DesignImage.lpaModules(pe)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(Seq(0, 1, 2).map(mods).distinct.size === 1, s"clique A one module: $mods")
+    assert(Seq(10, 11, 12).map(mods).distinct.size === 1, s"clique B one module: $mods")
+    assert(mods(0) !== mods(10), s"cliques must get DISTINCT modules: $mods")
+    val roles = graft.queries.DesignImage.moduleRolesWith(pe,
+      graft.queries.DesignImage.lpaModules(pe))
+      .collect().map(r => r.getInt(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // bridge endpoints spread 1 of their 3 edges across the cut:
+    // PC = 1 - ((2/3)² + (1/3)²) = 4/9; pure clique members PC = 0
+    assert(roles(2) === Some(0.444444) && roles(10) === Some(0.444444),
+      s"bridge nodes are the connectors: $roles")
+    assert(roles(0) === Some(0.0) && roles(11) === Some(0.0),
+      s"interior clique nodes are provincial: $roles")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._
