@@ -1648,8 +1648,22 @@ object DesignImage extends QueryModule {
   // label relation + an NP·labels-bounded vote aggregate; rounds are a
   // fixed constant. Everything stays NP²-bounded, broadcast-class at
   // atlas scale (the q204 argument).
+  //
+  // Graph choice: detection (and the roles, for consistency) run on the
+  // POSITIVE-tie graph r ≥ 0.2 — module detection conventionally keeps
+  // positive weights only (Rubinov & Sporns 2010's modularity treats
+  // negative ties separately) and SPARSIFIES (Power 2011 thresholds to
+  // 2–10% density; q168's |r| ≥ 0.1 graph holds >50% of all pairs and
+  // measured LPA collapse to ONE module at both SFs — vacuous). At
+  // r ≥ 0.2 the fixture yields 12% density and non-trivial modules at
+  // both SFs (4+4+singletons / 6+2+singletons — measured, so the verdict
+  // column is live). r_par is rounded to 6 dp before the compare, the
+  // q168 edge discipline.
 
   private val lpaRounds = 4
+  private val lpaEdgeStr =
+    "CASE WHEN r_par IS NOT NULL AND r_par >= CAST(0.2 AS DOUBLE) " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
 
   /** Deterministic fixed-rounds label propagation over a q168-shaped
     * (p1, p2, …, edge) relation → (p, m) modules. */
@@ -1681,7 +1695,7 @@ object DesignImage extends QueryModule {
     val pe = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
-      .select("p1", "p2", "edge").localCheckpoint()
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
     moduleRolesWith(pe, lpaModules(pe))
   }
 
@@ -1710,9 +1724,10 @@ object DesignImage extends QueryModule {
 
   private def moduleLpaSql: String =
     s"""WITH $connectomeCtes,
+       |pe2 AS (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
        |mparcels AS (SELECT DISTINCT p FROM (
-       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
-       |mones AS (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS (SELECT p1, p2 FROM pe2 WHERE edge = 1),
        |msym AS (SELECT p, q FROM (
        |  SELECT p1 AS p, p2 AS q FROM mones
        |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
