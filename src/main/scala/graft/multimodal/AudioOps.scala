@@ -1,0 +1,140 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Afp
+
+/** Audio near-dup machinery over binary payloads — the audio member of
+  * the modality-symmetric standing-index family (text bands q90, vector
+  * index q110, image phash index q120-family, video keyframes q186):
+  * fingerprint = [[graft.functions.Afp.afp24]] (Haitsma–Kalker
+  * sign-of-band-energy-delta, exact int64), bucketed by 3 disjoint 8-bit
+  * Hamming bands. By pigeonhole the banding is EXACT at radius τ = 2 (a
+  * pair differing in ≤ 2 bits cannot differ in all 3 bands) — the bucket
+  * join is pure pruning; verification is one popcount of the XOR.
+  *
+  * Scale shape: payloads never shuffle — the fingerprint is a scan-stage
+  * projection and only 8-byte hashes + band keys move. The standing index
+  * persists band rows bucketed by (r, bv) so a probing batch joins with
+  * zero corpus-side exchange (the PhashOps layout at the audio grain).
+  * The 24-bit width is the enumerable-fixture geometry; the production
+  * note on [[graft.functions.Afp]] applies — at 10⁹ clips the same
+  * machinery runs at HK's native 32 bits × N frames with the q186
+  * per-clip sub-fingerprint grain. */
+object AudioOps {
+
+  val Bands = 3
+  val BandBits = 8
+  private val BandMask = (1L << BandBits) - 1
+
+  /** Exactness bound of the plain banding. */
+  val Tau = 2
+
+  /** media(doc_id, payload) → (doc_id, afp). */
+  def fingerprints(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), Afp.afp24(col("payload")).as("afp"))
+
+  private def bandKey(afp: Column, r: Int): Column =
+    shiftright(afp, BandBits * r).bitwiseAND(lit(BandMask))
+
+  /** (doc_id, afp) → (doc_id, afp, r, bv): one row per disjoint band. */
+  def bandRelation(fp: DataFrame): DataFrame =
+    fp.select(col("doc_id"), col("afp"),
+      explode(array((0 until Bands).map(r =>
+        struct(lit(r).as("r"), bandKey(col("afp"), r).as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("afp"), col("bd.r").as("r"), col("bd.bv").as("bv"))
+
+  /** Per-doc dedup verdicts within one media relation: (doc_id, afp,
+    * audio_dup_of = min earlier doc at Hamming ≤ tau, keep) — the q114
+    * min-id semantics at the audio grain, exact at tau ≤ Bands−1. */
+  def dedupVerdicts(media: DataFrame, tau: Int = Tau): DataFrame = {
+    require(tau <= Bands - 1, s"plain banding is exact only to ${Bands - 1}, got $tau")
+    val fp = fingerprints(media).localCheckpoint() // fingerprint once; 2 sides
+    val bands = bandRelation(fp)
+    val near = bands
+      .select(col("doc_id").as("doc_a"), col("afp").as("__fa"), col("r"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("afp").as("__fb"),
+        col("r"), col("bv")), Seq("r", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "__fa", "__fb").distinct()
+      .filter(expr(s"bit_count(__fa ^ __fb) <= $tau"))
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min("doc_a").as("audio_dup_of"))
+    fp.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("afp"), col("audio_dup_of"),
+        col("audio_dup_of").isNull.as("keep"))
+  }
+
+  /** Build the STANDING audio index at `location` — the PhashOps layout:
+    * `name_abands` (r, bv, corp_id, afp) bucketed by (r, bv), `name_adocs`
+    * the id guard, `name_ameta` the geometry + dataset pin. */
+  def buildAudioIndex(spark: SparkSession, media: DataFrame, name: String,
+      location: String, buckets: Int = 32, datasetTag: String = ""): Unit = {
+    import spark.implicits._
+    val fp = fingerprints(media)
+    bandRelation(fp)
+      .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("afp"))
+      .write.mode("overwrite").option("path", s"$location/abands")
+      .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
+      .saveAsTable(s"${name}_abands")
+    fp.select(col("doc_id").as("corp_id"), col("afp"))
+      .write.mode("overwrite").option("path", s"$location/adocs")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_adocs")
+    Seq((Bands, BandBits, buckets, datasetTag))
+      .toDF("bands", "band_bits", "buckets", "dataset_tag")
+      .write.mode("overwrite").option("path", s"$location/ameta")
+      .saveAsTable(s"${name}_ameta")
+  }
+
+  /** Guard: exists AND built from `datasetTag` with this band geometry. */
+  def audioIndexMatches(spark: SparkSession, name: String,
+      datasetTag: String): Boolean =
+    Seq("abands", "adocs", "ameta")
+      .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
+      (try {
+        val m = spark.table(s"${name}_ameta").head()
+        m.getAs[String]("dataset_tag") == datasetTag &&
+          m.getAs[Int]("bands") == Bands && m.getAs[Int]("band_bits") == BandBits
+      } catch { case scala.util.control.NonFatal(_) => false })
+
+  /** Append a batch — bucket-aligned, batch-sized; `idempotent` anti-joins
+    * the id guard first (pinned so the two appends agree). */
+  def appendToAudioIndex(spark: SparkSession, newMedia0: DataFrame,
+      name: String, idempotent: Boolean = false): Unit = {
+    val buckets = spark.table(s"${name}_ameta").head().getAs[Int]("buckets")
+    val newMedia = if (!idempotent) newMedia0 else newMedia0.join(
+      spark.table(s"${name}_adocs").select(col("corp_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val fp = fingerprints(newMedia)
+    bandRelation(fp)
+      .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("afp"))
+      .write.mode("append")
+      .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
+      .saveAsTable(s"${name}_abands")
+    fp.select(col("doc_id").as("corp_id"), col("afp"))
+      .write.mode("append")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .saveAsTable(s"${name}_adocs")
+  }
+
+  /** Per-arrival admission verdicts against the standing index:
+    * (doc_id, audio_dup_of = min near-dup corpus id at Hamming ≤ tau,
+    * keep) — flat per-batch cost as the corpus grows. */
+  def probeAudioIndex(spark: SparkSession, media: DataFrame, name: String,
+      tau: Int = Tau): DataFrame = {
+    require(tau <= Bands - 1, s"plain banding is exact only to ${Bands - 1}, got $tau")
+    val near = bandRelation(fingerprints(media))
+      .select(col("doc_id").as("inc_id"), col("afp").as("__fi"),
+        col("r"), col("bv"))
+      .join(spark.table(s"${name}_abands"), Seq("r", "bv"))
+      .select("inc_id", "corp_id", "__fi", "afp").distinct()
+      .filter(expr(s"bit_count(__fi ^ afp) <= $tau"))
+      .groupBy(col("inc_id").as("doc_id"))
+      .agg(min("corp_id").as("audio_dup_of"))
+    media.select("doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("audio_dup_of"),
+        col("audio_dup_of").isNull.as("keep"))
+  }
+}

@@ -394,6 +394,86 @@ object Multimodal extends QueryModule {
        |FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q210: audio fingerprint dedup ----------------------------------------
+  // Completes the modality set (text shingles / image pHash / video
+  // keyframes → AUDIO): payloads as 8-bit PCM, the Haitsma–Kalker
+  // sign-of-band-energy-second-difference fingerprint (24 exact-int bits,
+  // graft.functions.Afp), 3 disjoint 8-bit Hamming bands (EXACT at τ = 2
+  // by pigeonhole — pure pruning, no recall luck), min-earlier-id dup
+  // verdicts (the q114 semantics). The oracle replays the fingerprint in
+  // the char domain (ASCII stand-in guard) and the identical band join.
+  // Fixture non-vacuity: exact-duplicate texts exist at both SFs, so
+  // identical payloads collide at distance 0 and the verdict column is
+  // live; the 0 < dist ≤ τ perceptual path is spec-planted
+  // (AudioFingerprintSpec), the q186 protocol.
+  //
+  // Scale shape: fingerprints are a scan-stage projection (payloads never
+  // shuffle); candidates pool at ~n²·3/256 per band over 8-byte rows;
+  // the standing-index/admission form is AudioOps.buildAudioIndex +
+  // streamingAudioAdmission (spec-pinned), giving arriving batches flat
+  // probe cost with zero corpus-side exchange.
+
+  import graft.multimodal.AudioOps
+
+  def audioDedup(s: SparkSession, d: String): DataFrame =
+    AudioOps.dedupVerdicts(
+      MultimodalOps.mediaFromDocuments(documents(s, d)), AudioOps.Tau)
+      .orderBy("doc_id")
+
+  private def audioDedupSql: String =
+    s"""WITH $asciiDocs,
+       |aen AS (
+       |  SELECT doc_id, s.i * 9 // length(text) AS f, s.i % 4 AS b,
+       |    SUM(CAST(ord(substring(text, CAST(s.i + 1 AS INTEGER), 1)) AS BIGINT)
+       |      * ord(substring(text, CAST(s.i + 1 AS INTEGER), 1))) AS e
+       |  FROM docs, unnest(range(length(text))) AS s(i)
+       |  GROUP BY 1, 2, 3
+       |),
+       |agrid AS (
+       |  SELECT doc_id, f.f, b.b
+       |  FROM docs, unnest(range(9)) AS f(f), unnest(range(4)) AS b(b)
+       |),
+       |aeg AS (
+       |  SELECT g.doc_id, g.f, g.b, COALESCE(aen.e, 0) AS e
+       |  FROM agrid g LEFT JOIN aen
+       |    ON aen.doc_id = g.doc_id AND aen.f = g.f AND aen.b = g.b
+       |),
+       |ad1 AS (
+       |  SELECT a.doc_id, a.f, a.b, a.e - c.e AS d
+       |  FROM aeg a JOIN aeg c
+       |    ON c.doc_id = a.doc_id AND c.f = a.f AND c.b = a.b + 1
+       |  WHERE a.b <= 2
+       |),
+       |afpt AS (
+       |  SELECT a.doc_id,
+       |    CAST(SUM(CASE WHEN a.d - p.d > 0
+       |      THEN (CAST(1 AS BIGINT) << CAST((a.f - 1) * 3 + a.b AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS afp
+       |  FROM ad1 a JOIN ad1 p
+       |    ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.b = a.b
+       |  GROUP BY a.doc_id
+       |),
+       |abnd AS (
+       |  SELECT doc_id, afp, r.r AS r,
+       |    (afp >> CAST(8 * r.r AS INTEGER)) & 255 AS bv
+       |  FROM afpt, unnest(range(3)) AS r(r)
+       |),
+       |acand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.afp AS fa,
+       |    b.doc_id AS doc_b, b.afp AS fb
+       |  FROM abnd a JOIN abnd b
+       |    ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |),
+       |anear AS (
+       |  SELECT doc_b AS doc_id, MIN(doc_a) AS audio_dup_of
+       |  FROM acand WHERE bit_count(xor(fa, fb)) <= ${AudioOps.Tau}
+       |  GROUP BY doc_b
+       |)
+       |SELECT f.doc_id, f.afp, n.audio_dup_of,
+       |  n.audio_dup_of IS NULL AS keep
+       |FROM afpt f LEFT JOIN anear n ON n.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
   // ---- q186: video keyframe dedup ------------------------------------------
   // The frame-pruning step a video-captioning pipeline runs BEFORE the
   // expensive per-frame model: within each video (payload), drop frames
@@ -482,6 +562,7 @@ object Multimodal extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q("q186_keyframe_dedup", keyframeDedup, Some(keyframeDedupSql)),
+    Q("q210_audio_dedup", audioDedup, Some(audioDedupSql)),
     Q("q42_media_features", mediaFeatures, Some(mediaFeaturesSql)),
     Q("q43_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q56_media_resize", mediaResize, Some(mediaResizeSql)),

@@ -609,6 +609,29 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING audio admission — q210's foreachBatch twin over the
+    * standing audio index (AudioOps.buildAudioIndex): each arriving
+    * payload batch is judged against the corpus AS IT STANDS (min
+    * near-dup corpus id at Hamming ≤ tau), then its band rows are
+    * admitted. Guard-surviving docs only — the streamingBigramAdmission
+    * replay discipline: a redelivered batch neither re-probes against
+    * the now-grown index nor appends duplicate verdicts. */
+  def streamingAudioAdmission(media: DataFrame, name: String, tau: Int,
+      outPath: String): DataStreamWriter[Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val s = batch.sparkSession
+      val fresh = batch.join(
+        s.table(s"${name}_adocs").select(
+          org.apache.spark.sql.functions.col("corp_id").as("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint()
+      val verdicts = graft.multimodal.AudioOps
+        .probeAudioIndex(s, fresh, name, tau)
+        .localCheckpoint()
+      graft.multimodal.AudioOps.appendToAudioIndex(s, fresh, name)
+      verdicts.write.mode("append").parquet(outPath)
+      ()
+    }
+
   /** STREAMING tokenizer serve — q207's foreachBatch twin: each arriving
     * doc batch is segmented (Viterbi + OOV char fallback) against the
     * FROZEN standing tokenizer model and its fertility row emitted. The
