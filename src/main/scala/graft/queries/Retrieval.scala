@@ -571,6 +571,101 @@ object Retrieval extends QueryModule {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q211: standing TRIGRAM LM (the store family generalized in n) ------
+  // One more additive delta table on q198's store — (w1, w2, w3, tf)
+  // batch deltas through the identical fingerprint-dedup / tombstone-
+  // compaction machinery — proving the standing-store discipline
+  // generalizes in n (the r16 verdict's ask). Serving is stupid backoff
+  // (Brants et al. 2007, q98 raised one order): capped-trigram ML →
+  // 0.4 · capped-bigram ML → 0.4² · add-one unigram, each level's
+  // context total derived from the same capped relation it scores from
+  // (the q198 self-consistency discipline). The oracle fits the model
+  // on the admitted slice directly and caps identically, so the hash
+  // proves append ≡ rebuild at the trigram grain.
+
+  private def standingTrigramLm(s: SparkSession, d: String): DataFrame = {
+    import graft.text.BigramStore
+    val docs = documents(s, d)
+    val tag = (d.hashCode.toLong & 0xffffffffL).toHexString
+    val name = s"graft_trglm_$tag"
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_trglm/$tag"
+    if (!BigramStore.matchesTri(s, name, d)) {
+      val admitted = docs.filter(col("doc_id") % 10 >= 2)
+      BigramStore.buildTri(s, admitted.filter(col("doc_id") % 2 === 0),
+        name, loc, datasetTag = s"$d:building")
+      BigramStore.appendTri(s, admitted.filter(col("doc_id") % 2 === 1), name)
+      import s.implicits._
+      Seq(Tuple1(d)).toDF("dataset_tag")
+        .write.mode("overwrite").option("path", s"$loc/meta")
+        .saveAsTable(s"${name}_meta")
+    }
+    BigramStore.serveBackoff(s, docs.filter(col("doc_id") % 10 < 2), name, knTopV)
+      .orderBy("doc_id")
+  }
+
+  private def standingTrigramLmSql: String =
+    s"""WITH mtok AS (
+       |  SELECT t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE doc_id % 10 >= 2
+       |),
+       |cf AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS cf FROM mtok GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(SUM(cf) AS BIGINT) AS t_total,
+       |    CAST(count(*) AS BIGINT) AS v_size
+       |  FROM cf
+       |),
+       |mth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 10 >= 2
+       |),
+       |mtr AS (
+       |  SELECT th[j + 1] AS w1, th[j + 2] AS w2, th[j + 3] AS w3
+       |  FROM mth, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS u(j)
+       |),
+       |tf0 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS tf FROM mtr GROUP BY 1, 2, 3),
+       |tri AS (
+       |  SELECT w1, w2, w3, tf FROM tf0 ORDER BY tf DESC, w1, w2, w3 LIMIT $knTopV
+       |),
+       |c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tri GROUP BY 1, 2),
+       |mp AS (
+       |  SELECT th[j + 1] AS w1, th[j + 2] AS w2
+       |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
+       |),
+       |bf0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
+       |bf AS (
+       |  SELECT w1, w2, bf FROM bf0 ORDER BY bf DESC, w1, w2 LIMIT $knTopV
+       |),
+       |c2 AS (SELECT w1 AS w2, CAST(SUM(bf) AS BIGINT) AS c2 FROM bf GROUP BY 1),
+       |hth AS (
+       |  SELECT doc_id, string_split(text, ' ') AS th FROM documents WHERE doc_id % 10 < 2
+       |),
+       |htr AS (
+       |  SELECT doc_id, th[j + 1] AS w1, th[j + 2] AS w2, th[j + 3] AS w3
+       |  FROM hth, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS u(j)
+       |),
+       |scj AS (
+       |  SELECT hp.doc_id, tri.tf AS tf, c12.c12 AS c12, bg.bf AS bf,
+       |    c2.c2 AS c2, u3.cf AS cf3, st.t_total, st.v_size
+       |  FROM htr hp
+       |  LEFT JOIN tri ON tri.w1 = hp.w1 AND tri.w2 = hp.w2 AND tri.w3 = hp.w3
+       |  LEFT JOIN c12 ON c12.w1 = hp.w1 AND c12.w2 = hp.w2
+       |  LEFT JOIN bf bg ON bg.w1 = hp.w2 AND bg.w2 = hp.w3
+       |  LEFT JOIN c2 ON c2.w2 = hp.w2
+       |  LEFT JOIN cf u3 ON u3.w = hp.w3
+       |  CROSS JOIN st
+       |),
+       |sc AS (
+       |  SELECT doc_id, ${graft.text.BigramStore.backoffLnpStr} AS lnp_fp FROM scj
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triples,
+       |    CAST(sum(lnp_fp) AS BIGINT) AS s_fp
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_triples,
+       |  round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_triples), 6) AS ppl
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q81: fixed-budget context packing ---------------------------------
 
   def contextPack(s: SparkSession, d: String): DataFrame =
@@ -1483,6 +1578,7 @@ object Retrieval extends QueryModule {
     Q("q98_bigram_backoff", bigramBackoff, Some(bigramBackoffSql)),
     Q("q165_kneser_ney", kneserNey, Some(kneserNeySql)),
     Q("q198_standing_bigram_lm", standingBigramLm, Some(standingBigramLmSql)),
+    Q("q211_standing_trigram_lm", standingTrigramLm, Some(standingTrigramLmSql)),
     Q("q170_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     Q("q100_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q101_unigram_drift", unigramDrift, Some(unigramDriftSql)),

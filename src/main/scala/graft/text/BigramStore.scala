@@ -191,4 +191,117 @@ object BigramStore {
     RetrievalOps.knScore(RetrievalOps.knPairs(arrivals), capped,
       liveVSize(spark, name))
   }
+
+  // ======== trigram extension (q211): the family generalized in n ========
+  // One more ADDITIVE delta table (`name_trigrams`: batch_fp, w1, w2, w3,
+  // tf) on top of the existing bigram/unigram/docs tables — the same
+  // fingerprint dedup, tombstone compaction, and capped-serve discipline
+  // apply verbatim because [[liveDeltas]]/[[compactTable]] are
+  // key-generic. The serve is stupid backoff (Brants et al. 2007, the
+  // q98 construction raised one order): trigram ML → 0.4 · bigram ML →
+  // 0.4² · add-one unigram, every level's context total derived from the
+  // SAME capped relation it scores from (the serveKn discipline), so the
+  // capped model is self-consistent and engine-independent.
+
+  /** (doc_id, w1, w2, w3) sliding triples; slice lengths are
+    * greatest-guarded because Spark's sequence/slice DESCENDS or throws
+    * on negative lengths for texts shorter than 3 tokens. */
+  private def knTriples(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(expr(
+      """zip_with(
+        |  zip_with(
+        |    slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),
+        |    slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 2, 0)),
+        |    (a, b) -> struct(a AS w1, b AS w2)),
+        |  slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0)),
+        |  (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))""".stripMargin))
+      .as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+      col("p.w3").as("w3"))
+
+  private def trigramDelta(docs: DataFrame, fp: Long): DataFrame =
+    knTriples(docs)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+      .select(lit(fp).as("batch_fp"), col("w1"), col("w2"), col("w3"), col("tf"))
+
+  /** [[build]] plus the trigram delta table. */
+  def buildTri(spark: SparkSession, docs: DataFrame, name: String,
+      location: String, datasetTag: String = ""): Unit = {
+    trigramDelta(docs, batchFingerprint(docs))
+      .write.mode("overwrite").option("path", s"$location/trigrams")
+      .saveAsTable(s"${name}_trigrams")
+    build(spark, docs, name, location, datasetTag)
+  }
+
+  def matchesTri(spark: SparkSession, name: String, datasetTag: String): Boolean =
+    spark.catalog.tableExists(s"${name}_trigrams") &&
+      matches(spark, name, datasetTag)
+
+  /** [[append]] plus the trigram delta — the trigram rows land BEFORE the
+    * doc guard (inside [[append]]) so a crash-replay can only re-append
+    * an identical delta, which the (batch_fp, key) max-dedup collapses. */
+  def appendTri(spark: SparkSession, newDocs0: DataFrame, name: String,
+      idempotent: Boolean = false): Unit = {
+    val newDocs = if (!idempotent) newDocs0 else newDocs0.join(
+      spark.table(s"${name}_docs"), Seq("doc_id"), "left_anti").localCheckpoint()
+    trigramDelta(newDocs, batchFingerprint(newDocs))
+      .write.mode("append").saveAsTable(s"${name}_trigrams")
+    append(spark, newDocs, name)
+  }
+
+  /** [[compact]] plus the trigram table fold. */
+  def compactTri(spark: SparkSession, name: String): (Long, Long) = {
+    val (b3, a3) = compactTable(spark, s"${name}_trigrams",
+      Seq("w1", "w2", "w3"), "tf")
+    val (b, a) = compact(spark, name)
+    (b + b3, a + a3)
+  }
+
+  private[graft] def cappedTrigrams(spark: SparkSession, name: String,
+      topV: Int): DataFrame =
+    liveDeltas(spark, s"${name}_trigrams", Seq("w1", "w2", "w3"), "tf")
+      .orderBy(col("tf").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topV)
+
+  /** The shared stupid-backoff score string (1e9 fixed point; needs cols
+    * tf, c12, bf, c2, cf3, t_total, v_size — NULL-driven level choice). */
+  val backoffLnpStr: String =
+    "CASE WHEN tf IS NOT NULL THEN " +
+      "CAST(round(ln(CAST(tf AS DOUBLE) / c12) * 1e9, 0) AS BIGINT) " +
+      "WHEN bf IS NOT NULL THEN " +
+      "CAST(round(ln(0.4) * 1e9, 0) AS BIGINT) " +
+      "+ CAST(round(ln(CAST(bf AS DOUBLE) / c2) * 1e9, 0) AS BIGINT) " +
+      "ELSE " +
+      "CAST(round(ln(0.4) * 1e9, 0) AS BIGINT) " +
+      "+ CAST(round(ln(0.4) * 1e9, 0) AS BIGINT) " +
+      "+ CAST(round(ln((CAST(COALESCE(cf3, 0) AS DOUBLE) + 1.0) " +
+      "/ CAST(t_total + v_size AS DOUBLE)) * 1e9, 0) AS BIGINT) END"
+
+  /** Serve stupid-backoff trigram scoring of arrivals from the standing
+    * model, trigrams and bigrams each capped at their top-V types:
+    * (doc_id, n_triples, ppl). */
+  def serveBackoff(spark: SparkSession, arrivals: DataFrame, name: String,
+      topV: Int): DataFrame = {
+    val tri = cappedTrigrams(spark, name, topV).localCheckpoint()
+    val bi = cappedBigrams(spark, name, topV).localCheckpoint()
+    val uni = liveDeltas(spark, s"${name}_grams", Seq("w"), "cf")
+      .localCheckpoint() // vocab-sized; 2 consumers (cf3 + totals)
+    val c12 = tri.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+    val c2 = bi.groupBy("w1").agg(sum("bf").as("c2"))
+      .selectExpr("w1 AS w2", "c2")
+    val st = uni.agg(sum("cf").as("t_total"), count(lit(1)).as("v_size"))
+    knTriples(arrivals)
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(bi.selectExpr("w1 AS w2", "w2 AS w3", "bf")),
+        Seq("w2", "w3"), "left")
+      .join(broadcast(c2), Seq("w2"), "left")
+      .join(broadcast(uni.selectExpr("w AS w3", "cf AS cf3")), Seq("w3"), "left")
+      .crossJoin(broadcast(st))
+      .selectExpr("doc_id", s"$backoffLnpStr AS lnp_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triples"), sum("lnp_fp").as("s_fp"))
+      .selectExpr("doc_id", "n_triples",
+        "round(exp(-(CAST(s_fp AS DOUBLE) / 1e9) / n_triples), 6) AS ppl")
+  }
 }

@@ -127,6 +127,70 @@ class BigramStoreSpec extends SparkSpec {
     assert(serve() == mid, "second fold must be invariant too")
   }
 
+  test("q211 trigram extension: append equals rebuild; fold invariant; replay adds nothing") {
+    def freshTri(name: String, rows: Seq[(Long, String)]): Unit = {
+      Seq("trigrams", "bigrams", "grams", "docs", "meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+      BigramStore.buildTri(spark, df2(rows), name,
+        location = s"/tmp/$name", datasetTag = "fix")
+    }
+    freshTri("graft_test_trg_a", corpusA)
+    BigramStore.appendTri(spark, df2(corpusB), "graft_test_trg_a")
+    freshTri("graft_test_trg_b", corpusA ++ corpusB)
+    def serve(name: String) = canon(BigramStore.serveBackoff(spark,
+      df2(arrivals), name, 512).collect())
+    val a = serve("graft_test_trg_a")
+    assert(a.nonEmpty && a == serve("graft_test_trg_b"),
+      "trigram append must equal rebuild")
+    // idempotent replay of an admitted batch shifts nothing
+    BigramStore.appendTri(spark, df2(corpusB), "graft_test_trg_a",
+      idempotent = true)
+    assert(serve("graft_test_trg_a") == a, "replay must add nothing")
+    // delta fold is serve-invariant and the store stays live
+    val (rb, ra) = BigramStore.compactTri(spark, "graft_test_trg_a")
+    assert(ra <= rb && serve("graft_test_trg_a") == a,
+      s"fold must shrink ($rb -> $ra) and stay serve-invariant")
+    BigramStore.appendTri(spark, df2(Seq((31L, "q r q r q"))), "graft_test_trg_a")
+    assert(serve("graft_test_trg_a") != a, "new admission must still shift the model")
+  }
+
+  test("q211 backoff chain: seen trigram, backed-off bigram, and add-one unigram levels each hand-check") {
+    freshTriCorpus()
+    // model "a b c a b c" ×1 doc: trigrams (a,b,c)×2, (b,c,a), (c,a,b);
+    // bigrams (a,b)×2, (b,c)×2, (c,a); unigrams a,b,c ×2 each
+    def ppl(p: Double, n: Long = 1L) = {
+      val lnFp = BigDecimal(math.log(p) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      BigDecimal(math.exp(-(lnFp / 1e9) / n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ln04 = BigDecimal(math.log(0.4) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def pplChain(fps: Long*) = BigDecimal(math.exp(-(fps.sum / 1e9) / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fp(p: Double) = BigDecimal(math.log(p) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val out = BigramStore.serveBackoff(spark,
+      df2(Seq((41L, "a b c"), (42L, "x b c"), (43L, "q r s"))),
+      "graft_test_trg_c", 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // seen trigram: tf(a,b,c)=2, c12(a,b)=2 → p = 1
+    assert(out(41L) === ((1L, ppl(1.0))), s"seen trigram: ${out(41L)}")
+    // unseen trigram, seen bigram (b,c): 0.4 · bf(b,c)/c2(b) = 0.4 · 2/2
+    assert(out(42L) === ((1L, pplChain(ln04, fp(2.0 / 2.0)))),
+      s"bigram backoff level: ${out(42L)}")
+    // fully unseen: 0.4² · (0+1)/(t_total=6 + v_size=3)
+    assert(out(43L) === ((1L, pplChain(ln04, ln04, fp(1.0 / 9.0)))),
+      s"unigram backoff level: ${out(43L)}")
+  }
+
+  private def freshTriCorpus(): Unit = {
+    Seq("trigrams", "bigrams", "grams", "docs", "meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_test_trg_c_$t"))
+    BigramStore.buildTri(spark, df2(Seq((1L, "a b c a b c"))),
+      "graft_test_trg_c", location = "/tmp/graft_test_trg_c", datasetTag = "fix")
+  }
+
   test("streaming score-then-admit equals the sequential loop across model drift") {
     val s = spark
     import s.implicits._
