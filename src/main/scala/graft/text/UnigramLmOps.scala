@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   * are exact sums of 1e9-fixed-point log-probs, and the argmax tie-break
   * (score DESC, piece count ASC, segmentation string ASC) is total — so
   * both engines pick identical segmentations, which is what makes the
-  * training oracle-checkable at all.
+  * training oracle-checkable at all. Residual risk: the fixed-point
+  * INPUTS are ln() values, engine/libm-dependent at the last ulp; a
+  * disagreement exactly on a .5 rounding boundary could flip one
+  * lnp_fp. Audited (SCALE.md, the q196 margin pattern): min boundary
+  * distance across every segmenting model relation is ≥ 6.6e-4 at both
+  * SFs vs ~1e-6 of worst-case ulp drift — ≥ 650× margin on fixtures.
   *
   * Seeding counts every substring occurrence of length ≤ 4 (the standard
   * suffix-array seed truncated to the enumerable length); every M-step
