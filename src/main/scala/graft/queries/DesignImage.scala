@@ -1699,36 +1699,135 @@ object DesignImage extends QueryModule {
     moduleRolesWith(pe, lpaModules(pe))
   }
 
+  // ---- q212: Newman modularity Q of the LPA partition ----------------------
+  // The quality statistic module detection REPORTS (Newman 2006; Rubinov
+  // & Sporns 2010 §"modularity"): Q = Σ_m [ e_mm/M − (d_m/2M)² ] over
+  // the same positive-tie r ≥ 0.2 graph and the same LPA labels as
+  // q208 — per module its node count, intra-module edge count, total
+  // degree, exact-integer contribution numerator qn = 4·M·e_mm − d_m²,
+  // and the graph-level Q = Σqn / 4M² repeated per row (the q184
+  // eff_glob convention). Every numerator is an exact integer; ONE
+  // correctly-rounded double division per output (the q166 discipline).
+  // Q near 0 ⇒ no better than chance; the planted two-clique spec pins
+  // the textbook Q = 5/14 with a bridge and 1/2 without.
+  //
+  // Scale shape: everything after the connectome moments is NP²-bounded
+  // (edge relation) with NP-bounded module aggregates — q208's class.
+
+  /** Modularity core from a q168-shaped pair relation and (p, m)
+    * modules: (module, n_nodes, e_in, d_tot, q_contrib, q). */
+  private[graft] def modularityCore(pairs0: DataFrame,
+      modules: DataFrame): DataFrame = {
+    val ones = pairs0.filter(col("edge") === 1).select("p1", "p2")
+    val mods = modules.localCheckpoint() // NP-bounded; 3 consumers
+    val ml = ones
+      .join(broadcast(mods.selectExpr("p AS p1", "m AS m1")), Seq("p1"))
+      .join(broadcast(mods.selectExpr("p AS p2", "m AS m2")), Seq("p2"))
+      .localCheckpoint() // edge-bounded; 3 consumers (M, e_in, degrees)
+    val me = ml.agg(count(lit(1)).as("m_edges"))
+    val ein = ml.filter(col("m1") === col("m2"))
+      .groupBy(col("m1").as("module")).agg(count(lit(1)).as("e_in"))
+    val dm = ml.selectExpr("m1 AS module").unionByName(ml.selectExpr("m2 AS module"))
+      .groupBy("module").agg(count(lit(1)).as("d_tot"))
+    val per = mods.groupBy(col("m").as("module")).agg(count(lit(1)).as("n_nodes"))
+      .join(ein, Seq("module"), "left")
+      .join(dm, Seq("module"), "left")
+      .na.fill(0L, Seq("e_in", "d_tot"))
+      .crossJoin(broadcast(me))
+      .selectExpr("module", "n_nodes", "e_in", "d_tot", "m_edges",
+        "4 * m_edges * e_in - d_tot * d_tot AS qn")
+      .localCheckpoint() // modules-bounded; output + Q sum
+    per
+      .crossJoin(broadcast(per.agg(sum("qn").as("qsum"))))
+      .selectExpr("module", "n_nodes", "e_in", "d_tot",
+        "CASE WHEN m_edges > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q_contrib",
+        "CASE WHEN m_edges > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q")
+      .orderBy("module")
+  }
+
+  def modularityQ(s: SparkSession, d: String): DataFrame = {
+    val pe = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
+    modularityCore(pe, lpaModules(pe))
+  }
+
+  private def modularityQSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${lpaCtes(lpaRounds)},
+       |mml AS MATERIALIZED (
+       |  SELECT a.m AS m1, b.m AS m2
+       |  FROM mones JOIN mmod a ON a.p = mones.p1 JOIN mmod b ON b.p = mones.p2
+       |),
+       |mE AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mml),
+       |ein AS (
+       |  SELECT m1 AS module, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM mml WHERE m1 = m2 GROUP BY 1
+       |),
+       |dm AS (
+       |  SELECT m AS module, CAST(count(*) AS BIGINT) AS d_tot FROM (
+       |    SELECT m1 AS m FROM mml UNION ALL SELECT m2 AS m FROM mml
+       |  ) GROUP BY 1
+       |),
+       |nn AS (
+       |  SELECT m AS module, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM mmod GROUP BY 1
+       |),
+       |per AS MATERIALIZED (
+       |  SELECT nn.module, nn.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
+       |    COALESCE(dm.d_tot, 0) AS d_tot, mE.m_edges,
+       |    4 * mE.m_edges * COALESCE(ein.e_in, 0)
+       |      - COALESCE(dm.d_tot, 0) * COALESCE(dm.d_tot, 0) AS qn
+       |  FROM nn
+       |  LEFT JOIN ein ON ein.module = nn.module
+       |  LEFT JOIN dm ON dm.module = nn.module
+       |  CROSS JOIN mE
+       |),
+       |qt AS (SELECT CAST(SUM(qn) AS BIGINT) AS qsum FROM per)
+       |SELECT module, n_nodes, e_in, d_tot,
+       |  CASE WHEN m_edges > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q_contrib,
+       |  CASE WHEN m_edges > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q
+       |FROM per CROSS JOIN qt
+       |ORDER BY module""".stripMargin
+
   /** The generated LPA round CTEs: lp0 … lp{rounds} over mparcels/msym,
     * ending in `mmod(p, m)`. */
   private def lpaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
-      s"""lpv$i AS (
+      s"""lpv$i AS MATERIALIZED (
          |  SELECT v.p, v.lab, CAST(count(*) AS BIGINT) AS c FROM (
          |    SELECT s.p AS p, l.lab AS lab FROM msym s JOIN lp${i - 1} l ON l.p = s.q
          |    UNION ALL
          |    SELECT p, lab FROM lp${i - 1}
          |  ) v GROUP BY v.p, v.lab
          |),
-         |lp$i AS (
+         |lp$i AS MATERIALIZED (
          |  SELECT p, lab FROM (
          |    SELECT p, lab, ROW_NUMBER() OVER (PARTITION BY p
          |      ORDER BY c DESC, lab ASC) AS rn
          |    FROM lpv$i) WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""lp0 AS (SELECT p, p AS lab FROM mparcels),
+    s"""lp0 AS MATERIALIZED (SELECT p, p AS lab FROM mparcels),
        |$roundCtes,
-       |mmod AS (SELECT p, CAST(lab AS INTEGER) AS m FROM lp$rounds)""".stripMargin
+       |mmod AS MATERIALIZED (SELECT p, CAST(lab AS INTEGER) AS m FROM lp$rounds)""".stripMargin
   }
 
   private def moduleLpaSql: String =
     s"""WITH $connectomeCtes,
-       |pe2 AS (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
-       |mparcels AS (SELECT DISTINCT p FROM (
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
        |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
-       |mones AS (SELECT p1, p2 FROM pe2 WHERE edge = 1),
-       |msym AS (SELECT p, q FROM (
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
        |  SELECT p1 AS p, p2 AS q FROM mones
        |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
        |${lpaCtes(lpaRounds)},
@@ -2850,6 +2949,7 @@ object DesignImage extends QueryModule {
     Q("q203_eigen_centrality", eigenCentrality, Some(eigenCentralitySql)),
     Q("q204_module_roles", moduleRoles, Some(moduleRolesSql)),
     Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
+    Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

@@ -767,6 +767,31 @@ class InferenceQcSpec extends SparkSpec {
       s"interior clique nodes are provincial: $roles")
   }
 
+  test("q212: modularity Q hits the textbook two-clique values (5/14 bridged, 1/2 disconnected)") {
+    val s = spark
+    import s.implicits._
+    val bridged = Seq(
+      (0, 1, 1L), (0, 2, 1L), (1, 2, 1L),
+      (10, 11, 1L), (10, 12, 1L), (11, 12, 1L),
+      (2, 10, 1L),
+    ).toDF("p1", "p2", "edge")
+    def q(pe: org.apache.spark.sql.DataFrame): Double =
+      graft.queries.DesignImage.modularityCore(pe,
+        graft.queries.DesignImage.lpaModules(pe))
+        .head().getAs[Double]("q")
+    // M=7, per clique e=3, d=7: Q = 2·(3/7 − (7/14)²) = 5/14
+    assert(q(bridged) === BigDecimal(5.0 / 14.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, "bridged 5/14")
+    // disconnected cliques: M=6, e=3, d=6 each: Q = 2·(1/2 − 1/4) = 1/2
+    assert(q(bridged.filter("NOT (p1 = 2 AND p2 = 10)")) === 0.5,
+      "disconnected 1/2")
+    // per-module rows carry exact counts
+    val rows = graft.queries.DesignImage.modularityCore(bridged,
+      graft.queries.DesignImage.lpaModules(bridged))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set((3L, 3L, 7L)), s"both modules read (n=3, e_in=3, d=7): $rows")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._
