@@ -451,7 +451,7 @@ object Retrieval extends QueryModule {
        |  SELECT th[j + 1] AS w1, th[j + 2] AS w2
        |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
        |),
-       |bf AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
+       |bf AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
        |cl AS (
        |  SELECT w1, CAST(sum(bf) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1l
        |  FROM bf GROUP BY w1
@@ -536,7 +536,7 @@ object Retrieval extends QueryModule {
        |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
        |),
        |bf0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
-       |bf AS (
+       |bf AS MATERIALIZED (
        |  SELECT w1, w2, bf FROM bf0 ORDER BY bf DESC, w1, w2 LIMIT $knTopV
        |),
        |cl AS (
@@ -608,7 +608,7 @@ object Retrieval extends QueryModule {
        |  SELECT t.term FROM documents, unnest(string_split(text, ' ')) AS t(term)
        |  WHERE doc_id % 10 >= 2
        |),
-       |cf AS (SELECT term AS w, CAST(count(*) AS BIGINT) AS cf FROM mtok GROUP BY 1),
+       |cf AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS cf FROM mtok GROUP BY 1),
        |st AS (
        |  SELECT CAST(SUM(cf) AS BIGINT) AS t_total,
        |    CAST(count(*) AS BIGINT) AS v_size
@@ -622,7 +622,7 @@ object Retrieval extends QueryModule {
        |  FROM mth, unnest(CASE WHEN len(th) >= 3 THEN range(len(th) - 2) ELSE [] END) AS u(j)
        |),
        |tf0 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS tf FROM mtr GROUP BY 1, 2, 3),
-       |tri AS (
+       |tri AS MATERIALIZED (
        |  SELECT w1, w2, w3, tf FROM tf0 ORDER BY tf DESC, w1, w2, w3 LIMIT $knTopV
        |),
        |c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tri GROUP BY 1, 2),
@@ -631,7 +631,7 @@ object Retrieval extends QueryModule {
        |  FROM mth, unnest(CASE WHEN len(th) >= 2 THEN range(len(th) - 1) ELSE [] END) AS u(j)
        |),
        |bf0 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bf FROM mp GROUP BY w1, w2),
-       |bf AS (
+       |bf AS MATERIALIZED (
        |  SELECT w1, w2, bf FROM bf0 ORDER BY bf DESC, w1, w2 LIMIT $knTopV
        |),
        |c2 AS (SELECT w1 AS w2, CAST(SUM(bf) AS BIGINT) AS c2 FROM bf GROUP BY 1),

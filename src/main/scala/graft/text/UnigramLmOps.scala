@@ -236,7 +236,7 @@ object UnigramLmOps {
        |    ON m.piece = substring(s.w, s.pos + 1, length(m.piece))
        |  WHERE s.pos < length(s.w)
        |),
-       |ubest$i AS (
+       |ubest$i AS MATERIALIZED (
        |  SELECT w, seg, np FROM (
        |    SELECT w, seg, np, ROW_NUMBER() OVER (PARTITION BY w
        |      ORDER BY sc DESC, np ASC, seg ASC) AS rn
@@ -249,13 +249,13 @@ object UnigramLmOps {
     * stays in a subquery (the engine-wide WITH RECURSIVE caveat). */
   private def fallbackModelCtes(sfx: String, model: String,
       wordsSrc: String): String =
-    s"""uoov$sfx AS (
+    s"""uoov$sfx AS MATERIALIZED (
        |  SELECT piece FROM (
        |    SELECT DISTINCT substring(w, s.i + 1, 1) AS piece
        |    FROM $wordsSrc, unnest(range(length(w))) AS s(i)
        |  ) cx WHERE NOT EXISTS (SELECT 1 FROM $model m WHERE m.piece = cx.piece)
        |),
-       |umfx$sfx AS (
+       |umfx$sfx AS MATERIALIZED (
        |  SELECT piece, lnp_fp FROM (
        |    SELECT piece, lnp_fp FROM $model
        |    UNION ALL
@@ -264,7 +264,7 @@ object UnigramLmOps {
        |)""".stripMargin
 
   private def recountCte(i: Int): String =
-    s"""uc$i AS (
+    s"""uc$i AS MATERIALIZED (
        |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
        |    SELECT u.piece AS piece, uwf.freq AS cnt
        |    FROM ubest$i b JOIN uwf ON uwf.w = b.w,
@@ -274,7 +274,7 @@ object UnigramLmOps {
        |)""".stripMargin
 
   private def modelCte(name: String, counts: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT piece, $lnpStr AS lnp_fp
        |  FROM $counts CROSS JOIN (SELECT SUM(cnt) AS tot FROM $counts)
        |)""".stripMargin
@@ -292,17 +292,17 @@ object UnigramLmOps {
       Seq(segCte(i, model, "uwf"), recountCte(i)) ++
         (if (i < rounds) Seq(modelCte(s"um$i", s"uc$i")) else Nil)
     }.flatten.mkString(",\n")
-    s"""uwf AS (
+    s"""uwf AS MATERIALIZED (
        |  SELECT t.term AS w, CAST(count(*) AS BIGINT) AS freq
        |  FROM $docsSrc, unnest(string_split(text, ' ')) AS t(term)
        |  WHERE t.term <> ''
        |  GROUP BY 1
        |),
-       |uchars AS (
+       |uchars AS MATERIALIZED (
        |  SELECT DISTINCT substring(w, s.i + 1, 1) AS piece
        |  FROM uwf, unnest(range(length(w))) AS s(i)
        |),
-       |uc0 AS (
+       |uc0 AS MATERIALIZED (
        |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
        |    SELECT substring(w, s.i + 1, l.l) AS piece, freq
        |    FROM uwf, unnest(range(length(w))) AS s(i),
@@ -312,10 +312,10 @@ object UnigramLmOps {
        |),
        |${modelCte("um0", "uc0")},
        |$emBlocks,
-       |ucap AS (
+       |ucap AS MATERIALIZED (
        |  SELECT piece, cnt FROM uc$rounds ORDER BY cnt DESC, piece ASC LIMIT $capV
        |),
-       |ufin AS (
+       |ufin AS MATERIALIZED (
        |  SELECT piece, MAX(cnt) AS cnt FROM (
        |    SELECT piece, cnt FROM ucap
        |    UNION ALL
@@ -340,7 +340,7 @@ object UnigramLmOps {
     * [[oracleCtes]] by q202/q206's oracles. */
   def greedySegCtes(wordsSrc: String = "uwf"): String =
     s"""${fallbackModelCtes("g", "umf", wordsSrc)},
-       |ulm AS (
+       |ulm AS MATERIALIZED (
        |  SELECT w, p.i AS pos, CAST(MAX(length(m.piece)) AS BIGINT) AS l
        |  FROM $wordsSrc, unnest(range(length(w))) AS p(i)
        |  JOIN umfxg m ON m.piece = substring(w, p.i + 1, length(m.piece))
@@ -353,5 +353,5 @@ object UnigramLmOps {
        |  FROM ugseg s JOIN ulm ON ulm.w = s.w AND ulm.pos = s.pos
        |  WHERE s.pos < length(s.w)
        |),
-       |ugw AS (SELECT w, np FROM ugseg WHERE pos = length(w))""".stripMargin
+       |ugw AS MATERIALIZED (SELECT w, np FROM ugseg WHERE pos = length(w))""".stripMargin
 }
