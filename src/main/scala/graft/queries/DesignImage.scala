@@ -1152,7 +1152,7 @@ object DesignImage extends QueryModule {
        |    CAST(round(($edgeZStr) * 1e6, 0) AS BIGINT) AS z_fp
        |  FROM (SELECT g, p1, p2, $connRStr AS r_par FROM mmom)
        |),
-       |fl AS (
+       |fl AS MATERIALIZED (
        |  SELECT p1 AS run, g, p2 AS j, z_fp AS b_fp FROM zed
        |  WHERE z_fp IS NOT NULL
        |)""".stripMargin

@@ -697,7 +697,7 @@ object Glm extends QueryModule {
 
   private def ancovaGlmSql: String =
     s"""WITH $multiRunBetaCtes,
-       |fl AS (
+       |fl AS MATERIALIZED (
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
        |  FROM gj2
        |),
@@ -1227,7 +1227,7 @@ object Glm extends QueryModule {
 
   private def signFlipCtesWhere(flWhere: String): String =
     s"""$multiRunBetaCtes,
-       |fl AS (
+       |fl AS MATERIALIZED (
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
        |  FROM gj2$flWhere
        |),
@@ -1237,14 +1237,14 @@ object Glm extends QueryModule {
     * (run, g, j, b_fp) first-level facts — shared by every first-level
     * flavor (the q103 OLS fit, the q157 AR(1) fit, a standing store). */
   private[queries] def permCtes: String =
-    s"""base AS (
+    s"""base AS MATERIALIZED (
        |  SELECT run, j, n, q, $permTStr AS t_obs FROM (
        |    SELECT run, j, COUNT(*) AS n,
        |      CAST(SUM(b_fp) AS DOUBLE) / (COUNT(*) * 1e6) AS m,
        |      CAST(SUM(CAST(b_fp AS HUGEINT) * b_fp) AS DOUBLE) / 1e12 AS q
        |    FROM fl GROUP BY run, j)
        |),
-       |perms AS (
+       |perms AS MATERIALIZED (
        |  SELECT run, j, perm, COUNT(*) AS n,
        |    CAST(SUM(CASE WHEN (((perm * 2654435761 + g * 40503 + 17) % ${graft.text.TextOps.P}) *
        |        ((perm * 2654435761 + g * 40503 + 17) % ${graft.text.TextOps.P})) % ${graft.text.TextOps.P} % 2 = 0
@@ -1252,12 +1252,12 @@ object Glm extends QueryModule {
        |  FROM fl, (SELECT CAST(r.r AS BIGINT) AS perm FROM unnest(range($PermP)) AS r(r))
        |  GROUP BY run, j, perm
        |),
-       |pt AS (
+       |pt AS MATERIALIZED (
        |  SELECT perms.run, perms.j, perms.perm, $permTStr AS t_p
        |  FROM perms JOIN (SELECT run, j, q FROM base) b
        |    ON b.run = perms.run AND b.j = perms.j
        |),
-       |pp AS (
+       |pp AS MATERIALIZED (
        |  SELECT base.run AS run, CAST(base.j AS BIGINT) AS j,
        |    CAST(base.n AS BIGINT) AS n,
        |    round(base.t_obs, 6) AS t_obs,
@@ -1917,7 +1917,7 @@ object Glm extends QueryModule {
        |  FROM white JOIN rg USING (run, g) JOIN a USING (run)
        |),
        |$stageCtes,
-       |fl AS (
+       |fl AS MATERIALIZED (
        |  SELECT run, g, j, CAST(round(beta * 1e6, 0) AS BIGINT) AS b_fp
        |  FROM ($unpiv)
        |),

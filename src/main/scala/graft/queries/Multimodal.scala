@@ -192,7 +192,7 @@ object Multimodal extends QueryModule {
        |  FROM blocks_$sx bl JOIN kern k ON k.b = bl.b
        |  GROUP BY doc_id, k.k
        |),
-       |ph_$sx AS (
+       |ph_$sx AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN c > 0 THEN
        |      CASE WHEN k = ${Phash.Bits64} THEN CAST(-9223372036854775808 AS BIGINT)
@@ -200,7 +200,7 @@ object Multimodal extends QueryModule {
        |      ELSE 0 END) AS BIGINT) AS ph
        |  FROM coef_$sx GROUP BY doc_id
        |),
-       |bands_$sx AS (
+       |bands_$sx AS MATERIALIZED (
        |  SELECT doc_id, ph, r.r AS r, (ph >> (16 * r.r)) & 65535 AS bv
        |  FROM ph_$sx, unnest(range(4)) AS r(r)
        |)""".stripMargin
@@ -533,7 +533,7 @@ object Multimodal extends QueryModule {
        |  SELECT doc_id, text, octet_length(encode(text)) // $KfFrameBytes AS n_frames
        |  FROM documents
        |),
-       |frames AS (
+       |frames AS MATERIALIZED (
        |  SELECT doc_id, r.f * 2 + o.i AS frame_idx,
        |    substring(text, CAST(r.f * $KfFrameBytes + 1 AS INTEGER), $KfFrameBytes) AS ftext
        |  FROM fmedia, unnest(range(0, n_frames, 1)) AS r(f),

@@ -1064,7 +1064,7 @@ object TextDedup extends QueryModule {
       val sums = (0 until k).map(j =>
         s"CAST(SUM(CAST(round((f.y - 1.0/(1.0 + exp(-($margin)))) * f.x$j * 1000000) AS BIGINT)) AS BIGINT) AS g$j")
         .mkString(",\n    ")
-      s"""g$i AS (
+      s"""g$i AS MATERIALIZED (
          |  SELECT $sums,
          |    COUNT(*) AS n
          |  FROM feat f CROSS JOIN w${i - 1} w
@@ -1073,12 +1073,12 @@ object TextDedup extends QueryModule {
     def wCte(i: Int): String = {
       val ws = (0 until k).map(j =>
         s"w.w$j + CAST(floor(g.g$j / (2.0 * g.n)) AS BIGINT) AS w$j").mkString(", ")
-      s"w$i AS (SELECT $ws FROM w${i - 1} w CROSS JOIN g$i g)"
+      s"w$i AS MATERIALIZED (SELECT $ws FROM w${i - 1} w CROSS JOIN g$i g)"
     }
     val chain = (1 to logitSteps).map(i => s"${gradCte(i)},\n${wCte(i)}").mkString(",\n")
     val zeros = (0 until k).map(_ => "CAST(0 AS BIGINT)").mkString(", ")
     val wCols = (0 until k).map(j => s"w$j").mkString(", ")
-    s"""tok AS (
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id, u.t AS tok
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), unnest(w) AS u(t)
        |),
@@ -1089,7 +1089,7 @@ object TextDedup extends QueryModule {
        |    sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS nstop
        |  FROM tok GROUP BY doc_id
        |),
-       |feat AS (
+       |feat AS MATERIALIZED (
        |  SELECT d.doc_id,
        |    CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
        |    1.0 AS x0,
