@@ -1862,6 +1862,361 @@ object DesignImage extends QueryModule {
        |FROM mown o JOIN mmom ON mmom.m = o.m
        |ORDER BY o.p""".stripMargin
 
+  // ---- q213: rich-club coefficient -----------------------------------------
+  // van den Heuvel & Sporns 2011 (J Neurosci 31:15775) / Colizza et al.
+  // 2006: for every degree level k, phi(k) = 2·E_k / (N_k·(N_k − 1)) where
+  // N_k counts nodes of degree > k and E_k the edges with BOTH endpoints
+  // of degree > k; phi(k) → 1 at high k reads "rich club". Runs over the
+  // q168 |r| ≥ 0.1 graph (the q173 convention — rich-club needs density,
+  // not module structure). All counts exact integers; ONE correctly-
+  // rounded double division per level (the q166 discipline); N_k < 2
+  // leaves phi NULL. The k levels derive from the graph itself
+  // (1 .. max-degree − 1) behind a kmax ≥ 2 guard — Spark's
+  // sequence(lo, hi) DESCENDS when hi < lo (the knTriples trap), so an
+  // edgeless graph yields array() and an empty sweep, matching DuckDB's
+  // empty generate_series.
+  //
+  // Scale shape: degree fold NP-bounded, level relation ≤ NP rows, the
+  // level×edge theta-join NP³-bounded worst case (q184's class) with the
+  // level side broadcast; no window, no driver state.
+
+  private[graft] def richClubCore(pairs0: DataFrame): DataFrame = {
+    val ones = pairs0.filter(col("edge") === 1).select("p1", "p2")
+      .localCheckpoint() // NP²-bounded; degree fold + level join
+    val deg = ones.select(col("p1").as("p"))
+      .union(ones.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // NP-bounded; 3 consumers
+    val ks = deg.agg(max("deg").as("kmax"))
+      .selectExpr("explode(CASE WHEN kmax >= 2 " +
+        "THEN sequence(CAST(1 AS BIGINT), kmax - 1) ELSE array() END) AS k")
+      .localCheckpoint() // ≤ NP rows; 3 consumers
+    val nk = broadcast(ks).join(deg, col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val ed = ones
+      .join(broadcast(deg.selectExpr("p AS p1", "deg AS d1")), Seq("p1"))
+      .join(broadcast(deg.selectExpr("p AS p2", "deg AS d2")), Seq("p2"))
+      .selectExpr("least(d1, d2) AS dmin")
+    val ek = broadcast(ks).join(ed, col("dmin") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_k"))
+    ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("n_k", "e_k"))
+      .selectExpr("k", "n_k", "e_k",
+        "CASE WHEN n_k >= 2 THEN round(2.0 * e_k / (CAST(n_k AS DOUBLE) * (n_k - 1)), 6) END AS phi")
+      .orderBy("k")
+  }
+
+  def richClub(s: SparkSession, d: String): DataFrame =
+    richClubCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def richClubSql: String =
+    s"""WITH $connectomeCtes,
+       |rcones AS MATERIALIZED (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |rcdeg AS MATERIALIZED (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM rcones UNION ALL SELECT p2 AS p FROM rcones
+       |  ) GROUP BY p
+       |),
+       |rck AS MATERIALIZED (
+       |  SELECT CAST(unnest(generate_series(1,
+       |    (SELECT CAST(MAX(deg) AS BIGINT) FROM rcdeg) - 1)) AS BIGINT) AS k
+       |),
+       |rcnk AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_k
+       |  FROM rck JOIN rcdeg ON rcdeg.deg > rck.k GROUP BY k
+       |),
+       |rced AS MATERIALIZED (
+       |  SELECT least(d1.deg, d2.deg) AS dmin
+       |  FROM rcones
+       |  JOIN rcdeg d1 ON d1.p = rcones.p1
+       |  JOIN rcdeg d2 ON d2.p = rcones.p2
+       |),
+       |rcek AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS e_k
+       |  FROM rck JOIN rced ON rced.dmin > rck.k GROUP BY k
+       |)
+       |SELECT rck.k, COALESCE(rcnk.n_k, 0) AS n_k, COALESCE(rcek.e_k, 0) AS e_k,
+       |  CASE WHEN COALESCE(rcnk.n_k, 0) >= 2
+       |    THEN round(2.0 * COALESCE(rcek.e_k, 0) / (CAST(rcnk.n_k AS DOUBLE) * (rcnk.n_k - 1)), 6) END AS phi
+       |FROM rck
+       |LEFT JOIN rcnk ON rcnk.k = rck.k
+       |LEFT JOIN rcek ON rcek.k = rck.k
+       |ORDER BY rck.k""".stripMargin
+
+  // ---- q214: degree assortativity ------------------------------------------
+  // Newman 2002 (PRL 89:208701) degree-correlation coefficient, the
+  // mixing statistic of Rubinov & Sporns 2010 §"assortativity": Pearson r
+  // of endpoint degrees over the DIRECTED symmetrization of the edge list
+  // (each undirected edge contributes (j,k) AND (k,j) — the standard
+  // convention). With Sj = Σdj, Sjk = Σdj·dk, Sjj = Σdj² over the 2M
+  // directed pairs (Σdj = Σdk by symmetry),
+  //   r = (2M·Sjk − Sj²) / (2M·Sjj − Sj²)
+  // — numerator and denominator EXACT integers (DECIMAL(38,0) sums,
+  // HUGEINT in the oracle, both routed through BIGINT — the q166 cast
+  // class; at atlas scale NP ≈ 10³ the products stay < 2^60), ONE
+  // correctly-rounded division. Cauchy–Schwarz makes the denominator
+  // ≥ 0 with equality exactly on regular graphs → NULL there.
+  //
+  // Scale shape: one NP-bounded degree fold, one NP²-bounded pair join
+  // against the broadcast degrees, a single global aggregate row.
+
+  private[graft] def assortativityCore(pairs0: DataFrame): DataFrame = {
+    val ones = pairs0.filter(col("edge") === 1).select("p1", "p2")
+      .localCheckpoint() // NP²-bounded; degree fold + pair join
+    val deg = ones.select(col("p1").as("p"))
+      .union(ones.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    val dir = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+    dir
+      .join(broadcast(deg.selectExpr("p AS a", "deg AS dj")), Seq("a"))
+      .join(broadcast(deg.selectExpr("p AS b", "deg AS dk")), Seq("b"))
+      .agg(count(lit(1)).as("m2"),
+        sum("dj").as("sj"),
+        sum(expr("CAST(dj AS DECIMAL(38,0)) * dk")).as("sjk"),
+        sum(expr("CAST(dj AS DECIMAL(38,0)) * dj")).as("sjj"))
+      .selectExpr(
+        "CAST(m2 AS BIGINT) AS m2",
+        "CAST(COALESCE(sj, 0) AS BIGINT) AS s_j",
+        "CAST(COALESCE(sjk, 0) AS BIGINT) AS s_jk",
+        "CAST(COALESCE(sjj, 0) AS BIGINT) AS s_jj")
+      .selectExpr("m2", "s_j", "s_jk", "s_jj",
+        "CASE WHEN m2 * s_jj - s_j * s_j > 0 " +
+          "THEN round(CAST(m2 * s_jk - s_j * s_j AS DOUBLE) / (m2 * s_jj - s_j * s_j), 6) END AS r_assort")
+      .orderBy("m2")
+  }
+
+  def assortativity(s: SparkSession, d: String): DataFrame =
+    assortativityCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def assortativitySql: String =
+    s"""WITH $connectomeCtes,
+       |asones AS MATERIALIZED (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |asdeg AS MATERIALIZED (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM asones UNION ALL SELECT p2 AS p FROM asones
+       |  ) GROUP BY p
+       |),
+       |asdir AS (SELECT a, b FROM (
+       |  SELECT p1 AS a, p2 AS b FROM asones
+       |  UNION ALL SELECT p2 AS a, p1 AS b FROM asones)),
+       |assum AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(COALESCE(SUM(d1.deg), 0) AS BIGINT) AS s_j,
+       |    CAST(COALESCE(SUM(CAST(d1.deg AS HUGEINT) * d2.deg), 0) AS BIGINT) AS s_jk,
+       |    CAST(COALESCE(SUM(CAST(d1.deg AS HUGEINT) * d1.deg), 0) AS BIGINT) AS s_jj
+       |  FROM asdir
+       |  JOIN asdeg d1 ON d1.p = asdir.a
+       |  JOIN asdeg d2 ON d2.p = asdir.b
+       |)
+       |SELECT m2, s_j, s_jk, s_jj,
+       |  CASE WHEN m2 * s_jj - s_j * s_j > 0
+       |    THEN round(CAST(m2 * s_jk - s_j * s_j AS DOUBLE) / (m2 * s_jj - s_j * s_j), 6) END AS r_assort
+       |FROM assum
+       |ORDER BY m2""".stripMargin
+
+  // ---- q215: k-core decomposition (coreness via H-index iteration) --------
+  // Hagmann et al. 2008 (PLoS Biol 6:e159, the "structural core" paper)
+  // made k-core/coreness a connectome staple; the computation here is the
+  // H-index fixed point of Lü et al. 2016 (Nat Commun 7:10168): c⁰(v) =
+  // degree(v), c^{t+1}(v) = H{c^t(u) : u ~ v} — the largest h with at
+  // least h neighbors valued ≥ h — which decreases monotonically to
+  // coreness. Rounds are FIXED at connNP (the node-count ceiling, q196's
+  // rounds-from-input discipline); the sequence is non-increasing and
+  // extra rounds past the fixed point are idempotent, and the spec pins
+  // rounds ≡ 2×rounds on the planted onion, a diameter-11 path (the
+  // slowest eroder at this node count), and a two-clique graph. The
+  // H-index reads max(rn | value-desc row_number ≤ value) — ties among
+  // equal values cannot move the max, so both engines agree exactly.
+  // Runs over the POSITIVE r ≥ 0.2 graph (the q208/q212 convention —
+  // core structure, like modules, is a positive-tie notion and the
+  // |r| ≥ 0.1 graph is >50% dense at the fixture).
+  //
+  // Scale shape: per round one NP²-bounded neighbor join, one window
+  // PARTITIONED BY NODE (no global sort), one NP fold; rounds a fixed
+  // constant. Everything broadcast-class at atlas scale.
+
+  private val corenessRounds = connNP
+
+  private[graft] def corenessCore(pairs0: DataFrame,
+      rounds: Int = corenessRounds): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; per-round fill + output
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
+      .localCheckpoint() // NP²-bounded; read every round
+    val deg = sym.groupBy("p").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // NP rows; c⁰ + output
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
+      .orderBy(col("c").desc, col("q").asc)
+    var c = parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
+      .selectExpr("p", "deg AS c").localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val h = sym.join(c.selectExpr("p AS q", "c"), Seq("q"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("c") >= col("rn"))
+        .groupBy("p").agg(max("rn").cast("long").as("h"))
+      c = parcels.join(h, Seq("p"), "left").na.fill(0L, Seq("h"))
+        .selectExpr("p", "h AS c")
+        .localCheckpoint() // NP rows; next round reads twice
+    }
+    parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
+      .join(c, Seq("p"))
+      .selectExpr("p", "deg", "c AS coreness")
+      .orderBy("p")
+  }
+
+  def coreness(s: SparkSession, d: String): DataFrame =
+    corenessCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge"))
+
+  /** The generated H-index round CTEs: kc0 … kc{rounds} over
+    * kparcels/ksym/kdeg, each round a node-partitioned window max. */
+  private def corenessCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""kh$i AS (
+         |  SELECT p, CAST(MAX(rn) AS BIGINT) AS h FROM (
+         |    SELECT s.p, l.c, ROW_NUMBER() OVER (PARTITION BY s.p
+         |      ORDER BY l.c DESC, s.q ASC) AS rn
+         |    FROM ksym s JOIN kc${i - 1} l ON l.p = s.q
+         |  ) WHERE c >= rn GROUP BY p
+         |),
+         |kc$i AS MATERIALIZED (
+         |  SELECT kparcels.p, COALESCE(kh$i.h, 0) AS c
+         |  FROM kparcels LEFT JOIN kh$i ON kh$i.p = kparcels.p
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""kc0 AS MATERIALIZED (
+       |  SELECT kparcels.p, COALESCE(kdeg.deg, 0) AS c
+       |  FROM kparcels LEFT JOIN kdeg ON kdeg.p = kparcels.p
+       |),
+       |$roundCtes""".stripMargin
+  }
+
+  private def corenessSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |kparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |kones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |ksym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM kones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM kones)),
+       |kdeg AS MATERIALIZED (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM ksym GROUP BY p
+       |),
+       |${corenessCtes(corenessRounds)}
+       |SELECT kparcels.p, CAST(COALESCE(kdeg.deg, 0) AS BIGINT) AS deg,
+       |  kcl.c AS coreness
+       |FROM kparcels
+       |LEFT JOIN kdeg ON kdeg.p = kparcels.p
+       |JOIN kc$corenessRounds kcl ON kcl.p = kparcels.p
+       |ORDER BY kparcels.p""".stripMargin
+
+  // ---- q217: percolation / threshold-sensitivity sweep ---------------------
+  // The analysis run before ANY thresholded graph claim (van Wijk et al.
+  // 2010 PLoS ONE; Garrison et al. 2015 NeuroImage): sweep the edge
+  // threshold τ and report, per τ, edge count, connected-node count,
+  // component count (isolated parcels count as singletons), the giant
+  // component's size, and its fraction of all parcels — the percolation
+  // curve whose cliff marks where the network disintegrates. Components
+  // come from the SAME threshold-keyed reachability doubling as q196
+  // (k = τ·100, a fixed-point integer key; rounds sized from the input's
+  // node count), so correctness rides a hash-proven kernel. τ·100/100 is
+  // a correctly-rounded IEEE division in both engines and r_par is the
+  // shared 6-dp rounded column — no boundary ULP risk beyond q168's own.
+  //
+  // Scale shape: the τ×pairs expansion is |τ|·NP²-bounded, the doubling
+  // is |τ|·NP³ worst case — q196's PermP-keyed class with |τ| = 7 keys
+  // instead of PermP. No window, driver state = one node count (rounds).
+
+  private val percTaus = Seq(10L, 15L, 20L, 25L, 30L, 35L, 40L)
+
+  private[graft] def percolationCore(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pe = pairs0.select("p1", "p2", "r_par").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+    val np = parcels.agg(count(lit(1)).as("np"))
+    val taus = percTaus.toDF("k")
+    val edges = pe.filter(col("r_par").isNotNull)
+      .crossJoin(broadcast(taus))
+      .filter(expr("r_par >= CAST(k AS DOUBLE) / 100"))
+      .selectExpr("k", "p1 AS a", "p2 AS b")
+      .localCheckpoint() // |τ|·NP²-bounded; components + edge counts
+    val comp = nbsComponentsCore(edges)
+    val sizes = comp.groupBy("k", "comp").agg(count(lit(1)).as("sz"))
+    val stats = sizes.groupBy("k").agg(count(lit(1)).as("n_comp_conn"),
+      max("sz").as("giant_sz0"), sum("sz").as("n_conn_nodes"))
+    val ec = edges.groupBy("k").agg(count(lit(1)).as("n_edges"))
+    taus
+      .crossJoin(broadcast(np))
+      .join(stats, Seq("k"), "left")
+      .join(ec, Seq("k"), "left")
+      .na.fill(0L, Seq("n_comp_conn", "giant_sz0", "n_conn_nodes", "n_edges"))
+      .selectExpr("k AS tau_fp", "n_edges", "n_conn_nodes",
+        "n_comp_conn + (np - n_conn_nodes) AS n_comp",
+        "CASE WHEN np > 0 THEN greatest(giant_sz0, 1) ELSE CAST(0 AS BIGINT) END AS giant_sz",
+        "CASE WHEN np > 0 THEN round(CAST(greatest(giant_sz0, 1) AS DOUBLE) / np, 6) END AS giant_frac")
+      .orderBy("tau_fp")
+  }
+
+  def percolation(s: SparkSession, d: String): DataFrame =
+    percolationCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def percolationSql: String =
+    s"""WITH RECURSIVE $connectomeCtes,
+       |ptaus AS (SELECT CAST(unnest([${percTaus.mkString(", ")}]) AS BIGINT) AS k),
+       |pparcels AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |pnp AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pparcels),
+       |edg AS MATERIALIZED (
+       |  SELECT t.k, pe.p1 AS a, pe.p2 AS b FROM pe CROSS JOIN ptaus t
+       |  WHERE pe.r_par IS NOT NULL AND pe.r_par >= CAST(t.k AS DOUBLE) / 100
+       |),
+       |syme AS (SELECT k, a, b FROM (
+       |  SELECT k, a, b FROM edg UNION ALL SELECT k, b AS a, a AS b FROM edg)),
+       |pnodes AS (SELECT DISTINCT k, a AS p FROM syme),
+       |pwalk(k, a, b) AS (
+       |  SELECT k, p AS a, p AS b FROM pnodes
+       |  UNION
+       |  SELECT w.k, w.a, s.b FROM pwalk w JOIN syme s ON s.k = w.k AND s.a = w.b
+       |),
+       |pcomp AS (SELECT k, a AS p, MIN(b) AS comp FROM pwalk GROUP BY k, a),
+       |psizes AS (
+       |  SELECT k, comp, CAST(count(*) AS BIGINT) AS sz FROM pcomp GROUP BY k, comp
+       |),
+       |pstats AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_comp_conn,
+       |    CAST(MAX(sz) AS BIGINT) AS giant_sz0,
+       |    CAST(SUM(sz) AS BIGINT) AS n_conn_nodes
+       |  FROM psizes GROUP BY k
+       |),
+       |pec AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges FROM edg GROUP BY k)
+       |SELECT t.k AS tau_fp, COALESCE(pec.n_edges, 0) AS n_edges,
+       |  COALESCE(st.n_conn_nodes, 0) AS n_conn_nodes,
+       |  COALESCE(st.n_comp_conn, 0) + (pnp.np - COALESCE(st.n_conn_nodes, 0)) AS n_comp,
+       |  CASE WHEN pnp.np > 0
+       |    THEN greatest(COALESCE(st.giant_sz0, 0), 1) ELSE 0 END AS giant_sz,
+       |  CASE WHEN pnp.np > 0
+       |    THEN round(CAST(greatest(COALESCE(st.giant_sz0, 0), 1) AS DOUBLE) / pnp.np, 6) END AS giant_frac
+       |FROM ptaus t CROSS JOIN pnp
+       |LEFT JOIN pstats st ON st.k = t.k
+       |LEFT JOIN pec ON pec.k = t.k
+       |ORDER BY tau_fp""".stripMargin
+
   private def eigenCentralitySql: String = {
     val steps = (1 to ecmSteps).map { i =>
       s"""ex$i AS (
@@ -2950,6 +3305,10 @@ object DesignImage extends QueryModule {
     Q("q204_module_roles", moduleRoles, Some(moduleRolesSql)),
     Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
     Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
+    Q("q213_rich_club", richClub, Some(richClubSql)),
+    Q("q214_assortativity", assortativity, Some(assortativitySql)),
+    Q("q215_coreness", coreness, Some(corenessSql)),
+    Q("q217_percolation", percolation, Some(percolationSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

@@ -381,6 +381,96 @@ object Similarity extends QueryModule {
        |ORDER BY nprobe, query_id""".stripMargin
   }
 
+  // ---- q216: Matryoshka (MRL) truncation recall@k -------------------------
+  // Kusupati et al. 2022 (NeurIPS, "Matryoshka Representation Learning"):
+  // production truncates embeddings to a prefix dimension and serves
+  // prefix-cosine; the eval a serving team runs to PICK the truncation is
+  // recall@k of the prefix top-k against the full-dim exact top-k, per
+  // truncation level. Composed exactly like q135 from the hash-proven q27
+  // relation — each truncated ranking reuses cosineTopK over a sliced
+  // corpus (same left-fold dot, same tie-breaks), so determinism is
+  // inherited; zero-recall queries survive via the query-frame left join.
+  // Fixture prefixes are norm-safe (min prefix norm 0.04 at dim 4, both
+  // SFs) so no cosine denominator can hit zero.
+  //
+  // Scale shape: each truncation is one broadcast-queries corpus pass
+  // with a WindowGroupLimit-bounded rank (the q27 plan); the union is
+  // linear in |dims|. At 100 TB the slice also SHRINKS bytes scored per
+  // pass — which is the point of MRL serving.
+
+  private val mrlDims = Seq(4, 8, 16, 32)
+
+  /** MRL eval core: recall@k of prefix-cosine top-k vs full-dim top-k,
+    * one row per (trunc_dim, query). Split out so specs can plant
+    * corpora where the prefix ranking provably flips. */
+  private[graft] def mrlRecallCore(emb: DataFrame, dims: Seq[Int],
+      pred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val exact = SimilarityOps.cosineTopK(emb, pred, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncated = dims.map { dt =>
+      SimilarityOps.cosineTopK(
+          emb.withColumn("embedding", expr(s"slice(embedding, 1, $dt)")),
+          pred, k)
+        .select(lit(dt).as("trunc_dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = truncated
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("trunc_dim", "query_id").agg(count(lit(1)).as("hits"))
+    val s = emb.sparkSession
+    import s.implicits._
+    val frame = emb.filter(pred).select(col("vec_id").as("query_id"))
+      .crossJoin(dims.toDF("trunc_dim"))
+    frame
+      .join(hits, Seq("trunc_dim", "query_id"), "left")
+      .select(col("trunc_dim"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", round(col("hits").cast("double") / k, 6))
+      .orderBy("trunc_dim", "query_id")
+  }
+
+  def mrlRecall(s: SparkSession, d: String): DataFrame =
+    mrlRecallCore(embeddings(s, d), mrlDims, col("vec_id") < 10, recallK)
+
+  private val mrlRecallSql = {
+    def trunc(dt: Int) = {
+      val sl = s"list_slice(v, 1, $dt)"
+      s"""t$dt AS MATERIALIZED (
+         |  SELECT vec_id, $sl AS tv, sqrt(${duckDot(sl, sl)}) AS tnorm
+         |  FROM corpus
+         |),
+         |cand$dt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckDot("q.tv", "c.tv")} / (q.tnorm * c.tnorm) DESC, c.vec_id ASC) AS rank
+         |    FROM t$dt q JOIN t$dt c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10) WHERE rank <= $recallK
+         |),
+         |hits$dt AS (
+         |  SELECT c.query_id, count(*) AS hits
+         |  FROM cand$dt c JOIN exact e ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+         |  GROUP BY c.query_id
+         |)""".stripMargin
+    }
+    def half(dt: Int) =
+      s"""SELECT $dt AS trunc_dim, q.query_id,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  round(COALESCE(h.hits, 0) / $recallK.0, 6) AS recall
+         |FROM queries q LEFT JOIN hits$dt h ON h.query_id = q.query_id""".stripMargin
+    s"""WITH $duckCorpus,
+       |exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY ${duckDot("q.v", "c.v")} / (q.norm * c.norm) DESC, c.vec_id ASC) AS rank
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= $recallK
+       |),
+       |queries AS MATERIALIZED (SELECT vec_id AS query_id FROM corpus WHERE vec_id < 10),
+       |${mrlDims.map(trunc).mkString(",\n")}
+       |${mrlDims.map(half).mkString("\nUNION ALL\n")}
+       |ORDER BY trunc_dim, query_id""".stripMargin
+  }
+
   // ---- q65: distributed k-means IVF training -----------------------------
   // The training step q49's centroid pick defers to: 2 Lloyd iterations,
   // deterministic init (lowest vec_ids), exact int64 fixed-point coordinate
@@ -1417,6 +1507,7 @@ object Similarity extends QueryModule {
     Q("q49_ivf_topk", ivfTopK, Some(ivfTopKSql)),
     Q("q135_ann_recall", annRecall, Some(annRecallSql)),
     Q("q139_ann_ndcg", annNdcg, Some(annNdcgSql)),
+    Q("q216_mrl_recall", mrlRecall, Some(mrlRecallSql)),
     Q("q74_ivf_nprobe", ivfNprobe, Some(ivfNprobeSql)),
     Q("q65_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     Q("q76_ivf_trained", ivfTrained, Some(ivfTrainedSql)),

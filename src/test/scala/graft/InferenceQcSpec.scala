@@ -792,6 +792,127 @@ class InferenceQcSpec extends SparkSpec {
     assert(rows === Set((3L, 3L, 7L)), s"both modules read (n=3, e_in=3, d=7): $rows")
   }
 
+  test("q213: two planted cliques with one bridge — the bridge endpoints ARE the rich club") {
+    val s = spark
+    import s.implicits._
+    val pe = Seq(
+      (0, 1, 1L), (0, 2, 1L), (1, 2, 1L),
+      (10, 11, 1L), (10, 12, 1L), (11, 12, 1L),
+      (2, 10, 1L),
+    ).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.richClubCore(pe)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // kmax = 3 → levels k ∈ {1, 2}
+    assert(out.keySet === Set(1L, 2L), s"levels: ${out.keySet}")
+    // k=1: all 6 nodes have deg ≥ 2, all 7 edges qualify → 14/30
+    assert(out(1L) === ((6L, 7L, Some(0.466667))), s"${out(1L)}")
+    // k=2: only the deg-3 bridge endpoints {2, 10} and their one edge —
+    // a perfect rich club, phi = 1
+    assert(out(2L) === ((2L, 1L, Some(1.0))), s"${out(2L)}")
+    // an edgeless graph sweeps zero levels (the sequence guard)
+    val empty = graft.queries.DesignImage.richClubCore(
+      Seq((0, 1, 0L)).toDF("p1", "p2", "edge")).collect()
+    assert(empty.isEmpty, "edgeless graph must yield an empty sweep")
+  }
+
+  test("q214: star is perfectly disassortative (r = -1), regular graph undefined, P4 = -1/2") {
+    val s = spark
+    import s.implicits._
+    def r(rows: Seq[(Int, Int, Long)]): (Long, Long, Long, Long, Option[Double]) = {
+      val row = graft.queries.DesignImage
+        .assortativityCore(rows.toDF("p1", "p2", "edge")).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        Option(row.get(4)).map(_.asInstanceOf[Double]))
+    }
+    // K1,3: every edge joins deg-3 to deg-1 → Newman r = −1 exactly
+    val star = r(Seq((0, 1, 1L), (0, 2, 1L), (0, 3, 1L)))
+    assert(star === ((6L, 12L, 18L, 30L, Some(-1.0))), s"star: $star")
+    // triangle is 2-regular: denominator 0 → NULL
+    assert(r(Seq((0, 1, 1L), (1, 2, 1L), (0, 2, 1L)))._5.isEmpty,
+      "regular graph must be NULL")
+    // P4 path: degrees 1,2,2,1 → r = −1/2 (hand value)
+    assert(r(Seq((0, 1, 1L), (1, 2, 1L), (2, 3, 1L)))._5 === Some(-0.5))
+    // empty graph: one all-zero row, NULL r
+    val e = r(Seq((0, 1, 0L)))
+    assert(e === ((0L, 0L, 0L, 0L, None)), s"empty: $e")
+  }
+
+  test("q215: H-index iteration peels the planted onion to exact coreness") {
+    val s = spark
+    import s.implicits._
+    // K4 {0,1,2,3} + triangle {3,4,5} + pendant 5-6 + isolate 7
+    val onion = Seq(
+      (0, 1, 1L), (0, 2, 1L), (0, 3, 1L), (1, 2, 1L), (1, 3, 1L), (2, 3, 1L),
+      (3, 4, 1L), (3, 5, 1L), (4, 5, 1L),
+      (5, 6, 1L),
+      (6, 7, 0L),
+    ).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.corenessCore(onion)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0) === ((3L, 3L)) && out(1) === ((3L, 3L)) &&
+      out(2) === ((3L, 3L)), s"K4 members are the 3-core: $out")
+    assert(out(3) === ((5L, 3L)), "the deg-5 hinge still cores at 3")
+    assert(out(4) === ((2L, 2L)) && out(5) === ((3L, 2L)),
+      s"triangle layer cores at 2: $out")
+    assert(out(6) === ((1L, 1L)), "pendant cores at 1")
+    assert(out(7) === ((0L, 0L)), "isolate cores at 0")
+  }
+
+  test("q215: the fixed round count has converged — 2x rounds change nothing, even on a diameter-11 path") {
+    val s = spark
+    import s.implicits._
+    val shapes = Seq(
+      // the slowest eroder at this node count: a 12-node path (coreness
+      // all 1, the end-erosion travels one hop per round)
+      (0 until 11).map(i => (i, i + 1, 1L)),
+      // onion from the exactness test
+      Seq((0, 1, 1L), (0, 2, 1L), (0, 3, 1L), (1, 2, 1L), (1, 3, 1L),
+        (2, 3, 1L), (3, 4, 1L), (3, 5, 1L), (4, 5, 1L), (5, 6, 1L), (6, 7, 0L)),
+      // two cliques + bridge
+      Seq((0, 1, 1L), (0, 2, 1L), (1, 2, 1L), (10, 11, 1L), (10, 12, 1L),
+        (11, 12, 1L), (2, 10, 1L)),
+    )
+    shapes.foreach { rows =>
+      val pe = rows.toDF("p1", "p2", "edge")
+      val base = graft.queries.DesignImage.corenessCore(pe)
+        .collect().map(_.toString).sorted.toSeq
+      val twice = graft.queries.DesignImage.corenessCore(pe, rounds = 24)
+        .collect().map(_.toString).sorted.toSeq
+      assert(base === twice, s"fixed rounds not converged on $rows")
+    }
+    // and the path really is all-coreness-1
+    val path = (0 until 11).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge")
+    val cs = graft.queries.DesignImage.corenessCore(path)
+      .collect().map(_.getLong(2)).toSet
+    assert(cs === Set(1L), s"path coreness: $cs")
+  }
+
+  test("q217: the percolation curve disintegrates the planted chain threshold by threshold") {
+    val s = spark
+    import s.implicits._
+    // 5-node chain with descending tie strengths + one NULL pair
+    val pe = Seq(
+      (0, 1, Some(0.45)), (1, 2, Some(0.35)), (2, 3, Some(0.25)),
+      (3, 4, Some(0.15)), (0, 4, None),
+    ).toDF("p1", "p2", "r_par")
+    val out = graft.queries.DesignImage.percolationCore(pe)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet === Set(10L, 15L, 20L, 25L, 30L, 35L, 40L))
+    // τ=0.10/0.15: whole chain — one component spanning all 5
+    assert(out(10L) === ((4L, 5L, 1L, 5L, Some(1.0))), s"${out(10L)}")
+    assert(out(15L) === ((4L, 5L, 1L, 5L, Some(1.0))))
+    // τ=0.20/0.25: node 4 falls off → giant 4/5 + one singleton
+    assert(out(20L) === ((3L, 4L, 2L, 4L, Some(0.8))), s"${out(20L)}")
+    assert(out(25L) === ((3L, 4L, 2L, 4L, Some(0.8))))
+    // τ=0.30/0.35: chain splits 3 + singletons
+    assert(out(30L) === ((2L, 3L, 3L, 3L, Some(0.6))), s"${out(30L)}")
+    // τ=0.40: one surviving edge → giant 2/5, components 1 + 3 singletons
+    assert(out(40L) === ((1L, 2L, 4L, 2L, Some(0.4))), s"${out(40L)}")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._

@@ -683,6 +683,25 @@ class SimilaritySpec extends SparkSpec {
       s"a too-tight shortlist cannot be repaired by re-ranking: ${tight.head}")
   }
 
+  test("q216: a prefix-dominant distractor flips the truncated ranking; full dim recovers it") {
+    // query 0 = e1. Full-dim nearest is v1 (cos 0.6); the distractor v2
+    // has a big prefix component but a huge tail (full cos ≈ 0.287),
+    // yet truncated to its first 2 dims it reads cos = 1.0 — the exact
+    // failure mode MRL eval exists to measure.
+    val d = emb(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.6f, 0.8f, 0f, 0f),
+      2L -> Seq(0.9f, 0f, 3f, 0f),
+    )
+    val out = graft.queries.Similarity
+      .mrlRecallCore(d, Seq(2, 4), col("vec_id") === 0, k = 1)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(2) === ((0L, 0.0)), s"prefix-2 serves the distractor: $out")
+    assert(out(4) === ((1L, 1.0)), s"full dim recovers the true neighbor: $out")
+    // zero-recall queries still get a row (the frame left join)
+    assert(out.keySet === Set(2, 4))
+  }
+
   test("q181: recall@k counts Hamming hits against the exact cosine top-k") {
     // q=[1,0.1]: exact top-1 is v1 (cos≈0.98) but its sign pattern differs
     // in bit 1, while v2 (cos≈0.2) shares q's signs — Hamming picks v2,
