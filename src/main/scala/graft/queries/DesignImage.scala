@@ -2073,11 +2073,17 @@ object DesignImage extends QueryModule {
       .orderBy("p")
   }
 
-  def coreness(s: SparkSession, d: String): DataFrame =
-    corenessCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+  /** The q215 input graph (positive r ≥ 0.2 ties) — split out so the
+    * spec can pin round-count convergence on the REAL fixture graph,
+    * not just planted shapes. */
+  private[graft] def corenessPairs(s: SparkSession, d: String): DataFrame =
+    connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
-      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge"))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge")
+
+  def coreness(s: SparkSession, d: String): DataFrame =
+    corenessCore(corenessPairs(s, d))
 
   /** The generated H-index round CTEs: kc0 … kc{rounds} over
     * kparcels/ksym/kdeg, each round a node-partitioned window max. */

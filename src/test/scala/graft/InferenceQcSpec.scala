@@ -886,6 +886,14 @@ class InferenceQcSpec extends SparkSpec {
     val cs = graft.queries.DesignImage.corenessCore(path)
       .collect().map(_.getLong(2)).toSet
     assert(cs === Set(1L), s"path coreness: $cs")
+    // the REAL fixture graph has converged too (not just planted shapes)
+    val fixture = graft.queries.DesignImage.corenessPairs(spark, sf001)
+      .localCheckpoint()
+    val fa = graft.queries.DesignImage.corenessCore(fixture)
+      .collect().map(_.toString).sorted.toSeq
+    val fb = graft.queries.DesignImage.corenessCore(fixture, rounds = 24)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fa === fb, "fixture coreness not converged at the fixed rounds")
   }
 
   test("q217: the percolation curve disintegrates the planted chain threshold by threshold") {
