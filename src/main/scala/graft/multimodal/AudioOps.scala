@@ -93,27 +93,41 @@ object AudioOps {
     Seq("abands", "adocs", "ameta")
       .forall(t => spark.catalog.tableExists(s"${name}_$t")) &&
       (try {
+        spark.catalog.refreshTable(s"${name}_ameta")
         val m = spark.table(s"${name}_ameta").head()
         m.getAs[String]("dataset_tag") == datasetTag &&
           m.getAs[Int]("bands") == Bands && m.getAs[Int]("band_bits") == BandBits
       } catch { case scala.util.control.NonFatal(_) => false })
 
   /** Append a batch — bucket-aligned, batch-sized; `idempotent` anti-joins
-    * the id guard first (pinned so the two appends agree). */
+    * EACH table against its own existing ids (not just the adocs guard):
+    * the two appends are not atomic, so a crash between them leaves band
+    * rows without their guard row, and a replay filtered only by the
+    * guard would append those band rows a second time. Per-table
+    * anti-joins make the replay land exactly the missing half. */
   def appendToAudioIndex(spark: SparkSession, newMedia0: DataFrame,
       name: String, idempotent: Boolean = false): Unit = {
+    spark.catalog.refreshTable(s"${name}_ameta")
     val buckets = spark.table(s"${name}_ameta").head().getAs[Int]("buckets")
-    val newMedia = if (!idempotent) newMedia0 else newMedia0.join(
-      spark.table(s"${name}_adocs").select(col("corp_id").as("doc_id")),
-      Seq("doc_id"), "left_anti").localCheckpoint()
-    val fp = fingerprints(newMedia)
-    bandRelation(fp)
+    if (idempotent) {
+      spark.catalog.refreshTable(s"${name}_adocs")
+      spark.catalog.refreshTable(s"${name}_abands")
+    }
+    val fp = fingerprints(newMedia0).localCheckpoint()
+    val bands0 = bandRelation(fp)
       .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("afp"))
-      .write.mode("append")
+    val bands = if (!idempotent) bands0 else
+      bands0.join(spark.table(s"${name}_abands")
+          .select("corp_id").distinct(),
+        Seq("corp_id"), "left_anti")
+    bands.write.mode("append")
       .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
       .saveAsTable(s"${name}_abands")
-    fp.select(col("doc_id").as("corp_id"), col("afp"))
-      .write.mode("append")
+    val docs0 = fp.select(col("doc_id").as("corp_id"), col("afp"))
+    val guards = if (!idempotent) docs0 else docs0.join(
+      spark.table(s"${name}_adocs").select("corp_id"),
+      Seq("corp_id"), "left_anti")
+    guards.write.mode("append")
       .bucketBy(buckets, "corp_id").sortBy("corp_id")
       .saveAsTable(s"${name}_adocs")
   }
@@ -124,10 +138,16 @@ object AudioOps {
   def probeAudioIndex(spark: SparkSession, media: DataFrame, name: String,
       tau: Int = Tau): DataFrame = {
     require(tau <= Bands - 1, s"plain banding is exact only to ${Bands - 1}, got $tau")
+    spark.catalog.refreshTable(s"${name}_abands")
     val near = bandRelation(fingerprints(media))
       .select(col("doc_id").as("inc_id"), col("afp").as("__fi"),
         col("r"), col("bv"))
       .join(spark.table(s"${name}_abands"), Seq("r", "bv"))
+      // a doc is never a dup of ITSELF: if a crashed append left this
+      // doc's band rows in the index without its guard row, a replayed
+      // probe would otherwise self-match at Hamming 0 and emit
+      // keep = false for a genuinely novel payload
+      .filter(col("corp_id") =!= col("inc_id"))
       .select("inc_id", "corp_id", "__fi", "afp").distinct()
       .filter(expr(s"bit_count(__fi ^ afp) <= $tau"))
       .groupBy(col("inc_id").as("doc_id"))

@@ -529,13 +529,21 @@ object StreamOps {
     * batch, restricted to that batch (spec-pinned), and already-admitted
     * docs are never re-stripped.
     *
-    * At-least-once caveat: the store append is idempotent under replay
-    * (`appendToSegFreqStore(idempotent = true)` — doc_id anti-join), the
-    * verdict parquet is not; a replayed batch's verdicts recompute
-    * against counts that already include its own docs, so readers dedup
-    * on doc_id keeping the FIRST write (here: min dropped_frac row is
-    * NOT safe — use writes' file order or re-probe; the batch loop in
-    * CurationSpec documents the exact window).
+    * At-least-once discipline (all four score-then-admit loops): score
+    * only the GUARD-SURVIVING docs, write the sink FIRST to a
+    * batchId-KEYED path (overwrite), and append to the store LAST — and
+    * skip both when the guard leaves nothing. The crash matrix then
+    * closes: die before the sink write → replay recomputes everything;
+    * die between sink and store append → the replay's guard still
+    * passes, the store is UNCHANGED so the re-score is bit-identical,
+    * and the overwrite rewrites the same rows; die after the store
+    * append → the replay's guard empties and the skip leaves the
+    * already-committed sink intact (an unconditional overwrite here
+    * would ERASE the batch's verdicts — the reason for the skip).
+    * Residual window: a redelivery under a DIFFERENT batchId after a
+    * sink-committed/store-lost crash would double-write — Structured
+    * Streaming's checkpointed restart redelivers the SAME id, so that
+    * needs a source replaying outside the checkpoint contract.
     *
     * Scale shape: per batch, batch-side segmentation + a broadcast
     * batch-hash probe of the h-bucketed store (store streams with no
@@ -543,19 +551,15 @@ object StreamOps {
     * bucketed store tables — restart-safe, shared with batch readers. */
   def streamingBoilerplateAdmission(docs: DataFrame, name: String,
       outPath: String): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      // score the GUARD-SURVIVING docs, not the raw batch: on an
-      // at-least-once replay the doc guard keeps the STORE idempotent,
-      // but a raw-batch score would re-emit the replayed docs (now
-      // against the updated store) into outPath (r16 ADVICE class)
       val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
         "left_anti").localCheckpoint()
-      val stripped = graft.text.CurationOps
-        .probeSegFreqStrip(s, fresh, name)
-        .localCheckpoint()
-      graft.text.CurationOps.appendToSegFreqStore(s, fresh, name)
-      stripped.write.mode("append").parquet(outPath)
+      if (!fresh.isEmpty) {
+        graft.text.CurationOps.probeSegFreqStrip(s, fresh, name)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.text.CurationOps.appendToSegFreqStore(s, fresh, name)
+      }
       ()
     }
 
@@ -571,16 +575,17 @@ object StreamOps {
   def streamingDsirAdmission(docs: DataFrame,
       isTarget: org.apache.spark.sql.Column, name: String,
       outPath: String): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      // guard-surviving docs only — see streamingBoilerplateAdmission
+      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
+      // on empty — the streamingBoilerplateAdmission crash matrix
       val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
         "left_anti").localCheckpoint()
-      val scored = graft.text.CurationOps
-        .probeDsirScore(s, fresh, name)
-        .localCheckpoint()
-      graft.text.CurationOps.appendToDsirStore(s, fresh, isTarget, name)
-      scored.write.mode("append").parquet(outPath)
+      if (!fresh.isEmpty) {
+        graft.text.CurationOps.probeDsirScore(s, fresh, name)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.text.CurationOps.appendToDsirStore(s, fresh, isTarget, name)
+      }
       ()
     }
 
@@ -595,17 +600,17 @@ object StreamOps {
     * between batches. */
   def streamingBigramAdmission(docs: DataFrame, name: String, topV: Int,
       outPath: String): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
-      // guard-surviving docs only — see streamingBoilerplateAdmission:
-      // a replayed batch re-scored against the now-updated model would
-      // append duplicate doc_id rows with drifted scores (r16 ADVICE)
+      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
+      // on empty — the streamingBoilerplateAdmission crash matrix
       val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
         "left_anti").localCheckpoint()
-      val scored = graft.text.BigramStore.serveKn(s, fresh, name, topV)
-        .localCheckpoint()
-      graft.text.BigramStore.append(s, fresh, name)
-      scored.write.mode("append").parquet(outPath)
+      if (!fresh.isEmpty) {
+        graft.text.BigramStore.serveKn(s, fresh, name, topV)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.text.BigramStore.append(s, fresh, name)
+      }
       ()
     }
 
@@ -618,17 +623,23 @@ object StreamOps {
     * the now-grown index nor appends duplicate verdicts. */
   def streamingAudioAdmission(media: DataFrame, name: String, tau: Int,
       outPath: String): DataStreamWriter[Row] =
-    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val s = batch.sparkSession
+      s.catalog.refreshTable(s"${name}_adocs")
+      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
+      // on empty — the streamingBoilerplateAdmission crash matrix. The
+      // append runs idempotent so a crash BETWEEN the index's two table
+      // appends cannot double the band rows on replay.
       val fresh = batch.join(
         s.table(s"${name}_adocs").select(
           org.apache.spark.sql.functions.col("corp_id").as("doc_id")),
         Seq("doc_id"), "left_anti").localCheckpoint()
-      val verdicts = graft.multimodal.AudioOps
-        .probeAudioIndex(s, fresh, name, tau)
-        .localCheckpoint()
-      graft.multimodal.AudioOps.appendToAudioIndex(s, fresh, name)
-      verdicts.write.mode("append").parquet(outPath)
+      if (!fresh.isEmpty) {
+        graft.multimodal.AudioOps.probeAudioIndex(s, fresh, name, tau)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        graft.multimodal.AudioOps.appendToAudioIndex(s, fresh, name,
+          idempotent = true)
+      }
       ()
     }
 

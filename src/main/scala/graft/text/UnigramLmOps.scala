@@ -122,9 +122,16 @@ object UnigramLmOps {
     * model piece at a time (loop rounds = the input's max word length, a
     * bounded driver probe), completed segmentations argmax on the total
     * integer order (sc DESC, np ASC, seg ASC). */
-  def viterbiBest(words: DataFrame, model0: DataFrame): DataFrame = {
-    val model = model0.select("piece", "lnp_fp")
+  def viterbiBest(words: DataFrame, model0: DataFrame,
+      oovFallback: Boolean = true): DataFrame = {
+    // `oovFallback = false` is the TRAINER's path: during training the
+    // fallback set is provably empty (substring seed + per-round char
+    // floor keep every corpus character in the model), so the per-round
+    // distinct-char anti-join would be pure hot-path waste; every SERVE
+    // entry point keeps the default.
+    val model = (if (oovFallback) model0.select("piece", "lnp_fp")
       .unionByName(oovChars(words, model0).withColumn("lnp_fp", lit(OovLnpFp)))
+    else model0.select("piece", "lnp_fp"))
       .localCheckpoint() // vocab-sized; broadcast-joined every round
     val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"),
@@ -163,7 +170,8 @@ object UnigramLmOps {
     val wf = wordFreqs(docs).localCheckpoint()
     var counts = seedCounts(wf)
     for (_ <- 0 until rounds) {
-      counts = usageCounts(viterbiBest(wf.select("w"), modelOf(counts)), wf)
+      counts = usageCounts(viterbiBest(wf.select("w"), modelOf(counts),
+          oovFallback = false), wf)
         .unionByName(charFloor(wf))
         .groupBy("piece").agg(sum("cnt").as("cnt"))
         .localCheckpoint()

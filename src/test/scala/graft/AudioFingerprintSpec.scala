@@ -98,7 +98,7 @@ class AudioFingerprintSpec extends SparkSpec {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
       ms.addData(batches.head); q.processAllAvailable() // at-least-once replay
     } finally q.stop()
-    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val got = s.read.parquet(out + "/batch=*").collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == ref,
       s"stream ≡ sequential and replay adds nothing: $got vs $ref")
   }

@@ -224,7 +224,7 @@ class BigramStoreSpec extends SparkSpec {
       // sink (the loop scores only guard-surviving docs — r16 ADVICE)
       ms.addData(batches.head); q.processAllAvailable()
     } finally q.stop()
-    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val got = s.read.parquet(out + "/batch=*").collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == ref,
       "replayed batch must not re-emit scored rows")
   }

@@ -125,9 +125,9 @@ class StandingBoilerplateSpec extends SparkSpec {
     try {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
     } finally q.stop()
-    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val got = s.read.parquet(out + "/batch=*").collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == ref)
-    val byId = s.read.parquet(out).collect()
+    val byId = s.read.parquet(out + "/batch=*").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byId(31L).contains("w0") && byId(33L).contains("w0"),
       "first two occurrences are under min_docs at their admission time")

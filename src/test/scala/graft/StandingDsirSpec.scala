@@ -130,7 +130,7 @@ class StandingDsirSpec extends SparkSpec {
     try {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
     } finally q.stop()
-    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val got = s.read.parquet(out + "/batch=*").collect().map(_.toString).sorted.toSeq
     assert(got.nonEmpty && got == ref)
   }
 
