@@ -552,16 +552,23 @@ object StreamOps {
   def streamingBoilerplateAdmission(docs: DataFrame, name: String,
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
-        "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
-        graft.text.CurationOps.probeSegFreqStrip(s, fresh, name)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        graft.text.CurationOps.appendToSegFreqStore(s, fresh, name)
-      }
-      ()
+      boilerplateAdmitBatch(batch, name, outPath, batchId)
     }
+
+  /** One micro-batch of [[streamingBoilerplateAdmission]] — public so
+    * specs can redeliver the SAME batchId and pin the crash matrix. */
+  def boilerplateAdmitBatch(batch: DataFrame, name: String,
+      outPath: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+      "left_anti").localCheckpoint()
+    if (!fresh.isEmpty) {
+      graft.text.CurationOps.probeSegFreqStrip(s, fresh, name)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      graft.text.CurationOps.appendToSegFreqStore(s, fresh, name)
+    }
+    ()
+  }
 
   /** STREAMING DSIR admission — the score-then-admit loop over the
     * standing importance model (q143's state): each arriving batch is
@@ -576,18 +583,25 @@ object StreamOps {
       isTarget: org.apache.spark.sql.Column, name: String,
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
-      // on empty — the streamingBoilerplateAdmission crash matrix
-      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
-        "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
-        graft.text.CurationOps.probeDsirScore(s, fresh, name)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        graft.text.CurationOps.appendToDsirStore(s, fresh, isTarget, name)
-      }
-      ()
+      dsirAdmitBatch(batch, isTarget, name, outPath, batchId)
     }
+
+  /** One micro-batch of [[streamingDsirAdmission]] — the
+    * streamingBoilerplateAdmission crash matrix (sink-first batchId-keyed
+    * overwrite of guard-surviving docs, skip on empty). */
+  def dsirAdmitBatch(batch: DataFrame,
+      isTarget: org.apache.spark.sql.Column, name: String, outPath: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+      "left_anti").localCheckpoint()
+    if (!fresh.isEmpty) {
+      graft.text.CurationOps.probeDsirScore(s, fresh, name)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      graft.text.CurationOps.appendToDsirStore(s, fresh, isTarget, name)
+    }
+    ()
+  }
 
   /** STREAMING bigram-LM admission — q198's foreachBatch twin (the
     * score-then-admit loop over the standing KN model): each arriving
@@ -601,18 +615,25 @@ object StreamOps {
   def streamingBigramAdmission(docs: DataFrame, name: String, topV: Int,
       outPath: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
-      // on empty — the streamingBoilerplateAdmission crash matrix
-      val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
-        "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
-        graft.text.BigramStore.serveKn(s, fresh, name, topV)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        graft.text.BigramStore.append(s, fresh, name)
-      }
-      ()
+      bigramAdmitBatch(batch, name, topV, outPath, batchId)
     }
+
+  /** One micro-batch of [[streamingBigramAdmission]] — the
+    * streamingBoilerplateAdmission crash matrix (sink-first batchId-keyed
+    * overwrite of guard-surviving docs, skip on empty); public so
+    * BigramStoreSpec can pin the sink-committed/store-lost window. */
+  def bigramAdmitBatch(batch: DataFrame, name: String, topV: Int,
+      outPath: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val fresh = batch.join(s.table(s"${name}_docs"), Seq("doc_id"),
+      "left_anti").localCheckpoint()
+    if (!fresh.isEmpty) {
+      graft.text.BigramStore.serveKn(s, fresh, name, topV)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      graft.text.BigramStore.append(s, fresh, name)
+    }
+    ()
+  }
 
   /** STREAMING audio admission — q210's foreachBatch twin over the
     * standing audio index (AudioOps.buildAudioIndex): each arriving
@@ -624,24 +645,31 @@ object StreamOps {
   def streamingAudioAdmission(media: DataFrame, name: String, tau: Int,
       outPath: String): DataStreamWriter[Row] =
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val s = batch.sparkSession
-      s.catalog.refreshTable(s"${name}_adocs")
-      // guard-surviving docs, sink-first batchId-keyed overwrite, skip
-      // on empty — the streamingBoilerplateAdmission crash matrix. The
-      // append runs idempotent so a crash BETWEEN the index's two table
-      // appends cannot double the band rows on replay.
-      val fresh = batch.join(
-        s.table(s"${name}_adocs").select(
-          org.apache.spark.sql.functions.col("corp_id").as("doc_id")),
-        Seq("doc_id"), "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
-        graft.multimodal.AudioOps.probeAudioIndex(s, fresh, name, tau)
-          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
-        graft.multimodal.AudioOps.appendToAudioIndex(s, fresh, name,
-          idempotent = true)
-      }
-      ()
+      audioAdmitBatch(batch, name, tau, outPath, batchId)
     }
+
+  /** One micro-batch of [[streamingAudioAdmission]] — the
+    * streamingBoilerplateAdmission crash matrix (sink-first batchId-keyed
+    * overwrite of guard-surviving docs, skip on empty). The append runs
+    * idempotent so a crash BETWEEN the index's two table appends cannot
+    * double the band rows on replay; public so AudioFingerprintSpec can
+    * pin that half-appended window. */
+  def audioAdmitBatch(batch: DataFrame, name: String, tau: Int,
+      outPath: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    s.catalog.refreshTable(s"${name}_adocs")
+    val fresh = batch.join(
+      s.table(s"${name}_adocs").select(
+        org.apache.spark.sql.functions.col("corp_id").as("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    if (!fresh.isEmpty) {
+      graft.multimodal.AudioOps.probeAudioIndex(s, fresh, name, tau)
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      graft.multimodal.AudioOps.appendToAudioIndex(s, fresh, name,
+        idempotent = true)
+    }
+    ()
+  }
 
   /** STREAMING tokenizer serve — q207's foreachBatch twin: each arriving
     * doc batch is segmented (Viterbi + OOV char fallback) against the

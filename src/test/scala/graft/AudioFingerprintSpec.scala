@@ -102,4 +102,38 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(got.nonEmpty && got == ref,
       s"stream ≡ sequential and replay adds nothing: $got vs $ref")
   }
+
+  test("crash window: a half-appended batch (bands landed, guard lost) replays clean") {
+    val s = spark
+    val name = "graft_test_afp_c"
+    Seq("abands", "adocs", "ameta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    AudioOps.buildAudioIndex(spark, media(Seq(1L -> flat)), name,
+      location = s"/tmp/$name", datasetTag = "fix")
+    val guardSchema = s.table(s"${name}_adocs").schema
+    val snap = s.table(s"${name}_adocs").collect().toSeq
+    val buckets = s.table(s"${name}_ameta").head().getAs[Int]("buckets")
+    AudioOps.appendToAudioIndex(s, media(Seq(22L -> far)), name)
+    // roll the GUARD back to the pre-batch snapshot — the exact state a
+    // crash between the index's two (non-atomic) table appends leaves
+    s.createDataFrame(s.sparkContext.parallelize(snap), guardSchema)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .option("path", s"/tmp/$name/adocs_rb")
+      .saveAsTable(s"${name}_adocs")
+    // the replayed probe must not self-match doc 22's orphaned band rows
+    // (far is beyond tau of the whole real corpus → keep must stay true)
+    val v = AudioOps.probeAudioIndex(s, media(Seq(22L -> far)), name)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2))).toSeq
+    assert(v === Seq((22L, None, true)), s"self-match leaked: $v")
+    // and the idempotent re-append lands ONLY the missing guard row
+    AudioOps.appendToAudioIndex(s, media(Seq(22L -> far)), name,
+      idempotent = true)
+    val bandRows = s.table(s"${name}_abands")
+      .filter(col("corp_id") === 22L).count()
+    assert(bandRows === AudioOps.Bands.toLong, s"band rows doubled: $bandRows")
+    assert(s.table(s"${name}_adocs")
+      .filter(col("corp_id") === 22L).count() === 1L, "guard row must land once")
+  }
 }

@@ -104,6 +104,39 @@ class BigramStoreSpec extends SparkSpec {
       s"cap lost its TakeOrdered shape:\n${p.take(1000)}")
   }
 
+  test("crash matrix: sink-committed/store-lost and store-committed windows both replay to the clean state") {
+    val s = spark
+    val batch = df2(Seq((23L, "a b m n"), (24L, "x y a b")))
+    def sink(dir: String) =
+      s.read.parquet(dir + "/batch=*").collect().map(_.toString).sorted.toSeq
+    def serve(name: String) =
+      canon(BigramStore.serveKn(s, df2(arrivals), name, 512).collect())
+    // the reference: one clean admit call
+    fresh("graft_test_bglm_cwr", corpusA)
+    val outR = java.nio.file.Files
+      .createTempDirectory("graft-bglm-cwr").toString + "/v"
+    StreamOps.bigramAdmitBatch(batch, "graft_test_bglm_cwr", 512, outR, 7L)
+    val refSink = sink(outR)
+    val refServe = serve("graft_test_bglm_cwr")
+    // window: the sink half committed, then the store append was lost —
+    // a same-id redelivery re-scores against the UNCHANGED model and the
+    // batchId-keyed overwrite rewrites identical rows
+    fresh("graft_test_bglm_cww", corpusA)
+    val outW = java.nio.file.Files
+      .createTempDirectory("graft-bglm-cww").toString + "/v"
+    BigramStore.serveKn(s, batch, "graft_test_bglm_cww", 512)
+      .write.mode("overwrite").parquet(outW + "/batch=7")
+    StreamOps.bigramAdmitBatch(batch, "graft_test_bglm_cww", 512, outW, 7L)
+    assert(sink(outW) == refSink, "redelivery must overwrite the same rows")
+    assert(serve("graft_test_bglm_cww") == refServe, "store must converge")
+    // window: store committed — the same-id redelivery's guard empties
+    // and the skip leaves the committed sink INTACT (an unconditional
+    // overwrite would erase it)
+    StreamOps.bigramAdmitBatch(batch, "graft_test_bglm_cww", 512, outW, 7L)
+    assert(sink(outW) == refSink, "post-append redelivery must not erase the sink")
+    assert(serve("graft_test_bglm_cww") == refServe)
+  }
+
   test("delta fold: serve invariant, replayed absorbed batch stays a no-op, store stays live") {
     fresh("graft_test_bglm_cp", corpusA)
     BigramStore.append(spark, df2(corpusB), "graft_test_bglm_cp")
