@@ -2019,6 +2019,165 @@ object DesignImage extends QueryModule {
        |FROM assum
        |ORDER BY m2""".stripMargin
 
+  // ---- q218: targeted-attack robustness ------------------------------------
+  // The attack-vs-failure analysis of Achard et al. 2006 (J Neurosci
+  // 26:63, "resilience to targeted attack") at the node grain: remove
+  // the k highest-degree hubs ('hub' — the targeted attack, ties by
+  // lowest id) or the k lowest-degree nodes ('leaf' — the contrast
+  // baseline; random failure needs an RNG the oracle can't share, and
+  // low-degree removal bounds it from below), and report the surviving
+  // graph's edge count, characteristic path length, and global
+  // efficiency per (strategy, k). Hub curves cratering while leaf
+  // curves hold is the small-world resilience signature. Distances ride
+  // q184's min-plus doubling keyed by (strategy, k) — 2·(kmax+1) = 8
+  // keys in place of PermP, rounds sized from the input's node count —
+  // and the efficiency tail is q184's exact fixed-point convention
+  // (sr = Σ round(1e12/d) BIGINT, ONE division per output).
+  //
+  // Scale shape: one NP window for the two degree rankings (NP rows —
+  // broadcast-class), a |keys|·NP²-bounded keyed edge relation, keyed
+  // doubling = |keys|·NP³ worst case (q196's class). No data-sized work
+  // past the q168 moments.
+
+  private val attackKMax = 3L
+
+  private[graft] def attackCore(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; deg fill + count + np
+    val ones = pe.filter(col("edge") === 1).select("p1", "p2")
+    val deg = parcels.join(
+        ones.select(col("p1").as("p")).union(ones.select(col("p2").as("p")))
+          .groupBy("p").agg(count(lit(1)).as("deg")),
+        Seq("p"), "left")
+      .na.fill(0L, Seq("deg"))
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = deg
+      .withColumn("rhub", row_number()
+        .over(w.orderBy(col("deg").desc, col("p").asc)).cast("long"))
+      .withColumn("rleaf", row_number()
+        .over(w.orderBy(col("deg").asc, col("p").asc)).cast("long"))
+      .localCheckpoint() // NP rows (the single-partition window is fine here)
+    val ks = Seq("hub", "leaf")
+      .flatMap(st => (0L to attackKMax).map(st -> _))
+      .toDF("strategy", "k")
+    val onesK = ones
+      .join(broadcast(ranked.selectExpr("p AS p1", "rhub AS ra", "rleaf AS la")), Seq("p1"))
+      .join(broadcast(ranked.selectExpr("p AS p2", "rhub AS rb", "rleaf AS lb")), Seq("p2"))
+      .crossJoin(broadcast(ks))
+      .filter(expr("CASE WHEN strategy = 'hub' THEN ra > k AND rb > k " +
+        "ELSE la > k AND lb > k END"))
+      .select("strategy", "k", "p1", "p2")
+      .localCheckpoint() // |keys|·NP²-bounded; edge counts + sym
+    val ec = onesK.groupBy("strategy", "k").agg(count(lit(1)).as("n_edges"))
+    val sym = onesK.selectExpr("strategy", "k", "p1 AS a", "p2 AS b")
+      .unionByName(onesK.selectExpr("strategy", "k", "p2 AS a", "p1 AS b"))
+    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    val nNodes = math.max(2L, parcels.count())
+    val rounds = math.max(1,
+      math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
+    for (_ <- 0 until rounds) {
+      val through = dist.selectExpr("strategy", "k", "a", "b AS c", "d AS d1")
+        .join(dist.selectExpr("strategy", "k", "a AS c", "b AS bb", "d AS d2"),
+          Seq("strategy", "k", "c"))
+        .selectExpr("strategy", "k", "a", "bb AS b", "d1 + d2 AS d")
+      dist = dist.unionByName(through)
+        .filter(col("a") =!= col("b"))
+        .groupBy("strategy", "k", "a", "b").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    val st = dist.groupBy("strategy", "k").agg(sum("d").as("sd"),
+      count(lit(1)).as("n_fin"),
+      sum(expr("CAST(round(1e12 / d, 0) AS BIGINT)")).as("sr"))
+    ks.crossJoin(broadcast(parcels.agg(count(lit(1)).as("np"))))
+      .join(ec, Seq("strategy", "k"), "left")
+      .join(st, Seq("strategy", "k"), "left")
+      .na.fill(0L, Seq("n_edges", "sd", "n_fin", "sr"))
+      .selectExpr("strategy", "k AS k_removed",
+        "greatest(np - k, CAST(0 AS BIGINT)) AS n_nodes", "n_edges",
+        "CASE WHEN n_fin > 0 THEN round(CAST(sd AS DOUBLE) / n_fin, 6) END AS cpl",
+        "CASE WHEN np - k >= 2 THEN round(CAST(sr AS DOUBLE) / (CAST(np - k AS DOUBLE) * (np - k - 1)) / 1e12, 6) END AS eff_glob")
+      .orderBy("strategy", "k_removed")
+  }
+
+  def attackRobustness(s: SparkSession, d: String): DataFrame =
+    attackCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def attackSql: String =
+    s"""WITH RECURSIVE $connectomeCtes,
+       |atparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe UNION ALL SELECT p2 AS p FROM pe)),
+       |atones AS MATERIALIZED (SELECT p1, p2 FROM pe WHERE edge = 1),
+       |atdeg AS (
+       |  SELECT atparcels.p, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+       |  FROM atparcels LEFT JOIN (
+       |    SELECT p, count(*) AS deg FROM (
+       |      SELECT p1 AS p FROM atones UNION ALL SELECT p2 AS p FROM atones
+       |    ) GROUP BY p) d ON d.p = atparcels.p
+       |),
+       |atrank AS MATERIALIZED (
+       |  SELECT p, deg,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, p ASC) AS BIGINT) AS rhub,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY deg ASC, p ASC) AS BIGINT) AS rleaf
+       |  FROM atdeg
+       |),
+       |atks AS MATERIALIZED (
+       |  SELECT strategy, k FROM
+       |    (SELECT unnest(['hub', 'leaf']) AS strategy)
+       |    CROSS JOIN (SELECT CAST(unnest(generate_series(0, $attackKMax)) AS BIGINT) AS k)
+       |),
+       |atonesk AS MATERIALIZED (
+       |  SELECT ks.strategy, ks.k, o.p1, o.p2
+       |  FROM atones o
+       |  JOIN atrank ra ON ra.p = o.p1
+       |  JOIN atrank rb ON rb.p = o.p2
+       |  CROSS JOIN atks ks
+       |  WHERE CASE WHEN ks.strategy = 'hub'
+       |    THEN ra.rhub > ks.k AND rb.rhub > ks.k
+       |    ELSE ra.rleaf > ks.k AND rb.rleaf > ks.k END
+       |),
+       |atsyme AS MATERIALIZED (SELECT strategy, k, a, b FROM (
+       |  SELECT strategy, k, p1 AS a, p2 AS b FROM atonesk
+       |  UNION ALL SELECT strategy, k, p2 AS a, p1 AS b FROM atonesk)),
+       |atwalk(strategy, k, a, b, d) AS (
+       |  SELECT strategy, k, a, b, CAST(1 AS BIGINT) AS d FROM atsyme
+       |  UNION
+       |  SELECT w.strategy, w.k, w.a, s.b, w.d + 1
+       |  FROM atwalk w JOIN atsyme s
+       |    ON s.strategy = w.strategy AND s.k = w.k AND s.a = w.b
+       |  WHERE w.d < $connNP AND s.b <> w.a
+       |),
+       |atdist AS (
+       |  SELECT strategy, k, a, b, MIN(d) AS d FROM atwalk GROUP BY 1, 2, 3, 4
+       |),
+       |atec AS (
+       |  SELECT strategy, k, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM atonesk GROUP BY 1, 2
+       |),
+       |atst AS (
+       |  SELECT strategy, k, CAST(SUM(d) AS BIGINT) AS sd,
+       |    CAST(count(*) AS BIGINT) AS n_fin,
+       |    CAST(SUM(CAST(round(1e12 / d, 0) AS BIGINT)) AS BIGINT) AS sr
+       |  FROM atdist GROUP BY 1, 2
+       |),
+       |atnp AS (SELECT CAST(count(*) AS BIGINT) AS np FROM atparcels)
+       |SELECT ks.strategy, ks.k AS k_removed,
+       |  greatest(atnp.np - ks.k, 0) AS n_nodes,
+       |  COALESCE(atec.n_edges, 0) AS n_edges,
+       |  CASE WHEN COALESCE(atst.n_fin, 0) > 0
+       |    THEN round(CAST(atst.sd AS DOUBLE) / atst.n_fin, 6) END AS cpl,
+       |  CASE WHEN atnp.np - ks.k >= 2
+       |    THEN round(CAST(COALESCE(atst.sr, 0) AS DOUBLE) / (CAST(atnp.np - ks.k AS DOUBLE) * (atnp.np - ks.k - 1)) / 1e12, 6) END AS eff_glob
+       |FROM atks ks CROSS JOIN atnp
+       |LEFT JOIN atec ON atec.strategy = ks.strategy AND atec.k = ks.k
+       |LEFT JOIN atst ON atst.strategy = ks.strategy AND atst.k = ks.k
+       |ORDER BY ks.strategy, ks.k""".stripMargin
+
   // ---- q215: k-core decomposition (coreness via H-index iteration) --------
   // Hagmann et al. 2008 (PLoS Biol 6:e159, the "structural core" paper)
   // made k-core/coreness a connectome staple; the computation here is the
@@ -3315,6 +3474,7 @@ object DesignImage extends QueryModule {
     Q("q214_assortativity", assortativity, Some(assortativitySql)),
     Q("q215_coreness", coreness, Some(corenessSql)),
     Q("q217_percolation", percolation, Some(percolationSql)),
+    Q("q218_attack_robustness", attackRobustness, Some(attackSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

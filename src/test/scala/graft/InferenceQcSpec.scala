@@ -921,6 +921,33 @@ class InferenceQcSpec extends SparkSpec {
     assert(out(40L) === ((1L, 2L, 4L, 2L, Some(0.4))), s"${out(40L)}")
   }
 
+  test("q218: removing the star's hub craters efficiency; removing a leaf barely moves it") {
+    val s = spark
+    import s.implicits._
+    // star: hub 0 with leaves 1, 2, 3
+    val pe = Seq((0, 1, 1L), (0, 2, 1L), (0, 3, 1L)).toDF("p1", "p2", "edge")
+    val out = graft.queries.DesignImage.attackCore(pe)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // intact (k=0, both strategies): 6 ordered pairs at d=1, 6 at d=2 →
+    // cpl = 1.5, eff = (6 + 6·0.5)/12 = 0.75
+    assert(out(("hub", 0L)) === ((4L, 3L, Some(1.5), Some(0.75))), s"${out(("hub", 0L))}")
+    assert(out(("leaf", 0L)) === out(("hub", 0L)), "k=0 is strategy-free")
+    // hub attack k=1: node 0 (deg 3) removed → edgeless, eff = 0, cpl NULL
+    assert(out(("hub", 1L)) === ((3L, 0L, None, Some(0.0))), s"${out(("hub", 1L))}")
+    // leaf failure k=1: node 1 (deg 1, lowest id) removed → 2-leaf star:
+    // 4 ordered pairs d=1, 2 at d=2 → cpl = 8/6, eff = 5/6
+    assert(out(("leaf", 1L)) === ((3L, 2L,
+      Some(BigDecimal(8.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      Some(BigDecimal(5.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))),
+      s"${out(("leaf", 1L))}")
+    // k=3 leaves a single node: efficiency undefined (n_rem < 2)
+    assert(out(("hub", 3L)) === ((1L, 0L, None, None)))
+    assert(out.keySet.size === 8, "2 strategies x k=0..3")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._
