@@ -177,6 +177,149 @@ object TimeSeries extends QueryModule {
       |GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  // ---- q219: retention cohorts ---------------------------------------------
+  // The classic cohort-retention matrix over the event stream: each
+  // user's cohort is their first active day, and cell (cohort, offset)
+  // counts users from that cohort active offset days later, with the
+  // rate against cohort size. All day math in exact integer µs (the q52
+  // grain — `ts div 1000` on the nanos column, epoch_us in the oracle);
+  // one correctly-rounded division per output row.
+  //
+  // Scale shape: ONE data-sized exchange (the (user, day) distinct
+  // collapses multiple events per user-day map-side); the cohort fold
+  // and the activity join both partition on user_id (co-partitioned,
+  // AQE-handled), and the matrix itself is days²-bounded. No window, no
+  // driver state.
+
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionCore(events(s, d)
+      .selectExpr("user_id", "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day"))
+
+  /** Cohort matrix from a (user_id, day) activity relation — split out
+    * so specs can plant activity calendars. */
+  private[graft] def retentionCore(userDay: DataFrame): DataFrame = {
+    val ud = userDay.select("user_id", "day")
+      .distinct().localCheckpoint() // user·day-bounded; 2 consumers
+    val coh = ud.groupBy("user_id").agg(min("day").as("c_day"))
+      .localCheckpoint() // |users| rows; activity join + cohort sizes
+    val act = ud.join(coh, Seq("user_id"))
+      .selectExpr("c_day", "day - c_day AS offset_days")
+      .groupBy("c_day", "offset_days").agg(count(lit(1)).as("n_active"))
+    val sz = coh.groupBy("c_day").agg(count(lit(1)).as("cohort_n"))
+    act.join(broadcast(sz), Seq("c_day"))
+      .selectExpr("c_day AS cohort_day", "offset_days", "n_active", "cohort_n",
+        "round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention")
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val retentionSql =
+    """WITH ud AS MATERIALIZED (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |),
+      |coh AS MATERIALIZED (
+      |  SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1
+      |),
+      |act AS (
+      |  SELECT coh.c_day, ud.day - coh.c_day AS offset_days,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM ud JOIN coh ON coh.user_id = ud.user_id GROUP BY 1, 2
+      |),
+      |sz AS (
+      |  SELECT c_day, CAST(count(*) AS BIGINT) AS cohort_n FROM coh GROUP BY 1
+      |)
+      |SELECT act.c_day AS cohort_day, act.offset_days, act.n_active,
+      |  sz.cohort_n,
+      |  round(CAST(act.n_active AS DOUBLE) / sz.cohort_n, 6) AS retention
+      |FROM act JOIN sz ON sz.c_day = act.c_day
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
+  // ---- q220: conversion funnel (windowed, ordered) --------------------------
+  // The ordered view → click → purchase funnel with a 24 h conversion
+  // window per hop: stage n's timestamp is the user's first qualifying
+  // event STRICTLY AFTER stage n−1's, within the window — the standard
+  // product-analytics definition (unwindowed, this corpus converts
+  // everyone: 150→60→25 users at sf0.01 under 24 h, measured live).
+  // Exact integer µs throughout; rates are one division each.
+  //
+  // Scale shape: one filtered pass per stage, each an equi-join on
+  // user_id against the previous stage's |users|-bounded relation
+  // (co-partitioned); the output is |stages| rows. No window function,
+  // no driver state.
+
+  private val funnelWindowUs = 86400000000L // 24 h
+  private val funnelStages = Seq("view", "click", "purchase")
+
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelCore(events(s, d)
+      .selectExpr("user_id", "event_type", "CAST(ts div 1000 AS BIGINT) AS us"))
+
+  /** Funnel from a (user_id, event_type, us) relation — split out so
+    * specs can plant event sequences around the window boundary. */
+  private[graft] def funnelCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("user_id", "event_type", "us")
+      .localCheckpoint() // read once per stage
+    var prev: DataFrame = null
+    val counts = funnelStages.zipWithIndex.map { case (tpe, i) =>
+      val mine = ev.filter(col("event_type") === tpe)
+      val t = if (i == 0) mine.groupBy("user_id").agg(min("us").as("t"))
+      else mine.join(prev.selectExpr("user_id", "t AS tp"), Seq("user_id"))
+        .filter(expr(s"us > tp AND us <= tp + $funnelWindowUs"))
+        .groupBy("user_id").agg(min("us").as("t"))
+      prev = t.localCheckpoint() // |users|-bounded; next stage + count
+      prev.agg(count(lit(1)).as("n_users"))
+        .selectExpr(s"CAST(${i + 1} AS BIGINT) AS stage",
+          s"'$tpe' AS event_type", "n_users")
+    }
+    val ns = counts.reduce(_ unionByName _).localCheckpoint() // 3 rows
+    ns
+      .join(ns.selectExpr("stage + 1 AS stage", "n_users AS n_prev"),
+        Seq("stage"), "left")
+      .crossJoin(broadcast(ns.filter(col("stage") === 1L)
+        .selectExpr("n_users AS n_first")))
+      .selectExpr("stage", "event_type", "n_users",
+        "CASE WHEN n_prev > 0 THEN round(CAST(n_users AS DOUBLE) / n_prev, 6) END AS conv_prev",
+        "CASE WHEN n_first > 0 THEN round(CAST(n_users AS DOUBLE) / n_first, 6) END AS conv_total")
+      .orderBy("stage")
+  }
+
+  private val funnelSql =
+    s"""WITH s1 AS MATERIALIZED (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |),
+       |s2 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > s1.t AND epoch_us(e.ts) <= s1.t + $funnelWindowUs
+       |  GROUP BY 1
+       |),
+       |s3 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > s2.t AND epoch_us(e.ts) <= s2.t + $funnelWindowUs
+       |  GROUP BY 1
+       |),
+       |ns AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+       |  UNION ALL
+       |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+       |  UNION ALL
+       |  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+       |)
+       |SELECT ns.stage, ns.event_type, ns.n_users,
+       |  CASE WHEN pv.n_prev > 0
+       |    THEN round(CAST(ns.n_users AS DOUBLE) / pv.n_prev, 6) END AS conv_prev,
+       |  CASE WHEN f.n_first > 0
+       |    THEN round(CAST(ns.n_users AS DOUBLE) / f.n_first, 6) END AS conv_total
+       |FROM ns
+       |LEFT JOIN (SELECT stage + 1 AS stage, n_users AS n_prev FROM ns) pv
+       |  ON pv.stage = ns.stage
+       |CROSS JOIN (SELECT n_users AS n_first FROM ns WHERE stage = 1) f
+       |ORDER BY ns.stage""".stripMargin
+
   // ---- q159: framewise displacement + motion scrubbing (W1-W3 + QC) ------
   // The motion-QC step between the reference's confound extraction
   // (ssm_loop.py:46-50 pulls trans/rot columns; fmriprep_motion_hist.R
@@ -297,6 +440,8 @@ object TimeSeries extends QueryModule {
     Q("q17_asof_join", asofPurchaseClick, Some(asofPurchaseClickSql)),
     Q("q19_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql)),
     Q("q52_sessionize", sessionize, Some(sessionizeSql)),
+    Q("q219_retention_cohorts", retentionCohorts, Some(retentionSql)),
+    Q("q220_funnel", funnel, Some(funnelSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )
 }

@@ -81,4 +81,53 @@ class OperatorSpec extends SparkSpec {
     val bins = h.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bins == Map(0L -> 2L, 5L -> 1L, 10L -> 2L))
   }
+
+  test("q219: the cohort matrix counts exactly the planted comeback pattern") {
+    val s = spark
+    import s.implicits._
+    // cohort day 10: users 1,2,3 — all active day 10; 1,2 return day 11;
+    // only 1 returns day 12. cohort day 11: user 4, never returns.
+    // duplicate activity rows must not double-count (the distinct).
+    val ud = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (1L, 10L),
+      (1L, 11L), (2L, 11L),
+      (1L, 12L),
+      (4L, 11L),
+    ).toDF("user_id", "day")
+    val out = graft.queries.TimeSeries.retentionCore(ud)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((10L, 0L)) === ((3L, 3L, 1.0)))
+    assert(out((10L, 1L)) === ((2L, 3L, 0.666667)))
+    assert(out((10L, 2L)) === ((1L, 3L, 0.333333)))
+    assert(out((11L, 0L)) === ((1L, 1L, 1.0)))
+    assert(out.size === 4, s"exactly the active cells: $out")
+  }
+
+  test("q220: the funnel honors order and the 24h window at its exact boundary") {
+    val s = spark
+    import s.implicits._
+    val W = 86400000000L
+    val ev = Seq(
+      // user 1: full conversion, purchase exactly AT the window edge (kept)
+      (1L, "view", 0L), (1L, "click", 1000L), (1L, "purchase", 1000L + W),
+      // user 2: click BEFORE the first view — order must reject it
+      (2L, "click", 0L), (2L, "view", 5000L),
+      // user 3: click one microsecond past the window — rejected
+      (3L, "view", 0L), (3L, "click", W + 1L),
+      // user 4: converts view->click, then purchases outside click's window
+      (4L, "view", 0L), (4L, "click", 10L), (4L, "purchase", 10L + W + 1L),
+      // user 5: purchase before click (order), then nothing after
+      (5L, "view", 0L), (5L, "purchase", 5L), (5L, "click", 20L),
+    ).toDF("user_id", "event_type", "us")
+    val out = graft.queries.TimeSeries.funnelCore(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // views: users 1,2,3,4,5 -> 5; clicks after view in-window: 1,4,5 -> 3
+    // purchases after click in-window: only user 1 (exact boundary kept)
+    assert(out(1L) === (("view", 5L, None, Some(1.0))), s"${out(1L)}")
+    assert(out(2L) === (("click", 3L, Some(0.6), Some(0.6))), s"${out(2L)}")
+    assert(out(3L) === (("purchase", 1L, Some(0.333333), Some(0.2))), s"${out(3L)}")
+  }
 }
