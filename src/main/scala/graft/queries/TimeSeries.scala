@@ -233,6 +233,74 @@ object TimeSeries extends QueryModule {
       |FROM act JOIN sz ON sz.c_day = act.c_day
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  // ---- q221: DAU / WAU / MAU + stickiness ------------------------------------
+  // The rolling active-user panel: per calendar day, distinct users
+  // active that day (DAU), in the trailing 7 days (WAU), in the trailing
+  // 30 days (MAU), and the DAU/MAU stickiness ratio. The trailing
+  // distinct count avoids a sliding DISTINCT window: each (user, day)
+  // activity row EXPANDS to the ≤ 30 target days it keeps the user
+  // active for, then a distinct + count per target day — the standard
+  // contribution-expansion trick, |users|·days·30-bounded, with target
+  // days clamped to the observed calendar so ramp-out days past the last
+  // activity don't appear. One division per row.
+  //
+  // Scale shape: one data-sized exchange (the (user, day) distinct);
+  // the expansion multiplies the day-grain relation by ≤ 30, stays
+  // user·day·30-bounded, and aggregates map-side. No window function.
+
+  private val mauDays = 30L
+
+  /** Active-user panel from a (user_id, day) activity relation. */
+  private[graft] def activeUsersCore(userDay: DataFrame): DataFrame = {
+    val ud = userDay.select("user_id", "day")
+      .distinct().localCheckpoint() // user·day-bounded; 2 consumers
+    val cal = ud.agg(min("day").as("d0"), max("day").as("d1"))
+    val span = ud.crossJoin(broadcast(cal))
+      .selectExpr("user_id", "day",
+        s"explode(sequence(day, least(day + ${mauDays - 1}, d1))) AS t_day")
+      .selectExpr("user_id", "t_day", "t_day - day AS age")
+    def trailing(win: Long, name: String) = span
+      .filter(col("age") < win)
+      .select("user_id", "t_day").distinct()
+      .groupBy("t_day").agg(count(lit(1)).as(name))
+    trailing(mauDays, "mau") // every observed day (the widest window)
+      .join(trailing(7L, "wau"), Seq("t_day"), "left")
+      .join(trailing(1L, "dau"), Seq("t_day"), "left")
+      .na.fill(0L, Seq("dau", "wau"))
+      .selectExpr("t_day AS day", "dau", "wau", "mau",
+        "CASE WHEN mau > 0 THEN round(CAST(dau AS DOUBLE) / mau, 6) END AS stickiness")
+      .orderBy("day")
+  }
+
+  def activeUsers(s: SparkSession, d: String): DataFrame =
+    activeUsersCore(events(s, d)
+      .selectExpr("user_id", "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day"))
+
+  private val activeUsersSql =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |cal AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+       |span AS MATERIALIZED (
+       |  SELECT ud.user_id, u.t_day, u.t_day - ud.day AS age
+       |  FROM ud CROSS JOIN cal,
+       |    unnest(generate_series(ud.day, least(ud.day + ${mauDays - 1}, cal.d1))) u(t_day)
+       |),
+       |dau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS dau FROM (
+       |  SELECT DISTINCT user_id, t_day FROM span WHERE age < 1) GROUP BY 1),
+       |wau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS wau FROM (
+       |  SELECT DISTINCT user_id, t_day FROM span WHERE age < 7) GROUP BY 1),
+       |mau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS mau FROM (
+       |  SELECT DISTINCT user_id, t_day FROM span WHERE age < $mauDays) GROUP BY 1)
+       |SELECT mau.t_day AS day, COALESCE(dau.dau, 0) AS dau,
+       |  COALESCE(wau.wau, 0) AS wau, mau.mau,
+       |  CASE WHEN mau.mau > 0
+       |    THEN round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / mau.mau, 6) END AS stickiness
+       |FROM mau
+       |LEFT JOIN dau ON dau.t_day = mau.t_day
+       |LEFT JOIN wau ON wau.t_day = mau.t_day
+       |ORDER BY day""".stripMargin
+
   // ---- q220: conversion funnel (windowed, ordered) --------------------------
   // The ordered view → click → purchase funnel with a 24 h conversion
   // window per hop: stage n's timestamp is the user's first qualifying
@@ -442,6 +510,7 @@ object TimeSeries extends QueryModule {
     Q("q52_sessionize", sessionize, Some(sessionizeSql)),
     Q("q219_retention_cohorts", retentionCohorts, Some(retentionSql)),
     Q("q220_funnel", funnel, Some(funnelSql)),
+    Q("q221_active_users", activeUsers, Some(activeUsersSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )
 }

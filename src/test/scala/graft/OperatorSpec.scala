@@ -130,4 +130,22 @@ class OperatorSpec extends SparkSpec {
     assert(out(2L) === (("click", 3L, Some(0.6), Some(0.6))), s"${out(2L)}")
     assert(out(3L) === (("purchase", 1L, Some(0.333333), Some(0.2))), s"${out(3L)}")
   }
+
+  test("q221: DAU/WAU/MAU trailing distinct counts on a planted calendar") {
+    val s = spark
+    import s.implicits._
+    // user 1 active days 0 and 8; user 2 active day 0 only
+    val ud = Seq((1L, 0L), (2L, 0L), (1L, 8L)).toDF("user_id", "day")
+    val out = graft.queries.TimeSeries.activeUsersCore(ud)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.keySet === (0L to 8L).toSet, s"calendar clamps to d1: ${out.keySet}")
+    assert(out(0L) === ((2L, 2L, 2L, Some(1.0))))
+    // day 6: inside both users' trailing 7d window from day 0
+    assert(out(6L) === ((0L, 2L, 2L, Some(0.0))))
+    // day 7: the 7d window from day 0 has closed, 30d still open
+    assert(out(7L) === ((0L, 0L, 2L, Some(0.0))))
+    // day 8: user 1 returns - dau 1, wau 1, mau still both users
+    assert(out(8L) === ((1L, 1L, 2L, Some(0.5))))
+  }
 }
