@@ -1953,11 +1953,13 @@ object DesignImage extends QueryModule {
   // convention). With Sj = Σdj, Sjk = Σdj·dk, Sjj = Σdj² over the 2M
   // directed pairs (Σdj = Σdk by symmetry),
   //   r = (2M·Sjk − Sj²) / (2M·Sjj − Sj²)
-  // — numerator and denominator EXACT integers (DECIMAL(38,0) sums,
-  // HUGEINT in the oracle, both routed through BIGINT — the q166 cast
-  // class; at atlas scale NP ≈ 10³ the products stay < 2^60), ONE
-  // correctly-rounded division. Cauchy–Schwarz makes the denominator
-  // ≥ 0 with equality exactly on regular graphs → NULL there.
+  // — numerator and denominator EXACT integers. The SUMS export as
+  // BIGINT (< 2^53 at any plausible NP), but the final cross products
+  // m2·Sjk and m2·Sjj reach ~4·10^18 ≈ 2^62 at atlas scale NP ≈ 10³ —
+  // too close to int64 — so the ratio is formed in DECIMAL(38,0)
+  // (HUGEINT in the oracle) and only the final division runs in DOUBLE
+  // (correctly rounded, the q166 discipline). Cauchy–Schwarz makes the
+  // denominator ≥ 0 with equality exactly on regular graphs → NULL.
   //
   // Scale shape: one NP-bounded degree fold, one NP²-bounded pair join
   // against the broadcast degrees, a single global aggregate row.
@@ -1983,8 +1985,10 @@ object DesignImage extends QueryModule {
         "CAST(COALESCE(sjk, 0) AS BIGINT) AS s_jk",
         "CAST(COALESCE(sjj, 0) AS BIGINT) AS s_jj")
       .selectExpr("m2", "s_j", "s_jk", "s_jj",
-        "CASE WHEN m2 * s_jj - s_j * s_j > 0 " +
-          "THEN round(CAST(m2 * s_jk - s_j * s_j AS DOUBLE) / (m2 * s_jj - s_j * s_j), 6) END AS r_assort")
+        "CAST(m2 AS DECIMAL(38,0)) * s_jk - CAST(s_j AS DECIMAL(38,0)) * s_j AS num",
+        "CAST(m2 AS DECIMAL(38,0)) * s_jj - CAST(s_j AS DECIMAL(38,0)) * s_j AS den")
+      .selectExpr("m2", "s_j", "s_jk", "s_jj",
+        "CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS r_assort")
       .orderBy("m2")
   }
 
@@ -2014,8 +2018,9 @@ object DesignImage extends QueryModule {
        |  JOIN asdeg d2 ON d2.p = asdir.b
        |)
        |SELECT m2, s_j, s_jk, s_jj,
-       |  CASE WHEN m2 * s_jj - s_j * s_j > 0
-       |    THEN round(CAST(m2 * s_jk - s_j * s_j AS DOUBLE) / (m2 * s_jj - s_j * s_j), 6) END AS r_assort
+       |  CASE WHEN CAST(m2 AS HUGEINT) * s_jj - CAST(s_j AS HUGEINT) * s_j > 0
+       |    THEN round(CAST(CAST(m2 AS HUGEINT) * s_jk - CAST(s_j AS HUGEINT) * s_j AS DOUBLE)
+       |      / CAST(CAST(m2 AS HUGEINT) * s_jj - CAST(s_j AS HUGEINT) * s_j AS DOUBLE), 6) END AS r_assort
        |FROM assum
        |ORDER BY m2""".stripMargin
 

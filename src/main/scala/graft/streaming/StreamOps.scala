@@ -993,6 +993,35 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING retention — q219's foreachBatch twin: each arriving
+    * event batch's (user, day) activity appends to the standing
+    * `name_udays` table, then the FULL cohort matrix recomputes and
+    * OVERWRITES outPath (the streamingBetaAdmission snapshot
+    * discipline: after any batch the sink holds exactly the panel over
+    * everything admitted so far). Unlike the score-then-admit loops
+    * this needs NO replay guard at all: the panel's own (user, day)
+    * DISTINCT absorbs duplicate activity rows, so an at-least-once
+    * redelivery appends harmless duplicates and the snapshot overwrite
+    * converges from every crash window by construction. */
+  def streamingRetention(events: DataFrame, name: String,
+      outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      retentionBatch(batch, name, outPath)
+    }
+
+  /** One micro-batch of [[streamingRetention]] — public for the spec. */
+  def retentionBatch(batch: DataFrame, name: String, outPath: String): Unit = {
+    val s = batch.sparkSession
+    batch
+      .selectExpr("user_id",
+        "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day")
+      .write.mode("append").format("parquet").saveAsTable(s"${name}_udays")
+    s.catalog.refreshTable(s"${name}_udays")
+    graft.queries.TimeSeries.retentionCore(s.table(s"${name}_udays"))
+      .write.mode("overwrite").parquet(outPath)
+    ()
+  }
+
   /** Append-mode variant (dedup and other non-aggregating sinks). */
   def runToMemoryAppend(spark: SparkSession, writer: DataStreamWriter[Row],
       name: String): DataFrame = {

@@ -148,4 +148,33 @@ class OperatorSpec extends SparkSpec {
     // day 8: user 1 returns - dau 1, wau 1, mau still both users
     assert(out(8L) === ((1L, 1L, 2L, Some(0.5))))
   }
+
+  test("q219 streaming twin: snapshot equals the batch panel over everything admitted, replay converges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_ret_udays")
+    val day = 86400000000000L // ns
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 0L), (2L, 0L), (3L, 0L)),
+      Seq((1L, day), (2L, day), (4L, day)),
+      Seq((1L, 2 * day)),
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-ret").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamOps.streamingRetention(
+      ms.toDF().toDF("user_id", "ts"), "graft_test_ret", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // at-least-once replay
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.retentionCore(
+      batches.flatten.toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch panel incl. after a replay: $got vs $ref")
+  }
 }
