@@ -1003,19 +1003,26 @@ object StreamOps {
     * DISTINCT absorbs duplicate activity rows, so an at-least-once
     * redelivery appends harmless duplicates and the snapshot overwrite
     * converges from every crash window by construction. */
-  def streamingRetention(events: DataFrame, name: String,
+  def streamingRetention(events: DataFrame, name: String, location: String,
       outPath: String): DataStreamWriter[Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      retentionBatch(batch, name, outPath)
+      retentionBatch(batch, name, location, outPath)
     }
 
-  /** One micro-batch of [[streamingRetention]] — public for the spec. */
-  def retentionBatch(batch: DataFrame, name: String, outPath: String): Unit = {
+  /** One micro-batch of [[streamingRetention]] — public for the spec.
+    * The activity table is EXTERNAL (explicit location, the
+    * buildAudioIndex discipline): a managed table's warehouse directory
+    * outlives a dropped catalog entry across JVM sessions and blocks
+    * re-creation. */
+  def retentionBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
     val s = batch.sparkSession
     batch
       .selectExpr("user_id",
         "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day")
-      .write.mode("append").format("parquet").saveAsTable(s"${name}_udays")
+      .write.mode("append").format("parquet")
+      .option("path", s"$location/udays")
+      .saveAsTable(s"${name}_udays")
     s.catalog.refreshTable(s"${name}_udays")
     graft.queries.TimeSeries.retentionCore(s.table(s"${name}_udays"))
       .write.mode("overwrite").parquet(outPath)

@@ -153,6 +153,8 @@ class OperatorSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     spark.sql("DROP TABLE IF EXISTS graft_test_ret_udays")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_ret"))
     val day = 86400000000000L // ns
     val batches: Seq[Seq[(Long, Long)]] = Seq(
       Seq((1L, 0L), (2L, 0L), (3L, 0L)),
@@ -164,7 +166,8 @@ class OperatorSpec extends SparkSpec {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long)]
     val q = graft.streaming.StreamOps.streamingRetention(
-      ms.toDF().toDF("user_id", "ts"), "graft_test_ret", out).start()
+      ms.toDF().toDF("user_id", "ts"), "graft_test_ret",
+      "/tmp/graft_test_ret", out).start()
     try {
       batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
       ms.addData(batches.head); q.processAllAvailable() // at-least-once replay
