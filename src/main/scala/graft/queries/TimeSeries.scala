@@ -388,6 +388,76 @@ object TimeSeries extends QueryModule {
        |CROSS JOIN (SELECT n_users AS n_first FROM ns WHERE stage = 1) f
        |ORDER BY ns.stage""".stripMargin
 
+  // ---- q222: error-rate spike detection (trailing-baseline z) ---------------
+  // Hourly ops-anomaly detection: per hour the error fraction, a pooled
+  // trailing-24h baseline rate p0 (current hour EXCLUDED — a spike must
+  // not dilute its own baseline), and the one-proportion z statistic
+  //   z = (p_t − p0) / sqrt(p0·(1 − p0) / n_t)
+  // flagged at the conventional 3σ. Window sums are exact integers
+  // (RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING on the integer hour, so
+  // calendar gaps are handled); z's inputs are exact integers and its
+  // ops (two divisions, one sqrt) are correctly rounded, so BOTH
+  // engines compute the bit-identical double and the flag cannot
+  // ULP-flip. Organically live: the 3σ gate fires on 2/720 hours at
+  // sf0.01 and 1/720 at sf0.1 (measured). z is NULL (flag false) when
+  // the baseline is empty, all-error, or error-free.
+  //
+  // Scale shape: ONE data-sized exchange (the hour aggregate); the
+  // window runs over the hours-bounded relation. At production scale
+  // the hour grain is tiny regardless of event volume; partition by a
+  // service/tenant key to avoid the single-partition window if the key
+  // exists.
+
+  private val spikeZExpr =
+    "CASE WHEN base_n > 0 AND base_err > 0 AND base_err < base_n AND n > 0 " +
+      "THEN (CAST(e AS DOUBLE) / n - CAST(base_err AS DOUBLE) / base_n) " +
+      "/ sqrt((CAST(base_err AS DOUBLE) / base_n) * (1 - CAST(base_err AS DOUBLE) / base_n) / n) END"
+
+  /** Spike panel from an (hour, n, e) hourly-counts relation. */
+  private[graft] def errorSpikesCore(h0: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("hour").rangeBetween(-24, -1)
+    h0.select("hour", "n", "e")
+      .withColumn("base_n", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("base_err", coalesce(sum("e").over(w), lit(0L)))
+      .selectExpr("hour", "n AS n_total", "e AS n_err",
+        "round(CAST(e AS DOUBLE) / n, 6) AS err_rate",
+        "base_n", "base_err",
+        s"round($spikeZExpr, 6) AS z",
+        s"COALESCE($spikeZExpr > CAST(3 AS DOUBLE), false) AS spike")
+      .orderBy("hour")
+  }
+
+  def errorSpikes(s: SparkSession, d: String): DataFrame =
+    errorSpikesCore(events(s, d)
+      .selectExpr("CAST((ts div 1000) div 3600000000 AS BIGINT) AS hour",
+        "event_type")
+      .groupBy("hour").agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")))
+
+  private val errorSpikesSql =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT epoch_us(ts) // 3600000000 AS hour,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+       |  FROM events GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT hour, n, e,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY hour
+       |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_n,
+       |    CAST(COALESCE(SUM(e) OVER (ORDER BY hour
+       |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base_err
+       |  FROM h
+       |)
+       |SELECT hour, n AS n_total, e AS n_err,
+       |  round(CAST(e AS DOUBLE) / n, 6) AS err_rate,
+       |  base_n, base_err,
+       |  round($spikeZExpr, 6) AS z,
+       |  COALESCE($spikeZExpr > CAST(3 AS DOUBLE), false) AS spike
+       |FROM w
+       |ORDER BY hour""".stripMargin
+
   // ---- q159: framewise displacement + motion scrubbing (W1-W3 + QC) ------
   // The motion-QC step between the reference's confound extraction
   // (ssm_loop.py:46-50 pulls trans/rot columns; fmriprep_motion_hist.R
@@ -511,6 +581,7 @@ object TimeSeries extends QueryModule {
     Q("q219_retention_cohorts", retentionCohorts, Some(retentionSql)),
     Q("q220_funnel", funnel, Some(funnelSql)),
     Q("q221_active_users", activeUsers, Some(activeUsersSql)),
+    Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )
 }

@@ -180,4 +180,24 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty && got == ref,
       s"snapshot must equal the batch panel incl. after a replay: $got vs $ref")
   }
+
+  test("q222: a planted 50% error hour spikes against its 10% trailing baseline") {
+    val s = spark
+    import s.implicits._
+    // hours 0..24 run at 10% errors; hour 25 jumps to 50%
+    val h = ((0L to 24L).map(i => (i, 100L, 10L)) :+ ((25L, 100L, 50L)))
+      .toDF("hour", "n", "e")
+    val out = graft.queries.TimeSeries.errorSpikesCore(h)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Double]), r.getBoolean(7)))).toMap
+    // hour 0 has no baseline: z NULL, never a spike
+    assert(out(0L) === ((0L, 0L, None, false)), s"${out(0L)}")
+    // a steady mid hour: z = 0, no spike
+    assert(out(10L)._3 === Some(0.0) && !out(10L)._4, s"${out(10L)}")
+    // hour 25: baseline = hours 1..24 pooled (2400 events, 240 errors)
+    val p0 = 240.0 / 2400
+    val zExp = BigDecimal((0.5 - p0) / math.sqrt(p0 * (1 - p0) / 100))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(25L) === ((2400L, 240L, Some(zExp), true)), s"${out(25L)}")
+  }
 }
