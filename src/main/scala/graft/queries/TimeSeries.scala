@@ -193,7 +193,7 @@ object TimeSeries extends QueryModule {
 
   def retentionCohorts(s: SparkSession, d: String): DataFrame =
     retentionCore(events(s, d)
-      .selectExpr("user_id", "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day"))
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
 
   /** Cohort matrix from a (user_id, day) activity relation — split out
     * so specs can plant activity calendars. */
@@ -250,23 +250,29 @@ object TimeSeries extends QueryModule {
 
   private val mauDays = 30L
 
-  /** Active-user panel from a (user_id, day) activity relation. */
+  /** Active-user panel from a (user_id, day) activity relation. The day
+    * frame is the FULL observed calendar (d0..d1): an activity gap longer
+    * than the MAU window yields explicit 0/0/0 rows, never silent holes. */
   private[graft] def activeUsersCore(userDay: DataFrame): DataFrame = {
     val ud = userDay.select("user_id", "day")
-      .distinct().localCheckpoint() // user·day-bounded; 2 consumers
+      .distinct().localCheckpoint() // user·day-bounded; cal + span
     val cal = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      .localCheckpoint() // one row; calendar + span clamp
     val span = ud.crossJoin(broadcast(cal))
       .selectExpr("user_id", "day",
         s"explode(sequence(day, least(day + ${mauDays - 1}, d1))) AS t_day")
       .selectExpr("user_id", "t_day", "t_day - day AS age")
+      .localCheckpoint() // user·day·30-bounded; read by all 3 windows
+    val calendar = cal.selectExpr("explode(sequence(d0, d1)) AS t_day")
     def trailing(win: Long, name: String) = span
       .filter(col("age") < win)
       .select("user_id", "t_day").distinct()
       .groupBy("t_day").agg(count(lit(1)).as(name))
-    trailing(mauDays, "mau") // every observed day (the widest window)
+    calendar
+      .join(trailing(mauDays, "mau"), Seq("t_day"), "left")
       .join(trailing(7L, "wau"), Seq("t_day"), "left")
       .join(trailing(1L, "dau"), Seq("t_day"), "left")
-      .na.fill(0L, Seq("dau", "wau"))
+      .na.fill(0L, Seq("dau", "wau", "mau"))
       .selectExpr("t_day AS day", "dau", "wau", "mau",
         "CASE WHEN mau > 0 THEN round(CAST(dau AS DOUBLE) / mau, 6) END AS stickiness")
       .orderBy("day")
@@ -274,7 +280,7 @@ object TimeSeries extends QueryModule {
 
   def activeUsers(s: SparkSession, d: String): DataFrame =
     activeUsersCore(events(s, d)
-      .selectExpr("user_id", "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day"))
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
 
   private val activeUsersSql =
     s"""WITH ud AS MATERIALIZED (
@@ -286,19 +292,23 @@ object TimeSeries extends QueryModule {
        |  FROM ud CROSS JOIN cal,
        |    unnest(generate_series(ud.day, least(ud.day + ${mauDays - 1}, cal.d1))) u(t_day)
        |),
+       |calendar AS (
+       |  SELECT unnest(generate_series(cal.d0, cal.d1)) AS t_day FROM cal
+       |),
        |dau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS dau FROM (
        |  SELECT DISTINCT user_id, t_day FROM span WHERE age < 1) GROUP BY 1),
        |wau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS wau FROM (
        |  SELECT DISTINCT user_id, t_day FROM span WHERE age < 7) GROUP BY 1),
        |mau AS (SELECT t_day, CAST(count(*) AS BIGINT) AS mau FROM (
        |  SELECT DISTINCT user_id, t_day FROM span WHERE age < $mauDays) GROUP BY 1)
-       |SELECT mau.t_day AS day, COALESCE(dau.dau, 0) AS dau,
-       |  COALESCE(wau.wau, 0) AS wau, mau.mau,
-       |  CASE WHEN mau.mau > 0
+       |SELECT calendar.t_day AS day, COALESCE(dau.dau, 0) AS dau,
+       |  COALESCE(wau.wau, 0) AS wau, COALESCE(mau.mau, 0) AS mau,
+       |  CASE WHEN COALESCE(mau.mau, 0) > 0
        |    THEN round(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / mau.mau, 6) END AS stickiness
-       |FROM mau
-       |LEFT JOIN dau ON dau.t_day = mau.t_day
-       |LEFT JOIN wau ON wau.t_day = mau.t_day
+       |FROM calendar
+       |LEFT JOIN mau ON mau.t_day = calendar.t_day
+       |LEFT JOIN dau ON dau.t_day = calendar.t_day
+       |LEFT JOIN wau ON wau.t_day = calendar.t_day
        |ORDER BY day""".stripMargin
 
   // ---- q220: conversion funnel (windowed, ordered) --------------------------
@@ -423,15 +433,17 @@ object TimeSeries extends QueryModule {
       .selectExpr("hour", "n AS n_total", "e AS n_err",
         "round(CAST(e AS DOUBLE) / n, 6) AS err_rate",
         "base_n", "base_err",
+        // the flag derives from the ROUNDED z — the same value the row
+        // emits — so a consumer re-checking `z > 3` can never see the
+        // flag contradict the column at the display boundary
         s"round($spikeZExpr, 6) AS z",
-        s"COALESCE($spikeZExpr > CAST(3 AS DOUBLE), false) AS spike")
+        s"COALESCE(round($spikeZExpr, 6) > CAST(3 AS DOUBLE), false) AS spike")
       .orderBy("hour")
   }
 
   def errorSpikes(s: SparkSession, d: String): DataFrame =
     errorSpikesCore(events(s, d)
-      .selectExpr("CAST((ts div 1000) div 3600000000 AS BIGINT) AS hour",
-        "event_type")
+      .selectExpr(s"${graft.util.Tables.tsNanosHour} AS hour", "event_type")
       .groupBy("hour").agg(count(lit(1)).as("n"),
         sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")))
 
@@ -454,7 +466,7 @@ object TimeSeries extends QueryModule {
        |  round(CAST(e AS DOUBLE) / n, 6) AS err_rate,
        |  base_n, base_err,
        |  round($spikeZExpr, 6) AS z,
-       |  COALESCE($spikeZExpr > CAST(3 AS DOUBLE), false) AS spike
+       |  COALESCE(round($spikeZExpr, 6) > CAST(3 AS DOUBLE), false) AS spike
        |FROM w
        |ORDER BY hour""".stripMargin
 

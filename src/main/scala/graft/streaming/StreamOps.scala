@@ -1017,15 +1017,19 @@ object StreamOps {
   def retentionBatch(batch: DataFrame, name: String, location: String,
       outPath: String): Unit = {
     val s = batch.sparkSession
-    batch
-      .selectExpr("user_id",
-        "CAST((ts div 1000) div 86400000000 AS BIGINT) AS day")
-      .write.mode("append").format("parquet")
-      .option("path", s"$location/udays")
-      .saveAsTable(s"${name}_udays")
-    s.catalog.refreshTable(s"${name}_udays")
-    graft.queries.TimeSeries.retentionCore(s.table(s"${name}_udays"))
-      .write.mode("overwrite").parquet(outPath)
+    if (!batch.isEmpty) { // an idle tick must not recompute the panel
+      // normalizeTsNanos: the stream accepts every ts vintage the batch
+      // events() loader does; tsNanosDay keeps the grain arithmetic at
+      // ONE site with the batch queries
+      graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
+        .write.mode("append").format("parquet")
+        .option("path", s"$location/udays")
+        .saveAsTable(s"${name}_udays")
+      s.catalog.refreshTable(s"${name}_udays")
+      graft.queries.TimeSeries.retentionCore(s.table(s"${name}_udays"))
+        .write.mode("overwrite").parquet(outPath)
+    }
     ()
   }
 

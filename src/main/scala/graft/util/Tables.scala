@@ -28,9 +28,15 @@ object Tables {
     * pinned to UTC in every entrypoint, making the NTZ→epoch conversion
     * timezone-free). Handles both vintages so the convention is stable
     * whatever the driver wrote. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTsNanos(table(s, d, "events"))
+
+  /** Normalize an event-shaped frame's `ts` to the epoch-NANOS BIGINT
+    * convention, whatever vintage it carries — shared by the batch
+    * `events` loader and the streaming twins, so a stream wired over
+    * the TIMESTAMP_NTZ drop behaves exactly like the batch path. */
+  def normalizeTsNanos(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -47,6 +53,12 @@ object Tables {
         raw.withColumn("ts", expr("unix_micros(ts) * 1000L"))
     }
   }
+
+  /** Day / hour grain of the nanos-BIGINT `ts` convention — ONE site, so
+    * the batch queries, their streaming twins, and any future caller
+    * cannot drift apart on the grain arithmetic. */
+  val tsNanosDay = "CAST((ts div 1000) div 86400000000 AS BIGINT)"
+  val tsNanosHour = "CAST((ts div 1000) div 3600000000 AS BIGINT)"
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -147,6 +147,15 @@ class OperatorSpec extends SparkSpec {
     assert(out(7L) === ((0L, 0L, 2L, Some(0.0))))
     // day 8: user 1 returns - dau 1, wau 1, mau still both users
     assert(out(8L) === ((1L, 1L, 2L, Some(0.5))))
+    // a >30-day activity gap yields explicit 0/0/0 rows, never holes
+    val gap = graft.queries.TimeSeries.activeUsersCore(
+      Seq((1L, 0L), (2L, 40L)).toDF("user_id", "day"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(gap.keySet === (0L to 40L).toSet, "full calendar, no holes")
+    assert(gap(29L) === ((0L, 0L, 1L, Some(0.0))), "MAU window's last day")
+    assert(gap(30L) === ((0L, 0L, 0L, None)), "window closed: explicit zeros")
+    assert(gap(40L) === ((1L, 1L, 1L, Some(1.0))))
   }
 
   test("q219 streaming twin: snapshot equals the batch panel over everything admitted, replay converges") {
