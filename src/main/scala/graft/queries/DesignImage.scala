@@ -2292,6 +2292,114 @@ object DesignImage extends QueryModule {
        |JOIN kc$corenessRounds kcl ON kcl.p = kparcels.p
        |ORDER BY kparcels.p""".stripMargin
 
+  // ---- q223: dynamic functional connectivity (sliding-window r) -----------
+  // The dFC practice of Hutchison et al. 2013 / Allen et al. 2014: the
+  // connectome is not static — correlate every parcel pair inside
+  // sliding windows (length 10 TRs, step 5 → 5 windows over NT = 30)
+  // and report, per pair, the window count, the mean windowed r, and
+  // the across-window r VARIABILITY (the first dFC statistic). Each
+  // window's r uses the q168 exact-moment expression with the window
+  // length as n; r is 1e6-fixed-pointed (the shared 6-dp rounding
+  // class) so the across-window moments are exact integers and the
+  // population sd comes from the exact numerator n·Σr² − (Σr)² (≥ 0 by
+  // Cauchy–Schwarz — no negative-variance clamp needed), ONE sqrt and
+  // division per output. Flat-in-window pairs contribute NULL r to no
+  // window (count skips them); a pair flat in EVERY window reads
+  // n_win = 0 with NULL mean/sd.
+  //
+  // Scale shape: one data-sized exchange (the parcel-series aggregate);
+  // the window expansion multiplies the NP·NT relation by ≤ wl/step = 2
+  // live windows per TR, the (w, t)-keyed pair join and the window and
+  // pair moments are |w|·NP²-bounded. No window function.
+
+  private val dfcWl = 10
+  private val dfcStep = 5
+  private val dfcStarts: Seq[Int] = 0 to (NT - dfcWl) by dfcStep
+  private val dfcNumStr =
+    s"($dfcWl * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val dfcDenAStr =
+    s"($dfcWl * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+  private val dfcDenBStr =
+    s"($dfcWl * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+  private val dfcRStr =
+    s"CASE WHEN $dfcDenAStr > 0 AND $dfcDenBStr > 0 " +
+      s"THEN $dfcNumStr / (sqrt($dfcDenAStr) * sqrt($dfcDenBStr)) END"
+
+  /** The q223 body from a (t, x, y, z, v-cents) series. */
+  private[graft] def dfcCore(series: DataFrame): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val par = series
+      .selectExpr(s"CAST((x * 7 + y * 11 + z * 13) % $connNP AS INT) AS p",
+        "t", "v")
+      .groupBy("p", "t").agg(sum("v").as("pv"))
+      .localCheckpoint() // NP·NT rows; both join sides
+    val wins = dfcStarts.toDF("ws")
+    val pw = par.crossJoin(broadcast(wins))
+      .filter(expr(s"t >= ws AND t < ws + $dfcWl"))
+    val a = pw.selectExpr("ws", "p AS p1", "t", "pv AS pva")
+    val b = pw.selectExpr("ws", "p AS p2", "t", "pv AS pvb")
+    val mom = a.join(b, Seq("ws", "t")).filter(col("p1") < col("p2"))
+      .groupBy("ws", "p1", "p2")
+      .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
+        sum("pva").as("sa"), sum("pvb").as("sb"),
+        sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
+        sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
+    mom
+      .selectExpr("ws", "p1", "p2",
+        s"CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT) AS r_fp")
+      .groupBy("p1", "p2")
+      .agg(count("r_fp").as("n_win"), sum("r_fp").as("s1"),
+        sum(expr("r_fp * r_fp")).as("s2"))
+      .na.fill(0L, Seq("s1", "s2"))
+      .selectExpr("p1", "p2", "n_win",
+        "CASE WHEN n_win > 0 THEN round(CAST(s1 AS DOUBLE) / n_win / 1e6, 6) END AS mean_r",
+        "CASE WHEN n_win > 0 THEN round(sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) / n_win / 1e6, 6) END AS sd_r")
+      .orderBy("p1", "p2")
+  }
+
+  def dynamicConnectivity(s: SparkSession, d: String): DataFrame =
+    dfcCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+
+  private def dynamicConnectivitySql: String =
+    s"""WITH $centsSeriesCte,
+       |dpar AS MATERIALIZED (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM series GROUP BY 1, 2
+       |),
+       |dwin AS (SELECT CAST(unnest([${dfcStarts.mkString(", ")}]) AS INTEGER) AS ws),
+       |dmom AS MATERIALIZED (
+       |  SELECT dwin.ws, a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM dpar a
+       |  JOIN dpar b ON a.t = b.t AND a.p < b.p
+       |  CROSS JOIN dwin
+       |  WHERE a.t >= dwin.ws AND a.t < dwin.ws + $dfcWl
+       |  GROUP BY 1, 2, 3
+       |),
+       |dr AS (
+       |  SELECT ws, p1, p2,
+       |    CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT) AS r_fp
+       |  FROM dmom
+       |),
+       |dagg AS (
+       |  SELECT p1, p2, CAST(count(r_fp) AS BIGINT) AS n_win,
+       |    CAST(COALESCE(SUM(r_fp), 0) AS BIGINT) AS s1,
+       |    CAST(COALESCE(SUM(CAST(r_fp AS HUGEINT) * r_fp), 0) AS BIGINT) AS s2
+       |  FROM dr GROUP BY 1, 2
+       |)
+       |SELECT p1, p2, n_win,
+       |  CASE WHEN n_win > 0 THEN round(CAST(s1 AS DOUBLE) / n_win / 1e6, 6) END AS mean_r,
+       |  CASE WHEN n_win > 0 THEN round(sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) / n_win / 1e6, 6) END AS sd_r
+       |FROM dagg
+       |ORDER BY p1, p2""".stripMargin
+
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
   // 2010 PLoS ONE; Garrison et al. 2015 NeuroImage): sweep the edge
@@ -3480,6 +3588,7 @@ object DesignImage extends QueryModule {
     Q("q215_coreness", coreness, Some(corenessSql)),
     Q("q217_percolation", percolation, Some(percolationSql)),
     Q("q218_attack_robustness", attackRobustness, Some(attackSql)),
+    Q("q223_dynamic_connectivity", dynamicConnectivity, Some(dynamicConnectivitySql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

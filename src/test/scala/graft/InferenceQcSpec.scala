@@ -948,6 +948,34 @@ class InferenceQcSpec extends SparkSpec {
     assert(out.keySet.size === 8, "2 strategies x k=0..3")
   }
 
+  test("q223: a coupling flip is invisible to the static mean but lights up the dFC sd") {
+    def base(t: Int) = (100 + 37 * (t % 7)).toLong
+    // parcel 0 = A; parcel 7 = 2A (locked, r = +1 in every window);
+    // parcel 2 tracks A for t < 15 then inverts (the coupling flip);
+    // parcel 9 is flat (r undefined in every window)
+    val rows = (0 until 30).flatMap { t =>
+      val a = base(t)
+      Seq((t, 0, 0, 0, a), (t, 1, 0, 0, 2L * a),
+        (t, 2, 0, 0, if (t < 15) a else 1000L - a),
+        (t, 3, 0, 0, 42L))
+    }
+    val out = graft.queries.DesignImage.dfcCore(plantedSeries(rows))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // locked pair: r = 1 in all 5 windows — mean 1, variability 0
+    assert(out((0, 7)) === ((5L, Some(1.0), Some(0.0))), s"${out((0, 7))}")
+    // flat parcel: no window ever correlates
+    assert(out((0, 9)) === ((0L, None, None)), s"${out((0, 9))}")
+    // the flipper: windows fully inside each regime read ±1, so the
+    // across-window sd is large while |mean| stays small — the exact
+    // signature static connectivity misses
+    val (nw, mean, sd) = out((0, 2))
+    assert(nw === 5L)
+    assert(sd.exists(_ > 0.8), s"coupling flip must light up sd: $sd")
+    assert(mean.exists(m => math.abs(m) < 0.3), s"static mean hides it: $mean")
+  }
+
   test("q199: frontier BFS equals min-plus doubling on every planted shape") {
     val s = spark
     import s.implicits._
