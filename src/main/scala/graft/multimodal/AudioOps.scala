@@ -100,11 +100,16 @@ object AudioOps {
       } catch { case scala.util.control.NonFatal(_) => false })
 
   /** Append a batch — bucket-aligned, batch-sized; `idempotent` anti-joins
-    * EACH table against its own existing ids (not just the adocs guard):
+    * EACH table against its own existing rows (not just the adocs guard):
     * the two appends are not atomic, so a crash between them leaves band
     * rows without their guard row, and a replay filtered only by the
-    * guard would append those band rows a second time. Per-table
-    * anti-joins make the replay land exactly the missing half. */
+    * guard would append those band rows a second time. The band-table
+    * anti-join runs at the (corp_id, r, bv) BAND grain, not the doc
+    * grain: a doc-grain guard would permanently skip a doc's remaining
+    * bands if a crash ever committed only part of one doc's band rows
+    * (a partial task/job commit), silently weakening near-dup detection
+    * — at band grain the replay lands exactly the missing rows whatever
+    * the crash left behind. */
   def appendToAudioIndex(spark: SparkSession, newMedia0: DataFrame,
       name: String, idempotent: Boolean = false): Unit = {
     spark.catalog.refreshTable(s"${name}_ameta")
@@ -118,8 +123,8 @@ object AudioOps {
       .select(col("r"), col("bv"), col("doc_id").as("corp_id"), col("afp"))
     val bands = if (!idempotent) bands0 else
       bands0.join(spark.table(s"${name}_abands")
-          .select("corp_id").distinct(),
-        Seq("corp_id"), "left_anti")
+          .select("corp_id", "r", "bv"),
+        Seq("corp_id", "r", "bv"), "left_anti")
     bands.write.mode("append")
       .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
       .saveAsTable(s"${name}_abands")
@@ -134,7 +139,15 @@ object AudioOps {
 
   /** Per-arrival admission verdicts against the standing index:
     * (doc_id, audio_dup_of = min near-dup corpus id at Hamming ≤ tau,
-    * keep) — flat per-batch cost as the corpus grows. */
+    * keep) — flat per-batch cost as the corpus grows.
+    *
+    * MEMBERSHIP SEMANTICS (q210 contract): the probe answers "is this
+    * payload a near-dup of a DIFFERENT corpus member" — a doc re-probed
+    * under its own already-admitted id reads keep = true (novel), never
+    * "dup of itself". That is what admission needs (the self-exclusion
+    * also closes the crashed-append replay window below); a batch caller
+    * wanting self-membership ("is this id already IN the index") should
+    * check `name_adocs` directly, not infer it from the keep column. */
   def probeAudioIndex(spark: SparkSession, media: DataFrame, name: String,
       tau: Int = Tau): DataFrame = {
     require(tau <= Bands - 1, s"plain banding is exact only to ${Bands - 1}, got $tau")

@@ -556,7 +556,16 @@ object StreamOps {
     }
 
   /** One micro-batch of [[streamingBoilerplateAdmission]] — public so
-    * specs can redeliver the SAME batchId and pin the crash matrix. */
+    * specs can redeliver the SAME batchId and pin the crash matrix.
+    *
+    * SINK LAYOUT CONTRACT (all the score-then-admit loops since r17):
+    * verdicts land in batchId-KEYED subdirectories `outPath/batch=N`,
+    * not as a flat append at `outPath`. A reader of the whole verdict
+    * history reads `outPath` (Spark/DuckDB infer `batch` as a partition
+    * column) or globs `outPath/batch=*`; a reader that previously
+    * consumed the flat layout must account for the extra `batch`
+    * column. The keying is what makes an at-least-once redelivery an
+    * idempotent overwrite instead of a duplicate append. */
   def boilerplateAdmitBatch(batch: DataFrame, name: String,
       outPath: String, batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -1013,7 +1022,16 @@ object StreamOps {
     * The activity table is EXTERNAL (explicit location, the
     * buildAudioIndex discipline): a managed table's warehouse directory
     * outlives a dropped catalog entry across JVM sessions and blocks
-    * re-creation. */
+    * re-creation.
+    *
+    * Replay guard (r17 ADVICE): the append is (user_id, day)-grain
+    * anti-joined against the standing table (after a batch-side
+    * DISTINCT), so an at-least-once redelivery appends NOTHING instead
+    * of harmless-but-unbounded duplicate activity rows — correctness
+    * never depended on it (the panel's own DISTINCT absorbs dups) but
+    * the grain table now stays bounded by true distinct user-days,
+    * keeping the per-batch full-panel recompute from inflating over a
+    * long redelivery-prone run. */
   def retentionBatch(batch: DataFrame, name: String, location: String,
       outPath: String): Unit = {
     val s = batch.sparkSession
@@ -1021,13 +1039,144 @@ object StreamOps {
       // normalizeTsNanos: the stream accepts every ts vintage the batch
       // events() loader does; tsNanosDay keeps the grain arithmetic at
       // ONE site with the batch queries
-      graft.util.Tables.normalizeTsNanos(batch)
+      val act = graft.util.Tables.normalizeTsNanos(batch)
         .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
-        .write.mode("append").format("parquet")
+        .distinct()
+      val tbl = s"${name}_udays"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        act.join(s.table(tbl), Seq("user_id", "day"), "left_anti")
+      } else act).localCheckpoint() // sever lineage: the write reads tbl
+      fresh.write.mode("append").format("parquet")
         .option("path", s"$location/udays")
-        .saveAsTable(s"${name}_udays")
-      s.catalog.refreshTable(s"${name}_udays")
-      graft.queries.TimeSeries.retentionCore(s.table(s"${name}_udays"))
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.retentionCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING active users — q221's foreachBatch twin on the
+    * [[retentionBatch]] standing-grain-table pattern: each arriving
+    * event batch's distinct (user, day) activity is admitted into the
+    * standing `name_udays` table behind the same (user_id, day)
+    * anti-join replay guard, then the FULL DAU/WAU/MAU panel recomputes
+    * and OVERWRITES `outPath` (the snapshot discipline: after any batch
+    * the sink holds exactly the panel over everything admitted so far —
+    * spec-pinned ≡ the batch panel, including after a redelivery).
+    * Scale shape: the grain table is distinct-user-days-bounded; the
+    * recompute is the batch operator's own (one expansion ≤ 30× the
+    * grain relation) — at production cadence keep the per-day distinct
+    * sets as mergeable sketches instead (q224 is that scale twin). */
+  def streamingActiveUsers(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      activeUsersBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingActiveUsers]] — public for the spec. */
+  def activeUsersBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val act = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
+        .distinct()
+      val tbl = s"${name}_udays"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        act.join(s.table(tbl), Seq("user_id", "day"), "left_anti")
+      } else act).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/udays")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.activeUsersCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING funnel — q220's foreachBatch twin: the standing grain is
+    * the EVENT itself ((event_id, user_id, event_type, us) — the funnel
+    * needs full event timestamps, not a per-user min: stage n's
+    * qualifying event is the first one AFTER stage n−1's, which a
+    * compressed grain could have dropped), admitted behind an event_id
+    * anti-join replay guard, then the 3-stage panel recomputes and
+    * OVERWRITES `outPath` (the snapshot discipline; spec-pinned ≡ the
+    * batch funnel incl. a conversion whose stages SPAN micro-batches).
+    * Scale shape: the standing table is the event log itself — at
+    * production scale that is the already-stored source relation
+    * (partition it by day); the per-batch recompute is the batch
+    * operator's 3 bounded-stage passes. */
+  def streamingFunnel(events: DataFrame, name: String, location: String,
+      outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      funnelBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingFunnel]] — public for the spec. */
+  def funnelBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id", "event_type",
+          "CAST(ts div 1000 AS BIGINT) AS us")
+      val tbl = s"${name}_events"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/events")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.funnelCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING error-spike detection — q222's foreachBatch twin and THE
+    * canonical streaming alert (a trailing-baseline z-test over a live
+    * event stream). The standing grain is hour-level counts, which are
+    * ADDITIVE — an anti-join guard can't make additive deltas replay-
+    * safe (two genuine batches may both contribute to one hour), so the
+    * delta table is batchId-KEYED: each batch's (hour, n, e) aggregate
+    * lands as an OVERWRITE of `location/hours/batch=N`, making an
+    * at-least-once redelivery of the same batchId rewrite identical
+    * rows instead of doubling counts (the bigramAdmitBatch crash
+    * matrix: die before the delta write → replay recomputes; die
+    * between delta and panel → replay rewrites the same delta and the
+    * panel converges). The full spike panel then recomputes over the
+    * summed deltas and OVERWRITES `outPath` (snapshot discipline;
+    * spec-pinned ≡ the batch panel incl. a same-batchId redelivery).
+    * Scale shape: the delta store is hours × batches rows — tiny at any
+    * event volume; the panel recompute is hours-bounded. Compact the
+    * per-batch deltas into per-hour base rows (the BigramStore fold)
+    * when batch cadence makes O(batches) files the read bottleneck. */
+  def streamingErrorSpikes(events: DataFrame, location: String,
+      outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      errorSpikesBatch(batch, location, outPath, batchId)
+    }
+
+  /** One micro-batch of [[streamingErrorSpikes]] — public so the spec
+    * can redeliver the SAME batchId and pin the overwrite. */
+  def errorSpikesBatch(batch: DataFrame, location: String, outPath: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr(s"${graft.util.Tables.tsNanosHour} AS hour", "event_type")
+        .groupBy("hour").agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e"))
+        .write.mode("overwrite").parquet(s"$location/hours/batch=$batchId")
+      graft.queries.TimeSeries.errorSpikesCore(
+        s.read.parquet(s"$location/hours")
+          .groupBy("hour").agg(sum("n").as("n"), sum("e").as("e")))
         .write.mode("overwrite").parquet(outPath)
     }
     ()

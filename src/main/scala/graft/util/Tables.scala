@@ -56,9 +56,23 @@ object Tables {
 
   /** Day / hour grain of the nanos-BIGINT `ts` convention — ONE site, so
     * the batch queries, their streaming twins, and any future caller
-    * cannot drift apart on the grain arithmetic. */
-  val tsNanosDay = "CAST((ts div 1000) div 86400000000 AS BIGINT)"
-  val tsNanosHour = "CAST((ts div 1000) div 3600000000 AS BIGINT)"
+    * cannot drift apart on the grain arithmetic.
+    *
+    * FLOOR semantics, exactly (the r17 ADVICE pre-epoch note): Spark's
+    * `div` truncates toward zero while the DuckDB oracle's `//` floors,
+    * so the grain is computed as floorDiv(ts, grain_ns) in pure integer
+    * arithmetic — `(ts - pmod(ts, n)) div n` — identical to the old
+    * expression for ts >= 0 (every recorded hash unchanged) and a true
+    * calendar bucket for pre-epoch instants (−1 ns lands in day −1, not
+    * day 0). One residual documented corner: the oracle reaches the day
+    * via epoch_us(ts) first, so a TIMESTAMP_NS instant in (−1 µs, 0)
+    * could still differ if DuckDB's ns→µs conversion truncates — the
+    * fixtures are all post-1970 and the contract stays "ts ≥ 0 for the
+    * oracle-checked grain queries"; engine-side semantics are now
+    * well-defined for any sign. */
+  private def tsFloorDiv(n: Long) = s"CAST((ts - pmod(ts, ${n}L)) div ${n}L AS BIGINT)"
+  val tsNanosDay = tsFloorDiv(86400000000000L)
+  val tsNanosHour = tsFloorDiv(3600000000000L)
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

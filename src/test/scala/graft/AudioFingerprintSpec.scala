@@ -136,4 +136,45 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(s.table(s"${name}_adocs")
       .filter(col("corp_id") === 22L).count() === 1L, "guard row must land once")
   }
+
+  test("crash window: a PARTIALLY committed band append (one band row lost) replays the missing rows") {
+    // the r17 ADVICE window: a doc-grain replay guard would skip doc 33's
+    // remaining bands forever once ANY of its band rows had landed; the
+    // (corp_id, r, bv)-grain anti-join must land exactly the missing ones
+    val s = spark
+    val name = "graft_test_afp_p"
+    Seq("abands", "adocs", "ameta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$t"))
+    AudioOps.buildAudioIndex(spark, media(Seq(1L -> flat)), name,
+      location = s"/tmp/$name", datasetTag = "fix")
+    val buckets = s.table(s"${name}_ameta").head().getAs[Int]("buckets")
+    val guardSnap = s.table(s"${name}_adocs").collect().toSeq
+    val guardSchema = s.table(s"${name}_adocs").schema
+    AudioOps.appendToAudioIndex(s, media(Seq(33L -> far)), name)
+    // roll the band table back to "only band r=0 of doc 33 committed" and
+    // the guard to the pre-batch state (bands append first, so a mid-band
+    // crash has no guard row)
+    val partial = s.table(s"${name}_abands")
+      .filter(col("corp_id") =!= 33L || col("r") === 0).collect().toSeq
+    val bandSchema = s.table(s"${name}_abands").schema
+    s.createDataFrame(s.sparkContext.parallelize(partial), bandSchema)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "r", "bv").sortBy("r", "bv")
+      .option("path", s"/tmp/$name/abands_rb")
+      .saveAsTable(s"${name}_abands")
+    s.createDataFrame(s.sparkContext.parallelize(guardSnap), guardSchema)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "corp_id").sortBy("corp_id")
+      .option("path", s"/tmp/$name/adocs_rb")
+      .saveAsTable(s"${name}_adocs")
+    // idempotent replay: exactly the two missing band rows + the guard land
+    AudioOps.appendToAudioIndex(s, media(Seq(33L -> far)), name,
+      idempotent = true)
+    val bands = s.table(s"${name}_abands").filter(col("corp_id") === 33L)
+      .select("r").collect().map(_.getInt(0)).sorted.toSeq
+    assert(bands === (0 until AudioOps.Bands).toSeq,
+      s"replay must land exactly the missing band rows once each: $bands")
+    assert(s.table(s"${name}_adocs")
+      .filter(col("corp_id") === 33L).count() === 1L, "guard row must land once")
+  }
 }

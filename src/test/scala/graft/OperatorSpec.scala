@@ -190,6 +190,103 @@ class OperatorSpec extends SparkSpec {
       s"snapshot must equal the batch panel incl. after a replay: $got vs $ref")
   }
 
+  test("q221 streaming twin: snapshot equals the batch panel, redelivery appends nothing") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_au_udays")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_au"))
+    val day = 86400000000000L // ns
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 0L), (2L, 0L), (1L, 0L)), // intra-batch dup absorbed
+      Seq((1L, 8 * day), (3L, 8 * day)),
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-au").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamOps.streamingActiveUsers(
+      ms.toDF().toDF("user_id", "ts"), "graft_test_au",
+      "/tmp/graft_test_au", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.activeUsersCore(
+      batches.flatten.toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch panel incl. after a redelivery: $got vs $ref")
+    // the (user_id, day) guard keeps the grain table at true distinct size
+    assert(s.table("graft_test_au_udays").count() === 4L,
+      "redelivered/duplicate activity must not grow the grain table")
+  }
+
+  test("q220 streaming twin: a conversion spanning micro-batches lands; redelivery converges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_fn_events")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_fn"))
+    val h = 3600000000000L // ns
+    // user 1 converts across three different micro-batches; user 2 views only
+    val batches: Seq[Seq[(Long, Long, String, Long)]] = Seq(
+      Seq((1L, 1L, "view", 0L), (2L, 2L, "view", 0L)),
+      Seq((3L, 1L, "click", h)),
+      Seq((4L, 1L, "purchase", 2 * h)),
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-fn").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val q = graft.streaming.StreamOps.streamingFunnel(
+      ms.toDF().toDF("event_id", "user_id", "event_type", "ts"),
+      "graft_test_fn", "/tmp/graft_test_fn", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.funnelCore(
+      batches.flatten.toDF("event_id", "user_id", "event_type", "ts")
+        .selectExpr("user_id", "event_type", "CAST(ts div 1000 AS BIGINT) AS us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch funnel incl. the cross-batch conversion: $got vs $ref")
+    assert(s.table("graft_test_fn_events").count() === 4L,
+      "the event_id guard must absorb the redelivered batch")
+  }
+
+  test("q222 streaming twin: panel equals batch; a same-batchId redelivery cannot double counts") {
+    val s = spark
+    import s.implicits._
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_es"))
+    val h = 3600000000000L // ns
+    def ev(rows: Seq[(String, Long)]) =
+      rows.toDF("event_type", "ts")
+    // two batches BOTH contributing to hour 1 — the case an anti-join
+    // guard could never make replay-safe at the additive count grain
+    val b1 = ev(Seq(("view", 0L), ("error", 0L), ("view", h), ("view", h)))
+    val b2 = ev(Seq(("error", h + 1L), ("view", 2 * h)))
+    val out = "/tmp/graft_test_es/out"
+    val loc = "/tmp/graft_test_es/state"
+    graft.streaming.StreamOps.errorSpikesBatch(b1, loc, out, 0L)
+    graft.streaming.StreamOps.errorSpikesBatch(b2, loc, out, 1L)
+    graft.streaming.StreamOps.errorSpikesBatch(b1, loc, out, 0L) // redelivery
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.errorSpikesCore(
+      b1.unionByName(b2)
+        .selectExpr("CAST(ts div 3600000000000 AS BIGINT) AS hour", "event_type")
+        .groupBy("hour").agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"panel must equal the batch operator after a same-batchId redelivery: $got vs $ref")
+  }
+
   test("q222: a planted 50% error hour spikes against its 10% trailing baseline") {
     val s = spark
     import s.implicits._
