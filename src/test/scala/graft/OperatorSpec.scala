@@ -190,6 +190,30 @@ class OperatorSpec extends SparkSpec {
       s"snapshot must equal the batch panel incl. after a replay: $got vs $ref")
   }
 
+  test("q224: KMV panel — exact-regime equality under k, estimate within the 1/sqrt(k) class above it") {
+    val s = spark
+    import s.implicits._
+    // 40 users on one day: every window's sketch stays under k=64 → the
+    // estimate IS the exact count (the KMV exact regime)
+    val small = graft.queries.TimeSeries.activeUsersKmvCore(
+      (1L to 40L).map(u => (u, 0L)).toDF("user_id", "day"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    small.foreach { case (dau, dauEst, mau, mauEst) =>
+      assert(dau === dauEst && mau === mauEst,
+        s"under k the sketch must be exact: $small")
+    }
+    // 500 users: the estimate regime — bound the relative error at the
+    // ~1/sqrt(64) = 12.5% class (3x slack for the single draw)
+    val big = graft.queries.TimeSeries.activeUsersKmvCore(
+      (1L to 500L).map(u => (u, 0L)).toDF("user_id", "day"))
+      .filter(col("day") === 0L).head()
+    val (exact, est) = (big.getLong(1), big.getLong(2))
+    assert(exact === 500L)
+    assert(est != 500L, "the estimate regime must actually be live")
+    assert(math.abs(est - 500.0) / 500.0 < 0.375,
+      s"KMV estimate out of the error class: $est vs $exact")
+  }
+
   test("q221 streaming twin: snapshot equals the batch panel, redelivery appends nothing") {
     val s = spark
     import s.implicits._
