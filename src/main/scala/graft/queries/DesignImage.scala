@@ -1635,19 +1635,30 @@ object DesignImage extends QueryModule {
   // Rubinov & Sporns 2010 §"modularity") derives modules FROM THE GRAPH,
   // not from an atlas lookup. Detection is synchronous label propagation
   // (Raghavan et al. 2007) made deterministic and oracle-replayable the
-  // q65/q196 way: labels start as parcel ids; each of the FIXED
-  // [[lpaRounds]] rounds every node adopts the most frequent label among
-  // its neighbors PLUS ITSELF (the self-vote is the bipartite-
-  // oscillation damper — the q203 A+I trick at the label grain), ties
-  // broken by (count DESC, label ASC) — a total integer order, so both
-  // engines propagate identical labels. The final labels feed the SAME
-  // Guimerà–Amaral PC / within-module-z kernel as q204, so the two
-  // queries differ in exactly one input: who says what the modules are.
+  // q65/q196 way: labels start as parcel ids; each round every node
+  // adopts the most frequent label among its neighbors PLUS ITSELF (the
+  // self-vote is the bipartite-oscillation damper — the q203 A+I trick
+  // at the label grain), ties broken by (count DESC, label ASC) — a
+  // total integer order, so both engines propagate identical labels.
+  // ROUNDS DERIVE FROM THE INPUT's node count (the q184/q196/q215
+  // rounds-from-input discipline, closing the r17 "fixed 4 rounds"
+  // advisory): a label travels at most one hop per round and the
+  // worst-case flood distance is the n−1 diameter of a chain, so n
+  // rounds guarantee the sweep is never cut off mid-propagation on ANY
+  // input (spec-pinned on a planted chain); the oracle unrolls connNP
+  // rounds — identical because the driver graph populates every parcel
+  // residue. The final labels feed the SAME Guimerà–Amaral PC /
+  // within-module-z kernel as q204, so the two queries differ in
+  // exactly one input: who says what the modules are.
   //
   // Scale shape: per round one edge-relation join against the NP-row
-  // label relation + an NP·labels-bounded vote aggregate; rounds are a
-  // fixed constant. Everything stays NP²-bounded, broadcast-class at
-  // atlas scale (the q204 argument).
+  // label relation + an NP·labels-bounded vote aggregate; rounds are
+  // node-count-bounded. Everything stays NP²-bounded, broadcast-class
+  // at atlas scale (the q204 argument). At a node count where n rounds
+  // would genuinely bind, LPA converges LONG before the ceiling on any
+  // non-pathological graph — swap the ceiling for a measured-diameter
+  // bound (the q184 doubling-rounds derivation) before raising NP past
+  // the atlas regime.
   //
   // Graph choice: detection (and the roles, for consistency) run on the
   // POSITIVE-tie graph r ≥ 0.2 — module detection conventionally keeps
@@ -1660,23 +1671,25 @@ object DesignImage extends QueryModule {
   // column is live). r_par is rounded to 6 dp before the compare, the
   // q168 edge discipline.
 
-  private val lpaRounds = 4
   private val lpaEdgeStr =
     "CASE WHEN r_par IS NOT NULL AND r_par >= CAST(0.2 AS DOUBLE) " +
       "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
 
-  /** Deterministic fixed-rounds label propagation over a q168-shaped
-    * (p1, p2, …, edge) relation → (p, m) modules. */
+  /** Deterministic label propagation over a q168-shaped (p1, p2, …,
+    * edge) relation → (p, m) modules; rounds = the input's node count
+    * (the flood-distance ceiling — see the q208 section note). */
   private[graft] def lpaModules(pairs0: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
     val parcels = pe.select(col("p1").as("p"))
       .union(pe.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; rounds derivation + init labels
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
       .localCheckpoint()
+    val rounds = math.max(1, parcels.count().toInt)
     var lab = parcels.select(col("p"), col("p").as("lab")).localCheckpoint()
-    for (_ <- 0 until lpaRounds) {
+    for (_ <- 0 until rounds) {
       val votes = sym.join(lab.selectExpr("p AS q", "lab"), Seq("q"))
         .select("p", "lab")
         .unionByName(lab.select("p", "lab")) // the self-vote
@@ -1753,19 +1766,15 @@ object DesignImage extends QueryModule {
     modularityCore(pe, lpaModules(pe))
   }
 
-  private def modularityQSql: String =
-    s"""WITH $connectomeCtes,
-       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
-       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
-       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
-       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
-       |msym AS MATERIALIZED (SELECT p, q FROM (
-       |  SELECT p1 AS p, p2 AS q FROM mones
-       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
-       |${lpaCtes(lpaRounds)},
-       |mml AS MATERIALIZED (
+  /** The modularity CTE tail (edge-label join → per-module aggregates →
+    * final Q select) over an arbitrary (p, m) module CTE — shared by the
+    * LPA-partition query (q212) and the Louvain-partition query (q225),
+    * so the two differ in exactly one input: who says what the modules
+    * are. */
+  private def modularityTailSql(modCte: String): String =
+    s"""mml AS MATERIALIZED (
        |  SELECT a.m AS m1, b.m AS m2
-       |  FROM mones JOIN mmod a ON a.p = mones.p1 JOIN mmod b ON b.p = mones.p2
+       |  FROM mones JOIN $modCte a ON a.p = mones.p1 JOIN $modCte b ON b.p = mones.p2
        |),
        |mE AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mml),
        |ein AS (
@@ -1779,7 +1788,7 @@ object DesignImage extends QueryModule {
        |),
        |nn AS (
        |  SELECT m AS module, CAST(count(*) AS BIGINT) AS n_nodes
-       |  FROM mmod GROUP BY 1
+       |  FROM $modCte GROUP BY 1
        |),
        |per AS MATERIALIZED (
        |  SELECT nn.module, nn.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
@@ -1797,6 +1806,18 @@ object DesignImage extends QueryModule {
        |  CASE WHEN m_edges > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q
        |FROM per CROSS JOIN qt
        |ORDER BY module""".stripMargin
+
+  private def modularityQSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${lpaCtes(connNP)},
+       |${modularityTailSql("mmod")}""".stripMargin
 
   /** The generated LPA round CTEs: lp0 … lp{rounds} over mparcels/msym,
     * ending in `mmod(p, m)`. */
@@ -1830,7 +1851,7 @@ object DesignImage extends QueryModule {
        |msym AS MATERIALIZED (SELECT p, q FROM (
        |  SELECT p1 AS p, p2 AS q FROM mones
        |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
-       |${lpaCtes(lpaRounds)},
+       |${lpaCtes(connNP)},
        |mkm AS (
        |  SELECT s.p, mm.m, CAST(count(*) AS BIGINT) AS kin
        |  FROM msym s JOIN mmod mm ON mm.p = s.q
@@ -1861,6 +1882,157 @@ object DesignImage extends QueryModule {
        |  CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within
        |FROM mown o JOIN mmom ON mmom.m = o.m
        |ORDER BY o.p""".stripMargin
+
+  // ---- q225: one-level deterministic Louvain (ΔQ-greedy modules) -----------
+  // The named practice q208's LPA stands in for (Rubinov & Sporns 2010
+  // cite Newman's spectral and the greedy-Q family; Blondel et al. 2008
+  // is the field's default): locally optimize modularity Q by moving
+  // each node to the neighboring community with the best exact-integer
+  // modularity gain. One LEVEL only (no coarsening pass), made
+  // deterministic and oracle-replayable the q65/q196/q208 way:
+  //
+  //   - SYNCHRONOUS sweeps with an alternating PARITY gate: in round r
+  //     only nodes with p % 2 == r % 2 may move (the deterministic
+  //     stand-in for sequential node order — it breaks the two-node
+  //     swap oscillation synchronous gain-max is famous for, since two
+  //     adjacent movers of equal parity see each other frozen);
+  //   - the candidate set is the node's neighboring communities PLUS
+  //     its own (staying is always a candidate, with the node's own
+  //     contribution removed from Σtot — the standard remove-then-
+  //     reinsert bookkeeping);
+  //   - the comparable gain is EXACT INTEGER: dropping the k_i²/(4M²)
+  //     term constant across candidates, argmax_c ΔQ(i→c) =
+  //     argmax_c [ 2M·k_{i,c} − k_i·Σtot̃(c) ] with Σtot̃ excluding i
+  //     itself (2M·k_{i,c} ≤ 2M·k_i < 2⁶³ through NP ≈ 10⁵ — int64);
+  //   - ties break (gain DESC, c ASC) — a total integer order, so both
+  //     engines sweep identically; rounds are FIXED at louvainRounds
+  //     (a quality sweep, not a convergence bound — one-level Louvain
+  //     is itself a fixed-depth heuristic).
+  //
+  // The output is the SAME per-module modularity relation as q212
+  // (shared modularityCore / SQL tail), so the two queries differ in
+  // exactly one input — who says what the modules are — and the spec
+  // pins the planted path graph where Louvain's Q beats LPA's (LPA
+  // floods a path to ONE label → Q = 0; ΔQ-greedy splits it).
+  //
+  // Scale shape: per round one edge-relation join against the NP-row
+  // label relation, an NP·communities-bounded candidate aggregate, and
+  // NP-bounded broadcast joins; rounds are a fixed constant — q208's
+  // class exactly.
+
+  private val louvainRounds = 4
+
+  /** Deterministic one-level Louvain over a q168-shaped (p1, p2, …,
+    * edge) relation → (p, m) modules. Parcel ids must be ≥ 0 (the
+    * parity gate uses p % 2; every caller's ids are hash residues or
+    * planted non-negative ids). */
+  private[graft] def louvainModules(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; degree fill + init labels
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
+      .localCheckpoint() // 2M rows; every round + the 2M count
+    val deg = parcels.join(
+        sym.groupBy("p").agg(count(lit(1)).as("k")), Seq("p"), "left")
+      .na.fill(0L, Seq("k"))
+      .localCheckpoint() // NP rows; joined every round
+    val m2 = sym.count() // 2M — one NP²-bounded action, a plan literal
+    var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
+    for (r <- 0 until louvainRounds) {
+      val stot = lab.join(deg, Seq("p")).groupBy("c").agg(sum("k").as("s"))
+      val kic = sym.join(lab.selectExpr("p AS q", "c"), Seq("q"))
+        .groupBy("p", "c").agg(count(lit(1)).as("kin"))
+      // staying is always a candidate: an own-community row with kin = 0
+      // unioned in, MAX-deduped against the real kin (kin >= 1 wins)
+      val cand = kic
+        .unionByName(lab.select(col("p"), col("c")).withColumn("kin", lit(0L)))
+        .groupBy("p", "c").agg(max("kin").as("kin"))
+      val gains = cand
+        .join(broadcast(stot), Seq("c"))
+        .join(broadcast(deg), Seq("p"))
+        .join(broadcast(lab.selectExpr("p", "c AS cur")), Seq("p"))
+        .selectExpr("p", "c", "cur",
+          s"$m2 * kin - k * (s - CASE WHEN c = cur THEN k ELSE 0 END) AS g")
+      lab = gains
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p")
+            .orderBy(col("g").desc, col("c").asc)))
+        .filter(col("rn") === 1)
+        .selectExpr("p", s"CASE WHEN p % 2 = ${r % 2} THEN c ELSE cur END AS c")
+        .localCheckpoint() // NP rows; next round reads 3 times
+    }
+    lab.selectExpr("p", "CAST(c AS INT) AS m")
+  }
+
+  def modularityLouvain(s: SparkSession, d: String): DataFrame = {
+    val pe = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
+    modularityCore(pe, louvainModules(pe))
+  }
+
+  /** The generated Louvain round CTEs: lu0 … lu{rounds} over
+    * mparcels/msym, ending in `lumod(p, m)`. */
+  private def louvainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val parity = (i - 1) % 2
+      s"""lust$i AS (
+         |  SELECT l.c, CAST(SUM(d.k) AS BIGINT) AS s
+         |  FROM lu${i - 1} l JOIN ludeg d ON d.p = l.p GROUP BY 1
+         |),
+         |lukic$i AS (
+         |  SELECT s.p, l.c, CAST(count(*) AS BIGINT) AS kin
+         |  FROM msym s JOIN lu${i - 1} l ON l.p = s.q GROUP BY 1, 2
+         |),
+         |lucand$i AS (
+         |  SELECT p, c, MAX(kin) AS kin FROM (
+         |    SELECT p, c, kin FROM lukic$i
+         |    UNION ALL SELECT p, c, CAST(0 AS BIGINT) FROM lu${i - 1}
+         |  ) GROUP BY p, c
+         |),
+         |lug$i AS (
+         |  SELECT cand.p, cand.c, cur.c AS cur,
+         |    luM.m2 * cand.kin
+         |      - d.k * (st.s - CASE WHEN cand.c = cur.c THEN d.k ELSE 0 END) AS g
+         |  FROM lucand$i cand
+         |  JOIN lust$i st ON st.c = cand.c
+         |  JOIN ludeg d ON d.p = cand.p
+         |  JOIN lu${i - 1} cur ON cur.p = cand.p
+         |  CROSS JOIN luM
+         |),
+         |lu$i AS MATERIALIZED (
+         |  SELECT p, CASE WHEN p % 2 = $parity THEN c ELSE cur END AS c FROM (
+         |    SELECT p, c, cur,
+         |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY g DESC, c ASC) AS rn
+         |    FROM lug$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""lu0 AS MATERIALIZED (SELECT p, p AS c FROM mparcels),
+       |ludeg AS MATERIALIZED (
+       |  SELECT mparcels.p, CAST(COALESCE(d.cnt, 0) AS BIGINT) AS k
+       |  FROM mparcels LEFT JOIN (
+       |    SELECT p, count(*) AS cnt FROM msym GROUP BY p) d ON d.p = mparcels.p
+       |),
+       |luM AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM msym),
+       |$roundCtes,
+       |lumod AS MATERIALIZED (SELECT p, CAST(c AS INTEGER) AS m FROM lu$rounds)""".stripMargin
+  }
+
+  private def modularityLouvainSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${louvainCtes(louvainRounds)},
+       |${modularityTailSql("lumod")}""".stripMargin
 
   // ---- q213: rich-club coefficient -----------------------------------------
   // van den Heuvel & Sporns 2011 (J Neurosci 31:15775) / Colizza et al.
@@ -3583,6 +3755,7 @@ object DesignImage extends QueryModule {
     Q("q204_module_roles", moduleRoles, Some(moduleRolesSql)),
     Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
     Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
+    Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
     Q("q213_rich_club", richClub, Some(richClubSql)),
     Q("q214_assortativity", assortativity, Some(assortativitySql)),
     Q("q215_coreness", coreness, Some(corenessSql)),

@@ -792,6 +792,53 @@ class InferenceQcSpec extends SparkSpec {
     assert(rows === Set((3L, 3L, 7L)), s"both modules read (n=3, e_in=3, d=7): $rows")
   }
 
+  test("q208: derived rounds converge a planted chain (the fixed-4-rounds failure case)") {
+    val s = spark
+    import s.implicits._
+    // an 8-node chain: the min-label flood needs n-1 = 7 hops — 4 fixed
+    // rounds would emit a mid-propagation labeling (nodes 6, 7 unflooded)
+    val pe = (0 until 7).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge")
+    val mods = graft.queries.DesignImage.lpaModules(pe)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(mods.values.toSet.size === 1,
+      s"derived rounds must flood the whole chain to one label: $mods")
+  }
+
+  test("q225: Louvain splits the path graph LPA floods — Q = 0.3 beats LPA's 0") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3-4-5: LPA's min-label tie-break floods it to ONE
+    // module (Q = 0); ΔQ-greedy finds the optimal {0,1,2} | {3,4,5}
+    // split (M = 5, e_in = 2 each, d = 5 each: Q = 2·(2/5 − 1/4) = 0.3)
+    val pe = (0 until 5).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge")
+    val luv = graft.queries.DesignImage.louvainModules(pe)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(Seq(0, 1, 2).map(luv).distinct.size === 1 &&
+      Seq(3, 4, 5).map(luv).distinct.size === 1 && luv(0) != luv(3),
+      s"Louvain must find the two-halves split: $luv")
+    def q(mods: org.apache.spark.sql.DataFrame): Double =
+      graft.queries.DesignImage.modularityCore(pe, mods)
+        .head().getAs[Double]("q")
+    val qLouvain = q(graft.queries.DesignImage.louvainModules(pe))
+    val qLpa = q(graft.queries.DesignImage.lpaModules(pe))
+    assert(qLouvain === 0.3, s"optimal path split: $qLouvain")
+    assert(qLpa === 0.0, s"LPA floods the path to one module: $qLpa")
+    assert(qLouvain > qLpa)
+    // sanity on the two-clique graph: Louvain recovers the cliques and
+    // the textbook Q = 5/14, exactly like LPA (InferenceQcSpec q212 pin)
+    val bridged = Seq(
+      (0, 1, 1L), (0, 2, 1L), (1, 2, 1L),
+      (10, 11, 1L), (10, 12, 1L), (11, 12, 1L),
+      (2, 10, 1L),
+    ).toDF("p1", "p2", "edge")
+    val qB = graft.queries.DesignImage.modularityCore(bridged,
+      graft.queries.DesignImage.louvainModules(bridged))
+      .head().getAs[Double]("q")
+    assert(qB === BigDecimal(5.0 / 14.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"Louvain recovers the bridged cliques: $qB")
+  }
+
   test("q213: two planted cliques with one bridge — the bridge endpoints ARE the rich club") {
     val s = spark
     import s.implicits._
