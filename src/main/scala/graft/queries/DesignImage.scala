@@ -2034,6 +2034,281 @@ object DesignImage extends QueryModule {
        |${louvainCtes(louvainRounds)},
        |${modularityTailSql("lumod")}""".stripMargin
 
+  // ---- q226-q228: WEIGHTED-graph variants -----------------------------------
+  // The q212/q213/q214 sweep runs on the binarized r ≥ threshold graph;
+  // the cited literature's standard companions keep the weights
+  // (Rubinov & Sporns 2010 §"measures for weighted networks"): weighted
+  // modularity (Newman 2004), weighted rich club (van den Heuvel &
+  // Sporns 2011 §weighted φw), and strength assortativity (Newman 2002
+  // with strength in place of degree). All three run on the POSITIVE
+  // r ≥ 0.2 graph (the q208/q212 convention — weighted modularity
+  // treats negative ties separately) with INTEGER FIXED-POINT weights
+  // w = round(r_par·1e6): r_par is already rounded to 6 dp, so w is an
+  // exact int64 in both engines and every weight sum is exact. Cross
+  // products ride DECIMAL(38,0)/HUGEINT (the q214 discipline — 4·W²
+  // reaches ~10²⁴ at atlas NP ≈ 10³, past int64); the BIGINT exports
+  // (w_in/s_tot ≤ 2W ≤ 10¹²) hold through atlas scale, and widen to
+  // DECIMAL with the same internal arithmetic beyond it.
+  //
+  // Scale shape: identical to the binarized versions — NP²-bounded edge
+  // relations, NP-bounded module/degree/strength aggregates, broadcast
+  // joins, one global-window rank over the NP²-bounded edge list (q227).
+
+  private val wPosStr =
+    "CASE WHEN r_par IS NOT NULL AND r_par >= CAST(0.2 AS DOUBLE) " +
+      "THEN CAST(round(r_par * 1e6, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
+  /** Weighted modularity core from a (p1, p2, w) relation (w = 0 ⇒ no
+    * edge) and (p, m) modules: Qw = Σ_m [w_mm/W − (s_m/2W)²] via the
+    * exact numerator qn = 4·W·w_mm − s_m² in DECIMAL(38,0). */
+  private[graft] def modularityWeightedCore(wpairs: DataFrame,
+      modules: DataFrame): DataFrame = {
+    val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
+    val mods = modules.localCheckpoint() // NP-bounded; 3 consumers
+    val ml = ones
+      .join(broadcast(mods.selectExpr("p AS p1", "m AS m1")), Seq("p1"))
+      .join(broadcast(mods.selectExpr("p AS p2", "m AS m2")), Seq("p2"))
+      .localCheckpoint() // edge-bounded; 3 consumers (W, w_in, strengths)
+    val wt = ml.agg(coalesce(sum("w"), lit(0L)).as("w_tot"))
+    val win = ml.filter(col("m1") === col("m2"))
+      .groupBy(col("m1").as("module")).agg(sum("w").as("w_in"))
+    val sm = ml.selectExpr("m1 AS module", "w")
+      .unionByName(ml.selectExpr("m2 AS module", "w"))
+      .groupBy("module").agg(sum("w").as("s_tot"))
+    val per = mods.groupBy(col("m").as("module")).agg(count(lit(1)).as("n_nodes"))
+      .join(win, Seq("module"), "left")
+      .join(sm, Seq("module"), "left")
+      .na.fill(0L, Seq("w_in", "s_tot"))
+      .crossJoin(broadcast(wt))
+      .selectExpr("module", "n_nodes", "w_in", "s_tot", "w_tot",
+        "4 * CAST(w_tot AS DECIMAL(38,0)) * w_in - CAST(s_tot AS DECIMAL(38,0)) * s_tot AS qn")
+      .localCheckpoint() // modules-bounded; output + Q sum
+    per
+      .crossJoin(broadcast(per.agg(sum("qn").as("qsum"))))
+      .selectExpr("module", "n_nodes", "w_in", "s_tot",
+        "CASE WHEN w_tot > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * CAST(w_tot AS DECIMAL(38,0)) * w_tot AS DOUBLE), 6) END AS q_contrib",
+        "CASE WHEN w_tot > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * CAST(w_tot AS DECIMAL(38,0)) * w_tot AS DOUBLE), 6) END AS q")
+      .orderBy("module")
+  }
+
+  def modularityWeighted(s: SparkSession, d: String): DataFrame = {
+    val base = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .localCheckpoint() // NP²-bounded; edge + weight consumers
+    modularityWeightedCore(
+      base.selectExpr("p1", "p2", s"$wPosStr AS w"),
+      lpaModules(base.selectExpr("p1", "p2", s"$lpaEdgeStr AS edge")))
+  }
+
+  private def modularityWeightedSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${lpaCtes(connNP)},
+       |wpe AS MATERIALIZED (
+       |  SELECT p1, p2, $wPosStr AS w FROM pairs
+       |  WHERE $wPosStr > 0
+       |),
+       |wml AS MATERIALIZED (
+       |  SELECT a.m AS m1, b.m AS m2, wpe.w
+       |  FROM wpe JOIN mmod a ON a.p = wpe.p1 JOIN mmod b ON b.p = wpe.p2
+       |),
+       |wW AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_tot FROM wml),
+       |win AS (
+       |  SELECT m1 AS module, CAST(SUM(w) AS BIGINT) AS w_in
+       |  FROM wml WHERE m1 = m2 GROUP BY 1
+       |),
+       |sm AS (
+       |  SELECT m AS module, CAST(SUM(w) AS BIGINT) AS s_tot FROM (
+       |    SELECT m1 AS m, w FROM wml UNION ALL SELECT m2 AS m, w FROM wml
+       |  ) GROUP BY 1
+       |),
+       |wnn AS (
+       |  SELECT m AS module, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM mmod GROUP BY 1
+       |),
+       |wper AS MATERIALIZED (
+       |  SELECT wnn.module, wnn.n_nodes, COALESCE(win.w_in, 0) AS w_in,
+       |    COALESCE(sm.s_tot, 0) AS s_tot, wW.w_tot,
+       |    4 * CAST(wW.w_tot AS HUGEINT) * COALESCE(win.w_in, 0)
+       |      - CAST(COALESCE(sm.s_tot, 0) AS HUGEINT) * COALESCE(sm.s_tot, 0) AS qn
+       |  FROM wnn
+       |  LEFT JOIN win ON win.module = wnn.module
+       |  LEFT JOIN sm ON sm.module = wnn.module
+       |  CROSS JOIN wW
+       |),
+       |wqt AS (SELECT SUM(qn) AS qsum FROM wper)
+       |SELECT module, n_nodes, w_in, s_tot,
+       |  CASE WHEN w_tot > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * CAST(w_tot AS HUGEINT) * w_tot AS DOUBLE), 6) END AS q_contrib,
+       |  CASE WHEN w_tot > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * CAST(w_tot AS HUGEINT) * w_tot AS DOUBLE), 6) END AS q
+       |FROM wper CROSS JOIN wqt
+       |ORDER BY module""".stripMargin
+
+  /** Weighted rich-club core from a (p1, p2, w) relation: per degree
+    * level k, φw(k) = W_{>k} / Σ(top-E_{>k} ranked weights) — the van
+    * den Heuvel & Sporns 2011 weighted form. The denominator's ranked
+    * cumulative sum is tie-order-INVARIANT (equal weights straddling
+    * the cut contribute the same sum whichever is counted), so the
+    * row_number tie-break on (p1, p2) cannot move the output. */
+  private[graft] def richClubWeightedCore(wpairs: DataFrame): DataFrame = {
+    val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
+      .localCheckpoint() // NP²-bounded; degree fold + level join + rank
+    val deg = ones.select(col("p1").as("p"))
+      .union(ones.select(col("p2").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // NP-bounded; 3 consumers
+    val ks = deg.agg(max("deg").as("kmax"))
+      .selectExpr("explode(CASE WHEN kmax >= 2 " +
+        "THEN sequence(CAST(1 AS BIGINT), kmax - 1) ELSE array() END) AS k")
+      .localCheckpoint() // ≤ NP rows; 2 consumers
+    val nk = broadcast(ks).join(deg, col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val ed = ones
+      .join(broadcast(deg.selectExpr("p AS p1", "deg AS d1")), Seq("p1"))
+      .join(broadcast(deg.selectExpr("p AS p2", "deg AS d2")), Seq("p2"))
+      .selectExpr("least(d1, d2) AS dmin", "w")
+    val ek = broadcast(ks).join(ed, col("dmin") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_k"), sum("w").as("w_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col("p1"), col("p2"))
+    val cum = ones
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cw", sum("w").over(
+        org.apache.spark.sql.expressions.Window.orderBy("rk")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("rk", "cw")
+    ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("n_k", "e_k", "w_k"))
+      .join(cum.selectExpr("rk AS e_k", "cw"), Seq("e_k"), "left")
+      .selectExpr("k", "n_k", "e_k", "w_k",
+        "CASE WHEN e_k > 0 THEN round(CAST(w_k AS DOUBLE) / cw, 6) END AS phi_w")
+      .orderBy("k")
+  }
+
+  def richClubWeighted(s: SparkSession, d: String): DataFrame =
+    richClubWeightedCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w"))
+
+  private def richClubWeightedSql: String =
+    s"""WITH $connectomeCtes,
+       |wrc AS MATERIALIZED (
+       |  SELECT p1, p2, $wPosStr AS w FROM pairs WHERE $wPosStr > 0
+       |),
+       |wrcdeg AS MATERIALIZED (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT p1 AS p FROM wrc UNION ALL SELECT p2 AS p FROM wrc
+       |  ) GROUP BY p
+       |),
+       |wrck AS MATERIALIZED (
+       |  SELECT CAST(unnest(generate_series(1,
+       |    (SELECT CAST(MAX(deg) AS BIGINT) FROM wrcdeg) - 1)) AS BIGINT) AS k
+       |),
+       |wrcnk AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_k
+       |  FROM wrck JOIN wrcdeg ON wrcdeg.deg > wrck.k GROUP BY k
+       |),
+       |wrced AS MATERIALIZED (
+       |  SELECT least(d1.deg, d2.deg) AS dmin, wrc.w
+       |  FROM wrc
+       |  JOIN wrcdeg d1 ON d1.p = wrc.p1
+       |  JOIN wrcdeg d2 ON d2.p = wrc.p2
+       |),
+       |wrcek AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS e_k, CAST(SUM(w) AS BIGINT) AS w_k
+       |  FROM wrck JOIN wrced ON wrced.dmin > wrck.k GROUP BY k
+       |),
+       |wrccum AS MATERIALIZED (
+       |  SELECT rk, CAST(SUM(w) OVER (ORDER BY rk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+       |  FROM (
+       |    SELECT w, ROW_NUMBER() OVER (ORDER BY w DESC, p1, p2) AS rk FROM wrc
+       |  )
+       |)
+       |SELECT wrck.k, COALESCE(wrcnk.n_k, 0) AS n_k,
+       |  COALESCE(wrcek.e_k, 0) AS e_k, COALESCE(wrcek.w_k, 0) AS w_k,
+       |  CASE WHEN COALESCE(wrcek.e_k, 0) > 0
+       |    THEN round(CAST(wrcek.w_k AS DOUBLE) / wrccum.cw, 6) END AS phi_w
+       |FROM wrck
+       |LEFT JOIN wrcnk ON wrcnk.k = wrck.k
+       |LEFT JOIN wrcek ON wrcek.k = wrck.k
+       |LEFT JOIN wrccum ON wrccum.rk = COALESCE(wrcek.e_k, 0)
+       |ORDER BY wrck.k""".stripMargin
+
+  /** Strength-assortativity core: q214's Pearson with node STRENGTH
+    * (s_i = Σ incident w) in place of degree, over the directed
+    * symmetrization; exact DECIMAL(38,0) cross products. BIGINT sum
+    * exports hold to atlas NP (s_jk ≤ 2M·s² — widen to DECIMAL beyond). */
+  private[graft] def assortativityWeightedCore(wpairs: DataFrame): DataFrame = {
+    val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
+      .localCheckpoint() // NP²-bounded; strength fold + pair join
+    val str = ones.selectExpr("p1 AS p", "w")
+      .union(ones.selectExpr("p2 AS p", "w"))
+      .groupBy("p").agg(sum("w").as("s"))
+    val dir = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+    dir
+      .join(broadcast(str.selectExpr("p AS a", "s AS sj")), Seq("a"))
+      .join(broadcast(str.selectExpr("p AS b", "s AS sk")), Seq("b"))
+      .agg(count(lit(1)).as("m2"),
+        sum("sj").as("sjs"),
+        sum(expr("CAST(sj AS DECIMAL(38,0)) * sk")).as("sjk"),
+        sum(expr("CAST(sj AS DECIMAL(38,0)) * sj")).as("sjj"))
+      .selectExpr(
+        "CAST(m2 AS BIGINT) AS m2",
+        "CAST(COALESCE(sjs, 0) AS BIGINT) AS s_j",
+        "CAST(COALESCE(sjk, 0) AS BIGINT) AS s_jk",
+        "CAST(COALESCE(sjj, 0) AS BIGINT) AS s_jj")
+      .selectExpr("m2", "s_j", "s_jk", "s_jj",
+        "CAST(m2 AS DECIMAL(38,0)) * s_jk - CAST(s_j AS DECIMAL(38,0)) * s_j AS num",
+        "CAST(m2 AS DECIMAL(38,0)) * s_jj - CAST(s_j AS DECIMAL(38,0)) * s_j AS den")
+      .selectExpr("m2", "s_j", "s_jk", "s_jj",
+        "CASE WHEN den > 0 THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS r_assort")
+      .orderBy("m2")
+  }
+
+  def assortativityWeighted(s: SparkSession, d: String): DataFrame =
+    assortativityWeightedCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w"))
+
+  private def assortativityWeightedSql: String =
+    s"""WITH $connectomeCtes,
+       |was AS MATERIALIZED (
+       |  SELECT p1, p2, $wPosStr AS w FROM pairs WHERE $wPosStr > 0
+       |),
+       |wstr AS MATERIALIZED (
+       |  SELECT p, CAST(SUM(w) AS BIGINT) AS s FROM (
+       |    SELECT p1 AS p, w FROM was UNION ALL SELECT p2 AS p, w FROM was
+       |  ) GROUP BY p
+       |),
+       |wdir AS (SELECT a, b FROM (
+       |  SELECT p1 AS a, p2 AS b FROM was
+       |  UNION ALL SELECT p2 AS a, p1 AS b FROM was)),
+       |wsum AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(COALESCE(SUM(s1.s), 0) AS BIGINT) AS s_j,
+       |    CAST(COALESCE(SUM(CAST(s1.s AS HUGEINT) * s2.s), 0) AS BIGINT) AS s_jk,
+       |    CAST(COALESCE(SUM(CAST(s1.s AS HUGEINT) * s1.s), 0) AS BIGINT) AS s_jj
+       |  FROM wdir
+       |  JOIN wstr s1 ON s1.p = wdir.a
+       |  JOIN wstr s2 ON s2.p = wdir.b
+       |)
+       |SELECT m2, s_j, s_jk, s_jj,
+       |  CASE WHEN CAST(m2 AS HUGEINT) * s_jj - CAST(s_j AS HUGEINT) * s_j > 0
+       |    THEN round(CAST(CAST(m2 AS HUGEINT) * s_jk - CAST(s_j AS HUGEINT) * s_j AS DOUBLE)
+       |      / CAST(CAST(m2 AS HUGEINT) * s_jj - CAST(s_j AS HUGEINT) * s_j AS DOUBLE), 6) END AS r_assort
+       |FROM wsum
+       |ORDER BY m2""".stripMargin
+
   // ---- q213: rich-club coefficient -----------------------------------------
   // van den Heuvel & Sporns 2011 (J Neurosci 31:15775) / Colizza et al.
   // 2006: for every degree level k, phi(k) = 2·E_k / (N_k·(N_k − 1)) where
@@ -3756,6 +4031,9 @@ object DesignImage extends QueryModule {
     Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
     Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
     Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
+    Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
+    Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
+    Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),
     Q("q213_rich_club", richClub, Some(richClubSql)),
     Q("q214_assortativity", assortativity, Some(assortativitySql)),
     Q("q215_coreness", coreness, Some(corenessSql)),

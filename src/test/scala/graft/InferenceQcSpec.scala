@@ -839,6 +839,53 @@ class InferenceQcSpec extends SparkSpec {
       s"Louvain recovers the bridged cliques: $qB")
   }
 
+  test("q226: weighted modularity hits the hand-computed two-clique value") {
+    val s = spark
+    import s.implicits._
+    // two w=4 cliques + a w=1 bridge; modules = the cliques.
+    // W = 25, w_in = 12 each, s_m = 25 each:
+    // Qw = 2·(12/25 − (25/50)²) = 0.46
+    val wp = Seq(
+      (0, 1, 4L), (0, 2, 4L), (1, 2, 4L),
+      (10, 11, 4L), (10, 12, 4L), (11, 12, 4L),
+      (2, 10, 1L),
+    ).toDF("p1", "p2", "w")
+    val mods = Seq((0, 0), (1, 0), (2, 0), (10, 1), (11, 1), (12, 1))
+      .toDF("p", "m")
+    val out = graft.queries.DesignImage.modularityWeightedCore(wp, mods)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[Double]("q")))).toMap
+    assert(out(0) === ((3L, 12L, 25L, 0.46)), s"${out(0)}")
+    assert(out(1) === ((3L, 12L, 25L, 0.46)), s"${out(1)}")
+  }
+
+  test("q227: a WEAK bridge between heavy cliques reads phi_w < 1 at the hub level") {
+    val s = spark
+    import s.implicits._
+    val wp = Seq(
+      (0, 1, 4L), (0, 2, 4L), (1, 2, 4L),
+      (10, 11, 4L), (10, 12, 4L), (11, 12, 4L),
+      (2, 10, 1L), // the hubs' only mutual edge is the WEAKEST in the graph
+    ).toDF("p1", "p2", "w")
+    val out = graft.queries.DesignImage.richClubWeightedCore(wp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // k=1: every node (deg ≥ 2), all 7 edges, w 25; top-7 = 25 → 1.0
+    assert(out(1L) === ((6L, 7L, 25L, Some(1.0))), s"${out(1L)}")
+    // k=2: hubs {2,10}, one mutual edge w=1; top-1 weight is 4 → 0.25
+    assert(out(2L) === ((2L, 1L, 1L, Some(0.25))), s"${out(2L)}")
+  }
+
+  test("q228: a star is perfectly strength-disassortative (r = -1)") {
+    val s = spark
+    import s.implicits._
+    val wp = Seq((0, 1, 1L), (0, 2, 1L), (0, 3, 1L)).toDF("p1", "p2", "w")
+    val r = graft.queries.DesignImage.assortativityWeightedCore(wp).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((6L, 12L, 18L, 30L)), s"$r")
+    assert(r.getAs[Double]("r_assort") === -1.0)
+  }
+
   test("q213: two planted cliques with one bridge — the bridge endpoints ARE the rich club") {
     val s = spark
     import s.implicits._
