@@ -2772,8 +2772,9 @@ object DesignImage extends QueryModule {
     s"CASE WHEN $dfcDenAStr > 0 AND $dfcDenBStr > 0 " +
       s"THEN $dfcNumStr / (sqrt($dfcDenAStr) * sqrt($dfcDenBStr)) END"
 
-  /** The q223 body from a (t, x, y, z, v-cents) series. */
-  private[graft] def dfcCore(series: DataFrame): DataFrame = {
+  /** The shared (ws, p1, p2, r_fp) windowed-correlation relation of the
+    * dFC family (q223 variability + q229 state clustering). */
+  private[graft] def dfcWindowR(series: DataFrame): DataFrame = {
     val s = series.sparkSession
     import s.implicits._
     val par = series
@@ -2786,15 +2787,19 @@ object DesignImage extends QueryModule {
       .filter(expr(s"t >= ws AND t < ws + $dfcWl"))
     val a = pw.selectExpr("ws", "p AS p1", "t", "pv AS pva")
     val b = pw.selectExpr("ws", "p AS p2", "t", "pv AS pvb")
-    val mom = a.join(b, Seq("ws", "t")).filter(col("p1") < col("p2"))
+    a.join(b, Seq("ws", "t")).filter(col("p1") < col("p2"))
       .groupBy("ws", "p1", "p2")
       .agg(sum(expr("CAST(pva AS DECIMAL(38,0)) * pvb")).as("sab"),
         sum("pva").as("sa"), sum("pvb").as("sb"),
         sum(expr("CAST(pva AS DECIMAL(38,0)) * pva")).as("saa"),
         sum(expr("CAST(pvb AS DECIMAL(38,0)) * pvb")).as("sbb"))
-    mom
       .selectExpr("ws", "p1", "p2",
         s"CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT) AS r_fp")
+  }
+
+  /** The q223 body from a (t, x, y, z, v-cents) series. */
+  private[graft] def dfcCore(series: DataFrame): DataFrame =
+    dfcWindowR(series)
       .groupBy("p1", "p2")
       .agg(count("r_fp").as("n_win"), sum("r_fp").as("s1"),
         sum(expr("r_fp * r_fp")).as("s2"))
@@ -2803,7 +2808,6 @@ object DesignImage extends QueryModule {
         "CASE WHEN n_win > 0 THEN round(CAST(s1 AS DOUBLE) / n_win / 1e6, 6) END AS mean_r",
         "CASE WHEN n_win > 0 THEN round(sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) / n_win / 1e6, 6) END AS sd_r")
       .orderBy("p1", "p2")
-  }
 
   def dynamicConnectivity(s: SparkSession, d: String): DataFrame =
     dfcCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
@@ -2846,6 +2850,193 @@ object DesignImage extends QueryModule {
        |  CASE WHEN n_win > 0 THEN round(sqrt(CAST(n_win * s2 - s1 * s1 AS DOUBLE)) / n_win / 1e6, 6) END AS sd_r
        |FROM dagg
        |ORDER BY p1, p2""".stripMargin
+
+  // ---- q229: dFC state clustering (k-means over window-FC vectors) ---------
+  // The standard step after q223 (Allen et al. 2014, "tracking whole-
+  // brain connectivity dynamics"): cluster the sliding-window FC
+  // vectors into recurring STATES and report each state's occupancy and
+  // dwell time. The window vector is q223's (p1, p2) → r_fp relation
+  // with flat-pair NULLs imputed to 0 (uncorrelated); clustering is
+  // Lloyd's k-means made deterministic and oracle-replayable the q65
+  // way — with one twist that keeps EVERYTHING in exact integers where
+  // q65 banks on a bit-replayable double fold: centroids are QUANTIZED
+  // to the r_fp grid after every mean update, c = ⌊(2s + n) / (2n)⌋
+  // (half-up-toward-+∞ integer rounding, exact floor division in both
+  // engines), so assignment distances are exact BIGINT sums of squared
+  // integers ((v−c)² ≤ 4·10¹² per dim) and the (dist ASC, state ASC)
+  // argmin is a total integer order — no ULP flip can move a window
+  // between states. Quantization error is ≤ half an r_fp unit (5·10⁻⁷
+  // of r) — far below any FC state separation. Init: the first k
+  // windows (ws ascending) seed the states; [[dfcLloydRounds]] fixed
+  // assign→update rounds (the q65 iters convention), then one final
+  // assignment; an emptied state keeps its previous centroid.
+  //
+  // Output per state: window count, occupancy fraction, run count, and
+  // mean dwell (windows per visit) — the Allen et al. state statistics.
+  //
+  // Scale shape: the window-vector relation is |W|·NP²-bounded; each
+  // round is one broadcast join against the k·NP²-row centroid relation
+  // + a |W|·k aggregate. At production |W| (thousands of windows ×
+  // subjects) this is exactly mini-batch-free distributed Lloyd — the
+  // q65 shape with pair-dims instead of embedding dims.
+
+  private val dfcK = 2
+  private val dfcLloydRounds = 2
+
+  /** One Lloyd assignment: nearest centroid per window, exact-integer
+    * distances, ties to the lowest state. */
+  private def dfcAssign(wr: DataFrame, cent: DataFrame): DataFrame =
+    wr.join(cent, Seq("p1", "p2"))
+      .selectExpr("ws", "state", "(v - c) * (v - c) AS d2")
+      .groupBy("ws", "state").agg(sum("d2").as("dist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ws")
+          .orderBy(col("dist").asc, col("state").asc)))
+      .filter(col("rn") === 1).select("ws", "state")
+
+  /** The q229 body from a (ws, p1, p2, v) window-vector relation —
+    * split out so specs can plant alternating / blocked state
+    * sequences. Every window must carry every (p1, p2) dim. */
+  private[graft] def dfcStatesFromVectors(wr0: DataFrame): DataFrame = {
+    val wr = wr0.select("ws", "p1", "p2", "v").localCheckpoint()
+    val wsIdx = wr.select("ws").distinct()
+      .withColumn("st", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")) - 1)
+      .localCheckpoint() // |W| rows; init + window count
+    var cent = wr.join(wsIdx.filter(col("st") < dfcK), Seq("ws"))
+      .selectExpr("st AS state", "p1", "p2", "v AS c")
+      .localCheckpoint()
+    for (_ <- 0 until dfcLloydRounds) {
+      val upd = wr.join(dfcAssign(wr, cent), Seq("ws"))
+        .groupBy("state", "p1", "p2")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .selectExpr("state", "p1", "p2",
+          "(2 * s + n - pmod(2 * s + n, 2 * n)) div (2 * n) AS c_new")
+      cent = cent
+        .join(upd, Seq("state", "p1", "p2"), "left")
+        .selectExpr("state", "p1", "p2",
+          "CAST(COALESCE(c_new, c) AS BIGINT) AS c")
+        .localCheckpoint() // k·NP²-bounded; next assign reads twice
+    }
+    val fin = dfcAssign(wr, cent).localCheckpoint() // |W| rows; 2 consumers
+    val runs = fin
+      .withColumn("prev", lag("state", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+      .selectExpr("state",
+        "CASE WHEN prev IS NULL OR prev != state THEN 1 ELSE 0 END AS rs")
+      .groupBy("state").agg(sum("rs").as("n_runs"))
+    val per = fin.groupBy("state").agg(count(lit(1)).as("n_win"))
+    val states = wr.sparkSession.range(dfcK).select(col("id").cast("int").as("state"))
+    states
+      .join(per, Seq("state"), "left")
+      .join(runs, Seq("state"), "left")
+      .na.fill(0L, Seq("n_win", "n_runs"))
+      .crossJoin(broadcast(wsIdx.agg(count(lit(1)).as("nw"))))
+      .selectExpr("state", "n_win",
+        "CASE WHEN nw > 0 THEN round(CAST(n_win AS DOUBLE) / nw, 6) END AS occ",
+        "n_runs",
+        "CASE WHEN n_runs > 0 THEN round(CAST(n_win AS DOUBLE) / n_runs, 6) END AS mean_dwell")
+      .orderBy("state")
+  }
+
+  def dfcStates(s: SparkSession, d: String): DataFrame =
+    dfcStatesFromVectors(
+      dfcWindowR(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+        .select(col("t"), col("x"), col("y"), col("z"),
+          expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+        .selectExpr("ws", "p1", "p2", "COALESCE(r_fp, CAST(0 AS BIGINT)) AS v"))
+
+  private def dfcStatesSql: String = {
+    val roundCtes = (1 to dfcLloydRounds).map { i =>
+      s"""da$i AS MATERIALIZED (
+         |  SELECT ws, state FROM (
+         |    SELECT ws, state,
+         |      ROW_NUMBER() OVER (PARTITION BY ws ORDER BY dist ASC, state ASC) AS rn
+         |    FROM (
+         |      SELECT dwr.ws, c.state,
+         |        CAST(SUM((dwr.v - c.c) * (dwr.v - c.c)) AS BIGINT) AS dist
+         |      FROM dwr JOIN dc${i - 1} c ON c.p1 = dwr.p1 AND c.p2 = dwr.p2
+         |      GROUP BY 1, 2)
+         |  ) WHERE rn = 1
+         |),
+         |dup$i AS (
+         |  SELECT state, p1, p2, (2 * s + n) // (2 * n) AS c FROM (
+         |    SELECT da$i.state, dwr.p1, dwr.p2,
+         |      CAST(SUM(dwr.v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+         |    FROM dwr JOIN da$i ON da$i.ws = dwr.ws GROUP BY 1, 2, 3)
+         |),
+         |dc$i AS MATERIALIZED (
+         |  SELECT o.state, o.p1, o.p2, CAST(COALESCE(u.c, o.c) AS BIGINT) AS c
+         |  FROM dc${i - 1} o
+         |  LEFT JOIN dup$i u ON u.state = o.state AND u.p1 = o.p1 AND u.p2 = o.p2
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $centsSeriesCte,
+       |dpar AS MATERIALIZED (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM series GROUP BY 1, 2
+       |),
+       |dwin AS (SELECT CAST(unnest([${dfcStarts.mkString(", ")}]) AS INTEGER) AS ws),
+       |dmom AS MATERIALIZED (
+       |  SELECT dwin.ws, a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM dpar a
+       |  JOIN dpar b ON a.t = b.t AND a.p < b.p
+       |  CROSS JOIN dwin
+       |  WHERE a.t >= dwin.ws AND a.t < dwin.ws + $dfcWl
+       |  GROUP BY 1, 2, 3
+       |),
+       |dwr AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CAST(COALESCE(CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT), 0) AS BIGINT) AS v
+       |  FROM dmom
+       |),
+       |didx AS MATERIALIZED (
+       |  SELECT ws, ROW_NUMBER() OVER (ORDER BY ws) - 1 AS st
+       |  FROM (SELECT DISTINCT ws FROM dwr)
+       |),
+       |dc0 AS MATERIALIZED (
+       |  SELECT CAST(didx.st AS INTEGER) AS state, p1, p2, v AS c
+       |  FROM dwr JOIN didx ON didx.ws = dwr.ws WHERE didx.st < $dfcK
+       |),
+       |$roundCtes,
+       |daF AS MATERIALIZED (
+       |  SELECT ws, state FROM (
+       |    SELECT ws, state,
+       |      ROW_NUMBER() OVER (PARTITION BY ws ORDER BY dist ASC, state ASC) AS rn
+       |    FROM (
+       |      SELECT dwr.ws, c.state,
+       |        CAST(SUM((dwr.v - c.c) * (dwr.v - c.c)) AS BIGINT) AS dist
+       |      FROM dwr JOIN dc$dfcLloydRounds c ON c.p1 = dwr.p1 AND c.p2 = dwr.p2
+       |      GROUP BY 1, 2)
+       |  ) WHERE rn = 1
+       |),
+       |druns AS (
+       |  SELECT state, CAST(SUM(rs) AS BIGINT) AS n_runs FROM (
+       |    SELECT state,
+       |      CASE WHEN lag(state) OVER (ORDER BY ws) IS NULL
+       |        OR lag(state) OVER (ORDER BY ws) != state THEN 1 ELSE 0 END AS rs
+       |    FROM daF) GROUP BY state
+       |),
+       |dper AS (SELECT state, CAST(count(*) AS BIGINT) AS n_win FROM daF GROUP BY 1),
+       |dnw AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM didx),
+       |dst AS (SELECT CAST(unnest(generate_series(0, ${dfcK - 1})) AS INTEGER) AS state)
+       |SELECT dst.state, COALESCE(dper.n_win, 0) AS n_win,
+       |  CASE WHEN dnw.nw > 0
+       |    THEN round(CAST(COALESCE(dper.n_win, 0) AS DOUBLE) / dnw.nw, 6) END AS occ,
+       |  COALESCE(druns.n_runs, 0) AS n_runs,
+       |  CASE WHEN COALESCE(druns.n_runs, 0) > 0
+       |    THEN round(CAST(dper.n_win AS DOUBLE) / druns.n_runs, 6) END AS mean_dwell
+       |FROM dst
+       |LEFT JOIN dper ON dper.state = dst.state
+       |LEFT JOIN druns ON druns.state = dst.state
+       |CROSS JOIN dnw
+       |ORDER BY dst.state""".stripMargin
+  }
 
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
@@ -4040,6 +4231,7 @@ object DesignImage extends QueryModule {
     Q("q217_percolation", percolation, Some(percolationSql)),
     Q("q218_attack_robustness", attackRobustness, Some(attackSql)),
     Q("q223_dynamic_connectivity", dynamicConnectivity, Some(dynamicConnectivitySql)),
+    Q("q229_dfc_states", dfcStates, Some(dfcStatesSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

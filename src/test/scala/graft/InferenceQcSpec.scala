@@ -839,6 +839,32 @@ class InferenceQcSpec extends SparkSpec {
       s"Louvain recovers the bridged cliques: $qB")
   }
 
+  test("q229: k-means recovers planted alternating and blocked dFC states with exact dwell stats") {
+    val s = spark
+    import s.implicits._
+    val A = Seq((0, 1, 1000000L), (0, 2, -1000000L))
+    val B = Seq((0, 1, -1000000L), (0, 2, 1000000L))
+    def wr(pattern: Seq[Seq[(Int, Int, Long)]]): org.apache.spark.sql.DataFrame =
+      pattern.zipWithIndex.flatMap { case (vec, ws) =>
+        vec.map { case (p1, p2, v) => (ws, p1, p2, v) }
+      }.toDF("ws", "p1", "p2", "v")
+    // alternating A,B,A,B,A: occupancy 3/2, every visit lasts 1 window
+    val alt = graft.queries.DesignImage.dfcStatesFromVectors(
+      wr(Seq(A, B, A, B, A)))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(alt(0) === ((3L, 0.6, 3L, 1.0)), s"state A: ${alt(0)}")
+    assert(alt(1) === ((2L, 0.4, 2L, 1.0)), s"state B: ${alt(1)}")
+    // blocked B,A,A,B,B: state 0 (seeded by window 0 = B) owns 3 windows
+    // in 2 visits (dwell 1.5); state 1 (A) owns 2 in one visit (dwell 2)
+    val blk = graft.queries.DesignImage.dfcStatesFromVectors(
+      wr(Seq(B, A, A, B, B)))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(blk(0) === ((3L, 0.6, 2L, 1.5)), s"state B: ${blk(0)}")
+    assert(blk(1) === ((2L, 0.4, 1L, 2.0)), s"state A: ${blk(1)}")
+  }
+
   test("q226: weighted modularity hits the hand-computed two-clique value") {
     val s = spark
     import s.implicits._
