@@ -2150,6 +2150,162 @@ object DesignImage extends QueryModule {
        |FROM wper CROSS JOIN wqt
        |ORDER BY module""".stripMargin
 
+  // ---- q230: weighted one-level Louvain --------------------------------------
+  // q225's detector upgraded to the weighted gain (Blondel et al. 2008
+  // eq. 2 with weights): argmax_c [ 2W·w_{i,c} − s_i·Σtot̃_w(c) ] where
+  // w_{i,c} is the weight from i into c, s_i the strength, Σtot̃_w the
+  // community strength total excluding i. Same parity-gated synchronous
+  // sweeps, same (gain DESC, c ASC) total order — but the gain products
+  // ride DECIMAL(38,0) (2W·w_ic ≈ 5·10²⁰ at atlas NP, past int64; the
+  // q226 discipline). Output = q226's weighted modularity relation over
+  // the detected partition, so q226 (LPA partition) and q230 (weighted-
+  // Louvain partition) differ in exactly one input.
+
+  /** Deterministic one-level WEIGHTED Louvain over a (p1, p2, w)
+    * relation (w = 0 ⇒ no edge) → (p, m) modules. */
+  private[graft] def louvainWeightedModules(wpairs: DataFrame): DataFrame = {
+    val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
+      .localCheckpoint()
+    val parcels = wpairs.select(col("p1").as("p"))
+      .union(wpairs.select(col("p2").as("p"))).distinct()
+      .localCheckpoint()
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q", "w")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q", "w"))
+      .localCheckpoint() // 2M rows; every round + the W total
+    val str = parcels.join(
+        sym.groupBy("p").agg(sum("w").as("s")), Seq("p"), "left")
+      .na.fill(0L, Seq("s"))
+      .localCheckpoint() // NP rows; joined every round
+    val w2 = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0) // 2W
+    var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
+    for (r <- 0 until louvainRounds) {
+      val stot = lab.join(str, Seq("p")).groupBy("c").agg(sum("s").as("cs"))
+      val wic = sym.join(lab.selectExpr("p AS q", "c"), Seq("q"))
+        .groupBy("p", "c").agg(sum("w").as("win"))
+      val cand = wic
+        .unionByName(lab.select(col("p"), col("c")).withColumn("win", lit(0L)))
+        .groupBy("p", "c").agg(max("win").as("win"))
+      val gains = cand
+        .join(broadcast(stot), Seq("c"))
+        .join(broadcast(str), Seq("p"))
+        .join(broadcast(lab.selectExpr("p", "c AS cur")), Seq("p"))
+        .selectExpr("p", "c", "cur",
+          s"CAST($w2 AS DECIMAL(38,0)) * win" +
+            " - CAST(s AS DECIMAL(38,0)) * (cs - CASE WHEN c = cur THEN s ELSE 0 END) AS g")
+      lab = gains
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("p")
+            .orderBy(col("g").desc, col("c").asc)))
+        .filter(col("rn") === 1)
+        .selectExpr("p", s"CASE WHEN p % 2 = ${r % 2} THEN c ELSE cur END AS c")
+        .localCheckpoint()
+    }
+    lab.selectExpr("p", "CAST(c AS INT) AS m")
+  }
+
+  def modularityWeightedLouvain(s: SparkSession, d: String): DataFrame = {
+    val wp = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w")
+      .localCheckpoint() // NP²-bounded; detector + modularity consumers
+    modularityWeightedCore(wp, louvainWeightedModules(wp))
+  }
+
+  /** The generated weighted-Louvain round CTEs over wparcels/wsym,
+    * ending in `lwmod(p, m)`. */
+  private def louvainWeightedCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val parity = (i - 1) % 2
+      s"""lwst$i AS (
+         |  SELECT l.c, CAST(SUM(d.s) AS BIGINT) AS cs
+         |  FROM lw${i - 1} l JOIN lwstr d ON d.p = l.p GROUP BY 1
+         |),
+         |lwic$i AS (
+         |  SELECT s.p, l.c, CAST(SUM(s.w) AS BIGINT) AS win
+         |  FROM wsym s JOIN lw${i - 1} l ON l.p = s.q GROUP BY 1, 2
+         |),
+         |lwcand$i AS (
+         |  SELECT p, c, MAX(win) AS win FROM (
+         |    SELECT p, c, win FROM lwic$i
+         |    UNION ALL SELECT p, c, CAST(0 AS BIGINT) FROM lw${i - 1}
+         |  ) GROUP BY p, c
+         |),
+         |lwg$i AS (
+         |  SELECT cand.p, cand.c, cur.c AS cur,
+         |    CAST(lwW.w2 AS HUGEINT) * cand.win
+         |      - CAST(d.s AS HUGEINT) * (st.cs - CASE WHEN cand.c = cur.c THEN d.s ELSE 0 END) AS g
+         |  FROM lwcand$i cand
+         |  JOIN lwst$i st ON st.c = cand.c
+         |  JOIN lwstr d ON d.p = cand.p
+         |  JOIN lw${i - 1} cur ON cur.p = cand.p
+         |  CROSS JOIN lwW
+         |),
+         |lw$i AS MATERIALIZED (
+         |  SELECT p, CASE WHEN p % 2 = $parity THEN c ELSE cur END AS c FROM (
+         |    SELECT p, c, cur,
+         |      ROW_NUMBER() OVER (PARTITION BY p ORDER BY g DESC, c ASC) AS rn
+         |    FROM lwg$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""lw0 AS MATERIALIZED (SELECT p, p AS c FROM wparcels),
+       |lwstr AS MATERIALIZED (
+       |  SELECT wparcels.p, CAST(COALESCE(d.sw, 0) AS BIGINT) AS s
+       |  FROM wparcels LEFT JOIN (
+       |    SELECT p, SUM(w) AS sw FROM wsym GROUP BY p) d ON d.p = wparcels.p
+       |),
+       |lwW AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w2 FROM wsym),
+       |$roundCtes,
+       |lwmod AS MATERIALIZED (SELECT p, CAST(c AS INTEGER) AS m FROM lw$rounds)""".stripMargin
+  }
+
+  private def modularityWeightedLouvainSql: String =
+    s"""WITH $connectomeCtes,
+       |wpe AS MATERIALIZED (
+       |  SELECT p1, p2, $wPosStr AS w FROM pairs
+       |  WHERE $wPosStr > 0
+       |),
+       |wparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)),
+       |wsym AS MATERIALIZED (SELECT p, q, w FROM (
+       |  SELECT p1 AS p, p2 AS q, w FROM wpe
+       |  UNION ALL SELECT p2 AS p, p1 AS q, w FROM wpe)),
+       |${louvainWeightedCtes(louvainRounds)},
+       |wml AS MATERIALIZED (
+       |  SELECT a.m AS m1, b.m AS m2, wpe.w
+       |  FROM wpe JOIN lwmod a ON a.p = wpe.p1 JOIN lwmod b ON b.p = wpe.p2
+       |),
+       |wW AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_tot FROM wml),
+       |win AS (
+       |  SELECT m1 AS module, CAST(SUM(w) AS BIGINT) AS w_in
+       |  FROM wml WHERE m1 = m2 GROUP BY 1
+       |),
+       |sm AS (
+       |  SELECT m AS module, CAST(SUM(w) AS BIGINT) AS s_tot FROM (
+       |    SELECT m1 AS m, w FROM wml UNION ALL SELECT m2 AS m, w FROM wml
+       |  ) GROUP BY 1
+       |),
+       |wnn AS (
+       |  SELECT m AS module, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lwmod GROUP BY 1
+       |),
+       |wper AS MATERIALIZED (
+       |  SELECT wnn.module, wnn.n_nodes, COALESCE(win.w_in, 0) AS w_in,
+       |    COALESCE(sm.s_tot, 0) AS s_tot, wW.w_tot,
+       |    4 * CAST(wW.w_tot AS HUGEINT) * COALESCE(win.w_in, 0)
+       |      - CAST(COALESCE(sm.s_tot, 0) AS HUGEINT) * COALESCE(sm.s_tot, 0) AS qn
+       |  FROM wnn
+       |  LEFT JOIN win ON win.module = wnn.module
+       |  LEFT JOIN sm ON sm.module = wnn.module
+       |  CROSS JOIN wW
+       |),
+       |wqt AS (SELECT SUM(qn) AS qsum FROM wper)
+       |SELECT module, n_nodes, w_in, s_tot,
+       |  CASE WHEN w_tot > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * CAST(w_tot AS HUGEINT) * w_tot AS DOUBLE), 6) END AS q_contrib,
+       |  CASE WHEN w_tot > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * CAST(w_tot AS HUGEINT) * w_tot AS DOUBLE), 6) END AS q
+       |FROM wper CROSS JOIN wqt
+       |ORDER BY module""".stripMargin
+
   /** Weighted rich-club core from a (p1, p2, w) relation: per degree
     * level k, φw(k) = W_{>k} / Σ(top-E_{>k} ranked weights) — the van
     * den Heuvel & Sporns 2011 weighted form. The denominator's ranked
@@ -2308,6 +2464,83 @@ object DesignImage extends QueryModule {
        |      / CAST(CAST(m2 AS HUGEINT) * s_jj - CAST(s_j AS HUGEINT) * s_j AS DOUBLE), 6) END AS r_assort
        |FROM wsum
        |ORDER BY m2""".stripMargin
+
+  // ---- q232: Barrat weighted clustering coefficient --------------------------
+  // The weighted local-segregation companion (Barrat et al. 2004, PNAS
+  // 101:3747 — the weighted clustering Rubinov & Sporns list beside
+  // Onnela's): C_w(i) = 1/(s_i(k_i−1)) Σ_{(j,h) ordered} (w_ij+w_ih)/2
+  // over triangles at i, which over UNORDERED neighbor pairs is exactly
+  //   C_w(i) = Σ_{j<h, jh∈E} (w_ij + w_ih) / (s_i · (k_i − 1))
+  // — pure rational arithmetic (numerator and denominator exact int64),
+  // ONE correctly-rounded division per node, unlike Onnela's cube-root
+  // form whose pow(x, 1/3) is not correctly rounded and could ULP-split
+  // the engines. Reduces to the binary clustering coefficient on unit
+  // weights (spec-pinned). k_i < 2 ⇒ NULL (no pairs to close).
+  //
+  // Scale shape: the neighbor-pair join is NP³-bounded worst case
+  // (q184's class); degree/strength folds NP-bounded. Requires the
+  // canonical p1 < p2 edge orientation every caller already has.
+
+  private[graft] def weightedClusteringCore(wpairs: DataFrame): DataFrame = {
+    val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
+      .localCheckpoint() // NP²-bounded; sym + triangle closure
+    val parcels = wpairs.select(col("p1").as("p"))
+      .union(wpairs.select(col("p2").as("p"))).distinct()
+    val sym = ones.selectExpr("p1 AS p", "p2 AS q", "w")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q", "w"))
+      .localCheckpoint() // 2M rows; deg/strength + both pair sides
+    val degStr = sym.groupBy("p").agg(count(lit(1)).as("k"), sum("w").as("s"))
+    val tri = sym.selectExpr("p", "q AS j", "w AS wij")
+      .join(sym.selectExpr("p", "q AS h", "w AS wih"), Seq("p"))
+      .filter(col("j") < col("h"))
+      .join(ones.selectExpr("p1 AS j", "p2 AS h"), Seq("j", "h"), "left_semi")
+      .groupBy("p").agg(count(lit(1)).as("n_tri"),
+        sum(expr("wij + wih")).as("nsum"))
+    parcels
+      .join(degStr, Seq("p"), "left").na.fill(0L, Seq("k", "s"))
+      .join(tri, Seq("p"), "left").na.fill(0L, Seq("n_tri", "nsum"))
+      .selectExpr("p", "k", "s", "n_tri",
+        "CASE WHEN k >= 2 AND s > 0 THEN round(CAST(nsum AS DOUBLE) / CAST(s * (k - 1) AS BIGINT), 6) END AS cw")
+      .orderBy("p")
+  }
+
+  def weightedClustering(s: SparkSession, d: String): DataFrame =
+    weightedClusteringCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w"))
+
+  private def weightedClusteringSql: String =
+    s"""WITH $connectomeCtes,
+       |wcl AS MATERIALIZED (
+       |  SELECT p1, p2, $wPosStr AS w FROM pairs WHERE $wPosStr > 0
+       |),
+       |wclpar AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)),
+       |wclsym AS MATERIALIZED (SELECT p, q, w FROM (
+       |  SELECT p1 AS p, p2 AS q, w FROM wcl
+       |  UNION ALL SELECT p2 AS p, p1 AS q, w FROM wcl)),
+       |wcldeg AS (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS k, CAST(SUM(w) AS BIGINT) AS s
+       |  FROM wclsym GROUP BY p
+       |),
+       |wcltri AS (
+       |  SELECT a.p, CAST(count(*) AS BIGINT) AS n_tri,
+       |    CAST(SUM(a.w + b.w) AS BIGINT) AS nsum
+       |  FROM wclsym a
+       |  JOIN wclsym b ON b.p = a.p AND a.q < b.q
+       |  JOIN wcl e ON e.p1 = a.q AND e.p2 = b.q
+       |  GROUP BY 1
+       |)
+       |SELECT wclpar.p, COALESCE(wcldeg.k, 0) AS k, COALESCE(wcldeg.s, 0) AS s,
+       |  COALESCE(wcltri.n_tri, 0) AS n_tri,
+       |  CASE WHEN COALESCE(wcldeg.k, 0) >= 2 AND COALESCE(wcldeg.s, 0) > 0
+       |    THEN round(CAST(COALESCE(wcltri.nsum, 0) AS DOUBLE)
+       |      / CAST(wcldeg.s * (wcldeg.k - 1) AS BIGINT), 6) END AS cw
+       |FROM wclpar
+       |LEFT JOIN wcldeg ON wcldeg.p = wclpar.p
+       |LEFT JOIN wcltri ON wcltri.p = wclpar.p
+       |ORDER BY wclpar.p""".stripMargin
 
   // ---- q213: rich-club coefficient -----------------------------------------
   // van den Heuvel & Sporns 2011 (J Neurosci 31:15775) / Colizza et al.
@@ -2899,26 +3132,7 @@ object DesignImage extends QueryModule {
     * sequences. Every window must carry every (p1, p2) dim. */
   private[graft] def dfcStatesFromVectors(wr0: DataFrame): DataFrame = {
     val wr = wr0.select("ws", "p1", "p2", "v").localCheckpoint()
-    val wsIdx = wr.select("ws").distinct()
-      .withColumn("st", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")) - 1)
-      .localCheckpoint() // |W| rows; init + window count
-    var cent = wr.join(wsIdx.filter(col("st") < dfcK), Seq("ws"))
-      .selectExpr("st AS state", "p1", "p2", "v AS c")
-      .localCheckpoint()
-    for (_ <- 0 until dfcLloydRounds) {
-      val upd = wr.join(dfcAssign(wr, cent), Seq("ws"))
-        .groupBy("state", "p1", "p2")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .selectExpr("state", "p1", "p2",
-          "(2 * s + n - pmod(2 * s + n, 2 * n)) div (2 * n) AS c_new")
-      cent = cent
-        .join(upd, Seq("state", "p1", "p2"), "left")
-        .selectExpr("state", "p1", "p2",
-          "CAST(COALESCE(c_new, c) AS BIGINT) AS c")
-        .localCheckpoint() // k·NP²-bounded; next assign reads twice
-    }
-    val fin = dfcAssign(wr, cent).localCheckpoint() // |W| rows; 2 consumers
+    val fin = dfcStatesAssign(wr).localCheckpoint() // |W| rows; 2 consumers
     val runs = fin
       .withColumn("prev", lag("state", 1).over(
         org.apache.spark.sql.expressions.Window.orderBy("ws")))
@@ -2931,7 +3145,7 @@ object DesignImage extends QueryModule {
       .join(per, Seq("state"), "left")
       .join(runs, Seq("state"), "left")
       .na.fill(0L, Seq("n_win", "n_runs"))
-      .crossJoin(broadcast(wsIdx.agg(count(lit(1)).as("nw"))))
+      .crossJoin(broadcast(wr.select("ws").distinct().agg(count(lit(1)).as("nw"))))
       .selectExpr("state", "n_win",
         "CASE WHEN nw > 0 THEN round(CAST(n_win AS DOUBLE) / nw, 6) END AS occ",
         "n_runs",
@@ -2946,7 +3160,10 @@ object DesignImage extends QueryModule {
           expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
         .selectExpr("ws", "p1", "p2", "COALESCE(r_fp, CAST(0 AS BIGINT)) AS v"))
 
-  private def dfcStatesSql: String = {
+  /** The generated q229 CTE chain (series → window vectors → Lloyd
+    * rounds → final assignment daF + didx) — shared with the q231
+    * transition tail. */
+  private def dfcStateCtes: String = {
     val roundCtes = (1 to dfcLloydRounds).map { i =>
       s"""da$i AS MATERIALIZED (
          |  SELECT ws, state FROM (
@@ -2971,7 +3188,7 @@ object DesignImage extends QueryModule {
          |  LEFT JOIN dup$i u ON u.state = o.state AND u.p1 = o.p1 AND u.p2 = o.p2
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $centsSeriesCte,
+    s"""$centsSeriesCte,
        |dpar AS MATERIALIZED (
        |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
        |    t, SUM(v) AS pv
@@ -3014,7 +3231,11 @@ object DesignImage extends QueryModule {
        |      FROM dwr JOIN dc$dfcLloydRounds c ON c.p1 = dwr.p1 AND c.p2 = dwr.p2
        |      GROUP BY 1, 2)
        |  ) WHERE rn = 1
-       |),
+       |)""".stripMargin
+  }
+
+  private def dfcStatesSql: String =
+    s"""WITH $dfcStateCtes,
        |druns AS (
        |  SELECT state, CAST(SUM(rs) AS BIGINT) AS n_runs FROM (
        |    SELECT state,
@@ -3036,7 +3257,93 @@ object DesignImage extends QueryModule {
        |LEFT JOIN druns ON druns.state = dst.state
        |CROSS JOIN dnw
        |ORDER BY dst.state""".stripMargin
+
+  // ---- q231: dFC state transition matrix -------------------------------------
+  // The companion statistic Allen et al. 2014 report beside occupancy
+  // and dwell: the state-to-state transition counts over consecutive
+  // windows and their row-normalized probabilities (the empirical
+  // Markov kernel of the state sequence). Transitions come from the
+  // SAME final assignment as q229 (shared Spark kernel / SQL CTE
+  // chain); the full k×k grid is emitted with explicit zeros, one
+  // correctly-rounded division per row (NULL when the source state was
+  // never left — no transitions out).
+  //
+  // Scale shape: the q229 chain + one |W|-row lead window + a k²-grid
+  // broadcast join. Nothing new is data-sized.
+
+  /** The q231 body from a (ws, p1, p2, v) window-vector relation. */
+  private[graft] def dfcTransitionsFromVectors(wr0: DataFrame): DataFrame = {
+    val wr = wr0.select("ws", "p1", "p2", "v").localCheckpoint()
+    val fin = dfcStatesAssign(wr).localCheckpoint() // |W| rows; 1 window read
+    val tr = fin
+      .withColumn("to_state", lead("state", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("state").as("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ k² rows; grid join + row totals
+    val s = wr.sparkSession
+    val grid = s.range(dfcK).select(col("id").cast("int").as("from_state"))
+      .crossJoin(s.range(dfcK).select(col("id").cast("int").as("to_state")))
+    val tot = tr.groupBy("from_state").agg(sum("n").as("n_out"))
+    grid
+      .join(tr, Seq("from_state", "to_state"), "left")
+      .join(tot, Seq("from_state"), "left")
+      .na.fill(0L, Seq("n"))
+      .selectExpr("from_state", "to_state", "n",
+        "CASE WHEN n_out > 0 THEN round(CAST(n AS DOUBLE) / n_out, 6) END AS p")
+      .orderBy("from_state", "to_state")
   }
+
+  /** The shared q229/q231 Lloyd fit → final (ws, state) assignment. */
+  private def dfcStatesAssign(wr: DataFrame): DataFrame = {
+    val wsIdx = wr.select("ws").distinct()
+      .withColumn("st", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")) - 1)
+    var cent = wr.join(wsIdx.filter(col("st") < dfcK), Seq("ws"))
+      .selectExpr("st AS state", "p1", "p2", "v AS c")
+      .localCheckpoint()
+    for (_ <- 0 until dfcLloydRounds) {
+      val upd = wr.join(dfcAssign(wr, cent), Seq("ws"))
+        .groupBy("state", "p1", "p2")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .selectExpr("state", "p1", "p2",
+          "(2 * s + n - pmod(2 * s + n, 2 * n)) div (2 * n) AS c_new")
+      cent = cent
+        .join(upd, Seq("state", "p1", "p2"), "left")
+        .selectExpr("state", "p1", "p2",
+          "CAST(COALESCE(c_new, c) AS BIGINT) AS c")
+        .localCheckpoint()
+    }
+    dfcAssign(wr, cent)
+  }
+
+  def dfcTransitions(s: SparkSession, d: String): DataFrame =
+    dfcTransitionsFromVectors(
+      dfcWindowR(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+        .select(col("t"), col("x"), col("y"), col("z"),
+          expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+        .selectExpr("ws", "p1", "p2", "COALESCE(r_fp, CAST(0 AS BIGINT)) AS v"))
+
+  private def dfcTransitionsSql: String =
+    s"""WITH $dfcStateCtes,
+       |dtr AS MATERIALIZED (
+       |  SELECT state AS from_state, to_state, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT state, lead(state) OVER (ORDER BY ws) AS to_state FROM daF
+       |  ) WHERE to_state IS NOT NULL GROUP BY 1, 2
+       |),
+       |dtot AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_out FROM dtr GROUP BY 1),
+       |dgrid AS (
+       |  SELECT CAST(f.f AS INTEGER) AS from_state, CAST(t.t AS INTEGER) AS to_state
+       |  FROM generate_series(0, ${dfcK - 1}) f(f), generate_series(0, ${dfcK - 1}) t(t)
+       |)
+       |SELECT dgrid.from_state, dgrid.to_state, COALESCE(dtr.n, 0) AS n,
+       |  CASE WHEN dtot.n_out > 0
+       |    THEN round(CAST(COALESCE(dtr.n, 0) AS DOUBLE) / dtot.n_out, 6) END AS p
+       |FROM dgrid
+       |LEFT JOIN dtr ON dtr.from_state = dgrid.from_state AND dtr.to_state = dgrid.to_state
+       |LEFT JOIN dtot ON dtot.from_state = dgrid.from_state
+       |ORDER BY dgrid.from_state, dgrid.to_state""".stripMargin
 
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
@@ -4232,6 +4539,9 @@ object DesignImage extends QueryModule {
     Q("q218_attack_robustness", attackRobustness, Some(attackSql)),
     Q("q223_dynamic_connectivity", dynamicConnectivity, Some(dynamicConnectivitySql)),
     Q("q229_dfc_states", dfcStates, Some(dfcStatesSql)),
+    Q("q230_modularity_wlouvain", modularityWeightedLouvain, Some(modularityWeightedLouvainSql)),
+    Q("q231_dfc_transitions", dfcTransitions, Some(dfcTransitionsSql)),
+    Q("q232_weighted_clustering", weightedClustering, Some(weightedClusteringSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

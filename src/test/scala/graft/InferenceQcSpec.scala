@@ -865,6 +865,78 @@ class InferenceQcSpec extends SparkSpec {
     assert(blk(1) === ((2L, 0.4, 1L, 2.0)), s"state A: ${blk(1)}")
   }
 
+  test("q230: weighted Louvain keeps the heavy pair the unweighted detector splits") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-2-3-4-5 with a HEAVY middle edge: unweighted Louvain cuts
+    // 2-3 (the {0,1,2} | {3,4,5} split — q225 spec); the weighted gain
+    // must refuse to cut the dominant edge and put 2 and 3 together
+    val wp = Seq((0, 1, 1L), (1, 2, 1L), (2, 3, 10L), (3, 4, 1L), (4, 5, 1L))
+      .toDF("p1", "p2", "w")
+    val luv = graft.queries.DesignImage.louvainWeightedModules(wp)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(luv(2) === luv(3), s"the heavy edge must stay intra-module: $luv")
+    assert(luv.values.toSet.size > 1, s"and the path must still split: $luv")
+    // unit weights reduce to the unweighted detector exactly
+    val unit = graft.queries.DesignImage.louvainWeightedModules(
+      (0 until 5).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "w"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val binary = graft.queries.DesignImage.louvainModules(
+      (0 until 5).map(i => (i, i + 1, 1L)).toDF("p1", "p2", "edge"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(unit === binary, s"unit weights must reduce to q225: $unit vs $binary")
+  }
+
+  test("q231: the transition matrix counts the planted state sequence exactly") {
+    val s = spark
+    import s.implicits._
+    val A = Seq((0, 1, 1000000L), (0, 2, -1000000L))
+    val B = Seq((0, 1, -1000000L), (0, 2, 1000000L))
+    def wr(pattern: Seq[Seq[(Int, Int, Long)]]): org.apache.spark.sql.DataFrame =
+      pattern.zipWithIndex.flatMap { case (vec, ws) =>
+        vec.map { case (p1, p2, v) => (ws, p1, p2, v) }
+      }.toDF("ws", "p1", "p2", "v")
+    // B,A,A,B,B → state sequence 0,1,1,0,0: transitions 0→1, 1→1, 1→0, 0→0
+    val out = graft.queries.DesignImage.dfcTransitionsFromVectors(
+      wr(Seq(B, A, A, B, B)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out((0, 0)) === ((1L, Some(0.5))), s"${out((0, 0))}")
+    assert(out((0, 1)) === ((1L, Some(0.5))), s"${out((0, 1))}")
+    assert(out((1, 0)) === ((1L, Some(0.5))), s"${out((1, 0))}")
+    assert(out((1, 1)) === ((1L, Some(0.5))), s"${out((1, 1))}")
+    // a never-left state reads NULL p on its whole row block
+    val onep = graft.queries.DesignImage.dfcTransitionsFromVectors(
+      wr(Seq(A, B, B, B, B))) // 0→1 once, then 1→1 forever
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(onep((0, 1)) === ((1L, Some(1.0))) && onep((1, 1)) === ((3L, Some(1.0))),
+      s"$onep")
+    assert(onep((1, 0)) === ((0L, Some(0.0))), s"${onep((1, 0))}")
+  }
+
+  test("q232: Barrat weighted clustering matches hand arithmetic and reduces to binary C") {
+    val s = spark
+    import s.implicits._
+    // triangle 0-1-2 (w 1, 2, 3) + pendant 0-3 (w 4)
+    val wp = Seq((0, 1, 1L), (0, 2, 2L), (1, 2, 3L), (0, 3, 4L))
+      .toDF("p1", "p2", "w")
+    val out = graft.queries.DesignImage.weightedClusteringCore(wp)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // node 0: k=3, s=7, one triangle, nsum = w01+w02 = 3 → 3/(7·2)
+    assert(out(0) === ((3L, 7L, 1L, Some(0.214286))), s"${out(0)}")
+    assert(out(1) === ((2L, 4L, 1L, Some(1.0))), s"${out(1)}")
+    assert(out(2) === ((2L, 5L, 1L, Some(1.0))), s"${out(2)}")
+    assert(out(3) === ((1L, 4L, 0L, None)), s"pendant: ${out(3)}")
+    // unit weights: C reduces to the binary clustering coefficient
+    val unit = graft.queries.DesignImage.weightedClusteringCore(
+      Seq((0, 1, 1L), (0, 2, 1L), (1, 2, 1L), (0, 3, 1L)).toDF("p1", "p2", "w"))
+      .collect().map(r => r.getInt(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(unit(0) === Some(0.333333) && unit(1) === Some(1.0), s"$unit")
+  }
+
   test("q226: weighted modularity hits the hand-computed two-clique value") {
     val s = spark
     import s.implicits._
