@@ -2465,6 +2465,116 @@ object DesignImage extends QueryModule {
        |FROM wsum
        |ORDER BY m2""".stripMargin
 
+  // ---- q234: WEIGHTED path metrics (1/w connection lengths) -------------------
+  // The integration half on the weighted graph (Rubinov & Sporns 2010
+  // §"paths and distances": "connection lengths are the inverse of
+  // connection weights"): per-hop length ℓ = round(1e12 / w) — an exact
+  // int64 both engines since w is the 1e6-fixed-point r, so ℓ = 1e6/r
+  // in 1e-6 "inverse-correlation" units — then the SAME min-plus
+  // doubling as q184 over integer lengths (rounds = ⌈log₂ n⌉ still
+  // covers every ≤ n−1-hop shortest path; sums stay int64 through atlas
+  // scale: d ≤ n·5·10⁶ ≈ 5·10⁹). The oracle UNROLLS the doubling as
+  // generated CTEs (the q65/q225 replay discipline — q184's recursive
+  // BFS walk dedups on exact (a,b,d) tuples, which bounds state only
+  // when d is the hop count; weighted sums would blow the walk up).
+  // Reciprocal terms quantize at round(1e18/d) ≤ 10¹² each (Σ ≤ 10¹⁸
+  // at atlas NP — the int64 edge, DECIMAL beyond; documented); displays
+  // divide the 1e6 unit back out.
+
+  /** Weighted path-metrics core from a (p1, p2, w) relation. */
+  private[graft] def pathMetricsWeightedCore(wpairs: DataFrame): DataFrame = {
+    val parcels = wpairs.select(col("p1").as("p"))
+      .union(wpairs.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; rounds + tail
+    val ones = wpairs.filter(col("w") > 0)
+      .selectExpr("p1", "p2", "CAST(round(1e12 / w, 0) AS BIGINT) AS l")
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b", "l")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b", "l"))
+    var dist = sym.selectExpr("a", "b", "l AS d").localCheckpoint()
+    val nNodes = math.max(2L, parcels.count())
+    val rounds = math.max(1,
+      math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
+    for (_ <- 0 until rounds) {
+      val through = dist.selectExpr("a", "b AS c", "d AS d1")
+        .join(dist.selectExpr("a AS c", "b AS bb", "d AS d2"), Seq("c"))
+        .selectExpr("a", "bb AS b", "d1 + d2 AS d")
+      dist = dist.unionByName(through)
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    val glob = dist
+      .agg(sum("d").as("sd"), count(lit(1)).as("n_fin"),
+        sum(expr("CAST(round(1e18 / d, 0) AS BIGINT)")).as("sr"))
+      .crossJoin(parcels.agg(count(lit(1)).as("np")))
+    val perP = dist.groupBy(col("a").as("p"))
+      .agg(max("d").as("ecc_l"), count(lit(1)).as("n_reach"),
+        sum(expr("CAST(round(1e18 / d, 0) AS BIGINT)")).as("srp"))
+    parcels
+      .join(broadcast(perP), Seq("p"), "left")
+      .crossJoin(broadcast(glob))
+      .selectExpr("p",
+        "round(CAST(ecc_l AS DOUBLE) / 1e6, 6) AS ecc_w",
+        "COALESCE(n_reach, 0L) AS n_reach",
+        "round(CAST(COALESCE(srp, 0L) AS DOUBLE) / (np - 1) / 1e12, 6) AS eff_p",
+        "CASE WHEN n_fin > 0 THEN round(CAST(sd AS DOUBLE) / n_fin / 1e6, 6) END AS cpl_w",
+        "round(CAST(sr AS DOUBLE) / (CAST(np AS DOUBLE) * (np - 1)) / 1e12, 6) AS eff_glob")
+      .orderBy("p")
+  }
+
+  def pathMetricsWeighted(s: SparkSession, d: String): DataFrame =
+    pathMetricsWeightedCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w"))
+
+  private def pathMetricsWeightedSql: String = {
+    val rounds = math.max(1,
+      math.ceil(math.log(connNP.toDouble) / math.log(2.0)).toInt)
+    val roundCtes = (1 to rounds).map { i =>
+      s"""wdist$i AS MATERIALIZED (
+         |  SELECT a, b, MIN(d) AS d FROM (
+         |    SELECT a, b, d FROM wdist${i - 1}
+         |    UNION ALL
+         |    SELECT x.a, y.b, x.d + y.d
+         |    FROM wdist${i - 1} x JOIN wdist${i - 1} y ON y.a = x.b
+         |  ) WHERE a <> b GROUP BY a, b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $connectomeCtes,
+       |wpm AS MATERIALIZED (
+       |  SELECT p1, p2, CAST(round(1e12 / ($wPosStr), 0) AS BIGINT) AS l
+       |  FROM pairs WHERE $wPosStr > 0
+       |),
+       |wpmpar AS (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)),
+       |wdist0 AS MATERIALIZED (SELECT a, b, CAST(l AS BIGINT) AS d FROM (
+       |  SELECT p1 AS a, p2 AS b, l FROM wpm
+       |  UNION ALL SELECT p2 AS a, p1 AS b, l FROM wpm)),
+       |$roundCtes,
+       |wgstat AS (
+       |  SELECT CAST(SUM(d) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS n_fin,
+       |    CAST(SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS BIGINT) AS sr,
+       |    (SELECT COUNT(*) FROM wpmpar) AS np
+       |  FROM wdist$rounds
+       |),
+       |wperp AS (
+       |  SELECT a AS p, CAST(MAX(d) AS BIGINT) AS ecc_l,
+       |    CAST(COUNT(*) AS BIGINT) AS n_reach,
+       |    CAST(SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS BIGINT) AS srp
+       |  FROM wdist$rounds GROUP BY a
+       |)
+       |SELECT wpmpar.p,
+       |  round(CAST(wperp.ecc_l AS DOUBLE) / 1e6, 6) AS ecc_w,
+       |  COALESCE(wperp.n_reach, 0) AS n_reach,
+       |  round(CAST(COALESCE(wperp.srp, 0) AS DOUBLE) / (wgstat.np - 1) / 1e12, 6) AS eff_p,
+       |  CASE WHEN wgstat.n_fin > 0
+       |    THEN round(CAST(wgstat.sd AS DOUBLE) / wgstat.n_fin / 1e6, 6) END AS cpl_w,
+       |  round(CAST(wgstat.sr AS DOUBLE) / (CAST(wgstat.np AS DOUBLE) * (wgstat.np - 1)) / 1e12, 6) AS eff_glob
+       |FROM wpmpar LEFT JOIN wperp ON wperp.p = wpmpar.p CROSS JOIN wgstat
+       |ORDER BY wpmpar.p""".stripMargin
+  }
+
   // ---- q232: Barrat weighted clustering coefficient --------------------------
   // The weighted local-segregation companion (Barrat et al. 2004, PNAS
   // 101:3747 — the weighted clustering Rubinov & Sporns list beside
@@ -4542,6 +4652,7 @@ object DesignImage extends QueryModule {
     Q("q230_modularity_wlouvain", modularityWeightedLouvain, Some(modularityWeightedLouvainSql)),
     Q("q231_dfc_transitions", dfcTransitions, Some(dfcTransitionsSql)),
     Q("q232_weighted_clustering", weightedClustering, Some(weightedClusteringSql)),
+    Q("q234_path_metrics_weighted", pathMetricsWeighted, Some(pathMetricsWeightedSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),
     Q("q169_resting_panel", restingPanel, Some(restingPanelSql)),
     Q("q163_reho", reho, Some(rehoSql)),

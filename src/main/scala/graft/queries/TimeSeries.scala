@@ -233,6 +233,93 @@ object TimeSeries extends QueryModule {
       |FROM act JOIN sz ON sz.c_day = act.c_day
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  // ---- q233: revenue cohorts (cohort LTV curve) ------------------------------
+  // The monetization companion of q219: per (cohort, offset) cell the
+  // active-user count PLUS the exact purchase revenue landed by that
+  // cohort on that day, its ARPU (revenue / cohort size — the additive
+  // cumulative-LTV increment), and the revenue retention rate vs the
+  // cohort's day-0 revenue. Revenue rides exact integer CENTS
+  // (round(value·100) the q01 discipline) summed as BIGINT; cells come
+  // from the ACTIVITY grid (a purchase implies activity, so no cell is
+  // lost), zeros explicit; two correctly-rounded divisions per row
+  // (rev0 = 0 ⇒ NULL rate).
+  //
+  // Scale shape: q219's — one (user, day)-distinct exchange + one
+  // purchase-grain aggregate, both co-partitioned on user_id; the
+  // matrix stays days²-bounded.
+
+  def revenueCohorts(s: SparkSession, d: String): DataFrame =
+    revenueCohortsCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day",
+        "event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents"))
+
+  /** Cohort LTV matrix from (user_id, day, event_type, cents) events. */
+  private[graft] def revenueCohortsCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("user_id", "day", "event_type", "cents")
+      .localCheckpoint() // activity + revenue consumers
+    val ud = ev.select("user_id", "day").distinct().localCheckpoint()
+    val coh = ud.groupBy("user_id").agg(min("day").as("c_day"))
+      .localCheckpoint() // |users| rows; 3 consumers
+    val act = ud.join(coh, Seq("user_id"))
+      .selectExpr("c_day", "day - c_day AS offset_days")
+      .groupBy("c_day", "offset_days").agg(count(lit(1)).as("n_active"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .join(coh, Seq("user_id"))
+      .selectExpr("c_day", "day - c_day AS offset_days", "cents")
+      .groupBy("c_day", "offset_days").agg(sum("cents").as("rev_c"))
+    val sz = coh.groupBy("c_day").agg(count(lit(1)).as("cohort_n"))
+    val cells = act.join(rev, Seq("c_day", "offset_days"), "left")
+      .na.fill(0L, Seq("rev_c"))
+      .localCheckpoint() // days²-bounded; output + day-0 extract
+    cells
+      .join(broadcast(sz), Seq("c_day"))
+      .join(broadcast(cells.filter(col("offset_days") === 0L)
+        .selectExpr("c_day", "rev_c AS rev0_c")), Seq("c_day"), "left")
+      .selectExpr("c_day AS cohort_day", "offset_days", "n_active", "cohort_n",
+        "round(CAST(rev_c AS DOUBLE) / 100.0, 6) AS revenue",
+        "round(CAST(rev_c AS DOUBLE) / 100.0 / cohort_n, 6) AS arpu",
+        "CASE WHEN rev0_c > 0 THEN round(CAST(rev_c AS DOUBLE) / rev0_c, 6) END AS rev_retention")
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val revenueCohortsSql =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events
+      |),
+      |ud AS MATERIALIZED (SELECT DISTINCT user_id, day FROM ev),
+      |coh AS MATERIALIZED (SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1),
+      |act AS (
+      |  SELECT coh.c_day, ud.day - coh.c_day AS offset_days,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM ud JOIN coh ON coh.user_id = ud.user_id GROUP BY 1, 2
+      |),
+      |rev AS (
+      |  SELECT coh.c_day, ev.day - coh.c_day AS offset_days,
+      |    CAST(SUM(ev.cents) AS BIGINT) AS rev_c
+      |  FROM ev JOIN coh ON coh.user_id = ev.user_id
+      |  WHERE ev.event_type = 'purchase' GROUP BY 1, 2
+      |),
+      |sz AS (SELECT c_day, CAST(count(*) AS BIGINT) AS cohort_n FROM coh GROUP BY 1),
+      |cells AS MATERIALIZED (
+      |  SELECT act.c_day, act.offset_days, act.n_active,
+      |    COALESCE(rev.rev_c, 0) AS rev_c
+      |  FROM act LEFT JOIN rev
+      |    ON rev.c_day = act.c_day AND rev.offset_days = act.offset_days
+      |)
+      |SELECT cells.c_day AS cohort_day, cells.offset_days, cells.n_active,
+      |  sz.cohort_n,
+      |  round(CAST(cells.rev_c AS DOUBLE) / 100.0, 6) AS revenue,
+      |  round(CAST(cells.rev_c AS DOUBLE) / 100.0 / sz.cohort_n, 6) AS arpu,
+      |  CASE WHEN z.rev0_c > 0
+      |    THEN round(CAST(cells.rev_c AS DOUBLE) / z.rev0_c, 6) END AS rev_retention
+      |FROM cells
+      |JOIN sz ON sz.c_day = cells.c_day
+      |LEFT JOIN (SELECT c_day, rev_c AS rev0_c FROM cells WHERE offset_days = 0) z
+      |  ON z.c_day = cells.c_day
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
   // ---- q221: DAU / WAU / MAU + stickiness ------------------------------------
   // The rolling active-user panel: per calendar day, distinct users
   // active that day (DAU), in the trailing 7 days (WAU), in the trailing
@@ -723,6 +810,7 @@ object TimeSeries extends QueryModule {
     Q("q220_funnel", funnel, Some(funnelSql)),
     Q("q221_active_users", activeUsers, Some(activeUsersSql)),
     Q("q224_active_users_kmv", activeUsersKmv, Some(activeUsersKmvSql)),
+    Q("q233_revenue_cohorts", revenueCohorts, Some(revenueCohortsSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -311,6 +311,44 @@ class OperatorSpec extends SparkSpec {
       s"panel must equal the batch operator after a same-batchId redelivery: $got vs $ref")
   }
 
+  test("q233: the LTV matrix sums planted purchase cents per cohort cell") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "purchase", 500L), (2L, 10L, "purchase", 100L),
+      (2L, 10L, "view", 999L), // non-purchase value must NOT count
+      (1L, 11L, "purchase", 250L),
+      (3L, 20L, "view", 0L), // a cohort with zero day-0 revenue
+    ).toDF("user_id", "day", "event_type", "cents")
+    val out = graft.queries.TimeSeries.revenueCohortsCore(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))).toMap
+    assert(out((10L, 0L)) === ((2L, 2L, 6.0, 3.0, Some(1.0))), s"${out((10L, 0L))}")
+    assert(out((10L, 1L)) === ((1L, 2L, 2.5, 1.25, Some(0.416667))), s"${out((10L, 1L))}")
+    assert(out((20L, 0L)) === ((1L, 1L, 0.0, 0.0, None)), s"${out((20L, 0L))}")
+    assert(out.size === 3)
+  }
+
+  test("q234: weighted routing takes the strong two-hop detour over the weak direct edge") {
+    val s = spark
+    import s.implicits._
+    // l = 1e12/w: 0-1 strong (l=1e6), 1-2 mid (2e6), 0-2 weak (5e6);
+    // shortest 0->2 is VIA 1 (3e6 < 5e6) - weighted routing, not hops.
+    // node 3 is isolated (w = 0 row brings it into the parcel set).
+    val wp = Seq((0, 1, 1000000L), (1, 2, 500000L), (0, 2, 200000L),
+      (0, 3, 0L)).toDF("p1", "p2", "w")
+    val out = graft.queries.DesignImage.pathMetricsWeightedCore(wp)
+      .collect().map(r => r.getInt(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2),
+          r.getDouble(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          r.getDouble(5)))).toMap
+    assert(out(0) === ((Some(3.0), 2L, 0.444444, Some(2.0), 0.305556)), s"${out(0)}")
+    assert(out(1) === ((Some(2.0), 2L, 0.5, Some(2.0), 0.305556)), s"${out(1)}")
+    assert(out(2) === ((Some(3.0), 2L, 0.277778, Some(2.0), 0.305556)), s"${out(2)}")
+    assert(out(3) === ((None, 0L, 0.0, Some(2.0), 0.305556)), s"isolate: ${out(3)}")
+  }
+
   test("q222: a planted 50% error hour spikes against its 10% trailing baseline") {
     val s = spark
     import s.implicits._
