@@ -320,6 +320,117 @@ object TimeSeries extends QueryModule {
       |  ON z.c_day = cells.c_day
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  // ---- q235: RFM segmentation -------------------------------------------------
+  // The classic customer-base segmentation (Hughes' RFM): per user the
+  // Recency (days since last activity, against the observed calendar
+  // end), Frequency (distinct active days), Monetary (exact purchase
+  // cents), each scored 1–5 by QUINTILE CUTOFFS and reported as the
+  // segment grid (r_score, f_score, m_score) → user count + exact mean
+  // monetary. Scores come from VALUE thresholds (exact type-7
+  // percentiles at 0.2/0.4/0.6/0.8 — the q159 shared-semantics
+  // percentile/quantile_cont pair), not a global rank: a rank-based
+  // NTILE needs one total-order window over every user, a
+  // single-partition wall at 10⁸ users, while the cutoff form is two
+  // distributed aggregates + a broadcast join — ties share a bucket by
+  // construction (deterministic, engine-independent). score = 1 + #
+  // {cutoffs beaten}: higher F/M is better, LOWER recency is better.
+  //
+  // Scale shape: one (user, day)-distinct exchange + one purchase
+  // aggregate → a |users|-bounded relation; cutoffs are one aggregate
+  // row broadcast back; the grid is ≤ 125 rows.
+
+  private val rfmQs = Seq(0.2, 0.4, 0.6, 0.8)
+
+  def rfmSegments(s: SparkSession, d: String): DataFrame =
+    rfmSegmentsCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day",
+        "event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents"))
+
+  /** RFM grid from (user_id, day, event_type, cents) events. */
+  private[graft] def rfmSegmentsCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("user_id", "day", "event_type", "cents")
+      .localCheckpoint()
+    val ud = ev.select("user_id", "day").distinct()
+    val rf = ud.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"))
+    val m = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum("cents").as("m_c"))
+    val user = rf.join(m, Seq("user_id"), "left").na.fill(0L, Seq("m_c"))
+      .crossJoin(broadcast(ud.agg(max("day").as("d1"))))
+      .selectExpr("user_id", "d1 - last_day AS r", "f", "m_c")
+      .localCheckpoint() // |users|-bounded; cutoffs + scoring
+    val qsStr = rfmQs.mkString("array(", ", ", ")")
+    val cuts = user.agg(
+      expr(s"percentile(r, $qsStr)").as("rc"),
+      expr(s"percentile(f, $qsStr)").as("fc"),
+      expr(s"percentile(m_c, $qsStr)").as("mc"))
+    // cutoffs are mathematically j/5-fractional interpolations of
+    // integers (1-dp rationals); the two engines interpolate with
+    // different expression orders, so round to 6 dp before comparing —
+    // collapses the ulp gap without moving any true boundary
+    def score(col0: String, cutsCol: String, lowerIsBetter: Boolean): String = {
+      val cmp = if (lowerIsBetter) "<" else ">"
+      (0 until rfmQs.size)
+        .map(i => s"(CASE WHEN CAST($col0 AS DOUBLE) $cmp round($cutsCol[$i], 6) THEN 1 ELSE 0 END)")
+        .mkString("CAST(1 + ", " + ", " AS BIGINT)")
+    }
+    user.crossJoin(broadcast(cuts))
+      .selectExpr("user_id", "m_c",
+        s"${score("r", "rc", lowerIsBetter = true)} AS r_score",
+        s"${score("f", "fc", lowerIsBetter = false)} AS f_score",
+        s"${score("m_c", "mc", lowerIsBetter = false)} AS m_score")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"), sum("m_c").as("sm"))
+      .selectExpr("r_score", "f_score", "m_score", "n_users",
+        "round(CAST(sm AS DOUBLE) / 100.0 / n_users, 6) AS avg_monetary")
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmSegmentsSql = {
+    def score(col0: String, cutsCol: String, cmp: String): String =
+      (1 to rfmQs.size)
+        .map(i => s"(CASE WHEN CAST($col0 AS DOUBLE) $cmp round($cutsCol[$i], 6) THEN 1 ELSE 0 END)")
+        .mkString("CAST(1 + ", " + ", " AS BIGINT)")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |),
+       |ud AS MATERIALIZED (SELECT DISTINCT user_id, day FROM ev),
+       |rf AS (
+       |  SELECT user_id, MAX(day) AS last_day, CAST(count(*) AS BIGINT) AS f
+       |  FROM ud GROUP BY 1
+       |),
+       |mm AS (
+       |  SELECT user_id, CAST(SUM(cents) AS BIGINT) AS m_c
+       |  FROM ev WHERE event_type = 'purchase' GROUP BY 1
+       |),
+       |usr AS MATERIALIZED (
+       |  SELECT rf.user_id, (SELECT MAX(day) FROM ud) - rf.last_day AS r,
+       |    rf.f, COALESCE(mm.m_c, 0) AS m_c
+       |  FROM rf LEFT JOIN mm ON mm.user_id = rf.user_id
+       |),
+       |cuts AS (
+       |  SELECT quantile_cont(r, [${rfmQs.mkString(", ")}]) AS rc,
+       |    quantile_cont(f, [${rfmQs.mkString(", ")}]) AS fc,
+       |    quantile_cont(m_c, [${rfmQs.mkString(", ")}]) AS mc
+       |  FROM usr
+       |),
+       |scored AS (
+       |  SELECT user_id, m_c,
+       |    ${score("r", "rc", "<")} AS r_score,
+       |    ${score("f", "fc", ">")} AS f_score,
+       |    ${score("m_c", "mc", ">")} AS m_score
+       |  FROM usr CROSS JOIN cuts
+       |)
+       |SELECT r_score, f_score, m_score,
+       |  CAST(count(*) AS BIGINT) AS n_users,
+       |  round(CAST(SUM(m_c) AS DOUBLE) / 100.0 / count(*), 6) AS avg_monetary
+       |FROM scored
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ---- q221: DAU / WAU / MAU + stickiness ------------------------------------
   // The rolling active-user panel: per calendar day, distinct users
   // active that day (DAU), in the trailing 7 days (WAU), in the trailing
@@ -811,6 +922,7 @@ object TimeSeries extends QueryModule {
     Q("q221_active_users", activeUsers, Some(activeUsersSql)),
     Q("q224_active_users_kmv", activeUsersKmv, Some(activeUsersKmvSql)),
     Q("q233_revenue_cohorts", revenueCohorts, Some(revenueCohortsSql)),
+    Q("q235_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -349,6 +349,27 @@ class OperatorSpec extends SparkSpec {
     assert(out(3) === ((None, 0L, 0.0, Some(2.0), 0.305556)), s"isolate: ${out(3)}")
   }
 
+  test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
+    val s = spark
+    import s.implicits._
+    // user i: active the i days ending at day 10 (f = i, r = 0 for all),
+    // one purchase of i*100 cents. Type-7 quintile cutoffs over {1..5}
+    // are 1.8/2.6/3.4/4.2 -> f and m scores are exactly 1..5; the
+    // all-equal recency gives every user r_score 1.
+    val ev = (1 to 5).flatMap { i =>
+      (0 until i).map(k => (i.toLong, 10L - k, "view", 0L)) :+
+        ((i.toLong, 10L, "purchase", i * 100L))
+    }.toDF("user_id", "day", "event_type", "cents")
+    val out = graft.queries.TimeSeries.rfmSegmentsCore(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    (1 to 5).foreach { i =>
+      assert(out((1L, i.toLong, i.toLong)) === ((1L, i * 1.0)),
+        s"user $i segment: $out")
+    }
+    assert(out.size === 5)
+  }
+
   test("q222: a planted 50% error hour spikes against its 10% trailing baseline") {
     val s = spark
     import s.implicits._
