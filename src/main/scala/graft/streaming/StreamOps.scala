@@ -1139,6 +1139,45 @@ object StreamOps {
     ()
   }
 
+  /** STREAMING revenue cohorts — q233's foreachBatch twin, completing
+    * the event-panel twin family (retention q219, funnel q220, active
+    * users q221, error spikes q222, revenue q233): the standing grain
+    * is the (event_id, user_id, day, event_type, cents) event record
+    * behind the funnel twin's event_id anti-join replay guard (revenue
+    * is additive per EVENT, so the event key makes the append exactly-
+    * once under redelivery), then the full LTV matrix recomputes and
+    * OVERWRITES outPath (the snapshot discipline; spec-pinned ≡ the
+    * batch matrix incl. a redelivery). */
+  def streamingRevenueCohorts(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      revenueCohortsBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingRevenueCohorts]] — public for the spec. */
+  def revenueCohortsBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id",
+          s"${graft.util.Tables.tsNanosDay} AS day", "event_type",
+          "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      val tbl = s"${name}_revents"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/revents")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.revenueCohortsCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
   /** STREAMING error-spike detection — q222's foreachBatch twin and THE
     * canonical streaming alert (a trailing-baseline z-test over a live
     * event stream). The standing grain is hour-level counts, which are

@@ -349,6 +349,40 @@ class OperatorSpec extends SparkSpec {
     assert(out(3) === ((None, 0L, 0.0, Some(2.0), 0.305556)), s"isolate: ${out(3)}")
   }
 
+  test("q233 streaming twin: the LTV snapshot equals the batch matrix; redelivered events add no revenue") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_rc_revents")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_rc"))
+    val day = 86400000000000L // ns
+    val batches: Seq[Seq[(Long, Long, String, Double, Long)]] = Seq(
+      Seq((1L, 1L, "purchase", 5.0, 0L), (2L, 2L, "purchase", 1.0, 0L)),
+      Seq((3L, 1L, "purchase", 2.5, day)),
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-rc").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double, Long)]
+    val q = graft.streaming.StreamOps.streamingRevenueCohorts(
+      ms.toDF().toDF("event_id", "user_id", "event_type", "value", "ts"),
+      "graft_test_rc", "/tmp/graft_test_rc", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // redelivery
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.revenueCohortsCore(
+      batches.flatten.toDF("event_id", "user_id", "event_type", "value", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day",
+          "event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch matrix incl. after a redelivery: $got vs $ref")
+    assert(s.table("graft_test_rc_revents").count() === 3L,
+      "the event_id guard must absorb the redelivered batch")
+  }
+
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
     val s = spark
     import s.implicits._
