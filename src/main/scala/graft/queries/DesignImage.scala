@@ -3270,6 +3270,35 @@ object DesignImage extends QueryModule {
           expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
         .selectExpr("ws", "p1", "p2", "COALESCE(r_fp, CAST(0 AS BIGINT)) AS v"))
 
+  /** The generated series → window-vector CTE prefix (ends in
+    * `dwr(ws, p1, p2, v)`) — shared by the Lloyd chain (q229/q231) and
+    * the keyed-LPA stability query (q236). */
+  private def dfcVectorCtes: String =
+    s"""$centsSeriesCte,
+       |dpar AS MATERIALIZED (
+       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
+       |    t, SUM(v) AS pv
+       |  FROM series GROUP BY 1, 2
+       |),
+       |dwin AS (SELECT CAST(unnest([${dfcStarts.mkString(", ")}]) AS INTEGER) AS ws),
+       |dmom AS MATERIALIZED (
+       |  SELECT dwin.ws, a.p AS p1, b.p AS p2,
+       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
+       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
+       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
+       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
+       |  FROM dpar a
+       |  JOIN dpar b ON a.t = b.t AND a.p < b.p
+       |  CROSS JOIN dwin
+       |  WHERE a.t >= dwin.ws AND a.t < dwin.ws + $dfcWl
+       |  GROUP BY 1, 2, 3
+       |),
+       |dwr AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CAST(COALESCE(CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT), 0) AS BIGINT) AS v
+       |  FROM dmom
+       |)""".stripMargin
+
   /** The generated q229 CTE chain (series → window vectors → Lloyd
     * rounds → final assignment daF + didx) — shared with the q231
     * transition tail. */
@@ -3298,30 +3327,7 @@ object DesignImage extends QueryModule {
          |  LEFT JOIN dup$i u ON u.state = o.state AND u.p1 = o.p1 AND u.p2 = o.p2
          |)""".stripMargin
     }.mkString(",\n")
-    s"""$centsSeriesCte,
-       |dpar AS MATERIALIZED (
-       |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
-       |    t, SUM(v) AS pv
-       |  FROM series GROUP BY 1, 2
-       |),
-       |dwin AS (SELECT CAST(unnest([${dfcStarts.mkString(", ")}]) AS INTEGER) AS ws),
-       |dmom AS MATERIALIZED (
-       |  SELECT dwin.ws, a.p AS p1, b.p AS p2,
-       |    SUM(CAST(a.pv AS HUGEINT) * b.pv) AS sab,
-       |    SUM(a.pv) AS sa, SUM(b.pv) AS sb,
-       |    SUM(CAST(a.pv AS HUGEINT) * a.pv) AS saa,
-       |    SUM(CAST(b.pv AS HUGEINT) * b.pv) AS sbb
-       |  FROM dpar a
-       |  JOIN dpar b ON a.t = b.t AND a.p < b.p
-       |  CROSS JOIN dwin
-       |  WHERE a.t >= dwin.ws AND a.t < dwin.ws + $dfcWl
-       |  GROUP BY 1, 2, 3
-       |),
-       |dwr AS MATERIALIZED (
-       |  SELECT ws, p1, p2,
-       |    CAST(COALESCE(CAST(round(($dfcRStr) * 1e6, 0) AS BIGINT), 0) AS BIGINT) AS v
-       |  FROM dmom
-       |),
+    s"""$dfcVectorCtes,
        |didx AS MATERIALIZED (
        |  SELECT ws, ROW_NUMBER() OVER (ORDER BY ws) - 1 AS st
        |  FROM (SELECT DISTINCT ws FROM dwr)
@@ -3454,6 +3460,148 @@ object DesignImage extends QueryModule {
        |LEFT JOIN dtr ON dtr.from_state = dgrid.from_state AND dtr.to_state = dgrid.to_state
        |LEFT JOIN dtot ON dtot.from_state = dgrid.from_state
        |ORDER BY dgrid.from_state, dgrid.to_state""".stripMargin
+
+  // ---- q236: window-module stability (keyed LPA + Rand index) ---------------
+  // The module-dynamics statistic between q229's states and Bassett's
+  // multilayer flexibility: detect modules INDEPENDENTLY per sliding
+  // window (q208's LPA at the window grain — positive ties r ≥ 0.2 on
+  // the windowed r) and report, per CONSECUTIVE window pair, the RAND
+  // INDEX between the two partitions — the fraction of node pairs on
+  // which they agree (together-in-both or apart-in-both). Raw labels
+  // are NOT comparable across windows (label identity is arbitrary);
+  // the Rand index is label-invariant and pure integer arithmetic:
+  // agree / C(n, 2), ONE division per window pair. A stable connectome
+  // reads RI ≈ 1 across all pairs; reconfiguration windows dip.
+  //
+  // Determinism: LPA runs KEYED BY WINDOW in one chain (the q218
+  // strategy-keyed discipline — |W| graphs propagate in the same
+  // NP-bounded rounds, no per-window unroll), rounds = the global
+  // parcel count (the q208 ceiling; every window shares the parcel
+  // set). Window pairs compare over their COMMON node pairs (inner
+  // join — identical sets on the driver graph).
+  //
+  // Scale shape: one data-sized exchange (the q223 window moments);
+  // then |W|·(edge relation) per LPA round and a |W|·NP²-bounded pair
+  // comparison. No window function except the |W|-row index.
+
+  /** Per-consecutive-window Rand index from a (ws, p1, p2, r_fp)
+    * windowed-correlation relation. */
+  private[graft] def dfcModuleStabilityCore(wr0: DataFrame): DataFrame = {
+    val pe = wr0.selectExpr("ws", "p1", "p2",
+      "CASE WHEN r_fp IS NOT NULL AND r_fp >= 200000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS edge")
+      .localCheckpoint() // |W|·NP²-bounded; parcels + edges
+    val parcels = pe.select(col("ws"), col("p1").as("p"))
+      .union(pe.select(col("ws"), col("p2").as("p"))).distinct()
+      .localCheckpoint() // |W|·NP rows; init + rounds derivation
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("ws", "p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("ws", "p2 AS p", "p1 AS q"))
+      .localCheckpoint()
+    val rounds = math.max(1, parcels.select("p").distinct().count().toInt)
+    var lab = parcels.selectExpr("ws", "p", "p AS lab").localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val votes = sym.join(lab.selectExpr("ws", "p AS q", "lab"), Seq("ws", "q"))
+        .select("ws", "p", "lab")
+        .unionByName(lab.select("ws", "p", "lab")) // the self-vote
+        .groupBy("ws", "p", "lab").agg(count(lit(1)).as("c"))
+      lab = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ws", "p")
+            .orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select("ws", "p", "lab")
+        .localCheckpoint()
+    }
+    val wsIdx = lab.select("ws").distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+      .localCheckpoint() // |W| rows; both pair endpoints
+    val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
+      .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))
+      .select("ws_from", "ws_to")
+    val same = lab.selectExpr("ws", "p AS i", "lab AS li")
+      .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
+      .filter(col("i") < col("j"))
+      .selectExpr("ws", "i", "j",
+        "CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sm")
+      .localCheckpoint() // |W|·NP²-bounded; both comparison sides
+    wsPairs
+      .join(same.selectExpr("ws AS ws_from", "i", "j", "sm AS sm_f"), Seq("ws_from"))
+      .join(same.selectExpr("ws AS ws_to", "i", "j", "sm AS sm_t"),
+        Seq("ws_to", "i", "j"))
+      .groupBy("ws_from", "ws_to")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CASE WHEN sm_f = sm_t THEN 1 ELSE 0 END")).as("n_agree"))
+      .selectExpr("ws_from", "ws_to", "n_pairs", "n_agree",
+        "CASE WHEN n_pairs > 0 THEN round(CAST(n_agree AS DOUBLE) / n_pairs, 6) END AS rand_index")
+      .orderBy("ws_from")
+  }
+
+  def dfcModuleStability(s: SparkSession, d: String): DataFrame =
+    dfcModuleStabilityCore(
+      dfcWindowR(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+        .select(col("t"), col("x"), col("y"), col("z"),
+          expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  /** The keyed LPA round CTEs: klp0 … klp{rounds} over
+    * kparcels(ws, p) / ksym(ws, p, q), ending in `klpmod(ws, p, lab)`. */
+  private def lpaKeyedCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""klpv$i AS MATERIALIZED (
+         |  SELECT v.ws, v.p, v.lab, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT s.ws, s.p, l.lab
+         |    FROM ksym s JOIN klp${i - 1} l ON l.ws = s.ws AND l.p = s.q
+         |    UNION ALL
+         |    SELECT ws, p, lab FROM klp${i - 1}
+         |  ) v GROUP BY v.ws, v.p, v.lab
+         |),
+         |klp$i AS MATERIALIZED (
+         |  SELECT ws, p, lab FROM (
+         |    SELECT ws, p, lab, ROW_NUMBER() OVER (PARTITION BY ws, p
+         |      ORDER BY c DESC, lab ASC) AS rn
+         |    FROM klpv$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""klp0 AS MATERIALIZED (SELECT ws, p, p AS lab FROM kparcels),
+       |$roundCtes,
+       |klpmod AS MATERIALIZED (SELECT ws, p, lab FROM klp$rounds)""".stripMargin
+  }
+
+  private def dfcModuleStabilitySql: String =
+    s"""WITH $dfcVectorCtes,
+       |kpe AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CASE WHEN v >= 200000 THEN 1 ELSE 0 END AS edge
+       |  FROM dwr
+       |),
+       |kparcels AS MATERIALIZED (SELECT DISTINCT ws, p FROM (
+       |  SELECT ws, p1 AS p FROM kpe UNION ALL SELECT ws, p2 AS p FROM kpe)),
+       |kones AS (SELECT ws, p1, p2 FROM kpe WHERE edge = 1),
+       |ksym AS MATERIALIZED (SELECT ws, p, q FROM (
+       |  SELECT ws, p1 AS p, p2 AS q FROM kones
+       |  UNION ALL SELECT ws, p2 AS p, p1 AS q FROM kones)),
+       |${lpaKeyedCtes(connNP)},
+       |kidx AS MATERIALIZED (
+       |  SELECT ws, ROW_NUMBER() OVER (ORDER BY ws) AS idx
+       |  FROM (SELECT DISTINCT ws FROM klpmod)
+       |),
+       |kwp AS (
+       |  SELECT a.ws AS ws_from, b.ws AS ws_to
+       |  FROM kidx a JOIN kidx b ON b.idx = a.idx + 1
+       |),
+       |ksame AS MATERIALIZED (
+       |  SELECT a.ws, a.p AS i, b.p AS j,
+       |    CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END AS sm
+       |  FROM klpmod a JOIN klpmod b ON b.ws = a.ws AND a.p < b.p
+       |)
+       |SELECT kwp.ws_from, kwp.ws_to,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN f.sm = t.sm THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  round(CAST(SUM(CASE WHEN f.sm = t.sm THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rand_index
+       |FROM kwp
+       |JOIN ksame f ON f.ws = kwp.ws_from
+       |JOIN ksame t ON t.ws = kwp.ws_to AND t.i = f.i AND t.j = f.j
+       |GROUP BY kwp.ws_from, kwp.ws_to
+       |ORDER BY kwp.ws_from""".stripMargin
 
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
@@ -4651,6 +4799,7 @@ object DesignImage extends QueryModule {
     Q("q229_dfc_states", dfcStates, Some(dfcStatesSql)),
     Q("q230_modularity_wlouvain", modularityWeightedLouvain, Some(modularityWeightedLouvainSql)),
     Q("q231_dfc_transitions", dfcTransitions, Some(dfcTransitionsSql)),
+    Q("q236_module_stability", dfcModuleStability, Some(dfcModuleStabilitySql)),
     Q("q232_weighted_clustering", weightedClustering, Some(weightedClusteringSql)),
     Q("q234_path_metrics_weighted", pathMetricsWeighted, Some(pathMetricsWeightedSql)),
     Q("q189_small_world", smallWorld, Some(smallWorldSql)),

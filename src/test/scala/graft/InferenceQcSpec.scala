@@ -937,6 +937,31 @@ class InferenceQcSpec extends SparkSpec {
     assert(unit(0) === Some(0.333333) && unit(1) === Some(1.0), s"$unit")
   }
 
+  test("q236: Rand index reads 1 for repeated partitions and 7/15 for the planted reshuffle") {
+    val s = spark
+    import s.implicits._
+    val hi = 1000000L
+    // window graphs as (ws, p1, p2, r_fp): triangles get r_fp = 1e6,
+    // every other pair 0 (pulls all 6 nodes into each window's set)
+    def win(ws: Int, tris: Seq[(Int, Int)]): Seq[(Int, Int, Int, Long)] = {
+      val t = tris.toSet
+      (0 until 6).flatMap(i => (i + 1 until 6).map(j =>
+        (ws, i, j, if (t((i, j))) hi else 0L)))
+    }
+    val triA = Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)) // {012}{345}
+    val triB = Seq((0, 1), (0, 3), (1, 3), (2, 4), (2, 5), (4, 5)) // {013}{245}
+    val wr = (win(0, triA) ++ win(1, triA) ++ win(2, triB))
+      .toDF("ws", "p1", "p2", "r_fp")
+    val out = graft.queries.DesignImage.dfcModuleStabilityCore(wr)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0, 1)) === ((15L, 15L, 1.0)), s"identical partitions: ${out((0, 1))}")
+    // {012}{345} vs {013}{245}: same-pairs agree on (01),(45); apart-
+    // pairs agree on 5 of the rest → RI = 7/15
+    assert(out((1, 2)) === ((15L, 7L, 0.466667)), s"reshuffle: ${out((1, 2))}")
+    assert(out.size === 2)
+  }
+
   test("q226: weighted modularity hits the hand-computed two-clique value") {
     val s = spark
     import s.implicits._
