@@ -1183,39 +1183,41 @@ object StreamOps {
     * event stream). The standing grain is hour-level counts, which are
     * ADDITIVE — an anti-join guard can't make additive deltas replay-
     * safe (two genuine batches may both contribute to one hour), so the
-    * delta table is batchId-KEYED: each batch's (hour, n, e) aggregate
-    * lands as an OVERWRITE of `location/hours/batch=N`, making an
-    * at-least-once redelivery of the same batchId rewrite identical
-    * rows instead of doubling counts (the bigramAdmitBatch crash
-    * matrix: die before the delta write → replay recomputes; die
-    * between delta and panel → replay rewrites the same delta and the
-    * panel converges). The full spike panel then recomputes over the
-    * summed deltas and OVERWRITES `outPath` (snapshot discipline;
+    * state is a [[graft.util.DeltaStore]] table `name_hours`: each
+    * batch APPENDS its (hour, n, e) aggregate under batch_fp = batchId,
+    * a same-id redelivery appends identical rows that the store's
+    * (batch_fp, hour) max-dedup collapses, and the accumulated delta
+    * rows FOLD into one base row set via `DeltaStore.compact` when
+    * batch cadence makes O(batches) rows the read bottleneck — with
+    * post-fold replays absorbed by the tombstone anti-join
+    * (spec-pinned: the panel is invariant across append / replay /
+    * fold / post-fold replay). The full spike panel recomputes over
+    * `DeltaStore.live` and OVERWRITES `outPath` (snapshot discipline;
     * spec-pinned ≡ the batch panel incl. a same-batchId redelivery).
-    * Scale shape: the delta store is hours × batches rows — tiny at any
-    * event volume; the panel recompute is hours-bounded. Compact the
-    * per-batch deltas into per-hour base rows (the BigramStore fold)
-    * when batch cadence makes O(batches) files the read bottleneck. */
-  def streamingErrorSpikes(events: DataFrame, location: String,
-      outPath: String): DataStreamWriter[Row] =
+    * Scale shape: the delta store is hours × batches rows (one base
+    * set + a tombstone per batch after a fold) — tiny at any event
+    * volume; the panel recompute is hours-bounded. */
+  def streamingErrorSpikes(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      errorSpikesBatch(batch, location, outPath, batchId)
+      errorSpikesBatch(batch, name, location, outPath, batchId)
     }
 
   /** One micro-batch of [[streamingErrorSpikes]] — public so the spec
-    * can redeliver the SAME batchId and pin the overwrite. */
-  def errorSpikesBatch(batch: DataFrame, location: String, outPath: String,
-      batchId: Long): Unit = {
+    * can redeliver the SAME batchId and pin the collapse. */
+  def errorSpikesBatch(batch: DataFrame, name: String, location: String,
+      outPath: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     if (!batch.isEmpty) {
-      graft.util.Tables.normalizeTsNanos(batch)
-        .selectExpr(s"${graft.util.Tables.tsNanosHour} AS hour", "event_type")
-        .groupBy("hour").agg(count(lit(1)).as("n"),
-          sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e"))
-        .write.mode("overwrite").parquet(s"$location/hours/batch=$batchId")
+      graft.util.DeltaStore.append(s, s"${name}_hours", s"$location/hours",
+        graft.util.Tables.normalizeTsNanos(batch)
+          .selectExpr(s"${graft.util.Tables.tsNanosHour} AS hour", "event_type")
+          .groupBy("hour").agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")),
+        batchFp = batchId)
       graft.queries.TimeSeries.errorSpikesCore(
-        s.read.parquet(s"$location/hours")
-          .groupBy("hour").agg(sum("n").as("n"), sum("e").as("e")))
+        graft.util.DeltaStore.live(s, s"${name}_hours",
+          Seq("hour"), Seq("n", "e")))
         .write.mode("overwrite").parquet(outPath)
     }
     ()

@@ -283,9 +283,10 @@ class OperatorSpec extends SparkSpec {
       "the event_id guard must absorb the redelivered batch")
   }
 
-  test("q222 streaming twin: panel equals batch; a same-batchId redelivery cannot double counts") {
+  test("q222 streaming twin: panel invariant across redelivery, fold, and post-fold replay") {
     val s = spark
     import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_es_hours")
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File("/tmp/graft_test_es"))
     val h = 3600000000000L // ns
@@ -297,18 +298,35 @@ class OperatorSpec extends SparkSpec {
     val b2 = ev(Seq(("error", h + 1L), ("view", 2 * h)))
     val out = "/tmp/graft_test_es/out"
     val loc = "/tmp/graft_test_es/state"
-    graft.streaming.StreamOps.errorSpikesBatch(b1, loc, out, 0L)
-    graft.streaming.StreamOps.errorSpikesBatch(b2, loc, out, 1L)
-    graft.streaming.StreamOps.errorSpikesBatch(b1, loc, out, 0L) // redelivery
-    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.StreamOps.errorSpikesBatch(b, "graft_test_es", loc, out, id)
+    run(b1, 0L); run(b2, 1L)
+    run(b1, 0L) // same-batchId redelivery: max-dedup collapses it
+    def got() = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
     val ref = graft.queries.TimeSeries.errorSpikesCore(
       b1.unionByName(b2)
         .selectExpr("CAST(ts div 3600000000000 AS BIGINT) AS hour", "event_type")
         .groupBy("hour").agg(count(lit(1)).as("n"),
           sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")))
       .collect().map(_.toString).sorted.toSeq
-    assert(got.nonEmpty && got == ref,
-      s"panel must equal the batch operator after a same-batchId redelivery: $got vs $ref")
+    assert(got().nonEmpty && got() == ref,
+      s"panel must equal the batch operator after a same-batchId redelivery")
+    // fold the deltas: rows collapse (2 batches x 2-3 hours + a replay
+    // -> 3 base rows + 2 tombstones), panel invariant
+    val (before, after) = graft.util.DeltaStore.compact(
+      s, "graft_test_es_hours", Seq("hour"), Seq("n", "e"))
+    assert(after === 5 && before > after, s"fold: $before -> $after rows")
+    run(b1, 0L) // POST-FOLD replay: the tombstone must absorb it
+    assert(got() == ref, "a batch replayed after its fold must not re-count")
+    // and genuinely new batches keep landing after the fold
+    run(ev(Seq(("error", 3 * h))), 2L)
+    val ref2 = graft.queries.TimeSeries.errorSpikesCore(
+      b1.unionByName(b2).unionByName(ev(Seq(("error", 3 * h))))
+        .selectExpr("CAST(ts div 3600000000000 AS BIGINT) AS hour", "event_type")
+        .groupBy("hour").agg(count(lit(1)).as("n"),
+          sum(expr("CASE WHEN event_type = 'error' THEN CAST(1 AS BIGINT) ELSE 0 END")).as("e")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got() == ref2, "appends keep working after the fold")
   }
 
   test("q233: the LTV matrix sums planted purchase cents per cohort cell") {
