@@ -446,7 +446,7 @@ object TimeSeries extends QueryModule {
   // the expansion multiplies the day-grain relation by ≤ 30, stays
   // user·day·30-bounded, and aggregates map-side. No window function.
 
-  private val mauDays = 30L
+  private[graft] val mauDays = 30L
 
   /** Active-user panel from a (user_id, day) activity relation. The day
     * frame is the FULL observed calendar (d0..d1): an activity gap longer
@@ -543,23 +543,38 @@ object TimeSeries extends QueryModule {
   // are built once and the trailing window MERGES 7 or 30 of them —
   // KMV's mergeability is exactly what the exact panel lacks.
 
-  private val kmvK = 64
+  private[graft] val kmvK = 64
 
-  /** Sketched panel from a (user_id, day) activity relation. */
-  private[graft] def activeUsersKmvCore(userDay: DataFrame): DataFrame = {
-    import graft.functions.{Hashing, KmvDistinct}
-    val ud = userDay.select("user_id", "day")
-      .distinct().localCheckpoint() // user·day-bounded; cal + span
-    val cal = ud.agg(min("day").as("d0"), max("day").as("d1"))
-      .localCheckpoint() // one row; calendar + span clamp
-    val span = ud.crossJoin(broadcast(cal))
-      .selectExpr("user_id", "day",
-        s"explode(sequence(day, least(day + ${mauDays - 1}, d1))) AS t_day")
-      .selectExpr("user_id", "t_day", "t_day - day AS age")
+  /** The shared salted-fold + two-rho-rounds user hash (see the q224
+    * section note) — ONE site so the batch panel and its sketch-store
+    * streaming twin can never drift on the hash. */
+  private[graft] def withKmvHash(df: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    df
       .withColumn("h0", Hashing.poly_hash(concat(lit("kmv:"),
         col("user_id").cast("string"), lit(":"), col("user_id").cast("string"))))
       .withColumn("h1", expr("pmod(h0 * h0 + 1234567, 1000000007)"))
       .withColumn("h", expr("pmod(h1 * h1 + 7654321, 1000000007)"))
+      .drop("h0", "h1")
+  }
+
+  /** The shared bottom-k estimator over a SORTED distinct-hash array
+    * column `sh` (the KmvDistinct.eval arithmetic as SQL). */
+  private[graft] def kmvEstStr(sh: String): String =
+    s"CASE WHEN size($sh) < $kmvK THEN CAST(size($sh) AS BIGINT) " +
+      s"ELSE CAST(${kmvK - 1} AS BIGINT) * 1000000007 div (element_at($sh, $kmvK) + 1) END"
+
+  /** Sketched panel from a (user_id, day) activity relation. */
+  private[graft] def activeUsersKmvCore(userDay: DataFrame): DataFrame = {
+    import graft.functions.KmvDistinct
+    val ud = userDay.select("user_id", "day")
+      .distinct().localCheckpoint() // user·day-bounded; cal + span
+    val cal = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      .localCheckpoint() // one row; calendar + span clamp
+    val span = withKmvHash(ud.crossJoin(broadcast(cal))
+      .selectExpr("user_id", "day",
+        s"explode(sequence(day, least(day + ${mauDays - 1}, d1))) AS t_day")
+      .selectExpr("user_id", "t_day", "t_day - day AS age"))
       .localCheckpoint() // user·day·30-bounded; read by all 3 windows
     val calendar = cal.selectExpr("explode(sequence(d0, d1)) AS t_day")
     def trailing(win: Long, name: String) = span

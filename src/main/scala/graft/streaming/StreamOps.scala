@@ -1098,6 +1098,94 @@ object StreamOps {
     ()
   }
 
+  /** STREAMING sketched active users — q224's foreachBatch twin and the
+    * production shape its scale note promises: ONE bottom-k KMV sketch
+    * per calendar day maintained as standing state, with the trailing
+    * DAU/WAU/MAU windows answered by MERGING day sketches. Per batch,
+    * the arrivals' per-day bottom-k hash sets MERGE into the standing
+    * `name_kmv`(day, hs) table (sorted-array union, truncated to k) —
+    * and because a KMV sketch is a SET, the merge is idempotent and
+    * commutative: an at-least-once redelivery merges hashes that are
+    * already there, so this loop needs NO replay guard AT ALL, by
+    * algebra rather than bookkeeping. The panel recompute then
+    * estimates each (day, window) from the union of its day sketches
+    * and OVERWRITES `outPath`.
+    *
+    * EXACT twin equality (spec-pinned): the k smallest of a union of
+    * per-day bottom-k sets equal the k smallest of the union of the
+    * full per-day sets (any hash among the union's k smallest is among
+    * its own day's k smallest), so the streamed estimates are
+    * BIT-IDENTICAL to q224's batch estimates — mergeability is what
+    * the exact panel fundamentally lacks.
+    *
+    * Scale shape: state is days × k longs; the per-batch merge is a
+    * days-bounded full-outer join swapped in atomically
+    * (BucketedStores sibling discipline); the panel is days·30·k
+    * rows end to end. The batch-side per-day bottom-k here rides
+    * collect_set + sort (batch-DAU-bounded per day) — at 10⁸-DAU
+    * batches swap in a sketch-valued TypedImperativeAggregate emitting
+    * the k-array (the KmvDistinct buffer, surfaced). */
+  def streamingActiveUsersKmv(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      activeUsersKmvBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingActiveUsersKmv]] — public for the
+    * spec. */
+  def activeUsersKmvBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val k = graft.queries.TimeSeries.kmvK
+    if (!batch.isEmpty) {
+      val bd = graft.queries.TimeSeries.withKmvHash(
+        graft.util.Tables.normalizeTsNanos(batch)
+          .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+        .groupBy("day").agg(collect_set("h").as("hs0"))
+        .selectExpr("day", s"slice(array_sort(hs0), 1, $k) AS hs")
+      val tbl = s"${name}_kmv"
+      if (!s.catalog.tableExists(tbl)) {
+        bd.write.mode("overwrite").format("parquet")
+          .option("path", s"$location/kmv").saveAsTable(tbl)
+      } else {
+        s.catalog.refreshTable(tbl)
+        val merged = s.table(tbl).selectExpr("day", "hs AS hs_old")
+          .join(bd.selectExpr("day", "hs AS hs_new"), Seq("day"), "full")
+          .selectExpr("day",
+            s"""slice(array_sort(array_distinct(concat(
+               |  coalesce(hs_old, array()), coalesce(hs_new, array())))),
+               |  1, $k) AS hs""".stripMargin)
+          .localCheckpoint() // the swap drops the table it derives from
+        graft.util.BucketedStores.swapContents(s, tbl, merged)
+        s.catalog.refreshTable(tbl)
+      }
+      // panel: estimate each (day, window) from the merged day sketches
+      val sk = s.table(tbl).localCheckpoint()
+      val cal = sk.agg(min("day").as("d0"), max("day").as("d1"))
+        .localCheckpoint()
+      val spanH = sk.selectExpr("day", "explode(hs) AS h")
+        .crossJoin(broadcast(cal))
+        .selectExpr("day", "h",
+          s"explode(sequence(day, least(day + ${graft.queries.TimeSeries.mauDays - 1}, d1))) AS t_day")
+        .selectExpr("t_day", "t_day - day AS age", "h")
+        .localCheckpoint() // days·30·k rows; read by all 3 windows
+      val calendar = cal.selectExpr("explode(sequence(d0, d1)) AS t_day")
+      def est(win: Long, nm: String) = spanH
+        .filter(col("age") < win)
+        .select("t_day", "h").distinct()
+        .groupBy("t_day").agg(sort_array(collect_list("h")).as("sh"))
+        .selectExpr("t_day", s"${graft.queries.TimeSeries.kmvEstStr("sh")} AS $nm")
+      calendar
+        .join(est(graft.queries.TimeSeries.mauDays, "mau_est"), Seq("t_day"), "left")
+        .join(est(7L, "wau_est"), Seq("t_day"), "left")
+        .join(est(1L, "dau_est"), Seq("t_day"), "left")
+        .na.fill(0L, Seq("dau_est", "wau_est", "mau_est"))
+        .selectExpr("t_day AS day", "dau_est", "wau_est", "mau_est")
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
   /** STREAMING funnel — q220's foreachBatch twin: the standing grain is
     * the EVENT itself ((event_id, user_id, event_type, us) — the funnel
     * needs full event timestamps, not a per-user min: stage n's

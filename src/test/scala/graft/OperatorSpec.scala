@@ -248,6 +248,43 @@ class OperatorSpec extends SparkSpec {
       "redelivered/duplicate activity must not grow the grain table")
   }
 
+  test("q224 streaming twin: merged day sketches estimate BIT-IDENTICALLY to the batch panel") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_kmv_kmv")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_kmv"))
+    val day = 86400000000000L // ns
+    // > k users on day 0 so the ESTIMATE regime is live, plus a second
+    // day — the merge must keep per-day sketches separate
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 80L).map(u => (u, 0L)),
+      (41L to 120L).map(u => (u, day)), // overlap: union semantics
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-kmv").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamOps.streamingActiveUsersKmv(
+      ms.toDF().toDF("user_id", "ts"), "graft_test_kmv",
+      "/tmp/graft_test_kmv", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // replay: set merge
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.activeUsersKmvCore(
+      batches.flatten.toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .selectExpr("day", "dau_est", "wau_est", "mau_est")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"sketch-merge estimates must be bit-identical to the batch panel: $got vs $ref")
+    // the estimate regime must actually be live in the pin
+    val d0 = s.read.parquet(out).filter(col("day") === 0L).head()
+    assert(d0.getLong(1) != 80L, s"day 0 must be in the estimate regime: $d0")
+  }
+
   test("q220 streaming twin: a conversion spanning micro-batches lands; redelivery converges") {
     val s = spark
     import s.implicits._
