@@ -740,6 +740,85 @@ object TimeSeries extends QueryModule {
        |CROSS JOIN (SELECT n_users AS n_first FROM ns WHERE stage = 1) f
        |ORDER BY ns.stage""".stripMargin
 
+  // ---- q237: funnel time-to-convert -----------------------------------------
+  // The latency half of q220's funnel (the other number every product
+  // dashboard shows beside conversion): per stage ≥ 2, the MEDIAN and
+  // P90 of the converters' time from the previous stage's qualifying
+  // event. Deltas are exact integer µs; the percentiles are exact
+  // type-7 (the q159 percentile/quantile_cont pair) reported in µs
+  // rounded to 1 dp — a type-7 quantile of integers at q ∈ {0.5, 0.9}
+  // is a j/10-fractional rational, so the 1-dp rounding collapses the
+  // engines' interpolation-order ulp gap without moving any true value
+  // (reporting in rounded SECONDS instead could land a true value
+  // exactly on a half-up boundary — the q235 lesson at the time grain).
+  //
+  // Scale shape: q220's — per stage one co-partitioned user join +
+  // one |converters|-bounded percentile aggregate; |stages| output rows.
+
+  def funnelTtc(s: SparkSession, d: String): DataFrame =
+    funnelTtcCore(events(s, d)
+      .selectExpr("user_id", "event_type", "CAST(ts div 1000 AS BIGINT) AS us"))
+
+  /** Per-stage conversion-latency panel from (user_id, event_type, us). */
+  private[graft] def funnelTtcCore(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select("user_id", "event_type", "us")
+      .localCheckpoint() // read once per stage
+    var prev: DataFrame = null
+    val rows = funnelStages.zipWithIndex.map { case (tpe, i) =>
+      val t =
+        if (i == 0) ev.filter(col("event_type") === tpe)
+          .groupBy("user_id").agg(min("us").as("t"))
+          .withColumn("tp", lit(null).cast("long"))
+        else ev.filter(col("event_type") === tpe)
+          .join(prev.selectExpr("user_id", "t AS tp0"), Seq("user_id"))
+          .filter(expr(s"us > tp0 AND us <= tp0 + $funnelWindowUs"))
+          .groupBy("user_id", "tp0").agg(min("us").as("t"))
+          .selectExpr("user_id", "t", "tp0 AS tp")
+      prev = t.localCheckpoint() // |users|-bounded; next stage + stats
+      prev.agg(count(lit(1)).as("n_users"),
+          expr("percentile(t - tp, 0.5D)").as("med0"),
+          expr("percentile(t - tp, 0.9D)").as("p900"))
+        .selectExpr(s"CAST(${i + 1} AS BIGINT) AS stage",
+          s"'$tpe' AS event_type", "n_users",
+          "round(med0, 1) AS med_ttc_us", "round(p900, 1) AS p90_ttc_us")
+    }
+    rows.reduce(_ unionByName _).orderBy("stage")
+  }
+
+  private val funnelTtcSql =
+    s"""WITH t1 AS MATERIALIZED (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |),
+       |t2 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, t1.t AS tp
+       |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > t1.t AND epoch_us(e.ts) <= t1.t + $funnelWindowUs
+       |  GROUP BY 1, 3
+       |),
+       |t3 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t, t2.t AS tp
+       |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > t2.t AND epoch_us(e.ts) <= t2.t + $funnelWindowUs
+       |  GROUP BY 1, 3
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_users,
+       |    CAST(NULL AS DOUBLE) AS med_ttc_us, CAST(NULL AS DOUBLE) AS p90_ttc_us
+       |  UNION ALL
+       |  SELECT 2, 'click', (SELECT count(*) FROM t2),
+       |    (SELECT round(quantile_cont(t - tp, 0.5), 1) FROM t2),
+       |    (SELECT round(quantile_cont(t - tp, 0.9), 1) FROM t2)
+       |  UNION ALL
+       |  SELECT 3, 'purchase', (SELECT count(*) FROM t3),
+       |    (SELECT round(quantile_cont(t - tp, 0.5), 1) FROM t3),
+       |    (SELECT round(quantile_cont(t - tp, 0.9), 1) FROM t3)
+       |)
+       |ORDER BY stage""".stripMargin
+
   // ---- q222: error-rate spike detection (trailing-baseline z) ---------------
   // Hourly ops-anomaly detection: per hour the error fraction, a pooled
   // trailing-24h baseline rate p0 (current hour EXCLUDED — a spike must
@@ -938,6 +1017,7 @@ object TimeSeries extends QueryModule {
     Q("q224_active_users_kmv", activeUsersKmv, Some(activeUsersKmvSql)),
     Q("q233_revenue_cohorts", revenueCohorts, Some(revenueCohortsSql)),
     Q("q235_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    Q("q237_funnel_ttc", funnelTtc, Some(funnelTtcSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

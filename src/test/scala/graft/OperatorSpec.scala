@@ -438,6 +438,26 @@ class OperatorSpec extends SparkSpec {
       "the event_id guard must absorb the redelivered batch")
   }
 
+  test("q237: stage latencies hit the hand-computed type-7 median and p90") {
+    val s = spark
+    import s.implicits._
+    // 3 users convert view→click at +10/+20/+30 s; only user 1 purchases,
+    // 5 µs after the click. Type-7 over {1e7, 2e7, 3e7}: median 2e7,
+    // p90 = 2e7 + 0.8·1e7 = 2.8e7.
+    val ev = Seq(
+      (1L, "view", 0L), (2L, "view", 0L), (3L, "view", 0L),
+      (1L, "click", 10000000L), (2L, "click", 20000000L), (3L, "click", 30000000L),
+      (1L, "purchase", 10000005L),
+    ).toDF("user_id", "event_type", "us")
+    val out = graft.queries.TimeSeries.funnelTtcCore(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) === ((3L, None, None)), s"${out(1L)}")
+    assert(out(2L) === ((3L, Some(2.0e7), Some(2.8e7))), s"${out(2L)}")
+    assert(out(3L) === ((1L, Some(5.0), Some(5.0))), s"${out(3L)}")
+  }
+
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
     val s = spark
     import s.implicits._
