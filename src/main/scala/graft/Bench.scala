@@ -8,9 +8,11 @@ import org.apache.spark.sql.SparkSession
   * stdout, and every BENCH_r*.json through r07 shows `parsed: null`
   * because the full-name full-precision line outgrew that window as the
   * suite grew (77 names × two maps ≈ 4.5 KB — the head with
-  * `{"metric":…` scrolls out and the parse fails). So stdout now carries
-  * a COMPACT line guaranteed to fit — short `qNN` keys (the unique
-  * per-query prefix), 3-decimal minimums only — and the full-precision
+  * `{"metric":…` scrolls out and the parse fails). The r8 fix (qNN-keyed
+  * map, 3-dp) outgrew the window again at 237 queries (BENCH_r18
+  * `parsed: null`), so stdout now carries the timings as a bare VALUE
+  * ARRAY (`qsec`) in lexicographic query-name order with self-sizing
+  * precision — see the comment at the println — and the full-precision
   * detail (full names, min AND median per query) goes to
   * `bench_detail.json` in the working directory for regression
   * attribution without a judge re-run.
@@ -163,12 +165,24 @@ object Bench {
       s""""failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // qNN prefixes are unique across the suite; the compact line must stay
-    // under the driver's 2000-char stdout tail (incl. sbt's trailer).
-    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","reps":$reps,""" +
-      s""""queries":${obj(_.takeWhile(_ != '_'), r => dp3(r._2))},""" +
-      s""""load_max":$loadMax,""" +
-      s""""failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}""")
+    // The driver records only the LAST ~2000 chars of stdout and parses
+    // the one JSON line out of that window — at 237 queries even the
+    // qNN-keyed map outgrew it (BENCH_r18 `parsed: null`, 90 timings
+    // lost to truncation; r18 verdict item 7). The compact line now
+    // carries the per-query seconds as a VALUE ARRAY in lexicographic
+    // query-name order ("qorder":"name-asc" — the same sorted order
+    // Verify/CORRECTNESS keys reproduce, and the full name→{min,median}
+    // maps stay in bench_detail.json), with SELF-SIZING precision: 3 dp
+    // unless the line would outgrow the window, then 2, then 1 — so the
+    // whole line always fits and the driver's parse never nulls again.
+    def line(dp: Int): String = {
+      val qsec = results.map(r => s"%.${dp}f".format(r._2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${dp3(total)},"unit":"sec","reps":$reps,""" +
+        s""""nq":${results.size},"qorder":"name-asc","qsec":$qsec,""" +
+        s""""load_max":$loadMax,""" +
+        s""""failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}"""
+    }
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1)))
     spark.stop()
   }
 }

@@ -1640,25 +1640,36 @@ object DesignImage extends QueryModule {
   // self-vote is the bipartite-oscillation damper — the q203 A+I trick
   // at the label grain), ties broken by (count DESC, label ASC) — a
   // total integer order, so both engines propagate identical labels.
-  // ROUNDS DERIVE FROM THE INPUT's node count (the q184/q196/q215
-  // rounds-from-input discipline, closing the r17 "fixed 4 rounds"
-  // advisory): a label travels at most one hop per round and the
-  // worst-case flood distance is the n−1 diameter of a chain, so n
-  // rounds guarantee the sweep is never cut off mid-propagation on ANY
-  // input (spec-pinned on a planted chain); the oracle unrolls connNP
-  // rounds — identical because the driver graph populates every parcel
-  // residue. The final labels feed the SAME Guimerà–Amaral PC /
-  // within-module-z kernel as q204, so the two queries differ in
-  // exactly one input: who says what the modules are.
+  // ROUNDS STOP AT THE FIXED POINT (the r18 verdict's top item —
+  // reclaim the node-count ceiling's overhead — closed one step past
+  // the prescribed diameter measurement, which was tried first and
+  // re-probed SLOWER on the keyed q236: ⌈log₂ n⌉ min-plus doubling
+  // rounds cost NP³-bounded joins that the reclaimed LPA rounds don't
+  // pay for; see SCALE.md). The synchronous update is a DETERMINISTIC
+  // map F over the label relation, so the first round with
+  // lab_k = lab_{k−1} makes every later round a no-op — the Spark loop
+  // detects it with an NP-bounded diff probe per round (the q142/q199
+  // bounded-driver-probe loop shape) and stops, while the ORACLE keeps
+  // its plain connNP-round unroll: its rounds past the fixed point
+  // reproduce the same labels by construction, so the engines agree
+  // EXACTLY whenever a fixed point is reached. Should a pathological
+  // graph never converge (synchronous LPA can 2-cycle; the self-vote
+  // damps but does not forbid it), the connectome callers pin
+  // maxRounds = connNP — the oracle's unroll count — so both engines
+  // then run IDENTICAL round counts and still agree; the r18 "every
+  // residue is populated" assumption is gone in both regimes. Flood
+  // coverage holds because a fixed point cannot precede the flood:
+  // while any label is still traveling, some node changed last round
+  // (spec-pinned on a planted chain). The final labels feed the SAME
+  // Guimerà–Amaral PC / within-module-z kernel as q204, so the two
+  // queries differ in exactly one input: who says what the modules are.
   //
   // Scale shape: per round one edge-relation join against the NP-row
-  // label relation + an NP·labels-bounded vote aggregate; rounds are
-  // node-count-bounded. Everything stays NP²-bounded, broadcast-class
-  // at atlas scale (the q204 argument). At a node count where n rounds
-  // would genuinely bind, LPA converges LONG before the ceiling on any
-  // non-pathological graph — swap the ceiling for a measured-diameter
-  // bound (the q184 doubling-rounds derivation) before raising NP past
-  // the atlas regime.
+  // label relation, an NP·labels-bounded vote aggregate, and one
+  // NP-bounded cached-diff probe; rounds = observed convergence depth
+  // (≈ graph diameter + O(1) on real graphs), ceilinged at the node
+  // count. Everything stays NP²-bounded, broadcast-class at atlas
+  // scale (the q204 argument).
   //
   // Graph choice: detection (and the roles, for consistency) run on the
   // POSITIVE-tie graph r ≥ 0.2 — module detection conventionally keeps
@@ -1676,30 +1687,49 @@ object DesignImage extends QueryModule {
       "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
 
   /** Deterministic label propagation over a q168-shaped (p1, p2, …,
-    * edge) relation → (p, m) modules; rounds = the input's node count
-    * (the flood-distance ceiling — see the q208 section note). */
-  private[graft] def lpaModules(pairs0: DataFrame): DataFrame = {
+    * edge) relation → (p, m) modules; the loop stops at the first
+    * fixed-point round (see the q208 section note), ceilinged at
+    * `maxRounds` (≤ 0 ⇒ the input's node count). Connectome callers
+    * pass connNP — the oracle's unroll count — so a never-converging
+    * graph still runs the engines in lockstep. */
+  private[graft] def lpaModules(pairs0: DataFrame,
+      maxRounds: Int = 0): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
     val parcels = pe.select(col("p1").as("p"))
       .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; rounds derivation + init labels
+      .localCheckpoint() // NP rows; cap derivation + init labels
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
       .localCheckpoint()
-    val rounds = math.max(1, parcels.count().toInt)
+    val cap =
+      if (maxRounds > 0) maxRounds else math.max(1, parcels.count().toInt)
     var lab = parcels.select(col("p"), col("p").as("lab")).localCheckpoint()
-    for (_ <- 0 until rounds) {
-      val votes = sym.join(lab.selectExpr("p AS q", "lab"), Seq("q"))
+    var converged = false
+    var round = 0
+    while (round < cap && !converged) {
+      round += 1
+      // The label relation is NP rows behind a checkpoint (no stats →
+      // Catalyst would sort-merge every round); BROADCAST it at both
+      // join sites so the edge relation never shuffles, and take the
+      // (count DESC, label ASC) winner as ONE min(struct) aggregate —
+      // hash aggregation, no WindowExec sort. The change flag rides
+      // INSIDE the checkpointed round relation, so the fixed-point
+      // probe is a scan of NP cached rows, not its own join.
+      val votes = sym.join(broadcast(lab.selectExpr("p AS q", "lab")), Seq("q"))
         .select("p", "lab")
         .unionByName(lab.select("p", "lab")) // the self-vote
         .groupBy("p", "lab").agg(count(lit(1)).as("c"))
-      lab = votes
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("p")
-            .orderBy(col("c").desc, col("lab").asc)))
-        .filter(col("rn") === 1).select("p", "lab")
-        .localCheckpoint() // NP rows; next round reads twice
+      val next = votes
+        .groupBy("p")
+        .agg(min(struct(expr("-c AS nc"), col("lab"))).as("w"))
+        .select(col("p"), col("w.lab").as("lab"))
+        .join(broadcast(lab.selectExpr("p", "lab AS plab")), Seq("p"))
+        .select(col("p"), col("lab"), (col("lab") =!= col("plab")).as("chg"))
+        .localCheckpoint() // NP rows; next round reads twice + diff probe
+      // fixed-point probe (bounded driver probe, the q142/q199 loop shape)
+      converged = next.filter(col("chg")).isEmpty
+      lab = next.select("p", "lab")
     }
     lab.selectExpr("p", "CAST(lab AS INT) AS m")
   }
@@ -1709,7 +1739,7 @@ object DesignImage extends QueryModule {
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
       .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
-    moduleRolesWith(pe, lpaModules(pe))
+    moduleRolesWith(pe, lpaModules(pe, maxRounds = connNP))
   }
 
   // ---- q212: Newman modularity Q of the LPA partition ----------------------
@@ -1763,7 +1793,7 @@ object DesignImage extends QueryModule {
       .select(col("t"), col("x"), col("y"), col("z"),
         expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
       .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
-    modularityCore(pe, lpaModules(pe))
+    modularityCore(pe, lpaModules(pe, maxRounds = connNP))
   }
 
   /** The modularity CTE tail (edge-label join → per-module aggregates →
@@ -1820,7 +1850,11 @@ object DesignImage extends QueryModule {
        |${modularityTailSql("mmod")}""".stripMargin
 
   /** The generated LPA round CTEs: lp0 … lp{rounds} over mparcels/msym,
-    * ending in `mmod(p, m)`. */
+    * ending in `mmod(p, m)`. The unroll count is the SPARK side's round
+    * CAP (connNP): the Spark loop stops at its fixed point and every
+    * oracle round past that fixed point reproduces the same labels (the
+    * update is a deterministic map — see the q208 section note), so the
+    * plain unroll agrees with the early-stopped loop exactly. */
   private def lpaCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""lpv$i AS MATERIALIZED (
@@ -1942,8 +1976,14 @@ object DesignImage extends QueryModule {
     val m2 = sym.count() // 2M — one NP²-bounded action, a plan literal
     var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
     for (r <- 0 until louvainRounds) {
-      val stot = lab.join(deg, Seq("p")).groupBy("c").agg(sum("k").as("s"))
-      val kic = sym.join(lab.selectExpr("p AS q", "c"), Seq("q"))
+      // NP-row relations behind checkpoints carry no stats — BROADCAST
+      // them at every join (Catalyst would otherwise sort-merge and
+      // re-shuffle the edge relation each round), and take the
+      // (gain DESC, c ASC) winner as one min(struct) hash aggregate
+      // instead of a WindowExec sort (the q208 round shape).
+      val stot = lab.join(broadcast(deg), Seq("p"))
+        .groupBy("c").agg(sum("k").as("s"))
+      val kic = sym.join(broadcast(lab.selectExpr("p AS q", "c")), Seq("q"))
         .groupBy("p", "c").agg(count(lit(1)).as("kin"))
       // staying is always a candidate: an own-community row with kin = 0
       // unioned in, MAX-deduped against the real kin (kin >= 1 wins)
@@ -1957,11 +1997,10 @@ object DesignImage extends QueryModule {
         .selectExpr("p", "c", "cur",
           s"$m2 * kin - k * (s - CASE WHEN c = cur THEN k ELSE 0 END) AS g")
       lab = gains
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("p")
-            .orderBy(col("g").desc, col("c").asc)))
-        .filter(col("rn") === 1)
-        .selectExpr("p", s"CASE WHEN p % 2 = ${r % 2} THEN c ELSE cur END AS c")
+        .groupBy("p")
+        .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
+        .selectExpr("p",
+          s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
         .localCheckpoint() // NP rows; next round reads 3 times
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
@@ -2098,7 +2137,7 @@ object DesignImage extends QueryModule {
       .localCheckpoint() // NP²-bounded; edge + weight consumers
     modularityWeightedCore(
       base.selectExpr("p1", "p2", s"$wPosStr AS w"),
-      lpaModules(base.selectExpr("p1", "p2", s"$lpaEdgeStr AS edge")))
+      lpaModules(base.selectExpr("p1", "p2", s"$lpaEdgeStr AS edge"), maxRounds = connNP))
   }
 
   private def modularityWeightedSql: String =
@@ -2179,8 +2218,11 @@ object DesignImage extends QueryModule {
     val w2 = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0) // 2W
     var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
     for (r <- 0 until louvainRounds) {
-      val stot = lab.join(str, Seq("p")).groupBy("c").agg(sum("s").as("cs"))
-      val wic = sym.join(lab.selectExpr("p AS q", "c"), Seq("q"))
+      // broadcast label/strength joins + min(struct) winner — the
+      // unweighted detector's round shape (see louvainModules)
+      val stot = lab.join(broadcast(str), Seq("p"))
+        .groupBy("c").agg(sum("s").as("cs"))
+      val wic = sym.join(broadcast(lab.selectExpr("p AS q", "c")), Seq("q"))
         .groupBy("p", "c").agg(sum("w").as("win"))
       val cand = wic
         .unionByName(lab.select(col("p"), col("c")).withColumn("win", lit(0L)))
@@ -2193,11 +2235,10 @@ object DesignImage extends QueryModule {
           s"CAST($w2 AS DECIMAL(38,0)) * win" +
             " - CAST(s AS DECIMAL(38,0)) * (cs - CASE WHEN c = cur THEN s ELSE 0 END) AS g")
       lab = gains
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("p")
-            .orderBy(col("g").desc, col("c").asc)))
-        .filter(col("rn") === 1)
-        .selectExpr("p", s"CASE WHEN p % 2 = ${r % 2} THEN c ELSE cur END AS c")
+        .groupBy("p")
+        .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
+        .selectExpr("p",
+          s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
         .localCheckpoint()
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
@@ -2477,9 +2518,11 @@ object DesignImage extends QueryModule {
   // generated CTEs (the q65/q225 replay discipline — q184's recursive
   // BFS walk dedups on exact (a,b,d) tuples, which bounds state only
   // when d is the hop count; weighted sums would blow the walk up).
-  // Reciprocal terms quantize at round(1e18/d) ≤ 10¹² each (Σ ≤ 10¹⁸
-  // at atlas NP — the int64 edge, DECIMAL beyond; documented); displays
-  // divide the 1e6 unit back out.
+  // Reciprocal terms quantize at round(1e18/d) ≤ 10¹² each; the Σ sat
+  // exactly at the int64 edge at atlas NP, so the fold now runs
+  // DECIMAL(38,0) on the Spark side (DuckDB's SUM(BIGINT) is already
+  // HUGEINT) — the r18-flagged swap, landed before any NP increase.
+  // Displays divide the 1e6 unit back out.
 
   /** Weighted path-metrics core from a (p1, p2, w) relation. */
   private[graft] def pathMetricsWeightedCore(wpairs: DataFrame): DataFrame = {
@@ -2503,13 +2546,20 @@ object DesignImage extends QueryModule {
         .groupBy("a", "b").agg(min("d").as("d"))
         .localCheckpoint()
     }
+    // Reciprocal terms are ≤ 10¹² each (d ≥ 10⁶ for any 1-hop path);
+    // at atlas NP² pairs the SUM sits exactly at the int64 edge, so the
+    // fold runs in DECIMAL(38,0) (the q230 gain discipline) — each TERM
+    // is still an exactly-rounded int64, only the accumulator widens.
+    // DuckDB's SUM(BIGINT) is already HUGEINT, so the oracle was never
+    // at risk; this closes the r18-flagged Spark edge before any NP
+    // increase.
     val glob = dist
       .agg(sum("d").as("sd"), count(lit(1)).as("n_fin"),
-        sum(expr("CAST(round(1e18 / d, 0) AS BIGINT)")).as("sr"))
+        sum(expr("CAST(CAST(round(1e18 / d, 0) AS BIGINT) AS DECIMAL(38,0))")).as("sr"))
       .crossJoin(parcels.agg(count(lit(1)).as("np")))
     val perP = dist.groupBy(col("a").as("p"))
       .agg(max("d").as("ecc_l"), count(lit(1)).as("n_reach"),
-        sum(expr("CAST(round(1e18 / d, 0) AS BIGINT)")).as("srp"))
+        sum(expr("CAST(CAST(round(1e18 / d, 0) AS BIGINT) AS DECIMAL(38,0))")).as("srp"))
     parcels
       .join(broadcast(perP), Seq("p"), "left")
       .crossJoin(broadcast(glob))
@@ -2554,14 +2604,14 @@ object DesignImage extends QueryModule {
        |$roundCtes,
        |wgstat AS (
        |  SELECT CAST(SUM(d) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS n_fin,
-       |    CAST(SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS BIGINT) AS sr,
+       |    SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS sr,
        |    (SELECT COUNT(*) FROM wpmpar) AS np
        |  FROM wdist$rounds
        |),
        |wperp AS (
        |  SELECT a AS p, CAST(MAX(d) AS BIGINT) AS ecc_l,
        |    CAST(COUNT(*) AS BIGINT) AS n_reach,
-       |    CAST(SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS BIGINT) AS srp
+       |    SUM(CAST(round(1e18 / d, 0) AS BIGINT)) AS srp
        |  FROM wdist$rounds GROUP BY a
        |)
        |SELECT wpmpar.p,
@@ -3475,10 +3525,12 @@ object DesignImage extends QueryModule {
   //
   // Determinism: LPA runs KEYED BY WINDOW in one chain (the q218
   // strategy-keyed discipline — |W| graphs propagate in the same
-  // NP-bounded rounds, no per-window unroll), rounds = the global
-  // parcel count (the q208 ceiling; every window shares the parcel
-  // set). Window pairs compare over their COMMON node pairs (inner
-  // join — identical sets on the driver graph).
+  // NP-bounded rounds, no per-window unroll), stopping when EVERY
+  // window's labels reach their fixed point (the q208 early-stop;
+  // a window already at its fixed point reproduces its labels, so
+  // mixed convergence depths and the oracle's full unroll all agree),
+  // ceilinged at connNP. Window pairs compare over their COMMON node
+  // pairs (inner join — identical sets on the driver graph).
   //
   // Scale shape: one data-sized exchange (the q223 window moments);
   // then |W|·(edge relation) per LPA round and a |W|·NP²-bounded pair
@@ -3497,19 +3549,34 @@ object DesignImage extends QueryModule {
     val sym = ones.selectExpr("ws", "p1 AS p", "p2 AS q")
       .union(ones.selectExpr("ws", "p2 AS p", "p1 AS q"))
       .localCheckpoint()
-    val rounds = math.max(1, parcels.select("p").distinct().count().toInt)
+    // The loop stops when EVERY window's labels hit their fixed point
+    // (one keyed diff probe per round — already-stable windows keep
+    // reproducing their labels, so mixed convergence depths need no
+    // per-window gating), ceilinged at connNP = the oracle's unroll
+    // count (the q208 lockstep argument, keyed).
     var lab = parcels.selectExpr("ws", "p", "p AS lab").localCheckpoint()
-    for (_ <- 0 until rounds) {
-      val votes = sym.join(lab.selectExpr("ws", "p AS q", "lab"), Seq("ws", "q"))
+    var converged = false
+    var round = 0
+    while (round < connNP && !converged) {
+      round += 1
+      // broadcast label joins + min(struct) winner — the q208 round
+      // shape, keyed by ws (|W|·NP label rows stay broadcast-class)
+      val votes = sym
+        .join(broadcast(lab.selectExpr("ws", "p AS q", "lab")), Seq("ws", "q"))
         .select("ws", "p", "lab")
         .unionByName(lab.select("ws", "p", "lab")) // the self-vote
         .groupBy("ws", "p", "lab").agg(count(lit(1)).as("c"))
-      lab = votes
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("ws", "p")
-            .orderBy(col("c").desc, col("lab").asc)))
-        .filter(col("rn") === 1).select("ws", "p", "lab")
-        .localCheckpoint()
+      val next = votes
+        .groupBy("ws", "p")
+        .agg(min(struct(expr("-c AS nc"), col("lab"))).as("w"))
+        .select(col("ws"), col("p"), col("w.lab").as("lab"))
+        .join(broadcast(lab.selectExpr("ws", "p", "lab AS plab")),
+          Seq("ws", "p"))
+        .select(col("ws"), col("p"), col("lab"),
+          (col("lab") =!= col("plab")).as("chg"))
+        .localCheckpoint() // |W|·NP rows; next round + diff probe
+      converged = next.filter(col("chg")).isEmpty
+      lab = next.select("ws", "p", "lab")
     }
     val wsIdx = lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
@@ -3543,7 +3610,10 @@ object DesignImage extends QueryModule {
           expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
 
   /** The keyed LPA round CTEs: klp0 … klp{rounds} over
-    * kparcels(ws, p) / ksym(ws, p, q), ending in `klpmod(ws, p, lab)`. */
+    * kparcels(ws, p) / ksym(ws, p, q), ending in `klpmod(ws, p, lab)`.
+    * Unroll count = the Spark loop's round cap; rounds past a window's
+    * fixed point reproduce its labels (the q208 lockstep argument), so
+    * the plain unroll agrees with the early-stopped keyed loop. */
   private def lpaKeyedCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { i =>
       s"""klpv$i AS MATERIALIZED (

@@ -1209,9 +1209,13 @@ object StreamOps {
       outPath: String): Unit = {
     val s = batch.sparkSession
     if (!batch.isEmpty) {
+      // intra-batch dedup on the standing grain (r18 ADVICE): duplicate
+      // event_ids WITHIN one micro-batch would both pass the standing
+      // anti-join — mirror the (user_id, day) twins' batch-side distinct.
       val ev = graft.util.Tables.normalizeTsNanos(batch)
         .selectExpr("event_id", "user_id", "event_type",
           "CAST(ts div 1000 AS BIGINT) AS us")
+        .dropDuplicates("event_id")
       val tbl = s"${name}_events"
       val fresh = (if (s.catalog.tableExists(tbl)) {
         s.catalog.refreshTable(tbl)
@@ -1247,10 +1251,14 @@ object StreamOps {
       outPath: String): Unit = {
     val s = batch.sparkSession
     if (!batch.isEmpty) {
+      // intra-batch dedup on the standing grain (r18 ADVICE): two copies
+      // of one event_id inside a single micro-batch would both pass the
+      // standing anti-join and double-count revenue.
       val ev = graft.util.Tables.normalizeTsNanos(batch)
         .selectExpr("event_id", "user_id",
           s"${graft.util.Tables.tsNanosDay} AS day", "event_type",
           "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+        .dropDuplicates("event_id")
       val tbl = s"${name}_revents"
       val fresh = (if (s.catalog.tableExists(tbl)) {
         s.catalog.refreshTable(tbl)

@@ -98,6 +98,35 @@ object BucketedStores {
     * changed; between drop and rename the name is absent and the store's
     * `*Matches` guard reads "rebuild"; after the rename only the old
     * file cleanup remains, re-runnable. */
+  /** Repair an interrupted [[swapContents]]/[[compact]] for stores whose
+    * contents are NOT rebuildable from a corpus (the DeltaStore family —
+    * folded counts exist nowhere else, so the "name absent ⇒ rebuild"
+    * reading other stores rely on would silently lose them). Two crash
+    * windows, both detectable from the catalog alone:
+    *
+    *  - `table` missing but `table__compact` present: the crash fell
+    *    between DROP and RENAME — the sibling holds the COMPLETE folded
+    *    contents; finish the rename.
+    *  - both present: the crash fell between writing the sibling and the
+    *    DROP — the original is still authoritative; discard the sibling
+    *    (its files too — the half-commit may be partially written).
+    *
+    * Idempotent and cheap (catalog probes only on the happy path); the
+    * delta stores call it before every append/live/compact. */
+  def recoverSwap(spark: SparkSession, table: String): Unit = {
+    val tmpTable = table + "__compact"
+    if (!spark.catalog.tableExists(tmpTable)) return
+    if (!spark.catalog.tableExists(table)) {
+      spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+    } else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tmpTable))
+      val loc = new Path(meta.location)
+      spark.sql(s"DROP TABLE $tmpTable") // external: catalog entry only
+      loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
+    }
+  }
+
   def swapContents(spark: SparkSession, table: String,
       df: org.apache.spark.sql.DataFrame): Unit = {
     val catalog = spark.sessionState.catalog

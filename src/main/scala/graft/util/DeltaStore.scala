@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   * redelivery under a DIFFERENT fingerprint double-counts — Structured
   * Streaming's checkpointed restart redelivers the same batchId, so
   * that needs a source replaying outside the checkpoint contract.
+  *
+  * SINGLE WRITER REQUIRED (r18 ADVICE): [[compact]] reads the table,
+  * folds it, and swaps the fold in — a delta appended by ANOTHER writer
+  * between the read and the swap is silently discarded by the swap.
+  * Run compact from the same foreachBatch loop that appends (Structured
+  * Streaming serializes batches per query), never out-of-band beside a
+  * live writer. Crash-interrupted swaps are repaired, not re-lost:
+  * every entry point first runs [[BucketedStores.recoverSwap]], which
+  * finishes a fold that crashed between DROP and RENAME (the window
+  * where append() would otherwise recreate an EMPTY store and
+  * permanently lose every folded count) and discards a half-written
+  * fold sibling when the source table survived.
+  *
+  * Value columns must be BIGINT (enforced at [[compact]]): the fold
+  * casts its sums back to the declared column type, and a narrower
+  * declared type (e.g. INT) could silently wrap a fold that live()'s
+  * always-BIGINT sum reports exactly — a fold must be live-invariant.
   */
 object DeltaStore {
 
@@ -45,6 +62,7 @@ object DeltaStore {
       delta: DataFrame, batchFp: Long): Unit = {
     require(batchFp >= 0, s"batchFp must be >= 0 (got $batchFp): " +
       s"${BaseFp} is the fold sentinel")
+    BucketedStores.recoverSwap(spark, table)
     val w = delta.select(lit(batchFp).as("batch_fp") +: delta.columns.map(col): _*)
       .write.mode("append").format("parquet")
     (if (spark.catalog.tableExists(table)) w else w.option("path", location))
@@ -54,6 +72,7 @@ object DeltaStore {
   /** Exact current (keyCols..., valCols...) counts. */
   def live(spark: SparkSession, table: String, keyCols: Seq[String],
       valCols: Seq[String]): DataFrame = {
+    BucketedStores.recoverSwap(spark, table)
     spark.catalog.refreshTable(table)
     val all = spark.table(table)
     val folded = all.filter(col(keyCols.head).isNull).select("batch_fp")
@@ -69,12 +88,22 @@ object DeltaStore {
   }
 
   /** Fold accumulated deltas into base + tombstones (live-invariant).
+    * Single-writer only — see the object scaladoc: run inside the same
+    * foreachBatch loop that appends, never beside a live writer.
     * Returns (rows before, rows after). */
   def compact(spark: SparkSession, table: String, keyCols: Seq[String],
       valCols: Seq[String]): (Long, Long) = {
+    BucketedStores.recoverSwap(spark, table)
     spark.catalog.refreshTable(table)
     val all = spark.table(table).localCheckpoint() // swap drops its source
     val schema = all.schema
+    valCols.foreach { c =>
+      require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"DeltaStore value column $c must be BIGINT (got " +
+          s"${schema(c).dataType.simpleString}): the fold casts sums back " +
+          "to the declared type and a narrower type could silently wrap " +
+          "where live()'s BIGINT sum is exact")
+    }
     def typedNull(c: String) =
       lit(null).cast(schema(c).dataType).as(c)
     val folded = all.filter(col(keyCols.head).isNull).select("batch_fp")
