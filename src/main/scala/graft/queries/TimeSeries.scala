@@ -1004,6 +1004,117 @@ object TimeSeries extends QueryModule {
        |ORDER BY run, t""".stripMargin
   }
 
+  // ---- q238: A/B experiment analysis (two-proportion z / lift + CI) ---------
+  // The controlled-comparison primitive the event panel lacked (the r18
+  // verdict's #1 extension gap — the most common product-analytics ask
+  // after funnels): per experiment, the control/treatment conversion
+  // 2×2 table, absolute and relative lift, the POOLED two-proportion z
+  //   z = (p_t − p_c) / sqrt( p̂(1−p̂)·(1/n_c + 1/n_t) ),  p̂ pooled,
+  // the Wald 95% CI on the difference (unpooled SE — the standard
+  // pairing: pooled SE under H₀ for the test, unpooled for the
+  // interval), and the |z| > 1.96 significance flag — q222's
+  // one-proportion kernel generalized to two samples. All counts are
+  // exact integers; every double is an identical expression tree in
+  // both engines over those integers (the q222 discipline), rounded to
+  // 6 dp, and the flag derives from the ROUNDED z so it can never
+  // contradict the column at the display boundary.
+  //
+  // Arm assignment is a deterministic per-experiment hash of the user
+  // id (prod: the bucketing the experiment platform logged; here it is
+  // SYNTHESIZED, which also makes the driver check an A/A test — the
+  // arms split one population, so true lift is 0 and z should sit
+  // near 0): h₀ = (31·u + (e+1)·1000003) mod P, one Pollard-rho round
+  // h₀²+1234567 mod P (the q224 mixing lesson — parity of a linear map
+  // is structured; parity after squaring mod odd P is not), arm = h mod
+  // 2. Everything non-negative, so Spark % ≡ DuckDB % with no pmod
+  // asymmetry; h₀ < P ⇒ h₀² < 2⁶⁰ (int64 through user_id ≈ 10⁹).
+  //
+  // Scale shape: ONE data-sized exchange (the per-user conversion
+  // aggregate, map-side partial); the |users|×E assignment expansion
+  // feeds a (E·2)-cell aggregate — broadcast-class everything after.
+
+  private val abExps = 4
+  private val abArmStr =
+    s"(((user_id * 31 + (experiment + 1) * 1000003) % ${graft.text.TextOps.P})" +
+      s" * ((user_id * 31 + (experiment + 1) * 1000003) % ${graft.text.TextOps.P})" +
+      s" + 1234567) % ${graft.text.TextOps.P} % 2"
+  private val abPC = "(CAST(x_c AS DOUBLE) / n_c)"
+  private val abPT = "(CAST(x_t AS DOUBLE) / n_t)"
+  private val abPP = "(CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))"
+  private val abZStr =
+    s"CASE WHEN n_c > 0 AND n_t > 0 AND x_c + x_t > 0 AND x_c + x_t < n_c + n_t " +
+      s"THEN ($abPT - $abPC) / sqrt($abPP * (1 - $abPP) * " +
+      s"(CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t)) END"
+  private val abSeStr =
+    s"sqrt($abPC * (1 - $abPC) / n_c + $abPT * (1 - $abPT) / n_t)"
+
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    // conversion = a big-ticket purchase (value > 200): plain "any
+    // purchase" converts EVERY fixture user (p̂ = 1 degenerates z);
+    // the 200-cent cut converts ~21% at both SFs (measured) so the
+    // z / CI / lift columns are all live.
+    val users = events(s, d).groupBy("user_id")
+      .agg(max(expr(
+        "CASE WHEN event_type = 'purchase' AND value > 200 THEN CAST(1 AS BIGINT) ELSE 0 END"))
+        .as("conv"))
+    val exps = s.range(abExps).select(col("id").as("experiment"))
+    abTestCore(users.crossJoin(broadcast(exps))
+      .selectExpr("experiment", s"$abArmStr AS arm", "conv"))
+  }
+
+  /** Experiment panel from an (experiment, arm, conv∈{0,1}) per-user
+    * assignment relation — split out so specs can plant 2×2 tables. */
+  private[graft] def abTestCore(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("experiment")
+      .agg(
+        sum(expr("CASE WHEN arm = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("n_c"),
+        sum(expr("CASE WHEN arm = 0 THEN conv ELSE 0 END")).as("x_c"),
+        sum(expr("CASE WHEN arm = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("n_t"),
+        sum(expr("CASE WHEN arm = 1 THEN conv ELSE 0 END")).as("x_t"))
+      .selectExpr("experiment", "n_c", "x_c", "n_t", "x_t",
+        s"CASE WHEN n_c > 0 THEN round($abPC, 6) END AS p_c",
+        s"CASE WHEN n_t > 0 THEN round($abPT, 6) END AS p_t",
+        s"CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END AS lift_abs",
+        s"CASE WHEN x_c > 0 AND n_t > 0 THEN round(($abPT - $abPC) / $abPC, 6) END AS lift_rel",
+        s"round($abZStr, 6) AS z",
+        s"CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC - 1.96 * $abSeStr, 6) END AS ci_lo",
+        s"CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC + 1.96 * $abSeStr, 6) END AS ci_hi",
+        s"COALESCE(abs(round($abZStr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant")
+      .orderBy("experiment")
+
+  private val abTestSql =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT e.experiment, $abArmStr AS arm, u.conv
+       |  FROM u CROSS JOIN (
+       |    SELECT CAST(g AS BIGINT) AS experiment
+       |    FROM generate_series(0, ${abExps - 1}) gs(g)) e
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT experiment,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t
+       |  FROM asg GROUP BY 1
+       |)
+       |SELECT experiment, n_c, x_c, n_t, x_t,
+       |  CASE WHEN n_c > 0 THEN round($abPC, 6) END AS p_c,
+       |  CASE WHEN n_t > 0 THEN round($abPT, 6) END AS p_t,
+       |  CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END AS lift_abs,
+       |  CASE WHEN x_c > 0 AND n_t > 0 THEN round(($abPT - $abPC) / $abPC, 6) END AS lift_rel,
+       |  round($abZStr, 6) AS z,
+       |  CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC - 1.96 * $abSeStr, 6) END AS ci_lo,
+       |  CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC + 1.96 * $abSeStr, 6) END AS ci_hi,
+       |  COALESCE(abs(round($abZStr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant
+       |FROM cells
+       |ORDER BY experiment""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -1018,6 +1129,7 @@ object TimeSeries extends QueryModule {
     Q("q233_revenue_cohorts", revenueCohorts, Some(revenueCohortsSql)),
     Q("q235_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q237_funnel_ttc", funnelTtc, Some(funnelTtcSql)),
+    Q("q238_ab_test", abTest, Some(abTestSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

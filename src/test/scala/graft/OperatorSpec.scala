@@ -458,6 +458,44 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) === ((1L, Some(5.0), Some(5.0))), s"${out(3L)}")
   }
 
+  test("q238: a planted 2x2 hits the textbook pooled z and Wald CI; degenerate tables are NULL-z") {
+    val s = spark
+    import s.implicits._
+    // experiment 0: control 40/10, treatment 40/20 — the hand-computed
+    // textbook case: p̂ = 30/80 = 0.375,
+    //   z = 0.25 / sqrt(0.375·0.625·(1/40 + 1/40)) = 2.309401…,
+    //   Wald CI = 0.25 ± 1.96·sqrt(0.25·0.75/40 + 0.5·0.5/40)
+    //           = [0.045018, 0.454982]  →  significant, CI excludes 0.
+    // experiment 1: both arms fully convert — p̂ = 1 is degenerate, so
+    //   z is NULL and significant must read FALSE (the sf0.01 lesson
+    //   that forced the big-ticket conversion cut).
+    // experiment 2: treatment arm empty — p_t/z/CI all NULL.
+    val rows =
+      (0 until 40).map(i => (0L, 0L, if (i < 10) 1L else 0L)) ++
+        (0 until 40).map(i => (0L, 1L, if (i < 20) 1L else 0L)) ++
+        (0 until 10).map(_ => (1L, 0L, 1L)) ++
+        (0 until 10).map(_ => (1L, 1L, 1L)) ++
+        (0 until 10).map(i => (2L, 0L, if (i < 5) 1L else 0L))
+    val out = graft.queries.TimeSeries
+      .abTestCore(rows.toDF("experiment", "arm", "conv"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e0 = out(0L)
+    assert(e0.getAs[Double]("p_c") === 0.25 && e0.getAs[Double]("p_t") === 0.5)
+    assert(e0.getAs[Double]("lift_abs") === 0.25 &&
+      e0.getAs[Double]("lift_rel") === 1.0)
+    assert(e0.getAs[Double]("z") === 2.309401, s"z: $e0")
+    assert(e0.getAs[Double]("ci_lo") === 0.045018 &&
+      e0.getAs[Double]("ci_hi") === 0.454982, s"ci: $e0")
+    assert(e0.getAs[Boolean]("significant"), s"e0 must be significant: $e0")
+    val e1 = out(1L)
+    assert(e1.isNullAt(e1.fieldIndex("z")), s"degenerate z must be NULL: $e1")
+    assert(!e1.getAs[Boolean]("significant"), s"NULL z must not flag: $e1")
+    val e2 = out(2L)
+    assert(e2.getLong(e2.fieldIndex("n_t")) === 0L)
+    assert(e2.isNullAt(e2.fieldIndex("p_t")) && e2.isNullAt(e2.fieldIndex("z"))
+      && e2.isNullAt(e2.fieldIndex("ci_lo")), s"empty arm must be NULL: $e2")
+  }
+
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
     val s = spark
     import s.implicits._
