@@ -2073,6 +2073,184 @@ object DesignImage extends QueryModule {
        |${louvainCtes(louvainRounds)},
        |${modularityTailSql("lumod")}""".stripMargin
 
+  // ---- q239: multi-level Louvain (the level-2 aggregation pass) -------------
+  // The step that makes Blondel et al. 2008 the NAMED algorithm rather
+  // than one greedy sweep (r18 verdict gap #2): after q225's level-1
+  // sweeps, whole communities aggregate into SUPERNODES and a second
+  // ΔQ pass runs on the coarsened graph — on real connectomes the
+  // second level is where resolution comes from, because level 1 can
+  // never move a whole module (a single node leaving a tight clique
+  // always loses) while level 2 moves it as one unit.
+  //
+  // The level-2 pass is MUTUAL-BEST-PAIR MERGING, not the parity-gated
+  // node-move sweep: a move-based level 2 was built first and MEASURED
+  // WORSE on the resolution-limit witness (ring of 10 triangles,
+  // Fortunato & Barthélemy 2007: optimal merges adjacent triangles) —
+  // synchronous gain-max lets two supernodes join the same middle
+  // community in one round (the parity gate only freezes ADJACENT
+  // movers), over-merging triples and dropping Q 0.65 → 0.61. The
+  // matching form cannot over-merge by construction: each round every
+  // community names its best merge partner by exact-integer gain
+  // 2M·w₁₂ − d₁·d₂ > 0 (ties → partner id ASC), and only MUTUAL pairs
+  // merge (label = LEAST of the two) — a matching is disjoint, each
+  // community's Q terms are touched by at most one merge, so the
+  // frozen-state gains are EXACT and Q strictly increases every
+  // accepted merge (spec-pinned: the ring improves 0.65 → 0.67 and the
+  // triangles stay intact). Supernode strengths s_m = Σ member degrees
+  // keep intra edges (they live in d, not in w); 2M is the ORIGINAL
+  // graph's. Gains ride DECIMAL(38,0)/HUGEINT (the q230 discipline —
+  // community degrees reach 2M, so d₁·d₂ passes int64 where level-1's
+  // k_i ≤ NP bound could not). The output is the SAME per-module
+  // modularity relation as q212/q225 over the final partition, so the
+  // three queries differ in exactly one input: who says the modules.
+  //
+  // Scale shape: level 1 is q225's; the coarse graph is modules²-
+  // bounded (≤ NP²), every level-2 relation is modules-bounded, and
+  // rounds are the fixed louvainRounds (each round halves at best, so
+  // 4 rounds cover a 16× aggregation) — broadcast-class throughout.
+
+  /** Two-level deterministic Louvain over a q168-shaped (p1, p2, …,
+    * edge) relation → (p, m) modules. */
+  private[graft] def louvainTwoLevelModules(pairs0: DataFrame): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val lab1 = louvainModules(pe).localCheckpoint() // (p, m) level 1
+    val ones = pe.filter(col("edge") === 1)
+    val ml = ones
+      .join(broadcast(lab1.selectExpr("p AS p1", "m AS m1")), Seq("p1"))
+      .join(broadcast(lab1.selectExpr("p AS p2", "m AS m2")), Seq("p2"))
+      .localCheckpoint() // edge-bounded; cross edges + strengths + 2M
+    val cross = ml.filter(col("m1") =!= col("m2"))
+    val csym = cross.selectExpr("m1 AS a", "m2 AS b")
+      .unionByName(cross.selectExpr("m2 AS a", "m1 AS b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // modules²-bounded; every round
+    val cnodes = lab1.select("m").distinct().localCheckpoint()
+    val cstr = cnodes.join(
+        ml.selectExpr("m1 AS m").unionByName(ml.selectExpr("m2 AS m"))
+          .groupBy("m").agg(count(lit(1)).as("s")), Seq("m"), "left")
+      .na.fill(0L, Seq("s"))
+      .localCheckpoint() // modules-bounded; every round
+    val m2x = ml.count() * 2 // 2M — one bounded action, a plan literal
+    var lab = cnodes.select(col("m"), col("m").as("c")).localCheckpoint()
+    for (_ <- 0 until louvainRounds) {
+      val cw = csym
+        .join(broadcast(lab.selectExpr("m AS a", "c AS c1")), Seq("a"))
+        .join(broadcast(lab.selectExpr("m AS b", "c AS c2")), Seq("b"))
+        .filter(col("c1") =!= col("c2"))
+        .groupBy("c1", "c2").agg(sum("w").as("w"))
+      val cd = lab.join(broadcast(cstr), Seq("m"))
+        .groupBy("c").agg(sum("s").as("d"))
+        .localCheckpoint() // communities-bounded; both gain sides
+      val gains = cw
+        .join(broadcast(cd.selectExpr("c AS c1", "d AS d1")), Seq("c1"))
+        .join(broadcast(cd.selectExpr("c AS c2", "d AS d2")), Seq("c2"))
+        .selectExpr("c1", "c2",
+          s"CAST($m2x AS DECIMAL(38,0)) * w - CAST(d1 AS DECIMAL(38,0)) * d2 AS g")
+        .filter(col("g") > 0) // strict: Q-neutral merges are not merges
+      val best = gains.groupBy("c1")
+        .agg(min(struct(expr("-g AS ng"), col("c2"))).as("bw"))
+        .selectExpr("c1 AS c", "bw.c2 AS b")
+        .localCheckpoint() // communities-bounded; self-joined for mutuality
+      val mutual = best
+        .join(best.selectExpr("c AS b", "b AS cback"), Seq("b"))
+        .filter(col("cback") === col("c"))
+        .selectExpr("c", "least(c, b) AS nc")
+      lab = lab.join(broadcast(mutual), Seq("c"), "left")
+        .selectExpr("m", "COALESCE(nc, c) AS c")
+        .localCheckpoint() // modules rows; next round reads 3 times
+    }
+    lab1.join(broadcast(lab.selectExpr("m", "CAST(c AS INT) AS c2")), Seq("m"))
+      .selectExpr("p", "c2 AS m")
+  }
+
+  def modularityLouvainMulti(s: SparkSession, d: String): DataFrame = {
+    val pe = connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
+    modularityCore(pe, louvainTwoLevelModules(pe))
+  }
+
+  /** The generated level-2 CTEs: coarsen `lumod` over mones into
+    * csym/cstr, then per round the mutual-best-pair merge (best partner
+    * by gain 2M·w − d₁·d₂ > 0, ties partner-ASC; only mutual pairs
+    * merge, label = LEAST), l2_0 … l2_{rounds}, ending in
+    * `ml2mod(p, m)` — the final node-grain partition. */
+  private def louvainLevel2Ctes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""l2cw$i AS (
+         |  SELECT x.c AS c1, y.c AS c2, CAST(SUM(e.w) AS BIGINT) AS w
+         |  FROM csym e
+         |  JOIN l2_${i - 1} x ON x.m = e.a
+         |  JOIN l2_${i - 1} y ON y.m = e.b
+         |  WHERE x.c <> y.c GROUP BY 1, 2
+         |),
+         |l2cd$i AS (
+         |  SELECT l.c, CAST(SUM(d.s) AS BIGINT) AS d
+         |  FROM l2_${i - 1} l JOIN cstr d ON d.m = l.m GROUP BY 1
+         |),
+         |l2b$i AS MATERIALIZED (
+         |  SELECT c1 AS c, c2 AS b FROM (
+         |    SELECT g.c1, g.c2,
+         |      ROW_NUMBER() OVER (PARTITION BY g.c1 ORDER BY
+         |        CAST(c2m.m2 AS HUGEINT) * g.w - CAST(a.d AS HUGEINT) * b.d DESC,
+         |        g.c2 ASC) AS rn
+         |    FROM l2cw$i g
+         |    JOIN l2cd$i a ON a.c = g.c1
+         |    JOIN l2cd$i b ON b.c = g.c2
+         |    CROSS JOIN c2m
+         |    WHERE CAST(c2m.m2 AS HUGEINT) * g.w - CAST(a.d AS HUGEINT) * b.d > 0
+         |  ) WHERE rn = 1
+         |),
+         |l2mu$i AS (
+         |  SELECT x.c, LEAST(x.c, x.b) AS nc
+         |  FROM l2b$i x JOIN l2b$i y ON y.c = x.b AND y.b = x.c
+         |),
+         |l2_$i AS MATERIALIZED (
+         |  SELECT l.m, COALESCE(mu.nc, l.c) AS c
+         |  FROM l2_${i - 1} l LEFT JOIN l2mu$i mu ON mu.c = l.c
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""cml AS MATERIALIZED (
+       |  SELECT a.m AS m1, b.m AS m2
+       |  FROM mones JOIN lumod a ON a.p = mones.p1 JOIN lumod b ON b.p = mones.p2
+       |),
+       |csym AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT m1 AS a, m2 AS b FROM cml WHERE m1 <> m2
+       |    UNION ALL SELECT m2 AS a, m1 AS b FROM cml WHERE m1 <> m2
+       |  ) GROUP BY 1, 2
+       |),
+       |cnodes AS MATERIALIZED (SELECT DISTINCT m FROM lumod),
+       |cstr AS MATERIALIZED (
+       |  SELECT cnodes.m, CAST(COALESCE(d.s, 0) AS BIGINT) AS s
+       |  FROM cnodes LEFT JOIN (
+       |    SELECT m, count(*) AS s FROM (
+       |      SELECT m1 AS m FROM cml UNION ALL SELECT m2 AS m FROM cml
+       |    ) GROUP BY 1) d ON d.m = cnodes.m
+       |),
+       |c2m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM msym),
+       |l2_0 AS MATERIALIZED (SELECT m, m AS c FROM cnodes),
+       |$roundCtes,
+       |ml2mod AS MATERIALIZED (
+       |  SELECT lumod.p, CAST(l.c AS INTEGER) AS m
+       |  FROM lumod JOIN l2_$rounds l ON l.m = lumod.m
+       |)""".stripMargin
+  }
+
+  private def modularityLouvainMultiSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${louvainCtes(louvainRounds)},
+       |${louvainLevel2Ctes(louvainRounds)},
+       |${modularityTailSql("ml2mod")}""".stripMargin
+
   // ---- q226-q228: WEIGHTED-graph variants -----------------------------------
   // The q212/q213/q214 sweep runs on the binarized r ≥ threshold graph;
   // the cited literature's standard companions keep the weights
@@ -4857,6 +5035,7 @@ object DesignImage extends QueryModule {
     Q("q208_module_lpa", moduleLpa, Some(moduleLpaSql)),
     Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
     Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
+    Q("q239_louvain_multilevel", modularityLouvainMulti, Some(modularityLouvainMultiSql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
     Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),

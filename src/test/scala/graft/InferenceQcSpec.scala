@@ -804,6 +804,43 @@ class InferenceQcSpec extends SparkSpec {
       s"derived rounds must flood the whole chain to one label: $mods")
   }
 
+  test("q239: level 2 merges the triangle ring level 1 cannot (resolution limit)") {
+    val s = spark
+    import s.implicits._
+    // Ring of 10 triangles (Fortunato & Barthélemy 2007's resolution-
+    // limit witness): triangle t = {3t, 3t+1, 3t+2}, bridge 3t+2 →
+    // 3(t+1) mod 30. M = 40. One-triangle-per-module Q = 3/4 − 1/r =
+    // 0.65; merging ADJACENT triangles pays once r > 8 (pairs Q =
+    // 7/8 − 2/r = 0.675) — but a single NODE can never leave a
+    // triangle profitably, so level 1 is structurally stuck at the
+    // triangles and only the level-2 supernode sweep can merge them.
+    val pe = (0 until 10).flatMap { t =>
+      val (a, b, c) = (3 * t, 3 * t + 1, 3 * t + 2)
+      Seq((a, b, 1L), (a, c, 1L), (b, c, 1L),
+        (c, (3 * (t + 1)) % 30, 1L))
+    }.toDF("p1", "p2", "edge")
+    val l1 = graft.queries.DesignImage.louvainModules(pe)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val tri = (0 until 10).map(t => Seq(3 * t, 3 * t + 1, 3 * t + 2))
+    tri.foreach(m => assert(m.map(l1).distinct.size === 1,
+      s"level 1 must keep triangle $m intact: $l1"))
+    assert(l1.values.toSet.size === 10,
+      s"level 1 must stop at one module per triangle: $l1")
+    val l2 = graft.queries.DesignImage.louvainTwoLevelModules(pe)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    tri.foreach(m => assert(m.map(l2).distinct.size === 1,
+      s"level 2 must move whole triangles: $l2"))
+    assert(l2.values.toSet.size < 10,
+      s"level 2 must merge some adjacent triangles: $l2")
+    def q(mods: org.apache.spark.sql.DataFrame): Double =
+      graft.queries.DesignImage.modularityCore(pe, mods)
+        .head().getAs[Double]("q")
+    val q1 = q(graft.queries.DesignImage.louvainModules(pe))
+    val q2 = q(graft.queries.DesignImage.louvainTwoLevelModules(pe))
+    assert(q1 === 0.65, s"one module per triangle: $q1")
+    assert(q2 > q1, s"the aggregation pass must raise Q: $q2 vs $q1")
+  }
+
   test("q225: Louvain splits the path graph LPA floods — Q = 0.3 beats LPA's 0") {
     val s = spark
     import s.implicits._
