@@ -2251,6 +2251,165 @@ object DesignImage extends QueryModule {
        |${louvainLevel2Ctes(louvainRounds)},
        |${modularityTailSql("ml2mod")}""".stripMargin
 
+  // ---- q240: betweenness centrality (sampled-source Brandes) ----------------
+  // The one standard Rubinov–Sporns centrality the repo lacked (r18
+  // verdict gap #3; eigenvector q203, degree q214, strength q228,
+  // k-core q215 exist): fraction-of-shortest-paths-through-v, computed
+  // the Brandes 2001 way — per source a BFS forward sweep accumulating
+  // shortest-path COUNTS σ, then a backward dependency sweep
+  //   δ(v) = Σ_{w: v ∈ pred(w)} (σ_v/σ_w)·(1 + δ(w)),
+  // bc(v) = Σ_{s ≠ v} δ_s(v). Sources are SAMPLED deterministically
+  // (the k lowest parcel ids — Brandes & Pich 2007's fixed-pivot
+  // variant): exact Brandes is all-sources O(N·E), the k-pivot form is
+  // the documented estimator at scale, and a fixed lowest-id set makes
+  // both engines sweep identical pivots with no RNG.
+  //
+  // Determinism: σ is an exact integer (sum of predecessor σ per BFS
+  // layer — the q199 frontier kernel carrying a count). The dependency
+  // ratio σ_v/σ_w is NOT an integer, so δ rides 1e-12 FIXED POINT with
+  // per-term floor division: term = (σ_v·(10¹² + δ_fp(w))) div σ_w —
+  // the product in DECIMAL(38,0)/HUGEINT (σ·δ_fp passes int64), the
+  // floor div exact on non-negative operands in both engines, and the
+  // per-(s,v) SUM of integer terms order-free, so no accumulation
+  // order can flip a digit anywhere. Truncation bias is ≤ 1e-12 per
+  // term, identical in both engines by construction. Star/path/diamond
+  // plants are exact closed forms (σ = 1 ⇒ no truncation; the diamond
+  // pins the σ = 2 half-dependency).
+  //
+  // Scale shape: |sources|·NP-bounded settled/δ relations; forward
+  // rounds = graph diameter (frontier joins, the q199 shape), backward
+  // rounds = max depth; every per-round relation is |sources|·E-sparse.
+  // The oracle unrolls connNP forward and backward steps — rounds past
+  // the last populated depth are no-ops (empty joins / zero
+  // increments), the q208 early-stop ≡ full-unroll argument.
+
+  private val bcSources = 8
+
+  /** Per-parcel sampled-source Brandes betweenness from a q168-shaped
+    * (p1, p2, …, edge) relation → (p, bc). */
+  private[graft] def betweennessCore(pairs0: DataFrame,
+      nSources: Int): DataFrame = {
+    val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
+    val parcels = pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; sources + cap + output grid
+    val ones = pe.filter(col("edge") === 1)
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
+      .localCheckpoint()
+    val sources = parcels.orderBy("p").limit(nSources)
+      .selectExpr("p AS s").localCheckpoint()
+    val cap = math.max(1L, parcels.count())
+    // forward: settled (s, v, d, sigma), frontier = last layer
+    var settled = sources
+      .selectExpr("s", "s AS v", "CAST(0 AS BIGINT) AS d",
+        "CAST(1 AS BIGINT) AS sigma").localCheckpoint()
+    var frontier = settled
+    var depth = 0L
+    while (depth < cap && !frontier.isEmpty) {
+      depth += 1
+      val nxt = frontier.selectExpr("s", "v AS a", "sigma")
+        .join(sym, Seq("a"))
+        .selectExpr("s", "b AS v", "sigma")
+        .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+        .selectExpr("s", "v", s"CAST($depth AS BIGINT) AS d", "sigma")
+        .localCheckpoint() // |sources|·NP-bounded layer
+      frontier = nxt
+      settled = settled.unionByName(nxt).localCheckpoint()
+    }
+    // backward: delta_fp (s, v), accumulated from the deepest layer in
+    var delta = settled.select("s", "v")
+      .withColumn("delta", lit(0L)).localCheckpoint()
+    for (dd <- depth to 1L by -1L) {
+      val contrib = settled.filter(col("d") === dd)
+        .selectExpr("s", "v AS w", "sigma AS sw")
+        .join(delta.selectExpr("s", "v AS w", "delta AS dw"), Seq("s", "w"))
+        .join(sym.selectExpr("a AS v", "b AS w"), Seq("w"))
+        .join(settled.filter(col("d") === dd - 1)
+          .selectExpr("s", "v", "sigma AS sv"), Seq("s", "v"))
+        .selectExpr("s", "v",
+          "(CAST(sv AS DECIMAL(38,0)) * (1000000000000 + dw)) div sw AS t")
+        .groupBy("s", "v").agg(sum("t").as("inc"))
+      delta = delta.join(contrib, Seq("s", "v"), "left")
+        .selectExpr("s", "v", "delta + COALESCE(inc, CAST(0 AS BIGINT)) AS delta")
+        .localCheckpoint()
+    }
+    parcels
+      .join(delta.filter(col("v") =!= col("s"))
+        .groupBy(col("v").as("p")).agg(sum("delta").as("t")), Seq("p"), "left")
+      .na.fill(0L, Seq("t"))
+      .selectExpr("p", "round(CAST(t AS DOUBLE) / 1e12, 6) AS bc")
+      .orderBy("p")
+  }
+
+  def betweenness(s: SparkSession, d: String): DataFrame =
+    betweennessCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge"), bcSources)
+
+  private def betweennessSql: String = {
+    val fwd = (1 to connNP).map { i =>
+      s"""bfr$i AS MATERIALIZED (
+         |  SELECT f.s, e.q AS v, CAST($i AS BIGINT) AS d,
+         |    CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM bfr${i - 1} f
+         |  JOIN msym e ON e.p = f.v
+         |  LEFT JOIN bs${i - 1} seen ON seen.s = f.s AND seen.v = e.q
+         |  WHERE seen.v IS NULL
+         |  GROUP BY 1, 2
+         |),
+         |bs$i AS MATERIALIZED (
+         |  SELECT s, v, d, sigma FROM bs${i - 1}
+         |  UNION ALL SELECT s, v, d, sigma FROM bfr$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (1 to connNP).map { k =>
+      val dd = connNP - k + 1 // depths connNP .. 1
+      s"""bdc$k AS (
+         |  SELECT w.s, pv.v,
+         |    CAST(SUM((CAST(pv.sigma AS HUGEINT) * (1000000000000 + del.delta)) // w.sigma) AS BIGINT) AS inc
+         |  FROM bs$connNP w
+         |  JOIN bdel${k - 1} del ON del.s = w.s AND del.v = w.v
+         |  JOIN msym e ON e.q = w.v
+         |  JOIN bs$connNP pv ON pv.s = w.s AND pv.v = e.p AND pv.d = w.d - 1
+         |  WHERE w.d = $dd
+         |  GROUP BY 1, 2
+         |),
+         |bdel$k AS MATERIALIZED (
+         |  SELECT d.s, d.v, d.delta + COALESCE(c.inc, 0) AS delta
+         |  FROM bdel${k - 1} d LEFT JOIN bdc$k c ON c.s = d.s AND c.v = d.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |bsrc AS MATERIALIZED (
+       |  SELECT p AS s FROM mparcels ORDER BY p LIMIT $bcSources),
+       |bfr0 AS MATERIALIZED (
+       |  SELECT s, s AS v, CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma
+       |  FROM bsrc),
+       |bs0 AS MATERIALIZED (SELECT s, v, d, sigma FROM bfr0),
+       |$fwd,
+       |bdel0 AS MATERIALIZED (
+       |  SELECT s, v, CAST(0 AS BIGINT) AS delta FROM bs$connNP),
+       |$bwd,
+       |bsum AS (
+       |  SELECT v AS p, CAST(SUM(delta) AS BIGINT) AS t
+       |  FROM bdel$connNP WHERE v <> s GROUP BY 1
+       |)
+       |SELECT mparcels.p,
+       |  round(CAST(COALESCE(bsum.t, 0) AS DOUBLE) / 1e12, 6) AS bc
+       |FROM mparcels LEFT JOIN bsum ON bsum.p = mparcels.p
+       |ORDER BY mparcels.p""".stripMargin
+  }
+
   // ---- q226-q228: WEIGHTED-graph variants -----------------------------------
   // The q212/q213/q214 sweep runs on the binarized r ≥ threshold graph;
   // the cited literature's standard companions keep the weights
@@ -5036,6 +5195,7 @@ object DesignImage extends QueryModule {
     Q("q212_modularity_q", modularityQ, Some(modularityQSql)),
     Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
     Q("q239_louvain_multilevel", modularityLouvainMulti, Some(modularityLouvainMultiSql)),
+    Q("q240_betweenness", betweenness, Some(betweennessSql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
     Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),

@@ -804,6 +804,40 @@ class InferenceQcSpec extends SparkSpec {
       s"derived rounds must flood the whole chain to one label: $mods")
   }
 
+  test("q240: Brandes betweenness — star center (n-1)(n-2), path interior, diamond half-paths") {
+    val s = spark
+    import s.implicits._
+    def bc(edges: Seq[(Int, Int)], k: Int): Map[Int, Double] =
+      graft.queries.DesignImage.betweennessCore(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("p1", "p2", "edge"), k)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // star K1,5 (center 0), ALL 6 sources: center carries every
+    // leaf-to-leaf ordered pair = (n-1)(n-2) = 20; leaves carry none.
+    // sigma = 1 on every path, so the fixed-point arithmetic is exact.
+    val star = bc((1 to 5).map(l => (0, l)), 6)
+    assert(star(0) === 20.0, s"star center: $star")
+    (1 to 5).foreach(l => assert(star(l) === 0.0, s"star leaf $l: $star"))
+    // path 0-1-2-3, all sources: interior nodes each sit on 4 ordered
+    // pairs ((0,2),(0,3),(3,1)... counted per direction), ends on none.
+    val path = bc(Seq((0, 1), (1, 2), (2, 3)), 4)
+    assert(path(0) === 0.0 && path(3) === 0.0, s"path ends: $path")
+    assert(path(1) === 4.0 && path(2) === 4.0, s"path interior: $path")
+    // 4-cycle 0-1, 0-2, 1-3, 2-3: every opposite pair (0↔3, 1↔2) has
+    // TWO shortest paths (sigma = 2), so each node carries half a
+    // dependency per direction of the pair it separates = 1.0 — pins
+    // the sigma-ratio fixed-point term exactly (10^12 div 2, no
+    // truncation).
+    val dia = bc(Seq((0, 1), (0, 2), (1, 3), (2, 3)), 4)
+    (0 to 3).foreach(v =>
+      assert(dia(v) === 1.0, s"C4 half-dependencies: $dia"))
+    // sampling gate: with the 2 lowest-id sources only (0 and 1), the
+    // star center carries exactly the dependencies those pivots see —
+    // source 0 contributes none (all targets adjacent), source 1 sends
+    // 4 leaf targets through the center = 4.0.
+    val star2 = bc((1 to 5).map(l => (0, l)), 2)
+    assert(star2(0) === 4.0, s"2-pivot star center: $star2")
+  }
+
   test("q239: level 2 merges the triangle ring level 1 cannot (resolution limit)") {
     val s = spark
     import s.implicits._
