@@ -3875,7 +3875,10 @@ object DesignImage extends QueryModule {
 
   /** Per-consecutive-window Rand index from a (ws, p1, p2, r_fp)
     * windowed-correlation relation. */
-  private[graft] def dfcModuleStabilityCore(wr0: DataFrame): DataFrame = {
+  /** Per-window LPA labels (ws, p, lab) from a (ws, p1, p2, r_fp)
+    * windowed-correlation relation — the keyed detection kernel shared
+    * by q236 (Rand-index stability) and q241 (flexibility). */
+  private[graft] def dfcWindowModules(wr0: DataFrame): DataFrame = {
     val pe = wr0.selectExpr("ws", "p1", "p2",
       "CASE WHEN r_fp IS NOT NULL AND r_fp >= 200000 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS edge")
       .localCheckpoint() // |W|·NP²-bounded; parcels + edges
@@ -3915,6 +3918,11 @@ object DesignImage extends QueryModule {
       converged = next.filter(col("chg")).isEmpty
       lab = next.select("ws", "p", "lab")
     }
+    lab
+  }
+
+  private[graft] def dfcModuleStabilityCore(wr0: DataFrame): DataFrame = {
+    val lab = dfcWindowModules(wr0).localCheckpoint()
     val wsIdx = lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("ws")))
@@ -4009,6 +4017,110 @@ object DesignImage extends QueryModule {
        |JOIN ksame t ON t.ws = kwp.ws_to AND t.i = f.i AND t.j = f.j
        |GROUP BY kwp.ws_from, kwp.ws_to
        |ORDER BY kwp.ws_from""".stripMargin
+
+  // ---- q241: dFC / multilayer flexibility (per-node module switching) -------
+  // Bassett et al. 2011's flexibility, the per-NODE companion of q236's
+  // per-window-pair Rand index (r18 verdict gap #4): the fraction of
+  // consecutive-window transitions in which a node changes module.
+  // Raw keyed-LPA labels are not comparable across windows (label
+  // identity is arbitrary), so each transition first computes the
+  // MAX-OVERLAP CARRY-OVER: every to-window module is matched to the
+  // from-window module it shares the most nodes with, ties broken
+  // (overlap DESC, from-label ASC) — a total integer order, so both
+  // engines match identically. A node "switches" when its from-label
+  // differs from its to-module's carried-over label. The matching is a
+  // per-to-module argmax (two to-modules MAY carry the same from-label
+  // — the simple Hungarian-free form the multilayer literature uses
+  // for module tracking; deterministic either way). One division per
+  // node row. The detection labels are EXACTLY q236's (shared
+  // dfcWindowModules kernel + shared klpmod oracle CTEs), so the two
+  // statistics can never disagree about who was in which module.
+  //
+  // Scale shape: the q236 chain (one data-sized window-moment pass,
+  // keyed LPA rounds) + a |W|·NP-bounded transition join, a
+  // |W|·modules²-bounded overlap aggregate, and an NP-bounded output.
+
+  /** Per-node flexibility from a (ws, p1, p2, r_fp) windowed-
+    * correlation relation → (p, n_trans, n_changes, flexibility). */
+  private[graft] def dfcFlexibilityCore(wr0: DataFrame): DataFrame = {
+    val lab = dfcWindowModules(wr0).localCheckpoint()
+    val wsIdx = lab.select("ws").distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+      .localCheckpoint() // |W| rows; both pair endpoints
+    val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
+      .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))
+      .select("ws_from", "ws_to")
+    val fj = wsPairs
+      .join(lab.selectExpr("ws AS ws_from", "p", "lab AS lf"), Seq("ws_from"))
+      .join(lab.selectExpr("ws AS ws_to", "p", "lab AS lt"),
+        Seq("ws_to", "p"))
+      .localCheckpoint() // |W|·NP rows; overlap + change counts
+    val fmat = fj.groupBy("ws_to", "lt", "lf").agg(count(lit(1)).as("o"))
+      .groupBy("ws_to", "lt")
+      .agg(min(struct(expr("-o AS no"), col("lf"))).as("w"))
+      .selectExpr("ws_to", "lt", "w.lf AS lm")
+    fj.join(broadcast(fmat), Seq("ws_to", "lt"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_trans"),
+        sum(expr("CASE WHEN lm <> lf THEN CAST(1 AS BIGINT) ELSE 0 END"))
+          .as("n_changes"))
+      .selectExpr("p", "n_trans", "n_changes",
+        "round(CAST(n_changes AS DOUBLE) / n_trans, 6) AS flexibility")
+      .orderBy("p")
+  }
+
+  def dfcFlexibility(s: SparkSession, d: String): DataFrame =
+    dfcFlexibilityCore(
+      dfcWindowR(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+        .select(col("t"), col("x"), col("y"), col("z"),
+          expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def dfcFlexibilitySql: String =
+    s"""WITH $dfcVectorCtes,
+       |kpe AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CASE WHEN v >= 200000 THEN 1 ELSE 0 END AS edge
+       |  FROM dwr
+       |),
+       |kparcels AS MATERIALIZED (SELECT DISTINCT ws, p FROM (
+       |  SELECT ws, p1 AS p FROM kpe UNION ALL SELECT ws, p2 AS p FROM kpe)),
+       |kones AS (SELECT ws, p1, p2 FROM kpe WHERE edge = 1),
+       |ksym AS MATERIALIZED (SELECT ws, p, q FROM (
+       |  SELECT ws, p1 AS p, p2 AS q FROM kones
+       |  UNION ALL SELECT ws, p2 AS p, p1 AS q FROM kones)),
+       |${lpaKeyedCtes(connNP)},
+       |kidx AS MATERIALIZED (
+       |  SELECT ws, ROW_NUMBER() OVER (ORDER BY ws) AS idx
+       |  FROM (SELECT DISTINCT ws FROM klpmod)
+       |),
+       |kwp AS (
+       |  SELECT a.ws AS ws_from, b.ws AS ws_to
+       |  FROM kidx a JOIN kidx b ON b.idx = a.idx + 1
+       |),
+       |fj AS MATERIALIZED (
+       |  SELECT kwp.ws_to, f.p, f.lab AS lf, t.lab AS lt
+       |  FROM kwp
+       |  JOIN klpmod f ON f.ws = kwp.ws_from
+       |  JOIN klpmod t ON t.ws = kwp.ws_to AND t.p = f.p
+       |),
+       |fov AS (
+       |  SELECT ws_to, lt, lf, CAST(count(*) AS BIGINT) AS o
+       |  FROM fj GROUP BY 1, 2, 3
+       |),
+       |fmat AS MATERIALIZED (
+       |  SELECT ws_to, lt, lf AS lm FROM (
+       |    SELECT ws_to, lt, lf, ROW_NUMBER() OVER (PARTITION BY ws_to, lt
+       |      ORDER BY o DESC, lf ASC) AS rn
+       |    FROM fov) WHERE rn = 1
+       |)
+       |SELECT fj.p,
+       |  CAST(count(*) AS BIGINT) AS n_trans,
+       |  CAST(SUM(CASE WHEN fmat.lm <> fj.lf THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       |  round(CAST(SUM(CASE WHEN fmat.lm <> fj.lf THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS flexibility
+       |FROM fj JOIN fmat ON fmat.ws_to = fj.ws_to AND fmat.lt = fj.lt
+       |GROUP BY fj.p
+       |ORDER BY fj.p""".stripMargin
 
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
@@ -5196,6 +5308,7 @@ object DesignImage extends QueryModule {
     Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
     Q("q239_louvain_multilevel", modularityLouvainMulti, Some(modularityLouvainMultiSql)),
     Q("q240_betweenness", betweenness, Some(betweennessSql)),
+    Q("q241_dfc_flexibility", dfcFlexibility, Some(dfcFlexibilitySql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
     Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),

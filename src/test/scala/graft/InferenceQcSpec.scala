@@ -804,6 +804,38 @@ class InferenceQcSpec extends SparkSpec {
       s"derived rounds must flood the whole chain to one label: $mods")
   }
 
+  test("q241: flexibility counts exactly the planted movers under max-overlap carry-over") {
+    val s = spark
+    import s.implicits._
+    // 6 nodes, 3 windows. w1, w2: cliques {0,1,2} | {3,4,5} (LPA labels
+    // 0 and 3). w3: cliques {0,1,5} | {2,3,4} (labels 0 and 2).
+    // Transition w1→w2: identical partitions — nobody moves. w2→w3:
+    // to-module {0,1,5} overlaps from-0 by 2, from-3 by 1 → carries 0;
+    // to-module {2,3,4} overlaps from-0 by 1, from-3 by 2 → carries 3.
+    // Movers: node 2 (from 0, lands in the 3-carrying module) and node
+    // 5 (from 3, lands in the 0-carrying module). Flexibility: 2 and 5
+    // read 1/2, everyone else 0 — hand-traced end to end.
+    def cl(ws: Long, m: Seq[Int]): Seq[(Long, Int, Int, Long)] =
+      for { i <- m; j <- m if i < j } yield (ws, i, j, 1000000L)
+    val nodes = 0 to 5
+    def fill(ws: Long, edges: Seq[(Long, Int, Int, Long)]) = {
+      val have = edges.map(e => (e._2, e._3)).toSet
+      edges ++ (for { i <- nodes; j <- nodes if i < j && !have((i, j)) }
+        yield (ws, i, j, 0L))
+    }
+    val wr = (fill(1L, cl(1L, Seq(0, 1, 2)) ++ cl(1L, Seq(3, 4, 5))) ++
+      fill(2L, cl(2L, Seq(0, 1, 2)) ++ cl(2L, Seq(3, 4, 5))) ++
+      fill(3L, cl(3L, Seq(0, 1, 5)) ++ cl(3L, Seq(2, 3, 4))))
+      .toDF("ws", "p1", "p2", "r_fp")
+    val out = graft.queries.DesignImage.dfcFlexibilityCore(wr)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(2) === ((2L, 1L, 0.5)), s"node 2 must read 1/2: $out")
+    assert(out(5) === ((2L, 1L, 0.5)), s"node 5 must read 1/2: $out")
+    Seq(0, 1, 3, 4).foreach(v =>
+      assert(out(v) === ((2L, 0L, 0.0)), s"node $v must be rigid: $out"))
+  }
+
   test("q240: Brandes betweenness — star center (n-1)(n-2), path interior, diamond half-paths") {
     val s = spark
     import s.implicits._
