@@ -1004,6 +1004,122 @@ object TimeSeries extends QueryModule {
        |ORDER BY run, t""".stripMargin
   }
 
+  // ---- q242: KMV-sketched retention cohorts (q219's scale twin) --------------
+  // The q224 treatment applied to the cohort matrix (r18 verdict gap
+  // #5): per (cohort, offset) cell a bottom-k KMV estimate of the
+  // distinct active users BESIDE the exact count (self-auditing, the
+  // q224 panel discipline), plus the cohort-size estimate and the
+  // all-sketch retention rate a sketch-only deployment would serve.
+  // The hash is the SHARED withKmvHash (salted fold + two rho rounds —
+  // one site, so q224/q242 and their streaming twins can never drift),
+  // and the estimator is the shared bottom-k arithmetic. At 100 TB the
+  // exact matrix's (user, day)-distinct exchange survives (q219), but
+  // the per-cell distinct-count state does not need to: cells·k sketch
+  // buffers merge map-side with no user-keyed exchange per cell — the
+  // mergeability q219 lacks, exactly the q224 argument at the
+  // (cohort, offset) grain.
+  //
+  // Scale shape: q219's one (user, day)-distinct exchange + the
+  // users-bounded cohort fold; every sketch aggregate carries a fixed
+  // k-long buffer per cell; the matrix stays days²-bounded.
+
+  def retentionKmv(s: SparkSession, d: String): DataFrame =
+    retentionKmvCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** Sketched cohort matrix from a (user_id, day) activity relation. */
+  private[graft] def retentionKmvCore(userDay: DataFrame): DataFrame = {
+    import graft.functions.KmvDistinct
+    val ud = userDay.select("user_id", "day")
+      .distinct().localCheckpoint() // user·day-bounded; 2 consumers
+    val coh = withKmvHash(ud.groupBy("user_id").agg(min("day").as("c_day")))
+      .localCheckpoint() // |users| rows; activity join + cohort sizes
+    val act = withKmvHash(ud.join(coh.select("user_id", "c_day"), Seq("user_id")))
+      .selectExpr("c_day", "day - c_day AS offset_days", "h")
+      .groupBy("c_day", "offset_days")
+      .agg(count(lit(1)).as("n_active"),
+        KmvDistinct.kmv_distinct(col("h"), kmvK, graft.text.TextOps.P)
+          .as("n_active_est"))
+    val sz = coh.groupBy("c_day")
+      .agg(count(lit(1)).as("cohort_n"),
+        KmvDistinct.kmv_distinct(col("h"), kmvK, graft.text.TextOps.P)
+          .as("cohort_n_est"))
+    act.join(broadcast(sz), Seq("c_day"))
+      .selectExpr("c_day AS cohort_day", "offset_days",
+        "n_active", "n_active_est", "cohort_n", "cohort_n_est",
+        "round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention",
+        "CASE WHEN cohort_n_est > 0 THEN round(CAST(n_active_est AS DOUBLE) / cohort_n_est, 6) END AS retention_est")
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  private val retentionKmvSql = {
+    def cellEst(nm: String) =
+      s"""CAST(CASE WHEN max(nd) < $kmvK THEN max(nd)
+         |  ELSE CAST(${kmvK - 1} AS BIGINT) * 1000000007 // (max(CASE WHEN r = $kmvK THEN h END) + 1)
+         |  END AS BIGINT) AS $nm""".stripMargin
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |uh AS MATERIALIZED (
+       |  SELECT user_id, (h1 * h1 + 7654321) % 1000000007 AS h FROM (
+       |    SELECT user_id, (h0 * h0 + 1234567) % 1000000007 AS h1 FROM (
+       |      SELECT user_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(
+       |          'kmv:' || CAST(user_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR),
+       |          ''), c -> CAST(ord(c) AS BIGINT))),
+       |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h0
+       |      FROM (SELECT DISTINCT user_id FROM ud)))
+       |),
+       |coh AS MATERIALIZED (
+       |  SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY 1
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT coh.c_day, ud.day - coh.c_day AS offset_days, ud.user_id, uh.h
+       |  FROM ud
+       |  JOIN coh ON coh.user_id = ud.user_id
+       |  JOIN uh ON uh.user_id = ud.user_id
+       |),
+       |cex AS (
+       |  SELECT c_day, offset_days, CAST(count(*) AS BIGINT) AS n_active
+       |  FROM cells GROUP BY 1, 2
+       |),
+       |cest AS (
+       |  SELECT c_day, offset_days, ${cellEst("n_active_est")}
+       |  FROM (
+       |    SELECT c_day, offset_days, h,
+       |      ROW_NUMBER() OVER (PARTITION BY c_day, offset_days ORDER BY h) AS r,
+       |      count(*) OVER (PARTITION BY c_day, offset_days) AS nd
+       |    FROM (SELECT DISTINCT c_day, offset_days, h FROM cells)
+       |  ) GROUP BY 1, 2
+       |),
+       |szex AS (
+       |  SELECT c_day, CAST(count(*) AS BIGINT) AS cohort_n FROM coh GROUP BY 1
+       |),
+       |szest AS (
+       |  SELECT c_day, ${cellEst("cohort_n_est")}
+       |  FROM (
+       |    SELECT c_day, h,
+       |      ROW_NUMBER() OVER (PARTITION BY c_day ORDER BY h) AS r,
+       |      count(*) OVER (PARTITION BY c_day) AS nd
+       |    FROM (SELECT DISTINCT coh.c_day, uh.h
+       |          FROM coh JOIN uh ON uh.user_id = coh.user_id)
+       |  ) GROUP BY 1
+       |),
+       |sz AS (
+       |  SELECT szex.c_day, szex.cohort_n, szest.cohort_n_est
+       |  FROM szex JOIN szest ON szest.c_day = szex.c_day
+       |)
+       |SELECT cex.c_day AS cohort_day, cex.offset_days AS offset_days,
+       |  cex.n_active, cest.n_active_est, sz.cohort_n, sz.cohort_n_est,
+       |  round(CAST(cex.n_active AS DOUBLE) / sz.cohort_n, 6) AS retention,
+       |  CASE WHEN sz.cohort_n_est > 0
+       |    THEN round(CAST(cest.n_active_est AS DOUBLE) / sz.cohort_n_est, 6) END AS retention_est
+       |FROM cex
+       |JOIN cest ON cest.c_day = cex.c_day AND cest.offset_days = cex.offset_days
+       |JOIN sz ON sz.c_day = cex.c_day
+       |ORDER BY cohort_day, offset_days""".stripMargin
+  }
+
   // ---- q238: A/B experiment analysis (two-proportion z / lift + CI) ---------
   // The controlled-comparison primitive the event panel lacked (the r18
   // verdict's #1 extension gap — the most common product-analytics ask
@@ -1130,6 +1246,7 @@ object TimeSeries extends QueryModule {
     Q("q235_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     Q("q237_funnel_ttc", funnelTtc, Some(funnelTtcSql)),
     Q("q238_ab_test", abTest, Some(abTestSql)),
+    Q("q242_retention_kmv", retentionKmv, Some(retentionKmvSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -1186,6 +1186,109 @@ object StreamOps {
     ()
   }
 
+  /** STREAMING sketched retention — q242's foreachBatch twin, the
+    * cohort-matrix member of the sketch-store family (q224's twin is
+    * the panel member). Standing state, BOTH pieces replay-safe by
+    * ALGEBRA (idempotent commutative merges, no fingerprints or
+    * anti-join guards):
+    *
+    *  - `name_rcoh` (user_id, c_day): the cohort map, merged by MIN —
+    *    redelivering any batch re-applies least() over the same days, a
+    *    no-op. Users-bounded (the irreducible state: cohort assignment
+    *    cannot be sketched).
+    *  - `name_rcells` (c_day, offset_days, hs): per-cell bottom-k KMV
+    *    sketches, merged by k-truncated sorted set-union — bottom-k of
+    *    a union is the union of bottom-ks, so redelivery is a no-op
+    *    and the result is partition/order-free. cells·k-bounded.
+    *
+    * Each batch: distinct (user, day) + the SHARED withKmvHash; MIN-
+    * merge the cohort map; fold the batch's cell contributions (offsets
+    * against the UPDATED map) into the cell sketches; recompute the
+    * estimate panel (n_active_est, cohort_n_est, retention_est — the
+    * q242 est columns) and OVERWRITE outPath (snapshot discipline).
+    *
+    * Documented drift window: a user's FIRST day arriving in a LATER
+    * batch than another of their days updates the map (subsequent cells
+    * correct) but cannot retract the hash already merged under the old
+    * cohort — sketches are insert-only. Equality with the batch q242 is
+    * therefore pinned for in-order delivery (each user's first day
+    * arrives no later than their other days); the exact twin
+    * (retentionBatch) recomputes from the grain table and has no such
+    * window — the standard exact-vs-sketch trade, stated. */
+  def streamingRetentionKmv(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      retentionKmvBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingRetentionKmv]] — public for the
+    * spec. */
+  def retentionKmvBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val k = graft.queries.TimeSeries.kmvK
+    if (!batch.isEmpty) {
+      val bd = graft.queries.TimeSeries.withKmvHash(
+        graft.util.Tables.normalizeTsNanos(batch)
+          .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
+          .distinct())
+        .localCheckpoint() // batch user-days + h; map + cell consumers
+      val ctbl = s"${name}_rcoh"
+      val bmin = bd.groupBy("user_id").agg(min("day").as("c_day"))
+      if (!s.catalog.tableExists(ctbl)) {
+        bmin.write.mode("overwrite").format("parquet")
+          .option("path", s"$location/rcoh").saveAsTable(ctbl)
+      } else {
+        s.catalog.refreshTable(ctbl)
+        val merged = s.table(ctbl).selectExpr("user_id", "c_day AS c_old")
+          .join(bmin.selectExpr("user_id", "c_day AS c_new"),
+            Seq("user_id"), "full")
+          .selectExpr("user_id",
+            "least(coalesce(c_old, c_new), coalesce(c_new, c_old)) AS c_day")
+          .localCheckpoint() // the swap drops the table it derives from
+        graft.util.BucketedStores.swapContents(s, ctbl, merged)
+        s.catalog.refreshTable(ctbl)
+      }
+      val coh = s.table(ctbl).localCheckpoint()
+      val bcells = bd.join(coh, Seq("user_id"))
+        .selectExpr("c_day", "day - c_day AS offset_days", "h")
+        .groupBy("c_day", "offset_days").agg(collect_set("h").as("hs0"))
+        .selectExpr("c_day", "offset_days",
+          s"slice(array_sort(hs0), 1, $k) AS hs")
+      val rtbl = s"${name}_rcells"
+      if (!s.catalog.tableExists(rtbl)) {
+        bcells.write.mode("overwrite").format("parquet")
+          .option("path", s"$location/rcells").saveAsTable(rtbl)
+      } else {
+        s.catalog.refreshTable(rtbl)
+        val merged = s.table(rtbl)
+          .selectExpr("c_day", "offset_days", "hs AS hs_old")
+          .join(bcells.selectExpr("c_day", "offset_days", "hs AS hs_new"),
+            Seq("c_day", "offset_days"), "full")
+          .selectExpr("c_day", "offset_days",
+            s"""slice(array_sort(array_distinct(concat(
+               |  coalesce(hs_old, array()), coalesce(hs_new, array())))),
+               |  1, $k) AS hs""".stripMargin)
+          .localCheckpoint()
+        graft.util.BucketedStores.swapContents(s, rtbl, merged)
+        s.catalog.refreshTable(rtbl)
+      }
+      val sz = graft.queries.TimeSeries.withKmvHash(coh)
+        .groupBy("c_day")
+        .agg(graft.functions.KmvDistinct.kmv_distinct(
+          col("h"), k, graft.text.TextOps.P).as("cohort_n_est"))
+      s.table(rtbl)
+        .selectExpr("c_day", "offset_days",
+          s"${graft.queries.TimeSeries.kmvEstStr("hs")} AS n_active_est")
+        .join(broadcast(sz), Seq("c_day"))
+        .selectExpr("c_day AS cohort_day", "offset_days",
+          "n_active_est", "cohort_n_est",
+          "CASE WHEN cohort_n_est > 0 THEN round(CAST(n_active_est AS DOUBLE) / cohort_n_est, 6) END AS retention_est")
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
   /** STREAMING funnel — q220's foreachBatch twin: the standing grain is
     * the EVENT itself ((event_id, user_id, event_type, us) — the funnel
     * needs full event timestamps, not a per-user min: stage n's

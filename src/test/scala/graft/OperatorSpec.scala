@@ -285,6 +285,47 @@ class OperatorSpec extends SparkSpec {
     assert(d0.getLong(1) != 80L, s"day 0 must be in the estimate regime: $d0")
   }
 
+  test("q242 streaming twin: cell-sketch merges estimate bit-identically; replay is algebraic no-op") {
+    val s = spark
+    import s.implicits._
+    Seq("graft_test_rkmv_rcoh", "graft_test_rkmv_rcells")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_rkmv"))
+    val day = 86400000000000L // ns
+    // day-0 cohort of 80 users (> k = 64, so the estimate regime is
+    // live); 40 of them return on day 1 alongside 40 NEW day-1-cohort
+    // users. In-order delivery: every user's first day arrives first.
+    val batches: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 80L).map(u => (u, 0L)),
+      (41L to 120L).map(u => (u, day)),
+    )
+    val out = java.nio.file.Files.createTempDirectory("graft-rkmv").toString + "/v"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamOps.streamingRetentionKmv(
+      ms.toDF().toDF("user_id", "ts"), "graft_test_rkmv",
+      "/tmp/graft_test_rkmv", out).start()
+    try {
+      batches.foreach { rows => ms.addData(rows); q.processAllAvailable() }
+      ms.addData(batches.head); q.processAllAvailable() // replay: MIN/union no-ops
+    } finally q.stop()
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.retentionKmvCore(
+      batches.flatten.toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .selectExpr("cohort_day", "offset_days", "n_active_est",
+        "cohort_n_est", "retention_est")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"sketch-state panel must be bit-identical to the batch q242: $got vs $ref")
+    // the estimate regime must actually be live in the pin
+    val c0 = s.read.parquet(out)
+      .filter(col("cohort_day") === 0L && col("offset_days") === 0L).head()
+    assert(c0.getLong(2) != 80L, s"day-0 cell must be estimating: $c0")
+  }
+
   test("q220 streaming twin: a conversion spanning micro-batches lands; redelivery converges") {
     val s = spark
     import s.implicits._
