@@ -3366,11 +3366,13 @@ object DesignImage extends QueryModule {
   // H-index fixed point of Lü et al. 2016 (Nat Commun 7:10168): c⁰(v) =
   // degree(v), c^{t+1}(v) = H{c^t(u) : u ~ v} — the largest h with at
   // least h neighbors valued ≥ h — which decreases monotonically to
-  // coreness. Rounds are FIXED at connNP (the node-count ceiling, q196's
-  // rounds-from-input discipline); the sequence is non-increasing and
-  // extra rounds past the fixed point are idempotent, and the spec pins
-  // rounds ≡ 2×rounds on the planted onion, a diameter-11 path (the
-  // slowest eroder at this node count), and a two-clique graph. The
+  // coreness. The loop STOPS at the first unchanged round (the
+  // sequence is non-increasing, so that is a fixed point and every
+  // later round is idempotent — the q208 early-stop argument) with the
+  // connNP node-count ceiling as the cap and the oracle's plain unroll
+  // count; the spec pins rounds ≡ 2×rounds on the planted onion, a
+  // diameter-11 path (the slowest eroder at this node count), and a
+  // two-clique graph. The
   // H-index reads max(rn | value-desc row_number ≤ value) — ties among
   // equal values cannot move the max, so both engines agree exactly.
   // Runs over the POSITIVE r ≥ 0.2 graph (the q208/q212 convention —
@@ -3399,14 +3401,28 @@ object DesignImage extends QueryModule {
       .orderBy(col("c").desc, col("q").asc)
     var c = parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
       .selectExpr("p", "deg AS c").localCheckpoint()
-    for (_ <- 0 until rounds) {
-      val h = sym.join(c.selectExpr("p AS q", "c"), Seq("q"))
+    // The H-index iteration is a deterministic map and monotone
+    // non-increasing, so the first unchanged round is a FIXED POINT and
+    // every later round reproduces it — the loop stops there (the q208
+    // early-stop), while the oracle's plain `rounds` unroll (and the
+    // spec's 2× re-run) still agree exactly. The NP-row coreness
+    // relation broadcasts into the per-round join (checkpointed = no
+    // stats = Catalyst would sort-merge).
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
+      round += 1
+      val h = sym.join(broadcast(c.selectExpr("p AS q", "c")), Seq("q"))
         .withColumn("rn", row_number().over(w))
         .filter(col("c") >= col("rn"))
         .groupBy("p").agg(max("rn").cast("long").as("h"))
-      c = parcels.join(h, Seq("p"), "left").na.fill(0L, Seq("h"))
-        .selectExpr("p", "h AS c")
-        .localCheckpoint() // NP rows; next round reads twice
+      val next = parcels.join(broadcast(h), Seq("p"), "left")
+        .na.fill(0L, Seq("h"))
+        .join(broadcast(c.selectExpr("p", "c AS pc")), Seq("p"))
+        .select(col("p"), col("h").as("c"), (col("h") =!= col("pc")).as("chg"))
+        .localCheckpoint() // NP rows; next round reads twice + diff probe
+      converged = next.filter(col("chg")).isEmpty
+      c = next.select("p", "c")
     }
     parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
       .join(c, Seq("p"))
