@@ -1229,7 +1229,7 @@ object DesignImage extends QueryModule {
       val sq = reach.selectExpr("k", "a", "b AS c")
         .join(reach.selectExpr("k", "a AS c", "b"), Seq("k", "c"))
         .select("k", "a", "b")
-      reach = reach.unionByName(sq).distinct().localCheckpoint()
+      reach = reach.unionByName(sq).distinct().transform(graft.util.Loops.fresh)
     }
     reach.groupBy(col("k"), col("a").as("p")).agg(min("b").as("comp"))
   }
@@ -1508,7 +1508,7 @@ object DesignImage extends QueryModule {
         .groupBy(col("a").as("p")).agg(sum("x").as("nx"))
       x = x.join(nx, Seq("p"), "left").na.fill(0L, Seq("nx"))
         .selectExpr("p", "x + nx AS x")
-        .localCheckpoint() // NP-bounded; read twice next step
+        .transform(graft.util.Loops.fresh) // NP-bounded; read twice next step
     }
     x.crossJoin(broadcast(x.agg(max("x").as("mx"))))
       .selectExpr("p", "x AS ec_raw",
@@ -1726,7 +1726,7 @@ object DesignImage extends QueryModule {
         .select(col("p"), col("w.lab").as("lab"))
         .join(broadcast(lab.selectExpr("p", "lab AS plab")), Seq("p"))
         .select(col("p"), col("lab"), (col("lab") =!= col("plab")).as("chg"))
-        .localCheckpoint() // NP rows; next round reads twice + diff probe
+        .transform(graft.util.Loops.fresh) // NP rows; next round + diff probe
       // fixed-point probe (bounded driver probe, the q142/q199 loop shape)
       converged = next.filter(col("chg")).isEmpty
       lab = next.select("p", "lab")
@@ -2001,7 +2001,7 @@ object DesignImage extends QueryModule {
         .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
         .selectExpr("p",
           s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
-        .localCheckpoint() // NP rows; next round reads 3 times
+        .transform(graft.util.Loops.fresh) // NP rows; next round reads 3 times
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
   }
@@ -2140,7 +2140,7 @@ object DesignImage extends QueryModule {
         .groupBy("c1", "c2").agg(sum("w").as("w"))
       val cd = lab.join(broadcast(cstr), Seq("m"))
         .groupBy("c").agg(sum("s").as("d"))
-        .localCheckpoint() // communities-bounded; both gain sides
+        .transform(graft.util.Loops.fresh) // communities-bounded; both gain sides
       val gains = cw
         .join(broadcast(cd.selectExpr("c AS c1", "d AS d1")), Seq("c1"))
         .join(broadcast(cd.selectExpr("c AS c2", "d AS d2")), Seq("c2"))
@@ -2150,14 +2150,14 @@ object DesignImage extends QueryModule {
       val best = gains.groupBy("c1")
         .agg(min(struct(expr("-g AS ng"), col("c2"))).as("bw"))
         .selectExpr("c1 AS c", "bw.c2 AS b")
-        .localCheckpoint() // communities-bounded; self-joined for mutuality
+        .transform(graft.util.Loops.fresh) // communities-bounded; self-joined for mutuality
       val mutual = best
         .join(best.selectExpr("c AS b", "b AS cback"), Seq("b"))
         .filter(col("cback") === col("c"))
         .selectExpr("c", "least(c, b) AS nc")
       lab = lab.join(broadcast(mutual), Seq("c"), "left")
         .selectExpr("m", "COALESCE(nc, c) AS c")
-        .localCheckpoint() // modules rows; next round reads 3 times
+        .transform(graft.util.Loops.fresh) // modules rows; next round reads 3x
     }
     lab1.join(broadcast(lab.selectExpr("m", "CAST(c AS INT) AS c2")), Seq("m"))
       .selectExpr("p", "c2 AS m")
@@ -2314,9 +2314,9 @@ object DesignImage extends QueryModule {
         .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
         .selectExpr("s", "v", s"CAST($depth AS BIGINT) AS d", "sigma")
-        .localCheckpoint() // |sources|·NP-bounded layer
+        .transform(graft.util.Loops.fresh) // |sources|·NP-bounded layer
       frontier = nxt
-      settled = settled.unionByName(nxt).localCheckpoint()
+      settled = settled.unionByName(nxt).transform(graft.util.Loops.fresh)
     }
     // backward: delta_fp (s, v), accumulated from the deepest layer in
     var delta = settled.select("s", "v")
@@ -2333,7 +2333,7 @@ object DesignImage extends QueryModule {
         .groupBy("s", "v").agg(sum("t").as("inc"))
       delta = delta.join(contrib, Seq("s", "v"), "left")
         .selectExpr("s", "v", "delta + COALESCE(inc, CAST(0 AS BIGINT)) AS delta")
-        .localCheckpoint()
+        .transform(graft.util.Loops.fresh)
     }
     parcels
       .join(delta.filter(col("v") =!= col("s"))
@@ -2576,7 +2576,7 @@ object DesignImage extends QueryModule {
         .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
         .selectExpr("p",
           s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
-        .localCheckpoint()
+        .transform(graft.util.Loops.fresh)
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
   }
@@ -2881,7 +2881,7 @@ object DesignImage extends QueryModule {
       dist = dist.unionByName(through)
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b").agg(min("d").as("d"))
-        .localCheckpoint()
+        .transform(graft.util.Loops.fresh)
     }
     // Reciprocal terms are ≤ 10¹² each (d ≥ 10⁶ for any 1-hop path);
     // at atlas NP² pairs the SUM sits exactly at the int64 edge, so the
@@ -3269,7 +3269,7 @@ object DesignImage extends QueryModule {
       dist = dist.unionByName(through)
         .filter(col("a") =!= col("b"))
         .groupBy("strategy", "k", "a", "b").agg(min("d").as("d"))
-        .localCheckpoint()
+        .transform(graft.util.Loops.fresh)
     }
     val st = dist.groupBy("strategy", "k").agg(sum("d").as("sd"),
       count(lit(1)).as("n_fin"),
@@ -3420,7 +3420,7 @@ object DesignImage extends QueryModule {
         .na.fill(0L, Seq("h"))
         .join(broadcast(c.selectExpr("p", "c AS pc")), Seq("p"))
         .select(col("p"), col("h").as("c"), (col("h") =!= col("pc")).as("chg"))
-        .localCheckpoint() // NP rows; next round reads twice + diff probe
+        .transform(graft.util.Loops.fresh) // NP rows; next round + diff probe
       converged = next.filter(col("chg")).isEmpty
       c = next.select("p", "c")
     }
@@ -3930,7 +3930,7 @@ object DesignImage extends QueryModule {
           Seq("ws", "p"))
         .select(col("ws"), col("p"), col("lab"),
           (col("lab") =!= col("plab")).as("chg"))
-        .localCheckpoint() // |W|·NP rows; next round + diff probe
+        .transform(graft.util.Loops.fresh) // |W|·NP rows; next round + diff probe
       converged = next.filter(col("chg")).isEmpty
       lab = next.select("ws", "p", "lab")
     }

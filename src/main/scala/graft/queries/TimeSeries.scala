@@ -1120,6 +1120,172 @@ object TimeSeries extends QueryModule {
        |ORDER BY cohort_day, offset_days""".stripMargin
   }
 
+  // ---- q243: churn survival curve (Nelson–Aalen with right censoring) -------
+  // The time-to-churn analysis beside retention (q219 asks "who came
+  // back on day k"; survival asks "how long do users LIVE"): per user a
+  // lifetime = last_day − first_day, an EVENT (churned) when the user
+  // has been silent for ≥ churnDays before the observed calendar end,
+  // and RIGHT-CENSORING otherwise (still alive at the end of the data —
+  // dropping them would bias lifetimes down, the textbook mistake).
+  // The curve is the NELSON–AALEN cumulative hazard
+  //   H(t) = Σ_{t_i ≤ t} d_i / n_i
+  // (d_i churn events at lifetime t_i, n_i at risk = users with
+  // lifetime ≥ t_i), the SUM-form estimator: Kaplan–Meier's running
+  // PRODUCT has no order-free exact representation (a fixed-point
+  // product is a sequential recurrence, and exp(Σln) is not correctly
+  // rounded), while NA's per-step hazard quantizes to round(1e12·d/n)
+  // — one correctly-rounded division per lifetime — and the cumulative
+  // sum of those integers is order-free and exact in both engines (the
+  // q175 quantize-then-sum discipline). Same censoring semantics as KM.
+  //
+  // Scale shape: ONE data-sized exchange (the per-user first/last
+  // fold); everything after is lifetimes-bounded (≤ observed days).
+  // The at-risk counts come from a descending cumulative sum over the
+  // lifetime relation — a days-bounded window, not a user-grain one.
+
+  private val churnDays = 14L
+
+  def churnSurvival(s: SparkSession, d: String): DataFrame =
+    churnSurvivalCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** Nelson–Aalen churn table from a (user_id, day) activity relation:
+    * (t, n_risk, d_churn, c_censored, hazard, cum_hazard). */
+  private[graft] def churnSurvivalCore(userDay: DataFrame): DataFrame = {
+    val ud = userDay.select("user_id", "day").distinct()
+    val users = ud.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .crossJoin(broadcast(ud.agg(max("day").as("dend"))))
+      .selectExpr("d1 - d0 AS t",
+        s"CASE WHEN dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev")
+    val lt = users.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum("ev").as("d_churn"))
+      .localCheckpoint() // lifetimes-bounded; risk window + output
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lt
+      .withColumn("n_risk", sum("n_t").over(w))
+      .selectExpr("t", "n_risk", "d_churn", "n_t - d_churn AS c_censored",
+        "CAST(round(1e12 * d_churn / n_risk, 0) AS BIGINT) AS hz_fp")
+      .withColumn("cum_fp", sum("hz_fp").over(wc))
+      .selectExpr("t", "n_risk", "d_churn", "c_censored",
+        "round(CAST(hz_fp AS DOUBLE) / 1e12, 6) AS hazard",
+        "round(CAST(cum_fp AS DOUBLE) / 1e12, 6) AS cum_hazard")
+      .orderBy("t")
+  }
+
+  private val churnSurvivalSql =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |dend AS (SELECT MAX(day) AS dend FROM ud),
+       |usr AS MATERIALIZED (
+       |  SELECT d1 - d0 AS t,
+       |    CASE WHEN dend.dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev
+       |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ud GROUP BY 1)
+       |  CROSS JOIN dend
+       |),
+       |lt AS MATERIALIZED (
+       |  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+       |    CAST(SUM(ev) AS BIGINT) AS d_churn
+       |  FROM usr GROUP BY 1
+       |),
+       |rk AS (
+       |  SELECT t, n_t, d_churn,
+       |    CAST(SUM(n_t) OVER (ORDER BY t DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+       |  FROM lt
+       |),
+       |hz AS (
+       |  SELECT t, n_risk, d_churn, n_t - d_churn AS c_censored,
+       |    CAST(round(1e12 * d_churn / n_risk, 0) AS BIGINT) AS hz_fp
+       |  FROM rk
+       |)
+       |SELECT t, n_risk, d_churn, c_censored,
+       |  round(CAST(hz_fp AS DOUBLE) / 1e12, 6) AS hazard,
+       |  round(CAST(SUM(hz_fp) OVER (ORDER BY t ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e12, 6) AS cum_hazard
+       |FROM hz
+       |ORDER BY t""".stripMargin
+
+  // ---- q244: user-journey transition matrix (first-order Markov) ------------
+  // The flow analysis behind every journey/Sankey view: per ordered
+  // pair of event types, how often does one IMMEDIATELY follow the
+  // other within a user's session (the q52 sessionization gap: a > 30
+  // min silence breaks the chain — cross-session transitions are not
+  // journeys), plus the row-normalized transition probability. Event
+  // order within a user is the exact (us, event_id) total order (the
+  // q17 as-of discipline: timestamps tie, ids never do). Counts exact;
+  // ONE division per cell; the |types|² grid is emitted dense with
+  // explicit zeros so the matrix shape is stable across SFs.
+  //
+  // Scale shape: ONE data-sized exchange (the per-user sort for lead()
+  // — the window partitions by user_id, no global window); the grid is
+  // |types|²-bounded. At 10⁸ users the per-user window is the same
+  // co-partitioned shape as q52's sessionizer.
+
+  private val journeyGapUs = 1800000000L // 30 min, the q52 session gap
+
+  def journeyTransitions(s: SparkSession, d: String): DataFrame =
+    journeyTransitionsCore(events(s, d)
+      .selectExpr("user_id", "event_type", "event_id",
+        "CAST(ts div 1000 AS BIGINT) AS us"))
+
+  /** Transition grid from (user_id, event_type, event_id, us). */
+  private[graft] def journeyTransitionsCore(ev0: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val steps = ev0.select("user_id", "event_type", "event_id", "us")
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("to_us", lead("us", 1).over(w))
+      .filter(col("to_type").isNotNull &&
+        col("to_us") - col("us") <= journeyGapUs)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |types|²-bounded; grid fill + row totals
+    val types = steps.selectExpr("from_type AS t")
+      .unionByName(steps.selectExpr("to_type AS t")).distinct()
+      .localCheckpoint()
+    val grid = types.selectExpr("t AS from_type")
+      .crossJoin(types.selectExpr("t AS to_type"))
+    val tot = steps.groupBy("from_type").agg(sum("n").as("n_out"))
+    grid
+      .join(steps, Seq("from_type", "to_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .join(broadcast(tot), Seq("from_type"), "left")
+      .selectExpr("from_type", "to_type", "n",
+        "CASE WHEN n_out > 0 THEN round(CAST(n AS DOUBLE) / n_out, 6) END AS p")
+      .orderBy("from_type", "to_type")
+  }
+
+  private val journeyTransitionsSql =
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT user_id, event_type, epoch_us(ts) AS us,
+       |      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type,
+       |      LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_us
+       |    FROM events
+       |  )
+       |  WHERE to_type IS NOT NULL AND to_us - us <= $journeyGapUs
+       |  GROUP BY 1, 2
+       |),
+       |ty AS MATERIALIZED (SELECT DISTINCT t FROM (
+       |  SELECT from_type AS t FROM st UNION ALL SELECT to_type AS t FROM st)),
+       |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out FROM st GROUP BY 1)
+       |SELECT a.t AS from_type, b.t AS to_type, COALESCE(st.n, 0) AS n,
+       |  CASE WHEN tot.n_out > 0
+       |    THEN round(CAST(COALESCE(st.n, 0) AS DOUBLE) / tot.n_out, 6) END AS p
+       |FROM ty a
+       |CROSS JOIN ty b
+       |LEFT JOIN st ON st.from_type = a.t AND st.to_type = b.t
+       |LEFT JOIN tot ON tot.from_type = a.t
+       |ORDER BY from_type, to_type""".stripMargin
+
   // ---- q238: A/B experiment analysis (two-proportion z / lift + CI) ---------
   // The controlled-comparison primitive the event panel lacked (the r18
   // verdict's #1 extension gap — the most common product-analytics ask
@@ -1247,6 +1413,8 @@ object TimeSeries extends QueryModule {
     Q("q237_funnel_ttc", funnelTtc, Some(funnelTtcSql)),
     Q("q238_ab_test", abTest, Some(abTestSql)),
     Q("q242_retention_kmv", retentionKmv, Some(retentionKmvSql)),
+    Q("q243_churn_survival", churnSurvival, Some(churnSurvivalSql)),
+    Q("q244_journey_transitions", journeyTransitions, Some(journeyTransitionsSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -499,6 +499,53 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) === ((1L, Some(5.0), Some(5.0))), s"${out(3L)}")
   }
 
+  test("q243: Nelson-Aalen hazard hand-checks on a planted calendar; survivors are censored") {
+    val s = spark
+    import s.implicits._
+    // dend = 100 (u5). Lifetimes: t=0 {u1 churned, u5 censored},
+    // t=5 {u2, u3 churned; u4 last seen day 95 — silent only 5 < 14
+    // days, CENSORED}. At risk: 5 at t=0, 3 at t=5. Hazards 1/5 and
+    // 2/3; cumulative 0.2 and 0.2 + 2/3 = 0.866667 (1e-12 quantized
+    // terms, so the sum cannot drift).
+    val ud = Seq(
+      (1L, 0L),
+      (2L, 0L), (2L, 5L),
+      (3L, 0L), (3L, 5L),
+      (4L, 90L), (4L, 95L),
+      (5L, 100L),
+    ).toDF("user_id", "day")
+    val out = graft.queries.TimeSeries.churnSurvivalCore(ud)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((5L, 1L, 1L, 0.2, 0.2)), s"t=0: $out")
+    assert(out(5L) === ((3L, 2L, 1L, 0.666667, 0.866667)), s"t=5: $out")
+    assert(out.size === 2)
+  }
+
+  test("q244: journey grid counts in-session successors only; id order breaks ts ties") {
+    val s = spark
+    import s.implicits._
+    val gap = 1800000000L
+    // u1: A→B→A in-session, then a C beyond the 30-min gap (excluded —
+    // and C never enters the grid's type set). u2: A→B. u3: A and B at
+    // the SAME microsecond — the (us, event_id) order makes it A→B.
+    val ev = Seq(
+      (1L, "A", 10L, 0L), (1L, "B", 11L, 10L), (1L, "A", 12L, 20L),
+      (1L, "C", 13L, 20L + gap + 1L),
+      (2L, "A", 20L, 0L), (2L, "B", 21L, 5L),
+      (3L, "A", 31L, 0L), (3L, "B", 32L, 0L),
+    ).toDF("user_id", "event_type", "event_id", "us")
+    val out = graft.queries.TimeSeries.journeyTransitionsCore(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("A", "B")) === ((3L, Some(1.0))), s"A->B: $out")
+    assert(out(("B", "A")) === ((1L, Some(1.0))), s"B->A: $out")
+    assert(out(("A", "A")) === ((0L, Some(0.0))), s"A->A: $out")
+    assert(out(("B", "B")) === ((0L, Some(0.0))), s"B->B: $out")
+    assert(out.size === 4, s"C must stay out of the grid: $out")
+  }
+
   test("q238: a planted 2x2 hits the textbook pooled z and Wald CI; degenerate tables are NULL-z") {
     val s = spark
     import s.implicits._
