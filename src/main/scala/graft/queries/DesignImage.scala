@@ -2132,7 +2132,14 @@ object DesignImage extends QueryModule {
       .localCheckpoint() // modules-bounded; every round
     val m2x = ml.count() * 2 // 2M — one bounded action, a plan literal
     var lab = cnodes.select(col("m"), col("m").as("c")).localCheckpoint()
-    for (_ <- 0 until louvainRounds) {
+    var merged = true
+    var round = 0
+    // a round with NO mutual merge leaves the state unchanged, and the
+    // sweep is a deterministic map of the state — so every later round
+    // is a no-op (the q208 fixed-point argument) and the loop stops;
+    // the oracle's plain unroll reproduces the same labels.
+    while (round < louvainRounds && merged) {
+      round += 1
       val cw = csym
         .join(broadcast(lab.selectExpr("m AS a", "c AS c1")), Seq("a"))
         .join(broadcast(lab.selectExpr("m AS b", "c AS c2")), Seq("b"))
@@ -2155,9 +2162,13 @@ object DesignImage extends QueryModule {
         .join(best.selectExpr("c AS b", "b AS cback"), Seq("b"))
         .filter(col("cback") === col("c"))
         .selectExpr("c", "least(c, b) AS nc")
-      lab = lab.join(broadcast(mutual), Seq("c"), "left")
-        .selectExpr("m", "COALESCE(nc, c) AS c")
-        .transform(graft.util.Loops.fresh) // modules rows; next round reads 3x
+        .localCheckpoint() // communities-bounded; empty probe + label map
+      merged = !mutual.isEmpty
+      if (merged) {
+        lab = lab.join(broadcast(mutual), Seq("c"), "left")
+          .selectExpr("m", "COALESCE(nc, c) AS c")
+          .transform(graft.util.Loops.fresh) // modules rows; next round reads 3x
+      }
     }
     lab1.join(broadcast(lab.selectExpr("m", "CAST(c AS INT) AS c2")), Seq("m"))
       .selectExpr("p", "c2 AS m")
