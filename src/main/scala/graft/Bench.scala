@@ -182,7 +182,16 @@ object Bench {
         s""""load_max":$loadMax,""" +
         s""""failed":$failed,"sf":"$sfDir","detail":"bench_detail.json"}"""
     }
-    println(Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1)))
+    // Last-resort floor (r19 ADVICE): if even 1-dp qsec outgrows the
+    // driver's ~2000-char stdout window, printing the oversized line
+    // would silently null the driver parse again — emit a minimal
+    // guaranteed-to-fit line instead (qsec/failed deferred to
+    // bench_detail.json) so the headline numbers always land.
+    val minimal = s"""{"metric":"total","value":${dp3(total)},""" +
+      s""""unit":"sec","reps":$reps,"nq":${results.size},""" +
+      s""""failed_n":${results.count(!_._4)},"qsec":"see-detail",""" +
+      s""""load_max":$loadMax,"sf":"$sfDir","detail":"bench_detail.json"}"""
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(minimal))
     spark.stop()
   }
 }

@@ -1151,11 +1151,17 @@ object TimeSeries extends QueryModule {
 
   /** Nelson–Aalen churn table from a (user_id, day) activity relation:
     * (t, n_risk, d_churn, c_censored, hazard, cum_hazard). */
-  private[graft] def churnSurvivalCore(userDay: DataFrame): DataFrame = {
-    val ud = userDay.select("user_id", "day").distinct()
-    val users = ud.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .crossJoin(broadcast(ud.agg(max("day").as("dend"))))
+  private[graft] def churnSurvivalCore(userDay: DataFrame): DataFrame =
+    churnSurvivalFromSpans(userDay.select("user_id", "day").distinct()
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1")))
+
+  /** [[churnSurvivalCore]] from the per-user (d0, d1) span relation —
+    * the state grain the streaming twin maintains by MIN/MAX merge
+    * (max over d1 ≡ max over all activity days, so dend is identical).
+    * Shared so the twin recompute can never drift from the batch op. */
+  private[graft] def churnSurvivalFromSpans(spans: DataFrame): DataFrame = {
+    val users = spans
+      .crossJoin(broadcast(spans.agg(max("d1").as("dend"))))
       .selectExpr("d1 - d0 AS t",
         s"CASE WHEN dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev")
     val lt = users.groupBy("t")
@@ -1335,10 +1341,21 @@ object TimeSeries extends QueryModule {
     // purchase" converts EVERY fixture user (p̂ = 1 degenerates z);
     // the 200-cent cut converts ~21% at both SFs (measured) so the
     // z / CI / lift columns are all live.
-    val users = events(s, d).groupBy("user_id")
-      .agg(max(expr(
-        "CASE WHEN event_type = 'purchase' AND value > 200 THEN CAST(1 AS BIGINT) ELSE 0 END"))
-        .as("conv"))
+    abTestFromUsers(events(s, d).groupBy("user_id")
+      .agg(max(expr(convExprStr)).as("conv")))
+  }
+
+  /** The q238 conversion predicate as an expression string — shared
+    * with the streaming twin's per-batch partial so the two can never
+    * disagree on what converts. */
+  private[graft] val convExprStr =
+    "CASE WHEN event_type = 'purchase' AND value > 200 THEN CAST(1 AS BIGINT) ELSE 0 END"
+
+  /** Experiment panel from the per-user (user_id, conv) relation — the
+    * state grain the streaming twin maintains by MAX merge. Shared so
+    * the twin recompute can never drift from the batch op. */
+  private[graft] def abTestFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
     val exps = s.range(abExps).select(col("id").as("experiment"))
     abTestCore(users.crossJoin(broadcast(exps))
       .selectExpr("experiment", s"$abArmStr AS arm", "conv"))

@@ -1137,6 +1137,11 @@ object StreamOps {
       outPath: String): Unit = {
     val s = batch.sparkSession
     val k = graft.queries.TimeSeries.kmvK
+    // The sketch store is NOT rebuildable from a corpus (prior days'
+    // hashes exist nowhere else): repair a crash-interrupted swap BEFORE
+    // the tableExists probe, or the DROP→RENAME window reads as "first
+    // touch" and silently recreates the store from this one batch.
+    graft.util.BucketedStores.recoverSwap(s, s"${name}_kmv")
     if (!batch.isEmpty) {
       val bd = graft.queries.TimeSeries.withKmvHash(
         graft.util.Tables.normalizeTsNanos(batch)
@@ -1227,6 +1232,12 @@ object StreamOps {
       outPath: String): Unit = {
     val s = batch.sparkSession
     val k = graft.queries.TimeSeries.kmvK
+    // Neither standing table is rebuildable (cohort map + cell sketches
+    // exist nowhere else): repair any crash-interrupted swap BEFORE the
+    // tableExists probes — the DROP→RENAME window would otherwise read
+    // as "first touch" and silently discard all prior cohorts/cells.
+    graft.util.BucketedStores.recoverSwap(s, s"${name}_rcoh")
+    graft.util.BucketedStores.recoverSwap(s, s"${name}_rcells")
     if (!batch.isEmpty) {
       val bd = graft.queries.TimeSeries.withKmvHash(
         graft.util.Tables.normalizeTsNanos(batch)
@@ -1284,6 +1295,171 @@ object StreamOps {
         .selectExpr("c_day AS cohort_day", "offset_days",
           "n_active_est", "cohort_n_est",
           "CASE WHEN cohort_n_est > 0 THEN round(CAST(n_active_est AS DOUBLE) / cohort_n_est, 6) END AS retention_est")
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING A/B experiment panel — q238's foreachBatch twin,
+    * completing the event-panel twin discipline (every batch member has
+    * a streaming twin). The standing state is the per-user conversion
+    * bit `name_abconv`(user_id, conv ∈ {0,1}) merged by MAX — NOT an
+    * additive per-(experiment, arm) count through DeltaStore: q238's
+    * conversion is a per-USER max (did this user EVER make a big-ticket
+    * purchase), so additive cell counts would double-count a user whose
+    * qualifying purchases land in two different micro-batches, and
+    * could never flip a user who was active-without-converting in an
+    * earlier batch. MAX is idempotent and commutative, so an
+    * at-least-once redelivery re-applies greatest() over the same bits
+    * — a no-op, replay-safe by pure ALGEBRA (the retentionKmvBatch
+    * class, no fingerprints or anti-join guards). Arm assignment is
+    * q238's deterministic per-experiment hash of user_id, applied at
+    * recompute time — it needs no state at all.
+    *
+    * Each batch: per-user conv partial (map-side MAX); MAX-merge into
+    * the standing table (full-outer join swapped in atomically —
+    * users-bounded, the irreducible state); recompute the full
+    * experiment panel via the SHARED [[graft.queries.TimeSeries
+    * .abTestFromUsers]] and OVERWRITE outPath (snapshot discipline;
+    * spec-pinned ≡ the batch q238 incl. a conversion arriving after
+    * the user's first appearance, and a redelivery). */
+  def streamingAbTest(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      abTestBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingAbTest]] — public for the spec. */
+  def abTestBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_abconv"
+    // per-user bits are not rebuildable from a corpus: repair a
+    // crash-interrupted swap BEFORE the tableExists probe.
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      val bu = graft.util.Tables.normalizeTsNanos(batch)
+        .groupBy("user_id")
+        .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv"))
+      if (!s.catalog.tableExists(tbl)) {
+        bu.write.mode("overwrite").format("parquet")
+          .option("path", s"$location/abconv").saveAsTable(tbl)
+      } else {
+        s.catalog.refreshTable(tbl)
+        val merged = s.table(tbl).selectExpr("user_id", "conv AS c_old")
+          .join(bu.selectExpr("user_id", "conv AS c_new"),
+            Seq("user_id"), "full")
+          .selectExpr("user_id",
+            "greatest(coalesce(c_old, c_new), coalesce(c_new, c_old)) AS conv")
+          .localCheckpoint() // the swap drops the table it derives from
+        graft.util.BucketedStores.swapContents(s, tbl, merged)
+        s.catalog.refreshTable(tbl)
+      }
+      graft.queries.TimeSeries.abTestFromUsers(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING churn survival — q243's foreachBatch twin. The standing
+    * state is the per-user activity span `name_chspan`(user_id, d0, d1)
+    * merged by MIN on d0 / MAX on d1 — replay-safe by pure ALGEBRA
+    * (least/greatest are idempotent and commutative; a redelivery
+    * re-applies them over the same days, a no-op). This is the FULL
+    * information the Nelson–Aalen estimator needs: lifetimes are
+    * d1 − d0, censoring compares d1 to max(d1) (≡ max over all activity
+    * days), so the users-bounded span table loses nothing the exact
+    * curve uses. Each batch: per-user (min, max) day partial; MIN/MAX-
+    * merge; recompute the curve via the SHARED
+    * [[graft.queries.TimeSeries.churnSurvivalFromSpans]] and OVERWRITE
+    * outPath (snapshot discipline; spec-pinned ≡ the batch q243 incl. a
+    * user whose span GROWS across micro-batches, and a redelivery). */
+  def streamingChurnSurvival(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      churnSurvivalBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingChurnSurvival]] — public for the
+    * spec. */
+  def churnSurvivalBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_chspan"
+    // spans are not rebuildable from a corpus: repair a crash-
+    // interrupted swap BEFORE the tableExists probe.
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      val bs = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
+        .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+      if (!s.catalog.tableExists(tbl)) {
+        bs.write.mode("overwrite").format("parquet")
+          .option("path", s"$location/chspan").saveAsTable(tbl)
+      } else {
+        s.catalog.refreshTable(tbl)
+        val merged = s.table(tbl)
+          .selectExpr("user_id", "d0 AS a0", "d1 AS a1")
+          .join(bs.selectExpr("user_id", "d0 AS b0", "d1 AS b1"),
+            Seq("user_id"), "full")
+          .selectExpr("user_id",
+            "least(coalesce(a0, b0), coalesce(b0, a0)) AS d0",
+            "greatest(coalesce(a1, b1), coalesce(b1, a1)) AS d1")
+          .localCheckpoint() // the swap drops the table it derives from
+        graft.util.BucketedStores.swapContents(s, tbl, merged)
+        s.catalog.refreshTable(tbl)
+      }
+      graft.queries.TimeSeries.churnSurvivalFromSpans(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING journey transitions — q244's foreachBatch twin. The
+    * standing grain is the EVENT itself ((event_id, user_id,
+    * event_type, us) behind the funnel twin's event_id anti-join replay
+    * guard) — NOT additive transition counts through DeltaStore: a
+    * transition is an ADJACENT PAIR in the per-user (us, event_id)
+    * order, so a user's last event of one micro-batch and first event
+    * of the next form a transition NEITHER batch can count locally
+    * (the same batch-spanning argument that put the funnel twin on the
+    * event grain), and a late-arriving event splices INTO existing
+    * pairs, retracting a previously-counted transition — additive
+    * deltas cannot retract. Each batch: dedup, anti-join admit,
+    * recompute the full grid via the SHARED [[graft.queries.TimeSeries
+    * .journeyTransitionsCore]] and OVERWRITE outPath (snapshot
+    * discipline; spec-pinned ≡ the batch q244 incl. a transition whose
+    * two events SPAN micro-batches, and a redelivery). Scale shape: the
+    * standing table is the event log itself — at production scale the
+    * already-stored source relation (partition by day). */
+  def streamingJourneys(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      journeyTransitionsBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingJourneys]] — public for the spec. */
+  def journeyTransitionsBatch(batch: DataFrame, name: String,
+      location: String, outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      // intra-batch dedup on the standing grain: duplicate event_ids
+      // WITHIN one micro-batch would both pass the standing anti-join
+      // and fabricate a self-transition.
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id", "event_type",
+          "CAST(ts div 1000 AS BIGINT) AS us")
+        .dropDuplicates("event_id")
+      val tbl = s"${name}_jevents"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/jevents")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.journeyTransitionsCore(s.table(tbl))
         .write.mode("overwrite").parquet(outPath)
     }
     ()

@@ -26,6 +26,39 @@ import org.apache.spark.sql.SparkSession
   */
 object BucketedStores {
 
+  /** Marker file written INSIDE the sibling location before the DROP,
+    * holding the old table's location: the DROP loses the catalog's
+    * only record of where the replaced files live, so a crash between
+    * DROP and RENAME would otherwise orphan a full copy of the store on
+    * disk forever. `_`-prefixed so parquet scans ignore it (the
+    * `_SUCCESS` convention); it rides the rename with the directory and
+    * is deleted with the old files on the happy path, or by
+    * [[recoverSwap]]'s finish-rename branch. */
+  private val OldLocMarker = "_graft_swap_oldloc"
+
+  private def writeOldLocMarker(spark: SparkSession, newLoc: Path,
+      oldLoc: Path): Unit = {
+    val fs = newLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(newLoc, OldLocMarker), true)
+    try out.write(oldLoc.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Delete the location named by `loc`'s marker (if any), then the
+    * marker itself. Idempotent; a marker pointing at `loc` itself is
+    * ignored (can't happen by construction, but never self-delete). */
+  private def cleanupOldLoc(spark: SparkSession, loc: Path): Unit = {
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(loc, OldLocMarker)
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val old = try {
+      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      in.readFully(buf); new Path(new String(buf, "UTF-8"))
+    } finally in.close()
+    if (old.toString != loc.toString && fs.exists(old)) fs.delete(old, true)
+    fs.delete(marker, false)
+  }
+
   /** Files currently backing `table` (data files only). */
   def dataFileCount(spark: SparkSession, table: String): Int = {
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -83,10 +116,12 @@ object BucketedStores {
        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
      else writer)
       .saveAsTable(tmpTable)
+    writeOldLocMarker(spark, newLoc, oldLoc)
     spark.sql(s"DROP TABLE $table") // external: catalog entry only
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(oldLoc, true)
+    cleanupOldLoc(spark, newLoc)
     (before, dataFileCount(spark, table))
   }
 
@@ -118,6 +153,12 @@ object BucketedStores {
     if (!spark.catalog.tableExists(tmpTable)) return
     if (!spark.catalog.tableExists(table)) {
       spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
+      // The DROP lost the replaced files' catalog record; the sibling's
+      // marker (written before the DROP) names them — delete, so a
+      // repaired crash does not permanently orphan a copy of the store.
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      cleanupOldLoc(spark, new Path(meta.location))
     } else {
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(tmpTable))
@@ -139,9 +180,11 @@ object BucketedStores {
     spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
     df.write.mode("overwrite").option("path", newLoc.toString)
       .saveAsTable(tmpTable)
+    writeOldLocMarker(spark, newLoc, oldLoc)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpTable RENAME TO $table")
     val fs = oldLoc.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(oldLoc, true)
+    cleanupOldLoc(spark, newLoc)
   }
 }

@@ -112,4 +112,71 @@ class CompactionSpec extends SparkSpec {
     val after = PhashOps.probePhashIndex(s, probe, name).collect().map(_.toString).toSeq
     assert(after == before && before.head.contains("5"))
   }
+
+  test("recoverSwap finish-rename: contents restored AND the dropped table's files cleaned up") {
+    val s = spark
+    import s.implicits._
+    val tbl = "graft_test_rswap"
+    s.sql(s"DROP TABLE IF EXISTS $tbl"); s.sql(s"DROP TABLE IF EXISTS ${tbl}__compact")
+    val root = java.nio.file.Files.createTempDirectory("graft-rswap").toString
+    (1L to 5L).toDF("v").write.option("path", s"$root/orig").saveAsTable(tbl)
+    // Simulate swapContents crashing between DROP and RENAME: sibling
+    // written (incl. the oldloc marker swapContents records before the
+    // DROP), original catalog entry dropped, original FILES still on disk.
+    (1L to 7L).toDF("v").write.option("path", s"$root/sib").saveAsTable(s"${tbl}__compact")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      s.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/sib/_graft_swap_oldloc"), true)
+    out.write(s"file:$root/orig".getBytes("UTF-8")); out.close()
+    s.sql(s"DROP TABLE $tbl") // external: files at $root/orig now orphaned
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/orig")))
+
+    BucketedStores.recoverSwap(s, tbl)
+    s.catalog.refreshTable(tbl)
+    assert(s.table(tbl).count() === 7L, "the sibling holds the complete contents")
+    assert(!s.catalog.tableExists(s"${tbl}__compact"))
+    // the marker names the dropped files; the repair must delete BOTH
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/orig")),
+      "a repaired crash must not permanently orphan the replaced files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/sib/_graft_swap_oldloc")),
+      "the marker itself is cleaned up after use")
+    // and a normal swap on the recovered table round-trips (happy path
+    // writes + consumes its own marker)
+    BucketedStores.swapContents(s, tbl, (1L to 3L).toDF("v").localCheckpoint())
+    s.catalog.refreshTable(tbl)
+    assert(s.table(tbl).count() === 3L)
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("KMV batch loops repair a crash-interrupted swap instead of recreating the store") {
+    val s = spark
+    import s.implicits._
+    val name = "graft_test_kmvrec"
+    Seq(s"${name}_kmv", s"${name}_kmv__compact").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/$name"))
+    val day = 86400000000000L // ns
+    val out = java.nio.file.Files.createTempDirectory("graft-kmvrec").toString + "/v"
+    def batch(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "ts")
+    graft.streaming.StreamOps.activeUsersKmvBatch(
+      batch((1L to 10L).map(u => (u, 0L))), name, s"/tmp/$name", out)
+    graft.streaming.StreamOps.activeUsersKmvBatch(
+      batch((1L to 10L).map(u => (u, day))), name, s"/tmp/$name", out)
+    // Simulate the swap crash window: the merged sibling is committed
+    // under __compact but the RENAME never ran — the store name is gone.
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(s"${name}_kmv"))
+    s.table(s"${name}_kmv").write
+      .option("path", meta.location.toString + "_sib")
+      .saveAsTable(s"${name}_kmv__compact")
+    s.sql(s"DROP TABLE ${name}_kmv")
+    // Without the entry-point recoverSwap this batch would silently
+    // recreate the store from its own 5 users and lose both prior days.
+    graft.streaming.StreamOps.activeUsersKmvBatch(
+      batch((11L to 15L).map(u => (u, 2 * day))), name, s"/tmp/$name", out)
+    val got = s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(0L -> 10L, 1L -> 10L, 2L -> 5L),
+      s"prior days must survive the repaired swap: $got")
+    Seq(s"${name}_kmv", s"${name}_kmv__compact").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -361,6 +361,109 @@ class OperatorSpec extends SparkSpec {
       "the event_id guard must absorb the redelivered batch")
   }
 
+  test("q238 streaming twin: conv bit flips across batches; redelivery is an algebraic no-op") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_ab_abconv")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_ab"))
+    val out = "/tmp/graft_test_ab/out"
+    // batch 1: users 1-6 active, only user 1 converts (value > 200);
+    // batch 2: user 2 converts LATE (the bit an additive cell count
+    // could never flip), user 1 re-converts (MAX idempotence), user 7
+    // arrives with a small purchase (must NOT convert)
+    val b1 = (1L to 6L).map(u => (u, "view", 0.0, 0L)) :+ ((1L, "purchase", 500.0, 0L))
+    val b2 = Seq((2L, "purchase", 300.0, 0L), (1L, "purchase", 400.0, 0L),
+      (7L, "purchase", 50.0, 0L))
+    def run(rows: Seq[(Long, String, Double, Long)]) =
+      graft.streaming.StreamOps.abTestBatch(
+        rows.toDF("user_id", "event_type", "value", "ts"),
+        "graft_test_ab", "/tmp/graft_test_ab", out)
+    run(b1); run(b2)
+    run(b1) // redelivery: greatest() over the same bits, a no-op
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.abTestFromUsers(
+      (b1 ++ b2).toDF("user_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch q238 incl. the late conversion: $got vs $ref")
+    assert(s.table("graft_test_ab_abconv").count() === 7L,
+      "the span state stays at one row per user under redelivery")
+    val conv = s.table("graft_test_ab_abconv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv(1L) === 1L && conv(2L) === 1L && conv(7L) === 0L && conv(3L) === 0L,
+      s"late conversion must flip user 2; small purchase must not convert: $conv")
+  }
+
+  test("q243 streaming twin: spans grow by MIN/MAX merge; redelivery is an algebraic no-op") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_ch_chspan")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_ch"))
+    val day = 86400000000000L // ns
+    val out = "/tmp/graft_test_ch/out"
+    // user 1's span GROWS across batches (0 → 20: alive at the end);
+    // user 2 stays at day 0 (silent ≥ 14 days → churn event);
+    // user 3 joins late (censored: lifetime 0 but dend - d1 < 14)
+    val b1: Seq[(Long, Long)] = Seq((1L, 0L), (2L, 0L))
+    val b2: Seq[(Long, Long)] = Seq((1L, 20L * day), (3L, 20L * day))
+    def run(rows: Seq[(Long, Long)]) =
+      graft.streaming.StreamOps.churnSurvivalBatch(
+        rows.toDF("user_id", "ts"), "graft_test_ch", "/tmp/graft_test_ch", out)
+    run(b1); run(b2)
+    run(b1) // redelivery: least/greatest over the same days, a no-op
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.churnSurvivalCore(
+      (b1 ++ b2).toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch q243 incl. the grown span: $got vs $ref")
+    val spans = s.table("graft_test_ch_chspan")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(spans === Map(1L -> ((0L, 20L)), 2L -> ((0L, 0L)), 3L -> ((20L, 20L))),
+      s"MIN/MAX merge must grow user 1's span without touching the others: $spans")
+  }
+
+  test("q244 streaming twin: a transition spanning micro-batches lands; redelivery converges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_jt_jevents")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_jt"))
+    val m = 60000000000L // 1 min in ns
+    val out = "/tmp/graft_test_jt/out"
+    // user 1's view (batch 1) → click (batch 2) is a transition NEITHER
+    // batch can count locally; user 2's view → view sits 31 min apart,
+    // beyond the session gap — no transition
+    val b1: Seq[(Long, Long, String, Long)] = Seq(
+      (1L, 1L, "view", 0L), (2L, 2L, "view", 0L), (2L, 2L, "view", 0L))
+    val b2: Seq[(Long, Long, String, Long)] = Seq(
+      (3L, 1L, "click", 5L * m), (4L, 2L, "view", 31L * m))
+    def run(rows: Seq[(Long, Long, String, Long)]) =
+      graft.streaming.StreamOps.journeyTransitionsBatch(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        "graft_test_jt", "/tmp/graft_test_jt", out)
+    run(b1); run(b2)
+    run(b1) // redelivery: the event_id guard absorbs it
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.journeyTransitionsCore(
+      (b1 ++ b2).distinct.toDF("event_id", "user_id", "event_type", "ts")
+        .selectExpr("user_id", "event_type", "event_id",
+          "CAST(ts div 1000 AS BIGINT) AS us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal the batch q244 incl. the cross-batch transition: $got vs $ref")
+    assert(s.table("graft_test_jt_jevents").count() === 4L,
+      "the event_id guard must absorb the intra-batch dup and the redelivery")
+    val vc = s.read.parquet(out)
+      .filter(col("from_type") === "view" && col("to_type") === "click").head()
+    assert(vc.getLong(2) === 1L, s"the cross-batch view→click must be counted: $vc")
+  }
+
   test("q222 streaming twin: panel invariant across redelivery, fold, and post-fold replay") {
     val s = spark
     import s.implicits._
