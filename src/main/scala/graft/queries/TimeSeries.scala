@@ -1414,6 +1414,255 @@ object TimeSeries extends QueryModule {
        |FROM cells
        |ORDER BY experiment""".stripMargin
 
+  // ---- q245: multi-arm experiment analysis (E×k cells + chi-square) ---------
+  // q238 generalized from 2 arms to k (the r19 verdict's #2 extension
+  // gap — real experiment platforms run k variants): per experiment the
+  // k-cell conversion table, the OVERALL chi-square independence test
+  // on the 2×k (converted × arm) contingency table
+  //   χ² = Σ_cells (O − E)² / E,  E = row_tot · col_tot / N,
+  // and the per-arm-vs-control pooled two-proportion z (the q238
+  // kernel, control = arm 0). Exactness discipline: counts are exact
+  // integers; each ARM's χ² contribution is one deterministic double
+  // expression over those integers, QUANTIZED to round(1e12·c) and
+  // summed as BIGINT across arms (the q175 quantize-then-sum rule —
+  // a k-term double sum has engine-dependent order, an integer sum
+  // does not; 1e12·χ² ≤ 1e12·N < 2⁶³ through N ≈ 10⁹ users·exps).
+  // The p-value: df = k−1 = 2, and the χ² survival function for even
+  // df has the CLOSED FORM exp(−x/2)·Σ_{i<df/2}(x/2)^i/i! = exp(−x/2)
+  // at df 2 — one exp() over an identical double in both engines, so
+  // the p-value is hash-checkable where a regularized-gamma native
+  // expression would have forced a rows-only check (the q32 class).
+  // Output grain: one row per (experiment, arm) with the experiment-
+  // level χ²/p repeated — the standard analytics table shape.
+  //
+  // Scale shape: ONE data-sized exchange (the per-user conv partial,
+  // shared with q238); the |users|×E assignment expansion feeds an
+  // (E·k)-cell aggregate — broadcast-class everything after.
+
+  private val maArms = 3
+  private val maArmStr =
+    s"(((user_id * 31 + (experiment + 1) * 1000003) % ${graft.text.TextOps.P})" +
+      s" * ((user_id * 31 + (experiment + 1) * 1000003) % ${graft.text.TextOps.P})" +
+      s" + 1234567) % ${graft.text.TextOps.P} % $maArms"
+  // per-arm χ² contribution over exact integers (x, n, X, N):
+  // conv cell (x − n·X/N)²/(n·X/N) + non-conv cell ((n−x) − n·(N−X)/N)²/(n·(N−X)/N)
+  private val maChiStr =
+    "CASE WHEN x_all > 0 AND x_all < n_all THEN " +
+      "(x - CAST(n AS DOUBLE) * x_all / n_all) * (x - CAST(n AS DOUBLE) * x_all / n_all) / (CAST(n AS DOUBLE) * x_all / n_all) + " +
+      "((n - x) - CAST(n AS DOUBLE) * (n_all - x_all) / n_all) * ((n - x) - CAST(n AS DOUBLE) * (n_all - x_all) / n_all) / (CAST(n AS DOUBLE) * (n_all - x_all) / n_all) " +
+      "ELSE CAST(0 AS DOUBLE) END"
+  private val maPC0 = "(CAST(x0 AS DOUBLE) / n0)"
+  private val maPA = "(CAST(x AS DOUBLE) / n)"
+  private val maPP = "(CAST(x0 + x AS DOUBLE) / (n0 + n))"
+  private val maZStr =
+    s"CASE WHEN arm > 0 AND n0 > 0 AND n > 0 AND x0 + x > 0 AND x0 + x < n0 + n " +
+      s"THEN ($maPA - $maPC0) / sqrt($maPP * (1 - $maPP) * " +
+      s"(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n)) END"
+
+  def abMultiArm(s: SparkSession, d: String): DataFrame =
+    abMultiArmCore(events(s, d).groupBy("user_id")
+      .agg(max(expr(convExprStr)).as("conv"))
+      .crossJoin(broadcast(
+        s.range(abExps).select(col("id").as("experiment"))))
+      .selectExpr("experiment", s"$maArmStr AS arm", "conv"))
+
+  /** Panel from an (experiment, arm ∈ [0,k), conv ∈ {0,1}) per-user
+    * assignment relation — split out so specs can plant k-cell tables. */
+  private[graft] def abMultiArmCore(assigned: DataFrame): DataFrame = {
+    val cells = assigned.groupBy("experiment", "arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+    val tot = cells.groupBy("experiment")
+      .agg(sum("n").as("n_all"), sum("x").as("x_all"))
+    val withTot = cells.join(broadcast(tot), Seq("experiment"))
+      .selectExpr("experiment", "arm", "n", "x", "n_all", "x_all",
+        s"CAST(round(1e12 * ($maChiStr), 0) AS BIGINT) AS chi_fp")
+    val chi = withTot.groupBy("experiment")
+      .agg(sum("chi_fp").as("chi2_fp"))
+    val ctrl = cells.filter(col("arm") === 0)
+      .selectExpr("experiment", "n AS n0", "x AS x0")
+    withTot
+      .join(broadcast(ctrl), Seq("experiment"), "left")
+      .join(broadcast(chi), Seq("experiment"))
+      .selectExpr("experiment", "arm", "n", "x",
+        "CASE WHEN n > 0 THEN round(CAST(x AS DOUBLE) / n, 6) END AS p",
+        s"round($maZStr, 6) AS z_vs_ctrl",
+        "round(CAST(chi2_fp AS DOUBLE) / 1e12, 6) AS chi2",
+        // df = k−1 = 2: χ² survival = exp(−x/2), exact closed form
+        "round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) AS chi2_p",
+        "round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) < CAST(0.05 AS DOUBLE) AS significant")
+      .orderBy("experiment", "arm")
+  }
+
+  private val abMultiArmSql =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT e.experiment, $maArmStr AS arm, u.conv
+       |  FROM u CROSS JOIN (
+       |    SELECT CAST(g AS BIGINT) AS experiment
+       |    FROM generate_series(0, ${abExps - 1}) gs(g)) e
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT experiment, arm, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(conv) AS BIGINT) AS x
+       |  FROM asg GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT experiment, CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(x) AS BIGINT) AS x_all
+       |  FROM cells GROUP BY 1
+       |),
+       |wt AS MATERIALIZED (
+       |  SELECT cells.experiment, arm, n, x, n_all, x_all,
+       |    CAST(round(1e12 * ($maChiStr), 0) AS BIGINT) AS chi_fp
+       |  FROM cells JOIN tot ON cells.experiment = tot.experiment
+       |),
+       |chi AS (SELECT experiment, CAST(SUM(chi_fp) AS BIGINT) AS chi2_fp FROM wt GROUP BY 1),
+       |ctrl AS (SELECT experiment, n AS n0, x AS x0 FROM cells WHERE arm = 0)
+       |SELECT wt.experiment, arm, n, x,
+       |  CASE WHEN n > 0 THEN round(CAST(x AS DOUBLE) / n, 6) END AS p,
+       |  round($maZStr, 6) AS z_vs_ctrl,
+       |  round(CAST(chi2_fp AS DOUBLE) / 1e12, 6) AS chi2,
+       |  round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) AS chi2_p,
+       |  round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) < CAST(0.05 AS DOUBLE) AS significant
+       |FROM wt
+       |LEFT JOIN ctrl ON ctrl.experiment = wt.experiment
+       |JOIN chi ON chi.experiment = wt.experiment
+       |ORDER BY wt.experiment, arm""".stripMargin
+
+  // ---- q246: log-rank test (two-segment survival comparison) ----------------
+  // The first question asked of a q243 survival curve: does segment A
+  // churn faster than B? The log-rank (Mantel–Cox) test compares
+  // OBSERVED vs EXPECTED churn events per lifetime step under H₀ "same
+  // hazard": at each step t with d_t = d_a + d_b events and
+  // n_t = n_a + n_b at risk,
+  //   E_a(t) = d_t · n_a / n_t,
+  //   V(t)   = d_t · (n_a/n_t)(n_b/n_t)(n_t − d_t)/(n_t − 1)   (hypergeometric),
+  //   Z = (O_a − ΣE_a) / sqrt(ΣV)  ~  N(0,1).
+  // Exactness: O/d/n are exact integers; each step's E and V are one
+  // deterministic double expression over those integers, QUANTIZED to
+  // round(1e12··) and summed as BIGINT (the q243 quantize-then-sum
+  // discipline — the cross-step sum order never touches a double).
+  // Censoring semantics are exactly q243's (churnDays silence before
+  // the shared calendar end = event; otherwise censored; dend is
+  // GLOBAL across both segments — each segment on its own dend would
+  // shift censoring and bias the comparison). Segment = user_id % 2
+  // (deterministic, identical in both engines over non-negative ids;
+  // prod: any user attribute).
+  //
+  // Scale shape: ONE data-sized exchange (the per-user span fold,
+  // shared shape with q243); steps are lifetimes-bounded; the at-risk
+  // counts ride the same bounded descending-cumulative window.
+
+  private val lrSegStr = "user_id % 2"
+
+  def logRank(s: SparkSession, d: String): DataFrame =
+    logRankCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** Log-rank summary row from a (user_id, day) activity relation:
+    * (users_a, users_b, o_a, e_a, o_b, e_b, var_lr, z, significant). */
+  private[graft] def logRankCore(userDay: DataFrame): DataFrame = {
+    val spans = userDay.select("user_id", "day").distinct()
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    val users = spans
+      .crossJoin(broadcast(spans.agg(max("d1").as("dend"))))
+      .selectExpr(s"$lrSegStr AS seg", "d1 - d0 AS t",
+        s"CASE WHEN dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev")
+    val lt = users.groupBy("t").agg(
+      sum(expr("CASE WHEN seg = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("m_a"),
+      sum(expr("CASE WHEN seg = 0 THEN ev ELSE 0 END")).as("d_a"),
+      sum(expr("CASE WHEN seg = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("m_b"),
+      sum(expr("CASE WHEN seg = 1 THEN ev ELSE 0 END")).as("d_b"))
+      .localCheckpoint() // lifetimes-bounded; at-risk window + totals
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val steps = lt
+      .withColumn("n_a", sum("m_a").over(w))
+      .withColumn("n_b", sum("m_b").over(w))
+      .selectExpr("d_a", "d_b", "n_a", "n_b",
+        "d_a + d_b AS dd", "n_a + n_b AS nn")
+      .filter(col("dd") > 0 && col("nn") > 1)
+      .selectExpr("d_a", "d_b",
+        "CAST(round(1e12 * (CAST(dd AS DOUBLE) * n_a / nn), 0) AS BIGINT) AS ea_fp",
+        "CAST(round(1e12 * (CAST(dd AS DOUBLE) * n_a / nn * n_b / nn * (nn - dd) / (nn - 1)), 0) AS BIGINT) AS v_fp")
+    val segn = users.groupBy().agg(
+      sum(expr("CASE WHEN seg = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("users_a"),
+      sum(expr("CASE WHEN seg = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("users_b"))
+    val zStr = "CASE WHEN v_fp > 0 THEN " +
+      "(CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END"
+    steps
+      .agg(sum("d_a").as("o_a"), sum("d_b").as("o_b"),
+        sum("ea_fp").as("ea_fp"), sum("v_fp").as("v_fp"))
+      .crossJoin(broadcast(segn))
+      .selectExpr("users_a", "users_b", "o_a",
+        "round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a",
+        "o_b",
+        "round(CAST(o_a + o_b AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_b",
+        "round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS var_lr",
+        s"round($zStr, 6) AS z",
+        s"COALESCE(abs(round($zStr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant")
+  }
+
+  private val logRankSql =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |spans AS MATERIALIZED (
+       |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ud GROUP BY 1
+       |),
+       |dend AS (SELECT MAX(d1) AS dend FROM spans),
+       |usr AS MATERIALIZED (
+       |  SELECT $lrSegStr AS seg, d1 - d0 AS t,
+       |    CASE WHEN dend.dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev
+       |  FROM spans CROSS JOIN dend
+       |),
+       |lt AS MATERIALIZED (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_a,
+       |    CAST(SUM(CASE WHEN seg = 0 THEN ev ELSE 0 END) AS BIGINT) AS d_a,
+       |    CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m_b,
+       |    CAST(SUM(CASE WHEN seg = 1 THEN ev ELSE 0 END) AS BIGINT) AS d_b
+       |  FROM usr GROUP BY 1
+       |),
+       |steps AS MATERIALIZED (
+       |  SELECT d_a, d_b,
+       |    CAST(round(1e12 * (CAST(dd AS DOUBLE) * n_a / nn), 0) AS BIGINT) AS ea_fp,
+       |    CAST(round(1e12 * (CAST(dd AS DOUBLE) * n_a / nn * n_b / nn * (nn - dd) / (nn - 1)), 0) AS BIGINT) AS v_fp
+       |  FROM (
+       |    SELECT d_a, d_b, n_a, n_b, d_a + d_b AS dd, n_a + n_b AS nn
+       |    FROM (
+       |      SELECT d_a, d_b,
+       |        CAST(SUM(m_a) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_a,
+       |        CAST(SUM(m_b) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_b
+       |      FROM lt
+       |    )
+       |  )
+       |  WHERE dd > 0 AND nn > 1
+       |),
+       |segn AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+       |    CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_b
+       |  FROM usr
+       |),
+       |agg AS (
+       |  SELECT CAST(SUM(d_a) AS BIGINT) AS o_a, CAST(SUM(d_b) AS BIGINT) AS o_b,
+       |    CAST(SUM(ea_fp) AS BIGINT) AS ea_fp, CAST(SUM(v_fp) AS BIGINT) AS v_fp
+       |  FROM steps
+       |)
+       |SELECT users_a, users_b, o_a,
+       |  round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a,
+       |  o_b,
+       |  round(CAST(o_a + o_b AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_b,
+       |  round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS var_lr,
+       |  round(CASE WHEN v_fp > 0 THEN (CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END, 6) AS z,
+       |  COALESCE(abs(round(CASE WHEN v_fp > 0 THEN (CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END, 6)) > CAST(1.96 AS DOUBLE), false) AS significant
+       |FROM agg CROSS JOIN segn""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -1432,6 +1681,8 @@ object TimeSeries extends QueryModule {
     Q("q242_retention_kmv", retentionKmv, Some(retentionKmvSql)),
     Q("q243_churn_survival", churnSurvival, Some(churnSurvivalSql)),
     Q("q244_journey_transitions", journeyTransitions, Some(journeyTransitionsSql)),
+    Q("q245_ab_multiarm", abMultiArm, Some(abMultiArmSql)),
+    Q("q246_log_rank", logRank, Some(logRankSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

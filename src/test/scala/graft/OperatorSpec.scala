@@ -687,6 +687,77 @@ class OperatorSpec extends SparkSpec {
       && e2.isNullAt(e2.fieldIndex("ci_lo")), s"empty arm must be NULL: $e2")
   }
 
+  test("q245: a planted 3-arm table hits the hand-computed chi-square and per-arm z") {
+    val s = spark
+    import s.implicits._
+    // experiment 0, three arms of 100 users: control converts 10,
+    // arm 1 converts 20, arm 2 converts 10. N = 300, X = 40.
+    // Hand-computed 2×3 chi-square (E_conv = 100·40/300 = 40/3):
+    //   arm0/arm2 each contribute 5/6 + 5/39 = 25/26,
+    //   arm1 contributes 10/3 + 20/39 = 50/13,
+    //   χ² = 25/26 + 25/26 + 50/13 = 75/13 = 5.769231 (exact fixed
+    //   point: 961538461538·2 + 3846153846154 = 5769230769230).
+    //   df = 2 closed form p = exp(−χ²/2) ≈ 0.055876 > 0.05 → NOT
+    //   significant (the just-above-threshold case).
+    // Per-arm pooled z vs control: arm1 p̂ = 30/200 = 0.15,
+    //   z = 0.1 / sqrt(0.15·0.85·(1/100 + 1/100)) = 1.980295…;
+    //   arm2 identical proportions → z = 0; control row z NULL.
+    val rows =
+      (0 until 100).map(i => (0L, 0L, if (i < 10) 1L else 0L)) ++
+        (0 until 100).map(i => (0L, 1L, if (i < 20) 1L else 0L)) ++
+        (0 until 100).map(i => (0L, 2L, if (i < 10) 1L else 0L))
+    val out = graft.queries.TimeSeries
+      .abMultiArmCore(rows.toDF("experiment", "arm", "conv"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out.size === 3)
+    (0L to 2L).foreach { a =>
+      assert(out(a).getAs[Long]("n") === 100L)
+      assert(out(a).getAs[Double]("chi2") === 5.769231, s"chi2: ${out(a)}")
+    }
+    assert(out(0L).getAs[Double]("p") === 0.1 && out(1L).getAs[Double]("p") === 0.2)
+    assert(out(0L).isNullAt(out(0L).fieldIndex("z_vs_ctrl")),
+      "control vs itself must be NULL")
+    val z1 = 0.1 / math.sqrt(0.15 * 0.85 * (1.0 / 100 + 1.0 / 100))
+    assert(out(1L).getAs[Double]("z_vs_ctrl") === math.rint(z1 * 1e6) / 1e6
+      && math.rint(z1 * 1e6) / 1e6 === 1.980295, s"z1: ${out(1L)}")
+    assert(out(2L).getAs[Double]("z_vs_ctrl") === 0.0)
+    val p = math.rint(math.exp(-(5769230769230L.toDouble / 1e12) / 2) * 1e6) / 1e6
+    assert(out(0L).getAs[Double]("chi2_p") === p && p > 0.05, s"p: $p")
+    assert(!out(0L).getAs[Boolean]("significant"),
+      "p just above 0.05 must not flag")
+  }
+
+  test("q246: a planted two-segment calendar hits the hand-computed O/E/V and z") {
+    val s = spark
+    import s.implicits._
+    // dend = 20; churn = silent ≥ 14 days. Segment a = even ids, b = odd.
+    //   a: u2 t=1 event, u4 t=3 event, u6 t=20 censored (sets dend)
+    //   b: u1 t=1 event, u3 t=5 event, u5 t=14 censored (days 6..20)
+    // Steps with events (desc at-risk cumsum): t=1 n=(3,3) d=2,
+    // t=3 n=(2,2) d=1, t=5 n=(1,2) d=1. Hand-computed:
+    //   E_a = 2·3/6 + 1·2/4 + 1·1/3 = 11/6 → fp 1833333333333,
+    //   V   = 2·¼·⅘ + 1·¼·1 + 1·(1/3)(2/3)·1 = 0.4 + 0.25 + 2/9
+    //       → fp 400000000000 + 250000000000 + 222222222222 = 872222222222,
+    //   O_a = 2, O_b = 2, E_b = 4 − 11/6 = 2.166667.
+    val ud = Seq(
+      (2L, 0L), (2L, 1L),
+      (4L, 0L), (4L, 3L),
+      (6L, 0L), (6L, 20L),
+      (1L, 0L), (1L, 1L),
+      (3L, 0L), (3L, 5L),
+      (5L, 6L), (5L, 20L),
+    ).toDF("user_id", "day")
+    val r = graft.queries.TimeSeries.logRankCore(ud).head()
+    assert(r.getAs[Long]("users_a") === 3L && r.getAs[Long]("users_b") === 3L)
+    assert(r.getAs[Long]("o_a") === 2L && r.getAs[Long]("o_b") === 2L)
+    assert(r.getAs[Double]("e_a") === 1.833333 && r.getAs[Double]("e_b") === 2.166667)
+    assert(r.getAs[Double]("var_lr") === 0.872222, s"V: $r")
+    val z = (2.0 - 1833333333333L.toDouble / 1e12) /
+      math.sqrt(872222222222L.toDouble / 1e12)
+    assert(r.getAs[Double]("z") === math.rint(z * 1e6) / 1e6, s"z: $r")
+    assert(!r.getAs[Boolean]("significant"), "|z| ≈ 0.18 must not flag")
+  }
+
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
     val s = spark
     import s.implicits._
