@@ -2973,6 +2973,220 @@ object DesignImage extends QueryModule {
        |ORDER BY wpmpar.p""".stripMargin
   }
 
+  // ---- q247: WEIGHTED betweenness (Brandes over 1/w connection lengths) ------
+  // q240's centrality on the weighted graph (Rubinov & Sporns define
+  // the weighted variant over 1/w connection lengths — the q234
+  // integer lengths ℓ = round(1e12/w), exact int64 both engines).
+  // Three fixed-point stages, all sampled-source-bounded:
+  //   1. DISTANCES: source-restricted Bellman–Ford — per round the
+  //      IMPROVED rows (new pair or shorter d) propagate one more hop;
+  //      rounds ≤ max shortest-path hop count ≤ NP−1. (Not the q234
+  //      all-pairs doubling: |sources|·E per round beats NP²·log NP
+  //      when sources ≪ NP — the scale-correct shape for the sampled
+  //      estimator.)
+  //   2. σ COUNTING on TIGHT edges (d(s,u) + ℓ(u,v) = d(s,v) — the
+  //      shortest-path DAG): full recompute per round from σ(s) = 1;
+  //      σ values are exact integers, nondecreasing per round, stable
+  //      once rounds reach the DAG's hop depth.
+  //   3. δ SWEEP, also recompute-per-round: δ(v) = Σ_{tight (v,w)}
+  //      (σ_v·(10¹² + δ_fp(w))) div σ_w — q240's 1e-12 fixed point
+  //      with exact per-term floor division; δ is nondecreasing per
+  //      round and stable at the DAG depth.
+  // Early stop: σ/δ are NONDECREASING with a fixed (s,v) support once
+  // distances settle, so (count, sum) equality with the previous round
+  // certifies the fixed point; the oracle UNROLLS connNP rounds of the
+  // identical recurrences — rounds past the fixed point recompute the
+  // same relation (idempotent no-ops), the q208 early-stop ≡
+  // full-unroll argument. bc(v) = Σ_{s ≠ v} δ_s(v).
+  //
+  // Scale shape: every relation is |sources|·NP- or |sources|·E-
+  // bounded; per-round driver actions (isEmpty / fixed-point probes)
+  // are bounded by the weighted-hop diameter — the q240 acknowledged
+  // pattern, inherent to synchronous iteration.
+
+  /** Weighted sampled-source Brandes from a (p1, p2, w) relation
+    * (w = 0 ⇒ no edge) → (p, bc_w). */
+  private[graft] def betweennessWeightedCore(wpairs: DataFrame,
+      nSources: Int): DataFrame = {
+    val parcels = wpairs.select(col("p1").as("p"))
+      .union(wpairs.select(col("p2").as("p"))).distinct()
+      .localCheckpoint() // NP rows; sources + cap + output grid
+    val ones = wpairs.filter(col("w") > 0)
+      .selectExpr("p1", "p2", "CAST(round(1e12 / w, 0) AS BIGINT) AS l")
+    val sym = ones.selectExpr("p1 AS a", "p2 AS b", "l")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b", "l"))
+      .localCheckpoint()
+    val sources = parcels.orderBy("p").limit(nSources)
+      .selectExpr("p AS s").localCheckpoint()
+    val cap = math.max(1L, parcels.count())
+    // 1. distances: relax from the improved frontier only
+    var dist = sources
+      .selectExpr("s", "s AS v", "CAST(0 AS BIGINT) AS d").localCheckpoint()
+    var frontier = dist
+    var round = 0L
+    while (round < cap && !frontier.isEmpty) {
+      round += 1
+      val cand = frontier.selectExpr("s", "v AS a", "d")
+        .join(sym, Seq("a"))
+        .selectExpr("s", "b AS v", "d + l AS d")
+        .groupBy("s", "v").agg(min("d").as("d"))
+      val improved = cand
+        .join(dist.selectExpr("s", "v", "d AS d_old"), Seq("s", "v"), "left")
+        .filter(col("d_old").isNull || col("d") < col("d_old"))
+        .select("s", "v", "d")
+        .transform(graft.util.Loops.fresh) // |sources|·NP-bounded
+      frontier = improved
+      dist = dist.unionByName(improved)
+        .groupBy("s", "v").agg(min("d").as("d"))
+        .transform(graft.util.Loops.fresh)
+    }
+    val dists = dist.localCheckpoint()
+    // 2. tight edges: the per-source shortest-path DAG
+    val tight = dists.selectExpr("s", "v AS u", "d AS du")
+      .join(sym.selectExpr("a AS u", "b AS v", "l"), Seq("u"))
+      .join(dists.selectExpr("s", "v", "d AS dv"), Seq("s", "v"))
+      .filter(col("du") + col("l") === col("dv"))
+      .select("s", "u", "v")
+      .localCheckpoint() // |sources|·E-bounded; σ + δ rounds
+    val base = sources.selectExpr("s", "s AS v", "CAST(1 AS BIGINT) AS sigma")
+    var sigma = base.localCheckpoint()
+    var sigStat = (0L, 0L)
+    var k = 0L
+    var stable = false
+    while (k < cap && !stable) {
+      k += 1
+      sigma = base.unionByName(
+          tight.selectExpr("s", "u AS v", "v AS w")
+            .join(sigma.selectExpr("s", "v", "sigma"), Seq("s", "v"))
+            .groupBy(col("s"), col("w").as("v")).agg(sum("sigma").as("sigma")))
+        .transform(graft.util.Loops.fresh)
+      val st = sigma.agg(count(lit(1)), coalesce(sum("sigma"), lit(0L))).head()
+      val now = (st.getLong(0), st.getLong(1))
+      stable = now == sigStat
+      sigStat = now
+    }
+    val sig = sigma.localCheckpoint()
+    // 3. dependency sweep: full recompute per round in 1e-12 fixed point
+    val grid = dists.select("s", "v").localCheckpoint()
+    var delta = grid.withColumn("delta", lit(0L)).localCheckpoint()
+    var delSum = 0L
+    k = 0L
+    stable = false
+    while (k < cap && !stable) {
+      k += 1
+      val contrib = tight
+        .join(sig.selectExpr("s", "v AS u", "sigma AS sv"), Seq("s", "u"))
+        .join(sig.selectExpr("s", "v", "sigma AS sw"), Seq("s", "v"))
+        .join(delta.selectExpr("s", "v", "delta AS dw"), Seq("s", "v"))
+        .selectExpr("s", "u",
+          "(CAST(sv AS DECIMAL(38,0)) * (1000000000000 + dw)) div sw AS t")
+        .groupBy(col("s"), col("u").as("v")).agg(sum("t").as("inc"))
+      delta = grid.join(contrib, Seq("s", "v"), "left")
+        .selectExpr("s", "v", "COALESCE(inc, CAST(0 AS BIGINT)) AS delta")
+        .transform(graft.util.Loops.fresh)
+      val st = delta.agg(coalesce(sum("delta"), lit(0L))).head().getLong(0)
+      stable = st == delSum
+      delSum = st
+    }
+    parcels
+      .join(delta.filter(col("v") =!= col("s"))
+        .groupBy(col("v").as("p")).agg(sum("delta").as("t")), Seq("p"), "left")
+      .na.fill(0L, Seq("t"))
+      .selectExpr("p", "round(CAST(t AS DOUBLE) / 1e12, 6) AS bc_w")
+      .orderBy("p")
+  }
+
+  def betweennessWeighted(s: SparkSession, d: String): DataFrame =
+    betweennessWeightedCore(connectomeCore(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
+      .selectExpr("p1", "p2", s"$wPosStr AS w"), bcSources)
+
+  private def betweennessWeightedSql: String = {
+    val relax = (1 to connNP).map { i =>
+      s"""wbc$i AS (
+         |  SELECT f.s, e.b AS v, MIN(f.d + e.l) AS d
+         |  FROM wbf${i - 1} f JOIN wbsym e ON e.a = f.v
+         |  GROUP BY 1, 2
+         |),
+         |wbf$i AS MATERIALIZED (
+         |  SELECT c.s, c.v, c.d
+         |  FROM wbc$i c LEFT JOIN wbd${i - 1} o ON o.s = c.s AND o.v = c.v
+         |  WHERE o.v IS NULL OR c.d < o.d
+         |),
+         |wbd$i AS MATERIALIZED (
+         |  SELECT s, v, MIN(d) AS d FROM (
+         |    SELECT s, v, d FROM wbd${i - 1}
+         |    UNION ALL SELECT s, v, d FROM wbf$i
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sig = (1 to connNP).map { i =>
+      s"""wbs$i AS MATERIALIZED (
+         |  SELECT s, v, CAST(SUM(sigma) AS BIGINT) AS sigma FROM (
+         |    SELECT s, v, sigma FROM wbs0
+         |    UNION ALL
+         |    SELECT t.s, t.v, g.sigma
+         |    FROM wbtight t JOIN wbs${i - 1} g ON g.s = t.s AND g.v = t.u
+         |  ) GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString(",\n")
+    val del = (1 to connNP).map { i =>
+      s"""wbi$i AS (
+         |  SELECT t.s, t.u AS v,
+         |    CAST(SUM((CAST(sv.sigma AS HUGEINT) * (1000000000000 + dl.delta)) // sw.sigma) AS BIGINT) AS inc
+         |  FROM wbtight t
+         |  JOIN wbs$connNP sv ON sv.s = t.s AND sv.v = t.u
+         |  JOIN wbs$connNP sw ON sw.s = t.s AND sw.v = t.v
+         |  JOIN wbl${i - 1} dl ON dl.s = t.s AND dl.v = t.v
+         |  GROUP BY 1, 2
+         |),
+         |wbl$i AS MATERIALIZED (
+         |  SELECT g.s, g.v, COALESCE(c.inc, 0) AS delta
+         |  FROM wbgrid g LEFT JOIN wbi$i c ON c.s = g.s AND c.v = g.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $connectomeCtes,
+       |wbpm AS MATERIALIZED (
+       |  SELECT p1, p2, CAST(round(1e12 / ($wPosStr), 0) AS BIGINT) AS l
+       |  FROM pairs WHERE $wPosStr > 0
+       |),
+       |wbpar AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pairs UNION ALL SELECT p2 AS p FROM pairs)),
+       |wbsym AS MATERIALIZED (SELECT a, b, l FROM (
+       |  SELECT p1 AS a, p2 AS b, l FROM wbpm
+       |  UNION ALL SELECT p2 AS a, p1 AS b, l FROM wbpm)),
+       |wbsrc AS MATERIALIZED (
+       |  SELECT p AS s FROM wbpar ORDER BY p LIMIT $bcSources),
+       |wbf0 AS MATERIALIZED (
+       |  SELECT s, s AS v, CAST(0 AS BIGINT) AS d FROM wbsrc),
+       |wbd0 AS MATERIALIZED (SELECT s, v, d FROM wbf0),
+       |$relax,
+       |wbdist AS MATERIALIZED (SELECT s, v, d FROM wbd$connNP),
+       |wbtight AS MATERIALIZED (
+       |  SELECT du.s, du.v AS u, dv.v
+       |  FROM wbdist du
+       |  JOIN wbsym e ON e.a = du.v
+       |  JOIN wbdist dv ON dv.s = du.s AND dv.v = e.b
+       |  WHERE du.d + e.l = dv.d
+       |),
+       |wbs0 AS MATERIALIZED (
+       |  SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM wbsrc),
+       |$sig,
+       |wbgrid AS MATERIALIZED (SELECT s, v FROM wbdist),
+       |wbl0 AS MATERIALIZED (
+       |  SELECT s, v, CAST(0 AS BIGINT) AS delta FROM wbgrid),
+       |$del,
+       |wbsum AS (
+       |  SELECT v AS p, CAST(SUM(delta) AS BIGINT) AS t
+       |  FROM wbl$connNP WHERE v <> s GROUP BY 1
+       |)
+       |SELECT wbpar.p,
+       |  round(CAST(COALESCE(wbsum.t, 0) AS DOUBLE) / 1e12, 6) AS bc_w
+       |FROM wbpar LEFT JOIN wbsum ON wbsum.p = wbpar.p
+       |ORDER BY wbpar.p""".stripMargin
+  }
+
   // ---- q232: Barrat weighted clustering coefficient --------------------------
   // The weighted local-segregation companion (Barrat et al. 2004, PNAS
   // 101:3747 — the weighted clustering Rubinov & Sporns list beside
@@ -5335,6 +5549,7 @@ object DesignImage extends QueryModule {
     Q("q225_modularity_louvain", modularityLouvain, Some(modularityLouvainSql)),
     Q("q239_louvain_multilevel", modularityLouvainMulti, Some(modularityLouvainMultiSql)),
     Q("q240_betweenness", betweenness, Some(betweennessSql)),
+    Q("q247_betweenness_weighted", betweennessWeighted, Some(betweennessWeightedSql)),
     Q("q241_dfc_flexibility", dfcFlexibility, Some(dfcFlexibilitySql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),

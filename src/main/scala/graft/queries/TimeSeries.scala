@@ -1663,6 +1663,111 @@ object TimeSeries extends QueryModule {
        |  COALESCE(abs(round(CASE WHEN v_fp > 0 THEN (CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END, 6)) > CAST(1.96 AS DOUBLE), false) AS significant
        |FROM agg CROSS JOIN segn""".stripMargin
 
+  // ---- q248: top-k converting journeys (q244's Sankey drill-down) ------------
+  // q244 counts pairwise transitions; the drill-down every funnel view
+  // needs is the full PATH: for each conversion event, the bounded
+  // k-gram of event types leading INTO it within the same session
+  // (the q52 30-min gap — cross-session history is not a journey),
+  // counted exactly and served as the top-K per gram LENGTH. One row
+  // per (g, path): a 2-gram is the immediate referrer, a 4-gram the
+  // 3-step approach — separate lengths because a shorter gram is a
+  // MARGINAL of the longer ones, not a competitor. Order within a user
+  // is the exact (us, event_id) total order (the q17 discipline);
+  // ranking is the exact (n DESC, path ASC) total order, served by the
+  // TopKPerKey plan (§2.11 — the row_number ≤ k pattern rewrites to
+  // the heap-only partial/final exec, no full sort of the path
+  // distribution).
+  //
+  // Scale shape: ONE data-sized exchange (the per-user window;
+  // HashPartitioning(user_id) also satisfies the per-(user, session)
+  // lag window, so sessionize + lags share it); the gram relation is
+  // conversions-sized, its count one partial-agg exchange, and the
+  // top-K is heap-pruned map-side by TopKPerKeyExec instead of a
+  // global sort.
+
+  private val jkTopK = 10
+
+  def topJourneys(s: SparkSession, d: String): DataFrame =
+    topJourneysCore(events(s, d)
+      .selectExpr("user_id", "event_type", "event_id",
+        "CAST(ts div 1000 AS BIGINT) AS us"))
+
+  /** Top converting paths from (user_id, event_type, event_id, us). */
+  private[graft] def topJourneysCore(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev0.select("user_id", "event_type", "event_id", "us")
+      .withColumn("prev_us", lag("us", 1).over(wLag))
+      .withColumn("brk", expr(
+        s"CASE WHEN prev_us IS NULL OR us - prev_us > $journeyGapUs THEN 1 ELSE 0 END"))
+      .withColumn("sid", sum("brk").over(wRun))
+    val wS = Window.partitionBy("user_id", "sid").orderBy(col("us"), col("event_id"))
+    val conv = sess
+      .withColumn("l1", lag("event_type", 1).over(wS))
+      .withColumn("l2", lag("event_type", 2).over(wS))
+      .withColumn("l3", lag("event_type", 3).over(wS))
+      .filter(col("event_type") === "purchase")
+      .localCheckpoint() // conversions-sized; three gram lengths read it
+    val grams = conv.filter(col("l1").isNotNull)
+      .selectExpr("CAST(2 AS INT) AS g", "l1 || '>' || event_type AS path")
+      .unionByName(conv.filter(col("l2").isNotNull)
+        .selectExpr("CAST(3 AS INT) AS g",
+          "l2 || '>' || l1 || '>' || event_type AS path"))
+      .unionByName(conv.filter(col("l3").isNotNull)
+        .selectExpr("CAST(4 AS INT) AS g",
+          "l3 || '>' || l2 || '>' || l1 || '>' || event_type AS path"))
+    grams.groupBy("g", "path").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("n").desc, col("path").asc)))
+      .filter(col("rank") <= jkTopK)
+      .orderBy("g", "rank")
+  }
+
+  private val topJourneysSql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+       |),
+       |brks AS (
+       |  SELECT user_id, event_type, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > $journeyGapUs
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |),
+       |sess AS MATERIALIZED (
+       |  SELECT user_id, event_type, event_id, us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM brks
+       |),
+       |lagged AS MATERIALIZED (
+       |  SELECT event_type,
+       |    LAG(event_type, 1) OVER w AS l1,
+       |    LAG(event_type, 2) OVER w AS l2,
+       |    LAG(event_type, 3) OVER w AS l3
+       |  FROM sess WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+       |),
+       |conv AS MATERIALIZED (SELECT * FROM lagged WHERE event_type = 'purchase'),
+       |grams AS MATERIALIZED (
+       |  SELECT CAST(2 AS INTEGER) AS g, l1 || '>' || event_type AS path
+       |  FROM conv WHERE l1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT CAST(3 AS INTEGER), l2 || '>' || l1 || '>' || event_type
+       |  FROM conv WHERE l2 IS NOT NULL
+       |  UNION ALL
+       |  SELECT CAST(4 AS INTEGER), l3 || '>' || l2 || '>' || l1 || '>' || event_type
+       |  FROM conv WHERE l3 IS NOT NULL
+       |),
+       |cnt AS MATERIALIZED (
+       |  SELECT g, path, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1, 2
+       |)
+       |SELECT g, path, n, rank FROM (
+       |  SELECT g, path, n,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY n DESC, path ASC) AS INTEGER) AS rank
+       |  FROM cnt
+       |) WHERE rank <= $jkTopK
+       |ORDER BY g, rank""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -1683,6 +1788,7 @@ object TimeSeries extends QueryModule {
     Q("q244_journey_transitions", journeyTransitions, Some(journeyTransitionsSql)),
     Q("q245_ab_multiarm", abMultiArm, Some(abMultiArmSql)),
     Q("q246_log_rank", logRank, Some(logRankSql)),
+    Q("q248_top_journeys", topJourneys, Some(topJourneysSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -870,6 +870,37 @@ class InferenceQcSpec extends SparkSpec {
     assert(star2(0) === 4.0, s"2-pivot star center: $star2")
   }
 
+  test("q247: weighted betweenness — the weighted diamond re-routes the binary center") {
+    val s = spark
+    import s.implicits._
+    def bcw(edges: Seq[(Int, Int, Long)], k: Int): Map[Int, Double] =
+      graft.queries.DesignImage.betweennessWeightedCore(
+        edges.toDF("p1", "p2", "w"), k)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // Diamond 1-2-4 heavy (w = 10 ⇒ ℓ = 10¹¹) / 1-3-4 light (w = 1 ⇒
+    // ℓ = 10¹²), all 4 sources. BINARY betweenness on this topology is
+    // 1.0 everywhere (1↔4 and 2↔3 each split σ = 2 over the two
+    // routes); WEIGHTED, every 1↔4 shortest path runs via 2 (2·10¹¹ <
+    // 2·10¹²) so bc_w(2) = 2.0 and bc_w(3) = 0.0, while 2↔3 still
+    // splits over 1 and 4 (both routes cost 1.1·10¹², σ = 2, the
+    // half-dependency 10¹² div 2) giving bc_w(1) = bc_w(4) = 1.0 —
+    // the planted case where the weighted and binary centers differ.
+    val dia = bcw(Seq((1, 2, 10L), (2, 4, 10L), (1, 3, 1L), (3, 4, 1L)), 4)
+    assert(dia(2) === 2.0 && dia(3) === 0.0, s"weighted re-route: $dia")
+    assert(dia(1) === 1.0 && dia(4) === 1.0, s"sigma=2 halves: $dia")
+    val bin = graft.queries.DesignImage.betweennessCore(
+      Seq((1, 2), (2, 4), (1, 3), (3, 4)).map { case (a, b) => (a, b, 1L) }
+        .toDF("p1", "p2", "edge"), 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (1 to 4).foreach(v => assert(bin(v) === 1.0,
+      s"binary diamond must NOT distinguish 2 from 3: $bin"))
+    // equal weights degenerate to the binary answer: C4 at w = 5 keeps
+    // every opposite pair at sigma = 2 → 1.0 everywhere (pins the
+    // weighted sigma-ratio fixed point against q240's binary kernel).
+    val c4 = bcw(Seq((0, 1, 5L), (0, 2, 5L), (1, 3, 5L), (2, 3, 5L)), 4)
+    (0 to 3).foreach(v => assert(c4(v) === 1.0, s"C4 at equal w: $c4"))
+  }
+
   test("q239: level 2 merges the triangle ring level 1 cannot (resolution limit)") {
     val s = spark
     import s.implicits._

@@ -758,6 +758,43 @@ class OperatorSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant"), "|z| ≈ 0.18 must not flag")
   }
 
+  test("q248: top converting journey differs from the top pairwise edge; heap plan serves it") {
+    val s = spark
+    import s.implicits._
+    val gap = 1800000000L
+    // 5 users convert via X→Y→purchase; 4 via A→purchase; 4 more walk
+    // A→B→A→B→A WITHOUT converting (8+8 A↔B edges — the top q244
+    // transition by far, but NO converting journey contains it).
+    // User 401's purchase sits beyond the session gap from their only
+    // other event — cross-session history must not become a journey.
+    var id = 0L
+    def sess(u: Long, types: Seq[String], step: Long = 10L): Seq[(Long, String, Long, Long)] =
+      types.zipWithIndex.map { case (t, i) => id += 1; (u, t, id, i * step) }
+    val ev = ((101L to 105L).flatMap(u => sess(u, Seq("X", "Y", "purchase"))) ++
+      (201L to 204L).flatMap(u => sess(u, Seq("A", "purchase"))) ++
+      (301L to 304L).flatMap(u => sess(u, Seq("A", "B", "A", "B", "A"))) ++
+      sess(401L, Seq("Q", "purchase"), gap + 1L))
+      .toDF("user_id", "event_type", "event_id", "us")
+    // q244's top pairwise edge is A->B (8)...
+    val topEdge = graft.queries.TimeSeries.journeyTransitionsCore(ev)
+      .orderBy(col("n").desc, col("from_type"), col("to_type")).head()
+    assert(topEdge.getString(0) === "A" && topEdge.getString(1) === "B"
+      && topEdge.getLong(2) === 8L, s"top edge: $topEdge")
+    // ...but the top converting journeys never mention it.
+    val tj = graft.queries.TimeSeries.topJourneysCore(ev)
+    val out = tj.collect().map(r =>
+      (r.getInt(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out((2, 1)) === (("Y>purchase", 5L)), s"g=2 top: $out")
+    assert(out((2, 2)) === (("A>purchase", 4L)), s"g=2 second: $out")
+    assert(out((3, 1)) === (("X>Y>purchase", 5L)), s"g=3 top: $out")
+    assert(!out.keySet.exists(_._1 == 4), s"no 4-gram exists: $out")
+    assert(!out.values.exists(_._1.contains("Q")),
+      s"the cross-session purchase must have no journey: $out")
+    // the row_number <= k pattern must rewrite to the heap-only exec
+    assert(tj.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      tj.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
     val s = spark
     import s.implicits._
