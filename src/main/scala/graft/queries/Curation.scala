@@ -359,8 +359,9 @@ object Curation extends QueryModule {
         "round(logw - ln(-ln(u)), 6) AS priority")
     scored.orderBy(col("priority").desc, col("doc_id").asc).limit(n)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("priority").desc, col("doc_id").asc)).cast("long"))
+        graft.util.Windows.boundedGlobalWindow(
+          "n-bounded: input is limit(n)",
+          col("priority").desc, col("doc_id").asc)).cast("long"))
       .select("rank", "doc_id", "n_bigrams", "logw", "priority")
   }
 

@@ -2720,12 +2720,13 @@ object DesignImage extends QueryModule {
       .selectExpr("least(d1, d2) AS dmin", "w")
     val ek = broadcast(ks).join(ed, col("dmin") > col("k"))
       .groupBy("k").agg(count(lit(1)).as("e_k"), sum("w").as("w_k"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("w").desc, col("p1"), col("p2"))
+    val w = graft.util.Windows.boundedGlobalWindow(
+      "NP²-bounded undirected edge list", col("w").desc, col("p1"), col("p2"))
     val cum = ones
       .withColumn("rk", row_number().over(w))
       .withColumn("cw", sum("w").over(
-        org.apache.spark.sql.expressions.Window.orderBy("rk")
+        graft.util.Windows.boundedGlobalWindow(
+          "NP²-bounded undirected edge list", col("rk"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .select("rk", "cw")
     ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
@@ -3461,12 +3462,13 @@ object DesignImage extends QueryModule {
           .groupBy("p").agg(count(lit(1)).as("deg")),
         Seq("p"), "left")
       .na.fill(0L, Seq("deg"))
-    val w = org.apache.spark.sql.expressions.Window
     val ranked = deg
       .withColumn("rhub", row_number()
-        .over(w.orderBy(col("deg").desc, col("p").asc)).cast("long"))
+        .over(graft.util.Windows.boundedGlobalWindow(
+          "NP-bounded degree table", col("deg").desc, col("p").asc)).cast("long"))
       .withColumn("rleaf", row_number()
-        .over(w.orderBy(col("deg").asc, col("p").asc)).cast("long"))
+        .over(graft.util.Windows.boundedGlobalWindow(
+          "NP-bounded degree table", col("deg").asc, col("p").asc)).cast("long"))
       .localCheckpoint() // NP rows (the single-partition window is fine here)
     val ks = Seq("hub", "leaf")
       .flatMap(st => (0L to attackKMax).map(st -> _))
@@ -3873,7 +3875,8 @@ object DesignImage extends QueryModule {
     val fin = dfcStatesAssign(wr).localCheckpoint() // |W| rows; 2 consumers
     val runs = fin
       .withColumn("prev", lag("state", 1).over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+        graft.util.Windows.boundedGlobalWindow(
+          "|W|-bounded: one row per dFC window", col("ws"))))
       .selectExpr("state",
         "CASE WHEN prev IS NULL OR prev != state THEN 1 ELSE 0 END AS rs")
       .groupBy("state").agg(sum("rs").as("n_runs"))
@@ -4021,7 +4024,8 @@ object DesignImage extends QueryModule {
     val fin = dfcStatesAssign(wr).localCheckpoint() // |W| rows; 1 window read
     val tr = fin
       .withColumn("to_state", lead("state", 1).over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+        graft.util.Windows.boundedGlobalWindow(
+          "|W|-bounded: one row per dFC window", col("ws"))))
       .filter(col("to_state").isNotNull)
       .groupBy(col("state").as("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
@@ -4043,7 +4047,8 @@ object DesignImage extends QueryModule {
   private def dfcStatesAssign(wr: DataFrame): DataFrame = {
     val wsIdx = wr.select("ws").distinct()
       .withColumn("st", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")) - 1)
+        graft.util.Windows.boundedGlobalWindow(
+          "|W|-bounded: one row per dFC window", col("ws"))) - 1)
     var cent = wr.join(wsIdx.filter(col("st") < dfcK), Seq("ws"))
       .selectExpr("st AS state", "p1", "p2", "v AS c")
       .localCheckpoint()
@@ -4166,7 +4171,8 @@ object DesignImage extends QueryModule {
     val lab = dfcWindowModules(wr0).localCheckpoint()
     val wsIdx = lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+        graft.util.Windows.boundedGlobalWindow(
+          "|W|-bounded: one row per dFC window", col("ws"))))
       .localCheckpoint() // |W| rows; both pair endpoints
     val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
       .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))
@@ -4287,7 +4293,8 @@ object DesignImage extends QueryModule {
     val lab = dfcWindowModules(wr0).localCheckpoint()
     val wsIdx = lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("ws")))
+        graft.util.Windows.boundedGlobalWindow(
+          "|W|-bounded: one row per dFC window", col("ws"))))
       .localCheckpoint() // |W| rows; both pair endpoints
     val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
       .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))

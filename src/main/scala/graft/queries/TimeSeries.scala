@@ -846,8 +846,8 @@ object TimeSeries extends QueryModule {
 
   /** Spike panel from an (hour, n, e) hourly-counts relation. */
   private[graft] def errorSpikesCore(h0: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("hour").rangeBetween(-24, -1)
+    val w = graft.util.Windows.boundedGlobalWindow(
+      "one row per calendar hour", col("hour")).rangeBetween(-24, -1)
     h0.select("hour", "n", "e")
       .withColumn("base_n", coalesce(sum("n").over(w), lit(0L)))
       .withColumn("base_err", coalesce(sum("e").over(w), lit(0L)))
@@ -1167,11 +1167,13 @@ object TimeSeries extends QueryModule {
     val lt = users.groupBy("t")
       .agg(count(lit(1)).as("n_t"), sum("ev").as("d_churn"))
       .localCheckpoint() // lifetimes-bounded; risk window + output
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("t").desc)
+    val w = graft.util.Windows.boundedGlobalWindow(
+      "lifetimes-bounded: one row per observed lifetime ≤ observed days",
+      col("t").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wc = org.apache.spark.sql.expressions.Window
-      .orderBy(col("t").asc)
+    val wc = graft.util.Windows.boundedGlobalWindow(
+      "lifetimes-bounded: one row per observed lifetime ≤ observed days",
+      col("t").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     lt
       .withColumn("n_risk", sum("n_t").over(w))
@@ -1577,8 +1579,9 @@ object TimeSeries extends QueryModule {
       sum(expr("CASE WHEN seg = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("m_b"),
       sum(expr("CASE WHEN seg = 1 THEN ev ELSE 0 END")).as("d_b"))
       .localCheckpoint() // lifetimes-bounded; at-risk window + totals
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("t").desc)
+    val w = graft.util.Windows.boundedGlobalWindow(
+      "lifetimes-bounded: one row per observed lifetime ≤ observed days",
+      col("t").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val steps = lt
       .withColumn("n_a", sum("m_a").over(w))
