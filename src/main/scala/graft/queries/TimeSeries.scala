@@ -1462,11 +1462,19 @@ object TimeSeries extends QueryModule {
       s"(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n)) END"
 
   def abMultiArm(s: SparkSession, d: String): DataFrame =
-    abMultiArmCore(events(s, d).groupBy("user_id")
-      .agg(max(expr(convExprStr)).as("conv"))
+    abMultiArmFromUsers(events(s, d).groupBy("user_id")
+      .agg(max(expr(convExprStr)).as("conv")))
+
+  /** q245 panel from the per-user (user_id, conv) relation — the SAME
+    * state grain as [[abTestFromUsers]], so the streaming twin shares
+    * q238's MAX-merged conversion store. */
+  private[graft] def abMultiArmFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    abMultiArmCore(users
       .crossJoin(broadcast(
         s.range(abExps).select(col("id").as("experiment"))))
       .selectExpr("experiment", s"$maArmStr AS arm", "conv"))
+  }
 
   /** Panel from an (experiment, arm ∈ [0,k), conv ∈ {0,1}) per-user
     * assignment relation — split out so specs can plant k-cell tables. */
@@ -1566,9 +1574,15 @@ object TimeSeries extends QueryModule {
 
   /** Log-rank summary row from a (user_id, day) activity relation:
     * (users_a, users_b, o_a, e_a, o_b, e_b, var_lr, z, significant). */
-  private[graft] def logRankCore(userDay: DataFrame): DataFrame = {
-    val spans = userDay.select("user_id", "day").distinct()
-      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+  private[graft] def logRankCore(userDay: DataFrame): DataFrame =
+    logRankFromSpans(userDay.select("user_id", "day").distinct()
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1")))
+
+  /** [[logRankCore]] from the per-user (user_id, d0, d1) span relation —
+    * the SAME state grain as [[churnSurvivalFromSpans]], so the
+    * streaming twin shares q243's MIN/MAX-merged span store (segment
+    * derives from user_id, which the spans carry). */
+  private[graft] def logRankFromSpans(spans: DataFrame): DataFrame = {
     val users = spans
       .crossJoin(broadcast(spans.agg(max("d1").as("dend"))))
       .selectExpr(s"$lrSegStr AS seg", "d1 - d0 AS t",

@@ -1329,6 +1329,31 @@ object StreamOps {
       abTestBatch(batch, name, location, outPath)
     }
 
+  /** MAX-merge the batch's per-user conversion bits into the standing
+    * `tbl` (create on first touch) — shared by the q238 and q245 twins
+    * so one conversion store can serve both panels. */
+  private def mergeConvState(batch: DataFrame, tbl: String,
+      location: String): Unit = {
+    val s = batch.sparkSession
+    val bu = graft.util.Tables.normalizeTsNanos(batch)
+      .groupBy("user_id")
+      .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv"))
+    if (!s.catalog.tableExists(tbl)) {
+      bu.write.mode("overwrite").format("parquet")
+        .option("path", location).saveAsTable(tbl)
+    } else {
+      s.catalog.refreshTable(tbl)
+      val merged = s.table(tbl).selectExpr("user_id", "conv AS c_old")
+        .join(bu.selectExpr("user_id", "conv AS c_new"),
+          Seq("user_id"), "full")
+        .selectExpr("user_id",
+          "greatest(coalesce(c_old, c_new), coalesce(c_new, c_old)) AS conv")
+        .localCheckpoint() // the swap drops the table it derives from
+      graft.util.BucketedStores.swapContents(s, tbl, merged)
+      s.catalog.refreshTable(tbl)
+    }
+  }
+
   /** One micro-batch of [[streamingAbTest]] — public for the spec. */
   def abTestBatch(batch: DataFrame, name: String, location: String,
       outPath: String): Unit = {
@@ -1338,24 +1363,33 @@ object StreamOps {
     // crash-interrupted swap BEFORE the tableExists probe.
     graft.util.BucketedStores.recoverSwap(s, tbl)
     if (!batch.isEmpty) {
-      val bu = graft.util.Tables.normalizeTsNanos(batch)
-        .groupBy("user_id")
-        .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv"))
-      if (!s.catalog.tableExists(tbl)) {
-        bu.write.mode("overwrite").format("parquet")
-          .option("path", s"$location/abconv").saveAsTable(tbl)
-      } else {
-        s.catalog.refreshTable(tbl)
-        val merged = s.table(tbl).selectExpr("user_id", "conv AS c_old")
-          .join(bu.selectExpr("user_id", "conv AS c_new"),
-            Seq("user_id"), "full")
-          .selectExpr("user_id",
-            "greatest(coalesce(c_old, c_new), coalesce(c_new, c_old)) AS conv")
-          .localCheckpoint() // the swap drops the table it derives from
-        graft.util.BucketedStores.swapContents(s, tbl, merged)
-        s.catalog.refreshTable(tbl)
-      }
+      mergeConvState(batch, tbl, s"$location/abconv")
       graft.queries.TimeSeries.abTestFromUsers(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING multi-arm experiment panel — q245's foreachBatch twin.
+    * IDENTICAL state to [[abTestBatch]] (the per-user MAX conversion
+    * bit — arm assignment is a stateless hash applied at recompute
+    * time, for ANY arm count), so the twin is the same algebra with
+    * the q245 recompute; replay-safe with no guards. */
+  def streamingAbMultiArm(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      abMultiArmBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingAbMultiArm]] — public for the spec. */
+  def abMultiArmBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_abconv"
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      mergeConvState(batch, tbl, s"$location/abconv")
+      graft.queries.TimeSeries.abMultiArmFromUsers(s.table(tbl))
         .write.mode("overwrite").parquet(outPath)
     }
     ()
@@ -1380,6 +1414,33 @@ object StreamOps {
       churnSurvivalBatch(batch, name, location, outPath)
     }
 
+  /** MIN/MAX-merge the batch's per-user (d0, d1) spans into the
+    * standing `tbl` (create on first touch) — shared by the q243 and
+    * q246 twins so one span store serves both survival panels. */
+  private def mergeSpanState(batch: DataFrame, tbl: String,
+      location: String): Unit = {
+    val s = batch.sparkSession
+    val bs = graft.util.Tables.normalizeTsNanos(batch)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    if (!s.catalog.tableExists(tbl)) {
+      bs.write.mode("overwrite").format("parquet")
+        .option("path", location).saveAsTable(tbl)
+    } else {
+      s.catalog.refreshTable(tbl)
+      val merged = s.table(tbl)
+        .selectExpr("user_id", "d0 AS a0", "d1 AS a1")
+        .join(bs.selectExpr("user_id", "d0 AS b0", "d1 AS b1"),
+          Seq("user_id"), "full")
+        .selectExpr("user_id",
+          "least(coalesce(a0, b0), coalesce(b0, a0)) AS d0",
+          "greatest(coalesce(a1, b1), coalesce(b1, a1)) AS d1")
+        .localCheckpoint() // the swap drops the table it derives from
+      graft.util.BucketedStores.swapContents(s, tbl, merged)
+      s.catalog.refreshTable(tbl)
+    }
+  }
+
   /** One micro-batch of [[streamingChurnSurvival]] — public for the
     * spec. */
   def churnSurvivalBatch(batch: DataFrame, name: String, location: String,
@@ -1390,26 +1451,33 @@ object StreamOps {
     // interrupted swap BEFORE the tableExists probe.
     graft.util.BucketedStores.recoverSwap(s, tbl)
     if (!batch.isEmpty) {
-      val bs = graft.util.Tables.normalizeTsNanos(batch)
-        .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day")
-        .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
-      if (!s.catalog.tableExists(tbl)) {
-        bs.write.mode("overwrite").format("parquet")
-          .option("path", s"$location/chspan").saveAsTable(tbl)
-      } else {
-        s.catalog.refreshTable(tbl)
-        val merged = s.table(tbl)
-          .selectExpr("user_id", "d0 AS a0", "d1 AS a1")
-          .join(bs.selectExpr("user_id", "d0 AS b0", "d1 AS b1"),
-            Seq("user_id"), "full")
-          .selectExpr("user_id",
-            "least(coalesce(a0, b0), coalesce(b0, a0)) AS d0",
-            "greatest(coalesce(a1, b1), coalesce(b1, a1)) AS d1")
-          .localCheckpoint() // the swap drops the table it derives from
-        graft.util.BucketedStores.swapContents(s, tbl, merged)
-        s.catalog.refreshTable(tbl)
-      }
+      mergeSpanState(batch, tbl, s"$location/chspan")
       graft.queries.TimeSeries.churnSurvivalFromSpans(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING log-rank test — q246's foreachBatch twin. IDENTICAL
+    * state to [[churnSurvivalBatch]] (the per-user MIN/MAX span —
+    * segment membership is a stateless function of user_id applied at
+    * recompute time), so the twin is the same algebra with the q246
+    * recompute; replay-safe with no guards. */
+  def streamingLogRank(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      logRankBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingLogRank]] — public for the spec. */
+  def logRankBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_chspan"
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      mergeSpanState(batch, tbl, s"$location/chspan")
+      graft.queries.TimeSeries.logRankFromSpans(s.table(tbl))
         .write.mode("overwrite").parquet(outPath)
     }
     ()
@@ -1460,6 +1528,44 @@ object StreamOps {
         .saveAsTable(tbl)
       s.catalog.refreshTable(tbl)
       graft.queries.TimeSeries.journeyTransitionsCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING top converting journeys — q248's foreachBatch twin, on
+    * the [[journeyTransitionsBatch]] event-grain state (a path is an
+    * in-session SEQUENCE, so the batch-spanning / late-splice argument
+    * that put q244's twin on the event grain applies verbatim —
+    * additive gram counts could neither see a path whose steps span
+    * micro-batches nor retract grams a late event splices apart).
+    * Each batch: dedup, event_id anti-join admit, recompute the full
+    * top-K table via the SHARED topJourneysCore, OVERWRITE outPath. */
+  def streamingTopJourneys(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      topJourneysBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingTopJourneys]] — public for the spec. */
+  def topJourneysBatch(batch: DataFrame, name: String,
+      location: String, outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id", "event_type",
+          "CAST(ts div 1000 AS BIGINT) AS us")
+        .dropDuplicates("event_id")
+      val tbl = s"${name}_tjevents"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/tjevents")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.topJourneysCore(s.table(tbl))
         .write.mode("overwrite").parquet(outPath)
     }
     ()

@@ -428,6 +428,85 @@ class OperatorSpec extends SparkSpec {
       s"MIN/MAX merge must grow user 1's span without touching the others: $spans")
   }
 
+  test("q245/q246 streaming twins: shared conv/span stores serve the multi-arm and log-rank panels") {
+    val s = spark
+    import s.implicits._
+    Seq("graft_test_ma_abconv", "graft_test_lr_chspan")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("/tmp/graft_test_ma", "/tmp/graft_test_lr").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // multi-arm: user 2 converts LATE, user 1's re-conversion and the
+    // batch-1 redelivery are MAX no-ops (the q238 twin's algebra, q245
+    // recompute)
+    val ab1 = (1L to 6L).map(u => (u, "view", 0.0, 0L)) :+ ((1L, "purchase", 500.0, 0L))
+    val ab2 = Seq((2L, "purchase", 300.0, 0L), (1L, "purchase", 400.0, 0L))
+    val maOut = "/tmp/graft_test_ma/out"
+    def runMa(rows: Seq[(Long, String, Double, Long)]) =
+      graft.streaming.StreamOps.abMultiArmBatch(
+        rows.toDF("user_id", "event_type", "value", "ts"),
+        "graft_test_ma", "/tmp/graft_test_ma", maOut)
+    runMa(ab1); runMa(ab2); runMa(ab1) // redelivery
+    val maGot = s.read.parquet(maOut).collect().map(_.toString).sorted.toSeq
+    val maRef = graft.queries.TimeSeries.abMultiArmFromUsers(
+      (ab1 ++ ab2).toDF("user_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(maGot.nonEmpty && maGot == maRef,
+      s"multi-arm snapshot must equal batch q245: $maGot vs $maRef")
+    // log-rank: user 1's span grows across batches (the q243 twin's
+    // algebra, q246 recompute); redelivery is a least/greatest no-op
+    val day = 86400000000000L
+    val lr1: Seq[(Long, Long)] = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+    val lr2: Seq[(Long, Long)] = Seq((1L, 20L * day), (4L, 20L * day))
+    val lrOut = "/tmp/graft_test_lr/out"
+    def runLr(rows: Seq[(Long, Long)]) =
+      graft.streaming.StreamOps.logRankBatch(
+        rows.toDF("user_id", "ts"), "graft_test_lr", "/tmp/graft_test_lr", lrOut)
+    runLr(lr1); runLr(lr2); runLr(lr1) // redelivery
+    val lrGot = s.read.parquet(lrOut).collect().map(_.toString).sorted.toSeq
+    val lrRef = graft.queries.TimeSeries.logRankCore(
+      (lr1 ++ lr2).toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(lrGot.nonEmpty && lrGot == lrRef,
+      s"log-rank snapshot must equal batch q246: $lrGot vs $lrRef")
+  }
+
+  test("q248 streaming twin: a journey whose steps span micro-batches lands; redelivery converges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_tj_tjevents")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_tj"))
+    val m = 60000000000L // 1 min in ns
+    val out = "/tmp/graft_test_tj/out"
+    // user 1's X (batch 1) → Y (batch 1) → purchase (batch 2): the
+    // 3-gram exists only once BOTH batches are admitted
+    val b1: Seq[(Long, Long, String, Long)] = Seq(
+      (1L, 1L, "X", 0L), (2L, 1L, "Y", m), (3L, 2L, "X", 0L))
+    val b2: Seq[(Long, Long, String, Long)] = Seq(
+      (4L, 1L, "purchase", 2L * m), (5L, 2L, "purchase", m))
+    def run(rows: Seq[(Long, Long, String, Long)]) =
+      graft.streaming.StreamOps.topJourneysBatch(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        "graft_test_tj", "/tmp/graft_test_tj", out)
+    run(b1); run(b2); run(b1) // redelivery
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.topJourneysCore(
+      (b1 ++ b2).toDF("event_id", "user_id", "event_type", "ts")
+        .selectExpr("user_id", "event_type", "event_id",
+          "CAST(ts div 1000 AS BIGINT) AS us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal batch q248 incl. the cross-batch path: $got vs $ref")
+    val g3 = s.read.parquet(out).filter(col("g") === 3).head()
+    assert(g3.getString(1) === "X>Y>purchase" && g3.getLong(2) === 1L,
+      s"the cross-batch 3-gram must land: $g3")
+    assert(s.table("graft_test_tj_tjevents").count() === 5L,
+      "the event_id guard must absorb the redelivery")
+  }
+
   test("q244 streaming twin: a transition spanning micro-batches lands; redelivery converges") {
     val s = spark
     import s.implicits._
