@@ -859,7 +859,12 @@ class OperatorSpec extends SparkSpec {
       .orderBy(col("n").desc, col("from_type"), col("to_type")).head()
     assert(topEdge.getString(0) === "A" && topEdge.getString(1) === "B"
       && topEdge.getLong(2) === 8L, s"top edge: $topEdge")
-    // ...but the top converting journeys never mention it.
+    // ...but the top converting journeys never mention it. The shared
+    // spec session does not carry the TopKPerKey extension (Verify/
+    // Bench/SparkEntry install it) — install for the plan pin and
+    // restore after, as TopKSpec does.
+    graft.plans.TopKPerKey.install(s)
+    try {
     val tj = graft.queries.TimeSeries.topJourneysCore(ev)
     val out = tj.collect().map(r =>
       (r.getInt(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
@@ -872,6 +877,7 @@ class OperatorSpec extends SparkSpec {
     // the row_number <= k pattern must rewrite to the heap-only exec
     assert(tj.queryExecution.executedPlan.toString.contains("TopKPerKey"),
       tj.queryExecution.executedPlan.toString.take(800))
+    } finally graft.plans.TopKPerKey.uninstall(s)
   }
 
   test("q235: quintile cutoffs score 5 planted users 1..5 on F and M; equal recency collapses R") {
