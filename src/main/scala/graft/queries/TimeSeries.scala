@@ -1583,10 +1583,31 @@ object TimeSeries extends QueryModule {
     * streaming twin shares q243's MIN/MAX-merged span store (segment
     * derives from user_id, which the spans carry). */
   private[graft] def logRankFromSpans(spans: DataFrame): DataFrame = {
+    val zStr = "CASE WHEN v_fp > 0 THEN " +
+      "(CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END"
+    lrFold(spans)
+      .selectExpr("users_a", "users_b", "o_a",
+        "round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a",
+        "o_b",
+        "round(CAST(o_a + o_b AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_b",
+        "round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS var_lr",
+        s"round($zStr, 6) AS z",
+        s"COALESCE(abs(round($zStr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant")
+  }
+
+  /** The shared q246/q252 fold: two-segment O/E/V over the lifetime
+    * steps, ONE row (users_a, users_b, o_a, o_b, ea_fp, v_fp) with the
+    * expected-events and hypergeometric-variance sums at 1e-12 fixed
+    * point (quantize-then-sum; magnitude window ea_fp ≤ 1e12·users —
+    * int64-safe through ~10⁶ churned users, the q246 grain; production
+    * beyond that widens these sums to DECIMAL(38,0) the q234 way).
+    * `churnW` = the churn silence window in days (q246 reads the
+    * product-standard [[churnDays]]; q252 reads [[hrChurnDays]]). */
+  private[graft] def lrFold(spans: DataFrame, churnW: Long = churnDays): DataFrame = {
     val users = spans
       .crossJoin(broadcast(spans.agg(max("d1").as("dend"))))
       .selectExpr(s"$lrSegStr AS seg", "d1 - d0 AS t",
-        s"CASE WHEN dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev")
+        s"CASE WHEN dend - d1 >= $churnW THEN CAST(1 AS BIGINT) ELSE 0 END AS ev")
     val lt = users.groupBy("t").agg(
       sum(expr("CASE WHEN seg = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("m_a"),
       sum(expr("CASE WHEN seg = 0 THEN ev ELSE 0 END")).as("d_a"),
@@ -1609,23 +1630,16 @@ object TimeSeries extends QueryModule {
     val segn = users.groupBy().agg(
       sum(expr("CASE WHEN seg = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("users_a"),
       sum(expr("CASE WHEN seg = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("users_b"))
-    val zStr = "CASE WHEN v_fp > 0 THEN " +
-      "(CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END"
     steps
       .agg(sum("d_a").as("o_a"), sum("d_b").as("o_b"),
         sum("ea_fp").as("ea_fp"), sum("v_fp").as("v_fp"))
       .crossJoin(broadcast(segn))
-      .selectExpr("users_a", "users_b", "o_a",
-        "round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a",
-        "o_b",
-        "round(CAST(o_a + o_b AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_b",
-        "round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS var_lr",
-        s"round($zStr, 6) AS z",
-        s"COALESCE(abs(round($zStr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant")
   }
 
-  private val logRankSql =
-    s"""WITH ud AS MATERIALIZED (
+  /** The q246/q252 shared oracle fold — DuckDB mirror of [[lrFold]],
+    * parameterized on the same churn window. */
+  private def lrFoldCtes(w: Long): String =
+    s"""ud AS MATERIALIZED (
        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
        |),
        |spans AS MATERIALIZED (
@@ -1634,7 +1648,7 @@ object TimeSeries extends QueryModule {
        |dend AS (SELECT MAX(d1) AS dend FROM spans),
        |usr AS MATERIALIZED (
        |  SELECT $lrSegStr AS seg, d1 - d0 AS t,
-       |    CASE WHEN dend.dend - d1 >= $churnDays THEN CAST(1 AS BIGINT) ELSE 0 END AS ev
+       |    CASE WHEN dend.dend - d1 >= $w THEN CAST(1 AS BIGINT) ELSE 0 END AS ev
        |  FROM spans CROSS JOIN dend
        |),
        |lt AS MATERIALIZED (
@@ -1670,7 +1684,10 @@ object TimeSeries extends QueryModule {
        |  SELECT CAST(SUM(d_a) AS BIGINT) AS o_a, CAST(SUM(d_b) AS BIGINT) AS o_b,
        |    CAST(SUM(ea_fp) AS BIGINT) AS ea_fp, CAST(SUM(v_fp) AS BIGINT) AS v_fp
        |  FROM steps
-       |)
+       |)""".stripMargin
+
+  private val logRankSql =
+    s"""WITH ${lrFoldCtes(churnDays)}
        |SELECT users_a, users_b, o_a,
        |  round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a,
        |  o_b,
@@ -1678,6 +1695,89 @@ object TimeSeries extends QueryModule {
        |  round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS var_lr,
        |  round(CASE WHEN v_fp > 0 THEN (CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END, 6) AS z,
        |  COALESCE(abs(round(CASE WHEN v_fp > 0 THEN (CAST(o_a AS DOUBLE) - CAST(ea_fp AS DOUBLE) / 1e12) / sqrt(CAST(v_fp AS DOUBLE) / 1e12) END, 6)) > CAST(1.96 AS DOUBLE), false) AS significant
+       |FROM agg CROSS JOIN segn""".stripMargin
+
+  // ---- q252: hazard ratio between churn segments (q246's effect size) -------
+  // q246 answers "DO the segments churn differently" (a p-value); the
+  // follow-up every survival readout needs is "by HOW MUCH" — the
+  // hazard ratio. The O/E estimator (Collett, *Modelling Survival
+  // Data*, §2.6.4 — the one-step approximation to the Cox MLE):
+  //   HR = (O_a/E_a) / (O_b/E_b),
+  //   se(ln HR) = sqrt(1/E_a + 1/E_b),
+  //   95% CI = exp( ln HR ± 1.96·se ),
+  // significant iff the CI excludes 1. E_a rides q246's exact
+  // quantize-then-sum fixed point (the SHARED [[lrFold]] kernel — the
+  // two queries can never disagree on O/E), E_b = (O_a + O_b) − E_a by
+  // the same-steps identity, and every reported double is one
+  // deterministic expression over the int64 fp sums (BIGINT→DOUBLE is
+  // correctly rounded in both engines — the q246 precedent; ln/exp ride
+  // the q245 closed-form-exp precedent). Flags derive from the ROUNDED
+  // CI bounds (display-boundary rule). Degenerate folds (either
+  // segment with zero observed or zero expected events) yield NULL
+  // HR/CI and a false flag.
+  //
+  // The churn WINDOW: the fixture's users are heavy-traffic (end-gap
+  // ≤ 2 days at every SF), so q243/q246's product-standard 14-day
+  // window yields ZERO churn events there — q246's z is honestly
+  // NULL-degenerate on this data (both engines agree), but an
+  // all-NULL hazard RATIO would make q252 a dead panel. The estimator
+  // is window-agnostic, so q252 reads the EARLY-CHURN window (1 day of
+  // silence — the "didn't come back tomorrow" product question), which
+  // the fixture populates at every SF; the 14-day shape is pinned by
+  // the planted-calendar spec through the shared [[lrFold]] kernel.
+  //
+  // Scale shape: identical to q246 — ONE data-sized exchange (the
+  // per-user span fold, shared store with q243/q246's twins), then
+  // lifetimes-bounded steps and a one-row output.
+
+  private val hrChurnDays = 1L
+  private val hrEbFp = "((o_a + o_b) * 1000000000000 - ea_fp)"
+  private val hrStr =
+    s"CASE WHEN o_a > 0 AND o_b > 0 AND ea_fp > 0 AND $hrEbFp > 0 THEN " +
+      s"(CAST(o_a AS DOUBLE) / (CAST(ea_fp AS DOUBLE) / 1e12)) / " +
+      s"(CAST(o_b AS DOUBLE) / (CAST($hrEbFp AS DOUBLE) / 1e12)) END"
+  private val hrSeStr =
+    s"sqrt(1e12 / CAST(ea_fp AS DOUBLE) + 1e12 / CAST($hrEbFp AS DOUBLE))"
+  private val hrCiLo = s"exp(ln($hrStr) - 1.96 * $hrSeStr)"
+  private val hrCiHi = s"exp(ln($hrStr) + 1.96 * $hrSeStr)"
+
+  def hazardRatio(s: SparkSession, d: String): DataFrame =
+    hazardRatioCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** Hazard-ratio summary row from a (user_id, day) activity relation:
+    * (users_a, users_b, o_a, e_a, o_b, e_b, hr, ci_lo, ci_hi,
+    * significant). */
+  private[graft] def hazardRatioCore(userDay: DataFrame): DataFrame =
+    hazardRatioFromSpans(userDay.select("user_id", "day").distinct()
+      .groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1")))
+
+  /** [[hazardRatioCore]] from the per-user span relation — the SAME
+    * state grain as [[churnSurvivalFromSpans]]/[[logRankFromSpans]],
+    * so the streaming twin shares q243/q246's span store. */
+  private[graft] def hazardRatioFromSpans(spans: DataFrame,
+      w: Long = hrChurnDays): DataFrame =
+    lrFold(spans, w).selectExpr("users_a", "users_b", "o_a",
+      "round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a",
+      "o_b",
+      s"round(CAST($hrEbFp AS DOUBLE) / 1e12, 6) AS e_b",
+      s"round($hrStr, 6) AS hr",
+      s"round($hrCiLo, 6) AS ci_lo",
+      s"round($hrCiHi, 6) AS ci_hi",
+      s"COALESCE(round($hrCiLo, 6) > CAST(1 AS DOUBLE) " +
+        s"OR round($hrCiHi, 6) < CAST(1 AS DOUBLE), false) AS significant")
+
+  private def hazardRatioSql =
+    s"""WITH ${lrFoldCtes(hrChurnDays)}
+       |SELECT users_a, users_b, o_a,
+       |  round(CAST(ea_fp AS DOUBLE) / 1e12, 6) AS e_a,
+       |  o_b,
+       |  round(CAST($hrEbFp AS DOUBLE) / 1e12, 6) AS e_b,
+       |  round($hrStr, 6) AS hr,
+       |  round($hrCiLo, 6) AS ci_lo,
+       |  round($hrCiHi, 6) AS ci_hi,
+       |  COALESCE(round($hrCiLo, 6) > CAST(1 AS DOUBLE)
+       |    OR round($hrCiHi, 6) < CAST(1 AS DOUBLE), false) AS significant
        |FROM agg CROSS JOIN segn""".stripMargin
 
   // ---- q248: top-k converting journeys (q244's Sankey drill-down) ------------
@@ -1785,6 +1885,511 @@ object TimeSeries extends QueryModule {
        |) WHERE rank <= $jkTopK
        |ORDER BY g, rank""".stripMargin
 
+  // ---- q251: second-order journey transitions (2-step Markov) ---------------
+  // q244's first-order matrix assumes the next step depends only on the
+  // current one; the standard next question (and the r19 verdict's
+  // "higher-order journeys" direction) is the SECOND-ORDER model: per
+  // in-session (prev2, prev1) CONTEXT, where do users go next, with the
+  // context-normalized probability — the relation a Sankey's two-step
+  // drill-down and a journey-prediction baseline both read. Sessions
+  // and ordering are exactly q248's (30-min gap breaks the chain; the
+  // (us, event_id) total order breaks ties), so a triple never spans
+  // sessions by construction — both lags live inside the session
+  // window. Output is the SPARSE observed-context relation (a dense
+  // |types|³ grid triples storage for zero analytic value — the q244
+  // dense-grid argument inverts at order 2 because contexts, not
+  // types, are the row key). Counts exact; ONE division per row.
+  //
+  // Scale shape: ONE data-sized exchange (the per-user window —
+  // HashPartitioning(user_id) serves sessionize and both lags, the
+  // q248 shape); the triple relation aggregates to ≤ |types|³ rows,
+  // broadcast-class for the context totals.
+
+  def journeyTrigrams(s: SparkSession, d: String): DataFrame =
+    journeyTrigramsCore(events(s, d)
+      .selectExpr("user_id", "event_type", "event_id",
+        "CAST(ts div 1000 AS BIGINT) AS us"))
+
+  /** Trigram transition relation from (user_id, event_type, event_id,
+    * us): (from2, from1, to_type, n, p), p normalized per context. */
+  private[graft] def journeyTrigramsCore(ev0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev0.select("user_id", "event_type", "event_id", "us")
+      .withColumn("prev_us", lag("us", 1).over(wLag))
+      .withColumn("brk", expr(
+        s"CASE WHEN prev_us IS NULL OR us - prev_us > $journeyGapUs THEN 1 ELSE 0 END"))
+      .withColumn("sid", sum("brk").over(wRun))
+    val wS = Window.partitionBy("user_id", "sid").orderBy(col("us"), col("event_id"))
+    val triples = sess
+      .withColumn("from1", lag("event_type", 1).over(wS))
+      .withColumn("from2", lag("event_type", 2).over(wS))
+      .filter(col("from2").isNotNull)
+      .groupBy(col("from2"), col("from1"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤ |types|³-bounded; context totals re-read it
+    val ctx = triples.groupBy("from2", "from1").agg(sum("n").as("n_ctx"))
+    triples.join(broadcast(ctx), Seq("from2", "from1"))
+      .selectExpr("from2", "from1", "to_type", "n",
+        "round(CAST(n AS DOUBLE) / n_ctx, 6) AS p")
+      .orderBy("from2", "from1", "to_type")
+  }
+
+  private val journeyTrigramsSql =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+       |),
+       |brks AS (
+       |  SELECT user_id, event_type, event_id, us,
+       |    CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > $journeyGapUs
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |),
+       |sess AS MATERIALIZED (
+       |  SELECT user_id, event_type, event_id, us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM brks
+       |),
+       |tri AS MATERIALIZED (
+       |  SELECT from2, from1, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT event_type AS to_type,
+       |      LAG(event_type, 1) OVER w AS from1,
+       |      LAG(event_type, 2) OVER w AS from2
+       |    FROM sess WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+       |  )
+       |  WHERE from2 IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |ctx AS (SELECT from2, from1, CAST(SUM(n) AS BIGINT) AS n_ctx FROM tri GROUP BY 1, 2)
+       |SELECT tri.from2, tri.from1, to_type, n,
+       |  round(CAST(n AS DOUBLE) / n_ctx, 6) AS p
+       |FROM tri JOIN ctx ON ctx.from2 = tri.from2 AND ctx.from1 = tri.from1
+       |ORDER BY tri.from2, tri.from1, to_type""".stripMargin
+
+  // ---- q249: sample-ratio-mismatch guardrail (assignment health) ------------
+  // The FIRST check every experiment platform runs before reading a
+  // result (Fabijan et al., "Diagnosing Sample Ratio Mismatch", KDD
+  // 2019): are users landing in arms at the DESIGNED ratio? A biased
+  // logger, a bot filter that fires arm-dependently, or a broken hash
+  // silently invalidates q238/q245's z — SRM is the canary. Per
+  // experiment the goodness-of-fit chi-square against the uniform
+  // design (K = $maArms equal arms),
+  //   χ² = Σ_arms (n_a − N/K)² / (N/K),  df = K−1,
+  // flagged at the platform-standard p < 0.001 (Kohavi's threshold —
+  // SRM wants high specificity, not 0.05). The arm grid is DENSE over
+  // the K designed arms: an arm that received ZERO users is the most
+  // extreme mismatch and must not vanish with its groupBy cell.
+  // Exactness: counts exact; each arm's contribution is one
+  // deterministic double expression over (n, n_all), quantized to
+  // round(1e12·c) and summed as BIGINT (the q245 discipline; bound
+  // 1e12·χ² ≤ 1e12·N < 2⁶³ through N ≈ 10⁹ users·exps). df = K−1 = 2
+  // keeps the closed-form survival p = exp(−χ²/2) (the q245 lesson) —
+  // hash-checkable, no regularized-gamma rows-only fallback. The flag
+  // derives from the ROUNDED p (the q238 display-boundary rule).
+  //
+  // Scale shape: ONE data-sized exchange (the per-user fold, shared
+  // state with q238/q245's conversion store — SRM only needs the user
+  // SET, which that store carries); the |users|×E expansion feeds an
+  // (E·K)-cell aggregate — broadcast-class everything after.
+
+  private val srmK = maArms
+  private val srmChiStr =
+    s"CASE WHEN n_all > 0 THEN " +
+      s"(n - CAST(n_all AS DOUBLE) / $srmK) * (n - CAST(n_all AS DOUBLE) / $srmK) / (CAST(n_all AS DOUBLE) / $srmK) " +
+      s"ELSE CAST(0 AS DOUBLE) END"
+
+  def srmCheck(s: SparkSession, d: String): DataFrame =
+    srmCheckFromUsers(events(s, d).select("user_id").distinct())
+
+  /** q249 panel from the per-user relation — the SAME grain as
+    * [[abTestFromUsers]] minus the conv bit, so the streaming twin
+    * reads q238/q245's conversion store (user set ⊂ its key column). */
+  private[graft] def srmCheckFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    srmCheckCore(users
+      .crossJoin(broadcast(
+        s.range(abExps).select(col("id").as("experiment"))))
+      .selectExpr("experiment", s"$maArmStr AS arm"))
+  }
+
+  /** Panel from an (experiment, arm ∈ [0,K)) per-user assignment
+    * relation — split out so specs can plant skewed arm counts. */
+  private[graft] def srmCheckCore(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    val cells = assigned.groupBy("experiment", "arm")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // (E·K)-bounded; grid fill + totals read it
+    val grid = cells.select("experiment").distinct()
+      .crossJoin(broadcast(s.range(srmK).select(col("id").as("arm"))))
+    val dense = grid.join(cells, Seq("experiment", "arm"), "left")
+      .na.fill(0L, Seq("n"))
+    val tot = dense.groupBy("experiment").agg(sum("n").as("n_all"))
+    val withChi = dense.join(broadcast(tot), Seq("experiment"))
+      .selectExpr("experiment", "arm", "n", "n_all",
+        s"CAST(round(1e12 * ($srmChiStr), 0) AS BIGINT) AS chi_fp")
+    val chi = withChi.groupBy("experiment").agg(sum("chi_fp").as("chi2_fp"))
+    withChi.join(broadcast(chi), Seq("experiment"))
+      .selectExpr("experiment", "arm", "n",
+        s"round(CAST(n_all AS DOUBLE) / $srmK, 6) AS expected",
+        "round(CAST(chi2_fp AS DOUBLE) / 1e12, 6) AS chi2",
+        // df = K−1 = 2: χ² survival = exp(−x/2), exact closed form
+        "round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) AS chi2_p",
+        "round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) < CAST(0.001 AS DOUBLE) AS srm")
+      .orderBy("experiment", "arm")
+  }
+
+  private val srmCheckSql =
+    s"""WITH u AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+       |asg AS MATERIALIZED (
+       |  SELECT e.experiment, $maArmStr AS arm
+       |  FROM u CROSS JOIN (
+       |    SELECT CAST(g AS BIGINT) AS experiment
+       |    FROM generate_series(0, ${abExps - 1}) gs(g)) e
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT experiment, arm, CAST(count(*) AS BIGINT) AS n
+       |  FROM asg GROUP BY 1, 2
+       |),
+       |dense AS MATERIALIZED (
+       |  SELECT ex.experiment, ar.arm, COALESCE(cells.n, 0) AS n
+       |  FROM (SELECT DISTINCT experiment FROM cells) ex
+       |  CROSS JOIN (SELECT CAST(a AS BIGINT) AS arm
+       |              FROM generate_series(0, ${srmK - 1}) ga(a)) ar
+       |  LEFT JOIN cells ON cells.experiment = ex.experiment AND cells.arm = ar.arm
+       |),
+       |tot AS (SELECT experiment, CAST(SUM(n) AS BIGINT) AS n_all FROM dense GROUP BY 1),
+       |wt AS MATERIALIZED (
+       |  SELECT dense.experiment, arm, n, n_all,
+       |    CAST(round(1e12 * ($srmChiStr), 0) AS BIGINT) AS chi_fp
+       |  FROM dense JOIN tot ON dense.experiment = tot.experiment
+       |),
+       |chi AS (SELECT experiment, CAST(SUM(chi_fp) AS BIGINT) AS chi2_fp FROM wt GROUP BY 1)
+       |SELECT wt.experiment, arm, n,
+       |  round(CAST(n_all AS DOUBLE) / $srmK, 6) AS expected,
+       |  round(CAST(chi2_fp AS DOUBLE) / 1e12, 6) AS chi2,
+       |  round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) AS chi2_p,
+       |  round(exp(-(CAST(chi2_fp AS DOUBLE) / 1e12) / 2), 6) < CAST(0.001 AS DOUBLE) AS srm
+       |FROM wt JOIN chi ON chi.experiment = wt.experiment
+       |ORDER BY wt.experiment, arm""".stripMargin
+
+  // ---- q253: minimum detectable effect (experiment sensitivity) -------------
+  // The question a platform answers BEFORE reading q238's verdict: what
+  // lift could this test even see? With the standard normal-approx
+  // power identity (α = 0.05 two-sided, power = 0.8),
+  //   MDE = (z_{α/2} + z_{β}) · sqrt( p̂(1−p̂) · (1/n_c + 1/n_t) )
+  // with z_{α/2} = 1.96 and z_β = 0.8416 (the textbook table constants,
+  // pinned as literals so both engines share one expression tree), p̂
+  // the pooled rate — the same SE kernel as q238's pooled z, so MDE is
+  // exactly (1.96 + 0.8416) · (the z denominator). An experiment whose
+  // observed |lift| clears its MDE is DETECTABLE (adequately powered
+  // for the effect it shows); a "significant" q238 arrow on an
+  // underpowered test is the winner's-curse case this panel exposes.
+  // All counts exact; every double is one deterministic expression over
+  // them (the q238 discipline), rounded to 6 dp; the flag compares the
+  // ROUNDED lift and MDE (display-boundary rule).
+  //
+  // Scale shape: identical to q238 — ONE data-sized exchange (the
+  // shared per-user conversion partial), then an (E·2)-cell aggregate.
+
+  private val mdeMult = "(1.96 + 0.8416)" // z_{0.025} + z_{0.20}
+  private val mdeStr =
+    s"CASE WHEN n_c > 0 AND n_t > 0 AND x_c + x_t > 0 AND x_c + x_t < n_c + n_t " +
+      s"THEN $mdeMult * sqrt($abPP * (1 - $abPP) * " +
+      s"(CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t)) END"
+
+  def abMde(s: SparkSession, d: String): DataFrame =
+    abMdeFromUsers(events(s, d).groupBy("user_id")
+      .agg(max(expr(convExprStr)).as("conv")))
+
+  /** q253 panel from the per-user (user_id, conv) relation — the SAME
+    * state grain as [[abTestFromUsers]], so the streaming twin shares
+    * q238/q245's MAX-merged conversion store. */
+  private[graft] def abMdeFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    abMdeCore(users
+      .crossJoin(broadcast(
+        s.range(abExps).select(col("id").as("experiment"))))
+      .selectExpr("experiment", s"$abArmStr AS arm", "conv"))
+  }
+
+  /** Panel from an (experiment, arm ∈ {0,1}, conv ∈ {0,1}) per-user
+    * assignment relation — split out so specs can plant 2×2 tables. */
+  private[graft] def abMdeCore(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("experiment")
+      .agg(
+        sum(expr("CASE WHEN arm = 0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("n_c"),
+        sum(expr("CASE WHEN arm = 0 THEN conv ELSE 0 END")).as("x_c"),
+        sum(expr("CASE WHEN arm = 1 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("n_t"),
+        sum(expr("CASE WHEN arm = 1 THEN conv ELSE 0 END")).as("x_t"))
+      .selectExpr("experiment", "n_c", "n_t",
+        s"CASE WHEN n_c > 0 THEN round($abPC, 6) END AS p_c",
+        s"CASE WHEN n_c + n_t > 0 THEN round($abPP, 6) END AS p_pool",
+        s"CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END AS lift_abs",
+        s"round($mdeStr, 6) AS mde_abs",
+        s"CASE WHEN x_c > 0 THEN round(($mdeStr) / $abPC, 6) END AS mde_rel",
+        s"COALESCE(abs(CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END) " +
+          s">= round($mdeStr, 6), false) AS detectable")
+      .orderBy("experiment")
+
+  private val abMdeSql =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT e.experiment, $abArmStr AS arm, u.conv
+       |  FROM u CROSS JOIN (
+       |    SELECT CAST(g AS BIGINT) AS experiment
+       |    FROM generate_series(0, ${abExps - 1}) gs(g)) e
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT experiment,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_t
+       |  FROM asg GROUP BY 1
+       |)
+       |SELECT experiment, n_c, n_t,
+       |  CASE WHEN n_c > 0 THEN round($abPC, 6) END AS p_c,
+       |  CASE WHEN n_c + n_t > 0 THEN round($abPP, 6) END AS p_pool,
+       |  CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END AS lift_abs,
+       |  round($mdeStr, 6) AS mde_abs,
+       |  CASE WHEN x_c > 0 THEN round(($mdeStr) / $abPC, 6) END AS mde_rel,
+       |  COALESCE(abs(CASE WHEN n_c > 0 AND n_t > 0 THEN round($abPT - $abPC, 6) END)
+       |    >= round($mdeStr, 6), false) AS detectable
+       |FROM cells
+       |ORDER BY experiment""".stripMargin
+
+  // ---- q250: CUPED variance-reduced experiment readout ----------------------
+  // The variance-reduction workhorse of every large experiment platform
+  // (Deng, Xu, Kohavi & Walker, "Improving the Sensitivity of Online
+  // Controlled Experiments by Utilizing Pre-Experiment Data", WSDM
+  // 2013): a continuous metric Y (post-period purchase revenue) is
+  // adjusted by its pre-period covariate X,
+  //   Ŷ = Y − θ·X,   θ = cov(X,Y)/var(X)   (pooled across arms),
+  // shrinking var(Ŷ) by the factor (1 − ρ²) while leaving the expected
+  // lift untouched (randomization makes E[X] arm-independent). The
+  // textbook form subtracts θ·(X − X̄); dropping the X̄ recentering
+  // shifts BOTH arms by the same constant, so lift, variances, and z
+  // are identical — and the per-user metric stays an exact integer.
+  //
+  // Exactness (the q166 all-integer road — the r15 HUGEINT→DOUBLE ULP
+  // lesson says wide-decimal casts must never feed a double chain):
+  // X/Y are exact per-user CENTS (the q233 quantization); the calendar
+  // split is integer day arithmetic; all moments are exact
+  // DECIMAL(38,0)/HUGEINT sums; θ is fixed-pointed by ONE half-away
+  // integer division at 1e6 (num = n·Sxy − Sx·Sy, den = n·Sxx − Sx²);
+  // the adjusted metric ŷ = 1e6·y − θ_fp·x is an exact BIGINT
+  // (micro-cents); and each reported statistic (lift in cents, the
+  // v̂/n SE components in cents²) is again ONE exact integer division
+  // to a < 2⁵³ fixed point, CAST to DOUBLE and divided by 1e6 — the
+  // only floating ops are those final exact casts plus the z's
+  // sqrt/divide over them, identical expression trees in both engines.
+  // ρ² rides θ_fp: round(θ_fp·num/den_y) ≈ 1e6·num²/(den·den_y) — a
+  // composition of two exact divisions, bit-identical cross-engine by
+  // construction (num² alone would overflow the 38-digit window).
+  // Magnitudes (sf0.1 probed: |users| ≈ 6·10⁴, per-user cents ≤ 10⁶):
+  // cents moments ≤ 6·10¹⁶, n·moment ≤ 4·10²¹, ·1e6 ≤ 4·10²⁷; the
+  // widest path is the µcents ŷ second moment entering its half-away
+  // rewrite, 2·1e6·(n·Σŷ² − (Σŷ)²) ≤ 10³⁸ through |ŷ| ≤ 10¹¹ µcents
+  // at 10⁶ users — inside DECIMAL(38,0)/HUGEINT; past that window the
+  // θ/SE quantum drops to 1e3 the way q166 documents its det bound.
+  //
+  // Scale shape: TWO passes over the users-bounded per-user relation
+  // (localCheckpointed once; pass 1 = E-row pooled moments for θ,
+  // pass 2 = E×2-cell adjusted moments) — the event-grain fold is the
+  // single data-sized exchange, the expansion joins are broadcasts of
+  // E-row relations. No window, no driver linear algebra.
+
+  /** Half-away-from-zero fixed point round(scale·num/den) as ONE exact
+    * integer division (the q166 pattern); `divTok` = Spark `DIV` /
+    * DuckDB `//` (floor vs truncate agree on the non-negative operands
+    * the rewrite produces). Caller guards den > 0. */
+  private def fpDivStr(num: String, den: String, scale: String, divTok: String): String = {
+    val pos = s"(2 * ($num) * $scale + ($den)) $divTok (2 * ($den))"
+    val neg = s"(2 * (-($num)) * $scale + ($den)) $divTok (2 * ($den))"
+    s"CAST(CASE WHEN ($num) < 0 THEN -($neg) ELSE $pos END AS BIGINT)"
+  }
+
+  /** Pooled-moment aggregates for pass 1 — `wide` is the engine's
+    * 38-digit integer cast target (Spark DECIMAL(38,0), DuckDB
+    * HUGEINT). */
+  private def cupedMomentSums(wide: String): Seq[String] = Seq(
+    "CAST(count(*) AS BIGINT) AS n",
+    s"SUM(CAST(x AS $wide)) AS sx",
+    s"SUM(CAST(y AS $wide)) AS sy",
+    s"SUM(CAST(x AS $wide) * x) AS sxx",
+    s"SUM(CAST(x AS $wide) * y) AS sxy",
+    s"SUM(CAST(y AS $wide) * y) AS syy")
+
+  /** θ/ρ² fixed points from the pooled moments (two-stage: num/den
+    * first, then the divisions). */
+  private def cupedThetaExprs(wide: String, divTok: String): (Seq[String], Seq[String]) = (
+    Seq("experiment", "n",
+      s"CAST(n AS $wide) * sxy - sx * sy AS num_t",
+      s"CAST(n AS $wide) * sxx - sx * sx AS den_t",
+      s"CAST(n AS $wide) * syy - sy * sy AS den_y"),
+    Seq("experiment",
+      s"CASE WHEN den_t > 0 THEN ${fpDivStr("num_t", "den_t", "1000000", divTok)} " +
+        "ELSE CAST(0 AS BIGINT) END AS theta_fp",
+      s"CASE WHEN den_t > 0 AND den_y > 0 THEN " +
+        s"${fpDivStr(s"(CASE WHEN den_t > 0 THEN ${fpDivStr("num_t", "den_t", "1000000", divTok)} ELSE CAST(0 AS BIGINT) END) * num_t", "den_y", "1", divTok)} " +
+        "ELSE CAST(0 AS BIGINT) END AS rho2_fp"))
+
+  /** Pass-2 per-arm conditional moment sums over (arm, y, yhat). The
+    * n cells re-cast to BIGINT so both engines surface int64 counts
+    * (DuckDB SUM(BIGINT) widens to HUGEINT; Spark does not). */
+  private def cupedCellSums(wide: String): Seq[String] =
+    (for (a <- Seq(0, 1); (nm, e) <- Seq(
+      "n" -> "1",
+      "syr" -> s"CAST(y AS $wide)",
+      "syyr" -> s"CAST(y AS $wide) * y",
+      "syh" -> s"CAST(yhat AS $wide)",
+      "syyh" -> s"CAST(yhat AS $wide) * yhat")) yield {
+      val tag = if (a == 0) "c" else "t"
+      if (nm == "n")
+        s"CAST(SUM(CASE WHEN arm = $a THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag"
+      else
+        s"SUM(CASE WHEN arm = $a THEN $e ELSE CAST(0 AS $wide) END) AS ${nm}_$tag"
+    }) ++ Seq("MAX(theta_fp) AS theta_fp", "MAX(rho2_fp) AS rho2_fp")
+
+  /** Final fixed points: lift (cents) and v̂/n SE components (cents²)
+    * for the raw and CUPED readouts. */
+  private def cupedFpExprs(wide: String, divTok: String): Seq[String] = {
+    def se2(syy: String, sy: String, nn: String, extra: String) =
+      s"CASE WHEN $nn > 1 THEN ${fpDivStr(
+        s"CAST($nn AS $wide) * $syy - $sy * $sy",
+        s"CAST($nn AS $wide) * $nn * ($nn - 1) * $extra", "1000000", divTok)} END"
+    Seq("experiment", "n_c", "n_t", "theta_fp", "rho2_fp",
+      s"CASE WHEN n_c > 0 AND n_t > 0 THEN ${fpDivStr(
+        "syr_t * n_c - syr_c * n_t", s"CAST(n_t AS $wide) * n_c", "1000000", divTok)} END AS liftr_fp",
+      s"CASE WHEN n_c > 0 AND n_t > 0 THEN ${fpDivStr(
+        "syh_t * n_c - syh_c * n_t", s"CAST(n_t AS $wide) * n_c", "1", divTok)} END AS lifth_fp",
+      // raw y is cents; ŷ is µcents, so its v̂/n denominator carries
+      // the extra 1e12 to land both SE² fixed points in cents²
+      s"${se2("syyr_c", "syr_c", "n_c", "1")} AS se2r_c",
+      s"${se2("syyr_t", "syr_t", "n_t", "1")} AS se2r_t",
+      s"${se2("syyh_c", "syh_c", "n_c", "1000000000000")} AS se2h_c",
+      s"${se2("syyh_t", "syh_t", "n_t", "1000000000000")} AS se2h_t")
+  }
+
+  /** The reported panel over the fixed-point columns — identical text
+    * in both engines (every input is a < 2⁵³ BIGINT). */
+  private val cupedOutExprs: Seq[String] = {
+    def z(lift: String, a: String, b: String) =
+      s"CASE WHEN $a IS NOT NULL AND $b IS NOT NULL AND $a + $b > 0 " +
+        s"THEN (CAST($lift AS DOUBLE) / 1e6) / sqrt(CAST($a + $b AS DOUBLE) / 1e6) END"
+    val zr = z("liftr_fp", "se2r_c", "se2r_t")
+    val zh = z("lifth_fp", "se2h_c", "se2h_t")
+    Seq("experiment", "n_c", "n_t",
+      "CAST(theta_fp AS DOUBLE) / 1e6 AS theta",
+      "CAST(liftr_fp AS DOUBLE) / 1e6 AS lift_raw",
+      s"round($zr, 6) AS z_raw",
+      s"COALESCE(abs(round($zr, 6)) > CAST(1.96 AS DOUBLE), false) AS significant_raw",
+      "CAST(lifth_fp AS DOUBLE) / 1e6 AS lift_cuped",
+      s"round($zh, 6) AS z_cuped",
+      s"COALESCE(abs(round($zh, 6)) > CAST(1.96 AS DOUBLE), false) AS significant_cuped",
+      "CAST(rho2_fp AS DOUBLE) / 1e6 AS var_reduction")
+  }
+
+  def cuped(s: SparkSession, d: String): DataFrame =
+    cupedFromDays(events(s, d).selectExpr("user_id",
+      s"${graft.util.Tables.tsNanosDay} AS day", "event_type",
+      "CAST(round(value * 100, 0) AS BIGINT) AS cents"))
+
+  /** q250 from the (user_id, day, event_type, cents) event relation —
+    * the grain the streaming twin stores: the calendar midpoint is a
+    * GLOBAL aggregate, so a late day shifts the pre/post boundary and
+    * reclassifies existing purchases — no per-user partial survives
+    * that, only the event grain does. */
+  private[graft] def cupedFromDays(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(min("day").as("dmin"), max("day").as("dmax"))
+    cupedFromUsers(ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        sum(expr("CASE WHEN event_type = 'purchase' AND day <= (dmin + dmax) DIV 2 THEN cents ELSE CAST(0 AS BIGINT) END")).as("x"),
+        sum(expr("CASE WHEN event_type = 'purchase' AND day >  (dmin + dmax) DIV 2 THEN cents ELSE CAST(0 AS BIGINT) END")).as("y")))
+  }
+
+  /** q250 panel from the per-user (user_id, x, y) pre/post-cents
+    * relation — the grain a streaming twin would maintain (see the
+    * q250 twin's event-grain argument in StreamOps). */
+  private[graft] def cupedFromUsers(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    cupedCore(users
+      .crossJoin(broadcast(
+        s.range(abExps).select(col("id").as("experiment"))))
+      .selectExpr("experiment", s"$abArmStr AS arm", "x", "y"))
+  }
+
+  /** Panel from an (experiment, arm ∈ {0,1}, x, y) per-user assignment
+    * relation — split out so specs can plant covariate structure. */
+  private[graft] def cupedCore(assigned0: DataFrame): DataFrame = {
+    val wide = "DECIMAL(38,0)"
+    val assigned = assigned0.localCheckpoint() // users-bounded; 2 passes
+    val momAggs = cupedMomentSums(wide).map(expr)
+    val moms = assigned.groupBy("experiment")
+      .agg(momAggs.head, momAggs.tail: _*)
+    val (thStage1, thStage2) = cupedThetaExprs(wide, "DIV")
+    val theta = moms.selectExpr(thStage1: _*).selectExpr(thStage2: _*)
+    assigned
+      .join(broadcast(theta), Seq("experiment"))
+      .selectExpr("experiment", "arm", "y", "theta_fp", "rho2_fp",
+        "1000000 * y - theta_fp * x AS yhat")
+      .groupBy("experiment")
+      .agg(cupedCellSums(wide).map(expr).head,
+        cupedCellSums(wide).map(expr).drop(1): _*)
+      .selectExpr(cupedFpExprs(wide, "DIV"): _*)
+      .selectExpr(cupedOutExprs: _*)
+      .orderBy("experiment")
+  }
+
+  private def cupedSql: String = {
+    val wide = "HUGEINT"
+    val (thStage1, thStage2) = cupedThetaExprs(wide, "//")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+       |  FROM events
+       |),
+       |bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ev),
+       |u AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day <= (dmin + dmax) // 2 THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' AND day >  (dmin + dmax) // 2 THEN cents ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev CROSS JOIN bounds GROUP BY 1
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT e.experiment, $abArmStr AS arm, u.x, u.y
+       |  FROM u CROSS JOIN (
+       |    SELECT CAST(g AS BIGINT) AS experiment
+       |    FROM generate_series(0, ${abExps - 1}) gs(g)) e
+       |),
+       |moms AS (
+       |  SELECT experiment, ${cupedMomentSums(wide).mkString(", ")}
+       |  FROM asg GROUP BY 1
+       |),
+       |th1 AS (SELECT ${thStage1.mkString(", ")} FROM moms),
+       |th AS MATERIALIZED (SELECT ${thStage2.mkString(", ")} FROM th1),
+       |cells AS (
+       |  SELECT a.experiment, ${cupedCellSums(wide).mkString(",\n|    ")}
+       |  FROM (SELECT asg.experiment, arm, y, theta_fp, rho2_fp,
+       |          1000000 * y - theta_fp * x AS yhat
+       |        FROM asg JOIN th ON th.experiment = asg.experiment) a
+       |  GROUP BY 1
+       |),
+       |fin AS (SELECT ${cupedFpExprs(wide, "//").mkString(",\n|    ")} FROM cells)
+       |SELECT ${cupedOutExprs.mkString(",\n|  ")}
+       |FROM fin
+       |ORDER BY experiment""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -1806,6 +2411,11 @@ object TimeSeries extends QueryModule {
     Q("q245_ab_multiarm", abMultiArm, Some(abMultiArmSql)),
     Q("q246_log_rank", logRank, Some(logRankSql)),
     Q("q248_top_journeys", topJourneys, Some(topJourneysSql)),
+    Q("q249_srm_check", srmCheck, Some(srmCheckSql)),
+    Q("q250_cuped", cuped, Some(cupedSql)),
+    Q("q251_journey_trigrams", journeyTrigrams, Some(journeyTrigramsSql)),
+    Q("q252_hazard_ratio", hazardRatio, Some(hazardRatioSql)),
+    Q("q253_ab_mde", abMde, Some(abMdeSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -1571,6 +1571,163 @@ object StreamOps {
     ()
   }
 
+  /** STREAMING sample-ratio-mismatch guardrail — q249's foreachBatch
+    * twin. IDENTICAL state to [[abTestBatch]] (SRM needs only the user
+    * SET, which the shared conversion store's key column carries; arm
+    * assignment is a stateless hash applied at recompute time), so the
+    * twin is the same MAX-merge algebra with the q249 recompute —
+    * replay-safe with no guards. */
+  def streamingSrmCheck(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      srmCheckBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingSrmCheck]] — public for the spec. */
+  def srmCheckBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_abconv"
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      mergeConvState(batch, tbl, s"$location/abconv")
+      graft.queries.TimeSeries.srmCheckFromUsers(
+        s.table(tbl).select("user_id"))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING minimum-detectable-effect panel — q253's foreachBatch
+    * twin. IDENTICAL state to [[abTestBatch]] (the per-user MAX
+    * conversion bit feeds the same 2×2 cells q238 reads), so the twin
+    * is the same algebra with the q253 recompute — replay-safe with no
+    * guards. */
+  def streamingAbMde(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      abMdeBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingAbMde]] — public for the spec. */
+  def abMdeBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_abconv"
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      mergeConvState(batch, tbl, s"$location/abconv")
+      graft.queries.TimeSeries.abMdeFromUsers(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING hazard ratio — q252's foreachBatch twin. IDENTICAL
+    * state to [[churnSurvivalBatch]] (the per-user MIN/MAX span feeds
+    * the shared lrFold kernel; segment membership is a stateless
+    * function of user_id), so the twin is the same least/greatest
+    * algebra with the q252 recompute — replay-safe with no guards. */
+  def streamingHazardRatio(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      hazardRatioBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingHazardRatio]] — public for the
+    * spec. */
+  def hazardRatioBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"${name}_chspan"
+    graft.util.BucketedStores.recoverSwap(s, tbl)
+    if (!batch.isEmpty) {
+      mergeSpanState(batch, tbl, s"$location/chspan")
+      graft.queries.TimeSeries.hazardRatioFromSpans(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING second-order journeys — q251's foreachBatch twin, on
+    * the [[journeyTransitionsBatch]] event-grain state: a TRIPLE is two
+    * adjacent pairs in the per-user (us, event_id) order, so the
+    * batch-spanning / late-splice argument that put q244's twin on the
+    * event grain applies with even more force (three events, two seams).
+    * Each batch: dedup, event_id anti-join admit, recompute the sparse
+    * context relation via the SHARED journeyTrigramsCore, OVERWRITE
+    * outPath. */
+  def streamingJourneyTrigrams(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      journeyTrigramsBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingJourneyTrigrams]] — public for the
+    * spec. */
+  def journeyTrigramsBatch(batch: DataFrame, name: String,
+      location: String, outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id", "event_type",
+          "CAST(ts div 1000 AS BIGINT) AS us")
+        .dropDuplicates("event_id")
+      val tbl = s"${name}_jgevents"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/jgevents")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.journeyTrigramsCore(s.table(tbl))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
+  /** STREAMING CUPED panel — q250's foreachBatch twin, on the
+    * event-grain state (event_id, user_id, day, event_type, cents):
+    * the pre/post boundary is the GLOBAL calendar midpoint, so a batch
+    * that extends the calendar reclassifies EXISTING purchases between
+    * X and Y — per-user (x, y) partials are not mergeable by any
+    * algebra (the additive-can't-retract argument at the covariate
+    * grain). The event_id anti-join guard makes redelivery a no-op;
+    * each batch recomputes the panel via the SHARED cupedFromDays. */
+  def streamingCuped(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      cupedBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingCuped]] — public for the spec. */
+  def cupedBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) {
+      val ev = graft.util.Tables.normalizeTsNanos(batch)
+        .selectExpr("event_id", "user_id",
+          s"${graft.util.Tables.tsNanosDay} AS day", "event_type",
+          "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+        .dropDuplicates("event_id")
+      val tbl = s"${name}_cupevents"
+      val fresh = (if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        ev.join(s.table(tbl), Seq("event_id"), "left_anti")
+      } else ev).localCheckpoint()
+      fresh.write.mode("append").format("parquet")
+        .option("path", s"$location/cupevents")
+        .saveAsTable(tbl)
+      s.catalog.refreshTable(tbl)
+      graft.queries.TimeSeries.cupedFromDays(
+        s.table(tbl).select("user_id", "day", "event_type", "cents"))
+        .write.mode("overwrite").parquet(outPath)
+    }
+    ()
+  }
+
   /** STREAMING funnel — q220's foreachBatch twin: the standing grain is
     * the EVENT itself ((event_id, user_id, event_type, us) — the funnel
     * needs full event timestamps, not a per-user min: stage n's

@@ -920,4 +920,297 @@ class OperatorSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(25L) === ((2400L, 240L, Some(zExp), true)), s"${out(25L)}")
   }
+
+  test("q249: a planted skewed split hits the hand-computed chi-square; a zero arm stays on the grid") {
+    val s = spark
+    import s.implicits._
+    // experiment 0: arms 100/120/80 — χ² = 0 + 400/100 + 400/100 = 8,
+    //   p = exp(−4) = 0.018316 > 0.001 → healthy (skew alone is not SRM).
+    // experiment 1: arms 150/150/0 — the DENSE grid must surface the
+    //   empty arm: χ² = 25 + 25 + 100 = 150, p = exp(−75) ≈ 2.7e−33 → SRM.
+    val rows =
+      (0 until 100).map(_ => (0L, 0L)) ++ (0 until 120).map(_ => (0L, 1L)) ++
+        (0 until 80).map(_ => (0L, 2L)) ++
+        (0 until 150).map(_ => (1L, 0L)) ++ (0 until 150).map(_ => (1L, 1L))
+    val out = graft.queries.TimeSeries.srmCheckCore(rows.toDF("experiment", "arm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size === 6, s"dense 2x3 grid expected: ${out.keySet}")
+    assert(out((0L, 1L)).getAs[Long]("n") === 120L &&
+      out((0L, 1L)).getAs[Double]("expected") === 100.0)
+    assert(out((0L, 0L)).getAs[Double]("chi2") === 8.0 &&
+      out((0L, 0L)).getAs[Double]("chi2_p") === 0.018316 &&
+      !out((0L, 0L)).getAs[Boolean]("srm"), s"${out((0L, 0L))}")
+    assert(out((1L, 2L)).getAs[Long]("n") === 0L, "the zero arm must be emitted")
+    assert(out((1L, 2L)).getAs[Double]("chi2") === 150.0 &&
+      out((1L, 2L)).getAs[Double]("chi2_p") === 0.0 &&
+      out((1L, 2L)).getAs[Boolean]("srm"), s"${out((1L, 2L))}")
+  }
+
+  test("q250: a planted covariate structure hits theta = 1.05 exactly and collapses the variance") {
+    val s = spark
+    import s.implicits._
+    // experiment 0: control (x,y) = (0,10),(10,20),(20,30) — y = x+10;
+    // treatment (0,19),(10,30),(20,41) — y = x+20 ± 1. Pooled moments:
+    // θ = (6·1920 − 60·150)/(6·1000 − 60²) = 2520/2400 = 1.05 exactly.
+    // Raw: lift 10, v̂/n = (33333333 + 40333333)/1e6 → z ≈ 1.165.
+    // CUPED: ŷ = 1e6·y − 1050000·x keeps lift at 10 but v̂/n drops to
+    // 83333/1e6 per arm → z ≈ 24.5; ρ² = 0.744932 (two-division fp).
+    // experiment 1: x CONSTANT — den_t = 0 must degrade to θ = 0 with
+    // the CUPED readout ≡ the raw one, not NULL/divide-by-zero.
+    val rows = Seq(
+      (0L, 0L, 0L, 10L), (0L, 0L, 10L, 20L), (0L, 0L, 20L, 30L),
+      (0L, 1L, 0L, 19L), (0L, 1L, 10L, 30L), (0L, 1L, 20L, 41L),
+      (1L, 0L, 5L, 10L), (1L, 0L, 5L, 20L),
+      (1L, 1L, 5L, 30L), (1L, 1L, 5L, 40L))
+    val out = graft.queries.TimeSeries
+      .cupedCore(rows.toDF("experiment", "arm", "x", "y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e0 = out(0L)
+    assert(e0.getAs[Double]("theta") === 1.05, s"theta: $e0")
+    assert(e0.getAs[Double]("lift_raw") === 10.0 &&
+      e0.getAs[Double]("lift_cuped") === 10.0,
+      s"CUPED must not move the lift: $e0")
+    val zRaw = math.rint(10.0 / math.sqrt(73666666.0 / 1e6) * 1e6) / 1e6
+    val zCup = math.rint(10.0 / math.sqrt(166666.0 / 1e6) * 1e6) / 1e6
+    assert(e0.getAs[Double]("z_raw") === zRaw && !e0.getAs[Boolean]("significant_raw"),
+      s"z_raw: $e0")
+    assert(e0.getAs[Double]("z_cuped") === zCup && e0.getAs[Boolean]("significant_cuped"),
+      s"z_cuped: $e0")
+    assert(zCup > 20 * zRaw, s"the planted covariate must collapse the SE: $zRaw vs $zCup")
+    assert(e0.getAs[Double]("var_reduction") === 0.744932, s"rho2: $e0")
+    val e1 = out(1L)
+    assert(e1.getAs[Double]("theta") === 0.0 &&
+      e1.getAs[Double]("var_reduction") === 0.0, s"constant x: $e1")
+    assert(e1.getAs[Double]("lift_raw") === 20.0 &&
+      e1.getAs[Double]("lift_cuped") === 20.0 &&
+      e1.getAs[Double]("z_raw") === e1.getAs[Double]("z_cuped"),
+      s"theta = 0 must make CUPED the identity: $e1")
+  }
+
+  test("q251: trigram contexts count in-session triples only and normalize per context") {
+    val s = spark
+    import s.implicits._
+    val gap = 1800000000L
+    // u1 session 1: A B C; u1 session 2 (beyond the gap): A B D;
+    // u2: A B C. Contexts: (A,B) → C twice, D once — p 2/3 and 1/3;
+    // no triple may span the session break.
+    val ev = Seq(
+      (1L, "A", 10L, 0L), (1L, "B", 11L, 10L), (1L, "C", 12L, 20L),
+      (1L, "A", 13L, 20L + gap + 1L), (1L, "B", 14L, 30L + gap + 1L),
+      (1L, "D", 15L, 40L + gap + 1L),
+      (2L, "A", 20L, 0L), (2L, "B", 21L, 5L), (2L, "C", 22L, 10L),
+    ).toDF("user_id", "event_type", "event_id", "us")
+    val out = graft.queries.TimeSeries.journeyTrigramsCore(ev)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("A", "B", "C")) === ((2L, 0.666667)), s"ABC: $out")
+    assert(out(("A", "B", "D")) === ((1L, 0.333333)), s"ABD: $out")
+    assert(out.size === 2, s"no cross-session triple may appear: $out")
+  }
+
+  test("q252: the planted q246 calendar yields HR = 13/11 with a CI spanning 1") {
+    val s = spark
+    import s.implicits._
+    // Same planted spans as the q246 spec: O_a = 2, E_a = 11/6 (fp
+    // 1833333333333), O_b = 2, E_b = 13/6 — HR = (2/E_a)/(2/E_b)
+    // = 13/11 ≈ 1.181818; se(ln HR) = sqrt(6/11 + 6/13) ≈ 1.0035, so
+    // the 95% CI spans 1 by a mile → not significant. The calendar's
+    // end-gaps are all 0 or ≥ 14, so q252's 1-day early-churn window
+    // and q246's 14-day product window classify IDENTICALLY here —
+    // asserted below, pinning the shared lrFold kernel across both
+    // window settings.
+    val ud = Seq(
+      (2L, 0L), (2L, 1L), (4L, 0L), (4L, 3L), (6L, 0L), (6L, 20L),
+      (1L, 0L), (1L, 1L), (3L, 0L), (3L, 5L), (5L, 6L), (5L, 20L),
+    ).toDF("user_id", "day")
+    val spans = ud.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    assert(graft.queries.TimeSeries.hazardRatioFromSpans(spans, 14L)
+      .collect().map(_.toString).toSeq ===
+      graft.queries.TimeSeries.hazardRatioFromSpans(spans, 1L)
+        .collect().map(_.toString).toSeq,
+      "the planted calendar must make the 1- and 14-day windows agree")
+    val r = graft.queries.TimeSeries.hazardRatioCore(ud).head()
+    assert(r.getAs[Long]("o_a") === 2L && r.getAs[Long]("o_b") === 2L)
+    assert(r.getAs[Double]("e_a") === 1.833333 && r.getAs[Double]("e_b") === 2.166667)
+    val ea = 1833333333333L.toDouble / 1e12
+    val eb = (4L * 1000000000000L - 1833333333333L).toDouble / 1e12
+    val hr = (2.0 / ea) / (2.0 / eb)
+    val se = math.sqrt(1e12 / 1833333333333L.toDouble + 1e12 / 2166666666667L.toDouble)
+    assert(r.getAs[Double]("hr") === math.rint(hr * 1e6) / 1e6, s"hr: $r")
+    assert(math.rint(hr * 1e6) / 1e6 === 1.181818, s"hr: $r")
+    assert(r.getAs[Double]("ci_lo") === math.rint(math.exp(math.log(hr) - 1.96 * se) * 1e6) / 1e6 &&
+      r.getAs[Double]("ci_hi") === math.rint(math.exp(math.log(hr) + 1.96 * se) * 1e6) / 1e6,
+      s"ci: $r")
+    assert(r.getAs[Double]("ci_lo") < 1.0 && r.getAs[Double]("ci_hi") > 1.0 &&
+      !r.getAs[Boolean]("significant"), s"CI must span 1: $r")
+  }
+
+  test("q253: the q238 textbook table is significant yet UNDERPOWERED; a big test clears its MDE") {
+    val s = spark
+    import s.implicits._
+    // experiment 0: the q238 spec's 40/10 vs 40/20 — p̂ = 0.375,
+    //   MDE = 2.8016·sqrt(0.375·0.625·(1/40+1/40)) ≈ 0.3033 > lift 0.25
+    //   → detectable = false: the winner's-curse case (q238 flags it
+    //   significant, q253 says the test couldn't reliably see < 30 pts).
+    // experiment 1: 1000/100 vs 1000/300 — p̂ = 0.2, MDE ≈ 0.0501 <
+    //   lift 0.2 → detectable.
+    // experiment 2: both arms fully convert — p̂ = 1 degenerates the SE:
+    //   mde NULL, detectable false.
+    val rows =
+      (0 until 40).map(i => (0L, 0L, if (i < 10) 1L else 0L)) ++
+        (0 until 40).map(i => (0L, 1L, if (i < 20) 1L else 0L)) ++
+        (0 until 1000).map(i => (1L, 0L, if (i < 100) 1L else 0L)) ++
+        (0 until 1000).map(i => (1L, 1L, if (i < 300) 1L else 0L)) ++
+        (0 until 10).map(_ => (2L, 0L, 1L)) ++
+        (0 until 10).map(_ => (2L, 1L, 1L))
+    val out = graft.queries.TimeSeries
+      .abMdeCore(rows.toDF("experiment", "arm", "conv"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val e0 = out(0L)
+    val mde0 = math.rint(2.8016 * math.sqrt(0.375 * 0.625 * (1.0 / 40 + 1.0 / 40)) * 1e6) / 1e6
+    assert(e0.getAs[Double]("p_pool") === 0.375 && e0.getAs[Double]("mde_abs") === mde0, s"$e0")
+    assert(e0.getAs[Double]("mde_rel") === math.rint(mde0 / 0.25 * 1e6) / 1e6, s"$e0")
+    assert(e0.getAs[Double]("lift_abs") === 0.25 && mde0 > 0.25 &&
+      !e0.getAs[Boolean]("detectable"), s"underpowered: $e0")
+    val e1 = out(1L)
+    val mde1 = math.rint(2.8016 * math.sqrt(0.2 * 0.8 * (1.0 / 1000 + 1.0 / 1000)) * 1e6) / 1e6
+    assert(e1.getAs[Double]("mde_abs") === mde1 && mde1 < 0.2 &&
+      e1.getAs[Boolean]("detectable"), s"powered: $e1")
+    val e2 = out(2L)
+    assert(e2.isNullAt(e2.fieldIndex("mde_abs")) && !e2.getAs[Boolean]("detectable"),
+      s"degenerate: $e2")
+  }
+
+  test("q249/q253 streaming twins ride the shared conversion store; redelivery is a no-op") {
+    val s = spark
+    import s.implicits._
+    Seq("graft_test_srm_abconv", "graft_test_mde_abconv")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("/tmp/graft_test_srm", "/tmp/graft_test_mde").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val b1 = (1L to 6L).map(u => (u, "view", 0.0, 0L)) :+ ((1L, "purchase", 500.0, 0L))
+    val b2 = Seq((7L, "view", 0.0, 0L), (2L, "purchase", 300.0, 0L))
+    val srmOut = "/tmp/graft_test_srm/out"
+    def runSrm(rows: Seq[(Long, String, Double, Long)]) =
+      graft.streaming.StreamOps.srmCheckBatch(
+        rows.toDF("user_id", "event_type", "value", "ts"),
+        "graft_test_srm", "/tmp/graft_test_srm", srmOut)
+    runSrm(b1); runSrm(b2); runSrm(b1) // redelivery
+    val srmGot = s.read.parquet(srmOut).collect().map(_.toString).sorted.toSeq
+    val srmRef = graft.queries.TimeSeries.srmCheckFromUsers(
+      (b1 ++ b2).toDF("user_id", "event_type", "value", "ts")
+        .select("user_id").distinct())
+      .collect().map(_.toString).sorted.toSeq
+    assert(srmGot.nonEmpty && srmGot == srmRef,
+      s"SRM snapshot must equal batch q249: $srmGot vs $srmRef")
+    val mdeOut = "/tmp/graft_test_mde/out"
+    def runMde(rows: Seq[(Long, String, Double, Long)]) =
+      graft.streaming.StreamOps.abMdeBatch(
+        rows.toDF("user_id", "event_type", "value", "ts"),
+        "graft_test_mde", "/tmp/graft_test_mde", mdeOut)
+    runMde(b1); runMde(b2); runMde(b1) // redelivery
+    val mdeGot = s.read.parquet(mdeOut).collect().map(_.toString).sorted.toSeq
+    val mdeRef = graft.queries.TimeSeries.abMdeFromUsers(
+      (b1 ++ b2).toDF("user_id", "event_type", "value", "ts")
+        .groupBy("user_id")
+        .agg(max(expr(graft.queries.TimeSeries.convExprStr)).as("conv")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(mdeGot.nonEmpty && mdeGot == mdeRef,
+      s"MDE snapshot must equal batch q253: $mdeGot vs $mdeRef")
+  }
+
+  test("q252 streaming twin rides the span store; a span growing across batches moves the HR") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_hr_chspan")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_hr"))
+    val day = 86400000000000L
+    val out = "/tmp/graft_test_hr/out"
+    val hr1: Seq[(Long, Long)] = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+    val hr2: Seq[(Long, Long)] = Seq((1L, 20L * day), (4L, 20L * day))
+    def run(rows: Seq[(Long, Long)]) =
+      graft.streaming.StreamOps.hazardRatioBatch(
+        rows.toDF("user_id", "ts"), "graft_test_hr", "/tmp/graft_test_hr", out)
+    run(hr1); run(hr2); run(hr1) // redelivery
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.hazardRatioCore(
+      (hr1 ++ hr2).toDF("user_id", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"HR snapshot must equal batch q252 incl. the grown span: $got vs $ref")
+  }
+
+  test("q251 streaming twin: a triple spanning micro-batches lands; redelivery converges") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_jg_jgevents")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_jg"))
+    val m = 60000000000L // 1 min in ns
+    val out = "/tmp/graft_test_jg/out"
+    // u1's A (batch 1) → B (batch 1) → C (batch 2): the triple exists
+    // only once both batches are admitted — neither sees it alone
+    val b1: Seq[(Long, Long, String, Long)] = Seq(
+      (1L, 1L, "A", 0L), (2L, 1L, "B", m))
+    val b2: Seq[(Long, Long, String, Long)] = Seq((3L, 1L, "C", 2L * m))
+    def run(rows: Seq[(Long, Long, String, Long)]) =
+      graft.streaming.StreamOps.journeyTrigramsBatch(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        "graft_test_jg", "/tmp/graft_test_jg", out)
+    run(b1); run(b2); run(b1) // redelivery
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.journeyTrigramsCore(
+      (b1 ++ b2).toDF("event_id", "user_id", "event_type", "ts")
+        .selectExpr("user_id", "event_type", "event_id",
+          "CAST(ts div 1000 AS BIGINT) AS us"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal batch q251 incl. the cross-batch triple: $got vs $ref")
+    val abc = s.read.parquet(out).head()
+    assert(abc.getString(0) === "A" && abc.getString(1) === "B" &&
+      abc.getString(2) === "C" && abc.getLong(3) === 1L, s"$abc")
+    assert(s.table("graft_test_jg_jgevents").count() === 3L,
+      "the event_id guard must absorb the redelivery")
+  }
+
+  test("q250 streaming twin: a late day MOVES the calendar midpoint and reclassifies pre/post") {
+    val s = spark
+    import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft_test_cup_cupevents")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_test_cup"))
+    val day = 86400000000000L
+    val out = "/tmp/graft_test_cup/out"
+    // batch 1 spans days 0..10 (midpoint 5): user 1's day-8 purchase
+    // is POST. batch 2 extends the calendar to day 30 (midpoint 15):
+    // that same purchase must flip to PRE — the recompute the
+    // event-grain state exists to make possible.
+    val b1: Seq[(Long, Long, String, Double, Long)] = Seq(
+      (1L, 1L, "view", 0.0, 0L),
+      (2L, 1L, "purchase", 120.0, 8L * day),
+      (3L, 2L, "view", 0.0, 10L * day))
+    val b2: Seq[(Long, Long, String, Double, Long)] = Seq(
+      (4L, 1L, "purchase", 250.0, 30L * day),
+      (5L, 2L, "purchase", 80.0, 16L * day))
+    def run(rows: Seq[(Long, Long, String, Double, Long)]) =
+      graft.streaming.StreamOps.cupedBatch(
+        rows.toDF("event_id", "user_id", "event_type", "value", "ts"),
+        "graft_test_cup", "/tmp/graft_test_cup", out)
+    run(b1)
+    val mid1 = s.read.parquet(out).collect()
+    assert(mid1.nonEmpty, "batch 1 must produce a panel")
+    run(b2); run(b1) // redelivery
+    val got = s.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val ref = graft.queries.TimeSeries.cupedFromDays(
+      (b1 ++ b2).toDF("event_id", "user_id", "event_type", "value", "ts")
+        .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day",
+          "event_type", "CAST(round(value * 100, 0) AS BIGINT) AS cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == ref,
+      s"snapshot must equal batch q250 after the midpoint shift: $got vs $ref")
+    assert(s.table("graft_test_cup_cupevents").count() === 5L,
+      "the event_id guard must absorb the redelivery")
+  }
 }
