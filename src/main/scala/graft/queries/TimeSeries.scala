@@ -2390,6 +2390,131 @@ object TimeSeries extends QueryModule {
        |ORDER BY experiment""".stripMargin
   }
 
+  // ---- q254: power-user curve (L30 activity-days histogram) -----------------
+  // The engagement-DEPTH panel beside q221's engagement-breadth counts:
+  // over the trailing [[mauDays]]-day window ending at the calendar
+  // end, how many users were active exactly k of the 30 days? The
+  // "power user curve" (the L28/L30 histogram product growth teams
+  // read for the smile shape: a hump at 1 = tourist traffic, mass near
+  // 30 = habit). Dense k ∈ 1..30 grid — an empty bin is the signal, it
+  // must not vanish with its groupBy cell (the q249 dense-grid rule) —
+  // with each bin's share of the window's active users. Counts exact;
+  // ONE division per bin.
+  //
+  // Scale shape: ONE data-sized exchange (the per-user distinct-day
+  // fold over the 30-day slice); the histogram is 30-bounded and its
+  // total a broadcast.
+
+  def powerCurve(s: SparkSession, d: String): DataFrame =
+    powerCurveCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** L30 histogram from a (user_id, day) activity relation:
+    * (days_active, n_users, share). */
+  private[graft] def powerCurveCore(userDay: DataFrame): DataFrame = {
+    val s = userDay.sparkSession
+    val ud = userDay.select("user_id", "day").distinct()
+    val dend = ud.agg(max("day").as("d1"))
+    val perUser = ud.crossJoin(broadcast(dend))
+      .filter(col("day") > col("d1") - mauDays)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_users"))
+      .localCheckpoint() // 30-bounded; grid fill + total read it
+    val tot = perUser.agg(sum("n_users").as("n_tot"))
+    s.range(1, mauDays + 1).select(col("id").as("days_active"))
+      .join(perUser.withColumnRenamed("k", "days_active"),
+        Seq("days_active"), "left")
+      .na.fill(0L, Seq("n_users"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("days_active", "n_users",
+        "CASE WHEN n_tot > 0 THEN round(CAST(n_users AS DOUBLE) / n_tot, 6) END AS share")
+      .orderBy("days_active")
+  }
+
+  private val powerCurveSql =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |dend AS (SELECT MAX(day) AS d1 FROM ud),
+       |hist AS MATERIALIZED (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_users FROM (
+       |    SELECT user_id, CAST(count(*) AS BIGINT) AS k
+       |    FROM ud CROSS JOIN dend WHERE day > d1 - $mauDays GROUP BY 1
+       |  ) GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_tot FROM hist)
+       |SELECT g.days_active, COALESCE(hist.n_users, 0) AS n_users,
+       |  CASE WHEN n_tot > 0
+       |    THEN round(CAST(COALESCE(hist.n_users, 0) AS DOUBLE) / n_tot, 6) END AS share
+       |FROM (SELECT CAST(k AS BIGINT) AS days_active
+       |      FROM generate_series(1, $mauDays) gs(k)) g
+       |LEFT JOIN hist ON hist.k = g.days_active
+       |CROSS JOIN tot
+       |ORDER BY g.days_active""".stripMargin
+
+  // ---- q255: new-vs-returning daily split -------------------------------------
+  // The acquisition-vs-retention decomposition of q221's DAU: per
+  // calendar day, how many active users were seen for the FIRST time
+  // ever (new) vs had history (returning), with the returning share —
+  // the first split any growth dashboard draws, and the one that
+  // separates "DAU grew because acquisition spiked" from "because
+  // retention improved". First-ever day is the all-time per-user MIN
+  // (not window-relative — the q219 cohort discipline); the output
+  // rides q221's dense calendar so zero-activity days surface as
+  // explicit zeros. Counts exact; ONE division per day.
+  //
+  // Scale shape: the per-(user, day) distinct and the per-user MIN
+  // share one HashPartitioning(user_id) exchange (min-join back is
+  // co-partitioned); the daily panel is days-bounded.
+
+  def newReturning(s: SparkSession, d: String): DataFrame =
+    newReturningCore(events(s, d)
+      .selectExpr("user_id", s"${graft.util.Tables.tsNanosDay} AS day"))
+
+  /** Daily split from a (user_id, day) activity relation:
+    * (day, dau, new_users, returning_users, returning_share). */
+  private[graft] def newReturningCore(userDay: DataFrame): DataFrame = {
+    val ud = userDay.select("user_id", "day").distinct()
+      .localCheckpoint() // user·day-bounded; d0 + daily split read it
+    val d0 = ud.groupBy("user_id").agg(min("day").as("d0"))
+    val daily = ud.join(d0, Seq("user_id"))
+      .groupBy("day").agg(
+        count(lit(1)).as("dau"),
+        sum(expr("CASE WHEN day = d0 THEN CAST(1 AS BIGINT) ELSE 0 END")).as("new_users"))
+    val cal = ud.agg(min("day").as("dmin"), max("day").as("dmax"))
+      .selectExpr("explode(sequence(dmin, dmax)) AS day")
+    cal.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("dau", "new_users"))
+      .selectExpr("day", "dau", "new_users",
+        "dau - new_users AS returning_users",
+        "CASE WHEN dau > 0 THEN round(CAST(dau - new_users AS DOUBLE) / dau, 6) END AS returning_share")
+      .orderBy("day")
+  }
+
+  private val newReturningSql =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+       |),
+       |d0 AS MATERIALIZED (
+       |  SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1
+       |),
+       |daily AS MATERIALIZED (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau,
+       |    CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+       |  FROM ud JOIN d0 ON d0.user_id = ud.user_id GROUP BY 1
+       |),
+       |cal AS (
+       |  SELECT unnest(generate_series(MIN(day), MAX(day))) AS day FROM ud
+       |)
+       |SELECT cal.day, COALESCE(daily.dau, 0) AS dau,
+       |  COALESCE(daily.new_users, 0) AS new_users,
+       |  COALESCE(daily.dau, 0) - COALESCE(daily.new_users, 0) AS returning_users,
+       |  CASE WHEN COALESCE(daily.dau, 0) > 0
+       |    THEN round(CAST(COALESCE(daily.dau, 0) - COALESCE(daily.new_users, 0) AS DOUBLE)
+       |      / daily.dau, 6) END AS returning_share
+       |FROM cal LEFT JOIN daily ON daily.day = cal.day
+       |ORDER BY cal.day""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     Q("q06_window_lag_diff", windowLagDiff, Some(windowLagDiffSql)),
     Q("q07_zscore_by_user", zscoreByUser, Some(zscoreByUserSql)),
@@ -2416,6 +2541,8 @@ object TimeSeries extends QueryModule {
     Q("q251_journey_trigrams", journeyTrigrams, Some(journeyTrigramsSql)),
     Q("q252_hazard_ratio", hazardRatio, Some(hazardRatioSql)),
     Q("q253_ab_mde", abMde, Some(abMdeSql)),
+    Q("q254_power_curve", powerCurve, Some(powerCurveSql)),
+    Q("q255_new_returning", newReturning, Some(newReturningSql)),
     Q("q222_error_spikes", errorSpikes, Some(errorSpikesSql)),
     Q("q159_fd_scrub", fdScrub, Some(fdScrubSql)),
   )

@@ -1077,7 +1077,54 @@ object StreamOps {
 
   /** One micro-batch of [[streamingActiveUsers]] — public for the spec. */
   def activeUsersBatch(batch: DataFrame, name: String, location: String,
-      outPath: String): Unit = {
+      outPath: String): Unit =
+    udaysRecompute(batch, name, location, outPath,
+      graft.queries.TimeSeries.activeUsersCore)
+
+  /** STREAMING power-user curve — q254's foreachBatch twin. IDENTICAL
+    * state to [[activeUsersBatch]] (the distinct (user_id, day)
+    * relation — a SET, merged by the anti-join union, so redelivery is
+    * idempotent by algebra; the trailing-window slice and histogram
+    * are stateless recomputes, and the calendar end moving with a new
+    * batch re-slices EXISTING days — which only a full day-set state
+    * supports). */
+  def streamingPowerCurve(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      powerCurveBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingPowerCurve]] — public for the
+    * spec. */
+  def powerCurveBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit =
+    udaysRecompute(batch, name, location, outPath,
+      graft.queries.TimeSeries.powerCurveCore)
+
+  /** STREAMING new-vs-returning split — q255's foreachBatch twin on
+    * the same day-set state ([[activeUsersBatch]]'s grain): a user's
+    * first-ever day is MIN over ALL admitted days, so a late backfill
+    * day can re-label a user's existing "new" day — only the full
+    * day-set state can retract that. */
+  def streamingNewReturning(events: DataFrame, name: String,
+      location: String, outPath: String): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      newReturningBatch(batch, name, location, outPath)
+    }
+
+  /** One micro-batch of [[streamingNewReturning]] — public for the
+    * spec. */
+  def newReturningBatch(batch: DataFrame, name: String, location: String,
+      outPath: String): Unit =
+    udaysRecompute(batch, name, location, outPath,
+      graft.queries.TimeSeries.newReturningCore)
+
+  /** The shared admit-then-recompute loop over the `_udays` day-set
+    * state (the [[activeUsersBatch]] pattern, factored for its q254/
+    * q255 siblings). */
+  private def udaysRecompute(batch: DataFrame, name: String,
+      location: String, outPath: String,
+      recompute: DataFrame => DataFrame): Unit = {
     val s = batch.sparkSession
     if (!batch.isEmpty) {
       val act = graft.util.Tables.normalizeTsNanos(batch)
@@ -1092,7 +1139,7 @@ object StreamOps {
         .option("path", s"$location/udays")
         .saveAsTable(tbl)
       s.catalog.refreshTable(tbl)
-      graft.queries.TimeSeries.activeUsersCore(s.table(tbl))
+      recompute(s.table(tbl))
         .write.mode("overwrite").parquet(outPath)
     }
     ()

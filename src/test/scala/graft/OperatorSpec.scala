@@ -1175,6 +1175,98 @@ class OperatorSpec extends SparkSpec {
       "the event_id guard must absorb the redelivery")
   }
 
+  test("q254: the L30 histogram bins planted users by active days; empty bins stay on the grid") {
+    val s = spark
+    import s.implicits._
+    // calendar ends at day 100. user 1: 3 days in-window; user 2: 1
+    // day; user 3: 1 in-window day (its day-60 activity is OUTSIDE the
+    // trailing 30 and must not count); user 4: 2 days. Bins: 1→2
+    // users, 2→1, 3→1, all other 27 bins explicit zeros.
+    val ud = Seq(
+      (1L, 100L), (1L, 99L), (1L, 80L),
+      (2L, 95L), (2L, 95L), // same-day dup must collapse
+      (3L, 60L), (3L, 72L),
+      (4L, 90L), (4L, 91L),
+    ).toDF("user_id", "day")
+    val out = graft.queries.TimeSeries.powerCurveCore(ud)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size === 30, s"dense 1..30 grid expected: ${out.keySet}")
+    assert(out(1L) === ((2L, Some(0.5))), s"bin 1: $out")
+    assert(out(2L) === ((1L, Some(0.25))) && out(3L) === ((1L, Some(0.25))), s"$out")
+    assert(out(4L) === ((0L, Some(0.0))) && out(30L) === ((0L, Some(0.0))),
+      s"empty bins must surface: $out")
+  }
+
+  test("q255: the daily split separates first-ever days from returns; quiet days read zero") {
+    val s = spark
+    import s.implicits._
+    // day 10: users 1,2 both new. day 11: quiet (must appear as zeros).
+    // day 12: user 1 returns, user 3 is new -> returning_share 0.5.
+    val ud = Seq(
+      (1L, 10L), (2L, 10L),
+      (1L, 12L), (3L, 12L), (3L, 12L), // same-day dup must collapse
+    ).toDF("user_id", "day")
+    val out = graft.queries.TimeSeries.newReturningCore(ud)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(10L) === ((2L, 2L, 0L, Some(0.0))), s"day 10: $out")
+    assert(out(11L) === ((0L, 0L, 0L, None)), s"quiet day: $out")
+    assert(out(12L) === ((2L, 1L, 1L, Some(0.5))), s"day 12: $out")
+    assert(out.size === 3)
+  }
+
+  test("q254/q255 streaming twins ride the day-set store; a late batch re-slices the window") {
+    val s = spark
+    import s.implicits._
+    Seq("graft_test_pc_udays", "graft_test_nr_udays")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("/tmp/graft_test_pc", "/tmp/graft_test_nr").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val day = 86400000000000L
+    // batch 2 extends the calendar by 40 days: user 1's batch-1 days
+    // fall OUT of the trailing 30 — the window re-slice only a full
+    // day-set state supports. For q255, user 1's batch-2 activity must
+    // read RETURNING against its batch-1 first day.
+    val b1: Seq[(Long, Long)] = Seq((1L, 0L), (1L, day), (2L, day))
+    val b2: Seq[(Long, Long)] = Seq((1L, 41L * day), (3L, 41L * day))
+    def runPc(rows: Seq[(Long, Long)]) =
+      graft.streaming.StreamOps.powerCurveBatch(
+        rows.toDF("user_id", "ts"), "graft_test_pc", "/tmp/graft_test_pc",
+        "/tmp/graft_test_pc/out")
+    def runNr(rows: Seq[(Long, Long)]) =
+      graft.streaming.StreamOps.newReturningBatch(
+        rows.toDF("user_id", "ts"), "graft_test_nr", "/tmp/graft_test_nr",
+        "/tmp/graft_test_nr/out")
+    runPc(b1); runPc(b2); runPc(b1) // redelivery: set-union no-op
+    runNr(b1); runNr(b2); runNr(b1)
+    val toDays = (rows: Seq[(Long, Long)]) => rows.toDF("user_id", "ts")
+      .selectExpr("user_id", "CAST(ts div 86400000000000 AS BIGINT) AS day")
+    val pcGot = s.read.parquet("/tmp/graft_test_pc/out")
+      .collect().map(_.toString).sorted.toSeq
+    val pcRef = graft.queries.TimeSeries.powerCurveCore(toDays(b1 ++ b2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pcGot.nonEmpty && pcGot == pcRef,
+      s"L30 snapshot must equal batch q254 after the re-slice: $pcGot vs $pcRef")
+    val nrGot = s.read.parquet("/tmp/graft_test_nr/out")
+      .collect().map(_.toString).sorted.toSeq
+    val nrRef = graft.queries.TimeSeries.newReturningCore(toDays(b1 ++ b2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(nrGot.nonEmpty && nrGot == nrRef,
+      s"split snapshot must equal batch q255: $nrGot vs $nrRef")
+    // the re-slice dropped the early days: only the two day-41 actives
+    // remain in the L30 window (user 2 leaves the histogram entirely)
+    val pc = s.read.parquet("/tmp/graft_test_pc/out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pc(1L) === 2L && pc.values.sum === 2L,
+      s"2 users at 1 in-window day after the shift: $pc")
+    // ...and user 1's day-41 activity reads returning, not new
+    val nr = s.read.parquet("/tmp/graft_test_nr/out")
+      .filter(col("day") === 41L).head()
+    assert(nr.getLong(1) === 2L && nr.getLong(2) === 1L && nr.getLong(3) === 1L,
+      s"user 1 must read returning on day 41: $nr")
+  }
+
   test("q250 streaming twin: a late day MOVES the calendar midpoint and reclassifies pre/post") {
     val s = spark
     import s.implicits._
