@@ -4370,6 +4370,73 @@ object DesignImage extends QueryModule {
        |GROUP BY fj.p
        |ORDER BY fj.p""".stripMargin
 
+  // ---- q256: module allegiance matrix (dFC co-classification) ---------------
+  // The pairwise companion of q241's per-node flexibility (Bassett et
+  // al. 2011 PNAS; Mattar et al. 2015's "module allegiance"): for each
+  // parcel pair, the fraction of dFC windows in which the two landed in
+  // the SAME module,
+  //   P_ij = (1/|W|) Σ_w [ m_i^w = m_j^w ],
+  // the label-INVARIANT summary of the whole keyed-detection history
+  // (only within-window equality is read, so arbitrary label identity
+  // across windows — the thing that forces q241's carry-over matching —
+  // never enters). P is the input to the literature's recruitment/
+  // integration readouts and the natural "which regions travel
+  // together" matrix a dashboard draws. Detection labels are EXACTLY
+  // q236/q241's (shared dfcWindowModules kernel + shared klpmod oracle
+  // CTEs), so the three dFC statistics can never disagree about who
+  // was in which module. Counts exact; ONE division per pair; dense
+  // over ordered pairs i < j by construction (every parcel is in every
+  // window's set — the all-pairs windowed-r relation registers them).
+  //
+  // Scale shape: the q236 chain (one data-sized window-moment pass,
+  // keyed LPA rounds), then a |W|·NP²-bounded same-module join folding
+  // straight into an NP²-bounded aggregate.
+
+  /** Allegiance matrix from a (ws, p1, p2, r_fp) windowed-correlation
+    * relation → (i, j, n_windows, n_together, allegiance). */
+  private[graft] def moduleAllegianceCore(wr0: DataFrame): DataFrame = {
+    val lab = dfcWindowModules(wr0).localCheckpoint()
+    lab.selectExpr("ws", "p AS i", "lab AS li")
+      .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(expr("CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE 0 END"))
+          .as("n_together"))
+      .selectExpr("i", "j", "n_windows", "n_together",
+        "CASE WHEN n_windows > 0 THEN round(CAST(n_together AS DOUBLE) / n_windows, 6) END AS allegiance")
+      .orderBy("i", "j")
+  }
+
+  def moduleAllegiance(s: SparkSession, d: String): DataFrame =
+    moduleAllegianceCore(
+      dfcWindowR(ImageOps.voxelSeries(lineitem(s, d), L, NT)
+        .select(col("t"), col("x"), col("y"), col("z"),
+          expr("CAST(value_dec * 100 AS BIGINT)").as("v"))))
+
+  private def moduleAllegianceSql: String =
+    s"""WITH $dfcVectorCtes,
+       |kpe AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CASE WHEN v >= 200000 THEN 1 ELSE 0 END AS edge
+       |  FROM dwr
+       |),
+       |kparcels AS MATERIALIZED (SELECT DISTINCT ws, p FROM (
+       |  SELECT ws, p1 AS p FROM kpe UNION ALL SELECT ws, p2 AS p FROM kpe)),
+       |kones AS (SELECT ws, p1, p2 FROM kpe WHERE edge = 1),
+       |ksym AS MATERIALIZED (SELECT ws, p, q FROM (
+       |  SELECT ws, p1 AS p, p2 AS q FROM kones
+       |  UNION ALL SELECT ws, p2 AS p, p1 AS q FROM kones)),
+       |${lpaKeyedCtes(connNP)}
+       |SELECT a.p AS i, b.p AS j,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_together,
+       |  CASE WHEN count(*) > 0 THEN
+       |    round(CAST(SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) END AS allegiance
+       |FROM klpmod a JOIN klpmod b ON b.ws = a.ws AND a.p < b.p
+       |GROUP BY a.p, b.p
+       |ORDER BY i, j""".stripMargin
+
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
   // 2010 PLoS ONE; Garrison et al. 2015 NeuroImage): sweep the edge
@@ -5558,6 +5625,7 @@ object DesignImage extends QueryModule {
     Q("q240_betweenness", betweenness, Some(betweennessSql)),
     Q("q247_betweenness_weighted", betweennessWeighted, Some(betweennessWeightedSql)),
     Q("q241_dfc_flexibility", dfcFlexibility, Some(dfcFlexibilitySql)),
+    Q("q256_module_allegiance", moduleAllegiance, Some(moduleAllegianceSql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
     Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),

@@ -1096,6 +1096,36 @@ class InferenceQcSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("q256: allegiance averages co-classification over the q236 planted windows") {
+    val s = spark
+    import s.implicits._
+    val hi = 1000000L
+    // the q236 planted calendar: windows 0,1 = {012}{345}, window 2 =
+    // {013}{245}. Allegiance over 3 windows: (0,1) together in all 3
+    // → 1.0; (0,2) in 0,1 only → 2/3; (0,3) in 2 only → 1/3; (2,4)
+    // in 2 only → 1/3; (0,4) never → 0. Label identity per window is
+    // arbitrary — only within-window equality may be read.
+    def win(ws: Int, tris: Seq[(Int, Int)]): Seq[(Int, Int, Int, Long)] = {
+      val t = tris.toSet
+      (0 until 6).flatMap(i => (i + 1 until 6).map(j =>
+        (ws, i, j, if (t((i, j))) hi else 0L)))
+    }
+    val triA = Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
+    val triB = Seq((0, 1), (0, 3), (1, 3), (2, 4), (2, 5), (4, 5))
+    val wr = (win(0, triA) ++ win(1, triA) ++ win(2, triB))
+      .toDF("ws", "p1", "p2", "r_fp")
+    val out = graft.queries.DesignImage.moduleAllegianceCore(wr)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size === 15, s"all C(6,2) pairs expected: ${out.keySet}")
+    assert(out((0, 1)) === ((3L, 3L, Some(1.0))), s"01: $out")
+    assert(out((0, 2)) === ((3L, 2L, Some(0.666667))), s"02: $out")
+    assert(out((0, 3)) === ((3L, 1L, Some(0.333333))), s"03: $out")
+    assert(out((2, 4)) === ((3L, 1L, Some(0.333333))), s"24: $out")
+    assert(out((0, 4)) === ((3L, 0L, Some(0.0))), s"04: $out")
+  }
+
   test("q226: weighted modularity hits the hand-computed two-clique value") {
     val s = spark
     import s.implicits._
