@@ -3904,9 +3904,13 @@ object DesignImage extends QueryModule {
   /** The generated series → window-vector CTE prefix (ends in
     * `dwr(ws, p1, p2, v)`) — shared by the Lloyd chain (q229/q231) and
     * the keyed-LPA stability query (q236). */
-  private def dfcVectorCtes: String =
-    s"""$centsSeriesCte,
-       |dpar AS MATERIALIZED (
+  /** The windowed-r chain sans the shared `series` prefix — lets q257
+    * compose it behind [[connectomeCtes]] (which defines the same
+    * `series`) without a duplicate-CTE clash. */
+  private def dfcVectorCtes: String = s"$centsSeriesCte,\n$dfcWindowBodyCtes"
+
+  private def dfcWindowBodyCtes: String =
+    s"""dpar AS MATERIALIZED (
        |  SELECT CAST((x * 7 + y * 11 + z * 13) % $connNP AS INTEGER) AS p,
        |    t, SUM(v) AS pv
        |  FROM series GROUP BY 1, 2
@@ -4436,6 +4440,122 @@ object DesignImage extends QueryModule {
        |FROM klpmod a JOIN klpmod b ON b.ws = a.ws AND a.p < b.p
        |GROUP BY a.p, b.p
        |ORDER BY i, j""".stripMargin
+
+  // ---- q257: recruitment & integration (allegiance vs static modules) -------
+  // The node-level readout the allegiance matrix exists to feed
+  // (Mattar et al. 2015 PLoS Comput Biol; Bassett et al. 2015): against
+  // the STATIC module partition (q208's LPA on the full-series
+  // connectome — the same labels q212's Q scores), each parcel's
+  //   recruitment  = mean allegiance to parcels of its OWN module,
+  //   integration  = mean allegiance to parcels of OTHER modules —
+  // "does this region keep co-classifying with its home system across
+  // time, and how much does it couple outward". Because every pair
+  // shares the same window count, the mean of P_ij ratios collapses to
+  // ONE exact integer ratio: Σ n_together / Σ n_windowpairs over the
+  // partner set — no double accumulates across pairs. Windowed labels
+  // are EXACTLY q236/q241/q256's (shared dfcWindowModules + klpmod);
+  // static labels are EXACTLY q208/q212's (shared lpaModules + mmod) —
+  // the composition can never disagree with either parent about
+  // membership. A single-member module has no within partners →
+  // recruitment NULL (not 0 — the q32-class honest-null rule).
+  //
+  // Scale shape: the q236 keyed chain + the q208 static chain (both
+  // connectome-moment dominated, sharing ONE voxel-series pass via the
+  // checkpointed input), then a |W|·NP²-bounded ordered-pair fold and
+  // an NP-bounded output.
+
+  /** Recruitment/integration from a (ws, p1, p2, r_fp) windowed-
+    * correlation relation and a (p, m) static module relation. */
+  private[graft] def recruitmentCore(wr0: DataFrame,
+      modules: DataFrame): DataFrame = {
+    val lab = dfcWindowModules(wr0).localCheckpoint()
+    val mods = modules.localCheckpoint() // NP rows; both join sides
+    val pairAg = lab.selectExpr("ws", "p AS i", "lab AS li")
+      .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
+      .filter(col("i") =!= col("j")) // ordered pairs: each node sees all partners
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("nw"),
+        sum(expr("CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE 0 END")).as("nt"))
+    pairAg
+      .join(broadcast(mods.selectExpr("p AS i", "m AS mi")), Seq("i"))
+      .join(broadcast(mods.selectExpr("p AS j", "m AS mj")), Seq("j"))
+      .selectExpr("i", "mi",
+        "CASE WHEN mi = mj THEN nw ELSE CAST(0 AS BIGINT) END AS nww",
+        "CASE WHEN mi = mj THEN nt ELSE CAST(0 AS BIGINT) END AS ntw",
+        "CASE WHEN mi <> mj THEN nw ELSE CAST(0 AS BIGINT) END AS nwb",
+        "CASE WHEN mi <> mj THEN nt ELSE CAST(0 AS BIGINT) END AS ntb")
+      .groupBy("i", "mi")
+      .agg(sum("nww").as("w_pairs"), sum("ntw").as("w_together"),
+        sum("nwb").as("b_pairs"), sum("ntb").as("b_together"))
+      .selectExpr("i AS p", "mi AS m", "w_pairs", "w_together",
+        "CASE WHEN w_pairs > 0 THEN round(CAST(w_together AS DOUBLE) / w_pairs, 6) END AS recruitment",
+        "b_pairs", "b_together",
+        "CASE WHEN b_pairs > 0 THEN round(CAST(b_together AS DOUBLE) / b_pairs, 6) END AS integration")
+      .orderBy("p")
+  }
+
+  def recruitment(s: SparkSession, d: String): DataFrame = {
+    val vox = ImageOps.voxelSeries(lineitem(s, d), L, NT)
+      .select(col("t"), col("x"), col("y"), col("z"),
+        expr("CAST(value_dec * 100 AS BIGINT)").as("v"))
+      .localCheckpoint() // ONE voxel-series pass feeds both chains
+    val pe = connectomeCore(vox)
+      .selectExpr("p1", "p2", s"$lpaEdgeStr AS edge").localCheckpoint()
+    recruitmentCore(dfcWindowR(vox), lpaModules(pe, maxRounds = connNP))
+  }
+
+  private def recruitmentSql: String =
+    s"""WITH $connectomeCtes,
+       |pe2 AS MATERIALIZED (SELECT p1, p2, $lpaEdgeStr AS edge FROM pairs),
+       |mparcels AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT p1 AS p FROM pe2 UNION ALL SELECT p2 AS p FROM pe2)),
+       |mones AS MATERIALIZED (SELECT p1, p2 FROM pe2 WHERE edge = 1),
+       |msym AS MATERIALIZED (SELECT p, q FROM (
+       |  SELECT p1 AS p, p2 AS q FROM mones
+       |  UNION ALL SELECT p2 AS p, p1 AS q FROM mones)),
+       |${lpaCtes(connNP)},
+       |$dfcWindowBodyCtes,
+       |kpe AS MATERIALIZED (
+       |  SELECT ws, p1, p2,
+       |    CASE WHEN v >= 200000 THEN 1 ELSE 0 END AS edge
+       |  FROM dwr
+       |),
+       |kparcels AS MATERIALIZED (SELECT DISTINCT ws, p FROM (
+       |  SELECT ws, p1 AS p FROM kpe UNION ALL SELECT ws, p2 AS p FROM kpe)),
+       |kones AS (SELECT ws, p1, p2 FROM kpe WHERE edge = 1),
+       |ksym AS MATERIALIZED (SELECT ws, p, q FROM (
+       |  SELECT ws, p1 AS p, p2 AS q FROM kones
+       |  UNION ALL SELECT ws, p2 AS p, p1 AS q FROM kones)),
+       |${lpaKeyedCtes(connNP)},
+       |kag AS MATERIALIZED (
+       |  SELECT a.p AS i, b.p AS j,
+       |    CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(SUM(CASE WHEN a.lab = b.lab THEN 1 ELSE 0 END) AS BIGINT) AS nt
+       |  FROM klpmod a JOIN klpmod b ON b.ws = a.ws AND a.p <> b.p
+       |  GROUP BY 1, 2
+       |),
+       |kagm AS (
+       |  SELECT kag.i, mi.m AS mi,
+       |    CASE WHEN mi.m = mj.m THEN nw ELSE 0 END AS nww,
+       |    CASE WHEN mi.m = mj.m THEN nt ELSE 0 END AS ntw,
+       |    CASE WHEN mi.m <> mj.m THEN nw ELSE 0 END AS nwb,
+       |    CASE WHEN mi.m <> mj.m THEN nt ELSE 0 END AS ntb
+       |  FROM kag
+       |  JOIN mmod mi ON mi.p = kag.i
+       |  JOIN mmod mj ON mj.p = kag.j
+       |)
+       |SELECT i AS p, mi AS m,
+       |  CAST(SUM(nww) AS BIGINT) AS w_pairs,
+       |  CAST(SUM(ntw) AS BIGINT) AS w_together,
+       |  CASE WHEN SUM(nww) > 0
+       |    THEN round(CAST(SUM(ntw) AS DOUBLE) / SUM(nww), 6) END AS recruitment,
+       |  CAST(SUM(nwb) AS BIGINT) AS b_pairs,
+       |  CAST(SUM(ntb) AS BIGINT) AS b_together,
+       |  CASE WHEN SUM(nwb) > 0
+       |    THEN round(CAST(SUM(ntb) AS DOUBLE) / SUM(nwb), 6) END AS integration
+       |FROM kagm
+       |GROUP BY i, mi
+       |ORDER BY p""".stripMargin
 
   // ---- q217: percolation / threshold-sensitivity sweep ---------------------
   // The analysis run before ANY thresholded graph claim (van Wijk et al.
@@ -5626,6 +5746,7 @@ object DesignImage extends QueryModule {
     Q("q247_betweenness_weighted", betweennessWeighted, Some(betweennessWeightedSql)),
     Q("q241_dfc_flexibility", dfcFlexibility, Some(dfcFlexibilitySql)),
     Q("q256_module_allegiance", moduleAllegiance, Some(moduleAllegianceSql)),
+    Q("q257_recruitment", recruitment, Some(recruitmentSql)),
     Q("q226_modularity_weighted", modularityWeighted, Some(modularityWeightedSql)),
     Q("q227_rich_club_weighted", richClubWeighted, Some(richClubWeightedSql)),
     Q("q228_assortativity_strength", assortativityWeighted, Some(assortativityWeightedSql)),

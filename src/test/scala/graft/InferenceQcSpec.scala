@@ -1126,6 +1126,41 @@ class InferenceQcSpec extends SparkSpec {
     assert(out((0, 4)) === ((3L, 0L, Some(0.0))), s"04: $out")
   }
 
+  test("q257: recruitment reads home-system cohesion, integration the outward coupling") {
+    val s = spark
+    import s.implicits._
+    val hi = 1000000L
+    // the q236/q256 planted calendar (windows 0,1 = {012}{345},
+    // window 2 = {013}{245}) against the STATIC partition {012}{345}.
+    // Node 0 within {1,2}: together (0,1) 3/3 + (0,2) 2/3 → 5/6;
+    // between {3,4,5}: only (0,3) in window 2 → 1/9.
+    // Node 2 within: (2,0) 2 + (2,1) 2 → 4/6; between: (2,4),(2,5) in
+    // window 2 → 2/9. Node 4 within: (4,3) 2 + (4,5) 3 → 5/6.
+    def win(ws: Int, tris: Seq[(Int, Int)]): Seq[(Int, Int, Int, Long)] = {
+      val t = tris.toSet
+      (0 until 6).flatMap(i => (i + 1 until 6).map(j =>
+        (ws, i, j, if (t((i, j))) hi else 0L)))
+    }
+    val triA = Seq((0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5))
+    val triB = Seq((0, 1), (0, 3), (1, 3), (2, 4), (2, 5), (4, 5))
+    val wr = (win(0, triA) ++ win(1, triA) ++ win(2, triB))
+      .toDF("ws", "p1", "p2", "r_fp")
+    val mods = Seq((0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)).toDF("p", "m")
+    val out = graft.queries.DesignImage.recruitmentCore(wr, mods)
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1),
+        r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getLong(5), r.getLong(6), Option(r.get(7)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size === 6)
+    assert(out(0) === ((0, 6L, 5L, Some(0.833333), 9L, 1L, Some(0.111111))), s"n0: $out")
+    assert(out(2) === ((0, 6L, 4L, Some(0.666667), 9L, 2L, Some(0.222222))), s"n2: $out")
+    assert(out(4) === ((1, 6L, 5L, Some(0.833333), 9L, 1L, Some(0.111111))), s"n4: $out")
+    // a single-member module must read NULL recruitment, never 0
+    val solo = graft.queries.DesignImage.recruitmentCore(wr,
+      Seq((0, 7), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)).toDF("p", "m"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(4))).toMap
+    assert(solo(0).isEmpty, s"solo module: $solo")
+  }
+
   test("q226: weighted modularity hits the hand-computed two-clique value") {
     val s = spark
     import s.implicits._
