@@ -1220,16 +1220,21 @@ object DesignImage extends QueryModule {
     val sym = edges.selectExpr("k", "a", "b")
       .unionByName(edges.selectExpr("k", "b AS a", "a AS b"))
     val nodes = sym.select(col("k"), col("a").as("p")).distinct()
-    var reach = sym.unionByName(nodes.selectExpr("k", "p AS a", "p AS b"))
-      .distinct().localCheckpoint()
-    val nNodes = math.max(2L, nodes.select("p").distinct().count())
+    val pinned0 = graft.util.Loops.pinRows(
+      sym.unionByName(nodes.selectExpr("k", "p AS a", "p AS b")).distinct())
+    var reach = pinned0._1
+    val reachRows = pinned0._2
+    // rounds from the distinct-node count — free off the pinned pairs
+    val nNodes = math.max(2L,
+      reachRows.iterator.filter(r => r.get(1) == r.get(2))
+        .map(_.get(1)).toSet.size.toLong)
     val rounds = math.max(1,
       math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
     for (_ <- 0 until rounds) {
       val sq = reach.selectExpr("k", "a", "b AS c")
         .join(reach.selectExpr("k", "a AS c", "b"), Seq("k", "c"))
         .select("k", "a", "b")
-      reach = reach.unionByName(sq).distinct().transform(graft.util.Loops.fresh)
+      reach = graft.util.Loops.pin(reach.unionByName(sq).distinct())
     }
     reach.groupBy(col("k"), col("a").as("p")).agg(min("b").as("comp"))
   }
@@ -1362,18 +1367,19 @@ object DesignImage extends QueryModule {
     * relation — spec-plantable. */
   private[graft] def pathMetricsCore(pairs0: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      pe.select(col("p1").as("p"))
+        .union(pe.select(col("p2").as("p"))).distinct())
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
-    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    var dist = graft.util.Loops.pin(sym.withColumn("d", lit(1L)))
     // doubling rounds sized from the INPUT's node count (2^rounds ≥ n >
     // diameter), not the global connNP constant — a planted graph with
     // more nodes than the production atlas still gets full coverage.
-    // parcels is an atlas-sized (node-count) relation; the count is a
-    // bounded driver action, not data-sized state.
-    val nNodes = math.max(2L, parcels.count())
+    // parcels is an atlas-sized (node-count) relation, driver-pinned,
+    // so the round derivation is free.
+    val nNodes = math.max(2L, parcelRows.length.toLong)
     val rounds = math.max(1,
       math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
     for (_ <- 0 until rounds) {
@@ -1383,7 +1389,7 @@ object DesignImage extends QueryModule {
       dist = dist.unionByName(through)
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b").agg(min("d").as("d"))
-        .localCheckpoint()
+        .transform(graft.util.Loops.pin) // NP²-bounded distance state
     }
     pathMetricsFromDist(dist, parcels)
   }
@@ -1436,27 +1442,31 @@ object DesignImage extends QueryModule {
     * (p1, p2, …, edge) relation — spec-plantable. */
   private[graft] def pathMetricsBfsCore(pairs0: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      pe.select(col("p1").as("p"))
+        .union(pe.select(col("p2").as("p"))).distinct())
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
       .distinct().localCheckpoint()
-    val nNodes = math.max(2L, parcels.count())
-    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
+    val nNodes = math.max(2L, parcelRows.length.toLong)
+    var dist = graft.util.Loops.pin(sym.withColumn("d", lit(1L)))
     var frontier = dist.select("a", "b")
+    var frontierNonEmpty = true
     var depth = 1L
-    while (depth < nNodes && !frontier.isEmpty) {
+    while (depth < nNodes && frontierNonEmpty) {
       depth += 1
-      val next = frontier.selectExpr("a", "b AS c")
-        .join(sym.selectExpr("a AS c", "b"), Seq("c"))
-        .select("a", "b").distinct()
-        .filter(col("a") =!= col("b"))
-        .join(dist.select("a", "b"), Seq("a", "b"), "left_anti")
-        .localCheckpoint()
+      val (next, nextRows) = graft.util.Loops.pinRows(
+        frontier.selectExpr("a", "b AS c")
+          .join(sym.selectExpr("a AS c", "b"), Seq("c"))
+          .select("a", "b").distinct()
+          .filter(col("a") =!= col("b"))
+          .join(broadcast(dist.select("a", "b")), Seq("a", "b"), "left_anti"))
       frontier = next
-      dist = dist.unionByName(next.withColumn("d", lit(depth)))
-        .localCheckpoint()
+      frontierNonEmpty = nextRows.nonEmpty
+      if (frontierNonEmpty)
+        dist = graft.util.Loops.pin(
+          dist.unionByName(next.withColumn("d", lit(depth))))
     }
     pathMetricsFromDist(dist, parcels)
   }
@@ -1501,14 +1511,14 @@ object DesignImage extends QueryModule {
     val sym = ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
       .localCheckpoint()
-    var x = parcels.select(col("p"), lit(1L).as("x")).localCheckpoint()
+    var x = graft.util.Loops.pin(parcels.select(col("p"), lit(1L).as("x")))
     for (_ <- 0 until ecmSteps) {
       val nx = sym.selectExpr("a", "b AS p")
-        .join(x, Seq("p"))
+        .join(broadcast(x), Seq("p"))
         .groupBy(col("a").as("p")).agg(sum("x").as("nx"))
       x = x.join(nx, Seq("p"), "left").na.fill(0L, Seq("nx"))
         .selectExpr("p", "x + nx AS x")
-        .transform(graft.util.Loops.fresh) // NP-bounded; read twice next step
+        .transform(graft.util.Loops.pin) // NP-bounded; read twice next step
     }
     x.crossJoin(broadcast(x.agg(max("x").as("mx"))))
       .selectExpr("p", "x AS ec_raw",
@@ -1695,40 +1705,41 @@ object DesignImage extends QueryModule {
   private[graft] def lpaModules(pairs0: DataFrame,
       maxRounds: Int = 0): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; cap derivation + init labels
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      pe.select(col("p1").as("p"))
+        .union(pe.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned: cap derivation + init labels, zero jobs
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
       .localCheckpoint()
     val cap =
-      if (maxRounds > 0) maxRounds else math.max(1, parcels.count().toInt)
-    var lab = parcels.select(col("p"), col("p").as("lab")).localCheckpoint()
+      if (maxRounds > 0) maxRounds else math.max(1, parcelRows.length)
+    var lab = parcels.select(col("p"), col("p").as("lab"))
     var converged = false
     var round = 0
     while (round < cap && !converged) {
       round += 1
-      // The label relation is NP rows behind a checkpoint (no stats →
-      // Catalyst would sort-merge every round); BROADCAST it at both
+      // The label relation is NP rows PINNED on the driver (r20: a
+      // LocalRelation broadcasts with zero jobs and carries exact tiny
+      // stats — the per-round localCheckpoint job, the isEmpty probe
+      // job, and the broadcast-build round-trip all collapse into the
+      // ONE collect that materializes the round); BROADCAST it at both
       // join sites so the edge relation never shuffles, and take the
       // (count DESC, label ASC) winner as ONE min(struct) aggregate —
-      // hash aggregation, no WindowExec sort. The change flag rides
-      // INSIDE the checkpointed round relation, so the fixed-point
-      // probe is a scan of NP cached rows, not its own join.
+      // hash aggregation, no WindowExec sort.
       val votes = sym.join(broadcast(lab.selectExpr("p AS q", "lab")), Seq("q"))
         .select("p", "lab")
         .unionByName(lab.select("p", "lab")) // the self-vote
         .groupBy("p", "lab").agg(count(lit(1)).as("c"))
-      val next = votes
+      val (next, nrows) = graft.util.Loops.pinRows(votes
         .groupBy("p")
         .agg(min(struct(expr("-c AS nc"), col("lab"))).as("w"))
         .select(col("p"), col("w.lab").as("lab"))
         .join(broadcast(lab.selectExpr("p", "lab AS plab")), Seq("p"))
-        .select(col("p"), col("lab"), (col("lab") =!= col("plab")).as("chg"))
-        .transform(graft.util.Loops.fresh) // NP rows; next round + diff probe
-      // fixed-point probe (bounded driver probe, the q142/q199 loop shape)
-      converged = next.filter(col("chg")).isEmpty
+        .select(col("p"), col("lab"), (col("lab") =!= col("plab")).as("chg")))
+      // fixed-point probe: a free driver-side check of the pinned rows
+      converged = !nrows.exists(_.getBoolean(2))
       lab = next.select("p", "lab")
     }
     lab.selectExpr("p", "CAST(lab AS INT) AS m")
@@ -1962,25 +1973,27 @@ object DesignImage extends QueryModule {
     * planted non-negative ids). */
   private[graft] def louvainModules(pairs0: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; degree fill + init labels
+    val parcels = graft.util.Loops.pin(pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; degree fill + init labels, zero jobs
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
       .localCheckpoint() // 2M rows; every round + the 2M count
-    val deg = parcels.join(
+    val (deg, degRows) = graft.util.Loops.pinRows(parcels.join(
         sym.groupBy("p").agg(count(lit(1)).as("k")), Seq("p"), "left")
-      .na.fill(0L, Seq("k"))
-      .localCheckpoint() // NP rows; joined every round
-    val m2 = sym.count() // 2M — one NP²-bounded action, a plan literal
-    var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
+      .na.fill(0L, Seq("k")))
+    // NP rows, driver-pinned; joined every round with zero build jobs
+    val m2 = degRows.map(_.getLong(1)).sum // 2M — free off the pinned degrees
+    var lab = parcels.select(col("p"), col("p").as("c"))
     for (r <- 0 until louvainRounds) {
-      // NP-row relations behind checkpoints carry no stats — BROADCAST
-      // them at every join (Catalyst would otherwise sort-merge and
-      // re-shuffle the edge relation each round), and take the
-      // (gain DESC, c ASC) winner as one min(struct) hash aggregate
-      // instead of a WindowExec sort (the q208 round shape).
+      // NP-row relations PINNED on the driver (r20: LocalRelations
+      // broadcast with zero jobs; the per-round checkpoint job
+      // collapses into the one collect) — BROADCAST them at every join
+      // (Catalyst would otherwise sort-merge and re-shuffle the edge
+      // relation each round), and take the (gain DESC, c ASC) winner
+      // as one min(struct) hash aggregate instead of a WindowExec
+      // sort (the q208 round shape).
       val stot = lab.join(broadcast(deg), Seq("p"))
         .groupBy("c").agg(sum("k").as("s"))
       val kic = sym.join(broadcast(lab.selectExpr("p AS q", "c")), Seq("q"))
@@ -2001,7 +2014,7 @@ object DesignImage extends QueryModule {
         .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
         .selectExpr("p",
           s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
-        .transform(graft.util.Loops.fresh) // NP rows; next round reads 3 times
+        .transform(graft.util.Loops.pin) // NP rows; next round reads 3 times
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
   }
@@ -2113,7 +2126,7 @@ object DesignImage extends QueryModule {
     * edge) relation → (p, m) modules. */
   private[graft] def louvainTwoLevelModules(pairs0: DataFrame): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val lab1 = louvainModules(pe).localCheckpoint() // (p, m) level 1
+    val lab1 = graft.util.Loops.pin(louvainModules(pe)) // (p, m) level 1
     val ones = pe.filter(col("edge") === 1)
     val ml = ones
       .join(broadcast(lab1.selectExpr("p AS p1", "m AS m1")), Seq("p1"))
@@ -2124,14 +2137,14 @@ object DesignImage extends QueryModule {
       .unionByName(cross.selectExpr("m2 AS a", "m1 AS b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
       .localCheckpoint() // modules²-bounded; every round
-    val cnodes = lab1.select("m").distinct().localCheckpoint()
-    val cstr = cnodes.join(
+    val cnodes = graft.util.Loops.pin(lab1.select("m").distinct())
+    val (cstr, cstrRows) = graft.util.Loops.pinRows(cnodes.join(
         ml.selectExpr("m1 AS m").unionByName(ml.selectExpr("m2 AS m"))
           .groupBy("m").agg(count(lit(1)).as("s")), Seq("m"), "left")
-      .na.fill(0L, Seq("s"))
-      .localCheckpoint() // modules-bounded; every round
-    val m2x = ml.count() * 2 // 2M — one bounded action, a plan literal
-    var lab = cnodes.select(col("m"), col("m").as("c")).localCheckpoint()
+      .na.fill(0L, Seq("s")))
+    // modules-bounded, driver-pinned; every round with zero build jobs
+    val m2x = cstrRows.map(_.getLong(1)).sum // 2M — free off pinned strengths
+    var lab = cnodes.select(col("m"), col("m").as("c"))
     var merged = true
     var round = 0
     // a round with NO mutual merge leaves the state unchanged, and the
@@ -2147,7 +2160,7 @@ object DesignImage extends QueryModule {
         .groupBy("c1", "c2").agg(sum("w").as("w"))
       val cd = lab.join(broadcast(cstr), Seq("m"))
         .groupBy("c").agg(sum("s").as("d"))
-        .transform(graft.util.Loops.fresh) // communities-bounded; both gain sides
+        .transform(graft.util.Loops.pin) // communities-bounded; both gain sides
       val gains = cw
         .join(broadcast(cd.selectExpr("c AS c1", "d AS d1")), Seq("c1"))
         .join(broadcast(cd.selectExpr("c AS c2", "d AS d2")), Seq("c2"))
@@ -2157,17 +2170,17 @@ object DesignImage extends QueryModule {
       val best = gains.groupBy("c1")
         .agg(min(struct(expr("-g AS ng"), col("c2"))).as("bw"))
         .selectExpr("c1 AS c", "bw.c2 AS b")
-        .transform(graft.util.Loops.fresh) // communities-bounded; self-joined for mutuality
-      val mutual = best
+        .transform(graft.util.Loops.pin) // communities-bounded; self-joined for mutuality
+      val (mutual, mutualRows) = graft.util.Loops.pinRows(best
         .join(best.selectExpr("c AS b", "b AS cback"), Seq("b"))
         .filter(col("cback") === col("c"))
-        .selectExpr("c", "least(c, b) AS nc")
-        .localCheckpoint() // communities-bounded; empty probe + label map
-      merged = !mutual.isEmpty
+        .selectExpr("c", "least(c, b) AS nc"))
+      // communities-bounded, driver-pinned; probe free, label map zero-job
+      merged = mutualRows.nonEmpty
       if (merged) {
         lab = lab.join(broadcast(mutual), Seq("c"), "left")
           .selectExpr("m", "COALESCE(nc, c) AS c")
-          .transform(graft.util.Loops.fresh) // modules rows; next round reads 3x
+          .transform(graft.util.Loops.pin) // modules rows; next round reads 3x
       }
     }
     lab1.join(broadcast(lab.selectExpr("m", "CAST(c AS INT) AS c2")), Seq("m"))
@@ -2301,37 +2314,42 @@ object DesignImage extends QueryModule {
   private[graft] def betweennessCore(pairs0: DataFrame,
       nSources: Int): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; sources + cap + output grid
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      pe.select(col("p1").as("p"))
+        .union(pe.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; sources + cap + output grid, zero jobs
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
       .localCheckpoint()
-    val sources = parcels.orderBy("p").limit(nSources)
-      .selectExpr("p AS s").localCheckpoint()
-    val cap = math.max(1L, parcels.count())
-    // forward: settled (s, v, d, sigma), frontier = last layer
-    var settled = sources
+    val sources = parcels.orderBy("p").limit(nSources).selectExpr("p AS s")
+    val cap = math.max(1L, parcelRows.length.toLong)
+    // forward: settled (s, v, d, sigma), frontier = last layer — both
+    // |sources|·NP-bounded and driver-pinned, so the per-depth frontier
+    // probe is a free array check instead of an isEmpty job
+    var settled = graft.util.Loops.pin(sources
       .selectExpr("s", "s AS v", "CAST(0 AS BIGINT) AS d",
-        "CAST(1 AS BIGINT) AS sigma").localCheckpoint()
+        "CAST(1 AS BIGINT) AS sigma"))
     var frontier = settled
+    var frontierNonEmpty = true
     var depth = 0L
-    while (depth < cap && !frontier.isEmpty) {
+    while (depth < cap && frontierNonEmpty) {
       depth += 1
-      val nxt = frontier.selectExpr("s", "v AS a", "sigma")
-        .join(sym, Seq("a"))
-        .selectExpr("s", "b AS v", "sigma")
-        .join(settled.select("s", "v"), Seq("s", "v"), "left_anti")
-        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
-        .selectExpr("s", "v", s"CAST($depth AS BIGINT) AS d", "sigma")
-        .transform(graft.util.Loops.fresh) // |sources|·NP-bounded layer
+      val (nxt, nxtRows) = graft.util.Loops.pinRows(
+        frontier.selectExpr("s", "v AS a", "sigma")
+          .join(sym, Seq("a"))
+          .selectExpr("s", "b AS v", "sigma")
+          .join(broadcast(settled.select("s", "v")), Seq("s", "v"), "left_anti")
+          .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+          .selectExpr("s", "v", s"CAST($depth AS BIGINT) AS d", "sigma"))
       frontier = nxt
-      settled = settled.unionByName(nxt).transform(graft.util.Loops.fresh)
+      frontierNonEmpty = nxtRows.nonEmpty
+      if (frontierNonEmpty)
+        settled = graft.util.Loops.pin(settled.unionByName(nxt))
     }
     // backward: delta_fp (s, v), accumulated from the deepest layer in
-    var delta = settled.select("s", "v")
-      .withColumn("delta", lit(0L)).localCheckpoint()
+    var delta = graft.util.Loops.pin(settled.select("s", "v")
+      .withColumn("delta", lit(0L)))
     for (dd <- depth to 1L by -1L) {
       val contrib = settled.filter(col("d") === dd)
         .selectExpr("s", "v AS w", "sigma AS sw")
@@ -2344,7 +2362,7 @@ object DesignImage extends QueryModule {
         .groupBy("s", "v").agg(sum("t").as("inc"))
       delta = delta.join(contrib, Seq("s", "v"), "left")
         .selectExpr("s", "v", "delta + COALESCE(inc, CAST(0 AS BIGINT)) AS delta")
-        .transform(graft.util.Loops.fresh)
+        .transform(graft.util.Loops.pin)
     }
     parcels
       .join(delta.filter(col("v") =!= col("s"))
@@ -2553,18 +2571,17 @@ object DesignImage extends QueryModule {
   private[graft] def louvainWeightedModules(wpairs: DataFrame): DataFrame = {
     val ones = wpairs.filter(col("w") > 0).select("p1", "p2", "w")
       .localCheckpoint()
-    val parcels = wpairs.select(col("p1").as("p"))
-      .union(wpairs.select(col("p2").as("p"))).distinct()
-      .localCheckpoint()
+    val parcels = graft.util.Loops.pin(wpairs.select(col("p1").as("p"))
+      .union(wpairs.select(col("p2").as("p"))).distinct())
     val sym = ones.selectExpr("p1 AS p", "p2 AS q", "w")
       .union(ones.selectExpr("p2 AS p", "p1 AS q", "w"))
       .localCheckpoint() // 2M rows; every round + the W total
-    val str = parcels.join(
+    val (str, strRows) = graft.util.Loops.pinRows(parcels.join(
         sym.groupBy("p").agg(sum("w").as("s")), Seq("p"), "left")
-      .na.fill(0L, Seq("s"))
-      .localCheckpoint() // NP rows; joined every round
-    val w2 = sym.agg(coalesce(sum("w"), lit(0L))).head().getLong(0) // 2W
-    var lab = parcels.select(col("p"), col("p").as("c")).localCheckpoint()
+      .na.fill(0L, Seq("s")))
+    // NP rows, driver-pinned; joined every round with zero build jobs
+    val w2 = strRows.map(_.getLong(1)).sum // 2W — free off pinned strengths
+    var lab = parcels.select(col("p"), col("p").as("c"))
     for (r <- 0 until louvainRounds) {
       // broadcast label/strength joins + min(struct) winner — the
       // unweighted detector's round shape (see louvainModules)
@@ -2587,7 +2604,7 @@ object DesignImage extends QueryModule {
         .agg(min(struct(expr("-g AS ng"), col("c"), col("cur"))).as("w"))
         .selectExpr("p",
           s"CASE WHEN p % 2 = ${r % 2} THEN w.c ELSE w.cur END AS c")
-        .transform(graft.util.Loops.fresh)
+        .transform(graft.util.Loops.pin)
     }
     lab.selectExpr("p", "CAST(c AS INT) AS m")
   }
@@ -2875,15 +2892,16 @@ object DesignImage extends QueryModule {
 
   /** Weighted path-metrics core from a (p1, p2, w) relation. */
   private[graft] def pathMetricsWeightedCore(wpairs: DataFrame): DataFrame = {
-    val parcels = wpairs.select(col("p1").as("p"))
-      .union(wpairs.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; rounds + tail
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      wpairs.select(col("p1").as("p"))
+        .union(wpairs.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; rounds derivation free + tail joins
     val ones = wpairs.filter(col("w") > 0)
       .selectExpr("p1", "p2", "CAST(round(1e12 / w, 0) AS BIGINT) AS l")
     val sym = ones.selectExpr("p1 AS a", "p2 AS b", "l")
       .union(ones.selectExpr("p2 AS a", "p1 AS b", "l"))
-    var dist = sym.selectExpr("a", "b", "l AS d").localCheckpoint()
-    val nNodes = math.max(2L, parcels.count())
+    var dist = graft.util.Loops.pin(sym.selectExpr("a", "b", "l AS d"))
+    val nNodes = math.max(2L, parcelRows.length.toLong)
     val rounds = math.max(1,
       math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
     for (_ <- 0 until rounds) {
@@ -2893,7 +2911,7 @@ object DesignImage extends QueryModule {
       dist = dist.unionByName(through)
         .filter(col("a") =!= col("b"))
         .groupBy("a", "b").agg(min("d").as("d"))
-        .transform(graft.util.Loops.fresh)
+        .transform(graft.util.Loops.pin) // NP²-bounded distance state
     }
     // Reciprocal terms are ≤ 10¹² each (d ≥ 10⁶ for any 1-hop path);
     // at atlas NP² pairs the SUM sits exactly at the int64 edge, so the
@@ -3009,39 +3027,42 @@ object DesignImage extends QueryModule {
     * (w = 0 ⇒ no edge) → (p, bc_w). */
   private[graft] def betweennessWeightedCore(wpairs: DataFrame,
       nSources: Int): DataFrame = {
-    val parcels = wpairs.select(col("p1").as("p"))
-      .union(wpairs.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; sources + cap + output grid
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      wpairs.select(col("p1").as("p"))
+        .union(wpairs.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; sources + cap + output grid, zero jobs
     val ones = wpairs.filter(col("w") > 0)
       .selectExpr("p1", "p2", "CAST(round(1e12 / w, 0) AS BIGINT) AS l")
     val sym = ones.selectExpr("p1 AS a", "p2 AS b", "l")
       .union(ones.selectExpr("p2 AS a", "p1 AS b", "l"))
       .localCheckpoint()
-    val sources = parcels.orderBy("p").limit(nSources)
-      .selectExpr("p AS s").localCheckpoint()
-    val cap = math.max(1L, parcels.count())
-    // 1. distances: relax from the improved frontier only
-    var dist = sources
-      .selectExpr("s", "s AS v", "CAST(0 AS BIGINT) AS d").localCheckpoint()
+    val sources = parcels.orderBy("p").limit(nSources).selectExpr("p AS s")
+    val cap = math.max(1L, parcelRows.length.toLong)
+    // 1. distances: relax from the improved frontier only — per-round
+    // state driver-pinned, so the empty-frontier probe is a free check
+    var dist = graft.util.Loops.pin(sources
+      .selectExpr("s", "s AS v", "CAST(0 AS BIGINT) AS d"))
     var frontier = dist
+    var frontierNonEmpty = true
     var round = 0L
-    while (round < cap && !frontier.isEmpty) {
+    while (round < cap && frontierNonEmpty) {
       round += 1
       val cand = frontier.selectExpr("s", "v AS a", "d")
         .join(sym, Seq("a"))
         .selectExpr("s", "b AS v", "d + l AS d")
         .groupBy("s", "v").agg(min("d").as("d"))
-      val improved = cand
+      val (improved, impRows) = graft.util.Loops.pinRows(cand
         .join(dist.selectExpr("s", "v", "d AS d_old"), Seq("s", "v"), "left")
         .filter(col("d_old").isNull || col("d") < col("d_old"))
-        .select("s", "v", "d")
-        .transform(graft.util.Loops.fresh) // |sources|·NP-bounded
+        .select("s", "v", "d")) // |sources|·NP-bounded
       frontier = improved
-      dist = dist.unionByName(improved)
-        .groupBy("s", "v").agg(min("d").as("d"))
-        .transform(graft.util.Loops.fresh)
+      frontierNonEmpty = impRows.nonEmpty
+      if (frontierNonEmpty)
+        dist = dist.unionByName(improved)
+          .groupBy("s", "v").agg(min("d").as("d"))
+          .transform(graft.util.Loops.pin)
     }
-    val dists = dist.localCheckpoint()
+    val dists = dist
     // 2. tight edges: the per-source shortest-path DAG
     val tight = dists.selectExpr("s", "v AS u", "d AS du")
       .join(sym.selectExpr("a AS u", "b AS v", "l"), Seq("u"))
@@ -3050,26 +3071,26 @@ object DesignImage extends QueryModule {
       .select("s", "u", "v")
       .localCheckpoint() // |sources|·E-bounded; σ + δ rounds
     val base = sources.selectExpr("s", "s AS v", "CAST(1 AS BIGINT) AS sigma")
-    var sigma = base.localCheckpoint()
+    var sigma = graft.util.Loops.pin(base)
     var sigStat = (0L, 0L)
     var k = 0L
     var stable = false
     while (k < cap && !stable) {
       k += 1
-      sigma = base.unionByName(
-          tight.selectExpr("s", "u AS v", "v AS w")
-            .join(sigma.selectExpr("s", "v", "sigma"), Seq("s", "v"))
-            .groupBy(col("s"), col("w").as("v")).agg(sum("sigma").as("sigma")))
-        .transform(graft.util.Loops.fresh)
-      val st = sigma.agg(count(lit(1)), coalesce(sum("sigma"), lit(0L))).head()
-      val now = (st.getLong(0), st.getLong(1))
+      val (nsig, nsigRows) = graft.util.Loops.pinRows(base.unionByName(
+        tight.selectExpr("s", "u AS v", "v AS w")
+          .join(sigma.selectExpr("s", "v", "sigma"), Seq("s", "v"))
+          .groupBy(col("s"), col("w").as("v")).agg(sum("sigma").as("sigma"))))
+      sigma = nsig
+      // fixed-point certificate (count, Σσ) — free off the pinned rows
+      val now = (nsigRows.length.toLong, nsigRows.map(_.getLong(2)).sum)
       stable = now == sigStat
       sigStat = now
     }
-    val sig = sigma.localCheckpoint()
+    val sig = sigma
     // 3. dependency sweep: full recompute per round in 1e-12 fixed point
-    val grid = dists.select("s", "v").localCheckpoint()
-    var delta = grid.withColumn("delta", lit(0L)).localCheckpoint()
+    val grid = dists.select("s", "v")
+    var delta = graft.util.Loops.pin(grid.withColumn("delta", lit(0L)))
     var delSum = 0L
     k = 0L
     stable = false
@@ -3082,10 +3103,11 @@ object DesignImage extends QueryModule {
         .selectExpr("s", "u",
           "(CAST(sv AS DECIMAL(38,0)) * (1000000000000 + dw)) div sw AS t")
         .groupBy(col("s"), col("u").as("v")).agg(sum("t").as("inc"))
-      delta = grid.join(contrib, Seq("s", "v"), "left")
-        .selectExpr("s", "v", "COALESCE(inc, CAST(0 AS BIGINT)) AS delta")
-        .transform(graft.util.Loops.fresh)
-      val st = delta.agg(coalesce(sum("delta"), lit(0L))).head().getLong(0)
+      val (ndelta, ndeltaRows) = graft.util.Loops.pinRows(
+        grid.join(contrib, Seq("s", "v"), "left")
+          .selectExpr("s", "v", "COALESCE(inc, CAST(0 AS BIGINT)) AS delta"))
+      delta = ndelta
+      val st = ndeltaRows.map(_.getLong(2)).sum // free fixed-point probe
       stable = st == delSum
       delSum = st
     }
@@ -3453,9 +3475,10 @@ object DesignImage extends QueryModule {
     val s = pairs0.sparkSession
     import s.implicits._
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; deg fill + count + np
+    val (parcels, parcelRows) = graft.util.Loops.pinRows(
+      pe.select(col("p1").as("p"))
+        .union(pe.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; deg fill + count + np, zero scan jobs
     val ones = pe.filter(col("edge") === 1).select("p1", "p2")
     val deg = parcels.join(
         ones.select(col("p1").as("p")).union(ones.select(col("p2").as("p")))
@@ -3484,8 +3507,8 @@ object DesignImage extends QueryModule {
     val ec = onesK.groupBy("strategy", "k").agg(count(lit(1)).as("n_edges"))
     val sym = onesK.selectExpr("strategy", "k", "p1 AS a", "p2 AS b")
       .unionByName(onesK.selectExpr("strategy", "k", "p2 AS a", "p1 AS b"))
-    var dist = sym.withColumn("d", lit(1L)).localCheckpoint()
-    val nNodes = math.max(2L, parcels.count())
+    var dist = graft.util.Loops.pin(sym.withColumn("d", lit(1L)))
+    val nNodes = math.max(2L, parcelRows.length.toLong)
     val rounds = math.max(1,
       math.ceil(math.log(nNodes.toDouble) / math.log(2.0)).toInt)
     for (_ <- 0 until rounds) {
@@ -3496,7 +3519,7 @@ object DesignImage extends QueryModule {
       dist = dist.unionByName(through)
         .filter(col("a") =!= col("b"))
         .groupBy("strategy", "k", "a", "b").agg(min("d").as("d"))
-        .transform(graft.util.Loops.fresh)
+        .transform(graft.util.Loops.pin) // |keys|·NP²-bounded state
     }
     val st = dist.groupBy("strategy", "k").agg(sum("d").as("sd"),
       count(lit(1)).as("n_fin"),
@@ -3615,19 +3638,19 @@ object DesignImage extends QueryModule {
   private[graft] def corenessCore(pairs0: DataFrame,
       rounds: Int = corenessRounds): DataFrame = {
     val pe = pairs0.select("p1", "p2", "edge").localCheckpoint()
-    val parcels = pe.select(col("p1").as("p"))
-      .union(pe.select(col("p2").as("p"))).distinct()
-      .localCheckpoint() // NP rows; per-round fill + output
+    val parcels = graft.util.Loops.pin(pe.select(col("p1").as("p"))
+      .union(pe.select(col("p2").as("p"))).distinct())
+    // NP rows, driver-pinned; per-round fill + output, zero scan jobs
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
       .localCheckpoint() // NP²-bounded; read every round
-    val deg = sym.groupBy("p").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // NP rows; c⁰ + output
+    val deg = graft.util.Loops.pin(sym.groupBy("p")
+      .agg(count(lit(1)).as("deg"))) // NP rows; c⁰ + output
     val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
       .orderBy(col("c").desc, col("q").asc)
-    var c = parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
-      .selectExpr("p", "deg AS c").localCheckpoint()
+    var c = graft.util.Loops.pin(parcels.join(deg, Seq("p"), "left")
+      .na.fill(0L, Seq("deg")).selectExpr("p", "deg AS c"))
     // The H-index iteration is a deterministic map and monotone
     // non-increasing, so the first unchanged round is a FIXED POINT and
     // every later round reproduces it — the loop stops there (the q208
@@ -3643,12 +3666,12 @@ object DesignImage extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter(col("c") >= col("rn"))
         .groupBy("p").agg(max("rn").cast("long").as("h"))
-      val next = parcels.join(broadcast(h), Seq("p"), "left")
-        .na.fill(0L, Seq("h"))
-        .join(broadcast(c.selectExpr("p", "c AS pc")), Seq("p"))
-        .select(col("p"), col("h").as("c"), (col("h") =!= col("pc")).as("chg"))
-        .transform(graft.util.Loops.fresh) // NP rows; next round + diff probe
-      converged = next.filter(col("chg")).isEmpty
+      val (next, nrows) = graft.util.Loops.pinRows(
+        parcels.join(broadcast(h), Seq("p"), "left")
+          .na.fill(0L, Seq("h"))
+          .join(broadcast(c.selectExpr("p", "c AS pc")), Seq("p"))
+          .select(col("p"), col("h").as("c"), (col("h") =!= col("pc")).as("chg")))
+      converged = !nrows.exists(_.getBoolean(2)) // free driver-side probe
       c = next.select("p", "c")
     }
     parcels.join(deg, Seq("p"), "left").na.fill(0L, Seq("deg"))
@@ -4144,28 +4167,29 @@ object DesignImage extends QueryModule {
     // reproducing their labels, so mixed convergence depths need no
     // per-window gating), ceilinged at connNP = the oracle's unroll
     // count (the q208 lockstep argument, keyed).
-    var lab = parcels.selectExpr("ws", "p", "p AS lab").localCheckpoint()
+    var lab = graft.util.Loops.pin(parcels.selectExpr("ws", "p", "p AS lab"))
     var converged = false
     var round = 0
     while (round < connNP && !converged) {
       round += 1
       // broadcast label joins + min(struct) winner — the q208 round
-      // shape, keyed by ws (|W|·NP label rows stay broadcast-class)
+      // shape, keyed by ws (|W|·NP label rows stay broadcast-class,
+      // driver-pinned: the per-round checkpoint + isEmpty probe jobs
+      // collapse into the one collect, the diff probe is a free check)
       val votes = sym
         .join(broadcast(lab.selectExpr("ws", "p AS q", "lab")), Seq("ws", "q"))
         .select("ws", "p", "lab")
         .unionByName(lab.select("ws", "p", "lab")) // the self-vote
         .groupBy("ws", "p", "lab").agg(count(lit(1)).as("c"))
-      val next = votes
+      val (next, nrows) = graft.util.Loops.pinRows(votes
         .groupBy("ws", "p")
         .agg(min(struct(expr("-c AS nc"), col("lab"))).as("w"))
         .select(col("ws"), col("p"), col("w.lab").as("lab"))
         .join(broadcast(lab.selectExpr("ws", "p", "lab AS plab")),
           Seq("ws", "p"))
         .select(col("ws"), col("p"), col("lab"),
-          (col("lab") =!= col("plab")).as("chg"))
-        .transform(graft.util.Loops.fresh) // |W|·NP rows; next round + diff probe
-      converged = next.filter(col("chg")).isEmpty
+          (col("lab") =!= col("plab")).as("chg"))) // |W|·NP rows
+      converged = !nrows.exists(_.getBoolean(3))
       lab = next.select("ws", "p", "lab")
     }
     lab

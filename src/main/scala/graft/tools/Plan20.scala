@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for named SparkEntry queries to files —
+  * the r20 optimization round's plan-evidence artifact
+  * (plans/r20/<query>_{before,after}.txt).
+  *
+  * args: outDir suffix sfDir name[,name...]
+  *   e.g. runMain graft.tools.ProbePlan plans/r20 before /root/testdata/sf0.1 q196,q239
+  * Prefix match like SPARK_GRAFT_ONLY. */
+object ProbePlan {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/r20")
+    val suffix = args.lift(1).getOrElse("before")
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val prefixes = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TopKPerKey.install(spark)
+    Files.createDirectories(Paths.get(outDir))
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if prefixes.forall(_.exists(name.startsWith))) {
+      val df = fn(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+      println(s"[plan] $name -> $outDir/${name}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}
+
+/** Per-query Spark job/stage/task accounting: runs named queries once
+  * (after one warm pass) with a listener counting jobs, stages, tasks and
+  * summed task time — attributes a slow query to "many tiny driver-bound
+  * jobs" vs "few heavy stages" without the UI.
+  *
+  * args: sfDir name[,name...]  (prefix match) */
+object ProbeJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val prefixes = args.lift(1).map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.TopKPerKey.install(spark)
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0L
+    @volatile var taskMs = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+        taskMs += s.stageInfo.taskMetrics.executorRunTime
+      }
+    }
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+         if prefixes.forall(_.exists(name.startsWith))) {
+      def run(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
+      run() // warm
+      jobs = 0; stages = 0; tasks = 0L; taskMs = 0L
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      run()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[jobs] $name wall=$wall%.2f s jobs=$jobs stages=$stages " +
+        f"tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+    }
+    spark.stop()
+  }
+}
