@@ -50,9 +50,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // AQE's byte-based partition coalescing under-parallelizes CPU-dense
+    // stages whose shuffled bytes are small (quantized vectors, shingle
+    // arrays: q59's verify join ran 3 tasks of 800 ms at the 1m default).
+    // 512k keeps those stages wide while leaving data-sized shuffles to
+    // the advisory size; scale-adaptive (a knob on AQE's own sizing, not
+    // a core-count constant) and env-overridable for cluster profiles.
+    val minPart = sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "512k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -5513,6 +5513,10 @@ object DesignImage extends QueryModule {
         df.columns.filter(c => !Seq("x", "y", "z").contains(c)): _*)
       .filter(col("x") >= 0 && col("x") < L && col("y") >= 0 && col("y") < L &&
         col("z") >= 0 && col("z") < L)
+    // (r20 note: a separable 3-pass box fold was tried here — 3× rows
+    // per exchange instead of 27× — and MEASURED SLOWER at this volume:
+    // three groupBy exchanges cost more than the single fan-out,
+    // taskTime 10 → 13.5 s. The joint form stays.)
     val rt = stencil(ranks)
       .groupBy("x", "y", "z", "t")
       .agg(sum("r").as("rt"), count(lit(1)).as("m"))

@@ -136,9 +136,16 @@ object UnigramLmOps {
     val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"),
       lit("").as("seg"), lit(0L).as("np"), lit(0L).as("sc")).localCheckpoint()
-    var completed = partial.filter(expr("pos = length(w)"))
-    for (_ <- 0 until maxLen) {
-      val ext = partial.filter(expr("pos < length(w)"))
+    // completed rides as a LAZY union of per-round filters over the
+    // already-checkpointed round states — re-checkpointing the growing
+    // accumulator every round was one whole job + a rewrite of every
+    // accumulated row per round, for state the final union reads anyway
+    // (r20: halves the loop's scheduled jobs; plan depth stays maxLen-
+    // bounded because each branch is a filter over a checkpoint leaf)
+    val doneParts = Seq.newBuilder[DataFrame]
+    doneParts += partial.filter(expr("pos = length(w)"))
+    for (r <- 0 until maxLen) {
+      var ext = partial.filter(expr("pos < length(w)"))
         .withColumn("l", explode(expr(s"sequence(1, $PieceLenMax)")))
         .withColumn("piece", expr("substring(w, pos + 1, l)"))
         .filter(expr("length(piece) = l"))
@@ -146,11 +153,15 @@ object UnigramLmOps {
         .selectExpr("w", "pos + l AS pos",
           "CASE WHEN pos = 0 THEN piece ELSE concat(seg, ' ', piece) END AS seg",
           "np + 1 AS np", "sc + lnp_fp AS sc")
-        .localCheckpoint()
-      completed = completed
-        .unionByName(ext.filter(expr("pos = length(w)"))).localCheckpoint()
+      // checkpoint every 3rd round (the BpeOps batching pattern): the
+      // chain between checkpoints is linear (no self-reference), so
+      // this trades ≤ 2 rounds of recompute on the completion branches
+      // for a third of the scheduled jobs — the loop's dominant cost
+      if (r % 3 == 2 || r == maxLen - 1) ext = ext.localCheckpoint()
+      doneParts += ext.filter(expr("pos = length(w)"))
       partial = ext
     }
+    val completed = doneParts.result().reduce(_.unionByName(_))
     completed
       .withColumn("rn", row_number().over(Window.partitionBy("w")
         .orderBy(col("sc").desc, col("np").asc, col("seg").asc)))
@@ -205,17 +216,19 @@ object UnigramLmOps {
     val maxLen = maxWordLen(words)
     var partial = words.select(col("w"), lit(0).as("pos"), lit(0L).as("np"))
       .localCheckpoint()
-    var done = partial.filter(expr("pos = length(w)"))
-    for (_ <- 0 until maxLen) {
-      val step = partial.filter(expr("pos < length(w)"))
+    // lazy union of per-round completions — see viterbiBest's note
+    val doneParts = Seq.newBuilder[DataFrame]
+    doneParts += partial.filter(expr("pos = length(w)"))
+    for (r <- 0 until maxLen) {
+      var step = partial.filter(expr("pos < length(w)"))
         .join(lm, Seq("w", "pos"))
         .selectExpr("w", "pos + l AS pos", "np + 1 AS np")
-        .localCheckpoint()
-      done = done.unionByName(step.filter(expr("pos = length(w)")))
-        .localCheckpoint()
+      // every-3rd-round checkpoint — see viterbiBest's note
+      if (r % 3 == 2 || r == maxLen - 1) step = step.localCheckpoint()
+      doneParts += step.filter(expr("pos = length(w)"))
       partial = step
     }
-    done.select("w", "np")
+    doneParts.result().reduce(_.unionByName(_)).select("w", "np")
   }
 
   /** Per-doc word/piece counts + fertility from a (w, np) per-word

@@ -48,19 +48,23 @@ object ProbeJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val prefixes = args.lift(1).map(_.split(",").map(_.trim).toSet)
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val b = b0.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MPS",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "512k")))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKPerKey.install(spark)
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0L
     @volatile var taskMs = 0L
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs += 1
@@ -69,6 +73,8 @@ object ProbeJobs {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskMs += s.stageInfo.taskMetrics.executorRunTime
+        stageRows.add((s.stageInfo.taskMetrics.executorRunTime,
+          s.stageInfo.numTasks, s.stageInfo.name.take(120)))
       }
     }
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
@@ -85,6 +91,13 @@ object ProbeJobs {
       spark.sparkContext.removeSparkListener(listener)
       println(f"[jobs] $name wall=$wall%.2f s jobs=$jobs stages=$stages " +
         f"tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._1).take(8).foreach { case (ms, nt, nm) =>
+          println(f"  [stage] ${ms / 1000.0}%7.2f s  tasks=$nt%-4d $nm")
+        }
+      }
+      stageRows.clear()
     }
     spark.stop()
   }
