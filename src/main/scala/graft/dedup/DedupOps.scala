@@ -854,18 +854,42 @@ object DedupOps {
     val budget = 2 * (64 - java.lang.Long.numberOfLeadingZeros(nE.max(1L))) + 16
     var rounds = 0
     var converged = nE == 0
+    // Small edge sets (delta-CC on an increment's pairs, q107/q121/q176's
+    // serve grain — and any corpus whose dup graph is simply small) PIN on
+    // the driver: each round is then ONE collect job and the exact
+    // set-equality fixpoint probe is a free hash-set compare, instead of
+    // checkpoint + count + exceptAll jobs per round. Corpus-grain dup
+    // graphs above the cut keep the distributed checkpoint + exceptAll
+    // probe — dup pairs are data-derived, not atlas-bounded.
+    val pinCut = 200 * 1000
+    var edgeSet: Set[(Any, Any)] =
+      if (converged || nE > pinCut) null
+      else {
+        val (p, rows) = graft.util.Loops.pinRows(edges)
+        edges = p
+        rows.iterator.map(r => (r.get(0), r.get(1))).toSet
+      }
     while (!converged) {
       require(rounds < budget,
         s"alternating CC did not converge in $budget rounds (|E|=$nE)")
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nextN = next.count()
-      // EXACT fixpoint test (both sides are distinct, checkpointed sets):
-      // equal cardinality + empty difference ⇔ equal sets. The count
-      // differs on every shrinking round, so the exceptAll job only runs
-      // at (or one collision-free step before) the true fixpoint.
-      converged = nextN == nEdges && next.exceptAll(edges).isEmpty
-      edges = next
-      nEdges = nextN
+      if (edgeSet != null) {
+        val (next, rows) = graft.util.Loops.pinRows(smallStar(largeStar(edges)))
+        val nset = rows.iterator.map(r => (r.get(0), r.get(1))).toSet
+        converged = nset == edgeSet
+        edges = next
+        edgeSet = nset
+        nEdges = rows.length.toLong
+      } else {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val nextN = next.count()
+        // EXACT fixpoint test (both sides are distinct, checkpointed
+        // sets): equal cardinality + empty difference ⇔ equal sets. The
+        // count differs on every shrinking round, so the exceptAll job
+        // only runs at (or one collision-free step before) the fixpoint.
+        converged = nextN == nEdges && next.exceptAll(edges).isEmpty
+        edges = next
+        nEdges = nextN
+      }
       rounds += 1
     }
     // fixpoint = stars centered at component minima

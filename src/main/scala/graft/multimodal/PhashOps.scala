@@ -108,8 +108,16 @@ object PhashOps {
     * [[probeSideBands]]). */
   def pairRelation(media: DataFrame, tau: Int = Tau): DataFrame = {
     val bands = bandRelation(fingerprints(media))
+    // MERGE hint (r20, measured): both sides are corpus-derived, so a
+    // broadcast build is wrong at scale anyway — and the band keys are
+    // duplicate-heavy (that is the pooling), which made the driver-side
+    // UnsafeHashedRelation build the measured hot spot (~2.5 s/run on
+    // q122, jstack: BytesToBytesMap.lookup/arrayEquals chains). SMJ
+    // sorts both sides and streams the per-key cross product — the
+    // candidate pooling the operator is designed around.
     probeSideBands(media, tau)
       .select(col("doc_id").as("doc_a"), col("ph").as("__pha"), col("r"), col("bv"))
+      .hint("MERGE")
       .join(bands.select(col("doc_id").as("doc_b"), col("ph").as("__phb"),
         col("r"), col("bv")), Seq("r", "bv"))
       .filter(col("doc_a") < col("doc_b"))
