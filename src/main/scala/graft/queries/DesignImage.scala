@@ -1236,25 +1236,39 @@ object DesignImage extends QueryModule {
         .select("k", "a", "b")
       reach = graft.util.Loops.pin(reach.unionByName(sq).distinct())
     }
-    reach.groupBy(col("k"), col("a").as("p")).agg(min("b").as("comp"))
+    // fold to components INSIDE the pin: reach is the round family's one
+    // LARGE pinned relation (full per-k transitive closure), and a
+    // multi-task scan of a LocalRelation deserializes the whole relation
+    // from every task's closure (measured: a 9 s 32-task stage on q196).
+    // Pinned, the fold is one single-task job and consumers read the
+    // keys·nodes-bounded component labels instead.
+    graft.util.Loops.pin(
+      reach.groupBy(col("k"), col("a").as("p")).agg(min("b").as("comp")))
   }
 
   /** The q196 body over q182's (g, p1, p2, z_fp) facts — spec-plantable. */
   private[graft] def nbsCore(s: SparkSession, facts: DataFrame,
       tPrim: Double): DataFrame = {
+    // fl is GRuns·NP²-bounded (264 rows at the fixture) but sits behind
+    // the DATA-SIZED session-series aggregate — without a checkpoint its
+    // three consumers (obsE, permE×2) re-ran the full lineitem chain
+    // each (r20, stage accounting: an 8 s re-aggregate stage). One
+    // checkpoint = one data pass per run.
     val fl = facts
       .filter(col("z_fp").isNotNull)
       .select(col("p1").as("run"), col("p2").as("j"), col("g"),
         col("z_fp").as("b_fp"))
+      .localCheckpoint()
     val (base, permT) = Glm.signFlipParts(s, fl)
     val obsE = base
       .filter(expr(s"t_obs IS NOT NULL AND abs(t_obs) > $tPrim"))
       .selectExpr("CAST(-1 AS BIGINT) AS k", "CAST(run AS INT) AS a",
         "CAST(j AS INT) AS b")
       .localCheckpoint() // bounded (≤ NP² rows); 3 consumers
-    val permE = permT
+    val permE = graft.util.Loops.pin(permT
       .filter(expr(s"t_p IS NULL OR abs(t_p) > $tPrim"))
-      .selectExpr("perm AS k", "CAST(run AS INT) AS a", "CAST(j AS INT) AS b")
+      .selectExpr("perm AS k", "CAST(run AS INT) AS a", "CAST(j AS INT) AS b"))
+    // PermP·NP²-bounded; 2 consumers (components union + permSize)
     val comp = nbsComponentsCore(obsE.unionByName(permE)).localCheckpoint()
     val obsComp = comp.filter(col("k") === -1L).selectExpr("p", "comp")
     val oc = obsE

@@ -73,8 +73,17 @@ object ProbeJobs {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskMs += s.stageInfo.taskMetrics.executorRunTime
+        val det = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft") && !l.contains("tools.Probe"))
+          .getOrElse(s.stageInfo.name).trim
+        val m = s.stageInfo.taskMetrics
+        val io = f"in=${m.inputMetrics.recordsRead}%d " +
+          f"sr=${m.shuffleReadMetrics.recordsRead}%d " +
+          f"sw=${m.shuffleWriteMetrics.recordsWritten}%d " +
+          f"deser=${m.executorDeserializeTime / 1000.0}%.2f " +
+          f"gc=${m.jvmGCTime / 1000.0}%.2f"
         stageRows.add((s.stageInfo.taskMetrics.executorRunTime,
-          s.stageInfo.numTasks, s.stageInfo.name.take(120)))
+          s.stageInfo.numTasks, s"$io  ${det.take(90)}"))
       }
     }
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
