@@ -879,6 +879,14 @@ object DedupOps {
         edges = next
         edgeSet = nset
         nEdges = rows.length.toLong
+        // the pin decision was made from the INITIAL |E|; largeStar
+        // intermediates can expand the edge set several-fold mid-loop
+        // (r20 ADVICE) — demote to the distributed branch instead of
+        // riding toward Loops.PinMaxRows' hard failure
+        if (!converged && nEdges > pinCut) {
+          edgeSet = null
+          edges = edges.localCheckpoint()
+        }
       } else {
         val next = smallStar(largeStar(edges)).localCheckpoint()
         val nextN = next.count()

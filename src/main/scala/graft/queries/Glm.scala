@@ -1112,6 +1112,14 @@ object Glm extends QueryModule {
   /** (run, j, t_obs, p_perm) from a (run, j, b_fp) first-level relation. */
   private[graft] def signFlipCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
     val (base, permT) = signFlipParts(s, firstLevel)
+    signFlipFromParts(base, permT)
+  }
+
+  /** The q148 tail over already-computed (base, permT) parts — split out
+    * so multi-verdict chains (q155/q157/q182) compute the permutation
+    * expansion ONCE and feed every consumer from the shared parts. */
+  private[graft] def signFlipFromParts(base: DataFrame,
+      permT: DataFrame): DataFrame = {
     permT.join(base.select("run", "j", "n", "t_obs"), Seq("run", "j"))
       .groupBy("run", "j")
       // a DEGENERATE pattern (flipped series with zero variance -> NULL
@@ -1206,6 +1214,13 @@ object Glm extends QueryModule {
 
   private[graft] def maxTCore(s: SparkSession, firstLevel: DataFrame): DataFrame = {
     val (base, permT) = signFlipParts(s, firstLevel)
+    maxTFromParts(base, permT)
+  }
+
+  /** The q152 tail over already-computed (base, permT) parts — see
+    * [[signFlipFromParts]]. */
+  private[graft] def maxTFromParts(base: DataFrame,
+      permT: DataFrame): DataFrame = {
     val mx = permT.groupBy("perm").agg(expr("MAX(abs(t_p))").as("mx"))
     base.select("run", "j", "t_obs").crossJoin(broadcast(mx))
       .groupBy("run", "j")
@@ -1320,9 +1335,18 @@ object Glm extends QueryModule {
   private[graft] def inferenceChainCore(s: SparkSession, fl0: DataFrame): DataFrame = {
     val fl = fl0.localCheckpoint()
     val second = secondLevel(fl.select("run", "j", "b_fp"))
-    val sf = signFlipCore(s, fl).select("run", "j", "t_obs", "p_perm")
+    // base/permT are Runs·k(·PermP)-bounded; signFlipCore and maxTCore
+    // each re-derived them from fl, running the whole fl×PermP expansion
+    // TWICE per chain (r20 verdict item 4: 39 jobs, 71 KB plan on q157).
+    // Compute the parts once, pin the bounded relations, feed all three
+    // verdict consumers from the pins.
+    val (base0, permT0) = signFlipParts(s, fl)
+    val base = graft.util.Loops.pin(base0)
+    val permT = graft.util.Loops.pin(permT0)
+    val sf = graft.util.Loops.pin(
+      signFlipFromParts(base, permT).select("run", "j", "t_obs", "p_perm"))
     val bh = fdrBhCore(sf).select("run", "j", "rk", "kbh", "rejected")
-    val mt = maxTCore(s, fl).select("run", "j", "p_maxt")
+    val mt = maxTFromParts(base, permT).select("run", "j", "p_maxt")
     second.join(sf, Seq("run", "j"))
       .join(bh, Seq("run", "j"), "left")
       .join(mt, Seq("run", "j"))

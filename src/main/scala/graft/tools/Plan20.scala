@@ -60,19 +60,21 @@ object ProbeJobs {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKPerKey.install(spark)
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0L
-    @volatile var taskMs = 0L
+    // AtomicLong, not @volatile var: listener callbacks run on the async
+    // listener-bus thread and += on a volatile is a lost-update race
+    // (r20 ADVICE) — the counts justify engine changes, so keep them exact
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong; val stages = new AtomicLong
+    val tasks = new AtomicLong; val taskMs = new AtomicLong
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages += 1
-        tasks += s.stageInfo.numTasks
-        taskMs += s.stageInfo.taskMetrics.executorRunTime
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+        taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
         val det = s.stageInfo.details.linesIterator
           .find(l => l.contains("graft") && !l.contains("tools.Probe"))
           .getOrElse(s.stageInfo.name).trim
@@ -90,16 +92,18 @@ object ProbeJobs {
          if prefixes.forall(_.exists(name.startsWith))) {
       def run(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
       run() // warm
-      jobs = 0; stages = 0; tasks = 0L; taskMs = 0L
+      jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async; drain the bus before reading counts
+      // (a fixed sleep under-reported on slow runs — r20 ADVICE)
+      org.apache.spark.sql.graft.PlanBridge.waitListenerBusEmpty(
+        spark.sparkContext, 10000)
       spark.sparkContext.removeSparkListener(listener)
-      println(f"[jobs] $name wall=$wall%.2f s jobs=$jobs stages=$stages " +
-        f"tasks=$tasks taskTime=${taskMs / 1000.0}%.2f s")
+      println(f"[jobs] $name wall=$wall%.2f s jobs=${jobs.get} stages=${stages.get} " +
+        f"tasks=${tasks.get} taskTime=${taskMs.get / 1000.0}%.2f s")
       if (sys.env.contains("SPARK_GRAFT_STAGES")) {
         import scala.jdk.CollectionConverters._
         stageRows.asScala.toSeq.sortBy(-_._1).take(8).foreach { case (ms, nt, nm) =>

@@ -700,17 +700,21 @@ object ProbeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKPerKey.install(spark)
-    val fn = graft.SparkEntry.queries(name)
-    // toRdd like Bench/ProbeScale: count() would let Catalyst prune
-    // aggregate functions / final sorts / projection-only work entirely
-    def run(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
-    run() // warm
-    val ts = (1 to reps).map { _ =>
-      val t0 = System.nanoTime()
-      run()
-      (System.nanoTime() - t0) / 1e9
+    // comma-separated names probe several queries in one JVM (shared warm
+    // session), in the given order
+    for (n <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = graft.SparkEntry.queries(n)
+      // toRdd like Bench/ProbeScale: count() would let Catalyst prune
+      // aggregate functions / final sorts / projection-only work entirely
+      def run(): Unit = { fn(spark, sfDir).queryExecution.toRdd.count(): Unit }
+      run() // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$n: ${ts.map(t => f"$t%.2f").mkString(", ")}  min=${ts.min}%.2f")
     }
-    println(f"$name: ${ts.map(t => f"$t%.2f").mkString(", ")}  min=${ts.min}%.2f")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loop-state checkpointing for iterative kernels.
   *
@@ -70,36 +70,53 @@ object Loops {
     * loops), and one driver round-trip per round replaces a driver
     * round-trip (broadcast build) plus 2-3 scheduled jobs per round.
     * Contract: bounded relations ONLY — enforced by [[PinMaxRows]]. */
+  /** Dedicated session for pin collects, one per root session. Created
+    * once with the pin-scoped conf FIXED at creation (never mutated
+    * afterwards), so concurrent queries on the ROOT session never observe
+    * pin confs — the previous implementation temporarily rewrote the
+    * shared session's conf around each collect, which raced under
+    * Verify's 8-way-concurrent drivers (a query planned mid-pin picked up
+    * single-partition/AQE-off confs; interleaved restores could leave
+    * them set for the rest of the run). `newSession()` shares the
+    * SparkContext (and so all RDDs the pinned plans reference) but owns a
+    * private SQLConf; builder-time semantic confs (timezone,
+    * nanosAsLong) are carried over via initialSessionOptions. */
+  private val pinSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def pinSession(root: SparkSession): SparkSession =
+    pinSessions.computeIfAbsent(root, (s: SparkSession) => {
+      val p = s.newSession()
+      // A LocalRelation leaf executes as parallelize(rows, min(rows,
+      // defaultParallelism)) — a 12-row loop-state scan would schedule 12
+      // trivial tasks (measured: q208 tasks 95 → 267 on the first pin
+      // attempt), so force single-partition leaves. Everything inside a
+      // pin's execution is bounded by contract, so AQE buys nothing and
+      // costs one scheduled job + a re-optimization per exchange, and
+      // 32-wide shuffles of NP-row state are 31 empty tasks.
+      p.conf.set("spark.sql.leafNodeDefaultParallelism", "1")
+      p.conf.set("spark.sql.adaptive.enabled", "false")
+      p.conf.set("spark.sql.shuffle.partitions", "1")
+      // The guard limit below must not turn the collect into CollectLimit's
+      // incremental partition ramp-up (1, 4, 16... = one job per step) when
+      // a pinned plan scans a multi-partition checkpointed RDD: scan all
+      // partitions in the first (only) pass, exactly like plain collect.
+      p.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+      p
+    })
+
   def pinRows(df: DataFrame): (DataFrame, Array[org.apache.spark.sql.Row]) = {
-    // A LocalRelation leaf executes as parallelize(rows, min(rows,
-    // defaultParallelism)) — a 12-row loop-state scan would schedule 12
-    // trivial tasks (measured: q208 tasks 95 → 267 on the first pin
-    // attempt). Inside a pin's own execution (the loop body — the only
-    // place pinned state is scanned repeatedly) force single-partition
-    // leaves; restore after so data-sized Range leaves elsewhere (the
-    // resample output grids) keep their parallelism.
-    // Also: everything inside a pin's execution is bounded by this
-    // contract, so AQE buys nothing and costs one scheduled job + a
-    // logical re-optimization per exchange (measured: 3-4 jobs per loop
-    // round where one suffices), and 32-wide shuffles of NP-row state
-    // are 31 empty tasks. Run the collect single-partition, non-
-    // adaptive; restore the session conf after (data-sized plans
-    // outside pins are untouched).
     val sess = df.sparkSession
-    val scoped = Seq(
-      "spark.sql.leafNodeDefaultParallelism" -> "1",
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "1")
-    val olds = scoped.map { case (k, _) => k -> sess.conf.getOption(k) }
-    scoped.foreach { case (k, v) => sess.conf.set(k, v) }
-    val rows =
-      try df.collect()
-      finally olds.foreach {
-        case (k, Some(v)) => sess.conf.set(k, v)
-        case (k, None)    => sess.conf.unset(k)
-      }
+    // limit(PinMaxRows+1) bounds what the collect can materialize on the
+    // driver, so the loud not-atlas-class failure below fires BEFORE a
+    // data-sized relation can OOM the driver (r20 verdict item 2). For
+    // any relation actually under the cap the rows and their order are
+    // identical to a plain collect (partition-order prefix of everything).
+    val rows = org.apache.spark.sql.graft.PlanBridge
+      .onSession(pinSession(sess), df)
+      .limit(PinMaxRows + 1)
+      .collect()
     require(rows.length <= PinMaxRows,
-      s"Loops.pin got ${rows.length} rows — not atlas-class loop state")
+      s"Loops.pin got > $PinMaxRows rows — not atlas-class loop state")
     val local = sess.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
     (local, rows)
