@@ -187,6 +187,183 @@ object ImageOps {
       .toDF("x", "y", "z", "clean_label")
   }
 
+  /** Block+halo ReHo moments (the q163 kernel): from a sparse
+    * (t, x, y, z, v) cents series over a dense `gridL`³ × `nt` volume
+    * (absent cells are zeros), compute per voxel the Kendall's-W moment
+    * columns (m, srt2, srt, sum_tu) — the caller applies the shared W
+    * projection string so both execution forms share the final arithmetic.
+    *
+    * Why: the declarative ReHo ranks via two voxel-partitioned windows
+    * (exchange + sort), expands 27× through the stencil cross join, and
+    * re-aggregates twice more — ~6 exchanges and a 27×-row shuffle for a
+    * VOLUME-bounded computation (r20 verdict item 2). Here cells are
+    * duplicated into every block whose radius-1 stencil reads them
+    * (halo factor ((b+2)/b)³), exchanged ONCE by blockId, and the
+    * rank/tie/stencil machinery runs partition-local over primitive
+    * arrays — the [[blockLocalStencilMode]]/[[blockLocalWeightedMean]]
+    * pattern applied to the rank stencil.
+    *
+    * Bit-identical to the declarative form by exactness, not luck: ranks
+    * are exact halves (RANK + (n_eq−1)/2 carried as int 2·rank), per-TR
+    * rank totals exact halves of int sums, srt2 exact quarters
+    * (≤ (27·2·nt)²·nt ≪ 2⁵³), tie terms exact ints — every double any
+    * summation order produces is the same double, and the moments are
+    * handed to the IDENTICAL final W expression. InferenceQcSpec's planted
+    * neighborhoods and the driver's oracle hash pin it end to end.
+    */
+  def blockLocalRehoMoments(spark: SparkSession, series: DataFrame,
+      gridL: Int, nt: Int, blockSize: Int): DataFrame = {
+    import spark.implicits._
+    val b = blockSize
+    require(b >= 1, s"blockSize must be >= 1, got $b")
+    val nBlocks = (gridL + b - 1) / b
+    val cells = series.selectExpr("CAST(x AS INT) AS x", "CAST(y AS INT) AS y",
+      "CAST(z AS INT) AS z", "CAST(t AS INT) AS t", "CAST(v AS BIGINT) AS v")
+      .as[(Int, Int, Int, Int, Long)]
+      // the declarative grid join drops out-of-volume rows; mirror it
+      .filter(c => c._1 >= 0 && c._1 < gridL && c._2 >= 0 && c._2 < gridL &&
+        c._3 >= 0 && c._3 < gridL && c._4 >= 0 && c._4 < nt)
+    val copies = cells.flatMap { case (x, y, z, t, v) =>
+      def fd(q: Int) = Math.floorDiv(q, b)
+      for {
+        bx <- fd(x - 1) to fd(x + 1)
+        by <- fd(y - 1) to fd(y + 1)
+        bz <- fd(z - 1) to fd(z + 1)
+        if bx >= 0 && bx < nBlocks && by >= 0 && by < nBlocks &&
+          bz >= 0 && bz < nBlocks
+      } yield (bx, by, bz, x, y, z, t, v)
+    }
+    // every block must emit its full dense cell set even when NO series row
+    // lands in it (dense zero-series semantics): seed one marker row per
+    // block (t = −1 ⇒ skipped by the fill loop, it only forces the group)
+    val seeds = (for {
+      bx <- 0 until nBlocks; by <- 0 until nBlocks; bz <- 0 until nBlocks
+    } yield (bx, by, bz, bx * b, by * b, bz * b, -1, 0L)).toDS()
+    copies.union(seeds).toDF("bx", "by", "bz", "x", "y", "z", "t", "v")
+      .repartition(col("bx"), col("by"), col("bz")) // the ONE exchange
+      .sortWithinPartitions(col("bx"), col("by"), col("bz"))
+      .as[(Int, Int, Int, Int, Int, Int, Int, Long)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        val blocks = new Iterator[Vector[(Int, Int, Int, Int, Int, Int, Int, Long)]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Vector[(Int, Int, Int, Int, Int, Int, Int, Long)] = {
+            val h = rows.head
+            val key = (h._1, h._2, h._3)
+            val buf = Vector.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Long)]
+            while (rows.hasNext &&
+              (rows.head._1, rows.head._2, rows.head._3) == key) buf += rows.next()
+            buf.result()
+          }
+        }
+        blocks.flatMap { cs =>
+          val h0 = cs.head
+          val ext = b + 2
+          val nCells = ext * ext * ext
+          val x0 = h0._1 * b - 1; val y0 = h0._2 * b - 1; val z0 = h0._3 * b - 1
+          // dense (b+2)³ × nt value grid, zeros for absent cells
+          val vals = Array.ofDim[Long](nCells, nt)
+          cs.foreach { c =>
+            if (c._7 >= 0)
+              vals(((c._4 - x0) * ext + (c._5 - y0)) * ext + (c._6 - z0))(c._7) = c._8
+          }
+          // per in-grid cell: rank2(t) = 2·(RANK + (n_eq−1)/2) — exact int —
+          // and the tie term tu = Σ(n_eq³ − n_eq) over the cell's value runs
+          val rank2 = Array.ofDim[Int](nCells, nt)
+          val tu = new Array[Long](nCells)
+          val sorted = new Array[Long](nt)
+          var ci = 0
+          while (ci < nCells) {
+            val cx = x0 + ci / (ext * ext)
+            val cy = y0 + (ci / ext) % ext
+            val cz = z0 + ci % ext
+            if (cx >= 0 && cx < gridL && cy >= 0 && cy < gridL &&
+                cz >= 0 && cz < gridL) {
+              val v = vals(ci)
+              System.arraycopy(v, 0, sorted, 0, nt)
+              java.util.Arrays.sort(sorted)
+              val vr = new java.util.HashMap[java.lang.Long, Integer]()
+              var tuc = 0L
+              var i = 0
+              while (i < nt) {
+                var j = i
+                while (j < nt && sorted(j) == sorted(i)) j += 1
+                val c = j - i
+                vr.put(sorted(i), 2 * (i + 1) + (c - 1))
+                tuc += c.toLong * c * c - c
+                i = j
+              }
+              tu(ci) = tuc
+              val r2 = rank2(ci)
+              var tt = 0
+              while (tt < nt) { r2(tt) = vr.get(v(tt)); tt += 1 }
+            }
+            ci += 1
+          }
+          // owners: the block's own in-grid cells; gather the 27-stencil
+          val out = Vector.newBuilder[(Long, Long, Long, Long, Double, Double, Double)]
+          val rt2 = new Array[Long](nt)
+          var ox = 0
+          while (ox < b) {
+            val gx = h0._1 * b + ox
+            var oy = 0
+            while (oy < b) {
+              val gy = h0._2 * b + oy
+              var oz = 0
+              while (oz < b) {
+                val gz = h0._3 * b + oz
+                if (gx < gridL && gy < gridL && gz < gridL) {
+                  java.util.Arrays.fill(rt2, 0L)
+                  var m = 0L
+                  var sumTu = 0L
+                  var dx = -1
+                  while (dx <= 1) {
+                    val nx = gx + dx
+                    if (nx >= 0 && nx < gridL) {
+                      var dy = -1
+                      while (dy <= 1) {
+                        val ny = gy + dy
+                        if (ny >= 0 && ny < gridL) {
+                          var dz = -1
+                          while (dz <= 1) {
+                            val nz = gz + dz
+                            if (nz >= 0 && nz < gridL) {
+                              val ni = ((nx - x0) * ext + (ny - y0)) * ext + (nz - z0)
+                              m += 1
+                              sumTu += tu(ni)
+                              val nr2 = rank2(ni)
+                              var tt = 0
+                              while (tt < nt) { rt2(tt) += nr2(tt); tt += 1 }
+                            }
+                            dz += 1
+                          }
+                        }
+                        dy += 1
+                      }
+                    }
+                    dx += 1
+                  }
+                  var srtH = 0L
+                  var srt2Q = 0L
+                  var tt = 0
+                  while (tt < nt) {
+                    val r = rt2(tt); srtH += r; srt2Q += r * r; tt += 1
+                  }
+                  out += ((gx.toLong, gy.toLong, gz.toLong, m,
+                    srt2Q / 4.0, srtH / 2.0, sumTu.toDouble))
+                }
+                oz += 1
+              }
+              oy += 1
+            }
+            ox += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("x", "y", "z", "m", "srt2", "srt", "sum_tu")
+  }
+
   /** Block+halo execution of [[weightedNeighborMean]] — the scale twin that
     * closes the one gap q51 left open: [[gaussianSmooth]]/[[binomialSmooth]]
     * always ran the cell-keyed tap-scatter shuffle, which at a (2r+1)³-tap

@@ -1104,11 +1104,17 @@ object DesignImage extends QueryModule {
     * specs can plant z patterns and alphas. */
   private[graft] def edgeInferenceCore(s: SparkSession, facts: DataFrame,
       alphaOverM: Double): DataFrame = {
+    // fl is GRuns·NP²-bounded but sits behind the DATA-SIZED session-series
+    // aggregate, and signFlipParts reads it twice (base + perms) — without
+    // a checkpoint q182 re-ran the full lineitem chain per consumer (the
+    // same miss nbsCore fixed in r20; r20 verdict item 3). sf is then
+    // NP²-bounded with two consumers (bh + the verdict join): pin it.
     val fl = facts
       .filter(col("z_fp").isNotNull)
       .select(col("p1").as("run"), col("p2").as("j"), col("g"),
         col("z_fp").as("b_fp"))
-    val sf = Glm.signFlipCore(s, fl)
+      .localCheckpoint()
+    val sf = graft.util.Loops.pin(Glm.signFlipCore(s, fl))
     val bh = Glm.fdrBhCore(sf, alphaOverM)
       .select("run", "j", "rk", "kbh", "rejected")
     sf.join(bh, Seq("run", "j"), "left")
@@ -1475,7 +1481,12 @@ object DesignImage extends QueryModule {
           .join(sym.selectExpr("a AS c", "b"), Seq("c"))
           .select("a", "b").distinct()
           .filter(col("a") =!= col("b"))
-          .join(broadcast(dist.select("a", "b")), Seq("a", "b"), "left_anti"))
+          // no broadcast hint: dist is a pinned LocalRelation with EXACT
+          // stats, so Catalyst broadcasts it while it is small and falls
+          // back to a shuffle once the cumulative dist grows toward NP²
+          // (a forced hint re-shipped up to PinMaxRows rows per depth on
+          // planted graphs near the ceiling — r20 ADVICE)
+          .join(dist.select("a", "b"), Seq("a", "b"), "left_anti"))
       frontier = next
       frontierNonEmpty = nextRows.nonEmpty
       if (frontierNonEmpty)
@@ -5499,51 +5510,24 @@ object DesignImage extends QueryModule {
         expr("CAST(value_dec * 100 AS BIGINT)").as("v")))
 
   /** The q163 body from a (t, x, y, z, v-cents) series — split out so
-    * specs can plant neighborhoods. */
-  private[graft] def rehoCore(s: SparkSession, sparse: DataFrame): DataFrame = {
-    import s.implicits._
-    // dense L³×NT grid: absent cells are zeros (the meanImage dense-array
-    // rule) — VOLUME-bounded, pinned once for its two consumers
-    val grid = s.range(L).select(col("id").as("x"))
-      .crossJoin(s.range(L).select(col("id").as("y")))
-      .crossJoin(s.range(L).select(col("id").as("z")))
-      .crossJoin(s.range(NT).select(col("id").as("t")))
-    val dense = grid
-      .join(sparse.selectExpr("CAST(x AS BIGINT) AS x", "CAST(y AS BIGINT) AS y",
-        "CAST(z AS BIGINT) AS z", "CAST(t AS BIGINT) AS t", "v"),
-        Seq("x", "y", "z", "t"), "left")
-      .na.fill(0L, Seq("v"))
-      .localCheckpoint()
-    val ranks = dense.selectExpr("x", "y", "z", "t",
-      "RANK() OVER (PARTITION BY x, y, z ORDER BY v) " +
-        "+ (COUNT(*) OVER (PARTITION BY x, y, z, v) - 1) / 2.0 AS r")
-    val ties = dense.groupBy("x", "y", "z", "v").agg(count(lit(1)).as("n_eq"))
-      .groupBy("x", "y", "z")
-      .agg(sum(expr("CAST(n_eq AS DOUBLE) * n_eq * n_eq - n_eq")).as("tu"))
-    val offsets = (for (dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1)
-      yield (dx, dy, dz)).toDF("dx", "dy", "dz")
-    def stencil(df: DataFrame) = df.crossJoin(broadcast(offsets))
-      .selectExpr(Seq("x + dx AS x", "y + dy AS y", "z + dz AS z") ++
-        df.columns.filter(c => !Seq("x", "y", "z").contains(c)): _*)
-      .filter(col("x") >= 0 && col("x") < L && col("y") >= 0 && col("y") < L &&
-        col("z") >= 0 && col("z") < L)
-    // (r20 note: a separable 3-pass box fold was tried here — 3× rows
-    // per exchange instead of 27× — and MEASURED SLOWER at this volume:
-    // three groupBy exchanges cost more than the single fan-out,
-    // taskTime 10 → 13.5 s. The joint form stays.)
-    val rt = stencil(ranks)
-      .groupBy("x", "y", "z", "t")
-      .agg(sum("r").as("rt"), count(lit(1)).as("m"))
-    val sVar = rt.groupBy("x", "y", "z")
-      .agg(sum(expr("rt * rt")).as("srt2"), sum("rt").as("srt"),
-        max("m").as("m"))
-    val tuSum = stencil(ties).groupBy("x", "y", "z")
-      .agg(sum("tu").as("sum_tu"))
-    sVar.join(tuSum, Seq("x", "y", "z"))
+    * specs can plant neighborhoods.
+    *
+    * Executes as ImageOps.blockLocalRehoMoments (r21: ONE blockId exchange
+    * + partition-local ranks/ties/stencil over primitive arrays) instead of
+    * the former declarative chain (dense-grid join → two voxel-partitioned
+    * rank windows → 27× stencil cross-join fan-out → three aggregates —
+    * ~6 exchanges). Bit-identical by exactness: the kernel emits the exact
+    * integer/half/quarter moment columns and this projection applies the
+    * SAME rehoWStr expression both engines share.
+    * (r20 note kept for the record: a separable 3-pass box fold was tried
+    * on the declarative form and MEASURED SLOWER — three groupBy exchanges
+    * cost more than the single 27× fan-out at this volume. The block+halo
+    * form removes the fan-out exchange entirely instead.) */
+  private[graft] def rehoCore(s: SparkSession, sparse: DataFrame): DataFrame =
+    ImageOps.blockLocalRehoMoments(s, sparse, L, NT, blockSize = 8)
       .selectExpr("x", "y", "z", "CAST(m AS BIGINT) AS m",
         s"round($rehoWStr, 6) AS w")
       .orderBy("x", "y", "z")
-  }
 
   /** The q163 body CTEs (dense grid → ranks/ties → stencil moments),
     * shared with the q169 panel; ends at svar/tusum, the caller selects
