@@ -1274,8 +1274,9 @@ object DesignImage extends QueryModule {
     val permE = graft.util.Loops.pin(permT
       .filter(expr(s"t_p IS NULL OR abs(t_p) > $tPrim"))
       .selectExpr("perm AS k", "CAST(run AS INT) AS a", "CAST(j AS INT) AS b"))
-    // PermP·NP²-bounded; 2 consumers (components union + permSize)
-    val comp = nbsComponentsCore(obsE.unionByName(permE)).localCheckpoint()
+    // already a pinned LocalRelation (nbsComponentsCore ends in a pin) —
+    // a localCheckpoint on top only re-materialized it as one more job
+    val comp = nbsComponentsCore(obsE.unionByName(permE))
     val obsComp = comp.filter(col("k") === -1L).selectExpr("p", "comp")
     val oc = obsE
       .join(obsComp.selectExpr("p AS a", "comp"), Seq("a"))
@@ -1290,15 +1291,23 @@ object DesignImage extends QueryModule {
     val permMax = s.range(Glm.PermP).select(col("id").as("k"))
       .join(permSize.groupBy("k").agg(max("sz").as("mx")), Seq("k"), "left")
       .na.fill(0L, Seq("mx"))
-    oc.join(onodes, Seq("comp"))
-      .crossJoin(broadcast(permMax.select("mx")))
-      .groupBy("comp", "n_nodes", "n_edges")
-      .agg(expr("SUM(CASE WHEN mx >= n_edges THEN 1 ELSE 0 END)").as("n_ge"))
-      .selectExpr("CAST(comp AS INT) AS comp", "n_nodes", "n_edges",
-        s"round((1 + n_ge) / CAST(${1 + Glm.PermP} AS DOUBLE), 6) AS p_nbs")
-      .selectExpr("comp", "n_nodes", "n_edges", "p_nbs",
-        s"p_nbs <= $nbsAlpha AS rejected")
-      .orderBy("comp")
+    // the whole null-max tail is (PermP·NP²)-bounded arithmetic over
+    // pinned LocalRelations, but executed on the MAIN session every
+    // LocalRelation/Range leaf fans out leafNodeDefaultParallelism-wide
+    // and every groupBy runs 32 shuffle tasks — ProbeJobs: three 32-task
+    // stages of 1.8-3.9 s summed task time for ≤17k-row inputs. Pinning
+    // the final relation runs the tail single-partition on the pin
+    // session: one collect job, identical rows.
+    graft.util.Loops.pin(
+      oc.join(onodes, Seq("comp"))
+        .crossJoin(broadcast(permMax.select("mx")))
+        .groupBy("comp", "n_nodes", "n_edges")
+        .agg(expr("SUM(CASE WHEN mx >= n_edges THEN 1 ELSE 0 END)").as("n_ge"))
+        .selectExpr("CAST(comp AS INT) AS comp", "n_nodes", "n_edges",
+          s"round((1 + n_ge) / CAST(${1 + Glm.PermP} AS DOUBLE), 6) AS p_nbs")
+        .selectExpr("comp", "n_nodes", "n_edges", "p_nbs",
+          s"p_nbs <= $nbsAlpha AS rejected")
+        .orderBy("comp"))
   }
 
   def nbsComponents(s: SparkSession, d: String): DataFrame =
@@ -1583,27 +1592,28 @@ object DesignImage extends QueryModule {
     val ones = pe.filter(col("edge") === 1)
     val sym = ones.selectExpr("p1 AS p", "p2 AS q")
       .union(ones.selectExpr("p2 AS p", "p1 AS q"))
-    val mods = modules.localCheckpoint() // NP-bounded; 2 consumers
-    val km = sym
+    // atlas-bounded tail: pins instead of localCheckpoints (see
+    // modularityCore's r21 note)
+    val mods = graft.util.Loops.pin(modules) // NP-bounded; 2 consumers
+    val km = graft.util.Loops.pin(sym
       .join(broadcast(mods.selectExpr("p AS q", "m")), Seq("q"))
-      .groupBy("p", "m").agg(count(lit(1)).as("kin"))
-      .localCheckpoint() // NP·modules-bounded; 2 consumers
+      .groupBy("p", "m").agg(count(lit(1)).as("kin")))
+    // NP·modules-bounded; 2 consumers
     val deg = km.groupBy("p")
       .agg(sum("kin").as("k"), sum(expr("kin * kin")).as("skk"))
     val own = parcels
       .join(deg, Seq("p"), "left").na.fill(0L, Seq("k", "skk"))
       .join(broadcast(mods), Seq("p"))
       .join(km.selectExpr("p", "m", "kin AS k_in"), Seq("p", "m"), "left")
-      .na.fill(0L, Seq("k_in"))
-      .localCheckpoint() // NP rows; feeds moments + output
+      .na.fill(0L, Seq("k_in")) // NP rows; feeds moments + output
     val mom = own.groupBy("m")
       .agg(count(lit(1)).as("n"), sum("k_in").as("s1"),
         sum(expr("k_in * k_in")).as("s2"))
-    own.join(broadcast(mom), Seq("m"))
+    graft.util.Loops.pin(own.join(broadcast(mom), Seq("m"))
       .selectExpr("p", "CAST(m AS INT) AS module", "k", "k_in",
         "CASE WHEN k > 0 THEN round(CAST(k * k - skk AS DOUBLE) / (k * k), 6) END AS pc",
         s"CASE WHEN $mrVarStr > 0 THEN round((CAST(k_in AS DOUBLE) - $mrMeanStr) / sqrt($mrVarStr), 6) END AS z_within")
-      .orderBy("p")
+      .orderBy("p"))
   }
 
   /** Module-role core under q204's FIXED stand-in assignment. */
@@ -1797,12 +1807,19 @@ object DesignImage extends QueryModule {
     * modules: (module, n_nodes, e_in, d_tot, q_contrib, q). */
   private[graft] def modularityCore(pairs0: DataFrame,
       modules: DataFrame): DataFrame = {
+    // every relation below is atlas-bounded (NP / NP² / modules rows):
+    // pin the multi-consumer ones instead of localCheckpoint (r21) — a
+    // checkpointed LocalRelation-derived module relation re-materialized
+    // through a 32-task job and every downstream leaf scanned 32-wide on
+    // the main session, where a pin is one single-partition collect and
+    // zero-job broadcasts; the Q tail pins too, so the whole post-moment
+    // fold is two collect jobs.
     val ones = pairs0.filter(col("edge") === 1).select("p1", "p2")
-    val mods = modules.localCheckpoint() // NP-bounded; 3 consumers
-    val ml = ones
+    val mods = graft.util.Loops.pin(modules) // NP-bounded; 3 consumers
+    val ml = graft.util.Loops.pin(ones
       .join(broadcast(mods.selectExpr("p AS p1", "m AS m1")), Seq("p1"))
-      .join(broadcast(mods.selectExpr("p AS p2", "m AS m2")), Seq("p2"))
-      .localCheckpoint() // edge-bounded; 3 consumers (M, e_in, degrees)
+      .join(broadcast(mods.selectExpr("p AS p2", "m AS m2")), Seq("p2")))
+    // edge-bounded (≤ NP²); 3 consumers (M, e_in, degrees)
     val me = ml.agg(count(lit(1)).as("m_edges"))
     val ein = ml.filter(col("m1") === col("m2"))
       .groupBy(col("m1").as("module")).agg(count(lit(1)).as("e_in"))
@@ -1815,13 +1832,12 @@ object DesignImage extends QueryModule {
       .crossJoin(broadcast(me))
       .selectExpr("module", "n_nodes", "e_in", "d_tot", "m_edges",
         "4 * m_edges * e_in - d_tot * d_tot AS qn")
-      .localCheckpoint() // modules-bounded; output + Q sum
-    per
+    graft.util.Loops.pin(per
       .crossJoin(broadcast(per.agg(sum("qn").as("qsum"))))
       .selectExpr("module", "n_nodes", "e_in", "d_tot",
         "CASE WHEN m_edges > 0 THEN round(CAST(qn AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q_contrib",
         "CASE WHEN m_edges > 0 THEN round(CAST(qsum AS DOUBLE) / CAST(4 * m_edges * m_edges AS BIGINT), 6) END AS q")
-      .orderBy("module")
+      .orderBy("module"))
   }
 
   def modularityQ(s: SparkSession, d: String): DataFrame = {
@@ -2169,7 +2185,24 @@ object DesignImage extends QueryModule {
       .na.fill(0L, Seq("s")))
     // modules-bounded, driver-pinned; every round with zero build jobs
     val m2x = cstrRows.map(_.getLong(1)).sum // 2M — free off pinned strengths
-    var lab = cnodes.select(col("m"), col("m").as("c"))
+    // lab rides as DRIVER rows + a rebuilt LocalRelation: the mutual-pair
+    // probe and the label remap are pure functions of the pinned best
+    // relation, so running them as two more pins paid ~2 planning+collect
+    // round-trips per round (~90 ms each, ProbePin) for work a hash map
+    // does in microseconds — r21: one pin per round (best), everything
+    // downstream of it folded on the driver. Labels are bit-identical:
+    // mutual iff best(b) = c, nc = least(c, b), c' = COALESCE(nc, c) —
+    // the same integer arithmetic the former relational form evaluated.
+    val labSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    var labRows = graft.util.Loops
+      .pinRows(cnodes.select(col("m"), col("m").as("c")))._2
+    def labRel = pairs0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(labRows: _*), labSchema)
+    var lab = labRel
     var merged = true
     var round = 0
     // a round with NO mutual merge leaves the state unchanged, and the
@@ -2192,20 +2225,22 @@ object DesignImage extends QueryModule {
         .selectExpr("c1", "c2",
           s"CAST($m2x AS DECIMAL(38,0)) * w - CAST(d1 AS DECIMAL(38,0)) * d2 AS g")
         .filter(col("g") > 0) // strict: Q-neutral merges are not merges
-      val best = gains.groupBy("c1")
+      val bestRows = graft.util.Loops.pinRows(gains.groupBy("c1")
         .agg(min(struct(expr("-g AS ng"), col("c2"))).as("bw"))
-        .selectExpr("c1 AS c", "bw.c2 AS b")
-        .transform(graft.util.Loops.pin) // communities-bounded; self-joined for mutuality
-      val (mutual, mutualRows) = graft.util.Loops.pinRows(best
-        .join(best.selectExpr("c AS b", "b AS cback"), Seq("b"))
-        .filter(col("cback") === col("c"))
-        .selectExpr("c", "least(c, b) AS nc"))
-      // communities-bounded, driver-pinned; probe free, label map zero-job
-      merged = mutualRows.nonEmpty
+        .selectExpr("c1 AS c", "bw.c2 AS b"))._2
+      val bestMap = bestRows.iterator
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val mutual = bestRows.iterator.flatMap { r =>
+        val c = r.getInt(0); val b = r.getInt(1)
+        if (bestMap.get(b).contains(c)) Some(c -> math.min(c, b)) else None
+      }.toMap
+      merged = mutual.nonEmpty
       if (merged) {
-        lab = lab.join(broadcast(mutual), Seq("c"), "left")
-          .selectExpr("m", "COALESCE(nc, c) AS c")
-          .transform(graft.util.Loops.pin) // modules rows; next round reads 3x
+        labRows = labRows.map { r =>
+          val c = r.getInt(1)
+          org.apache.spark.sql.Row(r.getInt(0), mutual.getOrElse(c, c))
+        }
+        lab = labRel
       }
     }
     lab1.join(broadcast(lab.selectExpr("m", "CAST(c AS INT) AS c2")), Seq("m"))
@@ -4221,22 +4256,23 @@ object DesignImage extends QueryModule {
   }
 
   private[graft] def dfcModuleStabilityCore(wr0: DataFrame): DataFrame = {
-    val lab = dfcWindowModules(wr0).localCheckpoint()
-    val wsIdx = lab.select("ws").distinct()
+    val lab = dfcWindowModules(wr0) // pinned LocalRelation already —
+    // a localCheckpoint would re-materialize it as a 32-task job
+    val wsIdx = graft.util.Loops.pin(lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
         graft.util.Windows.boundedGlobalWindow(
-          "|W|-bounded: one row per dFC window", col("ws"))))
-      .localCheckpoint() // |W| rows; both pair endpoints
+          "|W|-bounded: one row per dFC window", col("ws")))))
+    // |W| rows; both pair endpoints (pin, not checkpoint — r21)
     val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
       .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))
       .select("ws_from", "ws_to")
-    val same = lab.selectExpr("ws", "p AS i", "lab AS li")
+    val same = graft.util.Loops.pin(lab.selectExpr("ws", "p AS i", "lab AS li")
       .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
       .filter(col("i") < col("j"))
       .selectExpr("ws", "i", "j",
-        "CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sm")
-      .localCheckpoint() // |W|·NP²-bounded; both comparison sides
-    wsPairs
+        "CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sm"))
+    // |W|·NP²-bounded; both comparison sides
+    graft.util.Loops.pin(wsPairs
       .join(same.selectExpr("ws AS ws_from", "i", "j", "sm AS sm_f"), Seq("ws_from"))
       .join(same.selectExpr("ws AS ws_to", "i", "j", "sm AS sm_t"),
         Seq("ws_to", "i", "j"))
@@ -4245,7 +4281,7 @@ object DesignImage extends QueryModule {
         sum(expr("CASE WHEN sm_f = sm_t THEN 1 ELSE 0 END")).as("n_agree"))
       .selectExpr("ws_from", "ws_to", "n_pairs", "n_agree",
         "CASE WHEN n_pairs > 0 THEN round(CAST(n_agree AS DOUBLE) / n_pairs, 6) END AS rand_index")
-      .orderBy("ws_from")
+      .orderBy("ws_from"))
   }
 
   def dfcModuleStability(s: SparkSession, d: String): DataFrame =
@@ -4343,32 +4379,32 @@ object DesignImage extends QueryModule {
   /** Per-node flexibility from a (ws, p1, p2, r_fp) windowed-
     * correlation relation → (p, n_trans, n_changes, flexibility). */
   private[graft] def dfcFlexibilityCore(wr0: DataFrame): DataFrame = {
-    val lab = dfcWindowModules(wr0).localCheckpoint()
-    val wsIdx = lab.select("ws").distinct()
+    val lab = dfcWindowModules(wr0) // pinned LocalRelation already —
+    // a localCheckpoint would re-materialize it as a 32-task job
+    val wsIdx = graft.util.Loops.pin(lab.select("ws").distinct()
       .withColumn("idx", row_number().over(
         graft.util.Windows.boundedGlobalWindow(
-          "|W|-bounded: one row per dFC window", col("ws"))))
-      .localCheckpoint() // |W| rows; both pair endpoints
+          "|W|-bounded: one row per dFC window", col("ws")))))
+    // |W| rows; both pair endpoints (pin, not checkpoint — r21)
     val wsPairs = wsIdx.selectExpr("ws AS ws_from", "idx")
       .join(wsIdx.selectExpr("ws AS ws_to", "idx - 1 AS idx"), Seq("idx"))
       .select("ws_from", "ws_to")
-    val fj = wsPairs
+    val fj = graft.util.Loops.pin(wsPairs
       .join(lab.selectExpr("ws AS ws_from", "p", "lab AS lf"), Seq("ws_from"))
       .join(lab.selectExpr("ws AS ws_to", "p", "lab AS lt"),
-        Seq("ws_to", "p"))
-      .localCheckpoint() // |W|·NP rows; overlap + change counts
+        Seq("ws_to", "p"))) // |W|·NP rows; overlap + change counts
     val fmat = fj.groupBy("ws_to", "lt", "lf").agg(count(lit(1)).as("o"))
       .groupBy("ws_to", "lt")
       .agg(min(struct(expr("-o AS no"), col("lf"))).as("w"))
       .selectExpr("ws_to", "lt", "w.lf AS lm")
-    fj.join(broadcast(fmat), Seq("ws_to", "lt"))
+    graft.util.Loops.pin(fj.join(broadcast(fmat), Seq("ws_to", "lt"))
       .groupBy("p")
       .agg(count(lit(1)).as("n_trans"),
         sum(expr("CASE WHEN lm <> lf THEN CAST(1 AS BIGINT) ELSE 0 END"))
           .as("n_changes"))
       .selectExpr("p", "n_trans", "n_changes",
         "round(CAST(n_changes AS DOUBLE) / n_trans, 6) AS flexibility")
-      .orderBy("p")
+      .orderBy("p"))
   }
 
   def dfcFlexibility(s: SparkSession, d: String): DataFrame =
@@ -4448,8 +4484,9 @@ object DesignImage extends QueryModule {
   /** Allegiance matrix from a (ws, p1, p2, r_fp) windowed-correlation
     * relation → (i, j, n_windows, n_together, allegiance). */
   private[graft] def moduleAllegianceCore(wr0: DataFrame): DataFrame = {
-    val lab = dfcWindowModules(wr0).localCheckpoint()
-    lab.selectExpr("ws", "p AS i", "lab AS li")
+    val lab = dfcWindowModules(wr0) // pinned LocalRelation already —
+    // a localCheckpoint would re-materialize it as a 32-task job
+    graft.util.Loops.pin(lab.selectExpr("ws", "p AS i", "lab AS li")
       .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
       .filter(col("i") < col("j"))
       .groupBy("i", "j")
@@ -4458,7 +4495,7 @@ object DesignImage extends QueryModule {
           .as("n_together"))
       .selectExpr("i", "j", "n_windows", "n_together",
         "CASE WHEN n_windows > 0 THEN round(CAST(n_together AS DOUBLE) / n_windows, 6) END AS allegiance")
-      .orderBy("i", "j")
+      .orderBy("i", "j")) // NP²-bounded tail: one pin, not 32-task stages
   }
 
   def moduleAllegiance(s: SparkSession, d: String): DataFrame =
@@ -4517,15 +4554,16 @@ object DesignImage extends QueryModule {
     * correlation relation and a (p, m) static module relation. */
   private[graft] def recruitmentCore(wr0: DataFrame,
       modules: DataFrame): DataFrame = {
-    val lab = dfcWindowModules(wr0).localCheckpoint()
-    val mods = modules.localCheckpoint() // NP rows; both join sides
+    val lab = dfcWindowModules(wr0) // pinned LocalRelation already —
+    // a localCheckpoint would re-materialize it as a 32-task job
+    val mods = graft.util.Loops.pin(modules) // NP rows; both join sides
     val pairAg = lab.selectExpr("ws", "p AS i", "lab AS li")
       .join(lab.selectExpr("ws", "p AS j", "lab AS lj"), Seq("ws"))
       .filter(col("i") =!= col("j")) // ordered pairs: each node sees all partners
       .groupBy("i", "j")
       .agg(count(lit(1)).as("nw"),
         sum(expr("CASE WHEN li = lj THEN CAST(1 AS BIGINT) ELSE 0 END")).as("nt"))
-    pairAg
+    graft.util.Loops.pin(pairAg
       .join(broadcast(mods.selectExpr("p AS i", "m AS mi")), Seq("i"))
       .join(broadcast(mods.selectExpr("p AS j", "m AS mj")), Seq("j"))
       .selectExpr("i", "mi",
@@ -4540,7 +4578,7 @@ object DesignImage extends QueryModule {
         "CASE WHEN w_pairs > 0 THEN round(CAST(w_together AS DOUBLE) / w_pairs, 6) END AS recruitment",
         "b_pairs", "b_together",
         "CASE WHEN b_pairs > 0 THEN round(CAST(b_together AS DOUBLE) / b_pairs, 6) END AS integration")
-      .orderBy("p")
+      .orderBy("p")) // NP-bounded tail: one pin, not 32-task stages
   }
 
   def recruitment(s: SparkSession, d: String): DataFrame = {

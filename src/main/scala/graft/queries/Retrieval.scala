@@ -909,10 +909,19 @@ object Retrieval extends QueryModule {
       .agg(sum("n_words").as("n_words"), sum("n_subwords").as("s_bpe"))
     val fin = TokenizerStore.vocab(s, name)
     val words = UnigramLmOps.wordFreqs(docs).select("w").localCheckpoint()
-    val perWord = UnigramLmOps.viterbiBest(words, fin.select("piece", "lnp_fp"))
-      .select(col("w"), col("np").as("np_v"))
-      .join(UnigramLmOps.greedyCounts(words, fin)
-        .select(col("w"), col("np").as("np_g")), Seq("w"))
+    // The two serving walks are independent driver-paced loops of mostly
+    // single-task checkpoint jobs over the SAME words — built sequentially
+    // they serialize ~40 tiny jobs end to end. Build them on two driver
+    // threads so the scheduler interleaves their rounds (guide §2.6
+    // overlap-independent-jobs); results are order-independent.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fVit = Future(UnigramLmOps.viterbiBest(words, fin.select("piece", "lnp_fp"))
+      .select(col("w"), col("np").as("np_v")))
+    val fGre = Future(UnigramLmOps.greedyCounts(words, fin)
+      .select(col("w"), col("np").as("np_g")))
+    val perWord = Await.result(fVit, scala.concurrent.duration.Duration.Inf)
+      .join(Await.result(fGre, scala.concurrent.duration.Duration.Inf), Seq("w"))
     val uni = docs
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(perWord), Seq("w"))

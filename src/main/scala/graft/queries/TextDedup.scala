@@ -2099,9 +2099,13 @@ object TextDedup extends QueryModule {
       maxDf = 64L).select("doc_a", "doc_b").localCheckpoint()
     val perR = lshEvalRpb.map { r =>
       val cand = DedupOps.lshCandidates(DedupOps.lshBands(sig, r))
-      cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hit")))
+      // ONE pass per geometry: truth is unique per (doc_a, doc_b) (groupBy
+      // output), so the left join is multiplicity-preserving — count(*)
+      // is the candidate count and count(match-marker) the hit count. The
+      // former two-subtree form (count agg + semi-join agg) built the
+      // band self-join TWICE per geometry (r20 verdict item 3).
+      cand.join(truth.withColumn("__t", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_cand"), count(col("__t")).as("n_hit"))
         .withColumn("rows_per_band", lit(r.toLong))
     }.reduce(_ unionByName _)
     perR

@@ -54,9 +54,13 @@ object ProbeJobs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val b = b0.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+    val b1 = b0.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
       sys.env.getOrElse("SPARK_GRAFT_MPS",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "512k")))
+    // probe knob: bound the fan-out of Range/LocalRelation leaves (see
+    // Bench's SPARK_GRAFT_LEAF_PAR note)
+    val b = sys.env.get("SPARK_GRAFT_LEAF_PAR").fold(b1)(v =>
+      b1.config("spark.sql.leafNodeDefaultParallelism", v))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.TopKPerKey.install(spark)

@@ -101,6 +101,9 @@ object Loops {
       // a pinned plan scans a multi-partition checkpointed RDD: scan all
       // partitions in the first (only) pass, exactly like plain collect.
       p.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+      // (probed and rejected: constraintPropagation=false and
+      // codegen.wholeStage=false moved a round-shaped pin not at all —
+      // ProbePin: ~93 ms either way, ~15 ms job dispatch + planning)
       p
     })
 
