@@ -1434,14 +1434,16 @@ object DesignImage extends QueryModule {
     val perP = dist.groupBy(col("a").as("p"))
       .agg(max("d").as("ecc"), count(lit(1)).as("n_reach"),
         sum(expr("CAST(round(1e12 / d, 0) AS BIGINT)")).as("srp"))
-    parcels
+    // NP-bounded tail over pinned dist/parcel state: pin (r21 — see
+    // modularityCore's note); shared by q184/q199/q234
+    graft.util.Loops.pin(parcels
       .join(broadcast(perP), Seq("p"), "left")
       .crossJoin(broadcast(glob))
       .selectExpr("p", "ecc", "COALESCE(n_reach, 0L) AS n_reach",
         "round(CAST(COALESCE(srp, 0L) AS DOUBLE) / (np - 1) / 1e12, 6) AS eff_p",
         "CASE WHEN n_fin > 0 THEN round(CAST(sd AS DOUBLE) / n_fin, 6) END AS cpl",
         "round(CAST(sr AS DOUBLE) / (CAST(np AS DOUBLE) * (np - 1)) / 1e12, 6) AS eff_glob")
-      .orderBy("p")
+      .orderBy("p"))
   }
 
   // ---- q199: path metrics by FRONTIER BFS (the voxel-regime road) ----------
@@ -1554,10 +1556,11 @@ object DesignImage extends QueryModule {
         .selectExpr("p", "x + nx AS x")
         .transform(graft.util.Loops.pin) // NP-bounded; read twice next step
     }
-    x.crossJoin(broadcast(x.agg(max("x").as("mx"))))
+    // NP-bounded tail over the pinned vector: pin (r21)
+    graft.util.Loops.pin(x.crossJoin(broadcast(x.agg(max("x").as("mx"))))
       .selectExpr("p", "x AS ec_raw",
         "CASE WHEN mx > 0 THEN round(CAST(x AS DOUBLE) / mx, 6) END AS ec")
-      .orderBy("p")
+      .orderBy("p"))
   }
 
   // ---- q204: module roles — participation coefficient + within-module z ---

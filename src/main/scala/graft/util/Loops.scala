@@ -114,10 +114,7 @@ object Loops {
     // data-sized relation can OOM the driver (r20 verdict item 2). For
     // any relation actually under the cap the rows and their order are
     // identical to a plain collect (partition-order prefix of everything).
-    val rows = org.apache.spark.sql.graft.PlanBridge
-      .onSession(pinSession(sess), df)
-      .limit(PinMaxRows + 1)
-      .collect()
+    val rows = collectCapped(df, PinMaxRows)
     require(rows.length <= PinMaxRows,
       s"Loops.pin got > $PinMaxRows rows — not atlas-class loop state")
     val local = sess.createDataFrame(
@@ -125,6 +122,28 @@ object Loops {
     (local, rows)
   }
 
-  /** [[pinRows]] when the caller only needs the relation. */
-  def pin(df: DataFrame): DataFrame = pinRows(df)._1
+  private def collectCapped(df: DataFrame,
+      cap: Int): Array[org.apache.spark.sql.Row] =
+    org.apache.spark.sql.graft.PlanBridge
+      .onSession(pinSession(df.sparkSession), df)
+      .limit(cap + 1)
+      .collect()
+
+  /** [[pinRows]] when the caller only needs the relation. Unlike
+    * [[pinRows]] (whose callers consume the rows for fixpoint probes and
+    * so genuinely require boundedness), a relation that turns out to
+    * exceed [[PinMaxRows]] here — e.g. a permutation-keyed closure grown
+    * past the ceiling by a raised PermP (r20 ADVICE) — DEMOTES to the
+    * [[fresh]] distributed checkpoint path instead of failing the query:
+    * same results, pre-pin execution shape, one wasted capped collect. */
+  def pin(df: DataFrame): DataFrame = pinWithCap(df, PinMaxRows)
+
+  /** [[pin]] with an injectable ceiling — package-private so the spec can
+    * exercise the over-cap demotion without an 8M-row collect. */
+  private[graft] def pinWithCap(df: DataFrame, cap: Int): DataFrame = {
+    val rows = collectCapped(df, cap)
+    if (rows.length > cap) fresh(df)
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }
