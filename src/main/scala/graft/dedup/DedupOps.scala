@@ -401,10 +401,16 @@ object DedupOps {
     val crossPairs = probeBandIndexPairs(spark, increment, name, threshold)
     val incPairs = minhashDupPairs(increment, shingleK, numHashes,
       rowsPerBand, threshold).select("doc_a", "doc_b")
+    // lifted is read TWICE (the CC input union below and remap's touched-
+    // cluster distinct) — without this barrier the whole band-index probe
+    // (increment shingling + bucket join + Jaccard verify) re-executed per
+    // consumer: ProbeJobs showed the probe's index-read stage duplicated
+    // on q176's serve (2.2 s + 0.7 s task time for one probe's work)
     val lifted = crossPairs
       .join(standingLabels.select(col("doc_id").as("corp_id"), col("cluster")),
         "corp_id")
       .select(col("inc_id").as("doc_a"), col("cluster").as("doc_b"))
+      .localCheckpoint()
     val (labels, _) = ccLabels(lifted.unionByName(incPairs))
     // relabel ONLY the touched components: (old cluster rep → new min)
     val remap = labels
@@ -1054,16 +1060,27 @@ object DedupOps {
     // against it, and without this barrier each round would re-execute the
     // entire upstream pair-detection DAG (for q66, the full MinHash/LSH/
     // verify pipeline — the dominant cost of the query)
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val symCk = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("v")).distinct().withColumn("l", col("v"))
+    var labels = symCk.select(col("src").as("v")).distinct().withColumn("l", col("v"))
     // ONE up-front action sizes the round budget (and warms the edge
     // checkpoint); with the jump, rounds ≈ log₂(diameter), so ⌈log₂ n⌉
     // plus generous slack can only trip on a logic bug — fail loudly
     // rather than loop silently
     val nV = labels.count()
     val budget = 64 - java.lang.Long.numberOfLeadingZeros(nV.max(1L)) + 16
+    // Small pair graphs (delta-CC serve grain, fixture-scale corpora) pin
+    // BOTH the edge set and the NV-row label state on the driver — every
+    // round is then LocalRelation-only (one collect job, free fixpoint
+    // probe: the ccLabelsAlternating precedent; pinning only the labels
+    // measured SLOWER, because each round still scanned the distributed
+    // edge RDD through the serial pin session). The gate reads the
+    // CHECKPOINTED edge count, so a data-sized dup graph keeps the
+    // distributed checkpoint + agg-probe rounds.
+    val pinned = nV > 0 && nV <= 200 * 1000 && symCk.count() <= 200 * 1000
+    val sym = if (pinned) graft.util.Loops.pin(symCk) else symCk
+    if (pinned) labels = graft.util.Loops.pin(labels)
     var rounds = 0
     var changed = nV > 0
     while (changed) {
@@ -1076,17 +1093,23 @@ object DedupOps {
       // pointer doubling: every label is itself a vertex id (min of vertex
       // ids, inductively), so l(l(v)) is a lookup into the same relation
       val jump = labels.select(col("v").as("__lv"), col("l").as("__lj"))
-      val next = labels
+      val nextPlan = labels
         .join(prop, Seq("v"), "left")
         .join(jump, col("l") === col("__lv"), "left")
         .withColumn("__l2", least(col("l"),
           coalesce(col("__ln"), col("l")), coalesce(col("__lj"), col("l"))))
         .select(col("v"), (col("__l2") =!= col("l")).as("__chg"),
           col("__l2").as("l"))
-        .localCheckpoint() // the round's ONE materialization
-      // fixpoint probe reads the checkpointed partitions only — no join
-      changed = next.agg(max(col("__chg"))).head().getBoolean(0)
-      labels = next.select("v", "l")
+      if (pinned) {
+        val (next, rows) = graft.util.Loops.pinRows(nextPlan)
+        changed = rows.exists(_.getBoolean(1)) // free driver-side probe
+        labels = next.select("v", "l")
+      } else {
+        val next = nextPlan.localCheckpoint() // the round's ONE materialization
+        // fixpoint probe reads the checkpointed partitions only — no join
+        changed = next.agg(max(col("__chg"))).head().getBoolean(0)
+        labels = next.select("v", "l")
+      }
       rounds += 1
     }
     (labels, rounds)

@@ -1851,8 +1851,14 @@ object TextDedup extends QueryModule {
     * (n_docs, n_tokens, sfp, n_train, n_contam); `lc`: the
     * |langs|-bounded counts; `nc`: one row of the distinct-cluster
     * count. */
-  private[graft] def datacardFromState(merged: DataFrame, lc: DataFrame,
+  private[graft] def datacardFromState(merged: DataFrame, lc0: DataFrame,
       nc: DataFrame): DataFrame = {
+    // lc is consumed THREE times below (n_langs, the entropy fold and its
+    // total) and its plan embeds the increment lang-count pass —
+    // |langs|-bounded by contract, so pin it: one increment scan instead
+    // of three (local wall flat at fixture scale; the increment is
+    // data-sized in production, where the 3× re-scan is the real cost)
+    val lc = graft.util.Loops.pin(lc0)
     val nLangs = lc.agg(count(lit(1)).as("n_langs"))
     val ent = lc.crossJoin(broadcast(lc.agg(sum(col("c")).as("n"))))
       .selectExpr("CAST(round(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n) * 1e12, 0) AS BIGINT) AS t")
