@@ -1477,9 +1477,11 @@ object DesignImage extends QueryModule {
       pe.select(col("p1").as("p"))
         .union(pe.select(col("p2").as("p"))).distinct())
     val ones = pe.filter(col("edge") === 1)
-    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
+    // NP²-bounded adjacency, joined every BFS depth — pin so each
+    // frontier expansion is LocalRelation-only (see louvainModules, r21)
+    val sym = graft.util.Loops.pin(ones.selectExpr("p1 AS a", "p2 AS b")
       .union(ones.selectExpr("p2 AS a", "p1 AS b"))
-      .distinct().localCheckpoint()
+      .distinct())
     val nNodes = math.max(2L, parcelRows.length.toLong)
     var dist = graft.util.Loops.pin(sym.withColumn("d", lit(1L)))
     var frontier = dist.select("a", "b")
@@ -1544,9 +1546,9 @@ object DesignImage extends QueryModule {
     val parcels = pe.select(col("p1").as("p"))
       .union(pe.select(col("p2").as("p"))).distinct()
     val ones = pe.filter(col("edge") === 1)
-    val sym = ones.selectExpr("p1 AS a", "p2 AS b")
-      .union(ones.selectExpr("p2 AS a", "p1 AS b"))
-      .localCheckpoint()
+    // NP²-bounded, read every power step — pin (see louvainModules, r21)
+    val sym = graft.util.Loops.pin(ones.selectExpr("p1 AS a", "p2 AS b")
+      .union(ones.selectExpr("p2 AS a", "p1 AS b")))
     var x = graft.util.Loops.pin(parcels.select(col("p"), lit(1L).as("x")))
     for (_ <- 0 until ecmSteps) {
       val nx = sym.selectExpr("a", "b AS p")
@@ -1748,9 +1750,9 @@ object DesignImage extends QueryModule {
         .union(pe.select(col("p2").as("p"))).distinct())
     // NP rows, driver-pinned: cap derivation + init labels, zero jobs
     val ones = pe.filter(col("edge") === 1)
-    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
-      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
-      .localCheckpoint()
+    // NP²-bounded, read every vote round — pin (see louvainModules, r21)
+    val sym = graft.util.Loops.pin(ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q")))
     val cap =
       if (maxRounds > 0) maxRounds else math.max(1, parcelRows.length)
     var lab = parcels.select(col("p"), col("p").as("lab"))
@@ -2021,9 +2023,11 @@ object DesignImage extends QueryModule {
       .union(pe.select(col("p2").as("p"))).distinct())
     // NP rows, driver-pinned; degree fill + init labels, zero jobs
     val ones = pe.filter(col("edge") === 1)
-    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
-      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
-      .localCheckpoint() // 2M rows; every round + the 2M count
+    // 2M rows, NP²-bounded — PIN, not checkpoint (r21): every round's
+    // collect otherwise re-scans the distributed edge RDD through the
+    // serial pin session; pinned, each round is LocalRelation-only
+    val sym = graft.util.Loops.pin(ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q")))
     val (deg, degRows) = graft.util.Loops.pinRows(parcels.join(
         sym.groupBy("p").agg(count(lit(1)).as("k")), Seq("p"), "left")
       .na.fill(0L, Seq("k")))
@@ -2636,9 +2640,11 @@ object DesignImage extends QueryModule {
       .localCheckpoint()
     val parcels = graft.util.Loops.pin(wpairs.select(col("p1").as("p"))
       .union(wpairs.select(col("p2").as("p"))).distinct())
-    val sym = ones.selectExpr("p1 AS p", "p2 AS q", "w")
-      .union(ones.selectExpr("p2 AS p", "p1 AS q", "w"))
-      .localCheckpoint() // 2M rows; every round + the W total
+    // 2M rows, NP²-bounded — pin so every detector round is
+    // LocalRelation-only (see louvainModules' note, r21)
+    val sym = graft.util.Loops.pin(
+      ones.selectExpr("p1 AS p", "p2 AS q", "w")
+        .union(ones.selectExpr("p2 AS p", "p1 AS q", "w")))
     val (str, strRows) = graft.util.Loops.pinRows(parcels.join(
         sym.groupBy("p").agg(sum("w").as("s")), Seq("p"), "left")
       .na.fill(0L, Seq("s")))
@@ -3705,9 +3711,10 @@ object DesignImage extends QueryModule {
       .union(pe.select(col("p2").as("p"))).distinct())
     // NP rows, driver-pinned; per-round fill + output, zero scan jobs
     val ones = pe.filter(col("edge") === 1)
-    val sym = ones.selectExpr("p1 AS p", "p2 AS q")
-      .union(ones.selectExpr("p2 AS p", "p1 AS q"))
-      .localCheckpoint() // NP²-bounded; read every round
+    // NP²-bounded, read every round — pin so each H-index round is
+    // LocalRelation-only (see louvainModules' note, r21)
+    val sym = graft.util.Loops.pin(ones.selectExpr("p1 AS p", "p2 AS q")
+      .union(ones.selectExpr("p2 AS p", "p1 AS q")))
     val deg = graft.util.Loops.pin(sym.groupBy("p")
       .agg(count(lit(1)).as("deg"))) // NP rows; c⁰ + output
     val w = org.apache.spark.sql.expressions.Window.partitionBy("p")
